@@ -1,0 +1,201 @@
+"""Distribution registry: filtering, exclusions, slow-set weighting, custom
+distributions.
+
+Re-expresses the behavior of the reference registry
+(/root/reference/src/spark_bestfit/distributions.py:10-326): default
+exclusions for pathological fitters, a slow set used for partition
+weighting, a ``support_at_zero`` predicate (dist.a >= 0), and user-supplied
+custom distribution registration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_bestfit_spark.functions.distributions.base import (
+    ContinuousDistribution,
+    DiscreteDistribution,
+)
+from spark_bestfit_spark.functions.distributions.continuous import CONTINUOUS
+from spark_bestfit_spark.functions.distributions.discrete import DISCRETE
+
+# Distributions whose MLE is noticeably slower / less stable here; kept out
+# of the default set (same role as the reference's DEFAULT_EXCLUSIONS).
+DEFAULT_EXCLUSIONS: set = {
+    "genexpon",   # 3-shape NM, slow
+    "exponweib",  # 2-shape + weak identifiability
+    "powerlognorm",
+}
+
+# ~3-5x average fit cost — used for partition weighting (reference
+# distributions.py:58-75). Measured empirically for OUR kernels.
+SLOW_DISTRIBUTIONS: set = {
+    "t",
+    "f",
+    "burr",
+    "burr12",
+    "beta",
+    "betaprime",
+    "genextreme",
+    "johnsonsb",
+    "johnsonsu",
+    "gennorm",
+    "exponweib",
+    "powerlognorm",
+    "genexpon",
+    "invgauss",
+    "nakagami",
+    "foldnorm",
+}
+
+
+def get_continuous(name: str) -> ContinuousDistribution:
+    return CONTINUOUS[name]
+
+
+def get_discrete(name: str) -> DiscreteDistribution:
+    return DISCRETE[name]
+
+
+def get_distribution(name: str):
+    """Look up a distribution (continuous first, then discrete, then custom)."""
+    if name in CONTINUOUS:
+        return CONTINUOUS[name]
+    if name in DISCRETE:
+        return DISCRETE[name]
+    raise KeyError(f"unknown distribution: {name}")
+
+
+class DistributionRegistry:
+    """Filterable view over the distribution library."""
+
+    ALL_CONTINUOUS = sorted(CONTINUOUS)
+    ALL_DISCRETE = sorted(DISCRETE)
+    DEFAULT_EXCLUSIONS = DEFAULT_EXCLUSIONS
+    SLOW_DISTRIBUTIONS = SLOW_DISTRIBUTIONS
+
+    def __init__(self, custom_exclusions: set | None = None):
+        self._excluded = (
+            set(custom_exclusions)
+            if custom_exclusions is not None
+            else set(DEFAULT_EXCLUSIONS)
+        )
+        self._custom: dict = {}
+
+    # ------------------------------------------------------------ filtering
+    def get_distributions(
+        self,
+        support_at_zero: bool = False,
+        additional_exclusions: list | None = None,
+        include_custom: bool = True,
+    ) -> list:
+        excluded = set(self._excluded)
+        if additional_exclusions:
+            excluded.update(additional_exclusions)
+        names = [d for d in self.ALL_CONTINUOUS if d not in excluded]
+        if include_custom:
+            names += [n for n in self._custom if n not in excluded]
+        if support_at_zero:
+            names = [n for n in names if self._has_support_at_zero(n)]
+        return names
+
+    def get_discrete_distributions(
+        self, additional_exclusions: list | None = None
+    ) -> list:
+        excluded = set(self._excluded)
+        if additional_exclusions:
+            excluded.update(additional_exclusions)
+        return [d for d in self.ALL_DISCRETE if d not in excluded]
+
+    def _has_support_at_zero(self, name: str) -> bool:
+        try:
+            dist = self.resolve(name)
+        except KeyError:
+            return False
+        try:
+            return float(dist.a) >= 0
+        except (AttributeError, TypeError):
+            return False
+
+    def resolve(self, name: str):
+        if name in self._custom:
+            return self._custom[name]
+        return get_distribution(name)
+
+    # ----------------------------------------------------------- exclusions
+    def add_exclusion(self, name: str) -> None:
+        self._excluded.add(name)
+
+    def remove_exclusion(self, name: str) -> None:
+        self._excluded.discard(name)
+
+    def get_exclusions(self) -> set:
+        return set(self._excluded)
+
+    def reset_exclusions(self) -> None:
+        self._excluded = set(DEFAULT_EXCLUSIONS)
+
+    # ------------------------------------------------------- custom support
+    def register_distribution(self, name: str, dist, overwrite: bool = False):
+        """Register a user-supplied distribution object.
+
+        The object must expose ``fit(data)``, ``logpdf(x, *params)``,
+        ``cdf(x, *params)`` and ``ppf(q, *params)`` with the
+        ``(*shapes, loc, scale)`` convention (reference semantics:
+        continuous_fitter.py:107-172).
+        """
+        if not name or not isinstance(name, str):
+            raise ValueError("custom distribution needs a non-empty name")
+        if not overwrite and (
+            name in CONTINUOUS or name in DISCRETE or name in self._custom
+        ):
+            raise ValueError(f"distribution '{name}' already exists")
+        for attr in ("fit", "cdf", "logpdf"):
+            if not callable(getattr(dist, attr, None)):
+                raise TypeError(f"custom distribution must define {attr}()")
+        # smoke-validate on a tiny sample so bad objects fail at register time
+        probe = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
+        try:
+            params = dist.fit(probe)
+            np.asarray(dist.cdf(probe, *params))
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(f"custom distribution '{name}' failed probe: {exc}")
+        self._custom[name] = dist
+        return dist
+
+    def unregister_distribution(self, name: str) -> None:
+        self._custom.pop(name, None)
+
+    @property
+    def custom_distributions(self) -> dict:
+        return dict(self._custom)
+
+    # ------------------------------------------------------------ weighting
+    def effective_count(self, names: list) -> int:
+        """Slow distributions count 3x for partition sizing (reference
+        base_fitter.py:524-544)."""
+        return sum(3 if n in SLOW_DISTRIBUTIONS else 1 for n in names)
+
+    @staticmethod
+    def interleave(names: list) -> list:
+        """Spread slow distributions among fast ones to avoid straggler
+        clustering (reference core.py:31-67)."""
+        slow = [n for n in names if n in SLOW_DISTRIBUTIONS]
+        fast = [n for n in names if n not in SLOW_DISTRIBUTIONS]
+        if not slow or not fast:
+            return list(names)
+        out = []
+        step = max(len(fast) // len(slow), 1)
+        fi = iter(fast)
+        si = iter(slow)
+        remaining_fast = len(fast)
+        remaining_slow = len(slow)
+        while remaining_fast or remaining_slow:
+            for _ in range(step):
+                if remaining_fast:
+                    out.append(next(fi))
+                    remaining_fast -= 1
+            if remaining_slow:
+                out.append(next(si))
+                remaining_slow -= 1
+        return out
