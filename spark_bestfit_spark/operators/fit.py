@@ -1,0 +1,216 @@
+"""parallel_fit: the engine's core distributed operator (SURVEY §2.9).
+
+Dataflow (reference backends/spark.py:76-209, re-expressed Spark-first):
+
+    broadcast (histogram, fitting sample, custom dists)
+      -> distribution-name DataFrame, interleaved slow-among-fast
+      -> repartition(min(effective_count, cores * mult))
+      -> mapInPandas(fit kernel) with FIT_RESULT_SCHEMA
+      -> filter(sse < inf)        # sentinel failed fits
+      -> union across columns -> cache
+
+Why this scales: the raw data is reduced to a ~KB histogram + <=10k-row
+sample ONCE per column (single full scan, map-side combined); the D-way
+fit fan-out is embarrassingly parallel over tiny broadcast state, so the
+cost is O(scan) + O(D / executors) regardless of table size. Python-task
+skew (slow scipy-style kernels) is handled by 3x partition weighting and
+interleaving — AQE cannot see Python task cost, so the plan does it.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_bestfit_spark.functions import metrics as M
+from spark_bestfit_spark.functions.distributions.registry import (
+    DistributionRegistry,
+)
+from spark_bestfit_spark.plans.config import FitterConfig
+
+_D = DoubleType()
+
+FIT_RESULT_SCHEMA = StructType(
+    [
+        StructField("column_name", StringType()),
+        StructField("distribution", StringType()),
+        StructField("parameters", ArrayType(DoubleType())),
+        StructField("sse", _D),
+        StructField("aic", _D),
+        StructField("bic", _D),
+        StructField("ks_statistic", _D),
+        StructField("pvalue", _D),
+        StructField("ad_statistic", _D),
+        StructField("ad_pvalue", _D),
+        StructField("data_min", _D),
+        StructField("data_max", _D),
+        StructField("data_mean", _D),
+        StructField("data_stddev", _D),
+        StructField("data_count", _D),
+        StructField("data_kurtosis", _D),
+        StructField("data_skewness", _D),
+        StructField("lower_bound", _D),
+        StructField("upper_bound", _D),
+    ]
+)
+
+
+def compute_data_stats(data: np.ndarray) -> dict:
+    """Provenance stats attached to every result row (reference
+    estimation.py:81-102)."""
+    n = data.size
+    if n == 0:
+        return {k: float("nan") for k in (
+            "data_min", "data_max", "data_mean", "data_stddev",
+            "data_count", "data_kurtosis", "data_skewness",
+        )}
+    mean = float(np.mean(data))
+    std = float(np.std(data))
+    if std > 0:
+        zc = (data - mean) / std
+        kurt = float(np.mean(zc**4) - 3.0)
+        skew = float(np.mean(zc**3))
+    else:
+        kurt, skew = 0.0, 0.0
+    return {
+        "data_min": float(np.min(data)),
+        "data_max": float(np.max(data)),
+        "data_mean": mean,
+        "data_stddev": std,
+        "data_count": float(n),
+        "data_kurtosis": kurt,
+        "data_skewness": skew,
+    }
+
+
+def _sentinel_row(column: str, dist_name: str, stats: dict, bounds) -> dict:
+    """Failed-fit sentinel (sse = inf) — filtered after the fan-out, so a
+    single bad kernel can never fail the job (reference O17)."""
+    return {
+        "column_name": column,
+        "distribution": dist_name,
+        "parameters": [],
+        "sse": float("inf"),
+        "aic": float("inf"),
+        "bic": float("inf"),
+        "ks_statistic": None,
+        "pvalue": None,
+        "ad_statistic": None,
+        "ad_pvalue": None,
+        **stats,
+        "lower_bound": bounds[0],
+        "upper_bound": bounds[1],
+    }
+
+
+def fit_single_distribution(
+    dist_name: str,
+    data: np.ndarray,
+    hist_density: np.ndarray,
+    bin_edges: np.ndarray,
+    column: str,
+    stats: dict,
+    config: FitterConfig,
+    registry: DistributionRegistry,
+    bounds=(None, None),
+) -> dict:
+    """Fit one distribution to the broadcast sample; never raises."""
+    try:
+        dist = registry.resolve(dist_name)
+        params = tuple(float(p) for p in dist.fit(data))
+        sse = M.compute_sse(dist, params, hist_density, bin_edges)
+        if not np.isfinite(sse):
+            return _sentinel_row(column, dist_name, stats, bounds)
+        aic, bic = M.compute_information_criteria(dist, params, data)
+        row = {
+            "column_name": column,
+            "distribution": dist_name,
+            "parameters": list(params),
+            "sse": sse,
+            "aic": aic,
+            "bic": bic,
+            "ks_statistic": None,
+            "pvalue": None,
+            "ad_statistic": None,
+            "ad_pvalue": None,
+            **stats,
+            "lower_bound": bounds[0],
+            "upper_bound": bounds[1],
+        }
+        if not config.lazy_metrics:
+            ks, p = M.compute_ks(dist, params, data)
+            ad = M.compute_ad(dist, params, data)
+            row["ks_statistic"] = ks if np.isfinite(ks) else None
+            row["pvalue"] = p if np.isfinite(p) else None
+            row["ad_statistic"] = ad if np.isfinite(ad) else None
+            row["ad_pvalue"] = M.compute_ad_pvalue(ad, dist_name, data.size)
+        return row
+    except Exception:  # noqa: BLE001
+        return _sentinel_row(column, dist_name, stats, bounds)
+
+
+def parallel_fit_column(
+    spark: SparkSession,
+    dist_names: list,
+    data: np.ndarray,
+    hist_density: np.ndarray,
+    bin_edges: np.ndarray,
+    column: str,
+    config: FitterConfig,
+    registry: DistributionRegistry,
+    bounds=(None, None),
+) -> DataFrame:
+    """Fan the distribution list out over the cluster; returns the lazy
+    per-column results DataFrame (sentinels already filtered)."""
+    stats = compute_data_stats(data)
+    names = registry.interleave(dist_names)
+
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    effective = registry.effective_count(names)
+    n_parts = max(1, min(effective, cores * config.partition_multiplier, len(names)))
+
+    b_data = sc.broadcast(data)
+    b_hist = sc.broadcast((hist_density, bin_edges))
+    b_custom = sc.broadcast(registry.custom_distributions)
+
+    names_df = spark.createDataFrame(
+        [(n,) for n in names], "distribution_name string"
+    ).repartition(n_parts)
+
+    cfg = config  # capture plain dataclass, not self
+
+    def fit_batches(batches):
+        reg = DistributionRegistry(custom_exclusions=set())
+        for name, dist in b_custom.value.items():
+            reg.register_distribution(name, dist, overwrite=True)
+        sample = b_data.value
+        density, edges = b_hist.value
+        for pdf in batches:
+            rows = [
+                fit_single_distribution(
+                    name, sample, density, edges, column, stats, cfg, reg, bounds
+                )
+                for name in pdf["distribution_name"]
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+
+    result = names_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
+    return result.filter(F.col("sse") < F.lit(float("inf")))
+
+
+def union_results(dfs: list) -> DataFrame:
+    """Combine per-column result relations (SURVEY J1)."""
+    return reduce(DataFrame.unionByName, dfs)

@@ -1,0 +1,125 @@
+"""Input-side sampling operators (SURVEY §2.7 SA1-SA5).
+
+Strategy re-expressed from the reference (base_fitter.py:243-522):
+
+- below ``sample_threshold`` rows: sample just enough for the fitting
+  sample;
+- above it: pilot-skewness decides UNIFORM vs STRATIFIED;
+- stratified: approxQuantile splits -> width_bucket strata ->
+  ``sampleBy`` with boosted tail fractions (>= tail_min_rows per tail
+  stratum).
+
+Everything stays declarative (``sample`` / ``sampleBy`` are pushed into
+the scan stage by Catalyst); only <= fitting_sample_size rows ever reach
+the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from spark_bestfit_spark.operators.stats import valid_column
+from spark_bestfit_spark.plans.config import FitterConfig
+
+PILOT_SIZE = 5_000
+SKEW_STRATIFIED = 0.5
+SKEW_MORE_BINS = 2.0
+SKEW_WARN = 5.0
+
+
+def pilot_skewness(df: DataFrame, column: str, config: FitterConfig) -> float:
+    """Skewness of a small pilot sample — one cheap job (reference
+    base_fitter.py:311-364 collects <= 5k rows; we use the distributed
+    aggregate on a sampled fraction instead, nothing is collected)."""
+    # a fixed small fraction is fine for a pilot — skew estimate only
+    row = (
+        df.sample(fraction=0.01, seed=config.random_seed)
+        .agg(F.skewness(column).alias("skew"))
+        .first()
+    )
+    val = row["skew"]
+    return float(val) if val is not None else 0.0
+
+
+def choose_sampling_mode(skew: float) -> tuple:
+    """(mode, n_bins) from pilot skewness (reference ADR-0004)."""
+    if abs(skew) < SKEW_STRATIFIED:
+        return "uniform", 0
+    return "stratified", (10 if abs(skew) >= SKEW_MORE_BINS else 5)
+
+
+def stratified_sample(
+    df: DataFrame,
+    column: str,
+    fraction: float,
+    config: FitterConfig,
+    n_strata: int = 5,
+) -> DataFrame:
+    """Quantile-bucketed ``sampleBy`` with tail boost (reference
+    base_fitter.py:388-477)."""
+    probs = list(np.linspace(0.0, 1.0, n_strata + 1))
+    splits = df.approxQuantile(column, probs, 0.01)
+    splits = sorted(set(splits))
+    if len(splits) < 3:
+        return df.sample(fraction=fraction, seed=config.random_seed)
+    lo, hi = splits[0], splits[-1]
+    eps = (hi - lo) * 1e-10 if hi > lo else 1.0
+    n_buckets = len(splits) - 1
+    bucketed = df.withColumn(
+        "_stratum",
+        F.width_bucket(F.col(column), F.lit(lo), F.lit(hi + eps), F.lit(n_buckets)),
+    )
+    counts = {
+        r["_stratum"]: r["cnt"]
+        for r in bucketed.groupBy("_stratum").agg(F.count("*").alias("cnt")).collect()
+    }
+    fractions = {}
+    for b, cnt in counts.items():
+        if b is None:
+            continue
+        f_b = fraction
+        # boost sparse tail strata so each contributes >= tail_min_rows
+        if cnt * f_b < config.tail_min_rows:
+            f_b = min(1.0, config.tail_min_rows / max(cnt, 1))
+        fractions[b] = f_b
+    sampled = bucketed.stat.sampleBy(
+        "_stratum", fractions=fractions, seed=config.random_seed
+    )
+    return sampled.drop("_stratum")
+
+
+def build_fitting_sample(
+    df: DataFrame,
+    column: str,
+    config: FitterConfig,
+    total_count: int,
+) -> np.ndarray:
+    """<= fitting_sample_size finite values as an ndarray on the driver
+    (reference base_fitter.py:681-700). One job; collects <= ~12k rows."""
+    clean = valid_column(df, column).select(column)
+    target = config.fitting_sample_size
+    if total_count <= target:
+        pdf = clean.toPandas()
+    else:
+        # sample a bit more than needed, then truncate deterministically
+        frac = min(1.0, (target * 1.3) / total_count)
+        if total_count > config.sample_threshold and config.adaptive_sampling:
+            skew = pilot_skewness(df, column, config)
+            mode, n_bins = choose_sampling_mode(skew)
+            if mode == "stratified":
+                sampled = stratified_sample(
+                    valid_column(df, column), column, frac, config, n_bins
+                ).select(column)
+            else:
+                sampled = clean.sample(fraction=frac, seed=config.random_seed)
+        else:
+            sampled = clean.sample(fraction=frac, seed=config.random_seed)
+        pdf = sampled.limit(target * 2).toPandas()
+    arr = pdf[column].to_numpy(dtype=np.float64)
+    arr = arr[np.isfinite(arr)]
+    if arr.size > target:
+        rng = np.random.default_rng(config.random_seed)
+        arr = rng.choice(arr, size=target, replace=False)
+    return arr

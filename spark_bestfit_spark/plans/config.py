@@ -1,0 +1,67 @@
+"""FitterConfig — the frozen 'logical plan' of a fit.
+
+Mirrors the knob surface of the reference config
+(/root/reference/src/spark_bestfit/config.py:35-109) with the same
+defaults where they are observable behavior (seed 42, 10k fitting sample,
+10M sampling threshold, 50 bins, 0.35 max fraction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class FitterConfig:
+    # histogram
+    bins: int = 50
+    use_rice_rule: bool = False
+
+    # sampling
+    sample_threshold: int = 10_000_000
+    max_sample_size: int = 1_000_000
+    fitting_sample_size: int = 10_000
+    max_sample_fraction: float = 0.35
+    random_seed: int = 42
+    adaptive_sampling: bool = True
+    stratified_bins: int = 5
+    tail_min_rows: int = 500
+
+    # registry / selection
+    support_at_zero: bool = False
+    additional_exclusions: tuple = ()
+    max_distributions: int | None = None
+
+    # estimation
+    estimation_method: str = "mle"  # mle | mse | auto
+    lazy_metrics: bool = False
+
+    # bounds / censoring
+    lower_bound: float | None = None
+    upper_bound: float | None = None
+    censoring_column: str | None = None
+
+    # execution
+    partition_multiplier: int = 2  # cap = cores * multiplier
+
+    def validate(self) -> None:
+        if self.bins < 1:
+            raise ValueError(f"bins must be >= 1, got {self.bins}")
+        if not (0 < self.max_sample_fraction <= 1):
+            raise ValueError("max_sample_fraction must be in (0, 1]")
+        if self.fitting_sample_size < 2:
+            raise ValueError("fitting_sample_size must be >= 2")
+        if self.estimation_method not in ("mle", "mse", "auto"):
+            raise ValueError(
+                f"estimation_method must be mle|mse|auto, got "
+                f"{self.estimation_method!r}"
+            )
+        if (
+            self.lower_bound is not None
+            and self.upper_bound is not None
+            and self.lower_bound >= self.upper_bound
+        ):
+            raise ValueError("lower_bound must be < upper_bound")
+
+    def with_(self, **kwargs) -> "FitterConfig":
+        return replace(self, **kwargs)

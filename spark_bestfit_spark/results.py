@@ -1,0 +1,359 @@
+"""Fit-results relation + fluent query surface (SURVEY §1.3, §2.5, §2.12).
+
+``FitResults`` wraps the cached results DataFrame and exposes the
+reference's query API (collection.py:51-1175) as thin, deterministic
+DataFrame operations:
+
+- ``best``: orderBy(metric ASC NULLS LAST, distribution) + limit — the
+  tie-breaker makes top-k reproducible (oracle-checkable);
+- ``best_per_column``: Window.partitionBy + row_number (idiomatic Spark
+  for per-group top-k, replacing the reference's driver loop);
+- ``filter``: chained metric threshold predicates;
+- ``summary`` / ``quality_report``: single-pass multi-stat aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from spark_bestfit_spark.functions.distributions.registry import (
+    DistributionRegistry,
+)
+
+VALID_METRICS = (
+    "sse",
+    "aic",
+    "bic",
+    "ks_statistic",
+    "pvalue",
+    "ad_statistic",
+    "ad_pvalue",
+)
+
+SCHEMA_VERSION = "1.1"
+
+
+@dataclass
+class DistributionFitResult:
+    """One (column, distribution) fit — a serializable model object
+    (reference storage.py:240-709)."""
+
+    column_name: str
+    distribution: str
+    parameters: tuple
+    sse: float = float("nan")
+    aic: float = float("nan")
+    bic: float = float("nan")
+    ks_statistic: float | None = None
+    pvalue: float | None = None
+    ad_statistic: float | None = None
+    ad_pvalue: float | None = None
+    data_min: float = float("nan")
+    data_max: float = float("nan")
+    data_mean: float = float("nan")
+    data_stddev: float = float("nan")
+    data_count: float = float("nan")
+    data_kurtosis: float = float("nan")
+    data_skewness: float = float("nan")
+    lower_bound: float | None = None
+    upper_bound: float | None = None
+    _registry: DistributionRegistry | None = field(
+        default=None, repr=False, compare=False
+    )
+    _sample: np.ndarray | None = field(default=None, repr=False, compare=False)
+
+    # ------------------------------------------------------------ model ops
+    def _dist(self):
+        reg = self._registry or DistributionRegistry()
+        return reg.resolve(self.distribution)
+
+    def pdf(self, x):
+        return self._dist().pdf(np.asarray(x, dtype=np.float64), *self.parameters)
+
+    def cdf(self, x):
+        return self._dist().cdf(np.asarray(x, dtype=np.float64), *self.parameters)
+
+    def ppf(self, q):
+        return self._dist().ppf(np.asarray(q, dtype=np.float64), *self.parameters)
+
+    def sample(self, size: int = 1, random_state=None):
+        return self._dist().rvs(tuple(self.parameters), size, random_state)
+
+    def get_param_names(self) -> list:
+        return self._dist().param_names()
+
+    # -------------------------------------------------------- serialization
+    def to_dict(self) -> dict:
+        d = {
+            "schema_version": SCHEMA_VERSION,
+            "column_name": self.column_name,
+            "distribution": self.distribution,
+            "parameters": [float(p) for p in self.parameters],
+        }
+        for k in (
+            "sse", "aic", "bic", "ks_statistic", "pvalue", "ad_statistic",
+            "ad_pvalue", "data_min", "data_max", "data_mean", "data_stddev",
+            "data_count", "data_kurtosis", "data_skewness", "lower_bound",
+            "upper_bound",
+        ):
+            v = getattr(self, k)
+            d[k] = None if v is None else float(v)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DistributionFitResult":
+        d = {k: v for k, v in d.items() if k != "schema_version"}
+        d["parameters"] = tuple(d.get("parameters", ()))
+        return cls(**d)
+
+    def save(self, path: str, format: str = "json") -> None:
+        if format == "json":
+            with open(path, "w") as f:
+                json.dump(self.to_dict(), f, indent=2)
+        elif format == "pickle":
+            with open(path, "wb") as f:
+                pickle.dump(self, f)
+        else:
+            raise ValueError(f"unknown format {format!r} (json|pickle)")
+
+    @classmethod
+    def load(cls, path: str, format: str = "json") -> "DistributionFitResult":
+        if format == "json":
+            with open(path) as f:
+                return cls.from_dict(json.load(f))
+        if format == "pickle":
+            with open(path, "rb") as f:
+                obj = pickle.load(f)  # noqa: S301 — user-owned artifact
+            if not isinstance(obj, cls):
+                raise TypeError(f"{path} does not contain a {cls.__name__}")
+            return obj
+        raise ValueError(f"unknown format {format!r} (json|pickle)")
+
+
+_ROW_FIELDS = [
+    "column_name", "distribution", "parameters", "sse", "aic", "bic",
+    "ks_statistic", "pvalue", "ad_statistic", "ad_pvalue", "data_min",
+    "data_max", "data_mean", "data_stddev", "data_count", "data_kurtosis",
+    "data_skewness", "lower_bound", "upper_bound",
+]
+
+
+class FitResults:
+    """Query surface over the cached fit-results relation."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        registry: DistributionRegistry | None = None,
+        samples: dict | None = None,
+        cache: bool = True,
+    ):
+        self._df = df.cache() if cache else df
+        self._registry = registry or DistributionRegistry()
+        self._samples = samples or {}
+
+    # ------------------------------------------------------------- plumbing
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._df.unpersist(blocking)
+
+    def columns(self) -> list:
+        """Distinct source column names (SURVEY P5)."""
+        rows = (
+            self._df.select("column_name")
+            .filter(F.col("column_name").isNotNull())
+            .distinct()
+            .orderBy("column_name")
+            .collect()
+        )
+        return [r["column_name"] for r in rows]
+
+    def _hydrate(self, row) -> DistributionFitResult:
+        d = row.asDict()
+        kwargs = {k: d.get(k) for k in _ROW_FIELDS}
+        kwargs["parameters"] = tuple(kwargs["parameters"] or ())
+        return DistributionFitResult(
+            **kwargs,
+            _registry=self._registry,
+            _sample=self._samples.get(d.get("column_name")),
+        )
+
+    @staticmethod
+    def _check_metric(metric: str) -> None:
+        if metric not in VALID_METRICS:
+            raise ValueError(
+                f"invalid metric {metric!r}; choose from {VALID_METRICS}"
+            )
+
+    def _ordered(self, metric: str) -> DataFrame:
+        """Deterministic ranking: ascending metric (nulls last) with
+        (column_name, distribution) tie-breakers.
+
+        For pvalue/ad_pvalue larger is better, so order descending.
+        """
+        col = F.col(metric)
+        key = (
+            col.desc_nulls_last()
+            if metric in ("pvalue", "ad_pvalue")
+            else col.asc_nulls_last()
+        )
+        return self._df.orderBy(key, F.col("column_name"), F.col("distribution"))
+
+    # -------------------------------------------------------------- queries
+    def best(self, n: int = 1, metric: str = "sse"):
+        """Top-n fits by metric (SURVEY T1). Returns result records
+        (n=1 returns the single record)."""
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        self._check_metric(metric)
+        rows = self._ordered(metric).limit(n).collect()
+        results = [self._hydrate(r) for r in rows]
+        if results and metric in ("sse", "aic", "bic", "ks_statistic"):
+            v = getattr(results[0], metric)
+            if v is not None and np.isfinite(v) and metric == "ks_statistic" and v > 0.5:
+                warnings.warn(
+                    f"best fit has poor K-S statistic ({v:.3f}); "
+                    "data may not match any library distribution",
+                    stacklevel=2,
+                )
+        if n == 1:
+            return results[0] if results else None
+        return results
+
+    def best_df(self, n: int, metric: str = "sse") -> DataFrame:
+        """Lazy top-n relation (for oracle checks / composition)."""
+        self._check_metric(metric)
+        return self._ordered(metric).limit(n)
+
+    def best_per_column(self, n: int = 1, metric: str = "sse") -> dict:
+        """Per-group top-k via Window + row_number — one distributed job
+        for all columns (SURVEY T2, replacing the reference's per-column
+        loop)."""
+        self._check_metric(metric)
+        col = F.col(metric)
+        key = (
+            col.desc_nulls_last()
+            if metric in ("pvalue", "ad_pvalue")
+            else col.asc_nulls_last()
+        )
+        w = Window.partitionBy("column_name").orderBy(key, F.col("distribution"))
+        rows = (
+            self._df.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= n)
+            .orderBy("column_name", "_rank")
+            .drop("_rank")
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["column_name"], []).append(self._hydrate(r))
+        return out
+
+    def for_column(self, column: str) -> "FitResults":
+        """Restrict to one source column (SURVEY P4)."""
+        return FitResults(
+            self._df.filter(F.col("column_name") == F.lit(column)),
+            registry=self._registry,
+            samples=self._samples,
+            cache=False,
+        )
+
+    def filter(
+        self,
+        max_sse: float | None = None,
+        max_aic: float | None = None,
+        max_bic: float | None = None,
+        max_ks_statistic: float | None = None,
+        min_pvalue: float | None = None,
+        max_ad_statistic: float | None = None,
+    ) -> "FitResults":
+        """Threshold filter over the metric columns (SURVEY P3)."""
+        df = self._df
+        if max_sse is not None:
+            df = df.filter(F.col("sse") <= max_sse)
+        if max_aic is not None:
+            df = df.filter(F.col("aic") <= max_aic)
+        if max_bic is not None:
+            df = df.filter(F.col("bic") <= max_bic)
+        if max_ks_statistic is not None:
+            df = df.filter(F.col("ks_statistic") <= max_ks_statistic)
+        if min_pvalue is not None:
+            df = df.filter(F.col("pvalue") >= min_pvalue)
+        if max_ad_statistic is not None:
+            df = df.filter(F.col("ad_statistic") <= max_ad_statistic)
+        return FitResults(
+            df, registry=self._registry, samples=self._samples, cache=False
+        )
+
+    def summary(self) -> dict:
+        """min/mean/max of each metric + counts in ONE aggregation job
+        (SURVEY A9)."""
+        aggs = [F.count("*").alias("n_fits")]
+        for m in ("sse", "aic", "bic", "ks_statistic", "pvalue"):
+            aggs += [
+                F.min(m).alias(f"{m}_min"),
+                F.mean(m).alias(f"{m}_mean"),
+                F.max(m).alias(f"{m}_max"),
+            ]
+        row = self._df.agg(*aggs).first().asDict()
+        out: dict = {"n_fits": row["n_fits"], "n_columns": len(self.columns())}
+        for m in ("sse", "aic", "bic", "ks_statistic", "pvalue"):
+            out[m] = {
+                "min": row[f"{m}_min"],
+                "mean": row[f"{m}_mean"],
+                "max": row[f"{m}_max"],
+            }
+        return out
+
+    def n_acceptable(
+        self,
+        min_pvalue: float = 0.05,
+        max_ks_statistic: float | None = None,
+    ) -> int:
+        """Count of fits passing quality thresholds (SURVEY A10)."""
+        df = self._df.filter(F.col("pvalue") >= min_pvalue)
+        if max_ks_statistic is not None:
+            df = df.filter(F.col("ks_statistic") <= max_ks_statistic)
+        return df.count()
+
+    def quality_report(self, n: int = 3, min_pvalue: float = 0.05) -> dict:
+        """Top fits + summary + acceptability (SURVEY quality_report,
+        collection.py:640-741)."""
+        top = self.best(max(n, 2), metric="sse")
+        summary = self.summary()
+        n_ok = self.n_acceptable(min_pvalue=min_pvalue)
+        warnings_list = []
+        if summary["n_fits"] == 0:
+            warnings_list.append("no successful fits")
+        elif n_ok == 0:
+            warnings_list.append(
+                f"no fits pass pvalue >= {min_pvalue}; interpret with caution"
+            )
+        return {
+            "top_fits": [
+                {
+                    "column": r.column_name,
+                    "distribution": r.distribution,
+                    "sse": r.sse,
+                    "ks_statistic": r.ks_statistic,
+                    "pvalue": r.pvalue,
+                }
+                for r in (top or [])
+            ],
+            "summary": summary,
+            "n_acceptable": n_ok,
+            "warnings": warnings_list,
+        }

@@ -1,0 +1,112 @@
+"""Distributed histogram + stats operator tests (vs numpy ground truth)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.operators.histogram import (
+    compute_histogram,
+    discrete_pmf,
+)
+from spark_bestfit_spark.operators.stats import (
+    column_moments,
+    column_stats,
+    multi_column_minmax,
+)
+
+
+class TestHistogram:
+    def test_matches_numpy(self, spark, normal_data):
+        df = spark.createDataFrame(pd.DataFrame({"value": normal_data}))
+        density, edges = compute_histogram(df, "value", bins=50)
+        np_density, np_edges = np.histogram(normal_data, bins=50, density=True)
+        assert len(density) == 50
+        assert len(edges) == 51
+        # Same edges modulo the +eps top edge
+        np.testing.assert_allclose(edges[:-1], np_edges[:-1], rtol=1e-9)
+        np.testing.assert_allclose(density, np_density, rtol=1e-6, atol=1e-9)
+        # area integrates to 1
+        assert np.sum(density * np.diff(edges)) == pytest.approx(1.0)
+
+    def test_max_value_in_last_bin(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"value": [0.0, 1.0, 2.0, 3.0, 4.0]})
+        )
+        density, edges = compute_histogram(df, "value", bins=4)
+        counts = density * (5 * np.diff(edges))
+        # reference semantics: edges = linspace(min, max+eps, bins+1), so
+        # interior integer points fall in the LOWER bin and max is kept
+        np.testing.assert_allclose(counts, [2, 1, 1, 1], atol=1e-6)
+        assert counts.sum() == pytest.approx(5.0)  # max not dropped
+
+    def test_constant_column_single_bin(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"value": [42.0] * 100}))
+        density, edges = compute_histogram(df, "value", bins=50)
+        np.testing.assert_array_equal(density, [1.0])
+        np.testing.assert_array_equal(edges, [42.0])
+
+    def test_rice_rule(self, spark, normal_data):
+        df = spark.createDataFrame(pd.DataFrame({"value": normal_data}))
+        density, edges = compute_histogram(df, "value", use_rice_rule=True)
+        expected_bins = int(np.ceil(10_000 ** (1 / 3)) * 2)
+        assert len(density) == expected_bins
+
+    def test_nulls_and_nans_excluded(self, spark):
+        pdf = pd.DataFrame({"value": [1.0, 2.0, 3.0, np.nan, None, np.inf]})
+        df = spark.createDataFrame(pdf)
+        density, edges = compute_histogram(df, "value", bins=2)
+        total = np.sum(density * np.diff(edges))
+        assert total == pytest.approx(1.0)
+        assert edges[0] == 1.0
+
+    def test_all_null_raises(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"value": pd.array([None, None], dtype="Float64")})
+        )
+        with pytest.raises(ValueError, match="no valid values"):
+            compute_histogram(df, "value", bins=10)
+
+    def test_explicit_edges(self, spark, uniform_data):
+        df = spark.createDataFrame(pd.DataFrame({"value": uniform_data}))
+        edges = np.array([0.0, 25.0, 50.0, 75.0, 100.0 + 1e-6])
+        density, out_edges = compute_histogram(df, "value", bins=edges)
+        np.testing.assert_array_equal(out_edges, edges)
+        np_density, _ = np.histogram(uniform_data, bins=edges, density=True)
+        np.testing.assert_allclose(density, np_density, rtol=1e-6)
+
+
+class TestDiscretePmf:
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(42)
+        data = rng.poisson(5, 5000)
+        df = spark.createDataFrame(pd.DataFrame({"k": data.astype("int32")}))
+        x, pmf = discrete_pmf(df, "k")
+        vals, counts = np.unique(data, return_counts=True)
+        np.testing.assert_array_equal(x, vals.astype(float))
+        np.testing.assert_allclose(pmf, counts / counts.sum(), rtol=1e-12)
+        assert pmf.sum() == pytest.approx(1.0)
+
+
+class TestStats:
+    def test_column_stats(self, spark, normal_data):
+        df = spark.createDataFrame(pd.DataFrame({"value": normal_data}))
+        s = column_stats(df, "value")
+        assert s["count"] == 10_000
+        assert s["min"] == pytest.approx(normal_data.min())
+        assert s["max"] == pytest.approx(normal_data.max())
+
+    def test_multi_column_minmax_single_job(self, spark):
+        pdf = pd.DataFrame({"a": [1.0, 5.0], "b": [-2.0, 7.0]})
+        df = spark.createDataFrame(pdf)
+        out = multi_column_minmax(df, ["a", "b"])
+        assert out["a"] == (1.0, 5.0)
+        assert out["b"] == (-2.0, 7.0)
+
+    def test_column_moments(self, spark, normal_data):
+        df = spark.createDataFrame(pd.DataFrame({"value": normal_data}))
+        m = column_moments(df, "value")
+        assert m["mean"] == pytest.approx(normal_data.mean(), rel=1e-9)
+        assert m["stddev"] == pytest.approx(normal_data.std(), rel=1e-9)
+        assert abs(m["skewness"]) < 0.1  # normal data
