@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries mirror the reference's published benchmark axes (BASELINE.md):
+  q_fit_full_600k   — full-registry eager fit, lineitem.l_extendedprice
+                      (600k rows @ sf0.1; baseline target <= ~12 s)
+  q_fit_lazy_150k   — lazy-AIC fit, orders.o_totalprice
+                      (baseline lazy-AIC 100k = 2.0 s, target <= ~4 s)
+  q_fit_5dists_10k  — 5 distributions, 10k rows (baseline 0.46 s, <= ~1 s)
+  q_fit_multi3      — one fit over 3 lineitem columns, 12 dists
+  q_hist_600k       — keystone histogram aggregate alone (full scan)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spark_bestfit_spark.fitter import DistributionFitter
+    from spark_bestfit_spark.operators.histogram import compute_histogram
+    from spark_bestfit_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bestfit-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem.count()  # warm the scan path / JVM
+    fitter = DistributionFitter(spark)
+    # warm-up round (python workers, Arrow serializers) — excluded from
+    # timings, same role as pytest-benchmark warmup in the baseline
+    fitter.fit(
+        lineitem.select("l_extendedprice").limit(1000),
+        column="l_extendedprice",
+        distributions=["norm", "expon"],
+    ).count()
+
+    timings: dict = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    bench(
+        "q_fit_full_600k",
+        lambda: fitter.fit(lineitem, column="l_extendedprice").count(),
+    )
+    bench(
+        "q_fit_lazy_150k",
+        lambda: fitter.fit(
+            orders, column="o_totalprice", lazy_metrics=True
+        ).count(),
+    )
+    small = lineitem.select("l_extendedprice").limit(10_000).cache()
+    small.count()
+    bench(
+        "q_fit_5dists_10k",
+        lambda: fitter.fit(
+            small,
+            column="l_extendedprice",
+            distributions=["norm", "expon", "gamma", "lognorm", "uniform"],
+        ).count(),
+    )
+    bench(
+        "q_fit_multi3",
+        lambda: fitter.fit(
+            lineitem,
+            columns=["l_quantity", "l_discount", "l_tax"],
+            max_distributions=12,
+        ).count(),
+    )
+    bench(
+        "q_hist_600k",
+        lambda: compute_histogram(lineitem, "l_extendedprice", bins=50),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

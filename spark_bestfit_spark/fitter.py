@@ -97,10 +97,11 @@ class DistributionFitter:
         )
         self._validate(df, cols, config)
 
-        total = df.count()
         per_column_dfs = []
         samples: dict = {}
         for c in cols:
+            # one stats job per column gives min/max/count; the valid-row
+            # count also drives the sampling plan (no separate count job)
             stats = column_stats(df, c)
             if stats["count"] == 0:
                 continue  # all-null column -> contributes no rows

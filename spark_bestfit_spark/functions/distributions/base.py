@@ -304,12 +304,21 @@ class ContinuousDistribution:
             return tuple(float(v) for v in closed)
         start = self._fit_start(data)
 
+        # The NM objective only needs a statistically representative sample;
+        # past ~5k points extra data slows every evaluation without moving
+        # the optimum materially (the fitting sample is already randomized).
+        obj_data = data if data.size <= 5000 else data[:: data.size // 5000 + 1]
+
         def objective(theta):
-            return self.nnlf(self._untransform(theta), data)
+            return self.nnlf(self._untransform(theta), obj_data)
 
         theta0 = self._transform(start)
         best_theta, best_f, _ = nelder_mead(
-            objective, theta0, maxiter=maxiter or 150 * theta0.size
+            objective,
+            theta0,
+            maxiter=maxiter or 150 * theta0.size,
+            xatol=1e-4,
+            fatol=1e-4,
         )
         if not np.isfinite(best_f) or best_f >= _BIG:
             # fall back to the start if optimization never found support

@@ -54,6 +54,8 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions else int(cpus)),
         )
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
