@@ -284,6 +284,177 @@ def _q_failed_fit_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators over documents/embeddings (SURVEY §7.2
+# phase 11) — oracle-checked where SQL-expressible
+# ---------------------------------------------------------------------------
+def _q_doc_fingerprints(spark, sf_dir):
+    """Exact dedup relational core: (fingerprint, n_copies, keeper_id)."""
+    from spark_bestfit_spark.operators.dedup import duplicate_groups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_groups(df)
+
+
+def _q_doc_text_stats(spark, sf_dir):
+    """Per-document text statistics (map-only column algebra)."""
+    from spark_bestfit_spark.operators.textstats import with_text_stats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_text_stats(df).select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        "type_token_ratio", "punct_ratio", "digit_ratio",
+        "whitespace_ratio",
+    )
+
+
+def _q_doc_token_totals(spark, sf_dir):
+    """BPE-ish token counting aggregated per source."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import with_token_count
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_token_count(df)
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _q_doc_lang_counts(spark, sf_dir):
+    """Stopword-overlap language ID, aggregated."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import with_language_id
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_language_id(df)
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    """Composite quality score averaged per source."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import with_quality_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_quality_score(df)
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _q_neardup_jaccard(spark, sf_dir):
+    """Exact blocked n-gram Jaccard near-dup pairs (block = lang)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    return jaccard_pairs(df, block_col="lang", threshold=0.5, shingle_k=1)
+
+
+def _q_doc_minhash(spark, sf_dir):
+    """MinHash signatures (4 permutations, 3-word shingles) — the portable
+    md5-based hashing makes the full signature oracle-checkable."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import minhash_signatures
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    sigs = minhash_signatures(df, num_hashes=4, shingle_k=3)
+    return sigs.select(
+        "doc_id",
+        F.col("minhash")[0].alias("mh0"),
+        F.col("minhash")[1].alias("mh1"),
+        F.col("minhash")[2].alias("mh2"),
+        F.col("minhash")[3].alias("mh3"),
+    )
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for three query vectors."""
+    from spark_bestfit_spark.operators.similarity import self_topk
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return self_topk(df, k=5, query_ids=[0, 1, 2])
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (rows-only: band-bucket join shape)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import minhash_dedup_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    return minhash_dedup_pairs(df, threshold=0.7)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    return simhash_near_pairs(df, max_hamming=3)
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-k (rows-only)."""
+    from spark_bestfit_spark.operators.similarity import lsh_topk
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(df.select("embedding").first()[0])
+    return lsh_topk(df, dim=dim, k=5, query_ids=[0, 1, 2, 3, 4])
+
+
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF (KMeans coarse quantizer) approximate top-k (rows-only)."""
+    from spark_bestfit_spark.operators.similarity import ivf_topk
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(df, k=5, n_clusters=8, nprobe=2, query_ids=[0, 1, 2])
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> mapInPandas feature
+    extraction (deterministic fake decoder; rows-only)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.multimodal import extract_image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_image_features(media, fake_decoder=True)
+    return feats.select("media_id", "width", "height", "channels")
+
+
+# ---------------------------------------------------------------------------
 # fit queries (rows-only checks — float/optimizer-dependent by nature)
 # ---------------------------------------------------------------------------
 def _q_fit_price(spark, sf_dir):
@@ -334,6 +505,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_counts": _q_stratum_counts,
         "moments_price": _q_moments,
         "failed_fit_filter": _q_failed_fit_filter,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_text_stats": _q_doc_text_stats,
+        "doc_token_totals": _q_doc_token_totals,
+        "doc_lang_counts": _q_doc_lang_counts,
+        "doc_quality": _q_doc_quality,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "doc_minhash": _q_doc_minhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "media_features": _q_media_features,
         "fit_price": _q_fit_price,
         "fit_multi": _q_fit_multi,
         "fit_lazy": _q_fit_lazy,
@@ -457,5 +641,161 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_extendedprice < 100000.0
             GROUP BY l_returnflag
+        """,
+        "doc_fingerprints": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fingerprint,
+                   count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY fingerprint
+        """,
+        "doc_text_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS nc,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk,
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+                     length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS ns
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(tk) AS n_tokens,
+                   len(list_distinct(tk)) AS n_distinct_tokens,
+                   round(len(list_distinct(tk))
+                         / greatest(len(tk), 1)::DOUBLE, 6) AS type_token_ratio,
+                   round((nc - np) / greatest(nc, 1)::DOUBLE, 6) AS punct_ratio,
+                   round((nc - nd) / greatest(nc, 1)::DOUBLE, 6) AS digit_ratio,
+                   round((nc - ns) / greatest(nc, 1)::DOUBLE, 6) AS whitespace_ratio
+            FROM t
+        """,
+        "doc_token_totals": """
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY source
+        """,
+        "doc_lang_counts": """
+            WITH hits AS (
+              SELECT doc_id,
+                     len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','zu'])) AS h_de,
+                     len(list_intersect(tk, ['the','a','of','and','to','in','is','it','that','was'])) AS h_en,
+                     len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
+                     len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
+              FROM (SELECT doc_id,
+                           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+                    FROM documents)
+            )
+            SELECT CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   count(*) AS cnt
+            FROM hits
+            GROUP BY lang_guess
+        """,
+        "doc_quality": """
+            WITH t AS (
+              SELECT source,
+                     length(text) AS nc,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk,
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np
+              FROM documents
+            ),
+            s AS (
+              SELECT source,
+                     len(tk) AS n_tokens,
+                     round(len(list_distinct(tk))
+                           / greatest(len(tk), 1)::DOUBLE, 6) AS ttr,
+                     round((nc - np) / greatest(nc, 1)::DOUBLE, 6) AS punct_ratio
+              FROM t
+            ),
+            q AS (
+              SELECT source,
+                     round(0.4 * least(n_tokens::DOUBLE / 200.0, 1.0)
+                           + 0.3 * ttr
+                           + 0.3 * (1.0 - least(1.0, punct_ratio * 4.0)), 6)
+                       AS quality_score
+              FROM s
+            )
+            SELECT source,
+                   round(avg(quality_score), 6) AS avg_quality,
+                   count(*) AS n_docs
+            FROM q
+            GROUP BY source
+        """,
+        "neardup_jaccard": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+              FROM documents
+              WHERE doc_id < 300
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(len(list_intersect(a.tk, b.tk))
+                           / len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE,
+                           6) AS jaccard
+              FROM s a JOIN s b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "doc_minhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+              WHERE doc_id < 100
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(sg, s ->
+                       ('0x' || substr(md5(s), 1, 14))::BIGINT % 1000000007) AS hs
+              FROM sh
+            )
+            SELECT doc_id,
+                   list_min(list_transform(hs, x -> (3 * x + 101) % 1000000007)) AS mh0,
+                   list_min(list_transform(hs, x -> (5 * x + 211) % 1000000007)) AS mh1,
+                   list_min(list_transform(hs, x -> (7 * x + 307) % 1000000007)) AS mh2,
+                   list_min(list_transform(hs, x -> (11 * x + 401) % 1000000007)) AS mh3
+            FROM h
+        """,
+        "ann_cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2)
+            ),
+            scored AS (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                     round(list_dot_product(q.qe, v.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+              FROM q JOIN v ON v.vec_id != q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id
+                     ) AS "rank"
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, "rank"
+            FROM ranked WHERE "rank" <= 5
         """,
     }

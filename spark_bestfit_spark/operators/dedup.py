@@ -1,0 +1,327 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- **exact**: md5 fingerprint -> groupBy keep-first. One shuffle on the
+  fingerprint; at 100 TB this is the cheapest possible dedup (hash
+  partitioned, map-side combined).
+- **MinHash + LSH**: shingle -> K permuted min-hashes -> band buckets ->
+  candidate pairs from bucket joins -> exact Jaccard verification.
+  The only shuffle is on (band, signature) keys; candidate verification
+  touches candidate pairs only, never the full cross product.
+- **SimHash**: 64-bit signatures; near-dup = small Hamming distance;
+  banding over 4 x 16-bit chunks gives the same bucket-join shape.
+- **n-gram Jaccard**: exact pairwise similarity inside small blocks
+  (use only when a blocking key bounds the quadratic term).
+
+Hashing is done with SQL-portable primitives (md5 prefix parsed as a
+64-bit int) so results are reproducible in any engine — and oracle-
+checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Mersenne-ish modulus and deterministic permutation coefficients for
+# MinHash: perm_i(h) = (A[i] * h + B[i]) mod P  with h pre-reduced mod P
+# so products stay inside int64.
+_P = 1_000_000_007
+_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+_B = [101, 211, 307, 401, 503, 601, 701, 809, 907, 1009,
+      1103, 1201, 1301, 1409, 1511, 1601]
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+
+
+def portable_hash64(col: Column) -> Column:
+    """First 14 hex chars of md5 as a BIGINT — identical in Spark
+    (conv + cast) and DuckDB (('0x' || substr)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+def _normalized(text_col: str) -> Column:
+    return F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group."""
+    with_fp = df.withColumn("_fp", F.md5(_normalized(text_col)))
+    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(F.broadcast(keep.select(id_col)), on=id_col, how="inner")
+        .drop("_fp")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_copies, keeper_id) per content group — the
+    relational core of exact dedup (oracle-checkable)."""
+    return (
+        df.withColumn("fingerprint", F.md5(_normalized(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array column (JVM-side: split +
+    transform + slice + concat — no Python)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, minhash array<bigint>) — K permuted min-hashes over the
+    shingle set, fully vectorized with higher-order array functions."""
+    if num_hashes > len(_A):
+        raise ValueError(f"num_hashes must be <= {len(_A)}")
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_shingles")
+    )
+    hashed = sh.withColumn(
+        "_h",
+        F.transform(
+            "_shingles", lambda s: portable_hash64(s) % F.lit(_P)
+        ),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                "_h", lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P)
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(id_col, F.array(*mins).alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Shuffle profile: explode to (band, band_sig) keys, self-join inside
+    buckets only — the quadratic term is bounded by bucket size, so this
+    scales as long as bands are selective (raise num_hashes/num_bands
+    for bigger corpora)."""
+    n_hashes_col = F.size("minhash")
+    rows_per_band = F.floor(n_hashes_col / num_bands)
+    banded = (
+        signatures.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                    lambda b: F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "minhash",
+                                (b * rows_per_band + 1).cast("int"),
+                                rows_per_band.cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("band", "band_sig"),
+        )
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_sig") == F.col("r.band_sig"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact token/shingle-set Jaccard over pairs (optionally blocked).
+
+    O(block^2) — always pass a blocking column at scale; the MinHash
+    pipeline above is the unblocked scale path."""
+    sh = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        word_shingles(text_col, shingle_k).alias("_s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a._s"), F.col("b._s")))
+    union = F.size(F.array_union(F.col("a._s"), F.col("b._s")))
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact
+    Jaccard verification on candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands)
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_s", "_sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_s", "_sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per document: sign of the per-bit sum of token
+    hashes. Computed with higher-order functions (aggregate over the
+    token array), no Python."""
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: portable_hash64(t)).alias("_h"),
+    )
+    bit_cols = []
+    for b in range(bits):
+        # +1 when bit set, -1 otherwise; simhash bit = majority sign
+        contrib = F.aggregate(
+            "_h",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(2**b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return hashed.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 8-bit
+    chunks (a pair within distance d <= 3 shares at least one of 4
+    chunks untouched)."""
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    n_chunks = 4
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", i * chunk_bits) % F.lit(mask + 1)).cast(
+                        "bigint"
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

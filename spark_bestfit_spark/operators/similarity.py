@@ -1,0 +1,309 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **brute-force cosine top-k** — the exact baseline. Dot products via
+  ``zip_with`` + ``aggregate`` higher-order functions: JVM-side,
+  codegen'd, no Python in the loop. The query side is broadcast, so the
+  big side streams through a map-only stage followed by a per-query
+  top-k (window) — one shuffle on query_id.
+- **LSH-bucketed approximate top-k** — random-hyperplane signatures
+  (deterministic seed), candidates from bucket collisions across L
+  tables, exact cosine re-rank on candidates. At 100 TB the bucket join
+  replaces the full cross product; recall is tuned by (n_planes, n_tables).
+
+An IVF variant (KMeans coarse quantizer + nprobe search) is provided on
+top of pyspark.ml for corpora where LSH recall is insufficient.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries is expected to be small (broadcast); vectors can be any
+    size. Ties broken by neighbor id for determinism."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    sim = F.round(
+        cosine_similarity_col(F.col(vec_col), F.col(query_vec_col)), 6
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def self_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list | None = None,
+) -> DataFrame:
+    """Top-k neighbors within one table for a subset of query ids
+    (excluding self-matches)."""
+    q = vectors
+    if query_ids is not None:
+        q = vectors.filter(F.col(id_col).isin(query_ids))
+    queries = q.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    out = brute_force_topk(
+        vectors, queries, k + 1, id_col, vec_col, "query_id", "query_vec"
+    )
+    return (
+        out.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------- LSH tier
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_signatures(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) random-hyperplane signatures. The hyperplane
+    tensor is tiny and goes into the plan as literals — no broadcast
+    needed, no Python in the executors."""
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            w = planes[t, p]
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in w]),
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for bcol in bits[1:]:
+            bucket = bucket + bcol
+        rows.append(
+            vectors.select(
+                F.col(id_col),
+                F.lit(t).alias("table"),
+                bucket.cast("bigint").alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    query_ids: list | None = None,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate self-top-k: LSH bucket candidates -> exact cosine
+    re-rank. Candidates only — the cross product never materializes."""
+    sigs = lsh_signatures(
+        vectors, dim, n_planes, n_tables, seed, id_col, vec_col
+    )
+    qs = sigs if query_ids is None else sigs.filter(F.col(id_col).isin(query_ids))
+    cand = (
+        qs.alias("q")
+        .join(
+            sigs.alias("v"),
+            on=[
+                F.col("q.table") == F.col("v.table"),
+                F.col("q.bucket") == F.col("v.bucket"),
+                F.col(f"q.{id_col}") != F.col(f"v.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"v.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    emb = vectors.select(F.col(id_col), F.col(vec_col))
+    joined = (
+        cand.join(
+            emb.withColumnRenamed(id_col, "query_id").withColumnRenamed(
+                vec_col, "_qv"
+            ),
+            "query_id",
+        )
+        .join(
+            emb.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+                vec_col, "_nv"
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_col(F.col("_qv"), F.col("_nv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    query_ids: list | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans coarse quantizer, search the
+    nprobe nearest cells only. Uses pyspark.ml KMeans (distributed
+    Lloyd's); assignment + search are joins on cell id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features")
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        id_col, vec_col, F.col("prediction").alias("cell")
+    )
+    centers = model.clusterCenters()
+    # nprobe cells per query: computed from the tiny centers matrix
+    center_rows = [
+        (int(i), [float(v) for v in c]) for i, c in enumerate(centers)
+    ]
+    spark = vectors.sparkSession
+    centers_df = spark.createDataFrame(
+        center_rows, "cell int, center array<double>"
+    )
+    q = assigned if query_ids is None else assigned.filter(
+        F.col(id_col).isin(query_ids)
+    )
+    q_cells = (
+        q.drop("cell")  # probe cells are re-derived below
+        .crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    "center",
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("cell"))
+    )
+    cand = q_cells.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+            "cell",
+        ),
+        on="cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col(F.col("_qv"), F.col("_nv")), 6).alias(
+            "cosine"
+        ),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

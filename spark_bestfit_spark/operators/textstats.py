@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference engine (which has no text operators) with the
+operations an LLM-data pipeline runs over a ``documents`` table: token/char
+statistics, quality scoring, language identification, and document
+fingerprinting.
+
+Everything here is pure built-in-function column algebra (JVM-side,
+whole-stage codegen, no Python UDFs): at 100 TB these are map-only
+operators that pipeline with the parquet scan — zero shuffles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Compact stopword lists per language (top function words). Used by the
+# n-gram/stopword language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que", "por"],
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Append per-document statistics columns:
+
+    n_chars, n_tokens, n_distinct_tokens, type_token_ratio,
+    avg_token_len, punct_ratio, digit_ratio, whitespace_ratio.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    no_punct = F.regexp_replace(t, r"[^\w\s]", "")
+    no_digit = F.regexp_replace(t, r"[0-9]", "")
+    no_space = F.regexp_replace(t, r"\s", "")
+    p = prefix
+    return (
+        df.withColumn(p + "n_chars", n_chars)
+        .withColumn(p + "n_tokens", n_tokens)
+        .withColumn(p + "n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            p + "type_token_ratio",
+            F.round(
+                F.size(F.array_distinct(toks))
+                / F.greatest(n_tokens.cast("double"), F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            p + "avg_token_len",
+            F.round(
+                F.length(F.regexp_replace(t, r"\s", ""))
+                / F.greatest(n_tokens.cast("double"), F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            p + "punct_ratio",
+            F.round(
+                (n_chars - F.length(no_punct))
+                / F.greatest(n_chars.cast("double"), F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            p + "digit_ratio",
+            F.round(
+                (n_chars - F.length(no_digit))
+                / F.greatest(n_chars.cast("double"), F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            p + "whitespace_ratio",
+            F.round(
+                (n_chars - F.length(no_space))
+                / F.greatest(n_chars.cast("double"), F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+
+
+def with_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token count: word pieces + standalone punctuation
+    (``\\w+|[^\\w\\s]`` occurrences). A cheap, deterministic proxy for
+    tokenizer-based counts."""
+    return df.withColumn(
+        out_col,
+        F.size(
+            F.expr(rf"regexp_extract_all({text_col}, '\\w+|[^\\w\\s]', 0)")
+        ),
+    )
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality_score"
+) -> DataFrame:
+    """Composite quality score in [0, 1] from length / punctuation /
+    repetition signals (the classic heuristics of pretraining-data
+    filters, expressed as deterministic column algebra):
+
+      0.4 * length_score  (saturating at 200 tokens)
+    + 0.3 * diversity     (type-token ratio)
+    + 0.3 * cleanliness   (1 - min(1, 4 * punct_ratio))
+    """
+    d = with_text_stats(df, text_col, prefix="_qs_")
+    length_score = F.least(F.col("_qs_n_tokens") / F.lit(200.0), F.lit(1.0))
+    diversity = F.col("_qs_type_token_ratio")
+    cleanliness = F.lit(1.0) - F.least(
+        F.lit(1.0), F.col("_qs_punct_ratio") * 4.0
+    )
+    out = d.withColumn(
+        out_col,
+        F.round(
+            0.4 * length_score + 0.3 * diversity + 0.3 * cleanliness, 6
+        ),
+    )
+    drop = [c for c in out.columns if c.startswith("_qs_")]
+    return out.drop(*drop)
+
+
+def with_language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_guess"
+) -> DataFrame:
+    """Stopword-overlap language ID: the language whose stopword set has
+    the largest hit count in the token set wins; ties and zero hits fall
+    back to 'und' (undetermined). Deterministic: ties broken by language
+    code order."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        hits = F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            )
+        )
+        scores.append((lang, hits))
+    # build CASE chain: highest score wins, earlier lang wins ties
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    for lang, s in reversed(scores):
+        guess = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            guess
+        )
+    return df.withColumn(out_col, guess)
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized, lower-cased
+    text. Exact-duplicate key (SQL-portable for oracle checks)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(normalized))

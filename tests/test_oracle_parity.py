@@ -81,9 +81,10 @@ def test_entry_smoke(spark):
     assert "distribution" in df.columns
 
 
-@pytest.mark.parametrize(
-    "name", ["fit_price", "fit_multi", "fit_lazy"]
-)
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert df.count() > 0
