@@ -455,6 +455,97 @@ def _q_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# generation / model queries (rows-only: seeded-random by nature, but
+# deterministic for fixed seed + pinned partition count)
+# ---------------------------------------------------------------------------
+def _q_generate_univariate(spark, sf_dir):
+    """G1/G2: distributed inverse-CDF sampling, summarized."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.generate import sample_distribution
+
+    df = sample_distribution(
+        spark, "lognorm", (0.4, 0.0, 30000.0), 100_000,
+        num_partitions=8, seed=42,
+    )
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("sample"), 2).alias("mean_v"),
+        F.round(F.stddev("sample"), 2).alias("std_v"),
+    )
+
+
+def _q_copula_sample(spark, sf_dir):
+    """G3/G4: copula fit on two lineitem columns + distributed sample;
+    returns moment/correlation summary of the synthetic relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.fitter import DistributionFitter
+    from spark_bestfit_spark.models import GaussianCopula
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    results = DistributionFitter(spark).fit(
+        df, columns=["l_extendedprice", "l_quantity"],
+        distributions=["norm", "lognorm", "gamma", "uniform"],
+    )
+    copula = GaussianCopula.fit(results, df)
+    sampled = copula.sample_distributed(spark, 50_000, num_partitions=8)
+    return sampled.agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 3).alias("corr_pq"),
+        F.round(F.avg("l_extendedprice"), 0).alias("mean_price"),
+    )
+
+
+def _q_mvn_fit(spark, sf_dir):
+    """G5: distributed multivariate-normal fit; returns the fitted
+    moments relation."""
+    from spark_bestfit_spark.models import MultivariateNormalFitter
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = MultivariateNormalFitter(spark).fit(
+        df, ["l_quantity", "l_discount", "l_tax"]
+    )
+    rows = [
+        (
+            c,
+            round(float(res.mean[i]), 6),
+            round(float(res.cov[i, i]), 6),
+        )
+        for i, c in enumerate(res.column_names)
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, mean_v double, var_v double"
+    )
+
+
+def _q_gmm_fit(spark, sf_dir):
+    """G6: Gaussian-mixture EM on a numeric column (driver kernel over
+    the fitting sample), k=2 components."""
+    import numpy as np
+
+    from spark_bestfit_spark.models import GaussianMixtureFitter
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    data = np.array(
+        df.select("o_totalprice").limit(10_000).toPandas()["o_totalprice"]
+    )
+    res = GaussianMixtureFitter(n_components=2, n_init=2, seed=42).fit(data)
+    order = np.argsort(res.means.ravel())
+    rows = [
+        (
+            int(i),
+            round(float(res.means.ravel()[j]), 2),
+            round(float(res.weights[j]), 4),
+        )
+        for i, j in enumerate(order)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, mean_v double, weight double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # fit queries (rows-only checks — float/optimizer-dependent by nature)
 # ---------------------------------------------------------------------------
 def _q_fit_price(spark, sf_dir):
@@ -518,6 +609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "media_features": _q_media_features,
+        "generate_univariate": _q_generate_univariate,
+        "copula_sample": _q_copula_sample,
+        "mvn_fit": _q_mvn_fit,
+        "gmm_fit": _q_gmm_fit,
         "fit_price": _q_fit_price,
         "fit_multi": _q_fit_multi,
         "fit_lazy": _q_fit_lazy,
