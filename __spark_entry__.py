@@ -570,6 +570,29 @@ def _q_fit_multi(spark, sf_dir):
     return res.df.select("column_name", "distribution", "sse", "aic")
 
 
+def _q_fit_discrete(spark, sf_dir):
+    from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    res = DiscreteDistributionFitter(spark).fit(
+        df, column="p_size", max_distributions=8
+    )
+    return res.df.select("column_name", "distribution", "sse", "aic")
+
+
+def _q_fit_bounded(spark, sf_dir):
+    from spark_bestfit_spark.fitter import DistributionFitter
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = DistributionFitter(spark).fit(
+        df, column="l_extendedprice", max_distributions=10,
+        lower_bound=5000.0, upper_bound=80000.0,
+    )
+    return res.df.select(
+        "column_name", "distribution", "sse", "lower_bound", "upper_bound"
+    )
+
+
 def _q_fit_lazy(spark, sf_dir):
     from spark_bestfit_spark.fitter import DistributionFitter
 
@@ -616,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_price": _q_fit_price,
         "fit_multi": _q_fit_multi,
         "fit_lazy": _q_fit_lazy,
+        "fit_discrete": _q_fit_discrete,
+        "fit_bounded": _q_fit_bounded,
     }
 
 

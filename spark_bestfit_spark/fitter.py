@@ -16,19 +16,26 @@ Steps 3-6 run per column; everything the executors need is broadcast
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import NumericType
 
 from spark_bestfit_spark.functions.distributions.registry import (
     DistributionRegistry,
 )
+from spark_bestfit_spark.functions.estimation import detect_heavy_tail
 from spark_bestfit_spark.operators.fit import (
     parallel_fit_column,
     union_results,
 )
 from spark_bestfit_spark.operators.histogram import compute_histogram
-from spark_bestfit_spark.operators.sampling import build_fitting_sample
+from spark_bestfit_spark.operators.sampling import (
+    build_censored_sample,
+    build_fitting_sample,
+)
 from spark_bestfit_spark.operators.stats import column_stats
 from spark_bestfit_spark.plans.config import FitterConfig
 from spark_bestfit_spark.results import FitResults
@@ -62,6 +69,19 @@ class DistributionFitter:
             if not isinstance(schema[c], NumericType):
                 raise TypeError(
                     f"column {c!r} has non-numeric type {schema[c].simpleString()}"
+                )
+        if config.censoring_column is not None:
+            cc = config.censoring_column
+            if cc not in schema:
+                raise ValueError(f"censoring column {cc!r} not found")
+            from pyspark.sql.types import BooleanType, IntegerType, LongType
+
+            if not isinstance(
+                schema[cc], (BooleanType, IntegerType, LongType)
+            ):
+                raise TypeError(
+                    f"censoring column {cc!r} must be boolean/int/long, "
+                    f"got {schema[cc].simpleString()}"
                 )
 
     def _select_distributions(
@@ -97,25 +117,54 @@ class DistributionFitter:
         )
         self._validate(df, cols, config)
 
+        # bounded fitting: restrict the relation to [lb, ub] up front so
+        # the histogram, sample and stats all describe the retained mass
+        # (Catalyst pushes this filter into the scan)
+        bounds = (config.lower_bound, config.upper_bound)
+        src = df
+        if bounds[0] is not None or bounds[1] is not None:
+            for c in cols:
+                if bounds[0] is not None:
+                    src = src.filter(F.col(c) >= bounds[0])
+                if bounds[1] is not None:
+                    src = src.filter(F.col(c) <= bounds[1])
+
         per_column_dfs = []
         samples: dict = {}
         for c in cols:
             # one stats job per column gives min/max/count; the valid-row
             # count also drives the sampling plan (no separate count job)
-            stats = column_stats(df, c)
+            stats = column_stats(src, c)
             if stats["count"] == 0:
                 continue  # all-null column -> contributes no rows
             density, edges = compute_histogram(
-                df,
+                src,
                 c,
                 bins=config.bins,
                 use_rice_rule=config.use_rice_rule,
                 stats=stats,
             )
-            sample = build_fitting_sample(df, c, config, int(stats["count"]))
+            censor_mask = None
+            if config.censoring_column is not None:
+                sample, censor_mask = build_censored_sample(
+                    src, c, config.censoring_column, config,
+                    int(stats["count"]),
+                )
+            else:
+                sample = build_fitting_sample(
+                    src, c, config, int(stats["count"])
+                )
             if sample.size < 2:
                 continue
             samples[c] = sample
+            method = config.estimation_method
+            if method == "auto":
+                method = "mse" if detect_heavy_tail(sample) else "mle"
+                if method == "mse":
+                    warnings.warn(
+                        f"column {c!r} looks heavy-tailed; using "
+                        "maximum-spacing estimation", stacklevel=2
+                    )
             names = distributions or self._select_distributions(config, sample)
             per_column_dfs.append(
                 parallel_fit_column(
@@ -127,7 +176,86 @@ class DistributionFitter:
                     c,
                     config,
                     self.registry,
-                    bounds=(config.lower_bound, config.upper_bound),
+                    bounds=bounds,
+                    method=method,
+                    censor_mask=censor_mask,
+                )
+            )
+        if not per_column_dfs:
+            from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
+
+            empty = self.spark.createDataFrame([], schema=FIT_RESULT_SCHEMA)
+            return FitResults(empty, registry=self.registry, cache=False)
+        result_df = union_results(per_column_dfs)
+        return FitResults(result_df, registry=self.registry, samples=samples)
+
+
+class DiscreteDistributionFitter:
+    """Fits the discrete distribution library to integer-valued columns
+    (reference DiscreteFitter capability, same engine spine)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: DistributionRegistry | None = None,
+    ):
+        self.spark = spark
+        self.registry = registry or DistributionRegistry()
+
+    def fit(
+        self,
+        df: DataFrame,
+        column: str | None = None,
+        columns: list | None = None,
+        distributions: list | None = None,
+        config: FitterConfig | None = None,
+        **kwargs,
+    ) -> FitResults:
+        from spark_bestfit_spark.operators.discrete_fit import (
+            empirical_pmf,
+            parallel_fit_discrete_column,
+        )
+
+        if column is None and columns is None:
+            raise ValueError("provide column= or columns=")
+        cols = list(columns) if columns else [column]
+        config = (config or FitterConfig()).with_(**kwargs) if kwargs else (
+            config or FitterConfig()
+        )
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        for c in cols:
+            if c not in schema:
+                raise ValueError(f"column {c!r} not found in DataFrame")
+            if not isinstance(schema[c], NumericType):
+                raise TypeError(
+                    f"column {c!r} has non-numeric type "
+                    f"{schema[c].simpleString()}"
+                )
+
+        per_column_dfs = []
+        samples: dict = {}
+        for c in cols:
+            stats = column_stats(df, c)
+            if stats["count"] == 0:
+                continue
+            x_values, pmf = empirical_pmf(df, c)
+            if x_values.size == 0:
+                continue
+            sample = np.floor(
+                build_fitting_sample(df, c, config, int(stats["count"]))
+            )
+            if sample.size < 2:
+                continue
+            samples[c] = sample
+            names = distributions or self.registry.get_discrete_distributions(
+                additional_exclusions=list(config.additional_exclusions)
+            )
+            if config.max_distributions is not None:
+                names = names[: config.max_distributions]
+            per_column_dfs.append(
+                parallel_fit_discrete_column(
+                    self.spark, names, sample, x_values, pmf, c,
+                    config, self.registry,
                 )
             )
         if not per_column_dfs:

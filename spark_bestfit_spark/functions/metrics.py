@@ -86,7 +86,9 @@ def compute_ks(dist, params, data: np.ndarray):
         ecdf_lo = np.arange(0, n) / n
         d = float(max(np.max(ecdf_hi - cdf), np.max(cdf - ecdf_lo)))
         sqn = np.sqrt(n)
-        p = float(sp.kolmogorov_sf(d * (sqn + 0.12 + 0.11 / sqn)))
+        p = float(
+            np.asarray(sp.kolmogorov_sf(d * (sqn + 0.12 + 0.11 / sqn))).ravel()[0]
+        )
         return d, min(max(p, 0.0), 1.0)
     except Exception:  # noqa: BLE001
         return float("inf"), 0.0
@@ -175,7 +177,7 @@ def compute_discrete_ks(dist, params, data: np.ndarray):
         ecdf_hi = np.arange(1, n + 1) / n
         ecdf_lo = np.arange(0, n) / n
         d = float(max(np.max(ecdf_hi - cdf), np.max(cdf - ecdf_lo)))
-        p = float(sp.kolmogorov_sf(np.sqrt(n) * d))
+        p = float(np.asarray(sp.kolmogorov_sf(np.sqrt(n) * d)).ravel()[0])
         return d, min(max(p, 0.0), 1.0)
     except Exception:  # noqa: BLE001
         return float("inf"), 0.0

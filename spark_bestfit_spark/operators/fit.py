@@ -124,15 +124,48 @@ def fit_single_distribution(
     config: FitterConfig,
     registry: DistributionRegistry,
     bounds=(None, None),
+    method: str = "mle",
+    censor_mask: np.ndarray | None = None,
 ) -> dict:
-    """Fit one distribution to the broadcast sample; never raises."""
+    """Fit one distribution to the broadcast sample; never raises.
+
+    method: 'mle' (default) or 'mse' (maximum spacing — heavy tails).
+    censor_mask: True = observed, False = right-censored; when present,
+    the censored MLE is used and K-S / A-D are skipped (reference
+    estimation.py:694-697 behavior).
+    bounds: when set, all metrics are computed against the truncated
+    view of the fitted distribution (frozen-dist variants).
+    """
     try:
         dist = registry.resolve(dist_name)
-        params = tuple(float(p) for p in dist.fit(data))
-        sse = M.compute_sse(dist, params, hist_density, bin_edges)
+        if censor_mask is not None:
+            from spark_bestfit_spark.functions.estimation import censored_fit
+
+            params = tuple(censored_fit(dist, data, censor_mask))
+            data = data[np.asarray(censor_mask, dtype=bool)]
+        elif method == "mse":
+            from spark_bestfit_spark.functions.estimation import mse_fit
+
+            params = tuple(mse_fit(dist, data))
+        else:
+            params = tuple(float(p) for p in dist.fit(data))
+
+        truncated = bounds[0] is not None or bounds[1] is not None
+        if truncated:
+            from spark_bestfit_spark.functions.truncated import (
+                TruncatedDistribution,
+            )
+
+            metric_dist = TruncatedDistribution(
+                dist, params, bounds[0], bounds[1]
+            )
+        else:
+            metric_dist = dist
+
+        sse = M.compute_sse(metric_dist, params, hist_density, bin_edges)
         if not np.isfinite(sse):
             return _sentinel_row(column, dist_name, stats, bounds)
-        aic, bic = M.compute_information_criteria(dist, params, data)
+        aic, bic = M.compute_information_criteria(metric_dist, params, data)
         row = {
             "column_name": column,
             "distribution": dist_name,
@@ -148,13 +181,17 @@ def fit_single_distribution(
             "lower_bound": bounds[0],
             "upper_bound": bounds[1],
         }
-        if not config.lazy_metrics:
-            ks, p = M.compute_ks(dist, params, data)
-            ad = M.compute_ad(dist, params, data)
+        if not config.lazy_metrics and censor_mask is None:
+            ks, p = M.compute_ks(metric_dist, params, data)
+            ad = M.compute_ad(metric_dist, params, data)
             row["ks_statistic"] = ks if np.isfinite(ks) else None
             row["pvalue"] = p if np.isfinite(p) else None
             row["ad_statistic"] = ad if np.isfinite(ad) else None
-            row["ad_pvalue"] = M.compute_ad_pvalue(ad, dist_name, data.size)
+            # A-D p-value tables assume the untruncated family
+            row["ad_pvalue"] = (
+                None if truncated
+                else M.compute_ad_pvalue(ad, dist_name, data.size)
+            )
         return row
     except Exception:  # noqa: BLE001
         return _sentinel_row(column, dist_name, stats, bounds)
@@ -170,10 +207,16 @@ def parallel_fit_column(
     config: FitterConfig,
     registry: DistributionRegistry,
     bounds=(None, None),
+    method: str = "mle",
+    censor_mask: np.ndarray | None = None,
 ) -> DataFrame:
     """Fan the distribution list out over the cluster; returns the lazy
     per-column results DataFrame (sentinels already filtered)."""
-    stats = compute_data_stats(data)
+    obs = (
+        data if censor_mask is None
+        else data[np.asarray(censor_mask, dtype=bool)]
+    )
+    stats = compute_data_stats(obs)
     names = registry.interleave(dist_names)
 
     sc = spark.sparkContext
@@ -181,7 +224,7 @@ def parallel_fit_column(
     effective = registry.effective_count(names)
     n_parts = max(1, min(effective, cores * config.partition_multiplier, len(names)))
 
-    b_data = sc.broadcast(data)
+    b_data = sc.broadcast((data, censor_mask))
     b_hist = sc.broadcast((hist_density, bin_edges))
     b_custom = sc.broadcast(registry.custom_distributions)
 
@@ -195,12 +238,13 @@ def parallel_fit_column(
         reg = DistributionRegistry(custom_exclusions=set())
         for name, dist in b_custom.value.items():
             reg.register_distribution(name, dist, overwrite=True)
-        sample = b_data.value
+        sample, mask = b_data.value
         density, edges = b_hist.value
         for pdf in batches:
             rows = [
                 fit_single_distribution(
-                    name, sample, density, edges, column, stats, cfg, reg, bounds
+                    name, sample, density, edges, column, stats, cfg, reg,
+                    bounds, method, mask,
                 )
                 for name in pdf["distribution_name"]
             ]

@@ -90,6 +90,42 @@ def stratified_sample(
     return sampled.drop("_stratum")
 
 
+def build_censored_sample(
+    df: DataFrame,
+    column: str,
+    censor_column: str,
+    config: FitterConfig,
+    total_count: int,
+):
+    """(values, observed_mask) fitting sample for survival fitting — the
+    value and its event indicator must travel together, so this samples
+    rows of both columns in one pass."""
+    clean = (
+        valid_column(df, column)
+        .filter(F.col(censor_column).isNotNull())
+        .select(F.col(column), F.col(censor_column).cast("boolean").alias("_obs"))
+    )
+    target = config.fitting_sample_size
+    if total_count <= target:
+        pdf = clean.toPandas()
+    else:
+        frac = min(1.0, (target * 1.3) / total_count)
+        pdf = (
+            clean.sample(fraction=frac, seed=config.random_seed)
+            .limit(target * 2)
+            .toPandas()
+        )
+    values = pdf[column].to_numpy(dtype=np.float64)
+    mask = pdf["_obs"].to_numpy(dtype=bool)
+    finite = np.isfinite(values)
+    values, mask = values[finite], mask[finite]
+    if values.size > target:
+        rng = np.random.default_rng(config.random_seed)
+        idx = rng.choice(values.size, size=target, replace=False)
+        values, mask = values[idx], mask[idx]
+    return values, mask
+
+
 def build_fitting_sample(
     df: DataFrame,
     column: str,

@@ -212,15 +212,111 @@ class FitResults:
         )
         return self._df.orderBy(key, F.col("column_name"), F.col("distribution"))
 
+    # --------------------------------------------------------- lazy metrics
+    _LAZY_METRICS = ("ks_statistic", "pvalue", "ad_statistic", "ad_pvalue")
+
+    def _metric_is_deferred(self, metric: str) -> bool:
+        """True when the requested metric was skipped at fit time
+        (lazy_metrics=True) and must be recomputed from the sample."""
+        if metric not in self._LAZY_METRICS:
+            return False
+        have = self._df.filter(F.col(metric).isNotNull()).limit(1).count()
+        return have == 0 and self._df.limit(1).count() > 0
+
+    def _recompute_metrics(self, result: DistributionFitResult) -> None:
+        """Fill KS/AD (+p-values) in place from the cached fitting sample
+        (reference lazy path: collection.py:1008-1120, metrics.py:325-382)."""
+        sample = self._samples.get(result.column_name)
+        if sample is None:
+            raise ValueError(
+                f"no cached sample for column {result.column_name!r}; "
+                "lazy metrics need the originating fit's sample "
+                "(refit with lazy_metrics=False or keep the results object)"
+            )
+        from spark_bestfit_spark.functions import metrics as M
+
+        dist = self._registry.resolve(result.distribution)
+        params = tuple(result.parameters)
+        truncated = (
+            result.lower_bound is not None or result.upper_bound is not None
+        )
+        if truncated:
+            from spark_bestfit_spark.functions.truncated import (
+                TruncatedDistribution,
+            )
+
+            dist = TruncatedDistribution(
+                dist, params, result.lower_bound, result.upper_bound
+            )
+        ks, p = M.compute_ks(dist, params, sample)
+        ad = M.compute_ad(dist, params, sample)
+        result.ks_statistic = ks if np.isfinite(ks) else None
+        result.pvalue = p if np.isfinite(p) else None
+        result.ad_statistic = ad if np.isfinite(ad) else None
+        result.ad_pvalue = (
+            None if truncated
+            else M.compute_ad_pvalue(ad, result.distribution, sample.size)
+        )
+
+    def _best_lazy(self, n: int, metric: str):
+        """AIC-proxy candidate selection, driver recompute, re-sort —
+        avoids computing O(n·D) metrics for a top-n query."""
+        candidates = [
+            self._hydrate(r)
+            for r in self._ordered("aic").limit(n * 3 + 5).collect()
+        ]
+        for r in candidates:
+            self._recompute_metrics(r)
+        reverse = metric in ("pvalue", "ad_pvalue")
+        sentinel = float("-inf") if reverse else float("inf")
+        candidates.sort(
+            key=lambda r: (
+                getattr(r, metric) if getattr(r, metric) is not None
+                else sentinel,
+                r.column_name,
+                r.distribution,
+            ),
+            reverse=reverse,
+        )
+        return candidates[:n]
+
+    def materialize(self) -> "FitResults":
+        """Eagerly fill deferred KS/AD for every row, returning a new
+        results object backed by a local-relation DataFrame."""
+        results = [self._hydrate(r) for r in self._df.collect()]
+        for r in results:
+            if r.ks_statistic is None:
+                self._recompute_metrics(r)
+        spark = self._df.sparkSession
+        from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
+
+        rows = [
+            tuple(
+                list(getattr(r, f) or ()) if f == "parameters"
+                else getattr(r, f)
+                for f in _ROW_FIELDS
+            )
+            for r in results
+        ]
+        new_df = spark.createDataFrame(rows, schema=FIT_RESULT_SCHEMA)
+        return FitResults(
+            new_df, registry=self._registry, samples=self._samples
+        )
+
     # -------------------------------------------------------------- queries
     def best(self, n: int = 1, metric: str = "sse"):
         """Top-n fits by metric (SURVEY T1). Returns result records
-        (n=1 returns the single record)."""
+        (n=1 returns the single record). When the metric was deferred
+        (lazy_metrics=True), candidates are pre-selected by AIC and the
+        metric is computed on the driver for candidates only."""
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
         self._check_metric(metric)
-        rows = self._ordered(metric).limit(n).collect()
-        results = [self._hydrate(r) for r in rows]
+        if self._metric_is_deferred(metric):
+            results = self._best_lazy(n, metric)
+        else:
+            rows = self._ordered(metric).limit(n).collect()
+            results = [self._hydrate(r) for r in rows]
         if results and metric in ("sse", "aic", "bic", "ks_statistic"):
             v = getattr(results[0], metric)
             if v is not None and np.isfinite(v) and metric == "ks_statistic" and v > 0.5:

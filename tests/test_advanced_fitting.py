@@ -1,0 +1,295 @@
+"""Tests for phase 5/6 features: truncated (bounded) fitting, censored
+MLE, maximum-spacing estimation, heavy-tail auto mode, lazy metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.fitter import DistributionFitter
+from spark_bestfit_spark.functions.distributions.registry import (
+    get_continuous,
+)
+from spark_bestfit_spark.functions.estimation import (
+    censored_fit,
+    detect_heavy_tail,
+    mse_fit,
+)
+from spark_bestfit_spark.functions.truncated import TruncatedDistribution
+
+
+class TestTruncatedDistribution:
+    def test_pdf_renormalized(self):
+        norm = get_continuous("norm")
+        t = TruncatedDistribution(norm, (0.0, 1.0), -1.0, 1.0)
+        # mass in [-1,1] ~ 0.6827 -> pdf scaled up by 1/0.6827
+        x = np.array([0.0])
+        ratio = t.pdf(x)[0] / norm.pdf(x, 0.0, 1.0)[0]
+        assert abs(ratio - 1.0 / 0.6826894921) < 1e-6
+        assert t.pdf(np.array([2.0]))[0] == 0.0
+        assert t.pdf(np.array([-2.0]))[0] == 0.0
+
+    def test_cdf_endpoints_and_monotone(self):
+        t = TruncatedDistribution(get_continuous("norm"), (0.0, 1.0), -1.0, 1.0)
+        assert t.cdf(np.array([-1.0]))[0] == pytest.approx(0.0, abs=1e-12)
+        assert t.cdf(np.array([1.0]))[0] == pytest.approx(1.0, abs=1e-12)
+        x = np.linspace(-1, 1, 51)
+        c = t.cdf(x)
+        assert np.all(np.diff(c) >= 0)
+
+    def test_ppf_inverts_cdf(self):
+        t = TruncatedDistribution(get_continuous("gamma"), (2.0, 0.0, 2.0), 1.0, 8.0)
+        q = np.linspace(0.01, 0.99, 21)
+        x = t.ppf(q)
+        assert x.min() >= 1.0 and x.max() <= 8.0
+        assert np.allclose(t.cdf(x), q, atol=1e-6)
+
+    def test_rvs_within_bounds(self):
+        t = TruncatedDistribution(get_continuous("norm"), (50.0, 10.0), 45.0, 60.0)
+        s = t.rvs(2000, np.random.default_rng(0))
+        assert s.min() >= 45.0 and s.max() <= 60.0
+
+    def test_analytic_moments_norm_match_mc(self):
+        t = TruncatedDistribution(get_continuous("norm"), (0.0, 1.0), -1.0, 2.0)
+        mc = t._mc_sample()
+        assert abs(t.mean() - mc.mean()) < 0.03
+        assert abs(t.std() - mc.std()) < 0.03
+
+    def test_analytic_moments_uniform(self):
+        t = TruncatedDistribution(get_continuous("uniform"), (0.0, 10.0), 2.0, 6.0)
+        assert t.mean() == pytest.approx(4.0)
+        assert t.std() == pytest.approx(4.0 / np.sqrt(12.0))
+
+    def test_analytic_moments_expon(self):
+        t = TruncatedDistribution(get_continuous("expon"), (0.0, 5.0), 0.0, 10.0)
+        s = t.rvs(200_000, np.random.default_rng(1))
+        assert abs(t.mean() - s.mean()) < 0.05
+        assert abs(t.std() - s.std()) < 0.05
+
+    def test_empty_mass_raises(self):
+        with pytest.raises(ValueError):
+            TruncatedDistribution(
+                get_continuous("uniform"), (0.0, 1.0), 5.0, 6.0
+            )
+
+    def test_bad_bounds_raise(self):
+        with pytest.raises(ValueError):
+            TruncatedDistribution(get_continuous("norm"), (0.0, 1.0), 2.0, 1.0)
+
+
+class TestMseFit:
+    def test_recovers_normal_params(self):
+        rng = np.random.default_rng(42)
+        data = rng.normal(10.0, 2.0, 3000)
+        norm = get_continuous("norm")
+        params = mse_fit(norm, data)
+        assert abs(params[0] - 10.0) < 0.2
+        assert abs(params[1] - 2.0) < 0.2
+
+    def test_heavy_tail_stability(self):
+        # lognormal-ish heavy sample: MSE must return finite params
+        rng = np.random.default_rng(1)
+        data = np.exp(rng.normal(0, 1.5, 2000))
+        d = get_continuous("lognorm")
+        params = mse_fit(d, data)
+        assert all(np.isfinite(params))
+
+
+class TestCensoredFit:
+    def test_right_censoring_recovers_scale(self):
+        """Exponential data censored at t=8: naive MLE on observed
+        underestimates the mean; censored MLE recovers it."""
+        rng = np.random.default_rng(42)
+        true_scale = 5.0
+        t = rng.exponential(true_scale, 4000)
+        censor_time = 8.0
+        observed = t <= censor_time
+        values = np.minimum(t, censor_time)
+        expon = get_continuous("expon")
+        params = censored_fit(expon, values, observed)
+        naive = expon.fit(values[observed])
+        # censored estimate within 10%; naive biased low by much more
+        assert abs(params[-1] - true_scale) / true_scale < 0.10
+        assert params[-1] > naive[-1]
+
+    def test_no_censoring_equals_mle(self):
+        rng = np.random.default_rng(0)
+        data = rng.normal(5, 1, 500)
+        norm = get_continuous("norm")
+        a = censored_fit(norm, data, np.ones(500, dtype=bool))
+        b = norm.fit(data)
+        assert np.allclose(a, b, rtol=1e-9)
+
+    def test_extreme_censoring_warns(self):
+        rng = np.random.default_rng(0)
+        values = rng.exponential(5, 500)
+        mask = np.zeros(500, dtype=bool)
+        mask[:50] = True
+        with pytest.warns(UserWarning, match="censored"):
+            censored_fit(get_continuous("expon"), values, mask)
+
+
+class TestHeavyTailDetect:
+    def test_normal_not_heavy(self):
+        rng = np.random.default_rng(0)
+        assert not detect_heavy_tail(rng.normal(0, 1, 5000))
+
+    def test_pareto_is_heavy(self):
+        rng = np.random.default_rng(0)
+        heavy = rng.pareto(1.5, 5000)
+        assert detect_heavy_tail(heavy)
+
+
+class TestBoundedFitting:
+    def test_bounds_stored_and_data_filtered(self, spark):
+        rng = np.random.default_rng(42)
+        pdf = pd.DataFrame({"v": rng.normal(50, 10, 8000)})
+        df = spark.createDataFrame(pdf)
+        res = DistributionFitter(spark).fit(
+            df, column="v", distributions=["norm", "uniform"],
+            lower_bound=40.0, upper_bound=65.0,
+        )
+        best = res.best(1, metric="sse")
+        assert best.lower_bound == 40.0
+        assert best.upper_bound == 65.0
+        # provenance stats describe the truncated relation
+        assert best.data_min >= 40.0
+        assert best.data_max <= 65.0
+
+    def test_truncated_view_metrics(self, spark):
+        """Bounded fitting = plain MLE params evaluated through the
+        truncated frozen view (reference estimation.py:666-671): metrics
+        must be finite, differ from the plain fit, and A-D p-value is
+        undefined for truncated families."""
+        rng = np.random.default_rng(42)
+        raw = rng.normal(50, 10, 40_000)
+        cut = raw[(raw >= 45) & (raw <= 60)]
+        df = spark.createDataFrame(pd.DataFrame({"v": cut}))
+        bounded = DistributionFitter(spark).fit(
+            df, column="v", distributions=["norm"],
+            lower_bound=45.0, upper_bound=60.0,
+        ).best(1, metric="ks_statistic")
+        plain = DistributionFitter(spark).fit(
+            df, column="v", distributions=["norm"],
+        ).best(1, metric="ks_statistic")
+        # same MLE params either way; metrics go through different views
+        assert np.allclose(bounded.parameters, plain.parameters, rtol=1e-6)
+        assert np.isfinite(bounded.ks_statistic)
+        assert bounded.ks_statistic != plain.ks_statistic
+        assert bounded.ks_statistic < 0.15
+        assert bounded.ad_pvalue is None  # no A-D table when truncated
+
+    def test_sampling_respects_bounds(self, spark):
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(50, 10, 5000)})
+        )
+        res = DistributionFitter(spark).fit(
+            df, column="v", distributions=["norm"],
+            lower_bound=45.0, upper_bound=60.0,
+        )
+        best = res.best(1, metric="sse")
+        s = best.sample(1000, random_state=7)  # noqa: F841 — plain dist
+        from spark_bestfit_spark.operators.generate import sample_best_fit
+
+        out = sample_best_fit(spark, best, 2000, num_partitions=2)
+        import pyspark.sql.functions as SF
+
+        mm = out.agg(SF.min(best.column_name), SF.max(best.column_name)).first()
+        assert mm[0] >= 45.0 and mm[1] <= 60.0
+
+
+class TestCensoredFitting:
+    def test_end_to_end_survival_fit(self, spark):
+        rng = np.random.default_rng(42)
+        t = rng.exponential(5.0, 6000)
+        censor_time = 8.0
+        pdf = pd.DataFrame({
+            "duration": np.minimum(t, censor_time),
+            "event": (t <= censor_time).astype(int),
+        })
+        df = spark.createDataFrame(pdf)
+        res = DistributionFitter(spark).fit(
+            df, column="duration", distributions=["expon", "norm"],
+            censoring_column="event",
+        )
+        rows = {r.distribution: r for r in res.best(2, metric="aic")}
+        assert "expon" in rows
+        scale = rows["expon"].parameters[-1]
+        assert abs(scale - 5.0) / 5.0 < 0.15
+        # KS/AD skipped for censored fits
+        assert rows["expon"].ks_statistic is None
+
+    def test_censoring_column_type_validated(self, spark):
+        pdf = pd.DataFrame({"v": [1.0, 2.0], "c": ["a", "b"]})
+        df = spark.createDataFrame(pdf)
+        with pytest.raises(TypeError):
+            DistributionFitter(spark).fit(
+                df, column="v", censoring_column="c",
+                distributions=["norm"],
+            )
+
+
+class TestAutoMethod:
+    def test_auto_warns_on_heavy_tail(self, spark):
+        rng = np.random.default_rng(0)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.pareto(1.5, 5000) + 1.0})
+        )
+        with pytest.warns(UserWarning, match="heavy-tailed"):
+            DistributionFitter(spark).fit(
+                df, column="v", distributions=["lognorm", "expon"],
+                estimation_method="auto",
+            )
+
+
+class TestLazyMetrics:
+    @pytest.fixture(scope="class")
+    def lazy_results(self, spark):
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(50, 10, 6000)})
+        )
+        return DistributionFitter(spark).fit(
+            df, column="v", lazy_metrics=True,
+            distributions=["norm", "gamma", "lognorm", "uniform", "expon",
+                           "laplace", "logistic"],
+        )
+
+    def test_fit_skips_ks(self, lazy_results):
+        rows = lazy_results.df.select("ks_statistic").collect()
+        assert all(r.ks_statistic is None for r in rows)
+
+    def test_best_by_ks_recomputes(self, lazy_results):
+        best = lazy_results.best(1, metric="ks_statistic")
+        assert best.ks_statistic is not None
+        assert best.distribution == "norm"
+        assert best.ks_statistic < 0.05
+
+    def test_best_by_pvalue_descending(self, lazy_results):
+        top = lazy_results.best(3, metric="pvalue")
+        ps = [r.pvalue for r in top]
+        assert ps == sorted(ps, reverse=True)
+
+    def test_materialize_fills_all(self, lazy_results):
+        mat = lazy_results.materialize()
+        rows = mat.df.select("distribution", "ks_statistic").collect()
+        assert all(r.ks_statistic is not None for r in rows)
+        # eager best on materialized equals lazy best
+        a = mat.best(1, metric="ks_statistic")
+        b = lazy_results.best(1, metric="ks_statistic")
+        assert a.distribution == b.distribution
+
+    def test_lazy_vs_eager_agree(self, spark):
+        rng = np.random.default_rng(7)
+        df = spark.createDataFrame(pd.DataFrame({"v": rng.gamma(2, 2, 5000)}))
+        dists = ["norm", "gamma", "lognorm", "expon"]
+        lazy = DistributionFitter(spark).fit(
+            df, column="v", lazy_metrics=True, distributions=dists
+        ).best(1, metric="ks_statistic")
+        eager = DistributionFitter(spark).fit(
+            df, column="v", distributions=dists
+        ).best(1, metric="ks_statistic")
+        assert lazy.distribution == eager.distribution
+        assert abs(lazy.ks_statistic - eager.ks_statistic) < 0.02

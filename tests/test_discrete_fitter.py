@@ -1,0 +1,110 @@
+"""Tests for the discrete fitter (phase 7): empirical PMF, optimizer MLE,
+discrete metrics, end-to-end recovery of known distributions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+from spark_bestfit_spark.operators.discrete_fit import empirical_pmf
+
+
+class TestEmpiricalPmf:
+    def test_known_counts(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [0, 0, 1, 1, 1, 2, 5]})
+        )
+        x, p = empirical_pmf(df, "v")
+        assert list(x) == [0.0, 1.0, 2.0, 5.0]
+        assert np.allclose(p, [2 / 7, 3 / 7, 1 / 7, 1 / 7])
+        assert p.sum() == pytest.approx(1.0)
+
+    def test_nulls_dropped(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [1.0, None, 2.0, float("nan")]})
+        )
+        x, p = empirical_pmf(df, "v")
+        assert list(x) == [1.0, 2.0]
+        assert np.allclose(p, [0.5, 0.5])
+
+
+class TestDiscreteFitter:
+    def test_recovers_poisson(self, spark):
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.poisson(4.0, 8000).astype(float)})
+        )
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["poisson", "geom", "randint"]
+        )
+        best = res.best(1, metric="sse")
+        assert best.distribution == "poisson"
+        assert abs(best.parameters[0] - 4.0) < 0.15
+
+    def test_recovers_geometric(self, spark):
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.geometric(0.3, 8000).astype(float)})
+        )
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["geom", "poisson"]
+        )
+        best = res.best(1, metric="sse")
+        assert best.distribution == "geom"
+        assert abs(best.parameters[0] - 0.3) < 0.05
+
+    def test_recovers_binomial_shape(self, spark):
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.binomial(20, 0.4, 8000).astype(float)})
+        )
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["binom", "poisson"]
+        )
+        best = res.best(1, metric="sse")
+        # binomial should beat poisson on under-dispersed data
+        assert best.distribution == "binom"
+
+    def test_full_registry_on_part_sizes(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        res = DiscreteDistributionFitter(spark).fit(df, column="p_size")
+        assert res.count() >= 5
+        best = res.best(1, metric="sse")
+        assert best.sse is not None and np.isfinite(best.sse)
+        # ks present for eager discrete fits
+        assert best.ks_statistic is not None
+
+    def test_lazy_metrics_skips_ks(self, spark):
+        rng = np.random.default_rng(0)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.poisson(3.0, 3000).astype(float)})
+        )
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["poisson", "geom"],
+            lazy_metrics=True,
+        )
+        rows = res.df.select("ks_statistic").collect()
+        assert all(r.ks_statistic is None for r in rows)
+
+    def test_multi_column(self, spark):
+        rng = np.random.default_rng(1)
+        df = spark.createDataFrame(pd.DataFrame({
+            "a": rng.poisson(2.0, 2000).astype(float),
+            "b": rng.geometric(0.5, 2000).astype(float),
+        }))
+        res = DiscreteDistributionFitter(spark).fit(
+            df, columns=["a", "b"], distributions=["poisson", "geom"]
+        )
+        per = res.best_per_column(1, metric="sse")
+        assert set(per) == {"a", "b"}
+
+    def test_sentinel_on_empty(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [float("nan")] * 10})
+        )
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["poisson"]
+        )
+        assert res.count() == 0
