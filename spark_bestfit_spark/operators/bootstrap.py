@@ -1,0 +1,153 @@
+"""Bootstrap confidence intervals for fitted parameters (reference
+estimation.py:826-943 capability, Spark-first execution).
+
+The reference loops B resamples on the driver; the idiomatic scale-up
+(SURVEY F19) fans the resamples out: a B-row task relation, the fitting
+sample broadcast once, each task refits its resample — embarrassingly
+parallel, one job, B x k floats back to the driver.
+
+Semantics kept from the reference: percentile bootstrap (default 1000
+resamples), per-parameter 3 x IQR outlier filtering, >= 10 successful
+refits required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from spark_bestfit_spark.functions.distributions.registry import (
+    DistributionRegistry,
+)
+
+__all__ = ["bootstrap_ci", "bootstrap_ci_local"]
+
+MIN_SUCCESSES = 10
+_IQR_MULT = 3.0
+
+
+def _percentile_ci(
+    samples: np.ndarray, confidence: float
+) -> tuple:
+    """(lo, hi) percentile interval after 3xIQR outlier removal."""
+    q1, q3 = np.percentile(samples, [25, 75])
+    iqr = q3 - q1
+    keep = samples
+    if iqr > 0:
+        keep = samples[
+            (samples >= q1 - _IQR_MULT * iqr)
+            & (samples <= q3 + _IQR_MULT * iqr)
+        ]
+        if keep.size < MIN_SUCCESSES:
+            keep = samples
+    alpha = (1.0 - confidence) / 2.0
+    lo, hi = np.percentile(keep, [100 * alpha, 100 * (1.0 - alpha)])
+    return float(lo), float(hi)
+
+
+def _intervals_from_params(
+    all_params: np.ndarray, param_names: list, confidence: float
+) -> dict:
+    if all_params.shape[0] < MIN_SUCCESSES:
+        raise ValueError(
+            f"only {all_params.shape[0]} bootstrap refits succeeded "
+            f"(need >= {MIN_SUCCESSES}); data may be degenerate"
+        )
+    return {
+        name: _percentile_ci(all_params[:, j], confidence)
+        for j, name in enumerate(param_names)
+    }
+
+
+def bootstrap_ci(
+    spark: SparkSession,
+    dist_name: str,
+    data: np.ndarray,
+    n_resamples: int = 1000,
+    confidence: float = 0.95,
+    seed: int = 42,
+    registry: DistributionRegistry | None = None,
+) -> dict:
+    """Distributed percentile-bootstrap CIs: param_name -> (lo, hi)."""
+    if not (0.0 < confidence < 1.0):
+        raise ValueError("confidence must be in (0, 1)")
+    registry = registry or DistributionRegistry()
+    dist = registry.resolve(dist_name)
+    data = np.asarray(data, dtype=np.float64)
+    data = data[np.isfinite(data)]
+    if data.size < 2:
+        raise ValueError("need >= 2 finite points")
+    param_names = dist.param_names()
+    k = len(param_names)
+
+    sc = spark.sparkContext
+    b_data = sc.broadcast(data)
+    n_parts = max(1, min(n_resamples, sc.defaultParallelism * 2))
+    plan = spark.range(n_resamples).repartition(n_parts)
+
+    def refit(batches):
+        sample = b_data.value
+        n = sample.size
+        reg = DistributionRegistry(custom_exclusions=set())
+        d = reg.resolve(dist_name)
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                rng = np.random.default_rng(seed + int(idx))
+                resample = sample[rng.integers(0, n, n)]
+                try:
+                    params = tuple(float(p) for p in d.fit(resample))
+                    if len(params) == k and all(
+                        np.isfinite(p) for p in params
+                    ):
+                        rows.append({f"p{j}": params[j] for j in range(k)})
+                except Exception:  # noqa: BLE001 — failed refit dropped
+                    pass
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = ", ".join(f"p{j} double" for j in range(k))
+    fitted = plan.mapInPandas(refit, schema=schema)
+    fitted = fitted.filter(
+        F.greatest(*[F.abs(F.col(f"p{j}")) for j in range(k)])
+        < F.lit(float("inf"))
+    )
+    pdf = fitted.toPandas()
+    all_params = pdf.to_numpy(dtype=np.float64)
+    return _intervals_from_params(all_params, param_names, confidence)
+
+
+def bootstrap_ci_local(
+    dist_name: str,
+    data: np.ndarray,
+    n_resamples: int = 200,
+    confidence: float = 0.95,
+    seed: int = 42,
+    registry: DistributionRegistry | None = None,
+) -> dict:
+    """Driver-local variant for small B / interactive use."""
+    registry = registry or DistributionRegistry()
+    dist = registry.resolve(dist_name)
+    data = np.asarray(data, dtype=np.float64)
+    data = data[np.isfinite(data)]
+    if data.size < 2:
+        raise ValueError("need >= 2 finite points")
+    param_names = dist.param_names()
+    k = len(param_names)
+    out = []
+    n = data.size
+    for idx in range(n_resamples):
+        rng = np.random.default_rng(seed + idx)
+        resample = data[rng.integers(0, n, n)]
+        try:
+            params = tuple(float(p) for p in dist.fit(resample))
+            if len(params) == k and all(np.isfinite(p) for p in params):
+                out.append(params)
+        except Exception:  # noqa: BLE001
+            pass
+    return _intervals_from_params(
+        np.asarray(out, dtype=np.float64).reshape(-1, k),
+        param_names, confidence,
+    )

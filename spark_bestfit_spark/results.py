@@ -89,6 +89,36 @@ class DistributionFitResult:
     def get_param_names(self) -> list:
         return self._dist().param_names()
 
+    def confidence_intervals(
+        self,
+        spark=None,
+        n_resamples: int = 1000,
+        confidence: float = 0.95,
+        seed: int = 42,
+    ) -> dict:
+        """Percentile-bootstrap CIs for the fitted parameters, using the
+        cached fitting sample. With a SparkSession the resamples fan out
+        over the cluster; without one a smaller driver-local bootstrap
+        runs (SURVEY F19)."""
+        if self._sample is None:
+            raise ValueError(
+                "no cached fitting sample on this result; refit and query "
+                "through FitResults to attach one"
+            )
+        from spark_bestfit_spark.operators import bootstrap as B
+
+        if spark is not None:
+            return B.bootstrap_ci(
+                spark, self.distribution, self._sample,
+                n_resamples=n_resamples, confidence=confidence, seed=seed,
+                registry=self._registry,
+            )
+        return B.bootstrap_ci_local(
+            self.distribution, self._sample,
+            n_resamples=min(n_resamples, 200), confidence=confidence,
+            seed=seed, registry=self._registry,
+        )
+
     # -------------------------------------------------------- serialization
     def to_dict(self) -> dict:
         d = {
