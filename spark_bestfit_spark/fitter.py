@@ -29,14 +29,19 @@ from spark_bestfit_spark.functions.distributions.registry import (
 from spark_bestfit_spark.functions.estimation import detect_heavy_tail
 from spark_bestfit_spark.operators.fit import (
     parallel_fit_column,
+    parallel_fit_columns,
     union_results,
 )
-from spark_bestfit_spark.operators.histogram import compute_histogram
+from spark_bestfit_spark.operators.histogram import (
+    compute_histogram,
+    compute_histograms_multi,
+)
 from spark_bestfit_spark.operators.sampling import (
     build_censored_sample,
     build_fitting_sample,
+    build_fitting_samples_multi,
 )
-from spark_bestfit_spark.operators.stats import column_stats
+from spark_bestfit_spark.operators.stats import column_stats, multi_column_stats
 from spark_bestfit_spark.plans.config import FitterConfig
 from spark_bestfit_spark.results import FitResults
 
@@ -129,32 +134,31 @@ class DistributionFitter:
                 if bounds[1] is not None:
                     src = src.filter(F.col(c) <= bounds[1])
 
-        per_column_dfs = []
+        if config.censoring_column is not None:
+            return self._fit_censored(src, cols, distributions, config, bounds)
+
+        # batched planning: stats for ALL columns in one scan, histograms
+        # for ALL columns in one scan, samples in one collect, ONE
+        # (column, distribution) fan-out — job count is constant in the
+        # number of columns (the 100 TB multi-column win)
+        all_stats = multi_column_stats(src, cols)
+        live_cols = [c for c in cols if all_stats[c]["count"] > 0]
+        if not live_cols:
+            return self._empty_results()
+        histograms = compute_histograms_multi(
+            src, live_cols, all_stats,
+            bins=config.bins, use_rice_rule=config.use_rice_rule,
+        )
+        sample_map = build_fitting_samples_multi(
+            src, live_cols, config,
+            {c: int(all_stats[c]["count"]) for c in live_cols},
+        )
+
+        plans: dict = {}
         samples: dict = {}
-        for c in cols:
-            # one stats job per column gives min/max/count; the valid-row
-            # count also drives the sampling plan (no separate count job)
-            stats = column_stats(src, c)
-            if stats["count"] == 0:
-                continue  # all-null column -> contributes no rows
-            density, edges = compute_histogram(
-                src,
-                c,
-                bins=config.bins,
-                use_rice_rule=config.use_rice_rule,
-                stats=stats,
-            )
-            censor_mask = None
-            if config.censoring_column is not None:
-                sample, censor_mask = build_censored_sample(
-                    src, c, config.censoring_column, config,
-                    int(stats["count"]),
-                )
-            else:
-                sample = build_fitting_sample(
-                    src, c, config, int(stats["count"])
-                )
-            if sample.size < 2:
+        for c in live_cols:
+            sample = sample_map.get(c)
+            if sample is None or sample.size < 2 or c not in histograms:
                 continue
             samples[c] = sample
             method = config.estimation_method
@@ -165,27 +169,61 @@ class DistributionFitter:
                         f"column {c!r} looks heavy-tailed; using "
                         "maximum-spacing estimation", stacklevel=2
                     )
+            density, edges = histograms[c]
+            plans[c] = {
+                "names": (
+                    list(distributions) if distributions
+                    else self._select_distributions(config, sample)
+                ),
+                "sample": sample,
+                "density": density,
+                "edges": edges,
+                "method": method,
+            }
+        if not plans:
+            return self._empty_results()
+        result_df = parallel_fit_columns(
+            self.spark, plans, config, self.registry, bounds=bounds
+        )
+        return FitResults(result_df, registry=self.registry, samples=samples)
+
+    def _empty_results(self) -> FitResults:
+        from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
+
+        empty = self.spark.createDataFrame([], schema=FIT_RESULT_SCHEMA)
+        return FitResults(empty, registry=self.registry, cache=False)
+
+    def _fit_censored(
+        self, src: DataFrame, cols: list, distributions, config, bounds
+    ) -> FitResults:
+        """Censored (survival) path: the sample carries an event mask, so
+        columns are planned individually."""
+        per_column_dfs = []
+        samples: dict = {}
+        for c in cols:
+            stats = column_stats(src, c)
+            if stats["count"] == 0:
+                continue
+            density, edges = compute_histogram(
+                src, c, bins=config.bins,
+                use_rice_rule=config.use_rice_rule, stats=stats,
+            )
+            sample, censor_mask = build_censored_sample(
+                src, c, config.censoring_column, config, int(stats["count"])
+            )
+            if sample.size < 2:
+                continue
+            samples[c] = sample
             names = distributions or self._select_distributions(config, sample)
             per_column_dfs.append(
                 parallel_fit_column(
-                    self.spark,
-                    names,
-                    sample,
-                    density,
-                    edges,
-                    c,
-                    config,
-                    self.registry,
-                    bounds=bounds,
-                    method=method,
+                    self.spark, names, sample, density, edges, c, config,
+                    self.registry, bounds=bounds, method="mle",
                     censor_mask=censor_mask,
                 )
             )
         if not per_column_dfs:
-            from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
-
-            empty = self.spark.createDataFrame([], schema=FIT_RESULT_SCHEMA)
-            return FitResults(empty, registry=self.registry, cache=False)
+            return self._empty_results()
         result_df = union_results(per_column_dfs)
         return FitResults(result_df, registry=self.registry, samples=samples)
 

@@ -258,3 +258,83 @@ def parallel_fit_column(
 def union_results(dfs: list) -> DataFrame:
     """Combine per-column result relations (SURVEY J1)."""
     return reduce(DataFrame.unionByName, dfs)
+
+
+def parallel_fit_columns(
+    spark: SparkSession,
+    plans: dict,
+    config: FitterConfig,
+    registry: DistributionRegistry,
+    bounds=(None, None),
+) -> DataFrame:
+    """ONE fan-out for many columns: the task relation is (column,
+    distribution) pairs, so C columns x D distributions fill the cluster
+    in a single wave instead of C sequential jobs.
+
+    ``plans`` maps column -> dict(sample, density, edges, method).
+    Broadcast payload is all per-column artifacts (~C x 90KB).
+    """
+    pairs = []
+    per_col_names = {
+        c: registry.interleave(p["names"]) for c, p in plans.items()
+    }
+    # round-robin across columns so each partition mixes columns AND
+    # fast/slow distributions
+    idx = 0
+    while True:
+        emitted = False
+        for c, names in per_col_names.items():
+            if idx < len(names):
+                pairs.append((c, names[idx]))
+                emitted = True
+        if not emitted:
+            break
+        idx += 1
+
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    effective = sum(
+        registry.effective_count(n) for n in per_col_names.values()
+    )
+    n_parts = max(
+        1, min(effective, cores * config.partition_multiplier, len(pairs))
+    )
+
+    b_plans = sc.broadcast(
+        {
+            c: (
+                p["sample"], p["density"], p["edges"],
+                compute_data_stats(p["sample"]), p.get("method", "mle"),
+            )
+            for c, p in plans.items()
+        }
+    )
+    b_custom = sc.broadcast(registry.custom_distributions)
+    cfg = config
+
+    pairs_df = spark.createDataFrame(
+        pairs, "column_name string, distribution_name string"
+    ).repartition(n_parts)
+
+    def fit_batches(batches):
+        reg = DistributionRegistry(custom_exclusions=set())
+        for name, dist in b_custom.value.items():
+            reg.register_distribution(name, dist, overwrite=True)
+        artifacts = b_plans.value
+        for pdf in batches:
+            rows = []
+            for col, name in zip(
+                pdf["column_name"], pdf["distribution_name"]
+            ):
+                sample, density, edges, stats, method = artifacts[col]
+                rows.append(
+                    fit_single_distribution(
+                        name, sample, density, edges, col, stats, cfg,
+                        reg, bounds, method, None,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    result = pairs_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
+    return result.filter(F.col("sse") < F.lit(float("inf")))

@@ -24,14 +24,16 @@ from spark_bestfit_spark.operators.stats import column_stats, valid_column
 
 
 def histogram_df(
-    df: DataFrame, column: str, bin_edges: np.ndarray
+    df: DataFrame, column: str, bin_edges: np.ndarray, sort: bool = True
 ) -> DataFrame:
     """Lazy DataFrame of (bin_id, bin_count) for explicit, equi-width bin
-    edges. bin_id is 1-based like ``width_bucket``; callers zero-fill."""
+    edges. bin_id is 1-based like ``width_bucket``; callers zero-fill.
+    ``sort=False`` skips the final exchange when the caller indexes by
+    bin_id anyway."""
     lo = float(bin_edges[0])
     hi = float(bin_edges[-1])
     n_bins = len(bin_edges) - 1
-    return (
+    out = (
         valid_column(df, column)
         .filter((F.col(column) >= F.lit(lo)) & (F.col(column) < F.lit(hi)))
         .select(
@@ -41,8 +43,8 @@ def histogram_df(
         )
         .groupBy("bin_id")
         .agg(F.count("*").alias("bin_count"))
-        .orderBy("bin_id")
     )
+    return out.orderBy("bin_id") if sort else out
 
 
 def compute_histogram(
@@ -79,7 +81,8 @@ def compute_histogram(
         bin_edges = np.asarray(bins, dtype=np.float64)
 
     n_bins = len(bin_edges) - 1
-    rows = histogram_df(df, column, bin_edges).collect()
+    # no orderBy: counts are placed by bin_id below, saving an exchange
+    rows = histogram_df(df, column, bin_edges, sort=False).collect()
     counts = np.zeros(n_bins, dtype=np.float64)
     for r in rows:
         b = int(r["bin_id"])
@@ -89,6 +92,77 @@ def compute_histogram(
     widths = np.diff(bin_edges)
     density = counts / (total * widths) if total > 0 else counts
     return density, bin_edges
+
+
+def compute_histograms_multi(
+    df: DataFrame,
+    columns: list,
+    stats: dict,
+    bins: int = 50,
+    use_rice_rule: bool = False,
+) -> dict:
+    """(density, bin_edges) for MANY columns in ONE scan.
+
+    Per-column ``width_bucket`` expressions are stacked into
+    (column_name, bin_id) rows and aggregated together — map-side
+    combine reduces each partition to at most C x bins groups, so the
+    shuffle stays tiny no matter the table size. Degenerate (min==max)
+    columns short-circuit to the single-bin IR without touching the
+    cluster."""
+    out: dict = {}
+    edges_by_col: dict = {}
+    stack_args = []
+    for c in columns:
+        s = stats[c]
+        if s["min"] is None or s["count"] == 0:
+            continue
+        n_bins = bins
+        if use_rice_rule:
+            n_bins = max(int(np.ceil(int(s["count"]) ** (1.0 / 3.0)) * 2), 2)
+        n_bins = max(int(n_bins), 2)
+        lo, hi = float(s["min"]), float(s["max"])
+        if lo == hi:
+            out[c] = (np.array([1.0]), np.array([lo]))
+            continue
+        eps = (hi - lo) * 1e-10
+        edges = np.linspace(lo, hi + eps, n_bins + 1)
+        edges_by_col[c] = edges
+        col = F.col(c)
+        cond = col.isNotNull()
+        if dict(df.dtypes)[c] in ("float", "double"):
+            cond = cond & ~F.isnan(col) & (F.abs(col) != float("inf"))
+        cond = cond & (col >= F.lit(lo)) & (col < F.lit(float(edges[-1])))
+        bucket = F.when(
+            cond,
+            F.width_bucket(col, F.lit(lo), F.lit(float(edges[-1])), F.lit(n_bins)),
+        )
+        stack_args += [F.lit(c), bucket]
+    if edges_by_col:
+        n = len(edges_by_col)
+        rows = (
+            df.select(
+                F.stack(F.lit(n), *stack_args).alias("column_name", "bin_id")
+            )
+            .filter(F.col("bin_id").isNotNull())
+            .groupBy("column_name", "bin_id")
+            .agg(F.count("*").alias("bin_count"))
+            .collect()
+        )
+        counts = {
+            c: np.zeros(len(e) - 1, dtype=np.float64)
+            for c, e in edges_by_col.items()
+        }
+        for r in rows:
+            arr = counts.get(r["column_name"])
+            b = int(r["bin_id"])
+            if arr is not None and 1 <= b <= arr.size:
+                arr[b - 1] = float(r["bin_count"])
+        for c, e in edges_by_col.items():
+            total = counts[c].sum()
+            widths = np.diff(e)
+            density = counts[c] / (total * widths) if total > 0 else counts[c]
+            out[c] = (density, e)
+    return out
 
 
 def discrete_pmf(df: DataFrame, column: str):

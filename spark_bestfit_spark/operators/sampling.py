@@ -90,6 +90,47 @@ def stratified_sample(
     return sampled.drop("_stratum")
 
 
+def build_fitting_samples_multi(
+    df: DataFrame,
+    columns: list,
+    config: FitterConfig,
+    counts: dict,
+) -> dict:
+    """Fitting samples for MANY columns in ONE collect job.
+
+    Rows are sampled jointly (the per-column marginals are unchanged);
+    each column then drops its own non-finite values and subsamples to
+    ``fitting_sample_size``. Falls back to per-column jobs when valid
+    counts are so imbalanced that a joint sample would over-collect."""
+    target = config.fitting_sample_size
+    pos_counts = [counts[c] for c in columns if counts[c] > 0]
+    if not pos_counts:
+        return {c: np.empty(0) for c in columns}
+    min_count, max_count = min(pos_counts), max(pos_counts)
+    # imbalance guard: a joint fraction sized for the sparsest column
+    # would collect frac * max_count rows of the densest
+    frac = min(1.0, (target * 1.3) / max(min_count, 1))
+    if frac * max_count > 8.0 * target:
+        return {
+            c: build_fitting_sample(df, c, config, int(counts[c]))
+            for c in columns
+        }
+    proj = df.select(*columns)
+    if max_count <= target:
+        pdf = proj.toPandas()
+    else:
+        pdf = proj.sample(fraction=frac, seed=config.random_seed).toPandas()
+    out = {}
+    for c in columns:
+        arr = pdf[c].to_numpy(dtype=np.float64)
+        arr = arr[np.isfinite(arr)]
+        if arr.size > target:
+            rng = np.random.default_rng(config.random_seed)
+            arr = rng.choice(arr, size=target, replace=False)
+        out[c] = arr
+    return out
+
+
 def build_censored_sample(
     df: DataFrame,
     column: str,
