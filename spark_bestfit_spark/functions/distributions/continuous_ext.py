@@ -1,0 +1,856 @@
+"""Extended continuous distribution library (second batch).
+
+Brings the registry to parity with the reference's default scipy set
+(~85 fitted distributions after exclusions — reference
+distributions.py:33-80). Same conventions as ``continuous.py``:
+scipy-compatible names/shapes, standard-form ``_logpdf``/``_cdf`` on
+``z = (x - loc) / scale``, closed-form ``_ppf`` where one exists.
+
+Importing this module registers everything into the shared
+``CONTINUOUS`` dict.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_bestfit_spark.functions import special as sp
+from spark_bestfit_spark.functions.distributions.base import (
+    ContinuousDistribution,
+)
+from spark_bestfit_spark.functions.distributions.continuous import (
+    CONTINUOUS,
+    _std_moments,
+)
+
+_LOG_SQRT2PI = 0.5 * np.log(2.0 * np.pi)
+_SQRT2 = np.sqrt(2.0)
+_SQRT_HALF_PI = np.sqrt(np.pi / 2.0)
+
+
+def _phi(z):
+    return np.exp(-0.5 * z * z) / np.sqrt(2.0 * np.pi)
+
+
+# --------------------------------------------------------------------------
+class Moyal(ContinuousDistribution):
+    """pdf = exp(-(z + e^{-z})/2) / sqrt(2 pi); cdf = erfc(e^{-z/2}/sqrt 2)."""
+
+    name = "moyal"
+
+    def _logpdf(self, z):
+        with np.errstate(over="ignore"):
+            return -0.5 * (z + np.exp(-z)) - _LOG_SQRT2PI
+
+    def _cdf(self, z):
+        with np.errstate(over="ignore"):
+            return sp.erfc(np.exp(-0.5 * z) / _SQRT2)
+
+    def _ppf(self, q):
+        # q = erfc(e^{-z/2}/sqrt2) and erfc(x) = 2 Phi(-x sqrt2)
+        # => e^{-z/2} = -ndtri(q/2)  => z = -2 log(-ndtri(q/2))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return -2.0 * np.log(-sp.ndtri(0.5 * np.asarray(q)))
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        # mean = loc + scale*(gamma + ln 2), std = scale*pi/sqrt(2)
+        scale = s * np.sqrt(2.0) / np.pi
+        return (m - scale * (np.euler_gamma + np.log(2.0)), scale)
+
+
+class InvGamma(ContinuousDistribution):
+    """cdf = gammaincc(a, 1/z), z > 0."""
+
+    name = "invgamma"
+    shapes = ("a_",)
+    a = 0.0
+
+    def _logpdf(self, z, a_):
+        with np.errstate(divide="ignore"):
+            return -(a_ + 1.0) * np.log(z) - 1.0 / z - sp.gammaln(a_)
+
+    def _cdf(self, z, a_):
+        out = np.zeros_like(np.asarray(z, dtype=np.float64))
+        pos = z > 0
+        out[pos] = sp.gammaincc(a_, 1.0 / np.asarray(z)[pos])
+        return out
+
+    def _get_support(self, a_):
+        return 0.0, np.inf
+
+    def _fit_start(self, data):
+        loc = float(np.min(data)) - 0.01 * (np.ptp(data) or 1.0)
+        shifted = data - loc
+        m = float(np.mean(shifted))
+        v = float(np.var(shifted)) or 1.0
+        a0 = max(m * m / v + 2.0, 2.1)
+        return (a0, loc, m * (a0 - 1.0))
+
+
+class FatigueLife(ContinuousDistribution):
+    """Birnbaum-Saunders: cdf = Phi((sqrt z - sqrt(1/z)) / c), z > 0."""
+
+    name = "fatiguelife"
+    shapes = ("c",)
+    a = 0.0
+
+    def _logpdf(self, z, c):
+        with np.errstate(divide="ignore"):
+            sz = np.sqrt(z)
+            t = (sz - 1.0 / sz) / c
+            jac = (1.0 / (2.0 * c)) * (1.0 / sz + 1.0 / (z * sz))
+            return -0.5 * t * t - _LOG_SQRT2PI + np.log(jac)
+
+    def _cdf(self, z, c):
+        z = np.asarray(z, dtype=np.float64)
+        out = np.zeros_like(z)
+        pos = z > 0
+        sz = np.sqrt(z[pos])
+        out[pos] = sp.ndtr((sz - 1.0 / sz) / c)
+        return out
+
+    def _ppf(self, q, c):
+        t = c * sp.ndtri(q)
+        u = 0.5 * (t + np.sqrt(t * t + 4.0))
+        return u * u
+
+    def _fit_start(self, data):
+        loc = float(np.min(data)) - 0.01 * (np.ptp(data) or 1.0)
+        shifted = data - loc
+        med = float(np.median(shifted)) or 1.0
+        m = float(np.mean(shifted))
+        c0 = np.sqrt(max(2.0 * (m / med - 1.0), 0.04))
+        return (c0, loc, med)
+
+
+class ExponNorm(ContinuousDistribution):
+    """Exponentially modified Gaussian (scipy exponnorm, shape K)."""
+
+    name = "exponnorm"
+    shapes = ("k",)
+
+    def _logpdf(self, z, k):
+        # log pdf = -log(2K) + 1/(2K^2) - z/K + log erfc(-(z - 1/K)/sqrt2)
+        inv = 1.0 / k
+        arg = -(np.asarray(z, dtype=np.float64) - inv) / _SQRT2
+        with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+            log_erfc = np.log(np.clip(sp.erfc(arg), 1e-300, None))
+            # large-arg asymptotic where erfc underflows
+            asym = -np.square(arg) - np.log(
+                np.clip(arg, 1e-300, None) * np.sqrt(np.pi)
+            )
+            log_erfc = np.where(arg > 25.0, asym, log_erfc)
+            return -np.log(2.0 * k) + 0.5 * inv * inv - z * inv + log_erfc
+
+    def _cdf(self, z, k):
+        inv = 1.0 / k
+        with np.errstate(over="ignore", under="ignore"):
+            u = sp.ndtr(z)
+            corr = np.exp(0.5 * inv * inv - z * inv) * sp.ndtr(z - inv)
+        return np.clip(u - np.where(np.isfinite(corr), corr, 0.0), 0.0, 1.0)
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        skew = float(np.mean(((data - m) / s) ** 3))
+        k0 = float(np.clip((abs(skew) / 2.0) ** (1.0 / 3.0) * 2.0, 0.1, 10.0))
+        tau = k0 * s / np.sqrt(1.0 + k0 * k0)
+        sigma = s / np.sqrt(1.0 + k0 * k0)
+        return (max(tau / max(sigma, 1e-9), 0.05), m - tau, sigma)
+
+
+class PowerNorm(ContinuousDistribution):
+    """cdf = 1 - Phi(-z)^c."""
+
+    name = "powernorm"
+    shapes = ("c",)
+
+    def _logpdf(self, z, c):
+        return (
+            np.log(c) - 0.5 * z * z - _LOG_SQRT2PI
+            + (c - 1.0) * sp.log_ndtr(-np.asarray(z, dtype=np.float64))
+        )
+
+    def _cdf(self, z, c):
+        return 1.0 - np.power(sp.ndtr(-np.asarray(z)), c)
+
+    def _ppf(self, q, c):
+        return -sp.ndtri(np.power(1.0 - np.asarray(q), 1.0 / c))
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        return (1.0, m, s)
+
+
+class LevyL(ContinuousDistribution):
+    """Left-skewed Levy (scipy levy_l): support z < 0,
+    cdf = 2 Phi(1/sqrt(-z)) - 1."""
+
+    name = "levy_l"
+    b = 0.0
+    a = -np.inf
+
+    def _logpdf(self, z):
+        with np.errstate(divide="ignore"):
+            az = -np.asarray(z, dtype=np.float64)
+            return (
+                -0.5 * np.log(2.0 * np.pi)
+                - 1.5 * np.log(az)
+                - 1.0 / (2.0 * az)
+            )
+
+    def _cdf(self, z):
+        z = np.asarray(z, dtype=np.float64)
+        out = np.ones_like(z)
+        neg = z < 0
+        out[neg] = 2.0 * sp.ndtr(1.0 / np.sqrt(-z[neg])) - 1.0
+        return out
+
+    def _ppf(self, q):
+        u = sp.ndtri(0.5 * (np.asarray(q, dtype=np.float64) + 1.0))
+        return -1.0 / (u * u)
+
+    def _fit_start(self, data):
+        hi = float(np.max(data))
+        loc = hi + 0.01 * (np.ptp(data) or 1.0)
+        scale = float(np.median(loc - data)) or 1.0
+        return (loc, scale)
+
+
+class Kappa3(ContinuousDistribution):
+    """cdf = z / (a + z^a)^(1/a), z > 0 (scipy kappa3)."""
+
+    name = "kappa3"
+    shapes = ("a_",)
+    a = 0.0
+
+    def _logpdf(self, z, a_):
+        # d/dz [ z (a + z^a)^(-1/a) ] = a (a + z^a)^(-1/a - 1)
+        with np.errstate(divide="ignore", over="ignore"):
+            return np.log(a_) + (-1.0 / a_ - 1.0) * np.log(
+                a_ + np.power(z, a_)
+            )
+
+    def _cdf(self, z, a_):
+        z = np.asarray(z, dtype=np.float64)
+        out = np.zeros_like(z)
+        pos = z > 0
+        zp = z[pos]
+        out[pos] = zp * np.power(a_ + np.power(zp, a_), -1.0 / a_)
+        return out
+
+    def _ppf(self, q, a_):
+        q = np.asarray(q, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            return q * np.power(a_ / (1.0 - np.power(q, a_)), 1.0 / a_)
+
+    def _fit_start(self, data):
+        loc = float(np.min(data)) - 0.01 * (np.ptp(data) or 1.0)
+        return (2.0, loc, float(np.median(data - loc)) or 1.0)
+
+
+class LaplaceAsymmetric(ContinuousDistribution):
+    """Asymmetric Laplace (scipy laplace_asymmetric, shape kappa)."""
+
+    name = "laplace_asymmetric"
+    shapes = ("kappa",)
+
+    def _logpdf(self, z, kappa):
+        pref = np.log(kappa / (1.0 + kappa * kappa))
+        return pref + np.where(z >= 0, -z * kappa, z / kappa)
+
+    def _cdf(self, z, kappa):
+        z = np.asarray(z, dtype=np.float64)
+        k2 = kappa * kappa
+        with np.errstate(over="ignore"):
+            lower = k2 / (1.0 + k2) * np.exp(z / kappa)
+            upper = 1.0 - np.exp(-z * kappa) / (1.0 + k2)
+        return np.where(z < 0, lower, upper)
+
+    def _ppf(self, q, kappa):
+        q = np.asarray(q, dtype=np.float64)
+        k2 = kappa * kappa
+        split = k2 / (1.0 + k2)
+        with np.errstate(divide="ignore"):
+            lo = kappa * np.log(q * (1.0 + k2) / k2)
+            hi = -np.log((1.0 - q) * (1.0 + k2)) / kappa
+        return np.where(q < split, lo, hi)
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        return (1.0, float(np.median(data)), s / _SQRT2)
+
+
+class HalfGenNorm(ContinuousDistribution):
+    """pdf = beta / Gamma(1/beta) exp(-z^beta), z > 0 (scipy halfgennorm)."""
+
+    name = "halfgennorm"
+    shapes = ("beta",)
+    a = 0.0
+
+    def _logpdf(self, z, beta):
+        with np.errstate(over="ignore"):
+            return np.log(beta) - sp.gammaln(1.0 / beta) - np.power(z, beta)
+
+    def _cdf(self, z, beta):
+        z = np.asarray(z, dtype=np.float64)
+        out = np.zeros_like(z)
+        pos = z > 0
+        out[pos] = sp.gammainc(1.0 / beta, np.power(z[pos], beta))
+        return out
+
+    def _ppf(self, q, beta):
+        return np.power(sp.gammaincinv(1.0 / beta, np.asarray(q)), 1.0 / beta)
+
+    def _fit_start(self, data):
+        loc = float(np.min(data)) - 1e-4 * (np.ptp(data) or 1.0)
+        return (2.0, loc, float(np.std(data)) * _SQRT2 or 1.0)
+
+
+class GenHalfLogistic(ContinuousDistribution):
+    """Support [0, 1/c]; cdf = (1-(1-cz)^(1/c)) / (1+(1-cz)^(1/c))."""
+
+    name = "genhalflogistic"
+    shapes = ("c",)
+    a = 0.0
+
+    def _get_support(self, c):
+        return 0.0, 1.0 / c
+
+    def _pdf(self, z, c):
+        u = np.clip(1.0 - c * np.asarray(z, dtype=np.float64), 0.0, None)
+        t = np.power(u, 1.0 / c - 1.0)
+        tc = np.power(u, 1.0 / c)
+        return 2.0 * t / np.square(1.0 + tc)
+
+    def _logpdf(self, z, c):
+        with np.errstate(divide="ignore"):
+            return np.log(self._pdf(z, c))
+
+    def _cdf(self, z, c):
+        u = np.clip(1.0 - c * np.asarray(z, dtype=np.float64), 0.0, 1.0)
+        tc = np.power(u, 1.0 / c)
+        return (1.0 - tc) / (1.0 + tc)
+
+    def _ppf(self, q, c):
+        q = np.asarray(q, dtype=np.float64)
+        tc = (1.0 - q) / (1.0 + q)
+        return (1.0 - np.power(tc, c)) / c
+
+    def _fit_start(self, data):
+        rng = float(np.ptp(data)) or 1.0
+        loc = float(np.min(data)) - 0.01 * rng
+        c0 = 0.5
+        scale = rng * 1.05 * c0
+        return (c0, loc, scale)
+
+
+class TruncNorm(ContinuousDistribution):
+    """Normal truncated to [a, b] in standard units (scipy truncnorm)."""
+
+    name = "truncnorm"
+    shapes = ("a_", "b_")
+    shape_pos = (False, False)
+
+    def _check_shapes(self, shapes) -> bool:
+        a_, b_ = shapes
+        return bool(np.isfinite(a_) and np.isfinite(b_) and a_ < b_)
+
+    def _get_support(self, a_, b_):
+        return a_, b_
+
+    def _mass(self, a_, b_):
+        return max(float(sp.ndtr(np.array([b_]))[0] - sp.ndtr(np.array([a_]))[0]), 1e-300)
+
+    def _logpdf(self, z, a_, b_):
+        return -0.5 * z * z - _LOG_SQRT2PI - np.log(self._mass(a_, b_))
+
+    def _cdf(self, z, a_, b_):
+        lo = float(sp.ndtr(np.array([a_]))[0])
+        return np.clip((sp.ndtr(z) - lo) / self._mass(a_, b_), 0.0, 1.0)
+
+    def _ppf(self, q, a_, b_):
+        lo = float(sp.ndtr(np.array([a_]))[0])
+        return sp.ndtri(lo + np.asarray(q) * self._mass(a_, b_))
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        lo = (float(np.min(data)) - m) / s - 0.1
+        hi = (float(np.max(data)) - m) / s + 0.1
+        return (lo, hi, m, s)
+
+
+class TruncPareto(ContinuousDistribution):
+    """Pareto truncated at c: support [1, c] (scipy truncpareto)."""
+
+    name = "truncpareto"
+    shapes = ("b_", "c")
+    a = 1.0
+
+    def _check_shapes(self, shapes) -> bool:
+        b_, c = shapes
+        return bool(np.isfinite(b_) and np.isfinite(c) and b_ > 0 and c > 1)
+
+    def _get_support(self, b_, c):
+        return 1.0, c
+
+    def _logpdf(self, z, b_, c):
+        norm = 1.0 - np.power(c, -b_)
+        with np.errstate(divide="ignore"):
+            return (
+                np.log(b_) - (b_ + 1.0) * np.log(z) - np.log(norm)
+            )
+
+    def _cdf(self, z, b_, c):
+        norm = 1.0 - np.power(c, -b_)
+        out = (1.0 - np.power(np.clip(z, 1.0, c), -b_)) / norm
+        return np.clip(out, 0.0, 1.0)
+
+    def _ppf(self, q, b_, c):
+        norm = 1.0 - np.power(c, -b_)
+        return np.power(1.0 - np.asarray(q) * norm, -1.0 / b_)
+
+    def _fit_start(self, data):
+        rng = float(np.ptp(data)) or 1.0
+        lo = float(np.min(data))
+        scale = max(lo - 0.0, rng * 0.5)
+        loc = lo - scale * 1.0 - 0.005 * rng
+        scale = lo - loc
+        hi_z = (float(np.max(data)) - loc) / scale
+        return (1.5, hi_z * 1.05, loc, scale)
+
+
+class LogUniform(ContinuousDistribution):
+    """pdf ~ 1/z on [a, b] (scipy loguniform / reciprocal)."""
+
+    name = "loguniform"
+    shapes = ("a_", "b_")
+
+    def _check_shapes(self, shapes) -> bool:
+        a_, b_ = shapes
+        return bool(
+            np.isfinite(a_) and np.isfinite(b_) and 0 < a_ < b_
+        )
+
+    def _get_support(self, a_, b_):
+        return a_, b_
+
+    def _logpdf(self, z, a_, b_):
+        with np.errstate(divide="ignore"):
+            return -np.log(z) - np.log(np.log(b_ / a_))
+
+    def _cdf(self, z, a_, b_):
+        with np.errstate(divide="ignore"):
+            out = np.log(np.clip(z, a_, b_) / a_) / np.log(b_ / a_)
+        return np.clip(out, 0.0, 1.0)
+
+    def _ppf(self, q, a_, b_):
+        return a_ * np.power(b_ / a_, np.asarray(q, dtype=np.float64))
+
+    def _fit_start(self, data):
+        rng = float(np.ptp(data)) or 1.0
+        loc = float(np.min(data)) - 0.01 * rng
+        lo = float(np.min(data)) - loc
+        hi = float(np.max(data)) - loc
+        return (max(lo, 1e-6), hi * 1.02, loc, 1.0)
+
+
+class Reciprocal(LogUniform):
+    """scipy alias of loguniform."""
+
+    name = "reciprocal"
+
+
+class RDist(ContinuousDistribution):
+    """pdf ~ (1-z^2)^(c/2-1) on [-1, 1]; cdf = betainc(c/2, c/2, (z+1)/2)."""
+
+    name = "rdist"
+    shapes = ("c",)
+    a, b = -1.0, 1.0
+
+    def _logpdf(self, z, c):
+        with np.errstate(divide="ignore"):
+            return (
+                (0.5 * c - 1.0) * np.log1p(-np.square(z))
+                - sp.betaln(0.5 * c, 0.5 * c) - np.log(2.0) * (c - 1.0)
+            )
+
+    def _cdf(self, z, c):
+        u = np.clip((np.asarray(z, dtype=np.float64) + 1.0) / 2.0, 0.0, 1.0)
+        return sp.betainc(0.5 * c, 0.5 * c, u)
+
+    def _ppf(self, q, c):
+        return 2.0 * sp.betaincinv(0.5 * c, 0.5 * c, np.asarray(q)) - 1.0
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        rng = float(np.ptp(data)) or 1.0
+        scale = rng * 0.55
+        # var of standard rdist = 1/(c+1) -> c = scale^2/s^2 - 1
+        c0 = float(np.clip(scale * scale / (s * s) - 1.0, 0.5, 50.0))
+        return (c0, m, scale)
+
+
+class SkewNorm(ContinuousDistribution):
+    """Azzalini skew-normal: pdf = 2 phi(z) Phi(a z);
+    cdf = Phi(z) - 2 T(z, a) with Owen's T by fixed quadrature."""
+
+    name = "skewnorm"
+    shapes = ("a_",)
+    shape_pos = (False,)
+
+    @staticmethod
+    def _owens_t(h, a):
+        """Owen's T via 64-node Simpson on x in [0, a] (vectorized)."""
+        h = np.atleast_1d(np.asarray(h, dtype=np.float64))
+        sign = np.sign(a)
+        a = abs(float(a))
+        if a < 1e-12:
+            return np.zeros_like(h)
+        n = 64
+        x = np.linspace(0.0, a, n + 1)
+        w = np.ones(n + 1)
+        w[1:-1:2], w[2:-1:2] = 4.0, 2.0
+        w *= (a / n) / 3.0
+        integrand = np.exp(
+            -0.5 * np.square(h)[:, None] * (1.0 + np.square(x)[None, :])
+        ) / (1.0 + np.square(x)[None, :])
+        return sign * (integrand @ w) / (2.0 * np.pi)
+
+    def _logpdf(self, z, a_):
+        return (
+            np.log(2.0) - 0.5 * z * z - _LOG_SQRT2PI
+            + sp.log_ndtr(a_ * np.asarray(z, dtype=np.float64))
+        )
+
+    def _cdf(self, z, a_):
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        return np.clip(sp.ndtr(z) - 2.0 * self._owens_t(z, a_), 0.0, 1.0)
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        skew = float(np.mean(((data - m) / s) ** 3))
+        a0 = float(np.clip(skew * 4.0, -8.0, 8.0))
+        if abs(a0) < 0.2:
+            a0 = 0.2 if skew >= 0 else -0.2
+        delta = a0 / np.sqrt(1.0 + a0 * a0)
+        omega = s / np.sqrt(max(1.0 - 2.0 * delta * delta / np.pi, 0.1))
+        xi = m - omega * delta * np.sqrt(2.0 / np.pi)
+        return (a0, xi, omega)
+
+
+class SkewCauchy(ContinuousDistribution):
+    """Two-piece (Fechner) skew-Cauchy: scale (1 - a) below the mode and
+    (1 + a) above it, |a| < 1."""
+
+    name = "skewcauchy"
+    shapes = ("a_",)
+    shape_pos = (False,)
+
+    def _check_shapes(self, shapes) -> bool:
+        return bool(np.isfinite(shapes[0]) and abs(shapes[0]) < 1)
+
+    def _sigma(self, z, a_):
+        return np.where(np.asarray(z) < 0, 1.0 - a_, 1.0 + a_)
+
+    def _logpdf(self, z, a_):
+        s = self._sigma(z, a_)
+        return -np.log(np.pi) - np.log1p(np.square(z / s))
+
+    def _cdf(self, z, a_):
+        z = np.asarray(z, dtype=np.float64)
+        s_lo, s_hi = 1.0 - a_, 1.0 + a_
+        lower = s_lo / np.pi * (np.arctan(z / s_lo) + np.pi / 2.0)
+        upper = s_lo / 2.0 + s_hi / np.pi * np.arctan(z / s_hi)
+        return np.where(z < 0, lower, upper)
+
+    def _ppf(self, q, a_):
+        q = np.asarray(q, dtype=np.float64)
+        s_lo, s_hi = 1.0 - a_, 1.0 + a_
+        split = s_lo / 2.0
+        lo = s_lo * np.tan(np.pi * q / s_lo - np.pi / 2.0)
+        hi = s_hi * np.tan(np.pi * (q - split) / s_hi)
+        return np.where(q < split, lo, hi)
+
+    def _fit_start(self, data):
+        med = float(np.median(data))
+        q1, q3 = np.percentile(data, [25, 75])
+        return (0.0, med, max((q3 - q1) / 2.0, 1e-6))
+
+
+class Trapezoid(ContinuousDistribution):
+    """Trapezoidal on [0,1] with plateau [c, d] (scipy trapezoid)."""
+
+    name = "trapezoid"
+    shapes = ("c", "d")
+    shape_pos = (False, False)
+    a, b = 0.0, 1.0
+
+    def _check_shapes(self, shapes) -> bool:
+        c, d = shapes
+        return bool(
+            np.isfinite(c) and np.isfinite(d) and 0.0 <= c <= d <= 1.0
+            and not (c == 0.0 and d == 0.0) and not (c == 1.0 and d == 1.0)
+        )
+
+    def _height(self, c, d):
+        return 2.0 / (d - c + 1.0)
+
+    def _pdf(self, z, c, d):
+        z = np.asarray(z, dtype=np.float64)
+        h = self._height(c, d)
+        up = np.where(c > 0, h * z / max(c, 1e-300), h)
+        down = np.where(d < 1, h * (1.0 - z) / max(1.0 - d, 1e-300), h)
+        out = np.where(z < c, up, np.where(z <= d, h, down))
+        return np.where((z < 0) | (z > 1), 0.0, out)
+
+    def _logpdf(self, z, c, d):
+        with np.errstate(divide="ignore"):
+            return np.log(self._pdf(z, c, d))
+
+    def _cdf(self, z, c, d):
+        z = np.clip(np.asarray(z, dtype=np.float64), 0.0, 1.0)
+        h = self._height(c, d)
+        rise = np.where(
+            c > 0, 0.5 * h * np.square(z) / max(c, 1e-300), 0.0
+        )
+        mid = 0.5 * h * c + h * (z - c)
+        fall = 1.0 - np.where(
+            d < 1,
+            0.5 * h * np.square(1.0 - z) / max(1.0 - d, 1e-300),
+            0.0,
+        )
+        return np.clip(
+            np.where(z < c, rise, np.where(z <= d, mid, fall)), 0.0, 1.0
+        )
+
+    def _fit_start(self, data):
+        rng = float(np.ptp(data)) or 1.0
+        loc = float(np.min(data)) - 0.01 * rng
+        scale = rng * 1.02
+        return (0.25, 0.75, loc, scale)
+
+
+class Argus(ContinuousDistribution):
+    """ARGUS on (0, 1): cdf = 1 - Psi(chi sqrt(1-z^2)) / Psi(chi),
+    Psi(t) = Phi(t) - t phi(t) - 1/2."""
+
+    name = "argus"
+    shapes = ("chi",)
+    a, b = 0.0, 1.0
+
+    @staticmethod
+    def _psi(t):
+        t = np.asarray(t, dtype=np.float64)
+        return sp.ndtr(t) - t * _phi(t) - 0.5
+
+    def _pdf(self, z, chi):
+        z = np.asarray(z, dtype=np.float64)
+        u = 1.0 - np.square(z)
+        pref = chi**3 / (np.sqrt(2.0 * np.pi) * self._psi(chi))
+        out = pref * z * np.sqrt(np.clip(u, 0.0, None)) * np.exp(
+            -0.5 * chi * chi * u
+        )
+        return np.where((z <= 0) | (z >= 1), 0.0, out)
+
+    def _logpdf(self, z, chi):
+        with np.errstate(divide="ignore"):
+            return np.log(self._pdf(z, chi))
+
+    def _cdf(self, z, chi):
+        z = np.clip(np.asarray(z, dtype=np.float64), 0.0, 1.0)
+        u = np.sqrt(1.0 - np.square(z))
+        return np.clip(1.0 - self._psi(chi * u) / self._psi(chi), 0.0, 1.0)
+
+    def _fit_start(self, data):
+        rng = float(np.ptp(data)) or 1.0
+        loc = float(np.min(data)) - 0.02 * rng
+        scale = rng * 1.08
+        return (1.0, loc, scale)
+
+
+class CrystalBall(ContinuousDistribution):
+    """Gaussian core with power-law lower tail (scipy crystalball)."""
+
+    name = "crystalball"
+    shapes = ("beta", "m")
+
+    def _check_shapes(self, shapes) -> bool:
+        beta, m = shapes
+        return bool(
+            np.isfinite(beta) and np.isfinite(m) and beta > 0 and m > 1
+        )
+
+    def _norm_const(self, beta, m):
+        # integral of the two pieces
+        tail = m / (beta * (m - 1.0)) * np.exp(-0.5 * beta * beta)
+        core = _SQRT_HALF_PI * (1.0 + sp.erf(beta / _SQRT2))
+        return tail + core
+
+    def _pdf(self, z, beta, m):
+        z = np.asarray(z, dtype=np.float64)
+        n = 1.0 / self._norm_const(beta, m)
+        a_const = (m / beta) ** m * np.exp(-0.5 * beta * beta)
+        b_const = m / beta - beta
+        with np.errstate(over="ignore"):
+            tail = a_const * np.power(
+                np.clip(b_const - z, 1e-300, None), -m
+            )
+            core = np.exp(-0.5 * np.square(z))
+        return n * np.where(z > -beta, core, tail)
+
+    def _logpdf(self, z, beta, m):
+        with np.errstate(divide="ignore"):
+            return np.log(self._pdf(z, beta, m))
+
+    def _cdf(self, z, beta, m):
+        z = np.asarray(z, dtype=np.float64)
+        n = 1.0 / self._norm_const(beta, m)
+        a_const = (m / beta) ** m * np.exp(-0.5 * beta * beta)
+        b_const = m / beta - beta
+        with np.errstate(over="ignore"):
+            tail = (
+                a_const / (m - 1.0)
+                * np.power(np.clip(b_const - z, 1e-300, None), -(m - 1.0))
+            )
+            core = (
+                a_const / (m - 1.0) * np.power(m / beta, -(m - 1.0))
+                + _SQRT_HALF_PI * (sp.erf(z / _SQRT2) + sp.erf(beta / _SQRT2))
+            )
+        return np.clip(n * np.where(z > -beta, core, tail), 0.0, 1.0)
+
+    def _fit_start(self, data):
+        m_, s = _std_moments(data)
+        return (1.5, 3.0, m_, s)
+
+
+class WrapCauchy(ContinuousDistribution):
+    """Wrapped Cauchy on [0, 2 pi] (scipy wrapcauchy, shape c in (0,1))."""
+
+    name = "wrapcauchy"
+    shapes = ("c",)
+    a, b = 0.0, 2.0 * np.pi
+
+    def _check_shapes(self, shapes) -> bool:
+        return bool(np.isfinite(shapes[0]) and 0 < shapes[0] < 1)
+
+    def _pdf(self, z, c):
+        return (1.0 - c * c) / (
+            2.0 * np.pi * (1.0 + c * c - 2.0 * c * np.cos(z))
+        )
+
+    def _logpdf(self, z, c):
+        return np.log(self._pdf(z, c))
+
+    def _cdf(self, z, c):
+        z = np.clip(np.asarray(z, dtype=np.float64), 0.0, 2.0 * np.pi)
+        r = (1.0 + c) / (1.0 - c)
+        half = z < np.pi
+        with np.errstate(divide="ignore"):
+            low = np.arctan(r * np.tan(0.5 * z)) / np.pi
+            high = 1.0 - np.arctan(r * np.tan(0.5 * (2.0 * np.pi - z))) / np.pi
+        out = np.where(half, low, high)
+        out = np.where(z <= 0.0, 0.0, out)
+        return np.clip(np.where(z >= 2.0 * np.pi, 1.0, out), 0.0, 1.0)
+
+    def _ppf(self, q, c):
+        q = np.asarray(q, dtype=np.float64)
+        rinv = (1.0 - c) / (1.0 + c)
+        low = 2.0 * np.arctan(rinv * np.tan(np.pi * q))
+        high = 2.0 * np.pi - 2.0 * np.arctan(
+            rinv * np.tan(np.pi * (1.0 - q))
+        )
+        return np.where(q < 0.5, low, high)
+
+    def _fit_start(self, data):
+        rng = float(np.ptp(data)) or 1.0
+        loc = float(np.min(data)) - 0.01 * rng
+        scale = rng * 1.02 / (2.0 * np.pi)
+        return (0.5, loc, scale)
+
+
+class Pearson3(ContinuousDistribution):
+    """Pearson type III (scipy pearson3, shape skew): a gamma
+    reparameterized to zero mean / unit variance at any skew."""
+
+    name = "pearson3"
+    shapes = ("skew",)
+    shape_pos = (False,)
+
+    def _check_shapes(self, shapes) -> bool:
+        return bool(np.isfinite(shapes[0]) and abs(shapes[0]) > 1e-8)
+
+    def _get_support(self, skew):
+        zeta = -2.0 / skew
+        if skew > 0:
+            return zeta, np.inf
+        return -np.inf, zeta
+
+    def _gamma_args(self, skew):
+        alpha = 4.0 / (skew * skew)
+        beta = 2.0 / abs(skew)  # rate
+        zeta = -2.0 / skew
+        return alpha, beta, zeta
+
+    def _logpdf(self, z, skew):
+        alpha, beta, zeta = self._gamma_args(skew)
+        t = (z - zeta) if skew > 0 else (zeta - z)
+        t = np.clip(np.asarray(t, dtype=np.float64), 1e-300, None)
+        return (
+            alpha * np.log(beta)
+            + (alpha - 1.0) * np.log(t)
+            - beta * t
+            - sp.gammaln(alpha)
+        )
+
+    def _cdf(self, z, skew):
+        alpha, beta, zeta = self._gamma_args(skew)
+        z = np.asarray(z, dtype=np.float64)
+        if skew > 0:
+            t = np.clip(beta * (z - zeta), 0.0, None)
+            return sp.gammainc(alpha, t)
+        t = np.clip(beta * (zeta - z), 0.0, None)
+        return 1.0 - sp.gammainc(alpha, t)
+
+    def _ppf(self, q, skew):
+        alpha, beta, zeta = self._gamma_args(skew)
+        q = np.asarray(q, dtype=np.float64)
+        if skew > 0:
+            return zeta + sp.gammaincinv(alpha, q) / beta
+        return zeta - sp.gammaincinv(alpha, 1.0 - q) / beta
+
+    def _fit_start(self, data):
+        m, s = _std_moments(data)
+        skew = float(np.mean(((data - m) / s) ** 3))
+        skew = float(np.clip(skew, -4.0, 4.0))
+        if abs(skew) < 0.05:
+            skew = 0.05 if skew >= 0 else -0.05
+        return (skew, m, s)
+
+
+_EXT_CLASSES = [
+    Argus,
+    CrystalBall,
+    ExponNorm,
+    FatigueLife,
+    GenHalfLogistic,
+    HalfGenNorm,
+    InvGamma,
+    Kappa3,
+    LaplaceAsymmetric,
+    LevyL,
+    LogUniform,
+    Moyal,
+    Pearson3,
+    PowerNorm,
+    RDist,
+    Reciprocal,
+    SkewCauchy,
+    SkewNorm,
+    Trapezoid,
+    TruncNorm,
+    TruncPareto,
+    WrapCauchy,
+]
+
+CONTINUOUS.update({cls().name: cls() for cls in _EXT_CLASSES})

@@ -17,6 +17,9 @@ from spark_bestfit_spark.functions.distributions.base import (
     DiscreteDistribution,
 )
 from spark_bestfit_spark.functions.distributions.continuous import CONTINUOUS
+from spark_bestfit_spark.functions.distributions import (  # noqa: F401
+    continuous_ext,  # registers the extended library into CONTINUOUS
+)
 from spark_bestfit_spark.functions.distributions.discrete import DISCRETE
 
 # Distributions whose MLE is noticeably slower / less stable here; kept out
@@ -46,6 +49,12 @@ SLOW_DISTRIBUTIONS: set = {
     "invgauss",
     "nakagami",
     "foldnorm",
+    "skewnorm",      # Owen's T quadrature in the CDF
+    "pearson3",
+    "crystalball",
+    "exponnorm",
+    "trapezoid",
+    "truncnorm",
 }
 
 

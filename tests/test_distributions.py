@@ -28,6 +28,15 @@ SHAPE_CASES = {
     "genpareto": (0.3,),
     "foldnorm": (1.5,),
     "foldcauchy": (1.5,),
+    # extended library — shapes with ordering / range constraints
+    "loguniform": (1.0, 8.0),
+    "reciprocal": (1.0, 8.0),
+    "truncnorm": (-1.0, 2.0),
+    "truncpareto": (1.8, 5.0),
+    "trapezoid": (0.2, 0.7),
+    "skewcauchy": (0.5,),
+    "wrapcauchy": (0.5,),
+    "crystalball": (1.5, 3.0),
 }
 
 QS = np.array([0.001, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.999])

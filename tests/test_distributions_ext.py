@@ -1,0 +1,124 @@
+"""Tests for the extended distribution library (parity batch to ~82
+continuous distributions). Every new distribution gets: CDF/PPF
+round-trip, PDF = d(CDF)/dx, and MLE recovery (fit log-likelihood not
+materially worse than the truth)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_bestfit_spark.functions.distributions.registry import (
+    CONTINUOUS,
+    get_continuous,
+)
+
+NEW_CASES = [
+    ("argus", (2.0, 0.0, 1.0)),
+    ("crystalball", (1.5, 3.0, 0.0, 1.0)),
+    ("exponnorm", (1.5, 0.0, 1.0)),
+    ("fatiguelife", (0.5, 0.0, 1.0)),
+    ("genhalflogistic", (0.5, 0.0, 1.0)),
+    ("halfgennorm", (1.5, 0.0, 1.0)),
+    ("invgamma", (3.0, 0.0, 1.0)),
+    ("kappa3", (2.0, 0.0, 1.0)),
+    ("laplace_asymmetric", (1.5, 0.0, 1.0)),
+    ("levy_l", (0.0, 1.0)),
+    ("loguniform", (1.0, 8.0, 0.0, 1.0)),
+    ("moyal", (0.0, 1.0)),
+    ("pearson3", (1.0, 0.0, 1.0)),
+    ("pearson3", (-1.0, 0.0, 1.0)),  # negative-skew branch
+    ("powernorm", (2.0, 0.0, 1.0)),
+    ("rdist", (3.0, 0.0, 1.0)),
+    ("reciprocal", (1.0, 8.0, 0.0, 1.0)),
+    ("skewcauchy", (0.5, 0.0, 1.0)),
+    ("skewcauchy", (-0.5, 0.0, 1.0)),
+    ("skewnorm", (3.0, 0.0, 1.0)),
+    ("skewnorm", (-3.0, 0.0, 1.0)),
+    ("trapezoid", (0.2, 0.7, 0.0, 1.0)),
+    ("truncnorm", (-1.0, 2.0, 0.0, 1.0)),
+    ("truncpareto", (1.8, 5.0, 0.0, 1.0)),
+    ("wrapcauchy", (0.5, 0.0, 1.0)),
+]
+
+Q = np.array([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+
+
+class TestExtendedLibrary:
+    def test_registry_size(self):
+        assert len(CONTINUOUS) >= 82
+
+    @pytest.mark.parametrize("name,params", NEW_CASES)
+    def test_cdf_ppf_roundtrip(self, name, params):
+        d = get_continuous(name)
+        x = d.ppf(Q, *params)
+        assert np.all(np.isfinite(x)), x
+        assert np.allclose(d.cdf(x, *params), Q, atol=2e-4)
+
+    @pytest.mark.parametrize("name,params", NEW_CASES)
+    def test_pdf_is_cdf_derivative(self, name, params):
+        d = get_continuous(name)
+        m = d.ppf(np.array([0.4]), *params)[0]
+        h = 1e-5 * max(abs(m), 1.0)
+        num = (
+            d.cdf(np.array([m + h]), *params)[0]
+            - d.cdf(np.array([m - h]), *params)[0]
+        ) / (2 * h)
+        pdfv = d.pdf(np.array([m]), *params)[0]
+        assert abs(num - pdfv) < 5e-3 * max(pdfv, 1e-6)
+
+    @pytest.mark.parametrize("name,params", NEW_CASES)
+    def test_cdf_monotone_in_support(self, name, params):
+        d = get_continuous(name)
+        x = d.ppf(np.linspace(0.02, 0.98, 49), *params)
+        c = d.cdf(x, *params)
+        assert np.all(np.diff(c) >= -1e-12)
+
+    @pytest.mark.parametrize("name,params", NEW_CASES)
+    def test_fit_recovery(self, name, params):
+        d = get_continuous(name)
+        s = d.rvs(params, 4000, np.random.default_rng(42))
+        assert np.all(np.isfinite(s))
+        fitted = d.fit(s)
+        ll_true = -d.nnlf(params, s)
+        ll_fit = -d.nnlf(fitted, s)
+        assert np.isfinite(ll_fit)
+        assert ll_fit > ll_true - 0.05 * abs(ll_true) - 50.0
+
+    def test_pearson3_support_sides(self):
+        d = get_continuous("pearson3")
+        # positive skew: bounded below; negative skew: bounded above
+        lo, hi = d.support(1.0, 0.0, 1.0)
+        assert np.isfinite(lo) and not np.isfinite(hi)
+        lo, hi = d.support(-1.0, 0.0, 1.0)
+        assert not np.isfinite(lo) and np.isfinite(hi)
+
+    def test_truncnorm_respects_bounds(self):
+        d = get_continuous("truncnorm")
+        s = d.rvs((-1.0, 2.0, 10.0, 3.0), 2000, np.random.default_rng(0))
+        assert s.min() >= 10.0 - 3.0 - 1e-9
+        assert s.max() <= 10.0 + 6.0 + 1e-9
+
+    def test_loguniform_log_is_uniform(self):
+        d = get_continuous("loguniform")
+        s = d.rvs((1.0, 100.0, 0.0, 1.0), 20_000, np.random.default_rng(1))
+        logs = np.log(s)
+        hist, _ = np.histogram(logs, bins=10, range=(0, np.log(100)))
+        assert hist.std() / hist.mean() < 0.12  # near-flat
+
+    def test_skewnorm_zero_skew_limit_matches_normal(self):
+        d = get_continuous("skewnorm")
+        norm = get_continuous("norm")
+        x = np.linspace(-3, 3, 31)
+        a_small = d.cdf(x, 1e-6, 0.0, 1.0)
+        assert np.allclose(a_small, norm.cdf(x, 0.0, 1.0), atol=1e-5)
+
+    def test_fitter_runs_full_library(self, spark, lineitem):
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        res = DistributionFitter(spark).fit(
+            lineitem.limit(2000), column="l_extendedprice",
+            lazy_metrics=True,
+        )
+        # most of the 80+ distributions should produce non-sentinel fits
+        assert res.count() >= 55
