@@ -1,0 +1,12 @@
+"""Structured Streaming extensions.
+
+The reference engine has no streaming operators (SURVEY §2.11); its
+drift-detection use case (examples/spark/usecase_drift_detection.ipynb)
+is repeated batch fits. This package provides the Spark-native version:
+``foreachBatch`` re-fitting with K-S drift scoring against a reference
+model, plus windowed streaming statistics.
+"""
+
+from spark_bestfit_spark.streaming.drift import DriftMonitor, ks_drift_score
+
+__all__ = ["DriftMonitor", "ks_drift_score"]
