@@ -328,6 +328,9 @@ def betaincinv(a, b, p, itmax=80):
     lbeta = betaln(ac, bc)
     for _ in range(itmax):
         f = betainc(ac, bc, x) - pc
+        done = np.abs(f) < 1e-14
+        if np.all(done):
+            break
         lo = np.where(f < 0, x, lo)
         hi = np.where(f > 0, x, hi)
         with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
@@ -335,9 +338,10 @@ def betaincinv(a, b, p, itmax=80):
             dfdx = np.exp(logpdf)
         newton = x - np.where(dfdx > 0, f / np.where(dfdx > 0, dfdx, 1.0), 0.0)
         inside = (newton > lo) & (newton < hi) & np.isfinite(newton)
-        x = np.where(inside, newton, 0.5 * (lo + hi))
-        if np.all(np.abs(f) < 1e-14):
-            break
+        # converged elements must hold their value: a further "update"
+        # would clobber them with the (stale) bisection midpoint while
+        # other elements keep iterating
+        x = np.where(done, x, np.where(inside, newton, 0.5 * (lo + hi)))
     out[core] = x
     return out if out.shape else float(out)
 

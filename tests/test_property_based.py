@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis) — reference test layer 3
+(test_property_based.py semantics): serialization round-trips preserve
+fields; PDF >= 0; CDF in [0,1] and monotone; PPF inverts CDF — over
+randomized parameters for a set of stable distributions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spark_bestfit_spark.functions.distributions.registry import (
+    get_continuous,
+    get_discrete,
+)
+from spark_bestfit_spark.results import DistributionFitResult
+
+# Stable families and their valid param strategies (loc, scale kept sane)
+LOC = st.floats(-100.0, 100.0)
+SCALE = st.floats(0.01, 100.0)
+POS_SHAPE = st.floats(0.3, 8.0)
+
+CONTINUOUS_STRATEGIES = {
+    "norm": st.tuples(LOC, SCALE),
+    "expon": st.tuples(LOC, SCALE),
+    "uniform": st.tuples(LOC, SCALE),
+    "logistic": st.tuples(LOC, SCALE),
+    "laplace": st.tuples(LOC, SCALE),
+    "gumbel_r": st.tuples(LOC, SCALE),
+    "gumbel_l": st.tuples(LOC, SCALE),
+    "rayleigh": st.tuples(LOC, SCALE),
+    "gamma": st.tuples(POS_SHAPE, LOC, SCALE),
+    "lognorm": st.tuples(st.floats(0.1, 2.0), LOC, SCALE),
+    "weibull_min": st.tuples(st.floats(0.5, 5.0), LOC, SCALE),
+    "pareto": st.tuples(st.floats(1.2, 8.0), LOC, SCALE),
+    "chi2": st.tuples(st.floats(1.0, 30.0), LOC, SCALE),
+    "beta": st.tuples(POS_SHAPE, POS_SHAPE, LOC, SCALE),
+    "t": st.tuples(st.floats(2.5, 30.0), LOC, SCALE),
+    "invgamma": st.tuples(st.floats(1.5, 8.0), LOC, SCALE),
+}
+
+QS = np.array([0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99])
+
+
+@pytest.mark.parametrize("name", sorted(CONTINUOUS_STRATEGIES))
+class TestContinuousProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def test_cdf_in_unit_interval_and_monotone(self, name, data):
+        params = data.draw(CONTINUOUS_STRATEGIES[name])
+        d = get_continuous(name)
+        x = d.ppf(QS, *params)
+        c = d.cdf(x, *params)
+        assert np.all((c >= 0.0) & (c <= 1.0))
+        assert np.all(np.diff(c) >= -1e-9)
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def test_pdf_nonnegative(self, name, data):
+        params = data.draw(CONTINUOUS_STRATEGIES[name])
+        d = get_continuous(name)
+        x = d.ppf(np.linspace(0.05, 0.95, 13), *params)
+        assert np.all(d.pdf(x, *params) >= 0.0)
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def test_ppf_inverts_cdf(self, name, data):
+        params = data.draw(CONTINUOUS_STRATEGIES[name])
+        d = get_continuous(name)
+        x = d.ppf(QS, *params)
+        assert np.all(np.isfinite(x))
+        back = d.cdf(x, *params)
+        assert np.allclose(back, QS, atol=5e-4)
+
+
+DISCRETE_STRATEGIES = {
+    "poisson": st.tuples(st.floats(0.2, 40.0)),
+    "geom": st.tuples(st.floats(0.05, 0.95)),
+    "bernoulli": st.tuples(st.floats(0.05, 0.95)),
+    "nbinom": st.tuples(st.floats(1.0, 20.0), st.floats(0.1, 0.9)),
+    "binom": st.tuples(st.integers(1, 40), st.floats(0.05, 0.95)),
+    "dlaplace": st.tuples(st.floats(0.1, 2.0)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(DISCRETE_STRATEGIES))
+class TestDiscreteProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.data())
+    def test_pmf_sums_to_one(self, name, data):
+        params = tuple(
+            float(v) for v in data.draw(DISCRETE_STRATEGIES[name])
+        ) + (0.0,)
+        d = get_discrete(name)
+        hi = d.ppf(np.array([0.99999]), *params)[0]
+        if not np.isfinite(hi):
+            hi = 1000
+        # two-sided support (e.g. dlaplace) needs a low tail too
+        lo = 0 if np.isfinite(d.a) and d.a >= 0 else -int(hi) - 200
+        ks = np.arange(lo, min(int(hi) + 200, 5000))
+        total = float(np.sum(d.pmf(ks, *params)))
+        assert total == pytest.approx(1.0, abs=2e-3)
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.data())
+    def test_cdf_matches_pmf_cumsum(self, name, data):
+        params = tuple(
+            float(v) for v in data.draw(DISCRETE_STRATEGIES[name])
+        ) + (0.0,)
+        d = get_discrete(name)
+        lo = 0 if np.isfinite(d.a) and d.a >= 0 else -300
+        ks = np.arange(lo, 30)
+        cum = np.cumsum(d.pmf(ks, *params))
+        base = float(d.cdf(np.array([lo - 1.0]), *params)[0])
+        cdf = d.cdf(ks, *params)
+        assert np.allclose(base + cum, cdf, atol=1e-5)
+
+
+class TestSerializationProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        dist=st.sampled_from(["norm", "gamma", "lognorm", "expon"]),
+        col=st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1, max_size=12,
+        ),
+        sse=st.floats(0, 1e6, allow_nan=False),
+        lb=st.none() | st.floats(-1e6, 0),
+    )
+    def test_result_roundtrip_preserves_fields(self, dist, col, sse, lb):
+        n_shapes = {"norm": 0, "expon": 0, "gamma": 1, "lognorm": 1}[dist]
+        params = tuple([1.5] * n_shapes) + (0.0, 1.0)
+        r = DistributionFitResult(
+            column_name=col, distribution=dist, parameters=params,
+            sse=sse, aic=1.0, bic=2.0, ks_statistic=0.1, pvalue=0.5,
+            lower_bound=lb,
+        )
+        back = DistributionFitResult.from_dict(r.to_dict())
+        assert back.column_name == r.column_name
+        assert back.distribution == r.distribution
+        assert back.parameters == pytest.approx(r.parameters)
+        assert back.sse == pytest.approx(r.sse)
+        assert back.lower_bound == (
+            pytest.approx(lb) if lb is not None else None
+        )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(2, 5),
+        seed=st.integers(0, 10_000),
+    )
+    def test_copula_roundtrip_sampling_identical(self, n, seed, tmp_path_factory):
+        from spark_bestfit_spark.models.copula import GaussianCopula, _Marginal
+
+        rng = np.random.default_rng(seed)
+        a = rng.uniform(-0.5, 0.5, (n, n))
+        corr = np.corrcoef(rng.normal(0, 1, (max(n + 2, 8), n)) @ (np.eye(n) + a), rowvar=False)
+        cols = [f"c{i}" for i in range(n)]
+        cop = GaussianCopula(
+            cols,
+            {c: _Marginal("norm", (0.0, 1.0)) for c in cols},
+            corr,
+        )
+        back = GaussianCopula.from_dict(cop.to_dict())
+        s1 = cop.sample(50, seed=seed)
+        s2 = back.sample(50, seed=seed)
+        for c in cols:
+            assert np.allclose(s1[c], s2[c])
