@@ -283,6 +283,52 @@ def _q_failed_fit_filter(spark, sf_dir):
     )
 
 
+def _q_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation over the events stream table: per
+    (hour, event_type) count + DECIMAL value sum. The parquet stores
+    nanosecond timestamps (Spark reads INT64 nanos as BIGINT), so the
+    bucketing is integer epoch-nanos division — identical in the oracle
+    via epoch_ns()."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(ts DIV 3600000000000 AS BIGINT) AS hour_id, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM events
+        GROUP BY hour_id, event_type
+        """
+    )
+
+
+def _q_events_sessionized(spark, sf_dir):
+    """Per-user sessionization with window functions: session counts by
+    30-minute inactivity gaps (lag + conditional sum over epoch-nanos)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > 1800000000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ordered
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(new_session) AS n_sessions
+        FROM flagged
+        GROUP BY user_id
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators over documents/embeddings (SURVEY §7.2
 # phase 11) — oracle-checked where SQL-expressible
@@ -619,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_counts": _q_stratum_counts,
         "moments_price": _q_moments,
         "failed_fit_filter": _q_failed_fit_filter,
+        "events_hourly": _q_events_hourly,
+        "events_sessionized": _q_events_sessionized,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_text_stats": _q_doc_text_stats,
         "doc_token_totals": _q_doc_token_totals,
@@ -761,6 +809,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_extendedprice < 100000.0
             GROUP BY l_returnflag
+        """,
+        "events_hourly": """
+            SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+            FROM events
+            GROUP BY hour_id, event_type
+        """,
+        "events_sessionized": """
+            WITH ordered AS (
+              SELECT user_id, epoch_ns(ts) AS tsn,
+                     lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_tsn
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id,
+                     CASE WHEN prev_tsn IS NULL
+                            OR tsn - prev_tsn > 1800000000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM ordered
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(new_session) AS n_sessions
+            FROM flagged
+            GROUP BY user_id
         """,
         "doc_fingerprints": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
