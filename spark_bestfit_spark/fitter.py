@@ -182,10 +182,15 @@ class DistributionFitter:
             }
         if not plans:
             return self._empty_results()
+        broadcasts: list = []
         result_df = parallel_fit_columns(
-            self.spark, plans, config, self.registry, bounds=bounds
+            self.spark, plans, config, self.registry, bounds=bounds,
+            broadcast_registry=broadcasts,
         )
-        return FitResults(result_df, registry=self.registry, samples=samples)
+        return FitResults(
+            result_df, registry=self.registry, samples=samples,
+            broadcasts=broadcasts,
+        )
 
     def _empty_results(self) -> FitResults:
         from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
@@ -200,6 +205,7 @@ class DistributionFitter:
         columns are planned individually."""
         per_column_dfs = []
         samples: dict = {}
+        broadcasts: list = []
         for c in cols:
             stats = column_stats(src, c)
             if stats["count"] == 0:
@@ -219,13 +225,16 @@ class DistributionFitter:
                 parallel_fit_column(
                     self.spark, names, sample, density, edges, c, config,
                     self.registry, bounds=bounds, method="mle",
-                    censor_mask=censor_mask,
+                    censor_mask=censor_mask, broadcast_registry=broadcasts,
                 )
             )
         if not per_column_dfs:
             return self._empty_results()
         result_df = union_results(per_column_dfs)
-        return FitResults(result_df, registry=self.registry, samples=samples)
+        return FitResults(
+            result_df, registry=self.registry, samples=samples,
+            broadcasts=broadcasts,
+        )
 
 
 class DiscreteDistributionFitter:

@@ -392,20 +392,168 @@ class YuleSimon(DiscreteDistribution):
         return (max(a0, 1.01), 0.0)
 
 
+class Boltzmann(DiscreteDistribution):
+    """Truncated discrete exponential: pmf ~ e^{-l k} on 0..N-1
+    (scipy boltzmann)."""
+
+    name = "boltzmann"
+    shapes = ("lambda_", "n_trunc")
+    shape_kind = ("pos", "int")
+
+    def _get_support(self, lambda_, n_trunc):
+        return 0.0, float(n_trunc) - 1.0
+
+    def _logpmf(self, k, lambda_, n_trunc):
+        with np.errstate(divide="ignore"):
+            log_norm = np.log(-np.expm1(-lambda_)) - np.log(
+                -np.expm1(-lambda_ * n_trunc)
+            )
+        return log_norm - lambda_ * k
+
+    def _cdf(self, k, lambda_, n_trunc):
+        k = np.floor(np.asarray(k, dtype=np.float64))
+        k = np.clip(k, -1.0, n_trunc - 1.0)
+        num = -np.expm1(-lambda_ * (k + 1.0))
+        den = -np.expm1(-lambda_ * n_trunc)
+        return np.where(k < 0, 0.0, np.clip(num / den, 0.0, 1.0))
+
+    def _fit_start(self, data):
+        m = float(np.mean(data))
+        n_trunc = float(np.max(data)) + 1.0
+        lam = float(np.log1p(1.0 / m)) if m > 0 else 1.0
+        return (lam, n_trunc, 0.0)
+
+    def fit(self, data, fix_loc: bool = True):
+        data = np.asarray(data, dtype=np.float64)
+        data = data[np.isfinite(data) & (data >= 0)]
+        if data.size < 2:
+            raise ValueError("boltzmann.fit needs >= 2 points")
+        n_trunc = float(np.max(data)) + 1.0
+        from spark_bestfit_spark.functions.optimize import minimize_scalar
+
+        def obj(log_lam):
+            return self.nnlf((float(np.exp(log_lam)), n_trunc, 0.0), data)
+
+        t, _ = minimize_scalar(obj, np.log(1e-3), np.log(10.0))
+        return (float(np.exp(t)), n_trunc, 0.0)
+
+
+class NHypergeom(DiscreteDistribution):
+    """Negative hypergeometric nhypergeom(M, n, r): failures drawn before
+    the r-th success when sampling without replacement from M objects of
+    which n are successes."""
+
+    name = "nhypergeom"
+    shapes = ("M", "n", "r")
+    shape_kind = ("int", "int", "int")
+
+    def _get_support(self, M, n, r):
+        return 0.0, float(M - n)
+
+    def _logpmf(self, k, M, n, r):
+        # pmf = C(k + r - 1, k) C(M - r - k, n - r) / C(M, n)
+        return (
+            _logbinom(k + r - 1.0, k)
+            + _logbinom(M - r - k, n - r)
+            - _logbinom(M, n)
+        )
+
+    def _fit_start(self, data):
+        mx = max(float(np.max(data)), 1.0)
+        return (3.0 * mx, 2.0 * mx, max(mx / 2.0, 1.0), 0.0)
+
+    def fit(self, data, fix_loc: bool = True):
+        data = np.asarray(data, dtype=np.float64)
+        data = data[np.isfinite(data) & (data >= 0)]
+        if data.size < 2:
+            raise ValueError("nhypergeom.fit needs >= 2 points")
+        mx = float(np.max(data))
+        m = float(np.mean(data)) or 0.5
+        best = None
+        # grid-search (M, r); n follows from mean = r (M - n)/(n + 1)
+        for r in (1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 20.0):
+            for mult in (1.5, 2.0, 3.0, 5.0, 8.0, 15.0, 30.0):
+                M = float(np.round(mx * mult + r))
+                n = float(np.round((r * M - m) / (r + m)))
+                if n < r or M - n < mx:
+                    continue
+                nll = self.nnlf((M, n, r, 0.0), data)
+                if best is None or nll < best[0]:
+                    best = (nll, M, n, r)
+        if best is None:
+            return (3.0 * mx + 2.0, 2.0 * mx + 1.0, 1.0, 0.0)
+        return (best[1], best[2], best[3], 0.0)
+
+
+class Zipfian(DiscreteDistribution):
+    """Finite Zipf zipfian(a, n): pmf ~ 1/k^a on 1..n (scipy zipfian)."""
+
+    name = "zipfian"
+    shapes = ("a_", "n_size")
+    shape_kind = ("real", "int")
+    a = 1.0
+
+    def _check_shapes(self, shapes) -> bool:
+        a_, n_size = shapes
+        return bool(
+            np.isfinite(a_) and a_ >= 0 and np.isfinite(n_size) and n_size >= 1
+        )
+
+    def _get_support(self, a_, n_size):
+        return 1.0, float(n_size)
+
+    def _hn(self, a_, n_size):
+        ks = np.arange(1, int(n_size) + 1, dtype=np.float64)
+        return float(np.sum(ks ** (-a_)))
+
+    def _logpmf(self, k, a_, n_size):
+        with np.errstate(divide="ignore"):
+            return -a_ * np.log(k) - np.log(self._hn(a_, n_size))
+
+    def _cdf(self, k, a_, n_size):
+        k = np.floor(np.asarray(k, dtype=np.float64))
+        ks = np.arange(1, int(n_size) + 1, dtype=np.float64)
+        weights = ks ** (-a_)
+        cum = np.cumsum(weights) / np.sum(weights)
+        idx = np.clip(k, 0, int(n_size)).astype(int)
+        padded = np.concatenate(([0.0], cum))
+        return padded[idx]
+
+    def _fit_start(self, data):
+        return (1.5, float(np.max(data)), 0.0)
+
+    def fit(self, data, fix_loc: bool = True):
+        data = np.asarray(data, dtype=np.float64)
+        data = data[np.isfinite(data) & (data >= 1)]
+        if data.size < 2:
+            raise ValueError("zipfian.fit needs >= 2 points")
+        n_size = float(np.max(data))
+        from spark_bestfit_spark.functions.optimize import minimize_scalar
+
+        def obj(a_):
+            return self.nnlf((float(a_), n_size, 0.0), data)
+
+        t, _ = minimize_scalar(obj, 0.0, 6.0)
+        return (float(t), n_size, 0.0)
+
+
 _DISCRETE_CLASSES = [
     Bernoulli,
     BetaBinom,
     Binom,
+    Boltzmann,
     DLaplace,
     Geom,
     Hypergeom,
     Logser,
     NBinom,
+    NHypergeom,
     Planck,
     Poisson,
     Randint,
     YuleSimon,
     Zipf,
+    Zipfian,
 ]
 
 DISCRETE: dict = {cls().name: cls() for cls in _DISCRETE_CLASSES}

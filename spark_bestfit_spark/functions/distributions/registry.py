@@ -30,32 +30,31 @@ DEFAULT_EXCLUSIONS: set = {
     "powerlognorm",
 }
 
-# ~3-5x average fit cost — used for partition weighting (reference
-# distributions.py:58-75). Measured empirically for OUR kernels.
+# ~2-6x average fit cost — used for partition weighting (reference
+# distributions.py:58-75). Measured on a 10k gamma sample with the
+# engine's own kernels (see commit history for the timing table).
 SLOW_DISTRIBUTIONS: set = {
-    "t",
-    "f",
-    "burr",
-    "burr12",
-    "beta",
-    "betaprime",
-    "genextreme",
-    "johnsonsb",
-    "johnsonsu",
-    "gennorm",
+    "alpha",          # ~190 ms
+    "argus",          # ~160 ms
+    "betaprime",      # ~160 ms
+    "crystalball",    # ~300 ms
+    "exponnorm",      # ~450 ms
     "exponweib",
-    "powerlognorm",
-    "genexpon",
-    "invgauss",
-    "nakagami",
-    "foldnorm",
-    "skewnorm",      # Owen's T quadrature in the CDF
-    "pearson3",
-    "crystalball",
-    "exponnorm",
-    "trapezoid",
-    "truncnorm",
+    "f",              # ~290 ms
+    "genexpon",       # ~140 ms
+    "johnsonsb",      # ~130 ms
+    "johnsonsu",      # ~100 ms
+    "loggamma",       # ~100 ms
+    "powerlognorm",   # ~1.7 s — see FIT_WEIGHTS
+    "powernorm",      # ~360 ms
+    "skewnorm",       # ~460 ms (Owen's T quadrature in the CDF)
+    "trapezoid",      # ~100 ms
+    "truncnorm",      # ~490 ms
 }
+
+# Per-distribution partition weights: default 1, slow set 3, plus
+# measured outliers that dominate a task wave.
+FIT_WEIGHTS: dict = {"powerlognorm": 8}
 
 
 def get_continuous(name: str) -> ContinuousDistribution:
@@ -181,9 +180,12 @@ class DistributionRegistry:
 
     # ------------------------------------------------------------ weighting
     def effective_count(self, names: list) -> int:
-        """Slow distributions count 3x for partition sizing (reference
-        base_fitter.py:524-544)."""
-        return sum(3 if n in SLOW_DISTRIBUTIONS else 1 for n in names)
+        """Slow distributions count 3x (measured outliers more) for
+        partition sizing (reference base_fitter.py:524-544)."""
+        return sum(
+            FIT_WEIGHTS.get(n, 3 if n in SLOW_DISTRIBUTIONS else 1)
+            for n in names
+        )
 
     @staticmethod
     def interleave(names: list) -> list:

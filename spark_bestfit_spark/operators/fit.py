@@ -209,9 +209,14 @@ def parallel_fit_column(
     bounds=(None, None),
     method: str = "mle",
     censor_mask: np.ndarray | None = None,
+    broadcast_registry: list | None = None,
 ) -> DataFrame:
     """Fan the distribution list out over the cluster; returns the lazy
-    per-column results DataFrame (sentinels already filtered)."""
+    per-column results DataFrame (sentinels already filtered).
+
+    ``broadcast_registry``: optional list the created broadcast variables
+    are appended to so the caller can release them once the results are
+    materialized/unpersisted (reference O2 cleanup discipline)."""
     obs = (
         data if censor_mask is None
         else data[np.asarray(censor_mask, dtype=bool)]
@@ -227,6 +232,8 @@ def parallel_fit_column(
     b_data = sc.broadcast((data, censor_mask))
     b_hist = sc.broadcast((hist_density, bin_edges))
     b_custom = sc.broadcast(registry.custom_distributions)
+    if broadcast_registry is not None:
+        broadcast_registry += [b_data, b_hist, b_custom]
 
     names_df = spark.createDataFrame(
         [(n,) for n in names], "distribution_name string"
@@ -266,6 +273,7 @@ def parallel_fit_columns(
     config: FitterConfig,
     registry: DistributionRegistry,
     bounds=(None, None),
+    broadcast_registry: list | None = None,
 ) -> DataFrame:
     """ONE fan-out for many columns: the task relation is (column,
     distribution) pairs, so C columns x D distributions fill the cluster
@@ -310,6 +318,8 @@ def parallel_fit_columns(
         }
     )
     b_custom = sc.broadcast(registry.custom_distributions)
+    if broadcast_registry is not None:
+        broadcast_registry += [b_plans, b_custom]
     cfg = config
 
     pairs_df = spark.createDataFrame(

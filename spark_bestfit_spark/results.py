@@ -184,10 +184,12 @@ class FitResults:
         registry: DistributionRegistry | None = None,
         samples: dict | None = None,
         cache: bool = True,
+        broadcasts: list | None = None,
     ):
         self._df = df.cache() if cache else df
         self._registry = registry or DistributionRegistry()
         self._samples = samples or {}
+        self._broadcasts = broadcasts or []
 
     # ------------------------------------------------------------- plumbing
     @property
@@ -198,7 +200,15 @@ class FitResults:
         return self._df.count()
 
     def unpersist(self, blocking: bool = False) -> None:
+        """Release the cached relation AND the fan-out's broadcast
+        variables (reference O2: broadcasts cleaned up explicitly)."""
         self._df.unpersist(blocking)
+        for b in self._broadcasts:
+            try:
+                b.unpersist(blocking)
+            except Exception:  # noqa: BLE001 — already released / sc gone
+                pass
+        self._broadcasts = []
 
     def columns(self) -> list:
         """Distinct source column names (SURVEY P5)."""

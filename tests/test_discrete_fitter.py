@@ -100,6 +100,53 @@ class TestDiscreteFitter:
         per = res.best_per_column(1, metric="sse")
         assert set(per) == {"a", "b"}
 
+    def test_new_discrete_distributions_roundtrip(self):
+        import numpy as np
+
+        from spark_bestfit_spark.functions.distributions.registry import (
+            DISCRETE,
+            get_discrete,
+        )
+
+        assert len(DISCRETE) >= 16
+        rng = np.random.default_rng(42)
+        cases = {
+            "boltzmann": (0.35, 12.0, 0.0),
+            "nhypergeom": (30.0, 20.0, 5.0, 0.0),
+            "zipfian": (1.8, 50.0, 0.0),
+        }
+        for name, params in cases.items():
+            d = get_discrete(name)
+            lo, hi = d._get_support(*params[:-1])
+            ks = np.arange(int(lo), int(hi) + 1)
+            total = float(np.sum(d.pmf(ks, *params)))
+            assert total == pytest.approx(1.0, abs=1e-6), name
+            cdf = d.cdf(ks, *params)
+            assert np.all(np.diff(cdf) >= -1e-12), name
+            s = d.rvs(params, 3000, rng)
+            assert s.min() >= lo and s.max() <= hi
+            fitted = d.fit(s)
+            # fitted likelihood within a whisker of the truth
+            assert d.nnlf(fitted, s) <= d.nnlf(params, s) + 25.0, name
+
+    def test_fitter_with_boltzmann_and_zipfian(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.functions.distributions.registry import (
+            get_discrete,
+        )
+
+        rng = np.random.default_rng(0)
+        s = get_discrete("zipfian").rvs((1.5, 30.0, 0.0), 4000, rng)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": s.astype(float)})
+        )
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["zipfian", "geom", "poisson"]
+        )
+        best = res.best(1, metric="sse")
+        assert best.distribution == "zipfian"
+
     def test_sentinel_on_empty(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame({"v": [float("nan")] * 10})

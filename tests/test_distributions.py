@@ -238,4 +238,6 @@ class TestRegistry:
 
     def test_effective_count_weights_slow(self):
         reg = DistributionRegistry()
-        assert reg.effective_count(["norm", "t"]) == 4
+        # fast = 1, slow = 3, measured outliers carry their own weight
+        assert reg.effective_count(["norm", "skewnorm"]) == 4
+        assert reg.effective_count(["powerlognorm"]) == 8
