@@ -168,6 +168,9 @@ class TestDiscrete:
             "randint": (2.0, 9.0, 0.0),
             "yulesimon": (3.0, 0.0),
             "zipf": (3.0, 0.0),
+            "boltzmann": (0.4, 12.0, 0.0),
+            "nhypergeom": (30.0, 20.0, 5.0, 0.0),
+            "zipfian": (1.8, 50.0, 0.0),
         }[name]
         ks = np.arange(-50, 2000)
         total = d.pmf(ks, *params).sum()
@@ -189,6 +192,9 @@ class TestDiscrete:
             "randint": (2.0, 9.0, 0.0),
             "yulesimon": (3.0, 0.0),
             "zipf": (3.0, 0.0),
+            "boltzmann": (0.4, 12.0, 0.0),
+            "nhypergeom": (30.0, 20.0, 5.0, 0.0),
+            "zipfian": (1.8, 50.0, 0.0),
         }[name]
         d = DISCRETE[name]
         qs = np.array([0.05, 0.3, 0.5, 0.9])
