@@ -301,6 +301,21 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_props_json(spark, sf_dir):
+    """Semi-structured extraction: pull a field from the JSON props
+    column, aggregate per event_type."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_sum,
+               count(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_cnt
+        FROM events
+        GROUP BY event_type
+        """
+    )
+
+
 def _q_events_sessionized(spark, sf_dir):
     """Per-user sessionization with window functions: session counts by
     30-minute inactivity gaps (lag + conditional sum over epoch-nanos)."""
@@ -667,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failed_fit_filter": _q_failed_fit_filter,
         "events_hourly": _q_events_hourly,
         "events_sessionized": _q_events_sessionized,
+        "events_props_json": _q_events_props_json,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_text_stats": _q_doc_text_stats,
         "doc_token_totals": _q_doc_token_totals,
@@ -837,6 +853,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(new_session) AS n_sessions
             FROM flagged
             GROUP BY user_id
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+                   count(json_extract_string(props, '$.k')::BIGINT) AS k_cnt
+            FROM events
+            GROUP BY event_type
         """,
         "doc_fingerprints": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))

@@ -244,6 +244,42 @@ class TestAutoMethod:
             )
 
 
+class TestCustomDistributionFit:
+    def test_custom_distribution_fits_on_executors(self, spark):
+        """User-registered distribution participates in the distributed
+        fan-out (broadcast to executors, resolved inside the kernel —
+        reference continuous_fitter.py:107-172 semantics). The object
+        must be picklable from an importable module — here an instance
+        of a library class registered under a new name."""
+        from spark_bestfit_spark.functions.distributions.continuous import (
+            Expon,
+        )
+
+        custom = Expon()
+        custom.name = "user_expon"
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.exponential(4.0, 5000)})
+        )
+        fitter = DistributionFitter(spark)
+        fitter.register_distribution("user_expon", custom)
+        res = fitter.fit(
+            df, column="v", distributions=["norm", "user_expon"]
+        )
+        rows = {r.distribution for r in res.best(2, metric="aic")}
+        assert "user_expon" in rows
+        best = res.best(1, metric="aic")
+        assert best.distribution == "user_expon"
+        assert abs(best.parameters[-1] - 4.0) < 0.3
+
+    def test_name_conflict_rejected(self, spark):
+        fitter = DistributionFitter(spark)
+        with pytest.raises(ValueError):
+            fitter.register_distribution(
+                "norm", object.__new__(DistributionFitter)
+            )
+
+
 class TestLazyMetrics:
     @pytest.fixture(scope="class")
     def lazy_results(self, spark):
