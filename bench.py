@@ -91,6 +91,34 @@ def main() -> None:
         lambda: compute_histogram(lineitem, "l_extendedprice", bins=50),
     )
 
+    # training-data pipeline operators (documents/embeddings tables)
+    from spark_bestfit_spark.operators.dedup import minhash_dedup_pairs
+    from spark_bestfit_spark.operators.similarity import self_topk
+    from spark_bestfit_spark.operators.textstats import with_quality_score
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs.count()
+    # warm the higher-order-function codegen path (same policy as the
+    # fit warmup above — excluded from timings)
+    minhash_dedup_pairs(docs.limit(100), threshold=0.7).count()
+    bench(
+        "q_minhash_dedup",
+        lambda: minhash_dedup_pairs(docs, threshold=0.7).count(),
+    )
+    bench(
+        "q_ann_topk",
+        lambda: self_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4]).count(),
+    )
+    bench(
+        "q_text_quality",
+        lambda: with_quality_score(docs)
+        .agg(F.avg("quality_score"))
+        .first(),
+    )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -45,9 +45,53 @@ from spark_bestfit_spark.operators.stats import column_stats, multi_column_stats
 from spark_bestfit_spark.plans.config import FitterConfig
 from spark_bestfit_spark.results import FitResults
 
-# Prefilter: distributions needing strictly-positive support can be skipped
-# for columns with non-positive values, etc. (reference prefilter layer,
-# continuous_fitter.py:966-1063 — ours is support-based, conservative).
+# P7 prefilter (reference continuous_fitter.py:966-1063 semantics):
+# filter on intrinsic SHAPE properties only — never on support bounds,
+# because MLE's loc/scale can shift any distribution onto any data range.
+# Layer 1 (~95% reliable): drop intrinsically right-skew-only families
+# when the sample is clearly left-skewed. Layer 2 ('aggressive' only):
+# drop intrinsically platykurtic families for very heavy-tailed samples.
+_RIGHT_SKEW_ONLY = {
+    "expon", "gamma", "lognorm", "chi2", "weibull_min", "pareto",
+    "rayleigh", "invgamma", "exponweib", "genpareto", "invweibull",
+    "fisk", "burr", "burr12", "loggamma", "invgauss", "genextreme",
+    "gompertz", "halfnorm", "halfcauchy", "halflogistic", "halfgennorm",
+    "nakagami", "gibrat", "lomax", "maxwell", "erlang", "fatiguelife",
+    "powerlognorm", "kappa3", "levy", "truncpareto", "alpha",
+}
+# excess kurtosis is intrinsically negative for these (flat/bounded)
+_PLATYKURTIC = {"uniform", "arcsine", "semicircular", "anglit", "cosine"}
+
+_SKEW_FILTER_THRESHOLD = -1.0
+_KURT_FILTER_THRESHOLD = 10.0
+
+
+def prefilter_distributions(
+    names: list, data, mode: bool | str = True
+) -> tuple:
+    """(kept, [(dropped, reason), ...]) — shape-compatibility prefilter."""
+    if not mode:
+        return list(names), []
+    x = np.asarray(data, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    if x.size < 10 or np.std(x) == 0:
+        return list(names), []
+    z = (x - x.mean()) / x.std()
+    skew = float(np.mean(z**3))
+    kurt = float(np.mean(z**4) - 3.0)
+    kept, dropped = [], []
+    for n in names:
+        if skew < _SKEW_FILTER_THRESHOLD and n in _RIGHT_SKEW_ONLY:
+            dropped.append((n, "right-skew-only family, left-skewed data"))
+        elif (
+            mode == "aggressive"
+            and kurt > _KURT_FILTER_THRESHOLD
+            and n in _PLATYKURTIC
+        ):
+            dropped.append((n, "platykurtic family, heavy-tailed data"))
+        else:
+            kept.append(n)
+    return kept, dropped
 
 
 class DistributionFitter:
@@ -96,6 +140,8 @@ class DistributionFitter:
             support_at_zero=config.support_at_zero,
             additional_exclusions=list(config.additional_exclusions),
         )
+        if config.prefilter:
+            names, _ = prefilter_distributions(names, data, config.prefilter)
         if config.max_distributions is not None:
             names = names[: config.max_distributions]
         return names
@@ -189,7 +235,7 @@ class DistributionFitter:
         )
         return FitResults(
             result_df, registry=self.registry, samples=samples,
-            broadcasts=broadcasts,
+            broadcasts=broadcasts, source=(src, config),
         )
 
     def _empty_results(self) -> FitResults:
@@ -233,7 +279,7 @@ class DistributionFitter:
         result_df = union_results(per_column_dfs)
         return FitResults(
             result_df, registry=self.registry, samples=samples,
-            broadcasts=broadcasts,
+            broadcasts=broadcasts, source=(src, config),
         )
 
 

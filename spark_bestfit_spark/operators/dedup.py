@@ -35,6 +35,18 @@ DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input is under-parallelized (fewer
+    partitions than half the cluster's cores — e.g. one small parquet
+    file). At real scale inputs already have thousands of partitions and
+    this is a no-op, so no shuffle is added to the 100 TB path."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def portable_hash64(col: Column) -> Column:
     """First 14 hex chars of md5 as a BIGINT — identical in Spark
     (conv + cast) and DuckDB (('0x' || substr)::BIGINT)."""
@@ -97,6 +109,7 @@ def minhash_signatures(
     shingle set, fully vectorized with higher-order array functions."""
     if num_hashes > len(_A):
         raise ValueError(f"num_hashes must be <= {len(_A)}")
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("_shingles")
     )
@@ -215,6 +228,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact
     Jaccard verification on candidates only."""
+    df = ensure_parallelism(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands)
     sh = df.select(
@@ -249,6 +263,7 @@ def simhash_signatures(
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
+    df = ensure_parallelism(df)
     hashed = df.select(
         F.col(id_col),
         F.transform(toks, lambda t: portable_hash64(t)).alias("_h"),

@@ -35,6 +35,9 @@ class FitterConfig:
     # estimation
     estimation_method: str = "mle"  # mle | mse | auto
     lazy_metrics: bool = False
+    # shape-based distribution prefilter: False | True ("conservative",
+    # skew-sign layer only) | "aggressive" (adds the kurtosis layer)
+    prefilter: bool | str = False
 
     # bounds / censoring
     lower_bound: float | None = None

@@ -185,11 +185,15 @@ class FitResults:
         samples: dict | None = None,
         cache: bool = True,
         broadcasts: list | None = None,
+        source: tuple | None = None,
     ):
         self._df = df.cache() if cache else df
         self._registry = registry or DistributionRegistry()
         self._samples = samples or {}
         self._broadcasts = broadcasts or []
+        # (source DataFrame, FitterConfig) for deterministic sample
+        # recreation (reference SA5: same df + seed => same sample)
+        self._source = source
 
     # ------------------------------------------------------------- plumbing
     @property
@@ -263,16 +267,44 @@ class FitResults:
         have = self._df.filter(F.col(metric).isNotNull()).limit(1).count()
         return have == 0 and self._df.limit(1).count() > 0
 
+    def _get_sample(self, column: str):
+        """Cached fitting sample, or a deterministic recreation from the
+        source relation (same df + seed => same sample, reference
+        SA5/collection.py:173-228)."""
+        sample = self._samples.get(column)
+        if sample is not None:
+            return sample
+        if self._source is None:
+            raise ValueError(
+                f"no cached sample for column {column!r} and no source "
+                "relation attached; lazy metrics need the originating "
+                "fit's sample (refit with lazy_metrics=False or keep "
+                "the results object)"
+            )
+        src_df, config = self._source
+        try:
+            from spark_bestfit_spark.operators.sampling import (
+                build_fitting_sample,
+            )
+            from spark_bestfit_spark.operators.stats import column_stats
+
+            stats = column_stats(src_df, column)
+            sample = build_fitting_sample(
+                src_df, column, config, int(stats["count"])
+            )
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(
+                f"could not recreate the fitting sample for {column!r} "
+                f"from the source relation (source unpersisted or session "
+                f"gone?): {exc}"
+            ) from exc
+        self._samples[column] = sample
+        return sample
+
     def _recompute_metrics(self, result: DistributionFitResult) -> None:
         """Fill KS/AD (+p-values) in place from the cached fitting sample
         (reference lazy path: collection.py:1008-1120, metrics.py:325-382)."""
-        sample = self._samples.get(result.column_name)
-        if sample is None:
-            raise ValueError(
-                f"no cached sample for column {result.column_name!r}; "
-                "lazy metrics need the originating fit's sample "
-                "(refit with lazy_metrics=False or keep the results object)"
-            )
+        sample = self._get_sample(result.column_name)
         from spark_bestfit_spark.functions import metrics as M
 
         dist = self._registry.resolve(result.distribution)
@@ -405,6 +437,7 @@ class FitResults:
             registry=self._registry,
             samples=self._samples,
             cache=False,
+            source=self._source,
         )
 
     def filter(
@@ -431,7 +464,8 @@ class FitResults:
         if max_ad_statistic is not None:
             df = df.filter(F.col("ad_statistic") <= max_ad_statistic)
         return FitResults(
-            df, registry=self._registry, samples=self._samples, cache=False
+            df, registry=self._registry, samples=self._samples, cache=False,
+            source=self._source,
         )
 
     def summary(self) -> dict:

@@ -244,6 +244,98 @@ class TestAutoMethod:
             )
 
 
+class TestPrefilter:
+    def test_left_skewed_drops_right_skew_families(self):
+        from spark_bestfit_spark.fitter import prefilter_distributions
+
+        rng = np.random.default_rng(42)
+        left_skewed = -rng.lognormal(0, 1, 5000)  # strongly left-skewed
+        names = ["norm", "gamma", "lognorm", "gumbel_l", "expon"]
+        kept, dropped = prefilter_distributions(names, left_skewed, True)
+        assert "norm" in kept and "gumbel_l" in kept
+        dropped_names = {n for n, _ in dropped}
+        assert {"gamma", "lognorm", "expon"} <= dropped_names
+
+    def test_symmetric_data_keeps_all(self):
+        from spark_bestfit_spark.fitter import prefilter_distributions
+
+        rng = np.random.default_rng(0)
+        sym = rng.normal(0, 1, 5000)
+        kept, dropped = prefilter_distributions(
+            ["norm", "gamma", "uniform"], sym, True
+        )
+        assert dropped == []
+
+    def test_aggressive_drops_platykurtic_on_heavy_tails(self):
+        from spark_bestfit_spark.fitter import prefilter_distributions
+
+        rng = np.random.default_rng(1)
+        heavy = rng.standard_t(2.1, 5000)
+        kept, dropped = prefilter_distributions(
+            ["norm", "uniform", "cosine"], heavy, "aggressive"
+        )
+        dropped_names = {n for n, _ in dropped}
+        assert {"uniform", "cosine"} <= dropped_names
+        assert "norm" in kept
+        # conservative mode keeps them
+        kept2, dropped2 = prefilter_distributions(
+            ["norm", "uniform", "cosine"], heavy, True
+        )
+        assert dropped2 == []
+
+    def test_off_mode_is_identity(self):
+        from spark_bestfit_spark.fitter import prefilter_distributions
+
+        kept, dropped = prefilter_distributions(["gamma"], [-5.0] * 100, False)
+        assert kept == ["gamma"] and dropped == []
+
+    def test_end_to_end_fit_with_prefilter(self, spark):
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": -rng.lognormal(0.5, 0.8, 4000)})
+        )
+        res = DistributionFitter(spark).fit(
+            df, column="v", prefilter=True, lazy_metrics=True
+        )
+        fitted = {r.distribution for r in res.df.select("distribution").collect()}
+        assert "gamma" not in fitted and "lognorm" not in fitted
+        assert res.count() > 10
+
+
+class TestSampleRecreation:
+    def test_lazy_metrics_after_sample_loss(self, spark):
+        """SA5: when the cached ndarray is gone, the sample is recreated
+        deterministically from the source relation (same df + seed)."""
+        rng = np.random.default_rng(42)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(50, 10, 6000)})
+        )
+        res = DistributionFitter(spark).fit(
+            df, column="v", lazy_metrics=True,
+            distributions=["norm", "gamma", "uniform"],
+        )
+        with_cache = res.best(1, metric="ks_statistic")
+        res._samples.clear()  # simulate losing the driver-side cache
+        recreated = res.best(1, metric="ks_statistic")
+        assert recreated.distribution == with_cache.distribution
+        assert abs(recreated.ks_statistic - with_cache.ks_statistic) < 0.02
+
+    def test_clear_error_without_source(self, spark):
+        from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
+        from spark_bestfit_spark.results import FitResults
+
+        row = (
+            "v", "norm", [0.0, 1.0], 0.1, 1.0, 1.0, None, None, None,
+            None, 0.0, 1.0, 0.5, 0.2, 100.0, 0.0, 0.0, None, None,
+        )
+        fr = FitResults(
+            spark.createDataFrame([row], schema=FIT_RESULT_SCHEMA),
+            cache=False,
+        )
+        with pytest.raises(ValueError, match="no cached sample"):
+            fr.best(1, metric="ks_statistic")
+
+
 class TestCustomDistributionFit:
     def test_custom_distribution_fits_on_executors(self, spark):
         """User-registered distribution participates in the distributed
