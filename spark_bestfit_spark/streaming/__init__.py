@@ -8,5 +8,6 @@ model, plus windowed streaming statistics.
 """
 
 from spark_bestfit_spark.streaming.drift import DriftMonitor, ks_drift_score
+from spark_bestfit_spark.streaming.stateful import streaming_moments
 
-__all__ = ["DriftMonitor", "ks_drift_score"]
+__all__ = ["DriftMonitor", "ks_drift_score", "streaming_moments"]
