@@ -124,11 +124,15 @@ def lsh_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, table, bucket) random-hyperplane signatures. The hyperplane
-    tensor is tiny and goes into the plan as literals — no broadcast
-    needed, no Python in the executors."""
+    """(id, table, bucket) random-hyperplane signatures in ONE scan.
+
+    All L tables' buckets are computed as an array column and
+    ``posexplode``d — a union-of-tables design would re-scan the input
+    L times, which at 100 TB is the whole job. The hyperplane tensor is
+    tiny and goes into the plan as literals — no broadcast needed, no
+    Python in the executors."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    rows = []
+    bucket_exprs = []
     for t in range(n_tables):
         bits = []
         for p in range(n_planes):
@@ -146,17 +150,11 @@ def lsh_signatures(
         bucket = bits[0]
         for bcol in bits[1:]:
             bucket = bucket + bcol
-        rows.append(
-            vectors.select(
-                F.col(id_col),
-                F.lit(t).alias("table"),
-                bucket.cast("bigint").alias("bucket"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        bucket_exprs.append(bucket.cast("bigint"))
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(F.array(*bucket_exprs)).alias("table", "bucket"),
+    )
 
 
 def lsh_topk(
