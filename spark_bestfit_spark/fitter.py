@@ -191,14 +191,34 @@ class DistributionFitter:
         live_cols = [c for c in cols if all_stats[c]["count"] > 0]
         if not live_cols:
             return self._empty_results()
-        histograms = compute_histograms_multi(
-            src, live_cols, all_stats,
-            bins=config.bins, use_rice_rule=config.use_rice_rule,
+        # small-data shortcut: when every column's valid count fits in
+        # the fitting sample, the sample IS the complete data — the
+        # histogram can be built driver-side from it with identical
+        # semantics (same edges, left-closed bins, +eps top edge),
+        # saving one cluster job per fit
+        all_small = all(
+            all_stats[c]["count"] <= config.fitting_sample_size
+            for c in live_cols
         )
+        if all_small:
+            histograms = {}
+        else:
+            histograms = compute_histograms_multi(
+                src, live_cols, all_stats,
+                bins=config.bins, use_rice_rule=config.use_rice_rule,
+            )
         sample_map = build_fitting_samples_multi(
             src, live_cols, config,
             {c: int(all_stats[c]["count"]) for c in live_cols},
         )
+        if all_small:
+            for c in live_cols:
+                sample = sample_map.get(c)
+                if sample is None or sample.size == 0:
+                    continue
+                histograms[c] = self._local_histogram(
+                    sample, all_stats[c], config
+                )
 
         plans: dict = {}
         samples: dict = {}
@@ -237,6 +257,27 @@ class DistributionFitter:
             result_df, registry=self.registry, samples=samples,
             broadcasts=broadcasts, source=(src, config),
         )
+
+    @staticmethod
+    def _local_histogram(sample: np.ndarray, stats: dict, config):
+        """Driver-side histogram with the distributed path's exact edge
+        semantics (min==max single bin; +eps top edge; density)."""
+        lo, hi = float(stats["min"]), float(stats["max"])
+        if lo == hi:
+            return np.array([1.0]), np.array([lo])
+        bins = config.bins
+        if config.use_rice_rule:
+            bins = max(int(np.ceil(sample.size ** (1.0 / 3.0)) * 2), 2)
+        bins = max(int(bins), 2)
+        edges = np.linspace(lo, hi + (hi - lo) * 1e-10, bins + 1)
+        counts, _ = np.histogram(sample, bins=edges)
+        total = counts.sum()
+        widths = np.diff(edges)
+        density = (
+            counts / (total * widths) if total > 0
+            else counts.astype(np.float64)
+        )
+        return density, edges
 
     def _empty_results(self) -> FitResults:
         from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
