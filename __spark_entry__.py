@@ -456,6 +456,31 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return self_topk(df, k=5, query_ids=[0, 1, 2])
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact variant for the oracle;
+    the LSH-bucketed variant is the scale path)."""
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the synthetic embeddings have no true duplicates (max cosine ~0.5),
+    # so the "near-dup" threshold is set to surface the top similar pairs
+    return embedding_neardup_pairs(df, threshold=0.42, use_lsh=False)
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup scale path (rows-only)."""
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(
+        df, threshold=0.42, use_lsh=True, n_planes=4, n_tables=16
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pipeline (rows-only: band-bucket join shape)."""
     import pyspark.sql.functions as F
@@ -691,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "doc_minhash": _q_doc_minhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -991,6 +1018,20 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(hs, x -> (7 * x + 307) % 1000000007)) AS mh2,
                    list_min(list_transform(hs, x -> (11 * x + 401) % 1000000007)) AS mh3
             FROM h
+        """,
+        "embedding_neardup": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 6)
+                       AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.42
         """,
         "ann_cosine_topk": """
             WITH v AS (

@@ -220,6 +220,81 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    use_lsh: bool = True,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold and id_a < id_b.
+
+    ``use_lsh=True`` (the scale path) generates candidates from
+    hyperplane-bucket collisions — near-identical vectors collide in
+    some table with high probability — then verifies exactly; only
+    candidate pairs are scored, never the cross product. With
+    ``use_lsh=False`` the exact O(n^2) self-join runs (small inputs /
+    oracle checks only)."""
+    emb = vectors.select(F.col(id_col), F.col(vec_col))
+    if use_lsh:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        sigs = lsh_signatures(
+            vectors, dim, n_planes, n_tables, seed, id_col, vec_col
+        )
+        cand = (
+            sigs.alias("a")
+            .join(
+                sigs.alias("b"),
+                on=[
+                    F.col("a.table") == F.col("b.table"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        a, b = emb.alias("a"), emb.alias("b")
+        cand = a.join(
+            b, on=[F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    scored = (
+        cand.join(
+            emb.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                vec_col, "_va"
+            ),
+            "id_a",
+        )
+        .join(
+            emb.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                vec_col, "_vb"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
