@@ -62,10 +62,13 @@ def generate_samples(
     num_partitions = max(1, min(num_partitions, n))
 
     schema = StructType([StructField(c, DoubleType()) for c in columns])
+    # repartitionByRange puts exactly one plan row per partition; hash
+    # repartition would leave ~1/e of the partitions empty (collisions),
+    # silently cutting generation parallelism by a third
     plan = spark.createDataFrame(
         _partition_plan(n, num_partitions),
         "partition_id int, n_samples long",
-    ).repartition(num_partitions, "partition_id")
+    ).repartitionByRange(num_partitions, "partition_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
