@@ -522,6 +522,19 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return ivf_topk(df, k=5, n_clusters=8, nprobe=2, query_ids=[0, 1, 2])
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation: quality filter -> exact dedup ->
+    MinHash near-dup removal; returns the audit relation (rows-only)."""
+    from spark_bestfit_spark.operators.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, audit = curate_corpus(
+        docs, min_quality=0.1, min_tokens=3, near_dup_threshold=0.8
+    )
+    rows = [(k, int(v)) for k, v in sorted(audit.items())]
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> mapInPandas feature
     extraction (deterministic fake decoder; rows-only)."""
@@ -723,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "media_features": _q_media_features,
+        "curate_corpus": _q_curate_corpus,
         "generate_univariate": _q_generate_univariate,
         "copula_sample": _q_copula_sample,
         "mvn_fit": _q_mvn_fit,

@@ -59,6 +59,11 @@ class FitterConfig:
                 f"estimation_method must be mle|mse|auto, got "
                 f"{self.estimation_method!r}"
             )
+        if self.prefilter not in (False, True, "aggressive"):
+            raise ValueError(
+                f"prefilter must be False|True|'aggressive', got "
+                f"{self.prefilter!r}"
+            )
         if (
             self.lower_bound is not None
             and self.upper_bound is not None
