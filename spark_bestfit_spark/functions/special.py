@@ -79,7 +79,9 @@ def gammaln(x):
 
 
 def _gammainc_series(a, x, itmax=400, eps=1e-15):
-    """P(a,x) via power series; valid for x < a+1 (vectorized)."""
+    """P(a,x) via power series; valid for x < a+1 (vectorized; the
+    full-array loop with a collective break beats per-element masking —
+    SIMD arithmetic is cheaper than gather/scatter indexing)."""
     summ = 1.0 / a
     delt = summ.copy()
     ap = a.copy()
@@ -188,28 +190,56 @@ def gammaincinv(a, p, itmax=60):
 
     ac = a[core]
     pc = p[core]
-    # Wilson-Hilferty initial guess; fall back to small-a formula.
+    # Seed: Wilson-Hilferty for the bulk, series inversion
+    # P(a,x) ~ x^a / Gamma(a+1) for the small-p region where WH
+    # collapses toward 0 (where the pdf is flat and Newton diverges).
     z = ndtri(pc)
     wh = ac * (1.0 - 1.0 / (9.0 * ac) + z / (3.0 * np.sqrt(ac))) ** 3
     with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
         small = (pc * np.exp(gammaln(ac + 1.0))) ** (1.0 / ac)
-    x = np.where((wh > 0) & np.isfinite(wh), wh, small)
+    x = np.where(np.isfinite(wh), np.maximum(wh, small), small)
     x = np.where((x <= 0) | ~np.isfinite(x), np.maximum(ac, 1e-8), x)
 
     lg = gammaln(ac)
+    # Bracketed active-set Newton: f < 0 raises the lower bracket,
+    # f > 0 lowers the upper; a Newton step outside the bracket (or with
+    # an underflowed pdf) falls back to bisection / doubling. Converged
+    # elements leave the working set, so late iterations run on a
+    # shrinking remainder instead of re-evaluating gammainc over the
+    # full array (~0.8 s vs ~8 s per million points).
+    lo = np.zeros_like(x)
+    hi = np.full_like(x, np.inf)
+    active = np.arange(x.size)
     for _ in range(itmax):
-        f = gammainc(ac, x) - pc
+        xa, aa, pa, la = x[active], ac[active], pc[active], lg[active]
+        f = gammainc(aa, xa) - pa
+        lo_a, hi_a = lo[active], hi[active]
+        lo_a = np.where(f < 0, xa, lo_a)
+        hi_a = np.where(f > 0, np.minimum(hi_a, xa), hi_a)
+        lo[active], hi[active] = lo_a, hi_a
         with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
-            logpdf = (ac - 1.0) * np.log(x) - x - lg
+            logpdf = (aa - 1.0) * np.log(xa) - xa - la
             dfdx = np.exp(logpdf)
-        step = np.where(dfdx > 0, f / np.where(dfdx > 0, dfdx, 1.0), 0.0)
-        # Dampen: never step past zero
-        newx = x - step
-        newx = np.where(newx <= 0, x / 2.0, newx)
-        if np.all(np.abs(newx - x) <= 1e-12 * (np.abs(x) + 1e-300)):
-            x = newx
+            newton = xa - f / np.where(dfdx > 0, dfdx, 1.0)
+        good = (
+            (dfdx > 0) & np.isfinite(newton)
+            & (newton > lo_a) & (newton < hi_a)
+        )
+        fallback = np.where(
+            np.isfinite(hi_a),
+            0.5 * (lo_a + hi_a),
+            np.maximum(xa, 1e-300) * 2.0,
+        )
+        newx = np.where(good, newton, fallback)
+        x[active] = newx
+        done = np.abs(newx - xa) <= 1e-12 * (np.abs(xa) + 1e-300)
+        # an element is finished only when its step is tiny AND its
+        # residual actually closed (guards against stuck fallbacks)
+        done &= np.abs(f) <= 1e-10 * np.maximum(pa, 1e-300) + 1e-15
+        moved = ~done
+        if not moved.any():
             break
-        x = newx
+        active = active[moved]
     out[core] = x
     return out if out.shape else float(out)
 
@@ -346,19 +376,98 @@ def betaincinv(a, b, p, itmax=80):
     return out if out.shape else float(out)
 
 
+# Cody (1969) rational Chebyshev coefficients for erf/erfc (the classic
+# CALERF sets, double precision). Loop-free and fully vectorized — these
+# sit under ndtr/ndtri in the sampling hot path, where an iterative
+# implementation would cost seconds per million evaluations.
+_ERF_A = (
+    3.16112374387056560e00, 1.13864154151050156e02,
+    3.77485237685302021e02, 3.20937758913846947e03,
+    1.85777706184603153e-1,
+)
+_ERF_B = (
+    2.36012909523441209e01, 2.44024637934444173e02,
+    1.28261652607737228e03, 2.84423683343917062e03,
+)
+_ERF_C = (
+    5.64188496988670089e-1, 8.88314979438837594e00,
+    6.61191906371416295e01, 2.98635138197400131e02,
+    8.81952221241769090e02, 1.71204761263407058e03,
+    2.05107837782607147e03, 1.23033935479799725e03,
+    2.15311535474403846e-8,
+)
+_ERF_D = (
+    1.57449261107098347e01, 1.17693950891312499e02,
+    5.37181101862009858e02, 1.62138957456669019e03,
+    3.29079923573345963e03, 4.36261909014324716e03,
+    3.43936767414372164e03, 1.23033935480374942e03,
+)
+_ERF_P = (
+    3.05326634961232344e-1, 3.60344899949804439e-1,
+    1.25781726111229246e-1, 1.60837851487422766e-2,
+    6.58749161529837803e-4, 1.63153871373020978e-2,
+)
+_ERF_Q = (
+    2.56852019228982242e00, 1.87295284992346047e00,
+    5.27905102951428412e-1, 6.05183413124413191e-2,
+    2.33520497626869185e-3,
+)
+_INV_SQRT_PI = 1.0 / np.sqrt(np.pi)
+
+
+def _erfc_nonneg(y: np.ndarray) -> np.ndarray:
+    """erfc(y) for y >= 0 via Cody's three-range rational forms."""
+    out = np.empty_like(y)
+
+    small = y <= 0.46875
+    if small.any():
+        ys = y[small]
+        z = ys * ys
+        num = _ERF_A[4] * z
+        den = z
+        for i in range(3):
+            num = (num + _ERF_A[i]) * z
+            den = (den + _ERF_B[i]) * z
+        out[small] = 1.0 - ys * (num + _ERF_A[3]) / (den + _ERF_B[3])
+
+    mid = (y > 0.46875) & (y <= 4.0)
+    if mid.any():
+        ym = y[mid]
+        num = _ERF_C[8] * ym
+        den = ym
+        for i in range(7):
+            num = (num + _ERF_C[i]) * ym
+            den = (den + _ERF_D[i]) * ym
+        out[mid] = np.exp(-ym * ym) * (num + _ERF_C[7]) / (den + _ERF_D[7])
+
+    big = y > 4.0
+    if big.any():
+        yb = y[big]
+        z = 1.0 / (yb * yb)
+        num = _ERF_P[5] * z
+        den = z
+        for i in range(4):
+            num = (num + _ERF_P[i]) * z
+            den = (den + _ERF_Q[i]) * z
+        r = z * (num + _ERF_P[4]) / (den + _ERF_Q[4])
+        with np.errstate(under="ignore"):
+            out[big] = np.exp(-yb * yb) * (_INV_SQRT_PI - r) / yb
+        out[big] = np.where(np.isfinite(out[big]), out[big], 0.0)
+    return out
+
+
 def erf(x):
-    """Error function via erf(x) = sign(x) * P(1/2, x^2)."""
-    x = np.atleast_1d(_as_f8(x))
-    out = np.sign(x) * gammainc(np.full(x.shape, 0.5), x * x)
-    return out if out.shape and np.asarray(x).ndim else out
+    """Error function (Cody rational approximation, ~1e-16)."""
+    x = np.atleast_1d(_as_f8(x)).astype(np.float64)
+    e = 1.0 - _erfc_nonneg(np.abs(x))
+    return np.where(x >= 0, e, -e)
 
 
 def erfc(x):
     """Complementary error function, accurate in the upper tail."""
-    x = np.atleast_1d(_as_f8(x))
-    pos = gammaincc(np.full(x.shape, 0.5), x * x)  # erfc(|x|)
-    out = np.where(x >= 0, pos, 2.0 - pos)
-    return out
+    x = np.atleast_1d(_as_f8(x)).astype(np.float64)
+    pos = _erfc_nonneg(np.abs(x))
+    return np.where(x >= 0, pos, 2.0 - pos)
 
 
 def ndtr(x):
@@ -416,8 +525,9 @@ def ndtri(p):
     z = t - num / den  # z > 0, P(Z > z) = q
 
     # Halley refinement on f(z) = sf(z) - q = 0 (work in the tail for
-    # relative accuracy; sf via erfc keeps tail precision).
-    for _ in range(4):
+    # relative accuracy; sf via erfc keeps tail precision). Seed error
+    # < 4.5e-4 and cubic convergence -> machine precision in 2 steps.
+    for _ in range(2):
         f = norm_sf(z) - q
         pdf = np.exp(-0.5 * z * z) / _SQRT2PI
         with np.errstate(divide="ignore", invalid="ignore"):
