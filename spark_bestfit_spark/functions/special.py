@@ -356,22 +356,30 @@ def betaincinv(a, b, p, itmax=80):
     # Mean of Beta(a,b) is a decent start
     x = np.clip(ac / (ac + bc), 1e-10, 1.0 - 1e-10)
     lbeta = betaln(ac, bc)
+    # Active-set bracketed Newton: converged elements leave the working
+    # set (they must hold their value — a further "update" would clobber
+    # them with the stale bisection midpoint), and late iterations run
+    # betainc only on the shrinking remainder.
+    active = np.arange(x.size)
     for _ in range(itmax):
-        f = betainc(ac, bc, x) - pc
-        done = np.abs(f) < 1e-14
-        if np.all(done):
+        xa = x[active]
+        aa, ba, pa, la = ac[active], bc[active], pc[active], lbeta[active]
+        f = betainc(aa, ba, xa) - pa
+        keep = np.abs(f) >= 1e-14
+        if not keep.any():
             break
-        lo = np.where(f < 0, x, lo)
-        hi = np.where(f > 0, x, hi)
+        lo_a, hi_a = lo[active], hi[active]
+        lo_a = np.where(f < 0, xa, lo_a)
+        hi_a = np.where(f > 0, xa, hi_a)
+        lo[active], hi[active] = lo_a, hi_a
         with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
-            logpdf = (ac - 1.0) * np.log(x) + (bc - 1.0) * np.log1p(-x) - lbeta
+            logpdf = (aa - 1.0) * np.log(xa) + (ba - 1.0) * np.log1p(-xa) - la
             dfdx = np.exp(logpdf)
-        newton = x - np.where(dfdx > 0, f / np.where(dfdx > 0, dfdx, 1.0), 0.0)
-        inside = (newton > lo) & (newton < hi) & np.isfinite(newton)
-        # converged elements must hold their value: a further "update"
-        # would clobber them with the (stale) bisection midpoint while
-        # other elements keep iterating
-        x = np.where(done, x, np.where(inside, newton, 0.5 * (lo + hi)))
+        newton = xa - np.where(dfdx > 0, f / np.where(dfdx > 0, dfdx, 1.0), 0.0)
+        inside = (newton > lo_a) & (newton < hi_a) & np.isfinite(newton)
+        newx = np.where(inside, newton, 0.5 * (lo_a + hi_a))
+        x[active] = np.where(keep, newx, xa)
+        active = active[keep]
     out[core] = x
     return out if out.shape else float(out)
 
