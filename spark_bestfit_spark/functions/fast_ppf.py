@@ -86,6 +86,48 @@ def _chi2(q, df, loc, scale):
     return loc + scale * 2.0 * sp.gammaincinv(df / 2.0, q)
 
 
+def _weibull_max(q, c, loc, scale):
+    return loc - scale * np.power(-np.log(np.asarray(q)), 1.0 / c)
+
+
+def _invweibull(q, c, loc, scale):
+    return loc + scale * np.power(-np.log(np.asarray(q)), -1.0 / c)
+
+
+def _halfnorm(q, loc, scale):
+    return loc + scale * sp.ndtri(0.5 * (1.0 + np.asarray(q)))
+
+
+def _halflogistic(q, loc, scale):
+    q = np.asarray(q, dtype=np.float64)
+    return loc + scale * np.log((1.0 + q) / (1.0 - q))
+
+
+def _halfcauchy(q, loc, scale):
+    return loc + scale * np.tan(0.5 * np.pi * np.asarray(q))
+
+
+def _lomax(q, c, loc, scale):
+    return loc + scale * (np.power(1.0 - np.asarray(q), -1.0 / c) - 1.0)
+
+
+def _maxwell(q, loc, scale):
+    return loc + scale * np.sqrt(2.0 * sp.gammaincinv(1.5, q))
+
+
+def _fisk(q, c, loc, scale):
+    q = np.asarray(q, dtype=np.float64)
+    return loc + scale * np.power(q / (1.0 - q), 1.0 / c)
+
+
+def _genpareto(q, c, loc, scale):
+    q = np.asarray(q, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if abs(c) < 1e-12:
+            return loc - scale * np.log1p(-q)
+        return loc + scale * (np.power(1.0 - q, -c) - 1.0) / c
+
+
 _CLOSED_FORMS = {
     "norm": _norm,
     "expon": _expon,
@@ -102,6 +144,15 @@ _CLOSED_FORMS = {
     "rayleigh": _rayleigh,
     "pareto": _pareto,
     "chi2": _chi2,
+    "weibull_max": _weibull_max,
+    "invweibull": _invweibull,
+    "halfnorm": _halfnorm,
+    "halflogistic": _halflogistic,
+    "halfcauchy": _halfcauchy,
+    "lomax": _lomax,
+    "maxwell": _maxwell,
+    "fisk": _fisk,
+    "genpareto": _genpareto,
 }
 
 

@@ -33,6 +33,15 @@ CASES = [
     ("rayleigh", (0.0, 2.0)),
     ("pareto", (3.0, 0.0, 1.0)),
     ("chi2", (4.0, 0.0, 1.0)),
+    ("weibull_max", (1.5, 0.0, 2.0)),
+    ("invweibull", (2.0, 0.0, 1.0)),
+    ("halfnorm", (0.0, 2.0)),
+    ("halflogistic", (0.0, 1.0)),
+    ("halfcauchy", (0.0, 1.0)),
+    ("lomax", (2.5, 0.0, 1.0)),
+    ("maxwell", (0.0, 1.5)),
+    ("fisk", (2.0, 0.0, 1.0)),
+    ("genpareto", (0.3, 0.0, 1.0)),
 ]
 
 
