@@ -78,6 +78,44 @@ class TestTruncatedDistribution:
             TruncatedDistribution(get_continuous("norm"), (0.0, 1.0), 2.0, 1.0)
 
 
+class TestTruncatedProperties:
+    """Hypothesis-style invariants over a grid of (dist, bounds)."""
+
+    CASES = [
+        ("norm", (0.0, 1.0), -1.5, 1.0),
+        ("norm", (50.0, 10.0), 45.0, None),
+        ("gamma", (2.0, 0.0, 2.0), 0.5, 6.0),
+        ("expon", (0.0, 5.0), 1.0, 12.0),
+        ("lognorm", (0.5, 0.0, 3.0), 1.0, 10.0),
+        ("uniform", (0.0, 10.0), 2.0, 7.0),
+        ("laplace", (0.0, 2.0), None, 3.0),
+    ]
+
+    @pytest.mark.parametrize("name,params,lb,ub", CASES)
+    def test_mass_conserved(self, name, params, lb, ub):
+        """Integral of the truncated pdf over [lb, ub] must be 1."""
+        t = TruncatedDistribution(get_continuous(name), params, lb, ub)
+        lo = lb if lb is not None else t.ppf(np.array([1e-9]))[0]
+        hi = ub if ub is not None else t.ppf(np.array([1 - 1e-9]))[0]
+        x = np.linspace(lo, hi, 20001)
+        mass = np.trapz(t.pdf(x), x)
+        assert mass == pytest.approx(1.0, abs=5e-3)
+
+    @pytest.mark.parametrize("name,params,lb,ub", CASES)
+    def test_cdf_ppf_inverse(self, name, params, lb, ub):
+        t = TruncatedDistribution(get_continuous(name), params, lb, ub)
+        q = np.linspace(0.01, 0.99, 33)
+        x = t.ppf(q)
+        assert np.allclose(t.cdf(x), q, atol=1e-6)
+
+    @pytest.mark.parametrize("name,params,lb,ub", CASES)
+    def test_rvs_moments_match_model(self, name, params, lb, ub):
+        t = TruncatedDistribution(get_continuous(name), params, lb, ub)
+        s = t.rvs(60_000, np.random.default_rng(0))
+        assert abs(t.mean() - s.mean()) < 0.05 * (abs(t.mean()) + 1.0)
+        assert abs(t.std() - s.std()) < 0.1 * (t.std() + 1.0)
+
+
 class TestMseFit:
     def test_recovers_normal_params(self):
         rng = np.random.default_rng(42)
