@@ -38,7 +38,6 @@ from spark_bestfit_spark.operators.histogram import (
 )
 from spark_bestfit_spark.operators.sampling import (
     build_censored_sample,
-    build_fitting_sample,
     build_fitting_samples_multi,
 )
 from spark_bestfit_spark.operators.stats import column_stats, multi_column_stats
@@ -346,8 +345,8 @@ class DiscreteDistributionFitter:
         **kwargs,
     ) -> FitResults:
         from spark_bestfit_spark.operators.discrete_fit import (
-            empirical_pmf,
-            parallel_fit_discrete_column,
+            empirical_pmfs_multi,
+            parallel_fit_discrete_columns,
         )
 
         if column is None and columns is None:
@@ -366,18 +365,27 @@ class DiscreteDistributionFitter:
                     f"{schema[c].simpleString()}"
                 )
 
-        per_column_dfs = []
+        # batched planning, mirroring the continuous fitter: stats for
+        # all columns in one scan, PMFs in one stacked groupBy, samples
+        # in one collect, one (column, distribution) fan-out
+        all_stats = multi_column_stats(df, cols)
+        live_cols = [c for c in cols if all_stats[c]["count"] > 0]
+        if not live_cols:
+            return self._empty_results()
+        pmfs = empirical_pmfs_multi(df, live_cols)
+        sample_map = build_fitting_samples_multi(
+            df, live_cols, config,
+            {c: int(all_stats[c]["count"]) for c in live_cols},
+        )
+
+        plans: dict = {}
         samples: dict = {}
-        for c in cols:
-            stats = column_stats(df, c)
-            if stats["count"] == 0:
+        for c in live_cols:
+            x_values, pmf = pmfs.get(c, (np.array([]), np.array([])))
+            sample = sample_map.get(c)
+            if x_values.size == 0 or sample is None:
                 continue
-            x_values, pmf = empirical_pmf(df, c)
-            if x_values.size == 0:
-                continue
-            sample = np.floor(
-                build_fitting_sample(df, c, config, int(stats["count"]))
-            )
+            sample = np.floor(sample)
             if sample.size < 2:
                 continue
             samples[c] = sample
@@ -386,16 +394,24 @@ class DiscreteDistributionFitter:
             )
             if config.max_distributions is not None:
                 names = names[: config.max_distributions]
-            per_column_dfs.append(
-                parallel_fit_discrete_column(
-                    self.spark, names, sample, x_values, pmf, c,
-                    config, self.registry,
-                )
-            )
-        if not per_column_dfs:
-            from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
+            plans[c] = {
+                "names": list(names),
+                "sample": sample,
+                "x_values": x_values,
+                "pmf": pmf,
+            }
+        if not plans:
+            return self._empty_results()
+        result_df = parallel_fit_discrete_columns(
+            self.spark, plans, config, self.registry
+        )
+        return FitResults(
+            result_df, registry=self.registry, samples=samples,
+            source=(df, config),
+        )
 
-            empty = self.spark.createDataFrame([], schema=FIT_RESULT_SCHEMA)
-            return FitResults(empty, registry=self.registry, cache=False)
-        result_df = union_results(per_column_dfs)
-        return FitResults(result_df, registry=self.registry, samples=samples)
+    def _empty_results(self) -> FitResults:
+        from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA
+
+        empty = self.spark.createDataFrame([], schema=FIT_RESULT_SCHEMA)
+        return FitResults(empty, registry=self.registry, cache=False)

@@ -51,6 +51,44 @@ def empirical_pmf(df: DataFrame, column: str) -> tuple:
     return x, counts / counts.sum()
 
 
+def empirical_pmfs_multi(df: DataFrame, columns: list) -> dict:
+    """Empirical PMFs for MANY columns in ONE scan: per-column floored
+    values are stacked into (column_name, k) rows and aggregated
+    together (map-side combined). Same one-scan pattern as the
+    continuous engine's compute_histograms_multi."""
+    stack_args = []
+    for c in columns:
+        col = F.col(c)
+        cond = col.isNotNull()
+        if dict(df.dtypes)[c] in ("float", "double"):
+            cond = cond & ~F.isnan(col)
+        stack_args += [F.lit(c), F.when(cond, F.floor(col))]
+    rows = (
+        df.select(
+            F.stack(F.lit(len(columns)), *stack_args).alias(
+                "column_name", "_k"
+            )
+        )
+        .filter(F.col("_k").isNotNull())
+        .groupBy("column_name", "_k")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    grouped: dict = {c: [] for c in columns}
+    for r in rows:
+        grouped[r["column_name"]].append((float(r["_k"]), float(r["cnt"])))
+    out = {}
+    for c, pairs in grouped.items():
+        if not pairs:
+            out[c] = (np.array([]), np.array([]))
+            continue
+        pairs.sort()
+        x = np.array([p[0] for p in pairs])
+        counts = np.array([p[1] for p in pairs])
+        out[c] = (x, counts / counts.sum())
+    return out
+
+
 def fit_single_discrete(
     dist_name: str,
     data: np.ndarray,
@@ -134,4 +172,68 @@ def parallel_fit_discrete_column(
                 yield pd.DataFrame(rows)
 
     result = names_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
+    return result.filter(F.col("sse") < F.lit(float("inf")))
+
+
+def parallel_fit_discrete_columns(
+    spark: SparkSession,
+    plans: dict,
+    config: FitterConfig,
+    registry: DistributionRegistry,
+) -> DataFrame:
+    """ONE (column, distribution) fan-out for many discrete columns
+    (mirror of the continuous parallel_fit_columns)."""
+    per_col_names = {
+        c: registry.interleave(p["names"]) for c, p in plans.items()
+    }
+    pairs = []
+    idx = 0
+    while True:
+        emitted = False
+        for c, names in per_col_names.items():
+            if idx < len(names):
+                pairs.append((c, names[idx]))
+                emitted = True
+        if not emitted:
+            break
+        idx += 1
+
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    n_parts = max(
+        1, min(len(pairs), cores * config.partition_multiplier)
+    )
+    b_plans = sc.broadcast(
+        {
+            c: (
+                p["sample"], p["x_values"], p["pmf"],
+                compute_data_stats(p["sample"]),
+            )
+            for c, p in plans.items()
+        }
+    )
+    cfg = config
+
+    pairs_df = spark.createDataFrame(
+        pairs, "column_name string, distribution_name string"
+    ).repartition(n_parts)
+
+    def fit_batches(batches):
+        reg = DistributionRegistry(custom_exclusions=set())
+        artifacts = b_plans.value
+        for pdf in batches:
+            rows = []
+            for col, name in zip(
+                pdf["column_name"], pdf["distribution_name"]
+            ):
+                sample, xs, ps, stats = artifacts[col]
+                rows.append(
+                    fit_single_discrete(
+                        name, sample, xs, ps, col, stats, cfg, reg
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    result = pairs_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
     return result.filter(F.col("sse") < F.lit(float("inf")))
