@@ -301,6 +301,32 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """As-of join: attach to each 'view' event the latest prior 'click'
+    value by the same user (DuckDB native ASOF JOIN is the oracle)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(views, clicks, time_col="ts", by=["user_id"])
+    # DuckDB timestamps are microsecond precision; emit epoch-micros on
+    # both sides so the values hash identically
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("view_ts"),
+        F.expr("ts_right DIV 1000").alias("click_ts"),
+        F.round("value_right", 2).alias("click_value"),
+    )
+
+
 def _q_events_props_json(spark, sf_dir):
     """Semi-structured extraction: pull a field from the JSON props
     column, aggregate per event_type."""
@@ -721,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionized": _q_events_sessionized,
         "events_props_json": _q_events_props_json,
+        "events_asof": _q_events_asof,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_text_stats": _q_doc_text_stats,
         "doc_token_totals": _q_doc_token_totals,
@@ -894,6 +921,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(new_session) AS n_sessions
             FROM flagged
             GROUP BY user_id
+        """,
+        "events_asof": """
+            WITH views AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'
+            ),
+            clicks AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT v.event_id, v.user_id,
+                   epoch_us(v.ts) AS view_ts,
+                   epoch_us(c.ts) AS click_ts,
+                   round(c.value, 2) AS click_value
+            FROM views v
+            ASOF LEFT JOIN clicks c
+              ON v.user_id = c.user_id AND v.ts >= c.ts
         """,
         "events_props_json": """
             SELECT event_type,

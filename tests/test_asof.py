@@ -1,0 +1,105 @@
+"""Tests for the as-of join operator (validated against hand-computed
+matches and DuckDB's native ASOF JOIN in the oracle suite)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0),
+            ("B", 2, 100.0), ("B", 8, 101.0),
+        ],
+        "sym string, t long, price double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", 0, 5), ("A", 5, 7), ("A", 6, 9), ("A", 12, 11),
+            ("B", 3, 13), ("B", 7, 17),
+        ],
+        "sym string, t long, qty int",
+    )
+    return quotes, trades
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_matches(self, quotes_trades):
+        quotes, trades = quotes_trades
+        out = asof_join(trades, quotes, time_col="t", by=["sym"])
+        got = {
+            (r.sym, r.t): (r.price_right, r.t_right)
+            for r in out.collect()
+        }
+        assert got[("A", 0)] == (None, None)      # no quote yet
+        assert got[("A", 5)] == (11.0, 5)          # simultaneous matches
+        assert got[("A", 6)] == (11.0, 5)
+        assert got[("A", 12)] == (12.0, 9)
+        assert got[("B", 3)] == (100.0, 2)
+        assert got[("B", 7)] == (100.0, 2)
+
+    def test_left_rows_preserved(self, quotes_trades):
+        quotes, trades = quotes_trades
+        out = asof_join(trades, quotes, time_col="t", by=["sym"])
+        assert out.count() == trades.count()
+        assert set(trades.columns) <= set(out.columns)
+
+    def test_tolerance_nulls_stale_matches(self, quotes_trades):
+        quotes, trades = quotes_trades
+        out = asof_join(
+            trades, quotes, time_col="t", by=["sym"], tolerance=2
+        )
+        got = {(r.sym, r.t): r.price_right for r in out.collect()}
+        assert got[("A", 5)] == 11.0   # gap 0
+        assert got[("A", 6)] == 11.0   # gap 1
+        assert got[("A", 12)] is None  # gap 3 > 2
+        assert got[("B", 7)] is None   # gap 5 > 2
+
+    def test_no_keys_global_asof(self, spark):
+        left = spark.createDataFrame(
+            [(10,), (20,), (30,)], "t long"
+        )
+        right = spark.createDataFrame(
+            [(5, "a"), (25, "b")], "t long, tag string"
+        )
+        out = asof_join(left, right, time_col="t")
+        got = {r.t: r.tag_right for r in out.collect()}
+        assert got == {10: "a", 20: "a", 30: "b"}
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        lt = pd.DataFrame({
+            "k": rng.choice(["x", "y"], 300),
+            "t": rng.integers(0, 1000, 300).astype("int64"),
+        }).sort_values("t").reset_index(drop=True)
+        rt = pd.DataFrame({
+            "k": rng.choice(["x", "y"], 100),
+            "t": rng.integers(0, 1000, 100).astype("int64"),
+            "v": rng.uniform(0, 1, 100).round(4),
+        }).sort_values("t").reset_index(drop=True)
+        expected = pd.merge_asof(
+            lt, rt, on="t", by="k", direction="backward"
+        )
+        out = asof_join(
+            spark.createDataFrame(lt), spark.createDataFrame(rt),
+            time_col="t", by=["k"],
+        ).toPandas()
+        # compare matched values per (k, t); ties in t are resolved the
+        # same way (latest right at-or-before)
+        exp = expected.groupby(["k", "t"]).v.last()
+        got = out.groupby(["k", "t"]).v_right.last()
+        joined = pd.concat([exp, got], axis=1)
+        mism = joined[
+            ~(
+                (joined.v.isna() & joined.v_right.isna())
+                | (joined.v == joined.v_right)
+            )
+        ]
+        assert mism.empty, mism

@@ -43,8 +43,14 @@ def _norm(v):
 
 def _rows_to_set(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # null-safe sort: None sorts before any value, values by type name
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        normed,
+        key=lambda t: tuple(
+            (0, "", "") if v is None else (1, type(v).__name__, str(v))
+            for v in t
+        ),
     )
 
 
