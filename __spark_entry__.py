@@ -327,6 +327,33 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Range (interval) join via the bucketed equi-join plan: views
+    falling inside each click's 30-minute follow-up window, per user."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half_hour_ns = 1_800_000_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + half_hour_ns).alias("w_end"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = range_join(
+        views, clicks, "view_ts", "w_start", "w_end",
+        by=["user_id"], bucket_width=half_hour_ns,
+    )
+    return joined.groupBy("click_id").agg(
+        F.count("*").alias("n_views_within_30min")
+    )
+
+
 def _q_events_props_json(spark, sf_dir):
     """Semi-structured extraction: pull a field from the JSON props
     column, aggregate per event_type."""
@@ -748,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_events_sessionized,
         "events_props_json": _q_events_props_json,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_text_stats": _q_doc_text_stats,
         "doc_token_totals": _q_doc_token_totals,
@@ -921,6 +949,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(new_session) AS n_sessions
             FROM flagged
             GROUP BY user_id
+        """,
+        "events_range_join": """
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id,
+                     epoch_ns(ts) AS w_start,
+                     epoch_ns(ts) + 1800000000000 AS w_end
+              FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, epoch_ns(ts) AS view_ts
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.click_id, count(*) AS n_views_within_30min
+            FROM views v JOIN clicks c
+              ON v.user_id = c.user_id
+             AND v.view_ts BETWEEN c.w_start AND c.w_end
+            GROUP BY c.click_id
         """,
         "events_asof": """
             WITH views AS (

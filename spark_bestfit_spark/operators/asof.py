@@ -1,5 +1,6 @@
-"""As-of (point-in-time) join — a time-series operator Spark lacks
-natively, composed from built-in DataFrame ops (no UDFs).
+"""As-of (point-in-time) and range (interval) joins — time-series
+operators Spark lacks natively, composed from built-in DataFrame ops
+(no UDFs).
 
 ``asof_join(left, right, ...)`` attaches to each left row the most
 recent right row at-or-before its timestamp (per key). The plan is the
@@ -19,7 +20,56 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list | None = None,
+    bucket_width=None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (``start <= point <= end``), optionally per ``by`` key.
+
+    Without ``bucket_width`` Spark plans an inequality join — a
+    broadcast-nested-loop that dies at scale. With it, both sides are
+    mapped to coarse time buckets (intervals explode to every bucket
+    they span) and the plan becomes an equi-join on (keys..., bucket)
+    followed by the exact range filter: one hash shuffle, candidate
+    pairs bounded by bucket occupancy. Pick ``bucket_width`` near the
+    typical interval length."""
+    by = list(by or [])
+    if bucket_width is None:
+        cond = [points[point_col].between(
+            intervals[start_col], intervals[end_col]
+        )]
+        for k in by:
+            cond.append(points[k] == intervals[k])
+        return points.join(intervals, on=cond, how=how)
+
+    w = float(bucket_width)
+    p = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / F.lit(w)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(w)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, on=by + ["_bucket"], how="inner").filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")
 
 
 def asof_join(
