@@ -1,0 +1,95 @@
+"""Tests for watermarked windowed aggregation: a real append-mode
+stream with out-of-order batches must converge to the batch answer."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.streaming.windows import windowed_stats
+
+
+@pytest.fixture(scope="module")
+def event_frames():
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["ts", "k", "v"])
+        # microsecond precision: Spark's timestamp type rejects the
+        # nanosecond parquet physical type pandas writes by default
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        return df
+
+    b0 = mk([
+        ("2024-01-01 00:01:00", "a", 1.0),
+        ("2024-01-01 00:04:00", "a", 3.0),
+        ("2024-01-01 00:12:00", "b", 10.0),
+    ])
+    # second batch has a late row for the first window (within watermark)
+    b1 = mk([
+        ("2024-01-01 00:07:00", "a", 5.0),
+        ("2024-01-01 00:02:30", "a", 2.0),   # late arrival
+        ("2024-01-01 00:15:00", "b", 20.0),
+        ("2024-01-01 00:31:00", "a", 7.0),   # advances the watermark
+    ])
+    return [b0, b1]
+
+
+class TestWindowedStats:
+    def test_batch_mode_windows(self, spark, event_frames):
+        full = pd.concat(event_frames)
+        df = spark.createDataFrame(full)
+        out = windowed_stats(
+            df, "ts", "v", window_duration="10 minutes", group_cols=["k"]
+        )
+        rows = {
+            (str(r.window_start), r.k): (r.n, r.total)
+            for r in out.collect()
+        }
+        assert rows[("2024-01-01 00:00:00", "a")] == (4, 11.0)
+        assert rows[("2024-01-01 00:10:00", "b")] == (2, 30.0)
+        assert rows[("2024-01-01 00:30:00", "a")] == (1, 7.0)
+
+    def test_streaming_matches_batch(self, spark, event_frames, tmp_path):
+        src = tmp_path / "wsrc"
+        src.mkdir()
+        for i, f in enumerate(event_frames):
+            f.to_parquet(src / f"b{i}.parquet")
+        stream = (
+            spark.readStream.schema("ts timestamp, k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = windowed_stats(
+            stream, "ts", "v",
+            window_duration="10 minutes",
+            watermark_delay="30 minutes",
+            group_cols=["k"],
+        )
+        query = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("win_sink")
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        deadline = time.time() + 30
+        while query.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        assert not query.isActive
+        streamed = {
+            (str(r.window_start), r.k): (r.n, r.total)
+            for r in spark.sql("SELECT * FROM win_sink").collect()
+        }
+        batch = {
+            (str(r.window_start), r.k): (r.n, r.total)
+            for r in windowed_stats(
+                spark.createDataFrame(pd.concat(event_frames)),
+                "ts", "v", window_duration="10 minutes",
+                group_cols=["k"],
+            ).collect()
+        }
+        # the late-but-within-watermark row is folded into its window
+        assert streamed == batch
