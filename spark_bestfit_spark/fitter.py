@@ -252,10 +252,21 @@ class DistributionFitter:
             self.spark, plans, config, self.registry, bounds=bounds,
             broadcast_registry=broadcasts,
         )
-        return FitResults(
+        results = FitResults(
             result_df, registry=self.registry, samples=samples,
             broadcasts=broadcasts, source=(src, config),
         )
+        if config.progress_callback is not None:
+            # materialize the fan-out under a tracked job group so the
+            # callback sees task completion (reference progress.py role)
+            from spark_bestfit_spark.progress import ProgressTracker
+
+            tracker = ProgressTracker(
+                self.spark, callback=config.progress_callback
+            )
+            with tracker.track(f"fitting {sum(len(p['names']) for p in plans.values())} distributions"):
+                results.count()
+        return results
 
     @staticmethod
     def _local_histogram(sample: np.ndarray, stats: dict, config):

@@ -8,7 +8,7 @@ defaults where they are observable behavior (seed 42, 10k fitting sample,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field, fields, replace
 
 
 @dataclass(frozen=True)
@@ -46,6 +46,9 @@ class FitterConfig:
 
     # execution
     partition_multiplier: int = 2  # cap = cores * multiplier
+    # progress: Callable[[int, int, float], None] — (completed tasks,
+    # total tasks, elapsed seconds), polled during the fit fan-out
+    progress_callback: object = None
 
     def validate(self) -> None:
         if self.bins < 1:
@@ -73,3 +76,49 @@ class FitterConfig:
 
     def with_(self, **kwargs) -> "FitterConfig":
         return replace(self, **kwargs)
+
+    @staticmethod
+    def builder() -> "FitterConfigBuilder":
+        return FitterConfigBuilder()
+
+
+class FitterConfigBuilder:
+    """Fluent builder over FitterConfig (reference config.py:149-410
+    API shape): ``FitterConfig.builder().with_bins(100)
+    .with_lazy_metrics().build()``.
+
+    Any config field is settable via ``with_<field>(value)``; boolean
+    fields default their argument to True.
+    """
+
+    _FIELDS = {f.name for f in fields(FitterConfig)}
+
+    def __init__(self):
+        self._values: dict = {}
+
+    def __getattr__(self, name: str):
+        if not name.startswith("with_"):
+            raise AttributeError(name)
+        field_name = name[5:]
+        if field_name not in self._FIELDS:
+            raise AttributeError(
+                f"FitterConfig has no field {field_name!r}"
+            )
+
+        def setter(value=True):
+            self._values[field_name] = value
+            return self
+
+        return setter
+
+    def with_bounds(
+        self, lower: float | None = None, upper: float | None = None
+    ) -> "FitterConfigBuilder":
+        self._values["lower_bound"] = lower
+        self._values["upper_bound"] = upper
+        return self
+
+    def build(self) -> FitterConfig:
+        cfg = FitterConfig(**self._values)
+        cfg.validate()
+        return cfg
