@@ -28,7 +28,23 @@ TABLES = (
 )
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet stores TIMESTAMP(NANOS); sessions without
+    spark.sql.legacy.parquet.nanosAsLong=true fail to read it. The conf
+    is runtime-settable, so set it defensively for any driver session."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
+        pass
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str):
+    _ensure_nanos_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_nanos_conf(spark)
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
@@ -308,7 +324,7 @@ def _q_events_asof(spark, sf_dir):
 
     from spark_bestfit_spark.operators.asof import asof_join
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
     )
@@ -334,7 +350,7 @@ def _q_events_range_join(spark, sf_dir):
 
     from spark_bestfit_spark.operators.asof import range_join
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, sf_dir, "events")
     half_hour_ns = 1_800_000_000_000
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
