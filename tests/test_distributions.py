@@ -235,11 +235,13 @@ class TestRegistry:
 
     def test_interleave_spreads_slow(self):
         reg = DistributionRegistry()
-        names = ["t", "f", "norm", "expon", "uniform", "gamma", "beta", "cauchy"]
+        # three members of the CURRENT measured slow set among five fast
+        names = ["skewnorm", "f", "norm", "expon", "uniform", "gamma",
+                 "truncnorm", "cauchy"]
         mixed = reg.interleave(names)
         assert sorted(mixed) == sorted(names)
         # slow ones must not be adjacent at the front
-        slow_idx = [mixed.index(n) for n in ("t", "f", "beta")]
+        slow_idx = [mixed.index(n) for n in ("skewnorm", "f", "truncnorm")]
         assert max(slow_idx) - min(slow_idx) >= 2
 
     def test_effective_count_weights_slow(self):
