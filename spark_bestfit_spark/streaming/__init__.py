@@ -9,9 +9,12 @@ model, plus windowed streaming statistics.
 
 from spark_bestfit_spark.streaming.drift import DriftMonitor, ks_drift_score
 from spark_bestfit_spark.streaming.stateful import streaming_moments
-from spark_bestfit_spark.streaming.windows import windowed_stats
+from spark_bestfit_spark.streaming.windows import (
+    session_stats,
+    windowed_stats,
+)
 
 __all__ = [
     "DriftMonitor", "ks_drift_score", "streaming_moments",
-    "windowed_stats",
+    "windowed_stats", "session_stats",
 ]

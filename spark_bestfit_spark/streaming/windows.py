@@ -13,7 +13,45 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["windowed_stats"]
+__all__ = ["windowed_stats", "session_stats"]
+
+
+def session_stats(
+    stream: DataFrame,
+    time_col: str,
+    value_col: str,
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    group_cols: list | None = None,
+) -> DataFrame:
+    """Session-window statistics: rows within ``gap_duration`` of each
+    other (per key) merge into one session (``F.session_window`` — the
+    built-in dynamic-gap session operator). Watermark bounds state, so
+    closed sessions are emitted and evicted. Works on batch frames too.
+
+    Output: (session_start, session_end, group_cols..., n, total,
+    avg_v)."""
+    group_cols = list(group_cols or [])
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(time_col, watermark_delay)
+    return (
+        src.groupBy(
+            F.session_window(F.col(time_col), gap_duration).alias("s"),
+            *group_cols,
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("total"),
+            F.avg(value_col).alias("avg_v"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *group_cols,
+            "n", "total", "avg_v",
+        )
+    )
 
 
 def windowed_stats(

@@ -8,7 +8,10 @@ import time
 import pandas as pd
 import pytest
 
-from spark_bestfit_spark.streaming.windows import windowed_stats
+from spark_bestfit_spark.streaming.windows import (
+    session_stats,
+    windowed_stats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -49,6 +52,68 @@ class TestWindowedStats:
         assert rows[("2024-01-01 00:00:00", "a")] == (4, 11.0)
         assert rows[("2024-01-01 00:10:00", "b")] == (2, 30.0)
         assert rows[("2024-01-01 00:30:00", "a")] == (1, 7.0)
+
+    def test_session_windows_batch(self, spark):
+        rows = [
+            # user a: two sessions (gap > 10 min between 00:05 and 00:30)
+            ("2024-01-01 00:01:00", "a", 1.0),
+            ("2024-01-01 00:05:00", "a", 2.0),
+            ("2024-01-01 00:30:00", "a", 3.0),
+            # user b: one session
+            ("2024-01-01 00:02:00", "b", 5.0),
+            ("2024-01-01 00:08:00", "b", 7.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        out = session_stats(
+            spark.createDataFrame(pdf), "ts", "v",
+            gap_duration="10 minutes", group_cols=["k"],
+        )
+        got = {
+            (r.k, str(r.session_start)): (r.n, r.total)
+            for r in out.collect()
+        }
+        assert got[("a", "2024-01-01 00:01:00")] == (2, 3.0)
+        assert got[("a", "2024-01-01 00:30:00")] == (1, 3.0)
+        assert got[("b", "2024-01-01 00:02:00")] == (2, 12.0)
+
+    def test_session_windows_streaming(self, spark, tmp_path):
+        pdf = pd.DataFrame(
+            [
+                ("2024-01-01 00:01:00", "a", 1.0),
+                ("2024-01-01 00:05:00", "a", 2.0),
+                ("2024-01-01 02:00:00", "a", 9.0),  # far later: closes s1
+            ],
+            columns=["ts", "k", "v"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        src = tmp_path / "ssrc"
+        src.mkdir()
+        pdf.to_parquet(src / "b0.parquet")
+        stream = (
+            spark.readStream.schema("ts timestamp, k string, v double")
+            .parquet(str(src))
+        )
+        out = session_stats(
+            stream, "ts", "v", gap_duration="10 minutes",
+            watermark_delay="5 minutes", group_cols=["k"],
+        )
+        query = (
+            out.writeStream.outputMode("complete")
+            .format("memory").queryName("sess_sink")
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .trigger(availableNow=True).start()
+        )
+        query.awaitTermination(120)
+        deadline = time.time() + 30
+        while query.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        rows = {
+            (r.k, str(r.session_start)): r.n
+            for r in spark.sql("SELECT * FROM sess_sink").collect()
+        }
+        assert rows[("a", "2024-01-01 00:01:00")] == 2
+        assert rows[("a", "2024-01-01 02:00:00")] == 1
 
     def test_streaming_matches_batch(self, spark, event_frames, tmp_path):
         src = tmp_path / "wsrc"
