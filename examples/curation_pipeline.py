@@ -1,0 +1,48 @@
+"""Training-data curation over the documents/embeddings tables.
+
+Run from the repo root:  python examples/curation_pipeline.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from spark_bestfit_spark import get_spark
+from spark_bestfit_spark.operators.pipeline import curate_corpus
+from spark_bestfit_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    self_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # quality filter -> exact dedup -> MinHash near-dup removal
+    curated, audit = curate_corpus(
+        docs, min_quality=0.15, min_tokens=5, near_dup_threshold=0.8
+    )
+    print("curation audit:")
+    for stage, n in audit.items():
+        print(f"  {stage:24s} {n}")
+
+    # cosine top-k neighbors for a few query vectors
+    print("\ncosine top-3 neighbors:")
+    self_topk(emb, k=3, query_ids=[0, 1]).show()
+
+    # embedding-level near-duplicate pairs (LSH-bucketed scale path)
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.42, use_lsh=True, n_planes=4, n_tables=16
+    )
+    print(f"embedding near-dup pairs over 0.42: {pairs.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
