@@ -295,6 +295,169 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+class IvfIndex:
+    """Persistent IVF index: KMeans coarse quantizer fitted once, cell
+    assignments cached (or written to parquet), then any number of
+    queries probe only their ``nprobe`` nearest cells.
+
+    Build cost is one KMeans fit + one assignment pass; each query costs
+    a broadcast of the (tiny) centers, a cell-pruned candidate join and
+    a per-query top-k window — no full scans of the corpus."""
+
+    def __init__(self, assigned: DataFrame, centers: list,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.assigned = assigned
+        self.centers = [[float(v) for v in c] for c in centers]
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        vectors: DataFrame,
+        n_clusters: int = 16,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        cache: bool = True,
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_df = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("features"),
+        )
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="features"
+        ).fit(ml_df)
+        assigned = model.transform(ml_df).select(
+            id_col, vec_col, F.col("prediction").alias("cell")
+        )
+        if cache:
+            assigned = assigned.cache()
+        return cls(
+            assigned, [c.tolist() for c in model.clusterCenters()],
+            id_col, vec_col,
+        )
+
+    # ------------------------------------------------------------- query
+    def _centers_df(self, spark):
+        rows = [(i, c) for i, c in enumerate(self.centers)]
+        return spark.createDataFrame(rows, "cell int, center array<double>")
+
+    def query(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """queries: (query_id, query_vec). Returns (query_id,
+        neighbor_id, cosine, rank) for the top-k within the probed
+        cells."""
+        spark = self.assigned.sparkSession
+        q_cells = (
+            queries.crossJoin(F.broadcast(self._centers_df(spark)))
+            .withColumn(
+                "dist2",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("query_vec"), "center",
+                        lambda x, c: (x.cast("double") - c)
+                        * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "cell_rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("dist2"), F.col("cell")
+                    )
+                ),
+            )
+            .filter(F.col("cell_rank") <= nprobe)
+            .select("query_id", "query_vec", "cell")
+        )
+        cand = q_cells.join(
+            self.assigned.select(
+                F.col(self.id_col).alias("neighbor_id"),
+                F.col(self.vec_col).alias("_nv"),
+                "cell",
+            ),
+            on="cell",
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity_col(F.col("query_vec"), F.col("_nv")), 6
+            ).alias("cosine"),
+        ).distinct()
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    def query_ids(self, ids: list, k: int = 5, nprobe: int = 2) -> DataFrame:
+        """Self-query by corpus ids (excludes the query row itself)."""
+        queries = self.assigned.filter(
+            F.col(self.id_col).isin(list(ids))
+        ).select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("query_vec"),
+        )
+        out = self.query(queries, k + 1, nprobe)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            out.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    # ----------------------------------------------------------- persist
+    def save(self, path: str, mode: str = "error") -> None:
+        import json
+
+        self.assigned.write.mode(mode).parquet(f"{path}/assignments")
+        meta = {
+            "centers": self.centers,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+        spark = self.assigned.sparkSession
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str, cache: bool = True) -> "IvfIndex":
+        import json
+
+        meta = json.loads(
+            spark.read.json(f"{path}/meta").first()["meta"]
+        )
+        assigned = spark.read.parquet(f"{path}/assignments")
+        if cache:
+            assigned = assigned.cache()
+        return cls(
+            assigned, meta["centers"], meta["id_col"], meta["vec_col"]
+        )
+
+    def unpersist(self) -> None:
+        try:
+            self.assigned.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,

@@ -114,3 +114,50 @@ class TestSaltedAggregation:
     def test_salt_validation(self, skewed):
         with pytest.raises(ValueError):
             salted_count(skewed, ["k"], salt=1)
+
+
+class TestIvfIndex:
+    @pytest.fixture(scope="class")
+    def index(self, spark):
+        from spark_bestfit_spark.operators.similarity import IvfIndex
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        return IvfIndex.build(emb, n_clusters=8, seed=42)
+
+    def test_query_ids_matches_ivf_topk(self, spark, index):
+        from spark_bestfit_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        direct = ivf_topk(emb, k=3, n_clusters=8, nprobe=2, query_ids=[0, 1])
+        via_index = index.query_ids([0, 1], k=3, nprobe=2)
+        a = sorted((r.query_id, r.neighbor_id, r.cosine) for r in direct.collect())
+        b = sorted((r.query_id, r.neighbor_id, r.cosine) for r in via_index.collect())
+        assert a == b
+
+    def test_external_queries(self, spark, index):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id = 5").selectExpr(
+            "vec_id AS query_id", "embedding AS query_vec"
+        )
+        out = index.query(q, k=3, nprobe=2).collect()
+        # the identical corpus vector must come back at rank 1
+        top = min(out, key=lambda r: r.rank)
+        assert top.neighbor_id == 5
+        assert top.cosine == pytest.approx(1.0, abs=1e-6)
+
+    def test_save_load_roundtrip(self, spark, index, tmp_path):
+        from spark_bestfit_spark.operators.similarity import IvfIndex
+
+        p = str(tmp_path / "ivf_index")
+        index.save(p)
+        loaded = IvfIndex.load(spark, p)
+        a = sorted(
+            (r.query_id, r.neighbor_id, r.cosine)
+            for r in index.query_ids([3], k=3).collect()
+        )
+        b = sorted(
+            (r.query_id, r.neighbor_id, r.cosine)
+            for r in loaded.query_ids([3], k=3).collect()
+        )
+        assert a == b
+        loaded.unpersist()
