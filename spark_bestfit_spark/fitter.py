@@ -132,6 +132,23 @@ class DistributionFitter:
                     f"got {schema[cc].simpleString()}"
                 )
 
+    def _validate_names(self, names: list) -> None:
+        """Fail fast on unknown distribution names: a typo'd name would
+        otherwise just fan out, hit the resolve failure inside the kernel
+        and vanish as a filtered sentinel row — a silent empty result."""
+        unknown = []
+        for n in names:
+            try:
+                self.registry.resolve(n)
+            except Exception:  # noqa: BLE001
+                unknown.append(n)
+        if unknown:
+            raise ValueError(
+                f"unknown distribution(s): {unknown!r}; see "
+                "DistributionRegistry.get_distributions() / "
+                "register_distribution() for the available set"
+            )
+
     def _select_distributions(
         self, config: FitterConfig, data: np.ndarray
     ) -> list:
@@ -166,6 +183,8 @@ class DistributionFitter:
             config or FitterConfig()
         )
         self._validate(df, cols, config)
+        if distributions:
+            self._validate_names(distributions)
 
         # bounded fitting: restrict the relation to [lb, ub] up front so
         # the histogram, sample and stats all describe the retained mass
@@ -375,6 +394,8 @@ class DiscreteDistributionFitter:
                     f"column {c!r} has non-numeric type "
                     f"{schema[c].simpleString()}"
                 )
+        if distributions:
+            DistributionFitter._validate_names(self, distributions)
 
         # batched planning, mirroring the continuous fitter: stats for
         # all columns in one scan, PMFs in one stacked groupBy, samples

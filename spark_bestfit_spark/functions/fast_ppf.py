@@ -20,7 +20,7 @@ import numpy as np
 
 from spark_bestfit_spark.functions import special as sp
 
-__all__ = ["fast_ppf", "truncated_ppf", "has_fast_ppf"]
+__all__ = ["fast_ppf", "truncated_ppf", "has_fast_ppf", "ppf_from_z"]
 
 
 def _norm(q, loc, scale):
@@ -205,6 +205,122 @@ def truncated_ppf(
                            lower, upper)
     q = np.asarray(q, dtype=np.float64)
     out = fast_ppf(dist_name, qlo + q * (qhi - qlo), params)
+    if lower is not None:
+        out = np.maximum(out, lower)
+    if upper is not None:
+        out = np.minimum(out, upper)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# z-space PPF for the copula hot path.
+#
+# The Gaussian copula already holds standard normals z before converting
+# to uniforms, and the marginal (name, params, bounds) is FIXED across
+# the whole batch. That admits two shortcuts:
+#   * norm / lognorm: ppf(ndtr(z)) has a closed form in z — no ndtr, no
+#     inversion at all;
+#   * everything that needs an iterative inversion (gammaincinv /
+#     betaincinv / generic bisection / truncation remap): tabulate the
+#     quantile curve x(z) ONCE on a uniform z-grid and evaluate by cubic
+#     Hermite interpolation with the analytic slope dx/dz = phi(z)/pdf(x)
+#     (~1e-10 relative; ~10 flops per sample vs ~60 gammainc Newton
+#     iterations). Tables are lru-cached per marginal.
+# ---------------------------------------------------------------------------
+
+# distributions whose closed form above is itself an iterative special-
+# function inversion — these gain the most from the z-table
+_ITERATIVE_FORMS = {"gamma", "beta", "chi2", "maxwell", "halfnorm"}
+
+_Z_LIMIT = 8.5          # ndtr(-8.5) ~ 1e-17 < the 1e-12 uniform clip
+_Z_NODES = 4096
+_SQRT2PI = float(np.sqrt(2.0 * np.pi))
+
+
+@lru_cache(maxsize=64)
+def _z_table(dist_name: str, params: tuple, lower, upper) -> tuple:
+    """(z0, dz, x_nodes, slope_nodes) for cubic Hermite evaluation."""
+    zg = np.linspace(-_Z_LIMIT, _Z_LIMIT, _Z_NODES)
+    u = sp.ndtr(zg)
+    # ndtr(8.5) rounds to exactly 1.0 in float64 — keep endpoint nodes
+    # strictly inside (0, 1) so unbounded-support PPFs stay finite
+    np.clip(u, 5e-17, 1.0 - 1.2e-16, out=u)
+    x = np.asarray(
+        truncated_ppf(dist_name, u, params, lower, upper), dtype=np.float64
+    )
+    if not np.all(np.isfinite(x)):
+        good = np.isfinite(x)
+        if not good.any():
+            raise ValueError(
+                f"quantile table for {dist_name}{params} is non-finite"
+            )
+        x = np.interp(zg, zg[good], x[good])
+    phi = np.exp(-0.5 * zg * zg) / _SQRT2PI
+    # analytic slope where the pdf is usable; secant fallback elsewhere
+    band = 1.0
+    if lower is not None or upper is not None:
+        qlo, qhi = _trunc_band(dist_name, params, lower, upper)
+        band = qhi - qlo
+    try:
+        from spark_bestfit_spark.functions.distributions.registry import (
+            get_distribution,
+        )
+
+        with np.errstate(all="ignore"):
+            pdfx = np.asarray(
+                get_distribution(dist_name).pdf(x, *params), dtype=np.float64
+            )
+            d = phi * band / pdfx
+    except Exception:  # noqa: BLE001 — registry miss or pdf failure
+        d = np.full_like(x, np.nan)
+    secant = np.gradient(x, zg)
+    good = np.isfinite(d) & (d >= 0)
+    d = np.where(good, d, np.where(np.isfinite(secant), secant, 0.0))
+    # clamp slopes so the Hermite stays monotone even at flat tail nodes
+    d = np.minimum(d, 3.0 * np.maximum(secant, 0.0) + 1e-300)
+    dz = zg[1] - zg[0]
+    return float(zg[0]), float(dz), x, d
+
+
+def _hermite_eval(table: tuple, z: np.ndarray) -> np.ndarray:
+    z0, dz, x, d = table
+    zc = np.clip(z, z0, z0 + (x.size - 1) * dz)
+    pos = (zc - z0) / dz
+    idx = np.minimum(pos.astype(np.int64), x.size - 2)
+    t = pos - idx
+    x0, x1 = x[idx], x[idx + 1]
+    m0, m1 = d[idx] * dz, d[idx + 1] * dz
+    t2 = t * t
+    t3 = t2 * t
+    return (
+        (2.0 * t3 - 3.0 * t2 + 1.0) * x0
+        + (t3 - 2.0 * t2 + t) * m0
+        + (-2.0 * t3 + 3.0 * t2) * x1
+        + (t3 - t2) * m1
+    )
+
+
+def ppf_from_z(
+    dist_name: str, z, params, lower=None, upper=None
+) -> np.ndarray:
+    """Marginal PPF evaluated at u = ndtr(z), without materializing u
+    where a z-space shortcut exists. `z` is a standard-normal array."""
+    z = np.asarray(z, dtype=np.float64)
+    params = tuple(float(p) for p in params)
+    if lower is None and upper is None:
+        if dist_name == "norm":
+            loc, scale = params
+            return loc + scale * z
+        if dist_name == "lognorm":
+            s, loc, scale = params
+            return loc + scale * np.exp(s * z)
+        if dist_name not in _ITERATIVE_FORMS and dist_name in _CLOSED_FORMS:
+            u = sp.ndtr(z)
+            np.clip(u, 1e-12, 1.0 - 1e-12, out=u)
+            return fast_ppf(dist_name, u, params)
+        return _hermite_eval(_z_table(dist_name, params, None, None), z)
+    table = _z_table(dist_name, params, lower, upper)
+    out = _hermite_eval(table, z)
     if lower is not None:
         out = np.maximum(out, lower)
     if upper is not None:

@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_bestfit_spark.functions import special as sp
-from spark_bestfit_spark.functions.fast_ppf import truncated_ppf
+from spark_bestfit_spark.functions.fast_ppf import ppf_from_z
 from spark_bestfit_spark.operators.generate import generate_samples
 
 SCHEMA_VERSION = "1.1"
@@ -136,20 +136,28 @@ class GaussianCopula:
 
     # ------------------------------------------------------------- sampling
     def _transform(self, z: np.ndarray, return_uniform: bool) -> dict:
-        """z (n, k) standard normals -> correlated -> marginal space."""
+        """z (n, k) standard normals -> correlated -> marginal space.
+
+        Marginal inversion runs in z-space (`ppf_from_z`): closed forms
+        for norm/lognorm, cached Hermite quantile tables for iterative
+        inversions — the uniforms are only materialized when asked for.
+        """
         corr_z = z @ self._cholesky.T
-        u = sp.ndtr(corr_z)
-        np.clip(u, 1e-12, 1.0 - 1e-12, out=u)
         out = {}
-        for j, c in enumerate(self.column_names):
-            if return_uniform:
+        if return_uniform:
+            u = sp.ndtr(corr_z)
+            np.clip(u, 1e-12, 1.0 - 1e-12, out=u)
+            for j, c in enumerate(self.column_names):
                 out[c] = u[:, j]
-            else:
-                m = self.marginals[c]
-                out[c] = truncated_ppf(
-                    m.distribution, u[:, j], m.parameters,
-                    m.lower_bound, m.upper_bound,
-                )
+            return out
+        # clip z to the uniform-clip equivalent so tails match the old path
+        np.clip(corr_z, -7.0344838377975063, 7.0344838377975063, out=corr_z)
+        for j, c in enumerate(self.column_names):
+            m = self.marginals[c]
+            out[c] = ppf_from_z(
+                m.distribution, corr_z[:, j], m.parameters,
+                m.lower_bound, m.upper_bound,
+            )
         return out
 
     def sample(
@@ -178,18 +186,22 @@ class GaussianCopula:
         def gen(rng: np.random.Generator, n_rows: int):
             z = rng.standard_normal((n_rows, k))
             corr_z = z @ chol.T
-            u = sp.ndtr(corr_z)
-            np.clip(u, 1e-12, 1.0 - 1e-12, out=u)
             out = {}
-            for j, c in enumerate(cols):
-                if return_uniform:
+            if return_uniform:
+                u = sp.ndtr(corr_z)
+                np.clip(u, 1e-12, 1.0 - 1e-12, out=u)
+                for j, c in enumerate(cols):
                     out[c] = u[:, j]
-                else:
-                    m = marginals[c]
-                    out[c] = truncated_ppf(
-                        m.distribution, u[:, j], m.parameters,
-                        m.lower_bound, m.upper_bound,
-                    )
+                return out
+            np.clip(
+                corr_z, -7.0344838377975063, 7.0344838377975063, out=corr_z
+            )
+            for j, c in enumerate(cols):
+                m = marginals[c]
+                out[c] = ppf_from_z(
+                    m.distribution, corr_z[:, j], m.parameters,
+                    m.lower_bound, m.upper_bound,
+                )
             return out
 
         return generate_samples(

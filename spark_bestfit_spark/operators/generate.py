@@ -62,19 +62,23 @@ def generate_samples(
     num_partitions = max(1, min(num_partitions, n))
 
     schema = StructType([StructField(c, DoubleType()) for c in columns])
-    # repartitionByRange puts exactly one plan row per partition; hash
-    # repartition would leave ~1/e of the partitions empty (collisions),
-    # silently cutting generation parallelism by a third
-    plan = spark.createDataFrame(
-        _partition_plan(n, num_partitions),
-        "partition_id int, n_samples long",
-    ).repartitionByRange(num_partitions, "partition_id")
+    # spark.range(0, P, 1, P) natively places exactly one id per
+    # partition with NO shuffle: the earlier repartitionByRange plan cost
+    # a range-boundary sampling job plus an exchange stage per call, and
+    # a hash repartition would leave ~1/e of the partitions empty.
+    # The (base, rem) split arithmetic ships in the closure instead.
+    plan = spark.range(0, num_partitions, 1, num_partitions)
+    base, rem = divmod(n, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for pid, n_rows in zip(pdf["partition_id"], pdf["n_samples"]):
-                rng = np.random.default_rng(seed + int(pid))
-                out = generator(rng, int(n_rows))
+            for pid in pdf["id"]:
+                pid = int(pid)
+                n_rows = base + (1 if pid < rem else 0)
+                if n_rows <= 0:
+                    continue
+                rng = np.random.default_rng(seed + pid)
+                out = generator(rng, n_rows)
                 frame = pd.DataFrame(out)
                 yield frame[list(columns)].astype(np.float64)
 
