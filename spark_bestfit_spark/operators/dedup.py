@@ -134,13 +134,19 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    Shuffle profile: explode to (band, band_sig) keys, self-join inside
-    buckets only — the quadratic term is bounded by bucket size, so this
-    scales as long as bands are selective (raise num_hashes/num_bands
-    for bigger corpora)."""
+    Shuffle profile: ONE exchange. Band buckets are built by groupBy on
+    the (band, band_sig) key and the i<j pairs are exploded inside each
+    bucket with array higher-order functions — a bucket is never joined
+    against itself, so the signature relation is computed once instead
+    of twice and there is no self-join to skew. The quadratic term stays
+    bounded by bucket size (raise num_hashes/num_bands for selectivity);
+    ``max_bucket_size`` optionally drops degenerate buckets — identical
+    documents belong to the exact-dedup tier anyway.
+    """
     n_hashes_col = F.size("minhash")
     rows_per_band = F.floor(n_hashes_col / num_bands)
     banded = (
@@ -164,21 +170,26 @@ def minhash_lsh_candidates(
             ).alias("band", "band_sig"),
         )
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    n = F.size("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_sig") == F.col("r.band_sig"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
 
