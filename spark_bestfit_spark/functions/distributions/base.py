@@ -104,6 +104,28 @@ class ContinuousDistribution:
     def _isf(self, q, *shapes):
         return self._ppf(1.0 - np.asarray(q, dtype=np.float64), *shapes)
 
+    def _cdf_quadrature(
+        self, z, shapes, lo: float, hi: float, n: int = 4097
+    ):
+        """CDF by cumulative trapezoid of ``_pdf`` over [lo, hi] + interp.
+
+        For densities whose CDF has no tractable closed form (NIG, Rice
+        at large noncentrality): one vectorized pass over an n-point
+        grid, then linear interpolation at the query points."""
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        grid = np.linspace(lo, hi, n)
+        with np.errstate(over="ignore", under="ignore", divide="ignore"):
+            pdf = np.exp(self._logpdf(grid, *shapes))
+        pdf[~np.isfinite(pdf)] = 0.0
+        dx = grid[1] - grid[0]
+        cum = np.concatenate(
+            ([0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * dx))
+        )
+        total = cum[-1]
+        if total > 0:
+            cum = cum / max(total, 1.0)  # normalize only overshoot
+        return np.clip(np.interp(z, grid, cum), 0.0, 1.0)
+
     def _ppf_numeric(self, q, *shapes, iters: int = 90):
         """Vectorized bisection inversion of ``_cdf`` on the support."""
         q = np.atleast_1d(np.asarray(q, dtype=np.float64))

@@ -828,28 +828,260 @@ class Pearson3(ContinuousDistribution):
         return (skew, m, s)
 
 
+# --------------------------------------------------------------------------
+class GenGamma(ContinuousDistribution):
+    """Generalized gamma (Stacy): pdf = |c| z^{ca-1} e^{-z^c} / Gamma(a),
+    z > 0. gengamma(a, 1) = gamma(a); gengamma(1, c) = weibull_min(c).
+    Matches scipy.stats.gengamma shapes (a, c) with c != 0."""
+
+    name = "gengamma"
+    shapes = ("a_", "c")
+    shape_pos = (True, False)
+    a = 0.0
+
+    def _check_shapes(self, shapes) -> bool:
+        a_, c = shapes
+        return bool(
+            np.isfinite(a_) and a_ > 0 and np.isfinite(c) and c != 0.0
+        )
+
+    def _logpdf(self, z, a_, c):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            zc = np.power(z, c)
+            return (
+                np.log(abs(c)) + (c * a_ - 1.0) * np.log(z) - zc
+                - sp.gammaln(a_)
+            )
+
+    def _cdf(self, z, a_, c):
+        with np.errstate(invalid="ignore", over="ignore"):
+            zc = np.power(np.maximum(z, 1e-300), c)
+            if c > 0:
+                return sp.gammainc(a_, zc)
+            return sp.gammaincc(a_, zc)
+
+    def _ppf(self, q, a_, c):
+        q = np.asarray(q, dtype=np.float64)
+        if c > 0:
+            return np.power(sp.gammaincinv(a_, q), 1.0 / c)
+        return np.power(sp.gammaincinv(a_, 1.0 - q), 1.0 / c)
+
+    def _fit_start(self, data):
+        rng = np.ptp(data) or 1.0
+        loc = float(np.min(data)) - 0.01 * rng
+        d = data - loc
+        m = float(np.mean(d))
+        v = float(np.var(d)) or 1.0
+        a_ = max(m * m / v, 0.05)
+        return (a_, 1.0, loc, v / m if m > 0 else 1.0)
+
+
+class TruncWeibullMin(ContinuousDistribution):
+    """Weibull_min truncated to standard-form [lb, ub] (scipy
+    truncweibull_min shapes (c, a, b)): cdf = (F(z)-F(lb))/(F(ub)-F(lb))
+    with F(z) = 1 - exp(-z^c)."""
+
+    name = "truncweibull_min"
+    shapes = ("c", "lb", "ub")
+    shape_pos = (True, False, False)
+
+    def _check_shapes(self, shapes) -> bool:
+        c, lb, ub = shapes
+        return bool(
+            np.isfinite(c) and c > 0 and np.isfinite(lb)
+            and 0.0 <= lb < ub
+        )
+
+    def _get_support(self, c, lb, ub):
+        return lb, ub
+
+    @staticmethod
+    def _mass(c, lb, ub):
+        flb = -np.expm1(-np.power(lb, c))
+        fub = 1.0 if np.isinf(ub) else -np.expm1(-np.power(ub, c))
+        return flb, max(fub - flb, 1e-300)
+
+    def _logpdf(self, z, c, lb, ub):
+        _, mass = self._mass(c, lb, ub)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (
+                np.log(c) + (c - 1.0) * np.log(z) - np.power(z, c)
+                - np.log(mass)
+            )
+
+    def _cdf(self, z, c, lb, ub):
+        flb, mass = self._mass(c, lb, ub)
+        fz = -np.expm1(-np.power(np.maximum(z, 0.0), c))
+        return (fz - flb) / mass
+
+    def _ppf(self, q, c, lb, ub):
+        flb, mass = self._mass(c, lb, ub)
+        u = flb + np.asarray(q, dtype=np.float64) * mass
+        return np.power(-np.log1p(-np.clip(u, 0.0, 1.0 - 1e-16)), 1.0 / c)
+
+    def _fit_start(self, data):
+        rng = np.ptp(data) or 1.0
+        loc = float(np.min(data)) - 0.01 * rng
+        scale = rng
+        return (1.0, 0.005, 1.2, loc, scale)
+
+
+class JFSkewT(ContinuousDistribution):
+    """Jones-Faddy skew-t: with t = z / sqrt(a+b+z^2),
+    pdf = (1+t)^{a+1/2} (1-t)^{b+1/2} / (2^{a+b-1} B(a,b) sqrt(a+b));
+    cdf = I_{(1+t)/2}(a, b). jf_skew_t(a, a) is Student t with 2a dof."""
+
+    name = "jf_skew_t"
+    shapes = ("a_", "b_")
+
+    def _logpdf(self, z, a_, b_):
+        s = np.sqrt(a_ + b_ + z * z)
+        t = z / s
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (
+                (a_ + 0.5) * np.log1p(t) + (b_ + 0.5) * np.log1p(-t)
+                - (a_ + b_ - 1.0) * np.log(2.0) - sp.betaln(a_, b_)
+                - 0.5 * np.log(a_ + b_)
+            )
+
+    def _cdf(self, z, a_, b_):
+        t = z / np.sqrt(a_ + b_ + z * z)
+        return sp.betainc(a_, b_, 0.5 * (1.0 + t))
+
+    def _ppf(self, q, a_, b_):
+        y = sp.betaincinv(a_, b_, np.asarray(q, dtype=np.float64))
+        t = np.clip(2.0 * y - 1.0, -1.0 + 1e-15, 1.0 - 1e-15)
+        return t * np.sqrt((a_ + b_) / (1.0 - t * t))
+
+    def _fit_start(self, data):
+        m = float(np.mean(data))
+        s = float(np.std(data)) or 1.0
+        return (2.0, 2.0, m, s)
+
+
+class Rice(ContinuousDistribution):
+    """Rice: pdf = z exp(-(z^2+b^2)/2) I0(b z), z >= 0; rice(0) is
+    Rayleigh. CDF via the noncentral-chi-square(2, b^2) Poisson mixture:
+    P(Z <= z) = sum_j pois(j; b^2/2) P(j+1, z^2/2)."""
+
+    name = "rice"
+    shapes = ("b_",)
+    shape_pos = (False,)  # b >= 0 allowed (0 = Rayleigh)
+    a = 0.0
+
+    def _check_shapes(self, shapes) -> bool:
+        (b_,) = shapes
+        return bool(np.isfinite(b_) and b_ >= 0.0)
+
+    def _logpdf(self, z, b_):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (
+                np.log(z) - 0.5 * (z * z + b_ * b_) + sp.log_i0(b_ * z)
+            )
+
+    def _cdf(self, z, b_):
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        if b_ > 8.0:
+            # narrow near-Gaussian bump around sqrt(b^2+1): quadrature
+            # beats the Poisson mixture, whose term count grows with b^2
+            m = np.sqrt(b_ * b_ + 1.0)
+            return self._cdf_quadrature(z, (b_,), max(m - 12.0, 0.0), m + 12.0)
+        lam_half = 0.5 * b_ * b_
+        spread = np.sqrt(lam_half + 1.0)
+        j_lo = max(0, int(np.floor(lam_half - 10.0 * spread)))
+        j_hi = int(np.ceil(lam_half + 10.0 * spread)) + 20
+        x_half = 0.5 * z * z
+        out = np.zeros_like(z)
+        with np.errstate(divide="ignore"):
+            for j in range(j_lo, j_hi + 1):
+                logw = (
+                    j * np.log(lam_half) - lam_half - sp.gammaln(j + 1.0)
+                    if lam_half > 0 else (0.0 if j == 0 else -np.inf)
+                )
+                w = np.exp(logw)
+                if w < 1e-18 and j > lam_half:
+                    break
+                if w < 1e-18:
+                    continue
+                out += w * sp.gammainc(j + 1.0, x_half)
+        return np.clip(out, 0.0, 1.0)
+
+    def _fit_start(self, data):
+        loc = float(np.min(data)) - 0.01 * (np.ptp(data) or 1.0)
+        d = data - loc
+        m = float(np.mean(d))
+        s = float(np.std(d)) or 1.0
+        # moment-ish seed: signal-to-noise from mean/std ratio
+        snr = max(m / s - 1.0, 0.1)
+        return (snr, loc, s)
+
+
+class NormInvGauss(ContinuousDistribution):
+    """Normal-inverse-Gaussian: pdf = a K1(a sqrt(1+z^2)) exp(g + b z) /
+    (pi sqrt(1+z^2)) with g = sqrt(a^2 - b^2), |b| < a. CDF by cumulative
+    trapezoid of the pdf on an adaptive grid (tails decay ~ e^{-(a-|b|)|z|})."""
+
+    name = "norminvgauss"
+    shapes = ("a_", "b_")
+    shape_pos = (True, False)
+
+    def _check_shapes(self, shapes) -> bool:
+        a_, b_ = shapes
+        return bool(
+            np.isfinite(a_) and a_ > 0 and np.isfinite(b_) and abs(b_) < a_
+        )
+
+    def _logpdf(self, z, a_, b_):
+        s = np.sqrt(1.0 + z * z)
+        g = np.sqrt(a_ * a_ - b_ * b_)
+        return (
+            np.log(a_) + sp.log_k1(a_ * s) + g + b_ * z
+            - np.log(np.pi) - np.log(s)
+        )
+
+    def _cdf(self, z, a_, b_):
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        # grid spanning beyond both data range and the heavy side of the
+        # density; tail width ~ 45/(a-|b|) covers < 1e-18 residual mass
+        width = 45.0 / max(a_ - abs(b_), 1e-3)
+        mean_z = b_ / max(np.sqrt(a_ * a_ - b_ * b_), 1e-3)
+        lo = min(float(np.min(z)), mean_z - width)
+        hi = max(float(np.max(z)), mean_z + width)
+        return self._cdf_quadrature(z, (a_, b_), lo, hi)
+
+    def _fit_start(self, data):
+        m = float(np.mean(data))
+        s = float(np.std(data)) or 1.0
+        return (1.5, 0.0, m, s)
+
+
 _EXT_CLASSES = [
     Argus,
     CrystalBall,
     ExponNorm,
     FatigueLife,
+    GenGamma,
     GenHalfLogistic,
     HalfGenNorm,
     InvGamma,
+    JFSkewT,
     Kappa3,
     LaplaceAsymmetric,
     LevyL,
     LogUniform,
     Moyal,
+    NormInvGauss,
     Pearson3,
     PowerNorm,
     RDist,
     Reciprocal,
+    Rice,
     SkewCauchy,
     SkewNorm,
     Trapezoid,
     TruncNorm,
     TruncPareto,
+    TruncWeibullMin,
     WrapCauchy,
 ]
 

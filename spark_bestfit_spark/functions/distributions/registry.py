@@ -42,9 +42,11 @@ SLOW_DISTRIBUTIONS: set = {
     "exponweib",
     "f",              # ~290 ms
     "genexpon",       # ~140 ms
+    "jf_skew_t",      # ~540 ms (betaincinv in the PPF/metrics path)
     "johnsonsb",      # ~130 ms
     "johnsonsu",      # ~100 ms
     "loggamma",       # ~100 ms
+    "norminvgauss",   # ~370 ms (quadrature CDF)
     "powerlognorm",   # ~1.7 s — see FIT_WEIGHTS
     "powernorm",      # ~360 ms
     "skewnorm",       # ~460 ms (Owen's T quadrature in the CDF)

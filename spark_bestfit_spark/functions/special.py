@@ -600,3 +600,133 @@ def kolmogorov_sf(x):
                 break
         out[large] = np.clip(s, 0.0, 1.0)
     return out if out.shape else float(out)
+
+
+# ---------------------------------------------------------------------------
+# Modified Bessel functions (Abramowitz & Stegun 9.8.1-9.8.8 polynomial
+# approximations, |rel err| < ~2e-7) — needed by the Rice and
+# normal-inverse-Gaussian densities. Log variants avoid overflow of
+# exp(x) for large arguments in likelihood evaluations.
+# ---------------------------------------------------------------------------
+
+_I0_SMALL = (1.0, 3.5156229, 3.0899424, 1.2067492,
+             0.2659732, 0.0360768, 0.0045813)
+_I0_LARGE = (0.39894228, 0.01328592, 0.00225319, -0.00157565, 0.00916281,
+             -0.02057706, 0.02635537, -0.01647633, 0.00392377)
+_I1_SMALL = (0.5, 0.87890594, 0.51498869, 0.15084934,
+             0.02658733, 0.00301532, 0.00032411)
+_I1_LARGE = (0.39894228, -0.03988024, -0.00362018, 0.00163801, -0.01031555,
+             0.02282967, -0.02895312, 0.01787654, -0.00420059)
+_K0_SMALL = (-0.57721566, 0.42278420, 0.23069756, 0.03488590,
+             0.00262698, 0.00010750, 0.00000740)
+_K0_LARGE = (1.25331414, -0.07832358, 0.02189568, -0.01062446,
+             0.00587872, -0.00251540, 0.00053208)
+_K1_SMALL = (1.0, 0.15443144, -0.67278579, -0.18156897,
+             -0.01919402, -0.00110404, -0.00004686)
+_K1_LARGE = (1.25331414, 0.23498619, -0.03655620, 0.01504268,
+             -0.00780353, 0.00325614, -0.00068245)
+
+
+def _poly(coeffs, t):
+    acc = np.full(np.shape(t), coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * t + c
+    return acc
+
+
+def _i0_scaled_large(ax):
+    """exp(-x) * I0(x) for x > 3.75."""
+    t = 3.75 / ax
+    return _poly(_I0_LARGE, t) / np.sqrt(ax)
+
+
+def i0(x):
+    """Modified Bessel I0(x) (A&S 9.8.1-9.8.2)."""
+    ax = np.abs(np.atleast_1d(_as_f8(x)))
+    small = ax <= 3.75
+    t2 = (ax / 3.75) ** 2
+    with np.errstate(over="ignore"):
+        out = np.where(
+            small,
+            _poly(_I0_SMALL, t2),
+            np.exp(ax) * _i0_scaled_large(np.maximum(ax, 3.76)),
+        )
+    return out if out.shape else float(out)
+
+
+def log_i0(x):
+    """log I0(x), overflow-safe for large x."""
+    ax = np.abs(np.atleast_1d(_as_f8(x)))
+    small = ax <= 3.75
+    t2 = (ax / 3.75) ** 2
+    with np.errstate(divide="ignore"):
+        out = np.where(
+            small,
+            np.log(_poly(_I0_SMALL, t2)),
+            ax + np.log(_i0_scaled_large(np.maximum(ax, 3.76))),
+        )
+    return out if out.shape else float(out)
+
+
+def i1(x):
+    """Modified Bessel I1(x) (A&S 9.8.3-9.8.4); odd in x."""
+    x = np.atleast_1d(_as_f8(x))
+    ax = np.abs(x)
+    small = ax <= 3.75
+    t2 = (ax / 3.75) ** 2
+    with np.errstate(over="ignore"):
+        out = np.where(
+            small,
+            ax * _poly(_I1_SMALL, t2),
+            np.exp(ax) * _poly(_I1_LARGE, 3.75 / np.maximum(ax, 3.76))
+            / np.sqrt(np.maximum(ax, 3.76)),
+        )
+    out = np.where(x < 0, -out, out)
+    return out if out.shape else float(out)
+
+
+def k0(x):
+    """Modified Bessel K0(x), x > 0 (A&S 9.8.5-9.8.6)."""
+    x = np.atleast_1d(_as_f8(x))
+    out = np.full(x.shape, np.nan)
+    out[x == 0] = np.inf
+    pos = x > 0
+    xs = np.where(pos, x, 1.0)
+    small = pos & (xs <= 2.0)
+    t2 = (xs / 2.0) ** 2
+    with np.errstate(divide="ignore", over="ignore"):
+        sm = -np.log(xs / 2.0) * i0(xs) + _poly(_K0_SMALL, t2)
+        lg = np.exp(-xs) * _poly(_K0_LARGE, 2.0 / xs) / np.sqrt(xs)
+    out = np.where(small, sm, np.where(pos, lg, out))
+    return out if out.shape else float(out)
+
+
+def k1(x):
+    """Modified Bessel K1(x), x > 0 (A&S 9.8.7-9.8.8)."""
+    x = np.atleast_1d(_as_f8(x))
+    out = np.full(x.shape, np.nan)
+    out[x == 0] = np.inf
+    pos = x > 0
+    xs = np.where(pos, x, 1.0)
+    small = pos & (xs <= 2.0)
+    t2 = (xs / 2.0) ** 2
+    with np.errstate(divide="ignore", over="ignore"):
+        sm = (np.log(xs / 2.0) * i1(xs) + _poly(_K1_SMALL, t2) / xs)
+        lg = np.exp(-xs) * _poly(_K1_LARGE, 2.0 / xs) / np.sqrt(xs)
+    out = np.where(small, sm, np.where(pos, lg, out))
+    return out if out.shape else float(out)
+
+
+def log_k1(x):
+    """log K1(x), underflow-safe for large x (K1 ~ e^{-x} sqrt(pi/2x))."""
+    x = np.atleast_1d(_as_f8(x))
+    out = np.full(x.shape, np.nan)
+    out[x == 0] = np.inf
+    pos = x > 0
+    xs = np.where(pos, x, 1.0)
+    small = pos & (xs <= 2.0)
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        sm = np.log(np.clip(k1(np.where(small, xs, 1.0)), 1e-300, None))
+        lg = -xs + np.log(_poly(_K1_LARGE, 2.0 / xs)) - 0.5 * np.log(xs)
+    out = np.where(small, sm, np.where(pos, lg, out))
+    return out if out.shape else float(out)

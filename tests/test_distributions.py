@@ -37,6 +37,8 @@ SHAPE_CASES = {
     "skewcauchy": (0.5,),
     "wrapcauchy": (0.5,),
     "crystalball": (1.5, 3.0),
+    "norminvgauss": (1.5, 0.5),
+    "truncweibull_min": (1.7, 0.1, 2.0),
 }
 
 QS = np.array([0.001, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.999])

@@ -122,3 +122,88 @@ class TestExtendedLibrary:
         )
         # most of the 80+ distributions should produce non-sentinel fits
         assert res.count() >= 55
+
+
+class TestParityBatch3:
+    """gengamma / truncweibull_min / jf_skew_t / rice / norminvgauss
+    (reference default-set stragglers needing Bessel/betainc machinery)."""
+
+    NEW = {
+        "gengamma": (2.0, 1.5, 0.0, 1.0),
+        "truncweibull_min": (1.7, 0.1, 2.0, 0.0, 1.0),
+        "jf_skew_t": (2.0, 4.0, 0.0, 1.0),
+        "rice": (1.5, 0.0, 1.0),
+        "norminvgauss": (1.5, 0.5, 0.0, 1.0),
+    }
+
+    def test_pdf_integrates_to_one(self):
+        for name, params in self.NEW.items():
+            d = get_continuous(name)
+            lo, hi = d.support(*params)
+            x = np.linspace(
+                lo + 1e-9 if np.isfinite(lo) else -50.0,
+                hi if np.isfinite(hi) else 50.0,
+                100_001,
+            )
+            total = np.trapz(d.pdf(x, *params), x)
+            assert abs(total - 1.0) < 1e-3, (name, total)
+
+    def test_ppf_cdf_roundtrip(self):
+        q = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+        for name, params in self.NEW.items():
+            d = get_continuous(name)
+            rt = d.cdf(d.ppf(q, *params), *params)
+            assert np.allclose(rt, q, atol=1e-6), (name, rt)
+
+    def test_rice_zero_b_is_rayleigh(self):
+        x = np.linspace(0.01, 8, 100)
+        rice = get_continuous("rice").pdf(x, 0.0, 0.0, 1.0)
+        ray = get_continuous("rayleigh").pdf(x, 0.0, 1.0)
+        assert np.allclose(rice, ray, atol=1e-12)
+
+    def test_rice_large_b_quadrature_path(self):
+        d = get_continuous("rice")
+        q = np.array([0.05, 0.5, 0.95])
+        rt = d.cdf(d.ppf(q, 40.0, 0.0, 1.0), 40.0, 0.0, 1.0)
+        assert np.allclose(rt, q, atol=1e-6)
+
+    def test_gengamma_c1_is_gamma(self):
+        x = np.linspace(0.01, 10, 100)
+        gg = get_continuous("gengamma").pdf(x, 2.5, 1.0, 0.0, 1.0)
+        ga = get_continuous("gamma").pdf(x, 2.5, 0.0, 1.0)
+        assert np.allclose(gg, ga, atol=1e-12)
+
+    def test_jf_skew_t_symmetric_is_student_t(self):
+        x = np.linspace(-6, 6, 100)
+        jf = get_continuous("jf_skew_t").pdf(x, 3.0, 3.0, 0.0, 1.0)
+        tt = get_continuous("t").pdf(x, 6.0, 0.0, 1.0)
+        assert np.allclose(jf, tt, atol=1e-12)
+
+    def test_norminvgauss_symmetric_and_skewed(self):
+        d = get_continuous("norminvgauss")
+        x = np.linspace(-5, 5, 101)
+        sym = d.pdf(x, 2.0, 0.0, 0.0, 1.0)
+        assert np.allclose(sym, sym[::-1], atol=1e-10)
+        skew = d.pdf(x, 2.0, 1.0, 0.0, 1.0)
+        m = np.trapz(x * skew, x)
+        assert m > 0.1  # positive b -> right shift
+
+    def test_fit_recovery(self):
+        rng = np.random.default_rng(7)
+        for name, true in [
+            ("gengamma", (2.0, 1.5, 10.0, 5.0)),
+            ("rice", (2.0, 0.0, 3.0)),
+            ("norminvgauss", (1.5, 0.5, 10.0, 4.0)),
+            ("jf_skew_t", (2.0, 5.0, 0.0, 2.0)),
+        ]:
+            d = get_continuous(name)
+            data = d.rvs(true, 5000, random_state=rng)
+            fitted = d.fit(data)
+            xs = np.sort(data)
+            c = d.cdf(xs, *fitted)
+            n = len(xs)
+            ks = max(
+                np.max(np.arange(1, n + 1) / n - c),
+                np.max(c - np.arange(0, n) / n),
+            )
+            assert ks < 0.05, (name, ks, fitted)

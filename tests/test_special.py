@@ -150,3 +150,44 @@ class TestKolmogorov:
         lo = sp.kolmogorov_sf(1.1799)
         hi = sp.kolmogorov_sf(1.1801)
         assert abs(lo - hi) < 1e-3
+
+
+class TestBessel:
+    """A&S 9.8 modified Bessel approximations vs published table values."""
+
+    GOLDEN = [
+        ("i0", 1.0, 1.2660658777520084),
+        ("i0", 5.0, 27.239871823604442),
+        ("i1", 1.0, 0.5651591039924851),
+        ("i1", 5.0, 24.33564214245053),
+        ("k0", 1.0, 0.42102443824070823),
+        ("k0", 5.0, 0.003691098334042594),
+        ("k1", 1.0, 0.6019072301972346),
+        ("k1", 5.0, 0.004044613445452164),
+    ]
+
+    def test_golden_values(self):
+        for name, x, want in self.GOLDEN:
+            got = float(np.asarray(getattr(sp, name)(x)).ravel()[0])
+            assert abs(got - want) / want < 5e-7, (name, x, got, want)
+
+    def test_log_variants_match_linear_in_range(self):
+        x = np.linspace(0.1, 20.0, 50)
+        assert np.allclose(
+            np.asarray(sp.log_i0(x)), np.log(np.asarray(sp.i0(x))), rtol=1e-9
+        )
+        assert np.allclose(
+            np.asarray(sp.log_k1(x)), np.log(np.asarray(sp.k1(x))), rtol=1e-6
+        )
+
+    def test_log_variants_no_overflow(self):
+        big = np.asarray(sp.log_i0(np.array([800.0])))
+        assert np.isfinite(big).all() and big[0] > 700
+        small = np.asarray(sp.log_k1(np.array([800.0])))
+        assert np.isfinite(small).all() and small[0] < -700
+
+    def test_i1_odd_k_positive(self):
+        x = np.linspace(0.1, 10, 20)
+        assert np.allclose(np.asarray(sp.i1(-x)), -np.asarray(sp.i1(x)))
+        assert (np.asarray(sp.k0(x)) > 0).all()
+        assert (np.asarray(sp.k1(x)) > 0).all()
