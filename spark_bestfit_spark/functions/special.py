@@ -424,43 +424,48 @@ _INV_SQRT_PI = 1.0 / np.sqrt(np.pi)
 
 
 def _erfc_nonneg(y: np.ndarray) -> np.ndarray:
-    """erfc(y) for y >= 0 via Cody's three-range rational forms."""
-    out = np.empty_like(y)
+    """erfc(y) for y >= 0 via Cody's three-range rational forms.
 
+    The small and mid branches are evaluated on the full array and
+    selected with ``np.where`` — for million-point inputs the redundant
+    arithmetic is ~3x cheaper than boolean gather/scatter indexing. The
+    rare far-tail branch (y > 4, p < 1.5e-8) keeps the masked form."""
     small = y <= 0.46875
-    if small.any():
-        ys = y[small]
-        z = ys * ys
-        num = _ERF_A[4] * z
-        den = z
-        for i in range(3):
-            num = (num + _ERF_A[i]) * z
-            den = (den + _ERF_B[i]) * z
-        out[small] = 1.0 - ys * (num + _ERF_A[3]) / (den + _ERF_B[3])
+    ycap = np.minimum(y, 26.0)  # exp(-26^2) underflows anyway
 
-    mid = (y > 0.46875) & (y <= 4.0)
-    if mid.any():
-        ym = y[mid]
-        num = _ERF_C[8] * ym
-        den = ym
-        for i in range(7):
-            num = (num + _ERF_C[i]) * ym
-            den = (den + _ERF_D[i]) * ym
-        out[mid] = np.exp(-ym * ym) * (num + _ERF_C[7]) / (den + _ERF_D[7])
+    z = ycap * ycap
+    num_s = _ERF_A[4] * z
+    den_s = z
+    for i in range(3):
+        num_s = (num_s + _ERF_A[i]) * z
+        den_s = (den_s + _ERF_B[i]) * z
+    val_small = 1.0 - ycap * (num_s + _ERF_A[3]) / (den_s + _ERF_B[3])
+
+    num_m = _ERF_C[8] * ycap
+    den_m = ycap
+    for i in range(7):
+        num_m = (num_m + _ERF_C[i]) * ycap
+        den_m = (den_m + _ERF_D[i]) * ycap
+    with np.errstate(under="ignore"):
+        val_mid = (
+            np.exp(-z) * (num_m + _ERF_C[7]) / (den_m + _ERF_D[7])
+        )
+
+    out = np.where(small, val_small, val_mid)
 
     big = y > 4.0
     if big.any():
-        yb = y[big]
-        z = 1.0 / (yb * yb)
-        num = _ERF_P[5] * z
-        den = z
+        yb = y[big]  # raw y: exp(-y^2) must underflow to exactly 0
+        zi = 1.0 / (yb * yb)
+        num = _ERF_P[5] * zi
+        den = zi
         for i in range(4):
-            num = (num + _ERF_P[i]) * z
-            den = (den + _ERF_Q[i]) * z
-        r = z * (num + _ERF_P[4]) / (den + _ERF_Q[4])
-        with np.errstate(under="ignore"):
-            out[big] = np.exp(-yb * yb) * (_INV_SQRT_PI - r) / yb
-        out[big] = np.where(np.isfinite(out[big]), out[big], 0.0)
+            num = (num + _ERF_P[i]) * zi
+            den = (den + _ERF_Q[i]) * zi
+        r = zi * (num + _ERF_P[4]) / (den + _ERF_Q[4])
+        with np.errstate(under="ignore", over="ignore"):
+            vb = np.exp(-yb * yb) * (_INV_SQRT_PI - r) / yb
+        out[big] = np.where(np.isfinite(vb), vb, 0.0)
     return out
 
 
