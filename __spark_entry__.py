@@ -497,6 +497,51 @@ def _q_neardup_jaccard(spark, sf_dir):
     return jaccard_pairs(df, block_col="lang", threshold=0.5, shingle_k=1)
 
 
+_CONTAMINATION_PROBES = ["key agg row", "batch window spark", "slow filter"]
+
+
+def _q_neardup_clusters(spark, sf_dir):
+    """Connected components over the blocked Jaccard pair graph:
+    transitive near-dup clusters (min-label propagation; the oracle is a
+    DuckDB recursive CTE over the same pair relation)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import (
+        jaccard_pairs,
+        neardup_clusters,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    pairs = jaccard_pairs(df, block_col="lang", threshold=0.5, shingle_k=1)
+    return neardup_clusters(pairs)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination flags: True when the normalized text
+    contains any probe substring."""
+    from spark_bestfit_spark.operators.curation import flag_contamination
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return flag_contamination(df, _CONTAMINATION_PROBES).select(
+        "doc_id", "contaminated"
+    )
+
+
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic per-(lang, source) quota sample via md5-rank of the
+    doc id — reproducible on any engine/partitioning, unlike df.sample."""
+    from spark_bestfit_spark.operators.curation import (
+        stratified_quota_sample,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_quota_sample(df, ["lang", "source"], quota=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_doc_minhash(spark, sf_dir):
     """MinHash signatures (4 permutations, 3-word shingles) — the portable
     md5-based hashing makes the full signature oracle-checkable."""
@@ -798,6 +843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_quality": _q_doc_quality,
         "neardup_jaccard": _q_neardup_jaccard,
+        "neardup_clusters": _q_neardup_clusters,
+        "decontaminate": _q_decontaminate,
+        "quota_sample": _q_quota_sample,
         "doc_minhash": _q_doc_minhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1108,6 +1156,57 @@ def oracle_sql() -> dict[str, str]:
                 ON a.lang = b.lang AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "neardup_clusters": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+              FROM documents
+              WHERE doc_id < 300
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.tk, b.tk))
+                          / len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE,
+                          6) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ),
+            r AS (
+              SELECT a AS v, a AS reach FROM e
+              UNION
+              SELECT e.a, r.reach FROM e JOIN r ON e.b = r.v
+            )
+            SELECT v AS doc_id, MIN(reach) AS cluster_id
+            FROM r GROUP BY v
+        """,
+        "decontaminate": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   (contains(t, 'key agg row')
+                    OR contains(t, 'batch window spark')
+                    OR contains(t, 'slow filter'))
+                   AS contaminated
+            FROM n
+        """,
+        "quota_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 5
         """,
         "doc_minhash": """
             WITH toks AS (

@@ -262,6 +262,80 @@ def minhash_dedup_pairs(
     return verified
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster_id)
+    with cluster_id = the smallest doc id in the component.
+
+    Pairwise dedup alone is not transitive-safe (a~b, b~c leaves a and c
+    in different "pairs" even though all three are one duplicate
+    cluster); grouping by component is the principled keep-one-per-
+    cluster semantics.
+
+    Algorithm: min-label propagation with path halving — each round
+    every node takes the min of (its label, its neighbors' labels, its
+    label's label), so convergence is O(log diameter) rounds, each one
+    join+groupBy. Lineage is truncated per round with localCheckpoint;
+    at 100 TB scale the edge relation stays hash-partitioned on the join
+    key across rounds and nothing is ever collected to the driver."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # path halving: label <- label(label)
+        lab2 = stepped.select(
+            F.col("v").alias("_v2"), F.col("label").alias("_l2")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped["label"] == lab2["_v2"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_l2"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

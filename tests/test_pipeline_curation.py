@@ -80,3 +80,101 @@ class TestConfigValidation:
             DistributionFitter(spark).fit(
                 df, column="v", distributions=["norm"], prefilter="typo"
             )
+
+
+class TestNeardupClusters:
+    def test_transitive_chain_collapses(self, spark):
+        from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20
+        }
+
+    def test_long_path_converges(self, spark):
+        from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+        # 40-node path: naive one-hop propagation needs 40 rounds; path
+        # halving must converge inside the default iteration budget
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        got = neardup_clusters(pairs).collect()
+        assert {r.cluster_id for r in got} == {0}
+        assert len(got) == 41
+
+    def test_empty_pairs(self, spark):
+        from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert neardup_clusters(pairs).count() == 0
+
+
+class TestCuration:
+    def test_flag_contamination(self, spark, messy_corpus):
+        from spark_bestfit_spark.operators.curation import flag_contamination
+
+        out = flag_contamination(
+            messy_corpus, ["quick brown fox"], text_col="text"
+        )
+        flagged = {r.doc_id for r in out.filter("contaminated").collect()}
+        assert 0 in flagged and 2 in flagged  # both fox variants
+        assert 1 not in flagged
+
+    def test_flag_contamination_empty_probes(self, spark, messy_corpus):
+        from spark_bestfit_spark.operators.curation import flag_contamination
+
+        out = flag_contamination(messy_corpus, [], text_col="text")
+        assert out.filter("contaminated").count() == 0
+
+    def test_decontaminate_by_ngrams(self, spark, messy_corpus):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            decontaminate_by_ngrams,
+        )
+
+        probe_df = spark.createDataFrame(
+            [("quick brown fox",)], "ngram string"
+        )
+        clean, flagged = decontaminate_by_ngrams(
+            messy_corpus, probe_df, n=3
+        )
+        flagged_ids = {r.doc_id for r in flagged.collect()}
+        assert 0 in flagged_ids and 2 in flagged_ids
+        assert clean.filter(F.col("doc_id").isin(list(flagged_ids))).count() == 0
+        assert clean.count() + len(flagged_ids) == messy_corpus.count()
+
+    def test_quota_sample_deterministic_and_bounded(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            stratified_quota_sample,
+        )
+
+        df = spark.range(0, 500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+        )
+        s1 = stratified_quota_sample(df, ["lang"], quota=7)
+        s2 = stratified_quota_sample(df, ["lang"], quota=7)
+        assert s1.groupBy("lang").count().agg(
+            F.max("count")
+        ).first()[0] == 7
+        a = sorted(r.doc_id for r in s1.collect())
+        b = sorted(r.doc_id for r in s2.collect())
+        assert a == b
+
+    def test_quota_sample_rejects_bad_quota(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            stratified_quota_sample,
+        )
+
+        with pytest.raises(ValueError, match="quota"):
+            stratified_quota_sample(spark.range(3), ["id"], quota=0)
