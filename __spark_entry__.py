@@ -500,6 +500,19 @@ def _q_neardup_jaccard(spark, sf_dir):
 _CONTAMINATION_PROBES = ["key agg row", "batch window spark", "slow filter"]
 
 
+def _q_two_sample_ks(spark, sf_dir):
+    """Distributed two-sample K-S between l_quantity of returnflag A vs
+    N — the exact windowed form (drift testing between two relations)."""
+    from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return two_sample_ks_df(
+        li.filter("l_returnflag = 'A'"),
+        li.filter("l_returnflag = 'N'"),
+        "l_quantity",
+    )
+
+
 def _q_neardup_clusters(spark, sf_dir):
     """Connected components over the blocked Jaccard pair graph:
     transitive near-dup clusters (min-label propagation; the oracle is a
@@ -844,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "neardup_jaccard": _q_neardup_jaccard,
         "neardup_clusters": _q_neardup_clusters,
+        "two_sample_ks": _q_two_sample_ks,
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
         "doc_minhash": _q_doc_minhash,
@@ -1156,6 +1170,31 @@ def oracle_sql() -> dict[str, str]:
                 ON a.lang = b.lang AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "two_sample_ks": """
+            WITH u AS (
+              SELECT l_quantity AS v, 1 AS ia, 0 AS ib FROM lineitem
+              WHERE l_returnflag = 'A'
+                AND l_quantity IS NOT NULL AND isfinite(l_quantity)
+              UNION ALL
+              SELECT l_quantity, 0, 1 FROM lineitem
+              WHERE l_returnflag = 'N'
+                AND l_quantity IS NOT NULL AND isfinite(l_quantity)
+            ),
+            t AS (SELECT SUM(ia) AS na, SUM(ib) AS nb FROM u),
+            c AS (
+              SELECT
+                SUM(ia) OVER (ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                SUM(ib) OVER (ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+              FROM u
+            )
+            SELECT
+              round(MAX(abs(ca::DOUBLE / na - cb::DOUBLE / nb)), 6) AS d_stat,
+              MAX(na)::BIGINT AS n_a,
+              MAX(nb)::BIGINT AS n_b
+            FROM c, t
         """,
         "neardup_clusters": """
             WITH RECURSIVE s AS (

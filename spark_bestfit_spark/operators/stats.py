@@ -105,3 +105,124 @@ def approx_quantiles(
     """Greenwald-Khanna approximate quantiles (reference A6,
     base_fitter.py:435-446). Distributed, single pass, mergeable sketches."""
     return df.approxQuantile(column, list(probabilities), relative_error)
+
+
+def two_sample_ks_df(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    exact: bool = True,
+    grid_size: int = 2048,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D as a one-row relation
+    (d_stat, n_a, n_b) — the distributed drift test between two columns.
+
+    exact=True: union the samples with side markers and take the max
+    ECDF gap with a value-ordered window (ties handled by RANGE frames,
+    so the ECDFs are evaluated after all tied points). The global-order
+    window is a single-partition sort — exact answers for datasets that
+    fit a task; it is also the oracle-checkable form (plain SQL window).
+
+    exact=False: the 100 TB path. Both ECDFs are evaluated on a shared
+    approx-quantile grid via width_bucket + groupBy (one pass per side,
+    fully distributed); D is the max gap over grid points — a lower
+    bound converging to D at O(1/grid_size). No global sort anywhere.
+    """
+    cb = column_b or column
+    a = valid_column(df_a, column).select(
+        F.col(column).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    b = valid_column(df_b, cb).select(
+        F.col(cb).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    u = a.unionAll(b)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("v").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = u.select(
+            "v",
+            F.sum("ia").over(w).alias("ca"),
+            F.sum("ib").over(w).alias("cb"),
+        )
+        return (
+            cum.crossJoin(
+                u.agg(
+                    F.sum("ia").alias("na"), F.sum("ib").alias("nb")
+                )
+            )
+            .select(
+                F.abs(
+                    F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+                ).alias("gap"),
+                "na",
+                "nb",
+            )
+            .agg(
+                F.round(F.max("gap"), 6).alias("d_stat"),
+                F.max("na").alias("n_a"),
+                F.max("nb").alias("n_b"),
+            )
+        )
+    # grid path: shared quantile edges, one groupBy per side
+    edges = u.approxQuantile(
+        "v", [i / grid_size for i in range(1, grid_size)], 0.001
+    )
+    edges = sorted(set(edges))
+    if not edges:
+        return u.agg(
+            F.lit(0.0).alias("d_stat"),
+            F.sum("ia").alias("n_a"),
+            F.sum("ib").alias("n_b"),
+        )
+    bucket = F.width_bucket(
+        F.col("v"), F.lit(float(edges[0])), F.lit(float(edges[-1])),
+        F.lit(len(edges)),
+    )
+    counts = (
+        u.groupBy(bucket.alias("bk"))
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+        .orderBy("bk")
+    )
+    rows = counts.collect()  # <= grid_size + 2 tiny rows
+    ca = cb = 0
+    na = sum(r.ca for r in rows)
+    nb = sum(r.cb for r in rows)
+    d = 0.0
+    for r in rows:
+        ca += r.ca
+        cb += r.cb
+        d = max(d, abs(ca / max(na, 1) - cb / max(nb, 1)))
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(round(d, 6), na, nb)], "d_stat double, n_a long, n_b long"
+    )
+
+
+def two_sample_ks(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    exact: bool = True,
+    grid_size: int = 2048,
+) -> tuple:
+    """(d_statistic, p_value) convenience wrapper over two_sample_ks_df;
+    p from the asymptotic Kolmogorov distribution at the effective n."""
+    from spark_bestfit_spark.functions import special as sp
+
+    row = two_sample_ks_df(
+        df_a, df_b, column, column_b, exact=exact, grid_size=grid_size
+    ).first()
+    n_eff = (row.n_a * row.n_b) / max(row.n_a + row.n_b, 1)
+    import numpy as np
+
+    p = float(
+        np.asarray(
+            sp.kolmogorov_sf(np.sqrt(n_eff) * row.d_stat)
+        ).ravel()[0]
+    )
+    return float(row.d_stat), p

@@ -303,3 +303,78 @@ class TestMultimodal:
     def test_media_repartition_runs(self, media_df):
         out = multimodal.media_repartition(media_df, target_bytes_per_partition=1024)
         assert out.count() == 50
+
+
+class TestTwoSampleKS:
+    def test_same_distribution_small_d(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import two_sample_ks
+
+        rng = np.random.default_rng(0)
+        a = spark.createDataFrame(pd.DataFrame({"v": rng.normal(0, 1, 4000)}))
+        b = spark.createDataFrame(pd.DataFrame({"v": rng.normal(0, 1, 4000)}))
+        d, p = two_sample_ks(a, b, "v")
+        assert d < 0.05
+        assert p > 0.01
+
+    def test_shifted_distribution_large_d(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import two_sample_ks
+
+        rng = np.random.default_rng(1)
+        a = spark.createDataFrame(pd.DataFrame({"v": rng.normal(0, 1, 3000)}))
+        b = spark.createDataFrame(pd.DataFrame({"v": rng.normal(2, 1, 3000)}))
+        d, p = two_sample_ks(a, b, "v")
+        assert d > 0.5
+        assert p < 1e-10
+
+    def test_exact_matches_numpy_ecdf(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+        rng = np.random.default_rng(2)
+        xa = rng.normal(0, 1, 800)
+        xb = rng.normal(0.3, 1.2, 600)
+        a = spark.createDataFrame(pd.DataFrame({"v": xa}))
+        b = spark.createDataFrame(pd.DataFrame({"v": xb}))
+        row = two_sample_ks_df(a, b, "v").first()
+        allv = np.sort(np.unique(np.concatenate([xa, xb])))
+        fa = np.searchsorted(np.sort(xa), allv, side="right") / len(xa)
+        fb = np.searchsorted(np.sort(xb), allv, side="right") / len(xb)
+        want = round(float(np.max(np.abs(fa - fb))), 6)
+        assert row.d_stat == pytest.approx(want, abs=1e-6)
+        assert (row.n_a, row.n_b) == (800, 600)
+
+    def test_grid_close_to_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import two_sample_ks
+
+        rng = np.random.default_rng(3)
+        a = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(0, 1, 5000)})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(0.5, 1, 5000)})
+        )
+        d_exact, _ = two_sample_ks(a, b, "v", exact=True)
+        d_grid, _ = two_sample_ks(a, b, "v", exact=False, grid_size=1024)
+        assert d_grid <= d_exact + 1e-9  # grid is a lower bound
+        assert d_exact - d_grid < 0.01
+
+    def test_different_column_names(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+        a = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+        b = spark.createDataFrame(pd.DataFrame({"y": [1.0, 2.0, 3.0]}))
+        row = two_sample_ks_df(a, b, "x", column_b="y").first()
+        assert row.d_stat == 0.0

@@ -37,6 +37,18 @@ CONTINUOUS_STRATEGIES = {
     "beta": st.tuples(POS_SHAPE, POS_SHAPE, LOC, SCALE),
     "t": st.tuples(st.floats(2.5, 30.0), LOC, SCALE),
     "invgamma": st.tuples(st.floats(1.5, 8.0), LOC, SCALE),
+    # a*c >= 0.5 keeps ppf(0.01) above ~1e-8: below that the quantile is
+    # absorbed by loc in float64 and no engine can round-trip it
+    "gengamma": st.tuples(
+        POS_SHAPE, st.floats(0.4, 4.0), LOC, SCALE
+    ).filter(lambda t: t[0] * t[1] >= 0.5),
+    "rice": st.tuples(st.floats(0.0, 12.0), LOC, SCALE),
+    "jf_skew_t": st.tuples(
+        st.floats(1.0, 6.0), st.floats(1.0, 6.0), LOC, SCALE
+    ),
+    "norminvgauss": st.tuples(
+        st.floats(0.8, 5.0), st.floats(-0.5, 0.5), LOC, SCALE
+    ),
 }
 
 QS = np.array([0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99])
