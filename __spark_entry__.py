@@ -500,6 +500,26 @@ def _q_neardup_jaccard(spark, sf_dir):
 _CONTAMINATION_PROBES = ["key agg row", "batch window spark", "slow filter"]
 
 
+def _q_score_logpdf(spark, sf_dir):
+    """Row-level model scoring: logpdf of l_quantity under a literal
+    norm(25.5, 14.4) model — the apply-the-model direction, Arrow-batched
+    (closed form in SQL for the oracle)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.score import score_column
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") < 1000
+    )
+    return score_column(
+        li, "l_quantity", "norm", (25.5, 14.4), mode="logpdf"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_logpdf", 6).alias("logpdf"),
+    )
+
+
 def _q_two_sample_ks(spark, sf_dir):
     """Distributed two-sample K-S between l_quantity of returnflag A vs
     N — the exact windowed form (drift testing between two relations)."""
@@ -858,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "neardup_clusters": _q_neardup_clusters,
         "two_sample_ks": _q_two_sample_ks,
+        "score_logpdf": _q_score_logpdf,
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
         "doc_minhash": _q_doc_minhash,
@@ -1170,6 +1191,16 @@ def oracle_sql() -> dict[str, str]:
                 ON a.lang = b.lang AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "score_logpdf": """
+            SELECT l_orderkey, l_linenumber,
+                   round(
+                     -0.5 * pow((l_quantity - 25.5) / 14.4, 2)
+                     - ln(14.4) - 0.5 * ln(2 * pi()),
+                     6
+                   ) AS logpdf
+            FROM lineitem
+            WHERE l_orderkey < 1000
         """,
         "two_sample_ks": """
             WITH u AS (
