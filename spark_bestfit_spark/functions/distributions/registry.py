@@ -43,6 +43,7 @@ SLOW_DISTRIBUTIONS: set = {
     "f",              # ~290 ms
     "genexpon",       # ~140 ms
     "jf_skew_t",      # ~540 ms (betaincinv in the PPF/metrics path)
+    "nct",            # ~1.5 s — see FIT_WEIGHTS (Lenth-series CDF)
     "johnsonsb",      # ~130 ms
     "johnsonsu",      # ~100 ms
     "loggamma",       # ~100 ms
@@ -56,7 +57,7 @@ SLOW_DISTRIBUTIONS: set = {
 
 # Per-distribution partition weights: default 1, slow set 3, plus
 # measured outliers that dominate a task wave.
-FIT_WEIGHTS: dict = {"powerlognorm": 8}
+FIT_WEIGHTS: dict = {"powerlognorm": 8, "nct": 6}
 
 
 def get_continuous(name: str) -> ContinuousDistribution:

@@ -207,3 +207,46 @@ class TestParityBatch3:
                 np.max(c - np.arange(0, n) / n),
             )
             assert ks < 0.05, (name, ks, fitted)
+
+
+class TestNCT:
+    def test_zero_noncentrality_is_student_t(self):
+        d = get_continuous("nct")
+        t = get_continuous("t")
+        x = np.linspace(-6, 6, 101)
+        assert np.allclose(
+            d.pdf(x, 5.0, 0.0, 0.0, 1.0), t.pdf(x, 5.0, 0.0, 1.0),
+            atol=1e-14,
+        )
+        assert np.allclose(
+            d.cdf(x, 5.0, 0.0, 0.0, 1.0), t.cdf(x, 5.0, 0.0, 1.0),
+            atol=1e-14,
+        )
+
+    def test_pdf_integrates_and_matches_cdf(self):
+        d = get_continuous("nct")
+        grid = np.linspace(-40, 60, 200001)
+        for df_, nc in [(4.0, 1.5), (8.0, -2.0)]:
+            p = d.pdf(grid, df_, nc, 0.0, 1.0)
+            assert abs(np.trapz(p, grid) - 1.0) < 1e-3
+            pts = np.array([-2.0, 0.0, 3.0])
+            cq = [np.trapz(p[grid <= pt], grid[grid <= pt]) for pt in pts]
+            cd = d.cdf(pts, df_, nc, 0.0, 1.0)
+            assert np.allclose(cq, cd, atol=1e-5)
+
+    def test_roundtrip_and_fit(self):
+        d = get_continuous("nct")
+        q = np.array([0.05, 0.5, 0.95])
+        rt = d.cdf(d.ppf(q, 4.0, 1.5, 0.0, 1.0), 4.0, 1.5, 0.0, 1.0)
+        assert np.allclose(rt, q, atol=1e-9)
+        rng = np.random.default_rng(3)
+        data = d.rvs((5.0, 1.0, 10.0, 4.0), 4000, random_state=rng)
+        fit = d.fit(data)
+        xs = np.sort(data)
+        c = d.cdf(xs, *fit)
+        n = len(xs)
+        ks = max(
+            np.max(np.arange(1, n + 1) / n - c),
+            np.max(c - np.arange(0, n) / n),
+        )
+        assert ks < 0.05
