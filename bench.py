@@ -148,9 +148,7 @@ def main() -> None:
     copula.sample_distributed(spark, 10_000, num_partitions=4).count()  # warm
     bench(
         "q_copula_sample_1m",
-        lambda: copula.sample_distributed(
-            spark, 1_000_000, num_partitions=int(cpus)
-        ).count(),
+        lambda: copula.sample_distributed(spark, 1_000_000).count(),
     )
 
     total = round(sum(timings.values()), 3)

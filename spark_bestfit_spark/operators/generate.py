@@ -29,6 +29,12 @@ from spark_bestfit_spark.functions.fast_ppf import ppf_from_z
 
 __all__ = ["generate_samples", "sample_distribution", "sample_best_fit"]
 
+# Default-plan sizing: below ~60k rows/task the ~10 ms task launch cost
+# dominates generation; above ~4M rows/task the per-task pandas batch
+# (rows x cols x 8 B x a few temporaries) threatens executor memory.
+_MIN_ROWS_PER_TASK = 60_000
+_MAX_ROWS_PER_TASK = 4_000_000
+
 
 def _partition_plan(n: int, num_partitions: int) -> list:
     """Spread n over partitions with the remainder distributed one-per-
@@ -58,7 +64,14 @@ def generate_samples(
     if n <= 0:
         raise ValueError("n must be positive")
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        # Scale the plan with n, not with the cluster: tiny requests get
+        # few tasks (task launch ~10 ms dominates below ~60k rows/task),
+        # huge requests get more tasks than cores so no task materializes
+        # an unbounded batch. One wave at defaultParallelism in between.
+        par = spark.sparkContext.defaultParallelism
+        by_overhead = min(par, -(-n // _MIN_ROWS_PER_TASK))
+        by_memory = -(-n // _MAX_ROWS_PER_TASK)
+        num_partitions = max(1, by_overhead, by_memory)
     num_partitions = max(1, min(num_partitions, n))
 
     schema = StructType([StructField(c, DoubleType()) for c in columns])
