@@ -1188,6 +1188,249 @@ class NCT(ContinuousDistribution):
         return (6.0, nc0, m - nc0 * s * 0.7, s * 0.75)
 
 
+# --------------------------------------------------------------------------
+class IrwinHall(ContinuousDistribution):
+    """Sum of n i.i.d. U(0,1) variables; support [0, n].
+
+    The textbook alternating-binomial formula loses ~n*log10(n) digits
+    to cancellation (unusable in float64 past n ~ 12), so pdf and cdf
+    are evaluated with the Cox-de Boor recursion for the cardinal
+    B-spline of order n on integer knots — all-nonnegative updates,
+    stable for any n. The cdf uses the telescoping identity
+    F_n(x) = sum_j N_{n+1}(x - j).
+
+    The shape n is integer-valued; ``fit`` selects n by profile MLE
+    over a kurtosis-guided candidate set (excess kurtosis of IH is
+    -6/(5n)) with a Nelder-Mead polish of (loc, scale) at fixed n.
+    """
+
+    name = "irwinhall"
+    shapes = ("n_",)
+    _N_CAP = 50
+
+    def _check_shapes(self, shapes) -> bool:
+        (n_,) = shapes
+        return bool(np.isfinite(n_) and 1.0 <= n_ <= self._N_CAP)
+
+    def _get_support(self, n_):
+        return 0.0, float(round(n_))
+
+    @staticmethod
+    def _deboor(x: np.ndarray, order: int, nshift: int) -> np.ndarray:
+        """W[i, k] = N_order(x_i - k) for k = 0..nshift-1, where N_m is
+        the cardinal B-spline of order m (degree m-1) on knots 0..m."""
+        x = np.asarray(x, dtype=np.float64)
+        ncols = nshift + order - 1
+        ks = np.arange(ncols, dtype=np.float64)
+        y = x[:, None] - ks[None, :]
+        w = ((y >= 0.0) & (y < 1.0)).astype(np.float64)
+        for j in range(2, order + 1):
+            # N_j(y) = (y N_{j-1}(y) + (j - y) N_{j-1}(y - 1)) / (j - 1)
+            upper = ncols - (j - 1)
+            yj = y[:, :upper]
+            w[:, :upper] = (
+                yj * w[:, :upper] + (j - yj) * w[:, 1 : upper + 1]
+            ) / (j - 1.0)
+        return w[:, :nshift]
+
+    def _pdf(self, z, n_):
+        n = int(round(n_))
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        # right-closed top knot: N_n is 0 at x = n in the half-open
+        # convention; the density limit there is 0 anyway for n >= 2
+        if n == 1:
+            return ((z >= 0.0) & (z <= 1.0)).astype(np.float64)
+        return self._deboor(z, n, 1)[:, 0]
+
+    def _logpdf(self, z, n_):
+        with np.errstate(divide="ignore"):
+            return np.log(self._pdf(z, n_))
+
+    def _cdf(self, z, n_):
+        n = int(round(n_))
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        # F_n(x) = sum_{j=0}^{n} N_{n+1}(x - j)  (terms vanish once
+        # x - j < 0; at most n+1 are nonzero on [0, n])
+        w = self._deboor(z, n + 1, n + 1)
+        out = np.sum(w, axis=1)
+        out[z >= n] = 1.0
+        return np.clip(out, 0.0, 1.0)
+
+    def fit(self, data, maxiter: int | None = None):
+        from spark_bestfit_spark.functions.optimize import nelder_mead
+
+        data = np.asarray(data, dtype=np.float64)
+        data = data[np.isfinite(data)]
+        if data.size < 2:
+            raise ValueError("irwinhall.fit needs >= 2 finite points")
+        obj = data if data.size <= 2000 else data[:: data.size // 2000 + 1]
+        m = float(np.mean(obj))
+        v = float(np.var(obj)) or 1e-12
+        zc = (obj - m) / np.sqrt(v)
+        ek = float(np.mean(zc**4)) - 3.0
+        cands = {1, 2, 3}
+        if ek < -1e-3:
+            nk = -6.0 / (5.0 * ek)
+            for d in (-1.0, 0.0, 1.0, 2.0):
+                cands.add(int(np.clip(round(nk + d), 1, self._N_CAP)))
+        best = None
+        for n in sorted(cands):
+            scale0 = float(np.sqrt(12.0 * v / n))
+            # widen so the support definitely covers the data
+            span = float(np.max(obj) - np.min(obj))
+            scale0 = max(scale0, span / n * 1.001, 1e-12)
+            loc0 = (
+                0.5 * (float(np.min(obj)) + float(np.max(obj)))
+                - 0.5 * scale0 * n
+            )
+
+            def objective(theta, n=n):
+                loc, lscale = theta
+                return self.nnlf((float(n), loc, float(np.exp(lscale))), obj)
+
+            theta, f, _ = nelder_mead(
+                objective,
+                np.array([loc0, np.log(scale0)]),
+                maxiter=maxiter or 120,
+                xatol=1e-5,
+                fatol=1e-5,
+            )
+            if best is None or f < best[0]:
+                best = (f, (float(n), float(theta[0]),
+                            float(np.exp(theta[1]))))
+        return best[1]
+
+    def _fit_start(self, data):  # pragma: no cover - fit() is overridden
+        m, s = _std_moments(data)
+        return (3.0, m - 1.5 * s, s)
+
+
+# --------------------------------------------------------------------------
+class RelBreitwigner(ContinuousDistribution):
+    """Relativistic Breit-Wigner: pdf = k / ((z^2 - rho^2)^2 + rho^2),
+    z >= 0, with k = 2 sqrt(2) rho^2 sqrt(rho^2+1)
+    / (pi sqrt(rho^2 + rho sqrt(rho^2+1))).
+
+    cdf in closed form via the complex partial-fraction split
+    (z^2-rho^2)^2 + rho^2 = (z^2 - w^2)(z^2 - conj(w)^2) with
+    w = sqrt(rho^2 + i rho):  F(z) = -(k/rho) Im[ arctanh(z/w) / w ].
+    """
+
+    name = "rel_breitwigner"
+    shapes = ("rho",)
+    a = 0.0
+
+    @staticmethod
+    def _k(rho: float) -> float:
+        s = np.sqrt(rho * rho + 1.0)
+        return (
+            2.0 * _SQRT2 * rho * rho * s
+            / (np.pi * np.sqrt(rho * rho + rho * s))
+        )
+
+    def _logpdf(self, z, rho):
+        z = np.asarray(z, dtype=np.float64)
+        d = z * z - rho * rho
+        with np.errstate(over="ignore"):
+            return np.log(self._k(rho)) - np.log(d * d + rho * rho)
+
+    def _cdf(self, z, rho):
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        w = np.sqrt(complex(rho * rho, rho))
+        with np.errstate(invalid="ignore"):
+            val = np.arctanh(z.astype(np.complex128) / w) / w
+        return np.clip(-(self._k(rho) / rho) * val.imag, 0.0, 1.0)
+
+    def _fit_start(self, data):
+        q25, q50, q75 = np.percentile(data, [25.0, 50.0, 75.0])
+        iqr = float(q75 - q25) or max(float(np.std(data)), 1e-6)
+        # standard-form peak sits at z ~ rho with O(1) width, so the
+        # IQR estimates the scale and the median pins rho * scale
+        loc = min(float(np.min(data)) - 0.01 * iqr, float(2 * q25 - q50))
+        scale = iqr
+        rho = max(0.5, (float(q50) - loc) / scale)
+        return (rho, loc, scale)
+
+
+# --------------------------------------------------------------------------
+class DParetoLognorm(ContinuousDistribution):
+    """Double Pareto-lognormal (Reed & Jorgensen 2004): exp of a
+    normal-Laplace sum Y = N(0, s^2) + AsymLaplace(alpha, beta);
+    power-law tails x^(-alpha-1) at +inf and x^(beta-1) at 0 around a
+    lognormal body. Params (alpha_, beta_, s_, loc, scale) with
+    scale = e^nu.
+
+    pdf (standard form, y = ln z):
+      (ab/(a+b)) [ e^{-a y + a^2 s^2/2} Phi((y - a s^2)/s)
+                 + e^{ b y + b^2 s^2/2} Phi(-(y + b s^2)/s) ] / z
+    cdf: Phi(y/s) - (b/(a+b)) e^{-a y + a^2 s^2/2} Phi((y - a s^2)/s)
+                  + (a/(a+b)) e^{ b y + b^2 s^2/2} Phi(-(y + b s^2)/s)
+    (derived by conditioning the Laplace cdf on the normal component;
+    exponent arithmetic stays in log space via log_ndtr).
+
+    Matches the reference's registry entry (distributions.py:53 —
+    excluded by default there and here for fit cost, registerable back).
+    """
+
+    name = "dpareto_lognorm"
+    shapes = ("alpha_", "beta_", "s_")
+    a = 0.0
+
+    def _check_shapes(self, shapes) -> bool:
+        al, be, s_ = shapes
+        return bool(
+            np.isfinite(al) and np.isfinite(be) and np.isfinite(s_)
+            and 0.0 < al <= 100.0 and 0.0 < be <= 100.0 and s_ > 0.0
+        )
+
+    def _logpdf(self, z, al, be, s_):
+        z = np.asarray(z, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            y = np.log(z)
+        lc = np.log(al) + np.log(be) - np.log(al + be)
+        l1 = (
+            lc - (al + 1.0) * y + 0.5 * al * al * s_ * s_
+            + sp.log_ndtr((y - al * s_ * s_) / s_)
+        )
+        l2 = (
+            lc + (be - 1.0) * y + 0.5 * be * be * s_ * s_
+            + sp.log_ndtr(-(y + be * s_ * s_) / s_)
+        )
+        return np.logaddexp(l1, l2)
+
+    def _cdf(self, z, al, be, s_):
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        with np.errstate(divide="ignore"):
+            y = np.log(np.clip(z, 1e-320, None))
+        with np.errstate(over="ignore", under="ignore"):
+            t1 = np.exp(
+                -al * y + 0.5 * al * al * s_ * s_
+                + sp.log_ndtr((y - al * s_ * s_) / s_)
+            )
+            t2 = np.exp(
+                be * y + 0.5 * be * be * s_ * s_
+                + sp.log_ndtr(-(y + be * s_ * s_) / s_)
+            )
+        out = (
+            sp.ndtr(y / s_)
+            - (be / (al + be)) * t1
+            + (al / (al + be)) * t2
+        )
+        return np.clip(out, 0.0, 1.0)
+
+    def _fit_start(self, data):
+        rng = np.ptp(data) or 1.0
+        loc = float(np.min(data)) - 1e-4 * rng
+        y = np.log(np.clip(data - loc, 1e-300, None))
+        sy = float(np.std(y)) or 0.5
+        # split the log-variance between the normal body and the two
+        # exponential tails: var = s^2 + 1/a^2 + 1/b^2
+        return (
+            2.0 / sy, 2.0 / sy, sy / _SQRT2,
+            loc, float(np.exp(np.mean(y))),
+        )
+
+
 _EXT_CLASSES = [
     Argus,
     CrystalBall,
@@ -1200,10 +1443,13 @@ _EXT_CLASSES = [
     JFSkewT,
     Kappa3,
     LaplaceAsymmetric,
+    DParetoLognorm,
+    IrwinHall,
     LevyL,
     LogUniform,
     Moyal,
     NCT,
+    RelBreitwigner,
     NormInvGauss,
     Pearson3,
     PowerNorm,

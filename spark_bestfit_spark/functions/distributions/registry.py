@@ -28,6 +28,7 @@ DEFAULT_EXCLUSIONS: set = {
     "genexpon",   # 3-shape NM, slow
     "exponweib",  # 2-shape + weak identifiability
     "powerlognorm",
+    "dpareto_lognorm",  # slow 3-shape MLE (also excluded by the reference)
 }
 
 # ~2-6x average fit cost — used for partition weighting (reference
@@ -42,6 +43,7 @@ SLOW_DISTRIBUTIONS: set = {
     "exponweib",
     "f",              # ~290 ms
     "genexpon",       # ~140 ms
+    "irwinhall",      # ~180 ms (profile MLE over candidate n)
     "jf_skew_t",      # ~540 ms (betaincinv in the PPF/metrics path)
     "nct",            # ~1.5 s — see FIT_WEIGHTS (Lenth-series CDF)
     "johnsonsb",      # ~130 ms

@@ -209,6 +209,107 @@ class TestParityBatch3:
             assert ks < 0.05, (name, ks, fitted)
 
 
+class TestIrwinHall:
+    def test_small_n_closed_forms(self):
+        d = get_continuous("irwinhall")
+        # n=1 is U(0,1); n=2 is triangular on [0,2]
+        assert np.allclose(
+            d.cdf(np.array([0.25, 0.5, 0.75]), 1.0, 0.0, 1.0),
+            [0.25, 0.5, 0.75],
+        )
+        assert np.allclose(d.pdf(np.array([1.0]), 2.0, 0.0, 1.0), [1.0])
+        assert np.allclose(d.cdf(np.array([1.0]), 2.0, 0.0, 1.0), [0.5])
+
+    def test_large_n_stable(self):
+        # the alternating-binomial formula is unusable here; the
+        # de Boor evaluation must stay exact-ish
+        d = get_continuous("irwinhall")
+        n = 40.0
+        grid = np.linspace(0.0, 40.0, 40001)
+        p = d.pdf(grid, n, 0.0, 1.0)
+        assert np.all(p >= 0)
+        assert abs(np.trapz(p, grid) - 1.0) < 1e-6
+        assert abs(d.cdf(np.array([20.0]), n, 0.0, 1.0)[0] - 0.5) < 1e-12
+        c = d.cdf(grid, n, 0.0, 1.0)
+        assert np.all(np.diff(c) >= -1e-12)
+
+    def test_fit_recovers_uniform_and_quality(self):
+        d = get_continuous("irwinhall")
+        rng = np.random.default_rng(11)
+        flat = rng.uniform(5.0, 9.0, 3000)
+        n_, loc, scale = d.fit(flat)
+        assert n_ == 1.0
+        assert abs(loc - 5.0) < 0.1 and abs(scale - 4.0) < 0.2
+        data = d.rvs((6.0, 2.0, 3.0), 3000, random_state=rng)
+        fit = d.fit(data)
+        xs = np.sort(data)
+        c = d.cdf(xs, *fit)
+        n = len(xs)
+        ks = max(
+            np.max(np.arange(1, n + 1) / n - c),
+            np.max(c - np.arange(0, n) / n),
+        )
+        assert ks < 0.05
+
+
+class TestRelBreitwigner:
+    def test_normalization_and_cdf(self):
+        d = get_continuous("rel_breitwigner")
+        for rho in (0.8, 3.0, 15.0):
+            grid = np.linspace(0.0, 400.0 * max(1.0, rho / 3.0), 400001)
+            p = d.pdf(grid, rho, 0.0, 1.0)
+            assert abs(np.trapz(p, grid) - 1.0) < 2e-3
+            pts = np.array([0.5 * rho, rho, 3.0 * rho])
+            cq = [np.trapz(p[grid <= t], grid[grid <= t]) for t in pts]
+            assert np.allclose(d.cdf(pts, rho, 0.0, 1.0), cq, atol=1e-5)
+        assert d.cdf(np.array([1e9]), 3.0, 0.0, 1.0)[0] == 1.0
+
+    def test_roundtrip_and_fit(self):
+        d = get_continuous("rel_breitwigner")
+        q = np.array([0.05, 0.5, 0.95])
+        rt = d.cdf(d.ppf(q, 4.0, 0.0, 1.0), 4.0, 0.0, 1.0)
+        assert np.allclose(rt, q, atol=1e-9)
+        rng = np.random.default_rng(5)
+        data = d.rvs((3.0, 0.0, 2.0), 4000, random_state=rng)
+        rho, loc, scale = d.fit(data)
+        assert abs(rho - 3.0) < 0.5 and abs(scale - 2.0) < 0.4
+
+
+class TestDParetoLognorm:
+    def test_pdf_cdf_consistency(self):
+        d = get_continuous("dpareto_lognorm")
+        grid = np.linspace(1e-9, 200.0, 2_000_001)
+        p = d.pdf(grid, 2.0, 3.0, 0.5, 0.0, 1.0)
+        pts = np.array([0.3, 1.0, 4.0])
+        cq = [np.trapz(p[grid <= t], grid[grid <= t]) for t in pts]
+        cd = d.cdf(pts, 2.0, 3.0, 0.5, 0.0, 1.0)
+        assert np.allclose(cq, cd, atol=1e-4)
+
+    def test_excluded_by_default_but_registered(self):
+        from spark_bestfit_spark.functions.distributions.registry import (
+            DEFAULT_EXCLUSIONS,
+            DistributionRegistry,
+        )
+        assert "dpareto_lognorm" in DEFAULT_EXCLUSIONS
+        assert "dpareto_lognorm" not in DistributionRegistry().get_distributions()
+        reg = DistributionRegistry(custom_exclusions=set())
+        assert "dpareto_lognorm" in reg.get_distributions()
+
+    def test_fit_recovery(self):
+        d = get_continuous("dpareto_lognorm")
+        rng = np.random.default_rng(9)
+        data = d.rvs((2.5, 1.5, 0.4, 0.0, 3.0), 4000, random_state=rng)
+        fit = d.fit(data)
+        xs = np.sort(data)
+        c = d.cdf(xs, *fit)
+        n = len(xs)
+        ks = max(
+            np.max(np.arange(1, n + 1) / n - c),
+            np.max(c - np.arange(0, n) / n),
+        )
+        assert ks < 0.05
+
+
 class TestNCT:
     def test_zero_noncentrality_is_student_t(self):
         d = get_continuous("nct")
