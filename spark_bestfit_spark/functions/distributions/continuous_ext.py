@@ -1353,6 +1353,156 @@ class RelBreitwigner(ContinuousDistribution):
 
 
 # --------------------------------------------------------------------------
+class Landau(ContinuousDistribution):
+    """Landau distribution (stable with alpha=1, beta=1 in the CERN
+    standardization): p(x) = (1/pi) int_0^inf exp(-t ln t - x t)
+    sin(pi t) dt. No shape parameters, so pdf/cdf/ppf all evaluate one
+    lazily-built static table:
+
+    - x >= -3.5: direct quadrature of the defining sin-integral (the
+      integrand peak exp(e^{-1-x}) still fits float64 headroom there);
+    - x <  -3.5: Bromwich inversion of exp(s ln s) along the vertical
+      contour through the real saddle s* = e^{-1-x}, where the
+      integrand is positive at u=0 and decays like e^{-pi u / 2} —
+      no cancellation, exact to quadrature precision;
+    - right tail beyond the grid: p ~ c/x^2, F ~ 1 - c/x with c
+      matched at the boundary (c -> 1 as x -> inf).
+    """
+
+    name = "landau"
+    _TABLE = None  # (grid, pdf, cdf, c_tail)
+    _CORE_END = 2000.0
+
+    @staticmethod
+    def _sin_integral(zs: np.ndarray, t_max: float) -> np.ndarray:
+        """(1/pi) int_0^tmax exp(-t ln t - z t) sin(pi t) dt, BLAS dot."""
+        t = np.arange(5e-4, t_max, 0.005)
+        a = -t * np.log(t)
+        w = np.sin(np.pi * t) * 0.005
+        w[0] *= 0.5
+        w[-1] *= 0.5
+        out = np.empty_like(zs)
+        for i in range(0, zs.size, 512):
+            chunk = zs[i : i + 512, None]
+            with np.errstate(under="ignore"):
+                out[i : i + 512] = np.exp(a[None, :] - chunk * t[None, :]) @ w
+        return out / np.pi
+
+    @staticmethod
+    def _sin_integral_far(zs: np.ndarray) -> np.ndarray:
+        """Same integral for large z via t = tau/z: the e^{-z t} envelope
+        (width 1/z) would need an ever-finer t-grid, but in tau the
+        integrand e^{-(tau/z) ln(tau/z)} e^{-tau} sin(pi tau / z) is
+        equally smooth for every z."""
+        tau = np.arange(5e-4, 50.0, 0.02)
+        out = np.empty_like(zs)
+        for i in range(0, zs.size, 512):
+            z = zs[i : i + 512, None]
+            t = tau[None, :] / z
+            with np.errstate(under="ignore"):
+                f = np.exp(-t * np.log(t) - tau[None, :]) * np.sin(np.pi * t)
+            out[i : i + 512] = np.trapz(f, tau, axis=1) / z[:, 0]
+        return out / np.pi
+
+    @classmethod
+    def _table(cls):
+        if cls._TABLE is None:
+            # ---- core -1 < z < 8: oscillatory sin-integral (integrand
+            # peak exp(e^{-1-z}) <= e, no cancellation; dies by t~25)
+            dens = np.concatenate([
+                np.arange(-1.0, 8.0, 0.004),
+                np.arange(8.0, 60.0, 0.02),
+                np.exp(np.linspace(np.log(60.0), np.log(cls._CORE_END), 500))[1:],
+            ])
+            near = dens < 8.0
+            core_pdf = np.empty_like(dens)
+            core_pdf[near] = cls._sin_integral(dens[near], 25.0)
+            core_pdf[~near] = cls._sin_integral_far(dens[~near])
+            # ---- z <= -1: steepest-descent (vertical) contour through
+            # s* = e^{-1-x}, scaled v = u/sqrt(s*) so one v-grid serves
+            # every x (Gaussian width ~sqrt(s*) around the saddle). The
+            # contour integral is exact, not asymptotic — switching at -1
+            # avoids the sin-integral's cancellation growth e^{e^{-1-z}}
+            left = np.arange(-16.0, -1.0, 0.01)
+            sstar = np.exp(-1.0 - left)
+            sq = np.sqrt(sstar)
+            v = np.linspace(0.0, 25.0, 1251)
+            s = sstar[:, None] + 1j * (sq[:, None] * v[None, :])
+            with np.errstate(under="ignore", over="ignore"):
+                vals = np.exp(left[:, None] * s + s * np.log(s)).real
+            left_pdf = np.clip(
+                np.trapz(vals, v, axis=1) * sq / np.pi, 0.0, None
+            )
+            grid = np.concatenate([left, dens])
+            pdf = np.concatenate([left_pdf, core_pdf])
+            pdf = np.clip(pdf, 0.0, None)
+            cum = np.concatenate((
+                [0.0],
+                np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(grid)),
+            ))
+            # match the 1/x^2 tail so total mass is exactly 1:
+            # mass beyond grid end = c/x_end with c = x_end^2 p(x_end)
+            c_tail = float(grid[-1] ** 2 * pdf[-1])
+            total = cum[-1] + c_tail / grid[-1]
+            pdf /= total
+            cum /= total
+            c_tail /= total
+            # left of -1 the density falls double-exponentially, so
+            # interpolate log-pdf there (linear pdf interp is ~1%-wrong
+            # mid-cell by x = -5); right of -1 plain pdf interp is exact
+            # to ~1e-5
+            with np.errstate(divide="ignore"):
+                log_left = np.log(pdf[: left.size])
+            cls._TABLE = (grid, pdf, cum, c_tail, left.size, log_left)
+        return cls._TABLE
+
+    def _pdf(self, z, *shapes):
+        grid, pdf, _, c, nleft, log_left = self._table()
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        out = np.interp(z, grid, pdf, left=0.0, right=0.0)
+        lo = (z >= grid[0]) & (z < grid[nleft])
+        if lo.any():
+            with np.errstate(over="ignore"):
+                out[lo] = np.exp(
+                    np.interp(z[lo], grid[:nleft], log_left)
+                )
+        far = z > grid[-1]
+        if far.any():
+            out[far] = c / (z[far] * z[far])
+        return out
+
+    def _logpdf(self, z, *shapes):
+        with np.errstate(divide="ignore"):
+            return np.log(self._pdf(z))
+
+    def _cdf(self, z, *shapes):
+        grid, _, cum, c, _, _ = self._table()
+        z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+        out = np.interp(z, grid, cum, left=0.0, right=cum[-1])
+        far = z > grid[-1]
+        if far.any():
+            out[far] = 1.0 - c / z[far]
+        return np.clip(out, 0.0, 1.0)
+
+    def _ppf(self, q, *shapes):
+        grid, _, cum, c, _, _ = self._table()
+        q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        out = np.interp(q, cum, grid)
+        far = q > cum[-1]
+        if far.any():
+            with np.errstate(divide="ignore"):
+                out[far] = c / (1.0 - q[far])
+        return out
+
+    def _fit_start(self, data):
+        grid, _, cum, _, _, _ = self._table()
+        q25, q50, q75 = np.percentile(data, [25.0, 50.0, 75.0])
+        s25, s50, s75 = np.interp([0.25, 0.5, 0.75], cum, grid)
+        scale = max((q75 - q25) / (s75 - s25), 1e-12)
+        return (q50 - scale * s50, scale)
+
+
+# --------------------------------------------------------------------------
 class DParetoLognorm(ContinuousDistribution):
     """Double Pareto-lognormal (Reed & Jorgensen 2004): exp of a
     normal-Laplace sum Y = N(0, s^2) + AsymLaplace(alpha, beta);
@@ -1445,6 +1595,7 @@ _EXT_CLASSES = [
     LaplaceAsymmetric,
     DParetoLognorm,
     IrwinHall,
+    Landau,
     LevyL,
     LogUniform,
     Moyal,

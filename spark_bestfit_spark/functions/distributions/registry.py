@@ -44,6 +44,7 @@ SLOW_DISTRIBUTIONS: set = {
     "f",              # ~290 ms
     "genexpon",       # ~140 ms
     "irwinhall",      # ~180 ms (profile MLE over candidate n)
+    "landau",         # ~1 s one-time table build per worker, then ~30 ms
     "jf_skew_t",      # ~540 ms (betaincinv in the PPF/metrics path)
     "nct",            # ~1.5 s — see FIT_WEIGHTS (Lenth-series CDF)
     "johnsonsb",      # ~130 ms

@@ -275,6 +275,49 @@ class TestRelBreitwigner:
         assert abs(rho - 3.0) < 0.5 and abs(scale - 2.0) < 0.4
 
 
+class TestLandau:
+    # ground truth from two independent exact representations (the
+    # defining sin-integral at dt=5e-5 and the Bromwich steepest-descent
+    # contour) agreeing to 9 digits
+    def test_known_values(self):
+        d = get_continuous("landau")
+        for x, truth in [
+            (0.0, 0.17885416),
+            (-1.0, 0.15139191),
+            (-3.5, 7.1518499e-06),
+        ]:
+            got = d.pdf(np.array([x]), 0.0, 1.0)[0]
+            assert abs(got - truth) / truth < 1e-4, (x, got)
+
+    def test_mode_and_median(self):
+        d = get_continuous("landau")
+        grid = np.linspace(-2.0, 2.0, 40001)
+        p = d.pdf(grid, 0.0, 1.0)
+        assert abs(grid[np.argmax(p)] + 0.2228) < 2e-3
+        assert abs(d.ppf(np.array([0.5]), 0.0, 1.0)[0] - 1.35578) < 1e-3
+
+    def test_mass_and_tail(self):
+        d = get_continuous("landau")
+        big = np.linspace(-16.0, 2000.0, 1_000_000)
+        mass = np.trapz(d.pdf(big, 0.0, 1.0), big) + (
+            1.0 - d.cdf(np.array([2000.0]), 0.0, 1.0)[0]
+        )
+        assert abs(mass - 1.0) < 1e-4
+        # survival beyond the table follows c/x
+        s5k = 1.0 - d.cdf(np.array([5000.0]), 0.0, 1.0)[0]
+        assert 1.5e-4 < s5k < 3e-4
+        q = np.array([1e-6, 0.01, 0.5, 0.99, 0.9999])
+        rt = d.cdf(d.ppf(q, 0.0, 1.0), 0.0, 1.0)
+        assert np.allclose(rt, q, atol=1e-12)
+
+    def test_fit_recovery(self):
+        d = get_continuous("landau")
+        rng = np.random.default_rng(2)
+        data = d.rvs((5.0, 2.0), 4000, random_state=rng)
+        loc, scale = d.fit(data)
+        assert abs(loc - 5.0) < 0.2 and abs(scale - 2.0) < 0.2
+
+
 class TestDParetoLognorm:
     def test_pdf_cdf_consistency(self):
         d = get_continuous("dpareto_lognorm")
