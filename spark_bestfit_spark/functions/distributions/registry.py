@@ -25,9 +25,6 @@ from spark_bestfit_spark.functions.distributions.discrete import DISCRETE
 # Distributions whose MLE is noticeably slower / less stable here; kept out
 # of the default set (same role as the reference's DEFAULT_EXCLUSIONS).
 DEFAULT_EXCLUSIONS: set = {
-    "genexpon",   # 3-shape NM, slow
-    "exponweib",  # 2-shape + weak identifiability
-    "powerlognorm",
     "dpareto_lognorm",  # slow 3-shape MLE (also excluded by the reference)
 }
 

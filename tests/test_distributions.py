@@ -210,8 +210,8 @@ class TestRegistry:
     def test_default_exclusions_applied(self):
         reg = DistributionRegistry()
         names = reg.get_distributions()
-        assert "genexpon" not in names
-        assert "norm" in names
+        assert "dpareto_lognorm" not in names
+        assert "norm" in names and "genexpon" in names
         assert len(names) >= 50
 
     def test_support_at_zero(self):
