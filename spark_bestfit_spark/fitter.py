@@ -28,6 +28,7 @@ from spark_bestfit_spark.functions.distributions.registry import (
 )
 from spark_bestfit_spark.functions.estimation import detect_heavy_tail
 from spark_bestfit_spark.operators.fit import (
+    local_fit_columns,
     parallel_fit_column,
     parallel_fit_columns,
     union_results,
@@ -205,19 +206,52 @@ class DistributionFitter:
         # for ALL columns in one scan, samples in one collect, ONE
         # (column, distribution) fan-out — job count is constant in the
         # number of columns (the 100 TB multi-column win)
-        all_stats = multi_column_stats(src, cols)
-        live_cols = [c for c in cols if all_stats[c]["count"] > 0]
-        if not live_cols:
-            return self._empty_results()
-        # small-data shortcut: when every column's valid count fits in
-        # the fitting sample, the sample IS the complete data — the
-        # histogram can be built driver-side from it with identical
-        # semantics (same edges, left-closed bins, +eps top edge),
-        # saving one cluster job per fit
-        all_small = all(
-            all_stats[c]["count"] <= config.fitting_sample_size
-            for c in live_cols
-        )
+        #
+        # limit-probe first: collect up to fitting_sample_size + 1 rows
+        # in one cheap job (CollectLimit scans one partition of a big
+        # table). If the table is smaller than the limit, the probe IS
+        # the complete data — stats, histograms, and samples all derive
+        # from it driver-side and the fit needs no further scan.
+        probe_rows = config.fitting_sample_size + 1
+        probe = src.select(*cols).limit(probe_rows).toPandas()
+        if len(probe) < probe_rows:
+            all_stats, sample_map = {}, {}
+            import pandas as pd
+
+            for c in cols:
+                # to_numeric handles Decimal/object columns uniformly
+                vals = pd.to_numeric(probe[c], errors="coerce").to_numpy(
+                    dtype=np.float64
+                )
+                vals = vals[np.isfinite(vals)]
+                all_stats[c] = {
+                    "min": float(vals.min()) if vals.size else None,
+                    "max": float(vals.max()) if vals.size else None,
+                    "count": int(vals.size),
+                }
+                sample_map[c] = vals
+            live_cols = [c for c in cols if all_stats[c]["count"] > 0]
+            if not live_cols:
+                return self._empty_results()
+            all_small = True
+        else:
+            all_stats = multi_column_stats(src, cols)
+            live_cols = [c for c in cols if all_stats[c]["count"] > 0]
+            if not live_cols:
+                return self._empty_results()
+            # small-data shortcut: when every column's valid count fits
+            # in the fitting sample, the sample IS the complete data —
+            # the histogram can be built driver-side from it with
+            # identical semantics (same edges, left-closed bins, +eps
+            # top edge), saving one cluster job per fit
+            all_small = all(
+                all_stats[c]["count"] <= config.fitting_sample_size
+                for c in live_cols
+            )
+            sample_map = build_fitting_samples_multi(
+                src, live_cols, config,
+                {c: int(all_stats[c]["count"]) for c in live_cols},
+            )
         if all_small:
             histograms = {}
         else:
@@ -225,10 +259,6 @@ class DistributionFitter:
                 src, live_cols, all_stats,
                 bins=config.bins, use_rice_rule=config.use_rice_rule,
             )
-        sample_map = build_fitting_samples_multi(
-            src, live_cols, config,
-            {c: int(all_stats[c]["count"]) for c in live_cols},
-        )
         if all_small:
             for c in live_cols:
                 sample = sample_map.get(c)
@@ -267,10 +297,23 @@ class DistributionFitter:
         if not plans:
             return self._empty_results()
         broadcasts: list = []
-        result_df = parallel_fit_columns(
-            self.spark, plans, config, self.registry, bounds=bounds,
-            broadcast_registry=broadcasts,
+        effective = sum(
+            self.registry.effective_count(p["names"]) for p in plans.values()
         )
+        if (
+            0 < effective <= config.local_fit_threshold
+            and config.progress_callback is None
+        ):
+            # tiny plan: kernels run in-process, result is a local
+            # relation — no broadcast/fan-out/shuffle round-trip
+            result_df = local_fit_columns(
+                self.spark, plans, config, self.registry, bounds=bounds
+            )
+        else:
+            result_df = parallel_fit_columns(
+                self.spark, plans, config, self.registry, bounds=bounds,
+                broadcast_registry=broadcasts,
+            )
         results = FitResults(
             result_df, registry=self.registry, samples=samples,
             broadcasts=broadcasts, source=(src, config),

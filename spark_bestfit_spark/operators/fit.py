@@ -348,3 +348,36 @@ def parallel_fit_columns(
 
     result = pairs_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
     return result.filter(F.col("sse") < F.lit(float("inf")))
+
+
+def local_fit_columns(
+    spark: SparkSession,
+    plans: dict,
+    config: FitterConfig,
+    registry: DistributionRegistry,
+    bounds=(None, None),
+) -> DataFrame:
+    """Driver-side execution of a tiny fit plan: same kernels and result
+    schema as ``parallel_fit_columns``, but the (column, distribution)
+    pairs run in-process and the result is a local relation
+    (LocalTableScan — no fan-out job, no broadcast, no shuffle).
+
+    Dispatch happens in ``DistributionFitter.fit`` when the weighted fit
+    count is at most ``config.local_fit_threshold``: at that size the
+    per-task overhead of a cluster round-trip exceeds the kernel cost,
+    exactly like Catalyst executing small plans locally."""
+    rows = []
+    for c, p in plans.items():
+        stats = compute_data_stats(p["sample"])
+        for name in p["names"]:
+            row = fit_single_distribution(
+                name, p["sample"], p["density"], p["edges"], c, stats,
+                config, registry, bounds, p.get("method", "mle"), None,
+            )
+            if row["sse"] < float("inf"):
+                rows.append(row)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in FIT_RESULT_SCHEMA])
+        if rows else pd.DataFrame(columns=[f.name for f in FIT_RESULT_SCHEMA]),
+        schema=FIT_RESULT_SCHEMA,
+    )

@@ -46,6 +46,11 @@ class FitterConfig:
 
     # execution
     partition_multiplier: int = 2  # cap = cores * multiplier
+    # tiny plans (weighted fit count <= this) run their kernels on the
+    # driver and return a local relation — same kernels, same schema,
+    # no fan-out job (analog of Spark's own LocalTableScan strategy);
+    # 0 disables
+    local_fit_threshold: int = 12
     # progress: Callable[[int, int, float], None] — (completed tasks,
     # total tasks, elapsed seconds), polled during the fit fan-out
     progress_callback: object = None

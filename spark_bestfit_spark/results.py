@@ -74,16 +74,46 @@ class DistributionFitResult:
         reg = self._registry or DistributionRegistry()
         return reg.resolve(self.distribution)
 
+    def _bounded(self) -> bool:
+        def _set(v):
+            return v is not None and np.isfinite(v)
+
+        return _set(self.lower_bound) or _set(self.upper_bound)
+
+    def _truncated_view(self):
+        """Truncation-wrapped frozen model for bounded fits (reference
+        storage.py:368-432: model ops on a bounded result go through
+        TruncatedFrozenDist, not the raw distribution)."""
+        from spark_bestfit_spark.functions.truncated import (
+            TruncatedDistribution,
+        )
+
+        return TruncatedDistribution(
+            self._dist(), tuple(self.parameters),
+            self.lower_bound, self.upper_bound,
+        )
+
     def pdf(self, x):
-        return self._dist().pdf(np.asarray(x, dtype=np.float64), *self.parameters)
+        x = np.asarray(x, dtype=np.float64)
+        if self._bounded():
+            return self._truncated_view().pdf(x)
+        return self._dist().pdf(x, *self.parameters)
 
     def cdf(self, x):
-        return self._dist().cdf(np.asarray(x, dtype=np.float64), *self.parameters)
+        x = np.asarray(x, dtype=np.float64)
+        if self._bounded():
+            return self._truncated_view().cdf(x)
+        return self._dist().cdf(x, *self.parameters)
 
     def ppf(self, q):
-        return self._dist().ppf(np.asarray(q, dtype=np.float64), *self.parameters)
+        q = np.asarray(q, dtype=np.float64)
+        if self._bounded():
+            return self._truncated_view().ppf(q)
+        return self._dist().ppf(q, *self.parameters)
 
     def sample(self, size: int = 1, random_state=None):
+        if self._bounded():
+            return self._truncated_view().rvs(size, random_state)
         return self._dist().rvs(tuple(self.parameters), size, random_state)
 
     def get_param_names(self) -> list:

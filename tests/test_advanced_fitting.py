@@ -228,7 +228,15 @@ class TestBoundedFitting:
             lower_bound=45.0, upper_bound=60.0,
         )
         best = res.best(1, metric="sse")
-        s = best.sample(1000, random_state=7)  # noqa: F841 — plain dist
+        # model ops on a bounded result go through the truncated view
+        # (reference storage.py:368-432: samples guaranteed in-bounds,
+        # CDF pinned to 0/1 at the bounds)
+        s = best.sample(1000, random_state=7)
+        assert s.min() >= 45.0 and s.max() <= 60.0
+        assert float(best.cdf(45.0)) == 0.0
+        assert float(best.cdf(60.0)) == 1.0
+        q = best.ppf(np.array([0.0, 0.5, 1.0]))
+        assert q[0] >= 45.0 and q[2] <= 60.0
         from spark_bestfit_spark.operators.generate import sample_best_fit
 
         out = sample_best_fit(spark, best, 2000, num_partitions=2)
