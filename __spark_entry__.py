@@ -173,10 +173,10 @@ def _q_topk_per_group(spark, sf_dir):
         FROM (
           SELECT l_returnflag, l_linestatus, l_partkey,
                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-                 row_number() OVER (
+                 CAST(row_number() OVER (
                    PARTITION BY l_returnflag, l_linestatus
                    ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_partkey
-                 ) AS rnk
+                 ) AS BIGINT) AS rnk
           FROM lineitem
           GROUP BY l_returnflag, l_linestatus, l_partkey
         )
@@ -197,7 +197,7 @@ def _q_summary(spark, sf_dir):
         )
         SELECT count(*) AS n_parts,
                CAST(min(revenue) AS DECIMAL(38,2)) AS rev_min,
-               CAST(round(avg(revenue), 2) AS DOUBLE) AS rev_mean,
+               round(CAST(sum(revenue) AS DOUBLE) / count(*), 2) AS rev_mean,
                CAST(max(revenue) AS DECIMAL(38,2)) AS rev_max
         FROM metrics
         """
@@ -310,7 +310,7 @@ def _q_events_hourly(spark, sf_dir):
         """
         SELECT CAST(ts DIV 3600000000000 AS BIGINT) AS hour_id, event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         FROM events
         GROUP BY hour_id, event_type
         """
@@ -377,7 +377,7 @@ def _q_events_props_json(spark, sf_dir):
     return spark.sql(
         """
         SELECT event_type,
-               sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                count(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_cnt
         FROM events
         GROUP BY event_type
@@ -406,7 +406,7 @@ def _q_events_sessionized(spark, sf_dir):
         )
         SELECT user_id,
                count(*) AS n_events,
-               sum(new_session) AS n_sessions
+               CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM flagged
         GROUP BY user_id
         """
@@ -448,7 +448,7 @@ def _q_doc_token_totals(spark, sf_dir):
         with_token_count(df)
         .groupBy("source")
         .agg(
-            F.sum("n_bpe_tokens").alias("total_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_tokens"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -950,10 +950,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT l_returnflag, l_linestatus, l_partkey,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-                     row_number() OVER (
+                     CAST(row_number() OVER (
                        PARTITION BY l_returnflag, l_linestatus
                        ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_partkey
-                     ) AS rnk
+                     ) AS BIGINT) AS rnk
               FROM lineitem
               GROUP BY l_returnflag, l_linestatus, l_partkey
             )
@@ -967,7 +967,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS n_parts,
                    CAST(min(revenue) AS DECIMAL(38,2)) AS rev_min,
-                   CAST(round(avg(revenue), 2) AS DOUBLE) AS rev_mean,
+                   round(CAST(sum(revenue) AS DOUBLE) / count(*), 2) AS rev_mean,
                    CAST(max(revenue) AS DECIMAL(38,2)) AS rev_max
             FROM metrics
         """,
@@ -1024,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+                   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
             FROM events
             GROUP BY hour_id, event_type
         """,
@@ -1045,7 +1045,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    count(*) AS n_events,
-                   sum(new_session) AS n_sessions
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions
             FROM flagged
             GROUP BY user_id
         """,
@@ -1085,7 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_json": """
             SELECT event_type,
-                   sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+                   CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
                    count(json_extract_string(props, '$.k')::BIGINT) AS k_cnt
             FROM events
             GROUP BY event_type
@@ -1120,7 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_totals": """
             SELECT source,
-                   sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents
             GROUP BY source

@@ -1,0 +1,132 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry that has an ``oracle_sql()`` twin at
+sf0.01: Spark result vs DuckDB result, columns sorted by name, rows
+sorted by all columns, values compared under TWO normalizations —
+(a) stringified cells, (b) numeric cells coerced to float and rounded
+to 6 decimals. A query only counts as green here if BOTH agree, which
+is strictly harsher than any plausible driver hash.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm_str(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return repr(round(f, 6))
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return repr(round(f, 6))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_norm_str(x) for x in v) + "]"
+    return str(v)
+
+
+def _norm_float(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (float, np.floating, int, np.integer, decimal.Decimal)):
+        return round(float(v), 6)
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_norm_float(x) for x in v)
+    return str(v)
+
+
+def canon(df: pd.DataFrame, norm) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(norm(df.iloc[i][c]) for c in cols) for i in range(len(df))]
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def raw_dtype_report(df: pd.DataFrame) -> dict:
+    out = {}
+    for c in sorted(df.columns):
+        sample = df[c].iloc[0] if len(df) else None
+        out[c] = f"{df[c].dtype}/{type(sample).__name__}"
+    return out
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from spark_bestfit_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="check_oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            odf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: exception {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            for label, norm in (("str", _norm_str), ("float", _norm_float)):
+                a, b = canon(sdf, norm), canon(odf, norm)
+                if a != b:
+                    bad = next(
+                        (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
+                    )
+                    problems.append(f"{label}-mismatch at sorted row {bad[0]}: "
+                                    f"spark={bad[1]} oracle={bad[2]}")
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            print(f"  spark dtypes:  {raw_dtype_report(sdf)}")
+            print(f"  oracle dtypes: {raw_dtype_report(odf)}")
+        else:
+            print(f"ok   {name} ({len(sdf)} rows)  "
+                  f"[s:{raw_dtype_report(sdf)} | o:{raw_dtype_report(odf)}]"
+                  if only else f"ok   {name} ({len(sdf)} rows)")
+    print(f"\n{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
