@@ -29,24 +29,50 @@ TABLES = (
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet stores TIMESTAMP(NANOS); sessions without
-    spark.sql.legacy.parquet.nanosAsLong=true fail to read it. The conf
-    is runtime-settable, so set it defensively for any driver session."""
+    """Some testdata generations store events.ts as TIMESTAMP(NANOS),
+    which Spark can only read with spark.sql.legacy.parquet.nanosAsLong=
+    true (as raw BIGINT nanos). The conf is runtime-settable, so set it
+    defensively for any driver session; micro-precision files are
+    unaffected by it."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
         pass
 
 
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to epoch-nanoseconds BIGINT regardless of the
+    parquet physical type (TIMESTAMP(MICROS) → TIMESTAMP_NTZ in Spark,
+    TIMESTAMP(NANOS) → BIGINT under nanosAsLong). The wall-clock values
+    are timezone-free, so interpret them as UTC — exactly what DuckDB's
+    epoch_ns(ts) does on the oracle side. to_utc_timestamp on a
+    TIMESTAMP_NTZ input is session-timezone independent."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df  # already epoch nanos
+    return df.withColumn(
+        "ts", F.expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000")
+    )
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str):
     _ensure_nanos_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        df = _normalize_events(df)
+    return df
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
     _ensure_nanos_conf(spark)
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            df = _normalize_events(df)
+        df.createOrReplaceTempView(t)
 
 
 # ---------------------------------------------------------------------------
