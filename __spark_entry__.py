@@ -33,11 +33,20 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     which Spark can only read with spark.sql.legacy.parquet.nanosAsLong=
     true (as raw BIGINT nanos). The conf is runtime-settable, so set it
     defensively for any driver session; micro-precision files are
-    unaffected by it."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
-        pass
+    unaffected by it.
+
+    Also pins spark.sql.session.timeZone to UTC: the events.ts epoch
+    conversion in _normalize_events goes through an NTZ→TIMESTAMP cast
+    that uses the session timezone, so an unpinned non-UTC driver would
+    shift every epoch value relative to DuckDB's epoch_ns oracle."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 — conf may be locked; reads may still work
+            pass
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
@@ -45,8 +54,9 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     parquet physical type (TIMESTAMP(MICROS) → TIMESTAMP_NTZ in Spark,
     TIMESTAMP(NANOS) → BIGINT under nanosAsLong). The wall-clock values
     are timezone-free, so interpret them as UTC — exactly what DuckDB's
-    epoch_ns(ts) does on the oracle side. to_utc_timestamp on a
-    TIMESTAMP_NTZ input is session-timezone independent."""
+    epoch_ns(ts) does on the oracle side. The NTZ input is implicitly
+    cast through the session timezone, which _ensure_nanos_conf pins to
+    UTC so the expression is deterministic on any driver."""
     import pyspark.sql.functions as F
     from pyspark.sql import types as T
 
@@ -180,7 +190,7 @@ def _q_topk(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                               AS DECIMAL(38,2)) AS total_spend
+                               AS DOUBLE) AS total_spend
         FROM orders
         GROUP BY o_custkey
         ORDER BY total_spend DESC, o_custkey
@@ -198,7 +208,7 @@ def _q_topk_per_group(spark, sf_dir):
         SELECT l_returnflag, l_linestatus, l_partkey, sum_qty, rnk
         FROM (
           SELECT l_returnflag, l_linestatus, l_partkey,
-                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                  CAST(row_number() OVER (
                    PARTITION BY l_returnflag, l_linestatus
                    ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_partkey
@@ -222,9 +232,9 @@ def _q_summary(spark, sf_dir):
           FROM lineitem GROUP BY l_partkey
         )
         SELECT count(*) AS n_parts,
-               CAST(min(revenue) AS DECIMAL(38,2)) AS rev_min,
+               CAST(min(revenue) AS DOUBLE) AS rev_min,
                round(CAST(sum(revenue) AS DOUBLE) / count(*), 2) AS rev_mean,
-               CAST(max(revenue) AS DECIMAL(38,2)) AS rev_max
+               CAST(max(revenue) AS DOUBLE) AS rev_max
         FROM metrics
         """
     )
@@ -327,16 +337,16 @@ def _q_failed_fit_filter(spark, sf_dir):
 
 def _q_events_hourly(spark, sf_dir):
     """Time-bucketed aggregation over the events stream table: per
-    (hour, event_type) count + DECIMAL value sum. The parquet stores
-    nanosecond timestamps (Spark reads INT64 nanos as BIGINT), so the
-    bucketing is integer epoch-nanos division — identical in the oracle
-    via epoch_ns()."""
+    (hour, event_type) count + exact DECIMAL value sum (surfaced as
+    DOUBLE). ts is normalized to epoch-nanos BIGINT by _normalize_events
+    regardless of the parquet physical type, so the bucketing is integer
+    epoch-nanos division — identical in the oracle via epoch_ns()."""
     _register(spark, sf_dir)
     return spark.sql(
         """
         SELECT CAST(ts DIV 3600000000000 AS BIGINT) AS hour_id, event_type,
                count(*) AS n_events,
-               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY hour_id, event_type
         """
@@ -965,7 +975,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk_customers": """
             SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                                   AS DECIMAL(38,2)) AS total_spend
+                                   AS DOUBLE) AS total_spend
             FROM orders
             GROUP BY o_custkey
             ORDER BY total_spend DESC, o_custkey
@@ -975,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, l_partkey, sum_qty, rnk
             FROM (
               SELECT l_returnflag, l_linestatus, l_partkey,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                      CAST(row_number() OVER (
                        PARTITION BY l_returnflag, l_linestatus
                        ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_partkey
@@ -992,9 +1002,9 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_partkey
             )
             SELECT count(*) AS n_parts,
-                   CAST(min(revenue) AS DECIMAL(38,2)) AS rev_min,
+                   CAST(min(revenue) AS DOUBLE) AS rev_min,
                    round(CAST(sum(revenue) AS DOUBLE) / count(*), 2) AS rev_mean,
-                   CAST(max(revenue) AS DECIMAL(38,2)) AS rev_max
+                   CAST(max(revenue) AS DOUBLE) AS rev_max
             FROM metrics
         """,
         "distinct_flags": """
@@ -1050,7 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
                    count(*) AS n_events,
-                   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+                   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
         """,

@@ -2,10 +2,14 @@
 
 Runs every ``queries()`` entry that has an ``oracle_sql()`` twin at
 sf0.01: Spark result vs DuckDB result, columns sorted by name, rows
-sorted by all columns, values compared under TWO normalizations —
+sorted by all columns, values compared under THREE normalizations —
 (a) stringified cells, (b) numeric cells coerced to float and rounded
-to 6 decimals. A query only counts as green here if BOTH agree, which
-is strictly harsher than any plausible driver hash.
+to 6 decimals, (c) verbatim ``str(cell)`` with NO numeric coercion.
+(c) is what catches serialization-type artifacts the driver hash
+rejects — e.g. Spark surfacing ``Decimal('4771.00')`` where DuckDB
+surfaces ``4771.0``: identical values, different strings. A query only
+counts as green here if ALL THREE agree, which is strictly harsher
+than any plausible driver hash.
 
 Usage: python tools/check_oracle.py [query ...]
 """
@@ -59,6 +63,16 @@ def _norm_float(v):
     return str(v)
 
 
+def _norm_verbatim(v):
+    """No numeric coercion at all: the cell exactly as the engine
+    surfaced it. Decimal('4771.00') != '4771.0' here by design."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_norm_verbatim(x) for x in v) + "]"
+    return str(v)
+
+
 def canon(df: pd.DataFrame, norm) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [tuple(norm(df.iloc[i][c]) for c in cols) for i in range(len(df))]
@@ -107,7 +121,11 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         if not problems:
-            for label, norm in (("str", _norm_str), ("float", _norm_float)):
+            for label, norm in (
+                ("str", _norm_str),
+                ("float", _norm_float),
+                ("verbatim", _norm_verbatim),
+            ):
                 a, b = canon(sdf, norm), canon(odf, norm)
                 if a != b:
                     bad = next(
