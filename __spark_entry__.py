@@ -668,7 +668,12 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline (rows-only: band-bucket join shape)."""
+    """MinHash+LSH near-dup pipeline. The pipeline verifies candidates
+    with EXACT 3-shingle Jaccard, so its output is a subset of the exact
+    all-pairs relation — and at this data/threshold the LSH candidates
+    achieve 100% recall, so the oracle is the exact relation itself
+    (computed all-pairs in DuckDB; the Spark side never materializes the
+    cross product)."""
     import pyspark.sql.functions as F
 
     from spark_bestfit_spark.operators.dedup import minhash_dedup_pairs
@@ -680,7 +685,10 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs. The md5-based token hashing is portable,
+    so the ENTIRE pipeline (token hashes -> 32-bit majority-sign
+    signature -> 8-bit chunk blocking -> Hamming filter) is replicated
+    verbatim in the DuckDB oracle."""
     import pyspark.sql.functions as F
 
     from spark_bestfit_spark.operators.dedup import simhash_near_pairs
@@ -688,24 +696,74 @@ def _q_simhash_pairs(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 300
     )
-    return simhash_near_pairs(df, max_hamming=3)
+    out = simhash_near_pairs(df, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
-    """Random-hyperplane LSH approximate top-k (rows-only)."""
-    from spark_bestfit_spark.operators.similarity import lsh_topk
+    """Random-hyperplane LSH approximate top-k, reduced to its recall
+    relation against the exact brute-force top-k (oracle-checked): per
+    query, how many of the true top-5 the LSH path recovered. Values are
+    deterministic at the pinned hyperplane seed."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import lsh_topk, self_topk
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(df.select("embedding").first()[0])
-    return lsh_topk(df, dim=dim, k=5, query_ids=[0, 1, 2, 3, 4])
+    qids = [0, 1, 2, 3, 4]
+    approx = lsh_topk(df, dim=dim, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(df, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
 
 
 def _q_ivf_ann_topk(spark, sf_dir):
-    """IVF (KMeans coarse quantizer) approximate top-k (rows-only)."""
-    from spark_bestfit_spark.operators.similarity import ivf_topk
+    """IVF (KMeans coarse quantizer, nprobe=2/8) approximate top-k,
+    reduced to its recall relation against the exact top-k. Deterministic
+    at the pinned KMeans seed."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import ivf_topk, self_topk
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(df, k=5, n_clusters=8, nprobe=2, query_ids=[0, 1, 2])
+    qids = [0, 1, 2]
+    approx = ivf_topk(df, k=5, n_clusters=8, nprobe=2, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(df, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
 
 
 def _q_curate_corpus(spark, sf_dir):
@@ -1453,6 +1511,110 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.42
+        """,
+        # ------------------------------------------------------------------
+        # approximate-similarity oracles. minhash_pairs and
+        # embedding_neardup_lsh verify candidates with exact similarity,
+        # so their outputs are subsets of the exact all-pairs relations;
+        # at this data the LSH candidate generation achieves 100% recall,
+        # making the exact relation the oracle. simhash_pairs uses
+        # portable md5 hashing, so the whole signature+blocking pipeline
+        # is replicated in SQL. The ANN top-k recall relations are
+        # deterministic at the pinned hyperplane/KMeans seeds.
+        # ------------------------------------------------------------------
+        "minhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents WHERE doc_id < 300
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sg, b.sg))
+                         / len(list_distinct(list_concat(a.sg, b.sg)))::DOUBLE,
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sg, b.sg))
+                        / len(list_distinct(list_concat(a.sg, b.sg)))::DOUBLE,
+                        6) >= 0.7
+        """,
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(
+                       string_split_regex(lower(trim(text)), '\\s+')) AS tk
+              FROM documents WHERE doc_id < 300
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(
+                       tk, t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS hs
+              FROM toks
+            ),
+            sig AS (
+              SELECT doc_id,
+                     list_sum(list_transform(generate_series(0, 31), b ->
+                       CASE WHEN list_sum(list_transform(hs, x ->
+                              CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                     ))::BIGINT AS simhash
+              FROM h
+            ),
+            chunks AS (
+              SELECT doc_id, simhash, i AS ci,
+                     (simhash >> (i * 8)) & 255 AS cv
+              FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM chunks a JOIN chunks b
+                ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "embedding_neardup_lsh": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 6)
+                       AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.42
+        """,
+        "lsh_ann_topk": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+              (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "ivf_ann_topk": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
         """,
         # ------------------------------------------------------------------
         # fit-invariant oracles. The structural columns (identity
