@@ -798,8 +798,9 @@ def _q_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# generation / model queries (rows-only: seeded-random by nature, but
-# deterministic for fixed seed + pinned partition count)
+# generation / model queries (seeded-random by nature, deterministic for
+# fixed seed + pinned partition count — summaries oracle-checked against
+# pinned values; mvn_fit against true SQL moments)
 # ---------------------------------------------------------------------------
 def _q_generate_univariate(spark, sf_dir):
     """G1/G2: distributed inverse-CDF sampling, summarized."""
@@ -1511,6 +1512,122 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.42
+        """,
+        # ------------------------------------------------------------------
+        # pipeline / model / generation oracles. curate_corpus,
+        # media_features, and mvn_fit are genuinely SQL-mirrored (the
+        # fake image decoder's dimensions depend only on the first
+        # payload byte, so they are computable from the text itself).
+        # generate_univariate, copula_sample, and gmm_fit are
+        # seeded-random kernels whose summaries are deterministic at the
+        # pinned seed/partitioning — their oracles pin those values.
+        # ------------------------------------------------------------------
+        "curate_corpus": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS nc,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk,
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, text, len(tk) AS n_tokens,
+                     round(0.4 * least(len(tk)::DOUBLE / 200.0, 1.0)
+                           + 0.3 * round(len(list_distinct(tk))
+                                         / greatest(len(tk), 1)::DOUBLE, 6)
+                           + 0.3 * (1.0 - least(1.0,
+                               round((nc - np) / greatest(nc, 1)::DOUBLE, 6)
+                               * 4.0)), 6) AS quality
+              FROM t
+            ),
+            filtered AS (
+              SELECT doc_id, text FROM q
+              WHERE quality >= 0.1 AND n_tokens >= 3
+            ),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id,
+                           md5(regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g')) AS fp
+                    FROM filtered)
+              GROUP BY fp
+            ),
+            deduped AS (
+              SELECT f.doc_id, f.text
+              FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS tk
+                    FROM deduped)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.sg, b.sg))
+                          / len(list_distinct(list_concat(a.sg, b.sg)))::DOUBLE,
+                          6) >= 0.8
+            )
+            SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            UNION ALL SELECT 'after_quality_filter', count(*) FROM filtered
+            UNION ALL SELECT 'after_exact_dedup', count(*) FROM deduped
+            UNION ALL SELECT 'after_near_dedup',
+              (SELECT count(*) FROM deduped)
+              - (SELECT count(DISTINCT id_b) FROM pairs)
+            UNION ALL SELECT 'near_dup_pairs', count(*) FROM pairs
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(4 + ((ord(substr(text, 1, 1)) // 16) % 8) AS BIGINT)
+                     AS width,
+                   CAST(4 + (ord(substr(text, 1, 1)) % 8) AS BIGINT)
+                     AS height,
+                   CAST(3 AS BIGINT) AS channels
+            FROM documents WHERE doc_id < 200
+        """,
+        "mvn_fit": """
+            WITH clean AS (
+              SELECT l_quantity, l_discount, l_tax FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_discount IS NOT NULL
+                AND l_tax IS NOT NULL
+            )
+            SELECT column_name, mean_v, var_v FROM (
+              SELECT 'l_quantity' AS column_name,
+                     round(avg(l_quantity), 6) AS mean_v,
+                     round(var_samp(l_quantity), 6) AS var_v FROM clean
+              UNION ALL SELECT 'l_discount',
+                     round(avg(l_discount), 6),
+                     round(var_samp(l_discount), 6) FROM clean
+              UNION ALL SELECT 'l_tax',
+                     round(avg(l_tax), 6),
+                     round(var_samp(l_tax), 6) FROM clean
+            )
+        """,
+        "generate_univariate": """
+            SELECT CAST(100000 AS BIGINT) AS n,
+                   CAST(32461.41 AS DOUBLE) AS mean_v,
+                   CAST(13568.03 AS DOUBLE) AS std_v
+        """,
+        "copula_sample": """
+            SELECT CAST(50000 AS BIGINT) AS n,
+                   CAST(0.0 AS DOUBLE) AS corr_pq,
+                   CAST(52678.0 AS DOUBLE) AS mean_price
+        """,
+        "gmm_fit": """
+            SELECT component, mean_v, weight FROM (VALUES
+              (CAST(0 AS INTEGER), CAST(126299.61 AS DOUBLE),
+               CAST(0.4813 AS DOUBLE)),
+              (CAST(1 AS INTEGER), CAST(365951.16 AS DOUBLE),
+               CAST(0.5187 AS DOUBLE))
+            ) AS t(component, mean_v, weight)
         """,
         # ------------------------------------------------------------------
         # approximate-similarity oracles. minhash_pairs and
