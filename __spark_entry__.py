@@ -1017,6 +1017,28 @@ def _q_fit_bounded(spark, sf_dir):
     )
 
 
+def _q_best_per_column(spark, sf_dir):
+    """T2 through the public API surface: results.best_per_column
+    (Window + row_number per column_name, results.py) on a materialized
+    two-column fit — the same per-group top-k the raw-SQL
+    `topk_per_group` query checks, but exercised via FitResults."""
+    from spark_bestfit_spark.fitter import DistributionFitter
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = DistributionFitter(spark).fit(
+        df, columns=["l_quantity", "l_discount"], max_distributions=12
+    )
+    per_col = res.best_per_column(n=2, metric="aic")
+    rows = [
+        (col, rank + 1, rec.distribution)
+        for col, recs in sorted(per_col.items())
+        for rank, rec in enumerate(recs)
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, rnk int, distribution string"
+    )
+
+
 def _q_fit_lazy(spark, sf_dir):
     """Lazy fit: KS/AD must be skipped in-kernel (NULL on every row)
     while AIC/BIC are still exact."""
@@ -1090,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_price": _q_fit_price,
         "fit_multi": _q_fit_multi,
         "fit_lazy": _q_fit_lazy,
+        "best_per_column": _q_best_per_column,
         "fit_discrete": _q_fit_discrete,
         "fit_bounded": _q_fit_bounded,
     }
@@ -1785,6 +1808,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5000.0 AS DOUBLE) AS lower_bound,
                    CAST(80000.0 AS DOUBLE) AS upper_bound,
                    CAST(0 AS BIGINT) AS n_bounds_violations
+        """,
+        "best_per_column": """
+            SELECT column_name, rnk, distribution
+            FROM (VALUES
+              ('l_discount', CAST(1 AS INTEGER), 'betaprime'),
+              ('l_discount', CAST(2 AS INTEGER), 'chi2'),
+              ('l_quantity', CAST(1 AS INTEGER), 'betaprime'),
+              ('l_quantity', CAST(2 AS INTEGER), 'bradford')
+            ) AS t(column_name, rnk, distribution)
         """,
         "fit_lazy": """
             SELECT 'o_totalprice' AS column_name,

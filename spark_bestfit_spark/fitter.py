@@ -94,8 +94,30 @@ def prefilter_distributions(
     return kept, dropped
 
 
+def _ensure_spark_df(spark: SparkSession, df):
+    """Duck-type the input relation like the reference's storage layer
+    (reference storage.py:105-131, base_fitter.py:560-611 accept Spark,
+    pandas, and Ray datasets): a pandas DataFrame is converted with
+    ``spark.createDataFrame``; Spark DataFrames pass through. Anything
+    else raises with the accepted types spelled out."""
+    if isinstance(df, DataFrame):
+        return df
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover — pandas ships with pyspark
+        pd = None
+    if pd is not None and isinstance(df, pd.DataFrame):
+        return spark.createDataFrame(df)
+    raise TypeError(
+        f"expected a Spark or pandas DataFrame, got {type(df).__name__}"
+    )
+
+
 class DistributionFitter:
-    """Fits a library of continuous distributions to numeric columns."""
+    """Fits a library of continuous distributions to numeric columns.
+
+    Accepts Spark DataFrames natively and pandas DataFrames by
+    conversion (the reference's duck-typed input contract)."""
 
     def __init__(
         self,
@@ -179,6 +201,7 @@ class DistributionFitter:
         """
         if column is None and columns is None:
             raise ValueError("provide column= or columns=")
+        df = _ensure_spark_df(self.spark, df)
         cols = list(columns) if columns else [column]
         config = (config or FitterConfig()).with_(**kwargs) if kwargs else (
             config or FitterConfig()
@@ -424,6 +447,7 @@ class DiscreteDistributionFitter:
 
         if column is None and columns is None:
             raise ValueError("provide column= or columns=")
+        df = _ensure_spark_df(self.spark, df)
         cols = list(columns) if columns else [column]
         config = (config or FitterConfig()).with_(**kwargs) if kwargs else (
             config or FitterConfig()

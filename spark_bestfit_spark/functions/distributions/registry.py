@@ -20,13 +20,19 @@ from spark_bestfit_spark.functions.distributions.continuous import CONTINUOUS
 from spark_bestfit_spark.functions.distributions import (  # noqa: F401
     continuous_ext,  # registers the extended library into CONTINUOUS
 )
+from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: F401,E501
+    EXCLUDED_SET_NAMES,  # registers the excluded-set kernels into CONTINUOUS
+)
 from spark_bestfit_spark.functions.distributions.discrete import DISCRETE
 
 # Distributions whose MLE is noticeably slower / less stable here; kept out
 # of the default set (same role as the reference's DEFAULT_EXCLUSIONS).
+# Every name remains registered and re-includable via
+# ``DistributionRegistry(custom_exclusions=...)`` exactly like the
+# reference (distributions.py:90-164).
 DEFAULT_EXCLUSIONS: set = {
     "dpareto_lognorm",  # slow 3-shape MLE (also excluded by the reference)
-}
+} | EXCLUDED_SET_NAMES
 
 # ~2-6x average fit cost — used for partition weighting (reference
 # distributions.py:58-75). Measured on a 10k gamma sample with the

@@ -70,15 +70,23 @@ def media_repartition(
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Real decoder stub — this environment has no imaging libraries."""
+    """Decode an image payload to an HxWxC uint8 array.
+
+    Uses pillow when installed (optional extra); without it, raises the
+    documented NotImplementedError so the pipeline seam stays explicit —
+    use ``fake_decoder=True`` for plumbing tests in minimal containers."""
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
     except ImportError:
         raise NotImplementedError(
-            "image decoding requires pillow/opencv; not available in this "
+            "image decoding requires pillow; not available in this "
             "container — use fake_decoder=True for pipeline testing"
         )
-    raise NotImplementedError("wire PIL decode here when available")
+    img = PIL.Image.open(io.BytesIO(payload))
+    arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    return arr
 
 
 def _fake_decode_image(payload: bytes) -> np.ndarray:

@@ -39,6 +39,19 @@ SHAPE_CASES = {
     "crystalball": (1.5, 3.0),
     "norminvgauss": (1.5, 0.5),
     "truncweibull_min": (1.7, 0.1, 2.0),
+    # excluded-set library — constrained shapes (|b| < a, alpha <= 2,
+    # k > 1) or finite-n statistics where n ~ 1.5 is meaningless
+    "genhyperbolic": (0.8, 1.6, 0.4),
+    "levy_stable": (1.6, 0.2),
+    "kstwo": (40.0,),
+    "ksone": (40.0,),
+    "studentized_range": (3.0, 10.0),
+    "ncf": (5.0, 9.0, 1.5),
+    "ncx2": (4.0, 2.5),
+    "kappa4": (0.3, 0.2),
+    "gausshyper": (2.0, 3.0, 1.0, 0.8),
+    "tukeylambda": (0.14,),
+    "geninvgauss": (1.2, 1.5),
 }
 
 QS = np.array([0.001, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.999])

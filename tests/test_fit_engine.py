@@ -179,3 +179,40 @@ class TestSerialization:
         best = normal_results.best(1, metric="sse")
         with pytest.raises(ValueError, match="unknown format"):
             best.save(str(tmp_path / "x"), format="yaml")
+
+
+class TestPandasInput:
+    """Duck-typed input contract (reference base_fitter.py:560-611):
+    pandas DataFrames are accepted directly and converted internally."""
+
+    def test_pandas_input_end_to_end(self, spark):
+        data = np.random.default_rng(7).normal(20.0, 4.0, 5_000)
+        pdf = pd.DataFrame({"value": data})
+        res = DistributionFitter(spark).fit(
+            pdf, column="value", distributions=CORE
+        )
+        rows = {r["distribution"]: r for r in res.df.collect()}
+        assert set(rows) == set(CORE)
+        # the normal row recovers the generating parameters; the overall
+        # winner may be lognorm (a high-loc lognorm mimics a normal)
+        norm_row = rows["norm"]
+        assert norm_row["parameters"][0] == pytest.approx(20.0, rel=0.05)
+        assert norm_row["parameters"][1] == pytest.approx(4.0, rel=0.05)
+        assert norm_row["ks_statistic"] < 0.02
+
+    def test_pandas_input_discrete(self, spark):
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        data = np.random.default_rng(8).poisson(6.0, 4_000)
+        pdf = pd.DataFrame({"k": data})
+        res = DiscreteDistributionFitter(spark).fit(
+            pdf, column="k", distributions=["poisson", "geom"]
+        )
+        rows = {r["distribution"] for r in res.df.collect()}
+        assert rows == {"poisson", "geom"}
+
+    def test_rejects_unknown_input_type(self, spark):
+        with pytest.raises(TypeError, match="Spark or pandas"):
+            DistributionFitter(spark).fit(
+                {"value": [1, 2, 3]}, column="value"
+            )

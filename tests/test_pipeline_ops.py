@@ -262,10 +262,38 @@ def media_df(spark, docs):
     )
 
 
+def _has_pillow() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class TestMultimodal:
-    def test_real_decoder_raises(self):
+    @pytest.mark.skipif(
+        _has_pillow(), reason="pillow installed — decode path is live"
+    )
+    def test_real_decoder_raises_without_pillow(self):
         with pytest.raises(NotImplementedError):
             multimodal._decode_image(b"abc")
+
+    @pytest.mark.skipif(
+        not _has_pillow(), reason="pillow not installed (optional extra)"
+    )
+    def test_real_decoder_with_pillow(self):
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (6, 4), color=(10, 20, 30)).save(
+            buf, format="PNG"
+        )
+        arr = multimodal._decode_image(buf.getvalue())
+        assert arr.shape == (4, 6, 3)
+        assert (arr[0, 0] == (10, 20, 30)).all()
 
     def test_fake_decode_deterministic(self):
         a = multimodal._fake_decode_image(b"payload-bytes")
