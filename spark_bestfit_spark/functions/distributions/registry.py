@@ -59,11 +59,32 @@ SLOW_DISTRIBUTIONS: set = {
     "skewnorm",       # ~460 ms (Owen's T quadrature in the CDF)
     "trapezoid",      # ~100 ms
     "truncnorm",      # ~490 ms
+    # excluded-set kernels (fit only on re-inclusion) — quadrature /
+    # series numerics, measured on a 3k sample; without these weights a
+    # single re-included straggler would serialize the whole fan-out wave
+    "ncx2",               # ~3 s (Poisson-mixture series per NM iter)
+    "ncf",                # ~9 s
+    "ksone",              # ~3 s (Birnbaum-Tingey per-point sum)
+    "geninvgauss",        # fast fit, slow metrics (quadrature CDF)
+    "gausshyper",         # ~0.4 s
+    "genhyperbolic",      # ~15 s (grid-interpolated Bessel K per eval)
+    "studentized_range",  # ~17 s (double quadrature)
+    "levy_stable",        # ~6 s (cf quadrature; Koutrouvelis fit)
+    "tukeylambda",        # ~0.5 s (bisection CDF per eval)
 }
 
 # Per-distribution partition weights: default 1, slow set 3, plus
 # measured outliers that dominate a task wave.
-FIT_WEIGHTS: dict = {"powerlognorm": 8, "nct": 6}
+FIT_WEIGHTS: dict = {
+    "powerlognorm": 8,
+    "nct": 6,
+    "ncx2": 6,
+    "ncf": 12,
+    "ksone": 6,
+    "genhyperbolic": 16,
+    "studentized_range": 18,
+    "levy_stable": 8,
+}
 
 
 def get_continuous(name: str) -> ContinuousDistribution:
