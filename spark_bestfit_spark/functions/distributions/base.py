@@ -329,7 +329,11 @@ class ContinuousDistribution:
         # The NM objective only needs a statistically representative sample;
         # past ~5k points extra data slows every evaluation without moving
         # the optimum materially (the fitting sample is already randomized).
-        obj_data = data if data.size <= 5000 else data[:: data.size // 5000 + 1]
+        # Kernels with expensive per-point series (nct) lower the cap via
+        # _obj_subsample — their optimum is equally stable at 2k points
+        # and the evaluation cost is linear in n.
+        cap = getattr(self, "_obj_subsample", 5000)
+        obj_data = data if data.size <= cap else data[:: data.size // cap + 1]
 
         def objective(theta):
             return self.nnlf(self._untransform(theta), obj_data)
