@@ -339,10 +339,14 @@ class ContinuousDistribution:
             return self.nnlf(self._untransform(theta), obj_data)
 
         theta0 = self._transform(start)
+        # kernels with expensive per-eval series can bound their NM
+        # budget via _fit_maxiter — iterations beyond ~200 only polish
+        # the optimum, and a 3 s straggler gates the whole fan-out wave
+        default_iters = getattr(self, "_fit_maxiter", 150 * theta0.size)
         best_theta, best_f, _ = nelder_mead(
             objective,
             theta0,
-            maxiter=maxiter or 150 * theta0.size,
+            maxiter=maxiter or default_iters,
             xatol=1e-4,
             fatol=1e-4,
         )

@@ -1079,8 +1079,12 @@ class NCT(ContinuousDistribution):
     shapes = ("df_", "nc")
     shape_pos = (True, False)
     # per-point series cost dominates the fan-out wave: cap the NM
-    # objective at 2k points (optimum stable; cost linear in n)
+    # objective at 2k points (optimum stable; cost linear in n) and the
+    # NM budget at 250 iterations (the data-dependent tail of the search
+    # only polishes; uncapped it wandered high-df/high-|nc| regions where
+    # the series is widest, 3x-ing the kernel on some samples)
     _obj_subsample = 2000
+    _fit_maxiter = 250
 
     def _check_shapes(self, shapes) -> bool:
         df_, nc = shapes

@@ -73,17 +73,82 @@ SLOW_DISTRIBUTIONS: set = {
     "tukeylambda",        # ~0.5 s (bisection CDF per eval)
 }
 
-# Per-distribution partition weights: default 1, slow set 3, plus
-# measured outliers that dominate a task wave.
+# Per-distribution weights for LPT bin-packing of the fit fan-out
+# (operators/fit.py _lpt_bins): weight ~ measured kernel wall-time in
+# 40 ms units (max over the o_totalprice / l_extendedprice 10k samples,
+# warm workers). Unlisted names default to 1. The excluded-set kernels
+# (fit only on re-inclusion) keep coarse estimates from their own
+# measurements. The packing is only as good as this calibration — a
+# 1 s kernel wrongly weighted 6 is what stretched the lazy-fit wave
+# tail in round 3.
 FIT_WEIGHTS: dict = {
-    "powerlognorm": 8,
-    "nct": 6,
-    "ncx2": 6,
-    "ncf": 12,
-    "ksone": 6,
-    "genhyperbolic": 16,
-    "studentized_range": 18,
-    "levy_stable": 8,
+    "nct": 46,               # ~1851 ms measured
+    "beta": 20,              # ~803 ms measured
+    "landau": 15,            # ~584 ms measured
+    "f": 13,                 # ~502 ms measured
+    "betaprime": 12,         # ~494 ms measured
+    "gennorm": 12,           # ~467 ms measured
+    "jf_skew_t": 10,         # ~415 ms measured
+    "exponweib": 10,         # ~407 ms measured
+    "norminvgauss": 10,      # ~390 ms measured
+    "exponnorm": 9,         # ~362 ms measured
+    "rdist": 9,             # ~343 ms measured
+    "alpha": 8,             # ~334 ms measured
+    "powerlognorm": 8,      # ~308 ms measured
+    "halfgennorm": 7,       # ~290 ms measured
+    "truncnorm": 6,         # ~245 ms measured
+    "powernorm": 6,         # ~225 ms measured
+    "crystalball": 5,       # ~211 ms measured
+    "burr12": 5,            # ~208 ms measured
+    "gengamma": 5,          # ~201 ms measured
+    "argus": 5,             # ~190 ms measured
+    "rice": 4,              # ~170 ms measured
+    "genexpon": 4,          # ~156 ms measured
+    "powerlaw": 4,          # ~150 ms measured
+    "invgamma": 4,          # ~142 ms measured
+    "truncweibull_min": 3,  # ~137 ms measured
+    "loguniform": 3,        # ~136 ms measured
+    "loggamma": 3,          # ~131 ms measured
+    "gamma": 3,             # ~123 ms measured
+    "chi2": 3,              # ~122 ms measured
+    "reciprocal": 3,        # ~121 ms measured
+    "erlang": 3,            # ~117 ms measured
+    "kappa3": 3,            # ~116 ms measured
+    "fisk": 3,              # ~111 ms measured
+    "skewnorm": 3,          # ~107 ms measured
+    "truncpareto": 3,       # ~106 ms measured
+    "t": 3,                 # ~105 ms measured
+    "invgauss": 3,          # ~103 ms measured
+    "johnsonsb": 3,         # ~103 ms measured
+    "bradford": 3,          # ~102 ms measured
+    "burr": 2,              # ~100 ms measured
+    "fatiguelife": 2,       # ~96 ms measured
+    "lognorm": 2,           # ~95 ms measured
+    "genlogistic": 2,       # ~95 ms measured
+    "wrapcauchy": 2,        # ~94 ms measured
+    "johnsonsu": 2,         # ~93 ms measured
+    "genhalflogistic": 2,   # ~88 ms measured
+    "loglaplace": 2,        # ~81 ms measured
+    "invweibull": 2,        # ~75 ms measured
+    "dgamma": 2,            # ~69 ms measured
+    "trapezoid": 2,         # ~68 ms measured
+    "triang": 2,            # ~64 ms measured
+    "lomax": 2,             # ~64 ms measured
+    "genpareto": 2,         # ~63 ms measured
+    "foldnorm": 2,          # ~62 ms measured
+    "irwinhall": 2,         # ~61 ms measured
+    # excluded-set kernels (re-inclusion only), coarse estimates
+    "ncx2": 75,
+    "ncf": 225,
+    "ksone": 75,
+    "genhyperbolic": 375,
+    "studentized_range": 425,
+    "levy_stable": 150,
+    "gausshyper": 10,
+    "tukeylambda": 12,
+    "kstwo": 3,
+    "geninvgauss": 4,
+    "dpareto_lognorm": 12,
 }
 
 
@@ -209,13 +274,15 @@ class DistributionRegistry:
         return dict(self._custom)
 
     # ------------------------------------------------------------ weighting
+    @staticmethod
+    def weight(name: str) -> int:
+        """Relative fit cost of one distribution kernel (1 = fast)."""
+        return FIT_WEIGHTS.get(name, 3 if name in SLOW_DISTRIBUTIONS else 1)
+
     def effective_count(self, names: list) -> int:
         """Slow distributions count 3x (measured outliers more) for
         partition sizing (reference base_fitter.py:524-544)."""
-        return sum(
-            FIT_WEIGHTS.get(n, 3 if n in SLOW_DISTRIBUTIONS else 1)
-            for n in names
-        )
+        return sum(self.weight(n) for n in names)
 
     @staticmethod
     def interleave(names: list) -> list:

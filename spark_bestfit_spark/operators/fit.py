@@ -3,8 +3,8 @@
 Dataflow (reference backends/spark.py:76-209, re-expressed Spark-first):
 
     broadcast (histogram, fitting sample, custom dists)
-      -> distribution-name DataFrame, interleaved slow-among-fast
-      -> repartition(min(effective_count, cores * mult))
+      -> distribution-name DataFrame, LPT-packed into weight-balanced
+         partitions (one parallelize slice per bin)
       -> mapInPandas(fit kernel) with FIT_RESULT_SCHEMA
       -> filter(sse < inf)        # sentinel failed fits
       -> union across columns -> cache
@@ -13,8 +13,10 @@ Why this scales: the raw data is reduced to a ~KB histogram + <=10k-row
 sample ONCE per column (single full scan, map-side combined); the D-way
 fit fan-out is embarrassingly parallel over tiny broadcast state, so the
 cost is O(scan) + O(D / executors) regardless of table size. Python-task
-skew (slow scipy-style kernels) is handled by 3x partition weighting and
-interleaving — AQE cannot see Python task cost, so the plan does it.
+skew (slow scipy-style kernels) is handled explicitly — AQE cannot see
+Python task cost, so the plan bin-packs the kernels by measured weight
+(greedy longest-processing-time) instead of round-robin repartitioning,
+which could co-locate two stragglers and stretch the wave's tail.
 """
 
 from __future__ import annotations
@@ -197,6 +199,33 @@ def fit_single_distribution(
         return _sentinel_row(column, dist_name, stats, bounds)
 
 
+def _lpt_bins(items: list, weight_fn, n_bins: int) -> list:
+    """Greedy longest-processing-time bin packing: heaviest item into the
+    currently-lightest bin. Returns non-empty bins; the per-bin weighted
+    load spread is what bounds the fan-out wave's tail."""
+    import heapq
+
+    n_bins = max(1, min(n_bins, len(items)))
+    heap = [(0.0, i) for i in range(n_bins)]
+    heapq.heapify(heap)
+    bins: list = [[] for _ in range(n_bins)]
+    for it in sorted(items, key=weight_fn, reverse=True):
+        load, i = heapq.heappop(heap)
+        bins[i].append(it)
+        heapq.heappush(heap, (load + weight_fn(it), i))
+    return [b for b in bins if b]
+
+
+def _packed_df(spark: SparkSession, bins: list, schema: str) -> DataFrame:
+    """One parallelize slice per bin -> flatMap (partition-preserving) —
+    each mapInPandas task then processes exactly one weight-balanced
+    bin. A tiny driver-side RDD is the only way to pin explicit
+    partition membership; the payload is just the name list."""
+    sc = spark.sparkContext
+    rdd = sc.parallelize(bins, len(bins)).flatMap(lambda b: b)
+    return spark.createDataFrame(rdd, schema)
+
+
 def parallel_fit_column(
     spark: SparkSession,
     dist_names: list,
@@ -235,9 +264,10 @@ def parallel_fit_column(
     if broadcast_registry is not None:
         broadcast_registry += [b_data, b_hist, b_custom]
 
-    names_df = spark.createDataFrame(
-        [(n,) for n in names], "distribution_name string"
-    ).repartition(n_parts)
+    bins = _lpt_bins(
+        [(n,) for n in names], lambda t: registry.weight(t[0]), n_parts
+    )
+    names_df = _packed_df(spark, bins, "distribution_name string")
 
     cfg = config  # capture plain dataclass, not self
 
@@ -322,9 +352,12 @@ def parallel_fit_columns(
         broadcast_registry += [b_plans, b_custom]
     cfg = config
 
-    pairs_df = spark.createDataFrame(
-        pairs, "column_name string, distribution_name string"
-    ).repartition(n_parts)
+    pair_bins = _lpt_bins(
+        pairs, lambda p: registry.weight(p[1]), n_parts
+    )
+    pairs_df = _packed_df(
+        spark, pair_bins, "column_name string, distribution_name string"
+    )
 
     def fit_batches(batches):
         reg = DistributionRegistry(custom_exclusions=set())
