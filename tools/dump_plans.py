@@ -1,0 +1,139 @@
+"""Regenerate PLANS.md — physical-plan audit of the headline operators.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from spark_bestfit_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.cpu_count() or 4
+    spark = get_spark(
+        app_name="dump-plans",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    from spark_bestfit_spark.operators.dedup import minhash_dedup_pairs
+    from spark_bestfit_spark.operators.histogram import histogram_df
+    from spark_bestfit_spark.operators.similarity import self_topk
+    from spark_bestfit_spark.operators.stats import column_stats, valid_column
+
+    sections = []
+
+    st = column_stats(li, "l_extendedprice")
+    edges = np.linspace(st["min"], st["max"] * (1 + 1e-10), 51)
+    sections.append((
+        "keystone histogram (A4) — histogram_df(lineitem.l_extendedprice, "
+        "50 bins)",
+        "The engine's hottest aggregate. What to look for: a single-column\n"
+        "`ReadSchema` (column pruning reached the parquet scan), two\n"
+        "`HashAggregate` nodes around one bins-sized `Exchange` (map-side "
+        "partial\naggregation — the shuffle carries <=50 rows per map task, "
+        "never data\nrows), and `WholeStageCodegen` spans covering the bucket "
+        "arithmetic.\nAt 100 TB the scan parallelism scales with input splits "
+        "while the\nshuffle stays O(bins x tasks).",
+        explain_str(histogram_df(li, "l_extendedprice", edges)),
+    ))
+
+    vdf = valid_column(li, "l_extendedprice").agg(
+        F.min("l_extendedprice"),
+        F.max("l_extendedprice"),
+        F.count("l_extendedprice"),
+    )
+    sections.append((
+        "stats scan (A1/P6) — valid_column + single-pass min/max/count",
+        "NaN/inf/null cleaning is expressed as a Catalyst filter, so it "
+        "shows\nup in `PushedFilters` at the scan and the `ReadSchema` "
+        "carries exactly\none column. One job, no shuffle beyond the final "
+        "1-row aggregate.",
+        explain_str(vdf),
+    ))
+
+    sections.append((
+        "MinHash -> LSH -> verified Jaccard (dedup) — minhash_dedup_pairs",
+        "Candidate generation is a groupBy on (band, bucket-hash) — no\n"
+        "self-join of the corpus, so there is no O(n^2) term anywhere in "
+        "the\nplan. The exact-Jaccard verification joins shingle arrays onto "
+        "the\ncandidate pair relation only. At 100 TB the quadratic work is "
+        "confined\ninside buckets (bounded by max_bucket_size); everything "
+        "else is one\nscan plus candidate-sized joins.",
+        explain_str(minhash_dedup_pairs(docs, threshold=0.7)),
+    ))
+
+    sections.append((
+        "ANN exact baseline — self_topk(embeddings, k=5, 5 queries)",
+        "The query side is broadcast (the 5 query vectors, never the "
+        "corpus);\ndot products run as JVM higher-order functions inside "
+        "codegen, no\nPython in the loop. The corpus is scanned once; "
+        "per-query top-k is a\nWindow over the scored relation. The scale "
+        "path for large query sets is\nlsh_topk/ivf_topk (bucketed "
+        "candidates), also in the driver contract.",
+        explain_str(self_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4])),
+    ))
+
+    import __spark_entry__ as entry_mod
+
+    from spark_bestfit_spark.operators.asof import asof_join
+
+    ev = entry_mod._read(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    sections.append((
+        "as-of join (events) — asof_join(views, clicks, by=user_id)",
+        "Implemented as union + window carry-forward: one shuffle on the "
+        "`by`\nkey, one sort within partitions — never a "
+        "broadcast-nested-loop\ninequality join. At 100 TB this is the "
+        "textbook shape: cost is one\nexchange of both inputs on user_id.",
+        explain_str(asof_join(views, clicks, time_col="ts", by=["user_id"])),
+    ))
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write(
+            "# PLANS — physical-plan audit of the headline operators\n\n"
+            f'`df.explain("formatted")` output captured at sf0.1 on '
+            f"local[{cpus}], with\ncommentary on what makes each plan "
+            "survive a 100x scale-up. The\nfit fan-out itself (mapInPandas "
+            "over LPT-packed kernel bins) is audited\nin operators/fit.py's "
+            "module docstring and COVERAGE.md — its plan is a\nconstant-size "
+            "parallelize + ArrowEvalPython, independent of table size.\n\n"
+        )
+        for title, comment, plan in sections:
+            f.write(f"## {title}\n\n{comment}\n\n```\n{plan.strip()}\n```\n\n")
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
