@@ -524,6 +524,35 @@ def _q_doc_quality(spark, sf_dir):
     )
 
 
+def _q_doc_repetition(spark, sf_dir):
+    """Intra-document repetition: duplicated 3-shingle fraction per doc
+    (Gopher-style boilerplate signal; map-only)."""
+    from spark_bestfit_spark.operators.textstats import with_repetition_ratio
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_ratio(df).select("doc_id", "dup_shingle_ratio")
+
+
+def _q_doc_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-prob per doc — the cheap perplexity proxy
+    (explode -> token counts -> join back -> per-doc mean)."""
+    from spark_bestfit_spark.operators.textstats import unigram_logprob
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(df)
+
+
+def _q_doc_pii_flags(spark, sf_dir):
+    """PII-presence flags (email/phone/SSN shapes) — detection-only,
+    dialect-portable regexes so the oracle runs the same patterns."""
+    from spark_bestfit_spark.operators.textstats import flag_pii
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return flag_pii(df).select(
+        "doc_id", "has_email", "has_phone", "has_ssn"
+    )
+
+
 def _q_neardup_jaccard(spark, sf_dir):
     """Exact blocked n-gram Jaccard near-dup pairs (block = lang)."""
     import pyspark.sql.functions as F
@@ -1091,6 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_totals": _q_doc_token_totals,
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_quality": _q_doc_quality,
+        "doc_repetition": _q_doc_repetition,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "doc_pii_flags": _q_doc_pii_flags,
         "neardup_jaccard": _q_neardup_jaccard,
         "neardup_clusters": _q_neardup_clusters,
         "two_sample_ks": _q_two_sample_ks,
@@ -1391,6 +1423,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM q
             GROUP BY source
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, len(tk) AS nt,
+                     list_transform(
+                       generate_series(1, greatest(len(tk) - 2, 1)),
+                       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS sg
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN nt < 3 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(sg))
+                                   / len(sg)::DOUBLE, 6) END
+                     AS dup_shingle_ratio
+            FROM sh
+        """,
+        "doc_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, unnest(
+                string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents
+            ),
+            counts AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ),
+            total AS (SELECT count(*) AS n FROM toks)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(c.cnt / (SELECT n FROM total)::DOUBLE)), 6)
+                     AS mean_logprob
+            FROM toks t JOIN counts c ON t.tok = c.tok
+            GROUP BY t.doc_id
+        """,
+        "doc_pii_flags": """
+            SELECT doc_id,
+                   regexp_matches(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                     AS has_email,
+                   regexp_matches(text,
+                     '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')
+                     AS has_phone,
+                   regexp_matches(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
+                     AS has_ssn
+            FROM documents
         """,
         "neardup_jaccard": """
             WITH s AS (

@@ -167,3 +167,91 @@ def with_fingerprint(
     text. Exact-duplicate key (SQL-portable for oracle checks)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(normalized))
+
+
+def with_repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    out_col: str = "dup_shingle_ratio",
+) -> DataFrame:
+    """Intra-document repetition signal: fraction of duplicated k-word
+    shingles, 1 - n_distinct_shingles / n_shingles (0 for docs shorter
+    than k tokens). High values flag boilerplate / template spam — a
+    standard pretraining quality filter (e.g. the Gopher rules' repeated
+    n-gram fractions). Map-only column algebra, SQL-portable."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i + 1, shingle_k)
+    )
+    all_shingles = F.transform(idx, shingle_at)
+    n_sh = F.size(all_shingles)
+    n_distinct = F.size(F.array_distinct(all_shingles))
+    ratio = F.when(
+        n < shingle_k, F.lit(0.0)
+    ).otherwise(
+        1.0 - n_distinct / n_sh.cast("double")
+    )
+    return df.withColumn(out_col, F.round(ratio, 6))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram log-probability score per document: a cheap
+    perplexity proxy for quality filtering when no LM is available.
+
+    p(t) = corpus_count(t) / corpus_total;
+    score(doc) = mean over the doc's tokens of ln p(t).
+
+    Dataflow (scale-safe at 100 TB): one explode (map-only), one groupBy
+    on token for the corpus counts (the only wide shuffle, combiner
+    applies), one shuffle join of the exploded relation back to the
+    counts, one re-aggregation by doc id. No driver-side vocabulary, no
+    Python.
+
+    Returns (id_col, n_tokens, mean_logprob) with mean_logprob rounded
+    to 6 decimals (SQL-portable for oracle checks)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
+    )
+    counts = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    total = toks.count()
+    scored = toks.join(counts, "_tok")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_cnt") / F.lit(float(total)))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# conservative, dialect-portable PII patterns (Java regex and RE2 agree
+# on this subset: no backrefs, no lookaround)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def flag_pii(
+    df: DataFrame, text_col: str = "text", prefix: str = "has_"
+) -> DataFrame:
+    """Boolean PII-presence flags per document (email / phone / SSN
+    shapes). Detection-only by design: redaction policy belongs to the
+    caller; the flags make quota-sampling or dropping PII-bearing docs a
+    plain filter. Map-only, pipeline with the scan."""
+    out = df
+    for kind in sorted(PII_PATTERNS):
+        out = out.withColumn(
+            f"{prefix}{kind}", F.col(text_col).rlike(PII_PATTERNS[kind])
+        )
+    return out

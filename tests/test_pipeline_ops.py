@@ -406,3 +406,60 @@ class TestTwoSampleKS:
         b = spark.createDataFrame(pd.DataFrame({"y": [1.0, 2.0, 3.0]}))
         row = two_sample_ks_df(a, b, "x", column_b="y").first()
         assert row.d_stat == 0.0
+
+
+class TestCurationSignals:
+    """Repetition, unigram log-prob, and PII flags — the quality signals
+    a pretraining pipeline filters on."""
+
+    def test_repetition_ratio(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            with_repetition_ratio,
+        )
+
+        rows = [
+            (1, "spam spam spam spam spam spam spam spam"),   # one shingle
+            (2, "all words here are completely distinct tokens"),
+            (3, "a b"),                                        # < k tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["dup_shingle_ratio"]
+            for r in with_repetition_ratio(df).collect()
+        }
+        assert out[1] > 0.8          # 6 shingles, all identical
+        assert out[2] == 0.0         # all distinct
+        assert out[3] == 0.0         # too short, defined 0
+
+    def test_unigram_logprob_orders_docs(self, spark):
+        from spark_bestfit_spark.operators.textstats import unigram_logprob
+
+        rows = [
+            (1, "common common common common"),
+            (2, "rare1 rare2 rare3 rare4"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        # p(common)=4/8 -> ln(0.5); p(rare_i)=1/8 -> ln(0.125)
+        assert out[1]["mean_logprob"] == pytest.approx(
+            float(np.log(0.5)), abs=1e-6
+        )
+        assert out[2]["mean_logprob"] == pytest.approx(
+            float(np.log(0.125)), abs=1e-6
+        )
+        assert out[1]["n_tokens"] == 4
+
+    def test_pii_flags(self, spark):
+        from spark_bestfit_spark.operators.textstats import flag_pii
+
+        rows = [
+            (1, "contact me at jane.doe+list@example.co.uk please"),
+            (2, "call +1 (555) 123-4567 tomorrow"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "nothing sensitive here at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in flag_pii(df).collect()}
+        assert out[1]["has_email"] and not out[4]["has_email"]
+        assert out[2]["has_phone"] and not out[4]["has_phone"]
+        assert out[3]["has_ssn"] and not out[4]["has_ssn"]
