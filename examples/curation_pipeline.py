@@ -41,6 +41,27 @@ def main() -> None:
         emb, threshold=0.42, use_lsh=True, n_planes=4, n_tables=16
     )
     print(f"embedding near-dup pairs over 0.42: {pairs.count()}")
+
+    # quality signals a pretraining filter runs per document:
+    # boilerplate repetition, unigram-logprob (perplexity proxy), PII
+    from spark_bestfit_spark.operators.textstats import (
+        flag_pii,
+        unigram_logprob,
+        with_repetition_ratio,
+    )
+
+    import pyspark.sql.functions as F
+
+    signals = (
+        with_repetition_ratio(flag_pii(docs))
+        .join(unigram_logprob(docs), "doc_id")
+        .select(
+            "doc_id", "dup_shingle_ratio", "mean_logprob",
+            "has_email", "has_phone", "has_ssn",
+        )
+    )
+    print("\nmost repetitive documents:")
+    signals.orderBy(F.desc("dup_shingle_ratio"), "doc_id").show(5)
     spark.stop()
 
 

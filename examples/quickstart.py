@@ -52,6 +52,20 @@ def main() -> None:
     )
     copula = GaussianCopula.fit(multi, lineitem)
     copula.sample_distributed(spark, 100_000).show(5)
+
+    # 5. re-include excluded-set distributions (slow/specialist kernels
+    # kept out of the default 91, exactly like the reference registry)
+    from spark_bestfit_spark.functions.distributions.registry import (
+        DistributionRegistry,
+    )
+
+    reg = DistributionRegistry(custom_exclusions=set())
+    specialist = DistributionFitter(spark, registry=reg).fit(
+        lineitem, column="l_extendedprice",
+        distributions=["mielke", "recipinvgauss", "exponpow", "gamma"],
+    )
+    print("\nspecialist fits (re-included excluded-set kernels):")
+    specialist.df.select("distribution", "sse", "aic").show()
     spark.stop()
 
 

@@ -205,6 +205,8 @@ def _lpt_bins(items: list, weight_fn, n_bins: int) -> list:
     load spread is what bounds the fan-out wave's tail."""
     import heapq
 
+    if not items:
+        return [items]
     n_bins = max(1, min(n_bins, len(items)))
     heap = [(0.0, i) for i in range(n_bins)]
     heapq.heapify(heap)
