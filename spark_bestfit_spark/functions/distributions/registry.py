@@ -34,43 +34,43 @@ DEFAULT_EXCLUSIONS: set = {
     "dpareto_lognorm",  # slow 3-shape MLE (also excluded by the reference)
 } | EXCLUDED_SET_NAMES
 
-# ~2-6x average fit cost — used for partition weighting (reference
-# distributions.py:58-75). Measured on a 10k gamma sample with the
-# engine's own kernels (see commit history for the timing table).
+# Noticeably-slower kernel set (several-x the ~40 ms median), kept for
+# coarse classification (interleave, docs); FIT_WEIGHTS below carries
+# the actual measured costs the bin packer uses.
 SLOW_DISTRIBUTIONS: set = {
-    "alpha",          # ~190 ms
-    "argus",          # ~160 ms
-    "betaprime",      # ~160 ms
-    "crystalball",    # ~300 ms
-    "exponnorm",      # ~450 ms
+    "alpha",
+    "argus",
+    "betaprime",
+    "crystalball",
+    "exponnorm",
     "exponweib",
-    "f",              # ~290 ms
-    "genexpon",       # ~140 ms
-    "irwinhall",      # ~180 ms (profile MLE over candidate n)
-    "landau",         # ~1 s one-time table build per worker, then ~30 ms
-    "jf_skew_t",      # ~540 ms (betaincinv in the PPF/metrics path)
-    "nct",            # ~1.5 s — see FIT_WEIGHTS (Lenth-series CDF)
-    "johnsonsb",      # ~130 ms
-    "johnsonsu",      # ~100 ms
-    "loggamma",       # ~100 ms
-    "norminvgauss",   # ~370 ms (quadrature CDF)
-    "powerlognorm",   # ~1.7 s — see FIT_WEIGHTS
-    "powernorm",      # ~360 ms
-    "skewnorm",       # ~460 ms (Owen's T quadrature in the CDF)
-    "trapezoid",      # ~100 ms
-    "truncnorm",      # ~490 ms
+    "f",
+    "genexpon",
+    "irwinhall",      # profile MLE over candidate n
+    "landau",         # one-time quantile-table build per worker
+    "jf_skew_t",      # betaincinv in the PPF/metrics path
+    "nct",            # Lenth-series CDF, (n, J) series matrix pdf
+    "johnsonsb",
+    "johnsonsu",
+    "loggamma",
+    "norminvgauss",   # quadrature CDF
+    "powerlognorm",
+    "powernorm",
+    "skewnorm",       # Owen's T quadrature in the CDF
+    "trapezoid",
+    "truncnorm",
     # excluded-set kernels (fit only on re-inclusion) — quadrature /
-    # series numerics, measured on a 3k sample; without these weights a
-    # single re-included straggler would serialize the whole fan-out wave
-    "ncx2",               # ~3 s (Poisson-mixture series per NM iter)
-    "ncf",                # ~9 s
-    "ksone",              # ~3 s (Birnbaum-Tingey per-point sum)
+    # series numerics; without weights a single re-included straggler
+    # would serialize the whole fan-out wave
+    "ncx2",               # Poisson-mixture series per NM iter
+    "ncf",
+    "ksone",              # Birnbaum-Tingey per-point sum
     "geninvgauss",        # fast fit, slow metrics (quadrature CDF)
-    "gausshyper",         # ~0.4 s
-    "genhyperbolic",      # ~15 s (grid-interpolated Bessel K per eval)
-    "studentized_range",  # ~17 s (double quadrature)
-    "levy_stable",        # ~6 s (cf quadrature; Koutrouvelis fit)
-    "tukeylambda",        # ~0.5 s (bisection CDF per eval)
+    "gausshyper",
+    "genhyperbolic",      # grid-interpolated Bessel K per eval
+    "studentized_range",  # double quadrature
+    "levy_stable",        # cf quadrature; Koutrouvelis fit
+    "tukeylambda",        # bisection CDF per eval
 }
 
 # Per-distribution weights for LPT bin-packing of the fit fan-out
@@ -82,61 +82,63 @@ SLOW_DISTRIBUTIONS: set = {
 # 1 s kernel wrongly weighted 6 is what stretched the lazy-fit wave
 # tail in round 3.
 FIT_WEIGHTS: dict = {
-    "nct": 46,               # ~1851 ms measured
-    "beta": 20,              # ~803 ms measured
-    "landau": 15,            # ~584 ms measured
-    "f": 13,                 # ~502 ms measured
-    "betaprime": 12,         # ~494 ms measured
-    "gennorm": 12,           # ~467 ms measured
-    "jf_skew_t": 10,         # ~415 ms measured
-    "exponweib": 10,         # ~407 ms measured
-    "norminvgauss": 10,      # ~390 ms measured
-    "exponnorm": 9,         # ~362 ms measured
-    "rdist": 9,             # ~343 ms measured
-    "alpha": 8,             # ~334 ms measured
-    "powerlognorm": 8,      # ~308 ms measured
-    "halfgennorm": 7,       # ~290 ms measured
-    "truncnorm": 6,         # ~245 ms measured
-    "powernorm": 6,         # ~225 ms measured
-    "crystalball": 5,       # ~211 ms measured
-    "burr12": 5,            # ~208 ms measured
-    "gengamma": 5,          # ~201 ms measured
-    "argus": 5,             # ~190 ms measured
-    "rice": 4,              # ~170 ms measured
-    "genexpon": 4,          # ~156 ms measured
-    "powerlaw": 4,          # ~150 ms measured
-    "invgamma": 4,          # ~142 ms measured
-    "truncweibull_min": 3,  # ~137 ms measured
-    "loguniform": 3,        # ~136 ms measured
-    "loggamma": 3,          # ~131 ms measured
-    "gamma": 3,             # ~123 ms measured
-    "chi2": 3,              # ~122 ms measured
-    "reciprocal": 3,        # ~121 ms measured
-    "erlang": 3,            # ~117 ms measured
-    "kappa3": 3,            # ~116 ms measured
-    "fisk": 3,              # ~111 ms measured
-    "skewnorm": 3,          # ~107 ms measured
-    "truncpareto": 3,       # ~106 ms measured
-    "t": 3,                 # ~105 ms measured
-    "invgauss": 3,          # ~103 ms measured
-    "johnsonsb": 3,         # ~103 ms measured
-    "bradford": 3,          # ~102 ms measured
-    "burr": 2,              # ~100 ms measured
-    "fatiguelife": 2,       # ~96 ms measured
-    "lognorm": 2,           # ~95 ms measured
-    "genlogistic": 2,       # ~95 ms measured
-    "wrapcauchy": 2,        # ~94 ms measured
-    "johnsonsu": 2,         # ~93 ms measured
-    "genhalflogistic": 2,   # ~88 ms measured
-    "loglaplace": 2,        # ~81 ms measured
-    "invweibull": 2,        # ~75 ms measured
-    "dgamma": 2,            # ~69 ms measured
-    "trapezoid": 2,         # ~68 ms measured
-    "triang": 2,            # ~64 ms measured
-    "lomax": 2,             # ~64 ms measured
-    "genpareto": 2,         # ~63 ms measured
-    "foldnorm": 2,          # ~62 ms measured
-    "irwinhall": 2,         # ~61 ms measured
+    "landau": 28,            # ~1119 ms measured
+    "nct": 21,               # ~840 ms measured
+    "norminvgauss": 13,      # ~534 ms measured
+    "powerlognorm": 12,      # ~489 ms measured
+    "exponweib": 11,         # ~421 ms measured
+    "exponnorm": 10,         # ~402 ms measured
+    "crystalball": 9,       # ~379 ms measured
+    "truncnorm": 9,         # ~373 ms measured
+    "argus": 8,             # ~323 ms measured
+    "gennorm": 8,           # ~308 ms measured
+    "beta": 8,              # ~305 ms measured
+    "betaprime": 7,         # ~274 ms measured
+    "halfgennorm": 6,       # ~252 ms measured
+    "genexpon": 6,          # ~252 ms measured
+    "alpha": 6,             # ~242 ms measured
+    "jf_skew_t": 5,         # ~217 ms measured
+    "rice": 5,              # ~212 ms measured
+    "truncweibull_min": 5,  # ~210 ms measured
+    "chi2": 5,              # ~207 ms measured
+    "powernorm": 5,         # ~205 ms measured
+    "f": 5,                 # ~201 ms measured
+    "invgauss": 5,          # ~201 ms measured
+    "rdist": 5,             # ~197 ms measured
+    "gengamma": 5,          # ~191 ms measured
+    "burr": 5,              # ~183 ms measured
+    "burr12": 4,            # ~170 ms measured
+    "skewnorm": 4,          # ~169 ms measured
+    "wrapcauchy": 4,        # ~161 ms measured
+    "fatiguelife": 4,       # ~158 ms measured
+    "johnsonsu": 4,         # ~157 ms measured
+    "reciprocal": 4,        # ~149 ms measured
+    "genhalflogistic": 4,   # ~146 ms measured
+    "powerlaw": 4,          # ~142 ms measured
+    "kappa3": 4,            # ~140 ms measured
+    "loguniform": 3,        # ~139 ms measured
+    "truncpareto": 3,       # ~135 ms measured
+    "invweibull": 3,        # ~127 ms measured
+    "fisk": 3,              # ~125 ms measured
+    "johnsonsb": 3,         # ~122 ms measured
+    "loglaplace": 3,        # ~119 ms measured
+    "lognorm": 3,           # ~116 ms measured
+    "loggamma": 3,          # ~113 ms measured
+    "irwinhall": 3,         # ~112 ms measured
+    "bradford": 3,          # ~111 ms measured
+    "gamma": 3,             # ~104 ms measured
+    "genlogistic": 3,       # ~101 ms measured
+    "truncexpon": 2,        # ~99 ms measured
+    "trapezoid": 2,         # ~95 ms measured
+    "triang": 2,            # ~94 ms measured
+    "lomax": 2,             # ~92 ms measured
+    "invgamma": 2,          # ~91 ms measured
+    "erlang": 2,            # ~88 ms measured
+    "genpareto": 2,         # ~85 ms measured
+    "genextreme": 2,        # ~75 ms measured
+    "foldcauchy": 2,        # ~68 ms measured
+    "nakagami": 2,          # ~64 ms measured
+    "gompertz": 2,          # ~61 ms measured
     # excluded-set kernels (re-inclusion only), coarse estimates
     "ncx2": 75,
     "ncf": 225,

