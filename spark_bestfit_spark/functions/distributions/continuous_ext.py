@@ -1432,8 +1432,58 @@ class Landau(ContinuousDistribution):
             out[i : i + 512] = np.trapz(f, tau, axis=1) / z[:, 0]
         return out / np.pi
 
+    # bump when the table construction changes — keys the disk cache
+    _TABLE_VERSION = 1
+
+    @classmethod
+    def _table_cache_path(cls):
+        import tempfile
+
+        return (
+            f"{tempfile.gettempdir()}/"
+            f"spark_bestfit_landau_v{cls._TABLE_VERSION}.npz"
+        )
+
+    @classmethod
+    def _load_cached(cls):
+        """Static table -> file-backed memoization: the ~1 s build runs
+        once per machine instead of once per Python worker (32 workers
+        share a local disk; on a cluster, one build per executor host).
+        Best-effort: any IO/corruption falls back to building."""
+        try:
+            d = np.load(cls._table_cache_path())
+            return (
+                d["grid"], d["pdf"], d["cum"], float(d["c_tail"]),
+                int(d["nleft"]), d["log_left"],
+            )
+        except Exception:  # noqa: BLE001
+            return None
+
+    @classmethod
+    def _save_cached(cls, table) -> None:
+        import os
+        import tempfile
+
+        grid, pdf, cum, c_tail, nleft, log_left = table
+        try:
+            fd, tmp = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
+            np.savez(
+                tmp, grid=grid, pdf=pdf, cum=cum,
+                c_tail=c_tail, nleft=nleft, log_left=log_left,
+            )
+            # np.savez appends .npz when missing; mkstemp already has it
+            os.replace(tmp, cls._table_cache_path())
+        except Exception:  # noqa: BLE001 — cache is an optimization only
+            pass
+
     @classmethod
     def _table(cls):
+        if cls._TABLE is None:
+            cached = cls._load_cached()
+            if cached is not None:
+                cls._TABLE = cached
+                return cls._TABLE
         if cls._TABLE is None:
             # ---- core -1 < z < 8: oscillatory sin-integral (integrand
             # peak exp(e^{-1-z}) <= e, no cancellation; dies by t~25)
@@ -1482,6 +1532,7 @@ class Landau(ContinuousDistribution):
             with np.errstate(divide="ignore"):
                 log_left = np.log(pdf[: left.size])
             cls._TABLE = (grid, pdf, cum, c_tail, left.size, log_left)
+            cls._save_cached(cls._TABLE)
         return cls._TABLE
 
     def _pdf(self, z, *shapes):
