@@ -82,7 +82,8 @@ SLOW_DISTRIBUTIONS: set = {
 # 1 s kernel wrongly weighted 6 is what stretched the lazy-fit wave
 # tail in round 3.
 FIT_WEIGHTS: dict = {
-    "landau": 28,            # ~1119 ms measured
+    "landau": 4,             # ~150 ms warm (table disk-cached per host;
+                             # the ~0.8 s build runs once per machine)
     "nct": 21,               # ~840 ms measured
     "norminvgauss": 13,      # ~534 ms measured
     "powerlognorm": 12,      # ~489 ms measured

@@ -154,9 +154,12 @@ def parallel_fit_discrete_column(
     b_data = sc.broadcast((data, x_values, pmf))
     cfg = config
 
-    names_df = spark.createDataFrame(
-        [(n,) for n in names], "distribution_name string"
-    ).repartition(n_parts)
+    from spark_bestfit_spark.operators.fit import _lpt_bins, _packed_df
+
+    bins = _lpt_bins(
+        [(n,) for n in names], lambda t: registry.weight(t[0]), n_parts
+    )
+    names_df = _packed_df(spark, bins, "distribution_name string")
 
     def fit_batches(batches):
         reg = DistributionRegistry(custom_exclusions=set())
@@ -214,9 +217,12 @@ def parallel_fit_discrete_columns(
     )
     cfg = config
 
-    pairs_df = spark.createDataFrame(
-        pairs, "column_name string, distribution_name string"
-    ).repartition(n_parts)
+    from spark_bestfit_spark.operators.fit import _lpt_bins, _packed_df
+
+    pair_bins = _lpt_bins(pairs, lambda t: registry.weight(t[1]), n_parts)
+    pairs_df = _packed_df(
+        spark, pair_bins, "column_name string, distribution_name string"
+    )
 
     def fit_batches(batches):
         reg = DistributionRegistry(custom_exclusions=set())
