@@ -49,6 +49,17 @@ CONTINUOUS_STRATEGIES = {
     "norminvgauss": st.tuples(
         st.floats(0.8, 5.0), st.floats(-0.5, 0.5), LOC, SCALE
     ),
+    # excluded-set kernels with cheap closed-form/series numerics (the
+    # quadrature-heavy ones — levy_stable, studentized_range,
+    # genhyperbolic — are covered by fixed-case tests; per-example
+    # hypothesis would dominate suite wall-time)
+    "mielke": st.tuples(
+        st.floats(0.5, 5.0), st.floats(0.8, 5.0), LOC, SCALE
+    ),
+    "recipinvgauss": st.tuples(st.floats(0.2, 3.0), LOC, SCALE),
+    "exponpow": st.tuples(st.floats(0.5, 4.0), LOC, SCALE),
+    "tukeylambda": st.tuples(st.floats(-0.5, 0.9), LOC, SCALE),
+    "kstwobign": st.tuples(LOC, SCALE),
 }
 
 QS = np.array([0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99])
