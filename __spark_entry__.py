@@ -13,7 +13,10 @@ rows-only.
 Determinism rules used throughout (FIXTURES.md §G):
 - every ORDER BY / LIMIT carries a full tie-breaker;
 - money sums are cast to DECIMAL(18,2) so aggregation is exact and
-  order-independent in both engines;
+  order-independent in both engines — but the FINAL output column is
+  cast to DOUBLE on both sides (lossless at 2 dp, values << 2^53):
+  the driver hashes stringified cells, and Spark's Decimal('4771.00')
+  vs DuckDB's 4771.0 would hash-differ despite equal values;
 - histogram buckets use identical floor-arithmetic in both engines
   (DuckDB has no width_bucket);
 - floats in declared outputs are rounded to 6 decimals.
