@@ -527,6 +527,31 @@ def _q_doc_quality(spark, sf_dir):
     )
 
 
+def _q_training_shards(spark, sf_dir):
+    """Token-balanced training-shard assignment: shard boundaries by
+    global running token count over doc_id order (the pre-tokenization
+    sharding step; exact window-cumsum SQL mirror)."""
+    from spark_bestfit_spark.operators.curation import assign_training_shards
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return assign_training_shards(df, tokens_per_shard=2000)
+
+
+def _q_psi_drift(spark, sf_dir):
+    """Population Stability Index between returnflag-A and returnflag-N
+    lineitem prices — the standard production drift metric, equi-width
+    bins over the expected relation's range."""
+    from spark_bestfit_spark.operators.stats import psi_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return psi_df(
+        li.filter("l_returnflag = 'A'"),
+        li.filter("l_returnflag = 'N'"),
+        "l_extendedprice",
+        bins=10,
+    )
+
+
 def _q_doc_repetition(spark, sf_dir):
     """Intra-document repetition: duplicated 3-shingle fraction per doc
     (Gopher-style boilerplate signal; map-only)."""
@@ -1123,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_totals": _q_doc_token_totals,
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_quality": _q_doc_quality,
+        "training_shards": _q_training_shards,
+        "psi_drift": _q_psi_drift,
         "doc_repetition": _q_doc_repetition,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_pii_flags": _q_doc_pii_flags,
@@ -1426,6 +1453,67 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM q
             GROUP BY source
+        """,
+        "training_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT)
+                     AS shard_id
+            FROM c
+        """,
+        "psi_drift": """
+            WITH stats AS (
+              SELECT min(l_extendedprice) AS lo,
+                     max(l_extendedprice)
+                       + (max(l_extendedprice) - min(l_extendedprice)) * 1e-10
+                       AS hi
+              FROM lineitem WHERE l_returnflag = 'A'
+            ),
+            e AS (
+              SELECT least(greatest(CAST(floor(
+                       (l_extendedprice - lo) / ((hi - lo) / 10))
+                       AS BIGINT), 0), 9) AS bin_id,
+                     count(*) AS n_e
+              FROM lineitem, stats
+              WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL
+              GROUP BY bin_id
+            ),
+            a AS (
+              SELECT least(greatest(CAST(floor(
+                       (l_extendedprice - lo) / ((hi - lo) / 10))
+                       AS BIGINT), 0), 9) AS bin_id,
+                     count(*) AS n_a
+              FROM lineitem, stats
+              WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL
+              GROUP BY bin_id
+            ),
+            j AS (
+              SELECT coalesce(e.n_e, 0) AS n_e, coalesce(a.n_a, 0) AS n_a
+              FROM e FULL JOIN a USING (bin_id)
+            ),
+            tot AS (SELECT sum(n_e) AS te, sum(n_a) AS ta FROM j)
+            SELECT round(sum(
+                     ((n_a / ta::DOUBLE + 1e-6) - (n_e / te::DOUBLE + 1e-6))
+                     * ln((n_a / ta::DOUBLE + 1e-6)
+                          / (n_e / te::DOUBLE + 1e-6))
+                   ), 6) AS psi,
+                   CAST((SELECT te FROM tot) AS BIGINT) AS n_expected,
+                   CAST((SELECT ta FROM tot) AS BIGINT) AS n_actual
+            FROM j, tot
         """,
         "doc_repetition": """
             WITH toks AS (

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from spark_bestfit_spark.operators.dedup import _normalized, word_shingles
 
 __all__ = [
+    "assign_training_shards",
     "flag_contamination",
     "decontaminate_by_ngrams",
     "stratified_quota_sample",
@@ -103,4 +104,47 @@ def stratified_quota_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
+    )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training shard by cumulative token
+    count: shard s holds a contiguous (in ``order_col``) run of docs
+    whose running token total falls in [s*T, (s+1)*T). The standard
+    pre-tokenization sharding step before writing training files —
+    shards come out token-balanced to within one document.
+
+    shard_id = floor((cumsum(tokens) - tokens) / T) over the ordering,
+    i.e. a document starts a new shard when the PRECEDING total crosses
+    the boundary. Deterministic given the ordering (defaults to
+    ``id_col``), so the relation is exactly SQL-mirrorable.
+
+    Scale note: the global running sum is a single-partition window —
+    fine for shard COUNTS in the millions (one long per doc). For
+    100 TB corpora partition the ordering by a coarse key first (e.g.
+    per source: ``order_col`` scoped inside a groupBy) or shard within
+    date buckets; the arithmetic is unchanged.
+
+    Output: (id_col, n_tokens, shard_id).
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    w = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(toks).over(w)
+    return df.select(
+        F.col(id_col),
+        toks.cast("long").alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(tokens_per_shard))
+        .cast("long")
+        .alias("shard_id"),
     )

@@ -226,3 +226,65 @@ def two_sample_ks(
         ).ravel()[0]
     )
     return float(row.d_stat), p
+
+
+def psi_df(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    column: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two relations on one column —
+    the standard production drift metric (PSI < 0.1 stable, > 0.25
+    shifted).
+
+        PSI = sum_b (p_a[b] - p_e[b]) * ln(p_a[b] / p_e[b])
+
+    Bin edges are equi-width over the EXPECTED relation's range (floor
+    arithmetic identical to the histogram operator, so the oracle can
+    replicate it); both relations are bucketed against those edges, with
+    out-of-range actual values clamped into the edge bins. Proportions
+    are smoothed by ``eps`` so empty bins stay finite.
+
+    Scale shape: two scans (one per relation), two bins-sized
+    aggregations, one bins-sized join — no data-sized shuffle. Returns a
+    single-row DataFrame (psi, n_expected, n_actual).
+    """
+    stats = df_expected.agg(
+        F.min(column).alias("lo"), F.max(column).alias("hi")
+    ).first()
+    lo = float(stats["lo"])
+    hi = float(stats["hi"])
+    hi_adj = hi + (hi - lo) * 1e-10 if hi > lo else lo + 1.0
+    width = (hi_adj - lo) / bins
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("bigint")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            df.filter(
+                F.col(column).isNotNull()
+                & ~F.isnan(F.col(column).cast("double"))
+            )
+            .groupBy(b.alias("bin_id"))
+            .agg(F.count("*").alias(name))
+        )
+
+    e = bucketed(df_expected, "n_e")
+    a = bucketed(df_actual, "n_a")
+    joined = e.join(a, "bin_id", "full").select(
+        F.coalesce("n_e", F.lit(0)).alias("n_e"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+    )
+    totals = joined.agg(
+        F.sum("n_e").alias("te"), F.sum("n_a").alias("ta")
+    ).first()
+    te, ta = float(totals["te"]), float(totals["ta"])
+    pe = F.col("n_e") / F.lit(te) + F.lit(eps)
+    pa = F.col("n_a") / F.lit(ta) + F.lit(eps)
+    return joined.agg(
+        F.round(F.sum((pa - pe) * F.log(pa / pe)), 6).alias("psi"),
+        F.lit(int(te)).cast("long").alias("n_expected"),
+        F.lit(int(ta)).cast("long").alias("n_actual"),
+    )

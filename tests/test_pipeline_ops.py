@@ -463,3 +463,61 @@ class TestCurationSignals:
         assert out[1]["has_email"] and not out[4]["has_email"]
         assert out[2]["has_phone"] and not out[4]["has_phone"]
         assert out[3]["has_ssn"] and not out[4]["has_ssn"]
+
+
+class TestShardsAndPsi:
+    def test_shard_assignment_balanced(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            assign_training_shards,
+        )
+
+        # 10 docs x 100 tokens, shard size 250 -> shards of 3,3,3,1 docs
+        rows = [(i, " ".join(["tok"] * 100)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = assign_training_shards(df, tokens_per_shard=250)
+        shards = {}
+        for r in out.collect():
+            assert r["n_tokens"] == 100
+            shards.setdefault(r["shard_id"], []).append(r["doc_id"])
+        # doc d has preceding total 100*d -> shard floor(100d/250)
+        assert sorted(shards) == [0, 1, 2, 3]
+        assert shards[0] == [0, 1, 2]
+        assert shards[3] == [8, 9]  # floor(800/250)=3, floor(900/250)=3
+
+    def test_shards_deterministic_and_contiguous(self, docs, spark):
+        from spark_bestfit_spark.operators.curation import (
+            assign_training_shards,
+        )
+
+        a = assign_training_shards(docs, 2000).collect()
+        b = assign_training_shards(docs, 2000).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_id = sorted(a, key=lambda r: r["doc_id"])
+        sids = [r["shard_id"] for r in by_id]
+        assert sids == sorted(sids)  # contiguous runs, non-decreasing
+
+    def test_psi_zero_for_identical(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import psi_df
+
+        data = np.random.default_rng(3).normal(10.0, 2.0, 5000)
+        df = spark.createDataFrame(pd.DataFrame({"v": data}))
+        row = psi_df(df, df, "v").first()
+        assert abs(row["psi"]) < 1e-9
+        assert row["n_expected"] == row["n_actual"] == 5000
+
+    def test_psi_detects_shift(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import psi_df
+
+        rng = np.random.default_rng(4)
+        a = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(10.0, 2.0, 5000)})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(13.0, 2.0, 5000)})
+        )
+        shifted = psi_df(a, b, "v").first()["psi"]
+        assert shifted > 0.25  # the standard "significant shift" bar
