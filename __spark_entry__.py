@@ -618,7 +618,11 @@ def _q_score_logpdf(spark, sf_dir):
 
 def _q_two_sample_ks(spark, sf_dir):
     """Distributed two-sample K-S between l_quantity of returnflag A vs
-    N — the exact windowed form (drift testing between two relations)."""
+    N — the EXACT statistic via the partitioned two-phase prefix sum
+    (bucketed per-value jumps + broadcast offsets; no global sort, no
+    single-partition window — scale-safe at 100 TB). The oracle computes
+    the same D with DuckDB's global window: the statistic is
+    algorithm-independent, so both forms agree exactly."""
     from spark_bestfit_spark.operators.stats import two_sample_ks_df
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

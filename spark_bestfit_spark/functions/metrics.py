@@ -54,7 +54,12 @@ def compute_sse(
         expected = expected_bin_density(dist, params, bin_edges)
         if not np.all(np.isfinite(expected)):
             return float("inf")
-        return float(np.sum((hist_density - expected) ** 2))
+        # Declared sentinel: at adversarial magnitudes (~1e300) the squared
+        # residual overflows; clamp to inf explicitly instead of letting the
+        # RuntimeWarning leak (inf SSE == "this fit is unusable", by design).
+        with np.errstate(over="ignore"):
+            sse = float(np.sum((hist_density - expected) ** 2))
+        return sse if np.isfinite(sse) else float("inf")
     except Exception:  # noqa: BLE001
         return float("inf")
 

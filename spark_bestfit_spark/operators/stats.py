@@ -114,20 +114,36 @@ def two_sample_ks_df(
     column_b: str | None = None,
     exact: bool = True,
     grid_size: int = 2048,
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D as a one-row relation
     (d_stat, n_a, n_b) — the distributed drift test between two columns.
 
-    exact=True: union the samples with side markers and take the max
-    ECDF gap with a value-ordered window (ties handled by RANGE frames,
-    so the ECDFs are evaluated after all tied points). The global-order
-    window is a single-partition sort — exact answers for datasets that
-    fit a task; it is also the oracle-checkable form (plain SQL window).
+    exact=True: the EXACT statistic via a partitioned two-phase prefix
+    sum — no global sort anywhere, scale-safe at 100 TB:
 
-    exact=False: the 100 TB path. Both ECDFs are evaluated on a shared
-    approx-quantile grid via width_bucket + groupBy (one pass per side,
-    fully distributed); D is the max gap over grid points — a lower
-    bound converging to D at O(1/grid_size). No global sort anywhere.
+      1. pre-aggregate ties:  groupBy(v) -> per-value (Δa, Δb) jumps
+         (map-side combine; the window relation shrinks to |distinct v|);
+      2. range-bucket v into ``num_buckets`` equi-width buckets
+         (width_bucket over the global [lo, hi] — a deterministic
+         function of the VALUE, so ties never straddle buckets and the
+         bucketing is independent of physical partitioning);
+      3. per-bucket totals (<= num_buckets + 1 tiny rows) are collected
+         and turned into exclusive prefix offsets, broadcast back;
+      4. one HASH-partitioned window (partitionBy bucket, orderBy v)
+         computes local cumsums; offset + local cumsum = the global
+         ECDFs, and D = max |Fa - Fb| over distinct values — exactly
+         where the sup of two step functions is attained.
+
+    The only exchanges are hash exchanges on v / bucket and the one-row
+    final aggregate; the driver sees two bounded actions (a 1-row
+    min/max/count agg and the <= num_buckets+1 bucket totals).
+
+    exact=False: grid approximation. Both ECDFs are evaluated on a
+    shared approx-quantile grid via width_bucket + groupBy (one pass per
+    side, fully distributed); D is the max gap over grid points — a
+    lower bound converging to D at O(1/grid_size). Cheaper than exact
+    when |distinct v| is huge and a 1/grid_size tolerance is acceptable.
     """
     cb = column_b or column
     a = valid_column(df_a, column).select(
@@ -137,35 +153,65 @@ def two_sample_ks_df(
         F.col(cb).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib")
     )
     u = a.unionAll(b)
+    spark = df_a.sparkSession
     if exact:
         from pyspark.sql import Window
 
-        w = Window.orderBy("v").rangeBetween(
-            Window.unboundedPreceding, Window.currentRow
+        stats = u.agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("ia").alias("na"),
+            F.sum("ib").alias("nb"),
+        ).first()
+        na = int(stats["na"] or 0)
+        nb = int(stats["nb"] or 0)
+        if na == 0 or nb == 0 or stats["lo"] is None:
+            return spark.createDataFrame(
+                [(0.0, na, nb)], "d_stat double, n_a long, n_b long"
+            )
+        lo, hi = float(stats["lo"]), float(stats["hi"])
+        if hi <= lo:  # single distinct value: both ECDFs jump to 1 there
+            return spark.createDataFrame(
+                [(0.0, na, nb)], "d_stat double, n_a long, n_b long"
+            )
+        bk = F.width_bucket(
+            F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets)
         )
-        cum = u.select(
-            "v",
-            F.sum("ia").over(w).alias("ca"),
-            F.sum("ib").over(w).alias("cb"),
+        # phase 1: per-bucket totals -> exclusive prefix offsets (driver
+        # handles <= num_buckets + 1 rows, constant w.r.t. data size)
+        btot = (
+            u.groupBy(bk.alias("bk"))
+            .agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
+            .collect()
         )
-        return (
-            cum.crossJoin(
-                u.agg(
-                    F.sum("ia").alias("na"), F.sum("ib").alias("nb")
-                )
-            )
-            .select(
-                F.abs(
-                    F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
-                ).alias("gap"),
-                "na",
-                "nb",
-            )
-            .agg(
-                F.round(F.max("gap"), 6).alias("d_stat"),
-                F.max("na").alias("n_a"),
-                F.max("nb").alias("n_b"),
-            )
+        oa = ob = 0
+        offsets = []
+        for r in sorted(btot, key=lambda r: r["bk"]):
+            offsets.append((int(r["bk"]), oa, ob))
+            oa += int(r["ta"])
+            ob += int(r["tb"])
+        off = spark.createDataFrame(offsets, "bk long, oa long, ob long")
+        # phase 2: per-value jumps, hash-partitioned per-bucket window
+        g = (
+            u.groupBy("v")
+            .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+            .withColumn("bk", bk)
+        )
+        w = (
+            Window.partitionBy("bk")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = g.join(F.broadcast(off), "bk").select(
+            F.abs(
+                (F.col("oa") + F.sum("da").over(w)) / F.lit(float(na))
+                - (F.col("ob") + F.sum("db").over(w)) / F.lit(float(nb))
+            ).alias("gap")
+        )
+        return cum.agg(
+            F.round(F.max("gap"), 6).alias("d_stat"),
+            F.lit(na).cast("long").alias("n_a"),
+            F.lit(nb).cast("long").alias("n_b"),
         )
     # grid path: shared quantile edges, one groupBy per side
     edges = u.approxQuantile(
@@ -196,7 +242,6 @@ def two_sample_ks_df(
         ca += r.ca
         cb += r.cb
         d = max(d, abs(ca / max(na, 1) - cb / max(nb, 1)))
-    spark = df_a.sparkSession
     return spark.createDataFrame(
         [(round(d, 6), na, nb)], "d_stat double, n_a long, n_b long"
     )
@@ -251,7 +296,11 @@ def psi_df(
     aggregations, one bins-sized join — no data-sized shuffle. Returns a
     single-row DataFrame (psi, n_expected, n_actual).
     """
-    stats = df_expected.agg(
+    _keep = F.col(column).isNotNull() & ~F.isnan(F.col(column).cast("double"))
+    # Edges MUST come from the same null/NaN-filtered relation that is
+    # bucketed below: Spark sorts NaN above every number, so a single NaN
+    # in the unfiltered max() would poison hi (and every bucket width).
+    stats = df_expected.filter(_keep).agg(
         F.min(column).alias("lo"), F.max(column).alias("hi")
     ).first()
     lo = float(stats["lo"])
@@ -263,10 +312,7 @@ def psi_df(
         b = F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("bigint")
         b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
         return (
-            df.filter(
-                F.col(column).isNotNull()
-                & ~F.isnan(F.col(column).cast("double"))
-            )
+            df.filter(_keep)
             .groupBy(b.alias("bin_id"))
             .agg(F.count("*").alias(name))
         )

@@ -208,11 +208,13 @@ def unigram_logprob(
     p(t) = corpus_count(t) / corpus_total;
     score(doc) = mean over the doc's tokens of ln p(t).
 
-    Dataflow (scale-safe at 100 TB): one explode (map-only), one groupBy
-    on token for the corpus counts (the only wide shuffle, combiner
-    applies), one shuffle join of the exploded relation back to the
-    counts, one re-aggregation by doc id. No driver-side vocabulary, no
-    Python.
+    Dataflow (scale-safe at 100 TB): the map-only explode feeds (a) a
+    groupBy on token for the corpus counts (the only wide shuffle,
+    combiner applies) and (b) a shuffle join back to those counts, then
+    one re-aggregation by doc id. The corpus total is a scalar relation
+    derived from the token counts (``counts.agg(sum(_cnt))``,
+    broadcast) — the whole operator is ONE lazy plan with no eager
+    driver action and no driver-side vocabulary.
 
     Returns (id_col, n_tokens, mean_logprob) with mean_logprob rounded
     to 6 decimals (SQL-portable for oracle checks)."""
@@ -220,14 +222,14 @@ def unigram_logprob(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok")
     )
     counts = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
-    total = toks.count()
-    scored = toks.join(counts, "_tok")
+    total = counts.agg(F.sum("_cnt").cast("double").alias("_total"))
+    scored = toks.join(counts, "_tok").crossJoin(F.broadcast(total))
     return (
         scored.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(
-                F.avg(F.log(F.col("_cnt") / F.lit(float(total)))), 6
+                F.avg(F.log(F.col("_cnt") / F.col("_total"))), 6
             ).alias("mean_logprob"),
         )
     )

@@ -95,14 +95,35 @@ class TestMapOnlyPaths:
         scored = score_column(li, "l_quantity", "norm", (25.0, 14.0))
         assert "Exchange" not in _physical(scored)
 
-    def test_grid_ks_avoids_global_window(self, spark):
+    def test_exact_ks_has_no_global_sort(self, spark):
+        """The exact K-S window must be HASH-partitioned by bucket — a
+        single-partition global sort here is the 100 TB scale-killer the
+        two-phase prefix sum exists to avoid."""
         from spark_bestfit_spark.operators.stats import two_sample_ks_df
 
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         a = li.filter("l_returnflag = 'A'")
         n = li.filter("l_returnflag = 'N'")
         exact_row = two_sample_ks_df(a, n, "l_quantity", exact=True)
-        assert "Window" in _physical(exact_row)
+        plan = _physical(exact_row)
+        assert "Window" in plan
+        # the window's required ordering is satisfied per-bucket: the
+        # exchange feeding it hashes on bk, and no Sort in the plan is
+        # global (physical Sort prints "..., <global>, 0")
+        assert "hashpartitioning(bk" in plan
+        # plan text is parent-first: the first Exchange BELOW the Window
+        # node (its input) must be the hash exchange on bk, never a
+        # SinglePartition exchange of the data-sized relation
+        below_window = plan.split("Window")[-1]
+        first_exchange = below_window.split("Exchange", 1)[1]
+        assert first_exchange.lstrip().startswith("hashpartitioning(bk")
+
+    def test_grid_ks_avoids_global_window(self, spark):
+        from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        a = li.filter("l_returnflag = 'A'")
+        n = li.filter("l_returnflag = 'N'")
         # grid path materializes through groupBy counts only — the
         # returned relation is a local one-row DataFrame, no Window ran
         grid_row = two_sample_ks_df(

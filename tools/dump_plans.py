@@ -97,6 +97,27 @@ def main() -> None:
         explain_str(self_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4])),
     ))
 
+    from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+    ks = two_sample_ks_df(
+        li.filter("l_returnflag = 'A'"),
+        li.filter("l_returnflag = 'N'"),
+        "l_quantity",
+        exact=True,
+    )
+    sections.append((
+        "exact two-sample K-S — two_sample_ks_df(A vs N, exact=True)",
+        "The EXACT D statistic with no global sort: per-value ECDF jumps\n"
+        "(groupBy v, map-side combine), equi-width value buckets, exclusive\n"
+        "bucket offsets broadcast back, and ONE hash-partitioned Window\n"
+        "(partitionBy bucket) for the local prefix sums. What to look for:\n"
+        "the Window's input Exchange is `hashpartitioning(bk, ...)` — never\n"
+        "`SinglePartition` — and the only SinglePartition exchange in the\n"
+        "plan is the final one-row max aggregate. At 100 TB both relations\n"
+        "stream through hash exchanges sized by |distinct v| per bucket.",
+        explain_str(ks),
+    ))
+
     import __spark_entry__ as entry_mod
 
     from spark_bestfit_spark.operators.asof import asof_join
