@@ -1437,25 +1437,68 @@ class Landau(ContinuousDistribution):
 
     @classmethod
     def _table_cache_path(cls):
+        import getpass
+        import os
         import tempfile
 
-        return (
-            f"{tempfile.gettempdir()}/"
-            f"spark_bestfit_landau_v{cls._TABLE_VERSION}.npz"
+        # per-user 0700 directory, never the shared tmp root: on a
+        # multi-user host a world-writable fixed path could be
+        # pre-planted by another user
+        uid = getattr(os, "getuid", None)
+        owner = str(uid()) if uid else getpass.getuser()
+        d = os.path.join(
+            tempfile.gettempdir(), f"spark_bestfit_cache_{owner}"
         )
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            os.chmod(d, 0o700)
+        except OSError:
+            return os.path.join(
+                tempfile.gettempdir(),
+                f"spark_bestfit_landau_u{owner}_v{cls._TABLE_VERSION}.npz",
+            )
+        return os.path.join(d, f"landau_v{cls._TABLE_VERSION}.npz")
 
     @classmethod
     def _load_cached(cls):
         """Static table -> file-backed memoization: the ~1 s build runs
         once per machine instead of once per Python worker (32 workers
         share a local disk; on a cluster, one build per executor host).
-        Best-effort: any IO/corruption falls back to building."""
+        Best-effort: any IO error, corruption, or content that fails the
+        shape/finiteness/monotonicity validation falls back to building
+        (np.load's allow_pickle=False default already rules out code
+        execution; the validation rules out data poisoning / stale
+        partial writes)."""
         try:
             d = np.load(cls._table_cache_path())
-            return (
-                d["grid"], d["pdf"], d["cum"], float(d["c_tail"]),
-                int(d["nleft"]), d["log_left"],
+            grid = np.asarray(d["grid"], dtype=np.float64)
+            pdf = np.asarray(d["pdf"], dtype=np.float64)
+            cum = np.asarray(d["cum"], dtype=np.float64)
+            c_tail = float(d["c_tail"])
+            nleft = int(d["nleft"])
+            log_left = np.asarray(d["log_left"], dtype=np.float64)
+            ok = (
+                grid.ndim == 1
+                and grid.size > 100
+                and pdf.shape == grid.shape
+                and cum.shape == grid.shape
+                and log_left.ndim == 1
+                and 0 < nleft <= grid.size
+                and log_left.size == nleft
+                and np.isfinite(grid).all()
+                and np.isfinite(pdf).all()
+                and np.isfinite(cum).all()
+                and np.isfinite(c_tail)
+                # log_left may hold -inf (log of underflowed pdf) but
+                # never NaN
+                and not np.isnan(log_left).any()
+                and (pdf >= 0.0).all()
+                and (np.diff(grid) > 0).all()
+                and (np.diff(cum) >= 0).all()
             )
+            if not ok:
+                return None
+            return grid, pdf, cum, c_tail, nleft, log_left
         except Exception:  # noqa: BLE001
             return None
 

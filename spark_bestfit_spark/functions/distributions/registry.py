@@ -30,6 +30,15 @@ from spark_bestfit_spark.functions.distributions.discrete import DISCRETE
 # Every name remains registered and re-includable via
 # ``DistributionRegistry(custom_exclusions=...)`` exactly like the
 # reference (distributions.py:90-164).
+#
+# DELIBERATE divergence from the reference's DEFAULT_EXCLUSIONS
+# (reference distributions.py:33-54): ``wald`` and ``nct`` are excluded
+# there but fitted by default HERE. Both kernels were optimized in this
+# engine (nct's Lenth-series pdf/CDF was specifically tuned off the
+# fan-out critical path), so the reason the reference excludes them —
+# slow scipy MLE — does not apply. Default fits here therefore run 2
+# kernels a reference default fit would skip; pass
+# ``additional_exclusions=["wald", "nct"]`` for exact reference parity.
 DEFAULT_EXCLUSIONS: set = {
     "dpareto_lognorm",  # slow 3-shape MLE (also excluded by the reference)
 } | EXCLUDED_SET_NAMES

@@ -66,6 +66,25 @@ class TestExtremeMagnitudes:
         # must not raise; any finite-sse rows are acceptable
         assert res.count() >= 0
 
+    def test_sse_overflow_is_declared_sentinel(self):
+        """compute_sse at adversarial magnitudes must clamp to inf with NO
+        RuntimeWarning leaking — the overflow sentinel is declared, not
+        incidental."""
+        import warnings
+
+        from spark_bestfit_spark.functions.distributions.registry import (
+            get_continuous,
+        )
+        from spark_bestfit_spark.functions.metrics import compute_sse
+
+        dist = get_continuous("norm")
+        edges = np.linspace(0.0, 1.0, 11)
+        density = np.full(10, 1e300)  # squared residual overflows
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            sse = compute_sse(dist, (0.5, 0.1), density, edges)
+        assert sse == float("inf")
+
     def test_tiny_values_1e_300(self, spark):
         rng = np.random.default_rng(3)
         vals = rng.uniform(1e-300, 1e-299, 500)
