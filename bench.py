@@ -127,6 +127,37 @@ def main() -> None:
         lambda: compute_histogram(lineitem, "l_extendedprice", bins=50),
     )
 
+    # API-level per-group top-k over a cached multi-column fit result
+    # (Window + row_number, one distributed job for all columns)
+    multi_results = fitter.fit(
+        lineitem,
+        columns=["l_quantity", "l_discount", "l_tax"],
+        max_distributions=12,
+    )
+    multi_results.count()
+    bench(
+        "q_best_per_column",
+        lambda: multi_results.best_per_column(n=3, metric="aic"),
+        rounds=5,
+    )
+
+    # distributed percentile-bootstrap CI fan-out: 500 gamma refits of a
+    # 5k sample across the cluster
+    from spark_bestfit_spark.operators.bootstrap import bootstrap_ci
+
+    boot_sample = (
+        lineitem.select("l_extendedprice")
+        .limit(5_000)
+        .toPandas()["l_extendedprice"]
+        .to_numpy(dtype="float64")
+    )
+    bootstrap_ci(spark, "gamma", boot_sample, n_resamples=50)  # warm
+    bench(
+        "q_bootstrap_gamma500",
+        lambda: bootstrap_ci(spark, "gamma", boot_sample, n_resamples=500),
+        rounds=2,
+    )
+
     # training-data pipeline operators (documents/embeddings tables)
     from spark_bestfit_spark.operators.dedup import minhash_dedup_pairs
     from spark_bestfit_spark.operators.similarity import self_topk

@@ -154,27 +154,23 @@ def parallel_fit_discrete_column(
     b_data = sc.broadcast((data, x_values, pmf))
     cfg = config
 
-    from spark_bestfit_spark.operators.fit import _lpt_bins, _packed_df
+    from spark_bestfit_spark.operators.fit import _lpt_bins, _packed_fanout
 
     bins = _lpt_bins(
         [(n,) for n in names], lambda t: registry.weight(t[0]), n_parts
     )
-    names_df = _packed_df(spark, bins, "distribution_name string")
 
-    def fit_batches(batches):
+    def fit_bin(items):
         reg = DistributionRegistry(custom_exclusions=set())
         sample, xs, ps = b_data.value
-        for pdf in batches:
-            rows = [
-                fit_single_discrete(
-                    name, sample, xs, ps, column, stats, cfg, reg
-                )
-                for name in pdf["distribution_name"]
-            ]
-            if rows:
-                yield pd.DataFrame(rows)
+        return [
+            fit_single_discrete(
+                name, sample, xs, ps, column, stats, cfg, reg
+            )
+            for (name,) in items
+        ]
 
-    result = names_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
+    result = _packed_fanout(spark, bins, fit_bin, FIT_RESULT_SCHEMA)
     return result.filter(F.col("sse") < F.lit(float("inf")))
 
 
@@ -217,29 +213,22 @@ def parallel_fit_discrete_columns(
     )
     cfg = config
 
-    from spark_bestfit_spark.operators.fit import _lpt_bins, _packed_df
+    from spark_bestfit_spark.operators.fit import _lpt_bins, _packed_fanout
 
     pair_bins = _lpt_bins(pairs, lambda t: registry.weight(t[1]), n_parts)
-    pairs_df = _packed_df(
-        spark, pair_bins, "column_name string, distribution_name string"
-    )
 
-    def fit_batches(batches):
+    def fit_bin(items):
         reg = DistributionRegistry(custom_exclusions=set())
         artifacts = b_plans.value
-        for pdf in batches:
-            rows = []
-            for col, name in zip(
-                pdf["column_name"], pdf["distribution_name"]
-            ):
-                sample, xs, ps, stats = artifacts[col]
-                rows.append(
-                    fit_single_discrete(
-                        name, sample, xs, ps, col, stats, cfg, reg
-                    )
+        rows = []
+        for col, name in items:
+            sample, xs, ps, stats = artifacts[col]
+            rows.append(
+                fit_single_discrete(
+                    name, sample, xs, ps, col, stats, cfg, reg
                 )
-            if rows:
-                yield pd.DataFrame(rows)
+            )
+        return rows
 
-    result = pairs_df.mapInPandas(fit_batches, schema=FIT_RESULT_SCHEMA)
+    result = _packed_fanout(spark, pair_bins, fit_bin, FIT_RESULT_SCHEMA)
     return result.filter(F.col("sse") < F.lit(float("inf")))
