@@ -415,13 +415,18 @@ class DistributionFitter:
             stats = column_stats(src, c)
             if stats["count"] == 0:
                 continue
-            density, edges = compute_histogram(
-                src, c, bins=config.bins,
+            # histogram agg and sample collect are independent given the
+            # stats — race them (same fusion as the uncensored prelude)
+            pool = ThreadPoolExecutor(max_workers=2)
+            hist_future = pool.submit(
+                compute_histogram, src, c, bins=config.bins,
                 use_rice_rule=config.use_rice_rule, stats=stats,
             )
             sample, censor_mask = build_censored_sample(
                 src, c, config.censoring_column, config, int(stats["count"])
             )
+            density, edges = hist_future.result()
+            pool.shutdown(wait=False)
             if sample.size < 2:
                 continue
             samples[c] = sample
@@ -489,16 +494,23 @@ class DiscreteDistributionFitter:
 
         # batched planning, mirroring the continuous fitter: stats for
         # all columns in one scan, PMFs in one stacked groupBy, samples
-        # in one collect, one (column, distribution) fan-out
+        # in one collect, one (column, distribution) fan-out. The PMF
+        # groupBy doesn't depend on the stats, so the two jobs race from
+        # driver threads (same prelude fusion as the continuous path);
+        # only the sample collect needs the counts.
+        pool = ThreadPoolExecutor(max_workers=2)
+        pmfs_future = pool.submit(empirical_pmfs_multi, df, cols)
         all_stats = multi_column_stats(df, cols)
         live_cols = [c for c in cols if all_stats[c]["count"] > 0]
         if not live_cols:
+            pool.shutdown(wait=False, cancel_futures=True)
             return self._empty_results()
-        pmfs = empirical_pmfs_multi(df, live_cols)
         sample_map = build_fitting_samples_multi(
             df, live_cols, config,
             {c: int(all_stats[c]["count"]) for c in live_cols},
         )
+        pmfs = pmfs_future.result()
+        pool.shutdown(wait=False)
 
         plans: dict = {}
         samples: dict = {}

@@ -149,3 +149,73 @@ class TestAggregationShape:
         plan = _physical(li.agg(*aggs))
         assert plan.count("Scan parquet") == 1
         assert plan.count("HashAggregate") <= 2  # partial + final
+
+
+class TestJobCount:
+    """Guard the fit prelude's job economy (SURVEY O-series).
+
+    Absolute job counts are brittle under AQE (a shuffle query can
+    materialize as several jobs), so the durable invariants are
+    relational: fitting C columns must cost the same number of driver
+    jobs as fitting one (batched planning), and the count must stay in
+    the same small band (catches accidental eager actions like a stray
+    .count() sneaking into an operator).
+    """
+
+    @staticmethod
+    def _jobs_during(spark, fn):
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        sc.setJobGroup("jobcount-marker", "marker")
+        spark.range(1).count()
+        sc.setJobGroup(None, None)
+        before = max(tracker.getJobIdsForGroup("jobcount-marker"))
+        fn()
+        sc.setJobGroup("jobcount-marker", "marker")
+        spark.range(1).count()
+        sc.setJobGroup(None, None)
+        after = max(tracker.getJobIdsForGroup("jobcount-marker"))
+        return after - before - 1
+
+    def test_fit_job_count_independent_of_columns(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        rng = np.random.default_rng(7)
+        n = 20_000  # > fitting_sample_size so the full prelude runs
+        pdf = pd.DataFrame(
+            {
+                "a": rng.gamma(2.0, 3.0, n),
+                "b": rng.normal(10.0, 2.0, n),
+                "c": rng.exponential(4.0, n),
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(4).cache()
+        df.count()
+        fitter = DistributionFitter(spark)
+        dists = ["norm", "gamma", "expon"]
+
+        def fit_one():
+            r = fitter.fit(df, column="a", distributions=dists,
+                           lazy_metrics=True)
+            r.count()
+            r.unpersist()
+
+        def fit_three():
+            r = fitter.fit(df, columns=["a", "b", "c"],
+                           distributions=dists, lazy_metrics=True)
+            r.count()
+            r.unpersist()
+
+        fit_one()  # warm codegen/broadcast paths out of the measurement
+        j1 = self._jobs_during(spark, fit_one)
+        j3 = self._jobs_during(spark, fit_three)
+        # batched planning: stats/sample/histogram/fan-out are all ONE
+        # job each regardless of column count
+        assert j3 == j1, (j1, j3)
+        # absolute band: probe + stats + sample + histogram + fan-out,
+        # each at most ~2 physical jobs under AQE/Arrow
+        assert j1 <= 12, j1
+        df.unpersist()

@@ -148,7 +148,8 @@ def main() -> None:
             "survive a 100x scale-up. The\nfit fan-out itself (mapInPandas "
             "over LPT-packed kernel bins) is audited\nin operators/fit.py's "
             "module docstring and COVERAGE.md — its plan is a\nconstant-size "
-            "parallelize + ArrowEvalPython, independent of table size.\n\n"
+            "Range + single ArrowEval (one bin per range partition,\nbin "
+            "contents broadcast), independent of table size.\n\n"
         )
         for title, comment, plan in sections:
             f.write(f"## {title}\n\n{comment}\n\n```\n{plan.strip()}\n```\n\n")
