@@ -456,6 +456,121 @@ def _q_events_sessionized(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming, run to completion (availableNow) and checked
+# against the batch SQL oracle: the plans below are the real incremental
+# engine (file stream source, state store, watermark, stateful pandas
+# operator) — not batch re-expressions — so a green row certifies the
+# streaming path end-to-end.
+# ---------------------------------------------------------------------------
+def _read_stream(spark, sf_dir: str, table: str):
+    """File-source streaming read of one testdata table. The file
+    stream source requires a directory, so stream the sf dir with a
+    pathGlobFilter selecting just the table's file; schema comes from
+    the batch reader. events.ts is normalized to epoch-nanos BIGINT
+    exactly as in _normalize_events."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+    if table == "events" and not isinstance(
+        schema["ts"].dataType, T.LongType
+    ):
+        stream = stream.withColumn(
+            "ts", F.expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000")
+        )
+    return stream
+
+
+def _q_streaming_hourly(spark, sf_dir):
+    """Watermarked tumbling-window aggregation on the events stream
+    (complete mode, drained with availableNow): per (1-hour window,
+    event_type) counts + exact DECIMAL value sums. Tumbling windows are
+    epoch-aligned, so window_start (epoch micros) equals the oracle's
+    integer hour bucket."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    stream = _read_stream(spark, sf_dir, "events").withColumn(
+        "event_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    agg = (
+        stream.withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value"), 2).cast("decimal(18,2)")
+            ).alias("tv"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+    )
+    return run_stream_once(agg, output_mode="complete")
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup at ingest: dropDuplicates state keyed on
+    the md5 content fingerprint emits exactly one row per distinct
+    document — the emitted fingerprint set equals the batch DISTINCT."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.dedup import streaming_exact_dedup
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    stream = _read_stream(spark, sf_dir, "documents")
+    deduped = streaming_exact_dedup(
+        stream, text_col="text", keep_fingerprint=True
+    ).select(F.col("_fp").alias("fp"))
+    return run_stream_once(deduped, output_mode="append")
+
+
+def _q_streaming_moments(spark, sf_dir):
+    """Stateful streaming moments (applyInPandasWithState, Chan merge):
+    cumulative per-event_type count/mean/stddev/skew/kurt/min/max. The
+    final emission per key (largest cumulative n) must equal the exact
+    two-pass batch moments, whatever the micro-batch boundaries were."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from spark_bestfit_spark.streaming.run import run_stream_once
+    from spark_bestfit_spark.streaming.stateful import streaming_moments
+
+    stream = _read_stream(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    out = run_stream_once(
+        streaming_moments(stream, "event_type", "value"),
+        output_mode="update",
+    )
+    last = Window.partitionBy("key").orderBy(F.desc("n"))
+    return (
+        out.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "key",
+            "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("stddev", 4).alias("stddev"),
+            F.round("skewness", 4).alias("skewness"),
+            F.round("kurtosis", 4).alias("kurtosis"),
+            F.round("min_v", 6).alias("min_v"),
+            F.round("max_v", 6).alias("max_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline operators over documents/embeddings (SURVEY §7.2
 # phase 11) — oracle-checked where SQL-expressible
 # ---------------------------------------------------------------------------
@@ -1326,7 +1441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_counts": _q_union,
         "stratum_counts": _q_stratum_counts,
         "moments_price": _q_moments,
-        "failed_fit_filter": _q_failed_fit_filter,
         "fit_price": _q_fit_price,
         "fit_multi": _q_fit_multi,
         "fit_lazy": _q_fit_lazy,
@@ -1350,9 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_logpdf": _q_score_logpdf,
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
-        "doc_minhash": _q_doc_minhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1363,8 +1475,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copula_sample": _q_copula_sample,
         "mvn_fit": _q_mvn_fit,
         "gmm_fit": _q_gmm_fit,
-        # ---- tail: overlapping / ungraded variants (positions 51+) ----
+        "streaming_hourly": _q_streaming_hourly,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_moments": _q_streaming_moments,
+        # ---- tail: overlapping / ungraded variants (positions 51+).
+        # doc_minhash / embedding_neardup_lsh / failed_fit_filter moved
+        # here in round 4: their machinery stays driver-checked through
+        # minhash_pairs (full signature+band+verify oracle), lsh_ann_topk
+        # (hyperplane-LSH recall), and threshold_filter (same pushed-
+        # filter shape), freeing head slots for the streaming queries ----
         "fit_mse": _q_fit_mse,
+        "doc_minhash": _q_doc_minhash,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "failed_fit_filter": _q_failed_fit_filter,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "events_range_join": _q_events_range_join,
         "doc_token_totals": _q_doc_token_totals,
@@ -1563,6 +1686,52 @@ def oracle_sql() -> dict[str, str]:
                    count(json_extract_string(props, '$.k')::BIGINT) AS k_cnt
             FROM events
             GROUP BY event_type
+        """,
+        "streaming_hourly": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600000000
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM events
+            GROUP BY window_start, event_type
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fp
+            FROM documents
+        """,
+        "streaming_moments": """
+            WITH f AS (
+              SELECT event_type, value
+              FROM events
+              WHERE value IS NOT NULL AND isfinite(value)
+            ),
+            mu AS (
+              SELECT event_type, count(*) AS n, avg(value) AS mean,
+                     min(value) AS lo, max(value) AS hi
+              FROM f GROUP BY event_type
+            ),
+            c AS (
+              SELECT f.event_type,
+                     sum(power(value - mean, 2)) AS m2,
+                     sum(power(value - mean, 3)) AS m3,
+                     sum(power(value - mean, 4)) AS m4
+              FROM f JOIN mu USING (event_type)
+              GROUP BY f.event_type
+            )
+            SELECT mu.event_type AS key, mu.n AS n,
+                   round(mu.mean, 4) AS mean,
+                   round(sqrt(c.m2 / mu.n), 4) AS stddev,
+                   round((c.m3 / mu.n) / power(c.m2 / mu.n, 1.5), 4)
+                     AS skewness,
+                   round((c.m4 / mu.n) / power(c.m2 / mu.n, 2) - 3.0, 4)
+                     AS kurtosis,
+                   round(mu.lo, 6) AS min_v,
+                   round(mu.hi, 6) AS max_v
+            FROM mu JOIN c ON mu.event_type = c.event_type
         """,
         "doc_fingerprints": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))

@@ -1,0 +1,69 @@
+"""Run a bounded stream to completion and hand back its result.
+
+``run_stream_once`` executes a streaming DataFrame with the
+``availableNow`` trigger into an in-memory table and returns that table
+as a batch DataFrame once the stream terminates. This is the bridge
+that lets the exact same Structured Streaming plans used for unbounded
+ingest (windowed aggregation, streaming dedup, stateful moments) be
+checked against a batch/SQL oracle: ``availableNow`` drains everything
+currently in the source across one or more micro-batches, then stops.
+
+The memory sink collects results on the driver, so this is strictly
+for bounded, aggregate-sized outputs (window counts, per-key state,
+distinct fingerprints) — production streams write to kafka/parquet
+sinks instead. State handling is the real streaming engine's
+(checkpointed state store, watermarks, ``applyInPandasWithState``),
+not a batch re-expression, so what this verifies is the incremental
+plan itself.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+__all__ = ["run_stream_once"]
+
+
+def run_stream_once(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout: float = 300.0,
+) -> DataFrame:
+    """Drain ``stream_df`` with ``trigger(availableNow=True)`` into a
+    uniquely-named memory table; return the table as a DataFrame.
+
+    ``output_mode``: "complete" for full-result aggregations, "update"
+    for stateful per-key emissions, "append" for row streams (dedup).
+    The checkpoint directory is a throwaway tempdir, removed after the
+    query stops — replaying from a checkpoint is a durability concern
+    for long-lived streams, not for a drained bounded run.
+    """
+    spark = stream_df.sparkSession
+    name = f"sbf_once_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="sbf_stream_ckpt_")
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(int(timeout))
+        deadline = time.time() + timeout
+        while query.isActive and time.time() < deadline:
+            time.sleep(0.25)
+        if query.isActive:  # pragma: no cover - defensive
+            query.stop()
+            raise TimeoutError(
+                f"bounded stream {name!r} did not drain in {timeout}s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
