@@ -574,6 +574,49 @@ def _q_streaming_moments(spark, sf_dir):
 # training-data pipeline operators over documents/embeddings (SURVEY §7.2
 # phase 11) — oracle-checked where SQL-expressible
 # ---------------------------------------------------------------------------
+def _q_domain_mixture(spark, sf_dir):
+    """Temperature-flattened domain mixture (alpha-sampling): per-source
+    token shares, T=0.7 weights, the keep-rate that lands an expected
+    15k-token budget, and the actual kept doc/token counts under the
+    deterministic Knuth-hash Bernoulli — the whole mixing step of a
+    pretraining pipeline in one relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        domain_mixture_weights,
+        temperature_sample,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    temp, target = 0.7, 15_000
+    weights = domain_mixture_weights(
+        df, "source", "text", temperature=temp, target_tokens=target
+    )
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    kept = (
+        temperature_sample(
+            df, "source", "text", temperature=temp, target_tokens=target
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(toks).cast("long").alias("kept_tokens"),
+        )
+    )
+    return weights.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("p"),
+        F.round("w", 6).alias("w"),
+        F.round("sampling_rate", 6).alias("sampling_rate"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
 def _q_doc_fingerprints(spark, sf_dir):
     """Exact dedup relational core: (fingerprint, n_copies, keeper_id)."""
     from spark_bestfit_spark.operators.dedup import duplicate_groups
@@ -1440,7 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_filter": _q_threshold_filter,
         "union_counts": _q_union,
         "stratum_counts": _q_stratum_counts,
-        "moments_price": _q_moments,
+        "domain_mixture": _q_domain_mixture,
         "fit_price": _q_fit_price,
         "fit_multi": _q_fit_multi,
         "fit_lazy": _q_fit_lazy,
@@ -1479,12 +1522,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_moments": _q_streaming_moments,
         # ---- tail: overlapping / ungraded variants (positions 51+).
-        # doc_minhash / embedding_neardup_lsh / failed_fit_filter moved
-        # here in round 4: their machinery stays driver-checked through
-        # minhash_pairs (full signature+band+verify oracle), lsh_ann_topk
-        # (hyperplane-LSH recall), and threshold_filter (same pushed-
-        # filter shape), freeing head slots for the streaming queries ----
+        # doc_minhash / embedding_neardup_lsh / failed_fit_filter /
+        # moments_price moved here in round 4: their machinery stays
+        # driver-checked through minhash_pairs (full signature+band+
+        # verify oracle), lsh_ann_topk (hyperplane-LSH recall),
+        # threshold_filter (same pushed-filter shape), and fit_discrete
+        # + streaming_moments (exact provenance stats / two-pass moment
+        # oracle), freeing head slots for the streaming + domain-mixture
+        # queries. Everything here stays green under the local strict
+        # harness (tools/check_oracle.py runs all entries). ----
         "fit_mse": _q_fit_mse,
+        "moments_price": _q_moments,
         "doc_minhash": _q_doc_minhash,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "failed_fit_filter": _q_failed_fit_filter,
@@ -1686,6 +1734,48 @@ def oracle_sql() -> dict[str, str]:
                    count(json_extract_string(props, '$.k')::BIGINT) AS k_cnt
             FROM events
             GROUP BY event_type
+        """,
+        "domain_mixture": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS toks
+              FROM documents
+            ),
+            agg AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens
+              FROM d GROUP BY source
+            ),
+            wt AS (
+              SELECT source, n_docs, n_tokens,
+                     n_tokens / CAST((SELECT sum(n_tokens) FROM agg)
+                                     AS DOUBLE) AS p,
+                     power(n_tokens / CAST((SELECT sum(n_tokens) FROM agg)
+                                           AS DOUBLE), 0.7) AS pt
+              FROM agg
+            ),
+            r AS (
+              SELECT source, n_docs, n_tokens, p,
+                     pt / (SELECT sum(pt) FROM wt) AS w,
+                     least(1.0, (pt / (SELECT sum(pt) FROM wt))
+                                  * 15000 / n_tokens) AS rate
+              FROM wt
+            ),
+            kept AS (
+              SELECT d.source, count(*) AS n_kept,
+                     CAST(sum(d.toks) AS BIGINT) AS kept_tokens
+              FROM d JOIN r ON d.source = r.source
+              WHERE ((d.doc_id * 2654435761) % 4294967296)
+                      / 4294967296.0 < r.rate
+              GROUP BY d.source
+            )
+            SELECT r.source, r.n_docs, r.n_tokens,
+                   round(r.p, 6) AS p, round(r.w, 6) AS w,
+                   round(r.rate, 6) AS sampling_rate,
+                   coalesce(kept.n_kept, 0) AS n_kept,
+                   coalesce(kept.kept_tokens, 0) AS kept_tokens
+            FROM r LEFT JOIN kept ON r.source = kept.source
         """,
         "streaming_hourly": """
             SELECT (epoch_ns(ts) // 3600000000000) * 3600000000

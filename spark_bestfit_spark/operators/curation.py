@@ -29,9 +29,11 @@ from spark_bestfit_spark.operators.dedup import _normalized, word_shingles
 
 __all__ = [
     "assign_training_shards",
+    "domain_mixture_weights",
     "flag_contamination",
     "decontaminate_by_ngrams",
     "stratified_quota_sample",
+    "temperature_sample",
 ]
 
 
@@ -104,6 +106,91 @@ def stratified_quota_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
+    )
+
+
+def _whitespace_tokens(text_col: str):
+    return F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.7,
+    target_tokens: int | None = None,
+) -> DataFrame:
+    """Temperature-flattened domain sampling weights — the multinomial
+    mixture step of a pretraining data pipeline (alpha-sampling):
+    ``w_d ∝ p_d^T`` where ``p_d`` is the domain's share of corpus
+    tokens and ``T ∈ (0, 1]`` flattens toward uniform (T=1 keeps the
+    natural mix; T→0 equalizes domains).
+
+    One groupBy on the domain key produces the per-domain relation;
+    normalization happens inside the plan over the tiny aggregate (a
+    global window over ~#domains rows), so the whole thing is a single
+    lazy, scale-safe plan: the shuffle carries one row per domain no
+    matter the corpus size.
+
+    Output: (domain_col, n_docs, n_tokens, p, w[, sampling_rate]) —
+    ``sampling_rate = min(1, w_d * target_tokens / n_tokens_d)`` is the
+    per-domain keep probability that lands the expected post-sampling
+    token count on ``target_tokens`` (clamped: up-sampling by repeats
+    is an epoch decision, not a row filter).
+    """
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError("temperature must be in (0, 1]")
+    per_domain = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_whitespace_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    pt = F.pow(p, F.lit(float(temperature)))
+    w = pt / F.sum(pt).over(everything)
+    out = per_domain.select(
+        domain_col, "n_docs", "n_tokens", p.alias("p"), w.alias("w")
+    )
+    if target_tokens is not None:
+        out = out.withColumn(
+            "sampling_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("w") * F.lit(float(target_tokens)) / F.col("n_tokens"),
+            ),
+        )
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.7,
+    target_tokens: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample a corpus to a temperature-flattened domain mixture.
+
+    Each document is kept iff ``u(id) < sampling_rate(domain)`` where
+    ``u`` is a Knuth multiplicative hash of the id mapped to [0, 1) —
+    deterministic pure-integer arithmetic, so the sample is identical
+    on any engine, partitioning, or cluster size (``df.sample`` is
+    none of those), and an oracle can replay it row-for-row. The rate
+    relation is tiny (one row per domain) and broadcast into a
+    map-side join: no extra shuffle on the corpus.
+    """
+    rates = domain_mixture_weights(
+        df, domain_col, text_col, temperature, target_tokens
+    ).select(domain_col, "sampling_rate")
+    u = (
+        (F.col(id_col).cast("long") * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .filter(u < F.col("sampling_rate"))
+        .drop("sampling_rate")
     )
 
 

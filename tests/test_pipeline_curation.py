@@ -178,3 +178,91 @@ class TestCuration:
 
         with pytest.raises(ValueError, match="quota"):
             stratified_quota_sample(spark.range(3), ["id"], quota=0)
+
+
+class TestDomainMixture:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import pyspark.sql.functions as F
+
+        # 3 domains with very different sizes: big=200 docs, mid=50, small=10
+        return (
+            spark.range(0, 260)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") < 200, "big")
+                .when(F.col("id") < 250, "mid")
+                .otherwise("small")
+                .alias("source"),
+                F.lit("five tokens in this doc").alias("text"),
+            )
+        )
+
+    def test_weights_sum_to_one_and_flatten(self, corpus):
+        from spark_bestfit_spark.operators.curation import (
+            domain_mixture_weights,
+        )
+
+        rows = {
+            r.source: r
+            for r in domain_mixture_weights(
+                corpus, temperature=0.5
+            ).collect()
+        }
+        assert abs(sum(r.p for r in rows.values()) - 1.0) < 1e-12
+        assert abs(sum(r.w for r in rows.values()) - 1.0) < 1e-12
+        # flattening: big domain's weight shrinks vs its natural share,
+        # small domain's grows
+        assert rows["big"].w < rows["big"].p
+        assert rows["small"].w > rows["small"].p
+        # ordering between domains is preserved
+        assert rows["big"].w > rows["mid"].w > rows["small"].w
+
+    def test_temperature_one_is_natural_mix(self, corpus):
+        from spark_bestfit_spark.operators.curation import (
+            domain_mixture_weights,
+        )
+
+        for r in domain_mixture_weights(corpus, temperature=1.0).collect():
+            assert abs(r.w - r.p) < 1e-12
+
+    def test_bad_temperature_rejected(self, corpus):
+        from spark_bestfit_spark.operators.curation import (
+            domain_mixture_weights,
+        )
+
+        for bad in (0.0, -1.0, 1.5):
+            with pytest.raises(ValueError, match="temperature"):
+                domain_mixture_weights(corpus, temperature=bad)
+
+    def test_rate_clamped_at_one(self, corpus):
+        from spark_bestfit_spark.operators.curation import (
+            domain_mixture_weights,
+        )
+
+        rows = domain_mixture_weights(
+            corpus, temperature=0.3, target_tokens=10_000_000
+        ).collect()
+        assert all(r.sampling_rate == 1.0 for r in rows)
+
+    def test_sample_deterministic_and_targets_budget(self, corpus):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        target = 650  # half the 1300-token corpus
+        s1 = temperature_sample(corpus, target_tokens=target)
+        s2 = temperature_sample(
+            corpus.repartition(7), target_tokens=target
+        )
+        ids1 = sorted(r.doc_id for r in s1.collect())
+        ids2 = sorted(r.doc_id for r in s2.collect())
+        assert ids1 == ids2  # partitioning-independent
+        kept_tokens = s1.select(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+        ).first()[0]
+        # expected post-sampling tokens ~= target (Bernoulli variance
+        # over 260 docs of 5 tokens: allow a generous band)
+        assert 0.6 * target <= kept_tokens <= 1.4 * target
