@@ -617,6 +617,24 @@ def _q_domain_mixture(spark, sf_dir):
     )
 
 
+def _q_doc_dup_ngrams(spark, sf_dir):
+    """Cross-document repeated 8-gram stats (substring-dedup candidate
+    phase): per doc, distinct 8-grams, how many occur in >=2 docs, and
+    the shared fraction."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import duplicated_ngram_stats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicated_ngram_stats(df, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_shared_grams",
+        F.round("shared_fraction", 6).alias("shared_fraction"),
+    )
+
+
 def _q_doc_fingerprints(spark, sf_dir):
     """Exact dedup relational core: (fingerprint, n_copies, keeper_id)."""
     from spark_bestfit_spark.operators.dedup import duplicate_groups
@@ -1532,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries. Everything here stays green under the local strict
         # harness (tools/check_oracle.py runs all entries). ----
         "fit_mse": _q_fit_mse,
+        "doc_dup_ngrams": _q_doc_dup_ngrams,
         "moments_price": _q_moments,
         "doc_minhash": _q_doc_minhash,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1734,6 +1753,39 @@ def oracle_sql() -> dict[str, str]:
                    count(json_extract_string(props, '$.k')::BIGINT) AS k_cnt
             FROM events
             GROUP BY event_type
+        """,
+        "doc_dup_ngrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 8
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 7),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            ),
+            g AS (SELECT doc_id, unnest(sg) AS gram FROM sh),
+            d AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            ),
+            shr AS (
+              SELECT doc_id, count(*) AS n_shared
+              FROM g SEMI JOIN d USING (gram)
+              GROUP BY doc_id
+            )
+            SELECT tot.doc_id, tot.n_grams,
+                   coalesce(shr.n_shared, 0) AS n_shared_grams,
+                   round(coalesce(shr.n_shared, 0)
+                         / tot.n_grams::DOUBLE, 6) AS shared_fraction
+            FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
         """,
         "domain_mixture": """
             WITH d AS (

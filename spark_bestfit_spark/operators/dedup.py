@@ -86,6 +86,68 @@ def duplicate_groups(
     )
 
 
+def duplicated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram detection — the candidate phase
+    of substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": long spans repeated across a
+    corpus are memorization fuel; the scalable first step is finding
+    which documents carry n-grams that other documents also carry).
+
+    Per document: total distinct word n-grams, how many of them occur
+    in >= ``min_docs`` distinct documents corpus-wide, and the shared
+    fraction — the signal a curation pipeline thresholds to route
+    documents into span-level clipping.
+
+    Shuffle profile at 100 TB: one explode scan -> groupBy on the gram
+    key with map-side partial counts (shingles are distinct per doc, so
+    ``count(*)`` IS the distinct-document count — no countDistinct
+    state); the surviving duplicated-gram set is far smaller than the
+    gram relation and semi-joins back on the same gram key (hash
+    partitioning reused, no extra exchange of the big side); final
+    groupBy on the doc id. No all-pairs comparison anywhere — the same
+    map-reduce shape the published suffix-array pipelines use for their
+    candidate pass.
+
+    Output: (id_col, n_grams, n_shared_grams, shared_fraction).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("_gram"),
+    )
+    dup = (
+        grams.groupBy("_gram")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gram")
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    shared = (
+        grams.join(dup, on="_gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        totals.join(shared, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_shared_grams", F.lit(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+            (
+                F.coalesce("n_shared_grams", F.lit(0))
+                / F.col("n_grams")
+            ).alias("shared_fraction"),
+        )
+    )
+
+
 def word_shingles(text_col: str, k: int = 3) -> Column:
     """Distinct k-word shingles as an array column (JVM-side: split +
     transform + slice + concat — no Python)."""

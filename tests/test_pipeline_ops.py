@@ -64,6 +64,57 @@ class TestExactDedup:
         assert once.count() == twice.count()
 
 
+class TestDuplicatedNgramStats:
+    def test_shared_span_detected(self, spark):
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (0, f"{shared} alpha beta gamma delta epsilon zeta eta"),
+                (1, f"intro words here then {shared} and a tail part"),
+                (2, "totally unrelated content with eight distinct words"
+                    " plus more filler to make grams"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.duplicated_ngram_stats(docs, n=8).collect()
+        }
+        # docs 0 and 1 share exactly the one 8-gram span; doc 2 shares none
+        assert out[0].n_shared_grams == 1
+        assert out[1].n_shared_grams == 1
+        assert out[2].n_shared_grams == 0
+        assert out[2].shared_fraction == 0.0
+        assert 0 < out[0].shared_fraction < 1
+
+    def test_short_doc_whole_text_gram(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "tiny doc"), (1, "tiny doc"), (2, "other short")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.duplicated_ngram_stats(docs, n=8).collect()
+        }
+        # sub-n docs collapse to a single whole-text gram: exact-dup
+        # short docs still register as fully shared
+        assert out[0].n_grams == 1 and out[0].shared_fraction == 1.0
+        assert out[1].shared_fraction == 1.0
+        assert out[2].shared_fraction == 0.0
+
+    def test_min_docs_threshold(self, spark):
+        span = "a b c d e f g h"
+        docs = spark.createDataFrame(
+            [(i, f"{span} unique{i} x{i} y{i} z{i} w{i} v{i} u{i} t{i}")
+             for i in range(3)],
+            "doc_id bigint, text string",
+        )
+        strict = dedup.duplicated_ngram_stats(docs, n=8, min_docs=4)
+        assert all(
+            r.n_shared_grams == 0 for r in strict.collect()
+        )  # span is in only 3 docs
+
+
 class TestMinHash:
     def test_identical_texts_share_signature(self, toy_docs):
         sigs = {
