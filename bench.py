@@ -103,6 +103,25 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # baseline's other two lazy-metrics lines at the same 100k scale:
+    # KS recomputed on demand for the winner (2.072 s) and a full
+    # materialize of every lazy metric (4.705 s)
+    bench(
+        "q_fit_lazy_ks_100k",
+        lambda: fitter.fit(
+            orders_100k, column="o_totalprice", lazy_metrics=True
+        ).best(metric="ks_statistic"),
+        rounds=2,
+    )
+    bench(
+        "q_lazy_materialize_100k",
+        lambda: fitter.fit(
+            orders_100k, column="o_totalprice", lazy_metrics=True
+        )
+        .materialize()
+        .df.count(),
+        rounds=2,
+    )
     small = lineitem.select("l_extendedprice").limit(10_000).cache()
     small.count()
     bench(
@@ -112,6 +131,26 @@ def main() -> None:
             column="l_extendedprice",
             distributions=["norm", "expon", "gamma", "lognorm", "uniform"],
         ).count(),
+    )
+    # baseline's distribution-count axis at 10k rows: full default
+    # registry (~91 kernels; baseline 5.706 s) and the no-exclusions
+    # registry (~108 kernels; baseline "107 distributions" = 6.567 s)
+    bench(
+        "q_fit_full_10k",
+        lambda: fitter.fit(small, column="l_extendedprice").count(),
+        rounds=2,
+    )
+    from spark_bestfit_spark.functions.distributions.registry import (
+        DistributionRegistry,
+    )
+
+    noexcl = DistributionFitter(
+        spark, registry=DistributionRegistry(custom_exclusions=set())
+    )
+    bench(
+        "q_fit_noexcl_10k",
+        lambda: noexcl.fit(small, column="l_extendedprice").count(),
+        rounds=2,
     )
     bench(
         "q_fit_multi3",
