@@ -83,7 +83,7 @@ def main() -> None:
         lambda: fitter.fit(
             orders, column="o_totalprice", lazy_metrics=True
         ).count(),
-        rounds=2,
+        rounds=3,
     )
     # apples-to-apples with the baseline's "lazy-AIC fit, 100k rows =
     # 2.02 s" line: exactly 100k rows. limit() collapses to one
@@ -101,7 +101,7 @@ def main() -> None:
         lambda: fitter.fit(
             orders_100k, column="o_totalprice", lazy_metrics=True
         ).count(),
-        rounds=2,
+        rounds=3,
     )
     # baseline's other two lazy-metrics lines at the same 100k scale:
     # KS recomputed on demand for the winner (2.072 s) and a full
@@ -111,7 +111,7 @@ def main() -> None:
         lambda: fitter.fit(
             orders_100k, column="o_totalprice", lazy_metrics=True
         ).best(metric="ks_statistic"),
-        rounds=2,
+        rounds=3,
     )
     bench(
         "q_lazy_materialize_100k",

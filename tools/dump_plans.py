@@ -138,6 +138,34 @@ def main() -> None:
         explain_str(asof_join(views, clicks, time_col="ts", by=["user_id"])),
     ))
 
+    from spark_bestfit_spark.operators.curation import temperature_sample
+    from spark_bestfit_spark.operators.dedup import duplicated_ngram_stats
+
+    sections.append((
+        "temperature sampling (domain mixture) — temperature_sample(docs)",
+        "The per-domain rate relation comes from one groupBy on the "
+        "domain\nkey (the shuffle carries one row per domain), normalizes "
+        "inside the\nplan over that tiny aggregate, and is broadcast back "
+        "into a map-side\njoin — look for `BroadcastExchange` feeding a "
+        "`BroadcastHashJoin` on\nthe corpus side. The keep predicate is "
+        "pure integer arithmetic in\ncodegen. At 100 TB the corpus is "
+        "scanned once with no wide exchange.",
+        explain_str(temperature_sample(docs)),
+    ))
+
+    sections.append((
+        "cross-doc repeated n-grams — duplicated_ngram_stats(docs, n=8)",
+        "Substring-dedup candidate phase. One explode scan feeds a "
+        "groupBy\non the gram key with map-side partial counts (shingles "
+        "are distinct\nper doc, so count(*) IS the distinct-doc count); the "
+        "small surviving\nduplicated-gram set semi-joins back on the same "
+        "gram key, then one\ngroupBy on doc_id. What to look for: no join "
+        "without an equi-key, no\nbroadcast of the big side, no cartesian "
+        "anywhere — the same\nmap-reduce shape the published suffix-array "
+        "pipelines use.",
+        explain_str(duplicated_ngram_stats(docs, n=8)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
