@@ -152,14 +152,14 @@ FIT_WEIGHTS: dict = {
     # excluded-set kernels (re-inclusion only), re-measured on the 10k
     # bench sample after the per-kernel NM-budget/objective-subsample
     # caps (same ~40 ms/unit scale as the rows above)
-    "genhyperbolic": 70,
-    "dpareto_lognorm": 55,
-    "studentized_range": 45,
-    "tukeylambda": 35,
-    "levy_stable": 30,
-    "ncx2": 28,
-    "gausshyper": 28,
-    "ncf": 12,
+    "dpareto_lognorm": 44,
+    "ncx2": 35,
+    "tukeylambda": 32,
+    "studentized_range": 24,
+    "gausshyper": 24,
+    "genhyperbolic": 16,
+    "ncf": 15,
+    "levy_stable": 14,
     "mielke": 10,
     "geninvgauss": 6,
     "kappa4": 5,
