@@ -1647,6 +1647,11 @@ class DParetoLognorm(ContinuousDistribution):
     name = "dpareto_lognorm"
     shapes = ("alpha_", "beta_", "s_")
     a = 0.0
+    # 5 free params -> a 750-iteration default NM budget, but the
+    # log-ndtr objective converges long before that; cap it so the
+    # kernel doesn't gate the LPT fan-out wave
+    _fit_maxiter = 250
+    _obj_subsample = 2000
 
     def _check_shapes(self, shapes) -> bool:
         al, be, s_ = shapes

@@ -152,7 +152,6 @@ FIT_WEIGHTS: dict = {
     # excluded-set kernels (re-inclusion only), re-measured on the 10k
     # bench sample after the per-kernel NM-budget/objective-subsample
     # caps (same ~40 ms/unit scale as the rows above)
-    "dpareto_lognorm": 44,
     "ncx2": 35,
     "tukeylambda": 32,
     "studentized_range": 24,
@@ -161,6 +160,7 @@ FIT_WEIGHTS: dict = {
     "ncf": 15,
     "levy_stable": 14,
     "mielke": 10,
+    "dpareto_lognorm": 8,
     "geninvgauss": 6,
     "kappa4": 5,
     "kstwobign": 4,
