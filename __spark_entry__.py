@@ -617,6 +617,24 @@ def _q_domain_mixture(spark, sf_dir):
     )
 
 
+def _q_corpus_splits(spark, sf_dir):
+    """Deterministic hash train/val/test split (98/1/1): per
+    (split, source) doc counts and char sums pin every assignment."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import hash_split
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_split(df)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def _q_doc_dup_ngrams(spark, sf_dir):
     """Cross-document repeated 8-gram stats (substring-dedup candidate
     phase): per doc, distinct 8-grams, how many occur in >=2 docs, and
@@ -1550,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries. Everything here stays green under the local strict
         # harness (tools/check_oracle.py runs all entries). ----
         "fit_mse": _q_fit_mse,
+        "corpus_splits": _q_corpus_splits,
         "doc_dup_ngrams": _q_doc_dup_ngrams,
         "moments_price": _q_moments,
         "doc_minhash": _q_doc_minhash,
@@ -1753,6 +1772,22 @@ def oracle_sql() -> dict[str, str]:
                    count(json_extract_string(props, '$.k')::BIGINT) AS k_cnt
             FROM events
             GROUP BY event_type
+        """,
+        "corpus_splits": """
+            WITH u AS (
+              SELECT source, n_chars,
+                     (((doc_id + 1) * 2654435761) % 4294967296)
+                       / 4294967296.0 AS uv
+              FROM documents
+            )
+            SELECT CASE WHEN uv < 0.98 THEN 'train'
+                        WHEN uv < (0.98 + 0.01) THEN 'val'
+                        ELSE 'test' END AS split,
+                   source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM u
+            GROUP BY split, source
         """,
         "doc_dup_ngrams": """
             WITH toks AS (

@@ -32,6 +32,7 @@ __all__ = [
     "domain_mixture_weights",
     "flag_contamination",
     "decontaminate_by_ngrams",
+    "hash_split",
     "stratified_quota_sample",
     "temperature_sample",
 ]
@@ -192,6 +193,46 @@ def temperature_sample(
         .filter(u < F.col("sampling_rate"))
         .drop("sampling_rate")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict | None = None,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    Each row lands in the split whose cumulative weight interval
+    contains ``u(id) = Knuth_hash(id + seed) / 2^32`` — pure integer
+    arithmetic, so the assignment is identical on any engine,
+    partitioning, or rerun (``randomSplit`` is none of those: it
+    re-draws per partition). ``seed`` decorrelates the split from
+    other hash-derived decisions (``temperature_sample`` uses the
+    un-shifted hash). Weights are normalized; dict order defines the
+    interval order. Map-only: no shuffle, pipelines with the scan.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = (
+        ((F.col(id_col).cast("long") + F.lit(int(seed))) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    names = list(weights)
+    acc = 0.0
+    expr = F.lit(names[-1])  # the last interval absorbs rounding
+    conds = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        conds.append((acc, name))
+    for threshold, name in reversed(conds):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
 
 
 def assign_training_shards(

@@ -266,3 +266,48 @@ class TestDomainMixture:
         # expected post-sampling tokens ~= target (Bernoulli variance
         # over 260 docs of 5 tokens: allow a generous band)
         assert 0.6 * target <= kept_tokens <= 1.4 * target
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import hash_split
+
+        df = spark.range(0, 20_000).select(F.col("id").alias("doc_id"))
+        out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+        # identical on a different partitioning
+        again = hash_split(df.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1})
+        a = sorted((r.doc_id, r.split) for r in out.collect())
+        b = sorted((r.doc_id, r.split) for r in again.collect())
+        assert a == b
+
+    def test_seed_decorrelates(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import hash_split
+
+        df = spark.range(0, 5_000).select(F.col("id").alias("doc_id"))
+        s1 = {r.doc_id: r.split for r in hash_split(df, seed=1).collect()}
+        s2 = {r.doc_id: r.split for r in hash_split(df, seed=999).collect()}
+        assert s1 != s2
+
+    def test_weights_normalized_and_validated(self, spark):
+        import pyspark.sql.functions as F
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.curation import hash_split
+
+        df = spark.range(0, 1_000).select(F.col("id").alias("doc_id"))
+        # un-normalized weights behave like their normalized form
+        out = hash_split(df, {"a": 8, "b": 2})
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert abs(counts["a"] / 1_000 - 0.8) < 0.05
+        with _pt.raises(ValueError):
+            hash_split(df, {"a": -1.0, "b": 2.0})
+        with _pt.raises(ValueError):
+            hash_split(df, {})
