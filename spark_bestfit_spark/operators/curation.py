@@ -241,6 +241,7 @@ def assign_training_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     order_col: str | None = None,
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """Assign each document to a training shard by cumulative token
     count: shard s holds a contiguous (in ``order_col``) run of docs
@@ -251,13 +252,24 @@ def assign_training_shards(
     shard_id = floor((cumsum(tokens) - tokens) / T) over the ordering,
     i.e. a document starts a new shard when the PRECEDING total crosses
     the boundary. Deterministic given the ordering (defaults to
-    ``id_col``), so the relation is exactly SQL-mirrorable.
+    ``id_col``; ties broken by id), so the relation is exactly
+    SQL-mirrorable.
 
-    Scale note: the global running sum is a single-partition window —
-    fine for shard COUNTS in the millions (one long per doc). For
-    100 TB corpora partition the ordering by a coarse key first (e.g.
-    per source: ``order_col`` scoped inside a groupBy) or shard within
-    date buckets; the arithmetic is unchanged.
+    The global running sum is a partitioned two-phase prefix sum (the
+    same shape as the exact two-sample K-S in operators/stats.py) — no
+    single-partition window anywhere:
+
+      1. range-bucket the order value into ``num_buckets`` equi-width
+         buckets (width_bucket over the global [lo, hi] — a function of
+         the VALUE, independent of physical partitioning);
+      2. per-bucket token totals (<= num_buckets + 1 tiny rows) are
+         collected, turned into exclusive prefix offsets, broadcast;
+      3. one HASH-partitioned window (partitionBy bucket, orderBy
+         order + id) computes local cumsums; offset + local cumsum is
+         the global running total.
+
+    At 100 TB the only exchanges are the bucket hash exchange and the
+    1-row min/max agg; the driver sees <= num_buckets + 1 rows.
 
     Output: (id_col, n_tokens, shard_id).
     """
@@ -265,14 +277,42 @@ def assign_training_shards(
 
     order = order_col or id_col
     toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    w = Window.orderBy(order).rowsBetween(
+    base = df.select(
+        F.col(id_col),
+        F.col(order).cast("double").alias("_ord"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    spark = df.sparkSession
+    stats = base.agg(F.min("_ord").alias("lo"), F.max("_ord").alias("hi")).first()
+    if stats["lo"] is None:
+        return spark.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "n_tokens long, shard_id long"
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    bk = (
+        F.width_bucket(F.col("_ord"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+        if hi > lo
+        else F.lit(1)
+    )
+    bucketed = base.withColumn("_bk", bk)
+    btot = (
+        bucketed.groupBy("_bk").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    off = 0
+    offsets = []
+    for r in sorted(btot, key=lambda r: r["_bk"]):
+        offsets.append((int(r["_bk"]), off))
+        off += int(r["t"])
+    off_df = spark.createDataFrame(offsets, "_bk long, _off long")
+    w = Window.partitionBy("_bk").orderBy("_ord", id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(toks).over(w)
-    return df.select(
+    cum = F.col("_off") + F.sum("n_tokens").over(w)
+    return bucketed.join(F.broadcast(off_df), "_bk").select(
         F.col(id_col),
-        toks.cast("long").alias("n_tokens"),
-        F.floor((cum - toks) / F.lit(tokens_per_shard))
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(tokens_per_shard))
         .cast("long")
         .alias("shard_id"),
     )

@@ -118,6 +118,23 @@ class TestMapOnlyPaths:
         first_exchange = below_window.split("Exchange", 1)[1]
         assert first_exchange.lstrip().startswith("hashpartitioning(bk")
 
+    def test_training_shards_window_is_hash_partitioned(self, spark):
+        """The shard cumsum must run as a per-bucket window fed by a
+        hash exchange on _bk — the same two-phase prefix-sum shape as
+        exact K-S; a SinglePartition window here dies at 100 TB."""
+        from spark_bestfit_spark.operators.curation import (
+            assign_training_shards,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = assign_training_shards(docs, tokens_per_shard=2000)
+        plan = _physical(out)
+        assert "Window" in plan
+        assert "hashpartitioning(_bk" in plan
+        below_window = plan.split("Window")[-1]
+        first_exchange = below_window.split("Exchange", 1)[1]
+        assert first_exchange.lstrip().startswith("hashpartitioning(_bk")
+
     def test_grid_ks_avoids_global_window(self, spark):
         from spark_bestfit_spark.operators.stats import two_sample_ks_df
 
