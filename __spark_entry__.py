@@ -455,6 +455,72 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Conversion funnel per user: first view -> first click after it ->
+    first purchase after that, each within 24 h of the previous step.
+    Window-function composition (min-over-filtered per user), one
+    shuffle on user_id — the classic product-analytics query shape."""
+    _register(spark, sf_dir)
+    day_ns = 86_400_000_000_000
+    return spark.sql(
+        f"""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND e.ts > v.t_view AND e.ts <= v.t_view + {day_ns}
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.t_click AND e.ts <= c.t_click + {day_ns}
+          GROUP BY e.user_id
+        )
+        SELECT count(v.user_id) AS n_viewed,
+               count(c.user_id) AS n_clicked,
+               count(p.user_id) AS n_purchased
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+        """
+    )
+
+
+def _q_events_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, tracked by
+    how many distinct later days they return. Two groupBys on user_id /
+    (cohort, user) — no self-join of the event log."""
+    _register(spark, sf_dir)
+    day_ns = 86_400_000_000_000
+    return spark.sql(
+        f"""
+        WITH firsts AS (
+          SELECT user_id, CAST(min(ts) DIV {day_ns} AS BIGINT) AS cohort_day
+          FROM events GROUP BY user_id
+        ),
+        activity AS (
+          SELECT e.user_id, f.cohort_day,
+                 CAST(e.ts DIV {day_ns} AS BIGINT) - f.cohort_day AS day_offset
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day,
+               count(DISTINCT user_id) AS cohort_size,
+               count(DISTINCT CASE WHEN day_offset = 1
+                                   THEN user_id END) AS retained_d1,
+               count(DISTINCT CASE WHEN day_offset BETWEEN 1 AND 7
+                                   THEN user_id END) AS retained_w1
+        FROM activity
+        GROUP BY cohort_day
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming, run to completion (availableNow) and checked
 # against the batch SQL oracle: the plans below are the real incremental
@@ -1582,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
         "events_sessionized": _q_events_sessionized,
+        "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
         "events_props_json": _q_events_props_json,
     }
 
@@ -1710,6 +1778,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
+        """,
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, min(epoch_ns(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+              SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click'
+                AND epoch_ns(e.ts) > v.t_view
+                AND epoch_ns(e.ts) <= v.t_view + 86400000000000
+              GROUP BY e.user_id
+            ),
+            p AS (
+              SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_ns(e.ts) > c.t_click
+                AND epoch_ns(e.ts) <= c.t_click + 86400000000000
+              GROUP BY e.user_id
+            )
+            SELECT count(v.user_id) AS n_viewed,
+                   count(c.user_id) AS n_clicked,
+                   count(p.user_id) AS n_purchased
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "events_cohorts": """
+            WITH firsts AS (
+              SELECT user_id,
+                     min(epoch_ns(ts)) // 86400000000000 AS cohort_day
+              FROM events GROUP BY user_id
+            ),
+            activity AS (
+              SELECT e.user_id, f.cohort_day,
+                     (epoch_ns(e.ts) // 86400000000000) - f.cohort_day
+                       AS day_offset
+              FROM events e JOIN firsts f ON e.user_id = f.user_id
+            )
+            SELECT cohort_day,
+                   count(DISTINCT user_id) AS cohort_size,
+                   count(DISTINCT CASE WHEN day_offset = 1
+                                       THEN user_id END) AS retained_d1,
+                   count(DISTINCT CASE WHEN day_offset BETWEEN 1 AND 7
+                                       THEN user_id END) AS retained_w1
+            FROM activity
+            GROUP BY cohort_day
         """,
         "events_sessionized": """
             WITH ordered AS (

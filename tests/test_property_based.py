@@ -189,3 +189,96 @@ class TestSerializationProperties:
         s2 = back.sample(50, seed=seed)
         for c in cols:
             assert np.allclose(s1[c], s2[c])
+
+
+class TestCurationProperties:
+    """Hypothesis properties for the deterministic curation operators:
+    whatever the weights, every row is assigned, assignments are
+    partitioning-independent, and sampling rates respond monotonically
+    to the token budget."""
+
+    @given(
+        ws=st.lists(st.floats(0.1, 5.0), min_size=2, max_size=4),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_hash_split_total_and_determinism(self, spark, ws, seed):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import hash_split
+
+        names = [f"s{i}" for i in range(len(ws))]
+        weights = dict(zip(names, ws))
+        df = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+        out = hash_split(df, weights, seed=seed)
+        rows = out.collect()
+        assert len(rows) == 400
+        assert {r.split for r in rows} <= set(names)
+        again = sorted(
+            (r.doc_id, r.split)
+            for r in hash_split(
+                df.repartition(7), weights, seed=seed
+            ).collect()
+        )
+        assert sorted((r.doc_id, r.split) for r in rows) == again
+
+    @given(t=st.floats(0.2, 1.0), budget=st.integers(100, 2000))
+    @settings(max_examples=8, deadline=None)
+    def test_temperature_sample_subset_and_monotone(self, spark, t, budget):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("source"),
+            F.lit("a b c d e").alias("text"),
+        )
+        kept = {
+            r.doc_id
+            for r in temperature_sample(
+                df, temperature=t, target_tokens=budget
+            ).collect()
+        }
+        assert kept <= set(range(300))
+        # a bigger budget only raises per-domain rates: supersets only
+        bigger = {
+            r.doc_id
+            for r in temperature_sample(
+                df, temperature=t, target_tokens=budget * 2
+            ).collect()
+        }
+        assert kept <= bigger
+
+    @given(t_low=st.floats(0.2, 0.5), t_high=st.floats(0.6, 1.0))
+    @settings(max_examples=8, deadline=None)
+    def test_mixture_flattening_is_monotone_in_temperature(
+        self, spark, t_low, t_high
+    ):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            domain_mixture_weights,
+        )
+
+        df = spark.range(0, 330).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 300, "big").otherwise("small").alias(
+                "source"
+            ),
+            F.lit("x y z").alias("text"),
+        )
+        lo = {
+            r.source: r.w
+            for r in domain_mixture_weights(df, temperature=t_low).collect()
+        }
+        hi = {
+            r.source: r.w
+            for r in domain_mixture_weights(df, temperature=t_high).collect()
+        }
+        # lower temperature flattens harder: the small domain's weight
+        # under t_low must be >= its weight under t_high
+        assert lo["small"] >= hi["small"] - 1e-12
+        assert abs(sum(lo.values()) - 1.0) < 1e-9
