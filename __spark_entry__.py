@@ -455,6 +455,29 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_sql_score(spark, sf_dir):
+    """SQL-surface model scoring: bf_logpdf/bf_pdf registered as SQL
+    functions (Arrow-batched pandas UDFs), driven from a pure
+    spark.sql query against a fixed norm(25, 14) model. The oracle is
+    the closed-form normal density in DuckDB — exact same arithmetic,
+    so the aggregate sums match to rounding."""
+    from spark_bestfit_spark.operators.score import register_sql_functions
+
+    _register(spark, sf_dir)
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT count(*) AS n,
+               round(sum(bf_logpdf('norm', array(25.0D, 14.0D),
+                                   l_quantity)), 4) AS sum_logpdf,
+               round(sum(bf_pdf('norm', array(25.0D, 14.0D),
+                                l_quantity)), 4) AS sum_pdf
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+        """
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     """Conversion funnel per user: first view -> first click after it ->
     first purchase after that, each within 24 h of the previous step.
@@ -1650,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_events_sessionized,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
+        "sql_score": _q_sql_score,
         "events_props_json": _q_events_props_json,
     }
 
@@ -1778,6 +1802,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
+        """,
+        "sql_score": """
+            SELECT count(*) AS n,
+                   round(sum(-0.5 * power((l_quantity - 25.0) / 14.0, 2)
+                             - ln(14.0) - 0.5 * ln(2 * pi())), 4)
+                     AS sum_logpdf,
+                   round(sum(exp(-0.5 * power((l_quantity - 25.0) / 14.0, 2))
+                             / (14.0 * sqrt(2 * pi()))), 4) AS sum_pdf
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
         """,
         "events_funnel": """
             WITH v AS (

@@ -24,9 +24,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["score_column", "flag_outliers"]
+__all__ = ["score_column", "flag_outliers", "register_sql_functions"]
 
 _MODES = ("logpdf", "pdf", "cdf", "sf")
+_SQL_MODES = ("logpdf", "pdf", "cdf", "sf", "ppf")
 
 
 def _scorer(dist_name: str, params: tuple, mode: str, bounds):
@@ -95,6 +96,58 @@ def score_result(
         lower_bound=result.lower_bound,
         upper_bound=result.upper_bound,
     )
+
+
+def register_sql_functions(spark, prefix: str = "bf_") -> list:
+    """Register the model-evaluation surface as Spark SQL functions so
+    pure-SQL pipelines can score rows against fitted models:
+
+        SELECT bf_logpdf('norm', array(25.0, 14.0), l_quantity) ...
+
+    One function per mode — ``bf_logpdf`` / ``bf_pdf`` / ``bf_cdf`` /
+    ``bf_sf`` / ``bf_ppf`` — each ``(dist STRING, params ARRAY<DOUBLE>,
+    x DOUBLE) -> DOUBLE``. Arrow-batched pandas UDFs: rows are grouped
+    by (dist, params) inside each batch and evaluated vectorized, so
+    the usual constant-model query costs one NumPy call per batch.
+    Returns the registered names.
+    """
+    from spark_bestfit_spark.functions.distributions.registry import (
+        get_distribution,
+    )
+
+    def make(mode: str):
+        @pandas_udf("double")
+        def evaluate(
+            dist: pd.Series, params: pd.Series, x: pd.Series
+        ) -> pd.Series:
+            xv = x.to_numpy(dtype=np.float64)
+            out = np.full(len(xv), np.nan)
+            keys = pd.Series(
+                [
+                    (d, tuple(p) if p is not None else None)
+                    for d, p in zip(dist, params)
+                ]
+            )
+            for (dname, p), idx in keys.groupby(keys).groups.items():
+                if dname is None or p is None:
+                    continue
+                fn = getattr(get_distribution(dname), mode)
+                ii = np.asarray(idx, dtype=np.int64)
+                with np.errstate(all="ignore"):
+                    out[ii] = np.asarray(
+                        fn(xv[ii], *[float(v) for v in p]),
+                        dtype=np.float64,
+                    )
+            return pd.Series(out)
+
+        return evaluate
+
+    names = []
+    for mode in _SQL_MODES:
+        name = f"{prefix}{mode}"
+        spark.udf.register(name, make(mode))
+        names.append(name)
+    return names
 
 
 def flag_outliers(

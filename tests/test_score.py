@@ -97,3 +97,57 @@ class TestFlagOutliers:
     def test_bad_alpha(self, spark, values_df):
         with pytest.raises(ValueError, match="alpha"):
             flag_outliers(values_df, "v", "norm", (0, 1), alpha=0.7)
+
+
+class TestSqlFunctions:
+    def test_registration_and_constant_model(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.score import (
+            register_sql_functions,
+        )
+
+        names = register_sql_functions(spark)
+        assert names == ["bf_logpdf", "bf_pdf", "bf_cdf", "bf_sf", "bf_ppf"]
+        row = spark.sql(
+            "SELECT bf_logpdf('norm', array(0.0D, 1.0D), 0.0D) AS lp,"
+            "       bf_cdf('norm', array(0.0D, 1.0D), 0.0D) AS c,"
+            "       bf_ppf('norm', array(0.0D, 1.0D), 0.5D) AS q"
+        ).first()
+        assert row.lp == pytest.approx(-0.5 * np.log(2 * np.pi), abs=1e-9)
+        assert row.c == pytest.approx(0.5, abs=1e-9)
+        assert row.q == pytest.approx(0.0, abs=1e-9)
+
+    def test_mixed_models_in_one_batch(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.score import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        df = spark.createDataFrame(
+            [("norm", [0.0, 1.0], 1.0), ("expon", [0.0, 2.0], 1.0)],
+            "d string, p array<double>, x double",
+        )
+        df.createOrReplaceTempView("mixed_models")
+        rows = spark.sql(
+            "SELECT d, bf_pdf(d, p, x) AS v FROM mixed_models"
+        ).collect()
+        got = {r.d: r.v for r in rows}
+        assert got["norm"] == pytest.approx(
+            np.exp(-0.5) / np.sqrt(2 * np.pi), rel=1e-9
+        )
+        assert got["expon"] == pytest.approx(0.5 * np.exp(-0.5), rel=1e-9)
+
+    def test_null_model_gives_null(self, spark):
+        from spark_bestfit_spark.operators.score import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        row = spark.sql(
+            "SELECT bf_pdf(CAST(NULL AS STRING), array(0.0D, 1.0D), 1.0D)"
+            " AS v"
+        ).first()
+        assert row.v is None or (row.v != row.v)  # NULL or NaN sentinel
