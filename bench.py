@@ -161,6 +161,26 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # apples-to-apples with the baseline's data-size axis at 1M rows
+    # (5.049 s): a seeded synthetic 1M-row normal column, the same
+    # shape the reference's scaling benchmark generates. The engine's
+    # working set is ~100 bins + 10k samples regardless of N, so this
+    # line sits near the 600k line — that flatness IS the design claim.
+    # (A heavy-tailed synthetic shifts several kernels to their NM caps
+    # and times the data SHAPE, not the data size.)
+    import pyspark.sql.functions as FB
+
+    one_m = (
+        spark.range(0, 1_000_000, 1, int(cpus))
+        .select((FB.randn(seed=7) * 14.0 + 100.0).alias("v"))
+        .cache()
+    )
+    one_m.count()
+    bench(
+        "q_fit_full_1m",
+        lambda: fitter.fit(one_m, column="v").count(),
+        rounds=2,
+    )
     bench(
         "q_hist_600k",
         lambda: compute_histogram(lineitem, "l_extendedprice", bins=50),
