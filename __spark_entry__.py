@@ -455,6 +455,21 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_chi2_drift(spark, sf_dir):
+    """Categorical drift: chi-squared homogeneity + Cramér's V between
+    early and late halves of the event stream on event_type."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import chi2_drift_df
+
+    events = _read(spark, sf_dir, "events")
+    b = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = (int(b["lo"]) + int(b["hi"])) // 2  # exact integer midpoint
+    early = events.filter(F.col("ts") <= F.lit(mid))
+    late = events.filter(F.col("ts") > F.lit(mid))
+    return chi2_drift_df(early, late, "event_type")
+
+
 def _q_sql_score(spark, sf_dir):
     """SQL-surface model scoring: bf_logpdf/bf_pdf registered as SQL
     functions (Arrow-batched pandas UDFs), driven from a pure
@@ -1674,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
         "sql_score": _q_sql_score,
+        "chi2_drift": _q_chi2_drift,
         "events_props_json": _q_events_props_json,
     }
 
@@ -1802,6 +1818,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
+        """,
+        "chi2_drift": """
+            WITH bounds AS (
+              SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid
+              FROM events
+            ),
+            e AS (
+              SELECT event_type AS c, count(*) AS n_e
+              FROM events, bounds
+              WHERE event_type IS NOT NULL AND epoch_ns(ts) <= mid
+              GROUP BY event_type
+            ),
+            a AS (
+              SELECT event_type AS c, count(*) AS n_a
+              FROM events, bounds
+              WHERE event_type IS NOT NULL AND epoch_ns(ts) > mid
+              GROUP BY event_type
+            ),
+            j AS (
+              SELECT coalesce(e.n_e, 0)::DOUBLE AS ne,
+                     coalesce(a.n_a, 0)::DOUBLE AS na
+              FROM e FULL JOIN a ON e.c = a.c
+            ),
+            t AS (
+              SELECT sum(ne) AS te, sum(na) AS ta, count(*) AS k,
+                     sum(ne) + sum(na) AS n
+              FROM j
+            )
+            SELECT round(sum(  power(ne - (ne + na) * te / n, 2)
+                               / ((ne + na) * te / n)
+                             + power(na - (ne + na) * ta / n, 2)
+                               / ((ne + na) * ta / n)), 6) AS chi2,
+                   round(sqrt(sum(  power(ne - (ne + na) * te / n, 2)
+                                    / ((ne + na) * te / n)
+                                  + power(na - (ne + na) * ta / n, 2)
+                                    / ((ne + na) * ta / n)) / max(n)), 6)
+                     AS cramers_v,
+                   max(k) AS n_categories,
+                   CAST(max(te) AS BIGINT) AS n_expected,
+                   CAST(max(ta) AS BIGINT) AS n_actual
+            FROM j, t
         """,
         "sql_score": """
             SELECT count(*) AS n,

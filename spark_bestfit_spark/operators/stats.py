@@ -334,3 +334,69 @@ def psi_df(
         F.lit(int(te)).cast("long").alias("n_expected"),
         F.lit(int(ta)).cast("long").alias("n_actual"),
     )
+
+
+def chi2_drift_df(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Chi-squared homogeneity test between two relations on one
+    CATEGORICAL column — the third leg of the drift family (two-sample
+    K-S for continuous columns, PSI for binned numerics, chi2 for
+    categories like language, source, or event type).
+
+        chi2 = N_total * sum_c (p_e[c] - p_a[c])^2-ish — computed in the
+        standard two-sample contingency form: for each category c with
+        counts (e_c, a_c), expected_e = (e_c + a_c) * N_e / N,
+        chi2 = sum_c (e_c - expected_e)^2 / expected_e
+                     + (a_c - expected_a)^2 / expected_a.
+
+    Also emits Cramér's V = sqrt(chi2 / (N * (min(k, 2) - 1))) =
+    sqrt(chi2 / N) for the 2-sample case — the effect size that stays
+    comparable across category counts and sample sizes.
+
+    Scale shape: one groupBy per relation on the category key (map-side
+    combinable), a categories-sized join, and a one-row aggregate — no
+    data-sized shuffle, same profile as psi_df. Returns one row
+    (chi2, cramers_v, n_categories, n_expected, n_actual).
+    """
+    e = (
+        df_expected.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("c"))
+        .agg(F.count("*").alias("n_e"))
+    )
+    a = (
+        df_actual.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("c"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    joined = e.join(a, "c", "full").select(
+        F.coalesce("n_e", F.lit(0)).cast("double").alias("e"),
+        F.coalesce("n_a", F.lit(0)).cast("double").alias("a"),
+    )
+    tot = joined.agg(
+        F.sum("e").alias("te"), F.sum("a").alias("ta"), F.count("*").alias("k")
+    ).first()
+    te, ta, k = float(tot["te"]), float(tot["ta"]), int(tot["k"])
+    n = te + ta
+    if te == 0 or ta == 0 or n == 0:
+        spark = df_expected.sparkSession
+        return spark.createDataFrame(
+            [(0.0, 0.0, k, int(te), int(ta))],
+            "chi2 double, cramers_v double, n_categories long, "
+            "n_expected long, n_actual long",
+        )
+    exp_e = (F.col("e") + F.col("a")) * F.lit(te / n)
+    exp_a = (F.col("e") + F.col("a")) * F.lit(ta / n)
+    term = (
+        (F.col("e") - exp_e) ** 2 / exp_e
+        + (F.col("a") - exp_a) ** 2 / exp_a
+    )
+    return joined.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        F.round(F.sqrt(F.sum(term) / F.lit(n)), 6).alias("cramers_v"),
+        F.lit(k).cast("long").alias("n_categories"),
+        F.lit(int(te)).cast("long").alias("n_expected"),
+        F.lit(int(ta)).cast("long").alias("n_actual"),
+    )

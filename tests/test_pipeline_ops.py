@@ -572,3 +572,45 @@ class TestShardsAndPsi:
         )
         shifted = psi_df(a, b, "v").first()["psi"]
         assert shifted > 0.25  # the standard "significant shift" bar
+
+
+class TestChi2Drift:
+    def test_identical_distributions_score_zero(self, spark):
+        from spark_bestfit_spark.operators.stats import chi2_drift_df
+
+        df = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "cat string"
+        )
+        row = chi2_drift_df(df, df, "cat").first()
+        assert row.chi2 == 0.0
+        assert row.cramers_v == 0.0
+        assert row.n_categories == 3
+        assert row.n_expected == row.n_actual == 100
+
+    def test_shifted_distribution_scores_high(self, spark):
+        from spark_bestfit_spark.operators.stats import chi2_drift_df
+
+        e = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "cat string")
+        a = spark.createDataFrame([("a",)] * 10 + [("b",)] * 90, "cat string")
+        row = chi2_drift_df(e, a, "cat").first()
+        # textbook 2x2 contingency: chi2 = 200*(90*90-10*10)^2/(100*100*100*100)... large
+        assert row.chi2 > 100
+        assert 0.5 < row.cramers_v <= 1.0
+
+    def test_disjoint_categories_and_nulls(self, spark):
+        from spark_bestfit_spark.operators.stats import chi2_drift_df
+
+        e = spark.createDataFrame([("a",), ("a",), (None,)], "cat string")
+        a = spark.createDataFrame([("b",), ("b",), ("b",)], "cat string")
+        row = chi2_drift_df(e, a, "cat").first()
+        assert row.n_categories == 2  # null rows dropped
+        assert row.n_expected == 2 and row.n_actual == 3
+        assert row.cramers_v == 1.0  # total separation
+
+    def test_empty_side_is_zero_sentinel(self, spark):
+        from spark_bestfit_spark.operators.stats import chi2_drift_df
+
+        e = spark.createDataFrame([("a",)], "cat string")
+        empty = spark.createDataFrame([], "cat string")
+        row = chi2_drift_df(e, empty, "cat").first()
+        assert row.chi2 == 0.0 and row.n_actual == 0
