@@ -566,21 +566,31 @@ def _q_events_cohorts(spark, sf_dir):
 # operator) — not batch re-expressions — so a green row certifies the
 # streaming path end-to-end.
 # ---------------------------------------------------------------------------
-def _read_stream(spark, sf_dir: str, table: str):
-    """File-source streaming read of one testdata table. The file
-    stream source requires a directory, so stream the sf dir with a
-    pathGlobFilter selecting just the table's file; schema comes from
-    the batch reader. events.ts is normalized to epoch-nanos BIGINT
-    exactly as in _normalize_events."""
+def _read_stream(spark, sf_dir: str, table: str, n_batches: int = 4):
+    """Multi-micro-batch streaming read of one testdata table: the
+    table is staged into ``n_batches`` parquet files in a tempdir and
+    streamed with ``maxFilesPerTrigger=1``, so the drained query runs
+    ``n_batches`` real incremental state updates — cross-batch window
+    state, dedup state, and applyInPandasWithState merges are actually
+    exercised, not just a single-batch pass. All checked results are
+    batching-invariant by construction (complete-mode aggregates,
+    distinct emissions, final cumulative state), so the staging split
+    does not need to be reproducible. events.ts is normalized to
+    epoch-nanos BIGINT exactly as in _normalize_events."""
+    import tempfile
+
     import pyspark.sql.functions as F
     from pyspark.sql import types as T
 
     _ensure_nanos_conf(spark)
-    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    staged = tempfile.mkdtemp(prefix=f"sbf_stage_{table}_")
+    batch.repartition(n_batches).write.mode("overwrite").parquet(staged)
+    schema = batch.schema
     stream = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{table}.parquet")
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
     )
     if table == "events" and not isinstance(
         schema["ts"].dataType, T.LongType
