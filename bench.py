@@ -247,6 +247,19 @@ def main() -> None:
         rounds=5,
     )
 
+    # streaming drain: the full incremental engine (file source ->
+    # watermarked tumbling-window aggregation -> availableNow drain into
+    # a memory sink) over the 100k-row event stream, 4 micro-batches.
+    # No reference analog (the reference has no streaming); tracked for
+    # regression.
+    import __spark_entry__ as entry_mod
+
+    bench(
+        "q_streaming_hourly",
+        lambda: entry_mod._q_streaming_hourly(spark, sf_dir).count(),
+        rounds=2,
+    )
+
     # copula sampling throughput (baseline: 199 ms/1M local via scipy-C;
     # ours is the distributed mapInPandas path over numpy special fns)
     import numpy as np
