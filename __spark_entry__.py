@@ -455,6 +455,18 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_table_profile(spark, sf_dir):
+    """Per-column data-quality profile of the orders table — one wide
+    aggregate, exploded to long form (exact distincts for oracle
+    parity; approx=True is the documented 100 TB path)."""
+    from spark_bestfit_spark.operators.stats import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(
+        df, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
 def _q_chi2_drift(spark, sf_dir):
     """Categorical drift: chi-squared homogeneity + Cramér's V between
     early and late halves of the event stream on event_type."""
@@ -1762,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohorts": _q_events_cohorts,
         "sql_score": _q_sql_score,
         "chi2_drift": _q_chi2_drift,
+        "table_profile": _q_table_profile,
         "events_props_json": _q_events_props_json,
     }
 
@@ -1890,6 +1903,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
+        """,
+        "table_profile": """
+            WITH t AS (SELECT count(*) AS n FROM orders)
+            SELECT 'o_orderkey' AS "column", t.n AS n_rows,
+                   (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+                     AS n_nulls,
+                   (SELECT count(DISTINCT o_orderkey) FROM orders)
+                     AS n_distinct,
+                   (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders)
+                     AS min_value,
+                   (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders)
+                     AS max_value
+            FROM t
+            UNION ALL
+            SELECT 'o_custkey', t.n,
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                   (SELECT count(DISTINCT o_custkey) FROM orders),
+                   (SELECT CAST(min(o_custkey) AS VARCHAR) FROM orders),
+                   (SELECT CAST(max(o_custkey) AS VARCHAR) FROM orders)
+            FROM t
+            UNION ALL
+            SELECT 'o_orderstatus', t.n,
+                   (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+                   (SELECT count(DISTINCT o_orderstatus) FROM orders),
+                   (SELECT min(o_orderstatus) FROM orders),
+                   (SELECT max(o_orderstatus) FROM orders)
+            FROM t
+            UNION ALL
+            SELECT 'o_totalprice', t.n,
+                   (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+                   (SELECT count(DISTINCT o_totalprice) FROM orders),
+                   (SELECT CAST(min(o_totalprice) AS VARCHAR) FROM orders),
+                   (SELECT CAST(max(o_totalprice) AS VARCHAR) FROM orders)
+            FROM t
         """,
         "chi2_drift": """
             WITH bounds AS (

@@ -400,3 +400,54 @@ def chi2_drift_df(
         F.lit(int(te)).cast("long").alias("n_expected"),
         F.lit(int(ta)).cast("long").alias("n_actual"),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list | None = None,
+    approx: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-column data-quality profile in long form: (column, n_rows,
+    n_nulls, n_distinct, min_value, max_value) with min/max rendered as
+    strings so one relation can span mixed column types.
+
+    One wide aggregate computes every column's stats in a single scan.
+    ``approx=True`` swaps exact count-distinct for HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — the 100 TB
+    default, since k exact distincts cost k expand-shuffles while the
+    sketch rides the same single aggregate; keep ``approx=False`` where
+    exact parity with a SQL oracle is needed.
+    """
+    cols = list(columns) if columns else [
+        f.name for f in df.schema.fields
+    ]
+    n_rows = F.count(F.lit(1))
+    aggs = [n_rows.alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"_nn_{c}"))
+        aggs.append(
+            (
+                F.approx_count_distinct(c, rsd)
+                if approx
+                else F.countDistinct(col)
+            ).alias(f"_nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"_mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_mx_{c}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")

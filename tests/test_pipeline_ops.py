@@ -614,3 +614,37 @@ class TestChi2Drift:
         empty = spark.createDataFrame([], "cat string")
         row = chi2_drift_df(e, empty, "cat").first()
         assert row.chi2 == 0.0 and row.n_actual == 0
+
+
+class TestProfileTable:
+    def test_exact_profile(self, spark):
+        from spark_bestfit_spark.operators.stats import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (2, None, 2.5)],
+            "k bigint, s string, v double",
+        )
+        prof = {r.column: r for r in profile_table(df).collect()}
+        assert set(prof) == {"k", "s", "v"}
+        assert all(r.n_rows == 3 for r in prof.values())
+        assert prof["k"].n_nulls == 0 and prof["k"].n_distinct == 2
+        assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+        assert prof["v"].n_nulls == 1
+        assert prof["k"].min_value == "1" and prof["k"].max_value == "2"
+        assert prof["v"].min_value == "1.5"
+
+    def test_approx_mode_single_aggregate(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.stats import profile_table
+
+        df = spark.range(0, 5_000).select(
+            F.col("id").alias("a"), (F.col("id") % 100).alias("b")
+        )
+        prof = {r.column: r for r in profile_table(df, approx=True).collect()}
+        # HLL++ at rsd=0.01 is exact-ish at these cardinalities
+        assert abs(prof["a"].n_distinct - 5_000) <= 100
+        assert abs(prof["b"].n_distinct - 100) <= 3
+        # approx profile must not shuffle per column: one expand-free agg
+        plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
