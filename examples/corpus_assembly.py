@@ -1,0 +1,71 @@
+"""Assemble a training corpus: mix domains, split, and shard.
+
+The post-curation half of a training-data pipeline — decide how much
+of each domain to keep (temperature-flattened mixture), carve
+deterministic train/val/test splits, and pack the train split into
+token-balanced shards ready for a tokenizer job.
+
+Run from the repo root:  python examples/corpus_assembly.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F
+
+from spark_bestfit_spark import get_spark
+from spark_bestfit_spark.operators.curation import (
+    assign_training_shards,
+    domain_mixture_weights,
+    hash_split,
+    temperature_sample,
+)
+from spark_bestfit_spark.operators.dedup import duplicated_ngram_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="corpus-assembly")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # 0. flag documents whose 8-grams repeat across the corpus
+    # (substring-dedup candidates a full pipeline would clip)
+    dup = duplicated_ngram_stats(docs, n=8)
+    n_flagged = dup.filter(F.col("shared_fraction") > 0.5).count()
+    print(f"docs >50% duplicated 8-grams: {n_flagged}")
+
+    # 1. inspect the natural domain mix and the T=0.7 flattened weights
+    weights = domain_mixture_weights(
+        docs, "source", temperature=0.7, target_tokens=2_000
+    )
+    print("domain mixture (alpha-sampling, T=0.7):")
+    weights.orderBy(F.desc("n_tokens")).show(5, truncate=False)
+
+    # 2. down-sample to the mixture (deterministic, replayable)
+    mixed = temperature_sample(
+        docs, "source", temperature=0.7, target_tokens=2_000
+    )
+    print(f"kept {mixed.count()} / {docs.count()} docs after mixing")
+
+    # 3. deterministic 90/5/5 split (never randomSplit: that re-draws
+    # per partition)
+    split = hash_split(mixed, {"train": 0.9, "val": 0.05, "test": 0.05})
+    split.groupBy("split").count().orderBy("split").show()
+
+    # 4. token-balanced shards for the train split (partitioned
+    # two-phase prefix sum — no single-partition window)
+    train = split.filter(F.col("split") == "train")
+    shards = assign_training_shards(train, tokens_per_shard=500)
+    shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("shard_id").show(8)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
