@@ -455,6 +455,22 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Score-proportional down-sampling: keep probability ∝ n_chars,
+    scaled to an expected 50% kept fraction, decided by the seeded
+    Knuth-hash Bernoulli. Aggregated per source for the oracle."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import weighted_sample
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = weighted_sample(df, "n_chars", 0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
 def _q_table_profile(spark, sf_dir):
     """Per-column data-quality profile of the orders table — one wide
     aggregate, exploded to long form (exact distincts for oracle
@@ -1775,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_score": _q_sql_score,
         "chi2_drift": _q_chi2_drift,
         "table_profile": _q_table_profile,
+        "weighted_sample": _q_weighted_sample,
         "events_props_json": _q_events_props_json,
     }
 
@@ -1903,6 +1920,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
+        """,
+        "weighted_sample": """
+            WITH base AS (
+              SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+                     n_chars
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            t AS (SELECT sum(w) AS tw, count(*) AS n FROM base)
+            SELECT source,
+                   count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM base, t
+            WHERE (((doc_id + 2) * 2654435761) % 4294967296)
+                    / 4294967296.0
+                  < least(1.0, w * 0.5 * n / tw)
+            GROUP BY source
         """,
         "table_profile": """
             WITH t AS (SELECT count(*) AS n FROM orders)

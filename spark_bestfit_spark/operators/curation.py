@@ -35,6 +35,7 @@ __all__ = [
     "hash_split",
     "stratified_quota_sample",
     "temperature_sample",
+    "weighted_sample",
 ]
 
 
@@ -192,6 +193,47 @@ def temperature_sample(
         df.join(F.broadcast(rates), on=domain_col)
         .filter(u < F.col("sampling_rate"))
         .drop("sampling_rate")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 2,
+) -> DataFrame:
+    """Down-sample keeping each row with probability proportional to a
+    per-row score (quality, token count, recency weight...), scaled so
+    the expected kept fraction is ``target_fraction``.
+
+        rate(row) = min(1, weight * target_fraction * n / sum(weight))
+
+    The keep decision is the seeded Knuth-hash Bernoulli (deterministic
+    on any engine/partitioning — the same convention as
+    ``temperature_sample``); the normalizing scalar comes from a 1-row
+    aggregate joined in-plan, so the whole thing is one scan plus a
+    broadcast of one row. Rows with null/negative weight are dropped.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError("target_fraction must be in (0, 1]")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(w.isNotNull() & (w > 0))
+    totals = base.agg(
+        F.sum(w).alias("_tw"), F.count("*").alias("_n")
+    )
+    u = (
+        ((F.col(id_col).cast("long") + F.lit(int(seed))) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    rate = F.least(
+        F.lit(1.0),
+        w * F.lit(float(target_fraction)) * F.col("_n") / F.col("_tw"),
+    )
+    return (
+        base.crossJoin(F.broadcast(totals))
+        .filter(u < rate)
+        .drop("_tw", "_n")
     )
 
 

@@ -311,3 +311,57 @@ class TestHashSplit:
             hash_split(df, {"a": -1.0, "b": 2.0})
         with _pt.raises(ValueError):
             hash_split(df, {})
+
+
+class TestWeightedSample:
+    def test_targets_fraction_and_favors_heavy_rows(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import weighted_sample
+
+        df = spark.range(0, 10_000).select(
+            F.col("id").alias("doc_id"),
+            # weights 1..4: heavier rows must survive more often
+            (F.col("id") % 4 + 1).cast("double").alias("score"),
+        )
+        kept = weighted_sample(df, "score", 0.4)
+        n = kept.count()
+        assert abs(n / 10_000 - 0.4) < 0.03
+        by_w = {
+            r.score: r["count"]
+            for r in kept.groupBy("score").count().collect()
+        }
+        assert by_w[4.0] > by_w[2.0] > by_w[1.0]
+
+    def test_deterministic_and_validated(self, spark):
+        import pyspark.sql.functions as F
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.curation import weighted_sample
+
+        df = spark.range(0, 2_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(1.0).alias("score"),
+        )
+        a = sorted(r.doc_id for r in weighted_sample(df, "score", 0.3).collect())
+        b = sorted(
+            r.doc_id
+            for r in weighted_sample(df.repartition(9), "score", 0.3).collect()
+        )
+        assert a == b
+        with _pt.raises(ValueError):
+            weighted_sample(df, "score", 0.0)
+        with _pt.raises(ValueError):
+            weighted_sample(df, "score", 1.5)
+
+    def test_nonpositive_weights_dropped(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import weighted_sample
+
+        df = spark.createDataFrame(
+            [(0, -1.0), (1, 0.0), (2, None), (3, 5.0)],
+            "doc_id bigint, score double",
+        )
+        kept = weighted_sample(df, "score", 1.0)
+        assert [r.doc_id for r in kept.collect()] == [3]
