@@ -455,6 +455,32 @@ def _q_events_sessionized(spark, sf_dir):
     )
 
 
+def _q_quality_report(spark, sf_dir):
+    """§2.12 results diagnostics end-to-end: a deterministic 10-dist fit
+    of part.p_retailprice, reduced through quality_report() to its
+    exact relation — fit count, acceptability count, SSE winner, top
+    list length, and warning count (golden-literal oracle, same
+    convention as the fit-invariant queries)."""
+    from spark_bestfit_spark.fitter import DistributionFitter
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    res = DistributionFitter(spark).fit(
+        df, column="p_retailprice", max_distributions=10
+    )
+    rep = res.quality_report(n=3)
+    return spark.createDataFrame(
+        [(
+            int(rep["summary"]["n_fits"]),
+            int(rep["n_acceptable"]),
+            str(rep["top_fits"][0]["distribution"]),
+            len(rep["top_fits"]),
+            len(rep["warnings"]),
+        )],
+        "n_fits long, n_acceptable long, best_sse_dist string, "
+        "n_top long, n_warnings long",
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Score-proportional down-sampling: keep probability ∝ n_chars,
     scaled to an expected 50% kept fraction, decided by the seeded
@@ -1792,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": _q_chi2_drift,
         "table_profile": _q_table_profile,
         "weighted_sample": _q_weighted_sample,
+        "quality_report": _q_quality_report,
         "events_props_json": _q_events_props_json,
     }
 
@@ -1920,6 +1947,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY hour_id, event_type
+        """,
+        "quality_report": """
+            SELECT CAST(10 AS BIGINT) AS n_fits,
+                   CAST(1 AS BIGINT) AS n_acceptable,
+                   'beta' AS best_sse_dist,
+                   CAST(3 AS BIGINT) AS n_top,
+                   CAST(0 AS BIGINT) AS n_warnings
         """,
         "weighted_sample": """
             WITH base AS (
