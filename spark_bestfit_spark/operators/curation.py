@@ -38,6 +38,37 @@ __all__ = [
     "weighted_sample",
 ]
 
+_KNUTH_A = 2654435761  # Knuth's 2^32 multiplicative-hash constant
+
+
+def _knuth_u(id_expr):
+    """``u = (id * 2654435761 mod 2^32) / 2^32`` in ``[0, 1)`` — exact
+    over the whole long domain.
+
+    The naive ``(id * A) % 2^32`` breaks outside small positive ids:
+    Spark's ``%`` keeps the dividend's sign (negative ids → negative u),
+    ``id * A`` wraps int64 for ``id >= ~3.5e9`` (negative u again), and
+    under ``spark.sql.ansi.enabled`` the multiply throws instead. Since
+    the hash only depends on ``id mod 2^32``, evaluate it in 16-bit
+    limbs: with ``x = pmod(id, 2^32) = hi·2^16 + lo``,
+
+        A·x mod 2^32 = (A·hi mod 2^16)·2^16 + A·lo   (mod 2^32)
+
+    and every intermediate stays < 2^48 — no int64 overflow, no ANSI
+    trap, and identical values to the naive formula wherever that one
+    was correct (so the DuckDB oracle twins, which use the naive SQL on
+    small positive ids, are unchanged).
+    """
+    x = F.pmod(id_expr.cast("long"), F.lit(4294967296))
+    hi = F.floor(x / F.lit(65536)).cast("long")
+    lo = x - hi * F.lit(65536)
+    h = F.pmod(
+        F.pmod(hi * F.lit(_KNUTH_A), F.lit(65536)) * F.lit(65536)
+        + lo * F.lit(_KNUTH_A),
+        F.lit(4294967296),
+    )
+    return h / F.lit(4294967296.0)
+
 
 def flag_contamination(
     df: DataFrame,
@@ -185,10 +216,7 @@ def temperature_sample(
     rates = domain_mixture_weights(
         df, domain_col, text_col, temperature, target_tokens
     ).select(domain_col, "sampling_rate")
-    u = (
-        (F.col(id_col).cast("long") * F.lit(2654435761))
-        % F.lit(4294967296)
-    ) / F.lit(4294967296.0)
+    u = _knuth_u(F.col(id_col))
     return (
         df.join(F.broadcast(rates), on=domain_col)
         .filter(u < F.col("sampling_rate"))
@@ -222,10 +250,7 @@ def weighted_sample(
     totals = base.agg(
         F.sum(w).alias("_tw"), F.count("*").alias("_n")
     )
-    u = (
-        ((F.col(id_col).cast("long") + F.lit(int(seed))) * F.lit(2654435761))
-        % F.lit(4294967296)
-    ) / F.lit(4294967296.0)
+    u = _knuth_u(F.col(id_col).cast("long") + F.lit(int(seed)))
     rate = F.least(
         F.lit(1.0),
         w * F.lit(float(target_fraction)) * F.col("_n") / F.col("_tw"),
@@ -261,10 +286,7 @@ def hash_split(
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    u = (
-        ((F.col(id_col).cast("long") + F.lit(int(seed))) * F.lit(2654435761))
-        % F.lit(4294967296)
-    ) / F.lit(4294967296.0)
+    u = _knuth_u(F.col(id_col).cast("long") + F.lit(int(seed)))
     names = list(weights)
     acc = 0.0
     expr = F.lit(names[-1])  # the last interval absorbs rounding
@@ -316,16 +338,48 @@ def assign_training_shards(
     Output: (id_col, n_tokens, shard_id).
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import DateType, NumericType, TimestampType
 
     order = order_col or id_col
+    # The range-bucketing needs a numeric order value. Casting an
+    # arbitrary type to double would silently null out strings (dropping
+    # every row in the inner join below), so map the supported orderable
+    # types explicitly and refuse the rest up front.
+    order_type = df.schema[order].dataType
+    if isinstance(order_type, NumericType):
+        ord_expr = F.col(order).cast("double")
+    elif isinstance(order_type, TimestampType):
+        ord_expr = F.unix_micros(F.col(order)).cast("double")
+    elif isinstance(order_type, DateType):
+        ord_expr = F.datediff(F.col(order), F.lit("1970-01-01")).cast(
+            "double"
+        )
+    else:
+        raise TypeError(
+            f"assign_training_shards: order column {order!r} has type "
+            f"{order_type.simpleString()}; only numeric, timestamp, and "
+            "date order columns are supported — derive a numeric rank "
+            "(e.g. a hash or an id) first"
+        )
     toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     base = df.select(
         F.col(id_col),
-        F.col(order).cast("double").alias("_ord"),
+        ord_expr.alias("_ord"),
         toks.cast("long").alias("n_tokens"),
     )
     spark = df.sparkSession
-    stats = base.agg(F.min("_ord").alias("lo"), F.max("_ord").alias("hi")).first()
+    stats = base.agg(
+        F.min("_ord").alias("lo"),
+        F.max("_ord").alias("hi"),
+        F.sum(F.col("_ord").isNull().cast("long")).alias("n_null"),
+    ).first()
+    if stats["n_null"]:
+        raise ValueError(
+            f"assign_training_shards: {stats['n_null']} rows have a null "
+            f"order value in {order!r}; a null has no position in the "
+            "cumulative-token ordering — filter them or choose another "
+            "order column"
+        )
     if stats["lo"] is None:
         return spark.createDataFrame(
             [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
@@ -343,7 +397,9 @@ def assign_training_shards(
     )
     off = 0
     offsets = []
-    for r in sorted(btot, key=lambda r: r["_bk"]):
+    # null buckets cannot occur (nulls rejected above), but keep the
+    # sort None-safe so a future null can't crash the int comparison
+    for r in sorted(btot, key=lambda r: (r["_bk"] is None, r["_bk"])):
         offsets.append((int(r["_bk"]), off))
         off += int(r["t"])
     off_df = spark.createDataFrame(offsets, "_bk long, _off long")

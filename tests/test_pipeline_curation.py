@@ -365,3 +365,70 @@ class TestWeightedSample:
         )
         kept = weighted_sample(df, "score", 1.0)
         assert [r.doc_id for r in kept.collect()] == [3]
+
+
+class TestKnuthHashDomain:
+    """The hash must be exact over the whole long id domain — the naive
+    `(id * A) % 2^32` went negative for negative ids and for any id
+    >= ~3.5e9 (int64 wrap), which made every sampler keep everything
+    and hash_split route all such rows to the first split."""
+
+    def test_matches_exact_integer_hash_across_domain(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            _KNUTH_A,
+            _knuth_u,
+        )
+
+        ids = [
+            0, 1, 7, 123456, -1, -12345,
+            3_500_000_000,          # id * A wraps int64 here
+            2**33 + 17, 2**62, -(2**62), 2**63 - 1, -(2**63),
+        ]
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        out = {
+            r["id"]: r["u"]
+            for r in df.select(
+                "id", _knuth_u(F.col("id")).alias("u")
+            ).collect()
+        }
+        for i in ids:
+            # Python big-int arithmetic is the exact reference
+            expect = ((i % 2**32) * _KNUTH_A % 2**32) / 2**32
+            assert out[i] == pytest.approx(expect, abs=1e-12), i
+            assert 0.0 <= out[i] < 1.0
+
+    def test_hash_split_spreads_extreme_ids(self, spark):
+        from spark_bestfit_spark.operators.curation import hash_split
+
+        ids = list(range(-500, 0)) + [
+            3_500_000_000 + i for i in range(500)
+        ]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = hash_split(df, {"train": 0.5, "test": 0.5})
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert sum(counts.values()) == len(ids)
+        # the old formula sent every one of these rows to "train";
+        # a correct uniform hash splits them roughly in half
+        assert counts.get("train", 0) > 300
+        assert counts.get("test", 0) > 300
+
+    def test_weighted_sample_extreme_ids_not_all_kept(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import weighted_sample
+
+        df = spark.createDataFrame(
+            [(-(i + 1), 1.0) for i in range(400)]
+            + [(3_500_000_000 + i, 1.0) for i in range(400)],
+            "doc_id long, score double",
+        )
+        kept = weighted_sample(df, "score", 0.25).count()
+        # uniform rate 0.25 over 800 rows; the broken hash kept all 800
+        assert 100 < kept < 320

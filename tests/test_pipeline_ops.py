@@ -547,6 +547,49 @@ class TestShardsAndPsi:
         sids = [r["shard_id"] for r in by_id]
         assert sids == sorted(sids)  # contiguous runs, non-decreasing
 
+    def test_shards_reject_string_order_column(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            assign_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b", "x"), (2, "c d", "y")],
+            "doc_id long, text string, name string",
+        )
+        with pytest.raises(TypeError, match="only numeric"):
+            assign_training_shards(df, 10, order_col="name")
+
+    def test_shards_timestamp_order_column(self, spark):
+        import datetime
+
+        from spark_bestfit_spark.operators.curation import (
+            assign_training_shards,
+        )
+
+        rows = [
+            (i, " ".join(["t"] * 100), datetime.datetime(2024, 1, 1, i))
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        )
+        out = assign_training_shards(df, 250, order_col="ts").collect()
+        shards = {r["doc_id"]: r["shard_id"] for r in out}
+        # doc d has preceding total 100*d -> shard floor(100d/250)
+        assert shards == {0: 0, 1: 0, 2: 0, 3: 1}
+
+    def test_shards_reject_null_order_values(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            assign_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b", 1.0), (2, "c d", None)],
+            "doc_id long, text string, ord double",
+        )
+        with pytest.raises(ValueError, match="null"):
+            assign_training_shards(df, 10, order_col="ord")
+
     def test_psi_zero_for_identical(self, spark):
         import pandas as pd
 
