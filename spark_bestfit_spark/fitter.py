@@ -75,11 +75,18 @@ def prefilter_distributions(
         return list(names), []
     x = np.asarray(data, dtype=np.float64)
     x = x[np.isfinite(x)]
-    if x.size < 10 or np.std(x) == 0:
-        return list(names), []
-    z = (x - x.mean()) / x.std()
-    skew = float(np.mean(z**3))
-    kurt = float(np.mean(z**4) - 3.0)
+    # same declared-overflow policy as compute_data_stats: at |x|~1e300
+    # the variance square overflows — std becomes inf, the shape filter
+    # has nothing to say, and numpy's internal warning must not leak
+    with np.errstate(over="ignore", invalid="ignore"):
+        if x.size < 10:
+            return list(names), []
+        sd = float(np.std(x))
+        if sd == 0 or not np.isfinite(sd):
+            return list(names), []
+        z = (x - x.mean()) / sd
+        skew = float(np.mean(z**3))
+        kurt = float(np.mean(z**4) - 3.0)
     kept, dropped = [], []
     for n in names:
         if skew < _SKEW_FILTER_THRESHOLD and n in _RIGHT_SKEW_ONLY:

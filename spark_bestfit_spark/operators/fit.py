@@ -77,14 +77,23 @@ def compute_data_stats(data: np.ndarray) -> dict:
             "data_min", "data_max", "data_mean", "data_stddev",
             "data_count", "data_kurtosis", "data_skewness",
         )}
-    mean = float(np.mean(data))
-    std = float(np.std(data))
-    if std > 0:
-        zc = (data - mean) / std
-        kurt = float(np.mean(zc**4) - 3.0)
-        skew = float(np.mean(zc**3))
-    else:
-        kurt, skew = 0.0, 0.0
+    # Declared overflow policy: at adversarial magnitudes (|x| ~ 1e300)
+    # the variance square and the z-score powers overflow float64. The
+    # sentinel is deliberate — std becomes inf and the shape moments
+    # become nan (an inf std carries no shape information) — so the
+    # overflow is silenced here rather than leaking numpy's internal
+    # RuntimeWarning from var/std.
+    with np.errstate(over="ignore", invalid="ignore"):
+        mean = float(np.mean(data))
+        std = float(np.std(data))
+        if not (np.isfinite(mean) and np.isfinite(std)):
+            kurt, skew = float("nan"), float("nan")
+        elif std > 0:
+            zc = (data - mean) / std
+            kurt = float(np.mean(zc**4) - 3.0)
+            skew = float(np.mean(zc**3))
+        else:
+            kurt, skew = 0.0, 0.0
     return {
         "data_min": float(np.min(data)),
         "data_max": float(np.max(data)),

@@ -233,8 +233,8 @@ class TestBoundedFitting:
         # CDF pinned to 0/1 at the bounds)
         s = best.sample(1000, random_state=7)
         assert s.min() >= 45.0 and s.max() <= 60.0
-        assert float(best.cdf(45.0)) == 0.0
-        assert float(best.cdf(60.0)) == 1.0
+        assert np.asarray(best.cdf(45.0)).item() == 0.0
+        assert np.asarray(best.cdf(60.0)).item() == 1.0
         q = best.ppf(np.array([0.0, 0.5, 1.0]))
         assert q[0] >= 45.0 and q[2] <= 60.0
         from spark_bestfit_spark.operators.generate import sample_best_fit

@@ -66,6 +66,25 @@ class TestExtremeMagnitudes:
         # must not raise; any finite-sse rows are acceptable
         assert res.count() >= 0
 
+    def test_data_stats_overflow_is_declared_sentinel(self):
+        """compute_data_stats at 1e300 magnitudes overflows the variance
+        square; the policy is std=inf, shape moments nan — and declared,
+        so no RuntimeWarning may leak (numpy's internal var/std used to
+        warn here)."""
+        import warnings
+
+        from spark_bestfit_spark.operators.fit import compute_data_stats
+
+        rng = np.random.default_rng(2)
+        vals = rng.uniform(1e299, 1e300, 500)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            stats = compute_data_stats(vals)
+        assert stats["data_stddev"] == float("inf")
+        assert np.isnan(stats["data_kurtosis"])
+        assert np.isnan(stats["data_skewness"])
+        assert np.isfinite(stats["data_mean"])
+
     def test_sse_overflow_is_declared_sentinel(self):
         """compute_sse at adversarial magnitudes must clamp to inf with NO
         RuntimeWarning leaking — the overflow sentinel is declared, not
