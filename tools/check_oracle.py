@@ -102,12 +102,22 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Coverage guarantee: a full run (no query args) must execute and
+    # compare EVERY oracle_sql() entry — tail demotion in queries() can
+    # never silently drop a query from the strict harness. Orphan
+    # oracles (an oracle key with no queries() entry) are a hard error.
+    orphans = sorted(set(oracles) - set(qs))
+    if orphans:
+        print(f"FAIL harness: oracle_sql keys with no queries() entry: {orphans}")
+        return 1
+    executed: set = set()
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name not in oracles:
             continue
+        executed.add(name)
         try:
             sdf = fn(spark, SF_DIR).toPandas()
             odf = con.execute(oracles[name]).df()
@@ -142,6 +152,14 @@ def main() -> int:
             print(f"ok   {name} ({len(sdf)} rows)  "
                   f"[s:{raw_dtype_report(sdf)} | o:{raw_dtype_report(odf)}]"
                   if only else f"ok   {name} ({len(sdf)} rows)")
+    if not only:
+        missing = sorted(set(oracles) - executed)
+        if missing:
+            n_fail += 1
+            print(f"FAIL harness: oracle_sql keys never executed: {missing}")
+        else:
+            print(f"coverage: all {len(executed)} oracle_sql entries "
+                  "executed and compared")
     print(f"\n{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 
