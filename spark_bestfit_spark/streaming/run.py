@@ -55,8 +55,11 @@ def run_stream_once(
         .start()
     )
     try:
-        query.awaitTermination(int(timeout))
+        # one deadline shared by awaitTermination and the defensive
+        # poll loop — the stated timeout bounds the WHOLE wait, not
+        # each phase
         deadline = time.time() + timeout
+        query.awaitTermination(int(timeout))
         while query.isActive and time.time() < deadline:
             time.sleep(0.25)
         if query.isActive:  # pragma: no cover - defensive

@@ -158,3 +158,75 @@ class TestWindowedStats:
         }
         # the late-but-within-watermark row is folded into its window
         assert streamed == batch
+
+
+class TestWatermarkEviction:
+    def test_update_mode_drops_rows_behind_watermark(self, spark, tmp_path):
+        """State EVICTION, not just accumulation: a later batch delivers
+        rows for windows the watermark has long passed — they must be
+        dropped, not resurrect evicted state or mint new late windows.
+
+        NB the late-row filter uses the watermark current when the
+        batch is PLANNED, which trails the just-ingested event-time
+        stats by one batch: data in batch N is filtered against the
+        horizon derived from batches <= N-2. The scenario leaves a
+        full batch between the watermark-advancing data (b0) and the
+        late data (b2), so the drop is unambiguous. File mtimes pin
+        the processing order, making the progression deterministic."""
+        import os
+
+        from spark_bestfit_spark.streaming.run import run_stream_once
+
+        def mk(rows):
+            df = pd.DataFrame(rows, columns=["ts", "k", "v"])
+            df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            return df
+
+        # b0 advances the watermark to 05:55 - 30min = 05:25
+        b0 = mk([
+            ("2024-01-01 00:01:00", "a", 1.0),
+            ("2024-01-01 00:08:00", "a", 2.0),
+            ("2024-01-01 05:55:00", "b", 20.0),
+        ])
+        # in-horizon update of the open 05:50 window
+        b1 = mk([
+            ("2024-01-01 05:58:00", "b", 10.0),
+        ])
+        # entirely late: 00:03 targets the EVICTED 00:00 window, 01:02
+        # would mint a new window hours behind the horizon
+        b2 = mk([
+            ("2024-01-01 00:03:00", "a", 100.0),
+            ("2024-01-01 01:02:00", "a", 200.0),
+        ])
+        src = tmp_path / "evict_src"
+        src.mkdir()
+        base = time.time() - 1000
+        for i, f in enumerate((b0, b1, b2)):
+            p = src / f"b{i}.parquet"
+            f.to_parquet(p)
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream.schema("ts timestamp, k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = run_stream_once(
+            windowed_stats(
+                stream, "ts", "v",
+                window_duration="10 minutes",
+                watermark_delay="30 minutes",
+                group_cols=["k"],
+            ),
+            output_mode="update",
+        )
+        emitted = sorted(
+            ((str(r.window_start), r.k), (r.n, r.total))
+            for r in out.collect()
+        )
+        # b0 emits both windows, b1 re-emits the updated 05:50 window,
+        # b2 emits NOTHING — its rows were dropped at the horizon
+        assert emitted == [
+            (("2024-01-01 00:00:00", "a"), (2, 3.0)),
+            (("2024-01-01 05:50:00", "b"), (1, 20.0)),
+            (("2024-01-01 05:50:00", "b"), (2, 30.0)),
+        ], emitted
