@@ -103,17 +103,59 @@ def _log_kv(nu: float, w) -> np.ndarray:
             out[small] = np.log(-np.log(w[small] / 2.0) - np.euler_gamma)
     big = ~small
     if np.any(big):
-        t = np.linspace(0.0, 22.0, 512)
-        dt = t[1] - t[0]
-        ch1 = np.cosh(t) - 1.0
-        with np.errstate(over="ignore"):
-            log_chn = np.log(np.cosh(nu * t))
-        expo = -np.outer(w[big], ch1) + log_chn[None, :]
-        m = expo.max(axis=1, keepdims=True)
-        s = np.exp(expo - m)
-        s[:, 0] *= 0.5
-        s[:, -1] *= 0.5
-        out[big] = m[:, 0] + np.log(s.sum(axis=1) * dt) - w[big]
+        wb = w[big]
+        res = np.empty_like(wb)
+        # Large-w regime: the integrand's peak width is ~1/sqrt(w), so
+        # a fixed [0, 22]/512 grid (dt = 0.043) under-resolves it past
+        # w ~ a few hundred. Hankel's asymptotic expansion
+        #   K_nu(w) ~ sqrt(pi/2w) e^{-w} [1 + (c-1)/8w
+        #             + (c-1)(c-9)/2!(8w)^2 + (c-1)(c-9)(c-25)/3!(8w)^3]
+        # (c = 4 nu^2) is accurate to ~1e-5 relative by w = 4000 for
+        # the shape ranges the fits explore (|nu| <~ 30).
+        ser = wb >= 4000.0
+        if np.any(ser):
+            ws = wb[ser]
+            c = 4.0 * nu * nu
+            u1 = (c - 1.0) / (8.0 * ws)
+            u2 = (c - 1.0) * (c - 9.0) / (2.0 * (8.0 * ws) ** 2)
+            u3 = (
+                (c - 1.0) * (c - 9.0) * (c - 25.0)
+                / (6.0 * (8.0 * ws) ** 3)
+            )
+            corr = np.clip(1.0 + u1 + u2 + u3, 1e-300, None)
+            res[ser] = (
+                0.5 * np.log(np.pi / (2.0 * ws)) - ws + np.log(corr)
+            )
+        quad = ~ser
+        if np.any(quad):
+            wq = wb[quad]
+            wmin, wmax = float(wq.min()), float(wq.max())
+            # range: past the (possibly nu-shifted) peak until the
+            # exponent has fallen ~745 below it for the slowest-
+            # decaying (smallest) w; resolution: ~5 nodes per peak
+            # width 1/sqrt(w) for the narrowest (largest) w, floored
+            # at the legacy 512 and capped at 4096
+            t_peak = float(np.arcsinh(nu / max(wmin, 1e-4)))
+            t_max = min(
+                22.0,
+                t_peak + float(np.arccosh(1.0 + 745.0 / wmin)) + 1.0,
+            )
+            n_nodes = int(
+                np.clip(np.ceil(t_max * np.sqrt(wmax) / 0.2), 512, 4096)
+            )
+            t = np.linspace(0.0, t_max, n_nodes)
+            dt = t[1] - t[0]
+            ch1 = np.cosh(t) - 1.0
+            # stable log cosh: |x| - ln 2 + log1p(e^{-2|x|})
+            ant = np.abs(nu * t)
+            log_chn = ant - np.log(2.0) + np.log1p(np.exp(-2.0 * ant))
+            expo = -np.outer(wq, ch1) + log_chn[None, :]
+            m = expo.max(axis=1, keepdims=True)
+            s = np.exp(expo - m)
+            s[:, 0] *= 0.5
+            s[:, -1] *= 0.5
+            res[quad] = m[:, 0] + np.log(s.sum(axis=1) * dt) - wq
+        out[big] = res
     return out
 
 
@@ -604,16 +646,65 @@ class KSOne(ContinuousDistribution):
         return (n0, 0.0, 1.0)
 
 
+_DURBIN_N_MAX = 20.0
+
+
+def _durbin_ks_cdf(d: float, n: int) -> float:
+    """Exact P(D_n < d) for integer n via the Marsaglia-Tsang-Wang
+    matrix form of Durbin's recursion (public algorithm: JSS 8(18),
+    2003): with k = ceil(nd), h = k - nd, m = 2k - 1, build the m x m
+    matrix H of the recursion, then P = n!/n^n * (H^n)[k-1, k-1].
+    No scaling tricks needed here — only dispatched for small n, where
+    n!/n^n and the matrix powers stay well inside float64."""
+    if d <= 0.0 or n < 1:
+        return 0.0
+    if d >= 1.0:
+        return 1.0
+    nd = n * d
+    k = int(np.ceil(nd))
+    h = k - nd
+    m = 2 * k - 1
+    H = np.zeros((m, m), dtype=np.float64)
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 >= 0:
+                H[i, j] = 1.0
+    for i in range(m):
+        H[i, 0] -= h ** (i + 1)
+        H[m - 1, i] -= h ** (m - i)
+    if 2.0 * h - 1.0 > 0.0:
+        H[m - 1, 0] += (2.0 * h - 1.0) ** m
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 > 0:
+                for g in range(2, i - j + 2):
+                    H[i, j] /= g
+    P = np.linalg.matrix_power(H, n)
+    s = float(P[k - 1, k - 1])
+    for i in range(1, n + 1):
+        s *= i / n
+    return float(np.clip(s, 0.0, 1.0))
+
+
 class KSTwo(ContinuousDistribution):
-    """Two-sided finite-n K-S statistic D_n via the Stephens-corrected
-    Kolmogorov limit: cdf(x; n) ~ K(x (sqrt n + 0.12 + 0.11/sqrt n)).
-    Documented approximation (abs err ~1e-3 for n >= 10, degrading
-    below — treat n_ < 10 results as indicative only); the reference
-    excludes kstwo by default for speed, and re-inclusion here trades
-    the exact Durbin matrix recursion scipy uses for this classical
-    correction. Fits whose MLE lands on a small n_ therefore diverge
-    from scipy beyond the documented tolerance; the re-inclusion parity
-    tests pin behavior at n_ >= 10."""
+    """Two-sided finite-n K-S statistic D_n.
+
+    Two regimes, dispatched on the shape ``n_``:
+
+    - ``n_ < 20``: the EXACT Durbin recursion (Marsaglia-Tsang-Wang
+      matrix form) at the neighboring integers, linearly interpolated
+      in n for fractional shape values (n_ is a continuous fit
+      parameter; the law itself is only defined at integers, and the
+      interpolation is exact there). This replaces the former
+      small-n use of the Stephens limit, which diverges below n=10.
+    - ``n_ >= 20``: the Stephens-corrected Kolmogorov limit
+      cdf(x; n) ~ K(x (sqrt n + 0.12 + 0.11/sqrt n)) — documented
+      approximation, abs err ~1e-3 in this regime.
+
+    The reference excludes kstwo by default for speed; re-inclusion
+    here matches scipy exactly for small n (the regime that matters
+    for the statistic) and to the documented Stephens tolerance above.
+    """
 
     name = "kstwo"
     shapes = ("n_",)
@@ -625,11 +716,65 @@ class KSTwo(ContinuousDistribution):
         sn = np.sqrt(max(float(n), 1.0))
         return sn + 0.12 + 0.11 / sn
 
+    # per-integer-n CDF tables on a fine d-grid: a fit evaluates the
+    # likelihood on thousands of sample points per NM iteration, and a
+    # matrix power per point would be quadratically slow — the table
+    # costs ~2000 small matrix powers once per integer n (<= 20 of
+    # them, cached for the process) and its linear-interpolation error
+    # is O(h^2 * pdf') ~ 1e-8, far below every stated tolerance
+    _DURBIN_GRID = np.linspace(0.0, 1.0, 2001)
+    _durbin_tables: dict = {}
+
+    @classmethod
+    def _durbin_table(cls, n: int) -> np.ndarray:
+        tab = cls._durbin_tables.get(n)
+        if tab is None:
+            tab = np.array(
+                [_durbin_ks_cdf(float(d), n) for d in cls._DURBIN_GRID]
+            )
+            cls._durbin_tables[n] = tab
+        return tab
+
+    @classmethod
+    def _durbin_interp_cdf(cls, z, n):
+        """CDF on the small-n branch: exact Durbin at floor/ceil of n,
+        linear in n between (exact at integers, monotone in d)."""
+        z = np.clip(
+            np.atleast_1d(np.asarray(z, dtype=np.float64)), 0.0, 1.0
+        )
+        n_lo = max(int(np.floor(n)), 1)
+        n_hi = int(np.ceil(n))
+        w = float(n) - np.floor(n) if n >= 1.0 else 0.0
+        out = np.interp(z, cls._DURBIN_GRID, cls._durbin_table(n_lo))
+        if n_hi != n_lo and w > 0.0:
+            out = (1.0 - w) * out + w * np.interp(
+                z, cls._DURBIN_GRID, cls._durbin_table(n_hi)
+            )
+        return out
+
     def _cdf(self, z, n_):
         z = np.asarray(z, dtype=np.float64)
+        n = float(n_)
+        if n < _DURBIN_N_MAX:
+            return self._durbin_interp_cdf(z, n)
         return 1.0 - sp.kolmogorov_sf(np.clip(z, 0.0, None) * self._stretch(n_))
 
     def _pdf(self, z, n_):
+        n = float(n_)
+        if n < _DURBIN_N_MAX:
+            # finite difference of the exact CDF, stencil clamped to
+            # the [0, 1] support (same scheme as KSOne._pdf)
+            zz = np.atleast_1d(np.asarray(z, dtype=np.float64))
+            h = 5e-6
+            lo = np.clip(zz - h, 0.0, 1.0)
+            hi = np.clip(zz + h, 0.0, 1.0)
+            width = np.where(hi > lo, hi - lo, 1.0)
+            return np.clip(
+                (self._durbin_interp_cdf(hi, n) - self._durbin_interp_cdf(lo, n))
+                / width,
+                0.0,
+                None,
+            )
         c = self._stretch(n_)
         zz = np.atleast_1d(np.asarray(z, dtype=np.float64)) * c
         return _kolmogorov_pdf(zz) * c

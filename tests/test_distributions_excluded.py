@@ -241,3 +241,140 @@ class TestEndToEndReinclusion:
         assert set(rows) == {"mielke", "recipinvgauss", "exponpow", "gamma"}
         for r in rows.values():
             assert np.isfinite(r["sse"])
+
+
+class TestKstwoDurbinSmallN:
+    """The exact small-n branch: Durbin's recursion (Marsaglia-Tsang-
+    Wang matrix form) replaces the Stephens limit below n=20, where the
+    limit's documented tolerance breaks down."""
+
+    def test_n1_closed_form(self):
+        from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: E501
+            _durbin_ks_cdf,
+        )
+
+        # P(D_1 < d) = 2d - 1 on [1/2, 1], 0 below
+        for d in (0.55, 0.6, 0.75, 0.9, 0.99):
+            assert _durbin_ks_cdf(d, 1) == pytest.approx(2 * d - 1, abs=1e-12)
+        assert _durbin_ks_cdf(0.3, 1) == 0.0
+        assert _durbin_ks_cdf(1.2, 1) == 1.0
+
+    def test_matches_monte_carlo(self):
+        from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: E501
+            _durbin_ks_cdf,
+        )
+
+        rng = np.random.default_rng(7)
+        for n in (3, 5, 8, 12):
+            u = np.sort(rng.uniform(size=(200_000, n)), axis=1)
+            i = np.arange(1, n + 1)
+            D = np.maximum(
+                (i / n - u).max(axis=1), (u - (i - 1) / n).max(axis=1)
+            )
+            for d in (0.2, 0.3, 0.45):
+                mc = float((D < d).mean())
+                assert _durbin_ks_cdf(d, n) == pytest.approx(mc, abs=4e-3)
+
+    def test_dispatch_uses_durbin_below_threshold(self):
+        from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: E501
+            _DURBIN_N_MAX,
+            _durbin_ks_cdf,
+        )
+
+        d = get_distribution("kstwo")
+        # integer n below the threshold: the class CDF is the exact
+        # Durbin value (table interpolation error << 1e-6)
+        for n in (2, 5, 9, 15, 19):
+            assert n < _DURBIN_N_MAX
+            for x in (0.1, 0.22, 0.37, 0.51):
+                got = float(d._cdf(np.array([x]), float(n))[0])
+                assert got == pytest.approx(
+                    _durbin_ks_cdf(x, n), abs=1e-6
+                ), (n, x)
+
+    def test_durbin_vs_stephens_within_documented_band(self):
+        """At the dispatch threshold the two branches must agree to the
+        Stephens limit's documented accuracy in its valid regime (the
+        body/upper tail); the left tail is why the exact branch exists."""
+        from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: E501
+            _durbin_ks_cdf,
+        )
+        from spark_bestfit_spark.functions import special as sp
+
+        d = get_distribution("kstwo")
+        for n in (20, 25, 40):
+            for x in (0.25, 0.3, 0.4):
+                steph = float(
+                    1.0
+                    - np.asarray(
+                        sp.kolmogorov_sf(np.array([x * d._stretch(n)]))
+                    )[0]
+                )
+                assert abs(_durbin_ks_cdf(x, n) - steph) < 2e-3, (n, x)
+
+    def test_fractional_n_interpolates_and_is_monotone(self):
+        d = get_distribution("kstwo")
+        xs = np.linspace(0.05, 0.95, 60)
+        for n in (4.5, 7.25, 18.9):
+            c = d._cdf(xs, n)
+            assert np.all(np.diff(c) >= -1e-12)
+            assert np.all((c >= 0.0) & (c <= 1.0))
+            lo = d._cdf(xs, float(np.floor(n)))
+            hi = d._cdf(xs, float(np.ceil(n)))
+            assert np.all(c >= np.minimum(lo, hi) - 1e-12)
+            assert np.all(c <= np.maximum(lo, hi) + 1e-12)
+
+    def test_pdf_integrates_to_one_small_n(self):
+        d = get_distribution("kstwo")
+        xs = np.linspace(0.0, 1.0, 4001)
+        for n in (3.0, 8.0, 15.0):
+            pdf = d._pdf(xs, n)
+            integral = float(np.trapz(pdf, xs))
+            assert integral == pytest.approx(1.0, abs=5e-3), n
+
+
+class TestLogKvLargeArgument:
+    """The log-Bessel quadrature must stay accurate when the integrand
+    narrows (width ~ 1/sqrt(w)): large w dispatches to Hankel's
+    asymptotic expansion and the mid range scales its node count, so
+    genhyperbolic/geninvgauss log-pdfs hold ~1e-5 accuracy everywhere
+    (the former fixed 512-node grid degraded past w ~ a few hundred)."""
+
+    @staticmethod
+    def _ref_log_kv(nu, w):
+        nu = abs(nu)
+        t_peak = np.arcsinh(nu / w)
+        t_max = t_peak + np.arccosh(1.0 + 745.0 / w) + 2.0
+        t = np.linspace(0.0, t_max, 200001)
+        ant = np.abs(nu * t)
+        log_chn = ant - np.log(2.0) + np.log1p(np.exp(-2.0 * ant))
+        expo = -w * (np.cosh(t) - 1.0) + log_chn
+        m = expo.max()
+        s = np.exp(expo - m)
+        s[0] *= 0.5
+        s[-1] *= 0.5
+        return m + np.log(s.sum() * (t[1] - t[0])) - w
+
+    def test_accuracy_across_regimes(self):
+        from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: E501
+            _log_kv,
+        )
+
+        for nu in (0.0, 0.5, 2.0, 7.3, 25.0):
+            for w in (0.5, 50.0, 500.0, 2000.0, 3999.0, 4001.0, 1e5):
+                got = float(_log_kv(nu, np.array([w]))[0])
+                assert got == pytest.approx(
+                    self._ref_log_kv(nu, w), abs=5e-5
+                ), (nu, w)
+
+    def test_known_half_order_value(self):
+        # K_{1/2}(w) = sqrt(pi/(2w)) e^{-w} exactly
+        from spark_bestfit_spark.functions.distributions.continuous_excluded import (  # noqa: E501
+            _log_kv,
+        )
+
+        for w in (1.0, 10.0, 333.0, 5e4):
+            expect = 0.5 * np.log(np.pi / (2.0 * w)) - w
+            assert float(_log_kv(0.5, np.array([w]))[0]) == pytest.approx(
+                expect, abs=2e-5
+            ), w
