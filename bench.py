@@ -14,6 +14,25 @@ Queries mirror the reference's published benchmark axes (BASELINE.md):
   q_fit_5dists_10k  — 5 distributions, 10k rows (baseline 0.46 s, <= ~1 s)
   q_fit_multi3      — one fit over 3 lineitem columns, 12 dists
   q_hist_600k       — keystone histogram aggregate alone (full scan)
+
+Instrumentation: every query line carries {wall, n_jobs, n_stages}
+(Spark job/stage counts for the best timed round, via per-round job
+groups + the status tracker) in the "detail" key, so a wall-clock
+regression can be attributed — same plan under JVM/GC pressure keeps
+its counts; plan drift changes them.
+
+Attribution/fresh-session runs: SPARK_GRAFT_BENCH_QUERIES=q_a,q_b
+restricts the run to those queries (comma-separated). Running one
+query in a fresh process IS the fresh-session measurement.
+
+Scale-curve lines (SPARK_GRAFT_SF1=0 to skip): lineitem and documents
+are replicated 10x into .scale_cache/sf1 (built once, reused across
+runs; documents get per-replica word suffixes so the duplicate rate —
+and therefore the dedup workload shape — matches the base corpus) and
+four headliners rerun at ~6M lineitem rows / 50k docs:
+q_fit_full_sf1, q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1. The
+histogram-based fit design predicts near-flat fit time (O(N) scan +
+O(C·D·B) driver/fan-out work) and linear histogram/dedup/K-S scans.
 """
 
 from __future__ import annotations
@@ -27,8 +46,18 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", os.path.join(repo, ".scale_cache", "sf1")
+    )
+    run_sf1 = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+        if q.strip()
+    }
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     from spark_bestfit_spark.fitter import DistributionFitter
     from spark_bestfit_spark.operators.histogram import compute_histogram
     from spark_bestfit_spark.session import get_spark
@@ -39,6 +68,7 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
 
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -53,6 +83,17 @@ def main() -> None:
     ).count()
 
     timings: dict = {}
+    details: dict = {}
+
+    def _group_counts(group: str):
+        st = sc.statusTracker()
+        jids = st.getJobIdsForGroup(group)
+        n_stages = 0
+        for jid in jids:
+            info = st.getJobInfo(jid)
+            if info is not None:
+                n_stages += len(info.stageIds)
+        return len(jids), n_stages
 
     def bench(name, fn, rounds=3):
         # one untimed warm-up round then the best of `rounds` timed
@@ -63,14 +104,28 @@ def main() -> None:
         # cluster amortizes across queries; min-of-N damps scheduler
         # noise on a shared machine (rounds=2 for the multi-second fit
         # queries keeps total bench wall-time bounded)
+        if only and name not in only:
+            return None
         fn()
         best = float("inf")
+        best_counts = (0, 0)
         out = None
-        for _ in range(rounds):
+        for r in range(rounds):
+            group = f"{name}:{r}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            sc.setJobGroup("bench-idle", "idle")
+            if dt < best:
+                best = dt
+                best_counts = _group_counts(group)
         timings[name] = round(best, 3)
+        details[name] = {
+            "wall": round(best, 3),
+            "n_jobs": best_counts[0],
+            "n_stages": best_counts[1],
+        }
         return out
 
     bench(
@@ -260,6 +315,19 @@ def main() -> None:
         rounds=2,
     )
 
+    # exact distributed two-sample K-S (partitioned two-phase prefix
+    # sum): the sf0.1 anchor for the sf1.0 scale-curve line below
+    from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+    li_a = lineitem.filter("l_returnflag = 'A'")
+    li_n = lineitem.filter("l_returnflag = 'N'")
+    two_sample_ks_df(li_a.limit(1000), li_n.limit(1000), "l_quantity")  # warm
+    bench(
+        "q_two_sample_ks",
+        lambda: two_sample_ks_df(li_a, li_n, "l_quantity").first(),
+        rounds=3,
+    )
+
     # copula sampling throughput (baseline: 199 ms/1M local via scipy-C;
     # ours is the distributed mapInPandas path over numpy special fns)
     import numpy as np
@@ -286,6 +354,80 @@ def main() -> None:
     copula.sample(1000)  # warm the cached z-tables
     bench("q_copula_local_1m", lambda: copula.sample(1_000_000))
 
+    # ---- sf1.0 scale curve (10x replication, built once, reused) ----
+    if run_sf1 and (
+        not only
+        or {"q_fit_full_sf1", "q_hist_sf1", "q_minhash_sf1",
+            "q_two_sample_ks_sf1"} & only
+    ):
+        li1_path = os.path.join(scale_dir, "lineitem.parquet")
+        docs1_path = os.path.join(scale_dir, "documents.parquet")
+        reps = spark.range(10).select(F.col("id").alias("_rep"))
+        if not os.path.isdir(li1_path):
+            (
+                lineitem.select(
+                    "l_extendedprice", "l_quantity", "l_returnflag"
+                )
+                .crossJoin(F.broadcast(reps))
+                .drop("_rep")
+                .repartition(int(cpus))
+                .write.mode("overwrite")
+                .parquet(li1_path)
+            )
+        if not os.path.isdir(docs1_path):
+            # per-replica word suffixes keep replicas textually
+            # disjoint, so the corpus duplicate RATE (the dedup
+            # workload shape) matches the base corpus at 10x the size
+            text1 = FB.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(
+                            w, F.col("_rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            (
+                docs.select("doc_id", "text")
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (
+                        F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)
+                    ).alias("doc_id"),
+                    text1.alias("text"),
+                )
+                .repartition(int(cpus))
+                .write.mode("overwrite")
+                .parquet(docs1_path)
+            )
+        li1 = spark.read.parquet(li1_path)
+        docs1 = spark.read.parquet(docs1_path)
+        li1.count()
+        bench(
+            "q_fit_full_sf1",
+            lambda: fitter.fit(li1, column="l_extendedprice").count(),
+            rounds=2,
+        )
+        bench(
+            "q_hist_sf1",
+            lambda: compute_histogram(li1, "l_extendedprice", bins=50),
+            rounds=2,
+        )
+        bench(
+            "q_minhash_sf1",
+            lambda: minhash_dedup_pairs(docs1, threshold=0.7).count(),
+            rounds=1,
+        )
+        l1a = li1.filter("l_returnflag = 'A'")
+        l1n = li1.filter("l_returnflag = 'N'")
+        bench(
+            "q_two_sample_ks_sf1",
+            lambda: two_sample_ks_df(l1a, l1n, "l_quantity").first(),
+            rounds=2,
+        )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -295,6 +437,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "detail": details,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -370,6 +370,11 @@ class DistributionFitter:
         results = FitResults(
             result_df, registry=self.registry, samples=samples,
             broadcasts=broadcasts, source=(src, config),
+            # lazy fits are KNOWN deferred -> best() skips the probe
+            # job; eager fits stay on the cached probe (censored fits
+            # legitimately carry all-null KS and must keep behaving as
+            # deferred there)
+            deferred_metrics=True if config.lazy_metrics else None,
         )
         if config.progress_callback is not None:
             # materialize the fan-out under a tracked job group so the
@@ -451,6 +456,7 @@ class DistributionFitter:
         return FitResults(
             result_df, registry=self.registry, samples=samples,
             broadcasts=broadcasts, source=(src, config),
+            deferred_metrics=True if config.lazy_metrics else None,
         )
 
 

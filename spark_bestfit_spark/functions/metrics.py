@@ -99,6 +99,46 @@ def compute_ks(dist, params, data: np.ndarray):
         return float("inf"), 0.0
 
 
+def compute_ks_and_ad(dist, params, sorted_x: np.ndarray):
+    """K-S statistic + p-value AND Anderson-Darling A² from ONE model
+    CDF evaluation over an already-sorted sample.
+
+    The lazy-metrics recompute path calls this once per candidate: the
+    separate compute_ks/compute_ad entry points each re-sort the data
+    and re-evaluate the CDF, which doubles the dominant cost (the CDF
+    of quadrature-backed kernels) for callers that want both. Values
+    are bit-identical to the separate functions (the K-S branch uses
+    the raw CDF, the A-D branch the epsilon-clipped copy, exactly as
+    they do).
+
+    Returns (d, p, a2)."""
+    try:
+        x = np.asarray(sorted_x, dtype=np.float64)
+        n = x.size
+        if n == 0:
+            return float("nan"), float("nan"), float("nan")
+        cdf = np.asarray(dist.cdf(x, *params), dtype=np.float64)
+        if not np.all(np.isfinite(cdf)):
+            return float("inf"), 0.0, float("inf")
+        i = np.arange(1, n + 1)
+        d = float(max(np.max(i / n - cdf), np.max(cdf - (i - 1) / n)))
+        sqn = np.sqrt(n)
+        p = float(
+            np.asarray(
+                sp.kolmogorov_sf(d * (sqn + 0.12 + 0.11 / sqn))
+            ).ravel()[0]
+        )
+        p = min(max(p, 0.0), 1.0)
+        clipped = np.clip(cdf, NUMERICAL_EPSILON, 1.0 - NUMERICAL_EPSILON)
+        s = np.sum(
+            (2 * i - 1) * (np.log(clipped) + np.log(1.0 - clipped[::-1]))
+        )
+        a2 = -n - s / n
+        return d, p, float(a2) if np.isfinite(a2) else float("inf")
+    except Exception:  # noqa: BLE001
+        return float("inf"), 0.0, float("inf")
+
+
 def compute_ad(dist, params, data: np.ndarray) -> float:
     """Anderson-Darling A² with epsilon-clipped CDF values."""
     try:

@@ -216,11 +216,18 @@ class FitResults:
         cache: bool = True,
         broadcasts: list | None = None,
         source: tuple | None = None,
+        deferred_metrics: bool | None = None,
     ):
         self._df = df.cache() if cache else df
         self._registry = registry or DistributionRegistry()
         self._samples = samples or {}
+        self._sorted_samples: dict = {}
         self._broadcasts = broadcasts or []
+        # True/False when the creator knows whether KS/AD were skipped
+        # at fit time (lazy_metrics); None = unknown -> probe the
+        # relation once and cache (loaded results, external relations)
+        self._deferred_metrics = deferred_metrics
+        self._deferred_probe: dict = {}
         # (source DataFrame, FitterConfig) for deterministic sample
         # recreation (reference SA5: same df + seed => same sample)
         self._source = source
@@ -291,11 +298,26 @@ class FitResults:
 
     def _metric_is_deferred(self, metric: str) -> bool:
         """True when the requested metric was skipped at fit time
-        (lazy_metrics=True) and must be recomputed from the sample."""
+        (lazy_metrics=True) and must be recomputed from the sample.
+
+        The fitter stamps ``deferred_metrics`` at construction so the
+        common path costs NO Spark job; only results of unknown
+        provenance (loads, external relations) probe the relation, and
+        that probe runs once per metric (one combined aggregate job,
+        cached)."""
         if metric not in self._LAZY_METRICS:
             return False
-        have = self._df.filter(F.col(metric).isNotNull()).limit(1).count()
-        return have == 0 and self._df.limit(1).count() > 0
+        if self._deferred_metrics is not None:
+            return self._deferred_metrics
+        cached = self._deferred_probe.get(metric)
+        if cached is None:
+            row = self._df.agg(
+                F.count(F.col(metric)).alias("have"),
+                F.count("*").alias("n"),
+            ).first()
+            cached = row["have"] == 0 and row["n"] > 0
+            self._deferred_probe[metric] = cached
+        return cached
 
     def _get_sample(self, column: str):
         """Cached fitting sample, or a deterministic recreation from the
@@ -331,10 +353,27 @@ class FitResults:
         self._samples[column] = sample
         return sample
 
+    def _get_sorted_sample(self, column: str):
+        """Sorted view of the fitting sample, cached per column: every
+        lazy-metric recompute over the same column shares one sort
+        instead of re-sorting per candidate distribution."""
+        cached = self._sorted_samples.get(column)
+        if cached is None:
+            cached = np.sort(
+                np.asarray(self._get_sample(column), dtype=np.float64)
+            )
+            self._sorted_samples[column] = cached
+        return cached
+
     def _recompute_metrics(self, result: DistributionFitResult) -> None:
         """Fill KS/AD (+p-values) in place from the cached fitting sample
-        (reference lazy path: collection.py:1008-1120, metrics.py:325-382)."""
-        sample = self._get_sample(result.column_name)
+        (reference lazy path: collection.py:1008-1120, metrics.py:325-382).
+
+        One model-CDF evaluation per candidate over the shared
+        pre-sorted sample serves both statistics — the CDF (often a
+        quadrature-backed kernel) dominates this path, so the batched
+        form halves the recompute cost vs separate KS and AD passes."""
+        sample = self._get_sorted_sample(result.column_name)
         from spark_bestfit_spark.functions import metrics as M
 
         dist = self._registry.resolve(result.distribution)
@@ -350,8 +389,7 @@ class FitResults:
             dist = TruncatedDistribution(
                 dist, params, result.lower_bound, result.upper_bound
             )
-        ks, p = M.compute_ks(dist, params, sample)
-        ad = M.compute_ad(dist, params, sample)
+        ks, p, ad = M.compute_ks_and_ad(dist, params, sample)
         result.ks_statistic = ks if np.isfinite(ks) else None
         result.pvalue = p if np.isfinite(p) else None
         result.ad_statistic = ad if np.isfinite(ad) else None
@@ -402,7 +440,8 @@ class FitResults:
         ]
         new_df = spark.createDataFrame(rows, schema=FIT_RESULT_SCHEMA)
         return FitResults(
-            new_df, registry=self._registry, samples=self._samples
+            new_df, registry=self._registry, samples=self._samples,
+            deferred_metrics=False,
         )
 
     # -------------------------------------------------------------- queries
@@ -468,6 +507,7 @@ class FitResults:
             samples=self._samples,
             cache=False,
             source=self._source,
+            deferred_metrics=self._deferred_metrics,
         )
 
     def filter(
@@ -496,6 +536,7 @@ class FitResults:
         return FitResults(
             df, registry=self._registry, samples=self._samples, cache=False,
             source=self._source,
+            deferred_metrics=self._deferred_metrics,
         )
 
     def summary(self) -> dict:
