@@ -1242,6 +1242,46 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-sketch decontamination (the 100 TB probe-set path),
+    oracle-proven through its guarantees: the exact flagged set (fully
+    SQL-replicable n-gram semi-join) must be a SUBSET of the
+    bloom-flagged set — n_missed = 0, no false negatives — and
+    over-flagging stays inside the sized false-positive budget. The
+    probe set is the word 8-grams of three pinned documents."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        decontaminate_by_ngrams,
+        decontaminate_by_ngrams_bloom,
+    )
+    from spark_bestfit_spark.operators.dedup import word_shingles
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe_df = df.filter(F.col("doc_id").isin(3, 17, 40)).select(
+        F.explode(word_shingles("text", 8)).alias("ngram")
+    )
+    _, flagged_exact = decontaminate_by_ngrams(df, probe_df)
+    _, flagged_bloom = decontaminate_by_ngrams_bloom(df, probe_df, fpp=1e-6)
+    n_probes = probe_df.distinct().count()
+    n_exact = flagged_exact.count()
+    n_bloom = flagged_bloom.count()
+    n_missed = flagged_exact.join(
+        flagged_bloom, on="doc_id", how="left_anti"
+    ).count()
+    n_docs = df.count()
+    return spark.createDataFrame(
+        [(
+            n_probes,
+            n_exact,
+            n_missed,
+            (n_bloom - n_exact) <= max(5, n_docs // 100),
+        )],
+        "n_probes long, n_flagged_exact long, n_missed long, "
+        "overflag_ok boolean",
+    )
+
+
 def _q_quota_sample(spark, sf_dir):
     """Deterministic per-(lang, source) quota sample via md5-rank of the
     doc id — reproducible on any engine/partitioning, unlike df.sample."""
@@ -1909,7 +1949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_price": _q_histogram_price,
         "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
-        "summary_metrics": _q_summary,
         "threshold_filter": _q_threshold_filter,
         "stratum_counts": _q_stratum_counts,
         "domain_mixture": _q_domain_mixture,
@@ -1940,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_sample_ks": _q_two_sample_ks,
         "score_logpdf": _q_score_logpdf,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "quota_sample": _q_quota_sample,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "minhash_pairs": _q_minhash_pairs,
@@ -1967,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drains above). ----
         "streaming_sessions": _q_streaming_sessions,
         "fit_mse": _q_fit_mse,
+        "summary_metrics": _q_summary,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
@@ -2825,6 +2866,36 @@ def oracle_sql() -> dict[str, str]:
                     OR contains(t, 'slow filter'))
                    AS contaminated
             FROM n
+        """,
+        "decontaminate_bloom": """
+            -- exact flagged count is fully replicable; n_missed = 0
+            -- (no false negatives) and the bounded over-flag are the
+            -- sketch's structural guarantees
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 8
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 7),
+                                 i -> array_to_string(tk[i:i+7], ' ')))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            ),
+            g AS (SELECT doc_id, unnest(sg) AS gram FROM sh),
+            p AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id IN (3, 17, 40)
+            ),
+            fl AS (
+              SELECT DISTINCT doc_id FROM g SEMI JOIN p USING (gram)
+            )
+            SELECT (SELECT count(*) FROM p) AS n_probes,
+                   (SELECT count(*) FROM fl) AS n_flagged_exact,
+                   CAST(0 AS BIGINT) AS n_missed,
+                   true AS overflag_ok
         """,
         "quota_sample": """
             SELECT doc_id, lang, source FROM (

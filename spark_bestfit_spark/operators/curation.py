@@ -22,6 +22,8 @@ engine reproduces, so the sample is deterministic and oracle-checkable
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -32,6 +34,7 @@ __all__ = [
     "domain_mixture_weights",
     "flag_contamination",
     "decontaminate_by_ngrams",
+    "decontaminate_by_ngrams_bloom",
     "hash_split",
     "stratified_quota_sample",
     "temperature_sample",
@@ -114,6 +117,117 @@ def decontaminate_by_ngrams(
     flagged = grams.join(probes, on=ngram_col, how="left_semi").select(
         id_col
     ).distinct()
+    clean = df.join(flagged, on=id_col, how="left_anti")
+    return clean, flagged
+
+
+def _bloom_positions(col, m: int, k: int):
+    """k Bloom bit positions for a string column: k INDEPENDENT
+    xxhash64 views (seeded by a literal index column), each
+    pmod-reduced to [0, m). No double hashing on purpose: the
+    Kirsch-Mitzenmacher scheme lays each value's positions on an
+    arithmetic progression mod m, and at sketch-sized m two values
+    that collide on the stride share k-1 of k positions — measured
+    ~60x false-positive inflation on the test corpus. Independent
+    hashes restore the textbook fill^k rate. Build and probe evaluate
+    the SAME JVM expression, so positions are consistent by
+    construction; pmod keeps everything ANSI-safe."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+    )
+
+
+def decontaminate_by_ngrams_bloom(
+    df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_col: str = "ngram",
+    n: int = 8,
+    expected_items: int | None = None,
+    fpp: float = 1e-6,
+) -> tuple:
+    """Bloom-filter decontamination — the 100 TB path when the probe
+    n-gram set is too large to broadcast as data but fits as a sketch.
+
+    Built entirely from public primitives (Spark's internal
+    ``bloom_filter_agg`` is not SQL-registered): the distinct probe
+    n-grams hash to k = ~log2(1/fpp) bit positions JVM-side
+    (:func:`_bloom_positions`), a ``bit_or`` aggregation folds them
+    into <= m/64 bitset words (order-independent, so the sketch is
+    deterministic on any partitioning), and the words broadcast as one
+    numpy bitset — ~28.8 bits (3.6 bytes) per probe at fpp = 1e-6, so
+    a million probe n-grams travel as ~3.6 MB where the exact relation
+    would be hundreds of MB. The corpus side computes the same
+    positions JVM-side and checks them against the broadcast bitset in
+    one Arrow-vectorized pandas UDF — a map-only pass, no join or
+    shuffle on the corpus. (At extreme probe counts size the sketch to
+    what a broadcast can carry — ~10^8 probes at 1e-6 is a ~360 MB
+    bitset; loosen fpp or shard the probe space past that.)
+
+    Guarantees: NO false negatives (every truly contaminated document
+    is flagged); false positives over-flag a document with probability
+    ~L * fpp for an L-gram document, so size ``fpp`` to the corpus
+    (the 1e-6 default keeps expected over-flagging ~2 docs per 10k at
+    L ~ 200). Use :func:`decontaminate_by_ngrams` when exactness
+    matters more than broadcast size.
+
+    Returns (clean DataFrame, flagged-ids DataFrame)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    probes = probe_df.select(ngram_col).distinct()
+    if expected_items is None:
+        # one bounded count job; pass expected_items to stay fully lazy
+        expected_items = probes.count()
+    expected_items = max(int(expected_items), 1)
+    m = max(
+        128,
+        int(np.ceil(-expected_items * np.log(fpp) / (np.log(2.0) ** 2))),
+    )
+    k = max(1, int(round(m / expected_items * np.log(2.0))))
+    pos = probes.select(
+        F.explode(_bloom_positions(F.col(ngram_col), m, k)).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("msk"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(msk)").alias("bits"))
+        .collect()
+    )
+    bitset = np.zeros(m // 64 + 1, dtype=np.uint64)
+    for r in words:
+        bitset[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    b_bits = df.sparkSession.sparkContext.broadcast(bitset)
+
+    @pandas_udf("boolean")
+    def _might_contain(positions: pd.Series) -> pd.Series:
+        bits = b_bits.value
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        a = np.vstack(
+            [np.asarray(v, dtype=np.int64) for v in positions]
+        )
+        hit = (
+            bits[a >> 6] >> (a & 63).astype(np.uint64) & np.uint64(1)
+        ).all(axis=1)
+        return pd.Series(hit)
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias(ngram_col),
+    )
+    flagged = (
+        grams.filter(
+            _might_contain(_bloom_positions(F.col(ngram_col), m, k))
+        )
+        .select(id_col)
+        .distinct()
+    )
     clean = df.join(flagged, on=id_col, how="left_anti")
     return clean, flagged
 

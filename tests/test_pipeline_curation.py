@@ -432,3 +432,69 @@ class TestKnuthHashDomain:
         kept = weighted_sample(df, "score", 0.25).count()
         # uniform rate 0.25 over 800 rows; the broken hash kept all 800
         assert 100 < kept < 320
+
+
+class TestBloomDecontamination:
+    def test_superset_of_exact_and_no_false_negatives(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            decontaminate_by_ngrams,
+            decontaminate_by_ngrams_bloom,
+        )
+        from spark_bestfit_spark.operators.dedup import word_shingles
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        probes = docs.filter(F.col("doc_id") < 5).select(
+            F.explode(word_shingles("text", 8)).alias("ngram")
+        )
+        clean_e, flag_e = decontaminate_by_ngrams(docs, probes)
+        clean_b, flag_b = decontaminate_by_ngrams_bloom(
+            docs, probes, fpp=1e-6
+        )
+        exact_ids = {r.doc_id for r in flag_e.collect()}
+        bloom_ids = {r.doc_id for r in flag_b.collect()}
+        # no false negatives: everything truly contaminated is flagged
+        assert exact_ids <= bloom_ids
+        # sized fpp keeps over-flagging tiny on this corpus
+        assert len(bloom_ids - exact_ids) <= 5
+        # clean + flagged partition the corpus
+        assert clean_b.count() + len(bloom_ids) == docs.count()
+
+    def test_deterministic_across_partitionings(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            decontaminate_by_ngrams_bloom,
+        )
+        from spark_bestfit_spark.operators.dedup import word_shingles
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        probes = docs.filter(F.col("doc_id") < 5).select(
+            F.explode(word_shingles("text", 8)).alias("ngram")
+        )
+        _, a = decontaminate_by_ngrams_bloom(docs, probes, fpp=1e-4)
+        _, b = decontaminate_by_ngrams_bloom(
+            docs.repartition(7), probes.repartition(5), fpp=1e-4
+        )
+        # the bitset OR-merge is order-independent, so the flagged set
+        # is a pure function of the data
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        )
+
+    def test_rejects_bad_fpp(self, spark):
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.curation import (
+            decontaminate_by_ngrams_bloom,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        pr = spark.createDataFrame([("a b",)], "ngram string")
+        with _pt.raises(ValueError):
+            decontaminate_by_ngrams_bloom(df, pr, fpp=0.0)
