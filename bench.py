@@ -315,6 +315,31 @@ def main() -> None:
         rounds=2,
     )
 
+    # Bloom-sketch decontamination: map-only corpus pass against a
+    # broadcast bitset built from ~200 probe docs' 8-grams
+    from spark_bestfit_spark.operators.curation import (
+        decontaminate_by_ngrams_bloom,
+    )
+    from spark_bestfit_spark.operators.dedup import word_shingles
+
+    bloom_probes = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(F.explode(word_shingles("text", 8)).alias("ngram"))
+        .cache()
+    )
+    n_bloom_probes = bloom_probes.distinct().count()
+    # the sf0.1 documents table is a single parquet split; lay it out
+    # as a real multi-split corpus so the map-only probe parallelizes
+    bloom_docs = docs.repartition(int(cpus)).cache()
+    bloom_docs.count()
+    bench(
+        "q_bloom_decontam",
+        lambda: decontaminate_by_ngrams_bloom(
+            bloom_docs, bloom_probes, expected_items=n_bloom_probes
+        )[1].count(),
+        rounds=3,
+    )
+
     # exact distributed two-sample K-S (partitioned two-phase prefix
     # sum): the sf0.1 anchor for the sf1.0 scale-curve line below
     from spark_bestfit_spark.operators.stats import two_sample_ks_df

@@ -204,27 +204,30 @@ def decontaminate_by_ngrams_bloom(
         bitset[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
     b_bits = df.sparkSession.sparkContext.broadcast(bitset)
 
-    @pandas_udf("boolean")
-    def _might_contain(positions: pd.Series) -> pd.Series:
+    def _mc(*cols):
+        # k flat long columns, each checked in one vectorized pass —
+        # passing array<long> instead costs a per-row vstack that
+        # dominated the whole operator (~3x wall) at bench scale
         bits = b_bits.value
-        if len(positions) == 0:
-            return pd.Series([], dtype=bool)
-        a = np.vstack(
-            [np.asarray(v, dtype=np.int64) for v in positions]
-        )
-        hit = (
-            bits[a >> 6] >> (a & 63).astype(np.uint64) & np.uint64(1)
-        ).all(axis=1)
-        return pd.Series(hit)
+        one = np.uint64(1)
+        acc = None
+        for c in cols:
+            a = c.to_numpy(dtype=np.int64)
+            hit = (bits[a >> 6] >> (a & 63).astype(np.uint64)) & one
+            acc = hit if acc is None else (acc & hit)
+        return pd.Series(acc.astype(bool))
 
+    _might_contain = pandas_udf(_mc, "boolean")
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(ngram_col), F.lit(i)), F.lit(m))
+        for i in range(k)
+    ]
     grams = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, n)).alias(ngram_col),
     )
     flagged = (
-        grams.filter(
-            _might_contain(_bloom_positions(F.col(ngram_col), m, k))
-        )
+        grams.filter(_might_contain(*pos_cols))
         .select(id_col)
         .distinct()
     )
