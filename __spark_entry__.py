@@ -1021,6 +1021,19 @@ def _q_corpus_splits(spark, sf_dir):
     )
 
 
+def _q_packed_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing at seq_len=1024 (+1 EOS per
+    doc) over the documents table in doc_id order: per-doc global
+    token offset and the sequence-id span it covers — the partitioned
+    prefix-sum path, exactly replayed by the oracle's window SQL."""
+    from spark_bestfit_spark.operators.curation import (
+        pack_training_sequences,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_training_sequences(df, seq_len=1024, sep_tokens=1)
+
+
 def _q_doc_dup_ngrams(spark, sf_dir):
     """Cross-document repeated 8-gram stats (substring-dedup candidate
     phase): per doc, distinct 8-grams, how many occur in >=2 docs, and
@@ -2008,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "fit_mse": _q_fit_mse,
         "summary_metrics": _q_summary,
+        "packed_sequences": _q_packed_sequences,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
@@ -2866,6 +2880,30 @@ def oracle_sql() -> dict[str, str]:
                     OR contains(t, 'slow filter'))
                    AS contaminated
             FROM n
+        """,
+        "packed_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, n_tokens + 1 AS eff,
+                     sum(n_tokens + 1) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum - eff AS BIGINT) AS start_offset,
+                   CAST((cum - eff) // 1024 AS BIGINT) AS first_seq,
+                   CAST((cum - 1) // 1024 AS BIGINT) AS last_seq,
+                   CAST((cum - 1) // 1024 - (cum - eff) // 1024 + 1
+                        AS BIGINT) AS n_seqs
+            FROM c
         """,
         "decontaminate_bloom": """
             -- exact flagged count is fully replicable; n_missed = 0

@@ -36,6 +36,7 @@ __all__ = [
     "decontaminate_by_ngrams",
     "decontaminate_by_ngrams_bloom",
     "hash_split",
+    "pack_training_sequences",
     "stratified_quota_sample",
     "temperature_sample",
     "weighted_sample",
@@ -454,6 +455,41 @@ def assign_training_shards(
 
     Output: (id_col, n_tokens, shard_id).
     """
+    cum = _cumulative_tokens(
+        df, text_col, id_col, order_col, num_buckets,
+        caller="assign_training_shards",
+    )
+    if cum is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "n_tokens long, shard_id long"
+        )
+    return cum.select(
+        F.col(id_col),
+        "n_tokens",
+        F.floor(
+            (F.col("_cum") - F.col("_eff")) / F.lit(tokens_per_shard)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def _cumulative_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    order_col: str | None,
+    num_buckets: int,
+    caller: str,
+    sep_tokens: int = 0,
+) -> DataFrame | None:
+    """Global running token totals over a deterministic ordering — the
+    partitioned two-phase prefix sum shared by training-shard
+    assignment and sequence packing (see assign_training_shards for
+    the scale argument). Returns (id_col, n_tokens, _eff, _cum) where
+    ``_eff = n_tokens + sep_tokens`` is the summed value and ``_cum``
+    its inclusive running total; None when the input is empty."""
     from pyspark.sql import Window
     from pyspark.sql.types import DateType, NumericType, TimestampType
 
@@ -473,7 +509,7 @@ def assign_training_shards(
         )
     else:
         raise TypeError(
-            f"assign_training_shards: order column {order!r} has type "
+            f"{caller}: order column {order!r} has type "
             f"{order_type.simpleString()}; only numeric, timestamp, and "
             "date order columns are supported — derive a numeric rank "
             "(e.g. a hash or an id) first"
@@ -483,6 +519,7 @@ def assign_training_shards(
         F.col(id_col),
         ord_expr.alias("_ord"),
         toks.cast("long").alias("n_tokens"),
+        (toks.cast("long") + F.lit(int(sep_tokens))).alias("_eff"),
     )
     spark = df.sparkSession
     stats = base.agg(
@@ -492,16 +529,13 @@ def assign_training_shards(
     ).first()
     if stats["n_null"]:
         raise ValueError(
-            f"assign_training_shards: {stats['n_null']} rows have a null "
+            f"{caller}: {stats['n_null']} rows have a null "
             f"order value in {order!r}; a null has no position in the "
             "cumulative-token ordering — filter them or choose another "
             "order column"
         )
     if stats["lo"] is None:
-        return spark.createDataFrame(
-            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
-            "n_tokens long, shard_id long"
-        )
+        return None
     lo, hi = float(stats["lo"]), float(stats["hi"])
     bk = (
         F.width_bucket(F.col("_ord"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
@@ -510,7 +544,7 @@ def assign_training_shards(
     )
     bucketed = base.withColumn("_bk", bk)
     btot = (
-        bucketed.groupBy("_bk").agg(F.sum("n_tokens").alias("t")).collect()
+        bucketed.groupBy("_bk").agg(F.sum("_eff").alias("t")).collect()
     )
     off = 0
     offsets = []
@@ -523,11 +557,67 @@ def assign_training_shards(
     w = Window.partitionBy("_bk").orderBy("_ord", id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.col("_off") + F.sum("n_tokens").over(w)
+    cum = F.col("_off") + F.sum("_eff").over(w)
     return bucketed.join(F.broadcast(off_df), "_bk").select(
+        F.col(id_col), "n_tokens", "_eff", cum.alias("_cum")
+    )
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    sep_tokens: int = 1,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    document stream into fixed-length training sequences: documents are
+    concatenated in a deterministic order (``sep_tokens`` separator/EOS
+    tokens after each doc) and the token stream is cut every
+    ``seq_len`` tokens, so a document may span several sequences.
+
+    Built on the same partitioned two-phase prefix sum as
+    :func:`assign_training_shards` (no global sort, no
+    single-partition window; driver sees <= num_buckets rows), with
+    the chunk arithmetic a map-only epilogue — exactly
+    SQL-mirrorable, so an oracle can replay the packing row-for-row.
+
+    Output per document: (id_col, n_tokens, start_offset, first_seq,
+    last_seq, n_seqs) where start_offset is the document's global
+    token offset, first_seq/last_seq the sequence ids covering its
+    span (separator included), and n_seqs how many sequences it
+    touches (>1 means the doc crosses chunk boundaries)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if sep_tokens < 0:
+        raise ValueError("sep_tokens must be non-negative")
+    cum = _cumulative_tokens(
+        df, text_col, id_col, order_col, num_buckets,
+        caller="pack_training_sequences", sep_tokens=sep_tokens,
+    )
+    if cum is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "n_tokens long, start_offset long, first_seq long, "
+            "last_seq long, n_seqs long"
+        )
+    # pure 64-bit integer DIV (never a double: offsets at 100 TB exceed
+    # 2^53 tokens)
+    tmp = cum.select(
         F.col(id_col),
         "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(tokens_per_shard))
-        .cast("long")
-        .alias("shard_id"),
+        (F.col("_cum") - F.col("_eff")).alias("_start"),
+        (F.col("_cum") - F.lit(1)).alias("_cend"),
+    )
+    first = F.expr(f"_start DIV {int(seq_len)}")
+    last = F.expr(f"_cend DIV {int(seq_len)}")
+    return tmp.select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("_start").alias("start_offset"),
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (last - first + F.lit(1)).cast("long").alias("n_seqs"),
     )

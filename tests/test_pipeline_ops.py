@@ -691,3 +691,74 @@ class TestProfileTable:
         # approx profile must not shuffle per column: one expand-free agg
         plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
         assert "Expand" not in plan
+
+
+class TestSequencePacking:
+    def test_exact_chunk_arithmetic(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+
+        # 4 docs x 10 tokens + 1 sep = 11 effective; seq_len 16:
+        # doc0 [0,11) -> seqs 0..0; doc1 [11,22) -> 0..1 (crosses);
+        # doc2 [22,33) -> 1..2 (crosses); doc3 [33,44) -> 2..2
+        rows = [(i, " ".join(["tok"] * 10)) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in pack_training_sequences(df, seq_len=16).collect()
+        }
+        assert out[0]["start_offset"] == 0
+        assert (out[0]["first_seq"], out[0]["last_seq"]) == (0, 0)
+        assert (out[1]["first_seq"], out[1]["last_seq"]) == (0, 1)
+        assert out[1]["n_seqs"] == 2
+        assert (out[2]["first_seq"], out[2]["last_seq"]) == (1, 2)
+        assert (out[3]["first_seq"], out[3]["last_seq"]) == (2, 2)
+        assert all(r["n_tokens"] == 10 for r in out.values())
+
+    def test_matches_naive_window_on_documents(self, docs, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+
+        got = {
+            r["doc_id"]: (r["start_offset"], r["first_seq"], r["last_seq"])
+            for r in pack_training_sequences(docs, seq_len=512).collect()
+        }
+        toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        naive = docs.select(
+            "doc_id", (toks + 1).cast("long").alias("eff")
+        ).withColumn("cum", F.sum("eff").over(w))
+        for r in naive.collect():
+            start = r["cum"] - r["eff"]
+            assert got[r["doc_id"]] == (
+                start, start // 512, (r["cum"] - 1) // 512
+            ), r["doc_id"]
+
+    def test_validation_and_determinism(self, docs, spark):
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+
+        with _pt.raises(ValueError):
+            pack_training_sequences(docs, seq_len=0)
+        with _pt.raises(ValueError):
+            pack_training_sequences(docs, seq_len=8, sep_tokens=-1)
+        a = sorted(
+            map(tuple, pack_training_sequences(docs, 256).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                pack_training_sequences(docs.repartition(7), 256).collect(),
+            )
+        )
+        assert a == b
