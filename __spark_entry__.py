@@ -847,6 +847,31 @@ def _q_streaming_moments(spark, sf_dir):
     )
 
 
+def _q_streaming_neardup(spark, sf_dir):
+    """Ingest-time NEAR-dup dropping: MinHash signatures (6 portable
+    hashes) key the streaming dedup state across 4 micro-batches; the
+    emitted signature SET is batching-invariant and equals the batch
+    DISTINCT over the same SQL-portable signature computation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.dedup import streaming_minhash_dedup
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    stream = _read_stream(spark, sf_dir, "documents")
+    deduped = streaming_minhash_dedup(
+        stream.select("doc_id", "text"),
+        num_hashes=6,
+        shingle_k=3,
+        keep_signature=True,
+    )
+    out = run_stream_once(
+        deduped.select(F.col("_sig").alias("sig")), output_mode="append"
+    )
+    # the SET of signatures is deterministic; the per-signature first
+    # arrival is not (staging split is arbitrary), so emit only sigs
+    return out.select("sig").distinct()
+
+
 def _q_streaming_late_data(spark, sf_dir):
     """Watermarked state EVICTION, oracle-proven: an update-mode drain
     of ``windowed_stats`` (1-hour tumbling windows, 30-minute
@@ -2022,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_mse": _q_fit_mse,
         "summary_metrics": _q_summary,
         "packed_sequences": _q_packed_sequences,
+        "streaming_neardup": _q_streaming_neardup,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
@@ -2556,6 +2582,40 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE qt IN (1, 3)
             GROUP BY window_start, event_type
+        """,
+        "streaming_neardup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(sg, s ->
+                       ('0x' || substr(md5(s), 1, 14))::BIGINT % 1000000007)
+                       AS hs
+              FROM sh
+            ),
+            sig AS (
+              SELECT concat_ws('-',
+                       list_min(list_transform(hs, x -> (3 * x + 101) % 1000000007)),
+                       list_min(list_transform(hs, x -> (5 * x + 211) % 1000000007)),
+                       list_min(list_transform(hs, x -> (7 * x + 307) % 1000000007)),
+                       list_min(list_transform(hs, x -> (11 * x + 401) % 1000000007)),
+                       list_min(list_transform(hs, x -> (13 * x + 503) % 1000000007)),
+                       list_min(list_transform(hs, x -> (17 * x + 601) % 1000000007))) AS sig
+              FROM h
+            )
+            SELECT DISTINCT sig FROM sig
         """,
         "streaming_dedup": """
             SELECT DISTINCT

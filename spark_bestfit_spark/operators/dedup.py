@@ -40,6 +40,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     partitions than half the cluster's cores — e.g. one small parquet
     file). At real scale inputs already have thousands of partitions and
     this is a no-op, so no shuffle is added to the 100 TB path."""
+    if df.isStreaming:
+        # partitioning is the source's concern in a stream, and .rdd is
+        # not defined on streaming DataFrames
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(target // 2, 2):
@@ -169,27 +173,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<bigint>) — K permuted min-hashes over the
     shingle set, fully vectorized with higher-order array functions."""
-    if num_hashes > len(_A):
-        raise ValueError(f"num_hashes must be <= {len(_A)}")
     df = ensure_parallelism(df)
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("_shingles")
-    )
-    hashed = sh.withColumn(
-        "_h",
-        F.transform(
-            "_shingles", lambda s: portable_hash64(s) % F.lit(_P)
+    return df.select(
+        id_col,
+        minhash_signature_col(text_col, num_hashes, shingle_k).alias(
+            "minhash"
         ),
     )
-    mins = [
-        F.array_min(
-            F.transform(
-                "_h", lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P)
-            )
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.select(id_col, F.array(*mins).alias("minhash"))
+
+
+def minhash_signature_col(
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 3,
+) -> Column:
+    """The MinHash signature as a single column expression
+    (array<bigint>), usable on batch AND streaming DataFrames — all
+    JVM higher-order functions, no Python."""
+    if num_hashes > len(_A):
+        raise ValueError(f"num_hashes must be <= {len(_A)}")
+    hashes = F.transform(
+        word_shingles(text_col, shingle_k),
+        lambda s: portable_hash64(s) % F.lit(_P),
+    )
+    # bind the (md5-backed) shingle hashing ONCE through a one-element
+    # transform: the K permutation minima reference the lambda variable,
+    # not K copies of the hashing subtree — single evaluation guaranteed
+    # without leaning on codegen subexpression elimination
+    return F.transform(
+        F.array(hashes),
+        lambda hs: F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs,
+                        lambda h: (F.lit(_A[i]) * h + F.lit(_B[i]))
+                        % F.lit(_P),
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )[0]
 
 
 def minhash_lsh_candidates(

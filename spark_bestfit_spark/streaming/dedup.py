@@ -22,7 +22,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["streaming_exact_dedup", "fingerprint_column"]
+__all__ = [
+    "streaming_exact_dedup",
+    "streaming_minhash_dedup",
+    "fingerprint_column",
+]
 
 
 def fingerprint_column(text_col: str = "text"):
@@ -58,3 +62,50 @@ def streaming_exact_dedup(
     else:
         out = out.dropDuplicates(["_fp"])
     return out if keep_fingerprint else out.drop("_fp")
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+    keep_signature: bool = False,
+) -> DataFrame:
+    """Ingest-time NEAR-duplicate dropping: the stream's MinHash
+    signature (same JVM higher-order-function kernel as the batch
+    tier, ``operators/dedup.minhash_signature_col``) keys the dedup
+    state, so a document whose full signature was already seen — a
+    near-identical shingle set, not just byte-identical text — is
+    dropped at ingest. An exact K-hash signature match means Jaccard
+    ~1 (a lower-similarity pair collides with probability J^K), which
+    catches the whitespace/case/boilerplate near-dups that dominate
+    crawler refetches while never dropping genuinely distinct content
+    the way banded LSH could. Pair ``event_time_col`` + ``watermark``
+    to bound the state to the horizon
+    (``dropDuplicatesWithinWatermark``), exactly as in
+    :func:`streaming_exact_dedup`.
+
+    Emits the FIRST arrival per signature with a ``_sig`` string
+    column; the signature hashing is SQL-portable (md5-based), so the
+    emitted set equals a batch DISTINCT over the same computation —
+    oracle-checkable."""
+    from spark_bestfit_spark.operators.dedup import minhash_signature_col
+
+    out = stream.withColumn(
+        "_sig",
+        F.concat_ws(
+            "-", minhash_signature_col(text_col, num_hashes, shingle_k)
+        ),
+    )
+    if watermark is not None:
+        if event_time_col is None:
+            raise ValueError(
+                "watermarked dedup needs event_time_col for the watermark"
+            )
+        out = out.withWatermark(event_time_col, watermark)
+        out = out.dropDuplicatesWithinWatermark(["_sig"])
+    else:
+        out = out.dropDuplicates(["_sig"])
+    return out if keep_signature else out.drop("_sig")

@@ -117,3 +117,89 @@ class TestStreamingDedup:
         # batch-1 dup (doc 3) is within the 30-minute horizon of doc 0
         assert 2 not in got and 3 not in got
         assert {0, 1, 4} <= got
+
+
+class TestStreamingMinhashDedup:
+    def test_near_dups_dropped_across_batches(self, spark, tmp_path):
+        import os
+        import time
+
+        import pandas as pd
+
+        from spark_bestfit_spark.streaming.dedup import (
+            streaming_minhash_dedup,
+        )
+        from spark_bestfit_spark.streaming.run import run_stream_once
+
+        base = "the quick brown fox jumps over the lazy dog again"
+        b0 = pd.DataFrame(
+            {"doc_id": [0, 1], "text": [base, "totally different words"]}
+        )
+        # batch 2: case/whitespace near-dup of doc 0 (same shingle set
+        # after normalization -> same signature) + one new doc
+        b1 = pd.DataFrame(
+            {
+                "doc_id": [2, 3],
+                "text": [
+                    "The  QUICK brown fox jumps over the lazy dog again",
+                    "yet another brand new document body",
+                ],
+            }
+        )
+        src = tmp_path / "mh_src"
+        src.mkdir()
+        t0 = time.time() - 100
+        for i, f in enumerate((b0, b1)):
+            p = src / f"b{i}.parquet"
+            f.to_parquet(p)
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = run_stream_once(
+            streaming_minhash_dedup(stream, keep_signature=True),
+            output_mode="append",
+        )
+        rows = sorted(r.doc_id for r in out.collect())
+        # doc 2's signature equals doc 0's -> dropped; 3 survives
+        assert rows == [0, 1, 3]
+
+    def test_matches_batch_distinct_signatures(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.dedup import (
+            minhash_signature_col,
+        )
+        from spark_bestfit_spark.streaming.dedup import (
+            streaming_minhash_dedup,
+        )
+        from spark_bestfit_spark.streaming.run import run_stream_once
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        src = tmp_path / "mh_docs"
+        docs.repartition(3).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = run_stream_once(
+            streaming_minhash_dedup(stream, keep_signature=True),
+            output_mode="append",
+        )
+        streamed_sigs = sorted(r["_sig"] for r in out.collect())
+        batch_sigs = sorted(
+            r["s"]
+            for r in docs.select(
+                F.concat_ws("-", minhash_signature_col("text", 8, 3)).alias(
+                    "s"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        assert streamed_sigs == batch_sigs
