@@ -18,11 +18,16 @@ import pyspark.sql.functions as F
 from spark_bestfit_spark import get_spark
 from spark_bestfit_spark.operators.curation import (
     assign_training_shards,
+    decontaminate_by_ngrams_bloom,
     domain_mixture_weights,
     hash_split,
+    pack_training_sequences,
     temperature_sample,
 )
-from spark_bestfit_spark.operators.dedup import duplicated_ngram_stats
+from spark_bestfit_spark.operators.dedup import (
+    duplicated_ngram_stats,
+    word_shingles,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,6 +42,15 @@ def main() -> None:
     dup = duplicated_ngram_stats(docs, n=8)
     n_flagged = dup.filter(F.col("shared_fraction") > 0.5).count()
     print(f"docs >50% duplicated 8-grams: {n_flagged}")
+
+    # 0b. decontaminate against an eval set via the Bloom sketch — the
+    # probe n-grams travel as ~3.6 bytes each, and the corpus pass is
+    # map-only (no join); here the "eval set" is three held-out docs
+    eval_probes = docs.filter(F.col("doc_id").isin(3, 17, 40)).select(
+        F.explode(word_shingles("text", 8)).alias("ngram")
+    )
+    docs, flagged = decontaminate_by_ngrams_bloom(docs, eval_probes)
+    print(f"decontamination flagged {flagged.count()} docs (bloom sketch)")
 
     # 1. inspect the natural domain mix and the T=0.7 flattened weights
     weights = domain_mixture_weights(
@@ -63,6 +77,17 @@ def main() -> None:
     shards.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
     ).orderBy("shard_id").show(8)
+
+    # 5. pack the train split into fixed-length sequences (concat +
+    # chunk at seq_len tokens, 1 EOS per doc) — the docs that span a
+    # chunk boundary are the ones a loader must split
+    packed = pack_training_sequences(train, seq_len=256)
+    n_seqs = packed.agg(F.max("last_seq")).first()[0] + 1
+    crossers = packed.filter(F.col("n_seqs") > 1).count()
+    print(
+        f"packed into {n_seqs} sequences of 256 tokens; "
+        f"{crossers} docs cross a boundary"
+    )
 
     spark.stop()
 
