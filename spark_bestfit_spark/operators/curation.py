@@ -187,7 +187,10 @@ def decontaminate_by_ngrams_bloom(
         128,
         int(np.ceil(-expected_items * np.log(fpp) / (np.log(2.0) ** 2))),
     )
-    k = max(1, int(round(m / expected_items * np.log(2.0))))
+    # optimal k ~ (m/n) ln2 ~ log2(1/fpp); the cap only binds when the
+    # m floor (128 bits) dominates a tiny probe set, where extra
+    # hashes add cost without meaningfully moving the fp rate
+    k = min(30, max(1, int(round(m / expected_items * np.log(2.0)))))
     pos = probes.select(
         F.explode(_bloom_positions(F.col(ngram_col), m, k)).alias("p")
     )
