@@ -45,16 +45,19 @@ __all__ = [
 _KNUTH_A = 2654435761  # Knuth's 2^32 multiplicative-hash constant
 
 
-def _knuth_u(id_expr):
-    """``u = (id * 2654435761 mod 2^32) / 2^32`` in ``[0, 1)`` — exact
-    over the whole long domain.
+def _knuth_u(id_expr, seed: int = 0):
+    """``u = ((id + seed) * 2654435761 mod 2^32) / 2^32`` in ``[0, 1)``
+    — exact over the whole long domain.
 
-    The naive ``(id * A) % 2^32`` breaks outside small positive ids:
-    Spark's ``%`` keeps the dividend's sign (negative ids → negative u),
-    ``id * A`` wraps int64 for ``id >= ~3.5e9`` (negative u again), and
-    under ``spark.sql.ansi.enabled`` the multiply throws instead. Since
-    the hash only depends on ``id mod 2^32``, evaluate it in 16-bit
-    limbs: with ``x = pmod(id, 2^32) = hi·2^16 + lo``,
+    The naive ``((id + seed) * A) % 2^32`` breaks outside small
+    positive ids: Spark's ``%`` keeps the dividend's sign (negative
+    ids → negative u), ``id * A`` wraps int64 for ``id >= ~3.5e9``
+    (negative u again), and under ``spark.sql.ansi.enabled`` the
+    multiply — or the seed add at ``id`` near the long max — throws
+    instead. Since the hash only depends on ``(id + seed) mod 2^32``,
+    reduce FIRST (the seed folds in after the pmod, so the add can
+    never overflow either), then evaluate in 16-bit limbs: with
+    ``x = pmod(id + seed, 2^32) = hi·2^16 + lo``,
 
         A·x mod 2^32 = (A·hi mod 2^16)·2^16 + A·lo   (mod 2^32)
 
@@ -64,6 +67,8 @@ def _knuth_u(id_expr):
     small positive ids, are unchanged).
     """
     x = F.pmod(id_expr.cast("long"), F.lit(4294967296))
+    if seed:
+        x = F.pmod(x + F.lit(int(seed)), F.lit(4294967296))
     hi = F.floor(x / F.lit(65536)).cast("long")
     lo = x - hi * F.lit(65536)
     h = F.pmod(
@@ -371,7 +376,7 @@ def weighted_sample(
     totals = base.agg(
         F.sum(w).alias("_tw"), F.count("*").alias("_n")
     )
-    u = _knuth_u(F.col(id_col).cast("long") + F.lit(int(seed)))
+    u = _knuth_u(F.col(id_col), seed)
     rate = F.least(
         F.lit(1.0),
         w * F.lit(float(target_fraction)) * F.col("_n") / F.col("_tw"),
@@ -407,7 +412,7 @@ def hash_split(
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    u = _knuth_u(F.col(id_col).cast("long") + F.lit(int(seed)))
+    u = _knuth_u(F.col(id_col), seed)
     names = list(weights)
     acc = 0.0
     expr = F.lit(names[-1])  # the last interval absorbs rounding

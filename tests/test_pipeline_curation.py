@@ -498,3 +498,51 @@ class TestBloomDecontamination:
         pr = spark.createDataFrame([("a b",)], "ngram string")
         with _pt.raises(ValueError):
             decontaminate_by_ngrams_bloom(df, pr, fpp=0.0)
+
+
+class TestAnsiModeSafety:
+    """The docstrings claim the hash samplers and bloom positions are
+    ANSI-safe (no overflowing multiply/add for Spark to throw on).
+    Prove it: same extreme-id inputs, ansi on, identical outputs."""
+
+    def test_hash_and_bloom_survive_ansi(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            _bloom_positions,
+            _knuth_u,
+            hash_split,
+        )
+
+        ids = [0, -1, -12345, 3_500_000_000, 2**62, -(2**62), 2**63 - 1]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        texts = spark.createDataFrame(
+            [("some probe gram",), ("another one",)], "ngram string"
+        )
+
+        def run():
+            u = {
+                r["doc_id"]: r["u"]
+                for r in df.select(
+                    "doc_id", _knuth_u(F.col("doc_id")).alias("u")
+                ).collect()
+            }
+            splits = sorted(
+                (r["doc_id"], r["split"]) for r in hash_split(df).collect()
+            )
+            pos = sorted(
+                tuple(r["p"])
+                for r in texts.select(
+                    _bloom_positions(F.col("ngram"), 4096, 5).alias("p")
+                ).collect()
+            )
+            return u, splits, pos
+
+        before = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            after = run()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+        assert before == after
+        assert all(0.0 <= v < 1.0 for v in before[0].values())
