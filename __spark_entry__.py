@@ -1059,6 +1059,22 @@ def _q_packed_sequences(spark, sf_dir):
     return pack_training_sequences(df, seq_len=1024, sep_tokens=1)
 
 
+def _q_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval for a 3-term query over the documents
+    table — scores rounded to 6 decimals, deterministic
+    (score DESC, doc_id) ordering, full SQL replica on the oracle
+    side."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import bm25_topk
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(df, ["spark", "window", "agg"], k=10)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_matched_terms"
+    )
+
+
 def _q_doc_dup_ngrams(spark, sf_dir):
     """Cross-document repeated 8-gram stats (substring-dedup candidate
     phase): per doc, distinct 8-grams, how many occur in >=2 docs, and
@@ -2048,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_metrics": _q_summary,
         "packed_sequences": _q_packed_sequences,
         "streaming_neardup": _q_streaming_neardup,
+        "bm25_search": _q_bm25_search,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
@@ -2940,6 +2957,52 @@ def oracle_sql() -> dict[str, str]:
                     OR contains(t, 'slow filter'))
                    AS contaminated
             FROM n
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       ::DOUBLE AS dl
+              FROM documents
+            ),
+            corpus AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf
+              FROM toks WHERE tok IN ('spark', 'window', 'agg')
+              GROUP BY doc_id, tok
+            ),
+            idf AS (
+              SELECT tok,
+                     ln(1 + (n_docs - count(DISTINCT doc_id) + 0.5)
+                            / (count(DISTINCT doc_id) + 0.5)) AS idf
+              FROM tf, corpus
+              GROUP BY tok, n_docs
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))
+                       AS c
+              FROM tf
+              JOIN idf USING (tok)
+              JOIN dl USING (doc_id)
+              CROSS JOIN corpus
+            )
+            SELECT doc_id,
+                   round(sum(c), 6) AS score,
+                   count(*) AS n_matched_terms
+            FROM contrib
+            GROUP BY doc_id
+            ORDER BY sum(c) DESC, doc_id
+            LIMIT 10
         """,
         "packed_sequences": """
             WITH t AS (

@@ -257,3 +257,90 @@ def flag_pii(
             f"{prefix}{kind}", F.col(text_col).rlike(PII_PATTERNS[kind])
         )
     return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k document retrieval for a bag of query terms — the
+    text-side complement to the embedding ANN operators (triage for
+    decontamination hits, dedup clusters, targeted corpus audits).
+
+    Okapi BM25 with the standard (k1, b) defaults and the
+    non-negative idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``:
+
+        score(d) = sum_t idf(t) * tf(t,d) * (k1 + 1)
+                   / (tf(t,d) + k1 * (1 - b + b * len(d)/avgdl))
+
+    Shuffle profile at 100 TB: the exploded token stream is filtered
+    to the query terms BEFORE any shuffle (the groupBy carries only
+    matching rows — a handful per document), document lengths are one
+    corpus aggregation, and the per-term document frequencies are a
+    <= |query|-row relation joined by broadcast. No full-corpus join,
+    no unfiltered wide shuffle. Deterministic ties: (score DESC, id).
+
+    Returns the top-k (id_col, score, n_matched_terms) rows."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = sorted({str(t).lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    doclen = df.select(
+        F.col(id_col),
+        F.size(_tokens(F.col(text_col))).cast("double").alias("dl"),
+    )
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = toks.filter(F.col("tok").isin(terms))
+    tf = matched.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(doclen, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("score"),
+            F.count("*").cast("long").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -762,3 +762,47 @@ class TestSequencePacking:
             )
         )
         assert a == b
+
+
+class TestBM25:
+    def test_known_scores_tiny_corpus(self, spark):
+        import math
+
+        from spark_bestfit_spark.operators.textstats import bm25_topk
+
+        rows = [
+            (0, "spark window agg spark"),
+            (1, "spark row"),
+            (2, "totally unrelated words here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, ["spark", "agg"], k=3)
+        got = {r.doc_id: (r.score, r.n_matched_terms) for r in out.collect()}
+        # hand-computed BM25 (k1=1.2, b=0.75, N=3, avgdl=10/3)
+        N, avgdl, k1, b = 3, 10 / 3, 1.2, 0.75
+
+        def bm25(tf, dl, dfreq):
+            idf = math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        exp0 = bm25(2, 4, 2) + bm25(1, 4, 1)  # spark tf=2 df=2; agg tf=1 df=1
+        exp1 = bm25(1, 2, 2)
+        assert got[0][0] == pytest.approx(exp0, rel=1e-9)
+        assert got[0][1] == 2
+        assert got[1][0] == pytest.approx(exp1, rel=1e-9)
+        assert 2 not in got  # no matching term -> never scored
+        # ranking: doc 0 above doc 1
+        order = [r.doc_id for r in out.collect()]
+        assert order == [0, 1]
+
+    def test_validation_and_documents_run(self, docs):
+        from spark_bestfit_spark.operators.textstats import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(docs, [])
+        with pytest.raises(ValueError):
+            bm25_topk(docs, ["x"], k=0)
+        top = bm25_topk(docs, ["spark", "window", "agg"], k=5).collect()
+        assert 0 < len(top) <= 5
+        scores = [r.score for r in top]
+        assert scores == sorted(scores, reverse=True)
