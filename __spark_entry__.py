@@ -1679,6 +1679,21 @@ def _fit_invariants(res_df, extra_cols=()):
     return res_df.groupBy("column_name").agg(*aggs)
 
 
+def _q_fit_grouped(spark, sf_dir):
+    """Per-GROUP fitting (fit_grouped — constant job count in the
+    number of groups; a Spark-first extension with no reference
+    analog): 12 distributions against l_extendedprice for each
+    l_returnflag group, reduced to the exact per-group invariant
+    relation (same convention as fit_price)."""
+    from spark_bestfit_spark.fitter import DistributionFitter
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = DistributionFitter(spark).fit_grouped(
+        df, "l_extendedprice", "l_returnflag", max_distributions=12
+    )
+    return _fit_invariants(res.df)
+
+
 def _q_fit_price(spark, sf_dir):
     """Eager continuous fit on l_extendedprice (20-dist prefix) reduced
     to its exact invariant relation."""
@@ -2065,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "streaming_neardup": _q_streaming_neardup,
         "bm25_search": _q_bm25_search,
+        "fit_grouped": _q_fit_grouped,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
@@ -2957,6 +2973,22 @@ def oracle_sql() -> dict[str, str]:
                     OR contains(t, 'slow filter'))
                    AS contaminated
             FROM n
+        """,
+        "fit_grouped": """
+            SELECT 'l_extendedprice[A]' AS column_name,
+                   CAST(12 AS BIGINT) AS n_results,
+                   CAST(0 AS BIGINT) AS n_failed_visible,
+                   CAST(3 AS BIGINT) AS n_nonfinite_ic,
+                   CAST(0 AS BIGINT) AS n_identity_violations,
+                   'betaprime' AS best_aic_dist
+            UNION ALL
+            SELECT 'l_extendedprice[N]', CAST(12 AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+                   CAST(0 AS BIGINT), 'burr'
+            UNION ALL
+            SELECT 'l_extendedprice[R]', CAST(12 AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+                   CAST(0 AS BIGINT), 'bradford'
         """,
         "bm25_search": """
             WITH toks AS (

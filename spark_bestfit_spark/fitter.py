@@ -388,6 +388,216 @@ class DistributionFitter:
                 results.count()
         return results
 
+    def fit_grouped(
+        self,
+        df: DataFrame,
+        column: str,
+        group_col: str,
+        distributions: list | None = None,
+        config: FitterConfig | None = None,
+        max_groups: int = 200,
+        **kwargs,
+    ) -> FitResults:
+        """Fit the distribution library to one column PER GROUP — a
+        Spark-first extension the single-node reference cannot express:
+        every per-group prelude is batched into one cluster pass, so
+        the job count is constant in the number of groups.
+
+        - per-group min/max/count: ONE groupBy aggregation;
+        - per-group histograms: ONE scan (`width_bucket` against the
+          group's own [lo, hi] bounds joined in by broadcast, then a
+          (group, bin) groupBy — map-side combined, <= G x bins rows
+          collected);
+        - per-group fitting samples: ONE `sampleBy` pass (per-group
+          fractions sized to the fitting sample), truncated
+          deterministically driver-side;
+        - ONE (group, distribution) fan-out through the same
+          LPT-packed engine as multi-column fits.
+
+        Results land in the standard relation with
+        ``column_name = f"{column}[{group}]"``, so the whole query
+        surface — ``best_per_column``, thresholds, lazy metrics —
+        works per group unchanged.
+
+        Driver memory holds G histograms + G samples (~90 KB each), so
+        the operator targets grouping keys with up to ``max_groups``
+        distinct values (domains, return flags, languages...) and
+        raises beyond that; rows with a null group are excluded (a
+        null key names no group). At 100 TB: two full scans + one
+        sample pass, all shuffles carrying <= G x bins rows.
+        """
+        df = _ensure_spark_df(self.spark, df)
+        config = (config or FitterConfig()).with_(**kwargs) if kwargs else (
+            config or FitterConfig()
+        )
+        self._validate(df, [column], config)
+        if group_col not in df.columns:
+            raise ValueError(f"group column {group_col!r} not found")
+        if distributions:
+            self._validate_names(distributions)
+        from spark_bestfit_spark.operators.stats import valid_column
+
+        clean = valid_column(df, column).filter(
+            F.col(group_col).isNotNull()
+        )
+        stats_rows = (
+            clean.groupBy(group_col)
+            .agg(
+                F.min(column).alias("lo"),
+                F.max(column).alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        if not stats_rows:
+            return self._empty_results()
+        if len(stats_rows) > max_groups:
+            raise ValueError(
+                f"fit_grouped: {len(stats_rows)} groups exceed "
+                f"max_groups={max_groups}; the per-group histograms and "
+                "samples are driver-resident — aggregate or bucket the "
+                "key first, or raise max_groups deliberately"
+            )
+        gstats = {
+            r[group_col]: {
+                "min": float(r["lo"]), "max": float(r["hi"]),
+                "count": int(r["n"]),
+            }
+            for r in stats_rows
+        }
+        target = config.fitting_sample_size
+        # ONE stratified sample pass: per-group keep fractions sized to
+        # ~1.3x the fitting sample (same oversample-then-truncate
+        # convention as build_fitting_sample)
+        fractions = {
+            g: min(1.0, (target * 1.3) / s["count"])
+            for g, s in gstats.items()
+        }
+        pdf = (
+            clean.select(group_col, column)
+            .sampleBy(group_col, fractions, seed=config.random_seed)
+            .toPandas()
+        )
+        rng = np.random.default_rng(config.random_seed)
+        samples_by_group: dict = {}
+        for g, sub in pdf.groupby(group_col, sort=False):
+            arr = sub[column].to_numpy(dtype=np.float64)
+            arr = arr[np.isfinite(arr)]
+            if arr.size > target:
+                arr = rng.choice(arr, size=target, replace=False)
+            samples_by_group[g] = arr
+        # ONE histogram scan for all non-degenerate groups: broadcast
+        # the per-group bounds, bucket each row against ITS group's
+        # edges, aggregate (group, bin)
+        edges_by_group: dict = {}
+        hist_by_group: dict = {}
+        bounds_rows = []
+        for g, s in gstats.items():
+            if s["min"] == s["max"]:
+                hist_by_group[g] = (
+                    np.array([1.0]), np.array([s["min"]])
+                )
+                continue
+            bins = config.bins
+            if config.use_rice_rule:
+                bins = max(
+                    int(np.ceil(s["count"] ** (1.0 / 3.0)) * 2), 2
+                )
+            bins = max(int(bins), 2)
+            eps = (s["max"] - s["min"]) * 1e-10
+            edges_by_group[g] = np.linspace(
+                s["min"], s["max"] + eps, bins + 1
+            )
+            bounds_rows.append((g, s["min"], s["max"] + eps, bins))
+        if bounds_rows:
+            gtype = clean.schema[group_col].dataType.simpleString()
+            bounds_df = self.spark.createDataFrame(
+                bounds_rows,
+                f"_g {gtype}, _lo double, _hi double, _nb int",
+            )
+            counts = (
+                clean.join(
+                    F.broadcast(bounds_df),
+                    clean[group_col] == bounds_df["_g"],
+                )
+                .filter(
+                    (F.col(column) >= F.col("_lo"))
+                    & (F.col(column) < F.col("_hi"))
+                )
+                .select(
+                    "_g",
+                    F.width_bucket(
+                        F.col(column), F.col("_lo"), F.col("_hi"),
+                        F.col("_nb"),
+                    ).alias("_bin"),
+                )
+                .groupBy("_g", "_bin")
+                .agg(F.count("*").alias("_c"))
+                .collect()
+            )
+            acc: dict = {
+                g: np.zeros(len(e) - 1) for g, e in edges_by_group.items()
+            }
+            for r in counts:
+                arr = acc[r["_g"]]
+                b = int(r["_bin"])
+                if 1 <= b <= arr.size:
+                    arr[b - 1] = float(r["_c"])
+            for g, cnts in acc.items():
+                edges = edges_by_group[g]
+                widths = np.diff(edges)
+                total = cnts.sum()
+                hist_by_group[g] = (
+                    cnts / (total * widths) if total > 0 else cnts,
+                    edges,
+                )
+        plans: dict = {}
+        samples: dict = {}
+        for g in gstats:
+            sample = samples_by_group.get(g)
+            if sample is None or sample.size < 2 or g not in hist_by_group:
+                continue
+            label = f"{column}[{g}]"
+            samples[label] = sample
+            method = config.estimation_method
+            if method == "auto":
+                method = "mse" if detect_heavy_tail(sample) else "mle"
+            density, edges = hist_by_group[g]
+            plans[label] = {
+                "names": (
+                    list(distributions) if distributions
+                    else self._select_distributions(config, sample)
+                ),
+                "sample": sample,
+                "density": density,
+                "edges": edges,
+                "method": method,
+            }
+        if not plans:
+            return self._empty_results()
+        broadcasts: list = []
+        bounds = (config.lower_bound, config.upper_bound)
+        effective = sum(
+            self.registry.effective_count(p["names"]) for p in plans.values()
+        )
+        if (
+            0 < effective <= config.local_fit_threshold
+            and config.progress_callback is None
+        ):
+            result_df = local_fit_columns(
+                self.spark, plans, config, self.registry, bounds=bounds
+            )
+        else:
+            result_df = parallel_fit_columns(
+                self.spark, plans, config, self.registry, bounds=bounds,
+                broadcast_registry=broadcasts,
+            )
+        return FitResults(
+            result_df, registry=self.registry, samples=samples,
+            broadcasts=broadcasts,
+            deferred_metrics=True if config.lazy_metrics else None,
+        )
+
     @staticmethod
     def _local_histogram(sample: np.ndarray, stats: dict, config):
         """Driver-side histogram with the distributed path's exact edge

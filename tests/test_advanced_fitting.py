@@ -467,3 +467,100 @@ class TestLazyMetrics:
         ).best(1, metric="ks_statistic")
         assert lazy.distribution == eager.distribution
         assert abs(lazy.ks_statistic - eager.ks_statistic) < 0.02
+
+
+class TestGroupedFitting:
+    """fit_grouped: per-group fits with constant job count (Spark-first
+    extension — the single-node reference has no grouped fitting)."""
+
+    @pytest.fixture(scope="class")
+    def grouped_df(self, spark):
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 4000 + ["b"] * 4000 + ["c"] * 4000,
+                "v": np.concatenate(
+                    [
+                        rng.normal(10, 2, 4000),
+                        rng.exponential(5.0, 4000),
+                        rng.uniform(0, 1, 4000),
+                    ]
+                ),
+            }
+        )
+        return spark.createDataFrame(pdf).cache()
+
+    def test_each_group_recovers_its_family(self, spark, grouped_df):
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        res = DistributionFitter(spark).fit_grouped(
+            grouped_df, "v", "g",
+            distributions=["norm", "expon", "uniform", "gamma", "lognorm"],
+        )
+        best = res.best_per_column(n=1, metric="sse")
+        assert best["v[a]"][0].distribution == "norm"
+        assert best["v[b]"][0].distribution in ("expon", "gamma")
+        assert best["v[c]"][0].distribution == "uniform"
+
+    def test_small_groups_exactly_match_separate_fits(
+        self, spark, grouped_df
+    ):
+        """Groups under the fitting-sample size take ALL their rows, so
+        the grouped fit must be bit-identical to fitting each group's
+        filtered relation separately."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        f = DistributionFitter(spark)
+        dists = ["norm", "expon", "uniform"]
+        grouped = f.fit_grouped(grouped_df, "v", "g", distributions=dists)
+        grows = {
+            (r["column_name"], r["distribution"]): r
+            for r in grouped.df.collect()
+        }
+        for g in ("a", "b", "c"):
+            solo = f.fit(
+                grouped_df.filter(F.col("g") == g), column="v",
+                distributions=dists,
+            )
+            for r in solo.df.collect():
+                gr = grows[(f"v[{g}]", r["distribution"])]
+                assert gr["parameters"] == r["parameters"], (g, r)
+                assert gr["sse"] == r["sse"]
+                assert gr["aic"] == r["aic"]
+                assert gr["data_count"] == r["data_count"]
+
+    def test_null_groups_excluded_and_group_cap(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        df = spark.createDataFrame(
+            [(None, 1.0), ("a", 2.0), ("a", 3.0), ("a", 2.5)] * 10,
+            "g string, v double",
+        )
+        f = DistributionFitter(spark)
+        res = f.fit_grouped(df, "v", "g", distributions=["norm"])
+        labels = {r["column_name"] for r in res.df.collect()}
+        assert labels == {"v[a]"}
+        wide = spark.range(300).select(
+            F.col("id").cast("string").alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        with pytest.raises(ValueError, match="max_groups"):
+            f.fit_grouped(wide, "v", "g", distributions=["norm"])
+
+    def test_lazy_metrics_per_group(self, spark, grouped_df):
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        res = DistributionFitter(spark).fit_grouped(
+            grouped_df, "v", "g",
+            distributions=["norm", "expon", "uniform"],
+            lazy_metrics=True,
+        )
+        per = res.best_per_column(n=1, metric="aic")
+        assert set(per) == {"v[a]", "v[b]", "v[c]"}
+        # per-group lazy KS recompute uses the per-group cached sample
+        b = res.for_column("v[a]").best(metric="ks_statistic")
+        assert b is not None and b.ks_statistic is not None
