@@ -216,6 +216,18 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # per-group fitting: 3 return-flag groups x 12 dists in ONE stats
+    # pass + ONE histogram scan + ONE sampleBy + ONE fan-out (job count
+    # constant in #groups; no reference analog)
+    bench(
+        "q_fit_grouped3",
+        lambda: fitter.fit_grouped(
+            lineitem, "l_extendedprice", "l_returnflag",
+            max_distributions=12,
+        ).count(),
+        rounds=2,
+    )
+
     # apples-to-apples with the baseline's data-size axis at 1M rows
     # (5.049 s): a seeded synthetic 1M-row normal column, the same
     # shape the reference's scaling benchmark generates. The engine's
