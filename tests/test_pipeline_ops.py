@@ -806,3 +806,46 @@ class TestBM25:
         assert 0 < len(top) <= 5
         scores = [r.score for r in top]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestNewOperatorEdgeCases:
+    def test_bm25_empty_corpus(self, spark):
+        from spark_bestfit_spark.operators.textstats import bm25_topk
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert bm25_topk(empty, ["spark"], k=3).count() == 0
+
+    def test_bloom_empty_probe_set_flags_nothing(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            decontaminate_by_ngrams_bloom,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "some document text here")], "doc_id long, text string"
+        )
+        probes = spark.createDataFrame([], "ngram string")
+        clean, flagged = decontaminate_by_ngrams_bloom(df, probes)
+        assert flagged.count() == 0
+        assert clean.count() == 1
+
+    def test_pack_sequences_empty_input(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        out = pack_training_sequences(empty, seq_len=128)
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "doc_id", "n_tokens", "start_offset", "first_seq",
+            "last_seq", "n_seqs",
+        }
+
+    def test_grouped_fit_empty_relation(self, spark):
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        empty = spark.createDataFrame([], "g string, v double")
+        res = DistributionFitter(spark).fit_grouped(
+            empty, "v", "g", distributions=["norm"]
+        )
+        assert res.count() == 0
