@@ -751,7 +751,7 @@ def _q_streaming_hourly(spark, sf_dir):
             F.col("tv").cast("double").alias("total_value"),
         )
     )
-    return run_stream_once(agg, output_mode="complete")
+    return run_stream_once(agg, output_mode="complete", state_partitions=8)
 
 
 def _q_streaming_sessions(spark, sf_dir):
@@ -793,7 +793,7 @@ def _q_streaming_sessions(spark, sf_dir):
             F.col("tv").cast("double").alias("total_value"),
         )
     )
-    return run_stream_once(agg, output_mode="complete")
+    return run_stream_once(agg, output_mode="complete", state_partitions=8)
 
 
 def _q_streaming_dedup(spark, sf_dir):
@@ -809,7 +809,7 @@ def _q_streaming_dedup(spark, sf_dir):
     deduped = streaming_exact_dedup(
         stream, text_col="text", keep_fingerprint=True
     ).select(F.col("_fp").alias("fp"))
-    return run_stream_once(deduped, output_mode="append")
+    return run_stream_once(deduped, output_mode="append", state_partitions=8)
 
 
 def _q_streaming_moments(spark, sf_dir):
@@ -829,6 +829,7 @@ def _q_streaming_moments(spark, sf_dir):
     out = run_stream_once(
         streaming_moments(stream, "event_type", "value"),
         output_mode="update",
+        state_partitions=8,
     )
     last = Window.partitionBy("key").orderBy(F.desc("n"))
     return (
@@ -865,7 +866,9 @@ def _q_streaming_neardup(spark, sf_dir):
         keep_signature=True,
     )
     out = run_stream_once(
-        deduped.select(F.col("_sig").alias("sig")), output_mode="append"
+        deduped.select(F.col("_sig").alias("sig")),
+        output_mode="append",
+        state_partitions=8,
     )
     # the SET of signatures is deterministic; the per-signature first
     # arrival is not (staging split is arbitrary), so emit only sigs
@@ -970,7 +973,7 @@ def _q_streaming_late_data(spark, sf_dir):
         watermark_delay="30 minutes",
         group_cols=["event_type"],
     )
-    out = run_stream_once(ws, output_mode="update")
+    out = run_stream_once(ws, output_mode="update", state_partitions=8)
     return out.select(
         F.unix_micros(F.col("window_start")).alias("window_start"),
         "event_type",

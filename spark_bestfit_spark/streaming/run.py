@@ -33,6 +33,7 @@ def run_stream_once(
     stream_df: DataFrame,
     output_mode: str = "append",
     timeout: float = 300.0,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain ``stream_df`` with ``trigger(availableNow=True)`` into a
     uniquely-named memory table; return the table as a DataFrame.
@@ -42,18 +43,39 @@ def run_stream_once(
     The checkpoint directory is a throwaway tempdir, removed after the
     query stops — replaying from a checkpoint is a durability concern
     for long-lived streams, not for a drained bounded run.
+
+    ``state_partitions``: stateful operators create one state store
+    per shuffle partition PER MICRO-BATCH, and Spark pins the count at
+    the first checkpoint — so state partitioning should be sized to
+    the STATE cardinality, not to the session's scan parallelism.
+    Passing a small value here (the aggregate state of these drains is
+    thousands of rows) scopes ``spark.sql.shuffle.partitions`` around
+    the query start and cuts the fixed per-batch store overhead ~2x;
+    results are partition-count invariant (hash aggregation / keyed
+    state). None leaves the session setting untouched.
     """
     spark = stream_df.sparkSession
     name = f"sbf_once_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="sbf_stream_ckpt_")
-    query = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(state_partitions))
+        )
+    try:
+        query = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # the query captured the conf at start; restore immediately
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         # one deadline shared by awaitTermination and the defensive
         # poll loop — the stated timeout bounds the WHOLE wait, not
