@@ -466,27 +466,27 @@ class DistributionFitter:
             for r in stats_rows
         }
         target = config.fitting_sample_size
-        # ONE stratified sample pass: per-group keep fractions sized to
-        # ~1.3x the fitting sample (same oversample-then-truncate
-        # convention as build_fitting_sample)
+        # the sample pass and the histogram scan are independent given
+        # the stats — run them as concurrent Spark jobs from driver
+        # threads (same prelude fusion as fit(): wall-clock = max of
+        # the two job latencies, not the sum)
+        #
+        # sample: ONE stratified sampleBy pass, per-group keep
+        # fractions sized to ~1.3x the fitting sample (same
+        # oversample-then-truncate convention as build_fitting_sample)
         fractions = {
             g: min(1.0, (target * 1.3) / s["count"])
             for g, s in gstats.items()
         }
-        pdf = (
-            clean.select(group_col, column)
-            .sampleBy(group_col, fractions, seed=config.random_seed)
-            .toPandas()
-        )
-        rng = np.random.default_rng(config.random_seed)
-        samples_by_group: dict = {}
-        for g, sub in pdf.groupby(group_col, sort=False):
-            arr = sub[column].to_numpy(dtype=np.float64)
-            arr = arr[np.isfinite(arr)]
-            if arr.size > target:
-                arr = rng.choice(arr, size=target, replace=False)
-            samples_by_group[g] = arr
-        # ONE histogram scan for all non-degenerate groups: broadcast
+
+        def _collect_samples():
+            return (
+                clean.select(group_col, column)
+                .sampleBy(group_col, fractions, seed=config.random_seed)
+                .toPandas()
+            )
+
+        # histogram: ONE scan for all non-degenerate groups — broadcast
         # the per-group bounds, bucket each row against ITS group's
         # edges, aggregate (group, bin)
         edges_by_group: dict = {}
@@ -509,13 +509,14 @@ class DistributionFitter:
                 s["min"], s["max"] + eps, bins + 1
             )
             bounds_rows.append((g, s["min"], s["max"] + eps, bins))
-        if bounds_rows:
+
+        def _collect_counts():
             gtype = clean.schema[group_col].dataType.simpleString()
             bounds_df = self.spark.createDataFrame(
                 bounds_rows,
                 f"_g {gtype}, _lo double, _hi double, _nb int",
             )
-            counts = (
+            return (
                 clean.join(
                     F.broadcast(bounds_df),
                     clean[group_col] == bounds_df["_g"],
@@ -535,6 +536,23 @@ class DistributionFitter:
                 .agg(F.count("*").alias("_c"))
                 .collect()
             )
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        counts_future = (
+            pool.submit(_collect_counts) if bounds_rows else None
+        )
+        pdf = _collect_samples()
+        counts = counts_future.result() if counts_future else None
+        pool.shutdown(wait=False)
+        rng = np.random.default_rng(config.random_seed)
+        samples_by_group: dict = {}
+        for g, sub in pdf.groupby(group_col, sort=False):
+            arr = sub[column].to_numpy(dtype=np.float64)
+            arr = arr[np.isfinite(arr)]
+            if arr.size > target:
+                arr = rng.choice(arr, size=target, replace=False)
+            samples_by_group[g] = arr
+        if counts is not None:
             acc: dict = {
                 g: np.zeros(len(e) - 1) for g, e in edges_by_group.items()
             }
