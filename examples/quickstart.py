@@ -66,6 +66,17 @@ def main() -> None:
     )
     print("\nspecialist fits (re-included excluded-set kernels):")
     specialist.df.select("distribution", "sse", "aic").show()
+
+    # 6. per-GROUP fitting: one stats pass, one histogram scan, one
+    # sample pass, one fan-out — job count constant in #groups
+    grouped = DistributionFitter(spark).fit_grouped(
+        lineitem, "l_extendedprice", "l_returnflag", max_distributions=8
+    )
+    print("best fit per return flag:")
+    for label, rows in sorted(
+        grouped.best_per_column(n=1, metric="aic").items()
+    ):
+        print(f"  {label}: {rows[0].distribution}")
     spark.stop()
 
 
