@@ -236,3 +236,65 @@ class TestJobCount:
         # each at most ~2 physical jobs under AQE/Arrow
         assert j1 <= 12, j1
         df.unpersist()
+
+
+class TestRound5PlanShapes:
+    def test_bloom_probe_is_map_only_until_flagged_distinct(self, spark):
+        """The bloom corpus pass must never JOIN the probe relation:
+        the only exchange is the distinct over the (tiny) flagged-id
+        set, and the membership test is a single ArrowEvalPython over
+        JVM-computed positions."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            decontaminate_by_ngrams_bloom,
+        )
+        from spark_bestfit_spark.operators.dedup import word_shingles
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        probes = docs.filter(F.col("doc_id") < 5).select(
+            F.explode(word_shingles("text", 8)).alias("ngram")
+        )
+        _, flagged = decontaminate_by_ngrams_bloom(docs, probes)
+        plan = _physical(flagged)
+        assert "Join" not in plan  # probe side travels as a broadcast var
+        assert plan.count("ArrowEvalPython") == 1
+        assert plan.count("Exchange") == 1  # the flagged-id distinct only
+        assert "hashpartitioning(doc_id" in plan
+
+    def test_grouped_fit_histogram_is_one_broadcast_join_scan(self, spark):
+        """The per-group histogram relation: one scan, the per-group
+        bounds arriving via BroadcastHashJoin (never a shuffle join of
+        the corpus), one (group, bin) aggregation exchange."""
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        bounds_df = spark.createDataFrame(
+            [("A", 900.0, 100000.0, 50), ("N", 900.0, 100000.0, 50)],
+            "_g string, _lo double, _hi double, _nb int",
+        )
+        counts = (
+            li.join(
+                F.broadcast(bounds_df), li["l_returnflag"] == bounds_df["_g"]
+            )
+            .filter(
+                (F.col("l_extendedprice") >= F.col("_lo"))
+                & (F.col("l_extendedprice") < F.col("_hi"))
+            )
+            .select(
+                "_g",
+                F.width_bucket(
+                    F.col("l_extendedprice"), F.col("_lo"), F.col("_hi"),
+                    F.col("_nb"),
+                ).alias("_bin"),
+            )
+            .groupBy("_g", "_bin")
+            .agg(F.count("*").alias("_c"))
+        )
+        plan = _physical(counts)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # exchanges: the bounds broadcast + ONE hash exchange for the
+        # (group, bin) aggregate — never a corpus-sized shuffle join
+        assert "hashpartitioning(_g" in plan
