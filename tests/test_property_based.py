@@ -282,3 +282,40 @@ class TestCurationProperties:
         # under t_low must be >= its weight under t_high
         assert lo["small"] >= hi["small"] - 1e-12
         assert abs(sum(lo.values()) - 1.0) < 1e-9
+
+
+class TestSequencePackingProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lens=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+        seq_len=st.integers(4, 64),
+        sep=st.integers(0, 3),
+    )
+    def test_packing_matches_python_reference(
+        self, spark, lens, seq_len, sep
+    ):
+        """Chunk arithmetic vs a direct Python fold: offsets are the
+        exclusive prefix sum of effective lengths, spans follow from
+        integer division, and the stream is gapless."""
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in pack_training_sequences(
+                df, seq_len=seq_len, sep_tokens=sep
+            ).collect()
+        }
+        cum = 0
+        for i, n in enumerate(lens):
+            eff = n + sep
+            r = out[i]
+            assert r["n_tokens"] == n
+            assert r["start_offset"] == cum  # gapless concatenation
+            assert r["first_seq"] == cum // seq_len
+            assert r["last_seq"] == (cum + eff - 1) // seq_len
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+            cum += eff
