@@ -156,3 +156,38 @@ class TestModelStore:
     def test_unsupported_object_rejected(self, tmp_path):
         with pytest.raises(TypeError):
             save_model(object(), str(tmp_path / "x.json"))
+
+
+class TestGroupedResultsRoundTrip:
+    def test_grouped_fit_survives_sink_round_trip(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.fitter import DistributionFitter
+        from spark_bestfit_spark.sources.sinks import (
+            read_results,
+            write_results,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(v % 7) + 0.5) for v in range(200)]
+            + [("b", float(v % 13) + 2.0) for v in range(200)],
+            "g string, v double",
+        )
+        res = DistributionFitter(spark).fit_grouped(
+            df, "v", "g", distributions=["norm", "uniform"]
+        )
+        path = str(tmp_path / "grouped_results")
+        write_results(res, path)
+        back = read_results(spark, path)
+        orig = sorted(
+            (r["column_name"], r["distribution"], r["sse"])
+            for r in res.df.collect()
+        )
+        loaded = sorted(
+            (r["column_name"], r["distribution"], r["sse"])
+            for r in back.df.collect()
+        )
+        assert orig == loaded
+        # the loaded relation keeps the per-group query surface
+        per = back.best_per_column(n=1, metric="sse")
+        assert set(per) == {"v[a]", "v[b]"}
