@@ -1253,6 +1253,23 @@ def _q_score_logpdf(spark, sf_dir):
     )
 
 
+def _q_robust_stats(spark, sf_dir):
+    """Outlier-robust location/scale (median/MAD/IQR + robust gates)
+    over l_extendedprice — two exact percentile passes, mirrored by
+    DuckDB's quantile_cont (same linear interpolation convention)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import robust_stats_df
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = robust_stats_df(df, "l_extendedprice")
+    return out.select(
+        *[F.round(c, 6).alias(c)
+          for c in ("median", "q1", "q3", "iqr", "mad", "lo", "hi")],
+        "n",
+    )
+
+
 def _q_two_sample_ks(spark, sf_dir):
     """Distributed two-sample K-S between l_quantity of returnflag A vs
     N — the EXACT statistic via the partitioned two-phase prefix sum
@@ -2084,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "bm25_search": _q_bm25_search,
         "fit_grouped": _q_fit_grouped,
+        "robust_stats": _q_robust_stats,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
@@ -2976,6 +2994,32 @@ def oracle_sql() -> dict[str, str]:
                     OR contains(t, 'slow filter'))
                    AS contaminated
             FROM n
+        """,
+        "robust_stats": """
+            WITH v AS (
+              SELECT l_extendedprice AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
+            ),
+            m AS (
+              SELECT quantile_cont(x, 0.5) AS med,
+                     quantile_cont(x, 0.25) AS q1,
+                     quantile_cont(x, 0.75) AS q3,
+                     count(*) AS n
+              FROM v
+            ),
+            d AS (
+              SELECT quantile_cont(abs(x - (SELECT med FROM m)), 0.5) AS mad
+              FROM v
+            )
+            SELECT round(med, 6) AS median,
+                   round(q1, 6) AS q1,
+                   round(q3, 6) AS q3,
+                   round(q3 - q1, 6) AS iqr,
+                   round(mad, 6) AS mad,
+                   round(med - 3 * 1.4826022185056018 * mad, 6) AS lo,
+                   round(med + 3 * 1.4826022185056018 * mad, 6) AS hi,
+                   n
+            FROM m, d
         """,
         "fit_grouped": """
             SELECT 'l_extendedprice[A]' AS column_name,

@@ -451,3 +451,55 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def robust_stats_df(df: DataFrame, column: str) -> DataFrame:
+    """Outlier-robust location/scale in TWO exact aggregation passes:
+    (median, MAD, IQR, robust z-bounds).
+
+    median and the quartiles come from Spark's exact ``percentile``
+    (linear interpolation — the same convention as DuckDB's
+    ``quantile_cont``, so the relation is exactly SQL-mirrorable);
+    MAD = median(|x - median|) needs the second pass because the
+    median is data-dependent. Both passes are plain hash aggregations
+    over the cleaned column. The usual robust gates follow in-plan:
+    ``lo/hi = median -+ 3 * 1.4826 * MAD`` (the normal-consistent MAD
+    scaling) — the curation filter for heavy-tailed quality scores
+    where mean/stddev gates are dragged by the very outliers they
+    should catch.
+
+    Scale note: exact percentile aggregates collect per-group value
+    multisets on the executors — exact medians at 100 TB on ONE group
+    are memory-bound by distinct values; use approx_quantiles for
+    unbounded-cardinality columns and this for the exact,
+    oracle-checkable path.
+    """
+    clean = valid_column(df, column).select(F.col(column).alias("_v"))
+    q = clean.agg(
+        F.expr("percentile(_v, 0.5)").alias("median"),
+        F.expr("percentile(_v, 0.25)").alias("q1"),
+        F.expr("percentile(_v, 0.75)").alias("q3"),
+        F.count("*").alias("n"),
+    )
+    med = q.first()
+    if med["n"] == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "median double, q1 double, q3 double, iqr double, mad double, "
+            "lo double, hi double, n long",
+        )
+    m = float(med["median"])
+    mad_row = clean.agg(
+        F.expr(f"percentile(abs(_v - {m!r}), 0.5)").alias("mad")
+    ).first()
+    mad = float(mad_row["mad"])
+    c = 1.4826022185056018  # 1/Phi^-1(3/4): normal-consistent scaling
+    return df.sparkSession.createDataFrame(
+        [(
+            m, float(med["q1"]), float(med["q3"]),
+            float(med["q3"]) - float(med["q1"]),
+            mad, m - 3.0 * c * mad, m + 3.0 * c * mad, int(med["n"]),
+        )],
+        "median double, q1 double, q3 double, iqr double, mad double, "
+        "lo double, hi double, n long",
+    )

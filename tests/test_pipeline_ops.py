@@ -849,3 +849,36 @@ class TestNewOperatorEdgeCases:
             empty, "v", "g", distributions=["norm"]
         )
         assert res.count() == 0
+
+
+class TestRobustStats:
+    def test_matches_numpy_on_known_data(self, spark):
+        from spark_bestfit_spark.operators.stats import robust_stats_df
+
+        rng = np.random.default_rng(4)
+        vals = np.concatenate(
+            [rng.normal(50, 5, 2000), [1e6, -1e6, 2e6]]  # gross outliers
+        )
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        r = robust_stats_df(df, "v").first()
+        med = np.median(vals)
+        mad = np.median(np.abs(vals - med))
+        assert r["median"] == pytest.approx(med, rel=1e-12)
+        assert r["mad"] == pytest.approx(mad, rel=1e-12)
+        assert r["q1"] == pytest.approx(np.percentile(vals, 25), rel=1e-9)
+        assert r["q3"] == pytest.approx(np.percentile(vals, 75), rel=1e-9)
+        # the robust gate is immune to the outliers: ~ med +- 3*1.48*mad
+        assert 20 < r["lo"] < 45 and 55 < r["hi"] < 80
+        assert r["n"] == vals.size
+
+    def test_empty_and_nan_inputs(self, spark):
+        from spark_bestfit_spark.operators.stats import robust_stats_df
+
+        empty = spark.createDataFrame([], "v double")
+        assert robust_stats_df(empty, "v").count() == 0
+        dirty = spark.createDataFrame(
+            [(float("nan"),), (1.0,), (2.0,), (3.0,), (float("inf"),)],
+            "v double",
+        )
+        r = robust_stats_df(dirty, "v").first()
+        assert r["median"] == 2.0 and r["n"] == 3
