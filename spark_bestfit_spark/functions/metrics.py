@@ -107,9 +107,11 @@ def compute_ks_and_ad(dist, params, sorted_x: np.ndarray):
     separate compute_ks/compute_ad entry points each re-sort the data
     and re-evaluate the CDF, which doubles the dominant cost (the CDF
     of quadrature-backed kernels) for callers that want both. Values
-    are bit-identical to the separate functions (the K-S branch uses
-    the raw CDF, the A-D branch the epsilon-clipped copy, exactly as
-    they do).
+    are bit-identical to the separate functions for ANY model CDF:
+    the K-S branch uses the raw CDF and returns (inf, 0) when it is
+    non-finite (compute_ks), while the A-D branch always works on the
+    epsilon-clipped copy, so +/-inf CDF values still yield the same
+    finite A² compute_ad reports (NaNs propagate to inf in both).
 
     Returns (d, p, a2)."""
     try:
@@ -118,17 +120,18 @@ def compute_ks_and_ad(dist, params, sorted_x: np.ndarray):
         if n == 0:
             return float("nan"), float("nan"), float("nan")
         cdf = np.asarray(dist.cdf(x, *params), dtype=np.float64)
-        if not np.all(np.isfinite(cdf)):
-            return float("inf"), 0.0, float("inf")
         i = np.arange(1, n + 1)
-        d = float(max(np.max(i / n - cdf), np.max(cdf - (i - 1) / n)))
-        sqn = np.sqrt(n)
-        p = float(
-            np.asarray(
-                sp.kolmogorov_sf(d * (sqn + 0.12 + 0.11 / sqn))
-            ).ravel()[0]
-        )
-        p = min(max(p, 0.0), 1.0)
+        if np.all(np.isfinite(cdf)):
+            d = float(max(np.max(i / n - cdf), np.max(cdf - (i - 1) / n)))
+            sqn = np.sqrt(n)
+            p = float(
+                np.asarray(
+                    sp.kolmogorov_sf(d * (sqn + 0.12 + 0.11 / sqn))
+                ).ravel()[0]
+            )
+            p = min(max(p, 0.0), 1.0)
+        else:
+            d, p = float("inf"), 0.0
         clipped = np.clip(cdf, NUMERICAL_EPSILON, 1.0 - NUMERICAL_EPSILON)
         s = np.sum(
             (2 * i - 1) * (np.log(clipped) + np.log(1.0 - clipped[::-1]))

@@ -203,3 +203,54 @@ class TestDiscreteDegeneracy:
             df, column="v", distributions=["poisson", "dlaplace", "randint"]
         )
         assert res.count() >= 1  # loc-shifted fits cover negative support
+
+
+class TestMetricsFusedParity:
+    """compute_ks_and_ad must match the separate compute_ks/compute_ad
+    entry points for ANY model CDF — including non-finite values, where
+    the A-D branch clips (like compute_ad) instead of early-returning
+    inf (ADVICE r5: the lazy recompute path reported ad=inf where the
+    eager path reported a finite A²)."""
+
+    class _FakeDist:
+        def __init__(self, cdf_values):
+            self._cdf = np.asarray(cdf_values, dtype=np.float64)
+
+        def cdf(self, x, *params):
+            return self._cdf[: len(np.atleast_1d(x))]
+
+    def test_nonfinite_cdf_ad_matches_compute_ad(self):
+        from spark_bestfit_spark.functions import metrics as M
+
+        x = np.sort(np.random.default_rng(5).normal(0, 1, 8))
+        cdf = np.linspace(0.05, 0.95, 8)
+        cdf[2] = np.inf
+        cdf[5] = -np.inf
+        dist = self._FakeDist(cdf)
+        d, p, a2 = M.compute_ks_and_ad(dist, (), x)
+        assert d == float("inf") and p == 0.0
+        a2_sep = M.compute_ad(dist, (), x)
+        assert np.isfinite(a2)
+        assert a2 == a2_sep
+
+    def test_finite_cdf_bit_identical(self):
+        from spark_bestfit_spark.functions import metrics as M
+
+        rng = np.random.default_rng(6)
+        x = np.sort(rng.normal(0, 1, 64))
+        cdf = np.sort(rng.uniform(0.01, 0.99, 64))
+        dist = self._FakeDist(cdf)
+        d, p, a2 = M.compute_ks_and_ad(dist, (), x)
+        d_sep, p_sep = M.compute_ks(dist, (), x)
+        a2_sep = M.compute_ad(dist, (), x)
+        assert (d, p, a2) == (d_sep, p_sep, a2_sep)
+
+    def test_nan_cdf_inf_in_both(self):
+        from spark_bestfit_spark.functions import metrics as M
+
+        x = np.sort(np.random.default_rng(7).normal(0, 1, 8))
+        cdf = np.linspace(0.05, 0.95, 8)
+        cdf[3] = np.nan
+        dist = self._FakeDist(cdf)
+        _, _, a2 = M.compute_ks_and_ad(dist, (), x)
+        assert a2 == float("inf") == M.compute_ad(dist, (), x)
