@@ -17,6 +17,7 @@ table size beyond the scan.
 from __future__ import annotations
 
 import warnings
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -119,6 +120,24 @@ def _ensure_spark_df(spark: SparkSession, df):
     raise TypeError(
         f"expected a Spark or pandas DataFrame, got {type(df).__name__}"
     )
+
+
+def _truncate_group_sample(
+    arr: np.ndarray, target: int, seed: int, group
+) -> np.ndarray:
+    """Deterministic over-budget truncation for fit_grouped: value-sort
+    the group's collected rows (erasing Spark's collection order), then
+    subsample WITHOUT replacement using a PER-GROUP generator seeded
+    from (seed, crc32(str(group))). The truncated multiset depends only
+    on the group's value multiset and the seed — never on input
+    partitioning, collection order, or the pandas groupby iteration
+    order (which consumes a shared rng in appearance order)."""
+    if arr.size <= target:
+        return arr
+    rng = np.random.default_rng(
+        [int(seed), zlib.crc32(str(group).encode("utf-8"))]
+    )
+    return rng.choice(np.sort(arr), size=target, replace=False)
 
 
 class DistributionFitter:
@@ -388,6 +407,114 @@ class DistributionFitter:
                 results.count()
         return results
 
+    # ------------------------------------------------------ instant plotting
+    def _plot_data(
+        self, result, df, column, bins: int, force_recompute: bool
+    ):
+        """Cache-first plot-data resolution (reference 'instant
+        plotting' v2.10, continuous_fitter.py:648-757): the result's
+        cached fitting sample is used when present — zero Spark jobs —
+        unless ``force_recompute=True``, in which case (or when no
+        sample is cached) the distributed histogram is computed from
+        ``df``. Returns (data, hist_density, bin_edges) with exactly
+        one side populated."""
+        if not force_recompute and getattr(result, "_sample", None) is not None:
+            return result._sample, None, None
+        if df is None:
+            raise ValueError(
+                "result has no cached sample (or force_recompute=True): "
+                "pass the source df (and column if it differs from "
+                "result.column_name)"
+            )
+        from spark_bestfit_spark.operators.histogram import compute_histogram
+
+        df = _ensure_spark_df(self.spark, df)
+        density, edges = compute_histogram(
+            df, column or result.column_name, bins=bins
+        )
+        return None, density, edges
+
+    def plot(
+        self, result, df=None, column=None, bins: int = 50,
+        force_recompute: bool = False, ax=None,
+    ):
+        """Histogram + fitted-PDF overlay, cached-sample-first
+        (reference continuous_fitter.py:648: ``fitter.plot(best)``
+        after a fit draws instantly, no DAG recompute)."""
+        from spark_bestfit_spark import plotting as P
+
+        data, density, edges = self._plot_data(
+            result, df, column, bins, force_recompute
+        )
+        return P.plot_distribution(
+            result, data, bins=bins, ax=ax,
+            hist_density=density, bin_edges=edges,
+        )
+
+    def plot_comparison(
+        self, results, df=None, column=None, bins: int = 50,
+        force_recompute: bool = False, ax=None,
+    ):
+        """Multi-fit overlay (reference continuous_fitter.py:757 /
+        plotting.py:409), cached-sample-first."""
+        from spark_bestfit_spark import plotting as P
+
+        if not results:
+            raise ValueError("plot_comparison needs at least one result")
+        lead = results[0]
+        if not force_recompute and getattr(lead, "_sample", None) is not None:
+            return P.plot_comparison(results, lead._sample, bins=bins, ax=ax)
+        if df is None:
+            raise ValueError(
+                "results carry no cached sample: pass the source df"
+            )
+        df = _ensure_spark_df(self.spark, df)
+        col = column or lead.column_name
+        data = (
+            df.select(col).dropna().limit(100_000).toPandas()[col]
+            .to_numpy(dtype=np.float64)
+        )
+        return P.plot_comparison(results, data, bins=bins, ax=ax)
+
+    def plot_qq(
+        self, result, df=None, column=None,
+        force_recompute: bool = False, ax=None,
+    ):
+        """Q-Q plot, cached-sample-first (reference
+        continuous_fitter.py:1065)."""
+        from spark_bestfit_spark import plotting as P
+
+        data = self._plot_sample(result, df, column, force_recompute)
+        return P.plot_qq(result, data, ax=ax)
+
+    def plot_pp(
+        self, result, df=None, column=None,
+        force_recompute: bool = False, ax=None,
+    ):
+        """P-P plot, cached-sample-first (reference
+        continuous_fitter.py:1179)."""
+        from spark_bestfit_spark import plotting as P
+
+        data = self._plot_sample(result, df, column, force_recompute)
+        return P.plot_pp(result, data, ax=ax)
+
+    def _plot_sample(self, result, df, column, force_recompute: bool):
+        """Raw-sample resolution for the point-wise plots (Q-Q / P-P
+        need actual observations, not a histogram)."""
+        if not force_recompute and getattr(result, "_sample", None) is not None:
+            return result._sample
+        if df is None:
+            raise ValueError(
+                "result has no cached sample (or force_recompute=True): "
+                "pass the source df"
+            )
+        df = _ensure_spark_df(self.spark, df)
+        col = column or result.column_name
+        return (
+            df.select(col).dropna().limit(100_000).toPandas()[col]
+            .to_numpy(dtype=np.float64)
+        )
+
     def fit_grouped(
         self,
         df: DataFrame,
@@ -430,6 +557,13 @@ class DistributionFitter:
         config = (config or FitterConfig()).with_(**kwargs) if kwargs else (
             config or FitterConfig()
         )
+        if config.censoring_column is not None:
+            raise NotImplementedError(
+                "fit_grouped does not support censoring_column: the "
+                "grouped sample pass carries no event mask, so a "
+                "censored config would silently produce uncensored "
+                "per-group fits — use fit() per group for censored data"
+            )
         self._validate(df, [column], config)
         if group_col not in df.columns:
             raise ValueError(f"group column {group_col!r} not found")
@@ -544,14 +678,13 @@ class DistributionFitter:
         pdf = _collect_samples()
         counts = counts_future.result() if counts_future else None
         pool.shutdown(wait=False)
-        rng = np.random.default_rng(config.random_seed)
         samples_by_group: dict = {}
         for g, sub in pdf.groupby(group_col, sort=False):
             arr = sub[column].to_numpy(dtype=np.float64)
             arr = arr[np.isfinite(arr)]
-            if arr.size > target:
-                arr = rng.choice(arr, size=target, replace=False)
-            samples_by_group[g] = arr
+            samples_by_group[g] = _truncate_group_sample(
+                arr, target, config.random_seed, g
+            )
         if counts is not None:
             acc: dict = {
                 g: np.zeros(len(e) - 1) for g, e in edges_by_group.items()
@@ -784,6 +917,31 @@ class DiscreteDistributionFitter:
             result_df, registry=self.registry, samples=samples,
             source=(df, config),
         )
+
+    def plot(
+        self, result, df=None, column=None,
+        force_recompute: bool = False, ax=None,
+    ):
+        """Empirical-PMF bars + fitted-PMF stems, cached-sample-first
+        (reference discrete_fitter.py:518 / plotting.py:735)."""
+        from spark_bestfit_spark import plotting as P
+
+        if not force_recompute and getattr(result, "_sample", None) is not None:
+            return P.plot_discrete_distribution(
+                result, result._sample, ax=ax
+            )
+        if df is None:
+            raise ValueError(
+                "result has no cached sample (or force_recompute=True): "
+                "pass the source df"
+            )
+        df = _ensure_spark_df(self.spark, df)
+        col = column or result.column_name
+        data = (
+            df.select(col).dropna().limit(100_000).toPandas()[col]
+            .to_numpy(dtype=np.float64)
+        )
+        return P.plot_discrete_distribution(result, data, ax=ax)
 
     def _empty_results(self) -> FitResults:
         from spark_bestfit_spark.operators.fit import FIT_RESULT_SCHEMA

@@ -28,7 +28,11 @@ __all__ = [
     "pp_data",
     "residual_data",
     "cdf_comparison_data",
+    "comparison_data",
+    "discrete_pmf_data",
     "plot_distribution",
+    "plot_comparison",
+    "plot_discrete_distribution",
     "plot_qq",
     "plot_pp",
     "plot_cdf_comparison",
@@ -93,17 +97,124 @@ def cdf_comparison_data(result, data: np.ndarray, points: int = 200) -> tuple:
     return grid, model, x, ecdf_y
 
 
+def comparison_data(results, data: np.ndarray, points: int = 400) -> tuple:
+    """(x_grid, {distribution_name: pdf_values}) for a multi-fit
+    overlay (reference plot_comparison, plotting.py:409). The grid
+    spans the finite data range; each candidate's PDF is evaluated on
+    the shared grid so the curves are directly comparable."""
+    if not results:
+        raise ValueError("comparison_data needs at least one result")
+    x = np.asarray(data, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    if x.size == 0:
+        raise ValueError("comparison_data needs finite data")
+    grid = np.linspace(x.min(), x.max(), points)
+    curves = {
+        r.distribution: np.asarray(r.pdf(grid), dtype=np.float64)
+        for r in results
+    }
+    return grid, curves
+
+
+# distributions whose first parameter is an integer count — rounded
+# before PMF evaluation (reference plotting.py:787-790)
+_INT_PARAM_DISTS = frozenset(
+    {"binom", "betabinom", "hypergeom", "nhypergeom", "boltzmann",
+     "zipfian", "randint"}
+)
+
+
+def discrete_pmf_data(result, data: np.ndarray, pad: int = 2) -> tuple:
+    """(unique_vals, empirical_pmf, x_range, theoretical_pmf) for a
+    discrete PMF plot (reference plot_discrete_distribution,
+    plotting.py:735): empirical PMF on the observed support, model PMF
+    on the support padded by ``pad`` on both sides (clipped at 0 on
+    the left, matching the reference)."""
+    x = np.asarray(data, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    if x.size == 0:
+        raise ValueError("discrete_pmf_data needs non-empty data")
+    ints = x.astype(np.int64)
+    unique_vals, counts = np.unique(ints, return_counts=True)
+    empirical = counts / ints.size
+    params = list(result.parameters)
+    if result.distribution in _INT_PARAM_DISTS and params:
+        params[0] = int(round(params[0]))
+    x_range = np.arange(
+        max(0, unique_vals.min() - pad), unique_vals.max() + pad + 1
+    )
+    dist = result._dist()
+    theoretical = np.asarray(
+        dist.pmf(x_range, *params), dtype=np.float64
+    )
+    return unique_vals, empirical, x_range, theoretical
+
+
 # ------------------------------------------------------------------ plots
-def plot_distribution(result, data, bins: int = 50, ax=None):
-    """Histogram of the data with the fitted PDF overlaid."""
+def plot_distribution(
+    result, data=None, bins: int = 50, ax=None,
+    hist_density=None, bin_edges=None,
+):
+    """Histogram of the data with the fitted PDF overlaid. Accepts
+    either raw ``data`` (driver-side histogram) or a precomputed
+    (``hist_density``, ``bin_edges``) pair — the distributed
+    histogram's output — so callers never re-collect a relation just
+    to draw it."""
+    _require_mpl()
+    if ax is None:
+        _, ax = plt.subplots()
+    if hist_density is not None and bin_edges is not None:
+        e = np.asarray(bin_edges, dtype=np.float64)
+        ax.bar(
+            0.5 * (e[:-1] + e[1:]), np.asarray(hist_density),
+            width=np.diff(e), alpha=0.5, label="data",
+        )
+        lo, hi = e[0], e[-1]
+    elif data is not None:
+        x = np.asarray(data, dtype=np.float64)
+        x = x[np.isfinite(x)]
+        ax.hist(x, bins=bins, density=True, alpha=0.5, label="data")
+        lo, hi = x.min(), x.max()
+    else:
+        raise ValueError(
+            "plot_distribution needs data or (hist_density, bin_edges)"
+        )
+    grid = np.linspace(lo, hi, 400)
+    ax.plot(grid, result.pdf(grid), "r-", label=f"{result.distribution} fit")
+    ax.set_title(f"{result.column_name}: {result.distribution}")
+    ax.legend()
+    return ax
+
+
+def plot_comparison(results, data, bins: int = 50, ax=None):
+    """Multiple fitted PDFs overlaid on one data histogram (reference
+    plot_comparison, plotting.py:409)."""
     _require_mpl()
     if ax is None:
         _, ax = plt.subplots()
     x = np.asarray(data, dtype=np.float64)
     x = x[np.isfinite(x)]
-    ax.hist(x, bins=bins, density=True, alpha=0.5, label="data")
-    grid = np.linspace(x.min(), x.max(), 400)
-    ax.plot(grid, result.pdf(grid), "r-", label=f"{result.distribution} fit")
+    ax.hist(x, bins=bins, density=True, alpha=0.4, label="data")
+    grid, curves = comparison_data(results, x)
+    for name, pdf in curves.items():
+        ax.plot(grid, pdf, label=name, linewidth=2)
+    ax.set_title(f"{results[0].column_name}: comparison")
+    ax.legend()
+    return ax
+
+
+def plot_discrete_distribution(result, data, ax=None):
+    """Empirical PMF bars with the fitted PMF as a stem overlay
+    (reference plot_discrete_distribution, plotting.py:735)."""
+    _require_mpl()
+    if ax is None:
+        _, ax = plt.subplots()
+    vals, emp, x_range, theo = discrete_pmf_data(result, data)
+    ax.bar(vals, emp, width=0.8, alpha=0.6, label="empirical PMF")
+    markers, stems, _ = ax.stem(
+        x_range, theo, linefmt="r-", markerfmt="ro", basefmt=" ",
+        label="fitted PMF",
+    )
     ax.set_title(f"{result.column_name}: {result.distribution}")
     ax.legend()
     return ax

@@ -499,6 +499,59 @@ class FitResults:
             out.setdefault(r["column_name"], []).append(self._hydrate(r))
         return out
 
+    # ------------------------------------------------------ instant plotting
+    def _plot_target(self, result, metric: str):
+        """Resolve (result, cached sample) for the plot wrappers: the
+        cached fitting sample is hit first (NO Spark job — reference
+        'instant plotting', continuous_fitter.py:648-871); results of
+        lazy provenance recreate it deterministically via _get_sample."""
+        if result is None:
+            result = self.best(metric=metric)
+            if result is None:
+                raise ValueError("no fit results to plot")
+        return result, self._get_sample(result.column_name)
+
+    def plot(self, result=None, metric: str = "sse", **kwargs):
+        """Histogram + fitted-PDF overlay from the CACHED sample — no
+        DAG recompute. ``result`` defaults to ``best(metric=...)``."""
+        from spark_bestfit_spark import plotting as P
+
+        result, data = self._plot_target(result, metric)
+        return P.plot_distribution(result, data, **kwargs)
+
+    def plot_comparison(
+        self, n: int = 3, metric: str = "sse",
+        column: str | None = None, **kwargs,
+    ):
+        """Top-n fits overlaid on one histogram (reference
+        plot_comparison) from the cached sample."""
+        from spark_bestfit_spark import plotting as P
+
+        res = self if column is None else self.for_column(column)
+        results = res.best(n=max(n, 2), metric=metric)[:n]
+        if not results:
+            raise ValueError("no fit results to plot")
+        data = self._get_sample(results[0].column_name)
+        return P.plot_comparison(results, data, **kwargs)
+
+    def plot_qq(self, result=None, metric: str = "sse", **kwargs):
+        from spark_bestfit_spark import plotting as P
+
+        result, data = self._plot_target(result, metric)
+        return P.plot_qq(result, data, **kwargs)
+
+    def plot_pp(self, result=None, metric: str = "sse", **kwargs):
+        from spark_bestfit_spark import plotting as P
+
+        result, data = self._plot_target(result, metric)
+        return P.plot_pp(result, data, **kwargs)
+
+    def plot_diagnostics(self, result=None, metric: str = "sse", **kwargs):
+        from spark_bestfit_spark import plotting as P
+
+        result, data = self._plot_target(result, metric)
+        return P.plot_diagnostics(result, data, **kwargs)
+
     def for_column(self, column: str) -> "FitResults":
         """Restrict to one source column (SURVEY P4)."""
         return FitResults(

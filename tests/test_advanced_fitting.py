@@ -551,6 +551,79 @@ class TestGroupedFitting:
         with pytest.raises(ValueError, match="max_groups"):
             f.fit_grouped(wide, "v", "g", distributions=["norm"])
 
+    def test_censored_config_rejected(self, spark, grouped_df):
+        """A censored config would silently produce uncensored
+        per-group fits (the grouped sample pass carries no event
+        mask) — fit_grouped must refuse it loudly."""
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        with pytest.raises(NotImplementedError, match="censoring"):
+            DistributionFitter(spark).fit_grouped(
+                grouped_df.withColumn(
+                    "ev", grouped_df["v"] > grouped_df["v"]
+                ),
+                "v", "g", distributions=["norm"],
+                censoring_column="ev",
+            )
+
+    def test_truncation_order_independent(self):
+        """The over-budget truncation must depend only on the group's
+        value multiset + seed: shuffled/reversed inputs and different
+        groupby appearance orders all yield the same sample."""
+        from spark_bestfit_spark.fitter import _truncate_group_sample
+
+        rng = np.random.default_rng(11)
+        arr = rng.normal(0, 1, 5000)
+        base = _truncate_group_sample(arr, 500, 42, "a")
+        assert base.size == 500
+        shuffled = arr.copy()
+        rng.shuffle(shuffled)
+        for variant in (shuffled, arr[::-1].copy()):
+            out = _truncate_group_sample(variant, 500, 42, "a")
+            np.testing.assert_array_equal(np.sort(out), np.sort(base))
+        # different groups draw from independent streams
+        other = _truncate_group_sample(arr, 500, 42, "b")
+        assert not np.array_equal(np.sort(other), np.sort(base))
+        # under-budget arrays pass through untouched
+        small = arr[:100]
+        np.testing.assert_array_equal(
+            _truncate_group_sample(small, 500, 42, "a"), small
+        )
+
+    def test_grouped_fit_stable_across_repartitionings(self, spark):
+        """Groups within the 1.3x oversample window collect ALL their
+        rows (sampleBy fraction 1.0), so with the value-based
+        truncation the per-group fit must be BIT-IDENTICAL regardless
+        of how the input relation is partitioned — the old shared-rng
+        truncation consumed Spark's collection order and broke this."""
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        rng = np.random.default_rng(8)
+        pdf = pd.DataFrame(
+            {
+                "g": ["x"] * 600 + ["y"] * 620,
+                "v": np.concatenate(
+                    [rng.normal(5, 1, 600), rng.gamma(2.0, 3.0, 620)]
+                ),
+            }
+        )
+        f = DistributionFitter(spark)
+        outs = []
+        for parts in (1, 7):
+            df = spark.createDataFrame(pdf).repartition(parts)
+            res = f.fit_grouped(
+                df, "v", "g", distributions=["norm", "gamma", "expon"],
+                fitting_sample_size=500,
+            )
+            outs.append(
+                sorted(
+                    (r["column_name"], r["distribution"], r["parameters"],
+                     r["sse"], r["aic"])
+                    for r in res.df.collect()
+                )
+            )
+        assert outs[0] == outs[1]
+
     def test_lazy_metrics_per_group(self, spark, grouped_df):
         from spark_bestfit_spark.fitter import DistributionFitter
 

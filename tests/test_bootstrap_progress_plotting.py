@@ -155,6 +155,149 @@ class TestPlottingHelpers:
                 plotting.plot_qq(res, data)
             with pytest.raises(ImportError, match="matplotlib"):
                 plotting.plot_diagnostics(res, data)
+            with pytest.raises(ImportError, match="matplotlib"):
+                plotting.plot_comparison([res], data)
+            with pytest.raises(ImportError, match="matplotlib"):
+                plotting.plot_discrete_distribution(res, data)
+
+    def test_comparison_data_shared_grid(self, spark):
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        rng = np.random.default_rng(21)
+        data = rng.gamma(3.0, 2.0, 4000)
+        df = spark.createDataFrame(pd.DataFrame({"v": data}))
+        results = DistributionFitter(spark).fit(
+            df, column="v", distributions=["gamma", "norm", "lognorm"]
+        ).best(n=3, metric="sse")
+        grid, curves = plotting.comparison_data(results, data)
+        assert set(curves) == {"gamma", "norm", "lognorm"}
+        assert grid[0] == pytest.approx(data.min())
+        assert grid[-1] == pytest.approx(data.max())
+        for pdf in curves.values():
+            assert pdf.shape == grid.shape
+            assert np.all(np.isfinite(pdf[1:-1]))
+        # the generating family dominates the overlay near the mode
+        mode_i = int(np.argmax(curves["gamma"]))
+        assert curves["gamma"][mode_i] > 0
+        with pytest.raises(ValueError, match="at least one"):
+            plotting.comparison_data([], data)
+
+    def test_discrete_pmf_data(self, spark):
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        rng = np.random.default_rng(22)
+        data = rng.poisson(4.0, 3000).astype(float)
+        df = spark.createDataFrame(pd.DataFrame({"v": data}))
+        res = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["poisson"]
+        ).best(1, metric="sse")
+        vals, emp, x_range, theo = plotting.discrete_pmf_data(res, data)
+        assert emp.sum() == pytest.approx(1.0)
+        assert x_range[0] == max(0, vals.min() - 2)
+        assert x_range[-1] == vals.max() + 2
+        # model PMF tracks the empirical PMF on the observed support
+        lut = dict(zip(x_range.tolist(), theo.tolist()))
+        err = max(
+            abs(lut[int(v)] - e) for v, e in zip(vals.tolist(), emp.tolist())
+        )
+        assert err < 0.05
+        with pytest.raises(ValueError, match="non-empty"):
+            plotting.discrete_pmf_data(res, np.array([]))
+
+
+class TestInstantPlotWrappers:
+    """Cache-first plot wrappers (reference 'instant plotting' v2.10):
+    the numeric resolution must hit the cached sample with ZERO Spark
+    jobs; the render path stays behind the matplotlib gate."""
+
+    @pytest.fixture(scope="class")
+    def fit_pack(self, spark):
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        rng = np.random.default_rng(30)
+        data = rng.normal(10.0, 2.0, 4000)
+        df = spark.createDataFrame(pd.DataFrame({"v": data}))
+        fitter = DistributionFitter(spark)
+        results = fitter.fit(
+            df, column="v", distributions=["norm", "expon", "uniform"]
+        )
+        return fitter, results, df
+
+    def test_fitter_plot_data_uses_cached_sample(self, spark, fit_pack):
+        fitter, results, df = fit_pack
+        best = results.best(1, metric="sse")
+        sc = spark.sparkContext
+        sc.setJobGroup("plot-cache-probe", "instant plotting must be free")
+        try:
+            data, density, edges = fitter._plot_data(
+                best, None, None, 50, False
+            )
+        finally:
+            sc.setJobGroup("default", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("plot-cache-probe")
+        assert len(jobs) == 0  # NO Spark job: the cached sample is hit
+        assert data is not None and density is None
+        np.testing.assert_array_equal(data, best._sample)
+
+    def test_fitter_plot_data_force_recompute(self, fit_pack):
+        fitter, results, df = fit_pack
+        best = results.best(1, metric="sse")
+        data, density, edges = fitter._plot_data(
+            best, df, "v", 40, True
+        )
+        assert data is None
+        assert len(density) == 40 and len(edges) == 41
+        # density integrates to ~1 like any histogram density
+        assert float(np.sum(density * np.diff(edges))) == pytest.approx(
+            1.0, rel=1e-6
+        )
+        with pytest.raises(ValueError, match="cached sample"):
+            fitter._plot_data(best, None, None, 40, True)
+
+    def test_results_plot_target_cache_first(self, fit_pack):
+        _, results, _ = fit_pack
+        res, sample = results._plot_target(None, "sse")
+        assert res.distribution == "norm"
+        np.testing.assert_array_equal(
+            sample, results._samples[res.column_name]
+        )
+
+    def test_wrappers_render_or_gate(self, fit_pack):
+        fitter, results, df = fit_pack
+        best = results.best(1, metric="sse")
+        if plotting._HAS_MPL:
+            assert fitter.plot(best) is not None
+            assert fitter.plot_comparison(
+                results.best(n=2, metric="sse")
+            ) is not None
+            assert results.plot() is not None
+        else:
+            with pytest.raises(ImportError, match="matplotlib"):
+                fitter.plot(best)
+            with pytest.raises(ImportError, match="matplotlib"):
+                fitter.plot_qq(best)
+            with pytest.raises(ImportError, match="matplotlib"):
+                results.plot_comparison(n=2)
+            with pytest.raises(ImportError, match="matplotlib"):
+                results.plot_diagnostics()
+
+    def test_discrete_plot_wrapper_gated(self, spark):
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        rng = np.random.default_rng(31)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.poisson(3.0, 1000).astype(float)})
+        )
+        f = DiscreteDistributionFitter(spark)
+        best = f.fit(df, column="v", distributions=["poisson"]).best(
+            1, metric="sse"
+        )
+        assert best._sample is not None
+        if plotting._HAS_MPL:
+            assert f.plot(best) is not None
+        else:
+            with pytest.raises(ImportError, match="matplotlib"):
+                f.plot(best)
 
 
 @pytest.mark.skipif(
