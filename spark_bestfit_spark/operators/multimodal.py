@@ -89,6 +89,37 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return arr
 
 
+def synthetic_png(
+    width: int, height: int, rgb: tuple = (128, 64, 32)
+) -> bytes:
+    """A minimal VALID solid-color PNG, written with the stdlib only
+    (struct + zlib — no pillow needed to GENERATE test vectors). Any
+    conformant decoder reads it back as an (height, width, 3) uint8
+    array of ``rgb`` — so the REAL ``_decode_image`` seam can be
+    exercised end-to-end wherever pillow is installed, with vectors
+    produced in minimal containers that lack it."""
+    import struct
+    import zlib
+
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    r, g, b = (int(v) & 0xFF for v in rgb)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        out = struct.pack(">I", len(data)) + typ + data
+        return out + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    # each scanline: filter byte 0 + width RGB triples
+    raw = (b"\x00" + bytes((r, g, b)) * width) * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
     """Deterministic fake: payload bytes seed a tiny 'image'. Keeps the
     full pipeline (schema, batching, feature shapes) testable."""

@@ -453,8 +453,11 @@ def profile_table(
     return wide.select(F.explode(entries).alias("p")).select("p.*")
 
 
-def robust_stats_df(df: DataFrame, column: str) -> DataFrame:
-    """Outlier-robust location/scale in TWO exact aggregation passes:
+def robust_stats_df(
+    df: DataFrame, column: str, approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Outlier-robust location/scale in TWO aggregation passes:
     (median, MAD, IQR, robust z-bounds).
 
     median and the quartiles come from Spark's exact ``percentile``
@@ -470,15 +473,21 @@ def robust_stats_df(df: DataFrame, column: str) -> DataFrame:
 
     Scale note: exact percentile aggregates collect per-group value
     multisets on the executors — exact medians at 100 TB on ONE group
-    are memory-bound by distinct values; use approx_quantiles for
-    unbounded-cardinality columns and this for the exact,
-    oracle-checkable path.
+    are memory-bound by distinct values. ``approx=True`` swaps both
+    passes onto ``approx_percentile`` (Greenwald-Khanna, bounded
+    executor memory at ANY cardinality): rank error <= 1/accuracy of
+    the rank range, the same relation shape and schema, and the exact
+    path remains the oracle twin — at the default accuracy the two
+    agree to ~3 decimal places on 60k-row columns (pinned in
+    tests/test_pipeline_ops.py).
     """
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
     clean = valid_column(df, column).select(F.col(column).alias("_v"))
     q = clean.agg(
-        F.expr("percentile(_v, 0.5)").alias("median"),
-        F.expr("percentile(_v, 0.25)").alias("q1"),
-        F.expr("percentile(_v, 0.75)").alias("q3"),
+        F.expr(f"{pctl}(_v, 0.5{acc})").alias("median"),
+        F.expr(f"{pctl}(_v, 0.25{acc})").alias("q1"),
+        F.expr(f"{pctl}(_v, 0.75{acc})").alias("q3"),
         F.count("*").alias("n"),
     )
     med = q.first()
@@ -490,7 +499,7 @@ def robust_stats_df(df: DataFrame, column: str) -> DataFrame:
         )
     m = float(med["median"])
     mad_row = clean.agg(
-        F.expr(f"percentile(abs(_v - {m!r}), 0.5)").alias("mad")
+        F.expr(f"{pctl}(abs(_v - {m!r}), 0.5{acc})").alias("mad")
     ).first()
     mad = float(mad_row["mad"])
     c = 1.4826022185056018  # 1/Phi^-1(3/4): normal-consistent scaling

@@ -346,6 +346,62 @@ class TestMultimodal:
         assert arr.shape == (4, 6, 3)
         assert (arr[0, 0] == (10, 20, 30)).all()
 
+    def test_synthetic_png_bytes_are_valid_png(self):
+        """The stdlib test-vector generator must emit conformant PNG:
+        magic, parseable IHDR dims, CRC-correct chunks, and an IDAT
+        that inflates to the expected filtered scanline bytes — all
+        checkable WITHOUT pillow."""
+        import struct
+        import zlib
+
+        png = multimodal.synthetic_png(6, 4, (10, 20, 30))
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # IHDR: first chunk right after the magic
+        ln = struct.unpack(">I", png[8:12])[0]
+        assert png[12:16] == b"IHDR" and ln == 13
+        w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+        assert (w, h, depth, ctype) == (6, 4, 8, 2)
+        crc = struct.unpack(">I", png[16 + ln : 20 + ln])[0]
+        assert crc == zlib.crc32(png[12 : 16 + ln]) & 0xFFFFFFFF
+        # IDAT inflates to 4 scanlines of filter-0 + 6 RGB triples
+        i = png.index(b"IDAT")
+        dlen = struct.unpack(">I", png[i - 4 : i])[0]
+        raw = zlib.decompress(png[i + 4 : i + 4 + dlen])
+        assert raw == (b"\x00" + bytes((10, 20, 30)) * 6) * 4
+        with pytest.raises(ValueError):
+            multimodal.synthetic_png(0, 4)
+
+    @pytest.mark.skipif(
+        not _has_pillow(), reason="pillow not installed (optional extra)"
+    )
+    def test_real_decoder_pipeline_with_generated_pngs(self, spark):
+        """End-to-end REAL-codec path (fake_decoder=False) over
+        stdlib-generated PNG vectors: the mapInPandas stage decodes
+        with pillow and the channel-statistics embedding must equal
+        the solid fill color exactly."""
+        rows = [
+            (i, "image", multimodal.synthetic_png(4 + i, 3 + i, (i, 2 * i, 3 * i)),
+             "image/png", None)
+            for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(
+            [(m, k, bytearray(p), mi, len(p)) for m, k, p, mi, _ in rows],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.extract_image_features(df, fake_decoder=False)
+        got = {r.media_id: r for r in out.collect()}
+        assert len(got) == 5
+        for i in range(1, 6):
+            r = got[i]
+            assert (r.width, r.height, r.channels) == (4 + i, 3 + i, 3)
+            # embedding = [mean, std, R, G, B, pad...] of the solid fill
+            exp_mean = (i + 2 * i + 3 * i) / 3.0
+            assert r.embedding[0] == pytest.approx(exp_mean)
+            assert r.embedding[1] == pytest.approx(
+                float(np.std([i, 2 * i, 3 * i]))
+            )
+            assert r.embedding[2:5] == pytest.approx([i, 2.0 * i, 3.0 * i])
+
     def test_fake_decode_deterministic(self):
         a = multimodal._fake_decode_image(b"payload-bytes")
         b = multimodal._fake_decode_image(b"payload-bytes")
@@ -882,3 +938,28 @@ class TestRobustStats:
         )
         r = robust_stats_df(dirty, "v").first()
         assert r["median"] == 2.0 and r["n"] == 3
+
+    def test_approx_tier_tracks_exact(self, spark):
+        """approx=True (Greenwald-Khanna, bounded executor memory at
+        any cardinality) must keep the exact schema and land within
+        the documented rank-error bound of the exact path — the 100 TB
+        answer to the exact-percentile memory caveat."""
+        from spark_bestfit_spark.operators.stats import robust_stats_df
+
+        rng = np.random.default_rng(12)
+        vals = rng.lognormal(3.0, 1.0, 20000)
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        exact = robust_stats_df(df, "v").first()
+        apx = robust_stats_df(df, "v", approx=True).first()
+        assert apx.asDict().keys() == exact.asDict().keys()
+        assert apx["n"] == exact["n"]
+        # rank error <= n/accuracy = 2 ranks at 20k rows: the value gap
+        # is bounded by the local quantile density — 1% of IQR is ample
+        tol = 0.01 * exact["iqr"]
+        for f in ("median", "q1", "q3", "mad"):
+            assert abs(apx[f] - exact[f]) <= tol, (f, apx[f], exact[f])
+        assert abs(apx["lo"] - exact["lo"]) <= 6 * tol
+        assert abs(apx["hi"] - exact["hi"]) <= 6 * tol
+        # empty relation degrades identically
+        empty = spark.createDataFrame([], "v double")
+        assert robust_stats_df(empty, "v", approx=True).count() == 0

@@ -298,3 +298,20 @@ class TestRound5PlanShapes:
         # exchanges: the bounds broadcast + ONE hash exchange for the
         # (group, bin) aggregate — never a corpus-sized shuffle join
         assert "hashpartitioning(_g" in plan
+
+
+class TestRound6PlanShapes:
+    def test_bm25_has_no_shuffle_join(self, spark):
+        """bm25_topk must never shuffle a full-corpus relation through
+        a join: the doc length rides the exploded token stream (no
+        doclen join — VERDICT r5 #3), the idf and corpus-stats sides
+        arrive by broadcast, so every Join in the plan is a broadcast
+        join and every Exchange carries only term-matched rows."""
+        from spark_bestfit_spark.operators.textstats import bm25_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        top = bm25_topk(docs, ["data", "model", "training"], k=5)
+        plan = _physical(top)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
