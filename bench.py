@@ -19,7 +19,18 @@ Instrumentation: every query line carries {wall, n_jobs, n_stages}
 (Spark job/stage counts for the best timed round, via per-round job
 groups + the status tracker) in the "detail" key, so a wall-clock
 regression can be attributed — same plan under JVM/GC pressure keeps
-its counts; plan drift changes them.
+its counts; plan drift changes them. Known limitation: setJobGroup is
+thread-local, so prelude jobs that fit()/fit_grouped() launch from
+their own ThreadPoolExecutor driver threads do not inherit the group
+— n_jobs/n_stages UNDERCOUNT for the fit queries by the racing
+prelude jobs (wall-clock is unaffected; attribution for those queries
+should lean on the wall + the plan assertions in tests/test_plans.py).
+
+Output contract: the LAST stdout line is a compact JSON headline
+{metric, value, unit, queries, sf} with no per-query detail, sized to
+survive any tail-capture window; the full payload (headline + detail)
+is printed on the preceding line AND written to BENCH_SUMMARY.json
+next to this file.
 
 Attribution/fresh-session runs: SPARK_GRAFT_BENCH_QUERIES=q_a,q_b
 restricts the run to those queries (comma-separated). Running one
@@ -205,7 +216,7 @@ def main() -> None:
     bench(
         "q_fit_noexcl_10k",
         lambda: noexcl.fit(small, column="l_extendedprice").count(),
-        rounds=2,
+        rounds=3,
     )
     bench(
         "q_fit_multi3",
@@ -306,6 +317,25 @@ def main() -> None:
         lambda: self_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4]).count(),
         rounds=5,
     )
+    # connected-components + prefix-sum packing anchors at sf0.1 (the
+    # sf1 lines below complete the scale curve for both spines)
+    from spark_bestfit_spark.operators.curation import (
+        pack_training_sequences,
+    )
+    from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+    bench(
+        "q_neardup_clusters",
+        lambda: neardup_clusters(
+            minhash_dedup_pairs(docs, threshold=0.7)
+        ).count(),
+        rounds=2,
+    )
+    bench(
+        "q_pack_sequences",
+        lambda: pack_training_sequences(docs, seq_len=2048).count(),
+        rounds=3,
+    )
     bench(
         "q_text_quality",
         lambda: with_quality_score(docs)
@@ -389,13 +419,16 @@ def main() -> None:
     # scenario, docs/performance.rst): z-space Hermite quantile tables
     # replace per-sample special-function inversion
     copula.sample(1000)  # warm the cached z-tables
-    bench("q_copula_local_1m", lambda: copula.sample(1_000_000))
+    # rounds=5: sub-second driver-local line, min-of-5 damps the GC /
+    # scheduler noise behind the round-5 +81% phantom regression
+    bench("q_copula_local_1m", lambda: copula.sample(1_000_000), rounds=5)
 
     # ---- sf1.0 scale curve (10x replication, built once, reused) ----
     if run_sf1 and (
         not only
         or {"q_fit_full_sf1", "q_hist_sf1", "q_minhash_sf1",
-            "q_two_sample_ks_sf1"} & only
+            "q_two_sample_ks_sf1", "q_neardup_clusters_sf1",
+            "q_pack_sequences_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
@@ -464,21 +497,43 @@ def main() -> None:
             lambda: two_sample_ks_df(l1a, l1n, "l_quantity").first(),
             rounds=2,
         )
+        bench(
+            "q_neardup_clusters_sf1",
+            lambda: neardup_clusters(
+                minhash_dedup_pairs(docs1, threshold=0.7)
+            ).count(),
+            rounds=1,
+        )
+        bench(
+            "q_pack_sequences_sf1",
+            lambda: pack_training_sequences(docs1, seq_len=2048).count(),
+            rounds=2,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "detail": details,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full = dict(headline)
+    full["detail"] = details
+    # full payload: one stdout line + a sidecar file; the compact
+    # headline is the FINAL line so a bounded tail capture always
+    # parses it (BENCH_r05.json lost its head to exactly this)
+    try:
+        with open(
+            os.path.join(repo, "BENCH_SUMMARY.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(full))
+    print(json.dumps(headline, separators=(",", ":")))
     spark.stop()
 
 
