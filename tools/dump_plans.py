@@ -166,6 +166,21 @@ def main() -> None:
         explain_str(duplicated_ngram_stats(docs, n=8)),
     ))
 
+    from spark_bestfit_spark.operators.textstats import bm25_topk
+
+    sections.append((
+        "BM25 top-k — bm25_topk(docs, 3 terms, k=10)",
+        "Text retrieval with NO full-corpus join: the document length\n"
+        "rides the exploded token stream (folded into the tf aggregate via\n"
+        "`first(dl)`), so the only relations crossing an Exchange are the\n"
+        "term-matched rows. What to look for: every `Join` in the plan is a\n"
+        "`BroadcastHashJoin`/`BroadcastNestedLoopJoin` (the <=|query|-row\n"
+        "idf relation and the 1-row corpus stats) — no SortMergeJoin, no\n"
+        "ShuffledHashJoin anywhere. At 100 TB the corpus is scanned once\n"
+        "and the shuffles carry a handful of rows per matching document.",
+        explain_str(bm25_topk(docs, ["data", "model", "training"], k=10)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
