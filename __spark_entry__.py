@@ -1062,6 +1062,27 @@ def _q_packed_sequences(spark, sf_dir):
     return pack_training_sequences(df, seq_len=1024, sep_tokens=1)
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Within-document context-window chunking (chunk_tokens=48,
+    overlap=8) over the first 100 docs — a pure map-side plan (zero
+    exchanges, plan-asserted); the oracle replays the window
+    arithmetic and the chunk text with generate_series + list
+    slicing. md5(chunk_text) stands in for the text so the compared
+    relation stays narrow."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import chunk_documents
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    out = chunk_documents(df, chunk_tokens=48, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "start_token", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _q_bm25_search(spark, sf_dir):
     """BM25 top-10 retrieval for a 3-term query over the documents
     table — scores rounded to 6 decimals, deterministic
@@ -2066,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats_approx": _q_robust_stats_approx,
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
+        "doc_chunks": _q_doc_chunks,
         "streaming_neardup": _q_streaming_neardup,
         "fit_mse": _q_fit_mse,
         "streaming_sessions": _q_streaming_sessions,
@@ -3044,6 +3066,39 @@ def oracle_sql() -> dict[str, str]:
                    round(med + 3 * 1.4826022185056018 * mad, 6) AS hi,
                    n
             FROM m, d
+        """,
+        "doc_chunks": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS n
+              FROM documents WHERE doc_id < 100
+            ),
+            live AS (
+              SELECT * FROM base
+              WHERE n > 0 AND NOT (n = 1 AND t[1] = '')
+            ),
+            s AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0, n - 1, 40)) AS start_token
+              FROM live
+            ),
+            f AS (
+              SELECT * FROM s
+              WHERE start_token = 0 OR start_token + 8 < n
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY start_token
+                   ) - 1 AS BIGINT) AS chunk_idx,
+                   CAST(start_token AS BIGINT) AS start_token,
+                   CAST(least(48, n - start_token) AS BIGINT)
+                     AS n_chunk_tokens,
+                   md5(array_to_string(
+                     t[start_token + 1 : start_token + 48], ' '
+                   )) AS chunk_md5
+            FROM f
         """,
         "robust_stats_approx": """
             SELECT true AS median_ok, true AS q1_ok, true AS q3_ok,

@@ -629,3 +629,80 @@ def pack_training_sequences(
         last.alias("last_seq"),
         (last - first + F.lit(1)).cast("long").alias("n_seqs"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_text: bool = True,
+) -> DataFrame:
+    """Split documents into fixed-length token windows with optional
+    overlap — the context-window assembly step for pretraining /
+    retrieval corpora (complementing :func:`pack_training_sequences`,
+    which concatenates ACROSS documents; this one windows WITHIN each
+    document, never mixing sources).
+
+    Chunk starts are ``0, stride, 2*stride, ...`` with
+    ``stride = chunk_tokens - overlap``; each chunk covers tokens
+    ``[start, min(start + chunk_tokens, n))``. A trailing start whose
+    window would add no tokens beyond the previous chunk (i.e.
+    ``start > 0`` and ``start + overlap >= n``) is dropped, so every
+    emitted chunk contributes new content and the final chunk may be
+    short. Tokenization is the whitespace convention shared with the
+    text-stats operators.
+
+    Entirely map-side JVM column expressions (``sequence`` +
+    higher-order ``filter`` + ``posexplode`` + ``slice`` — no Python,
+    no shuffle, no exchange in the plan): at 100 TB this is a pure
+    scan whose output is written partition-local. Exactly
+    SQL-mirrorable, so an oracle can replay the chunking row-for-row.
+
+    Output: (id_col, chunk_idx, start_token, n_chunk_tokens[,
+    chunk_text]) — one row per chunk; documents with no tokens emit
+    nothing."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks")
+    ).withColumn(
+        "_n", F.size("_toks")
+    ).filter(
+        # a whitespace-split of '' yields [''] — treat as zero tokens
+        (F.col("_n") > 0)
+        & ~((F.col("_n") == 1) & (F.element_at("_toks", 1) == F.lit("")))
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < F.col("_n")),
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.col("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    out_cols = [
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("start_token")
+        ).cast("long").alias("n_chunk_tokens"),
+    ]
+    if with_text:
+        out_cols.append(
+            F.array_join(
+                F.slice(
+                    "_toks", F.col("start_token") + 1, F.lit(chunk_tokens)
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    return exploded.select(*out_cols)

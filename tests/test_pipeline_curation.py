@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from spark_bestfit_spark.operators.pipeline import curate_corpus
@@ -546,3 +547,89 @@ class TestAnsiModeSafety:
             spark.conf.set("spark.sql.ansi.enabled", "false")
         assert before == after
         assert all(0.0 <= v < 1.0 for v in before[0].values())
+
+
+class TestChunkDocuments:
+    """chunk_documents: fixed-token windows with overlap, checked
+    against a plain-Python reference fold."""
+
+    @staticmethod
+    def _reference(text, chunk, overlap):
+        toks = text.strip().lower().split()
+        if not toks:
+            return []
+        stride = chunk - overlap
+        out = []
+        idx = 0
+        for start in range(0, len(toks), stride):
+            if start > 0 and start + overlap >= len(toks):
+                continue
+            piece = toks[start : start + chunk]
+            out.append((idx, start, len(piece), " ".join(piece)))
+            idx += 1
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        rng = np.random.default_rng(17)
+        docs = [
+            (i, " ".join(f"w{rng.integers(0, 50)}" for _ in range(n)))
+            for i, n in enumerate(
+                [0, 1, 3, 7, 16, 17, 31, 32, 33, 100, 257]
+            )
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for chunk, overlap in ((16, 0), (16, 4), (8, 7), (32, 1)):
+            got = {}
+            rows = chunk_documents(
+                df, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+            for r in rows:
+                got.setdefault(r["doc_id"], []).append(
+                    (r["chunk_idx"], r["start_token"],
+                     r["n_chunk_tokens"], r["chunk_text"])
+                )
+            for doc_id, text in docs:
+                exp = self._reference(text, chunk, overlap)
+                assert sorted(got.get(doc_id, [])) == exp, (
+                    doc_id, chunk, overlap
+                )
+
+    def test_every_token_covered_once_without_overlap(self, spark):
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(str(i) for i in range(100)))],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, chunk_tokens=7, overlap=0).collect()
+        toks = []
+        for r in sorted(rows, key=lambda r: r["chunk_idx"]):
+            toks.extend(r["chunk_text"].split(" "))
+        assert toks == [str(i) for i in range(100)]
+        assert sum(r["n_chunk_tokens"] for r in rows) == 100
+
+    def test_validation_and_empty(self, spark):
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+        rows = chunk_documents(df, chunk_tokens=4).collect()
+        # blank / whitespace-only docs emit nothing
+        assert {r["doc_id"] for r in rows} == {1}
+
+    def test_with_text_false_drops_payload(self, spark):
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        out = chunk_documents(df, chunk_tokens=2, with_text=False)
+        assert "chunk_text" not in out.columns
+        assert out.count() == 3

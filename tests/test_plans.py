@@ -315,3 +315,17 @@ class TestRound6PlanShapes:
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_chunk_documents_is_map_only(self, spark):
+        """Within-document chunking is pure JVM column work (sequence +
+        HOF filter + posexplode + slice): the plan must contain ZERO
+        exchanges and no Python evaluation — at 100 TB it is one scan
+        writing partition-local output."""
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = chunk_documents(docs, chunk_tokens=64, overlap=8)
+        plan = _physical(out)
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Generate" in plan  # the posexplode
