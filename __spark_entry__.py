@@ -1083,6 +1083,69 @@ def _q_doc_chunks(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """Cluster-bucketed semantic dedup (SemDeDup) on a pinned-seed
+    8-cluster Gaussian corpus with 250 planted near-duplicates
+    (threshold 0.9999 sits between the within-cluster cosine ~0.995
+    and the planted-dup cosine ~1-1e-7, so only true dups merge):
+    checked against the exact O(n^2) path IN the query. Invariants:
+    ours never drops an exact-path keeper (components only refine),
+    every merge we make is a true merge, and the merge recall clears
+    a 0.9 floor (near-identical dups co-cluster). Reduced to a
+    one-row summary the oracle pins."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import neardup_clusters
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(13)
+    n, dim, kc = 1200, 16, 8
+    centers = 3.0 * rng.normal(0.0, 1.0, (kc, dim))
+    labels = rng.integers(0, kc, n)
+    base = centers[labels] + 0.2 * rng.normal(0.0, 1.0, (n, dim))
+    dups = base[:250] + 1e-3 * rng.normal(0.0, 1.0, (250, dim))
+    pts = np.vstack([base, dups])
+    total = pts.shape[0]
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(total)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    ours = semantic_dedup(
+        df, threshold=0.9999, n_clusters=kc, seed=13
+    ).cache()
+    exact_comp = neardup_clusters(
+        embedding_neardup_pairs(df, threshold=0.9999, use_lsh=False),
+        id_col="vec_id",
+    ).cache()
+    exact_dropped = exact_comp.filter("vec_id != cluster_id").select(
+        "vec_id"
+    )
+    ours_dropped = ours.filter("NOT is_kept").select("vec_id")
+    n_kept = ours.filter("is_kept").count()
+    n_dropped_exact = exact_dropped.count()
+    false_merges = ours_dropped.join(
+        exact_dropped, "vec_id", "left_anti"
+    ).count()
+    merge_recall = (
+        (total - n_kept) / n_dropped_exact if n_dropped_exact else 1.0
+    )
+    return spark.createDataFrame(
+        [(
+            total, n_kept, total - n_dropped_exact,
+            bool(false_merges == 0),
+            bool(merge_recall >= 0.9),
+            float(round(merge_recall, 6)),
+        )],
+        "n_vectors long, n_kept long, n_kept_exact long, "
+        "no_false_merges boolean, recall_floor boolean, "
+        "merge_recall double",
+    )
+
+
 def _q_bm25_search(spark, sf_dir):
     """BM25 top-10 retrieval for a 3-term query over the documents
     table — scores rounded to 6 decimals, deterministic
@@ -2088,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
         "doc_chunks": _q_doc_chunks,
+        "semantic_dedup": _q_semantic_dedup,
         "streaming_neardup": _q_streaming_neardup,
         "fit_mse": _q_fit_mse,
         "streaming_sessions": _q_streaming_sessions,
@@ -3099,6 +3163,14 @@ def oracle_sql() -> dict[str, str]:
                      t[start_token + 1 : start_token + 48], ' '
                    )) AS chunk_md5
             FROM f
+        """,
+        "semantic_dedup": """
+            SELECT CAST(1450 AS BIGINT) AS n_vectors,
+                   CAST(1200 AS BIGINT) AS n_kept,
+                   CAST(1200 AS BIGINT) AS n_kept_exact,
+                   true AS no_false_merges,
+                   true AS recall_floor,
+                   1.0 AS merge_recall
         """,
         "robust_stats_approx": """
             SELECT true AS median_ok, true AS q1_ok, true AS q3_ok,

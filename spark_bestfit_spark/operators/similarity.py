@@ -543,3 +543,87 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cluster_size: int = 100_000,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """Cluster-bucketed semantic deduplication (the SemDeDup recipe,
+    Abbas et al. 2023): a KMeans coarse quantizer buckets the corpus,
+    near-duplicate pairs (cosine >= threshold) are found WITHIN each
+    cluster only, connected components merge transitive duplicates,
+    and each component keeps its smallest id.
+
+    Output: (id_col, rep_id, is_kept) for every input vector —
+    ``rep_id`` is the component representative (own id for uniques),
+    ``is_kept`` selects the dedup survivors.
+
+    Scale shape: one KMeans fit + one assignment pass (reused from
+    :class:`IvfIndex`; pass ``index=`` to amortize across thresholds),
+    ONE exchange on the cluster id for the in-cluster pair join
+    (quadratic work confined inside clusters, guarded by
+    ``max_cluster_size`` exactly like the MinHash bucket guard), then
+    the label-propagation rounds over the (tiny) duplicate-pair graph.
+    Pairs crossing cluster boundaries are missed by construction —
+    that is the SemDeDup trade; the entry-query oracle pins a recall
+    floor against the exact O(n^2) path and the guarantee that no
+    exact-path survivor is ever dropped (our components refine the
+    exact components, so exact keepers always remain keepers)."""
+    from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    idx = index or IvfIndex.build(
+        vectors, n_clusters=n_clusters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = idx.assigned
+    big = (
+        assigned.groupBy("cell").count()
+        .filter(F.col("count") > max_cluster_size)
+        .first()
+    )
+    if big is not None:
+        raise ValueError(
+            f"semantic_dedup: cluster {big['cell']} holds {big['count']} "
+            f"vectors (> max_cluster_size={max_cluster_size}); raise "
+            "n_clusters (or max_cluster_size deliberately) — in-cluster "
+            "pair work is quadratic in the cluster size"
+        )
+    pa = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    pb = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        pa.join(pb, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity_col(F.col("_va"), F.col("_vb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = neardup_clusters(pairs, id_col=id_col)
+    return (
+        vectors.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("rep_id"),
+            (
+                F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)
+            ).alias("is_kept"),
+        )
+    )

@@ -161,3 +161,91 @@ class TestIvfIndex:
         )
         assert a == b
         loaded.unpersist()
+
+
+class TestSemanticDedup:
+    """Cluster-bucketed SemDeDup: in-cluster exact verification +
+    connected components + min-id keepers."""
+
+    @pytest.fixture(scope="class")
+    def dup_corpus(self, spark):
+        rng = np.random.default_rng(5)
+        base = rng.normal(0.0, 1.0, (120, 12))
+        # ids 120..149 duplicate ids 0..29; 150 duplicates 120 (chain)
+        dups = base[:30] + 1e-3 * rng.normal(0.0, 1.0, (30, 12))
+        chain = (dups[0] + 1e-3 * rng.normal(0.0, 1.0, 12))[None, :]
+        pts = np.vstack([base, dups, chain])
+        rows = [(int(i), [float(x) for x in pts[i]]) for i in range(151)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(6)
+
+    def test_matches_exact_components(self, spark, dup_corpus):
+        from spark_bestfit_spark.operators.dedup import neardup_clusters
+        from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            dup_corpus, threshold=0.98, n_clusters=6, seed=9
+        ).cache()
+        assert out.count() == 151
+        got = {r["vec_id"]: (r["rep_id"], r["is_kept"]) for r in out.collect()}
+        exact_pairs = embedding_neardup_pairs(
+            dup_corpus, threshold=0.98, use_lsh=False
+        )
+        exact = {
+            r["vec_id"]: r["cluster_id"]
+            for r in neardup_clusters(exact_pairs, id_col="vec_id").collect()
+        }
+        # exact keepers are never dropped (components only refine)
+        for vid in range(151):
+            exact_rep = exact.get(vid, vid)
+            if exact_rep == vid:
+                assert got[vid][1], f"exact keeper {vid} was dropped"
+        # the planted near-identical dups co-cluster easily: the full
+        # transitive structure must be recovered here (0~120~150 chain)
+        assert got[120] == (0, False)
+        assert got[150] == (0, False)
+        for vid in range(121, 150):
+            assert got[vid] == (vid - 120, False)
+
+    def test_keepers_consistent_and_reps_kept(self, dup_corpus):
+        from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            dup_corpus, threshold=0.98, n_clusters=6, seed=9
+        )
+        rows = out.collect()
+        kept = {r["vec_id"] for r in rows if r["is_kept"]}
+        for r in rows:
+            assert r["rep_id"] <= r["vec_id"]
+            assert r["rep_id"] in kept  # every representative survives
+            assert (r["rep_id"] == r["vec_id"]) == bool(r["is_kept"])
+
+    def test_cluster_size_guard_and_threshold_validation(
+        self, spark, dup_corpus
+    ):
+        from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+        with pytest.raises(ValueError, match="max_cluster_size"):
+            semantic_dedup(
+                dup_corpus, threshold=0.99, n_clusters=2,
+                max_cluster_size=10,
+            )
+        with pytest.raises(ValueError, match="threshold"):
+            semantic_dedup(dup_corpus, threshold=0.0)
+
+    def test_index_reuse_across_thresholds(self, dup_corpus):
+        from spark_bestfit_spark.operators.similarity import (
+            IvfIndex,
+            semantic_dedup,
+        )
+
+        idx = IvfIndex.build(dup_corpus, n_clusters=6, seed=9)
+        strict = semantic_dedup(dup_corpus, threshold=0.999, index=idx)
+        loose = semantic_dedup(dup_corpus, threshold=0.9, index=idx)
+        # lower threshold merges at least as much
+        assert (
+            loose.filter("is_kept").count()
+            <= strict.filter("is_kept").count()
+        )
+        idx.unpersist()
