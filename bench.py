@@ -317,6 +317,17 @@ def main() -> None:
         lambda: self_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4]).count(),
         rounds=5,
     )
+    # SemDeDup-style embedding dedup: KMeans bucket -> in-cluster cosine
+    # pairs -> connected components (quadratic work confined to cells)
+    from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+    bench(
+        "q_semantic_dedup",
+        lambda: semantic_dedup(
+            emb, threshold=0.99, n_clusters=16
+        ).filter("is_kept").count(),
+        rounds=2,
+    )
     # connected-components + prefix-sum packing anchors at sf0.1 (the
     # sf1 lines below complete the scale curve for both spines)
     from spark_bestfit_spark.operators.curation import (

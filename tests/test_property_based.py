@@ -319,3 +319,49 @@ class TestSequencePackingProperties:
             assert r["last_seq"] == (cum + eff - 1) // seq_len
             assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
             cum += eff
+
+
+class TestChunkingProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lens=st.lists(st.integers(0, 60), min_size=1, max_size=20),
+        chunk=st.integers(2, 32),
+        overlap_frac=st.floats(0.0, 0.99),
+    )
+    def test_chunking_matches_python_reference(
+        self, spark, lens, chunk, overlap_frac
+    ):
+        """chunk_documents vs a direct Python fold for arbitrary doc
+        lengths, chunk sizes, and overlaps: starts advance by stride,
+        no-new-content tails are dropped, spans cover each document
+        exactly once per stride step, and the chunk text is the literal
+        token slice."""
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        overlap = min(int(overlap_frac * chunk), chunk - 1)
+        stride = chunk - overlap
+        rows = [
+            (i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate(lens)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got: dict = {}
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, overlap=overlap
+        ).collect():
+            got.setdefault(r["doc_id"], []).append(r)
+        for i, n in enumerate(lens):
+            toks = [f"t{j}" for j in range(n)]
+            exp = []
+            for idx, start in enumerate(
+                s for s in range(0, n, stride)
+                if s == 0 or s + overlap < n
+            ):
+                piece = toks[start : start + chunk]
+                exp.append((idx, start, len(piece), " ".join(piece)))
+            act = sorted(
+                (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"],
+                 r["chunk_text"])
+                for r in got.get(i, [])
+            )
+            assert act == exp, (i, n, chunk, overlap)
