@@ -416,9 +416,21 @@ class DistributionFitter:
         cached fitting sample is used when present — zero Spark jobs —
         unless ``force_recompute=True``, in which case (or when no
         sample is cached) the distributed histogram is computed from
-        ``df``. Returns (data, hist_density, bin_edges) with exactly
-        one side populated."""
+        ``df``. Passing ``df`` while a cached sample exists emits a
+        FutureWarning and still uses the cache (reference v3.0.3
+        CHANGELOG: plots use the cached sample even when df is passed;
+        ``force_recompute=True`` opts into re-evaluation). Returns
+        (data, hist_density, bin_edges) with exactly one side
+        populated."""
         if not force_recompute and getattr(result, "_sample", None) is not None:
+            if df is not None:
+                warnings.warn(
+                    "a cached fitting sample is available; df is ignored "
+                    "— pass force_recompute=True to re-evaluate the "
+                    "DataFrame",
+                    FutureWarning,
+                    stacklevel=3,
+                )
             return result._sample, None, None
         if df is None:
             raise ValueError(
@@ -463,6 +475,14 @@ class DistributionFitter:
             raise ValueError("plot_comparison needs at least one result")
         lead = results[0]
         if not force_recompute and getattr(lead, "_sample", None) is not None:
+            if df is not None:
+                warnings.warn(
+                    "a cached fitting sample is available; df is ignored "
+                    "— pass force_recompute=True to re-evaluate the "
+                    "DataFrame",
+                    FutureWarning,
+                    stacklevel=2,
+                )
             return P.plot_comparison(results, lead._sample, bins=bins, ax=ax)
         if df is None:
             raise ValueError(
@@ -500,8 +520,17 @@ class DistributionFitter:
 
     def _plot_sample(self, result, df, column, force_recompute: bool):
         """Raw-sample resolution for the point-wise plots (Q-Q / P-P
-        need actual observations, not a histogram)."""
+        need actual observations, not a histogram). Same cached-first +
+        FutureWarning contract as _plot_data."""
         if not force_recompute and getattr(result, "_sample", None) is not None:
+            if df is not None:
+                warnings.warn(
+                    "a cached fitting sample is available; df is ignored "
+                    "— pass force_recompute=True to re-evaluate the "
+                    "DataFrame",
+                    FutureWarning,
+                    stacklevel=3,
+                )
             return result._sample
         if df is None:
             raise ValueError(
@@ -927,6 +956,14 @@ class DiscreteDistributionFitter:
         from spark_bestfit_spark import plotting as P
 
         if not force_recompute and getattr(result, "_sample", None) is not None:
+            if df is not None:
+                warnings.warn(
+                    "a cached fitting sample is available; df is ignored "
+                    "— pass force_recompute=True to re-evaluate the "
+                    "DataFrame",
+                    FutureWarning,
+                    stacklevel=2,
+                )
             return P.plot_discrete_distribution(
                 result, result._sample, ax=ax
             )

@@ -254,6 +254,27 @@ class TestInstantPlotWrappers:
         with pytest.raises(ValueError, match="cached sample"):
             fitter._plot_data(best, None, None, 40, True)
 
+    def test_df_with_cached_sample_warns_and_uses_cache(self, fit_pack):
+        """Reference v3.0.3 contract: passing df while a cached sample
+        exists emits FutureWarning and still uses the cache (no Spark
+        evaluation); force_recompute=True opts into df."""
+        import warnings as W
+
+        fitter, results, df = fit_pack
+        best = results.best(1, metric="sse")
+        with pytest.warns(FutureWarning, match="cached fitting sample"):
+            data, density, edges = fitter._plot_data(
+                best, df, "v", 50, False
+            )
+        assert data is not None and density is None
+        with W.catch_warnings():
+            W.simplefilter("error", FutureWarning)
+            # no warning when df is omitted or recompute is explicit
+            fitter._plot_data(best, None, None, 50, False)
+            fitter._plot_data(best, df, "v", 30, True)
+        with pytest.warns(FutureWarning, match="cached fitting sample"):
+            fitter._plot_sample(best, df, "v", False)
+
     def test_results_plot_target_cache_first(self, fit_pack):
         _, results, _ = fit_pack
         res, sample = results._plot_target(None, "sse")
