@@ -1379,6 +1379,27 @@ def _q_robust_stats_approx(spark, sf_dir):
     )
 
 
+def _q_grouped_robust_stats(spark, sf_dir):
+    """Per-group robust stats (median/MAD/IQR + gates) of
+    l_extendedprice by l_returnflag — one grouped percentile pass, a
+    broadcast medians rejoin for the MAD pass; the oracle replicates
+    both passes with grouped quantile_cont."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import (
+        grouped_robust_stats_df,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = grouped_robust_stats_df(df, "l_extendedprice", "l_returnflag")
+    return out.select(
+        "l_returnflag",
+        *[F.round(c, 6).alias(c)
+          for c in ("median", "q1", "q3", "iqr", "mad", "lo", "hi")],
+        "n",
+    )
+
+
 def _q_two_sample_ks(spark, sf_dir):
     """Distributed two-sample K-S between l_quantity of returnflag A vs
     N — the EXACT statistic via the partitioned two-phase prefix sum
@@ -2148,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_grouped": _q_fit_grouped,
         "robust_stats": _q_robust_stats,
         "robust_stats_approx": _q_robust_stats_approx,
+        "grouped_robust_stats": _q_grouped_robust_stats,
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -3163,6 +3185,36 @@ def oracle_sql() -> dict[str, str]:
                      t[start_token + 1 : start_token + 48], ' '
                    )) AS chunk_md5
             FROM f
+        """,
+        "grouped_robust_stats": """
+            WITH v AS (
+              SELECT l_returnflag AS g, l_extendedprice AS x
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND l_returnflag IS NOT NULL
+            ),
+            m AS (
+              SELECT g, quantile_cont(x, 0.5) AS med,
+                     quantile_cont(x, 0.25) AS q1,
+                     quantile_cont(x, 0.75) AS q3,
+                     count(*) AS n
+              FROM v GROUP BY g
+            ),
+            d AS (
+              SELECT v.g, quantile_cont(abs(v.x - m.med), 0.5) AS mad
+              FROM v JOIN m ON v.g = m.g GROUP BY v.g
+            )
+            SELECT m.g AS l_returnflag,
+                   round(med, 6) AS median,
+                   round(q1, 6) AS q1,
+                   round(q3, 6) AS q3,
+                   round(q3 - q1, 6) AS iqr,
+                   round(mad, 6) AS mad,
+                   round(med - 3 * 1.4826022185056018 * mad, 6) AS lo,
+                   round(med + 3 * 1.4826022185056018 * mad, 6) AS hi,
+                   n
+            FROM m JOIN d ON m.g = d.g
         """,
         "semantic_dedup": """
             SELECT CAST(1450 AS BIGINT) AS n_vectors,

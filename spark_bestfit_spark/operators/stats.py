@@ -512,3 +512,69 @@ def robust_stats_df(
         "median double, q1 double, q3 double, iqr double, mad double, "
         "lo double, hi double, n long",
     )
+
+
+def grouped_robust_stats_df(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-GROUP outlier-robust location/scale — :func:`robust_stats_df`
+    keyed by ``group_col`` (domain, language, source, shard...), the
+    per-domain curation filter: each group gets its own median/MAD/IQR
+    and robust gates, so a heavy-tailed domain cannot drag the gates of
+    a clean one.
+
+    Same two-pass shape as the global version, grouped: ONE groupBy
+    percentile aggregation for the quartiles, then the per-group
+    medians rejoin the cleaned relation BY BROADCAST (the medians
+    relation has one row per group) for the MAD pass — two shuffles
+    carrying group-keyed aggregates, never a per-row wide relation.
+    Rows with a null group are excluded (a null key names no group).
+
+    ``approx=True`` swaps both passes onto ``approx_percentile``
+    (bounded executor memory at any per-group cardinality — the
+    100 TB path; exact per-group percentiles materialize each group's
+    value multiset on an executor).
+    """
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
+    clean = (
+        valid_column(df, column)
+        .filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(column).alias("_v"))
+    )
+    q = clean.groupBy("_g").agg(
+        F.expr(f"{pctl}(_v, 0.5{acc})").alias("median"),
+        F.expr(f"{pctl}(_v, 0.25{acc})").alias("q1"),
+        F.expr(f"{pctl}(_v, 0.75{acc})").alias("q3"),
+        F.count("*").alias("n"),
+    )
+    mad = (
+        clean.join(
+            F.broadcast(q.select("_g", F.col("median").alias("_m"))), "_g"
+        )
+        .groupBy("_g")
+        .agg(
+            F.expr(f"{pctl}(abs(_v - _m), 0.5{acc})").alias("mad")
+        )
+    )
+    c = 1.4826022185056018  # 1/Phi^-1(3/4): normal-consistent scaling
+    # both sides of the final join are G-row aggregates; broadcast the
+    # MAD side explicitly so the combine never sorts-merges
+    return (
+        q.join(F.broadcast(mad), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "median",
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            "mad",
+            (F.col("median") - 3.0 * c * F.col("mad")).alias("lo"),
+            (F.col("median") + 3.0 * c * F.col("mad")).alias("hi"),
+            "n",
+        )
+    )

@@ -963,3 +963,74 @@ class TestRobustStats:
         # empty relation degrades identically
         empty = spark.createDataFrame([], "v double")
         assert robust_stats_df(empty, "v", approx=True).count() == 0
+
+
+class TestGroupedRobustStats:
+    def test_matches_per_group_numpy(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            grouped_robust_stats_df,
+        )
+
+        rng = np.random.default_rng(23)
+        groups = {
+            "a": rng.normal(10, 2, 3000),
+            "b": np.concatenate([rng.lognormal(1, 0.5, 2000), [1e9]]),
+            "c": rng.uniform(-5, 5, 500),
+        }
+        rows = [
+            (g, float(v)) for g, vals in groups.items() for v in vals
+        ] + [(None, 1.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            r["g"]: r
+            for r in grouped_robust_stats_df(df, "v", "g").collect()
+        }
+        assert set(out) == {"a", "b", "c"}  # null group excluded
+        for g, vals in groups.items():
+            med = np.median(vals)
+            mad = np.median(np.abs(vals - med))
+            r = out[g]
+            assert r["median"] == pytest.approx(med, rel=1e-12)
+            assert r["mad"] == pytest.approx(mad, rel=1e-12)
+            assert r["q1"] == pytest.approx(
+                np.percentile(vals, 25), rel=1e-9
+            )
+            assert r["iqr"] == pytest.approx(
+                np.percentile(vals, 75) - np.percentile(vals, 25),
+                rel=1e-9,
+            )
+            assert r["n"] == len(vals)
+        # group b's gross outlier must not leak into a's gates
+        assert out["a"]["hi"] < 30
+
+    def test_approx_tier_and_broadcast_plan(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            grouped_robust_stats_df,
+        )
+
+        rng = np.random.default_rng(24)
+        rows = [
+            (f"g{i % 4}", float(v))
+            for i, v in enumerate(rng.gamma(2.0, 3.0, 8000))
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        exact = {
+            r["g"]: r for r in grouped_robust_stats_df(df, "v", "g").collect()
+        }
+        apx = {
+            r["g"]: r
+            for r in grouped_robust_stats_df(
+                df, "v", "g", approx=True
+            ).collect()
+        }
+        for g in exact:
+            tol = 0.01 * exact[g]["iqr"]
+            for f in ("median", "q1", "q3", "mad"):
+                assert abs(apx[g][f] - exact[g][f]) <= tol
+        # the MAD pass must join the per-group medians by broadcast
+        plan = (
+            grouped_robust_stats_df(df, "v", "g")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
