@@ -1083,6 +1083,21 @@ def _q_doc_chunks(spark, sf_dir):
     )
 
 
+def _q_doc_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords over the first 200 docs —
+    smoothed idf, deterministic (score DESC, token) ties; the oracle
+    replays the whole pipeline (tf, df, smoothed idf, ranked window)
+    in SQL."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import top_terms_per_doc
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return top_terms_per_doc(df, k=3)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """Cluster-bucketed semantic dedup (SemDeDup) on a pinned-seed
     8-cluster Gaussian corpus with 250 planted near-duplicates
@@ -2174,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "doc_chunks": _q_doc_chunks,
         "semantic_dedup": _q_semantic_dedup,
+        "doc_top_terms": _q_doc_top_terms,
         "streaming_neardup": _q_streaming_neardup,
         "fit_mse": _q_fit_mse,
         "streaming_sessions": _q_streaming_sessions,
@@ -3186,6 +3202,41 @@ def oracle_sql() -> dict[str, str]:
                    )) AS chunk_md5
             FROM f
         """,
+        "doc_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+              FROM documents WHERE doc_id < 200
+            ),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM t2 GROUP BY doc_id, tok
+            ),
+            dfreq AS (
+              SELECT tok, count(DISTINCT doc_id) AS df
+              FROM tf GROUP BY tok
+            ),
+            nd AS (
+              SELECT count(DISTINCT doc_id) AS n
+              FROM documents WHERE doc_id < 200
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+                     round(tf.tf * ln((1 + n) / (dfreq.df + 1.0)), 6)
+                       AS score
+              FROM tf JOIN dfreq USING (tok), nd
+            ),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, tok
+                     ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT doc_id, tok, tf, df, score, rank
+            FROM ranked WHERE rank <= 3
+        """,
         "grouped_robust_stats": """
             WITH v AS (
               SELECT l_returnflag AS g, l_extendedprice AS x
@@ -3222,7 +3273,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1200 AS BIGINT) AS n_kept_exact,
                    true AS no_false_merges,
                    true AS recall_floor,
-                   1.0 AS merge_recall
+                   CAST(1.0 AS DOUBLE) AS merge_recall
         """,
         "robust_stats_approx": """
             SELECT true AS median_ok, true AS q1_ok, true AS q3_ok,

@@ -353,3 +353,90 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_terms: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: (token, tf, df) — term frequency over the
+    whole corpus and document frequency — from one explode scan and one
+    token-keyed aggregation (map-side combined; ``countDistinct`` of
+    the doc id rides the same shuffle). ``min_df`` prunes hapax noise;
+    ``max_terms`` keeps the top terms by corpus tf with deterministic
+    (tf DESC, token) ties. At 100 TB the shuffle carries one row per
+    (partition, distinct-token), never raw text."""
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    v = (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    if max_terms is not None:
+        v = v.orderBy(F.desc("tf"), F.col("tok")).limit(int(max_terms))
+    return v
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — keyword extraction for corpus
+    audits, dedup-cluster labeling, and domain inspection.
+
+    ``score = tf(t, d) * ln((1 + N) / (1 + df(t)))`` (the smoothed idf,
+    so corpus-wide terms score ~0 instead of exploding the log at
+    df = N). Shuffle shape at 100 TB: explode -> (doc, token) tf
+    aggregate, document frequencies derived FROM the tf relation (no
+    second corpus scan) and joined back token-partitioned (the df
+    relation is vocabulary-sized — too big to broadcast, so this is
+    the standard term-keyed equi-join), then one doc-partitioned
+    window for the top-k. Deterministic ties: (score DESC, token).
+
+    Output: (id_col, token, tf, df, score, rank), rank 1..k."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "tok").select(
+        F.col(id_col),
+        "tok",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(1.0 + n_docs) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -1034,3 +1034,79 @@ class TestGroupedRobustStats:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestVocabularyTopTerms:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry banana durian"),
+            (2, "apple apple apple elderberry"),
+            (3, "fig"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_vocabulary_counts(self, corpus):
+        from spark_bestfit_spark.operators.textstats import vocabulary
+
+        v = {r["tok"]: (r["tf"], r["df"]) for r in vocabulary(corpus).collect()}
+        assert v["apple"] == (5, 2)
+        assert v["banana"] == (3, 2)
+        assert v["cherry"] == (2, 2)
+        assert v["durian"] == (1, 1)
+        assert v["fig"] == (1, 1)
+        # min_df prunes, max_terms keeps the top by tf with (tf, tok) ties
+        from spark_bestfit_spark.operators.textstats import vocabulary as V
+
+        kept = [r["tok"] for r in V(corpus, min_df=2).collect()]
+        assert set(kept) == {"apple", "banana", "cherry"}
+        top2 = [
+            r["tok"]
+            for r in V(corpus, max_terms=2)
+            .orderBy(F.desc("tf"), "tok").collect()
+        ]
+        assert top2 == ["apple", "banana"]
+        with pytest.raises(ValueError, match="min_df"):
+            V(corpus, min_df=0)
+
+    def test_top_terms_tfidf_hand_computed(self, corpus):
+        import math
+
+        from spark_bestfit_spark.operators.textstats import (
+            top_terms_per_doc,
+        )
+
+        out = top_terms_per_doc(corpus, k=2)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["tok"], r["tf"], r["df"], r["score"])
+            )
+        # doc 2: apple tf=3 df=2 -> 3*ln(5/3); elderberry tf=1 df=1 -> ln(5/2)
+        d2 = sorted(got[2])
+        assert d2[0][1] == "apple"
+        assert d2[0][4] == pytest.approx(
+            round(3 * math.log(5.0 / 3.0), 6), abs=1e-9
+        )
+        assert d2[1][1] == "elderberry"
+        assert d2[1][4] == pytest.approx(
+            round(math.log(5.0 / 2.0), 6), abs=1e-9
+        )
+        # every doc emits at most k rows with ranks 1..k
+        for doc, rows in got.items():
+            ranks = sorted(r[0] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            assert len(rows) <= 2
+        with pytest.raises(ValueError, match="k must"):
+            top_terms_per_doc(corpus, k=0)
+
+    def test_runs_on_documents_table(self, docs):
+        from spark_bestfit_spark.operators.textstats import (
+            top_terms_per_doc,
+        )
+
+        out = top_terms_per_doc(docs.limit(50), k=3)
+        assert out.groupBy("doc_id").count().agg(
+            F.max("count")
+        ).first()[0] <= 3
