@@ -1098,6 +1098,24 @@ def _q_doc_top_terms(spark, sf_dir):
     return top_terms_per_doc(df, k=3)
 
 
+def _q_tfidf_neardup(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs (inverted-index accumulation,
+    exact mode: max_df=None makes the token-partitioned pair sum THE
+    cosine) over the first 150 docs at threshold 0.8 — the oracle
+    replays tf/df/idf, L2 normalization, and the pair accumulation in
+    SQL."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        tfidf_neardup_pairs,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    return tfidf_neardup_pairs(df, threshold=0.8)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """Cluster-bucketed semantic dedup (SemDeDup) on a pinned-seed
     8-cluster Gaussian corpus with 250 planted near-duplicates
@@ -2190,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "semantic_dedup": _q_semantic_dedup,
         "doc_top_terms": _q_doc_top_terms,
+        "tfidf_neardup": _q_tfidf_neardup,
         "streaming_neardup": _q_streaming_neardup,
         "fit_mse": _q_fit_mse,
         "streaming_sessions": _q_streaming_sessions,
@@ -3201,6 +3220,47 @@ def oracle_sql() -> dict[str, str]:
                      t[start_token + 1 : start_token + 48], ' '
                    )) AS chunk_md5
             FROM f
+        """,
+        "tfidf_neardup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+              FROM documents WHERE doc_id < 150
+            ),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM t2 GROUP BY doc_id, tok
+            ),
+            dfreq AS (
+              SELECT tok, count(DISTINCT doc_id) AS df
+              FROM tf GROUP BY tok
+            ),
+            nd AS (
+              SELECT count(DISTINCT doc_id) AS n
+              FROM documents WHERE doc_id < 150
+            ),
+            w AS (
+              SELECT tf.doc_id, tf.tok,
+                     tf.tf * ln((1 + n) / (dfreq.df + 1.0)) AS w
+              FROM tf JOIN dfreq USING (tok), nd
+            ),
+            norms AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS nrm
+              FROM w GROUP BY doc_id
+            ),
+            wn AS (
+              SELECT w.doc_id, w.tok, w.w / norms.nrm AS wn
+              FROM w JOIN norms USING (doc_id)
+              WHERE norms.nrm > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(sum(a.wn * b.wn), 6) AS cosine
+            FROM wn a JOIN wn b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING round(sum(a.wn * b.wn), 6) >= 0.8
         """,
         "doc_top_terms": """
             WITH toks AS (

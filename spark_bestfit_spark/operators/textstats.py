@@ -440,3 +440,87 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def tfidf_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted near-duplicate pairs by TF-IDF cosine, via an inverted
+    index — the weighted-text complement to the MinHash (set-Jaccard)
+    and embedding (dense-cosine) dedup paths.
+
+    Each document becomes an L2-normalized TF-IDF vector (smoothed
+    idf, the same convention as :func:`top_terms_per_doc`); the pair
+    score ``sum_t w_a(t) * w_b(t)`` is accumulated TOKEN-PARTITIONED:
+    postings self-join on the token, so only documents sharing a token
+    are ever paired and the quadratic work is confined inside each
+    token's posting list — there is no O(n^2) term anywhere.
+
+    With ``max_df=None`` the pair sum IS the exact cosine (unshared
+    tokens contribute zero; every shared token is present). At scale,
+    ubiquitous tokens make posting lists huge — ``max_df`` prunes
+    tokens appearing in more than that many documents from the PAIR
+    ACCUMULATION (norms still use all tokens), making the score a
+    LOWER BOUND on the true cosine: pruning can only drop positive
+    contributions, so every returned pair is genuine but borderline
+    pairs may be missed. Set ``max_df`` to a small multiple of the
+    duplication you expect (stop-word postings are the 100 TB
+    bottleneck, and their idf weight is ~0 anyway).
+
+    Returns (id_a, id_b, cosine) with cosine >= threshold,
+    id_a < id_b."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = df.select(id_col).distinct().count()
+    w = tf.join(dfreq, "tok").select(
+        F.col(id_col),
+        "tok",
+        "df",
+        (
+            F.col("tf")
+            * F.log(F.lit(1.0 + n_docs) / (F.col("df") + F.lit(1.0)))
+        ).alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
+    )
+    wn = (
+        w.join(norms, id_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col),
+            "tok",
+            "df",
+            (F.col("w") / F.col("_norm")).alias("wn"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    if max_df is not None:
+        wn = wn.filter(F.col("df") <= max_df)
+    pa = wn.select(
+        "tok", F.col(id_col).alias("id_a"), F.col("wn").alias("_wa")
+    )
+    pb = wn.select(
+        "tok", F.col(id_col).alias("id_b"), F.col("wn").alias("_wb")
+    )
+    return (
+        pa.join(pb, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("_wa") * F.col("_wb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

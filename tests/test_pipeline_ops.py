@@ -1110,3 +1110,102 @@ class TestVocabularyTopTerms:
         assert out.groupBy("doc_id").count().agg(
             F.max("count")
         ).first()[0] <= 3
+
+
+class TestTfidfNearDup:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),          # exact dup of 0
+            (2, "alpha beta gamma epsilon"),        # near dup of 0
+            (3, "zeta eta theta iota"),             # disjoint
+            (4, "alpha zeta"),                      # weak overlap
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _exact_cosines(rows, n_docs):
+        import collections
+        import math
+
+        docs = {i: t.split() for i, t in rows}
+        dfreq = collections.Counter()
+        for toks in docs.values():
+            for t in set(toks):
+                dfreq[t] += 1
+        vecs = {}
+        for i, toks in docs.items():
+            tf = collections.Counter(toks)
+            v = {
+                t: c * math.log((1 + n_docs) / (dfreq[t] + 1.0))
+                for t, c in tf.items()
+            }
+            norm = math.sqrt(sum(x * x for x in v.values()))
+            vecs[i] = {t: x / norm for t, x in v.items()}
+        out = {}
+        ids = sorted(docs)
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    shared = set(vecs[a]) & set(vecs[b])
+                    out[(a, b)] = sum(
+                        vecs[a][t] * vecs[b][t] for t in shared
+                    )
+        return out
+
+    def test_exact_mode_matches_reference(self, spark, corpus):
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+        exp = self._exact_cosines(rows, n_docs=5)
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_neardup_pairs(corpus, threshold=0.01).collect()
+        }
+        assert got[(0, 1)] == pytest.approx(1.0)
+        for pair, cos in exp.items():
+            if cos >= 0.01:
+                assert got[pair] == pytest.approx(
+                    round(cos, 6), abs=2e-6
+                ), pair
+            else:
+                assert pair not in got
+        # threshold filters
+        strict = {
+            (r["id_a"], r["id_b"])
+            for r in tfidf_neardup_pairs(corpus, threshold=0.9).collect()
+        }
+        assert strict == {(0, 1)}
+
+    def test_max_df_pruning_is_lower_bound(self, spark, corpus):
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        full = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_neardup_pairs(corpus, threshold=0.01).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_neardup_pairs(
+                corpus, threshold=0.01, max_df=2
+            ).collect()
+        }
+        for pair, cos in pruned.items():
+            assert cos <= full[pair] + 1e-9  # pruning only drops mass
+        with pytest.raises(ValueError, match="threshold"):
+            tfidf_neardup_pairs(corpus, threshold=1.5)
+
+    def test_runs_on_documents_table(self, docs):
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        out = tfidf_neardup_pairs(docs.limit(100), threshold=0.8)
+        for r in out.collect():
+            assert 0.8 <= r["cosine"] <= 1.000001
+            assert r["id_a"] < r["id_b"]
