@@ -534,15 +534,19 @@ def main() -> None:
     full["detail"] = details
     # full payload: one stdout line + a sidecar file; the compact
     # headline is the FINAL line so a bounded tail capture always
-    # parses it (BENCH_r05.json lost its head to exactly this)
-    try:
-        with open(
-            os.path.join(repo, "BENCH_SUMMARY.json"), "w", encoding="utf-8"
-        ) as fh:
-            json.dump(full, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass
+    # parses it (BENCH_r05.json lost its head to exactly this).
+    # Restricted runs (SPARK_GRAFT_BENCH_QUERIES) never overwrite the
+    # sidecar — it records the last FULL session only.
+    if not only:
+        try:
+            with open(
+                os.path.join(repo, "BENCH_SUMMARY.json"), "w",
+                encoding="utf-8",
+            ) as fh:
+                json.dump(full, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
     print(json.dumps(full))
     print(json.dumps(headline, separators=(",", ":")))
     spark.stop()
