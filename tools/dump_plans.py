@@ -181,6 +181,33 @@ def main() -> None:
         explain_str(bm25_topk(docs, ["data", "model", "training"], k=10)),
     ))
 
+    from spark_bestfit_spark.operators.curation import chunk_documents
+
+    sections.append((
+        "document chunking — chunk_documents(docs, 512, overlap=64)",
+        "Within-document context windows: `sequence` + higher-order\n"
+        "`filter` + `posexplode` + `slice`, all JVM column work. What to\n"
+        "look for: ZERO Exchange nodes and no Python evaluator anywhere —\n"
+        "the operator is a pure map over the scan, so at 100 TB it\n"
+        "parallelizes with input splits and writes partition-local output.",
+        explain_str(chunk_documents(docs, 512, overlap=64)),
+    ))
+
+    from spark_bestfit_spark.operators.stats import grouped_robust_stats_df
+
+    sections.append((
+        "grouped robust stats — grouped_robust_stats_df(lineitem, "
+        "l_extendedprice, l_returnflag)",
+        "Per-group median/MAD/IQR gates: one grouped percentile\n"
+        "aggregation, then the G-row medians relation rejoins the cleaned\n"
+        "corpus by BROADCAST for the MAD pass. What to look for: every\n"
+        "Join is a BroadcastHashJoin (medians + final G-row combine) —\n"
+        "no SortMergeJoin, no per-row wide relation crossing an Exchange.",
+        explain_str(
+            grouped_robust_stats_df(li, "l_extendedprice", "l_returnflag")
+        ),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
