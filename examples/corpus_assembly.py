@@ -89,6 +89,21 @@ def main() -> None:
         f"{crossers} docs cross a boundary"
     )
 
+    # 6. OR window each document into overlapping context chunks
+    # (retrieval-style, never mixing sources) — zero-exchange map plan
+    from spark_bestfit_spark.operators.curation import chunk_documents
+
+    chunks = chunk_documents(train, chunk_tokens=64, overlap=8)
+    print(f"chunked into {chunks.count()} windows of <=64 tokens")
+
+    # 7. label what survived: per-doc TF-IDF keywords for a quick
+    # audit of what the mixed corpus is actually about
+    from spark_bestfit_spark.operators.textstats import top_terms_per_doc
+
+    top_terms_per_doc(train, k=3).orderBy("doc_id", "rank").show(
+        9, truncate=False
+    )
+
     spark.stop()
 
 

@@ -62,6 +62,37 @@ def main() -> None:
     )
     print("\nmost repetitive documents:")
     signals.orderBy(F.desc("dup_shingle_ratio"), "doc_id").show(5)
+
+    # semantic dedup over the embedding space (SemDeDup: KMeans
+    # buckets -> in-cluster cosine pairs -> components -> min-id keep)
+    from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+    sem = semantic_dedup(emb, threshold=0.999, n_clusters=8)
+    print(f"\nsemantic dedup keeps {sem.filter('is_kept').count()} "
+          f"of {sem.count()} vectors")
+
+    # weighted TEXT near-dups by TF-IDF cosine (inverted index; exact
+    # when max_df is None) — the weighted complement to MinHash
+    from spark_bestfit_spark.operators.textstats import (
+        tfidf_neardup_pairs,
+    )
+
+    tp = tfidf_neardup_pairs(docs, threshold=0.9)
+    print(f"tf-idf cosine pairs over 0.9: {tp.count()}")
+
+    # per-group robust quality gates: each source's own median/MAD
+    # thresholds, so one heavy-tailed domain can't drag another's
+    from spark_bestfit_spark.operators.stats import (
+        grouped_robust_stats_df,
+    )
+    from spark_bestfit_spark.operators.textstats import (
+        with_quality_score,
+    )
+
+    scored = with_quality_score(docs)
+    grouped_robust_stats_df(scored, "quality_score", "source").orderBy(
+        "source"
+    ).show(truncate=False)
     spark.stop()
 
 
