@@ -317,14 +317,15 @@ def main() -> None:
         lambda: self_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4]).count(),
         rounds=5,
     )
-    # SemDeDup-style embedding dedup: KMeans bucket -> in-cluster cosine
-    # pairs -> connected components (quadratic work confined to cells)
+    # SemDeDup-style embedding dedup: sample-fitted local quantizer +
+    # one Arrow argmin assignment pass -> in-cluster cosine pairs ->
+    # connected components (quadratic work confined to cells)
     from spark_bestfit_spark.operators.similarity import semantic_dedup
 
     bench(
         "q_semantic_dedup",
         lambda: semantic_dedup(
-            emb, threshold=0.99, n_clusters=16
+            emb, threshold=0.99, n_clusters=16, method="local"
         ).filter("is_kept").count(),
         rounds=2,
     )

@@ -19,6 +19,7 @@ top of pyspark.ml for corpora where LSH recall is insufficient.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -110,6 +111,44 @@ def self_topk(
 
 
 # ---------------------------------------------------------------- LSH tier
+def _lloyd_kmeans(
+    x: np.ndarray, k: int, seed: int, n_iter: int = 25
+) -> np.ndarray:
+    """Seeded k-means++ initialization + Lloyd iterations, pure numpy.
+    Deterministic for a given (sample, k, seed); empty clusters are
+    re-seeded from the point farthest from its center."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    # k-means++ seeding
+    centers = [x[rng.integers(0, n)]]
+    d2 = np.sum((x - centers[0]) ** 2, axis=1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        idx = rng.choice(n, p=p)
+        centers.append(x[idx])
+        d2 = np.minimum(d2, np.sum((x - centers[-1]) ** 2, axis=1))
+    c = np.asarray(centers)
+    for _ in range(n_iter):
+        dists = (
+            np.sum(x * x, axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + np.sum(c * c, axis=1)[None, :]
+        )
+        labels = np.argmin(dists, axis=1)
+        new_c = c.copy()
+        for j in range(k):
+            mask = labels == j
+            if mask.any():
+                new_c[j] = x[mask].mean(axis=0)
+            else:
+                new_c[j] = x[np.argmax(dists.min(axis=1))]
+        if np.allclose(new_c, c):
+            c = new_c
+            break
+        c = new_c
+    return c
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int):
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_planes, dim))
@@ -321,7 +360,29 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         cache: bool = True,
+        method: str = "ml",
+        sample_size: int = 100_000,
     ) -> "IvfIndex":
+        """Fit the coarse quantizer and assign every vector to a cell.
+
+        ``method="ml"`` (default): distributed ``pyspark.ml`` KMeans
+        over the full corpus — the heavyweight, fully-distributed fit.
+
+        ``method="local"``: the quantizer is fitted DRIVER-SIDE on a
+        seeded sample of <= ``sample_size`` vectors (Lloyd iterations
+        with k-means++ seeding, pure numpy), then every vector is
+        assigned in ONE Arrow-batched map stage against the broadcast
+        centers (argmin over a (batch, k) distance matmul). This is
+        the standard shape for coarse quantizers at 100 TB: center
+        quality needs only a sample, so the cluster never runs KMeans
+        jobs over the corpus — the full-data pass is map-only."""
+        if method == "local":
+            return cls._build_local(
+                vectors, n_clusters, seed, id_col, vec_col, cache,
+                sample_size,
+            )
+        if method != "ml":
+            raise ValueError("method must be 'ml' or 'local'")
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -344,6 +405,54 @@ class IvfIndex:
             assigned, [c.tolist() for c in model.clusterCenters()],
             id_col, vec_col,
         )
+
+    @classmethod
+    def _build_local(
+        cls, vectors, n_clusters, seed, id_col, vec_col, cache,
+        sample_size,
+    ) -> "IvfIndex":
+        from pyspark.sql.functions import pandas_udf
+
+        n_total = vectors.count()
+        frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+        pdf = (
+            vectors.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
+        sample = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        if sample.shape[0] < n_clusters:
+            raise ValueError(
+                f"sample of {sample.shape[0]} vectors cannot seed "
+                f"{n_clusters} clusters; lower n_clusters or raise "
+                "sample_size"
+            )
+        centers = _lloyd_kmeans(sample, n_clusters, seed)
+        c_arr = centers.astype(np.float64)
+        c_sq = 0.5 * np.sum(c_arr * c_arr, axis=1)  # argmin ||v-c||^2
+
+        @pandas_udf("int")
+        def _assign(col: pd.Series) -> pd.Series:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in col]
+            )
+            if mat.size == 0:
+                return pd.Series([], dtype="int32")
+            scores = mat @ c_arr.T - c_sq  # argmax <=> nearest center
+            return pd.Series(
+                np.argmax(scores, axis=1).astype(np.int32)
+            )
+
+        assigned = vectors.select(
+            F.col(id_col), F.col(vec_col),
+            _assign(F.col(vec_col)).alias("cell"),
+        )
+        if cache:
+            assigned = assigned.cache()
+        return cls(assigned, c_arr.tolist(), id_col, vec_col)
 
     # ------------------------------------------------------------- query
     def _centers_df(self, spark):
@@ -554,6 +663,7 @@ def semantic_dedup(
     seed: int = 42,
     max_cluster_size: int = 100_000,
     index: IvfIndex | None = None,
+    method: str = "ml",
 ) -> DataFrame:
     """Cluster-bucketed semantic deduplication (the SemDeDup recipe,
     Abbas et al. 2023): a KMeans coarse quantizer buckets the corpus,
@@ -566,7 +676,10 @@ def semantic_dedup(
     ``is_kept`` selects the dedup survivors.
 
     Scale shape: one KMeans fit + one assignment pass (reused from
-    :class:`IvfIndex`; pass ``index=`` to amortize across thresholds),
+    :class:`IvfIndex`; pass ``index=`` to amortize across thresholds;
+    ``method="local"`` fits the quantizer driver-side on a seeded
+    sample and assigns in one Arrow map stage — no KMeans jobs over
+    the corpus, the recommended shape at 100 TB),
     ONE exchange on the cluster id for the in-cluster pair join
     (quadratic work confined inside clusters, guarded by
     ``max_cluster_size`` exactly like the MinHash bucket guard), then
@@ -582,7 +695,7 @@ def semantic_dedup(
         raise ValueError("threshold must be in (0, 1]")
     idx = index or IvfIndex.build(
         vectors, n_clusters=n_clusters, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, method=method,
     )
     assigned = idx.assigned
     big = (

@@ -234,6 +234,45 @@ class TestSemanticDedup:
         with pytest.raises(ValueError, match="threshold"):
             semantic_dedup(dup_corpus, threshold=0.0)
 
+    def test_local_quantizer_matches_ml_dedup(self, dup_corpus):
+        """method='local' (driver-sample Lloyd fit + one Arrow argmin
+        assignment pass — no KMeans jobs over the corpus) must recover
+        the same planted-dup structure as the Spark ML path and be
+        deterministic for a fixed seed."""
+        from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            dup_corpus, threshold=0.98, n_clusters=6, seed=9,
+            method="local",
+        )
+        rows = {r["vec_id"]: (r["rep_id"], r["is_kept"]) for r in out.collect()}
+        assert sum(1 for _, k in rows.values() if k) == 120
+        assert rows[120] == (0, False) and rows[150] == (0, False)
+        again = semantic_dedup(
+            dup_corpus, threshold=0.98, n_clusters=6, seed=9,
+            method="local",
+        )
+        assert sorted(map(tuple, again.collect())) == sorted(
+            (i, *v) for i, v in rows.items()
+        )
+        with pytest.raises(ValueError, match="method"):
+            semantic_dedup(dup_corpus, method="bogus")
+
+    def test_lloyd_kmeans_kernel(self):
+        from spark_bestfit_spark.operators.similarity import _lloyd_kmeans
+
+        rng = np.random.default_rng(2)
+        centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+        x = np.vstack(
+            [c + 0.3 * rng.normal(0, 1, (200, 2)) for c in centers]
+        )
+        fit = _lloyd_kmeans(x, 3, seed=5)
+        # each true center is recovered within the noise scale
+        for c in centers:
+            d = np.min(np.linalg.norm(fit - c, axis=1))
+            assert d < 0.2
+        np.testing.assert_allclose(fit, _lloyd_kmeans(x, 3, seed=5))
+
     def test_index_reuse_across_thresholds(self, dup_corpus):
         from spark_bestfit_spark.operators.similarity import (
             IvfIndex,
