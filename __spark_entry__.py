@@ -1387,6 +1387,33 @@ def _q_robust_stats(spark, sf_dir):
     )
 
 
+def _q_fit_discrete_grouped(spark, sf_dir):
+    """Discrete per-GROUP fitting (DiscreteDistributionFitter.
+    fit_grouped — constant job count in #groups): 6 discrete
+    distributions against part.p_size for each of four p_brand
+    groups. Every group is under the fitting-sample budget, so the
+    samples are the full groups and the invariant relation is exactly
+    pinned."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4")
+    )
+    res = DiscreteDistributionFitter(spark).fit_grouped(
+        df, "p_size", "p_brand", max_distributions=6
+    )
+    return _fit_invariants(
+        res.df,
+        extra_cols=[
+            F.min("data_count").cast("long").alias("data_count"),
+            F.min("data_min").cast("long").alias("data_min_v"),
+            F.max("data_max").cast("long").alias("data_max_v"),
+        ],
+    )
+
+
 def _q_robust_stats_approx(spark, sf_dir):
     """The approx tier of robust_stats (approx_percentile /
     Greenwald-Khanna — bounded executor memory at any cardinality, the
@@ -2200,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries every round and fails if any oracle entry is never
         # executed. ----
         "fit_grouped": _q_fit_grouped,
+        "fit_discrete_grouped": _q_fit_discrete_grouped,
         "robust_stats": _q_robust_stats,
         "robust_stats_approx": _q_robust_stats_approx,
         "grouped_robust_stats": _q_grouped_robust_stats,
@@ -2233,7 +2261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_gamma_ci": _q_bootstrap_ci,
         "events_asof": _q_events_asof,
         "training_shards": _q_training_shards,
-        "doc_unigram_logprob": _q_doc_unigram_logprob,
         "neardup_clusters": _q_neardup_clusters,
         "two_sample_ks": _q_two_sample_ks,
         "score_logpdf": _q_score_logpdf,
@@ -2260,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare green under the local strict harness every round
         # (tools/check_oracle.py verifies ALL entries and asserts none
         # is skipped). ----
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
         "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
@@ -3338,6 +3366,24 @@ def oracle_sql() -> dict[str, str]:
         "robust_stats_approx": """
             SELECT true AS median_ok, true AS q1_ok, true AS q3_ok,
                    true AS mad_ok, true AS n_ok
+        """,
+        "fit_discrete_grouped": """
+            SELECT * FROM (VALUES
+              ('p_size[Brand#1]', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'betabinom',
+               CAST(71 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+              ('p_size[Brand#2]', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'boltzmann',
+               CAST(95 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+              ('p_size[Brand#3]', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'betabinom',
+               CAST(85 AS BIGINT), CAST(1 AS BIGINT), CAST(49 AS BIGINT)),
+              ('p_size[Brand#4]', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'betabinom',
+               CAST(96 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT))
+            ) AS t(column_name, n_results, n_failed_visible,
+                   n_nonfinite_ic, n_identity_violations, best_aic_dist,
+                   data_count, data_min_v, data_max_v)
         """,
         "fit_grouped": """
             SELECT 'l_extendedprice[A]' AS column_name,

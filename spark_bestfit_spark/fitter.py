@@ -947,6 +947,126 @@ class DiscreteDistributionFitter:
             source=(df, config),
         )
 
+    def fit_grouped(
+        self,
+        df: DataFrame,
+        column: str,
+        group_col: str,
+        distributions: list | None = None,
+        config: FitterConfig | None = None,
+        max_groups: int = 200,
+        **kwargs,
+    ) -> FitResults:
+        """Discrete fitting PER GROUP — the discrete twin of
+        ``DistributionFitter.fit_grouped`` with the same constant job
+        count in the number of groups:
+
+        - per-group counts: ONE groupBy aggregation (+ max_groups
+          guard, null groups excluded);
+        - per-group empirical PMFs: ONE (group, floored-value)
+          aggregation — map-side combined, the shuffle carries one row
+          per (group, support point);
+        - per-group samples: ONE ``sampleBy`` pass, truncated with the
+          same value-based per-group-seeded convention;
+        - ONE (group, distribution) fan-out; results address as
+          ``column[group]``.
+        """
+        df = _ensure_spark_df(self.spark, df)
+        cols_types = {f.name: f.dataType for f in df.schema.fields}
+        if column not in cols_types:
+            raise ValueError(f"column {column!r} not found in DataFrame")
+        if not isinstance(cols_types[column], NumericType):
+            raise TypeError(
+                f"column {column!r} has non-numeric type "
+                f"{cols_types[column].simpleString()}"
+            )
+        if group_col not in df.columns:
+            raise ValueError(f"group column {group_col!r} not found")
+        config = (config or FitterConfig()).with_(**kwargs) if kwargs else (
+            config or FitterConfig()
+        )
+        if distributions:
+            DistributionFitter._validate_names(self, distributions)
+        from spark_bestfit_spark.operators.discrete_fit import (
+            parallel_fit_discrete_columns,
+        )
+        from spark_bestfit_spark.operators.stats import valid_column
+
+        clean = valid_column(df, column).filter(
+            F.col(group_col).isNotNull()
+        )
+        counts = (
+            clean.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        )
+        if not counts:
+            return self._empty_results()
+        if len(counts) > max_groups:
+            raise ValueError(
+                f"fit_grouped: {len(counts)} groups exceed "
+                f"max_groups={max_groups}; the per-group PMFs and "
+                "samples are driver-resident — aggregate or bucket the "
+                "key first, or raise max_groups deliberately"
+            )
+        gcounts = {r[group_col]: int(r["n"]) for r in counts}
+        target = config.fitting_sample_size
+        # ONE stacked PMF pass over (group, floored value)
+        pmf_rows = (
+            clean.groupBy(group_col, F.floor(column).alias("_k"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        pmf_pairs: dict = {g: [] for g in gcounts}
+        for r in pmf_rows:
+            pmf_pairs[r[group_col]].append(
+                (float(r["_k"]), float(r["cnt"]))
+            )
+        # ONE sampleBy pass for the fitting samples
+        fractions = {
+            g: min(1.0, (target * 1.3) / n) for g, n in gcounts.items()
+        }
+        pdf = (
+            clean.select(group_col, column)
+            .sampleBy(group_col, fractions, seed=config.random_seed)
+            .toPandas()
+        )
+        samples_by_group: dict = {}
+        for g, sub in pdf.groupby(group_col, sort=False):
+            arr = np.floor(sub[column].to_numpy(dtype=np.float64))
+            arr = arr[np.isfinite(arr)]
+            samples_by_group[g] = _truncate_group_sample(
+                arr, target, config.random_seed, g
+            )
+        names = distributions or self.registry.get_discrete_distributions(
+            additional_exclusions=list(config.additional_exclusions)
+        )
+        if config.max_distributions is not None:
+            names = names[: config.max_distributions]
+        plans: dict = {}
+        samples: dict = {}
+        for g in gcounts:
+            pairs = sorted(pmf_pairs.get(g, []))
+            sample = samples_by_group.get(g)
+            if not pairs or sample is None or sample.size < 2:
+                continue
+            x = np.array([p[0] for p in pairs])
+            cnts = np.array([p[1] for p in pairs])
+            label = f"{column}[{g}]"
+            samples[label] = sample
+            plans[label] = {
+                "names": list(names),
+                "sample": sample,
+                "x_values": x,
+                "pmf": cnts / cnts.sum(),
+            }
+        if not plans:
+            return self._empty_results()
+        result_df = parallel_fit_discrete_columns(
+            self.spark, plans, config, self.registry
+        )
+        return FitResults(
+            result_df, registry=self.registry, samples=samples
+        )
+
     def plot(
         self, result, df=None, column=None,
         force_recompute: bool = False, ax=None,

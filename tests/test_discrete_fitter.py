@@ -155,3 +155,83 @@ class TestDiscreteFitter:
             df, column="v", distributions=["poisson"]
         )
         assert res.count() == 0
+
+
+class TestDiscreteGroupedFitting:
+    def test_each_group_recovers_its_family(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        rng = np.random.default_rng(4)
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 3000 + ["b"] * 3000,
+                "v": np.concatenate(
+                    [rng.poisson(4.0, 3000), rng.integers(0, 10, 3000)]
+                ).astype(float),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        res = DiscreteDistributionFitter(spark).fit_grouped(
+            df, "v", "g", distributions=["poisson", "randint", "geom"]
+        )
+        best = res.best_per_column(n=1, metric="sse")
+        assert best["v[a]"][0].distribution == "poisson"
+        assert best["v[b]"][0].distribution == "randint"
+
+    def test_small_groups_match_separate_fits(self, spark):
+        import pandas as pd
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "g": ["x"] * 800 + ["y"] * 900,
+                "v": np.concatenate(
+                    [rng.poisson(2.0, 800), rng.poisson(9.0, 900)]
+                ).astype(float),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        f = DiscreteDistributionFitter(spark)
+        dists = ["poisson", "geom"]
+        grouped = {
+            (r["column_name"], r["distribution"]): r
+            for r in f.fit_grouped(df, "v", "g", distributions=dists)
+            .df.collect()
+        }
+        for g in ("x", "y"):
+            solo = f.fit(
+                df.filter(F.col("g") == g), column="v",
+                distributions=dists,
+            )
+            for r in solo.df.collect():
+                gr = grouped[(f"v[{g}]", r["distribution"])]
+                assert gr["parameters"] == r["parameters"], (g, r)
+                assert gr["sse"] == r["sse"]
+
+    def test_null_groups_and_cap_and_validation(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        f = DiscreteDistributionFitter(spark)
+        df = spark.createDataFrame(
+            [(None, 1.0), ("a", 2.0), ("a", 3.0), ("a", 2.0)] * 10,
+            "g string, v double",
+        )
+        res = f.fit_grouped(df, "v", "g", distributions=["poisson"])
+        assert {r["column_name"] for r in res.df.collect()} == {"v[a]"}
+        wide = spark.range(300).select(
+            F.col("id").cast("string").alias("g"),
+            (F.col("id") % 7).cast("double").alias("v"),
+        )
+        with pytest.raises(ValueError, match="max_groups"):
+            f.fit_grouped(wide, "v", "g", distributions=["poisson"])
+        with pytest.raises(ValueError, match="not found"):
+            f.fit_grouped(df, "v", "nope")
+        empty = spark.createDataFrame([], "g string, v double")
+        assert f.fit_grouped(empty, "v", "g").count() == 0
