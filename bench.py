@@ -348,6 +348,20 @@ def main() -> None:
         lambda: pack_training_sequences(docs, seq_len=2048).count(),
         rounds=3,
     )
+    # weighted-cosine near-dup with the rare-shingle prefix filter
+    # (exact mode on this everything-shares-vocabulary corpus is
+    # ~130 s — the candidate index is the 100 TB path)
+    from spark_bestfit_spark.operators.textstats import (
+        tfidf_neardup_pairs,
+    )
+
+    bench(
+        "q_tfidf_neardup_prefix",
+        lambda: tfidf_neardup_pairs(
+            docs, threshold=0.9, candidates="prefix"
+        ).count(),
+        rounds=2,
+    )
     bench(
         "q_text_quality",
         lambda: with_quality_score(docs)

@@ -449,6 +449,8 @@ def tfidf_neardup_pairs(
     min_df: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: str = "all",
+    prefix_size: int = 4,
 ) -> DataFrame:
     """Weighted near-duplicate pairs by TF-IDF cosine, via an inverted
     index — the weighted-text complement to the MinHash (set-Jaccard)
@@ -461,16 +463,28 @@ def tfidf_neardup_pairs(
     are ever paired and the quadratic work is confined inside each
     token's posting list — there is no O(n^2) term anywhere.
 
-    With ``max_df=None`` the pair sum IS the exact cosine (unshared
-    tokens contribute zero; every shared token is present). At scale,
+    ``candidates="all"``: every shared token contributes directly —
+    with ``max_df=None`` the pair sum IS the exact cosine. At scale,
     ubiquitous tokens make posting lists huge — ``max_df`` prunes
     tokens appearing in more than that many documents from the PAIR
     ACCUMULATION (norms still use all tokens), making the score a
-    LOWER BOUND on the true cosine: pruning can only drop positive
-    contributions, so every returned pair is genuine but borderline
-    pairs may be missed. Set ``max_df`` to a small multiple of the
-    duplication you expect (stop-word postings are the 100 TB
-    bottleneck, and their idf weight is ~0 anyway).
+    LOWER BOUND: returned pairs stay genuine, borderline pairs may be
+    missed — but on corpora whose near-dups share only common tokens
+    that recall loss is total.
+
+    ``candidates="prefix"`` (the Bayardo-style prefix filter over
+    SHINGLES, the 100 TB default recommendation): each document
+    indexes only its ``prefix_size`` RAREST ``shingle_k``-word
+    shingles (lowest corpus df, deterministic ties); candidate pairs
+    come from collisions in that tiny index, then every candidate is
+    verified with the EXACT unigram cosine — the two documents'
+    weights travel as single map columns and the dot product is a JVM
+    ``map_zip_with``/``aggregate``, one row per candidate. Scores are
+    exact; recall covers every pair sharing one of either side's
+    rarest shingles — in particular all near-identical documents.
+    Shingles (not unigrams) carry the index because multi-word grams
+    stay rare even when every individual token is corpus-common (the
+    regime where a unigram prefix filter degenerates to all-pairs).
 
     Returns (id_a, id_b, cosine) with cosine >= threshold,
     id_a < id_b."""
@@ -478,6 +492,10 @@ def tfidf_neardup_pairs(
         raise ValueError("threshold must be in (0, 1]")
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
+    if candidates not in ("all", "prefix"):
+        raise ValueError("candidates must be 'all' or 'prefix'")
+    if prefix_size < 1:
+        raise ValueError("prefix_size must be >= 1")
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
@@ -509,6 +527,73 @@ def tfidf_neardup_pairs(
         )
         .filter(F.col("df") >= min_df)
     )
+    if candidates == "prefix":
+        from pyspark.sql import Window
+
+        from spark_bestfit_spark.operators.dedup import word_shingles
+
+        sh = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(text_col, 3))
+            ).alias("_sh"),
+        )
+        sh_df = sh.groupBy("_sh").agg(F.count("*").alias("_sdf"))
+        rank_w = Window.partitionBy(id_col).orderBy(
+            F.col("_sdf").asc(), F.col("_sh")
+        )
+        idx = (
+            sh.join(sh_df, "_sh")
+            .withColumn("_r", F.row_number().over(rank_w))
+            .filter(F.col("_r") <= prefix_size)
+            .select("_sh", id_col)
+        )
+        cand = (
+            idx.select("_sh", F.col(id_col).alias("id_a"))
+            .join(idx.select("_sh", F.col(id_col).alias("id_b")), "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # verification: each doc's weights travel as ONE map column, so
+        # a candidate pair is a single row and the dot product is a JVM
+        # map_zip_with/aggregate — never an explode back to token rows
+        vecs = wn.groupBy(id_col).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", "wn"))
+            ).alias("_vec")
+        )
+        dot = F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    F.col("_va"),
+                    F.col("_vb"),
+                    lambda k, x, y: F.when(
+                        x.isNotNull() & y.isNotNull(), x * y
+                    ).otherwise(F.lit(0.0)),
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            cand.join(
+                vecs.select(
+                    F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")
+                ),
+                "id_a",
+            )
+            .join(
+                vecs.select(
+                    F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b", F.round(dot, 6).alias("cosine")
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     if max_df is not None:
         wn = wn.filter(F.col("df") <= max_df)
     pa = wn.select(

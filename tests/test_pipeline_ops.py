@@ -1209,3 +1209,42 @@ class TestTfidfNearDup:
         for r in out.collect():
             assert 0.8 <= r["cosine"] <= 1.000001
             assert r["id_a"] < r["id_b"]
+
+    def test_prefix_candidates_exact_scores(self, spark):
+        """candidates='prefix' (rare-shingle index + map-dot verify)
+        must score candidates with the EXACT cosine and find every
+        above-threshold pair that shares a rare shingle — i.e. all
+        textual near-dups."""
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, base),
+            (1, base),                                  # exact dup
+            (2, base + " iota"),                        # near dup
+            (3, "one two three four five six seven"),   # disjoint
+            (4, "alpha beta gamma delta epsilon zeta eta kappa"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_neardup_pairs(df, threshold=0.3).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_neardup_pairs(
+                df, threshold=0.3, candidates="prefix"
+            ).collect()
+        }
+        # every prefix-found pair carries the exact score
+        for pair, cos in pref.items():
+            assert cos == exact[pair], pair
+        # the shingle-sharing near-dups are all found
+        for pair in ((0, 1), (0, 2), (1, 2), (0, 4)):
+            assert pair in pref, pair
+        with pytest.raises(ValueError, match="candidates"):
+            tfidf_neardup_pairs(df, candidates="bogus")
+        with pytest.raises(ValueError, match="prefix_size"):
+            tfidf_neardup_pairs(df, candidates="prefix", prefix_size=0)
