@@ -1439,6 +1439,25 @@ def _q_robust_stats_approx(spark, sf_dir):
     )
 
 
+def _q_psi_by_group(spark, sf_dir):
+    """Per-group PSI drift: l_extendedprice of linestatus-F (expected)
+    vs linestatus-O (actual), segmented by l_returnflag — each group's
+    bins come from its own expected slice; groups with no actual rows
+    (returned lines never ship as O) exercise the eps-smoothed empty
+    side. Fully in-plan (no driver collect); the oracle replicates the
+    per-group bucket arithmetic."""
+    from spark_bestfit_spark.operators.stats import psi_by_group
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return psi_by_group(
+        li.filter("l_linestatus = 'F'"),
+        li.filter("l_linestatus = 'O'"),
+        "l_extendedprice",
+        "l_returnflag",
+        bins=10,
+    )
+
+
 def _q_grouped_robust_stats(spark, sf_dir):
     """Per-group robust stats (median/MAD/IQR + gates) of
     l_extendedprice by l_returnflag — one grouped percentile pass, a
@@ -2231,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": _q_robust_stats,
         "robust_stats_approx": _q_robust_stats_approx,
         "grouped_robust_stats": _q_grouped_robust_stats,
+        "psi_by_group": _q_psi_by_group,
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -2264,7 +2284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_neardup_clusters,
         "two_sample_ks": _q_two_sample_ks,
         "score_logpdf": _q_score_logpdf,
-        "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "quota_sample": _q_quota_sample,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2288,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py verifies ALL entries and asserts none
         # is skipped). ----
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "decontaminate": _q_decontaminate,
         "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
@@ -3324,6 +3344,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok, tf, df, score, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "psi_by_group": """
+            WITH e0 AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem
+              WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ),
+            a0 AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem
+              WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ),
+            gs AS (
+              SELECT g, min(v) AS lo,
+                     CASE WHEN max(v) > min(v)
+                          THEN (max(v) - min(v)) * (1 + 1e-10) / 10
+                          ELSE 0.1 END AS w
+              FROM e0 GROUP BY g
+            ),
+            be AS (
+              SELECT e0.g,
+                     least(greatest(CAST(floor((v - lo) / w) AS BIGINT),
+                           0), 9) AS bin_id,
+                     count(*) AS n_e
+              FROM e0 JOIN gs ON e0.g = gs.g GROUP BY 1, 2
+            ),
+            ba AS (
+              SELECT a0.g,
+                     least(greatest(CAST(floor((v - lo) / w) AS BIGINT),
+                           0), 9) AS bin_id,
+                     count(*) AS n_a
+              FROM a0 JOIN gs ON a0.g = gs.g GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT coalesce(be.g, ba.g) AS g,
+                     coalesce(n_e, 0) AS n_e, coalesce(n_a, 0) AS n_a
+              FROM be FULL JOIN ba USING (g, bin_id)
+            ),
+            t AS (
+              SELECT g, n_e, n_a,
+                     sum(n_e) OVER (PARTITION BY g) AS te,
+                     sum(n_a) OVER (PARTITION BY g) AS ta
+              FROM j
+            )
+            SELECT g AS l_returnflag,
+                   round(sum(
+                     ((n_a / greatest(ta, 1)::DOUBLE + 1e-6)
+                      - (n_e / te::DOUBLE + 1e-6))
+                     * ln((n_a / greatest(ta, 1)::DOUBLE + 1e-6)
+                          / (n_e / te::DOUBLE + 1e-6))
+                   ), 6) AS psi,
+                   CAST(max(te) AS BIGINT) AS n_expected,
+                   CAST(max(ta) AS BIGINT) AS n_actual
+            FROM t GROUP BY g
         """,
         "grouped_robust_stats": """
             WITH v AS (

@@ -578,3 +578,105 @@ def grouped_robust_stats_df(
             "n",
         )
     )
+
+
+def psi_by_group(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    column: str,
+    group_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index PER GROUP — :func:`psi_df` keyed by
+    ``group_col`` (domain, source, model segment...), the per-segment
+    drift monitor: each group's bin edges come from ITS OWN slice of
+    the expected relation, so a shifted segment is flagged even when
+    the blended global PSI looks stable (and vice versa).
+
+    Fully in-plan — unlike the single-group version there is no driver
+    collect anywhere: the per-group [lo, width] relation (one row per
+    group) is joined back by BROADCAST to bucket both sides, per-group
+    totals ride a second tiny aggregation, and the PSI sum is one
+    (group)-keyed aggregation over group x bins rows. Groups absent
+    from the expected relation have no baseline and are excluded, as
+    are rows with a null group. Degenerate groups (constant expected
+    column) bucket everything into bin 0 with unit width.
+
+    Returns one row per group: (group_col, psi, n_expected, n_actual).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    vcol = F.col(column)
+    keep = (
+        vcol.isNotNull()
+        & ~F.isnan(vcol.cast("double"))
+        & F.col(group_col).isNotNull()
+    )
+    gstats = (
+        df_expected.filter(keep)
+        .groupBy(group_col)
+        .agg(F.min(column).alias("_lo"), F.max(column).alias("_hi"))
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col("_lo").cast("double").alias("_lo"),
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                (
+                    (F.col("_hi") - F.col("_lo"))
+                    * F.lit(1.0 + 1e-10)
+                )
+                / F.lit(float(bins)),
+            )
+            .otherwise(F.lit(1.0 / bins))
+            .alias("_w"),
+        )
+    )
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.floor(
+            (vcol.cast("double") - F.col("_lo")) / F.col("_w")
+        ).cast("bigint")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            df.filter(keep)
+            .join(
+                F.broadcast(gstats),
+                F.col(group_col) == F.col("_g"),
+            )
+            .groupBy(F.col("_g").alias("g"), b.alias("bin_id"))
+            .agg(F.count("*").alias(name))
+        )
+
+    e = bucketed(df_expected, "n_e")
+    a = bucketed(df_actual, "n_a")
+    joined = (
+        e.join(a, ["g", "bin_id"], "full")
+        .select(
+            "g",
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        )
+    )
+    # per-group totals via a window over the (group, bin) relation —
+    # the SAME hash partitioning the full-outer join just produced, so
+    # no second computation of the pipeline and no extra exchange
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g")
+    enriched = joined.withColumn(
+        "_te", F.sum("n_e").over(wg)
+    ).withColumn("_ta", F.sum("n_a").over(wg))
+    pe = F.col("n_e") / F.col("_te") + F.lit(eps)
+    pa = F.col("n_a") / F.greatest(F.col("_ta"), F.lit(1)) + F.lit(eps)
+    return (
+        enriched.groupBy("g")
+        .agg(
+            F.round(
+                F.sum((pa - pe) * F.log(pa / pe)), 6
+            ).alias("psi"),
+            F.max("_te").cast("long").alias("n_expected"),
+            F.max("_ta").cast("long").alias("n_actual"),
+        )
+        .select(F.col("g").alias(group_col), "psi", "n_expected", "n_actual")
+    )

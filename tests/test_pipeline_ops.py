@@ -1248,3 +1248,85 @@ class TestTfidfNearDup:
             tfidf_neardup_pairs(df, candidates="bogus")
         with pytest.raises(ValueError, match="prefix_size"):
             tfidf_neardup_pairs(df, candidates="prefix", prefix_size=0)
+
+
+class TestPsiByGroup:
+    def test_matches_single_group_psi_per_group(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import psi_by_group, psi_df
+
+        rng = np.random.default_rng(7)
+        exp = pd.DataFrame(
+            {
+                "g": ["a"] * 4000 + ["b"] * 4000,
+                "v": np.concatenate(
+                    [rng.normal(0, 1, 4000), rng.normal(5, 1, 4000)]
+                ),
+            }
+        )
+        act = pd.DataFrame(
+            {
+                "g": ["a"] * 4000 + ["b"] * 4000,
+                "v": np.concatenate(
+                    [rng.normal(0, 1, 4000), rng.normal(7, 1, 4000)]
+                ),
+            }
+        )
+        e, a = spark.createDataFrame(exp), spark.createDataFrame(act)
+        out = {r["g"]: r for r in psi_by_group(e, a, "v", "g").collect()}
+        # the shifted segment is flagged, the stable one is not
+        assert out["a"]["psi"] < 0.1 < 0.25 < out["b"]["psi"]
+        for g in ("a", "b"):
+            solo = psi_df(
+                e.filter(F.col("g") == g), a.filter(F.col("g") == g), "v"
+            ).first()
+            assert out[g]["psi"] == pytest.approx(solo["psi"], abs=1e-9)
+            assert out[g]["n_expected"] == solo["n_expected"]
+            assert out[g]["n_actual"] == solo["n_actual"]
+
+    def test_missing_groups_and_nulls(self, spark):
+        from spark_bestfit_spark.operators.stats import psi_by_group
+
+        e = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 9.0)],
+            "g string, v double",
+        )
+        a = spark.createDataFrame(
+            [("a", 1.5), ("c", 9.0)], "g string, v double"
+        )
+        rows = {r["g"]: r for r in psi_by_group(e, a, "v", "g").collect()}
+        # actual-only group c has no baseline; null groups excluded
+        assert set(rows) == {"a"}
+        assert rows["a"]["n_expected"] == 3 and rows["a"]["n_actual"] == 1
+        # expected-only group: finite PSI via eps smoothing
+        e2 = spark.createDataFrame(
+            [("a", 1.0), ("b", 5.0), ("b", 6.0)], "g string, v double"
+        )
+        a2 = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        rows2 = {
+            r["g"]: r for r in psi_by_group(e2, a2, "v", "g").collect()
+        }
+        assert rows2["b"]["n_actual"] == 0
+        assert np.isfinite(rows2["b"]["psi"])
+        with pytest.raises(ValueError, match="bins"):
+            psi_by_group(e, a, "v", "g", bins=1)
+
+    def test_plan_is_broadcast_only(self, spark):
+        from spark_bestfit_spark.operators.stats import psi_by_group
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        out = psi_by_group(
+            li.filter("l_linestatus = 'F'"),
+            li.filter("l_linestatus = 'O'"),
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the per-group bounds reach both corpus scans by broadcast;
+        # the ONLY sort-merge join is the full-outer combine of the two
+        # (group, bin)-sized aggregates (Spark has no broadcast
+        # full-outer) — bins-bounded rows, never corpus-sized
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("SortMergeJoin") == 1
+        assert "FullOuter" in plan
