@@ -208,6 +208,28 @@ def main() -> None:
         ),
     ))
 
+    from spark_bestfit_spark.operators.stats import psi_by_group
+
+    sections.append((
+        "per-group PSI drift — psi_by_group(F vs O lineitem, by "
+        "returnflag)",
+        "Per-segment drift, fully in-plan. What to look for: the\n"
+        "per-group [lo, width] relation reaches BOTH corpus scans via\n"
+        "BroadcastHashJoin; the only SortMergeJoin is the full-outer\n"
+        "combine of the two (group, bin)-sized aggregates (Spark has no\n"
+        "broadcast full-outer) — bins-bounded rows, never corpus-sized —\n"
+        "and the per-group totals ride a Window on the partitioning that\n"
+        "join just produced. No driver collect anywhere.",
+        explain_str(
+            psi_by_group(
+                li.filter("l_linestatus = 'F'"),
+                li.filter("l_linestatus = 'O'"),
+                "l_extendedprice",
+                "l_returnflag",
+            )
+        ),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
