@@ -1458,6 +1458,24 @@ def _q_psi_by_group(spark, sf_dir):
     )
 
 
+def _q_chi2_by_group(spark, sf_dir):
+    """Per-source chi-squared homogeneity of the language mix between
+    even and odd doc ids — the categorical leg of the segmented drift
+    family. Fully in-plan; the oracle replays the per-group
+    contingency arithmetic."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import chi2_by_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi2_by_group(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+        "source",
+    )
+
+
 def _q_grouped_robust_stats(spark, sf_dir):
     """Per-group robust stats (median/MAD/IQR + gates) of
     l_extendedprice by l_returnflag — one grouped percentile pass, a
@@ -2251,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats_approx": _q_robust_stats_approx,
         "grouped_robust_stats": _q_grouped_robust_stats,
         "psi_by_group": _q_psi_by_group,
+        "chi2_by_group": _q_chi2_by_group,
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -2283,7 +2302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": _q_training_shards,
         "neardup_clusters": _q_neardup_clusters,
         "two_sample_ks": _q_two_sample_ks,
-        "score_logpdf": _q_score_logpdf,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "quota_sample": _q_quota_sample,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2308,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is skipped). ----
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "decontaminate": _q_decontaminate,
+        "score_logpdf": _q_score_logpdf,
         "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
@@ -3344,6 +3363,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok, tf, df, score, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "chi2_by_group": """
+            WITH e AS (
+              SELECT source AS g, lang AS c, count(*) AS n_e
+              FROM documents
+              WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+                AND source IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT source AS g, lang AS c, count(*) AS n_a
+              FROM documents
+              WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+                AND source IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT coalesce(e.g, a.g) AS g,
+                     coalesce(n_e, 0)::DOUBLE AS ne,
+                     coalesce(n_a, 0)::DOUBLE AS na
+              FROM e FULL JOIN a USING (g, c)
+            ),
+            t AS (
+              SELECT g, ne, na,
+                     sum(ne) OVER (PARTITION BY g) AS te,
+                     sum(na) OVER (PARTITION BY g) AS ta
+              FROM j
+            ),
+            terms AS (
+              SELECT g, te, ta,
+                     CASE WHEN te > 0 AND ta > 0
+                              AND (ne + na) * te / (te + ta) > 0
+                          THEN pow(ne - (ne + na) * te / (te + ta), 2)
+                                 / ((ne + na) * te / (te + ta))
+                               + pow(na - (ne + na) * ta / (te + ta), 2)
+                                 / ((ne + na) * ta / (te + ta))
+                          ELSE 0.0 END AS term
+              FROM t
+            )
+            SELECT g AS source,
+                   round(sum(term), 6) AS chi2,
+                   round(sqrt(sum(term) / max(te + ta)), 6) AS cramers_v,
+                   count(*) AS n_categories,
+                   CAST(max(te) AS BIGINT) AS n_expected,
+                   CAST(max(ta) AS BIGINT) AS n_actual
+            FROM terms GROUP BY g
         """,
         "psi_by_group": """
             WITH e0 AS (

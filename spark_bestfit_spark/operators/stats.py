@@ -680,3 +680,79 @@ def psi_by_group(
         )
         .select(F.col("g").alias(group_col), "psi", "n_expected", "n_actual")
     )
+
+
+def chi2_by_group(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    column: str,
+    group_col: str,
+) -> DataFrame:
+    """Chi-squared homogeneity PER GROUP — :func:`chi2_drift_df` keyed
+    by ``group_col``, completing the segmented drift family
+    (:func:`psi_by_group` for binned numerics, this for categorical
+    columns): each segment gets its own contingency test, so a
+    category shift inside one domain is flagged even when the pooled
+    table looks homogeneous.
+
+    Fully in-plan, same shape as the per-group PSI: one (group,
+    category) aggregation per relation, a full-outer combine bounded
+    by group x category rows, per-group totals via a window on the
+    partitioning that join produced, and one (group)-keyed final
+    aggregation. Null groups/categories are excluded; a group with
+    either side empty reports chi2 = 0 (no evidence of drift without
+    both samples), matching the single-group operator.
+
+    Returns one row per group: (group_col, chi2, cramers_v,
+    n_categories, n_expected, n_actual)."""
+    from pyspark.sql import Window
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(
+                F.col(column).isNotNull() & F.col(group_col).isNotNull()
+            )
+            .groupBy(
+                F.col(group_col).alias("g"), F.col(column).alias("c")
+            )
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = (
+        counted(df_expected, "n_e")
+        .join(counted(df_actual, "n_a"), ["g", "c"], "full")
+        .select(
+            "g",
+            F.coalesce("n_e", F.lit(0)).cast("double").alias("e"),
+            F.coalesce("n_a", F.lit(0)).cast("double").alias("a"),
+        )
+    )
+    wg = Window.partitionBy("g")
+    enriched = (
+        joined.withColumn("_te", F.sum("e").over(wg))
+        .withColumn("_ta", F.sum("a").over(wg))
+        .withColumn("_n", F.col("_te") + F.col("_ta"))
+    )
+    exp_e = (F.col("e") + F.col("a")) * F.col("_te") / F.col("_n")
+    exp_a = (F.col("e") + F.col("a")) * F.col("_ta") / F.col("_n")
+    term = F.when(
+        (F.col("_te") > 0) & (F.col("_ta") > 0) & (exp_e > 0),
+        (F.col("e") - exp_e) ** 2 / exp_e
+        + (F.col("a") - exp_a) ** 2 / exp_a,
+    ).otherwise(F.lit(0.0))
+    return (
+        enriched.groupBy("g")
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            F.round(
+                F.sqrt(F.sum(term) / F.max("_n")), 6
+            ).alias("cramers_v"),
+            F.count("*").cast("long").alias("n_categories"),
+            F.max("_te").cast("long").alias("n_expected"),
+            F.max("_ta").cast("long").alias("n_actual"),
+        )
+        .select(
+            F.col("g").alias(group_col), "chi2", "cramers_v",
+            "n_categories", "n_expected", "n_actual",
+        )
+    )

@@ -1330,3 +1330,51 @@ class TestPsiByGroup:
         assert "BroadcastHashJoin" in plan
         assert plan.count("SortMergeJoin") == 1
         assert "FullOuter" in plan
+
+
+class TestChi2ByGroup:
+    def test_matches_single_group_chi2(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            chi2_by_group,
+            chi2_drift_df,
+        )
+
+        rng = np.random.default_rng(9)
+        cats_stable = rng.choice(list("xyz"), 3000, p=[0.5, 0.3, 0.2])
+        cats_shifted = rng.choice(list("xyz"), 3000, p=[0.2, 0.3, 0.5])
+        e = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": ["a"] * 3000 + ["b"] * 3000,
+                 "c": np.concatenate([cats_stable, cats_stable])}
+            )
+        )
+        a = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": ["a"] * 3000 + ["b"] * 3000,
+                 "c": np.concatenate([cats_stable, cats_shifted])}
+            )
+        )
+        out = {r["g"]: r for r in chi2_by_group(e, a, "c", "g").collect()}
+        assert out["a"]["chi2"] < 10 < out["b"]["chi2"]
+        for g in ("a", "b"):
+            solo = chi2_drift_df(
+                e.filter(F.col("g") == g), a.filter(F.col("g") == g), "c"
+            ).first()
+            assert out[g]["chi2"] == pytest.approx(solo["chi2"], abs=1e-6)
+            assert out[g]["cramers_v"] == pytest.approx(
+                solo["cramers_v"], abs=1e-6
+            )
+            assert out[g]["n_categories"] == solo["n_categories"]
+
+    def test_empty_side_reports_zero(self, spark):
+        from spark_bestfit_spark.operators.stats import chi2_by_group
+
+        e = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x")], "g string, c string"
+        )
+        a = spark.createDataFrame([("a", "x")], "g string, c string")
+        rows = {r["g"]: r for r in chi2_by_group(e, a, "c", "g").collect()}
+        assert rows["b"]["chi2"] == 0.0 and rows["b"]["n_actual"] == 0
+        assert rows["a"]["n_expected"] == 2 and rows["a"]["n_actual"] == 1
