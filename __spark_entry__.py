@@ -1458,6 +1458,27 @@ def _q_psi_by_group(spark, sf_dir):
     )
 
 
+def _q_ks_by_group(spark, sf_dir):
+    """Per-group EXACT two-sample K-S: l_quantity of linestatus-F vs
+    linestatus-O per returnflag — the grouped prefix-sum spine with no
+    driver action anywhere (the single-pair version collects bucket
+    totals; this computes the exclusive offsets with a window).
+    Returned lines never ship as O, so two groups exercise the
+    one-side-empty convention (d=0). The oracle computes each group's
+    D with a global grouped window — statistic-identical."""
+    from spark_bestfit_spark.operators.stats import (
+        two_sample_ks_by_group,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return two_sample_ks_by_group(
+        li.filter("l_linestatus = 'F'"),
+        li.filter("l_linestatus = 'O'"),
+        "l_quantity",
+        "l_returnflag",
+    )
+
+
 def _q_chi2_by_group(spark, sf_dir):
     """Per-source chi-squared homogeneity of the language mix between
     even and odd doc ids — the categorical leg of the segmented drift
@@ -2270,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_robust_stats": _q_grouped_robust_stats,
         "psi_by_group": _q_psi_by_group,
         "chi2_by_group": _q_chi2_by_group,
+        "ks_by_group": _q_ks_by_group,
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
         "doc_chunks": _q_doc_chunks,
@@ -2301,7 +2323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "training_shards": _q_training_shards,
         "neardup_clusters": _q_neardup_clusters,
-        "two_sample_ks": _q_two_sample_ks,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "quota_sample": _q_quota_sample,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2327,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "decontaminate": _q_decontaminate,
         "score_logpdf": _q_score_logpdf,
+        "two_sample_ks": _q_two_sample_ks,
         "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
@@ -3363,6 +3385,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok, tf, df, score, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "ks_by_group": """
+            WITH u AS (
+              SELECT l_returnflag AS g, l_quantity AS v,
+                     1 AS ia, 0 AS ib
+              FROM lineitem
+              WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL
+              UNION ALL
+              SELECT l_returnflag, l_quantity, 0, 1
+              FROM lineitem
+              WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ),
+            j AS (
+              SELECT g, v, sum(ia) AS da, sum(ib) AS db
+              FROM u GROUP BY g, v
+            ),
+            c AS (
+              SELECT g,
+                     sum(da) OVER (PARTITION BY g ORDER BY v) AS ca,
+                     sum(db) OVER (PARTITION BY g ORDER BY v) AS cb,
+                     sum(da) OVER (PARTITION BY g) AS na,
+                     sum(db) OVER (PARTITION BY g) AS nb
+              FROM j
+            )
+            SELECT g AS l_returnflag,
+                   round(max(
+                     CASE WHEN na > 0 AND nb > 0
+                          THEN abs(ca::DOUBLE / na - cb::DOUBLE / nb)
+                          ELSE 0.0 END
+                   ), 6) AS d_stat,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b
+            FROM c GROUP BY g
         """,
         "chi2_by_group": """
             WITH e AS (

@@ -756,3 +756,120 @@ def chi2_by_group(
             "n_categories", "n_expected", "n_actual",
         )
     )
+
+
+def two_sample_ks_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    group_col: str,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT per-group two-sample Kolmogorov-Smirnov D — the continuous
+    leg of the segmented drift family (:func:`psi_by_group` for binned
+    numerics, :func:`chi2_by_group` for categories): each group gets
+    its own exact D over its own value range.
+
+    The single-pair prefix-sum design (:func:`two_sample_ks_df`)
+    generalizes with the group key riding every stage, and — unlike
+    the single-pair version, which collects bucket totals — FULLY
+    IN-PLAN, no driver action at all:
+
+      1. per-(group, value) ECDF jumps: one groupBy (map-side
+         combined; the window relation shrinks to distinct values);
+      2. per-group [lo, hi] bounds broadcast back to range-bucket each
+         value against ITS group's range (`width_bucket`, a pure
+         function of the value — partitioning-independent);
+      3. per-(group, bucket) totals -> exclusive prefix offsets via a
+         window over (group) ordered by bucket (groups x buckets rows,
+         never data-sized);
+      4. one window over (group, bucket) ordered by value for the
+         local cumsums; offsets + cumsums = the global per-group ECDFs
+         and D = max |Fa - Fb| per group.
+
+    Groups missing from either side report d_stat 0.0 with their
+    counts (no two-sample evidence), matching the single-pair
+    degenerate convention; null groups are excluded.
+
+    Returns one row per group: (group_col, d_stat, n_a, n_b)."""
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, ia: int, ib: int) -> DataFrame:
+        return (
+            valid_column(df, column)
+            .filter(F.col(group_col).isNotNull())
+            .select(
+                F.col(group_col).alias("g"),
+                F.col(column).alias("v"),
+                F.lit(ia).alias("ia"),
+                F.lit(ib).alias("ib"),
+            )
+        )
+
+    u = side(df_a, 1, 0).unionAll(side(df_b, 0, 1))
+    bounds = u.groupBy("g").agg(
+        F.min("v").alias("_lo"),
+        F.max("v").alias("_hi"),
+        F.sum("ia").alias("_na"),
+        F.sum("ib").alias("_nb"),
+    )
+    jumps = (
+        u.groupBy("g", "v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .join(F.broadcast(bounds), "g")
+        .withColumn(
+            "bk",
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.width_bucket(
+                    F.col("v"), F.col("_lo"), F.col("_hi"),
+                    F.lit(num_buckets),
+                ),
+            ).otherwise(F.lit(1)),
+        )
+    )
+    # exclusive per-group bucket offsets, fully in-plan
+    btot = jumps.groupBy("g", "bk").agg(
+        F.sum("da").alias("ta"), F.sum("db").alias("tb")
+    )
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = btot.select(
+        "g",
+        "bk",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    w_cum = (
+        Window.partitionBy("g", "bk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = jumps.join(off, ["g", "bk"]).select(
+        "g",
+        "_na",
+        "_nb",
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            F.abs(
+                (F.col("oa") + F.sum("da").over(w_cum))
+                / F.col("_na").cast("double")
+                - (F.col("ob") + F.sum("db").over(w_cum))
+                / F.col("_nb").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gap"),
+    )
+    return (
+        gaps.groupBy("g")
+        .agg(
+            F.round(F.max("gap"), 6).alias("d_stat"),
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+        )
+        .select(F.col("g").alias(group_col), "d_stat", "n_a", "n_b")
+    )

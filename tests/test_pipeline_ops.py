@@ -1378,3 +1378,113 @@ class TestChi2ByGroup:
         rows = {r["g"]: r for r in chi2_by_group(e, a, "c", "g").collect()}
         assert rows["b"]["chi2"] == 0.0 and rows["b"]["n_actual"] == 0
         assert rows["a"]["n_expected"] == 2 and rows["a"]["n_actual"] == 1
+
+
+class TestKsByGroup:
+    def test_matches_single_pair_per_group(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_by_group,
+            two_sample_ks_df,
+        )
+
+        rng = np.random.default_rng(11)
+        a = pd.DataFrame(
+            {"g": ["x"] * 3000 + ["y"] * 3000,
+             "v": np.concatenate(
+                 [rng.normal(0, 1, 3000), rng.normal(0, 1, 3000)]
+             )}
+        )
+        b = pd.DataFrame(
+            {"g": ["x"] * 3000 + ["y"] * 3000,
+             "v": np.concatenate(
+                 [rng.normal(0, 1, 3000), rng.normal(2, 1, 3000)]
+             )}
+        )
+        A, B = spark.createDataFrame(a), spark.createDataFrame(b)
+        out = {
+            r["g"]: r for r in two_sample_ks_by_group(A, B, "v", "g").collect()
+        }
+        assert out["x"]["d_stat"] < 0.1 < 0.5 < out["y"]["d_stat"]
+        for g in ("x", "y"):
+            solo = two_sample_ks_df(
+                A.filter(F.col("g") == g), B.filter(F.col("g") == g), "v"
+            ).first()
+            assert out[g]["d_stat"] == pytest.approx(
+                solo["d_stat"], abs=1e-9
+            )
+            assert (out[g]["n_a"], out[g]["n_b"]) == (
+                solo["n_a"], solo["n_b"]
+            )
+
+    def test_partitioning_invariance_and_edges(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_by_group,
+        )
+
+        rng = np.random.default_rng(12)
+        a = pd.DataFrame(
+            {"g": ["p"] * 500, "v": rng.uniform(0, 1, 500)}
+        )
+        b = pd.DataFrame(
+            {"g": ["p"] * 400 + ["only_b"] * 10,
+             "v": np.concatenate(
+                 [rng.uniform(0.3, 1.3, 400), np.ones(10)]
+             )}
+        )
+        A, B = spark.createDataFrame(a), spark.createDataFrame(b)
+        r1 = sorted(
+            map(tuple, two_sample_ks_by_group(A, B, "v", "g").collect())
+        )
+        r2 = sorted(
+            map(
+                tuple,
+                two_sample_ks_by_group(
+                    A.repartition(7), B.repartition(3), "v", "g"
+                ).collect(),
+            )
+        )
+        assert r1 == r2  # value-keyed bucketing: partitioning-free
+        rows = {t[0]: t for t in r1}
+        # a group missing one side reports no evidence (d=0)
+        assert rows["only_b"][1] == 0.0
+        assert rows["only_b"][2] == 0 and rows["only_b"][3] == 10
+        # constant-value group degenerates to 0 too
+        c = spark.createDataFrame(
+            [("k", 5.0)] * 20, "g string, v double"
+        )
+        d = spark.createDataFrame(
+            [("k", 5.0)] * 30, "g string, v double"
+        )
+        kr = two_sample_ks_by_group(c, d, "v", "g").first()
+        assert kr["d_stat"] == 0.0 and kr["n_a"] == 20 and kr["n_b"] == 30
+
+    def test_no_driver_action_in_plan_build(self, spark):
+        """Building the grouped-KS relation must launch ZERO jobs (the
+        single-pair version collects bucket totals; this one is fully
+        in-plan) and its window exchanges must be hash-partitioned,
+        never SinglePartition."""
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_by_group,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        sc = spark.sparkContext
+        sc.setJobGroup("ks-group-probe", "plan build must be free")
+        try:
+            out = two_sample_ks_by_group(
+                li.filter("l_linestatus = 'F'"),
+                li.filter("l_linestatus = 'O'"),
+                "l_quantity",
+                "l_returnflag",
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            sc.setJobGroup("default", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("ks-group-probe")
+        assert len(jobs) == 0
+        assert "SinglePartition" not in plan.split("Window")[0]
+        assert "hashpartitioning(g" in plan
