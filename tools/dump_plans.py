@@ -230,6 +230,28 @@ def main() -> None:
         ),
     ))
 
+    from spark_bestfit_spark.operators.stats import two_sample_ks_by_group
+
+    sections.append((
+        "per-group exact K-S — two_sample_ks_by_group(F vs O, by "
+        "returnflag)",
+        "The grouped prefix-sum spine with NO driver action: per-group\n"
+        "bounds arrive by BroadcastExchange, the exclusive bucket offsets\n"
+        "come from a Window over (group)-hash-partitioned bucket totals,\n"
+        "and the cumsum Window is hash-partitioned on (group, bucket).\n"
+        "What to look for: no SinglePartition exchange anywhere except\n"
+        "nothing — every Window input is `hashpartitioning(g, ...)` and\n"
+        "the scan-side relations only cross value/bucket hash exchanges.",
+        explain_str(
+            two_sample_ks_by_group(
+                li.filter("l_linestatus = 'F'"),
+                li.filter("l_linestatus = 'O'"),
+                "l_quantity",
+                "l_returnflag",
+            )
+        ),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
