@@ -1802,6 +1802,97 @@ def _q_media_features(spark, sf_dir):
     return feats.select("media_id", "width", "height", "channels")
 
 
+def _q_boilerplate_strip(spark, sf_dir):
+    """C4/RefinedWeb-style line-level boilerplate removal: a banner
+    line injected into every document must be stripped (and ONLY it),
+    with documents reassembled in original line order. Lines are
+    synthesized deterministically from the word stream so the oracle
+    can replay the whole construction in SQL."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (F.col("doc_id") < 300)
+        & (F.size(F.split(F.col("text"), " ")) >= 24)
+    )
+    w = F.split(F.col("text"), " ")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("accept cookies to continue"),
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.array_join(F.slice(w, 17, 8), " "),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(lined, max_doc_frac=0.5)
+
+
+def _q_token_budget(spark, sf_dir):
+    """Greedy corpus selection under a token budget (partitioned
+    two-phase prefix sum over a quality ranking) — the oracle replays
+    the ranking and running total with one SQL window."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        select_within_token_budget,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .withColumn("q", (F.col("doc_id") % 17).cast("double"))
+    )
+    return select_within_token_budget(
+        docs, max_tokens=5000, quality_col="q"
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    """Multimodal audio: REAL stdlib-wave decode round-trip. WAV
+    payloads are generated distributed-side (Arrow-batched pandas UDF)
+    with parameters derived from doc_id, decoded by the wave-backed
+    mapInPandas stage, and the oracle replays the structural features
+    straight from the generation rule in SQL — so a decode bug (wrong
+    frame count, channel interleave, header parse) breaks the hash."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import BinaryType
+
+    from spark_bestfit_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_wav,
+    )
+
+    def _gen_batch(ids):
+        return ids.map(
+            lambda i: synthetic_wav(
+                n_samples=800 + (int(i) % 50) * 16,
+                sample_rate=8000 + (int(i) % 3) * 4000,
+                channels=1 + int(i) % 2,
+                freq_hz=220.0,
+            )
+        )
+
+    _gen_batch.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _gen = F.pandas_udf(_gen_batch, BinaryType())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), _gen("doc_id").alias("payload")
+    )
+    return extract_audio_features(media).select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        "duration_sec",
+    )
+
+
 # ---------------------------------------------------------------------------
 # generation / model queries (seeded-random by nature, deterministic for
 # fixed seed + pinned partition count — summaries oracle-checked against
@@ -2270,20 +2361,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-6 rotation — completes the driver-hash
-        # rotation VERDICT r5 called out. The eight queries that had
-        # never carried the driver's own hash across rounds 1-5
-        # (fit_grouped, robust_stats, bm25_search, packed_sequences,
-        # streaming_neardup, fit_mse, streaming_sessions,
-        # doc_dup_ngrams) move INTO the head; eight queries
-        # driver-green in multiple earlier rounds (discrete_pmf_psize,
-        # topk_per_group, threshold_filter, stratum_counts,
-        # domain_mixture, psi_drift, doc_repetition, doc_pii_flags)
-        # rotate to the tail. After this round EVERY query in the repo
-        # has been driver-hashed at least once; the strict local
-        # harness (tools/check_oracle.py) still runs and compares ALL
-        # entries every round and fails if any oracle entry is never
-        # executed. ----
+        # ---- head 50: round-7 rotation. The three NEW queries
+        # (audio_features — REAL stdlib-wave decode, boilerplate_strip,
+        # token_budget_selection) and the six queries whose OPERATOR
+        # CODE changed this round (in-plan idf corpus count, prefix
+        # posting guard, IVF local-quantizer sample fix, chunk/
+        # multimodal edits) lead, followed by the 41 queries the
+        # round-6 head-50 did not driver-hash — so every entry is
+        # re-hashed on the shortest possible cycle. The strict local
+        # harness (tools/check_oracle.py) still executes and compares
+        # ALL entries every round and fails on duplicates or
+        # never-executed oracles. ----
+        "audio_features": _q_audio_features,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "token_budget_selection": _q_token_budget,
+        "tfidf_neardup": _q_tfidf_neardup,
+        "doc_top_terms": _q_doc_top_terms,
+        "semantic_dedup": _q_semantic_dedup,
+        "ivf_recall_clustered": _q_ivf_recall_clustered,
+        "doc_chunks": _q_doc_chunks,
+        "media_features": _q_media_features,
+        "mvn_fit": _q_mvn_fit,
+        "gmm_fit": _q_gmm_fit,
+        "streaming_hourly": _q_streaming_hourly,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_moments": _q_streaming_moments,
+        "streaming_late_data": _q_streaming_late_data,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "decontaminate": _q_decontaminate,
+        "score_logpdf": _q_score_logpdf,
+        "two_sample_ks": _q_two_sample_ks,
+        "discrete_pmf_psize": _q_discrete_pmf,
+        "topk_per_group": _q_topk_per_group,
+        "threshold_filter": _q_threshold_filter,
+        "stratum_counts": _q_stratum_counts,
+        "domain_mixture": _q_domain_mixture,
+        "psi_drift": _q_psi_drift,
+        "doc_repetition": _q_doc_repetition,
+        "doc_pii_flags": _q_doc_pii_flags,
+        "summary_metrics": _q_summary,
+        "column_stats": _q_column_stats,
+        "multi_minmax": _q_multi_minmax,
+        "quantiles_price": _q_quantiles,
+        "topk_customers": _q_topk,
+        "distinct_flags": _q_distinct,
+        "union_counts": _q_union,
+        "doc_text_stats": _q_doc_text_stats,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "moments_price": _q_moments,
+        "doc_minhash": _q_doc_minhash,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "failed_fit_filter": _q_failed_fit_filter,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "events_range_join": _q_events_range_join,
+        "doc_token_totals": _q_doc_token_totals,
+        "doc_lang_counts": _q_doc_lang_counts,
+        "doc_quality": _q_doc_quality,
+        "embedding_neardup": _q_embedding_neardup,
+        "events_hourly": _q_events_hourly,
+        "events_sessionized": _q_events_sessionized,
+        "events_props_json": _q_events_props_json,
+        # ---- tail: all driver-hashed in round 6 (CORRECTNESS_r06),
+        # all still executed and compared by the strict local harness
+        # every round. ----
         "fit_grouped": _q_fit_grouped,
         "fit_discrete_grouped": _q_fit_discrete_grouped,
         "robust_stats": _q_robust_stats,
@@ -2294,10 +2435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_by_group": _q_ks_by_group,
         "bm25_search": _q_bm25_search,
         "packed_sequences": _q_packed_sequences,
-        "doc_chunks": _q_doc_chunks,
-        "semantic_dedup": _q_semantic_dedup,
-        "doc_top_terms": _q_doc_top_terms,
-        "tfidf_neardup": _q_tfidf_neardup,
         "streaming_neardup": _q_streaming_neardup,
         "fit_mse": _q_fit_mse,
         "streaming_sessions": _q_streaming_sessions,
@@ -2329,58 +2466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
-        "ivf_recall_clustered": _q_ivf_recall_clustered,
-        "media_features": _q_media_features,
         "curate_corpus": _q_curate_corpus,
         "generate_univariate": _q_generate_univariate,
         "copula_sample": _q_copula_sample,
-        "mvn_fit": _q_mvn_fit,
-        "gmm_fit": _q_gmm_fit,
-        "streaming_hourly": _q_streaming_hourly,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_moments": _q_streaming_moments,
-        "streaming_late_data": _q_streaming_late_data,
-        # ---- tail: every query below has carried the driver's own
-        # hash in an earlier round (r1-r5); all of them still run and
-        # compare green under the local strict harness every round
-        # (tools/check_oracle.py verifies ALL entries and asserts none
-        # is skipped). ----
-        "doc_unigram_logprob": _q_doc_unigram_logprob,
-        "decontaminate": _q_decontaminate,
-        "score_logpdf": _q_score_logpdf,
-        "two_sample_ks": _q_two_sample_ks,
-        "discrete_pmf_psize": _q_discrete_pmf,
-        "topk_per_group": _q_topk_per_group,
-        "threshold_filter": _q_threshold_filter,
-        "stratum_counts": _q_stratum_counts,
-        "domain_mixture": _q_domain_mixture,
-        "psi_drift": _q_psi_drift,
-        "doc_repetition": _q_doc_repetition,
-        "doc_pii_flags": _q_doc_pii_flags,
-        "summary_metrics": _q_summary,
-        "column_stats": _q_column_stats,
-        "multi_minmax": _q_multi_minmax,
-        "quantiles_price": _q_quantiles,
-        "topk_customers": _q_topk,
-        "distinct_flags": _q_distinct,
-        "union_counts": _q_union,
-        "doc_text_stats": _q_doc_text_stats,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "neardup_jaccard": _q_neardup_jaccard,
-        "doc_dup_ngrams": _q_doc_dup_ngrams,
-        "moments_price": _q_moments,
-        "doc_minhash": _q_doc_minhash,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "failed_fit_filter": _q_failed_fit_filter,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "events_range_join": _q_events_range_join,
-        "doc_token_totals": _q_doc_token_totals,
-        "doc_lang_counts": _q_doc_lang_counts,
-        "doc_quality": _q_doc_quality,
-        "embedding_neardup": _q_embedding_neardup,
-        "events_hourly": _q_events_hourly,
-        "events_sessionized": _q_events_sessionized,
-        "events_props_json": _q_events_props_json,
     }
 
 
@@ -3830,6 +3918,57 @@ def oracle_sql() -> dict[str, str]:
                      AS height,
                    CAST(3 AS BIGINT) AS channels
             FROM documents WHERE doc_id < 200
+        """,
+        "audio_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS BIGINT)
+                     AS sample_rate,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+                   CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+                   round(
+                     (800 + (doc_id % 50) * 16)
+                     / (8000.0 + (doc_id % 3) * 4000),
+                     6
+                   ) AS duration_sec
+            FROM documents WHERE doc_id < 120
+        """,
+        "boilerplate_strip": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+              WHERE doc_id < 300
+                AND len(string_split(text, ' ')) >= 24
+            )
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                     array_to_string(list_slice(toks, 1, 8), ' '),
+                     array_to_string(list_slice(toks, 9, 16), ' '),
+                     array_to_string(list_slice(toks, 17, 24), ' ')
+                   ) AS text,
+                   CAST(4 AS BIGINT) AS n_lines,
+                   CAST(1 AS BIGINT) AS n_dropped
+            FROM w
+        """,
+        "token_budget_selection": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS n_tokens,
+                     CAST(doc_id % 17 AS DOUBLE) AS q
+              FROM documents WHERE doc_id < 400
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 5000
         """,
         "mvn_fit": """
             WITH clean AS (

@@ -36,14 +36,17 @@ Attribution/fresh-session runs: SPARK_GRAFT_BENCH_QUERIES=q_a,q_b
 restricts the run to those queries (comma-separated). Running one
 query in a fresh process IS the fresh-session measurement.
 
-Scale-curve lines (SPARK_GRAFT_SF1=0 to skip): lineitem and documents
-are replicated 10x into .scale_cache/sf1 (built once, reused across
-runs; documents get per-replica word suffixes so the duplicate rate —
-and therefore the dedup workload shape — matches the base corpus) and
-four headliners rerun at ~6M lineitem rows / 50k docs:
-q_fit_full_sf1, q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1. The
-histogram-based fit design predicts near-flat fit time (O(N) scan +
-O(C·D·B) driver/fan-out work) and linear histogram/dedup/K-S scans.
+Scale-curve lines (SPARK_GRAFT_SF1=0 to skip): lineitem, documents and
+embeddings are replicated 10x into .scale_cache/sf1 (built once, reused
+across runs; documents get per-replica word suffixes and embeddings
+per-replica sign-flip patterns, so the duplicate rate — and therefore
+the dedup workload shape — matches the base corpus) and nine headliners
+rerun at ~6M lineitem rows / 50k docs / 20k vectors: q_fit_full_sf1,
+q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1, q_neardup_clusters_sf1,
+q_pack_sequences_sf1, q_tfidf_neardup_sf1, q_semantic_dedup_sf1,
+q_ks_by_group_sf1. The histogram-based fit design predicts near-flat
+fit time (O(N) scan + O(C·D·B) driver/fan-out work) and linear
+histogram/dedup/K-S/drift scans.
 """
 
 from __future__ import annotations
@@ -186,7 +189,7 @@ def main() -> None:
         )
         .materialize()
         .df.count(),
-        rounds=2,
+        rounds=3,
     )
     small = lineitem.select("l_extendedprice").limit(10_000).cache()
     small.count()
@@ -421,6 +424,23 @@ def main() -> None:
         rounds=3,
     )
 
+    # segmented drift: per-group exact K-S (windowed prefix-sum spine,
+    # fully in-plan) — tracked so plan drift in the grouped-drift trio's
+    # exchange shapes shows up as a wall regression. The a/b split is a
+    # deterministic parity hash so the same line runs at every sf.
+    from spark_bestfit_spark.operators.stats import two_sample_ks_by_group
+
+    _split = "pmod(cast(l_extendedprice * 100 as bigint), 2)"
+    ks_a = lineitem.filter(f"{_split} = 0")
+    ks_b = lineitem.filter(f"{_split} = 1")
+    bench(
+        "q_ks_by_group",
+        lambda: two_sample_ks_by_group(
+            ks_a, ks_b, "l_quantity", "l_returnflag"
+        ).count(),
+        rounds=3,
+    )
+
     # copula sampling throughput (baseline: 199 ms/1M local via scipy-C;
     # ours is the distributed mapInPandas path over numpy special fns)
     import numpy as np
@@ -454,10 +474,12 @@ def main() -> None:
         not only
         or {"q_fit_full_sf1", "q_hist_sf1", "q_minhash_sf1",
             "q_two_sample_ks_sf1", "q_neardup_clusters_sf1",
-            "q_pack_sequences_sf1"} & only
+            "q_pack_sequences_sf1", "q_tfidf_neardup_sf1",
+            "q_semantic_dedup_sf1", "q_ks_by_group_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
+        emb1_path = os.path.join(scale_dir, "embeddings.parquet")
         reps = spark.range(10).select(F.col("id").alias("_rep"))
         if not os.path.isdir(li1_path):
             (
@@ -498,6 +520,39 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(docs1_path)
             )
+        if not os.path.isdir(emb1_path):
+            # per-replica deterministic SIGN FLIPS: multiplying both
+            # vectors of a pair by the same ±1 pattern preserves every
+            # in-replica cosine EXACTLY (dot and norms are invariant),
+            # while cross-replica cosines are scrambled far below any
+            # dedup threshold — so the corpus duplicate rate (the
+            # semantic-dedup workload shape) matches the base corpus
+            # at 10x the size, mirroring the documents-table recipe
+            emb_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            signed = F.transform(
+                F.col("embedding"),
+                lambda x, i: FB.when(F.col("_rep") == 0, x).otherwise(
+                    FB.when(
+                        (
+                            (i * 1103515245 + F.col("_rep") * 12345) % 97
+                        ) % 2
+                        == 0,
+                        x,
+                    ).otherwise(-x)
+                ),
+            )
+            (
+                emb_all.crossJoin(F.broadcast(reps))
+                .select(
+                    (
+                        F.col("vec_id") + F.col("_rep") * F.lit(10_000_000)
+                    ).alias("vec_id"),
+                    signed.alias("embedding"),
+                )
+                .repartition(int(cpus))
+                .write.mode("overwrite")
+                .parquet(emb1_path)
+            )
         li1 = spark.read.parquet(li1_path)
         docs1 = spark.read.parquet(docs1_path)
         li1.count()
@@ -533,6 +588,33 @@ def main() -> None:
         bench(
             "q_pack_sequences_sf1",
             lambda: pack_training_sequences(docs1, seq_len=2048).count(),
+            rounds=2,
+        )
+        # round-7 scale-curve extensions: the two newest quadratic-risk
+        # operators (rare-shingle prefix TF-IDF, cluster-bucketed
+        # semantic dedup) and the grouped-drift prefix-sum spine
+        bench(
+            "q_tfidf_neardup_sf1",
+            lambda: tfidf_neardup_pairs(
+                docs1, threshold=0.9, candidates="prefix"
+            ).count(),
+            rounds=1,
+        )
+        emb1 = spark.read.parquet(emb1_path)
+        bench(
+            "q_semantic_dedup_sf1",
+            lambda: semantic_dedup(
+                emb1, threshold=0.99, n_clusters=64, method="local"
+            ).filter("is_kept").count(),
+            rounds=1,
+        )
+        k1a = li1.filter(f"{_split} = 0")
+        k1b = li1.filter(f"{_split} = 1")
+        bench(
+            "q_ks_by_group_sf1",
+            lambda: two_sample_ks_by_group(
+                k1a, k1b, "l_quantity", "l_returnflag"
+            ).count(),
             rounds=2,
         )
 

@@ -37,7 +37,9 @@ __all__ = [
     "decontaminate_by_ngrams_bloom",
     "hash_split",
     "pack_training_sequences",
+    "select_within_token_budget",
     "stratified_quota_sample",
+    "strip_boilerplate_lines",
     "temperature_sample",
     "weighted_sample",
 ]
@@ -631,6 +633,158 @@ def pack_training_sequences(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_doc_frac: float = 0.5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove lines that repeat across a large fraction of the corpus —
+    the C4/RefinedWeb boilerplate strip (nav bars, cookie banners,
+    license headers) applied line-wise: a line is boilerplate when it
+    appears in at least ``min_docs`` documents AND in at least
+    ``max_doc_frac`` of the corpus; boilerplate lines are deleted and
+    each document is reassembled in original line order.
+
+    ``line_sep`` is a LITERAL separator (escaped before the split and
+    reused verbatim for the rejoin). With ``normalize`` the repeat
+    count keys on the lowercased/trimmed line, so casing/indentation
+    variants of the same banner pool together; emitted text always
+    keeps the ORIGINAL line bytes.
+
+    Dataflow at 100 TB: posexplode -> line-key countDistinct (the map-
+    side-combined wide aggregation), line-keyed join back (vocabulary-
+    sized relation, the standard term-keyed equi-join — AQE broadcasts
+    it when the distinct-line relation turns out small), corpus size N
+    as a broadcast 1-row relation, then ONE doc-keyed reassembly
+    aggregation (collect_list skips the nulled-out dropped lines;
+    sort_array restores line order). No eager action, no global sort.
+
+    Output: (id_col, text_col cleaned, n_lines, n_dropped) — one row
+    per input document, including documents stripped to empty."""
+    import re as _re
+
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError("max_doc_frac must be in (0, 1]")
+    if min_docs < 2:
+        raise ValueError(
+            "min_docs must be >= 2 (a line must repeat to be boilerplate)"
+        )
+    if not line_sep:
+        raise ValueError("line_sep must be non-empty")
+    n_docs = df.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_docs")
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(line_sep), -1)
+        ).alias("_pos", "_line"),
+    )
+    key = (
+        F.lower(F.trim(F.col("_line"))) if normalize else F.col("_line")
+    )
+    keyed = lines.withColumn("_key", key)
+    ldf = keyed.groupBy("_key").agg(
+        F.countDistinct(id_col).alias("_ldf")
+    )
+    flagged = (
+        keyed.join(ldf, "_key")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_drop",
+            (F.col("_ldf") >= F.lit(int(min_docs)))
+            & (
+                F.col("_ldf")
+                >= F.lit(float(max_doc_frac)) * F.col("_n_docs")
+            ),
+        )
+    )
+    kept_struct = F.when(
+        ~F.col("_drop"), F.struct(F.col("_pos"), F.col("_line"))
+    )  # null when dropped -> collect_list skips it
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["_line"],
+                ),
+                line_sep,
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_lines", "n_dropped")
+    )
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    max_tokens: int,
+    quality_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    descending: bool = True,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: rank documents
+    (best ``quality_col`` first by default; stable ``id_col`` order
+    when no quality column is given), take documents while the running
+    token total stays within ``max_tokens`` — the data-selection step
+    that turns "we can afford N tokens" into a concrete training
+    subset.
+
+    Built on the same partitioned two-phase prefix sum as
+    :func:`pack_training_sequences` (range-bucketed ordering,
+    per-bucket offsets broadcast back, windows riding the bucket
+    partitioning — no global sort, no single-partition window), so the
+    cut is EXACT: the emitted set is precisely the maximal prefix of
+    the ranking whose cumulative token count fits the budget, with
+    deterministic (quality, id) tie-breaks. Whitespace tokenization —
+    the convention shared with the text-stats/packing operators.
+
+    Output: (id_col, n_tokens, cum_tokens) for SELECTED documents
+    only; ``cum_tokens`` is the inclusive running total, so
+    ``max(cum_tokens) <= max_tokens`` and adding any rejected document
+    would break the budget."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if quality_col is not None:
+        qt = df.schema[quality_col].dataType
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(qt, NumericType):
+            raise TypeError(
+                f"quality_col {quality_col!r} must be numeric, got "
+                f"{qt.simpleString()}"
+            )
+        ord_expr = (
+            -F.col(quality_col) if descending else F.col(quality_col)
+        ).cast("double")
+        base = df.withColumn("_sel_ord", ord_expr)
+        order_col = "_sel_ord"
+    else:
+        base = df
+        order_col = None
+    cum = _cumulative_tokens(
+        base, text_col, id_col, order_col, num_buckets,
+        caller="select_within_token_budget",
+    )
+    if cum is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "n_tokens long, cum_tokens long"
+        )
+    return cum.filter(F.col("_cum") <= F.lit(int(max_tokens))).select(
+        F.col(id_col), "n_tokens", F.col("_cum").alias("cum_tokens")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 512,
@@ -638,12 +792,21 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     with_text: bool = True,
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Split documents into fixed-length token windows with optional
     overlap — the context-window assembly step for pretraining /
     retrieval corpora (complementing :func:`pack_training_sequences`,
     which concatenates ACROSS documents; this one windows WITHIN each
     document, never mixing sources).
+
+    NOTE: by default ``chunk_text`` is LOWERCASED (the normalization
+    convention shared with the text-stats operators, which keeps chunk
+    boundaries consistent with their token counts). When the chunks
+    feed training or retrieval corpora where the source casing must
+    survive, pass ``preserve_case=True`` — chunk boundaries are
+    unaffected (whitespace tokenization is case-blind), only the
+    emitted text changes.
 
     Chunk starts are ``0, stride, 2*stride, ...`` with
     ``stride = chunk_tokens - overlap``; each chunk covers tokens
@@ -668,7 +831,8 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    text = F.trim(F.col(text_col))
+    toks = F.split(text if preserve_case else F.lower(text), r"\s+")
     base = df.select(
         F.col(id_col), toks.alias("_toks")
     ).withColumn(

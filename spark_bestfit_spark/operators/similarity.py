@@ -415,15 +415,26 @@ class IvfIndex:
 
         n_total = vectors.count()
         frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+        # bound the sample by fraction alone — a .limit() after
+        # .sample() would take whatever rows the FIRST partitions
+        # deliver, biasing the quantizer toward early partitions; the
+        # 1.2x oversample overshoot is instead truncated driver-side
+        # with the seeded rng (uniform over the collected sample, so
+        # no partition is preferred)
         pdf = (
             vectors.select(vec_col)
             .sample(fraction=frac, seed=seed)
-            .limit(sample_size)
             .toPandas()
         )
         sample = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
+        if sample.shape[0] > sample_size:
+            rng = np.random.default_rng(seed)
+            keep = rng.choice(
+                sample.shape[0], size=sample_size, replace=False
+            )
+            sample = sample[np.sort(keep)]
         if sample.shape[0] < n_clusters:
             raise ValueError(
                 f"sample of {sample.shape[0]} vectors cannot seed "

@@ -405,6 +405,9 @@ def top_terms_per_doc(
     relation is vocabulary-sized — too big to broadcast, so this is
     the standard term-keyed equi-join), then one doc-partitioned
     window for the top-k. Deterministic ties: (score DESC, token).
+    The corpus size N rides along as a broadcast 1-row relation (the
+    ``unigram_logprob`` pattern), so the whole operator is ONE lazy
+    plan — no eager driver count before the caller's action.
 
     Output: (id_col, token, tf, df, score, rank), rank 1..k."""
     if k < 1:
@@ -420,17 +423,26 @@ def top_terms_per_doc(
         .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(dfreq, "tok").select(
-        F.col(id_col),
-        "tok",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf")
-            * F.log(F.lit(1.0 + n_docs) / (F.col("df") + F.lit(1.0))),
-            6,
-        ).alias("score"),
+    n_docs = df.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.lit(1.0) + F.col("_n_docs"))
+                    / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.col("tok")
@@ -451,6 +463,8 @@ def tfidf_neardup_pairs(
     id_col: str = "doc_id",
     candidates: str = "all",
     prefix_size: int = 4,
+    shingle_k: int = 3,
+    max_posting_size: int | None = 1000,
 ) -> DataFrame:
     """Weighted near-duplicate pairs by TF-IDF cosine, via an inverted
     index — the weighted-text complement to the MinHash (set-Jaccard)
@@ -485,6 +499,19 @@ def tfidf_neardup_pairs(
     Shingles (not unigrams) carry the index because multi-word grams
     stay rare even when every individual token is corpus-common (the
     regime where a unigram prefix filter degenerates to all-pairs).
+    ``max_posting_size`` guards the candidate self-join the way
+    MinHash's ``max_bucket_size`` guards bucket explosion: rare-by-
+    RANK shingles can still be common-by-COUNT (license stubs,
+    boilerplate headers shared by thousands of docs), and one such
+    shingle alone would yield posting² candidate rows — index
+    postings larger than the bound are dropped (silently, like the
+    MinHash guard; the docs they'd have paired usually also share a
+    genuinely-rare shingle that survives). ``max_df`` does not apply
+    in prefix mode (the verification cosine is always exact) and is
+    rejected loudly rather than ignored.
+
+    The corpus size N for the idf rides along as a broadcast 1-row
+    relation, so constructing the operator launches NO Spark job.
 
     Returns (id_a, id_b, cosine) with cosine >= threshold,
     id_a < id_b."""
@@ -496,6 +523,16 @@ def tfidf_neardup_pairs(
         raise ValueError("candidates must be 'all' or 'prefix'")
     if prefix_size < 1:
         raise ValueError("prefix_size must be >= 1")
+    if shingle_k < 1:
+        raise ValueError("shingle_k must be >= 1")
+    if max_posting_size is not None and max_posting_size < 2:
+        raise ValueError("max_posting_size must be >= 2 (or None)")
+    if candidates == "prefix" and max_df is not None:
+        raise ValueError(
+            "max_df only applies to candidates='all' (prefix mode "
+            "verifies with the exact cosine; use max_posting_size to "
+            "bound the candidate index instead)"
+        )
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
@@ -503,15 +540,24 @@ def tfidf_neardup_pairs(
     dfreq = tf.groupBy("tok").agg(
         F.countDistinct(id_col).alias("df")
     )
-    n_docs = df.select(id_col).distinct().count()
-    w = tf.join(dfreq, "tok").select(
-        F.col(id_col),
-        "tok",
-        "df",
-        (
-            F.col("tf")
-            * F.log(F.lit(1.0 + n_docs) / (F.col("df") + F.lit(1.0)))
-        ).alias("w"),
+    n_docs = df.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_docs")
+    )
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            "df",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.lit(1.0) + F.col("_n_docs"))
+                    / (F.col("df") + F.lit(1.0))
+                )
+            ).alias("w"),
+        )
     )
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
@@ -535,7 +581,7 @@ def tfidf_neardup_pairs(
         sh = df.select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(word_shingles(text_col, 3))
+                F.array_distinct(word_shingles(text_col, shingle_k))
             ).alias("_sh"),
         )
         sh_df = sh.groupBy("_sh").agg(F.count("*").alias("_sdf"))
@@ -548,6 +594,20 @@ def tfidf_neardup_pairs(
             .filter(F.col("_r") <= prefix_size)
             .select("_sh", id_col)
         )
+        if max_posting_size is not None:
+            # posting-size guard (the MinHash max_bucket_size
+            # convention): measured on the RANK-FILTERED index, so a
+            # corpus-common shingle that only 2 docs rank as rarest is
+            # kept, while a boilerplate shingle that k docs all rank
+            # first — the k² candidate bomb — is dropped. One extra
+            # aggregation over the tiny (<= prefix_size rows/doc)
+            # index relation.
+            psz_w = Window.partitionBy("_sh")
+            idx = (
+                idx.withColumn("_psz", F.count("*").over(psz_w))
+                .filter(F.col("_psz") <= max_posting_size)
+                .drop("_psz")
+            )
         cand = (
             idx.select("_sh", F.col(id_col).alias("id_a"))
             .join(idx.select("_sh", F.col(id_col).alias("id_b")), "_sh")

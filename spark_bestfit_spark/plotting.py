@@ -181,6 +181,8 @@ def plot_distribution(
         )
     grid = np.linspace(lo, hi, 400)
     ax.plot(grid, result.pdf(grid), "r-", label=f"{result.distribution} fit")
+    ax.set_xlabel(result.column_name)
+    ax.set_ylabel("density")
     ax.set_title(f"{result.column_name}: {result.distribution}")
     ax.legend()
     return ax
@@ -198,6 +200,8 @@ def plot_comparison(results, data, bins: int = 50, ax=None):
     grid, curves = comparison_data(results, x)
     for name, pdf in curves.items():
         ax.plot(grid, pdf, label=name, linewidth=2)
+    ax.set_xlabel(results[0].column_name)
+    ax.set_ylabel("density")
     ax.set_title(f"{results[0].column_name}: comparison")
     ax.legend()
     return ax
@@ -215,6 +219,8 @@ def plot_discrete_distribution(result, data, ax=None):
         x_range, theo, linefmt="r-", markerfmt="ro", basefmt=" ",
         label="fitted PMF",
     )
+    ax.set_xlabel(result.column_name)
+    ax.set_ylabel("probability")
     ax.set_title(f"{result.column_name}: {result.distribution}")
     ax.legend()
     return ax
@@ -255,6 +261,8 @@ def plot_cdf_comparison(result, data, ax=None):
     ax.step(ex, ey, where="post", label="empirical")
     ax.plot(grid, model, "r-", label="model")
     ax.legend()
+    ax.set_xlabel(result.column_name)
+    ax.set_ylabel("cumulative probability")
     ax.set_title(f"CDF comparison: {result.distribution}")
     return ax
 
@@ -267,6 +275,7 @@ def plot_residual_histogram(result, hist_density, bin_edges, ax=None):
     centers = 0.5 * (np.asarray(bin_edges)[:-1] + np.asarray(bin_edges)[1:])
     ax.bar(centers, res, width=np.diff(bin_edges), alpha=0.6)
     ax.axhline(0.0, color="r", linewidth=1)
+    ax.set_ylabel("residual density")
     ax.set_title(f"density residuals: {result.distribution}")
     return ax
 

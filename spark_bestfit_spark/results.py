@@ -524,13 +524,28 @@ class FitResults:
         column: str | None = None, **kwargs,
     ):
         """Top-n fits overlaid on one histogram (reference
-        plot_comparison) from the cached sample."""
+        plot_comparison) from the cached sample.
+
+        With ``column=None`` on a multi-column result the overlay is
+        restricted to the TOP result's source column — fits of other
+        columns never share the histogram (they'd be overlaid on the
+        wrong sample); pass ``column=`` explicitly to pick another."""
         from spark_bestfit_spark import plotting as P
 
         res = self if column is None else self.for_column(column)
         results = res.best(n=max(n, 2), metric=metric)[:n]
         if not results:
             raise ValueError("no fit results to plot")
+        if column is None:
+            top_col = results[0].column_name
+            results = [r for r in results if r.column_name == top_col]
+            if len(results) < min(n, 2):
+                # the head of the global ranking mixed columns — rank
+                # within the top column instead so the overlay stays
+                # a real comparison
+                results = self.for_column(top_col).best(
+                    n=max(n, 2), metric=metric
+                )[:n]
         data = self._get_sample(results[0].column_name)
         return P.plot_comparison(results, data, **kwargs)
 

@@ -302,6 +302,49 @@ class TestInstantPlotWrappers:
             with pytest.raises(ImportError, match="matplotlib"):
                 results.plot_diagnostics()
 
+    def test_comparison_column_none_restricts_to_top_column(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r6: plot_comparison(column=None) on a multi-column
+        result must never overlay fits of different source columns on
+        one sample — the overlay is restricted to the top result's
+        column (capture the selected results by stubbing the renderer,
+        so this runs with or without matplotlib)."""
+        from spark_bestfit_spark import plotting as P
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        rng = np.random.default_rng(7)
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "a": rng.normal(0.0, 1.0, 2000),
+                "b": rng.exponential(5.0, 2000),
+            })
+        )
+        results = DistributionFitter(spark).fit(
+            df, columns=["a", "b"],
+            distributions=["norm", "expon", "uniform"],
+        )
+        captured = {}
+
+        def _fake(results_list, data, **kwargs):
+            captured["results"] = list(results_list)
+            captured["n_data"] = len(data)
+            return "rendered"
+
+        monkeypatch.setattr(P, "plot_comparison", _fake)
+        assert results.plot_comparison(n=3) == "rendered"
+        cols = {r.column_name for r in captured["results"]}
+        assert len(cols) == 1  # never mixes source columns
+        top_col = results.best(1, metric="sse").column_name
+        assert cols == {top_col}
+        # still a real comparison: more than one candidate overlaid,
+        # on the top column's own cached sample
+        assert len(captured["results"]) >= 2
+        assert captured["n_data"] == len(results._samples[top_col])
+        # explicit column= still honored
+        results.plot_comparison(n=2, column="b")
+        assert {r.column_name for r in captured["results"]} == {"b"}
+
     def test_discrete_plot_wrapper_gated(self, spark):
         from spark_bestfit_spark.fitter import DiscreteDistributionFitter
 
@@ -355,16 +398,60 @@ class TestPlottingRendered:
 
         res, data = fitted
         density, edges = np.histogram(data, bins=40, density=True)
-        axes = [
-            plotting.plot_distribution(res, data),
-            plotting.plot_qq(res, data),
-            plotting.plot_pp(res, data),
-            plotting.plot_cdf_comparison(res, data),
-            plotting.plot_residual_histogram(res, density, edges),
+        expect = [
+            (plotting.plot_distribution(res, data), "Density"),
+            (plotting.plot_qq(res, data), "Sample Quantiles"),
+            (plotting.plot_pp(res, data), "Empirical"),
+            (plotting.plot_cdf_comparison(res, data), "Cumulative"),
+            (plotting.plot_residual_histogram(res, density, edges),
+             "Residual"),
         ]
-        for ax in axes:
+        for ax, ylabel_frag in expect:
             png = self._png_bytes(ax.figure)
             assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 1000
+            assert ylabel_frag.lower() in ax.get_ylabel().lower(), (
+                ylabel_frag, ax.get_ylabel()
+            )
+        plt.close("all")
+
+    def test_comparison_overlay_renders(self, spark):
+        import matplotlib.pyplot as plt
+
+        from spark_bestfit_spark.fitter import DistributionFitter
+
+        rng = np.random.default_rng(5)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.gamma(3.0, 2.0, 3000)})
+        )
+        results = DistributionFitter(spark).fit(
+            df, column="v", distributions=["gamma", "lognorm", "norm"]
+        )
+        ax = plotting.plot_comparison(
+            results.best(n=3, metric="sse"),
+            results._samples["v"],
+        )
+        # one histogram + one line per overlaid fit, all legended
+        assert len(ax.get_lines()) == 3
+        labels = [t.get_text() for t in ax.get_legend().get_texts()]
+        assert any("gamma" in lb for lb in labels)
+        assert len(self._png_bytes(ax.figure)) > 1000
+        plt.close("all")
+
+    def test_discrete_figure_renders(self, spark):
+        import matplotlib.pyplot as plt
+
+        from spark_bestfit_spark.fitter import DiscreteDistributionFitter
+
+        rng = np.random.default_rng(13)
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": rng.poisson(4.0, 2000).astype(float)})
+        )
+        best = DiscreteDistributionFitter(spark).fit(
+            df, column="v", distributions=["poisson"]
+        ).best(1, metric="sse")
+        ax = plotting.plot_discrete_distribution(best, best._sample)
+        assert "probability" in ax.get_ylabel().lower()
+        assert len(self._png_bytes(ax.figure)) > 1000
         plt.close("all")
 
     def test_diagnostics_panel_has_four_axes(self, fitted):

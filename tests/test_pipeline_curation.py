@@ -7,6 +7,8 @@ import pytest
 
 from spark_bestfit_spark.operators.pipeline import curate_corpus
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 @pytest.fixture(scope="module")
 def messy_corpus(spark):
@@ -633,3 +635,223 @@ class TestChunkDocuments:
         out = chunk_documents(df, chunk_tokens=2, with_text=False)
         assert "chunk_text" not in out.columns
         assert out.count() == 3
+
+    def test_preserve_case_keeps_source_text(self, spark):
+        """Default normalizes to lowercase (the text-stats convention);
+        preserve_case=True must emit the source casing verbatim with
+        identical chunk boundaries."""
+        from spark_bestfit_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "The Quick BROWN fox Jumps Over the LAZY dog now")],
+            "doc_id long, text string",
+        )
+        lower = chunk_documents(df, chunk_tokens=4).collect()
+        kept = chunk_documents(
+            df, chunk_tokens=4, preserve_case=True
+        ).collect()
+        assert sorted(r["chunk_text"] for r in lower) == sorted(
+            ["the quick brown fox", "jumps over the lazy", "dog now"]
+        )
+        assert sorted(r["chunk_text"] for r in kept) == sorted(
+            ["The Quick BROWN fox", "Jumps Over the LAZY", "dog now"]
+        )
+        # boundaries identical either way
+        for a, b in zip(
+            sorted(lower, key=lambda r: r["chunk_idx"]),
+            sorted(kept, key=lambda r: r["chunk_idx"]),
+        ):
+            assert (a["start_token"], a["n_chunk_tokens"]) == (
+                b["start_token"], b["n_chunk_tokens"]
+            )
+
+
+class TestStripBoilerplateLines:
+    """C4/RefinedWeb-style line-level boilerplate removal."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        banner = "Accept our cookies to continue"
+        rows = [
+            (0, f"{banner}\nalpha beta gamma\ndoc zero body"),
+            (1, f"{banner}\ndelta epsilon\ndoc one body"),
+            (2, f"  ACCEPT OUR COOKIES TO CONTINUE \nzeta eta\ndoc two body"),
+            (3, "no banner here\njust content"),
+            (4, f"{banner}"),  # banner-only doc -> stripped to empty
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_banner_stripped_case_insensitively(self, corpus):
+        from spark_bestfit_spark.operators.curation import (
+            strip_boilerplate_lines,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in strip_boilerplate_lines(
+                corpus, max_doc_frac=0.5
+            ).collect()
+        }
+        assert len(got) == 5
+        assert got[0]["text"] == "alpha beta gamma\ndoc zero body"
+        assert got[1]["text"] == "delta epsilon\ndoc one body"
+        # normalized key pools the SHOUTED banner with the others
+        assert got[2]["text"] == "zeta eta\ndoc two body"
+        assert got[3]["text"] == "no banner here\njust content"
+        assert got[4]["text"] == ""
+        assert (got[0]["n_lines"], got[0]["n_dropped"]) == (3, 1)
+        assert (got[3]["n_lines"], got[3]["n_dropped"]) == (2, 0)
+        assert (got[4]["n_lines"], got[4]["n_dropped"]) == (1, 1)
+
+    def test_thresholds(self, corpus, spark):
+        from spark_bestfit_spark.operators.curation import (
+            strip_boilerplate_lines,
+        )
+
+        # frac too high -> banner (4/5 docs) survives
+        kept = strip_boilerplate_lines(corpus, max_doc_frac=0.9).collect()
+        assert all(r["n_dropped"] == 0 for r in kept)
+        # normalize=False: the SHOUTED variant no longer pools; the
+        # lowercase banner is still in 3/5 >= 0.5 of docs -> dropped,
+        # doc 2 keeps its variant
+        got = {
+            r["doc_id"]: r
+            for r in strip_boilerplate_lines(
+                corpus, max_doc_frac=0.5, normalize=False
+            ).collect()
+        }
+        assert got[0]["n_dropped"] == 1
+        assert got[2]["n_dropped"] == 0
+        with pytest.raises(ValueError, match="max_doc_frac"):
+            strip_boilerplate_lines(corpus, max_doc_frac=0.0)
+        with pytest.raises(ValueError, match="min_docs"):
+            strip_boilerplate_lines(corpus, min_docs=1)
+        with pytest.raises(ValueError, match="line_sep"):
+            strip_boilerplate_lines(corpus, line_sep="")
+
+    def test_line_order_preserved_and_custom_sep(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            strip_boilerplate_lines,
+        )
+
+        rows = [
+            (i, f"SPAM | first{i} | second{i} | third{i} | SPAM")
+            for i in range(3)
+        ]
+        rows.append((9, "only | content"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in strip_boilerplate_lines(
+                df, max_doc_frac=0.5, line_sep=" | "
+            ).collect()
+        }
+        assert got[0]["text"] == "first0 | second0 | third0"
+        assert got[0]["n_dropped"] == 2  # both SPAM occurrences
+        assert got[9]["text"] == "only | content"
+
+    def test_no_eager_jobs(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            strip_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a\nb"), (1, "a\nc")], "doc_id long, text string"
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("boiler-probe", "plan build must be free")
+        try:
+            out = strip_boilerplate_lines(df)
+            out._jdf.queryExecution().executedPlan()
+        finally:
+            sc.setJobGroup("default", "")
+        assert len(
+            sc.statusTracker().getJobIdsForGroup("boiler-probe")
+        ) == 0
+
+
+class TestSelectWithinTokenBudget:
+    def test_greedy_by_quality(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            select_within_token_budget,
+        )
+
+        rows = [
+            (0, "one two three", 0.9),          # 3 tokens, best
+            (1, "one two three four five", 0.8),  # 5 tokens
+            (2, "one two", 0.7),                # 2 tokens
+            (3, "one two three four", 0.6),     # 4 tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        got = {
+            r["doc_id"]: r
+            for r in select_within_token_budget(
+                df, max_tokens=10, quality_col="q"
+            ).collect()
+        }
+        # greedy prefix: 3 + 5 = 8 <= 10; adding doc 2 -> 10 <= 10; doc 3 would be 14
+        assert set(got) == {0, 1, 2}
+        assert got[0]["cum_tokens"] == 3
+        assert got[1]["cum_tokens"] == 8
+        assert got[2]["cum_tokens"] == 10
+        # ascending quality flips the ranking
+        asc = {
+            r["doc_id"]
+            for r in select_within_token_budget(
+                df, max_tokens=7, quality_col="q", descending=False
+            ).collect()
+        }
+        assert asc == {3, 2}  # 4 then 4+2=6 <= 7; doc 1 would be 11
+
+    def test_id_order_without_quality_and_validation(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            select_within_token_budget,
+        )
+
+        rows = [(i, "a b c") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = select_within_token_budget(df, max_tokens=10).collect()
+        assert {r["doc_id"] for r in got} == {0, 1, 2}  # 3+3+3=9 <= 10
+        with pytest.raises(ValueError, match="max_tokens"):
+            select_within_token_budget(df, max_tokens=0)
+        with pytest.raises(TypeError, match="quality_col"):
+            select_within_token_budget(
+                df.withColumn("s", df.doc_id.cast("string")),
+                max_tokens=5, quality_col="s",
+            )
+        empty = select_within_token_budget(
+            df.filter("doc_id < 0"), max_tokens=5
+        )
+        assert empty.count() == 0
+
+    def test_matches_driver_greedy_on_documents(self, spark):
+        """Cross-check against a driver-side greedy fold over the real
+        documents table with a derived quality score."""
+        from spark_bestfit_spark.operators.curation import (
+            select_within_token_budget,
+        )
+        import pyspark.sql.functions as F
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 200")
+            .withColumn("q", (F.col("doc_id") % 17).cast("double"))
+        )
+        budget = 3000
+        got = sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in select_within_token_budget(
+                docs, max_tokens=budget, quality_col="q"
+            ).collect()
+        )
+        rows = docs.select("doc_id", "text", "q").collect()
+        ranked = sorted(rows, key=lambda r: (-r["q"], r["doc_id"]))
+        exp, cum = [], 0
+        for r in ranked:
+            n = len(r["text"].strip().lower().split())
+            if cum + n > budget:
+                break
+            cum += n
+            exp.append(r["doc_id"])
+        assert [d for d, _ in got] == sorted(exp)
+        assert max(c for _, c in got) <= budget

@@ -440,6 +440,104 @@ class TestMultimodal:
         assert out.count() == 50
 
 
+class TestAudioDecode:
+    """The audio decode path is stdlib-real in EVERY container (wave
+    module), unlike the pillow-gated image seam — so these tests run
+    unconditionally: generator -> bytes -> REAL decode round-trip."""
+
+    def test_synthetic_wav_roundtrip_byte_level(self):
+        """The generator must emit a conformant RIFF/WAVE file whose
+        header fields parse (without the wave module) to exactly the
+        parameters requested."""
+        import struct
+
+        wav = multimodal.synthetic_wav(
+            n_samples=1000, sample_rate=8000, channels=2
+        )
+        assert wav[0:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        assert wav[12:16] == b"fmt "
+        fmt_len = struct.unpack("<I", wav[16:20])[0]
+        audio_fmt, nch, rate, byte_rate, block, bits = struct.unpack(
+            "<HHIIHH", wav[20:36]
+        )
+        assert fmt_len == 16 and audio_fmt == 1  # PCM
+        assert (nch, rate, bits) == (2, 8000, 16)
+        assert byte_rate == 8000 * 2 * 2 and block == 4
+        i = wav.index(b"data")
+        dlen = struct.unpack("<I", wav[i + 4 : i + 8])[0]
+        assert dlen == 1000 * 2 * 2  # n_samples * channels * 2 bytes
+
+    def test_real_decode_roundtrip(self):
+        rate, arr = multimodal._decode_audio(
+            multimodal.synthetic_wav(
+                n_samples=1600, sample_rate=16000, freq_hz=200.0,
+                amplitude=0.25, channels=2,
+            )
+        )
+        assert rate == 16000
+        assert arr.shape == (1600, 2)
+        assert arr.dtype == np.dtype("<i2") or arr.dtype == np.int16
+        # both channels carry the same mono tone
+        assert (arr[:, 0] == arr[:, 1]).all()
+        # amplitude 0.25 -> peak ~ 0.25 * 32767
+        assert abs(int(np.max(arr)) - int(0.25 * 32767)) <= 1
+
+    def test_decode_rejects_non_wav_and_non_pcm16(self):
+        with pytest.raises(NotImplementedError, match="non-WAV"):
+            multimodal._decode_audio(b"ID3\x04mp3-ish-bytes" * 4)
+        # hand-build an 8-bit PCM wav via the wave module
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(range(100)))
+        with pytest.raises(NotImplementedError, match="16-bit"):
+            multimodal._decode_audio(buf.getvalue())
+
+    def test_extract_audio_features_pipeline(self, spark):
+        """End-to-end REAL-codec mapInPandas: generated WAVs with
+        per-row parameters decode to exactly those parameters, and
+        rms matches the sine closed form (amp/sqrt(2)) to the
+        quantization tolerance."""
+        rows = [
+            (
+                i,
+                "audio",
+                bytearray(
+                    multimodal.synthetic_wav(
+                        n_samples=800 + i * 16,
+                        sample_rate=8000 * (1 + i % 2),
+                        freq_hz=100.0 * (1 + i),
+                        amplitude=0.5,
+                        channels=1 + i % 2,
+                    )
+                ),
+                "audio/wav",
+                0,
+            )
+            for i in range(1, 9)
+        ]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.extract_audio_features(df)
+        assert out.schema == multimodal.AUDIO_FEATURES_SCHEMA
+        got = {r.media_id: r for r in out.collect()}
+        assert len(got) == 8
+        for i in range(1, 9):
+            r = got[i]
+            assert r.n_samples == 800 + i * 16
+            assert r.sample_rate == 8000 * (1 + i % 2)
+            assert r.n_channels == 1 + i % 2
+            assert r.duration_sec == pytest.approx(
+                round(r.n_samples / r.sample_rate, 6)
+            )
+            assert r.rms == pytest.approx(0.5 / np.sqrt(2), rel=0.05)
+            assert abs(r.peak - int(0.5 * 32767)) <= 2
+
+
 class TestTwoSampleKS:
     def test_same_distribution_small_d(self, spark):
         import numpy as np
@@ -1248,6 +1346,102 @@ class TestTfidfNearDup:
             tfidf_neardup_pairs(df, candidates="bogus")
         with pytest.raises(ValueError, match="prefix_size"):
             tfidf_neardup_pairs(df, candidates="prefix", prefix_size=0)
+
+    def test_prefix_posting_guard_drops_boilerplate(self, spark):
+        """max_posting_size (the MinHash max_bucket_size analog) must
+        drop rank-rare-but-count-common index shingles: a license stub
+        shared verbatim by k docs would otherwise make the candidate
+        self-join emit k² rows from that one shingle."""
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        stub = "permission is hereby granted free of charge"
+        rows = [(i, stub) for i in range(8)]  # boilerplate block
+        rows += [
+            (100, "quantum flux capacitor resonance cascade override"),
+            (101, "quantum flux capacitor resonance cascade matrix"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        guarded = {
+            (r["id_a"], r["id_b"])
+            for r in tfidf_neardup_pairs(
+                df, threshold=0.3, candidates="prefix", max_posting_size=4
+            ).collect()
+        }
+        # the genuine near-dup pair (rare shingles, posting size 2) survives
+        assert (100, 101) in guarded
+        # every boilerplate shingle posting has size 8 > 4 -> dropped,
+        # so no boilerplate pair is emitted (exact dups belong to the
+        # exact-dedup tier)
+        assert all(a >= 100 for a, _ in guarded)
+        unguarded = {
+            (r["id_a"], r["id_b"])
+            for r in tfidf_neardup_pairs(
+                df, threshold=0.3, candidates="prefix",
+                max_posting_size=None,
+            ).collect()
+        }
+        assert (0, 1) in unguarded and (100, 101) in unguarded
+        # default bound (1000) keeps this small corpus complete
+        dflt = {
+            (r["id_a"], r["id_b"])
+            for r in tfidf_neardup_pairs(
+                df, threshold=0.3, candidates="prefix"
+            ).collect()
+        }
+        assert dflt == unguarded
+        with pytest.raises(ValueError, match="max_posting_size"):
+            tfidf_neardup_pairs(
+                df, candidates="prefix", max_posting_size=1
+            )
+
+    def test_prefix_mode_rejects_max_df_and_honors_shingle_k(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        rows = [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "zeta eta theta iota"),  # keeps the shared idf > 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_df"):
+            tfidf_neardup_pairs(df, candidates="prefix", max_df=3)
+        with pytest.raises(ValueError, match="shingle_k"):
+            tfidf_neardup_pairs(df, candidates="prefix", shingle_k=0)
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_neardup_pairs(
+                df, threshold=0.5, candidates="prefix", shingle_k=2
+            ).collect()
+        }
+        assert got[(0, 1)] == pytest.approx(1.0)
+
+    def test_single_plan_no_eager_jobs(self, spark, docs):
+        """Constructing either TF-IDF operator must launch ZERO Spark
+        jobs: the corpus size N for the idf is an in-plan broadcast
+        1-row relation, not an eager distinct().count()."""
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+            top_terms_per_doc,
+        )
+
+        sc = spark.sparkContext
+        sc.setJobGroup("tfidf-probe", "plan build must be free")
+        try:
+            a = top_terms_per_doc(docs, k=3)
+            b = tfidf_neardup_pairs(docs, threshold=0.8)
+            c = tfidf_neardup_pairs(
+                docs, threshold=0.8, candidates="prefix"
+            )
+            for out in (a, b, c):
+                out._jdf.queryExecution().executedPlan()
+        finally:
+            sc.setJobGroup("default", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-probe")
+        assert len(jobs) == 0
 
 
 class TestPsiByGroup:

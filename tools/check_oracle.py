@@ -87,6 +87,28 @@ def raw_dtype_report(df: pd.DataFrame) -> dict:
     return out
 
 
+def _duplicate_literal_keys(path: str) -> list[str]:
+    """String keys appearing more than once in any single dict literal
+    inside ``queries``/``oracle_sql`` of the module at ``path``."""
+    import ast
+    from collections import Counter
+
+    with open(path, encoding="utf-8") as fh:
+        tree = ast.parse(fh.read())
+    dupes: list[str] = []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.FunctionDef)
+                and node.name in ("queries", "oracle_sql")):
+            continue
+        for d in ast.walk(node):
+            if not isinstance(d, ast.Dict):
+                continue
+            keys = [k.value for k in d.keys
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str)]
+            dupes.extend(k for k, n in Counter(keys).items() if n > 1)
+    return sorted(set(dupes))
+
+
 def main() -> int:
     import __spark_entry__ as e
     from spark_bestfit_spark.session import get_spark
@@ -102,6 +124,15 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Duplicate-key guard: a dict literal with a repeated key keeps
+    # only one entry at runtime, silently — scan the source AST of
+    # queries() / oracle_sql() and hard-fail on any repeated string
+    # key so a rotation edit can never alias two entries.
+    dupes = _duplicate_literal_keys(e.__file__)
+    if dupes:
+        print(f"FAIL harness: duplicate dict-literal keys in "
+              f"__spark_entry__.py: {dupes}")
+        return 1
     # Coverage guarantee: a full run (no query args) must execute and
     # compare EVERY oracle_sql() entry — tail demotion in queries() can
     # never silently drop a query from the strict harness. Orphan
