@@ -1802,6 +1802,69 @@ def _q_media_features(spark, sf_dir):
     return feats.select("media_id", "width", "height", "channels")
 
 
+def _q_video_frames(spark, sf_dir):
+    """Multimodal video: REAL stdlib RIFF/AVI frame extraction. AVI
+    payloads are generated distributed-side with doc_id-derived
+    (n_frames, width, height), the real chunk-walking decoder samples
+    every 3rd frame, and the oracle replays the sampling arithmetic
+    and raw-RGB payload sizes in SQL — a parse bug (stride padding,
+    chunk alignment, frame count) breaks the hash."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import BinaryType
+
+    from spark_bestfit_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_avi,
+    )
+
+    def _gen_batch(ids):
+        return ids.map(
+            lambda i: synthetic_avi(
+                n_frames=4 + int(i) % 10,
+                width=4 + int(i) % 5,
+                height=3 + int(i) % 4,
+            )
+        )
+
+    _gen_batch.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _gen = F.pandas_udf(_gen_batch, BinaryType())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), _gen("doc_id").alias("payload")
+    )
+    frames = sample_frames(media, every_nth=3, fake_decoder=False)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_payload").cast("long").alias("n_bytes"),
+    )
+
+
+def _q_contamination_overlap(spark, sf_dir):
+    """Graded decontamination: per-doc fractional 8-gram overlap with a
+    probe set built from the first 20 documents — probe-source docs
+    must score 1.0, disjoint docs 0.0, and the oracle replays the
+    whole shingle/join/fraction pipeline in SQL."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        contamination_overlap,
+    )
+    from spark_bestfit_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 250
+    )
+    probes = docs.filter(F.col("doc_id") < 20).select(
+        F.explode(word_shingles("text", 8)).alias("ngram")
+    )
+    return contamination_overlap(docs, probes, n=8)
+
+
 def _q_boilerplate_strip(spark, sf_dir):
     """C4/RefinedWeb-style line-level boilerplate removal: a banner
     line injected into every document must be stripped (and ONLY it),
@@ -2361,18 +2424,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-7 rotation. The three NEW queries
-        # (audio_features — REAL stdlib-wave decode, boilerplate_strip,
+        # ---- head 50: round-7 rotation. The five NEW queries
+        # (audio_features / video_frames — REAL stdlib wave/AVI
+        # decodes, contamination_overlap, boilerplate_strip,
         # token_budget_selection) and the six queries whose OPERATOR
         # CODE changed this round (in-plan idf corpus count, prefix
         # posting guard, IVF local-quantizer sample fix, chunk/
-        # multimodal edits) lead, followed by the 41 queries the
-        # round-6 head-50 did not driver-hash — so every entry is
-        # re-hashed on the shortest possible cycle. The strict local
-        # harness (tools/check_oracle.py) still executes and compares
-        # ALL entries every round and fails on duplicates or
-        # never-executed oracles. ----
+        # multimodal edits) lead, followed by the round-6-unhashed
+        # queries — so every entry is re-hashed on the shortest
+        # possible cycle (two event-analytics extras overflow to the
+        # tail head). The strict local harness (tools/check_oracle.py)
+        # still executes and compares ALL entries every round and
+        # fails on duplicates or never-executed oracles. ----
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
+        "contamination_overlap": _q_contamination_overlap,
         "boilerplate_strip": _q_boilerplate_strip,
         "token_budget_selection": _q_token_budget,
         "tfidf_neardup": _q_tfidf_neardup,
@@ -2420,11 +2486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
+        # ---- tail: the two event-analytics extras overflowed the
+        # head-50 when the round-7 operators landed (r1-r5
+        # driver-hashed, strict-harness-covered every round), then
+        # everything driver-hashed in round 6 (CORRECTNESS_r06). ----
         "events_sessionized": _q_events_sessionized,
         "events_props_json": _q_events_props_json,
-        # ---- tail: all driver-hashed in round 6 (CORRECTNESS_r06),
-        # all still executed and compared by the strict local harness
-        # every round. ----
         "fit_grouped": _q_fit_grouped,
         "fit_discrete_grouped": _q_fit_discrete_grouped,
         "robust_stats": _q_robust_stats,
@@ -3931,6 +3998,47 @@ def oracle_sql() -> dict[str, str]:
                      6
                    ) AS duration_sec
             FROM documents WHERE doc_id < 120
+        """,
+        "video_frames": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(unnest(range(0, 4 + doc_id % 10, 3)) AS BIGINT)
+                     AS frame_idx,
+                   CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3
+                        AS BIGINT) AS n_bytes
+            FROM documents
+            WHERE doc_id < 100
+        """,
+        "contamination_overlap": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id < 250
+            ),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i
+              FROM t
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(toks[i:i+7], ' ') AS ngram
+              FROM idx
+            ),
+            probes AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 20),
+            agg AS (
+              SELECT g.doc_id,
+                     count(*) AS n_ngrams,
+                     sum(CASE WHEN p.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_matched
+              FROM g LEFT JOIN probes p USING (ngram)
+              GROUP BY g.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_ngrams AS BIGINT) AS n_ngrams,
+                   CAST(n_matched AS BIGINT) AS n_matched,
+                   round(n_matched / CAST(n_ngrams AS DOUBLE), 6)
+                     AS overlap_frac
+            FROM agg
         """,
         "boilerplate_strip": """
             WITH w AS (

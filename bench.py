@@ -534,7 +534,11 @@ def main() -> None:
                 lambda x, i: FB.when(F.col("_rep") == 0, x).otherwise(
                     FB.when(
                         (
-                            (i * 1103515245 + F.col("_rep") * 12345) % 97
+                            (
+                                i.cast("bigint") * FB.lit(1103515245)
+                                + F.col("_rep") * FB.lit(12345)
+                            )
+                            % 97
                         ) % 2
                         == 0,
                         x,

@@ -93,6 +93,29 @@ def main() -> None:
     grouped_robust_stats_df(scored, "quality_score", "source").orderBy(
         "source"
     ).show(truncate=False)
+
+    # graded decontamination: fractional 8-gram overlap against a
+    # probe set (threshold it instead of dropping on any collision)
+    from spark_bestfit_spark.operators.curation import (
+        contamination_overlap,
+        select_within_token_budget,
+    )
+    from spark_bestfit_spark.operators.dedup import word_shingles
+
+    probes = docs.filter("doc_id < 3").select(
+        F.explode(word_shingles("text", 8)).alias("ngram")
+    )
+    overlap = contamination_overlap(docs, probes, n=8)
+    n_graded = overlap.filter("overlap_frac >= 0.5").count()
+    print(f"\ndocs with >=50% probe 8-gram overlap: {n_graded}")
+
+    # final assembly: best-quality documents until the token budget
+    # is spent (exact greedy prefix on the distributed prefix sum)
+    budget = select_within_token_budget(
+        scored, max_tokens=5_000, quality_col="quality_score"
+    )
+    print(f"token-budget selection keeps {budget.count()} docs, "
+          f"{budget.agg(F.max('cum_tokens')).first()[0]} tokens")
     spark.stop()
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "assign_training_shards",
     "domain_mixture_weights",
     "flag_contamination",
+    "contamination_overlap",
     "decontaminate_by_ngrams",
     "decontaminate_by_ngrams_bloom",
     "hash_split",
@@ -127,6 +128,54 @@ def decontaminate_by_ngrams(
     ).distinct()
     clean = df.join(flagged, on=id_col, how="left_anti")
     return clean, flagged
+
+
+def contamination_overlap(
+    df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_col: str = "ngram",
+    n: int = 8,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Fractional n-gram overlap with the probe set per document — the
+    GRADED complement to :func:`decontaminate_by_ngrams`' boolean gate:
+    GPT-3/PaLM-style decontamination drops or downweights documents
+    whose overlap FRACTION crosses a threshold rather than any document
+    sharing a single n-gram (one colliding idiom shouldn't kill a long
+    document; a benchmark quote pasted wholesale should).
+
+    ``overlap_frac = |distinct doc n-grams ∩ probes| / |distinct doc
+    n-grams|``. Same dataflow as the boolean tier — explode to distinct
+    word n-grams, semi-match the probe relation (broadcast when small,
+    shuffle hash join on the n-gram key otherwise), ONE doc-keyed
+    re-aggregation — so the cost at 100 TB is identical to the gate it
+    refines; thresholding is a plain filter on the output.
+
+    Output: (id_col, n_ngrams, n_matched, overlap_frac) for every
+    input document (docs with no probe collision report 0.0)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias(ngram_col),
+    )
+    probes = probe_df.select(ngram_col).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    joined = grams.join(probes, on=ngram_col, how="left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*"), 6
+        ).alias("overlap_frac"),
+    )
 
 
 def _bloom_positions(col, m: int, k: int):

@@ -190,26 +190,40 @@ def sample_frames(
     df: DataFrame, every_nth: int = 10, fake_decoder: bool = False
 ) -> DataFrame:
     """Video frame sampling stage (mapInPandas): emits one row per
-    sampled frame. With the fake decoder, 'frames' are deterministic
-    byte slices — the real seam is the same shape."""
+    sampled frame (``frame_payload`` = raw top-down RGB bytes).
+
+    The real path decodes uncompressed RIFF/AVI with the stdlib
+    :func:`_decode_avi` walker — live in every container, like the WAV
+    path; compressed codecs raise the documented NotImplementedError
+    seam (pyav/ffmpeg). With ``fake_decoder=True``, 'frames' are
+    deterministic byte slices — same pipeline shape, no container
+    parse."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if not fake_decoder:
-                    raise NotImplementedError(
-                        "video decoding requires pyav/ffmpeg; not available "
-                        "in this container — use fake_decoder=True"
-                    )
-                n_frames = max(1, len(data) // 16)
-                for idx in range(0, n_frames, every_nth):
+                if fake_decoder:
+                    n_frames = max(1, len(data) // 16)
+                    for idx in range(0, n_frames, every_nth):
+                        rows.append(
+                            {
+                                "media_id": int(media_id),
+                                "frame_idx": idx,
+                                "frame_payload": data[
+                                    idx * 16 : (idx + 1) * 16
+                                ],
+                            }
+                        )
+                    continue
+                _, frames = _decode_avi(data)
+                for idx in range(0, len(frames), every_nth):
                     rows.append(
                         {
                             "media_id": int(media_id),
                             "frame_idx": idx,
-                            "frame_payload": data[idx * 16 : (idx + 1) * 16],
+                            "frame_payload": frames[idx].tobytes(),
                         }
                     )
             yield pd.DataFrame(rows)
@@ -217,6 +231,143 @@ def sample_frames(
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+def synthetic_avi(
+    n_frames: int,
+    width: int = 8,
+    height: int = 6,
+    fps: int = 10,
+) -> bytes:
+    """A VALID uncompressed AVI (RIFF container, DIB/BI_RGB video
+    stream, BMP row-padding and bottom-up row order per the format) —
+    the video analog of :func:`synthetic_png`/:func:`synthetic_wav`,
+    written with stdlib ``struct`` only. Frame ``i`` is a solid fill
+    of ``(i % 256, 2*i % 256, 3*i % 256)`` RGB, so any conformant
+    decoder (including :func:`_decode_avi` below) recovers the frame
+    index from the pixels."""
+    import struct
+
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    stride = (width * 3 + 3) & ~3
+    frame_bytes = stride * height
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        frame_bytes * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-ish flags
+        n_frames, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # scale, rate -> fps = rate/scale
+        0, n_frames, frame_bytes, 0, frame_bytes // 1,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0,  # BITMAPINFOHEADER, BI_RGB
+        frame_bytes, 0, 0, 0, 0,
+    )
+    frames = b""
+    for i in range(n_frames):
+        r, g, b = i % 256, (2 * i) % 256, (3 * i) % 256
+        row = (bytes((b, g, r)) * width).ljust(stride, b"\x00")
+        frames += chunk(b"00db", row * height)  # bottom-up BGR rows
+    body = (
+        lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        + lst(b"movi", frames)
+    )
+    return b"RIFF" + struct.pack("<I", len(b"AVI ") + len(body)) + b"AVI " + body
+
+
+def _decode_avi(payload: bytes):
+    """Decode an uncompressed (DIB/BI_RGB) AVI payload to
+    ``(fps, [HxWx3 uint8 RGB frames])`` with a real RIFF chunk walker
+    — stdlib only, so like the WAV path this decode is live in every
+    container. Compressed streams ('00dc' chunks / non-zero
+    biCompression) and non-AVI containers remain the documented
+    NotImplementedError seam where pyav/ffmpeg would plug in."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "non-AVI video payload; compressed containers (mp4/webm/"
+            "mkv) need a pyav/ffmpeg-backed decoder"
+        )
+
+    width = height = None
+    scale, rate = 1, 0
+    compression = 0
+    raw_frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal width, height, scale, rate, compression
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                hdr = struct.unpack(
+                    "<14I", buf[data_start : data_start + 56]
+                )
+                width, height = hdr[8], hdr[9]
+            elif fourcc == b"strh":
+                s = buf[data_start : data_start + 56]
+                if s[:4] == b"vids":
+                    scale, rate = struct.unpack("<II", s[20:28])
+            elif fourcc == b"strf":
+                compression = struct.unpack(
+                    "<I", buf[data_start + 16 : data_start + 20]
+                )[0]
+            elif fourcc == b"00dc":
+                raise NotImplementedError(
+                    "compressed AVI stream ('00dc'); needs a "
+                    "pyav/ffmpeg-backed decoder"
+                )
+            elif fourcc == b"00db":
+                raw_frames.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if width is None or not raw_frames:
+        raise NotImplementedError(
+            "AVI payload carries no uncompressed video frames this "
+            "stdlib decoder understands"
+        )
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed DIB stream (biCompression={compression}); "
+            "needs a pyav/ffmpeg-backed decoder"
+        )
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    for raw in raw_frames:
+        a = np.frombuffer(raw, dtype=np.uint8)[: stride * height]
+        rows = a.reshape(height, stride)[:, : width * 3]
+        bgr = rows.reshape(height, width, 3)[::-1]  # bottom-up -> top-down
+        frames.append(bgr[..., ::-1].copy())  # BGR -> RGB
+    fps = (rate // scale) if scale else 0
+    return fps, frames
 
 
 def synthetic_wav(

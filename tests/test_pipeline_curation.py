@@ -855,3 +855,56 @@ class TestSelectWithinTokenBudget:
             exp.append(r["doc_id"])
         assert [d for d, _ in got] == sorted(exp)
         assert max(c for _, c in got) <= budget
+
+
+class TestContaminationOverlap:
+    def test_hand_computed_fractions(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            contamination_overlap,
+        )
+
+        rows = [
+            (0, "a b c d e"),      # 3-grams: abc bcd cde
+            (1, "a b c x y"),      # abc bcx cxy
+            (2, "p q r s t"),      # pqr qrs rst
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        probes = spark.createDataFrame(
+            [("a b c",), ("c d e",), ("zzz",)], "ngram string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in contamination_overlap(df, probes, n=3).collect()
+        }
+        assert (got[0]["n_ngrams"], got[0]["n_matched"]) == (3, 2)
+        assert got[0]["overlap_frac"] == pytest.approx(round(2 / 3, 6))
+        assert (got[1]["n_matched"], got[1]["overlap_frac"]) == (1, round(1 / 3, 6))
+        assert (got[2]["n_matched"], got[2]["overlap_frac"]) == (0, 0.0)
+        with pytest.raises(ValueError, match="n must"):
+            contamination_overlap(df, probes, n=0)
+
+    def test_refines_boolean_gate(self, spark):
+        """Every doc the boolean gate flags must have overlap_frac > 0
+        and vice versa — the graded tier is a strict refinement."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            contamination_overlap,
+            decontaminate_by_ngrams,
+        )
+        from spark_bestfit_spark.operators.dedup import word_shingles
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        probes = docs.filter("doc_id < 5").select(
+            F.explode(word_shingles("text", 8)).alias("ngram")
+        )
+        _, flagged = decontaminate_by_ngrams(docs, probes, n=8)
+        flagged_ids = {r["doc_id"] for r in flagged.collect()}
+        overlap = contamination_overlap(docs, probes, n=8).collect()
+        graded_ids = {r["doc_id"] for r in overlap if r["n_matched"] > 0}
+        assert graded_ids == flagged_ids
+        # probe-source docs overlap fully
+        full = {r["doc_id"] for r in overlap if r["overlap_frac"] == 1.0}
+        assert set(range(5)) <= full
+        # output covers every doc
+        assert len(overlap) == docs.count()

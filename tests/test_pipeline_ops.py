@@ -538,6 +538,94 @@ class TestAudioDecode:
             assert abs(r.peak - int(0.5 * 32767)) <= 2
 
 
+class TestVideoDecode:
+    """Uncompressed RIFF/AVI parsing is stdlib-real everywhere (struct
+    walker), like the WAV path; compressed codecs stay the documented
+    pyav/ffmpeg seam."""
+
+    def test_synthetic_avi_header_parses_without_decoder(self):
+        import struct
+
+        avi = multimodal.synthetic_avi(n_frames=3, width=6, height=4, fps=10)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        (riff_size,) = struct.unpack("<I", avi[4:8])
+        assert riff_size == len(avi) - 8
+        i = avi.index(b"avih") + 8
+        hdr = struct.unpack("<14I", avi[i : i + 56])
+        assert hdr[0] == 100_000  # microseconds/frame at 10 fps
+        assert (hdr[4], hdr[8], hdr[9]) == (3, 6, 4)
+        # three uncompressed frame chunks, BI_RGB in strf
+        assert avi.count(b"00db") == 3
+        j = avi.index(b"strf") + 8
+        comp = struct.unpack("<I", avi[j + 16 : j + 20])[0]
+        assert comp == 0
+        with pytest.raises(ValueError):
+            multimodal.synthetic_avi(0)
+
+    def test_real_decode_roundtrip_and_padding(self):
+        # width 5 -> stride 16 exercises the BMP 4-byte row padding
+        fps, frames = multimodal._decode_avi(
+            multimodal.synthetic_avi(n_frames=9, width=5, height=4, fps=12)
+        )
+        assert fps == 12 and len(frames) == 9
+        for i in (0, 4, 8):
+            f = frames[i]
+            assert f.shape == (4, 5, 3)
+            assert (
+                f == np.array([i % 256, (2 * i) % 256, (3 * i) % 256])
+            ).all()
+
+    def test_compressed_and_foreign_payloads_stay_seams(self):
+        import struct
+
+        with pytest.raises(NotImplementedError, match="non-AVI"):
+            multimodal._decode_avi(b"\x00\x01\x02 not riff")
+        # hand-build an AVI-shaped container with a compressed chunk
+        avi = multimodal.synthetic_avi(n_frames=1, width=4, height=4)
+        hacked = avi.replace(b"00db", b"00dc")
+        with pytest.raises(NotImplementedError, match="00dc|compressed"):
+            multimodal._decode_avi(hacked)
+
+    def test_sample_frames_real_avi_pipeline(self, spark):
+        """End-to-end REAL-codec mapInPandas over generated AVIs:
+        every_nth sampling, raw-RGB payload sizes, and pixel values
+        recover the frame index."""
+        rows = [
+            (
+                i,
+                "video",
+                bytearray(
+                    multimodal.synthetic_avi(
+                        n_frames=4 + i, width=4 + i, height=3 + i
+                    )
+                ),
+                "video/x-msvideo",
+                0,
+            )
+            for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.sample_frames(df, every_nth=2, fake_decoder=False)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.media_id, []).append(r)
+        for i in range(1, 6):
+            frames = sorted(got[i], key=lambda r: r.frame_idx)
+            assert [r.frame_idx for r in frames] == list(
+                range(0, 4 + i, 2)
+            )
+            w, h = 4 + i, 3 + i
+            for r in frames:
+                assert len(r.frame_payload) == w * h * 3
+                px = np.frombuffer(
+                    bytes(r.frame_payload), dtype=np.uint8
+                ).reshape(h, w, 3)
+                k = r.frame_idx
+                assert (
+                    px == np.array([k % 256, 2 * k % 256, 3 * k % 256])
+                ).all()
+
+
 class TestTwoSampleKS:
     def test_same_distribution_small_d(self, spark):
         import numpy as np
