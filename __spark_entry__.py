@@ -1844,6 +1844,38 @@ def _q_video_frames(spark, sf_dir):
     )
 
 
+def _q_wasserstein_drift(spark, sf_dir):
+    """Exact 1-Wasserstein distance between two lineitem segments —
+    the magnitude-aware drift metric (K-S's integral complement), on
+    the same partitioned prefix-sum ECDF spine; the oracle replays the
+    tie-aggregated ECDF integral with one SQL window."""
+    from spark_bestfit_spark.operators.stats import (
+        wasserstein_distance_df,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return wasserstein_distance_df(
+        li.filter("l_returnflag = 'A'"),
+        li.filter("l_returnflag = 'N'"),
+        "l_quantity",
+    )
+
+
+def _q_wasserstein_by_group(spark, sf_dir):
+    """Per-group exact 1-Wasserstein (fully in-plan grouped prefix-sum
+    spine with lead-gap integration) — oracle replays the per-segment
+    ECDF integral with grouped SQL windows."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import wasserstein_by_group
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seg = (F.col("l_linenumber") % 3).cast("long")
+    a = li.filter("l_returnflag = 'A'").withColumn("seg", seg)
+    b = li.filter("l_returnflag = 'N'").withColumn("seg", seg)
+    return wasserstein_by_group(a, b, "l_quantity", "seg")
+
+
 def _q_contamination_overlap(spark, sf_dir):
     """Graded decontamination: per-doc fractional 8-gram overlap with a
     probe set built from the first 20 documents — probe-source docs
@@ -2424,9 +2456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-7 rotation. The five NEW queries
+        # ---- head 50: round-7 rotation. The seven NEW queries
         # (audio_features / video_frames — REAL stdlib wave/AVI
-        # decodes, contamination_overlap, boilerplate_strip,
+        # decodes, wasserstein_drift + wasserstein_by_group,
+        # contamination_overlap, boilerplate_strip,
         # token_budget_selection) and the six queries whose OPERATOR
         # CODE changed this round (in-plan idf corpus count, prefix
         # posting guard, IVF local-quantizer sample fix, chunk/
@@ -2438,6 +2471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fails on duplicates or never-executed oracles. ----
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "wasserstein_drift": _q_wasserstein_drift,
+        "wasserstein_by_group": _q_wasserstein_by_group,
         "contamination_overlap": _q_contamination_overlap,
         "boilerplate_strip": _q_boilerplate_strip,
         "token_budget_selection": _q_token_budget,
@@ -2484,12 +2519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_totals": _q_doc_token_totals,
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_quality": _q_doc_quality,
+        # ---- tail: overflow from the head-50 as round-7 operators
+        # landed (all r1-r5 driver-hashed, strict-harness-covered
+        # every round), then everything driver-hashed in round 6
+        # (CORRECTNESS_r06). ----
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
-        # ---- tail: the two event-analytics extras overflowed the
-        # head-50 when the round-7 operators landed (r1-r5
-        # driver-hashed, strict-harness-covered every round), then
-        # everything driver-hashed in round 6 (CORRECTNESS_r06). ----
         "events_sessionized": _q_events_sessionized,
         "events_props_json": _q_events_props_json,
         "fit_grouped": _q_fit_grouped,
@@ -3998,6 +4033,79 @@ def oracle_sql() -> dict[str, str]:
                      6
                    ) AS duration_sec
             FROM documents WHERE doc_id < 120
+        """,
+        "wasserstein_drift": """
+            WITH u AS (
+              SELECT l_quantity AS v, 1 AS ia, 0 AS ib FROM lineitem
+              WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL
+                AND isfinite(l_quantity)
+              UNION ALL
+              SELECT l_quantity, 0, 1 FROM lineitem
+              WHERE l_returnflag = 'N' AND l_quantity IS NOT NULL
+                AND isfinite(l_quantity)
+            ),
+            tot AS (SELECT sum(ia) AS na, sum(ib) AS nb FROM u),
+            g AS (
+              SELECT v, sum(ia) AS da, sum(ib) AS db FROM u GROUP BY v
+            ),
+            c AS (
+              SELECT v,
+                     sum(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS ca,
+                     sum(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cb,
+                     lead(v) OVER (ORDER BY v) AS nx
+              FROM g
+            )
+            SELECT round(sum(
+                     abs(ca / CAST((SELECT na FROM tot) AS DOUBLE)
+                         - cb / CAST((SELECT nb FROM tot) AS DOUBLE))
+                     * (coalesce(nx, v) - v)
+                   ), 6) AS w1,
+                   CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+                   CAST((SELECT nb FROM tot) AS BIGINT) AS n_b
+            FROM c
+        """,
+        "wasserstein_by_group": """
+            WITH u AS (
+              SELECT CAST(l_linenumber % 3 AS BIGINT) AS seg,
+                     l_quantity AS v, 1 AS ia, 0 AS ib
+              FROM lineitem
+              WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL
+                AND isfinite(l_quantity)
+              UNION ALL
+              SELECT CAST(l_linenumber % 3 AS BIGINT),
+                     l_quantity, 0, 1
+              FROM lineitem
+              WHERE l_returnflag = 'N' AND l_quantity IS NOT NULL
+                AND isfinite(l_quantity)
+            ),
+            tot AS (
+              SELECT seg, sum(ia) AS na, sum(ib) AS nb FROM u GROUP BY seg
+            ),
+            g AS (
+              SELECT seg, v, sum(ia) AS da, sum(ib) AS db
+              FROM u GROUP BY seg, v
+            ),
+            c AS (
+              SELECT seg, v,
+                     sum(da) OVER (PARTITION BY seg ORDER BY v ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                     sum(db) OVER (PARTITION BY seg ORDER BY v ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                     lead(v) OVER (PARTITION BY seg ORDER BY v) AS nx
+              FROM g
+            )
+            SELECT c.seg AS seg,
+                   round(sum(
+                     abs(ca / CAST(t.na AS DOUBLE)
+                         - cb / CAST(t.nb AS DOUBLE))
+                     * (coalesce(nx, v) - v)
+                   ), 6) AS w1,
+                   CAST(t.na AS BIGINT) AS n_a,
+                   CAST(t.nb AS BIGINT) AS n_b
+            FROM c JOIN tot t USING (seg)
+            GROUP BY c.seg, t.na, t.nb
         """,
         "video_frames": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -440,6 +440,16 @@ def main() -> None:
         ).count(),
         rounds=3,
     )
+    # the magnitude leg of the drift family on the same spine
+    from spark_bestfit_spark.operators.stats import wasserstein_by_group
+
+    bench(
+        "q_wasserstein_by_group",
+        lambda: wasserstein_by_group(
+            ks_a, ks_b, "l_quantity", "l_returnflag"
+        ).count(),
+        rounds=3,
+    )
 
     # copula sampling throughput (baseline: 199 ms/1M local via scipy-C;
     # ours is the distributed mapInPandas path over numpy special fns)

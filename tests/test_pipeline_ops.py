@@ -1770,3 +1770,154 @@ class TestKsByGroup:
         assert len(jobs) == 0
         assert "SinglePartition" not in plan.split("Window")[0]
         assert "hashpartitioning(g" in plan
+
+
+class TestWassersteinDistance:
+    """Exact distributed 1-Wasserstein on the prefix-sum ECDF spine."""
+
+    @staticmethod
+    def _ref(x, y):
+        xs, ys = np.sort(x), np.sort(y)
+        vs = np.unique(np.concatenate([xs, ys]))
+        fa = np.searchsorted(xs, vs, side="right") / len(xs)
+        fb = np.searchsorted(ys, vs, side="right") / len(ys)
+        return float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(vs)))
+
+    def test_identical_zero_and_pure_shift(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_distance_df,
+        )
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(0.0, 1.0, 4000)
+        a = spark.createDataFrame(pd.DataFrame({"v": x}))
+        same = wasserstein_distance_df(a, a, "v").first()
+        assert same["w1"] == 0.0 and same["n_a"] == 4000
+        # W1 of a pure location shift IS the shift — the magnitude
+        # property K-S cannot express
+        b = spark.createDataFrame(pd.DataFrame({"v": x + 2.5}))
+        shifted = wasserstein_distance_df(a, b, "v").first()
+        assert shifted["w1"] == pytest.approx(2.5, abs=1e-9)
+
+    def test_matches_numpy_reference(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_distance_df,
+        )
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        # uneven sizes + heavy ties (integers) exercise the tie
+        # pre-aggregation and the bucket-boundary gap terms
+        x = rng.integers(0, 40, 3000).astype(float)
+        y = rng.gamma(4.0, 3.0, 1700)
+        a = spark.createDataFrame(pd.DataFrame({"v": x}))
+        b = spark.createDataFrame(pd.DataFrame({"v": y}))
+        got = wasserstein_distance_df(a, b, "v", num_buckets=37).first()
+        assert got["w1"] == pytest.approx(
+            round(self._ref(x, y), 6), abs=2e-6
+        )
+        assert (got["n_a"], got["n_b"]) == (3000, 1700)
+
+    def test_edge_cases(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_distance_df,
+        )
+        import pandas as pd
+
+        a = spark.createDataFrame(pd.DataFrame({"v": [1.0, 1.0, 1.0]}))
+        # single shared distinct value
+        r = wasserstein_distance_df(a, a, "v").first()
+        assert r["w1"] == 0.0
+        # one side empty -> 0 sentinel with counts
+        empty = a.filter("v > 99")
+        r2 = wasserstein_distance_df(a, empty, "v").first()
+        assert (r2["w1"], r2["n_a"], r2["n_b"]) == (0.0, 3, 0)
+        # NaN/inf rows are cleaned by valid_column
+        messy = spark.createDataFrame(
+            pd.DataFrame({"v": [0.0, 1.0, float("nan"), float("inf")]})
+        )
+        r3 = wasserstein_distance_df(messy, a, "v").first()
+        assert r3["n_a"] == 2
+
+    def test_lineitem_segments(self, lineitem, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_distance_df,
+        )
+
+        la = lineitem.filter("l_returnflag = 'A'")
+        ln = lineitem.filter("l_returnflag = 'N'")
+        got = wasserstein_distance_df(la, ln, "l_quantity").first()
+        xa = np.array(
+            [r[0] for r in la.select("l_quantity").collect()], dtype=float
+        )
+        xn = np.array(
+            [r[0] for r in ln.select("l_quantity").collect()], dtype=float
+        )
+        assert got["w1"] == pytest.approx(
+            round(self._ref(xa, xn), 6), abs=2e-6
+        )
+
+
+class TestWassersteinByGroup:
+    def test_matches_single_pair_per_group(self, spark):
+        """Per-group W1 must equal the single-pair operator applied to
+        each group's filtered relations."""
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_by_group,
+            wasserstein_distance_df,
+        )
+        import pandas as pd
+
+        rng = np.random.default_rng(23)
+        def mk(shift):
+            frames = []
+            for gi, g in enumerate("xyz"):
+                frames.append(pd.DataFrame({
+                    "g": g,
+                    "v": rng.normal(gi * 5.0 + shift * (gi + 1), 1.0, 400),
+                }))
+            return spark.createDataFrame(pd.concat(frames))
+
+        a, b = mk(0.0), mk(0.7)
+        got = {
+            r["g"]: r
+            for r in wasserstein_by_group(a, b, "v", "g").collect()
+        }
+        assert set(got) == {"x", "y", "z"}
+        for gi, g in enumerate("xyz"):
+            single = wasserstein_distance_df(
+                a.filter(F.col("g") == g), b.filter(F.col("g") == g), "v"
+            ).first()
+            assert got[g]["w1"] == pytest.approx(single["w1"], abs=2e-6), g
+            assert (got[g]["n_a"], got[g]["n_b"]) == (400, 400)
+            # larger per-group shift -> larger per-group W1
+        assert got["x"]["w1"] < got["y"]["w1"] < got["z"]["w1"]
+
+    def test_one_sided_group_zero_and_no_driver_jobs(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_by_group,
+        )
+        import pandas as pd
+
+        a = spark.createDataFrame(
+            pd.DataFrame({"g": ["p"] * 10 + ["q"] * 10,
+                          "v": list(range(20))})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"g": ["p"] * 10, "v": list(range(10))})
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("w1-group-probe", "plan build must be free")
+        try:
+            out = wasserstein_by_group(a, b, "v", "g")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            sc.setJobGroup("default", "")
+        assert len(
+            sc.statusTracker().getJobIdsForGroup("w1-group-probe")
+        ) == 0
+        assert "SinglePartition" not in plan.split("Window")[0]
+        rows = {r["g"]: r for r in out.collect()}
+        assert rows["p"]["w1"] == 0.0  # identical samples
+        assert (rows["q"]["w1"], rows["q"]["n_b"]) == (0.0, 0)
