@@ -365,3 +365,93 @@ class TestChunkingProperties:
                 for r in got.get(i, [])
             )
             assert act == exp, (i, n, chunk, overlap)
+
+
+class TestWassersteinProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        xs=st.lists(
+            st.integers(-50, 50), min_size=1, max_size=60
+        ),
+        ys=st.lists(
+            st.integers(-50, 50), min_size=1, max_size=60
+        ),
+        buckets=st.integers(1, 64),
+    )
+    def test_w1_matches_numpy_reference(self, spark, xs, ys, buckets):
+        """wasserstein_distance_df vs the direct sorted-ECDF integral
+        for arbitrary integer samples (maximal ties, arbitrary bucket
+        counts — bucket boundaries must never change the answer)."""
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_distance_df,
+        )
+
+        x = np.asarray(xs, dtype=float)
+        y = np.asarray(ys, dtype=float)
+        a = spark.createDataFrame(pd.DataFrame({"v": x}))
+        b = spark.createDataFrame(pd.DataFrame({"v": y}))
+        got = wasserstein_distance_df(
+            a, b, "v", num_buckets=buckets
+        ).first()
+
+        vs = np.unique(np.concatenate([np.sort(x), np.sort(y)]))
+        fa = np.searchsorted(np.sort(x), vs, side="right") / len(x)
+        fb = np.searchsorted(np.sort(y), vs, side="right") / len(y)
+        ref = (
+            float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(vs)))
+            if len(vs) > 1
+            else 0.0
+        )
+        assert got["w1"] == pytest.approx(round(ref, 6), abs=2e-6)
+        assert (got["n_a"], got["n_b"]) == (len(x), len(y))
+
+
+class TestTokenBudgetProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(1, 30),       # token count
+                st.integers(0, 5),        # quality bucket (ties!)
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        budget=st.integers(1, 300),
+    )
+    def test_budget_selection_matches_greedy_fold(
+        self, spark, docs, budget
+    ):
+        """select_within_token_budget vs a direct greedy fold over the
+        (quality DESC, id ASC) ranking for arbitrary corpora, tie-heavy
+        qualities, and arbitrary budgets — the cut must be the exact
+        maximal prefix."""
+        from spark_bestfit_spark.operators.curation import (
+            select_within_token_budget,
+        )
+
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(n)), float(q))
+            for i, (n, q) in enumerate(docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in select_within_token_budget(
+                df, max_tokens=budget, quality_col="q"
+            ).collect()
+        )
+        ranked = sorted(
+            ((i, n, q) for i, (n, q) in enumerate(docs)),
+            key=lambda t: (-t[2], t[0]),
+        )
+        exp, cum = [], 0
+        for i, n, _ in ranked:
+            if cum + n > budget:
+                break
+            cum += n
+            exp.append((i, n, cum))
+        assert got == sorted(exp), (docs, budget)
