@@ -77,7 +77,7 @@ def __getattr__(name):
         from spark_bestfit_spark import progress
 
         return getattr(progress, name)
-    if name in ("DriftMonitor", "ks_drift_score"):
+    if name in ("DriftMonitor", "ks_drift_score", "w1_drift_score"):
         from spark_bestfit_spark import streaming
 
         return getattr(streaming, name)

@@ -7,7 +7,11 @@ is repeated batch fits. This package provides the Spark-native version:
 model, plus windowed streaming statistics.
 """
 
-from spark_bestfit_spark.streaming.drift import DriftMonitor, ks_drift_score
+from spark_bestfit_spark.streaming.drift import (
+    DriftMonitor,
+    ks_drift_score,
+    w1_drift_score,
+)
 from spark_bestfit_spark.streaming.stateful import streaming_moments
 from spark_bestfit_spark.streaming.windows import (
     session_stats,
@@ -15,6 +19,6 @@ from spark_bestfit_spark.streaming.windows import (
 )
 
 __all__ = [
-    "DriftMonitor", "ks_drift_score", "streaming_moments",
+    "DriftMonitor", "ks_drift_score", "w1_drift_score", "streaming_moments",
     "windowed_stats", "session_stats",
 ]

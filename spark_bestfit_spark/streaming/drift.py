@@ -22,7 +22,12 @@ import numpy as np
 
 from spark_bestfit_spark.functions import metrics as M
 
-__all__ = ["ks_drift_score", "DriftRecord", "DriftMonitor"]
+__all__ = [
+    "ks_drift_score",
+    "w1_drift_score",
+    "DriftRecord",
+    "DriftMonitor",
+]
 
 
 def ks_drift_score(result, batch_values: np.ndarray) -> tuple:
@@ -35,6 +40,35 @@ def ks_drift_score(result, batch_values: np.ndarray) -> tuple:
     return M.compute_ks(dist, tuple(result.parameters), data)
 
 
+def w1_drift_score(result, batch_values: np.ndarray) -> float:
+    """1-Wasserstein distance of a batch against a fitted model — the
+    magnitude leg of drift scoring (K-S reports the largest CDF gap;
+    W1 reports HOW FAR the batch moved in the column's own units, so
+    thresholds are interpretable: "alert when the distribution shifts
+    by more than 2 dollars").
+
+    Quantile-form estimator: ``W1 = integral_0^1 |Q_emp(u) -
+    Q_model(u)| du ~= mean_i |x_(i) - ppf((i - 0.5) / n)|`` — one
+    model-PPF evaluation over the sorted batch, no quadrature. NaN
+    when fewer than 2 finite values."""
+    data = np.asarray(batch_values, dtype=np.float64)
+    data = np.sort(data[np.isfinite(data)])
+    n = data.size
+    if n < 2:
+        return float("nan")
+    try:
+        dist = result._dist()
+        q = np.asarray(
+            dist.ppf((np.arange(1, n + 1) - 0.5) / n, *result.parameters),
+            dtype=np.float64,
+        )
+        diffs = np.abs(data - q)
+        diffs = diffs[np.isfinite(diffs)]
+        return float(np.mean(diffs)) if diffs.size else float("inf")
+    except Exception:  # noqa: BLE001
+        return float("inf")
+
+
 @dataclass
 class DriftRecord:
     batch_id: int
@@ -43,6 +77,7 @@ class DriftRecord:
     pvalue: float
     drifted: bool
     timestamp: float = field(default_factory=time.time)
+    w1: float = float("nan")
 
 
 class DriftMonitor:
@@ -74,11 +109,13 @@ class DriftMonitor:
         max_batch_sample: int = 10_000,
         on_drift=None,
         max_history: int = 1000,
+        w1_threshold: float | None = None,
     ):
         self.reference = reference_result
         self.column = column
         self.ks_threshold = ks_threshold
         self.min_pvalue = min_pvalue
+        self.w1_threshold = w1_threshold
         self.max_batch_sample = max_batch_sample
         self.on_drift = on_drift
         self.max_history = max_history
@@ -99,6 +136,7 @@ class DriftMonitor:
             clean = clean.sample(fraction=frac, seed=42)
         values = clean.toPandas()[self.column].to_numpy(dtype=np.float64)
         ks, p = ks_drift_score(self.reference, values)
+        w1 = w1_drift_score(self.reference, values)
         drifted = False
         if np.isfinite(ks) and ks > self.ks_threshold:
             drifted = True
@@ -108,12 +146,19 @@ class DriftMonitor:
             and p < self.min_pvalue
         ):
             drifted = True
+        if (
+            self.w1_threshold is not None
+            and np.isfinite(w1)
+            and w1 > self.w1_threshold
+        ):
+            drifted = True
         record = DriftRecord(
             batch_id=int(batch_id),
             n_rows=int(n),
             ks_statistic=float(ks),
             pvalue=float(p),
             drifted=drifted,
+            w1=float(w1),
         )
         self.history.append(record)
         if len(self.history) > self.max_history:
@@ -138,9 +183,12 @@ class DriftMonitor:
             r.ks_statistic for r in self.history
             if np.isfinite(r.ks_statistic)
         ]
+        w1_vals = [r.w1 for r in self.history if np.isfinite(r.w1)]
         return {
             "n_batches": len(self.history),
             "n_drifted": self.drift_count,
             "ks_mean": float(np.mean(ks_vals)) if ks_vals else None,
             "ks_max": float(np.max(ks_vals)) if ks_vals else None,
+            "w1_mean": float(np.mean(w1_vals)) if w1_vals else None,
+            "w1_max": float(np.max(w1_vals)) if w1_vals else None,
         }

@@ -550,6 +550,57 @@ class TestAnsiModeSafety:
         assert before == after
         assert all(0.0 <= v < 1.0 for v in before[0].values())
 
+    def test_round7_operators_survive_ansi(self, spark):
+        """Boilerplate strip, token-budget selection, and Wasserstein
+        must produce identical outputs under ansi=true (no overflowing
+        arithmetic, no invalid casts) — extreme ids included."""
+        import pandas as pd
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            select_within_token_budget,
+            strip_boilerplate_lines,
+        )
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_distance_df,
+        )
+
+        ids = [0, 1, 2, 2**62, 2**63 - 1]
+        docs = spark.createDataFrame(
+            [(i, f"banner line\nbody {k} unique") for k, i in enumerate(ids)],
+            "doc_id long, text string",
+        )
+        vals = spark.createDataFrame(
+            pd.DataFrame({"v": [1.0, 2.0, 5.0, 5.0, 9.0]})
+        )
+
+        def run():
+            strip = sorted(
+                (r["doc_id"], r["text"], r["n_dropped"])
+                for r in strip_boilerplate_lines(
+                    docs, max_doc_frac=0.5
+                ).collect()
+            )
+            budget = sorted(
+                (r["doc_id"], r["cum_tokens"])
+                for r in select_within_token_budget(
+                    docs, max_tokens=9
+                ).collect()
+            )
+            w1 = wasserstein_distance_df(
+                vals, vals.withColumn("v", F.col("v") + 1.0), "v"
+            ).first()["w1"]
+            return strip, budget, w1
+
+        before = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            after = run()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+        assert before == after
+        assert before[2] == pytest.approx(1.0)  # pure shift identity
+
 
 class TestChunkDocuments:
     """chunk_documents: fixed-token windows with overlap, checked

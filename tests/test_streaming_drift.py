@@ -140,3 +140,43 @@ class TestStructuredStreamingEndToEnd:
         assert len(monitor.history) == 3
         assert monitor.drift_count == 1
         assert any(r.drifted for r in monitor.history)
+
+
+class TestW1DriftScore:
+    def test_shift_recovered_in_column_units(self, reference_model):
+        """W1 against the model reports the shift magnitude in the
+        column's own units — a +12 shift scores ~12, while the
+        same-distribution batch scores near 0."""
+        from spark_bestfit_spark.streaming import w1_drift_score
+
+        rng = np.random.default_rng(11)
+        near = w1_drift_score(
+            reference_model, rng.normal(50, 10, 8000)
+        )
+        shifted = w1_drift_score(
+            reference_model, rng.normal(62, 10, 8000)
+        )
+        assert near < 1.0
+        assert shifted == pytest.approx(12.0, abs=1.5)
+        assert np.isnan(w1_drift_score(reference_model, np.array([1.0])))
+
+    def test_monitor_w1_threshold_and_summary(self, spark, reference_model):
+        monitor = DriftMonitor(
+            reference_model, column="value",
+            ks_threshold=10.0,        # K-S leg disabled
+            w1_threshold=5.0,         # drift = "moved more than 5 units"
+        )
+        rng = np.random.default_rng(12)
+        ok = spark.createDataFrame(
+            pd.DataFrame({"value": rng.normal(50, 10, 3000)})
+        )
+        shifted = spark.createDataFrame(
+            pd.DataFrame({"value": rng.normal(58, 10, 3000)})
+        )
+        monitor(ok, 0)
+        monitor(shifted, 1)
+        assert [r.drifted for r in monitor.history] == [False, True]
+        assert monitor.history[1].w1 == pytest.approx(8.0, abs=1.5)
+        s = monitor.summary()
+        assert s["w1_max"] == pytest.approx(8.0, abs=1.5)
+        assert s["w1_mean"] is not None
