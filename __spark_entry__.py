@@ -1844,6 +1844,27 @@ def _q_video_frames(spark, sf_dir):
     )
 
 
+def _q_events_rolling(spark, sf_dir):
+    """Per-entity rolling stats + trailing z-score over the event
+    stream (one entity-hash window, row-bounded frames) — the oracle
+    replays the exact frames with a SQL WINDOW clause."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 50
+    )
+    out = rolling_stats(
+        ev, "value", "ts", "user_id", window=5, min_periods=2,
+        with_zscore=True, tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "rolling_count", "rolling_mean",
+        "rolling_stddev", "rolling_min", "rolling_max", "rolling_z",
+    )
+
+
 def _q_wasserstein_drift(spark, sf_dir):
     """Exact 1-Wasserstein distance between two lineitem segments —
     the magnitude-aware drift metric (K-S's integral complement), on
@@ -2456,9 +2477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-7 rotation. The seven NEW queries
+        # ---- head 50: round-7 rotation. The eight NEW queries
         # (audio_features / video_frames — REAL stdlib wave/AVI
         # decodes, wasserstein_drift + wasserstein_by_group,
+        # events_rolling,
         # contamination_overlap, boilerplate_strip,
         # token_budget_selection) and the six queries whose OPERATOR
         # CODE changed this round (in-plan idf corpus count, prefix
@@ -2473,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         "wasserstein_drift": _q_wasserstein_drift,
         "wasserstein_by_group": _q_wasserstein_by_group,
+        "events_rolling": _q_events_rolling,
         "contamination_overlap": _q_contamination_overlap,
         "boilerplate_strip": _q_boilerplate_strip,
         "token_budget_selection": _q_token_budget,
@@ -2518,11 +2541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "doc_token_totals": _q_doc_token_totals,
         "doc_lang_counts": _q_doc_lang_counts,
-        "doc_quality": _q_doc_quality,
         # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "doc_quality": _q_doc_quality,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
         "events_sessionized": _q_events_sessionized,
@@ -4033,6 +4056,31 @@ def oracle_sql() -> dict[str, str]:
                      6
                    ) AS duration_sec
             FROM documents WHERE doc_id < 120
+        """,
+        "events_rolling": """
+            WITH w AS (
+              SELECT event_id, user_id, value,
+                     count(value) OVER win AS c,
+                     avg(value) OVER win AS m,
+                     stddev_samp(value) OVER win AS s,
+                     min(value) OVER win AS mn,
+                     max(value) OVER win AS mx
+              FROM events WHERE user_id < 50
+              WINDOW win AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+              )
+            )
+            SELECT event_id, user_id,
+                   CAST(c AS BIGINT) AS rolling_count,
+                   CASE WHEN c >= 2 THEN round(m, 6) END AS rolling_mean,
+                   CASE WHEN c >= 2 THEN round(s, 6) END
+                     AS rolling_stddev,
+                   CASE WHEN c >= 2 THEN mn END AS rolling_min,
+                   CASE WHEN c >= 2 THEN mx END AS rolling_max,
+                   CASE WHEN c >= 2 AND s > 0
+                        THEN round((value - m) / s, 6) END AS rolling_z
+            FROM w
         """,
         "wasserstein_drift": """
             WITH u AS (

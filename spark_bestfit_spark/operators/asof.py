@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "rolling_stats"]
 
 
 def range_join(
@@ -140,4 +140,78 @@ def asof_join(
             out = out.withColumn(
                 c, F.when(stale, F.lit(None)).otherwise(F.col(c))
             )
+    return out
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_col: str,
+    window: int = 10,
+    min_periods: int = 1,
+    with_zscore: bool = False,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity rolling statistics over an ordered event stream — the
+    moving-window leg of the time-series family (asof_join = point-in-
+    time attach, range_join = interval attach, this = trailing-window
+    summarize): for each row, mean/stddev/min/max/count over the last
+    ``window`` rows of ITS entity, ordered by ``order_col``.
+
+    One hash exchange on the entity key, one window sort — exactly the
+    shuffle any per-entity operation pays; frames are row-bounded
+    (``rowsBetween(-(window-1), 0)``) so state per entity is O(window)
+    and skew is bounded by the hottest entity's row count (pre-salt or
+    pre-aggregate upstream for pathological keys). Ties in
+    ``order_col`` are broken by ``tiebreak_col`` when given (pass a
+    unique id for a fully deterministic, engine-independent frame —
+    the SQL-replicable configuration), else by the value column.
+
+    ``with_zscore`` appends the deviation of the CURRENT row from its
+    trailing window in stddev units (the streaming-free anomaly
+    score); null when the window stddev is 0 or not yet at
+    ``min_periods`` rows.
+
+    Output: input columns + rolling_count/mean/stddev/min/max
+    (+rolling_z). Rows earlier than ``min_periods`` report null
+    mean/stddev/min/max (count still real)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not 1 <= min_periods <= window:
+        raise ValueError("min_periods must be in [1, window]")
+    tb = tiebreak_col if tiebreak_col is not None else value_col
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(order_col), F.col(tb))
+        .rowsBetween(-(window - 1), 0)
+    )
+    cnt = F.count(value_col).over(w)
+    ready = cnt >= F.lit(int(min_periods))
+    out = (
+        df.withColumn("rolling_count", cnt.cast("long"))
+        .withColumn(
+            "rolling_mean",
+            F.when(ready, F.round(F.avg(value_col).over(w), 6)),
+        )
+        .withColumn(
+            "rolling_stddev",
+            F.when(ready, F.round(F.stddev(value_col).over(w), 6)),
+        )
+        .withColumn("rolling_min", F.when(ready, F.min(value_col).over(w)))
+        .withColumn("rolling_max", F.when(ready, F.max(value_col).over(w)))
+    )
+    if with_zscore:
+        # z from the RAW window aggregates (not the rounded display
+        # columns), so rounding never propagates into the score; same
+        # window spec, so Catalyst folds these into the one Window node
+        raw_mean = F.avg(value_col).over(w)
+        raw_std = F.stddev(value_col).over(w)
+        out = out.withColumn(
+            "rolling_z",
+            F.when(
+                ready & (raw_std > 0),
+                F.round((F.col(value_col) - raw_mean) / raw_std, 6),
+            ),
+        )
     return out

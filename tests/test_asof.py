@@ -4,6 +4,7 @@ suite)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -147,3 +148,74 @@ class TestAsofJoin:
             )
         ]
         assert mism.empty, mism
+
+
+class TestRollingStats:
+    def test_matches_pandas_rolling(self, spark):
+        """rolling_stats vs pandas groupby().rolling() for mean/std/
+        min/max/count with min_periods, across multiple entities."""
+        rng = np.random.default_rng(29)
+        pdf = pd.DataFrame({
+            "event_id": np.arange(300),
+            "user_id": rng.integers(0, 5, 300),
+            "ts": np.arange(300) % 97,  # repeated order values -> ties
+            "value": rng.normal(10.0, 4.0, 300).round(3),
+        })
+        df = spark.createDataFrame(pdf)
+        from spark_bestfit_spark.operators.asof import rolling_stats
+
+        got = {
+            r["event_id"]: r
+            for r in rolling_stats(
+                df, "value", "ts", "user_id", window=7, min_periods=3,
+                with_zscore=True, tiebreak_col="event_id",
+            ).collect()
+        }
+        assert len(got) == 300
+        sdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        for uid, grp in sdf.groupby("user_id"):
+            roll = grp["value"].rolling(window=7, min_periods=3)
+            exp_mean = roll.mean()
+            exp_std = roll.std()
+            exp_min = roll.min()
+            exp_max = roll.max()
+            cnt = grp["value"].rolling(window=7, min_periods=1).count()
+            for i, eid in enumerate(grp["event_id"]):
+                r = got[eid]
+                assert r["rolling_count"] == int(cnt.iloc[i]), eid
+                if np.isnan(exp_mean.iloc[i]):
+                    assert r["rolling_mean"] is None
+                else:
+                    assert r["rolling_mean"] == pytest.approx(
+                        round(exp_mean.iloc[i], 6), abs=1e-6
+                    ), eid
+                    assert r["rolling_min"] == exp_min.iloc[i]
+                    assert r["rolling_max"] == exp_max.iloc[i]
+                    if exp_std.iloc[i] > 0:
+                        assert r["rolling_stddev"] == pytest.approx(
+                            round(exp_std.iloc[i], 6), abs=1e-6
+                        )
+                        assert r["rolling_z"] == pytest.approx(
+                            round(
+                                (grp["value"].iloc[i] - exp_mean.iloc[i])
+                                / exp_std.iloc[i],
+                                6,
+                            ),
+                            abs=2e-6,
+                        )
+
+    def test_validation_and_plan(self, spark):
+        from spark_bestfit_spark.operators.asof import rolling_stats
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"u": [1], "t": [1], "v": [1.0]})
+        )
+        with pytest.raises(ValueError, match="window"):
+            rolling_stats(df, "v", "t", "u", window=0)
+        with pytest.raises(ValueError, match="min_periods"):
+            rolling_stats(df, "v", "t", "u", window=3, min_periods=4)
+        out = rolling_stats(df, "v", "t", "u", window=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # entity-hash window, never SinglePartition
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(u" in plan
