@@ -1,0 +1,323 @@
+"""Event-stream analytics operators: funnels, cohort retention,
+transition matrices, and regular-grid resampling.
+
+These extend the time-series family in :mod:`.asof` (as-of join = point-
+in-time attach, range join = interval attach, rolling_stats = trailing-
+window summarize) with the classic product-analytics shapes every event
+warehouse query: ordered-step conversion funnels, cohort retention
+matrices, event-to-event transition probabilities, and per-entity
+regular time grids with gap filling. No reference-repo analog (the
+reference is a fitting library); these are first-class pipeline extras.
+
+Scale design (100 TB): every operator pays exactly ONE entity-hash
+exchange for its per-entity pass — window frames are either whole-
+partition aggregates or row-bounded, and every follow-up aggregation
+either rides the same hash partitioning (groupBy on the entity key
+after a Window.partitionBy on it) or lands on a small key space
+(event-type pairs, cohort x offset, entity x bucket bounds). Nothing
+is collected to the driver; scalar corpus totals ride the plan as
+broadcast 1-row relations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = [
+    "funnel",
+    "cohort_retention",
+    "event_transitions",
+    "resample_events",
+]
+
+
+def _floor_div(col_name: str, n: int):
+    """Exact integer floor division of a numeric column by ``n``.
+
+    ``F.floor(col / n)`` routes through DOUBLE division, which silently
+    loses exactness above 2^53 — epoch-nanosecond timestamps (~1.7e18)
+    are well past that, so period ids near bucket boundaries would
+    flip. ``a - pmod(a, n)`` is an exact multiple of ``n`` and ``div``
+    is integer division, so this is floor division for every sign, in
+    pure BIGINT arithmetic."""
+    a = f"CAST(`{col_name}` AS BIGINT)"
+    return F.expr(f"(({a} - pmod({a}, {int(n)})) div {int(n)})")
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: int | None = None,
+) -> DataFrame:
+    """Ordered-step conversion funnel: for each user, the timestamp at
+    which each step of ``steps`` was first reached, under the greedy
+    earliest-first semantics every SQL funnel uses —
+
+    * ``t1`` = the user's earliest ``steps[0]`` event;
+    * ``t(i)`` = the earliest ``steps[i-1]`` event STRICTLY after
+      ``t(i-1)`` (strict ``>`` so a single event can never satisfy two
+      consecutive steps, and repeated step names need distinct events);
+    * with ``window`` set (same units as ``ts_col``), steps 2..k must
+      also land within ``window`` of ``t1`` — the conversion deadline
+      is measured from funnel ENTRY, the ClickHouse ``windowFunnel``
+      convention.
+
+    Greedy-from-first-entry is deliberate: it is deterministic, SQL-
+    replicable (each step is a chained conditional ``min`` over the
+    user's partition), and the industry-standard reading; it does not
+    search later entries that might complete a deeper funnel inside the
+    window.
+
+    Execution shape: one hash exchange on ``user_col``, then k
+    consecutive whole-partition Window aggregates (each step's
+    conditional min references the previous step's materialized
+    column), then a groupBy on the SAME key — Spark sees the
+    partitioning is already satisfied, so no second exchange. Per-user
+    state is O(1) per step; skew is bounded by the hottest user's row
+    count.
+
+    Returns one row per user that has at least one event of any kind in
+    ``df``: ``(user_col, funnel_level, step1_ts .. stepK_ts)`` where
+    ``funnel_level`` counts the completed prefix (0 = never entered).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if window is not None and window <= 0:
+        raise ValueError("window must be positive")
+    w = Window.partitionBy(user_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = df.select(user_col, ts_col, event_col)
+    for i, step in enumerate(steps):
+        cond = F.col(event_col) == F.lit(step)
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(f"_t{i - 1}"))
+            if window is not None:
+                # elapsed-time form, not t0 + window: the addition can
+                # overflow BIGINT at extreme timestamps (ANSI throws)
+                cond = cond & (
+                    F.col(ts_col) - F.col("_t0") <= F.lit(window)
+                )
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+    # _t(i) is a per-user constant; max() just collapses the partition.
+    agg = cur.groupBy(user_col).agg(
+        *[
+            F.max(f"_t{i}").alias(f"step{i + 1}_ts")
+            for i in range(len(steps))
+        ]
+    )
+    level = sum(
+        F.when(F.col(f"step{i + 1}_ts").isNotNull(), 1).otherwise(0)
+        for i in range(len(steps))
+    )
+    return agg.select(
+        user_col,
+        level.cast("int").alias("funnel_level"),
+        *[f"step{i + 1}_ts" for i in range(len(steps))],
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: int = 7 * 24 * 3600 * 10**9,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event (``floor(min(ts) / period)``), and each later
+    period's activity is counted as distinct users from that cohort
+    active ``offset`` periods after entry.
+
+    ``ts_col`` must be numeric (the engine's events convention is
+    epoch-nanos BIGINT); ``period`` is in the same units (default one
+    week of nanoseconds).
+
+    Execution shape: one hash exchange on ``user_col`` for the whole-
+    partition first-event min, one distinct-count aggregation on the
+    small ``(cohort, offset)`` key space, and a broadcast join of the
+    per-cohort sizes (one row per cohort — the ``offset = 0`` slice,
+    which every cohort member occupies by construction). No driver
+    action anywhere.
+
+    Returns ``(cohort_period, period_offset, n_active, cohort_size,
+    retention)`` with retention rounded to 6 decimals.
+    """
+    if period <= 0:
+        raise ValueError("period must be positive")
+    pid = _floor_div(ts_col, period)
+    w = Window.partitionBy(user_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = df.select(user_col, pid.alias("_p")).withColumn(
+        "_cohort", F.min("_p").over(w)
+    )
+    active = (
+        base.groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.countDistinct(user_col).cast("long").alias("n_active"))
+    )
+    if max_offset is not None:
+        active = active.filter(F.col("period_offset") <= max_offset)
+    sizes = active.filter(F.col("period_offset") == 0).select(
+        "cohort_period", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_period")
+        .withColumn(
+            "retention",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6),
+        )
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            "retention",
+        )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    tiebreak_col: str | None = None,
+    with_prob: bool = True,
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    of the same user: for every adjacent pair in each user's time-
+    ordered stream, count ``(prev_event, event)`` and (optionally) the
+    row-normalized transition probability.
+
+    Ties in ``ts_col`` are broken by ``tiebreak_col`` when given (pass
+    a unique id for a deterministic, engine-independent ordering — the
+    SQL-replicable configuration), else by the event column itself.
+
+    Execution shape: one hash exchange on ``user_col`` for the lag
+    window, then a combiner-friendly groupBy on the tiny
+    ``(prev_event, event)`` key space; the probability normalization is
+    a window over ``prev_event`` on that already-aggregated relation
+    (at most |event types|^2 rows).
+
+    Returns ``(prev_event, event, n_transitions[, p_transition])``.
+    """
+    tb = tiebreak_col if tiebreak_col is not None else event_col
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tb))
+    pairs = (
+        df.select(user_col, ts_col, event_col, tb)
+        .withColumn("prev_event", F.lag(event_col).over(w))
+        .filter(F.col("prev_event").isNotNull())
+    )
+    out = pairs.groupBy("prev_event", F.col(event_col).alias("event")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    if with_prob:
+        wn = Window.partitionBy("prev_event")
+        out = out.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(wn),
+                6,
+            ),
+        )
+    return out
+
+
+def resample_events(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    bucket: int = 24 * 3600 * 10**9,
+    fill: str | None = "ffill",
+    max_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Per-entity regular time grid: bucket each entity's events into
+    fixed ``bucket``-sized intervals (``floor(ts / bucket)``), emit one
+    row for EVERY bucket between the entity's first and last active
+    bucket (gaps included), and optionally forward-fill the value
+    across the gaps — the resample + reindex + ffill idiom of every
+    time-series store, as one lazy plan.
+
+    ``ts_col`` must be numeric (epoch-nanos by convention); ``bucket``
+    is in the same units (default one day of nanoseconds). ``fill`` is
+    ``"ffill"`` (carry the last observed per-bucket mean forward),
+    ``"zero"`` (gaps read 0.0), or ``None`` (gaps stay null).
+
+    Execution shape: one combiner-friendly groupBy on
+    ``(entity, bucket_id)``, a per-entity bounds aggregation over that
+    already-small relation, an in-plan ``sequence``/``explode`` spine
+    (guarded: any entity spanning more than ``max_buckets`` buckets
+    raises in-plan via ``raise_error`` rather than exploding the
+    executor), a left join of the spine back to the bucket aggregates,
+    and — for ffill — one entity-hash window with an unbounded-
+    preceding frame (``last`` over a sorted running frame is O(1) per
+    row in whole-stage codegen). No driver action, no collect.
+
+    Returns ``(entity_col, bucket_id, n_events, bucket_value)`` where
+    ``bucket_value`` is the per-bucket mean of ``value_col`` (rounded
+    to 6 decimals) after gap filling, plus ``is_gap``.
+    """
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    if fill not in (None, "ffill", "zero"):
+        raise ValueError("fill must be None, 'ffill', or 'zero'")
+    bid = _floor_div(ts_col, bucket)
+    b = (
+        df.select(entity_col, bid.alias("bucket_id"), value_col)
+        .groupBy(entity_col, "bucket_id")
+        .agg(
+            F.count(value_col).cast("long").alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("_v"),
+        )
+    )
+    bounds = b.groupBy(entity_col).agg(
+        F.min("bucket_id").alias("_mn"), F.max("bucket_id").alias("_mx")
+    )
+    span_guard = F.when(
+        F.col("_mx") - F.col("_mn") >= F.lit(int(max_buckets)),
+        F.raise_error(
+            F.format_string(
+                "resample_events: entity spans more than %d buckets — "
+                "raise max_buckets or coarsen the bucket size",
+                F.lit(int(max_buckets)),
+            )
+        ),
+    ).otherwise(F.col("_mx"))
+    spine = bounds.select(
+        entity_col,
+        F.explode(F.sequence(F.col("_mn"), span_guard)).alias("bucket_id"),
+    )
+    out = (
+        spine.join(b, [entity_col, "bucket_id"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("is_gap", F.col("n_events") == 0)
+    )
+    if fill == "ffill":
+        wf = (
+            Window.partitionBy(entity_col)
+            .orderBy("bucket_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        val = F.last("_v", ignorenulls=True).over(wf)
+    elif fill == "zero":
+        val = F.coalesce("_v", F.lit(0.0))
+    else:
+        val = F.col("_v")
+    return out.select(
+        entity_col,
+        "bucket_id",
+        "n_events",
+        val.alias("bucket_value"),
+        "is_gap",
+    )

@@ -1,0 +1,403 @@
+"""Event-analytics operators (funnel / cohort / transitions / resample)
+and the Misra-Gries heavy-hitters pass, cross-checked against pandas
+and exact recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql.functions import col as F_col
+
+from spark_bestfit_spark.operators.events import (
+    cohort_retention,
+    event_transitions,
+    funnel,
+    resample_events,
+)
+from spark_bestfit_spark.operators.frequency import heavy_hitters
+
+
+def _events_pdf(n=2000, n_users=40, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, n_users, n),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+            "event_type": rng.choice(
+                ["view", "click", "signup", "purchase", "error"], n
+            ),
+            "value": rng.normal(5.0, 2.0, n).round(3),
+        }
+    )
+
+
+class TestFunnel:
+    def test_hand_case_with_window(self, spark):
+        rows = [
+            # u1 completes view -> click -> purchase inside the window
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: purchase BEFORE click (order violated at level 3)
+            (2, 10, "view"), (2, 30, "click"), (2, 20, "purchase"),
+            # u3: click only after the window deadline (entry at 10)
+            (3, 10, "view"), (3, 200, "click"),
+            # u4: never enters
+            (4, 5, "click"), (4, 6, "purchase"),
+            # u5: same-ts click cannot satisfy the next step (strict >)
+            (5, 10, "view"), (5, 10, "click"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {
+            r["user_id"]: r
+            for r in funnel(
+                df, ["view", "click", "purchase"], window=50
+            ).collect()
+        }
+        assert got[1]["funnel_level"] == 3
+        assert (got[1]["step1_ts"], got[1]["step2_ts"], got[1]["step3_ts"]) \
+            == (10, 20, 30)
+        assert got[2]["funnel_level"] == 2  # purchase precedes click
+        assert got[3]["funnel_level"] == 1  # click outside window
+        assert got[4]["funnel_level"] == 0
+        assert got[4]["step1_ts"] is None
+        assert got[5]["funnel_level"] == 1  # same-ts: strict progression
+
+    def test_matches_pandas_greedy(self, spark):
+        pdf = _events_pdf()
+        df = spark.createDataFrame(pdf)
+        steps, window = ["view", "click", "purchase"], 3000
+        got = {
+            r["user_id"]: r
+            for r in funnel(df, steps, window=window).collect()
+        }
+        for uid, grp in pdf.sort_values(["ts", "event_id"]).groupby(
+            "user_id"
+        ):
+            t_prev, t0, exp = None, None, []
+            for step in steps:
+                sel = grp[grp["event_type"] == step]
+                if t_prev is not None:
+                    sel = sel[sel["ts"] > t_prev]
+                    sel = sel[sel["ts"] <= t0 + window]
+                t = int(sel["ts"].min()) if len(sel) else None
+                exp.append(t)
+                if t is None:
+                    break
+                t_prev = t
+                if t0 is None:
+                    t0 = t
+            r = got[uid]
+            lvl = len([t for t in exp if t is not None])
+            assert r["funnel_level"] == lvl, (uid, exp)
+            for i, t in enumerate(exp):
+                assert r[f"step{i + 1}_ts"] == t, (uid, i)
+
+    def test_validation_and_plan(self, spark):
+        df = spark.createDataFrame(
+            _events_pdf(200)[["user_id", "ts", "event_type"]]
+        )
+        with pytest.raises(ValueError, match="steps"):
+            funnel(df, ["view"])
+        with pytest.raises(ValueError, match="window"):
+            funnel(df, ["view", "click"], window=0)
+        plan = (
+            funnel(df, ["view", "click", "purchase"], window=100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one entity-hash exchange feeds the window chain AND the final
+        # groupBy (partitioning already satisfied — no re-exchange)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SinglePartition" not in plan
+
+
+class TestCohortRetention:
+    def test_matches_pandas(self, spark):
+        pdf = _events_pdf(3000, n_users=60, seed=11)
+        df = spark.createDataFrame(pdf)
+        period = 1000
+        got = {
+            (r["cohort_period"], r["period_offset"]): r
+            for r in cohort_retention(df, period=period).collect()
+        }
+        p = pdf.assign(pid=pdf["ts"] // period)
+        first = p.groupby("user_id")["pid"].min().rename("cohort")
+        j = p.join(first, on="user_id")
+        j["off"] = j["pid"] - j["cohort"]
+        exp = (
+            j.groupby(["cohort", "off"])["user_id"].nunique().reset_index()
+        )
+        sizes = {
+            c: int(n)
+            for (c, o), n in exp.set_index(["cohort", "off"])[
+                "user_id"
+            ].items()
+            if o == 0
+        }
+        assert len(got) == len(exp)
+        for _, row in exp.iterrows():
+            r = got[(row["cohort"], row["off"])]
+            assert r["n_active"] == row["user_id"]
+            assert r["cohort_size"] == sizes[row["cohort"]]
+            assert r["retention"] == pytest.approx(
+                round(row["user_id"] / sizes[row["cohort"]], 6)
+            )
+
+    def test_offset_zero_full_retention_and_validation(self, spark):
+        df = spark.createDataFrame(_events_pdf(500))
+        with pytest.raises(ValueError, match="period"):
+            cohort_retention(df, period=0)
+        out = cohort_retention(df, period=2000, max_offset=2)
+        rows = out.collect()
+        assert all(r["period_offset"] <= 2 for r in rows)
+        for r in rows:
+            if r["period_offset"] == 0:
+                assert r["retention"] == 1.0
+
+
+class TestEventTransitions:
+    def test_matches_pandas(self, spark):
+        pdf = _events_pdf(2500, seed=3)
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r["prev_event"], r["event"]): r
+            for r in event_transitions(
+                df, tiebreak_col="event_id"
+            ).collect()
+        }
+        s = pdf.sort_values(["user_id", "ts", "event_id"])
+        s["prev"] = s.groupby("user_id")["event_type"].shift(1)
+        exp = (
+            s.dropna(subset=["prev"])
+            .groupby(["prev", "event_type"])
+            .size()
+        )
+        assert len(got) == len(exp)
+        totals = exp.groupby(level=0).sum()
+        for (prev, ev), n in exp.items():
+            r = got[(prev, ev)]
+            assert r["n_transitions"] == n
+            assert r["p_transition"] == pytest.approx(
+                round(n / totals[prev], 6)
+            )
+
+    def test_probabilities_sum_to_one(self, spark):
+        df = spark.createDataFrame(_events_pdf(1000))
+        out = event_transitions(df, tiebreak_col="event_id").toPandas()
+        for _, grp in out.groupby("prev_event"):
+            assert grp["p_transition"].sum() == pytest.approx(1.0, abs=1e-4)
+
+
+class TestResampleEvents:
+    def test_matches_pandas_ffill(self, spark):
+        pdf = _events_pdf(800, n_users=12, seed=19)
+        df = spark.createDataFrame(pdf)
+        bucket = 700
+        got = {
+            (r["user_id"], r["bucket_id"]): r
+            for r in resample_events(
+                df, bucket=bucket, fill="ffill"
+            ).collect()
+        }
+        p = pdf.assign(bid=pdf["ts"] // bucket)
+        agg = p.groupby(["user_id", "bid"])["value"].agg(["count", "mean"])
+        n_expected = 0
+        for uid in p["user_id"].unique():
+            sub = agg.loc[uid]
+            full = sub.reindex(
+                range(int(sub.index.min()), int(sub.index.max()) + 1)
+            )
+            filled = full["mean"].round(6).ffill()
+            n_expected += len(full)
+            for bid in full.index:
+                r = got[(uid, bid)]
+                cnt = full.loc[bid, "count"]
+                if np.isnan(cnt):
+                    assert r["n_events"] == 0 and r["is_gap"]
+                else:
+                    assert r["n_events"] == int(cnt) and not r["is_gap"]
+                assert r["bucket_value"] == pytest.approx(
+                    filled.loc[bid], abs=1e-6
+                )
+        assert len(got) == n_expected
+
+    def test_zero_and_none_fill(self, spark):
+        rows = [(1, 0, 2.0), (1, 2500, 4.0)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        zero = {
+            r["bucket_id"]: r
+            for r in resample_events(
+                df, bucket=1000, fill="zero"
+            ).collect()
+        }
+        assert zero[1]["bucket_value"] == 0.0 and zero[1]["is_gap"]
+        none = {
+            r["bucket_id"]: r
+            for r in resample_events(df, bucket=1000, fill=None).collect()
+        }
+        assert none[1]["bucket_value"] is None
+        assert none[0]["bucket_value"] == 2.0
+        assert none[2]["bucket_value"] == 4.0
+
+    def test_bucketing_exact_at_epoch_nanos(self, spark):
+        """floor(ts / bucket) through DOUBLE division misbuckets
+        epoch-nano timestamps (>2^53); the integer floor-div must put
+        week_end = m*p - 1 in bucket m-1, not m, and handle negatives."""
+        p = 604_800_000_000_000  # one week of nanoseconds
+        m = 2812  # ~2024 epoch-nanos territory, above 2^53
+        rows = [
+            (1, m * p - 1, 1.0),  # last nanosecond of week m-1
+            (1, m * p, 2.0),  # first nanosecond of week m
+            (2, -1, 3.0),  # floor(-1/p) = -1, not 0
+            (2, 0, 4.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        got = {
+            (r["user_id"], r["bucket_id"]): r["bucket_value"]
+            for r in resample_events(df, bucket=p, fill=None).collect()
+        }
+        assert got[(1, m - 1)] == 1.0
+        assert got[(1, m)] == 2.0
+        assert got[(2, -1)] == 3.0
+        assert got[(2, 0)] == 4.0
+        coh = {
+            (r["cohort_period"], r["period_offset"])
+            for r in cohort_retention(
+                df.filter(F_col("user_id") == 1), period=p
+            ).collect()
+        }
+        assert coh == {(m - 1, 0), (m - 1, 1)}
+
+    def test_span_guard_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 1.0), (1, 10**9, 1.0)], ["user_id", "ts", "value"]
+        )
+        with pytest.raises(ValueError, match="bucket"):
+            resample_events(df, bucket=0)
+        with pytest.raises(ValueError, match="fill"):
+            resample_events(df, fill="bfill")
+        with pytest.raises(Exception, match="more than 100 buckets"):
+            resample_events(df, bucket=1, max_buckets=100).collect()
+
+
+class TestEventsAnsi:
+    def test_events_wave_survives_ansi(self, spark):
+        """funnel / cohort / transitions / resample / heavy_hitters
+        must produce identical outputs under ansi=true — extreme
+        timestamps included (no overflowing arithmetic, no double-
+        division bucketing, no invalid casts)."""
+        rows = [
+            (1, 10, "view", 1.0, 1),
+            (1, 20, "click", 2.0, 2),
+            (1, 30, "purchase", 3.0, 3),
+            (2, 2**62, "view", 4.0, 4),
+            (2, 2**62 + 5, "click", 5.0, 5),
+            (3, 2**63 - 10, "view", 6.0, 6),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string, "
+            "value double, event_id long"
+        )
+
+        def run():
+            fun = sorted(
+                tuple(r) for r in funnel(
+                    df, ["view", "click", "purchase"], window=100
+                ).collect()
+            )
+            coh = sorted(
+                tuple(r) for r in cohort_retention(
+                    df, period=1000
+                ).collect()
+            )
+            tra = sorted(
+                tuple(r) for r in event_transitions(
+                    df, tiebreak_col="event_id"
+                ).collect()
+            )
+            res = sorted(
+                tuple(r) for r in resample_events(
+                    df, bucket=10**15, fill="ffill"
+                ).collect()
+            )
+            hh = sorted(
+                tuple(r)
+                for r in heavy_hitters(df, "event_type", 0.3).collect()
+            )
+            return fun, coh, tra, res, hh
+
+        before = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            after = run()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+        assert before == after
+        # u1 converts, u2 stalls at click, u3 never clicks
+        levels = {r[0]: r[1] for r in before[0]}
+        assert levels == {1: 3, 2: 2, 3: 1}
+
+
+class TestHeavyHitters:
+    @staticmethod
+    def _skewed_pdf(seed=23):
+        rng = np.random.default_rng(seed)
+        # Zipf-ish: a few hot tokens over a long tail
+        vocab = [f"tok{i}" for i in range(500)]
+        weights = 1.0 / np.arange(1, 501) ** 1.3
+        weights /= weights.sum()
+        return pd.DataFrame(
+            {"tok": rng.choice(vocab, 20_000, p=weights)}
+        )
+
+    def test_exact_and_partitioning_invariant(self, spark):
+        import math
+
+        pdf = self._skewed_pdf()
+        phi = 0.01
+        n = len(pdf)
+        thresh = math.ceil(phi * n)
+        exp = pdf["tok"].value_counts()
+        exp = exp[exp >= thresh]
+        assert 3 <= len(exp) <= 60  # the test corpus really is skewed
+        for parts in (1, 7, 32):
+            df = spark.createDataFrame(pdf).repartition(parts)
+            got = {
+                r["item"]: r for r in heavy_hitters(df, "tok", phi).collect()
+            }
+            assert set(got) == set(exp.index), parts
+            for tok, cnt in exp.items():
+                assert got[tok]["n"] == cnt
+                assert got[tok]["frac"] == pytest.approx(
+                    round(cnt / n, 6)
+                )
+
+    def test_small_k_still_exact_when_guarantee_holds(self, spark):
+        pdf = self._skewed_pdf(seed=5)
+        df = spark.createDataFrame(pdf).repartition(16)
+        phi = 0.02
+        # minimal admissible width: k + 1 > 1/phi
+        got = heavy_hitters(df, "tok", phi, k=51).toPandas()
+        exp = pdf["tok"].value_counts()
+        import math
+
+        exp = exp[exp >= math.ceil(phi * len(pdf))]
+        assert set(got["item"]) == set(exp.index)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"tok": ["a", "b"]}))
+        with pytest.raises(ValueError, match="phi"):
+            heavy_hitters(df, "tok", 0.0)
+        with pytest.raises(ValueError, match="k=10"):
+            heavy_hitters(df, "tok", 0.05, k=10)
+
+    def test_nulls_ignored_and_numeric_items(self, spark):
+        pdf = pd.DataFrame(
+            {"v": [1, 1, 1, 1, 2, 2, 3, None, None]}, dtype="Int64"
+        )
+        df = spark.createDataFrame(pdf)
+        got = {r["item"]: r for r in heavy_hitters(df, "v", 0.3).collect()}
+        # N = 7 non-null; ceil(0.3*7) = 3 -> only the value 1 qualifies
+        assert set(got) == {1}
+        assert got[1]["n"] == 4
+        assert got[1]["frac"] == pytest.approx(round(4 / 7, 6))
