@@ -181,3 +181,61 @@ def discrete_pmf(df: DataFrame, column: str):
     x = np.array([float(r[column]) for r in rows])
     counts = np.array([float(r["cnt"]) for r in rows])
     return x, counts / counts.sum()
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``bins`` buckets holding (approximately)
+    equal row counts, bounded by the column's own quantiles — the
+    complement of the equi-width :func:`compute_histogram` (uniform
+    value axis) for skewed columns, where equi-width piles everything
+    into one bar.
+
+    Interior edges are the exact ``percentile`` at fractions
+    ``i/bins`` (``approx=True`` swaps in Greenwald-Khanna
+    ``approx_percentile`` — the 100 TB path; exact percentiles
+    materialize the value multiset on an executor). Edges are rounded
+    to 6 decimals BEFORE binning so bin assignment is a deterministic,
+    engine-portable function of the value; a value equal to an edge
+    falls in the LOWER bin (``v > edge`` counts edges strictly below).
+
+    One lazy plan: the 1-row edges relation rides a broadcast
+    cross-join, the bin id is a JVM higher-order ``filter``/``size``
+    over the edges array (no UDF), and the per-bin aggregate is a
+    combiner-friendly groupBy on <= ``bins`` keys.
+
+    Returns ``(bin_id, n_rows, lo, hi, mean)`` — lo/hi are the bin's
+    OBSERVED min/max (exact values, not interpolated edges), mean
+    rounded to 6.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
+    fracs = ", ".join(str(i / bins) for i in range(1, bins))
+    clean = valid_column(df, column)
+    edges = clean.agg(
+        F.expr(
+            f"transform({pctl}({column}, array({fracs}){acc}), "
+            "e -> round(e, 6))"
+        ).alias("_edges")
+    )
+    binned = clean.crossJoin(F.broadcast(edges)).withColumn(
+        "bin_id",
+        F.size(
+            F.filter(
+                F.col("_edges"), lambda e: F.col(column) > e
+            )
+        ),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(column).alias("lo"),
+        F.max(column).alias("hi"),
+        F.round(F.avg(column), 6).alias("mean"),
+    )

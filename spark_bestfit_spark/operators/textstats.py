@@ -13,7 +13,7 @@ operators that pipeline with the parquet scan — zero shuffles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # Compact stopword lists per language (top function words). Used by the
 # n-gram/stopword language-ID heuristic.
@@ -232,6 +232,68 @@ def unigram_logprob(
                 F.avg(F.log(F.col("_cnt") / F.col("_total"))), 6
             ).alias("mean_logprob"),
         )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-BIGRAM log-probability score per document — the
+    next-order perplexity proxy above :func:`unigram_logprob`:
+    boilerplate and template text score high (its word PAIRS repeat
+    across the corpus) even when its unigrams look ordinary, so the
+    two scores together separate "common words" from "common phrasing".
+
+    ``p(t | prev) = (c(prev, t) + 1) / (c(prev) + V)`` with add-one
+    (Laplace) smoothing over the corpus vocabulary ``V``;
+    ``score(doc)`` is the mean ``ln p`` over the doc's consecutive
+    token pairs. Documents with fewer than 2 tokens carry no bigram
+    and drop out (the honest answer — there is nothing to score).
+
+    Dataflow mirrors the unigram operator's VERDICT-audited shape: one
+    doc-hash window (``lag`` over token position) forms the pairs,
+    combiner-friendly groupBys produce the bigram and context counts,
+    both rejoin the pair stream (AQE picks the strategy; the context
+    relation is vocabulary-sized), the vocabulary size rides as a
+    broadcast 1-row relation, and one re-aggregation by doc id closes
+    the plan — fully lazy, no driver action, no driver-side
+    vocabulary.
+
+    Returns ``(id_col, n_bigrams, mean_bigram_logprob)`` rounded to 6
+    decimals (SQL-portable for oracle checks)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    pairs = (
+        toks.withColumn("_prev", F.lag("_tok").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(id_col, "_prev", "_tok")
+    )
+    c2 = pairs.groupBy("_prev", "_tok").agg(F.count("*").alias("_c2"))
+    c1 = pairs.groupBy("_prev").agg(F.count("*").alias("_c1"))
+    vocab = toks.agg(
+        F.countDistinct("_tok").cast("double").alias("_V")
+    )
+    scored = (
+        pairs.join(c2, ["_prev", "_tok"])
+        .join(c1, "_prev")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("_c2") + F.lit(1.0))
+                    / (F.col("_c1") + F.col("_V"))
+                )
+            ),
+            6,
+        ).alias("mean_bigram_logprob"),
     )
 
 
