@@ -40,11 +40,12 @@ Scale-curve lines (SPARK_GRAFT_SF1=0 to skip): lineitem, documents and
 embeddings are replicated 10x into .scale_cache/sf1 (built once, reused
 across runs; documents get per-replica word suffixes and embeddings
 per-replica sign-flip patterns, so the duplicate rate — and therefore
-the dedup workload shape — matches the base corpus) and nine headliners
-rerun at ~6M lineitem rows / 50k docs / 20k vectors: q_fit_full_sf1,
-q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1, q_neardup_clusters_sf1,
-q_pack_sequences_sf1, q_tfidf_neardup_sf1, q_semantic_dedup_sf1,
-q_ks_by_group_sf1. The histogram-based fit design predicts near-flat
+the dedup workload shape — matches the base corpus) and eleven
+headliners rerun at ~6M lineitem rows / 50k docs / 20k vectors:
+q_fit_full_sf1, q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1,
+q_neardup_clusters_sf1, q_pack_sequences_sf1, q_tfidf_neardup_sf1,
+q_semantic_dedup_sf1, q_ks_by_group_sf1, q_heavy_hitters_sf1,
+q_quantile_rank_sf1. The histogram-based fit design predicts near-flat
 fit time (O(N) scan + O(C·D·B) driver/fan-out work) and linear
 histogram/dedup/K-S/drift scans.
 """
@@ -451,6 +452,40 @@ def main() -> None:
         rounds=3,
     )
 
+    # round-7 families: event analytics (one entity-hash exchange),
+    # Misra-Gries-bounded exact heavy hitters (map-only sketch), and
+    # the sort-free exact global percent_rank (prefix-sum spine) —
+    # benched so plan drift in any of the three shapes shows as wall
+    from spark_bestfit_spark.operators.events import funnel
+    from spark_bestfit_spark.operators.frequency import heavy_hitters
+    from spark_bestfit_spark.operators.normalize import quantile_rank
+    from spark_bestfit_spark.operators.textstats import _tokens
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") != "bigint":
+        ev = ev.withColumn(
+            "ts", F.expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000")
+        )
+    bench(
+        "q_event_funnel",
+        lambda: funnel(
+            ev, ["view", "click", "purchase"],
+            window=7 * 24 * 3600 * 10**9,
+        ).count(),
+        rounds=3,
+    )
+    doc_toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    bench(
+        "q_heavy_hitters",
+        lambda: heavy_hitters(doc_toks, "tok", phi=0.002).count(),
+        rounds=2,
+    )
+    bench(
+        "q_quantile_rank_600k",
+        lambda: quantile_rank(lineitem, "l_extendedprice").count(),
+        rounds=2,
+    )
+
     # copula sampling throughput (baseline: 199 ms/1M local via scipy-C;
     # ours is the distributed mapInPandas path over numpy special fns)
     import numpy as np
@@ -485,7 +520,8 @@ def main() -> None:
         or {"q_fit_full_sf1", "q_hist_sf1", "q_minhash_sf1",
             "q_two_sample_ks_sf1", "q_neardup_clusters_sf1",
             "q_pack_sequences_sf1", "q_tfidf_neardup_sf1",
-            "q_semantic_dedup_sf1", "q_ks_by_group_sf1"} & only
+            "q_semantic_dedup_sf1", "q_ks_by_group_sf1",
+            "q_heavy_hitters_sf1", "q_quantile_rank_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
@@ -630,6 +666,22 @@ def main() -> None:
                 k1a, k1b, "l_quantity", "l_returnflag"
             ).count(),
             rounds=2,
+        )
+        # round-7 additions: sketch-bounded heavy hitters over 10x the
+        # token stream, and the sort-free global rank over 6M rows —
+        # both should track ~linear with their sf0.1 anchors
+        doc1_toks = docs1.select(
+            F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+        bench(
+            "q_heavy_hitters_sf1",
+            lambda: heavy_hitters(doc1_toks, "tok", phi=0.002).count(),
+            rounds=1,
+        )
+        bench(
+            "q_quantile_rank_sf1",
+            lambda: quantile_rank(li1, "l_extendedprice").count(),
+            rounds=1,
         )
 
     total = round(sum(timings.values()), 3)
