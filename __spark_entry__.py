@@ -1931,6 +1931,81 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_latest_events(spark, sf_dir):
+    """Snapshot-latest per user via one map-side-combinable max_by
+    groupBy (no window sort) — the changelog-compaction idiom; the
+    oracle is the row_number() = 1 window replica."""
+    from spark_bestfit_spark.operators.asof import latest_by_key
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_by_key(ev, "user_id", "ts", tiebreak_col="event_id")
+
+
+def _q_session_paths(spark, sf_dir):
+    """Top navigation paths: 30-min inactivity sessions rendered as
+    ordered event sequences (first 8 events), counted per path."""
+    from spark_bestfit_spark.operators.events import session_paths
+
+    ev = _read(spark, sf_dir, "events")
+    return session_paths(
+        ev, gap=1800 * 10**9, tiebreak_col="event_id", max_len=8
+    )
+
+
+def _q_events_pivot(spark, sf_dir):
+    """Day x event-type count crosstab through Spark's native pivot
+    with an EXPLICIT value domain (one groupBy, one exchange, no eager
+    distinct scan)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.events import pivot_counts
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day_id", F.expr("ts div 86400000000000")
+    )
+    return pivot_counts(
+        ev, "day_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP aggregation over (returnflag, linestatus) with grouping
+    indicators — the OLAP subtotal surface, identical ANSI SQL on both
+    engines."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(2 * grouping(l_returnflag)
+                    + grouping(l_linestatus) AS INT) AS g_id,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+
+
+def _q_lineitem_cube(spark, sf_dir):
+    """CUBE aggregation over (returnflag, linestatus) — every grouping
+    set, with the bitmask grouping id."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(2 * grouping(l_returnflag)
+                    + grouping(l_linestatus) AS INT) AS g_id,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )
+
+
 def _q_grouped_zscore(spark, sf_dir):
     """Per-event-type z-score normalization of event values (G-row
     broadcast stats, map-only rescale)."""
@@ -2648,6 +2723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rank_price": _q_quantile_rank_price,
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
+        "latest_events": _q_latest_events,
+        "session_paths": _q_session_paths,
+        "events_pivot": _q_events_pivot,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "lineitem_cube": _q_lineitem_cube,
         "tfidf_neardup": _q_tfidf_neardup,
         "doc_top_terms": _q_doc_top_terms,
         "semantic_dedup": _q_semantic_dedup,
@@ -2675,15 +2755,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_metrics": _q_summary,
         "column_stats": _q_column_stats,
         "multi_minmax": _q_multi_minmax,
+        # ---- tail: overflow from the head-50 as round-7 operators
+        # landed (all r1-r5 driver-hashed, strict-harness-covered
+        # every round), then everything driver-hashed in round 6
+        # (CORRECTNESS_r06). ----
         "quantiles_price": _q_quantiles,
         "topk_customers": _q_topk,
         "distinct_flags": _q_distinct,
         "union_counts": _q_union,
         "doc_text_stats": _q_doc_text_stats,
-        # ---- tail: overflow from the head-50 as round-7 operators
-        # landed (all r1-r5 driver-hashed, strict-harness-covered
-        # every round), then everything driver-hashed in round 6
-        # (CORRECTNESS_r06). ----
         "doc_fingerprints": _q_doc_fingerprints,
         "neardup_jaccard": _q_neardup_jaccard,
         "moments_price": _q_moments,
@@ -4230,6 +4310,74 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "latest_events": """
+            SELECT user_id, event_id, epoch_ns(ts) AS ts,
+                   event_type, value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "session_paths": """
+            WITH o AS (
+              SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+                     lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_ts
+              FROM events
+            ),
+            s AS (
+              SELECT *, sum(CASE WHEN prev_ts IS NULL
+                                   OR ts - prev_ts > 1800000000000
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            ),
+            p AS (
+              SELECT user_id, sess,
+                     array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:8],
+                       '>') AS path
+              FROM s GROUP BY user_id, sess
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+        """,
+        "events_pivot": """
+            SELECT epoch_ns(ts) // 86400000000000 AS day_id,
+                   CAST(count(*) FILTER (event_type = 'click')
+                     AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'error')
+                     AS BIGINT) AS error,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                     AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup')
+                     AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'view')
+                     AS BIGINT) AS view
+            FROM events GROUP BY day_id
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(2 * grouping(l_returnflag)
+                        + grouping(l_linestatus) AS INTEGER) AS g_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(2 * grouping(l_returnflag)
+                        + grouping(l_linestatus) AS INTEGER) AS g_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "grouped_zscore": """
             WITH s AS (

@@ -20,7 +20,46 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["asof_join", "range_join", "rolling_stats"]
+__all__ = ["asof_join", "range_join", "rolling_stats", "latest_by_key"]
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Snapshot-latest deduplication: ONE row per key — the row with
+    the greatest ``ts_col`` (ties broken by ``tiebreak_col``; pass a
+    unique id for a fully deterministic snapshot) — with every input
+    column preserved. The compact-a-changelog / latest-record idiom of
+    every warehouse.
+
+    Implemented as ``max_by(struct(<all other columns>), struct(ts,
+    tiebreak))`` in ONE groupBy: unlike the ``row_number() = 1``
+    window idiom this needs no per-group sort and combines map-side
+    (each partition keeps one candidate row per key before the
+    shuffle), so the exchange carries at most |keys| rows per
+    partition — the right shape when the changelog has many updates
+    per key, which is the only time compaction matters.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        raise ValueError("latest_by_key needs at least one non-key column")
+    ord_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        ord_cols.append(F.col(tiebreak_col))
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in others]),
+                F.struct(*ord_cols),
+            ).alias("_r")
+        )
+        .select(*keys, "_r.*")
+    )
 
 
 def range_join(

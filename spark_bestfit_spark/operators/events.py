@@ -29,6 +29,8 @@ __all__ = [
     "cohort_retention",
     "event_transitions",
     "resample_events",
+    "session_paths",
+    "pivot_counts",
 ]
 
 
@@ -230,6 +232,118 @@ def event_transitions(
                 6,
             ),
         )
+    return out
+
+
+def session_paths(
+    df: DataFrame,
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: int = 1800 * 10**9,
+    tiebreak_col: str | None = None,
+    max_len: int = 20,
+) -> DataFrame:
+    """Top navigation paths: sessionize each user's stream by
+    inactivity ``gap`` (same units as the numeric ``ts_col``; default
+    30 min of nanoseconds), render each session as its ordered
+    event-name sequence (``"view>click>purchase"``), and count how
+    many sessions took each path.
+
+    Paths are truncated to the first ``max_len`` events of the session
+    — the memory guard for pathological never-idle keys (a bot
+    clicking forever is one session), and also what makes the path
+    space finite enough to aggregate.
+
+    Execution shape: one entity-hash window (``lag`` + running
+    conditional sum assigns session ids in a single exchange), one
+    groupBy per (user, session) collecting the session's events —
+    per-group state is one session's rows, bounded by the truncation
+    only after sort, so the gap parameter is the real bound — then a
+    combiner-friendly groupBy on the path string. Ties in ``ts_col``
+    order by ``tiebreak_col`` (pass a unique id for the
+    SQL-replicable, engine-independent configuration).
+
+    Returns ``(path, n_sessions)``.
+    """
+    if gap <= 0:
+        raise ValueError("gap must be positive")
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    tb = tiebreak_col if tiebreak_col is not None else event_col
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tb))
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap)),
+        1,
+    ).otherwise(0)
+    sess = df.select(user_col, ts_col, event_col, tb).withColumn(
+        "_sess",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy(user_col, "_sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(tb).alias("b"),
+                                F.col(event_col).alias("e"),
+                            )
+                        )
+                    ),
+                    1,
+                    int(max_len),
+                ),
+                lambda x: x["e"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str | None = None,
+    agg: str = "count",
+) -> DataFrame:
+    """Crosstab / pivot table: one row per ``row_col``, one column per
+    entry of ``values`` (the EXPLICIT pivot domain — passing it keeps
+    the plan lazy; Spark's value-inference variant runs an eager
+    distinct scan first, which at 100 TB is a full extra pass), cells
+    aggregated by ``agg``: ``"count"`` (rows), or ``"sum"``/``"avg"``
+    over ``value_col``.
+
+    Count/sum cells with no matching rows read 0; avg cells read null
+    (an average of nothing is unknown, not zero).
+
+    Execution: Spark's native pivot compiles to ONE groupBy with a
+    conditional aggregate per value — map-side combinable, a single
+    exchange on ``row_col``, no per-value scans.
+    """
+    if not values:
+        raise ValueError("values must be a non-empty explicit list")
+    if agg not in ("count", "sum", "avg"):
+        raise ValueError("agg must be 'count', 'sum', or 'avg'")
+    if agg != "count" and value_col is None:
+        raise ValueError(f"agg='{agg}' needs value_col")
+    gp = df.groupBy(row_col).pivot(pivot_col, values)
+    if agg == "count":
+        out = gp.agg(F.count(F.lit(1)))
+    elif agg == "sum":
+        out = gp.agg(F.sum(value_col))
+    else:
+        out = gp.agg(F.avg(value_col))
+    if agg in ("count", "sum"):
+        out = out.fillna(0, subset=[str(v) for v in values])
     return out
 
 

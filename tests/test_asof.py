@@ -150,6 +150,52 @@ class TestAsofJoin:
         assert mism.empty, mism
 
 
+class TestLatestByKey:
+    def test_matches_pandas_keep_last(self, spark):
+        from spark_bestfit_spark.operators.asof import latest_by_key
+
+        rng = np.random.default_rng(71)
+        pdf = pd.DataFrame({
+            "event_id": np.arange(600),
+            "user_id": rng.integers(0, 30, 600),
+            "ts": rng.integers(0, 200, 600),  # heavy ties
+            "value": rng.normal(0, 1, 600).round(4),
+        })
+        df = spark.createDataFrame(pdf).repartition(8)
+        got = {
+            r["user_id"]: r
+            for r in latest_by_key(
+                df, "user_id", "ts", tiebreak_col="event_id"
+            ).collect()
+        }
+        exp = (
+            pdf.sort_values(["ts", "event_id"])
+            .groupby("user_id")
+            .tail(1)
+        )
+        assert len(got) == len(exp)
+        for _, e in exp.iterrows():
+            r = got[e["user_id"]]
+            assert (r["event_id"], r["ts"], r["value"]) == (
+                e["event_id"], e["ts"], e["value"],
+            )
+
+    def test_composite_key_and_validation(self, spark):
+        from spark_bestfit_spark.operators.asof import latest_by_key
+
+        rows = [(1, "x", 5, "old"), (1, "x", 9, "new"), (1, "y", 2, "only")]
+        df = spark.createDataFrame(rows, "k1 long, k2 string, ts long, s string")
+        got = {
+            (r["k1"], r["k2"]): r["s"]
+            for r in latest_by_key(df, ["k1", "k2"], "ts").collect()
+        }
+        assert got == {(1, "x"): "new", (1, "y"): "only"}
+        with pytest.raises(ValueError, match="non-key"):
+            latest_by_key(
+                df.select("k1", "k2"), ["k1", "k2", "ts", "s"], "ts"
+            )
+
+
 class TestRollingStats:
     def test_matches_pandas_rolling(self, spark):
         """rolling_stats vs pandas groupby().rolling() for mean/std/

@@ -280,6 +280,107 @@ class TestResampleEvents:
             resample_events(df, bucket=1, max_buckets=100).collect()
 
 
+class TestSessionPaths:
+    def test_matches_pandas_sessionization(self, spark):
+        from spark_bestfit_spark.operators.events import session_paths
+
+        pdf = _events_pdf(1500, n_users=25, seed=61)
+        df = spark.createDataFrame(pdf)
+        gap = 150
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(
+                df, gap=gap, tiebreak_col="event_id", max_len=8
+            ).collect()
+        }
+        exp: dict = {}
+        for uid, grp in pdf.sort_values(["ts", "event_id"]).groupby(
+            "user_id"
+        ):
+            cur, prev = [], None
+            sessions = []
+            for ts, ev in zip(grp["ts"], grp["event_type"]):
+                if prev is not None and ts - prev > gap:
+                    sessions.append(cur)
+                    cur = []
+                cur.append(ev)
+                prev = ts
+            sessions.append(cur)
+            for s in sessions:
+                p = ">".join(s[:8])
+                exp[p] = exp.get(p, 0) + 1
+        assert got == exp
+
+    def test_gap_splits_and_truncation(self, spark):
+        from spark_bestfit_spark.operators.events import session_paths
+
+        rows = [
+            (1, 0, "a", 0), (1, 10, "b", 1),  # session 1: a>b
+            (1, 500, "c", 2),  # session 2: c
+            (2, 0, "a", 3), (2, 5, "b", 4), (2, 9, "c", 5),  # a>b (cap 2)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string, event_id long"
+        )
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(
+                df, gap=100, tiebreak_col="event_id", max_len=2
+            ).collect()
+        }
+        assert got == {"a>b": 2, "c": 1}
+        with pytest.raises(ValueError, match="gap"):
+            session_paths(df, gap=0)
+
+
+class TestPivotCounts:
+    def test_count_pivot_matches_pandas(self, spark):
+        from spark_bestfit_spark.operators.events import pivot_counts
+
+        pdf = _events_pdf(1200, seed=67)
+        pdf["day"] = pdf["ts"] // 1000
+        df = spark.createDataFrame(pdf)
+        vals = ["view", "click", "signup", "purchase", "error"]
+        got = pivot_counts(df, "day", "event_type", vals).toPandas()
+        exp = pd.crosstab(pdf["day"], pdf["event_type"])
+        for _, r in got.iterrows():
+            for v in vals:
+                e = (
+                    exp.loc[r["day"], v]
+                    if v in exp.columns and r["day"] in exp.index
+                    else 0
+                )
+                assert r[v] == e, (r["day"], v)
+
+    def test_sum_avg_and_validation(self, spark):
+        from spark_bestfit_spark.operators.events import pivot_counts
+
+        rows = [
+            ("d1", "a", 2.0), ("d1", "a", 4.0), ("d2", "b", 10.0),
+        ]
+        df = spark.createDataFrame(rows, "day string, k string, v double")
+        s = {
+            r["day"]: r
+            for r in pivot_counts(
+                df, "day", "k", ["a", "b"], "v", agg="sum"
+            ).collect()
+        }
+        assert s["d1"]["a"] == 6.0 and s["d1"]["b"] == 0.0
+        assert s["d2"]["b"] == 10.0
+        a = {
+            r["day"]: r
+            for r in pivot_counts(
+                df, "day", "k", ["a", "b"], "v", agg="avg"
+            ).collect()
+        }
+        assert a["d1"]["a"] == 3.0
+        assert a["d1"]["b"] is None  # avg of nothing is unknown, not 0
+        with pytest.raises(ValueError, match="values"):
+            pivot_counts(df, "day", "k", [])
+        with pytest.raises(ValueError, match="value_col"):
+            pivot_counts(df, "day", "k", ["a"], agg="sum")
+
+
 class TestEventsAnsi:
     def test_events_wave_survives_ansi(self, spark):
         """funnel / cohort / transitions / resample / heavy_hitters
