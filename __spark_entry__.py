@@ -1931,6 +1931,17 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact cross-document duplicate spans (Lee-et-al-style substring
+    dedup, relationally): positioned 5-token shingles -> guarded
+    inverted index (2..50 postings) -> diagonal islands -> maximal
+    shared runs >= 10 tokens with start offsets."""
+    from spark_bestfit_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, k=5, min_len=10, max_posting=50)
+
+
 def _q_latest_events(spark, sf_dir):
     """Snapshot-latest per user via one map-side-combinable max_by
     groupBy (no window sort) — the changelog-compaction idiom; the
@@ -2723,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rank_price": _q_quantile_rank_price,
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
+        "duplicate_spans": _q_duplicate_spans,
         "latest_events": _q_latest_events,
         "session_paths": _q_session_paths,
         "events_pivot": _q_events_pivot,
@@ -2754,11 +2766,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_flags": _q_doc_pii_flags,
         "summary_metrics": _q_summary,
         "column_stats": _q_column_stats,
-        "multi_minmax": _q_multi_minmax,
         # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "multi_minmax": _q_multi_minmax,
         "quantiles_price": _q_quantiles,
         "topk_customers": _q_topk,
         "distinct_flags": _q_distinct,
@@ -4310,6 +4322,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "duplicate_spans": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(
+                       toks[CAST(i + 1 AS INTEGER):CAST(i + 5 AS INTEGER)],
+                       ' ') AS s
+              FROM d, unnest(generate_series(0, len(toks) - 5)) AS t(i)
+              WHERE len(toks) >= 5
+            ),
+            counts AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+            idx AS (
+              SELECT sh.doc_id, sh.pos, sh.s
+              FROM sh JOIN counts USING (s)
+              WHERE c BETWEEN 2 AND 50
+            ),
+            pr AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+              FROM idx a JOIN idx b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+            ),
+            runs AS (
+              SELECT *, CASE WHEN pa - lag(pa) OVER (
+                       PARTITION BY da, db, diag ORDER BY pa) = 1
+                     THEN 0 ELSE 1 END AS brk
+              FROM pr
+            ),
+            isl AS (
+              SELECT *, sum(brk) OVER (
+                       PARTITION BY da, db, diag ORDER BY pa
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM runs
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(min(pa) AS BIGINT) AS start_a,
+                   CAST(min(pb) AS BIGINT) AS start_b,
+                   CAST(count(*) + 4 AS BIGINT) AS span_tokens
+            FROM isl GROUP BY da, db, diag, run_id
+            HAVING count(*) + 4 >= 10
         """,
         "latest_events": """
             SELECT user_id, event_id, epoch_ns(ts) AS ts,

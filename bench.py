@@ -40,12 +40,12 @@ Scale-curve lines (SPARK_GRAFT_SF1=0 to skip): lineitem, documents and
 embeddings are replicated 10x into .scale_cache/sf1 (built once, reused
 across runs; documents get per-replica word suffixes and embeddings
 per-replica sign-flip patterns, so the duplicate rate — and therefore
-the dedup workload shape — matches the base corpus) and eleven
+the dedup workload shape — matches the base corpus) and twelve
 headliners rerun at ~6M lineitem rows / 50k docs / 20k vectors:
 q_fit_full_sf1, q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1,
 q_neardup_clusters_sf1, q_pack_sequences_sf1, q_tfidf_neardup_sf1,
 q_semantic_dedup_sf1, q_ks_by_group_sf1, q_heavy_hitters_sf1,
-q_quantile_rank_sf1. The histogram-based fit design predicts near-flat
+q_quantile_rank_sf1, q_duplicate_spans_sf1. The histogram-based fit design predicts near-flat
 fit time (O(N) scan + O(C·D·B) driver/fan-out work) and linear
 histogram/dedup/K-S/drift scans.
 """
@@ -480,6 +480,17 @@ def main() -> None:
         lambda: heavy_hitters(doc_toks, "tok", phi=0.002).count(),
         rounds=2,
     )
+    # exact duplicate-span mining: the newest quadratic-risk shape
+    # (guarded inverted-index self-join + diagonal islands)
+    from spark_bestfit_spark.operators.dedup import duplicate_spans
+
+    bench(
+        "q_duplicate_spans",
+        lambda: duplicate_spans(
+            docs, k=5, min_len=10, max_posting=50
+        ).count(),
+        rounds=2,
+    )
     bench(
         "q_quantile_rank_600k",
         lambda: quantile_rank(lineitem, "l_extendedprice").count(),
@@ -521,7 +532,8 @@ def main() -> None:
             "q_two_sample_ks_sf1", "q_neardup_clusters_sf1",
             "q_pack_sequences_sf1", "q_tfidf_neardup_sf1",
             "q_semantic_dedup_sf1", "q_ks_by_group_sf1",
-            "q_heavy_hitters_sf1", "q_quantile_rank_sf1"} & only
+            "q_heavy_hitters_sf1", "q_quantile_rank_sf1",
+            "q_duplicate_spans_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
@@ -681,6 +693,13 @@ def main() -> None:
         bench(
             "q_quantile_rank_sf1",
             lambda: quantile_rank(li1, "l_extendedprice").count(),
+            rounds=1,
+        )
+        bench(
+            "q_duplicate_spans_sf1",
+            lambda: duplicate_spans(
+                docs1, k=5, min_len=10, max_posting=50
+            ).count(),
             rounds=1,
         )
 

@@ -22,7 +22,7 @@ checkable in DuckDB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # Mersenne-ish modulus and deterministic permutation coefficients for
 # MinHash: perm_i(h) = (A[i] * h + B[i]) mod P  with h pre-reduced mod P
@@ -511,4 +511,115 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_len: int = 10,
+    max_posting: int = 50,
+) -> DataFrame:
+    """EXACT cross-document duplicate spans: every maximal run of >=
+    ``min_len`` consecutive tokens shared verbatim between two
+    documents, with its start position in each — the substring-level
+    dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), which catches the partial copies
+    (quoted paragraphs, license blocks, syndicated ledes) that
+    whole-document MinHash misses, re-expressed relationally instead
+    of via their suffix array:
+
+    1. POSITIONED k-token shingles per document (JVM ``transform`` +
+       ``posexplode`` — no UDF): a span of L shared tokens is exactly
+       a run of L - k + 1 consecutive shingle matches.
+    2. Inverted index with the engine's posting guard: only shingles
+       occurring 2..``max_posting`` times survive ("count >= 2"
+       prunes the unique bulk of the corpus before the join;
+       ``max_posting`` caps the join's quadratic blowup the way
+       MinHash's ``max_bucket_size`` and the TF-IDF prefix cap do —
+       a shingle hotter than the cap is boilerplate, and boilerplate
+       spans surface through the line-level strip instead).
+    3. Self-join on the shingle (``doc_a < doc_b``), then the classic
+       islands pass on each pair's DIAGONAL (``pos_a - pos_b``):
+       consecutive matched positions on one diagonal are one shared
+       run; a ``lag``/running-sum window over (pair, diagonal) splits
+       the islands, and one groupBy emits each island's start + length.
+
+    Every exchange is keyed (shingle, then pair-diagonal); the windows
+    ride hash partitioning (never SinglePartition); span length is
+    ``#matched shingles + k - 1`` tokens.
+
+    Returns ``(doc_a, doc_b, start_a, start_b, span_tokens)`` with
+    0-based token offsets.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_len < k:
+        raise ValueError("min_len must be >= k (spans are measured in tokens)")
+    if max_posting < 2:
+        raise ValueError("max_posting must be >= 2")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    sh = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_t"), n.alias("_n"))
+        .filter(F.col("_n") >= k)
+        .select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_t"), i + 1, k)
+                    ),
+                )
+            ).alias("_pos", "_sh"),
+        )
+    )
+    counts = sh.groupBy("_sh").agg(F.count("*").alias("_c"))
+    idx = sh.join(
+        counts.filter(
+            (F.col("_c") >= 2) & (F.col("_c") <= int(max_posting))
+        ).select("_sh"),
+        "_sh",
+    )
+    a = idx.select(
+        F.col("_sh"),
+        F.col("_id").alias("doc_a"),
+        F.col("_pos").alias("_pa"),
+    )
+    b = idx.select(
+        F.col("_sh"),
+        F.col("_id").alias("doc_b"),
+        F.col("_pos").alias("_pb"),
+    )
+    pairs = (
+        a.join(b, "_sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "_pa",
+            "_pb",
+            (F.col("_pa") - F.col("_pb")).alias("_diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    runs = pairs.withColumn(
+        "_brk",
+        F.when(F.col("_pa") - F.lag("_pa").over(w) == 1, 0).otherwise(1),
+    ).withColumn(
+        "_run",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "_diag", "_run")
+        .agg(
+            F.min("_pa").cast("long").alias("start_a"),
+            F.min("_pb").cast("long").alias("start_b"),
+            (F.count("*") + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= int(min_len))
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )

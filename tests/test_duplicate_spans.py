@@ -1,0 +1,113 @@
+"""Exact cross-document duplicate-span detection (the substring-level
+dedup): hand-built span geometry, island splitting, posting-guard
+behavior, and partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_bestfit_spark.operators.dedup import duplicate_spans
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+class TestDuplicateSpans:
+    def test_exact_span_geometry(self, spark):
+        shared = _words("s", 12)  # 12-token verbatim span
+        df = _mk(spark, [
+            (1, _words("a", 4) + " " + shared + " " + _words("b", 3)),
+            (2, _words("c", 7) + " " + shared),
+            (3, _words("z", 30)),  # unrelated
+        ])
+        rows = duplicate_spans(df, k=5, min_len=10).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["start_a"] == 4 and r["start_b"] == 7
+        assert r["span_tokens"] == 12
+
+    def test_two_islands_on_one_diagonal(self, spark):
+        # same diagonal (equal offsets) but a gap between two runs:
+        # must come out as TWO spans, not one merged 25-token span
+        run1, run2 = _words("p", 10), _words("q", 10)
+        mid_a, mid_b = "xxa1 xxa2 xxa3", "yyb1 yyb2 yyb3"
+        df = _mk(spark, [
+            (1, run1 + " " + mid_a + " " + run2),
+            (2, run1 + " " + mid_b + " " + run2),
+        ])
+        rows = sorted(
+            (r["start_a"], r["start_b"], r["span_tokens"])
+            for r in duplicate_spans(df, k=5, min_len=8).collect()
+        )
+        assert rows == [(0, 0, 10), (13, 13, 10)]
+
+    def test_repeated_span_in_one_doc(self, spark):
+        shared = _words("r", 10)
+        df = _mk(spark, [
+            (1, shared),
+            (2, shared + " " + _words("m", 5) + " " + shared),
+        ])
+        rows = sorted(
+            (r["start_a"], r["start_b"], r["span_tokens"])
+            for r in duplicate_spans(df, k=5, min_len=10).collect()
+        )
+        assert rows == [(0, 0, 10), (0, 15, 10)]
+
+    def test_posting_guard_suppresses_hot_shingles(self, spark):
+        # the same 10-token banner in 30 docs: with max_posting=10 the
+        # banner's shingles are dropped and NO quadratic pair output
+        banner = _words("h", 10)
+        df = _mk(
+            spark,
+            [(i, banner + f" tail{i}x tail{i}y") for i in range(30)],
+        )
+        assert (
+            duplicate_spans(df, k=5, min_len=10, max_posting=10).count()
+            == 0
+        )
+        # raising the cap above the corpus frequency surfaces them all
+        assert (
+            duplicate_spans(df, k=5, min_len=10, max_posting=100).count()
+            == 30 * 29 // 2
+        )
+
+    def test_partitioning_invariant(self, spark):
+        shared = _words("s", 15)
+        rows = [(i, _words(f"u{i}_", 6) + " " + shared) for i in range(6)]
+        base = None
+        for parts in (1, 8):
+            df = _mk(spark, rows).repartition(parts)
+            got = sorted(
+                tuple(r)
+                for r in duplicate_spans(df, k=4, min_len=12).collect()
+            )
+            if base is None:
+                base = got
+            else:
+                assert got == base
+        assert len(base) == 15  # all C(6,2) pairs share the span
+
+    def test_short_docs_and_validation(self, spark):
+        df = _mk(spark, [(1, "a b c"), (2, "a b c")])
+        # 3 tokens < k=5: no shingles, no crash
+        assert duplicate_spans(df, k=5, min_len=10).count() == 0
+        with pytest.raises(ValueError, match="k must"):
+            duplicate_spans(df, k=0)
+        with pytest.raises(ValueError, match="min_len"):
+            duplicate_spans(df, k=5, min_len=3)
+        with pytest.raises(ValueError, match="max_posting"):
+            duplicate_spans(df, max_posting=1)
+
+    def test_plan_windows_hash_partitioned(self, spark):
+        df = _mk(spark, [(1, _words("a", 20)), (2, _words("a", 20))])
+        plan = (
+            duplicate_spans(df, k=5, min_len=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan
