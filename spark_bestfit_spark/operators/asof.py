@@ -37,11 +37,14 @@ def latest_by_key(
 
     Implemented as ``max_by(struct(<all other columns>), struct(ts,
     tiebreak))`` in ONE groupBy: unlike the ``row_number() = 1``
-    window idiom this needs no per-group sort and combines map-side
+    window idiom this never sorts by timestamp and combines map-side
     (each partition keeps one candidate row per key before the
     shuffle), so the exchange carries at most |keys| rows per
     partition — the right shape when the changelog has many updates
-    per key, which is the only time compaction matters.
+    per key, which is the only time compaction matters. (The struct
+    aggregate compiles to a SortAggregate — a partition-local sort by
+    the KEY for aggregation, applied to the pre-reduced relation, not
+    an ORDER BY ts over data rows.)
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     others = [c for c in df.columns if c not in keys]

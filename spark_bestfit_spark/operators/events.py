@@ -325,9 +325,10 @@ def pivot_counts(
     Count/sum cells with no matching rows read 0; avg cells read null
     (an average of nothing is unknown, not zero).
 
-    Execution: Spark's native pivot compiles to ONE groupBy with a
-    conditional aggregate per value — map-side combinable, a single
-    exchange on ``row_col``, no per-value scans.
+    Execution: Spark's native pivot compiles to a two-stage aggregate
+    — count per ``(row, pivot)`` pair, then ``pivotfirst`` per row —
+    so both exchanges carry pre-aggregated rows bounded by
+    ``|rows| x |values|``, never data rows, from one scan.
     """
     if not values:
         raise ValueError("values must be a non-empty explicit list")

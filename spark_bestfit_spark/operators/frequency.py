@@ -15,14 +15,17 @@ the shuffle with a Misra-Gries summary:
   frequency >= phi * N exceeds that bar in at least one partition, so
   the union of per-partition candidates is a superset of the true
   heavy hitters whenever ``k + 1 > 1/phi`` (validated).
-* phase 2: the candidate set (<= k rows per partition, tiny) is
-  broadcast back as a left-semi probe — map-only — and only the
-  surviving rows pay a groupBy, whose key space is the candidate set,
-  not the vocabulary. The corpus total rides the plan as a broadcast
-  1-row relation (no eager count), and the final ``HAVING``-style
-  filter makes the output EXACTLY the naive query's answer —
-  candidates are a superset, and the exact-count filter trims the
-  superset back, independent of partitioning.
+* phase 2: the driver folds the bounded sketch output (<= k + 1 rows
+  per partition — one sentinel row per partition carries its row
+  count, so the corpus total N comes from the SAME pass; this is the
+  exact-K-S bucket-total convention of a constant-size driver action),
+  broadcasts the candidate set back as a left-semi probe — map-only —
+  and only the surviving rows pay a groupBy, whose key space is the
+  candidate set, not the vocabulary. The whole operator is exactly TWO
+  scans of the input, and the final ``HAVING``-style filter makes the
+  output EXACTLY the naive query's answer — candidates are a
+  superset, and the exact-count filter trims the superset back,
+  independent of partitioning.
 
 No reference-repo analog (the reference is a fitting library); this is
 a first-class pipeline extra in the mold of `robust_stats_approx`
@@ -77,6 +80,7 @@ def heavy_hitters(
         [
             T.StructField("item", item_type),
             T.StructField("_lb", T.LongType()),
+            T.StructField("_tot", T.BooleanType()),
         ]
     )
 
@@ -85,7 +89,9 @@ def heavy_hitters(
         import pandas as pd
 
         counters: dict = {}
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             for item, c in pdf["item"].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
@@ -102,27 +108,46 @@ def heavy_hitters(
                 counters = {
                     i: c - int(m) for i, c in counters.items() if c > m
                 }
-        if counters:
-            yield pd.DataFrame(
-                {
-                    "item": list(counters.keys()),
-                    "_lb": list(counters.values()),
-                }
-            )
+        # one sentinel row carries the partition's row count, so the
+        # corpus total N needs NO third scan of the input — it is the
+        # sum of the sentinels from the same sketch pass
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "_lb": list(counters.values()) + [n_p],
+                "_tot": [False] * len(counters) + [True],
+            }
+        )
 
-    candidates = (
-        src.mapInPandas(_mg, schema=out_schema).select("item").distinct()
+    # ONE bounded driver action folds the sketch (<= k + 1 rows per
+    # partition, constant w.r.t. data size — the exact-K-S bucket-total
+    # convention): candidate items + the corpus total N from the same
+    # pass, so the whole operator is exactly TWO scans of the input
+    # (sketch, then exact count) — a diamond on the lazy sketch
+    # relation would re-run the sketch scan instead.
+    collected = src.mapInPandas(_mg, schema=out_schema).collect()
+    n = sum(int(r["_lb"]) for r in collected if r["_tot"])
+    items = [
+        r["item"]
+        for r in collected
+        if not r["_tot"] and r["item"] is not None
+    ]
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(i,) for i in set(items)],
+        T.StructType([T.StructField("item", item_type)]),
     )
-    total = src.agg(F.count("*").cast("double").alias("_n"))
+    thresh = int(math.ceil(phi * n)) if n else 1
     return (
-        src.join(F.broadcast(candidates), "item", "left_semi")
+        src.join(F.broadcast(cand), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").cast("long").alias("n"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("n") >= F.ceil(F.lit(float(phi)) * F.col("_n")))
+        .filter(F.col("n") >= F.lit(thresh))
         .select(
             "item",
             "n",
-            F.round(F.col("n") / F.col("_n"), 6).alias("frac"),
+            F.round(F.col("n") / F.lit(float(max(n, 1))), 6).alias(
+                "frac"
+            ),
         )
     )

@@ -329,3 +329,85 @@ class TestRound6PlanShapes:
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "Generate" in plan  # the posexplode
+
+
+class TestRound7PlanShapes:
+    def test_latest_by_key_is_one_agg_exchange_no_window(self, spark):
+        """Changelog compaction must be the map-side-combinable max_by
+        aggregate, not the row_number idiom: exactly ONE hash exchange
+        on the key and NO Window node (no per-group sort of data
+        rows)."""
+        from spark_bestfit_spark.operators.asof import latest_by_key
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        out = latest_by_key(
+            ev.select("user_id", "event_id", "ts", "value"),
+            "user_id", "ts", tiebreak_col="event_id",
+        )
+        plan = _physical(out)
+        assert "Window" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_heavy_hitters_never_shuffle_joins(self, spark):
+        """Both joins in the heavy-hitter plan (candidate left-semi
+        probe, 1-row total) must arrive by broadcast — the wide
+        relation is never sort-merge/shuffle-hash joined, so the only
+        exchanges carry MG candidates and candidate-keyed counts."""
+        from spark_bestfit_spark.operators.frequency import heavy_hitters
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        toks = docs.selectExpr(
+            "explode(split(lower(trim(text)), '\\\\s+')) AS tok"
+        )
+        plan = _physical(heavy_hitters(toks, "tok", phi=0.002))
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_pivot_is_single_exchange_aggregate(self, spark):
+        """Explicit-domain pivot compiles to the two-stage aggregate
+        (count per (row, pivot) pair -> pivotfirst per row), so BOTH
+        exchanges carry pre-aggregated rows bounded by |rows| x
+        |values| — never data rows — from ONE scan, with no eager
+        distinct pass."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.events import pivot_counts
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "day_id",
+            F.expr(
+                "unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000"
+                " div 86400000000000"
+            ),
+        )
+        out = pivot_counts(
+            ev, "day_id", "event_type",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+        plan = _physical(out)
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        # both exchange inputs are partial aggregates, not data rows
+        assert plan.count("partial_") == 2, plan
+        assert plan.count("Scan parquet") == 1
+        assert "SinglePartition" not in plan
+
+    def test_funnel_groupby_reuses_window_partitioning(self, spark):
+        """The funnel's k chained window mins AND its final per-user
+        collapse must ride ONE entity-hash exchange (groupBy satisfied
+        by Window.partitionBy) — plan-level proof the operator costs
+        what any single per-entity pass costs."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.events import funnel
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "ts",
+            F.expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000"),
+        )
+        out = funnel(
+            ev, ["view", "click", "purchase"], window=7 * 24 * 3600 * 10**9
+        )
+        plan = _physical(out)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SinglePartition" not in plan
