@@ -1,0 +1,140 @@
+"""Streaming per-entity rolling anomaly detection via
+``applyInPandasWithState``.
+
+The streaming twin of the batch :func:`~spark_bestfit_spark.operators.
+asof.rolling_stats`: each entity carries the last ``window`` observed
+values as keyed state (O(window) per key, the same bound the batch
+row-frame gives), and every arriving row is scored against its
+entity's trailing window — mean / stddev / z-score / anomaly flag —
+then pushed into it. With rows arriving in timestamp order the
+emitted scores are IDENTICAL to the batch operator's (pinned by the
+equivalence test); out-of-order arrivals are scored against the
+window as-of arrival, the standard online-detector semantics (use the
+batch operator for exact retrospective scoring).
+
+State is a plain double array (no timestamps retained): bounded,
+serializable, and merge-free — each micro-batch appends its
+ts-sorted rows and trims to the last ``window`` values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["streaming_rolling_anomaly", "ANOMALY_SCHEMA"]
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("rolling_count", LongType()),
+        StructField("rolling_mean", DoubleType()),
+        StructField("rolling_stddev", DoubleType()),
+        StructField("rolling_z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = "vals array<double>"
+
+
+def streaming_rolling_anomaly(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: int = 10,
+    min_periods: int = 2,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Score each arriving row against its entity's trailing
+    ``window`` values (current row INCLUDED — the batch
+    :func:`rolling_stats` convention, so in-order streams reproduce
+    the batch scores exactly): emits per row the window count, mean,
+    sample stddev, z-score (null below ``min_periods`` rows or at
+    zero stddev), and ``is_anomaly = |z| >= z_threshold``.
+
+    Rows are processed in ``ts_col`` order WITHIN each micro-batch;
+    ``ts_col`` must be numeric (the engine's epoch-nanos convention).
+    Stats are rounded to 6 decimals, matching the batch operator.
+
+    Usage::
+
+        out = streaming_rolling_anomaly(stream, "value", "ts", "user_id")
+        out.writeStream.outputMode("append")...
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not 1 <= min_periods <= window:
+        raise ValueError("min_periods must be in [1, window]")
+    if z_threshold <= 0:
+        raise ValueError("z_threshold must be positive")
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (vals,) = state.get if state.exists else ([],)
+        buf = list(vals)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            out = {c.name: [] for c in ANOMALY_SCHEMA.fields}
+            for ts, v in zip(
+                pdf[ts_col].to_numpy(), pdf[value_col].to_numpy()
+            ):
+                fv = float(v)
+                if not np.isfinite(fv):
+                    continue
+                buf.append(fv)
+                if len(buf) > window:
+                    buf = buf[-window:]
+                n = len(buf)
+                out["key"].append(str(key[0]))
+                out["ts"].append(int(ts))
+                out["value"].append(fv)
+                out["rolling_count"].append(n)
+                if n >= min_periods:
+                    arr = np.asarray(buf)
+                    m = float(arr.mean())
+                    s = float(arr.std(ddof=1)) if n > 1 else 0.0
+                    z = (fv - m) / s if s > 0 else None
+                    out["rolling_mean"].append(round(m, 6))
+                    out["rolling_stddev"].append(round(s, 6))
+                    out["rolling_z"].append(
+                        round(z, 6) if z is not None else None
+                    )
+                    out["is_anomaly"].append(
+                        z is not None and abs(z) >= z_threshold
+                    )
+                else:
+                    out["rolling_mean"].append(None)
+                    out["rolling_stddev"].append(None)
+                    out["rolling_z"].append(None)
+                    out["is_anomaly"].append(False)
+            if out["key"]:
+                yield pd.DataFrame(out)
+        state.update((buf,))
+
+    grouped = df.select(key_col, ts_col, value_col).groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
