@@ -1095,3 +1095,174 @@ def wasserstein_by_group(
         )
         .select(F.col("g").alias(group_col), "w1", "n_a", "n_b")
     )
+
+
+def qq_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    fractions: list[float] | None = None,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quantile-quantile drift profile: the two samples' quantiles at a
+    shared fraction grid, side by side, with the per-quantile shift —
+    the WHERE of the drift family (K-S says how far apart the
+    distributions are at the worst point, W1 says how much mass moved;
+    the QQ profile says which part of the range moved, which is what a
+    human debugging a data shift actually reads).
+
+    One ``percentile(col, array(...))`` aggregation per side (1-row
+    relations, ``approx=True`` for Greenwald-Khanna at 100 TB), a
+    broadcast cross-join, and one ``posexplode`` over the shared grid
+    — a single lazy plan, no driver action.
+
+    Returns ``(q, quantile_a, quantile_b, shift)`` — quantiles rounded
+    to 6, ``shift = quantile_b - quantile_a``.
+    """
+    fr = fractions or [0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+    if not fr or not all(0.0 <= f <= 1.0 for f in fr):
+        raise ValueError("fractions must be within [0, 1]")
+    cb = column_b or column
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
+    arr = ", ".join(repr(float(f)) for f in fr)
+    qa = valid_column(df_a, column).agg(
+        F.expr(
+            f"transform({pctl}({column}, array({arr}){acc}),"
+            " e -> round(e, 6))"
+        ).alias("_qa")
+    )
+    qb = valid_column(df_b, cb).agg(
+        F.expr(
+            f"transform({pctl}({cb}, array({arr}){acc}),"
+            " e -> round(e, 6))"
+        ).alias("_qb")
+    )
+    # F.lit floats, not a SQL array literal: `array(0.1, ...)` parses
+    # as DECIMAL and leaks Decimal objects into the output column
+    grid = F.array(*[F.lit(float(f)) for f in fr])
+    return (
+        qa.crossJoin(F.broadcast(qb))
+        .select(
+            F.posexplode(grid).alias("_i", "q"),
+            "_qa",
+            "_qb",
+        )
+        .select(
+            "q",
+            F.element_at("_qa", F.col("_i") + 1).alias("quantile_a"),
+            F.element_at("_qb", F.col("_i") + 1).alias("quantile_b"),
+            F.round(
+                F.element_at("_qb", F.col("_i") + 1)
+                - F.element_at("_qa", F.col("_i") + 1),
+                6,
+            ).alias("shift"),
+        )
+    )
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Association strength between two categorical columns as a 1-row
+    relation ``(n, dof, chi2, v)`` — the chi-squared independence test
+    plus Cramér's V (``sqrt(chi2 / (n * (min(r, c) - 1)))``, 0 = no
+    association, 1 = fully determined), the categorical complement of
+    the numeric correlation matrix (SURVEY A8).
+
+    One contingency groupBy (combiner-friendly, |a| x |b| keys) is the
+    only data-sized pass; marginals and the total derive from that
+    small relation and rejoin by broadcast, so the whole statistic is
+    one lazy plan. Null categories are excluded (a null names no
+    level). chi2 and v are rounded to 6.
+    """
+    clean = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    obs = clean.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").alias("_o"))
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = obs.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_a").alias("_r"),
+        F.countDistinct("_b").alias("_c"),
+    )
+    cells = (
+        obs.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    chi2 = cells.agg(
+        F.sum(
+            F.pow(
+                F.col("_o") - F.col("_ra") * F.col("_cb") / F.col("_n"),
+                2,
+            )
+            / (F.col("_ra") * F.col("_cb") / F.col("_n"))
+        ).alias("_chi2"),
+        F.first("_n").alias("_n"),
+        F.first("_r").alias("_r"),
+        F.first("_c").alias("_c"),
+    )
+    return chi2.select(
+        F.col("_n").cast("long").alias("n"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("_chi2")
+                / (F.col("_n") * (F.least("_r", "_c") - F.lit(1)))
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    column: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column — globally or
+    per group: ``H = -sum p ln p`` over the level frequencies, the
+    diversity gauge of the curation reports (a domain whose language
+    or source entropy collapses is a domain one pipeline stage
+    stopped varying).
+
+    One combiner groupBy on (group, level) is the only data-sized
+    pass; the per-group totals ride a window over that small
+    aggregated relation. Null levels are excluded; null groups name no
+    group. Returns ``(group_col?, n, n_levels, entropy)`` with entropy
+    rounded to 6.
+    """
+    clean = df.filter(F.col(column).isNotNull())
+    if group_col is not None:
+        clean = clean.filter(F.col(group_col).isNotNull())
+        keys = [F.col(group_col).alias("_g")]
+    else:
+        keys = [F.lit(0).alias("_g")]
+    counts = clean.groupBy(
+        *keys, F.col(column).alias("_lvl")
+    ).agg(F.count("*").alias("_c"))
+    from pyspark.sql import Window as _W
+
+    wg = _W.partitionBy("_g")
+    scored = counts.withColumn("_n", F.sum("_c").over(wg)).withColumn(
+        "_p", F.col("_c") / F.col("_n")
+    )
+    agg = scored.groupBy("_g").agg(
+        F.first("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_levels"),
+        F.round(-F.sum(F.col("_p") * F.log("_p")), 6).alias("entropy"),
+    )
+    if group_col is not None:
+        return agg.select(
+            F.col("_g").alias(group_col), "n", "n_levels", "entropy"
+        )
+    return agg.select("n", "n_levels", "entropy")

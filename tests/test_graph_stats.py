@@ -1,0 +1,160 @@
+"""Graph operators (triangles / degrees) and the categorical stats
+wave (QQ drift, Cramér's V, entropy) — cross-checked against
+brute-force / numpy recomputation."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.operators.graph import degree_stats, triangle_count
+from spark_bestfit_spark.operators.stats import (
+    categorical_entropy,
+    cramers_v,
+    qq_drift,
+)
+
+
+def _random_graph(n=40, p=0.15, seed=7):
+    rng = np.random.default_rng(seed)
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if rng.random() < p
+    ]
+    return edges
+
+
+def _brute_triangles(edges):
+    es = {frozenset(e) for e in edges}
+    verts = sorted({v for e in edges for v in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(verts, 3)
+        if {a, b} in es and {a, c} in es and {b, c} in es
+    )
+
+
+class TestTriangleCount:
+    def test_matches_brute_force(self, spark):
+        edges = _random_graph()
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        r = triangle_count(df).first()
+        assert r["n_triangles"] == _brute_triangles(edges)
+        assert r["n_edges"] == len(edges)
+        assert r["n_vertices"] == len({v for e in edges for v in e})
+
+    def test_dedup_orientation_and_loops(self, spark):
+        # duplicated edges, reversed orientation, and a self-loop must
+        # all collapse; K4 has exactly 4 triangles
+        k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+              (3, 4), (2, 2)]
+        df = spark.createDataFrame(k4, "id_a long, id_b long")
+        r = triangle_count(df).first()
+        assert r["n_triangles"] == 4
+        assert r["n_edges"] == 6
+        assert r["n_vertices"] == 4
+
+    def test_hub_graph_star_has_no_triangles(self, spark):
+        star = [(0, i) for i in range(1, 50)]
+        df = spark.createDataFrame(star, "id_a long, id_b long")
+        assert triangle_count(df).first()["n_triangles"] == 0
+
+    def test_degree_stats(self, spark):
+        edges = _random_graph(seed=13)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["vertex"]: r["degree"]
+            for r in degree_stats(df).collect()
+        }
+        exp: dict = {}
+        for a, b in edges:
+            exp[a] = exp.get(a, 0) + 1
+            exp[b] = exp.get(b, 0) + 1
+        assert got == exp
+
+
+class TestQQDrift:
+    def test_matches_numpy_percentiles(self, spark):
+        rng = np.random.default_rng(19)
+        a = rng.normal(10, 3, 4000).round(4)
+        b = (a + 2.5).round(4)  # pure shift
+        da = spark.createDataFrame(pd.DataFrame({"v": a}))
+        db = spark.createDataFrame(pd.DataFrame({"v": b}))
+        rows = {r["q"]: r for r in qq_drift(da, db, "v").collect()}
+        for q, r in rows.items():
+            ea = round(np.percentile(a, 100 * q, method="linear"), 6)
+            eb = round(np.percentile(b, 100 * q, method="linear"), 6)
+            assert r["quantile_a"] == pytest.approx(ea, abs=1e-6)
+            assert r["quantile_b"] == pytest.approx(eb, abs=1e-6)
+            assert r["shift"] == pytest.approx(2.5, abs=1e-3)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"v": [1.0]}))
+        with pytest.raises(ValueError, match="fractions"):
+            qq_drift(df, df, "v", fractions=[1.5])
+
+
+class TestCramersV:
+    def test_matches_hand_chi2(self, spark):
+        rng = np.random.default_rng(23)
+        # dependent pair: b correlates with a
+        a = rng.choice(["x", "y", "z"], 3000)
+        flip = rng.random(3000) < 0.3
+        b = np.where(flip, rng.choice(["p", "q"], 3000), np.where(a == "x", "p", "q"))
+        df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b}))
+        r = cramers_v(df, "a", "b").first()
+        ct = pd.crosstab(pd.Series(a), pd.Series(b)).values
+        n = ct.sum()
+        exp = np.outer(ct.sum(1), ct.sum(0)) / n
+        chi2 = ((ct - exp) ** 2 / exp).sum()
+        v = np.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+        assert r["n"] == n
+        assert r["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+        assert r["chi2"] == pytest.approx(round(chi2, 6), abs=1e-4)
+        assert r["v"] == pytest.approx(round(v, 6), abs=1e-6)
+        assert r["v"] > 0.5  # genuinely associated
+
+    def test_independent_columns_near_zero(self, spark):
+        rng = np.random.default_rng(29)
+        df = spark.createDataFrame(pd.DataFrame({
+            "a": rng.choice(["x", "y"], 5000),
+            "b": rng.choice(["p", "q", "r"], 5000),
+        }))
+        assert cramers_v(df, "a", "b").first()["v"] < 0.05
+
+
+class TestCategoricalEntropy:
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(31)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["d1", "d2"], 4000),
+            "lang": rng.choice(["en", "de", "fr", "ja"], 4000,
+                               p=[0.7, 0.15, 0.1, 0.05]),
+        })
+        df = spark.createDataFrame(pdf)
+        got = {
+            r["g"]: r
+            for r in categorical_entropy(df, "lang", "g").collect()
+        }
+        for g, grp in pdf.groupby("g"):
+            p = grp["lang"].value_counts(normalize=True).values
+            h = float(-(p * np.log(p)).sum())
+            assert got[g]["n"] == len(grp)
+            assert got[g]["n_levels"] == grp["lang"].nunique()
+            assert got[g]["entropy"] == pytest.approx(
+                round(h, 6), abs=1e-6
+            )
+        glob = categorical_entropy(df, "lang").first()
+        p = pdf["lang"].value_counts(normalize=True).values
+        assert glob["entropy"] == pytest.approx(
+            round(float(-(p * np.log(p)).sum()), 6), abs=1e-6
+        )
+
+    def test_constant_column_zero_entropy(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"c": ["k"] * 10}))
+        r = categorical_entropy(df, "c").first()
+        assert r["entropy"] == 0.0 and r["n_levels"] == 1
