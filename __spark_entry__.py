@@ -1931,6 +1931,43 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_events_scd2(spark, sf_dir):
+    """SCD type-2 history view of the per-user event changelog:
+    explicit validity intervals from one lead() window."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import scd2_history
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = scd2_history(
+        ev, "user_id", "ts", tiebreak_col="event_id",
+        current_sentinel=2**62,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
+def _q_neardup_pagerank(spark, sf_dir):
+    """PageRank centrality of the exact-Jaccard near-dup graph (3
+    power iterations, damping 0.85) — the canonical copies rank above
+    peripheral matches; the oracle replays the iterations as chained
+    SQL CTEs."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import jaccard_pairs
+    from spark_bestfit_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    edges = jaccard_pairs(
+        docs, block_col="lang", threshold=0.5, shingle_k=1
+    )
+    return pagerank(edges, "id_a", "id_b", iterations=3)
+
+
 def _q_neardup_triangles(spark, sf_dir):
     """Triangle census of the exact-Jaccard near-dup graph
     (degree-ordered wedge counting — triangle-dense regions are real
@@ -2813,19 +2850,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-7 rotation. The thirteen NEW queries
-        # (audio_features / video_frames — REAL stdlib wave/AVI
-        # decodes, wasserstein_drift + wasserstein_by_group,
-        # events_rolling, contamination_overlap, boilerplate_strip,
-        # token_budget_selection, and the event-analytics wave:
-        # event_funnel, cohort_retention, event_transitions,
-        # events_resampled, heavy_hitter_tokens) and the six queries
-        # whose OPERATOR CODE changed this round (in-plan idf corpus
-        # count, prefix posting guard, IVF local-quantizer sample fix,
-        # chunk/multimodal edits) lead, followed by the
-        # round-6-unhashed queries — so every entry is re-hashed on
-        # the shortest possible cycle (the overflow moves r1-r5-hashed
-        # entries to the tail head). The strict local harness
+        # ---- head 50: round-7 rotation. The round-7 NEW queries lead
+        # (multimodal decodes, Wasserstein pair, events_rolling, the
+        # curation trio, the event-analytics wave, the normalization
+        # wave, the warehouse wave, duplicate_spans,
+        # streaming_anomaly, and the categorical/graph wave), then the
+        # six queries whose OPERATOR CODE changed this round (in-plan
+        # idf corpus count, prefix posting guard, IVF local-quantizer
+        # sample fix, chunk/multimodal edits), then round-6-unhashed
+        # queries — so every entry is re-hashed on the shortest
+        # possible cycle (the overflow moves r1-r5-hashed entries to
+        # the tail head). The strict local harness
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
@@ -2848,6 +2883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "streaming_anomaly": _q_streaming_anomaly,
+        "events_scd2": _q_events_scd2,
+        "neardup_pagerank": _q_neardup_pagerank,
         "neardup_triangles": _q_neardup_triangles,
         "qq_drift_price": _q_qq_drift_price,
         "cramers_lineitem": _q_cramers_lineitem,
@@ -2877,12 +2914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
-        "stratum_counts": _q_stratum_counts,
-        "domain_mixture": _q_domain_mixture,
         # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "stratum_counts": _q_stratum_counts,
+        "domain_mixture": _q_domain_mixture,
         "psi_drift": _q_psi_drift,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_flags": _q_doc_pii_flags,
@@ -4440,6 +4477,64 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "events_scd2": """
+            SELECT user_id, event_id, epoch_ns(ts) AS ts,
+                   epoch_ns(ts) AS valid_from,
+                   coalesce(lead(epoch_ns(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id),
+                     4611686018427387904) AS valid_to,
+                   lead(epoch_ns(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL AS is_current
+            FROM events WHERE user_id < 30
+        """,
+        "neardup_pagerank": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     list_distinct(
+                       string_split_regex(lower(trim(text)), '\\s+')) AS tk
+              FROM documents WHERE doc_id < 300
+            ),
+            e AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.tk, b.tk))
+                    / len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE,
+                    6) >= 0.5
+            ),
+            sym AS (
+              SELECT a AS s, b AS t FROM e
+              UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT s, count(*) AS d FROM sym GROUP BY s),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (
+              SELECT s AS v, 1.0 / (SELECT n FROM nn) AS r FROM deg
+            ),
+            r1 AS (
+              SELECT sym.t AS v,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * sum(r0.r / deg.d) AS r
+              FROM sym JOIN deg USING (s) JOIN r0 ON r0.v = sym.s
+              GROUP BY sym.t
+            ),
+            r2 AS (
+              SELECT sym.t AS v,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * sum(r1.r / deg.d) AS r
+              FROM sym JOIN deg USING (s) JOIN r1 ON r1.v = sym.s
+              GROUP BY sym.t
+            ),
+            r3 AS (
+              SELECT sym.t AS v,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * sum(r2.r / deg.d) AS r
+              FROM sym JOIN deg USING (s) JOIN r2 ON r2.v = sym.s
+              GROUP BY sym.t
+            )
+            SELECT v AS vertex, round(r, 6) AS rank FROM r3
         """,
         "neardup_triangles": """
             WITH s AS (

@@ -20,7 +20,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["asof_join", "range_join", "rolling_stats", "latest_by_key"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "rolling_stats",
+    "latest_by_key",
+    "scd2_history",
+]
 
 
 def latest_by_key(
@@ -182,6 +188,45 @@ def asof_join(
             out = out.withColumn(
                 c, F.when(stale, F.lit(None)).otherwise(F.col(c))
             )
+    return out
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    current_sentinel: int | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 view of a changelog: every row
+    becomes a VERSION of its key with an explicit validity interval —
+    ``valid_from`` = its own timestamp, ``valid_to`` = the next
+    version's timestamp (``current_sentinel`` or null for the latest),
+    plus ``is_current`` — the standard warehouse history table that
+    :func:`latest_by_key` is the compaction of, and the relation an
+    :func:`asof_join` probes.
+
+    One entity-hash window (``lead`` over the key's timeline; ties in
+    ``ts_col`` break by ``tiebreak_col`` — pass a unique id for a
+    deterministic, engine-independent versioning). All input columns
+    are preserved.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ord_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        ord_cols.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*keys).orderBy(*ord_cols)
+    nxt = F.lead(ts_col).over(w)
+    out = (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn(
+            "valid_to",
+            F.coalesce(nxt, F.lit(current_sentinel))
+            if current_sentinel is not None
+            else nxt,
+        )
+        .withColumn("is_current", nxt.isNull())
+    )
     return out
 
 

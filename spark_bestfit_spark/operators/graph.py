@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["triangle_count", "degree_stats"]
+__all__ = ["triangle_count", "degree_stats", "pagerank"]
 
 
 def _canonical_edges(
@@ -115,4 +115,70 @@ def triangle_count(
         nv.crossJoin(F.broadcast(ne))
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over the undirected simple graph (each edge walks both
+    ways) — which documents sit at the CENTER of the near-dup mesh
+    (the canonical copies everything else derives from), versus
+    peripheral one-off matches.
+
+    Synchronous power iteration, all relational: per step one join of
+    the rank relation to the symmetric edge list on the source vertex
+    and one combiner groupBy on the destination — the same
+    join+aggregate round the connected-components operator uses, with
+    ``localCheckpoint`` lineage truncation every ``checkpoint_every``
+    steps so the plan stays flat at any iteration count. Undirected
+    graphs have no dangling vertices (every vertex has degree >= 1),
+    so the update is exactly
+    ``r' = (1 - d)/N + d * sum(r_in / deg_in)``. The vertex count N is
+    one bounded driver scalar (the exact-K-S convention).
+
+    Returns ``(vertex, rank)`` with rank rounded to 6; ranks sum to ~1.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = _canonical_edges(edges, src, dst)
+    sym = e.select(
+        F.col("a").alias("s"), F.col("b").alias("t")
+    ).unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("t")))
+    deg = sym.groupBy("s").agg(F.count("*").alias("_deg"))
+    n = deg.count()
+    if n == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "vertex long, rank double")
+    base = (1.0 - damping) / n
+    ranks = deg.select(
+        F.col("s").alias("v"), F.lit(1.0 / n).alias("r")
+    )
+    contrib_src = sym.join(F.broadcast(deg) if n < 1_000_000 else deg, "s")
+    for i in range(iterations):
+        ranks = (
+            contrib_src.join(
+                ranks, contrib_src["s"] == ranks["v"]
+            )
+            .select(
+                F.col("t"),
+                (F.col("r") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("t")
+            .agg(
+                (F.lit(base) + F.lit(damping) * F.sum("_c")).alias("r")
+            )
+            .select(F.col("t").alias("v"), "r")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("v").alias("vertex"), F.round("r", 6).alias("rank")
     )

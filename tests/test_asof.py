@@ -196,6 +196,63 @@ class TestLatestByKey:
             )
 
 
+class TestScd2History:
+    def test_validity_intervals(self, spark):
+        from spark_bestfit_spark.operators.asof import scd2_history
+
+        rows = [
+            (1, 10, "v1", 0), (1, 20, "v2", 1), (1, 30, "v3", 2),
+            (2, 5, "only", 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts long, payload string, rid long"
+        )
+        got = {
+            r["rid"]: r
+            for r in scd2_history(df, "k", "ts", tiebreak_col="rid").collect()
+        }
+        assert (got[0]["valid_from"], got[0]["valid_to"]) == (10, 20)
+        assert (got[1]["valid_from"], got[1]["valid_to"]) == (20, 30)
+        assert got[2]["valid_to"] is None and got[2]["is_current"]
+        assert not got[0]["is_current"] and not got[1]["is_current"]
+        assert got[3]["valid_to"] is None and got[3]["is_current"]
+
+    def test_sentinel_and_latest_consistency(self, spark):
+        from spark_bestfit_spark.operators.asof import (
+            latest_by_key,
+            scd2_history,
+        )
+
+        rng = np.random.default_rng(91)
+        pdf = pd.DataFrame({
+            "rid": np.arange(400),
+            "k": rng.integers(0, 25, 400),
+            "ts": rng.integers(0, 120, 400),  # ties
+            "x": rng.normal(0, 1, 400).round(3),
+        })
+        df = spark.createDataFrame(pdf)
+        hist = scd2_history(
+            df, "k", "ts", tiebreak_col="rid",
+            current_sentinel=2**62,
+        ).toPandas()
+        assert (hist["valid_to"].notna()).all()  # sentinel fills nulls
+        cur = hist[hist["is_current"]]
+        assert len(cur) == pdf["k"].nunique()  # one current row per key
+        # the current SCD2 version IS the latest_by_key snapshot
+        latest = latest_by_key(
+            df, "k", "ts", tiebreak_col="rid"
+        ).toPandas()
+        a = cur.sort_values("k")[["k", "rid"]].reset_index(drop=True)
+        b = latest.sort_values("k")[["k", "rid"]].reset_index(drop=True)
+        assert a.equals(b)
+        # intervals tile each key's timeline without overlap
+        for k, grp in hist.groupby("k"):
+            g = grp.sort_values(["valid_from", "rid"])
+            froms = g["valid_from"].values
+            tos = g["valid_to"].values
+            assert (tos[:-1] == froms[1:]).all(), k
+
+
 class TestRollingStats:
     def test_matches_pandas_rolling(self, spark):
         """rolling_stats vs pandas groupby().rolling() for mean/std/

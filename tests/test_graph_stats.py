@@ -77,6 +77,49 @@ class TestTriangleCount:
         assert got == exp
 
 
+class TestPagerank:
+    def test_matches_numpy_power_iteration(self, spark):
+        from spark_bestfit_spark.operators.graph import pagerank
+
+        edges = _random_graph(n=30, p=0.2, seed=37)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["vertex"]: r["rank"]
+            for r in pagerank(df, iterations=6, damping=0.85).collect()
+        }
+        verts = sorted({v for e in edges for v in e})
+        idx = {v: i for i, v in enumerate(verts)}
+        n = len(verts)
+        A = np.zeros((n, n))
+        for a, b in set(map(lambda e: tuple(sorted(e)), edges)):
+            A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+        deg = A.sum(1)
+        r = np.full(n, 1.0 / n)
+        for _ in range(6):
+            r = (1 - 0.85) / n + 0.85 * (A.T @ (r / deg))
+        assert len(got) == n
+        for v in verts:
+            assert got[v] == pytest.approx(
+                round(r[idx[v]], 6), abs=2e-6
+            ), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+
+    def test_hub_ranks_highest_and_validation(self, spark):
+        from spark_bestfit_spark.operators.graph import pagerank
+
+        star = [(0, i) for i in range(1, 20)]
+        df = spark.createDataFrame(star, "id_a long, id_b long")
+        got = {
+            r["vertex"]: r["rank"] for r in pagerank(df, iterations=8).collect()
+        }
+        assert got[0] == max(got.values())
+        assert got[0] > 5 * got[1]
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.5)
+
+
 class TestQQDrift:
     def test_matches_numpy_percentiles(self, spark):
         rng = np.random.default_rng(19)
