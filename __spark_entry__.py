@@ -1931,6 +1931,49 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: to each view event, the next click value by
+    the same user within one hour (merge_asof direction='forward')."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        views, clicks, time_col="ts", by=["user_id"],
+        direction="forward", tolerance=3600 * 10**9,
+    )
+    return out.select("user_id", "event_id", "ts", "value_right", "ts_right")
+
+
+def _q_events_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join: to each view event, the temporally closest
+    click by the same user within 30 minutes, ties going backward
+    (merge_asof direction='nearest')."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        views, clicks, time_col="ts", by=["user_id"],
+        direction="nearest", tolerance=1800 * 10**9,
+    )
+    return out.select("user_id", "event_id", "ts", "value_right", "ts_right")
+
+
 def _q_events_scd2(spark, sf_dir):
     """SCD type-2 history view of the per-user event changelog:
     explicit validity intervals from one lead() window."""
@@ -2883,6 +2926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "streaming_anomaly": _q_streaming_anomaly,
+        "events_asof_forward": _q_events_asof_forward,
+        "events_asof_nearest": _q_events_asof_nearest,
         "events_scd2": _q_events_scd2,
         "neardup_pagerank": _q_neardup_pagerank,
         "neardup_triangles": _q_neardup_triangles,
@@ -2911,13 +2956,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "score_logpdf": _q_score_logpdf,
         "two_sample_ks": _q_two_sample_ks,
-        "discrete_pmf_psize": _q_discrete_pmf,
-        "topk_per_group": _q_topk_per_group,
-        "threshold_filter": _q_threshold_filter,
-        # ---- tail: overflow from the head-50 as round-7 operators
+        "discrete_pmf_psize": _q_discrete_pmf,        # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+
+        "topk_per_group": _q_topk_per_group,
+        "threshold_filter": _q_threshold_filter,
         "stratum_counts": _q_stratum_counts,
         "domain_mixture": _q_domain_mixture,
         "psi_drift": _q_psi_drift,
@@ -4477,6 +4522,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "events_asof_forward": """
+            WITH v AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS t
+              FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+              SELECT user_id, epoch_ns(ts) AS t, value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, v.event_id, v.t AS ts,
+                   (SELECT c.value FROM c
+                    WHERE c.user_id = v.user_id AND c.t >= v.t
+                      AND c.t - v.t <= 3600000000000
+                    ORDER BY c.t LIMIT 1) AS value_right,
+                   (SELECT c.t FROM c
+                    WHERE c.user_id = v.user_id AND c.t >= v.t
+                      AND c.t - v.t <= 3600000000000
+                    ORDER BY c.t LIMIT 1) AS ts_right
+            FROM v
+        """,
+        "events_asof_nearest": """
+            WITH v AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS t
+              FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+              SELECT user_id, epoch_ns(ts) AS t, value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, v.event_id, v.t AS ts,
+                   (SELECT c.value FROM c
+                    WHERE c.user_id = v.user_id
+                      AND abs(c.t - v.t) <= 1800000000000
+                    ORDER BY abs(c.t - v.t), c.t LIMIT 1) AS value_right,
+                   (SELECT c.t FROM c
+                    WHERE c.user_id = v.user_id
+                      AND abs(c.t - v.t) <= 1800000000000
+                    ORDER BY abs(c.t - v.t), c.t LIMIT 1) AS ts_right
+            FROM v
         """,
         "events_scd2": """
             SELECT user_id, event_id, epoch_ns(ts) AS ts,

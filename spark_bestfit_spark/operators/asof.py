@@ -128,15 +128,32 @@ def asof_join(
     value_cols: list | None = None,
     tolerance=None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (inclusive): latest right row with
-    ``right.time <= left.time`` per ``by`` group.
+    """As-of join (inclusive), pandas ``merge_asof`` directions:
+
+    * ``"backward"`` (default): latest right row with
+      ``right.time <= left.time`` per ``by`` group;
+    * ``"forward"``: earliest right row with
+      ``right.time >= left.time``;
+    * ``"nearest"``: whichever of the two is closer in time (ties go
+      to the backward match, pandas semantics).
 
     value_cols: right columns to carry (default: all non-key,
-    non-time columns). tolerance: max allowed ``left.time -
-    right.time`` (same units as the column); matches older than that
-    become nulls.
+    non-time columns). tolerance: max allowed |time gap| (same units
+    as the column); matches farther than that become nulls — applied
+    per direction BEFORE the nearest choice, as pandas does.
+
+    Execution: the union trick — both relations interleave on one
+    entity-hash window sorted by (time, side), and the carried
+    columns fill by ``last``/``first`` ignorenulls over a running
+    frame; "nearest" evaluates both frames over the SAME exchange
+    (two sorts, one shuffle) and picks per row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     by = list(by or [])
     if value_cols is None:
         value_cols = [
@@ -163,32 +180,87 @@ def asof_join(
     rhs = rhs.select(*lhs.columns)
 
     unioned = lhs.unionByName(rhs)
-    # right rows sort before left rows at equal timestamps, so an
-    # exactly-simultaneous right row matches (inclusive backward join)
-    w = (
+    fill_cols = carried + [matched_time]
+    # backward: right rows sort BEFORE left rows at equal timestamps,
+    # so a simultaneous right row is inside the running frame
+    # (inclusive); forward mirrors it — left before right, following
+    # frame, first() instead of last().
+    wb = (
         Window.partitionBy(*by)
         .orderBy(F.col(time_col).asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(time_col).asc(), F.col("_src").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def _stale(mt):
+        gap = (
+            F.col(time_col) - F.col(mt)
+            if direction != "forward"
+            else F.col(mt) - F.col(time_col)
+        )
+        return F.col(mt).isNull() | (F.abs(gap) > tolerance)
+
+    if direction in ("backward", "forward"):
+        w = wb if direction == "backward" else wf
+        agg = F.last if direction == "backward" else F.first
+        filled = unioned.select(
+            *[
+                agg(c, ignorenulls=True).over(w).alias(c)
+                if c in fill_cols
+                else F.col(c)
+                for c in unioned.columns
+            ]
+        )
+        out = filled.filter(F.col("_src") == 1).drop("_src")
+        if tolerance is not None:
+            stale = _stale(matched_time)
+            for c in fill_cols:
+                out = out.withColumn(
+                    c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+                )
+        return out
+
+    # nearest: both frames over the same exchange, pick per row
     filled = unioned.select(
+        *unioned.columns,
         *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            if c in carried + [matched_time]
-            else F.col(c)
-            for c in unioned.columns
-        ]
+            F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}")
+            for c in fill_cols
+        ],
+        *[
+            F.first(c, ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in fill_cols
+        ],
     )
     out = filled.filter(F.col("_src") == 1).drop("_src")
+    bt, ft = f"_b_{matched_time}", f"_f_{matched_time}"
+    b_ok = F.col(bt).isNotNull()
+    f_ok = F.col(ft).isNotNull()
     if tolerance is not None:
-        stale = (
-            F.col(matched_time).isNull()
-            | (F.col(time_col) - F.col(matched_time) > tolerance)
+        b_ok = b_ok & (F.col(time_col) - F.col(bt) <= tolerance)
+        f_ok = f_ok & (F.col(ft) - F.col(time_col) <= tolerance)
+    # ties go backward (<=), the pandas convention
+    use_b = b_ok & (
+        ~f_ok
+        | (
+            F.col(time_col) - F.col(bt)
+            <= F.col(ft) - F.col(time_col)
         )
-        for c in carried + [matched_time]:
-            out = out.withColumn(
-                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-            )
-    return out
+    )
+    for c in fill_cols:
+        out = out.withColumn(
+            c,
+            F.when(use_b, F.col(f"_b_{c}")).otherwise(
+                F.when(f_ok, F.col(f"_f_{c}"))
+            ),
+        )
+    return out.drop(
+        *[f"_b_{c}" for c in fill_cols], *[f"_f_{c}" for c in fill_cols]
+    )
 
 
 def scd2_history(

@@ -62,6 +62,51 @@ class TestAsofJoin:
         assert got[("A", 12)] is None  # gap 3 > 2
         assert got[("B", 7)] is None   # gap 5 > 2
 
+    def test_forward_and_nearest_match_pandas(self, spark):
+        """All three directions against pandas merge_asof on random
+        keyed series, with and without tolerance."""
+        rng = np.random.default_rng(97)
+        lt = pd.DataFrame({
+            "sym": rng.choice(["A", "B", "C"], 300),
+            "t": np.sort(rng.choice(np.arange(0, 5000), 300,
+                                    replace=False)).astype("int64"),
+        })
+        rt = pd.DataFrame({
+            "sym": rng.choice(["A", "B", "C"], 150),
+            "t": np.sort(rng.choice(np.arange(0, 5000) + 100_000_000, 150,
+                                    replace=False) - 100_000_000
+                         ).astype("int64"),
+            "price": rng.normal(50, 5, 150).round(3),
+        })
+        ldf, rdf = spark.createDataFrame(lt), spark.createDataFrame(rt)
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 300):
+                out = asof_join(
+                    ldf, rdf, time_col="t", by=["sym"],
+                    direction=direction, tolerance=tol,
+                )
+                got = {
+                    (r["sym"], r["t"]): r["price_right"]
+                    for r in out.collect()
+                }
+                exp = pd.merge_asof(
+                    lt.sort_values("t"), rt.sort_values("t"),
+                    on="t", by="sym", direction=direction,
+                    tolerance=tol,
+                )
+                assert len(got) == len(exp)
+                for _, e in exp.iterrows():
+                    g = got[(e["sym"], e["t"])]
+                    if pd.isna(e["price"]):
+                        assert g is None, (direction, tol, e["t"])
+                    else:
+                        assert g == e["price"], (direction, tol, e["t"])
+
+    def test_direction_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "t long")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, time_col="t", direction="sideways")
+
     def test_no_keys_global_asof(self, spark):
         left = spark.createDataFrame(
             [(10,), (20,), (30,)], "t long"
