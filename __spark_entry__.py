@@ -1931,6 +1931,44 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_events_rolling_time(spark, sf_dir):
+    """Per-user trailing ONE-HOUR window stats + z-score (RANGE frame
+    — 'the last hour', not 'the last N rows'; ties share a frame so no
+    tiebreak is needed)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import rolling_stats
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = rolling_stats(
+        ev, "value", "ts", "user_id",
+        time_window=3600 * 10**9, min_periods=2, with_zscore=True,
+    )
+    return out.select(
+        "event_id", "user_id", "rolling_count", "rolling_mean",
+        "rolling_stddev", "rolling_min", "rolling_max", "rolling_z",
+    )
+
+
+def _q_heavy_hitters_by_lang(spark, sf_dir):
+    """Per-language exact frequent tokens (within-group Misra-Gries
+    candidates + exact probe — the per-domain hot-token report)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.frequency import (
+        heavy_hitters_by_group,
+    )
+    from spark_bestfit_spark.operators.textstats import _tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters_by_group(toks, "tok", "lang", phi=0.01).select(
+        "lang", F.col("item").alias("token"), "n", "frac"
+    )
+
+
 def _q_events_asof_forward(spark, sf_dir):
     """FORWARD as-of join: to each view event, the next click value by
     the same user within one hour (merge_asof direction='forward')."""
@@ -2926,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "streaming_anomaly": _q_streaming_anomaly,
+        "events_rolling_time": _q_events_rolling_time,
+        "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
         "events_asof_forward": _q_events_asof_forward,
         "events_asof_nearest": _q_events_asof_nearest,
         "events_scd2": _q_events_scd2,
@@ -2955,11 +2995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "decontaminate": _q_decontaminate,
         "score_logpdf": _q_score_logpdf,
-        "two_sample_ks": _q_two_sample_ks,
-        "discrete_pmf_psize": _q_discrete_pmf,        # ---- tail: overflow from the head-50 as round-7 operators
+        # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "two_sample_ks": _q_two_sample_ks,
+        "discrete_pmf_psize": _q_discrete_pmf,
 
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
@@ -4522,6 +4563,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "events_rolling_time": """
+            WITH w AS (
+              SELECT event_id, user_id, value,
+                     count(value) OVER win AS c,
+                     avg(value) OVER win AS m,
+                     stddev_samp(value) OVER win AS s,
+                     min(value) OVER win AS mn,
+                     max(value) OVER win AS mx
+              FROM (SELECT event_id, user_id, value, epoch_ns(ts) AS t
+                    FROM events WHERE user_id < 50)
+              WINDOW win AS (
+                PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+              )
+            )
+            SELECT event_id, user_id,
+                   CAST(c AS BIGINT) AS rolling_count,
+                   CASE WHEN c >= 2 THEN round(m, 6) END AS rolling_mean,
+                   CASE WHEN c >= 2 THEN round(s, 6) END
+                     AS rolling_stddev,
+                   CASE WHEN c >= 2 THEN mn END AS rolling_min,
+                   CASE WHEN c >= 2 THEN mx END AS rolling_max,
+                   CASE WHEN c >= 2 AND s > 0
+                        THEN round((value - m) / s, 6) END AS rolling_z
+            FROM w
+        """,
+        "heavy_hitters_by_lang": """
+            WITH toks AS (
+              SELECT lang, unnest(
+                string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang)
+            SELECT t.lang, t.tok AS token,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) / CAST(tot.n AS DOUBLE), 6) AS frac
+            FROM toks t JOIN tot ON t.lang = tot.lang
+            GROUP BY t.lang, t.tok, tot.n
+            HAVING count(*) >= ceil(0.01 * tot.n)
         """,
         "events_asof_forward": """
             WITH v AS (

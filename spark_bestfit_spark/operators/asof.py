@@ -311,6 +311,7 @@ def rolling_stats(
     min_periods: int = 1,
     with_zscore: bool = False,
     tiebreak_col: str | None = None,
+    time_window: int | None = None,
 ) -> DataFrame:
     """Per-entity rolling statistics over an ordered event stream — the
     moving-window leg of the time-series family (asof_join = point-in-
@@ -332,19 +333,42 @@ def rolling_stats(
     score); null when the window stddev is 0 or not yet at
     ``min_periods`` rows.
 
+    ``time_window`` switches the frame from row-count to TIME-range:
+    all rows whose ``order_col`` lies within ``[ts - time_window,
+    ts]`` (inclusive, same units as the numeric ``order_col``) form
+    the window — "the last hour", not "the last 10 rows", which is
+    what an alerting window actually means when event rates vary.
+    Range frames need no tiebreak (the frame is a function of the
+    VALUE: ties share one frame, deterministically); ``window``/
+    ``tiebreak_col`` are ignored, and ``min_periods`` still gates.
+    State per entity is bounded by the densest time_window span —
+    pre-aggregate upstream (``resample_events``) if a key can burst
+    unboundedly inside one span.
+
     Output: input columns + rolling_count/mean/stddev/min/max
     (+rolling_z). Rows earlier than ``min_periods`` report null
     mean/stddev/min/max (count still real)."""
     if window < 1:
         raise ValueError("window must be >= 1")
-    if not 1 <= min_periods <= window:
+    if time_window is None and not 1 <= min_periods <= window:
         raise ValueError("min_periods must be in [1, window]")
-    tb = tiebreak_col if tiebreak_col is not None else value_col
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(F.col(order_col), F.col(tb))
-        .rowsBetween(-(window - 1), 0)
-    )
+    if time_window is not None:
+        if time_window <= 0:
+            raise ValueError("time_window must be positive")
+        if min_periods < 1:
+            raise ValueError("min_periods must be >= 1")
+        w = (
+            Window.partitionBy(partition_col)
+            .orderBy(F.col(order_col).cast("long"))
+            .rangeBetween(-int(time_window), 0)
+        )
+    else:
+        tb = tiebreak_col if tiebreak_col is not None else value_col
+        w = (
+            Window.partitionBy(partition_col)
+            .orderBy(F.col(order_col), F.col(tb))
+            .rowsBetween(-(window - 1), 0)
+        )
     cnt = F.count(value_col).over(w)
     ready = cnt >= F.lit(int(min_periods))
     out = (

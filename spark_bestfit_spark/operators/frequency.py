@@ -40,7 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "heavy_hitters_by_group"]
 
 
 def heavy_hitters(
@@ -149,5 +149,143 @@ def heavy_hitters(
             F.round(F.col("n") / F.lit(float(max(n, 1))), 6).alias(
                 "frac"
             ),
+        )
+    )
+
+
+def heavy_hitters_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    phi: float,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact frequent items — :func:`heavy_hitters` keyed by
+    ``group_col`` (domain, language, source...): every item whose
+    frequency within ITS group reaches ``ceil(phi * N_group)``, with
+    exact counts. The per-domain hot-token / hot-value report, with
+    the same sketch-bounded shuffle.
+
+    Phase 1 keeps one Misra-Gries sketch of width ``k`` PER GROUP per
+    partition (memory O(k x groups-in-partition); the n_p/(k+1)
+    undercount bound and the superset guarantee hold group-wise, since
+    each group's mass reduces independently). One sentinel row per
+    (partition, group) carries the group's row count, so per-group
+    totals come from the same pass; the driver folds the bounded
+    sketch output and broadcasts (group, item) candidates plus
+    per-group thresholds back for the exact probe — two scans total,
+    output independent of partitioning.
+
+    Returns ``(group_col, item, n, frac)``; ``frac`` is within-group.
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError("phi must be in (0, 1)")
+    if k is None:
+        k = max(int(math.ceil(2.0 / phi)), 16)
+    if (k + 1) * phi <= 1.0:
+        raise ValueError(
+            f"k={k} too small for phi={phi}: need k + 1 > 1/phi for the "
+            "Misra-Gries superset guarantee"
+        )
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(col).alias("item")
+    ).filter(F.col("item").isNotNull() & F.col("_g").isNotNull())
+    g_type = src.schema["_g"].dataType
+    item_type = src.schema["item"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("_g", g_type),
+            T.StructField("item", item_type),
+            T.StructField("_lb", T.LongType()),
+            T.StructField("_tot", T.BooleanType()),
+        ]
+    )
+
+    def _mg(batches):
+        import numpy as np
+        import pandas as pd
+
+        sketches: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(["_g", "item"], sort=False).size()
+            bt = pdf.groupby("_g", sort=False).size()
+            for g, c in bt.items():
+                totals[g] = totals.get(g, 0) + int(c)
+            for (g, item), c in vc.items():
+                counters = sketches.setdefault(g, {})
+                counters[item] = counters.get(item, 0) + int(c)
+            for g, counters in sketches.items():
+                if len(counters) > k:
+                    vals = np.fromiter(
+                        counters.values(), dtype=np.int64,
+                        count=len(counters),
+                    )
+                    m = vals[np.argpartition(vals, len(vals) - (k + 1))[
+                        len(vals) - (k + 1)
+                    ]]
+                    sketches[g] = {
+                        i: c - int(m)
+                        for i, c in counters.items()
+                        if c > m
+                    }
+        rows_g, rows_i, rows_lb, rows_t = [], [], [], []
+        for g, counters in sketches.items():
+            for item, c in counters.items():
+                rows_g.append(g)
+                rows_i.append(item)
+                rows_lb.append(c)
+                rows_t.append(False)
+        for g, n_p in totals.items():
+            rows_g.append(g)
+            rows_i.append(None)
+            rows_lb.append(n_p)
+            rows_t.append(True)
+        if rows_g:
+            yield pd.DataFrame(
+                {"_g": rows_g, "item": rows_i, "_lb": rows_lb,
+                 "_tot": rows_t}
+            )
+
+    collected = src.mapInPandas(_mg, schema=out_schema).collect()
+    n_by_g: dict = {}
+    items: set = set()
+    for r in collected:
+        if r["_tot"]:
+            n_by_g[r["_g"]] = n_by_g.get(r["_g"], 0) + int(r["_lb"])
+        elif r["item"] is not None:
+            items.add((r["_g"], r["item"]))
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        list(items) or [],
+        T.StructType(
+            [T.StructField("_g", g_type), T.StructField("item", item_type)]
+        ),
+    )
+    th = spark.createDataFrame(
+        [
+            (g, n, int(math.ceil(phi * n)))
+            for g, n in n_by_g.items()
+        ]
+        or [],
+        T.StructType(
+            [
+                T.StructField("_g", g_type),
+                T.StructField("_n", T.LongType()),
+                T.StructField("_th", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        src.join(F.broadcast(cand), ["_g", "item"], "left_semi")
+        .groupBy("_g", "item")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(F.broadcast(th), "_g")
+        .filter(F.col("n") >= F.col("_th"))
+        .select(
+            F.col("_g").alias(group_col),
+            "item",
+            "n",
+            F.round(F.col("n") / F.col("_n"), 6).alias("frac"),
         )
     )

@@ -352,12 +352,59 @@ class TestRollingStats:
                             abs=2e-6,
                         )
 
+    def test_time_range_frame_matches_pandas(self, spark):
+        """time_window frames ('last hour', not 'last N rows') vs a
+        pandas recomputation, ties in ts sharing one frame."""
+        from spark_bestfit_spark.operators.asof import rolling_stats
+
+        rng = np.random.default_rng(53)
+        pdf = pd.DataFrame({
+            "event_id": np.arange(400),
+            "user_id": rng.integers(0, 6, 400),
+            "ts": rng.integers(0, 3000, 400).astype("int64"),  # ties
+            "value": rng.normal(5.0, 2.0, 400).round(3),
+        })
+        df = spark.createDataFrame(pdf)
+        D = 500
+        got = {
+            r["event_id"]: r
+            for r in rolling_stats(
+                df, "value", "ts", "user_id",
+                time_window=D, min_periods=2, with_zscore=True,
+            ).collect()
+        }
+        for uid, grp in pdf.groupby("user_id"):
+            for _, row in grp.iterrows():
+                sel = grp[(grp["ts"] >= row["ts"] - D)
+                          & (grp["ts"] <= row["ts"])]["value"]
+                r = got[row["event_id"]]
+                assert r["rolling_count"] == len(sel)
+                if len(sel) >= 2:
+                    # abs=1.5e-6: Spark rounds HALF_UP, Python rounds
+                    # half-even — 3-decimal inputs can land means
+                    # exactly on the .5e-6 boundary
+                    assert r["rolling_mean"] == pytest.approx(
+                        round(sel.mean(), 6), abs=1.5e-6
+                    )
+                    assert r["rolling_min"] == sel.min()
+                    assert r["rolling_max"] == sel.max()
+                    sd = sel.std(ddof=1)
+                    if sd > 0:
+                        assert r["rolling_z"] == pytest.approx(
+                            round((row["value"] - sel.mean()) / sd, 6),
+                            abs=2e-6,
+                        )
+                else:
+                    assert r["rolling_mean"] is None
+
     def test_validation_and_plan(self, spark):
         from spark_bestfit_spark.operators.asof import rolling_stats
 
         df = spark.createDataFrame(
             pd.DataFrame({"u": [1], "t": [1], "v": [1.0]})
         )
+        with pytest.raises(ValueError, match="time_window"):
+            rolling_stats(df, "v", "t", "u", time_window=0)
         with pytest.raises(ValueError, match="window"):
             rolling_stats(df, "v", "t", "u", window=0)
         with pytest.raises(ValueError, match="min_periods"):

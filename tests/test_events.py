@@ -492,6 +492,46 @@ class TestHeavyHitters:
         with pytest.raises(ValueError, match="k=10"):
             heavy_hitters(df, "tok", 0.05, k=10)
 
+    def test_grouped_exact_and_partitioning_invariant(self, spark):
+        import math
+
+        from spark_bestfit_spark.operators.frequency import (
+            heavy_hitters_by_group,
+        )
+
+        rng = np.random.default_rng(41)
+        vocab = [f"t{i}" for i in range(300)]
+        w1 = 1.0 / np.arange(1, 301) ** 1.4
+        w1 /= w1.sum()
+        w2 = w1[::-1].copy()  # the OTHER group's hot items differ
+        pdf = pd.DataFrame({
+            "g": np.repeat(["ga", "gb"], 8000),
+            "tok": np.concatenate([
+                rng.choice(vocab, 8000, p=w1),
+                rng.choice(vocab, 8000, p=w2),
+            ]),
+        })
+        phi = 0.02
+        exp = {}
+        for g, grp in pdf.groupby("g"):
+            t = math.ceil(phi * len(grp))
+            vc = grp["tok"].value_counts()
+            for tok, c in vc[vc >= t].items():
+                exp[(g, tok)] = (int(c), round(c / len(grp), 6))
+        assert len(exp) > 6
+        for parts in (1, 16):
+            df = spark.createDataFrame(pdf).repartition(parts)
+            got = {
+                (r["g"], r["item"]): (r["n"], r["frac"])
+                for r in heavy_hitters_by_group(
+                    df, "tok", "g", phi
+                ).collect()
+            }
+            assert got.keys() == exp.keys(), parts
+            for key, (n, frac) in exp.items():
+                assert got[key][0] == n
+                assert got[key][1] == pytest.approx(frac)
+
     def test_nulls_ignored_and_numeric_items(self, spark):
         pdf = pd.DataFrame(
             {"v": [1, 1, 1, 1, 2, 2, 3, None, None]}, dtype="Int64"
