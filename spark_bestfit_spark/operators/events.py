@@ -29,9 +29,47 @@ __all__ = [
     "cohort_retention",
     "event_transitions",
     "resample_events",
+    "sessionize",
     "session_paths",
     "pivot_counts",
 ]
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: int = 1800 * 10**9,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign inactivity-gap session ids: within each entity's
+    time-ordered stream, a row starts a NEW session when more than
+    ``gap`` (same units as the numeric ``ts_col``) elapsed since the
+    previous row. Appends ``session_col`` (1-based per entity) to all
+    input columns — the building block under :func:`session_paths`
+    and any per-session aggregation.
+
+    One entity-hash window carries both the lag and the running sum
+    (same partitioning and order — a single exchange). Ties in
+    ``ts_col`` order by ``tiebreak_col`` when given (pass a unique id
+    for a deterministic, engine-independent split).
+    """
+    if gap <= 0:
+        raise ValueError("gap must be positive")
+    tb = tiebreak_col if tiebreak_col is not None else ts_col
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tb))
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap)),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
 
 
 def _floor_div(col_name: str, n: int):
@@ -266,20 +304,16 @@ def session_paths(
 
     Returns ``(path, n_sessions)``.
     """
-    if gap <= 0:
-        raise ValueError("gap must be positive")
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
     tb = tiebreak_col if tiebreak_col is not None else event_col
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tb))
-    new_sess = F.when(
-        F.lag(ts_col).over(w).isNull()
-        | (F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap)),
-        1,
-    ).otherwise(0)
-    sess = df.select(user_col, ts_col, event_col, tb).withColumn(
-        "_sess",
-        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = sessionize(
+        df.select(user_col, ts_col, event_col, tb),
+        ts_col=ts_col,
+        user_col=user_col,
+        gap=gap,
+        tiebreak_col=tb,
+        session_col="_sess",
     )
     paths = sess.groupBy(user_col, "_sess").agg(
         F.concat_ws(

@@ -333,6 +333,28 @@ class TestSessionPaths:
             session_paths(df, gap=0)
 
 
+class TestSessionize:
+    def test_session_ids_match_sql_cumsum(self, spark):
+        from spark_bestfit_spark.operators.events import sessionize
+
+        pdf = _events_pdf(800, n_users=15, seed=73)
+        df = spark.createDataFrame(pdf)
+        got = sessionize(
+            df, gap=200, tiebreak_col="event_id"
+        ).toPandas()
+        assert len(got) == len(pdf)
+        s = got.sort_values(["user_id", "ts", "event_id"])
+        for uid, grp in s.groupby("user_id"):
+            sid, prev = 0, None
+            for ts, g_sid in zip(grp["ts"], grp["session_id"]):
+                if prev is None or ts - prev > 200:
+                    sid += 1
+                assert g_sid == sid, (uid, ts)
+                prev = ts
+        with pytest.raises(ValueError, match="gap"):
+            sessionize(df, gap=0)
+
+
 class TestPivotCounts:
     def test_count_pivot_matches_pandas(self, spark):
         from spark_bestfit_spark.operators.events import pivot_counts
@@ -425,7 +447,25 @@ class TestEventsAnsi:
                 tuple(r)
                 for r in heavy_hitters(df, "event_type", 0.3).collect()
             )
-            return fun, coh, tra, res, hh
+            from spark_bestfit_spark.operators.asof import rolling_stats
+            from spark_bestfit_spark.operators.frequency import (
+                heavy_hitters_by_group,
+            )
+
+            rt = sorted(
+                tuple(r)
+                for r in rolling_stats(
+                    df, "value", "ts", "user_id",
+                    time_window=10**15, min_periods=1,
+                ).collect()
+            )
+            hg = sorted(
+                tuple(r)
+                for r in heavy_hitters_by_group(
+                    df, "event_type", "user_id", 0.3
+                ).collect()
+            )
+            return fun, coh, tra, res, hh, rt, hg
 
         before = run()
         spark.conf.set("spark.sql.ansi.enabled", "true")
