@@ -1931,6 +1931,40 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_weighted_price_stats(spark, sf_dir):
+    """Quantity-weighted mean and lower weighted median of the price
+    per returnflag (one per-group running-weight window)."""
+    from spark_bestfit_spark.operators.stats import weighted_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return weighted_stats(
+        li, "l_extendedprice", "l_quantity", group_col="l_returnflag"
+    )
+
+
+def _q_price_gini(spark, sf_dir):
+    """Gini concentration of l_extendedprice per returnflag (sorted-
+    rank identity, one per-group window sort)."""
+    from spark_bestfit_spark.operators.stats import gini_coefficient
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return gini_coefficient(li, "l_extendedprice", group_col="l_returnflag")
+
+
+def _q_events_autocorr(spark, sf_dir):
+    """Per-user lag-1/lag-2 autocorrelation of event values (one
+    entity window produces all lags; overlapping-pairs Pearson, the
+    pandas Series.autocorr convention)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import autocorrelation
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return autocorrelation(
+        ev, "value", "ts", "user_id", max_lag=2, tiebreak_col="event_id"
+    )
+
+
 def _q_streaming_topk(spark, sf_dir):
     """Streaming frequent tokens: the corpus token stream replays in
     four micro-batches through sharded Misra-Gries keyed state; the
@@ -3036,6 +3070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "streaming_anomaly": _q_streaming_anomaly,
+        "weighted_price_stats": _q_weighted_price_stats,
+        "price_gini": _q_price_gini,
+        "events_autocorr": _q_events_autocorr,
         "streaming_topk": _q_streaming_topk,
         "events_rolling_time": _q_events_rolling_time,
         "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
@@ -3064,13 +3101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": _q_streaming_hourly,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_moments": _q_streaming_moments,
-        "streaming_late_data": _q_streaming_late_data,
-        "doc_unigram_logprob": _q_doc_unigram_logprob,
-        "decontaminate": _q_decontaminate,
         # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "streaming_late_data": _q_streaming_late_data,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "decontaminate": _q_decontaminate,
         "score_logpdf": _q_score_logpdf,
         "two_sample_ks": _q_two_sample_ks,
         "discrete_pmf_psize": _q_discrete_pmf,
@@ -4636,6 +4673,67 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "weighted_price_stats": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v,
+                     CAST(l_quantity AS DOUBLE) AS w
+              FROM lineitem WHERE l_quantity > 0
+            ),
+            r AS (
+              SELECT g, v, w,
+                     sum(w) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(w) OVER (PARTITION BY g) AS tw
+              FROM base
+            ),
+            med AS (
+              SELECT g, min(v) AS wmedian FROM r
+              WHERE cw >= tw / 2 GROUP BY g
+            ),
+            agg AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     round(sum(w), 6) AS total_weight,
+                     round(sum(v * w) / sum(w), 6) AS wmean
+              FROM base GROUP BY g
+            )
+            SELECT agg.g AS l_returnflag, n, total_weight, wmean,
+                   med.wmedian
+            FROM agg JOIN med USING (g)
+        """,
+        "price_gini": """
+            WITH b AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem WHERE l_extendedprice >= 0
+            ),
+            r AS (
+              SELECT g, v, row_number() OVER (
+                PARTITION BY g ORDER BY v) AS i
+              FROM b
+            )
+            SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(2.0 * sum(i * v) / (count(*) * sum(v))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY g
+        """,
+        "events_autocorr": """
+            WITH o AS (
+              SELECT user_id, value,
+                     lag(value, 1) OVER w AS l1,
+                     lag(value, 2) OVER w AS l2
+              FROM events WHERE user_id < 40
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            u AS (
+              SELECT user_id, 1 AS lag, value AS a, l1 AS b FROM o
+              WHERE l1 IS NOT NULL
+              UNION ALL
+              SELECT user_id, 2, value, l2 FROM o WHERE l2 IS NOT NULL
+            )
+            SELECT user_id, CAST(lag AS INTEGER) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(corr(a, b), 6) AS acf
+            FROM u GROUP BY user_id, lag
         """,
         "streaming_topk": """
             WITH toks AS (

@@ -1266,3 +1266,179 @@ def categorical_entropy(
             F.col("_g").alias(group_col), "n", "n_levels", "entropy"
         )
     return agg.select("n", "n_levels", "entropy")
+
+
+def weighted_stats(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted mean and weighted (lower) median of ``value_col``
+    under ``weight_col`` — globally or per group: the
+    importance-weighted versions of the location stats, for relations
+    where a row speaks for many (pre-aggregated counts, sampling
+    weights, token masses).
+
+    * ``wmean = sum(v * w) / sum(w)`` (exact, one aggregate);
+    * ``wmedian`` = the smallest value whose running weight reaches
+      half the total — the LOWER weighted median, a deterministic,
+      interpolation-free convention both engines replicate exactly:
+      one per-group window sort + running sum, then a min over the
+      qualifying values.
+
+    Rows with null/non-finite values or non-positive weights are
+    excluded. One entity-hash window (per-group sort) plus G-row
+    aggregates joined by broadcast; returns
+    ``(group?, n, total_weight, wmean, wmedian)`` rounded to 6.
+    """
+    clean = valid_column(df, value_col).filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    if group_col is not None:
+        clean = clean.filter(F.col(group_col).isNotNull())
+        gsel = [F.col(group_col).alias("_g")]
+    else:
+        gsel = [F.lit(0).alias("_g")]
+    base = clean.select(
+        *gsel,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    from pyspark.sql import Window as _W
+
+    wg = _W.partitionBy("_g")
+    wc = wg.orderBy("_v").rowsBetween(_W.unboundedPreceding, 0)
+    ranked = base.withColumn("_cw", F.sum("_w").over(wc)).withColumn(
+        "_tw", F.sum("_w").over(wg)
+    )
+    med = (
+        ranked.filter(F.col("_cw") >= F.col("_tw") / 2)
+        .groupBy("_g")
+        .agg(F.min("_v").alias("wmedian"))
+    )
+    agg = base.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("_w"), 6).alias("total_weight"),
+        F.round(F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), 6).alias(
+            "wmean"
+        ),
+    )
+    out = agg.join(F.broadcast(med), "_g")
+    cols = ["n", "total_weight", "wmean", "wmedian"]
+    if group_col is not None:
+        return out.select(F.col("_g").alias(group_col), *cols)
+    return out.select(*cols)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Gini concentration of a non-negative quantity — globally or per
+    group: 0 = perfectly even, ->1 = one row holds everything. The
+    curation dashboard's concentration gauge (is one source supplying
+    all the tokens? did dedup flatten the duplicate mass?).
+
+    Computed from the sorted-rank identity
+    ``G = (2 * sum(i * x_i) / (n * sum(x))) - (n + 1) / n`` with
+    ``x_i`` ascending and ``i`` 1-based — one per-group window sort
+    (``row_number`` over the value order, ties broken by value then
+    arbitrary-but-consistent rank; the SUM i*x_i is tie-insensitive
+    because equal values commute) and one aggregate. Negative values
+    are rejected via filter (Gini is defined on non-negatives); null
+    groups are excluded.
+
+    Returns ``(group?, n, gini)`` with gini rounded to 6.
+    """
+    clean = valid_column(df, value_col).filter(F.col(value_col) >= 0)
+    if group_col is not None:
+        clean = clean.filter(F.col(group_col).isNotNull())
+        gsel = [F.col(group_col).alias("_g")]
+    else:
+        gsel = [F.lit(0).alias("_g")]
+    base = clean.select(*gsel, F.col(value_col).alias("_v"))
+    from pyspark.sql import Window as _W
+
+    wr = _W.partitionBy("_g").orderBy("_v")
+    ranked = base.withColumn("_i", F.row_number().over(wr))
+    agg = ranked.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_is"),
+    )
+    out = agg.select(
+        "_g",
+        "n",
+        F.round(
+            F.when(
+                F.col("_s") > 0,
+                (2.0 * F.col("_is")) / (F.col("n") * F.col("_s"))
+                - (F.col("n") + 1.0) / F.col("n"),
+            ),
+            6,
+        ).alias("gini"),
+    )
+    if group_col is not None:
+        return out.select(F.col("_g").alias(group_col), "n", "gini")
+    return out.select("n", "gini")
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    entity_col: str,
+    max_lag: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Lag-k autocorrelation of each entity's time-ordered series for
+    ``k = 1..max_lag`` — the periodicity/momentum probe of the
+    time-series family (a near-1 lag-1 ACF says the rolling-window
+    anomaly gates can be tight; a spike at lag 7 says weekly
+    seasonality).
+
+    Pearson correlation between the series and its k-shifted self
+    (the overlapping-pairs convention — ``corr(v_t, v_{t-k})`` over
+    the n-k aligned pairs, each pair's means, like
+    ``pandas.Series.autocorr``). One entity-hash window produces all
+    ``max_lag`` lag columns in a single pass; one groupBy per
+    (entity, lag) pair aggregates the correlations.
+
+    Returns ``(entity_col, lag, n_pairs, acf)`` with acf rounded to 6
+    (null when fewer than 2 pairs or zero variance).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    from pyspark.sql import Window as _W
+
+    tb = tiebreak_col if tiebreak_col is not None else value_col
+    w = _W.partitionBy(entity_col).orderBy(F.col(order_col), F.col(tb))
+    cur = df.select(entity_col, order_col, F.col(value_col).alias("_v"), tb)
+    for k in range(1, max_lag + 1):
+        cur = cur.withColumn(f"_l{k}", F.lag("_v", k).over(w))
+    pairs = cur.select(
+        entity_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("_v").alias("a"),
+                        F.col(f"_l{k}").alias("b"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        entity_col,
+        F.col("_p.lag").alias("lag"),
+        F.col("_p.a").alias("a"),
+        F.col("_p.b").alias("b"),
+    ).filter(F.col("b").isNotNull())
+    return pairs.groupBy(entity_col, "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.corr("a", "b"), 6).alias("acf"),
+    )

@@ -170,6 +170,124 @@ class TestCramersV:
         assert cramers_v(df, "a", "b").first()["v"] < 0.05
 
 
+class TestWeightedStats:
+    def test_matches_numpy(self, spark):
+        from spark_bestfit_spark.operators.stats import weighted_stats
+
+        rng = np.random.default_rng(59)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 2000),
+            "v": rng.lognormal(1.0, 0.7, 2000).round(4),
+            "w": rng.integers(1, 50, 2000).astype("float64"),
+        })
+        df = spark.createDataFrame(pdf)
+        got = {
+            r["g"]: r
+            for r in weighted_stats(df, "v", "w", group_col="g").collect()
+        }
+        for g, grp in pdf.groupby("g"):
+            v, w = grp["v"].values, grp["w"].values
+            wmean = (v * w).sum() / w.sum()
+            order = np.argsort(v, kind="stable")
+            cw = np.cumsum(w[order])
+            wmed = v[order][np.searchsorted(cw, w.sum() / 2)]
+            r = got[g]
+            assert r["n"] == len(grp)
+            assert r["total_weight"] == pytest.approx(w.sum())
+            assert r["wmean"] == pytest.approx(round(wmean, 6), abs=1e-6)
+            assert r["wmedian"] == pytest.approx(wmed)
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from spark_bestfit_spark.operators.stats import weighted_stats
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [1.0, 2.0, 3.0], "w": [1.0, 0.0, -2.0]})
+        )
+        r = weighted_stats(df, "v", "w").first()
+        assert r["n"] == 1 and r["wmedian"] == 1.0
+
+
+class TestGini:
+    def test_matches_direct_formula(self, spark):
+        from spark_bestfit_spark.operators.stats import gini_coefficient
+
+        rng = np.random.default_rng(61)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["s1", "s2"], 3000),
+            "v": rng.pareto(1.5, 3000).round(5),
+        })
+        df = spark.createDataFrame(pdf)
+        got = {
+            r["g"]: r
+            for r in gini_coefficient(df, "v", group_col="g").collect()
+        }
+        for g, grp in pdf.groupby("g"):
+            x = np.sort(grp["v"].values)
+            n = len(x)
+            gini = (2 * np.sum(np.arange(1, n + 1) * x)) / (
+                n * x.sum()
+            ) - (n + 1) / n
+            assert got[g]["gini"] == pytest.approx(
+                round(gini, 6), abs=1e-6
+            )
+        # heavy-tailed -> strongly concentrated
+        assert all(r["gini"] > 0.4 for r in got.values())
+
+    def test_even_and_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import gini_coefficient
+
+        even = spark.createDataFrame(pd.DataFrame({"v": [5.0] * 40}))
+        assert gini_coefficient(even, "v").first()["gini"] == 0.0
+        zero = spark.createDataFrame(pd.DataFrame({"v": [0.0] * 5}))
+        assert gini_coefficient(zero, "v").first()["gini"] is None
+
+
+class TestAutocorrelation:
+    def test_matches_pandas_autocorr(self, spark):
+        from spark_bestfit_spark.operators.stats import autocorrelation
+
+        rng = np.random.default_rng(67)
+        frames = []
+        for uid in range(4):
+            n = 200
+            # AR(1)-ish so the ACF is meaningfully nonzero
+            v = np.zeros(n)
+            for i in range(1, n):
+                v[i] = 0.7 * v[i - 1] + rng.normal(0, 1)
+            frames.append(pd.DataFrame({
+                "u": uid, "t": np.arange(n), "v": v.round(5),
+                "rid": np.arange(n) + uid * 1000,
+            }))
+        pdf = pd.concat(frames)
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r["u"], r["lag"]): r
+            for r in autocorrelation(
+                df, "v", "t", "u", max_lag=3, tiebreak_col="rid"
+            ).collect()
+        }
+        for uid, grp in pdf.groupby("u"):
+            s = grp.sort_values("t")["v"]
+            for k in (1, 2, 3):
+                r = got[(uid, k)]
+                assert r["n_pairs"] == len(s) - k
+                assert r["acf"] == pytest.approx(
+                    round(s.autocorr(lag=k), 6), abs=2e-6
+                ), (uid, k)
+        assert all(
+            got[(u, 1)]["acf"] > 0.4 for u in range(4)
+        )  # AR(1) signal visible
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import autocorrelation
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "u": [1], "t": [1], "v": [1.0]
+        }))
+        with pytest.raises(ValueError, match="max_lag"):
+            autocorrelation(df, "v", "t", "u", max_lag=0)
+
+
 class TestCategoricalEntropy:
     def test_matches_numpy(self, spark):
         rng = np.random.default_rng(31)
