@@ -1931,6 +1931,22 @@ def _q_heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Character-level near-dup pairs within 60 Levenshtein edits
+    (length-band bucketed candidates inside language blocks;
+    thresholded JVM levenshtein verify)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    return edit_distance_pairs(
+        docs, max_dist=60, block_col="lang"
+    )
+
+
 def _q_weighted_price_stats(spark, sf_dir):
     """Quantity-weighted mean and lower weighted median of the price
     per returnflag (one per-group running-weight window)."""
@@ -3070,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist_price": _q_equidepth_hist_price,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
         "streaming_anomaly": _q_streaming_anomaly,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "weighted_price_stats": _q_weighted_price_stats,
         "price_gini": _q_price_gini,
         "events_autocorr": _q_events_autocorr,
@@ -3100,11 +3117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm_fit": _q_gmm_fit,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_dedup": _q_streaming_dedup,
-        "streaming_moments": _q_streaming_moments,
         # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "streaming_moments": _q_streaming_moments,
         "streaming_late_data": _q_streaming_late_data,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "decontaminate": _q_decontaminate,
@@ -4673,6 +4690,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c >= 2 AND s > 0
                         THEN round((value - m) / s, 6) END AS rolling_z
             FROM w
+        """,
+        "edit_distance_pairs": """
+            WITH d AS (
+              SELECT doc_id, lang, text, length(text) AS len
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+              AND abs(a.len - b.len) <= 60
+            WHERE levenshtein(a.text, b.text) <= 60
         """,
         "weighted_price_stats": """
             WITH base AS (

@@ -623,3 +623,87 @@ def duplicate_spans(
         .filter(F.col("span_tokens") >= int(min_len))
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    block_col: str | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: all document pairs within
+    ``max_dist`` Levenshtein operations — the character-level dedup
+    modality (catches small in-place edits on SHORT texts, where
+    shingle/MinHash methods lose resolution because a one-character
+    change flips every k-shingle it touches).
+
+    Candidate generation is length-band bucketed, the necessary-
+    condition prune: two strings within ``max_dist`` edits differ by
+    at most ``max_dist`` characters of length, so docs bucket by
+    ``length div max_dist`` and each doc probes only its own and
+    adjacent buckets (|bucket gap| <= 1 is implied by the length
+    bound — exactly one join hit per candidate pair, no dedup pass).
+    Within ``block_col`` (language, source...) when given. The verify
+    uses Spark's thresholded ``levenshtein(l, r, max_dist)`` — the JVM
+    implementation early-exits above the threshold, so the per-pair
+    cost is O(len * max_dist), not O(len^2).
+
+    ``max_block_size`` drops (block, bucket) cells holding more docs
+    than the bound — the engine's posting-guard convention (MinHash
+    ``max_bucket_size``, TF-IDF ``max_posting_size``) for boilerplate-
+    degenerate corpora where one length band holds everything.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    keys = [F.col(block_col).alias("_blk")] if block_col else [
+        F.lit(0).alias("_blk")
+    ]
+    base = df.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        (F.length(text_col) / F.lit(max_dist))
+        .cast("long")
+        .alias("_bkt"),
+        F.length(text_col).alias("_len"),
+    ).filter(F.col("_txt").isNotNull())
+    if max_block_size is not None:
+        sizes = (
+            base.groupBy("_blk", "_bkt")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") <= int(max_block_size))
+            .select("_blk", "_bkt")
+        )
+        base = base.join(sizes, ["_blk", "_bkt"], "left_semi")
+    probe = base.select(
+        "_blk",
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("_ta"),
+        F.col("_len").alias("_la"),
+        F.explode(
+            F.array(
+                F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1
+            )
+        ).alias("_jb"),
+    )
+    build = base.select(
+        "_blk",
+        F.col("_bkt").alias("_jb"),
+        F.col("_id").alias("id_b"),
+        F.col("_txt").alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    cand = probe.join(build, ["_blk", "_jb"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -6,7 +6,26 @@ from __future__ import annotations
 
 import pytest
 
-from spark_bestfit_spark.operators.dedup import duplicate_spans
+from spark_bestfit_spark.operators.dedup import (
+    duplicate_spans,
+    edit_distance_pairs,
+)
+
+
+def _lev(a, b):
+    """Reference DP Levenshtein for the cross-check."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
 
 
 def _mk(spark, rows):
@@ -111,3 +130,62 @@ class TestDuplicateSpans:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "SinglePartition" not in plan
+
+
+class TestEditDistancePairs:
+    @staticmethod
+    def _corpus(seed=11, n=40):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        alpha = list("abcdefgh ")
+        docs = []
+        base = "".join(rng.choice(alpha, 60))
+        for i in range(n):
+            if i % 4 == 0:
+                # near-dup of base: a few random point edits
+                s = list(base)
+                for _ in range(rng.integers(0, 5)):
+                    s[rng.integers(0, len(s))] = rng.choice(alpha)
+                docs.append((i, "".join(s)))
+            else:
+                docs.append((i, "".join(rng.choice(alpha, 60))))
+        return docs
+
+    def test_matches_brute_force(self, spark):
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        md = 8
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_dist=md).collect()
+        )
+        exp = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                d = _lev(docs[i][1], docs[j][1])
+                if d <= md:
+                    exp.append((docs[i][0], docs[j][0], d))
+        assert got == sorted(exp)
+        assert len(exp) >= 3  # the planted near-dups are found
+
+    def test_length_band_prunes_but_never_loses(self, spark):
+        # widely different lengths can never be within max_dist
+        docs = [(1, "a" * 10), (2, "a" * 200), (3, "a" * 12)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in edit_distance_pairs(df, max_dist=5).collect()}
+        assert got == {(1, 3): 2}
+
+    def test_block_guard_and_validation(self, spark):
+        docs = [(i, "same length text!") for i in range(20)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        assert (
+            edit_distance_pairs(df, max_dist=5, max_block_size=10).count()
+            == 0
+        )
+        assert (
+            edit_distance_pairs(df, max_dist=5).count() == 20 * 19 // 2
+        )
+        with pytest.raises(ValueError, match="max_dist"):
+            edit_distance_pairs(df, max_dist=0)
