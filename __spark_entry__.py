@@ -3045,6 +3045,31 @@ def _q_fit_lazy(spark, sf_dir):
     )
 
 
+def _q_price_trend_ols(spark, sf_dir):
+    """Per-priority price trend over order date by closed-form OLS —
+    one aggregation, five running sums, zero windows/joins; the
+    oracle is DuckDB's SQL-standard REGR_* family."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import grouped_ols
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    return grouped_ols(
+        orders, "o_totalprice", x, group_col="o_orderpriority"
+    )
+
+
+def _q_lang_source_mi(spark, sf_dir):
+    """Mutual information between a document's language and source
+    (nats + normalized) — one contingency groupBy, entropies derived
+    in-plan by broadcast cross-join."""
+    from spark_bestfit_spark.operators.stats import mutual_information
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mutual_information(docs, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -3067,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "price_trend_ols": _q_price_trend_ols,
+        "lang_source_mi": _q_lang_source_mi,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "wasserstein_drift": _q_wasserstein_drift,
@@ -3113,14 +3140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_clustered": _q_ivf_recall_clustered,
         "doc_chunks": _q_doc_chunks,
         "media_features": _q_media_features,
-        "mvn_fit": _q_mvn_fit,
-        "gmm_fit": _q_gmm_fit,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_dedup": _q_streaming_dedup,
         # ---- tail: overflow from the head-50 as round-7 operators
         # landed (all r1-r5 driver-hashed, strict-harness-covered
         # every round), then everything driver-hashed in round 6
         # (CORRECTNESS_r06). ----
+        "mvn_fit": _q_mvn_fit,
+        "gmm_fit": _q_gmm_fit,
         "streaming_moments": _q_streaming_moments,
         "streaming_late_data": _q_streaming_late_data,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
@@ -4744,6 +4771,52 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * sum(i * v) / (count(*) * sum(v))
                          - (count(*) + 1.0) / count(*), 6) AS gini
             FROM r GROUP BY g
+        """,
+        "price_trend_ols": """
+            WITH b AS (
+              SELECT o_orderpriority,
+                     CAST(o_totalprice AS DOUBLE) AS y,
+                     CAST(date_diff('day', DATE '1992-01-01',
+                                    o_orderdate) AS DOUBLE) AS x
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+            )
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2
+            FROM b GROUP BY o_orderpriority
+        """,
+        "lang_source_mi": """
+            WITH c AS (
+              SELECT lang AS a, source AS b,
+                     CAST(count(*) AS DOUBLE) AS o
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY lang, source
+            ),
+            t AS (SELECT sum(o) AS n FROM c),
+            hab AS (
+              SELECT -sum((o / n) * ln(o / n)) AS h_ab FROM c, t
+            ),
+            ha AS (
+              SELECT -sum((ra / n) * ln(ra / n)) AS h_a
+              FROM (SELECT a, sum(o) AS ra FROM c GROUP BY a), t
+            ),
+            hb AS (
+              SELECT -sum((cb / n) * ln(cb / n)) AS h_b
+              FROM (SELECT b, sum(o) AS cb FROM c GROUP BY b), t
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(h_a, 6) AS h_a,
+                   round(h_b, 6) AS h_b,
+                   round(h_ab, 6) AS h_ab,
+                   round(greatest(h_a + h_b - h_ab, 0), 6) AS mi,
+                   CASE WHEN h_a > 0 AND h_b > 0 THEN
+                     round(greatest(h_a + h_b - h_ab, 0)
+                           / sqrt(h_a * h_b), 6)
+                   END AS nmi
+            FROM t, hab, ha, hb
         """,
         "events_autocorr": """
             WITH o AS (

@@ -1442,3 +1442,158 @@ def autocorrelation(
         F.count("*").cast("long").alias("n_pairs"),
         F.round(F.corr("a", "b"), 6).alias("acf"),
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information between two categorical columns as a 1-row
+    relation ``(n, h_a, h_b, h_ab, mi, nmi)`` (all in nats) — how many
+    bits of one label the other already carries. The feature-selection
+    companion to [cramers_v]: ``MI = H(A) + H(B) - H(A,B)`` and
+    ``NMI = MI / sqrt(H(A) * H(B))`` (0 = independent, 1 = either
+    determines the other; null when either marginal is constant).
+
+    Exactly one data-sized pass: the contingency groupBy on
+    ``(a, b)`` (combiner-friendly, |a| x |b| keys). The two marginal
+    entropies and the joint entropy all derive from that small
+    relation and recombine by broadcast cross-join, so the statistic
+    is one lazy plan whose exchange carries level-pair counts only —
+    at 100 TB this costs the same as a grouped count. Null categories
+    are excluded. Entropies/MI rounded to 6.
+    """
+    clean = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    obs = clean.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").alias("_o"))
+    tot = obs.agg(F.sum("_o").alias("_n"))
+    hab = obs.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                (F.col("_o") / F.col("_n"))
+                * F.log(F.col("_o") / F.col("_n"))
+            )
+        ).alias("_hab"),
+        F.first("_n").alias("_n"),
+    )
+    ha = (
+        obs.groupBy("_a")
+        .agg(F.sum("_o").alias("_ra"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("_ra") / F.col("_n"))
+                    * F.log(F.col("_ra") / F.col("_n"))
+                )
+            ).alias("_ha")
+        )
+    )
+    hb = (
+        obs.groupBy("_b")
+        .agg(F.sum("_o").alias("_cb"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("_cb") / F.col("_n"))
+                    * F.log(F.col("_cb") / F.col("_n"))
+                )
+            ).alias("_hb")
+        )
+    )
+    joined = hab.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    mi = F.greatest(
+        F.col("_ha") + F.col("_hb") - F.col("_hab"), F.lit(0.0)
+    )
+    return joined.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_ha", 6).alias("h_a"),
+        F.round("_hb", 6).alias("h_b"),
+        F.round("_hab", 6).alias("h_ab"),
+        F.round(mi, 6).alias("mi"),
+        F.round(
+            F.when(
+                (F.col("_ha") > 0) & (F.col("_hb") > 0),
+                mi / F.sqrt(F.col("_ha") * F.col("_hb")),
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    y_col,
+    x_col,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression ``y ~ a + b*x`` by the
+    closed-form normal equations — the trend detector of the stats
+    family (is this source's quality drifting down over time? is
+    price trending with date per segment?). Mirrors the SQL-standard
+    ``REGR_SLOPE/REGR_INTERCEPT/REGR_R2/REGR_COUNT`` family
+    (reference exposes no regression surface; this is a
+    pipeline-analytics extension).
+
+    ``b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``, ``a = (Sy - b*Sx)/n``,
+    ``r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))``.
+
+    Exactly ONE aggregation over five running sums — map-side partial
+    aggregation does almost all the work, the exchange carries G rows
+    of six doubles, and no window or join appears anywhere: at 100 TB
+    this is as cheap as a grouped count. ``x_col``/``y_col`` accept a
+    column name or a Column expression (e.g. a date delta).
+
+    Degenerate groups follow the SQL convention: ``slope``/
+    ``intercept`` are null when x has zero variance; ``r2`` is null
+    when either variable has zero variance. Rows where either side is
+    null/NaN are excluded. Returns
+    ``(group?, n, slope, intercept, r2)`` rounded to 6.
+    """
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.select(
+        (F.col(group_col) if group_col is not None else F.lit(0)).alias(
+            "_g"
+        ),
+        xc.cast("double").alias("_x"),
+        yc.cast("double").alias("_y"),
+    ).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & ~F.isnan("_x")
+        & ~F.isnan("_y")
+    )
+    if group_col is not None:
+        base = base.filter(F.col("_g").isNotNull())
+    agg = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(dx > 0, cov / dx)
+    out = agg.select(
+        "_g",
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6
+        ).alias("intercept"),
+        F.round(
+            F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy)), 6
+        ).alias("r2"),
+    )
+    if group_col is not None:
+        return out.select(
+            F.col("_g").alias(group_col), "n", "slope", "intercept", "r2"
+        )
+    return out.select("n", "slope", "intercept", "r2")

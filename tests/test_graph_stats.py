@@ -319,3 +319,129 @@ class TestCategoricalEntropy:
         df = spark.createDataFrame(pd.DataFrame({"c": ["k"] * 10}))
         r = categorical_entropy(df, "c").first()
         assert r["entropy"] == 0.0 and r["n_levels"] == 1
+
+
+class TestGroupedOls:
+    def test_matches_numpy_polyfit(self, spark):
+        from spark_bestfit_spark.operators.stats import grouped_ols
+
+        rng = np.random.default_rng(83)
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "x": rng.uniform(0, 100, 3000).round(3),
+        })
+        pdf["y"] = (
+            2.5 * pdf["x"]
+            + pdf["g"].map({"a": 10.0, "b": -4.0, "c": 0.0})
+            + rng.normal(0, 5, 3000)
+        ).round(4)
+        df = spark.createDataFrame(pdf)
+        got = {
+            r["g"]: r
+            for r in grouped_ols(df, "y", "x", group_col="g").collect()
+        }
+        for g, grp in pdf.groupby("g"):
+            b, a = np.polyfit(grp["x"], grp["y"], 1)
+            r2 = np.corrcoef(grp["x"], grp["y"])[0, 1] ** 2
+            r = got[g]
+            assert r["n"] == len(grp)
+            assert r["slope"] == pytest.approx(b, abs=1e-5)
+            assert r["intercept"] == pytest.approx(a, abs=1e-4)
+            assert r["r2"] == pytest.approx(r2, abs=1e-6)
+
+    def test_global_and_expression_x(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.stats import grouped_ols
+
+        pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0],
+                            "y": [2.0, 4.0, 6.0, 8.0]})
+        r = grouped_ols(
+            spark.createDataFrame(pdf), "y", F.col("x") * 2
+        ).first()
+        # y = 1.0 * (2x): slope halves under the doubled regressor
+        assert r["slope"] == pytest.approx(1.0)
+        assert r["intercept"] == pytest.approx(0.0)
+        assert r["r2"] == pytest.approx(1.0)
+
+    def test_degenerate_x_yields_nulls(self, spark):
+        from spark_bestfit_spark.operators.stats import grouped_ols
+
+        pdf = pd.DataFrame({"x": [5.0] * 8, "y": range(8)})
+        r = grouped_ols(spark.createDataFrame(pdf), "y", "x").first()
+        assert r["n"] == 8
+        assert r["slope"] is None and r["r2"] is None
+
+    def test_nulls_and_nans_excluded(self, spark):
+        from spark_bestfit_spark.operators.stats import grouped_ols
+
+        pdf = pd.DataFrame({
+            "x": [1.0, 2.0, np.nan, 4.0, None],
+            "y": [1.0, None, 3.0, 4.0, 5.0],
+        })
+        r = grouped_ols(spark.createDataFrame(pdf), "y", "x").first()
+        assert r["n"] == 2  # only (1,1) and (4,4) survive
+
+
+class TestMutualInformation:
+    @staticmethod
+    def _mi_numpy(a, b):
+        ct = pd.crosstab(pd.Series(a), pd.Series(b)).values.astype(float)
+        n = ct.sum()
+        pj = ct / n
+
+        def h(p):
+            p = p[p > 0]
+            return float(-(p * np.log(p)).sum())
+
+        ha, hb, hab = h(pj.sum(1)), h(pj.sum(0)), h(pj.ravel())
+        return n, ha, hb, hab, max(ha + hb - hab, 0.0)
+
+    def test_matches_numpy(self, spark):
+        from spark_bestfit_spark.operators.stats import mutual_information
+
+        rng = np.random.default_rng(101)
+        a = rng.choice(["x", "y", "z"], 4000)
+        flip = rng.random(4000) < 0.25
+        b = np.where(
+            flip, rng.choice(["p", "q"], 4000), np.where(a == "x", "p", "q")
+        )
+        df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b}))
+        r = mutual_information(df, "a", "b").first()
+        n, ha, hb, hab, mi = self._mi_numpy(a, b)
+        assert r["n"] == n
+        assert r["h_a"] == pytest.approx(ha, abs=1e-6)
+        assert r["h_b"] == pytest.approx(hb, abs=1e-6)
+        assert r["h_ab"] == pytest.approx(hab, abs=1e-6)
+        assert r["mi"] == pytest.approx(mi, abs=1e-6)
+        assert r["nmi"] == pytest.approx(mi / np.sqrt(ha * hb), abs=1e-6)
+        assert r["mi"] > 0.1  # genuinely dependent
+
+    def test_independent_near_zero(self, spark):
+        from spark_bestfit_spark.operators.stats import mutual_information
+
+        rng = np.random.default_rng(107)
+        df = spark.createDataFrame(pd.DataFrame({
+            "a": rng.choice(["x", "y"], 6000),
+            "b": rng.choice(["p", "q", "r"], 6000),
+        }))
+        assert mutual_information(df, "a", "b").first()["mi"] < 0.005
+
+    def test_identical_columns_nmi_one(self, spark):
+        from spark_bestfit_spark.operators.stats import mutual_information
+
+        rng = np.random.default_rng(109)
+        a = rng.choice(["x", "y", "z"], 2000)
+        df = spark.createDataFrame(pd.DataFrame({"a": a, "b": a}))
+        r = mutual_information(df, "a", "b").first()
+        assert r["nmi"] == pytest.approx(1.0)
+        assert r["mi"] == pytest.approx(r["h_a"], abs=1e-6)
+
+    def test_constant_marginal_null_nmi(self, spark):
+        from spark_bestfit_spark.operators.stats import mutual_information
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": ["k"] * 9, "b": list("pqr") * 3})
+        )
+        r = mutual_information(df, "a", "b").first()
+        assert r["mi"] == 0.0 and r["nmi"] is None
