@@ -375,9 +375,9 @@ def bm25_topk(
     tf = matched.groupBy(id_col, "tok").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
-    dfreq = tf.groupBy("tok").agg(
-        F.countDistinct(id_col).alias("df_t")
-    )
+    # tf is unique on (id, tok) by construction, so the document
+    # frequency is a plain count — no distinct-aggregate expansion
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     idf = dfreq.crossJoin(F.broadcast(corpus)).select(
         "tok",
         F.log(
@@ -480,9 +480,10 @@ def top_terms_per_doc(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    # tf is unique on (id, tok), so df is a plain count of tf rows
     dfreq = (
         tf.groupBy("tok")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
     )
     n_docs = df.agg(
@@ -599,9 +600,8 @@ def tfidf_neardup_pairs(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+    # tf is unique on (id, tok), so df is a plain count of tf rows
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.agg(
         F.countDistinct(id_col).cast("double").alias("_n_docs")
     )
@@ -679,7 +679,15 @@ def tfidf_neardup_pairs(
         )
         # verification: each doc's weights travel as ONE map column, so
         # a candidate pair is a single row and the dot product is a JVM
-        # map_zip_with/aggregate — never an explode back to token rows
+        # map_zip_with/aggregate — never an explode back to token rows.
+        # (Measured note: semi-joining wn to the candidate id set
+        # before the map build LOSES here — the candidate subtree is
+        # recomputed for the semi-join (no exchange reuse across the
+        # differing downstream plans) and near-dup corpora put a
+        # large fraction of docs in some candidate pair, so the
+        # "build fewer maps" saving never covers the second
+        # shingle-index pass: idle A/B sf0.1 9.6 -> 10.5 s,
+        # sf1 12.1 -> 13.5 s.)
         vecs = wn.groupBy(id_col).agg(
             F.map_from_entries(
                 F.collect_list(F.struct("tok", "wn"))
