@@ -3060,6 +3060,37 @@ def _q_price_trend_ols(spark, sf_dir):
     )
 
 
+def _q_fuzzy_join_customers(spark, sf_dir):
+    """Edit-distance self-join on customer names at max_dist=1 —
+    record linkage via LOSSLESS PassJoin segment blocking (the
+    content-keyed complement to edit_distance_pairs' length bands).
+    The oracle is DuckDB's levenshtein over the full cross product,
+    so the blocking's exactness is what the hash pins."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.linkage import fuzzy_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return fuzzy_join(
+        cust, cust, "c_name", "c_name", "c_custkey", "c_custkey", 1
+    ).filter(F.col("id_l") < F.col("id_r"))
+
+
+def _q_fuzzy_join_parts(spark, sf_dir):
+    """Edit-distance self-join on part names at max_dist=2 —
+    variable-length keys (7-12 chars) with heavy exact-duplicate
+    classes, exercising the multi-length probe windows and the
+    distance-0 path of the PassJoin blocking."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.linkage import fuzzy_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_join(
+        part, part, "p_name", "p_name", "p_partkey", "p_partkey", 2
+    ).filter(F.col("id_l") < F.col("id_r"))
+
+
 def _q_lang_source_mi(spark, sf_dir):
     """Mutual information between a document's language and source
     (nats + normalized) — one contingency groupBy, entropies derived
@@ -3092,6 +3123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "fuzzy_join_customers": _q_fuzzy_join_customers,
+        "fuzzy_join_parts": _q_fuzzy_join_parts,
         "price_trend_ols": _q_price_trend_ols,
         "lang_source_mi": _q_lang_source_mi,
         "audio_features": _q_audio_features,
@@ -3235,6 +3268,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fuzzy_join_customers": """
+            SELECT a.c_custkey AS id_l, b.c_custkey AS id_r,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "fuzzy_join_parts": """
+            SELECT a.p_partkey AS id_l, b.p_partkey AS id_r,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM part a, part b
+            WHERE a.p_partkey < b.p_partkey
+              AND levenshtein(a.p_name, b.p_name) <= 2
+        """,
         "column_stats": """
             SELECT round(min(l_extendedprice), 6) AS min_price,
                    round(max(l_extendedprice), 6) AS max_price,

@@ -1,0 +1,188 @@
+"""Record-linkage operators: string-similarity joins across tables.
+
+The flagship is :func:`fuzzy_join` — an edit-distance join between TWO
+relations with LOSSLESS segment blocking (the PassJoin scheme, Li,
+Deng & Feng, VLDB 2011): every true pair within ``max_dist`` edits is
+guaranteed to surface as a candidate, and every candidate is verified
+with Spark's thresholded JVM ``levenshtein``, so the result is exact.
+
+Why not reuse the length-band blocking of
+:func:`spark_bestfit_spark.operators.dedup.edit_distance_pairs`?
+Length bands are CONTENT-BLIND: for record linkage over keys of
+near-constant length (names, codes, normalized addresses) one band
+holds the whole table and the candidate join degenerates quadratic.
+Segment blocking keys candidates on actual substring content, so two
+records only meet when one record contains one of the other's
+segments — near-linear candidate volume on realistic key corpora.
+
+How the blocking works (pigeonhole): split each right-side string s
+(|s| = l) into ``max_dist + 1`` contiguous segments. If
+``edit(t, s) <= max_dist``, fewer than ``max_dist + 1`` segments can
+be touched by an edit, so at least one segment survives UNCHANGED in
+t — as a contiguous substring whose start position is displaced from
+its home position by at most ``max_dist`` (each indel shifts the
+alignment by one). So the index side emits its ``max_dist + 1``
+segments keyed by ``(l, segment#, segment)``, and the probe side
+emits, for every plausible right length ``l`` within ``max_dist`` of
+its own, every substring of segment length within the +-``max_dist``
+position window. The equi-join of those two key streams is a SUPERSET
+of the true pair set; a thresholded ``levenshtein`` filters it to the
+exact answer.
+
+Shuffle shape at 100 TB: both key streams are generated map-side
+(sequence/transform/substr — no shuffle, no UDF); the only wide
+operations are the candidate equi-join on (l, seg#, piece) — content
+hashing spreads near-uniformly — and one distinct on the candidate
+pair ids. Per-record row counts are small constants: the index emits
+``max_dist + 1`` rows; the probe at most
+``(2 * max_dist + 1)^2 * (max_dist + 1)`` before per-row
+``array_distinct`` (d=2: <= 75, typically far fewer). Verification is
+Spark's early-exit ``levenshtein(l, r, threshold)`` — O(len * d) per
+candidate, JVM-side.
+
+Reference parity: the reference engine exposes no record-linkage
+surface at all; this module is part of the training-data-pipeline
+tier this engine adds on top (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _seg_bounds(l: Column, j: int, d: int) -> tuple[Column, Column]:
+    """(start, length) of segment ``j`` (0-based) of a length-``l``
+    string split into ``d + 1`` even segments — short segments first,
+    the deterministic convention both index and probe must share.
+    1-based start, matching SQL ``substring``."""
+    nseg = d + 1
+    base = F.floor(l / F.lit(nseg)).cast("int")
+    rem = (l % F.lit(nseg)).cast("int")
+    n_short = F.lit(nseg) - rem  # segments 0..n_short-1 have len=base
+    sl = base + F.when(F.lit(j) >= n_short, F.lit(1)).otherwise(F.lit(0))
+    start = (
+        F.lit(1)
+        + F.lit(j) * base
+        + F.greatest(F.lit(0), F.lit(j) - n_short)
+    )
+    return start.cast("int"), sl.cast("int")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Exact edit-distance join: every (left, right) pair whose key
+    strings are within ``max_dist`` Levenshtein operations, found via
+    lossless PassJoin segment blocking (see module docstring).
+
+    Returns ``(id_l, id_r, dist)`` — one row per qualifying pair,
+    ``dist`` the exact edit distance. Null keys never match. The
+    operator is a single lazy plan: segment/substring generation is
+    map-side, then one content-keyed equi-join, one pair distinct,
+    and a thresholded JVM levenshtein verify.
+
+    For a self-join pass the same DataFrame twice and filter
+    ``id_l < id_r`` on the result (each unordered pair appears with
+    both orderings before the filter; the internal pair distinct has
+    already removed duplicate key collisions).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    d = int(max_dist)
+
+    idx_base = right.select(
+        F.col(right_id).alias("id_r"),
+        F.col(right_on).alias("_sr"),
+        F.length(right_on).cast("int").alias("_lr"),
+    ).filter(F.col("_sr").isNotNull())
+    seg_structs = []
+    for j in range(d + 1):
+        p, sl = _seg_bounds(F.col("_lr"), j, d)
+        seg_structs.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.col("_sr").substr(p, sl).alias("piece"),
+            )
+        )
+    index = idx_base.select(
+        "id_r",
+        "_sr",
+        "_lr",
+        F.explode(F.array_distinct(F.array(*seg_structs))).alias("_k"),
+    ).select(
+        "id_r",
+        "_sr",
+        "_lr",
+        F.col("_k.j").alias("_j"),
+        F.col("_k.piece").alias("_piece"),
+    )
+
+    probe_base = left.select(
+        F.col(left_id).alias("id_l"),
+        F.col(left_on).alias("_sl"),
+        F.length(left_on).cast("int").alias("_ll"),
+    ).filter(F.col("_sl").isNotNull())
+    # candidate right-lengths within the edit bound (l >= 0; l = 0
+    # only pairs with left strings of length <= d, via empty pieces)
+    probe_l = probe_base.select(
+        "id_l",
+        "_sl",
+        "_ll",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_ll") - d, F.lit(0)),
+                F.col("_ll") + d,
+            )
+        ).alias("_cl"),
+    )
+    def _window_pieces(j: int):
+        p, sl = _seg_bounds(F.col("_cl"), j, d)
+        lo = F.greatest(p - d, F.lit(1))
+        hi = F.least(p + d, F.col("_ll") - sl + F.lit(1))
+
+        def _piece(s):
+            return F.struct(
+                F.lit(j).alias("j"),
+                F.col("_sl").substr(s, sl).alias("piece"),
+            )
+
+        return F.when(
+            lo <= hi, F.transform(F.sequence(lo, hi), _piece)
+        ).otherwise(F.array().cast("array<struct<j:int,piece:string>>"))
+
+    piece_arrays = [_window_pieces(j) for j in range(d + 1)]
+    probe = probe_l.select(
+        "id_l",
+        "_sl",
+        "_ll",
+        F.col("_cl").alias("_lr"),
+        F.explode(
+            F.array_distinct(F.flatten(F.array(*piece_arrays)))
+        ).alias("_k"),
+    ).select(
+        "id_l",
+        "_sl",
+        "_ll",
+        "_lr",
+        F.col("_k.j").alias("_j"),
+        F.col("_k.piece").alias("_piece"),
+    )
+
+    cand = (
+        probe.join(index, ["_lr", "_j", "_piece"])
+        .select("id_l", "id_r", "_sl", "_sr")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("_sl"), F.col("_sr"), d)
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))
+    )

@@ -1,0 +1,175 @@
+"""fuzzy_join: lossless PassJoin segment-blocked edit-distance join.
+
+The load-bearing property is EXACTNESS: the blocked join must return
+precisely the pairs a brute-force cross join + levenshtein filter
+returns, for every max_dist — losslessness of the segment blocking is
+the whole contract (the oracle_sql twin re-checks it against DuckDB's
+levenshtein at sf0.01).
+"""
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_bestfit_spark.operators.linkage import fuzzy_join
+
+
+def _brute(df_a, df_b, d, self_join):
+    a, b = df_a.alias("a"), df_b.alias("b")
+    cond = (
+        F.col("a.id") < F.col("b.id")
+        if self_join
+        else F.lit(True)
+    )
+    return {
+        (r.id_l, r.id_r, r.dist)
+        for r in a.crossJoin(b)
+        .filter(cond)
+        .select(
+            F.col("a.id").alias("id_l"),
+            F.col("b.id").alias("id_r"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+        .collect()
+    }
+
+
+def _corpus(spark, seed, n, alphabet, max_len):
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(0, max_len))
+            ),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+class TestFuzzyJoinExactness:
+    @pytest.mark.parametrize("d", [1, 2, 3])
+    def test_self_join_matches_brute_force(self, spark, d):
+        # tiny alphabet maximizes near-collisions, lengths 0..12
+        # cover segments shorter than max_dist + 1 and empty strings
+        df = _corpus(spark, seed=101 + d, n=100, alphabet="ab", max_len=12)
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(df, df, "name", "name", "id", "id", d)
+            .filter("id_l < id_r")
+            .collect()
+        }
+        assert got == _brute(df, df, d, self_join=True)
+
+    def test_two_table_join_matches_brute_force(self, spark):
+        left = _corpus(spark, seed=7, n=80, alphabet="abc", max_len=10)
+        right = _corpus(spark, seed=8, n=60, alphabet="abc", max_len=10)
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(
+                left, right, "name", "name", "id", "id", 2
+            ).collect()
+        }
+        assert got == _brute(left, right, 2, self_join=False)
+
+    def test_variable_length_words(self, spark):
+        # realistic key shapes: shared vocabulary, varied lengths
+        words = ["red", "green", "navy", "small", "widget", "ring"]
+        rng = random.Random(3)
+        rows = [
+            (i, " ".join(rng.sample(words, rng.randint(1, 3))))
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(df, df, "name", "name", "id", "id", 3)
+            .filter("id_l < id_r")
+            .collect()
+        }
+        assert got == _brute(df, df, 3, self_join=True)
+
+
+class TestFuzzyJoinEdges:
+    def test_exact_duplicates_surface_at_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "other")],
+            "id long, name string",
+        )
+        rows = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(df, df, "name", "name", "id", "id", 1)
+            .filter("id_l < id_r")
+            .collect()
+        }
+        assert (1, 2, 0) in rows
+        assert all(p[:2] == (1, 2) for p in rows)
+
+    def test_null_keys_never_match(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "id long, name string"
+        )
+        out = fuzzy_join(df, df, "name", "name", "id", "id", 2).filter(
+            "id_l < id_r"
+        )
+        assert out.count() == 0
+
+    def test_empty_and_short_strings(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "ab"), (4, "xyz")],
+            "id long, name string",
+        )
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(df, df, "name", "name", "id", "id", 2)
+            .filter("id_l < id_r")
+            .collect()
+        }
+        assert got == _brute(df, df, 2, self_join=True)
+
+    def test_rejects_nonpositive_max_dist(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        with pytest.raises(ValueError, match="max_dist"):
+            fuzzy_join(df, df, "name", "name", "id", "id", 0)
+
+    def test_deterministic_across_runs(self, spark):
+        df = _corpus(spark, seed=55, n=70, alphabet="ab", max_len=8)
+        j = lambda: sorted(
+            map(
+                tuple,
+                fuzzy_join(df, df, "name", "name", "id", "id", 2)
+                .filter("id_l < id_r")
+                .collect(),
+            )
+        )
+        assert j() == j()
+
+
+class TestFuzzyJoinAnsi:
+    def test_identical_under_ansi_mode(self, spark):
+        """The engine's standing ANSI pin: no arithmetic in the
+        blocking (floor/mod on lengths, sequence bounds) may change
+        results or raise under spark.sql.ansi.enabled."""
+        df = _corpus(spark, seed=99, n=60, alphabet="ab", max_len=9)
+
+        def run():
+            return sorted(
+                map(
+                    tuple,
+                    fuzzy_join(df, df, "name", "name", "id", "id", 2)
+                    .filter("id_l < id_r")
+                    .collect(),
+                )
+            )
+
+        before = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            after = run()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+        assert before == after

@@ -411,3 +411,23 @@ class TestRound7PlanShapes:
         plan = _physical(out)
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "SinglePartition" not in plan
+
+    def test_fuzzy_join_is_equi_join_never_cartesian(self, spark):
+        """The PassJoin candidate join must compile to a key-hashed
+        equi-join on (length, segment#, piece): no CartesianProduct /
+        BroadcastNestedLoopJoin anywhere, and segment/substring
+        generation stays map-side (explodes, no extra exchanges
+        beyond the join's own and the pair distinct)."""
+        from spark_bestfit_spark.operators.linkage import fuzzy_join
+
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        out = fuzzy_join(
+            cust, cust, "c_name", "c_name", "c_custkey", "c_custkey", 2
+        )
+        plan = _physical(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        # one candidate equi-join + one pair distinct; allow AQE to
+        # broadcast the small side at this SF, but the join keys must
+        # include the piece column (content-keyed, not length-only)
+        assert "_piece" in plan
