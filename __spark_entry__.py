@@ -430,6 +430,44 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (bucketed equi-join plan, exactly-once
+    anchor-bucket semantics): click activity windows [ts, ts+30min]
+    overlapping error windows [ts, ts+10min] per user, with the
+    overlap duration."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import interval_join
+
+    events = _read(spark, sf_dir, "events")
+    m30 = 1_800_000_000_000
+    m10 = 600_000_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + m30).alias("c_end"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + m10).alias("e_end"),
+    )
+    joined = interval_join(
+        clicks, errors.withColumnRenamed("e_user", "user_id"),
+        "c_start", "c_end", "e_start", "e_end",
+        by=["user_id"], bucket_width=m30,
+    )
+    return joined.select(
+        "click_id",
+        "err_id",
+        (
+            F.least("c_end", "e_end") - F.greatest("c_start", "e_start")
+        ).alias("overlap_ns"),
+    )
+
+
 def _q_events_props_json(spark, sf_dir):
     """Semi-structured extraction: pull a field from the JSON props
     column, aggregate per event_type."""
@@ -3123,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "interval_overlap": _q_interval_overlap,
         "fuzzy_join_customers": _q_fuzzy_join_customers,
         "fuzzy_join_parts": _q_fuzzy_join_parts,
         "price_trend_ols": _q_price_trend_ols,
@@ -3268,6 +3307,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "interval_overlap": """
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id,
+                     epoch_ns(ts) AS cs,
+                     epoch_ns(ts) + 1800000000000 AS ce
+              FROM events WHERE event_type = 'click'
+            ),
+            errors AS (
+              SELECT event_id AS err_id, user_id,
+                     epoch_ns(ts) AS es,
+                     epoch_ns(ts) + 600000000000 AS ee
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT c.click_id, e.err_id,
+                   least(ce, ee) - greatest(cs, es) AS overlap_ns
+            FROM clicks c JOIN errors e
+              ON c.user_id = e.user_id AND cs <= ee AND es <= ce
+        """,
         "fuzzy_join_customers": """
             SELECT a.c_custkey AS id_l, b.c_custkey AS id_r,
                    levenshtein(a.c_name, b.c_name) AS dist

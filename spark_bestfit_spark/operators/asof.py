@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = [
     "asof_join",
+    "interval_join",
     "range_join",
     "rolling_stats",
     "latest_by_key",
@@ -116,6 +117,86 @@ def range_join(
     joined = p.join(iv, on=by + ["_bucket"], how="inner").filter(
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: list | None = None,
+    bucket_width=None,
+    max_span_buckets: int | None = None,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair of CLOSED
+    intervals that overlap (``left_start <= right_end AND right_start
+    <= left_end``), optionally per ``by`` key — the two-sided
+    complement of :func:`range_join` (point in interval) and
+    :func:`asof_join` (most recent at-or-before).
+
+    Without ``bucket_width`` Spark plans the inequality condition as a
+    nested-loop join — fine when one side broadcasts, a scale-killer
+    otherwise. With it, BOTH sides explode to the coarse time buckets
+    they span and the plan becomes a hash equi-join on
+    (keys..., bucket). A pair of overlapping intervals shares every
+    bucket their intersection touches, so the naive bucket join emits
+    duplicates; instead of a wide ``distinct``, each pair is kept ONLY
+    in the one bucket containing ``greatest(left_start, right_start)``
+    (the first bucket of the intersection) — exactly-once semantics as
+    a map-side predicate, no dedup exchange. Bound columns must be
+    numeric (cast timestamps to epoch first) and uniquely named across
+    the two inputs.
+
+    ``max_span_buckets`` is the fan-out guard (the ``max_bucket_size``
+    convention from MinHash): intervals spanning more than that many
+    buckets are EXCLUDED from the join rather than exploded — open-ended
+    or pathologically long intervals otherwise multiply the exchange by
+    their span. Pick ``bucket_width`` near the typical interval length
+    so most intervals land in 1-2 buckets.
+
+    No reference analog — the reference engine has no interval
+    algebra; this extends the round-4 as-of/range family
+    (``src/frame/asof.*`` parity) to interval-interval overlap.
+    """
+    by = list(by or [])
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    if bucket_width is None:
+        cond = [
+            left[left_start] <= right[right_end],
+            right[right_start] <= left[left_end],
+        ]
+        for k in by:
+            cond.append(left[k] == right[k])
+        return left.join(right, on=cond, how="inner")
+
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _explode(df, start_col, end_col):
+        first = F.floor(F.col(start_col) / F.lit(w)).cast("long")
+        last = F.floor(F.col(end_col) / F.lit(w)).cast("long")
+        out = df.filter(F.col(start_col) <= F.col(end_col))
+        if max_span_buckets is not None:
+            out = out.filter(last - first < F.lit(int(max_span_buckets)))
+        return out.withColumn("_bucket", F.explode(F.sequence(first, last)))
+
+    lb = _explode(left, left_start, left_end)
+    rb = _explode(right, right_start, right_end)
+    # exactly-once: keep the pair only in the first bucket of the
+    # intersection — a map-side predicate instead of a distinct
+    anchor = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(w)
+    ).cast("long")
+    joined = (
+        lb.join(rb, on=by + ["_bucket"], how="inner")
+        .filter(overlap & (F.col("_bucket") == anchor))
     )
     return joined.drop("_bucket")
 

@@ -195,6 +195,113 @@ class TestAsofJoin:
         assert mism.empty, mism
 
 
+class TestIntervalJoin:
+    def _random_intervals(self, rng, n, tag):
+        starts = rng.uniform(0, 900, n).round(2)
+        return pd.DataFrame({
+            "k": rng.choice(["x", "y"], n),
+            f"{tag}s": starts,
+            f"{tag}e": (starts + rng.uniform(0, 120, n)).round(2),
+            f"{tag}_id": np.arange(n),
+        })
+
+    def test_bucketed_matches_naive_and_pandas(self, spark):
+        from spark_bestfit_spark.operators.asof import interval_join
+
+        rng = np.random.default_rng(7)
+        lpd = self._random_intervals(rng, 80, "l")
+        rpd = self._random_intervals(rng, 70, "r")
+        left, right = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+
+        naive = interval_join(left, right, "ls", "le", "rs", "re", by=["k"])
+        bucketed = interval_join(
+            left, right, "ls", "le", "rs", "re", by=["k"], bucket_width=50
+        )
+        a = sorted((r.k, r.l_id, r.r_id) for r in naive.collect())
+        b = sorted((r.k, r.l_id, r.r_id) for r in bucketed.collect())
+        assert a == b and len(a) > 0
+
+        # exactly-once even though many pairs share several buckets
+        assert len(b) == len(set(b))
+
+        # driver-side truth
+        truth = sorted(
+            (lk, int(li), int(ri))
+            for lk, ls, le, li in lpd[["k", "ls", "le", "l_id"]].itertuples(
+                index=False
+            )
+            for rk, rs, re_, ri in rpd[["k", "rs", "re", "r_id"]].itertuples(
+                index=False
+            )
+            if lk == rk and ls <= re_ and rs <= le
+        )
+        assert b == truth
+
+    def test_tiny_bucket_width_still_exact(self, spark):
+        # every pair spans MANY shared buckets; the anchor predicate
+        # must still emit each exactly once
+        from spark_bestfit_spark.operators.asof import interval_join
+
+        rng = np.random.default_rng(11)
+        lpd = self._random_intervals(rng, 30, "l")
+        rpd = self._random_intervals(rng, 30, "r")
+        left, right = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+        naive = sorted(
+            (r.l_id, r.r_id)
+            for r in interval_join(
+                left, right, "ls", "le", "rs", "re"
+            ).collect()
+        )
+        tiny = sorted(
+            (r.l_id, r.r_id)
+            for r in interval_join(
+                left, right, "ls", "le", "rs", "re", bucket_width=3
+            ).collect()
+        )
+        assert tiny == naive and len(tiny) == len(set(tiny))
+
+    def test_max_span_buckets_excludes_long_intervals(self, spark):
+        from spark_bestfit_spark.operators.asof import interval_join
+
+        left = spark.createDataFrame(
+            [(0.0, 5.0, 1), (0.0, 500.0, 2)], "ls double, le double, l_id int"
+        )
+        right = spark.createDataFrame(
+            [(2.0, 3.0, 1)], "rs double, re double, r_id int"
+        )
+        full = interval_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=10
+        )
+        assert {r.l_id for r in full.collect()} == {1, 2}
+        guarded = interval_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=10, max_span_buckets=5,
+        )
+        assert {r.l_id for r in guarded.collect()} == {1}
+
+    def test_bucketed_plan_never_nested_loop(self, spark):
+        from spark_bestfit_spark.operators.asof import interval_join
+
+        left = spark.createDataFrame(
+            [("x", 0.0, 5.0)], "k string, ls double, le double"
+        )
+        right = spark.createDataFrame(
+            [("x", 2.0, 3.0)], "k string, rs double, re double"
+        )
+        plan = interval_join(
+            left, right, "ls", "le", "rs", "re", by=["k"], bucket_width=10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.asof import interval_join
+
+        df = spark.createDataFrame([(0.0, 1.0)], "a double, b double")
+        with pytest.raises(ValueError, match="bucket_width"):
+            interval_join(df, df, "a", "b", "a", "b", bucket_width=0)
+
+
 class TestLatestByKey:
     def test_matches_pandas_keep_last(self, spark):
         from spark_bestfit_spark.operators.asof import latest_by_key
