@@ -430,6 +430,30 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_golden_record(spark, sf_dir):
+    """Survivorship merge: per user, the latest non-null value of each
+    event type independently (EAV golden record) — one
+    map-side-combinable groupBy, explicit attribute domain, no pivot
+    shuffle, no window sort."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import golden_record
+
+    events = _read(spark, sf_dir, "events")
+    out = golden_record(
+        events, "user_id", "event_type", "value", "ts",
+        ["click", "view", "purchase", "error", "signup"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        *[F.round(c, 6).alias(c)
+          for c in ("click", "view", "purchase", "error", "signup")],
+        "last_updated",
+        "n_versions",
+    )
+
+
 def _q_interval_overlap(spark, sf_dir):
     """Interval-overlap join (bucketed equi-join plan, exactly-once
     anchor-bucket semantics): click activity windows [ts, ts+30min]
@@ -3161,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "golden_record": _q_golden_record,
         "interval_overlap": _q_interval_overlap,
         "fuzzy_join_customers": _q_fuzzy_join_customers,
         "fuzzy_join_parts": _q_fuzzy_join_parts,
@@ -3307,6 +3332,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "golden_record": """
+            SELECT user_id,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'click' AND value IS NOT NULL
+                   ), 6) AS click,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'view' AND value IS NOT NULL
+                   ), 6) AS view,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'purchase' AND value IS NOT NULL
+                   ), 6) AS purchase,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'error' AND value IS NOT NULL
+                   ), 6) AS error,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'signup' AND value IS NOT NULL
+                   ), 6) AS signup,
+                   epoch_ns(max(ts)) AS last_updated,
+                   count(*) AS n_versions
+            FROM events
+            GROUP BY user_id
+        """,
         "interval_overlap": """
             WITH clicks AS (
               SELECT event_id AS click_id, user_id,

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = [
     "asof_join",
+    "golden_record",
     "interval_join",
     "range_join",
     "rolling_stats",
@@ -70,6 +71,57 @@ def latest_by_key(
         )
         .select(*keys, "_r.*")
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    attr_col: str,
+    value_col: str,
+    ts_col: str,
+    attributes: list,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Survivorship merge over an EAV changelog: ONE row per entity
+    with, for EACH attribute independently, the most recent NON-NULL
+    value — the "golden record" idiom of MDM / identity-resolution
+    pipelines. Unlike :func:`latest_by_key` (whole latest row), each
+    attribute survives from whichever row last set it.
+
+    ``attributes`` is the EXPLICIT attribute domain (the
+    ``pivot_counts`` convention — no eager distinct scan to discover
+    it). The plan is ONE map-side-combinable groupBy on the entity:
+    per attribute a conditional ``max_by(value, when(attr = a AND
+    value IS NOT NULL, struct(ts, tiebreak)))`` — rows with a null
+    ordering are ignored by the aggregate, so nulls and other
+    attributes never displace a survived value. No pivot shuffle, no
+    per-attribute pass, no window sort; the exchange carries at most
+    |entities| pre-reduced rows per partition.
+
+    Output: entity, one column per attribute (named by the attribute),
+    ``last_updated`` (max ts over ALL rows of the entity) and
+    ``n_versions`` (changelog length).
+    """
+    if not attributes:
+        raise ValueError("attributes must be a non-empty explicit domain")
+    ord_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        ord_cols.append(F.col(tiebreak_col))
+    order = F.struct(*ord_cols)
+    aggs = [
+        F.max_by(
+            F.col(value_col),
+            F.when(
+                (F.col(attr_col) == F.lit(a))
+                & F.col(value_col).isNotNull(),
+                order,
+            ),
+        ).alias(str(a))
+        for a in attributes
+    ]
+    aggs.append(F.max(ts_col).alias("last_updated"))
+    aggs.append(F.count(F.lit(1)).alias("n_versions"))
+    return df.groupBy(entity_col).agg(*aggs)
 
 
 def range_join(

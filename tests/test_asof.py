@@ -348,6 +348,85 @@ class TestLatestByKey:
             )
 
 
+class TestGoldenRecord:
+    def test_survives_latest_nonnull_per_attribute(self, spark):
+        from spark_bestfit_spark.operators.asof import golden_record
+
+        rows = [
+            # entity, attr, value, ts, id
+            ("u1", "email", "a@x", 1, 1),
+            ("u1", "email", None, 5, 2),     # null never displaces
+            ("u1", "email", "b@x", 3, 3),
+            ("u1", "phone", "111", 2, 4),
+            ("u2", "phone", "222", 9, 5),
+            ("u2", "email", None, 1, 6),     # all-null attribute -> null
+        ]
+        df = spark.createDataFrame(
+            rows, "e string, a string, v string, ts long, id long"
+        )
+        out = {
+            r.e: r
+            for r in golden_record(
+                df, "e", "a", "v", "ts", ["email", "phone"], "id"
+            ).collect()
+        }
+        assert out["u1"].email == "b@x"       # ts=3 beats ts=1; ts=5 null ignored
+        assert out["u1"].phone == "111"
+        assert out["u1"].last_updated == 5    # max ts over ALL rows
+        assert out["u1"].n_versions == 4
+        assert out["u2"].email is None
+        assert out["u2"].phone == "222"
+
+    def test_tiebreak_is_deterministic(self, spark):
+        from spark_bestfit_spark.operators.asof import golden_record
+
+        rows = [("u", "x", "lo", 7, 1), ("u", "x", "hi", 7, 2)]
+        df = spark.createDataFrame(
+            rows, "e string, a string, v string, ts long, id long"
+        ).repartition(8)
+        for _ in range(3):
+            got = golden_record(df, "e", "a", "v", "ts", ["x"], "id").collect()
+            assert got[0].x == "hi"
+
+    def test_matches_pandas(self, spark):
+        from spark_bestfit_spark.operators.asof import golden_record
+
+        rng = np.random.default_rng(3)
+        n = 500
+        pdf = pd.DataFrame({
+            "e": rng.integers(0, 40, n),
+            "a": rng.choice(["p", "q", "r"], n),
+            "v": [
+                None if rng.random() < 0.3 else float(rng.integers(0, 100))
+                for _ in range(n)
+            ],
+            "ts": rng.permutation(n).astype("int64"),
+        })
+        pdf["id"] = np.arange(n, dtype="int64")
+        out = golden_record(
+            spark.createDataFrame(pdf), "e", "a", "v", "ts",
+            ["p", "q", "r"], "id",
+        ).toPandas().set_index("e").sort_index()
+        for attr in ("p", "q", "r"):
+            sub = pdf[(pdf.a == attr) & pdf.v.notna()]
+            want = sub.sort_values(["ts", "id"]).groupby("e").v.last()
+            got = out[attr].dropna()
+            assert got.sort_index().equals(
+                want.sort_index().reindex(got.sort_index().index)
+            )
+        assert (
+            out["n_versions"].sort_index()
+            == pdf.groupby("e").size().sort_index()
+        ).all()
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.asof import golden_record
+
+        df = spark.createDataFrame([("u", "a", 1.0, 1)], "e string, a string, v double, ts long")
+        with pytest.raises(ValueError, match="attributes"):
+            golden_record(df, "e", "a", "v", "ts", [])
+
+
 class TestScd2History:
     def test_validity_intervals(self, spark):
         from spark_bestfit_spark.operators.asof import scd2_history

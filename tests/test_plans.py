@@ -412,6 +412,58 @@ class TestRound7PlanShapes:
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "SinglePartition" not in plan
 
+    def test_golden_record_is_one_grouped_pass(self, spark):
+        """Survivorship must cost ONE entity-hash exchange fed by a
+        partial (map-side) aggregate — no pivot, no window sort over
+        data rows, no join."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.asof import golden_record
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "ts",
+            F.expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000"),
+        )
+        out = golden_record(
+            ev, "user_id", "event_type", "value", "ts",
+            ["click", "view"], "event_id",
+        )
+        plan = _physical(out)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "partial" in plan, plan
+        assert "Window" not in plan and "Join" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_interval_join_bucketed_is_hash_join(self, spark):
+        """The bucketed interval-overlap join must be a hash equi-join
+        on (key, bucket) — never a nested loop / cartesian — with the
+        exactly-once anchor predicate applied as a join-level filter,
+        not a downstream distinct (no aggregate over the pairs)."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.asof import interval_join
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "ts",
+            F.expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000"),
+        )
+        a = ev.select(
+            "user_id", F.col("ts").alias("as_"),
+            (F.col("ts") + 10**12).alias("ae"),
+        )
+        b = ev.select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("bs"), (F.col("ts") + 10**12).alias("be"),
+        )
+        out = interval_join(
+            a, b, "as_", "ae", "bs", "be",
+            by=["user_id"], bucket_width=10**12,
+        )
+        plan = _physical(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "HashAggregate" not in plan  # no dedup pass
+
     def test_fuzzy_join_is_equi_join_never_cartesian(self, spark):
         """The PassJoin candidate join must compile to a key-hashed
         equi-join on (length, segment#, piece): no CartesianProduct /
