@@ -430,6 +430,18 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_cusum_changepoint(spark, sf_dir):
+    """Per-user CUSUM mean-shift scan over the event value series —
+    max normalized |prefix deviation| + earliest argmax location, all
+    on one entity-hash exchange."""
+    from spark_bestfit_spark.operators.stats import cusum_changepoint
+
+    events = _read(spark, sf_dir, "events")
+    return cusum_changepoint(
+        events, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+
+
 def _q_golden_record(spark, sf_dir):
     """Survivorship merge: per user, the latest non-null value of each
     event type independently (EAV golden record) — one
@@ -3185,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "cusum_changepoint": _q_cusum_changepoint,
         "golden_record": _q_golden_record,
         "interval_overlap": _q_interval_overlap,
         "fuzzy_join_customers": _q_fuzzy_join_customers,
@@ -3332,6 +3345,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cusum_changepoint": """
+            WITH x AS (
+              SELECT user_id AS e, epoch_ns(ts) AS o, event_id AS tb,
+                     value AS v
+              FROM events
+              WHERE value IS NOT NULL AND isfinite(value)
+            ),
+            w AS (
+              SELECT e, o,
+                     count(*) OVER win_ord AS i,
+                     sum(v) OVER win_ord AS cum,
+                     avg(v) OVER (PARTITION BY e) AS m,
+                     stddev_pop(v) OVER (PARTITION BY e) AS sd,
+                     count(*) OVER (PARTITION BY e) AS n
+              FROM x
+              WINDOW win_ord AS (
+                PARTITION BY e ORDER BY o, tb ROWS UNBOUNDED PRECEDING
+              )
+            ),
+            z AS (
+              SELECT e, o, i, n,
+                     round(
+                       abs(cum - i * m) / nullif(sd * sqrt(n), 0), 6
+                     ) AS z
+              FROM w
+            ),
+            mz AS (SELECT *, max(z) OVER (PARTITION BY e) AS mx FROM z)
+            SELECT e AS user_id, max(n) AS n, max(z) AS cusum_stat,
+                   min(CASE WHEN z = mx THEN i END) AS cp_index,
+                   min(CASE WHEN z = mx THEN o END) AS cp_order
+            FROM mz GROUP BY e
+        """,
         "golden_record": """
             SELECT user_id,
                    round(arg_max(value, ts) FILTER (

@@ -1597,3 +1597,65 @@ def grouped_ols(
             F.col("_g").alias(group_col), "n", "slope", "intercept", "r2"
         )
     return out.select("n", "slope", "intercept", "r2")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity CUSUM mean-shift changepoint scan — the classic
+    offline statistic ``max_i |S_i| / (sigma * sqrt(n))`` where
+    ``S_i = sum_{j<=i} (x_j - mean)`` over the entity's time-ordered
+    series, with the argmax index as the changepoint location. Large
+    values (>~ 1.36 for the 5% Kolmogorov band) flag a mean shift; the
+    location splits the series where the shift happened.
+
+    All window algebra on ONE entity-hash exchange: the unbounded
+    per-entity mean/stddev/count, the running prefix sum, and the
+    row index share a partitioning, and the final per-entity collapse
+    is a groupBy riding the same exchange. The normalized deviation is
+    rounded to 6 BEFORE the argmax so the location is
+    engine-portable; ties take the EARLIEST index. ``sigma`` is the
+    population stddev; constant series yield a null statistic.
+
+    Returns ``(entity_col, n, cusum_stat, cp_index, cp_order)`` —
+    ``cp_index`` 1-based, ``cp_order`` the ``order_col`` value there.
+    """
+    from pyspark.sql import Window as _W
+
+    tb = tiebreak_col if tiebreak_col is not None else order_col
+    w_ent = _W.partitionBy(entity_col)
+    w_ord = (
+        _W.partitionBy(entity_col)
+        .orderBy(F.col(order_col), F.col(tb))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    base = valid_column(
+        df.select(entity_col, order_col, value_col, tb), value_col
+    )
+    scored = (
+        base.withColumn("_i", F.count(F.lit(1)).over(w_ord))
+        .withColumn("_cum", F.sum(value_col).over(w_ord))
+        .withColumn("_mean", F.avg(value_col).over(w_ent))
+        .withColumn("_sd", F.stddev_pop(value_col).over(w_ent))
+        .withColumn("_n", F.count(F.lit(1)).over(w_ent))
+        .withColumn(
+            "_z",
+            F.round(
+                F.abs(F.col("_cum") - F.col("_i") * F.col("_mean"))
+                / F.nullif(F.col("_sd") * F.sqrt(F.col("_n")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn("_mx", F.max("_z").over(w_ent))
+    )
+    at_max = F.col("_z") == F.col("_mx")
+    return scored.groupBy(entity_col).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_z").alias("cusum_stat"),
+        F.min(F.when(at_max, F.col("_i"))).cast("long").alias("cp_index"),
+        F.min(F.when(at_max, F.col(order_col))).alias("cp_order"),
+    )

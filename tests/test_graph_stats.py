@@ -445,3 +445,73 @@ class TestMutualInformation:
         )
         r = mutual_information(df, "a", "b").first()
         assert r["mi"] == 0.0 and r["nmi"] is None
+
+
+class TestCusumChangepoint:
+    @staticmethod
+    def _np_cusum(x):
+        x = np.asarray(x, dtype=float)
+        n = len(x)
+        s = np.cumsum(x - x.mean())
+        sd = x.std()  # population
+        if sd == 0:
+            return None, None
+        z = np.round(np.abs(s) / (sd * np.sqrt(n)), 6)
+        return z.max(), int(np.argmax(z)) + 1  # earliest argmax, 1-based
+
+    def test_matches_numpy_and_finds_shift(self, spark):
+        from spark_bestfit_spark.operators.stats import cusum_changepoint
+
+        rng = np.random.default_rng(5)
+        series = {}
+        rows = []
+        for e in range(6):
+            cp = rng.integers(20, 80)
+            x = np.concatenate([
+                rng.normal(0, 1, cp), rng.normal(3, 1, 100 - cp)
+            ])
+            series[e] = (x, cp)
+            rows += [(e, i, float(v)) for i, v in enumerate(x)]
+        df = spark.createDataFrame(
+            rows, "e int, t int, v double"
+        ).repartition(7)
+        got = {
+            r.e: r
+            for r in cusum_changepoint(df, "e", "t", "v").collect()
+        }
+        for e, (x, cp) in series.items():
+            stat, idx = self._np_cusum(x)
+            assert got[e].cusum_stat == pytest.approx(stat, abs=1e-9)
+            assert got[e].cp_index == idx
+            assert got[e].n == 100
+            # the scan localizes a 3-sigma shift within a few samples
+            assert abs(got[e].cp_index - cp) <= 5
+            assert got[e].cusum_stat > 1.36  # 5% Kolmogorov band
+            assert got[e].cp_order == idx - 1  # t is the 0-based order
+
+    def test_no_shift_stays_small_and_constant_is_null(self, spark):
+        from spark_bestfit_spark.operators.stats import cusum_changepoint
+
+        rng = np.random.default_rng(9)
+        rows = [(0, i, float(v)) for i, v in enumerate(rng.normal(0, 1, 200))]
+        rows += [(1, i, 5.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "e int, t int, v double")
+        got = {r.e: r for r in cusum_changepoint(df, "e", "t", "v").collect()}
+        stat, idx = self._np_cusum(
+            [v for e, t, v in rows if e == 0]
+        )
+        assert got[0].cusum_stat == pytest.approx(stat, abs=1e-9)
+        assert got[1].cusum_stat is None and got[1].cp_index is None
+
+    def test_single_exchange_plan(self, spark):
+        from spark_bestfit_spark.operators.stats import cusum_changepoint
+
+        df = spark.createDataFrame(
+            [(0, 1, 1.0), (0, 2, 2.0)], "e int, t int, v double"
+        )
+        plan = (
+            cusum_changepoint(df, "e", "t", "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SinglePartition" not in plan
