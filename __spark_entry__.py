@@ -430,6 +430,36 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_rrf_search(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval signals over the same
+    3-term query: BM25 top-10 and total-term-frequency top-10. Scores
+    are rounded to 6 BEFORE ranking so ranks (and the fused score) are
+    engine-portable."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import rrf_fuse
+    from spark_bestfit_spark.operators.textstats import bm25_topk
+
+    terms = ["spark", "window", "agg"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm25 = bm25_topk(docs, terms, k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok").isin(terms))
+    tf = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+    return rrf_fuse([bm25, tf], "doc_id", k=60)
+
+
 def _q_cusum_changepoint(spark, sf_dir):
     """Per-user CUSUM mean-shift scan over the event value series —
     max normalized |prefix deviation| + earliest argmax location, all
@@ -3197,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "rrf_search": _q_rrf_search,
         "cusum_changepoint": _q_cusum_changepoint,
         "golden_record": _q_golden_record,
         "interval_overlap": _q_interval_overlap,
@@ -3345,6 +3376,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rrf_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       ::DOUBLE AS dl
+              FROM documents
+            ),
+            corpus AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf
+              FROM toks WHERE tok IN ('spark', 'window', 'agg')
+              GROUP BY doc_id, tok
+            ),
+            idf AS (
+              SELECT tok,
+                     ln(1 + (n_docs - count(DISTINCT doc_id) + 0.5)
+                            / (count(DISTINCT doc_id) + 0.5)) AS idf
+              FROM tf, corpus
+              GROUP BY tok, n_docs
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))
+                       AS c
+              FROM tf
+              JOIN idf USING (tok)
+              JOIN dl USING (doc_id)
+              CROSS JOIN corpus
+            ),
+            bm25 AS (
+              SELECT doc_id, round(sum(c), 6) AS s
+              FROM contrib GROUP BY doc_id
+              ORDER BY sum(c) DESC, doc_id LIMIT 10
+            ),
+            bm25r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id) AS r
+              FROM bm25
+            ),
+            tfrank AS (
+              SELECT doc_id, count(*)::DOUBLE AS s
+              FROM toks WHERE tok IN ('spark', 'window', 'agg')
+              GROUP BY doc_id
+              ORDER BY count(*) DESC, doc_id LIMIT 10
+            ),
+            tfr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id) AS r
+              FROM tfrank
+            ),
+            u AS (
+              SELECT doc_id, r FROM bm25r
+              UNION ALL SELECT doc_id, r FROM tfr
+            )
+            SELECT doc_id,
+                   round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+                   count(*) AS n_rankers,
+                   min(r) AS best_rank
+            FROM u GROUP BY doc_id
+        """,
         "cusum_changepoint": """
             WITH x AS (
               SELECT user_id AS e, epoch_ns(ts) AS o, event_id AS tb,

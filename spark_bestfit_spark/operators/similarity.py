@@ -751,3 +751,74 @@ def semantic_dedup(
             ).alias("is_kept"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    id_col: str,
+    score_col: str = "score",
+    k: int = 60,
+    by: list | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate rankings — the standard way
+    to combine heterogeneous retrieval signals (BM25 + embedding
+    cosine + recency, ...) without calibrating their score scales:
+
+        rrf(d) = sum over rankers r of 1 / (k + rank_r(d))
+
+    Each input DataFrame carries (``by``..., ``id_col``,
+    ``score_col``); ranks are assigned per ranker with a deterministic
+    ``row_number`` over (score DESC, id) so equal scores fuse
+    identically on every engine. Candidates missing from a ranker
+    simply contribute nothing (the usual top-k-candidates semantics).
+
+    Plan: one window per ranker over the ranker's OWN candidate list
+    (top-k sized — the inputs are retrieval outputs, not corpora),
+    a union, and ONE groupBy on (keys..., id). With ``by`` (batch
+    multi-query fusion) every stage is per-query hash-partitioned;
+    without it the rank windows run on the single implicit query's
+    candidate list. ``top_n`` keeps the best fused rows per query.
+
+    Returns (``by``..., ``id_col``, ``rrf_score`` rounded to 6,
+    ``n_rankers``, ``best_rank``).
+    """
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    keys = list(by or [])
+    parts = []
+    for df in rankings:
+        w = (
+            Window.partitionBy(*keys)
+            if keys
+            else Window.partitionBy(F.lit(1))
+        ).orderBy(F.col(score_col).desc(), F.col(id_col))
+        parts.append(
+            df.select(*keys, id_col, score_col)
+            .withColumn("_rank", F.row_number().over(w))
+            .drop(score_col)
+        )
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    out = allr.groupBy(*keys, id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))), 6
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_rankers"),
+        F.min("_rank").cast("long").alias("best_rank"),
+    )
+    if top_n is not None:
+        w = (
+            Window.partitionBy(*keys)
+            if keys
+            else Window.partitionBy(F.lit(1))
+        ).orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(top_n))
+            .drop("_rn")
+        )
+    return out

@@ -215,6 +215,62 @@ class TestBruteForceTopK:
             assert all(r.neighbor_id != q for r in rows)
 
 
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        a = spark.createDataFrame(
+            [(1, 9.0), (2, 7.0), (3, 5.0)], "doc bigint, score double"
+        )
+        b = spark.createDataFrame(
+            [(3, 0.9), (1, 0.8)], "doc bigint, score double"
+        )
+        got = {
+            r.doc: r
+            for r in similarity.rrf_fuse([a, b], "doc", k=60).collect()
+        }
+        # ranks: a -> 1:1, 2:2, 3:3 ; b -> 3:1, 1:2
+        assert got[1].rrf_score == round(1 / 61 + 1 / 62, 6)
+        assert got[2].rrf_score == round(1 / 62, 6)
+        assert got[3].rrf_score == round(1 / 63 + 1 / 61, 6)
+        assert got[1].n_rankers == 2 and got[2].n_rankers == 1
+        assert got[3].best_rank == 1
+
+    def test_score_ties_rank_deterministically(self, spark):
+        a = spark.createDataFrame(
+            [(5, 1.0), (2, 1.0), (9, 1.0)], "doc bigint, score double"
+        ).repartition(4)
+        got = {
+            r.doc: r.best_rank
+            for r in similarity.rrf_fuse([a], "doc").collect()
+        }
+        assert got == {2: 1, 5: 2, 9: 3}  # ties broken by id
+
+    def test_multi_query_and_top_n(self, spark):
+        a = spark.createDataFrame(
+            [("q1", 1, 3.0), ("q1", 2, 2.0), ("q2", 1, 1.0)],
+            "q string, doc bigint, score double",
+        )
+        b = spark.createDataFrame(
+            [("q1", 2, 8.0), ("q2", 7, 1.0)],
+            "q string, doc bigint, score double",
+        )
+        out = similarity.rrf_fuse(
+            [a, b], "doc", by=["q"], k=1, top_n=1
+        ).collect()
+        per_q = {r.q: r for r in out}
+        assert len(out) == 2
+        # q1: doc2 = 1/3 (rank2 in a) + 1/2 (rank1 in b) > doc1 = 1/2
+        assert per_q["q1"].doc == 2
+        assert per_q["q2"].doc in (1, 7)  # both rank 1 -> tie by id
+        assert per_q["q2"].doc == 1
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="non-empty"):
+            similarity.rrf_fuse([], "doc")
+        df = spark.createDataFrame([(1, 1.0)], "doc bigint, score double")
+        with pytest.raises(ValueError, match="k must"):
+            similarity.rrf_fuse([df], "doc", k=0)
+
+
 class TestLshTopK:
     def test_recall_vs_brute_force(self, embeddings):
         dim = len(embeddings.select("embedding").first()[0])
