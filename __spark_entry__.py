@@ -430,6 +430,40 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment: the event stream broadcast-
+    joins the customer dimension in every micro-batch (facts never
+    shuffle for the join), then a complete-mode revenue rollup per
+    nation — the final state must equal the batch join+groupBy."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.enrich import enrich_with_dimension
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    stream = _read_stream(spark, sf_dir, "events")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = enrich_with_dimension(
+        stream, dim, on=["user_id"], dim_cols=["c_nationkey"]
+    )
+    agg = (
+        enriched.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value"), 2).cast("decimal(18,2)")
+            ).alias("tv"),
+        )
+        .select(
+            "c_nationkey",
+            "n_events",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+    )
+    return run_stream_once(agg, output_mode="complete", state_partitions=8)
+
+
 def _q_rrf_search(spark, sf_dir):
     """Reciprocal-rank fusion of two retrieval signals over the same
     3-term query: BM25 top-10 and total-term-frequency top-10. Scores
@@ -3227,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "streaming_enrich": _q_streaming_enrich,
         "rrf_search": _q_rrf_search,
         "cusum_changepoint": _q_cusum_changepoint,
         "golden_record": _q_golden_record,
@@ -3376,6 +3411,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_enrich": """
+            SELECT c.c_nationkey,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(e.value, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS total_value
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
         "rrf_search": """
             WITH toks AS (
               SELECT doc_id,

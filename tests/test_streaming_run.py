@@ -68,3 +68,66 @@ class TestRunStreamOnce:
         assert stats["a"].min_v == 1.0 and stats["a"].max_v == 5.0
         assert stats["b"].n == 2
         assert stats["b"].mean == 15.0
+
+
+class TestEnrichWithDimension:
+    def test_streaming_enrichment_matches_batch_join(self, spark, tmp_path):
+        from spark_bestfit_spark.streaming.enrich import enrich_with_dimension
+
+        frames = [
+            pd.DataFrame({"k": ["a", "b", "zz"], "v": [1.0, 2.0, 9.0]}),
+            pd.DataFrame({"k": ["a", "c"], "v": [3.0, 4.0]}),
+        ]
+        src = _write_batches(tmp_path, frames)
+        stream = (
+            spark.readStream.schema("k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        dim = spark.createDataFrame(
+            [("a", "north", 1), ("b", "south", 2), ("c", "north", 3)],
+            "k string, region string, extra int",
+        )
+        enriched = enrich_with_dimension(
+            stream, dim, on=["k"], dim_cols=["region"]
+        )
+        # dim_cols pruned the broadcast payload
+        assert "extra" not in enriched.columns
+        agg = enriched.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("t")
+        )
+        out = run_stream_once(agg, output_mode="complete")
+        got = sorted(
+            ((r.region, r.n, r.t) for r in out.collect()),
+            key=lambda t: (t[0] is not None, t),
+        )
+        # unmatched fact "zz" survives the left join with null region
+        assert got == [
+            (None, 1, 9.0), ("north", 3, 8.0), ("south", 1, 2.0)
+        ]
+
+    def test_broadcast_shape_and_validation(self, spark, tmp_path):
+        import pytest
+
+        from spark_bestfit_spark.streaming.enrich import enrich_with_dimension
+
+        frames = [pd.DataFrame({"k": ["a"], "v": [1.0]})]
+        src = _write_batches(tmp_path, frames)
+        stream = (
+            spark.readStream.schema("k string, v double").parquet(str(src))
+        )
+        dim = spark.createDataFrame([("a", "x")], "k string, region string")
+        enriched = enrich_with_dimension(stream, dim, on=["k"])
+        # logical plan carries the broadcast hint for every micro-batch
+        assert "UnresolvedHint BROADCAST" in str(
+            enriched._jdf.queryExecution().logical()
+        ) or "ResolvedHint (strategy=broadcast)" in str(
+            enriched._jdf.queryExecution().analyzed()
+        )
+        batch = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with pytest.raises(ValueError, match="streaming"):
+            enrich_with_dimension(batch, dim, on=["k"])
+        with pytest.raises(ValueError, match="static"):
+            enrich_with_dimension(stream, stream, on=["k"])
+        with pytest.raises(ValueError, match="how"):
+            enrich_with_dimension(stream, dim, on=["k"], how="outer")
