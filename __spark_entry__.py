@@ -430,6 +430,26 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_fuzzy_decontaminate(spark, sf_dir):
+    """MinHash-LSH cross-corpus contamination: corpus docs (<300) that
+    near-duplicate a benchmark doc (300..500) at 3-shingle Jaccard >=
+    0.7. Verification is exact, so the output is a subset of the exact
+    cross relation — and at this data/threshold the LSH candidates
+    achieve 100% recall, so the oracle IS the exact relation (DuckDB
+    computes the cross product; the Spark side never does — corpus
+    bands probe the broadcast benchmark bands)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    probes = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 500)
+    )
+    return decontaminate_fuzzy(corpus, probes, threshold=0.7)
+
+
 def _q_streaming_enrich(spark, sf_dir):
     """Stream-static dimension enrichment: the event stream broadcast-
     joins the customer dimension in every micro-batch (facts never
@@ -3261,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
         "rrf_search": _q_rrf_search,
         "cusum_changepoint": _q_cusum_changepoint,
@@ -3411,6 +3432,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fuzzy_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            )
+            SELECT a.doc_id,
+                   b.doc_id AS probe_doc_id,
+                   round(len(list_intersect(a.sg, b.sg))
+                         / len(list_distinct(list_concat(a.sg, b.sg)))
+                           ::DOUBLE, 6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id < 300 AND b.doc_id >= 300 AND b.doc_id < 500
+            WHERE round(len(list_intersect(a.sg, b.sg))
+                        / len(list_distinct(list_concat(a.sg, b.sg)))
+                          ::DOUBLE, 6) >= 0.7
+        """,
         "streaming_enrich": """
             SELECT c.c_nationkey,
                    count(*) AS n_events,

@@ -130,6 +130,127 @@ def decontaminate_by_ngrams(
     return clean, flagged
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    probe_id_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_probe_bucket: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: corpus documents whose
+    shingle-set Jaccard with ANY probe (benchmark) document reaches
+    ``threshold`` — the fuzzy tier between the exact n-gram gate
+    (:func:`decontaminate_by_ngrams`: one shared n-gram) and the graded
+    overlap fraction (:func:`contamination_overlap`). Catches lightly
+    paraphrased or partially quoted eval items neither exact tier sees
+    as whole-document duplicates.
+
+    Dataflow (the probe side is an eval set — small by nature — so it
+    rides broadcast everywhere and the CORPUS NEVER SHUFFLES):
+
+    1. both sides band their MinHash signatures map-side
+       (``num_hashes`` hashes, ``num_bands`` bands — the self-dedup
+       LSH from ``dedup.py``, cross-relation);
+    2. corpus bands equi-join the BROADCAST probe bands on
+       (band, band_sig) — candidates only, one distinct over the
+       (corpus_id, probe_id) pairs;
+    3. verification recomputes the exact shingle Jaccard: the corpus
+       is semi-joined map-side against the broadcast candidate ids
+       (a second map-only text pass over the few flagged docs), the
+       probe shingle sets join by broadcast.
+
+    Documents with no ``shingle_k``-shingles (shorter than k words)
+    never band — otherwise every short doc would share one degenerate
+    bucket. ``max_probe_bucket`` drops probe band buckets larger than
+    the cap (boilerplate band signatures — the ``max_bucket_size``
+    convention), bounding the candidate fan-out per corpus row.
+
+    Returns verified pairs ``(id_col, probe_id, jaccard)`` rounded to
+    6; anti-join the ids downstream to drop, or keep the pairs as an
+    audit trail.
+    """
+    from spark_bestfit_spark.operators.dedup import minhash_signature_col
+
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    ptext = probe_text_col or text_col
+    pid = probe_id_col or id_col
+    if pid == id_col:
+        pid_out = f"probe_{pid}"
+    else:
+        pid_out = pid
+
+    def _bands(relation, idc, tcol, out_id):
+        sig = minhash_signature_col(tcol, num_hashes, shingle_k)
+        rows_per_band = num_hashes // num_bands
+        band_sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        sig,
+                        (b * rows_per_band + 1).cast("int"),
+                        F.lit(rows_per_band).cast("int"),
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+        )
+        return (
+            relation.filter(F.size(word_shingles(tcol, shingle_k)) > 0)
+            .select(
+                F.col(idc).alias(out_id),
+                F.posexplode(band_sigs).alias("band", "band_sig"),
+            )
+        )
+
+    probe_bands = _bands(probe_df, pid, ptext, pid_out)
+    if max_probe_bucket is not None:
+        w = Window.partitionBy("band", "band_sig")
+        probe_bands = (
+            probe_bands.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= int(max_probe_bucket))
+            .drop("_bc")
+        )
+    corpus_bands = _bands(df, id_col, text_col, id_col)
+    cand = (
+        corpus_bands.join(
+            F.broadcast(probe_bands), on=["band", "band_sig"], how="inner"
+        )
+        .select(id_col, pid_out)
+        .distinct()
+    )
+    probe_sets = F.broadcast(
+        probe_df.select(
+            F.col(pid).alias(pid_out),
+            F.array_distinct(word_shingles(ptext, shingle_k)).alias("_ps"),
+        )
+    )
+    corpus_sets = df.join(
+        F.broadcast(cand.select(id_col).distinct()), on=id_col,
+        how="left_semi",
+    ).select(
+        id_col,
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("_cs"),
+    )
+    inter = F.size(F.array_intersect("_cs", "_ps")).cast("double")
+    union = F.size(F.array_union("_cs", "_ps")).cast("double")
+    return (
+        corpus_sets.join(F.broadcast(cand), on=id_col, how="inner")
+        .join(probe_sets, on=pid_out, how="inner")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, pid_out, "jaccard")
+    )
+
+
 def contamination_overlap(
     df: DataFrame,
     probe_df: DataFrame,

@@ -959,3 +959,92 @@ class TestContaminationOverlap:
         assert set(range(5)) <= full
         # output covers every doc
         assert len(overlap) == docs.count()
+
+
+class TestFuzzyDecontamination:
+    @staticmethod
+    def _jac(a, b, k=3):
+        def sh(t):
+            w = " ".join(t.lower().split()).split(" ")
+            return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    def test_flags_near_copies_with_exact_jaccard(self, spark):
+        from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+
+        bench = "what is the capital of france the answer is paris of course"
+        corpus = [
+            (0, bench),  # verbatim paste -> jaccard 1.0
+            (1, "what is the capital of france the answer is paris "
+                "of course indeed"),  # light paraphrase
+            (2, "an entirely unrelated document about distributed "
+                "query engines and shuffles"),
+            (3, "too short"),  # < k words: never bands, never crashes
+        ]
+        df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        probes = spark.createDataFrame(
+            [(100, bench)], "doc_id bigint, text string"
+        )
+        got = {
+            (r.doc_id, r.probe_doc_id): r.jaccard
+            for r in decontaminate_fuzzy(
+                df, probes, threshold=0.3
+            ).collect()
+        }
+        assert (0, 100) in got and got[(0, 100)] == 1.0
+        # every reported jaccard equals the brute-force value
+        texts = dict((i, t) for i, t in corpus)
+        for (cid, pid_), j in got.items():
+            assert j == round(self._jac(texts[cid], bench), 6)
+        assert all(cid != 2 and cid != 3 for cid, _ in got)
+
+    def test_threshold_filters_and_validation(self, spark):
+        from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+
+        a = "one two three four five six seven eight nine ten"
+        b = "one two three four five six seven different words entirely"
+        df = spark.createDataFrame([(0, a)], "doc_id bigint, text string")
+        probes = spark.createDataFrame([(1, b)], "doc_id bigint, text string")
+        jac = self._jac(a, b)
+        low = decontaminate_fuzzy(df, probes, threshold=0.1).collect()
+        if low:  # candidate only if some band collides; verify is exact
+            assert low[0].jaccard == round(jac, 6)
+        high = decontaminate_fuzzy(df, probes, threshold=0.99).collect()
+        assert high == []
+        with pytest.raises(ValueError, match="threshold"):
+            decontaminate_fuzzy(df, probes, threshold=0.0)
+
+    def test_max_probe_bucket_drops_degenerate_buckets(self, spark):
+        from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+
+        boiler = "all rights reserved copyright notice standard header text"
+        df = spark.createDataFrame(
+            [(0, boiler)], "doc_id bigint, text string"
+        )
+        probes = spark.createDataFrame(
+            [(i, boiler) for i in range(10)], "doc_id bigint, text string"
+        )
+        full = decontaminate_fuzzy(df, probes, threshold=0.5).collect()
+        assert len(full) == 10
+        capped = decontaminate_fuzzy(
+            df, probes, threshold=0.5, max_probe_bucket=5
+        ).collect()
+        assert capped == []
+
+    def test_corpus_never_shuffles_for_the_candidate_join(self, spark):
+        from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h")], "doc_id bigint, text string"
+        )
+        probes = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id bigint, text string"
+        )
+        plan = (
+            decontaminate_fuzzy(df, probes)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "CartesianProduct" not in plan
