@@ -430,6 +430,30 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credited to the
+    latest click/view/signup of the user within a 2-hour lookback (one
+    entity-hash window, no self-join), rolled up to attributed revenue
+    per channel."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.events import attribute_conversions
+
+    events = _read(spark, sf_dir, "events")
+    att = attribute_conversions(
+        events, "user_id", "ts", "event_type", "value",
+        "purchase", ["click", "view", "signup"],
+        model="last", lookback=7_200_000_000_000,
+        tiebreak_col="event_id",
+    )
+    return att.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(
+            F.round(F.col("conv_value"), 2).cast("decimal(18,2)")
+        ).cast("double").alias("attributed_value"),
+    )
+
+
 def _q_fuzzy_decontaminate(spark, sf_dir):
     """MinHash-LSH cross-corpus contamination: corpus docs (<300) that
     near-duplicate a benchmark doc (300..500) at 3-shingle Jaccard >=
@@ -3281,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "attribution": _q_attribution,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
         "rrf_search": _q_rrf_search,
@@ -3432,6 +3457,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "attribution": """
+            WITH e AS (
+              SELECT user_id AS u, epoch_ns(ts) AS o, event_id AS id,
+                     event_type AS t, value AS v
+              FROM events
+            ),
+            conv AS (SELECT * FROM e WHERE t = 'purchase'),
+            att AS (
+              SELECT c.u, c.o, c.v,
+                     (SELECT t2.t FROM e t2
+                       WHERE t2.u = c.u
+                         AND t2.t IN ('click', 'view', 'signup')
+                         AND t2.o <= c.o
+                         AND t2.o >= c.o - 7200000000000
+                       ORDER BY t2.o DESC, t2.id DESC
+                       LIMIT 1) AS channel
+              FROM conv c
+            )
+            SELECT channel,
+                   count(*) AS n_conversions,
+                   CAST(sum(CAST(round(v, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS attributed_value
+            FROM att GROUP BY channel
+        """,
         "fuzzy_decontaminate": """
             WITH toks AS (
               SELECT doc_id,

@@ -32,6 +32,7 @@ __all__ = [
     "sessionize",
     "session_paths",
     "pivot_counts",
+    "attribute_conversions",
 ]
 
 
@@ -469,4 +470,67 @@ def resample_events(
         "n_events",
         val.alias("bucket_value"),
         "is_gap",
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    touch_types: list,
+    model: str = "last",
+    lookback=None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Marketing-style conversion attribution: each conversion event is
+    credited to ONE preceding touch event of the entity — the latest
+    (``model="last"``, last-touch) or the earliest (``model="first"``,
+    first-touch) within the optional ``lookback`` (same unit as
+    ``ts_col``). Touches at the conversion's exact timestamp count
+    (at-or-before, value-based range semantics).
+
+    One entity-hash exchange: touches and conversions stay in the same
+    relation and a single ``min``/``max`` of ``struct(ts, tiebreak,
+    channel)`` over a running (or lookback-bounded RANGE) frame carries
+    the winning touch onto every row; conversions are then a map-side
+    filter. No self-join, no per-conversion probe.
+
+    Returns one row per conversion: (``entity_col``, ``conv_ts``,
+    ``conv_value``, ``channel`` = the touch's ``type_col`` or null when
+    no touch qualifies, ``touch_ts``). Aggregate downstream for
+    channel-level attributed revenue.
+    """
+    if model not in ("first", "last"):
+        raise ValueError("model must be 'first' or 'last'")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    tb = F.col(tiebreak_col) if tiebreak_col is not None else F.lit(0)
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col))
+    if lookback is None:
+        w = w.rangeBetween(Window.unboundedPreceding, 0)
+    else:
+        w = w.rangeBetween(-int(lookback), 0)
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            tb.alias("_tb"),
+            F.col(type_col).alias("_ch"),
+        ),
+    )
+    pick = F.max(touch_struct) if model == "last" else F.min(touch_struct)
+    out = df.withColumn("_win", pick.over(w))
+    return (
+        out.filter(F.col(type_col) == conversion_type)
+        .select(
+            entity_col,
+            F.col(ts_col).alias("conv_ts"),
+            F.col(value_col).alias("conv_value"),
+            F.col("_win._ch").alias("channel"),
+            F.col("_win._ts").alias("touch_ts"),
+        )
     )

@@ -582,3 +582,89 @@ class TestHeavyHitters:
         assert set(got) == {1}
         assert got[1]["n"] == 4
         assert got[1]["frac"] == pytest.approx(round(4 / 7, 6))
+
+
+class TestAttributeConversions:
+    def _df(self, spark):
+        rows = [
+            # entity, ts, type, value, id
+            ("u1", 10, "click", None, 1),
+            ("u1", 20, "view", None, 2),
+            ("u1", 30, "purchase", 100.0, 3),
+            ("u1", 40, "click", None, 4),
+            ("u1", 50, "purchase", 50.0, 5),
+            ("u2", 5, "purchase", 9.0, 6),     # no touch at all
+            ("u3", 7, "view", None, 7),
+            ("u3", 7, "purchase", 1.0, 8),     # touch at SAME ts counts
+        ]
+        return spark.createDataFrame(
+            rows, "e string, ts long, t string, v double, id long"
+        )
+
+    def test_last_and_first_touch(self, spark):
+        from spark_bestfit_spark.operators.events import attribute_conversions
+
+        df = self._df(spark)
+        last = {
+            (r.e, r.conv_ts): (r.channel, r.touch_ts)
+            for r in attribute_conversions(
+                df, "e", "ts", "t", "v", "purchase", ["click", "view"],
+                model="last", tiebreak_col="id",
+            ).collect()
+        }
+        assert last[("u1", 30)] == ("view", 20)
+        assert last[("u1", 50)] == ("click", 40)
+        assert last[("u2", 5)] == (None, None)
+        assert last[("u3", 7)] == ("view", 7)
+
+        first = {
+            (r.e, r.conv_ts): (r.channel, r.touch_ts)
+            for r in attribute_conversions(
+                df, "e", "ts", "t", "v", "purchase", ["click", "view"],
+                model="first", tiebreak_col="id",
+            ).collect()
+        }
+        assert first[("u1", 30)] == ("click", 10)
+        assert first[("u1", 50)] == ("click", 10)   # journey start
+        assert first[("u3", 7)] == ("view", 7)
+
+    def test_lookback_window_excludes_stale_touches(self, spark):
+        from spark_bestfit_spark.operators.events import attribute_conversions
+
+        df = self._df(spark)
+        out = {
+            (r.e, r.conv_ts): r.channel
+            for r in attribute_conversions(
+                df, "e", "ts", "t", "v", "purchase", ["click", "view"],
+                model="last", lookback=5, tiebreak_col="id",
+            ).collect()
+        }
+        assert out[("u1", 30)] is None      # nearest touch is 10 back
+        assert out[("u3", 7)] == "view"     # same-ts inside any window
+        first = {
+            (r.e, r.conv_ts): (r.channel, r.touch_ts)
+            for r in attribute_conversions(
+                df, "e", "ts", "t", "v", "purchase", ["click", "view"],
+                model="first", lookback=15, tiebreak_col="id",
+            ).collect()
+        }
+        assert first[("u1", 30)] == ("view", 20)  # click@10 outside 15
+
+    def test_single_exchange_and_validation(self, spark):
+        import pytest
+
+        from spark_bestfit_spark.operators.events import attribute_conversions
+
+        df = self._df(spark)
+        out = attribute_conversions(
+            df, "e", "ts", "t", "v", "purchase", ["click"]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan
+        with pytest.raises(ValueError, match="model"):
+            attribute_conversions(
+                df, "e", "ts", "t", "v", "purchase", ["click"], model="x"
+            )
+        with pytest.raises(ValueError, match="touch_types"):
+            attribute_conversions(df, "e", "ts", "t", "v", "purchase", [])
