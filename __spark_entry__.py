@@ -430,6 +430,46 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_ranking_metrics(spark, sf_dir):
+    """Retrieval evaluation: three single-term BM25 top-10 runs scored
+    against graded term-frequency judgments — recall/precision@10, RR,
+    AP, nDCG per query. Ranks are assigned over scores rounded to 6 so
+    they are engine-portable."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from spark_bestfit_spark.operators.similarity import ranking_metrics
+    from spark_bestfit_spark.operators.textstats import bm25_topk
+
+    terms = ["spark", "window", "agg"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok").isin(terms))
+    qrels = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("rel")
+    ).select(F.col("tok").alias("query_id"), "doc_id", "rel")
+    parts = [
+        bm25_topk(docs, [t], k=10).select(
+            F.lit(t).alias("query_id"),
+            "doc_id",
+            F.round("score", 6).alias("s"),
+        )
+        for t in terms
+    ]
+    runs = parts[0]
+    for p in parts[1:]:
+        runs = runs.unionByName(p)
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    ranked = runs.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "doc_id", "rank"
+    )
+    return ranking_metrics(ranked, qrels, k=10)
+
+
 def _q_attribution(spark, sf_dir):
     """Last-touch conversion attribution: each purchase credited to the
     latest click/view/signup of the user within a 2-hour lookback (one
@@ -3305,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "ranking_metrics": _q_ranking_metrics,
         "attribution": _q_attribution,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
@@ -3457,6 +3498,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ranking_metrics": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                       ::DOUBLE AS dl
+              FROM documents
+            ),
+            corpus AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+            ),
+            tf AS (
+              SELECT tok, doc_id, count(*)::DOUBLE AS tf
+              FROM toks WHERE tok IN ('spark', 'window', 'agg')
+              GROUP BY tok, doc_id
+            ),
+            idf AS (
+              SELECT tok,
+                     ln(1 + (n_docs - count(*) + 0.5)
+                            / (count(*) + 0.5)) AS idf
+              FROM tf, corpus GROUP BY tok, n_docs
+            ),
+            scored AS (
+              SELECT tf.tok AS query_id, tf.doc_id,
+                     idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))
+                       AS raw
+              FROM tf JOIN idf USING (tok)
+              JOIN dl USING (doc_id) CROSS JOIN corpus
+            ),
+            top10 AS (
+              SELECT query_id, doc_id, round(raw, 6) AS s
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY raw DESC, doc_id) AS rn FROM scored)
+              WHERE rn <= 10
+            ),
+            run AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY s DESC, doc_id) AS r
+              FROM top10
+            ),
+            qrels AS (
+              SELECT tok AS query_id, doc_id, tf AS rel FROM tf
+            ),
+            hits AS (
+              SELECT run.query_id, run.r,
+                     coalesce(qrels.rel, 0) AS rel,
+                     CASE WHEN coalesce(qrels.rel, 0) > 0
+                          THEN 1.0 ELSE 0.0 END AS is_rel
+              FROM run LEFT JOIN qrels USING (query_id, doc_id)
+            ),
+            cum AS (
+              SELECT *, sum(is_rel) OVER (
+                       PARTITION BY query_id ORDER BY r
+                       ROWS UNBOUNDED PRECEDING) AS cum_rel
+              FROM hits
+            ),
+            run_agg AS (
+              SELECT query_id,
+                     sum(is_rel) AS n_hit,
+                     sum(rel / log2(r + 1.0)) AS dcg,
+                     max(CASE WHEN is_rel > 0 THEN 1.0 / r END) AS rr,
+                     sum(CASE WHEN is_rel > 0
+                              THEN cum_rel / r END) AS ap_num
+              FROM cum GROUP BY query_id
+            ),
+            ideal AS (
+              SELECT query_id, count(*) AS n_rel,
+                     sum(CASE WHEN pos <= 10
+                              THEN rel / log2(pos + 1.0) END) AS idcg
+              FROM (SELECT query_id, rel,
+                           row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id) AS pos
+                    FROM qrels WHERE rel > 0)
+              GROUP BY query_id
+            )
+            SELECT i.query_id,
+                   i.n_rel,
+                   round(coalesce(a.n_hit, 0) / i.n_rel, 6) AS recall_k,
+                   round(coalesce(a.n_hit, 0) / 10.0, 6) AS precision_k,
+                   round(coalesce(a.rr, 0), 6) AS rr,
+                   round(coalesce(a.ap_num, 0) / i.n_rel, 6) AS ap,
+                   round(CASE WHEN i.idcg > 0
+                              THEN coalesce(a.dcg, 0) / i.idcg
+                              ELSE 0 END, 6) AS ndcg
+            FROM ideal i LEFT JOIN run_agg a USING (query_id)
+        """,
         "attribution": """
             WITH e AS (
               SELECT user_id AS u, epoch_ns(ts) AS o, event_id AS id,

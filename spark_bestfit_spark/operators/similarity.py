@@ -822,3 +822,114 @@ def rrf_fuse(
             .drop("_rn")
         )
     return out
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval evaluation over a ranked run and graded
+    relevance judgments — recall@k, precision@k, reciprocal rank, MAP
+    (average precision with the trec_eval ``|relevant|`` denominator),
+    and nDCG@k with linear gain ``rel / log2(rank + 1)``.
+
+    ``results`` carries (query, doc, rank) with rank 1-based (the
+    shape :func:`rrf_fuse` / ``self_topk`` emit); ``qrels`` carries
+    (query, doc, rel) with rel > 0 meaning relevant. Docs in the run
+    but not judged count as rel 0 (the standard pooling convention);
+    judged docs missing from the run cost recall/AP/nDCG exactly as
+    they should.
+
+    Plan: the run's top-k left-joins the judgments on (query, doc) —
+    both relations are per-query candidate lists, so the join and
+    every window ride one query-hash partitioning; the ideal DCG comes
+    from the qrels alone via a per-query rank window. One final
+    groupBy per side, one join of two |queries|-row relations. Nothing
+    driver-side.
+
+    Returns (query, n_rel, recall_k, precision_k, rr, ap, ndcg)
+    rounded to 6; macro-average downstream.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q, d, r = query_col, id_col, rank_col
+    log2rank = F.log2(F.col(r) + F.lit(1.0))
+    hits = (
+        results.filter(F.col(r) <= k)
+        .join(
+            qrels.select(q, d, rel_col), on=[q, d], how="left"
+        )
+        .withColumn("_rel", F.coalesce(F.col(rel_col), F.lit(0.0)))
+        .withColumn("_is_rel", (F.col("_rel") > 0).cast("double"))
+    )
+    w_cum = (
+        Window.partitionBy(q)
+        .orderBy(F.col(r))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = hits.withColumn("_cum_rel", F.sum("_is_rel").over(w_cum))
+    run_agg = hits.groupBy(q).agg(
+        F.sum("_is_rel").alias("_n_hit"),
+        F.sum(F.col("_rel") / log2rank).alias("_dcg"),
+        F.max(
+            F.when(F.col("_is_rel") > 0, F.lit(1.0) / F.col(r))
+        ).alias("_rr"),
+        F.sum(
+            F.when(
+                F.col("_is_rel") > 0, F.col("_cum_rel") / F.col(r)
+            )
+        ).alias("_ap_num"),
+    )
+    w_ideal = Window.partitionBy(q).orderBy(
+        F.col(rel_col).desc(), F.col(d)
+    )
+    rel_only = qrels.filter(F.col(rel_col) > 0)
+    qrel_agg = (
+        rel_only.withColumn("_pos", F.row_number().over(w_ideal))
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("_pos") <= k,
+                    F.col(rel_col) / F.log2(F.col("_pos") + F.lit(1.0)),
+                )
+            ).alias("_idcg"),
+        )
+    )
+    out = qrel_agg.join(run_agg, on=q, how="full")
+    zero = F.lit(0.0)
+    return out.select(
+        q,
+        F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.coalesce("_n_hit", zero) / F.col("n_rel"),
+            ).otherwise(zero),
+            6,
+        ).alias("recall_k"),
+        F.round(
+            F.coalesce("_n_hit", zero) / F.lit(float(k)), 6
+        ).alias("precision_k"),
+        F.round(F.coalesce("_rr", zero), 6).alias("rr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.coalesce("_ap_num", zero) / F.col("n_rel"),
+            ).otherwise(zero),
+            6,
+        ).alias("ap"),
+        F.round(
+            F.when(
+                F.col("_idcg") > 0,
+                F.coalesce("_dcg", zero) / F.col("_idcg"),
+            ).otherwise(zero),
+            6,
+        ).alias("ndcg"),
+    )

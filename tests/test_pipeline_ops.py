@@ -271,6 +271,91 @@ class TestRrfFuse:
             similarity.rrf_fuse([df], "doc", k=0)
 
 
+class TestRankingMetrics:
+    @staticmethod
+    def _ref(run, rels, k):
+        # run: {doc: rank}; rels: {doc: rel}
+        import math
+
+        top = {d: r for d, r in run.items() if r <= k}
+        relevant = {d for d, g in rels.items() if g > 0}
+        n_rel = len(relevant)
+        hit_ranks = sorted(r for d, r in top.items() if d in relevant)
+        recall = len(hit_ranks) / n_rel if n_rel else 0.0
+        prec = len(hit_ranks) / k
+        rr = 1.0 / hit_ranks[0] if hit_ranks else 0.0
+        ap = (
+            sum((i + 1) / r for i, r in enumerate(hit_ranks)) / n_rel
+            if n_rel else 0.0
+        )
+        dcg = sum(
+            rels.get(d, 0) / math.log2(r + 1) for d, r in top.items()
+        )
+        ideal = sorted((g for g in rels.values() if g > 0), reverse=True)
+        idcg = sum(
+            g / math.log2(i + 2) for i, g in enumerate(ideal[:k])
+        )
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        return tuple(
+            round(x, 6) for x in (recall, prec, rr, ap, ndcg)
+        )
+
+    def test_matches_reference_on_random_runs(self, spark):
+        rng = np.random.default_rng(13)
+        runs, rels_d, run_rows, rel_rows = {}, {}, [], []
+        for qid in range(8):
+            docs = rng.permutation(30)[:15]
+            runs[qid] = {int(d): i + 1 for i, d in enumerate(docs)}
+            judged = rng.permutation(30)[:12]
+            rels_d[qid] = {
+                int(d): int(rng.integers(0, 4)) for d in judged
+            }
+            run_rows += [
+                (qid, d, r) for d, r in runs[qid].items()
+            ]
+            rel_rows += [
+                (qid, d, float(g)) for d, g in rels_d[qid].items()
+            ]
+        results = spark.createDataFrame(
+            run_rows, "query_id int, doc_id int, rank int"
+        ).repartition(5)
+        qrels = spark.createDataFrame(
+            rel_rows, "query_id int, doc_id int, rel double"
+        )
+        got = {
+            r.query_id: (r.recall_k, r.precision_k, r.rr, r.ap, r.ndcg)
+            for r in similarity.ranking_metrics(
+                results, qrels, k=10
+            ).collect()
+        }
+        for qid in range(8):
+            assert got[qid] == pytest.approx(
+                self._ref(runs[qid], rels_d[qid], 10), abs=1e-9
+            ), qid
+
+    def test_edges(self, spark):
+        results = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], "query_id int, doc_id int, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 99, 1.0), (2, 5, 2.0)],
+            "query_id int, doc_id int, rel double",
+        )
+        got = {
+            r.query_id: r
+            for r in similarity.ranking_metrics(
+                results, qrels, k=5
+            ).collect()
+        }
+        # q1: judged relevant doc missing from the run
+        assert got[1].recall_k == 0.0 and got[1].rr == 0.0
+        assert got[1].ndcg == 0.0 and got[1].n_rel == 1
+        # q2: judged but absent from the run entirely (full join keeps it)
+        assert got[2].recall_k == 0.0 and got[2].n_rel == 1
+        with pytest.raises(ValueError, match="k must"):
+            similarity.ranking_metrics(results, qrels, k=0)
+
+
 class TestLshTopK:
     def test_recall_vs_brute_force(self, embeddings):
         dim = len(embeddings.select("embedding").first()[0])
