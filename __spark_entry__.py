@@ -430,6 +430,25 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_skew_report(spark, sf_dir):
+    """Key-skew diagnostics for lineitem's (returnflag, linestatus)
+    composite: cardinality, bucket sizes, skew ratio, hottest-key
+    share, heaviest keys — the pre-join report that decides salting."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.skew import skew_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = skew_report(li, ["l_returnflag", "l_linestatus"], top_n=3)
+    return rep.withColumn(
+        "top_keys",
+        F.transform(
+            "top_keys",
+            lambda t: F.concat(t["key"], F.lit("="), t["cnt"]),
+        ),
+    )
+
+
 def _q_ranking_metrics(spark, sf_dir):
     """Retrieval evaluation: three single-term BM25 top-10 runs scored
     against graded term-frequency judgments — recall/precision@10, RR,
@@ -3345,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "skew_report": _q_skew_report,
         "ranking_metrics": _q_ranking_metrics,
         "attribution": _q_attribution,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
@@ -3498,6 +3518,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "skew_report": """
+            WITH c AS (
+              SELECT l_returnflag || '|' || l_linestatus AS key,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1
+            ),
+            s AS (
+              SELECT sum(cnt)::BIGINT AS n_rows,
+                     count(*) AS n_keys,
+                     round(avg(cnt), 6) AS mean_bucket,
+                     max(cnt) AS max_bucket,
+                     round(max(cnt) / avg(cnt), 6) AS skew_ratio,
+                     round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_share
+              FROM c
+            ),
+            t AS (
+              SELECT (list(concat(key, '=', cnt)
+                           ORDER BY cnt DESC, key))[1:3] AS top_keys
+              FROM c
+            )
+            SELECT * FROM s CROSS JOIN t
+        """,
         "ranking_metrics": """
             WITH toks AS (
               SELECT doc_id,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["salted_aggregate", "salted_count", "salted_sum"]
+__all__ = ["salted_aggregate", "salted_count", "salted_sum", "skew_report"]
 
 
 def salted_aggregate(
@@ -62,3 +62,55 @@ def salted_sum(
         [F.sum("_partial_sum").alias("total")],
         salt=salt,
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list,
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostics BEFORE a big join/groupBy: one
+    summary row with the key cardinality, mean/max bucket sizes, the
+    skew ratio (max/mean — AQE's skew-join trigger is ~5x the median
+    partition), the share of all rows owned by the single hottest key,
+    and the ``top_n`` heaviest keys with counts (the salting /
+    broadcast-filter candidates).
+
+    Two aggregations: a salted-safe per-key count (this operator must
+    itself survive the skew it measures) and a single-row collapse of
+    the per-key relation — the report is O(|keys|) work with a
+    constant-size result. ``approx_count_distinct``-style shortcuts
+    are deliberately NOT used: the exact max bucket is the quantity
+    that decides the salt factor.
+
+    Returns one row: (n_rows, n_keys, mean_bucket, max_bucket,
+    skew_ratio, top_share, top_keys array<struct<key string, n long>>).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    counts = salted_count(df, keys)
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    per_key = counts.select(key_str.alias("key"), F.col("cnt"))
+    summary = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(F.avg("cnt"), 6).alias("mean_bucket"),
+        F.max("cnt").cast("long").alias("max_bucket"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+    )
+    # heaviest keys via TakeOrdered (per-partition heap, constant
+    # result) — NEVER collect_list over the full key relation, which
+    # would rebuild the skew problem inside the report
+    top = per_key.orderBy(F.col("cnt").desc(), "key").limit(int(top_n))
+    top_arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct("key", "cnt")),
+            lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
+            .when(a["cnt"] < b["cnt"], 1)
+            .when(a["key"] < b["key"], -1)
+            .when(a["key"] > b["key"], 1)
+            .otherwise(0),
+        ).alias("top_keys")
+    )
+    return summary.crossJoin(F.broadcast(top_arr))

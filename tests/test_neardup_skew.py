@@ -288,3 +288,47 @@ class TestSemanticDedup:
             <= strict.filter("is_kept").count()
         )
         idx.unpersist()
+
+
+class TestSkewReport:
+    def test_hand_computed_report(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.skew import skew_report
+
+        rows = [("hot",)] * 80 + [("warm",)] * 15 + [("a",)] * 3 + [
+            ("b",)] * 2
+        df = spark.createDataFrame(rows, "k string").repartition(8)
+        r = skew_report(df, ["k"], top_n=2).first()
+        assert r.n_rows == 100 and r.n_keys == 4
+        assert r.mean_bucket == 25.0 and r.max_bucket == 80
+        assert r.skew_ratio == 3.2 and r.top_share == 0.8
+        assert [(t["key"], t["cnt"]) for t in r.top_keys] == [
+            ("hot", 80), ("warm", 15)
+        ]
+
+    def test_composite_keys_and_validation(self, spark):
+        import pytest
+
+        from spark_bestfit_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 1), ("x", 2)], "a string, b int"
+        )
+        r = skew_report(df, ["a", "b"], top_n=1).first()
+        assert r.n_keys == 2 and r.max_bucket == 2
+        assert r.top_keys[0]["key"] == "x|1"
+        with pytest.raises(ValueError, match="keys"):
+            skew_report(df, [])
+
+    def test_no_full_key_collect_in_plan(self, spark):
+        from spark_bestfit_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame([("x",)], "k string")
+        plan = (
+            skew_report(df, ["k"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the heavy-keys leg must be a TakeOrdered, not a global sort
+        # or a full-relation collect_list
+        assert "TakeOrderedAndProject" in plan, plan
