@@ -430,6 +430,52 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization: per-language document lengths mapped
+    onto the POOLED length distribution (101-point broadcast grid,
+    linear interpolation) — the batch-effect corrector for per-domain
+    quality metrics."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.normalize import quantile_normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quantile_normalize(docs, "n_chars", "lang", grid=101)
+    return out.select(
+        "doc_id", "lang", "n_chars", "p_rank",
+        F.col("n_chars_qnorm").alias("qnorm"),
+    )
+
+
+_QNORM_GRID = ", ".join(f"{i / 100:.12g}" for i in range(101))
+
+_QNORM_ORACLE = f"""
+    WITH clean AS (
+      SELECT doc_id, lang, n_chars, n_chars::DOUBLE AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    pooled AS (
+      SELECT quantile_cont(v, [{_QNORM_GRID}]) AS q FROM clean
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             round(percent_rank() OVER (
+               PARTITION BY lang ORDER BY v), 12) AS p
+      FROM clean
+    )
+    SELECT doc_id, lang, n_chars,
+           round(p, 6) AS p_rank,
+           round(
+             q[floor(p * 100)::INT + 1]
+             + (q[least(floor(p * 100)::INT + 1, 100) + 1]
+                - q[floor(p * 100)::INT + 1])
+               * (p * 100 - floor(p * 100)), 6
+           ) AS qnorm
+    FROM ranked CROSS JOIN pooled
+"""
+
+
 def _q_skew_report(spark, sf_dir):
     """Key-skew diagnostics for lineitem's (returnflag, linestatus)
     composite: cardinality, bucket sizes, skew ratio, hottest-key
@@ -3364,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "quantile_normalize": _q_quantile_normalize,
         "skew_report": _q_skew_report,
         "ranking_metrics": _q_ranking_metrics,
         "attribution": _q_attribution,
@@ -3518,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quantile_normalize": _QNORM_ORACLE,
         "skew_report": """
             WITH c AS (
               SELECT l_returnflag || '|' || l_linestatus AS key,

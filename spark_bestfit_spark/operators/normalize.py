@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 
 from .stats import valid_column
 
-__all__ = ["normalize_column", "winsorize", "quantile_rank"]
+__all__ = ["normalize_column", "winsorize", "quantile_rank", "quantile_normalize"]
 
 _METHODS = ("zscore", "minmax", "robust")
 
@@ -246,4 +246,63 @@ def quantile_rank(
             ),
         )
         .drop("_bk", "_off")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    grid: int = 1001,
+    approx: bool = False,
+    accuracy: int = 10000,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Quantile normalization: map each group's values onto the POOLED
+    distribution, so every group ends up with (approximately) the same
+    marginal — the batch-effect corrector (microarray-style) for
+    quality scores, perplexities, or any per-domain metric whose scale
+    drifts between sources.
+
+    Each row's within-group ``percent_rank`` p is evaluated against
+    the pooled quantile function, discretized to a ``grid``-point
+    broadcast vector with linear interpolation between grid neighbors
+    (grid=1001 -> 0.1-percentile resolution). ``approx=True`` swaps
+    the exact pooled percentiles for Greenwald-Khanna — the 100 TB
+    path; the exact tier is the oracle twin.
+
+    Execution: ONE group-hash window for the percent ranks, ONE 1-row
+    pooled-quantile aggregate broadcast back, map-side interpolation —
+    no join by rank, no global sort. Ties share a percent_rank and
+    therefore normalize identically (value-based determinism). Rows
+    failing ``valid_column`` or with a null group are excluded.
+
+    Appends ``p_rank`` and ``output_col`` (default ``{column}_qnorm``,
+    rounded to 6).
+    """
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+    out = output_col or f"{column}_qnorm"
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
+    clean = valid_column(df, column).filter(F.col(group_col).isNotNull())
+    qs = ", ".join(f"{i / (grid - 1):.12g}" for i in range(grid))
+    pooled = clean.agg(
+        F.expr(f"{pctl}({column}, array({qs}){acc})").alias("_q")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(column))
+    ranked = clean.withColumn(
+        "p_rank", F.round(F.percent_rank().over(w), 12)
+    )
+    pos = F.col("p_rank") * F.lit(float(grid - 1))
+    lo = F.floor(pos).cast("int")
+    hi = F.least(lo + 1, F.lit(grid - 1))
+    frac = pos - lo
+    qlo = F.element_at("_q", lo + 1)
+    qhi = F.element_at("_q", hi + 1)
+    return (
+        ranked.crossJoin(F.broadcast(pooled))
+        .withColumn(out, F.round(qlo + (qhi - qlo) * frac, 6))
+        .withColumn("p_rank", F.round("p_rank", 6))
+        .drop("_q")
     )

@@ -240,3 +240,81 @@ class TestBigramLogprob:
         out = {r["doc_id"]: r["mean_bigram_logprob"]
                for r in bigram_logprob(df).collect()}
         assert out[0] > out[99]  # repeated phrasing -> higher logprob
+
+
+class TestQuantileNormalize:
+    def test_groups_converge_to_pooled_marginal(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.normalize import (
+            quantile_normalize,
+        )
+
+        rng = np.random.default_rng(21)
+        # same shape, very different scales per group
+        a = rng.normal(0, 1, 400)
+        b = rng.normal(100, 25, 400)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+        out = quantile_normalize(df, "v", "g").toPandas()
+        qa = out[out.g == "a"].v_qnorm.quantile([0.25, 0.5, 0.75]).values
+        qb = out[out.g == "b"].v_qnorm.quantile([0.25, 0.5, 0.75]).values
+        # after normalization the group marginals coincide
+        assert np.allclose(qa, qb, rtol=0.02, atol=0.2)
+        pooled = np.concatenate([a, b])
+        # and match the pooled distribution's quartiles
+        assert np.allclose(
+            qa, np.quantile(pooled, [0.25, 0.5, 0.75]), rtol=0.05,
+            atol=0.5,
+        )
+
+    def test_hand_interpolation_and_determinism(self, spark):
+        from spark_bestfit_spark.operators.normalize import (
+            quantile_normalize,
+        )
+
+        # group g1 = {1,2,3}: percent ranks 0, .5, 1
+        # pooled = {1,2,3,10}: grid=3 -> q = [1, 2.5, 10] (type-7)
+        rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g2", 10.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            (r.g, r.v): (r.p_rank, r.v_qnorm)
+            for r in quantile_normalize(df, "v", "g", grid=3).collect()
+        }
+        assert got[("g1", 1.0)] == (0.0, 1.0)
+        assert got[("g1", 2.0)] == (0.5, 2.5)
+        assert got[("g1", 3.0)] == (1.0, 10.0)
+        assert got[("g2", 10.0)] == (0.0, 1.0)  # single-row group -> p 0
+
+    def test_approx_tracks_exact(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.normalize import (
+            quantile_normalize,
+        )
+
+        rng = np.random.default_rng(4)
+        rows = [
+            ("g", float(v)) for v in rng.lognormal(0, 1, 2000)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        exact = quantile_normalize(df, "v", "g", grid=101).toPandas()
+        appr = quantile_normalize(
+            df, "v", "g", grid=101, approx=True
+        ).toPandas()
+        m = exact.merge(appr, on="v", suffixes=("_e", "_a"))
+        rel = np.abs(m.v_qnorm_e - m.v_qnorm_a) / (
+            np.abs(m.v_qnorm_e) + 1e-9
+        )
+        assert rel.median() < 0.01
+
+    def test_validation(self, spark):
+        import pytest
+
+        from spark_bestfit_spark.operators.normalize import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="grid"):
+            quantile_normalize(df, "v", "g", grid=1)
