@@ -45,7 +45,7 @@ headliners rerun at ~6M lineitem rows / 50k docs / 20k vectors:
 q_fit_full_sf1, q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1,
 q_neardup_clusters_sf1, q_pack_sequences_sf1, q_tfidf_neardup_sf1,
 q_semantic_dedup_sf1, q_ks_by_group_sf1, q_heavy_hitters_sf1,
-q_quantile_rank_sf1, q_duplicate_spans_sf1. The histogram-based fit design predicts near-flat
+q_quantile_rank_sf1, q_duplicate_spans_sf1, q_fuzzy_decontam_sf1. The histogram-based fit design predicts near-flat
 fit time (O(N) scan + O(C·D·B) driver/fan-out work) and linear
 histogram/dedup/K-S/drift scans.
 """
@@ -366,6 +366,22 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # cross-corpus fuzzy decontamination: 10% of the corpus plays the
+    # benchmark set (broadcast bands), the rest probes it — the
+    # MinHash-class workload in its cross-relation form
+    from spark_bestfit_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    bench(
+        "q_fuzzy_decontam",
+        lambda: decontaminate_fuzzy(
+            docs.filter("doc_id % 10 != 0"),
+            docs.filter("doc_id % 10 = 0"),
+            threshold=0.7,
+        ).count(),
+        rounds=2,
+    )
     bench(
         "q_text_quality",
         lambda: with_quality_score(docs)
@@ -533,7 +549,7 @@ def main() -> None:
             "q_pack_sequences_sf1", "q_tfidf_neardup_sf1",
             "q_semantic_dedup_sf1", "q_ks_by_group_sf1",
             "q_heavy_hitters_sf1", "q_quantile_rank_sf1",
-            "q_duplicate_spans_sf1"} & only
+            "q_duplicate_spans_sf1", "q_fuzzy_decontam_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
@@ -659,6 +675,15 @@ def main() -> None:
             "q_tfidf_neardup_sf1",
             lambda: tfidf_neardup_pairs(
                 docs1, threshold=0.9, candidates="prefix"
+            ).count(),
+            rounds=1,
+        )
+        bench(
+            "q_fuzzy_decontam_sf1",
+            lambda: decontaminate_fuzzy(
+                docs1.filter("doc_id % 10 != 0"),
+                docs1.filter("doc_id % 10 = 0"),
+                threshold=0.7,
             ).count(),
             rounds=1,
         )

@@ -175,10 +175,16 @@ def decontaminate_fuzzy(
     6; anti-join the ids downstream to drop, or keep the pairs as an
     audit trail.
     """
-    from spark_bestfit_spark.operators.dedup import minhash_signature_col
+    from spark_bestfit_spark.operators.dedup import (
+        ensure_parallelism,
+        minhash_signature_col,
+    )
 
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    # a one-file corpus would hash single-threaded; no-op at real scale
+    df = ensure_parallelism(df)
+    probe_df = ensure_parallelism(probe_df)
     ptext = probe_text_col or text_col
     pid = probe_id_col or id_col
     if pid == id_col:
@@ -227,24 +233,22 @@ def decontaminate_fuzzy(
         .select(id_col, pid_out)
         .distinct()
     )
-    probe_sets = F.broadcast(
-        probe_df.select(
-            F.col(pid).alias(pid_out),
-            F.array_distinct(word_shingles(ptext, shingle_k)).alias("_ps"),
-        )
+    probe_sets = probe_df.select(
+        F.col(pid).alias(pid_out),
+        F.array_distinct(word_shingles(ptext, shingle_k)).alias("_ps"),
     )
-    corpus_sets = df.join(
-        F.broadcast(cand.select(id_col).distinct()), on=id_col,
-        how="left_semi",
-    ).select(
-        id_col,
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("_cs"),
-    )
+    # candidates + their probe shingle sets, broadcast as one small
+    # relation: verification is then ONE broadcast join against the
+    # corpus (the second and last map-side text pass)
+    cand_sets = cand.join(F.broadcast(probe_sets), on=pid_out, how="inner")
     inter = F.size(F.array_intersect("_cs", "_ps")).cast("double")
     union = F.size(F.array_union("_cs", "_ps")).cast("double")
     return (
-        corpus_sets.join(F.broadcast(cand), on=id_col, how="inner")
-        .join(probe_sets, on=pid_out, how="inner")
+        df.join(F.broadcast(cand_sets), on=id_col, how="inner")
+        .withColumn(
+            "_cs",
+            F.array_distinct(word_shingles(text_col, shingle_k)),
+        )
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select(id_col, pid_out, "jaccard")
