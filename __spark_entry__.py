@@ -430,6 +430,28 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_set_similarity_join(spark, sf_dir):
+    """LOSSLESS PPJoin set-similarity join: corpus docs (<300) x
+    benchmark docs (300..500) at word-set Jaccard >= 0.8 via global-df
+    prefix filtering — the oracle is the exact cross product, and
+    losslessness (not just verification exactness) is what the hash
+    pins."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.linkage import set_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = docs.filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("id_l"), F.col("text").alias("ta")
+    )
+    right = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 500)
+    ).select(F.col("doc_id").alias("id_r"), F.col("text").alias("tb"))
+    return set_similarity_join(
+        left, right, "ta", "tb", "id_l", "id_r", threshold=0.8
+    )
+
+
 def _q_quantile_normalize(spark, sf_dir):
     """Quantile normalization: per-language document lengths mapped
     onto the POOLED length distribution (101-point broadcast grid,
@@ -3410,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "set_similarity_join": _q_set_similarity_join,
         "quantile_normalize": _q_quantile_normalize,
         "skew_report": _q_skew_report,
         "ranking_metrics": _q_ranking_metrics,
@@ -3565,6 +3588,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "set_similarity_join": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(
+                       string_split_regex(lower(trim(text)), '\\s+')
+                     ) AS tk
+              FROM documents
+            )
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   round(len(list_intersect(a.tk, b.tk))
+                         / len(list_distinct(list_concat(a.tk, b.tk)))
+                           ::DOUBLE, 6) AS jaccard
+            FROM s a JOIN s b
+              ON a.doc_id < 300 AND b.doc_id >= 300 AND b.doc_id < 500
+            WHERE round(len(list_intersect(a.tk, b.tk))
+                        / len(list_distinct(list_concat(a.tk, b.tk)))
+                          ::DOUBLE, 6) >= 0.8
+        """,
         "quantile_normalize": _QNORM_ORACLE,
         "skew_report": """
             WITH c AS (

@@ -186,3 +186,137 @@ def fuzzy_join(
         .filter(F.col("dist") >= 0)
         .select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def set_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """LOSSLESS Jaccard set-similarity join between two relations —
+    the prefix-filtering scheme of PPJoin (Xiao, Wang, Lin & Yu,
+    WWW'08), token tier: every pair whose DISTINCT-token Jaccard
+    reaches ``threshold`` is guaranteed to surface, and every candidate
+    is verified exactly. The third member of the linkage family:
+    :func:`fuzzy_join` covers edit distance (character tier), fuzzy
+    MinHash decontamination covers probabilistic recall; this one is
+    exact Jaccard with a lossless index.
+
+    Prefix-filter theorem: order every record's tokens by a GLOBAL
+    canonical order (ascending document frequency, ties by token — the
+    rarest tokens first). If ``J(a, b) >= t`` then the first
+    ``|a| - ceil(t * |a|) + 1`` tokens of a and the first
+    ``|b| - ceil(t * |b|) + 1`` tokens of b must share at least one
+    token. So each side indexes only its prefix, candidates come from
+    a token equi-join of the two prefix streams, a map-side LENGTH
+    filter (``t*|a| <= |b| <= |a|/t``) prunes impossible pairs, and an
+    exact intersect/union verifies.
+
+    Shuffle shape at 100 TB: one token-df aggregation over both
+    relations (map-combinable), one token-keyed join per side to rank
+    tokens, one doc-keyed groupBy per side to assemble ordered sets,
+    the prefix-token candidate equi-join, one pair distinct, and a
+    broadcast-candidate verify (corpus relations are never re-shuffled
+    for verification). ``max_posting`` drops prefix tokens whose
+    posting list exceeds the cap on EITHER side — rare-by-rank can be
+    common-by-count (boilerplate); the cap bounds the join's quadratic
+    term exactly like MinHash's ``max_bucket_size``, at the cost of
+    losing pairs whose ONLY shared prefix token was dropped (None =
+    lossless, the default).
+
+    Returns ``(left_id, right_id, jaccard)`` (rounded to 6) for every
+    pair at-or-above the threshold. Id/token column names must differ
+    across the two inputs (alias upstream).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    if max_posting is not None and max_posting < 1:
+        raise ValueError("max_posting must be >= 1 (or None)")
+
+    def _toks(df, on, idc):
+        return df.select(
+            idc,
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(on))), r"\s+")
+                )
+            ).alias("_tok"),
+        )
+
+    lt = _toks(left, left_on, left_id)
+    rt = _toks(right, right_on, right_id)
+    # global canonical order: df over BOTH relations
+    dfreq = (
+        lt.select("_tok").unionByName(rt.select("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    def _ordered_sets(toks, idc):
+        ranked = toks.join(dfreq, on="_tok", how="inner")
+        return ranked.groupBy(idc).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_df", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ).alias("_set"),
+            F.count(F.lit(1)).cast("int").alias("_n"),
+        )
+
+    lsets = _ordered_sets(lt, left_id)
+    rsets = _ordered_sets(rt, right_id)
+
+    def _prefix(sets, idc):
+        plen = (
+            F.col("_n")
+            - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("int")
+            + F.lit(1)
+        )
+        out = sets.select(
+            idc,
+            F.col("_n"),
+            F.explode(F.slice("_set", 1, plen)).alias("_tok"),
+        )
+        if max_posting is not None:
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy("_tok")
+            out = (
+                out.withColumn("_pc", F.count(F.lit(1)).over(w))
+                .filter(F.col("_pc") <= int(max_posting))
+                .drop("_pc")
+            )
+        return out
+
+    lpre = _prefix(lsets, left_id).withColumnRenamed("_n", "_nl")
+    rpre = _prefix(rsets, right_id).withColumnRenamed("_n", "_nr")
+    t = float(threshold)
+    cand = (
+        lpre.join(rpre, on="_tok", how="inner")
+        .filter(
+            (F.col("_nr") >= F.ceil(F.lit(t) * F.col("_nl")))
+            & (F.col("_nr") * F.lit(t) <= F.col("_nl"))
+        )
+        .select(left_id, right_id)
+        .distinct()
+    )
+    lv = lsets.join(F.broadcast(cand.select(left_id).distinct()),
+                    on=left_id, how="left_semi").select(
+        left_id, F.col("_set").alias("_sa")
+    )
+    pairs = lv.join(F.broadcast(cand), on=left_id, how="inner")
+    rv = rsets.select(right_id, F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        rv.join(F.broadcast(pairs), on=right_id, how="inner")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_id, right_id, "jaccard")
+    )

@@ -173,3 +173,109 @@ class TestFuzzyJoinAnsi:
         finally:
             spark.conf.set("spark.sql.ansi.enabled", "false")
         assert before == after
+
+
+class TestSetSimilarityJoin:
+    @staticmethod
+    def _brute_jaccard(la, lb, t):
+        out = set()
+        for ia, ta in la:
+            sa = set(ta.lower().split())
+            for ib, tb in lb:
+                sb = set(tb.lower().split())
+                j = len(sa & sb) / len(sa | sb)
+                if round(j, 6) >= t:
+                    out.add((ia, ib, round(j, 6)))
+        return out
+
+    def _corpora(self, seed=0, n=60, vocab=40):
+        rng = random.Random(seed)
+        words = [f"w{i}" for i in range(vocab)]
+
+        def mk(n, base):
+            rows = []
+            for i in range(n):
+                k = rng.randint(3, 12)
+                rows.append((base + i, " ".join(rng.sample(words, k))))
+            # plant near-duplicates across the two id ranges
+            return rows
+        la = mk(n, 0)
+        lb = mk(n, 1000)
+        for i in range(8):  # planted high-jaccard pairs
+            toks = la[i][1].split()
+            drop = toks[:-1] if len(toks) > 3 else toks
+            lb[i] = (1000 + i, " ".join(drop))
+        return la, lb
+
+    def test_lossless_against_brute_force(self, spark):
+        from spark_bestfit_spark.operators.linkage import (
+            set_similarity_join,
+        )
+
+        la, lb = self._corpora()
+        left = spark.createDataFrame(la, "id_l bigint, ta string")
+        right = spark.createDataFrame(lb, "id_r bigint, tb string")
+        for t in (0.5, 0.7, 0.9):
+            got = {
+                (r.id_l, r.id_r, r.jaccard)
+                for r in set_similarity_join(
+                    left, right, "ta", "tb", "id_l", "id_r", t
+                ).collect()
+            }
+            assert got == self._brute_jaccard(la, lb, t), t
+
+    def test_max_posting_is_subset_and_validation(self, spark):
+        from spark_bestfit_spark.operators.linkage import (
+            set_similarity_join,
+        )
+
+        la, lb = self._corpora(seed=3)
+        left = spark.createDataFrame(la, "id_l bigint, ta string")
+        right = spark.createDataFrame(lb, "id_r bigint, tb string")
+        full = {
+            (r.id_l, r.id_r)
+            for r in set_similarity_join(
+                left, right, "ta", "tb", "id_l", "id_r", 0.6
+            ).collect()
+        }
+        capped = {
+            (r.id_l, r.id_r)
+            for r in set_similarity_join(
+                left, right, "ta", "tb", "id_l", "id_r", 0.6,
+                max_posting=2,
+            ).collect()
+        }
+        assert capped <= full
+        with pytest.raises(ValueError, match="threshold"):
+            set_similarity_join(
+                left, right, "ta", "tb", "id_l", "id_r", 0.0
+            )
+        with pytest.raises(ValueError, match="max_posting"):
+            set_similarity_join(
+                left, right, "ta", "tb", "id_l", "id_r", 0.5,
+                max_posting=0,
+            )
+
+    def test_verify_joins_are_broadcast(self, spark):
+        from spark_bestfit_spark.operators.linkage import (
+            set_similarity_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "a b c")], "id_l bigint, ta string"
+        )
+        right = spark.createDataFrame(
+            [(2, "a b c")], "id_r bigint, tb string"
+        )
+        plan = (
+            set_similarity_join(
+                left, right, "ta", "tb", "id_l", "id_r", 0.8
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        # verification must never re-shuffle the set relations: every
+        # join on an id column is broadcast
+        import re
+
+        for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[(\w+)", plan):
+            assert m.group(2).startswith("_tok"), plan
