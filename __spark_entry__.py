@@ -430,6 +430,39 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_streaming_join(spark, sf_dir):
+    """Stream-stream time-bounded inner join: the click stream joins
+    the purchase stream per user where the purchase lands within 30
+    minutes after the click — watermarked symmetric hash join drained
+    across 4 micro-batches; the appended pair set equals the batch
+    join (inner-join emissions are batching-invariant)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.join import stream_stream_join
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    stream = _read_stream(spark, sf_dir, "events").withColumn(
+        "event_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_ts").alias("c_ts"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("p_ts"),
+    )
+    joined = stream_stream_join(
+        clicks, buys, on=["user_id"], left_ts="c_ts", right_ts="p_ts",
+        max_delay="30 minutes", watermark="87600 hours",
+    ).select("user_id", "click_id", "purchase_id")
+    return run_stream_once(
+        joined, output_mode="append", state_partitions=8
+    )
+
+
 def _q_set_similarity_join(spark, sf_dir):
     """LOSSLESS PPJoin set-similarity join: corpus docs (<300) x
     benchmark docs (300..500) at word-set Jaccard >= 0.8 via global-df
@@ -3432,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "streaming_join": _q_streaming_join,
         "set_similarity_join": _q_set_similarity_join,
         "quantile_normalize": _q_quantile_normalize,
         "skew_report": _q_skew_report,
@@ -3588,6 +3622,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_join": """
+            WITH c AS (
+              SELECT user_id, event_id AS click_id, epoch_ns(ts) AS cts
+              FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, c.click_id, p.purchase_id
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND p.pts >= c.cts
+             AND p.pts <= c.cts + 1800000000000
+        """,
         "set_similarity_join": """
             WITH s AS (
               SELECT doc_id,

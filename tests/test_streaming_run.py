@@ -131,3 +131,72 @@ class TestEnrichWithDimension:
             enrich_with_dimension(stream, stream, on=["k"])
         with pytest.raises(ValueError, match="how"):
             enrich_with_dimension(stream, dim, on=["k"], how="outer")
+
+
+class TestStreamStreamJoin:
+    def test_time_bounded_join_matches_batch(self, spark, tmp_path):
+        from spark_bestfit_spark.streaming.join import stream_stream_join
+
+        def ts(minute):
+            return pd.Timestamp(2024, 1, 1, 0, minute)
+
+        def mk(col, rows):
+            df = pd.DataFrame(rows)
+            df[col] = df[col].astype("datetime64[us]")
+            return df
+
+        clicks = [
+            mk("cts", {"k": ["a", "b"], "cts": [ts(0), ts(10)],
+                       "cid": [1, 2]}),
+            mk("cts", {"k": ["a"], "cts": [ts(40)], "cid": [3]}),
+        ]
+        buys = [
+            mk("bts", {"k": ["a"], "bts": [ts(25)], "bid": [10]}),
+            mk("bts", {"k": ["a", "b"], "bts": [ts(45), ts(50)],
+                       "bid": [11, 12]}),
+        ]
+        (tmp_path / "c").mkdir()
+        (tmp_path / "b").mkdir()
+        csrc = _write_batches(tmp_path / "c", clicks)
+        bsrc = _write_batches(tmp_path / "b", buys)
+        cs = (
+            spark.readStream.schema("k string, cts timestamp, cid long")
+            .option("maxFilesPerTrigger", 1).parquet(str(csrc))
+        )
+        bs = (
+            spark.readStream.schema("k string, bts timestamp, bid long")
+            .option("maxFilesPerTrigger", 1).parquet(str(bsrc))
+        )
+        joined = stream_stream_join(
+            cs, bs, on=["k"], left_ts="cts", right_ts="bts",
+            max_delay="30 minutes", watermark="10 years",
+        ).select("k", "cid", "bid")
+        out = run_stream_once(joined, output_mode="append")
+        got = sorted((r.k, r.cid, r.bid) for r in out.collect())
+        # a: click@0 -> buy@25 (in 30m); click@40 -> buy@45
+        # b: click@10 -> buy@50 is 40m out -> excluded
+        assert got == [("a", 1, 10), ("a", 3, 11)]
+
+    def test_validation(self, spark, tmp_path):
+        import pytest
+
+        from spark_bestfit_spark.streaming.join import stream_stream_join
+
+        frames = [pd.DataFrame({"k": ["a"], "ts": [pd.Timestamp(2024, 1, 1)]})]
+        (tmp_path / "v").mkdir()
+        src = _write_batches(tmp_path / "v", frames)
+        stream = (
+            spark.readStream.schema("k string, ts timestamp")
+            .parquet(str(src))
+        )
+        batch = spark.createDataFrame(
+            [("a",)], "k string"
+        )
+        with pytest.raises(ValueError, match="streaming"):
+            stream_stream_join(
+                stream, batch, ["k"], "ts", "ts", "1 hour", "1 hour"
+            )
+        with pytest.raises(ValueError, match="key"):
+            stream_stream_join(
+                stream, stream, [], "ts", "ts", "1 hour", "1 hour"
+            )
