@@ -430,6 +430,17 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_resolve_entities(spark, sf_dir):
+    """End-to-end entity resolution on part names: PassJoin dist-1
+    candidate pairs -> min-label transitive closure -> singleton-safe
+    entity ids with sizes. The oracle recomputes the closure with a
+    recursive CTE over the exact levenshtein pair relation."""
+    from spark_bestfit_spark.operators.linkage import resolve_entities
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return resolve_entities(part, "p_name", "p_partkey", max_dist=1)
+
+
 def _q_streaming_join(spark, sf_dir):
     """Stream-stream time-bounded inner join: the click stream joins
     the purchase stream per user where the purchase lands within 30
@@ -3465,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "resolve_entities": _q_resolve_entities,
         "streaming_join": _q_streaming_join,
         "set_similarity_join": _q_set_similarity_join,
         "quantile_normalize": _q_quantile_normalize,
@@ -3622,6 +3634,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "resolve_entities": """
+            WITH RECURSIVE p AS (
+              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+              FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+              WHERE levenshtein(a.p_name, b.p_name) <= 1
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            r AS (
+              SELECT a AS v, a AS reach FROM e
+              UNION
+              SELECT e.a, r.reach FROM e JOIN r ON e.b = r.v
+            ),
+            lab AS (SELECT v, min(reach) AS entity_id FROM r GROUP BY v),
+            assigned AS (
+              SELECT c.p_partkey,
+                     coalesce(lab.entity_id, c.p_partkey) AS entity_id
+              FROM part c LEFT JOIN lab ON c.p_partkey = lab.v
+            )
+            SELECT p_partkey, entity_id,
+                   count(*) OVER (PARTITION BY entity_id) AS entity_size
+            FROM assigned
+        """,
         "streaming_join": """
             WITH c AS (
               SELECT user_id, event_id AS click_id, epoch_ns(ts) AS cts

@@ -320,3 +320,49 @@ def set_similarity_join(
         .filter(F.col("jaccard") >= threshold)
         .select(left_id, right_id, "jaccard")
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    on: str,
+    id_col: str,
+    max_dist: int = 1,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution: candidate pairs from the lossless
+    PassJoin blocking (:func:`fuzzy_join` self-join at ``max_dist``),
+    transitive closure via min-label propagation (a~b, b~c must land in
+    ONE entity even when a and c differ by more than ``max_dist``),
+    singletons kept as their own entity. The MDM pipeline composed
+    from the engine's own parts — pass ``pairs`` to supply candidates
+    from another matcher (:func:`set_similarity_join`, a MinHash pass)
+    instead.
+
+    Returns ``(id_col, entity_id, entity_size)`` — ``entity_id`` is
+    the smallest member id, ``entity_size`` the member count; the
+    size window rides the entity-hash partitioning.
+    """
+    from pyspark.sql import Window as _W
+
+    from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+    if pairs is None:
+        pairs = fuzzy_join(
+            df, df, on, on, id_col, id_col, max_dist
+        ).filter(F.col("id_l") < F.col("id_r"))
+    edges = pairs.select(
+        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
+    )
+    comp = neardup_clusters(edges, id_col="_rid")
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("_rid"), "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("entity_id"),
+        )
+    )
+    w = _W.partitionBy("entity_id")
+    return out.withColumn(
+        "entity_size", F.count(F.lit(1)).over(w).cast("long")
+    )

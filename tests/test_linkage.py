@@ -279,3 +279,43 @@ class TestSetSimilarityJoin:
 
         for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[(\w+)", plan):
             assert m.group(2).startswith("_tok"), plan
+
+
+class TestResolveEntities:
+    def test_transitive_merge_and_singletons(self, spark):
+        from spark_bestfit_spark.operators.linkage import resolve_entities
+
+        rows = [
+            (1, "acme corp"),
+            (2, "acme gorp"),   # 1 edit from #1
+            (3, "acme gorps"),  # 1 edit from #2, 2 edits from #1
+            (4, "zzz totally different"),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, name string")
+        got = {
+            r.id: (r.entity_id, r.entity_size)
+            for r in resolve_entities(df, "name", "id", 1).collect()
+        }
+        # a~b, b~c -> one entity rooted at the smallest id, despite
+        # edit(1, 3) = 2 > max_dist
+        assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+        assert got[4] == (4, 1)  # singleton survives as its own entity
+
+    def test_injected_pairs_path(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.linkage import resolve_entities
+
+        df = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(5)], "id bigint, name string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 3), (3, 4)], "id_l bigint, id_r bigint"
+        )
+        got = {
+            r.id: r.entity_id
+            for r in resolve_entities(
+                df, "name", "id", pairs=pairs
+            ).collect()
+        }
+        assert got == {0: 0, 3: 0, 4: 0, 1: 1, 2: 2}
