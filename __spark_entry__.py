@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curves per linestatus (duration =
+    l_quantity, event = returned): running log-sum product on one
+    group window, exact tie handling, absorbed zero after d = n."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import kaplan_meier
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "e", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return kaplan_meier(li, "l_quantity", "e", "l_linestatus")
+
+
 def _q_resolve_entities(spark, sf_dir):
     """End-to-end entity resolution on part names: PassJoin dist-1
     candidate pairs -> min-label transitive closure -> singleton-safe
@@ -3476,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "kaplan_meier": _q_kaplan_meier,
         "resolve_entities": _q_resolve_entities,
         "streaming_join": _q_streaming_join,
         "set_similarity_join": _q_set_similarity_join,
@@ -3634,6 +3649,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kaplan_meier": """
+            WITH per_t AS (
+              SELECT l_linestatus, l_quantity AS t,
+                     sum(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END)::BIGINT AS n_events,
+                     count(*)::BIGINT AS c
+              FROM lineitem GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT l_linestatus, t, n_events,
+                     c - n_events AS n_censored,
+                     (sum(c) OVER (PARTITION BY l_linestatus)
+                      - sum(c) OVER win + c)::BIGINT AS n_risk
+              FROM per_t
+              WINDOW win AS (PARTITION BY l_linestatus ORDER BY t
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            s AS (
+              SELECT *,
+                     CASE WHEN n_events < n_risk
+                          THEN ln(1 - n_events / n_risk::DOUBLE)
+                          ELSE 0.0 END AS term,
+                     CASE WHEN n_events >= n_risk
+                          THEN 1 ELSE 0 END AS deadf
+              FROM w
+            )
+            SELECT l_linestatus, t, n_risk, n_events, n_censored,
+                   round(CASE WHEN max(deadf) OVER win = 1 THEN 0.0
+                              ELSE exp(sum(term) OVER win) END,
+                         6) AS survival
+            FROM s
+            WINDOW win AS (PARTITION BY l_linestatus ORDER BY t
+                           ROWS UNBOUNDED PRECEDING)
+        """,
         "resolve_entities": """
             WITH RECURSIVE p AS (
               SELECT a.p_partkey AS id_a, b.p_partkey AS id_b

@@ -1659,3 +1659,90 @@ def cusum_changepoint(
         F.min(F.when(at_max, F.col("_i"))).cast("long").alias("cp_index"),
         F.min(F.when(at_max, F.col(order_col))).alias("cp_order"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve — the nonparametric companion to the
+    engine's censored-MLE tier: step estimates of S(t) from durations
+    with right-censoring (``event_col`` 1 = event observed, 0 =
+    censored), optionally one curve per ``group_col``.
+
+    At each distinct duration t: ``n_risk`` = subjects with duration
+    >= t, ``n_events`` = events AT t, and
+
+        S(t) = prod_{t' <= t} (1 - d_{t'} / n_{t'})
+             = exp( sum ln(1 - d/n) )   [0 exactly after d = n]
+
+    computed as a running log-sum over the time-ordered per-group
+    window — the product never leaves the plan. One groupBy to the
+    per-time relation, then every window (cumulative counts, the
+    log-sum, the absorbed-zero flag) and the output ride ONE
+    group-hash exchange. Ties (many subjects sharing a duration) are
+    handled exactly by construction.
+
+    Returns ``(group_col?, t, n_risk, n_events, n_censored,
+    survival)`` for every distinct duration, survival rounded to 6.
+    """
+    from pyspark.sql import Window as _W
+
+    g = group_col
+    base = valid_column(
+        df.select(*( [g] if g else [] ), duration_col, event_col),
+        duration_col,
+    ).filter(F.col(event_col).isNotNull())
+    keys = [g] if g else []
+    per_t = base.groupBy(
+        *keys, F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("_c"),
+    ).withColumn(
+        "n_censored", F.col("_c") - F.col("n_events")
+    )
+    w_all = _W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1))
+    w_cum = (
+        (_W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1)))
+        .orderBy(F.col("t"))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    scored = (
+        per_t.withColumn("_total", F.sum("_c").over(w_all))
+        .withColumn(
+            "n_risk",
+            (F.col("_total") - F.sum("_c").over(w_cum) + F.col("_c"))
+            .cast("long"),
+        )
+        .withColumn(
+            "_term",
+            F.when(
+                F.col("n_events") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_events") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_dead",
+            F.max(
+                (F.col("n_events") >= F.col("n_risk")).cast("int")
+            ).over(w_cum),
+        )
+        .withColumn(
+            "survival",
+            F.round(
+                F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+                    F.exp(F.sum("_term").over(w_cum))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        *keys, "t", "n_risk", "n_events", "n_censored", "survival"
+    )

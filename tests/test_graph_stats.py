@@ -515,3 +515,70 @@ class TestCusumChangepoint:
         )
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "SinglePartition" not in plan
+
+
+class TestKaplanMeier:
+    @staticmethod
+    def _ref(durs, events):
+        import collections
+
+        per = collections.defaultdict(lambda: [0, 0])
+        for d, e in zip(durs, events):
+            per[d][0] += e
+            per[d][1] += 1
+        total, cum, s, out = len(durs), 0, 1.0, {}
+        for t in sorted(per):
+            d, c = per[t]
+            n = total - cum
+            s = 0.0 if d >= n else s * (1 - d / n)
+            out[t] = (n, d, c - d, round(s, 6))
+            cum += c
+        return out
+
+    def test_matches_reference_with_censoring(self, spark):
+        from spark_bestfit_spark.operators.stats import kaplan_meier
+
+        rng = np.random.default_rng(17)
+        durs = rng.integers(1, 30, 500).tolist()
+        events = rng.integers(0, 2, 500).tolist()
+        df = spark.createDataFrame(
+            list(zip(durs, events)), "t int, e int"
+        ).repartition(8)
+        got = {
+            r.t: (r.n_risk, r.n_events, r.n_censored, r.survival)
+            for r in kaplan_meier(df, "t", "e").collect()
+        }
+        assert got == self._ref(durs, events)
+
+    def test_absorbed_zero_and_groups(self, spark):
+        from spark_bestfit_spark.operators.stats import kaplan_meier
+
+        rows = [
+            # group A: everyone dies at t=2 -> S(2)=0 exactly
+            ("A", 1, 1), ("A", 2, 1), ("A", 2, 1),
+            # group B: all censored -> S stays 1
+            ("B", 1, 0), ("B", 5, 0),
+        ]
+        df = spark.createDataFrame(rows, "g string, t int, e int")
+        got = {
+            (r.g, r.t): r.survival
+            for r in kaplan_meier(df, "t", "e", "g").collect()
+        }
+        assert got[("A", 1)] == round(1 - 1 / 3, 6)
+        assert got[("A", 2)] == 0.0
+        assert got[("B", 1)] == 1.0 and got[("B", 5)] == 1.0
+
+    def test_single_exchange(self, spark):
+        from spark_bestfit_spark.operators.stats import kaplan_meier
+
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 0)], "g string, t int, e int"
+        )
+        plan = (
+            kaplan_meier(df, "t", "e", "g")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # per-time (g, t) aggregation exchange + ONE group exchange
+        # shared by every window — nothing else, no single partition
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "SinglePartition" not in plan
