@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_ab_test(spark, sf_dir):
+    """Welch two-sample A/B comparison of document length (scaled to
+    keep 6-decimal rounding robust) between English and German docs —
+    one conditional-aggregate scan, no pivot/self-join."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import ab_test
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "len_k", F.col("n_chars") / 10000.0
+    )
+    return ab_test(docs, "lang", "len_k", "en", "de")
+
+
 def _q_kaplan_meier(spark, sf_dir):
     """Kaplan-Meier survival curves per linestatus (duration =
     l_quantity, event = returned): running log-sum product on one
@@ -3490,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "ab_test": _q_ab_test,
         "kaplan_meier": _q_kaplan_meier,
         "resolve_entities": _q_resolve_entities,
         "streaming_join": _q_streaming_join,
@@ -3649,6 +3664,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ab_test": """
+            WITH base AS (
+              SELECT lang, n_chars / 10000.0 AS v FROM documents
+              WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+            ),
+            agg AS (
+              SELECT count(*) FILTER (lang = 'en')::BIGINT AS n_c,
+                     count(*) FILTER (lang = 'de')::BIGINT AS n_t,
+                     avg(v) FILTER (lang = 'en') AS mc,
+                     avg(v) FILTER (lang = 'de') AS mt,
+                     var_samp(v) FILTER (lang = 'en') AS vc,
+                     var_samp(v) FILTER (lang = 'de') AS vt
+              FROM base
+            )
+            SELECT n_c, n_t,
+                   round(mc, 6) AS mean_c,
+                   round(mt, 6) AS mean_t,
+                   round(mt - mc, 6) AS diff,
+                   round((mt - mc) / mc, 6) AS lift,
+                   round(sqrt(vc / n_c + vt / n_t), 6) AS se,
+                   round((mt - mc) / sqrt(vc / n_c + vt / n_t), 6)
+                     AS t_stat,
+                   round(pow(vc / n_c + vt / n_t, 2)
+                         / (pow(vc / n_c, 2) / (n_c - 1)
+                            + pow(vt / n_t, 2) / (n_t - 1)), 6) AS dof
+            FROM agg
+        """,
         "kaplan_meier": """
             WITH per_t AS (
               SELECT l_linestatus, l_quantity AS t,

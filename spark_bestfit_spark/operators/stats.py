@@ -1746,3 +1746,71 @@ def kaplan_meier(
     return scored.select(
         *keys, "t", "n_risk", "n_events", "n_censored", "survival"
     )
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    control,
+    treatment,
+) -> DataFrame:
+    """Two-sample A/B comparison of a metric between a control and a
+    treatment arm: per-arm n/mean/sample-variance, the absolute and
+    relative lift, the unpooled (Welch) standard error, the Welch t
+    statistic and Welch-Satterthwaite degrees of freedom. Works for
+    binary conversion metrics too (0/1 column -> the unpooled
+    two-proportion z statistic).
+
+    ONE scan, ONE map-side-combinable aggregation: both arms reduce
+    through conditional aggregates in the same pass (no pivot, no
+    self-join, no second scan). Degenerate arms (n < 2 or zero
+    variance in both) yield null t/dof — compare-to-threshold
+    downstream against the t distribution (or the engine's normal CDF
+    for large n).
+
+    Returns one row: (n_c, n_t, mean_c, mean_t, diff, lift, se,
+    t_stat, dof), numerics rounded to 6.
+    """
+    v = F.col(metric_col)
+    is_c = F.col(variant_col) == F.lit(control)
+    is_t = F.col(variant_col) == F.lit(treatment)
+    base = valid_column(
+        df.filter(is_c | is_t), metric_col
+    )
+    agg = base.agg(
+        F.count(F.when(is_c, 1)).cast("long").alias("n_c"),
+        F.count(F.when(is_t, 1)).cast("long").alias("n_t"),
+        F.avg(F.when(is_c, v)).alias("_mc"),
+        F.avg(F.when(is_t, v)).alias("_mt"),
+        F.var_samp(F.when(is_c, v)).alias("_vc"),
+        F.var_samp(F.when(is_t, v)).alias("_vt"),
+    )
+    ra = F.col("_vc") / F.col("n_c")
+    rb = F.col("_vt") / F.col("n_t")
+    se = F.sqrt(ra + rb)
+    dof = (
+        F.pow(ra + rb, 2)
+        / (
+            F.pow(ra, 2) / (F.col("n_c") - 1)
+            + F.pow(rb, 2) / (F.col("n_t") - 1)
+        )
+    )
+    diff = F.col("_mt") - F.col("_mc")
+    ok = (
+        (F.col("n_c") >= 2) & (F.col("n_t") >= 2)
+        & ((F.col("_vc") > 0) | (F.col("_vt") > 0))
+    )
+    return agg.select(
+        "n_c",
+        "n_t",
+        F.round("_mc", 6).alias("mean_c"),
+        F.round("_mt", 6).alias("mean_t"),
+        F.round(diff, 6).alias("diff"),
+        F.round(
+            F.when(F.col("_mc") != 0, diff / F.col("_mc")), 6
+        ).alias("lift"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, diff / se), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 6).alias("dof"),
+    )

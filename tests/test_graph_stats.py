@@ -582,3 +582,62 @@ class TestKaplanMeier:
         # shared by every window — nothing else, no single partition
         assert plan.count("Exchange hashpartitioning") == 2, plan
         assert "SinglePartition" not in plan
+
+
+class TestAbTest:
+    def test_matches_scipy_free_welch(self, spark):
+        from spark_bestfit_spark.operators.stats import ab_test
+
+        rng = np.random.default_rng(23)
+        a = rng.normal(10, 2, 300)
+        b = rng.normal(10.5, 3, 200)
+        rows = [("c", float(x)) for x in a] + [("t", float(x)) for x in b]
+        df = spark.createDataFrame(rows, "arm string, v double").repartition(6)
+        r = ab_test(df, "arm", "v", "c", "t").first()
+        # numpy reference (Welch)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        ra, rb = va / len(a), vb / len(b)
+        se = np.sqrt(ra + rb)
+        t = (b.mean() - a.mean()) / se
+        dof = (ra + rb) ** 2 / (ra**2 / (len(a) - 1) + rb**2 / (len(b) - 1))
+        assert r.n_c == 300 and r.n_t == 200
+        assert r.mean_c == round(float(a.mean()), 6)
+        assert r.t_stat == pytest.approx(t, abs=1e-5)
+        assert r.dof == pytest.approx(dof, abs=1e-4)
+        assert r.lift == pytest.approx(
+            (b.mean() - a.mean()) / a.mean(), abs=1e-6
+        )
+
+    def test_binary_conversion_and_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import ab_test
+
+        rows = [("c", 1.0)] * 20 + [("c", 0.0)] * 80 + \
+               [("t", 1.0)] * 30 + [("t", 0.0)] * 70
+        df = spark.createDataFrame(rows, "arm string, v double")
+        r = ab_test(df, "arm", "v", "c", "t").first()
+        assert r.mean_c == 0.2 and r.mean_t == 0.3
+        assert r.t_stat is not None and r.t_stat > 1.5  # directional
+        # degenerate: constant metric in both arms
+        flat = spark.createDataFrame(
+            [("c", 5.0), ("c", 5.0), ("t", 5.0), ("t", 5.0)],
+            "arm string, v double",
+        )
+        r2 = ab_test(flat, "arm", "v", "c", "t").first()
+        assert r2.t_stat is None and r2.dof is None
+        # other variants are excluded entirely
+        extra = spark.createDataFrame(
+            rows + [("x", 999.0)] * 50, "arm string, v double"
+        )
+        r3 = ab_test(extra, "arm", "v", "c", "t").first()
+        assert (r3.n_c, r3.n_t) == (100, 100)
+
+    def test_one_scan_plan(self, spark):
+        from spark_bestfit_spark.operators.stats import ab_test
+
+        df = spark.createDataFrame([("c", 1.0)], "arm string, v double")
+        plan = (
+            ab_test(df, "arm", "v", "c", "t")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan") == 1, plan
+        assert "Join" not in plan
