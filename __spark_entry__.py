@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_roc_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC of extendedprice as a predictor of the
+    return flag — rank-sum formulation on the partitioned prefix-sum
+    spine, no global sort, integer-exact arithmetic."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import roc_auc
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return roc_auc(li, "l_extendedprice", "y")
+
+
 def _q_ab_test(spark, sf_dir):
     """Welch two-sample A/B comparison of document length (scaled to
     keep 6-decimal rounding robust) between English and German docs —
@@ -3504,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "roc_auc": _q_roc_auc,
         "ab_test": _q_ab_test,
         "kaplan_meier": _q_kaplan_meier,
         "resolve_entities": _q_resolve_entities,
@@ -3664,6 +3679,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "roc_auc": """
+            WITH t AS (
+              SELECT l_extendedprice AS v,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            s AS (
+              SELECT v, sum(y)::BIGINT AS dp,
+                     sum(1 - y)::BIGINT AS dq
+              FROM t GROUP BY v
+            ),
+            c AS (
+              SELECT dp, dq,
+                     coalesce(sum(dq) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM s
+            ),
+            tot AS (
+              SELECT sum(y)::BIGINT AS p,
+                     sum(1 - y)::BIGINT AS n
+              FROM t
+            )
+            SELECT round(sum(dp * (below + 0.5 * dq))
+                         / (p::DOUBLE * n), 6) AS auc,
+                   round(2 * sum(dp * (below + 0.5 * dq))
+                         / (p::DOUBLE * n) - 1, 6) AS gini,
+                   p AS n_pos, n AS n_neg
+            FROM c CROSS JOIN tot
+            GROUP BY p, n
+        """,
         "ab_test": """
             WITH base AS (
               SELECT lang, n_chars / 10000.0 AS v FROM documents

@@ -1814,3 +1814,90 @@ def ab_test(
         F.round(F.when(ok, diff / se), 6).alias("t_stat"),
         F.round(F.when(ok, dof), 6).alias("dof"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC (and Gini = 2*AUC - 1) of a score against a
+    binary label, with the standard half-credit for score ties — the
+    rank-sum (Mann-Whitney) formulation:
+
+        AUC = sum over distinct scores v of
+              n_pos(v) * (n_neg_below(v) + 0.5 * n_neg_at(v)) / (P * N)
+
+    Scale design: the naive rank approach is a GLOBAL SORT; this uses
+    the engine's partitioned two-phase prefix-sum spine (the exact-K-S
+    construction): per-score (pos, neg) jumps from one map-combinable
+    groupBy, equi-width value buckets, <= num_buckets+1 per-bucket
+    totals folded into exclusive negative-count offsets on the driver,
+    and one bucket-hash window for the local cumsums. The AUC sum is
+    exact integer/half-integer arithmetic — bit-identical on any
+    engine.
+
+    Returns one row: (auc, gini, n_pos, n_neg), rounded to 6; null
+    AUC when either class is empty.
+    """
+    from pyspark.sql import Window as _W
+
+    base = valid_column(df.select(score_col, label_col), score_col)
+    u = base.select(
+        F.col(score_col).alias("v"),
+        (F.col(label_col) > 0).cast("int").alias("ip"),
+        (~(F.col(label_col) > 0)).cast("int").alias("iq"),
+    ).filter(F.col(label_col).isNotNull())
+    spark = df.sparkSession
+    stats = u.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("ip").alias("p"), F.sum("iq").alias("n"),
+    ).first()
+    p = int(stats["p"] or 0)
+    n = int(stats["n"] or 0)
+    if p == 0 or n == 0:
+        return spark.createDataFrame(
+            [(None, None, p, n)],
+            "auc double, gini double, n_pos long, n_neg long",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    num_buckets = 1024
+    if hi <= lo:  # every score tied: AUC is exactly 0.5
+        return spark.createDataFrame(
+            [(0.5, 0.0, p, n)],
+            "auc double, gini double, n_pos long, n_neg long",
+        )
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+    btot = (
+        u.groupBy(bk.alias("bk")).agg(F.sum("iq").alias("tq")).collect()
+    )
+    off_rows, acc = [], 0
+    for r in sorted(btot, key=lambda r: r["bk"]):
+        off_rows.append((int(r["bk"]), acc))
+        acc += int(r["tq"])
+    off = spark.createDataFrame(off_rows, "bk long, oq long")
+    g = (
+        u.groupBy("v")
+        .agg(F.sum("ip").alias("dp"), F.sum("iq").alias("dq"))
+        .withColumn("bk", bk)
+    )
+    w = (
+        _W.partitionBy("bk").orderBy("v")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    contrib = g.join(F.broadcast(off), "bk").select(
+        (
+            F.col("dp")
+            * (
+                F.col("oq") + F.sum("dq").over(w) - F.col("dq")
+                + F.lit(0.5) * F.col("dq")
+            )
+        ).alias("c")
+    )
+    auc = F.sum("c") / F.lit(float(p) * float(n))
+    return contrib.agg(
+        F.round(auc, 6).alias("auc"),
+        F.round(auc * 2 - 1, 6).alias("gini"),
+        F.lit(p).cast("long").alias("n_pos"),
+        F.lit(n).cast("long").alias("n_neg"),
+    )

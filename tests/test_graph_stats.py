@@ -641,3 +641,61 @@ class TestAbTest:
         )
         assert plan.count("Scan") == 1, plan
         assert "Join" not in plan
+
+
+class TestRocAuc:
+    @staticmethod
+    def _ref_auc(scores, labels):
+        # rank-sum with average ranks (half tie credit)
+        import collections
+
+        per = collections.defaultdict(lambda: [0, 0])
+        for s, y in zip(scores, labels):
+            per[s][1 if y else 0] += 1
+        below = 0
+        num = 0.0
+        for s in sorted(per):
+            neg, pos = per[s][0], per[s][1]
+            num += pos * (below + 0.5 * neg)
+            below += neg
+        P = sum(labels)
+        N = len(labels) - P
+        return round(num / (P * N), 6)
+
+    def test_matches_reference_with_heavy_ties(self, spark):
+        from spark_bestfit_spark.operators.stats import roc_auc
+
+        rng = np.random.default_rng(31)
+        # quantized scores -> heavy ties; informative signal
+        labels = rng.integers(0, 2, 3000).tolist()
+        scores = [
+            float(np.round(rng.normal(1.0 * y, 1.5), 1))
+            for y in labels
+        ]
+        df = spark.createDataFrame(
+            list(zip(scores, labels)), "s double, y int"
+        ).repartition(8)
+        r = roc_auc(df, "s", "y").first()
+        assert r.auc == self._ref_auc(scores, labels)
+        assert r.gini == round(2 * r.auc - 1, 6)
+        assert r.n_pos == sum(labels)
+        assert 0.6 < r.auc < 0.8  # signal present but noisy
+
+    def test_perfect_constant_and_empty_class(self, spark):
+        from spark_bestfit_spark.operators.stats import roc_auc
+
+        perfect = spark.createDataFrame(
+            [(float(i), 1 if i >= 5 else 0) for i in range(10)],
+            "s double, y int",
+        )
+        assert roc_auc(perfect, "s", "y").first().auc == 1.0
+        tied = spark.createDataFrame(
+            [(1.0, 0), (1.0, 1)], "s double, y int"
+        )
+        r = roc_auc(tied, "s", "y").first()
+        assert r.auc == 0.5 and r.gini == 0.0
+        onecls = spark.createDataFrame(
+            [(1.0, 1), (2.0, 1)], "s double, y int"
+        )
+        r2 = roc_auc(onecls, "s", "y").first()
+        assert r2.auc is None and r2.n_neg == 0
