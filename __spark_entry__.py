@@ -430,6 +430,21 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_calibration(spark, sf_dir):
+    """Reliability diagram of discount-derived pseudo-probabilities
+    against the return flag — one bin-keyed groupBy, p = 1 clamped
+    into the last bin."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import calibration_curve
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_discount") * 10).alias("p"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return calibration_curve(li, "p", "y", bins=10)
+
+
 def _q_roc_auc(spark, sf_dir):
     """Exact tie-aware ROC AUC of extendedprice as a predictor of the
     return flag — rank-sum formulation on the partitioned prefix-sum
@@ -3518,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "calibration": _q_calibration,
         "roc_auc": _q_roc_auc,
         "ab_test": _q_ab_test,
         "kaplan_meier": _q_kaplan_meier,
@@ -3679,6 +3695,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "calibration": """
+            WITH t AS (
+              SELECT l_discount * 10 AS p,
+                     CASE WHEN l_returnflag = 'R'
+                          THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem
+              WHERE l_discount IS NOT NULL
+                AND l_discount * 10 BETWEEN 0.0 AND 1.0
+            )
+            SELECT least(floor(p * 10)::INT, 9) AS bin,
+                   round(least(floor(p * 10)::INT, 9) / 10.0, 6) AS p_lo,
+                   round((least(floor(p * 10)::INT, 9) + 1) / 10.0, 6)
+                     AS p_hi,
+                   count(*)::BIGINT AS n,
+                   round(avg(p), 6) AS mean_pred,
+                   round(avg(y), 6) AS frac_pos,
+                   round(abs(avg(p) - avg(y)), 6) AS gap
+            FROM t GROUP BY 1
+        """,
         "roc_auc": """
             WITH t AS (
               SELECT l_extendedprice AS v,

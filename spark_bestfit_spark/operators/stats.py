@@ -1901,3 +1901,51 @@ def roc_auc(
         F.lit(p).cast("long").alias("n_pos"),
         F.lit(n).cast("long").alias("n_neg"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data for a probabilistic classifier: equal-
+    width probability bins with per-bin count, mean predicted
+    probability, observed positive rate, and the |gap| between them —
+    the relation behind ECE (aggregate ``sum(n * gap) / sum(n)``
+    downstream) and the companion to :func:`roc_auc` (ranking) and
+    :func:`ab_test` (effect size).
+
+    ONE map-side-combinable groupBy on the bin id (a deterministic
+    function of the value — `floor(p * bins)` with p = 1 clamped into
+    the last bin); no window, no sort. Rows with null/NaN/out-of-range
+    probabilities or null labels are excluded.
+
+    Returns (bin, p_lo, p_hi, n, mean_pred, frac_pos, gap), one row
+    per non-empty bin, rounded to 6.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    p = F.col(prob_col)
+    base = valid_column(df.select(prob_col, label_col), prob_col).filter(
+        p.between(0.0, 1.0) & F.col(label_col).isNotNull()
+    )
+    b = F.least(
+        F.floor(p * F.lit(bins)).cast("int"), F.lit(bins - 1)
+    )
+    y = (F.col(label_col) > 0).cast("double")
+    out = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(p), 6).alias("mean_pred"),
+        F.round(F.avg(y), 6).alias("frac_pos"),
+        F.round(F.abs(F.avg(p) - F.avg(y)), 6).alias("gap"),
+    )
+    return out.select(
+        "bin",
+        F.round(F.col("bin") / F.lit(float(bins)), 6).alias("p_lo"),
+        F.round((F.col("bin") + 1) / F.lit(float(bins)), 6).alias("p_hi"),
+        "n",
+        "mean_pred",
+        "frac_pos",
+        "gap",
+    )

@@ -699,3 +699,39 @@ class TestRocAuc:
         )
         r2 = roc_auc(onecls, "s", "y").first()
         assert r2.auc is None and r2.n_neg == 0
+
+
+class TestCalibrationCurve:
+    def test_matches_pandas_binning(self, spark):
+        from spark_bestfit_spark.operators.stats import calibration_curve
+
+        rng = np.random.default_rng(41)
+        probs = rng.random(4000)
+        labels = (rng.random(4000) < probs).astype(int)  # calibrated
+        df = spark.createDataFrame(
+            list(zip(probs.tolist(), labels.tolist())), "p double, y int"
+        )
+        got = {
+            r.bin: r for r in calibration_curve(df, "p", "y", 10).collect()
+        }
+        binned = np.minimum((probs * 10).astype(int), 9)
+        for b in range(10):
+            m = binned == b
+            assert got[b].n == int(m.sum())
+            assert got[b].mean_pred == round(float(probs[m].mean()), 6)
+            assert got[b].frac_pos == round(float(labels[m].mean()), 6)
+            assert got[b].gap < 0.1  # calibrated by construction
+        assert got[9].p_lo == 0.9 and got[9].p_hi == 1.0
+
+    def test_p_one_lands_in_last_bin_and_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import calibration_curve
+
+        df = spark.createDataFrame(
+            [(1.0, 1), (0.0, 0), (1.5, 1)], "p double, y int"
+        )
+        rows = {r.bin: r for r in calibration_curve(df, "p", "y", 5).collect()}
+        assert rows[4].n == 1          # p=1.0 clamped into [0.8, 1.0]
+        assert rows[0].n == 1
+        assert sum(r.n for r in rows.values()) == 2  # 1.5 excluded
+        with pytest.raises(ValueError, match="bins"):
+            calibration_curve(df, "p", "y", 1)
