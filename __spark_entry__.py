@@ -430,6 +430,25 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_quality_checks(spark, sf_dir):
+    """Data-contract report over orders: five expectation types in one
+    shared conditional-aggregate scan plus one groupBy for the
+    uniqueness rule."""
+    from spark_bestfit_spark.operators.stats import quality_checks
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return quality_checks(orders, [
+        {"type": "not_null", "column": "o_custkey"},
+        {"type": "in_range", "column": "o_totalprice",
+         "min": 0.0, "max": 300000.0},
+        {"type": "in_set", "column": "o_orderstatus",
+         "values": ["F", "O", "P"]},
+        {"type": "matches", "column": "o_orderpriority",
+         "pattern": "^[1-5]-"},
+        {"type": "unique", "column": "o_orderkey"},
+    ])
+
+
 def _q_calibration(spark, sf_dir):
     """Reliability diagram of discount-derived pseudo-probabilities
     against the return flag — one bin-keyed groupBy, p = 1 clamped
@@ -3533,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "quality_checks": _q_quality_checks,
         "calibration": _q_calibration,
         "roc_auc": _q_roc_auc,
         "ab_test": _q_ab_test,
@@ -3695,6 +3715,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_checks": """
+            WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
+            rowrules AS (
+              SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+                     sum(CASE WHEN o_custkey IS NULL
+                              THEN 1 ELSE 0 END)::BIGINT AS v
+              FROM orders
+              UNION ALL
+              SELECT 'in_range', 'o_totalprice',
+                     sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0
+                                   OR o_totalprice > 300000.0)
+                              THEN 1 ELSE 0 END)::BIGINT
+              FROM orders
+              UNION ALL
+              SELECT 'in_set', 'o_orderstatus',
+                     sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                              THEN 1 ELSE 0 END)::BIGINT
+              FROM orders
+              UNION ALL
+              SELECT 'matches', 'o_orderpriority',
+                     sum(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-')
+                              THEN 1 ELSE 0 END)::BIGINT
+              FROM orders
+            ),
+            uniq AS (
+              SELECT 'unique' AS rule, 'o_orderkey' AS "column",
+                     coalesce(sum(c - 1), 0)::BIGINT AS v,
+                     coalesce(sum(c), 0)::BIGINT AS nr
+              FROM (SELECT count(*) AS c FROM orders
+                    WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+            )
+            SELECT rule, "column", n.n_rows, v AS n_violations,
+                   round(v / n.n_rows::DOUBLE, 6) AS violation_frac
+            FROM rowrules CROSS JOIN n
+            UNION ALL
+            SELECT rule, "column", nr, v,
+                   round(CASE WHEN nr > 0 THEN v / nr::DOUBLE
+                              ELSE 0.0 END, 6)
+            FROM uniq
+        """,
         "calibration": """
             WITH t AS (
               SELECT l_discount * 10 AS p,

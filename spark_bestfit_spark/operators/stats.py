@@ -1949,3 +1949,123 @@ def calibration_curve(
         "frac_pos",
         "gap",
     )
+
+
+def quality_checks(
+    df: DataFrame,
+    rules: list,
+) -> DataFrame:
+    """Data-contract validation report: evaluate declarative
+    expectations against a table and return one row per rule with the
+    violation count and fraction — the gate a pipeline runs before
+    shipping a snapshot downstream.
+
+    ``rules`` is a list of dicts with ``type`` one of:
+
+    * ``not_null``: {type, column}
+    * ``in_range``: {type, column, min?, max?} (inclusive bounds)
+    * ``in_set``:   {type, column, values: [...]} (nulls don't violate)
+    * ``matches``:  {type, column, pattern} (RLIKE; nulls don't violate)
+    * ``unique``:   {type, column} (violations = rows beyond the first
+      of each duplicated value; nulls excluded)
+
+    Execution: every ROW-LEVEL rule folds into ONE shared
+    conditional-aggregate scan (no per-rule pass); each ``unique`` rule
+    adds one map-combinable groupBy. The report is a union of 1-row
+    relations — constant size, lazily composable with the caller's
+    action.
+
+    Returns (rule, column, n_rows, n_violations, violation_frac).
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    row_aggs = []
+    names = []
+    uniq: list = []
+    for r in rules:
+        t = r["type"]
+        c = r.get("column")
+        col = F.col(c) if c else None
+        if t == "not_null":
+            cond = col.isNull()
+        elif t == "in_range":
+            cond = F.lit(False)
+            if "min" in r:
+                cond = cond | (col < F.lit(r["min"]))
+            if "max" in r:
+                cond = cond | (col > F.lit(r["max"]))
+            cond = col.isNotNull() & cond
+        elif t == "in_set":
+            cond = col.isNotNull() & ~col.isin(list(r["values"]))
+        elif t == "matches":
+            cond = col.isNotNull() & ~col.rlike(r["pattern"])
+        elif t == "unique":
+            uniq.append(r)
+            continue
+        else:
+            raise ValueError(f"unknown rule type: {t}")
+        names.append((f"{t}", c))
+        row_aggs.append(
+            F.sum(cond.cast("long")).alias(f"_v{len(row_aggs)}")
+        )
+    parts = []
+    if row_aggs:
+        one = df.agg(
+            F.count(F.lit(1)).alias("_n"), *row_aggs
+        )
+        # one explode over a literal struct array: the shared
+        # aggregate (and its scan) stays a single plan subtree —
+        # a per-rule union would re-execute it per branch
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("rule"),
+                    F.lit(c).alias("column"),
+                    F.coalesce(F.col(f"_v{i}"), F.lit(0))
+                    .cast("long")
+                    .alias("nv"),
+                )
+                for i, (t, c) in enumerate(names)
+            ]
+        )
+        parts.append(
+            one.select("_n", F.explode(entries).alias("_e")).select(
+                F.col("_e.rule").alias("rule"),
+                F.col("_e.column").alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col("_e.nv").alias("n_violations"),
+                F.round(F.col("_e.nv") / F.col("_n"), 6).alias(
+                    "violation_frac"
+                ),
+            )
+        )
+    for r in uniq:
+        c = r["column"]
+        dup = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_c") - 1), F.lit(0)
+                ).alias("_v"),
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+            )
+        )
+        parts.append(
+            dup.select(
+                F.lit("unique").alias("rule"),
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col("_v").cast("long").alias("n_violations"),
+                F.round(
+                    F.when(F.col("_n") > 0, F.col("_v") / F.col("_n"))
+                    .otherwise(F.lit(0.0)),
+                    6,
+                ).alias("violation_frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -735,3 +735,56 @@ class TestCalibrationCurve:
         assert sum(r.n for r in rows.values()) == 2  # 1.5 excluded
         with pytest.raises(ValueError, match="bins"):
             calibration_curve(df, "p", "y", 1)
+
+
+class TestQualityChecks:
+    def test_all_rule_types(self, spark):
+        from spark_bestfit_spark.operators.stats import quality_checks
+
+        rows = [
+            (1, 5.0, "a", "x1"),
+            (2, 50.0, "b", "x2"),      # in_range max violation
+            (2, None, "c", "zz"),      # not_null + matches violations
+            (3, -1.0, "a", "x3"),      # in_range min violation
+            (3, 1.0, "q", "x4"),       # in_set violation
+        ]
+        df = spark.createDataFrame(rows, "id int, v double, s string, code string")
+        rules = [
+            {"type": "not_null", "column": "v"},
+            {"type": "in_range", "column": "v", "min": 0.0, "max": 10.0},
+            {"type": "in_set", "column": "s", "values": ["a", "b", "c"]},
+            {"type": "matches", "column": "code", "pattern": "^x[0-9]$"},
+            {"type": "unique", "column": "id"},
+        ]
+        got = {
+            (r.rule, r.column): (r.n_rows, r.n_violations, r.violation_frac)
+            for r in quality_checks(df, rules).collect()
+        }
+        assert got[("not_null", "v")] == (5, 1, 0.2)
+        assert got[("in_range", "v")] == (5, 2, 0.4)   # 50 and -1
+        assert got[("in_set", "s")] == (5, 1, 0.2)
+        assert got[("matches", "code")] == (5, 1, 0.2)
+        # ids: 1,2,2,3,3 -> 2 rows beyond first occurrences
+        assert got[("unique", "id")] == (5, 2, 0.4)
+
+    def test_one_scan_for_row_rules_and_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import quality_checks
+
+        df = spark.createDataFrame([(1, 2.0)], "id int, v double")
+        rules = [
+            {"type": "not_null", "column": "v"},
+            {"type": "in_range", "column": "v", "min": 0},
+            {"type": "not_null", "column": "id"},
+        ]
+        plan = (
+            quality_checks(df, rules)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # all three row-level rules share one aggregation over one scan
+        assert plan.count("Scan") == 1, plan
+        import pytest
+
+        with pytest.raises(ValueError, match="rules"):
+            quality_checks(df, [])
+        with pytest.raises(ValueError, match="unknown"):
+            quality_checks(df, [{"type": "nope", "column": "v"}])
