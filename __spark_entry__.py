@@ -430,6 +430,16 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-100 collocations by PMI (min support 5) over the documents
+    corpus — left/right pair marginals on the same sample space,
+    vocabulary-keyed joins, TakeOrdered top-k."""
+    from spark_bestfit_spark.operators.textstats import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, min_count=5, top_k=100)
+
+
 def _q_quality_checks(spark, sf_dir):
     """Data-contract report over orders: five expectation types in one
     shared conditional-aggregate scan plus one groupBy for the
@@ -3552,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "pmi_collocations": _q_pmi_collocations,
         "quality_checks": _q_quality_checks,
         "calibration": _q_calibration,
         "roc_auc": _q_roc_auc,
@@ -3715,6 +3726,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pmi_collocations": """
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ),
+            flat AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> {'a': t[i], 'b': t[i + 1]})) AS p
+              FROM tk WHERE len(t) >= 2
+            ),
+            pairs AS (SELECT p.a AS tok_a, p.b AS tok_b FROM flat),
+            pc AS (
+              SELECT tok_a, tok_b, count(*)::BIGINT AS c
+              FROM pairs GROUP BY 1, 2
+            ),
+            ca AS (SELECT tok_a, count(*) AS ca FROM pairs GROUP BY 1),
+            cb AS (SELECT tok_b, count(*) AS cb FROM pairs GROUP BY 1),
+            n AS (SELECT count(*) AS nn FROM pairs)
+            SELECT tok_a, tok_b, c AS n_pair,
+                   round(ln(nn * c / (ca * cb)::DOUBLE), 6) AS pmi,
+                   round(CASE WHEN ln(nn / c::DOUBLE) > 0
+                              THEN ln(nn * c / (ca * cb)::DOUBLE)
+                                   / ln(nn / c::DOUBLE)
+                              ELSE 1.0 END, 6) AS npmi
+            FROM pc JOIN ca USING (tok_a) JOIN cb USING (tok_b)
+            CROSS JOIN n
+            WHERE c >= 5
+            ORDER BY pmi DESC, tok_a, tok_b
+            LIMIT 100
+        """,
         "quality_checks": """
             WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
             rowrules AS (

@@ -739,3 +739,80 @@ def tfidf_neardup_pairs(
         .agg(F.round(F.sum(F.col("_wa") * F.col("_wb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation (multiword-expression) mining via pointwise mutual
+    information over adjacent token pairs:
+
+        PMI(a, b) = ln( N * c(a,b) / (c_left(a) * c_right(b)) )
+
+    where N is the total number of adjacent pairs in the corpus and
+    the marginals count occurrences as a pair's LEFT / RIGHT member —
+    so the marginals and the joint live on the same sample space and
+    PMI(a,b) <= ln(N / c(a,b)) holds exactly. High-PMI pairs with
+    enough support are phrases ("new york", "machine learning") worth
+    protecting in tokenization or dedup shingling.
+
+    Dataflow (the bigram-LM shape): one doc-hash window (lag over
+    token position) forms pairs map-side; three combiner-friendly
+    groupBys (pair, left marginal, right marginal); the marginals
+    rejoin the PAIR-COUNT relation (vocabulary-sized keys, AQE picks
+    the strategy) — never the raw pair stream; N rides as a broadcast
+    1-row relation; ``min_count`` prunes the long noise tail BEFORE
+    the joins; the final top-k is a TakeOrdered heap, not a global
+    sort.
+
+    Returns (tok_a, tok_b, n_pair, pmi, npmi) — npmi = PMI/ln(N/c)
+    normalized to (-1, 1] — top ``top_k`` by (pmi, pair), rounded 6.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from pyspark.sql import Window as _W
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    w = _W.partitionBy("_id").orderBy("_pos")
+    pairs = (
+        toks.withColumn("_prev", F.lag("_tok").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("tok_a"), F.col("_tok").alias("tok_b"))
+    )
+    pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    left_m = pairs.groupBy("tok_a").agg(F.count(F.lit(1)).alias("_ca"))
+    right_m = pairs.groupBy("tok_b").agg(F.count(F.lit(1)).alias("_cb"))
+    total = pairs.agg(F.count(F.lit(1)).alias("_n"))
+    strong = pair_counts.filter(F.col("n_pair") >= int(min_count))
+    joined = (
+        strong.join(left_m, on="tok_a")
+        .join(right_m, on="tok_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.log(
+        F.col("_n") * F.col("n_pair") / (F.col("_ca") * F.col("_cb"))
+    )
+    denom = F.log(F.col("_n") / F.col("n_pair"))
+    out = joined.select(
+        "tok_a",
+        "tok_b",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(
+            F.when(denom > 0, pmi / denom).otherwise(F.lit(1.0)), 6
+        ).alias("npmi"),
+    )
+    return out.orderBy(
+        F.col("pmi").desc(), "tok_a", "tok_b"
+    ).limit(int(top_k))

@@ -2062,3 +2062,54 @@ class TestWassersteinByGroup:
         rows = {r["g"]: r for r in out.collect()}
         assert rows["p"]["w1"] == 0.0  # identical samples
         assert (rows["q"]["w1"], rows["q"]["n_b"]) == (0.0, 0)
+
+
+class TestPmiCollocations:
+    def test_matches_reference_counts(self, spark):
+        import math
+
+        from spark_bestfit_spark.operators.textstats import pmi_collocations
+
+        docs = [
+            (1, "new york is big new york is old"),
+            (2, "big apple new york"),
+            (3, "the cat sat on the mat the cat"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            (r.tok_a, r.tok_b): r
+            for r in pmi_collocations(df, min_count=2, top_k=50).collect()
+        }
+        # reference: adjacent pairs per doc
+        pairs = []
+        for _, t in docs:
+            tk = t.split()
+            pairs += list(zip(tk, tk[1:]))
+        import collections
+
+        pc = collections.Counter(pairs)
+        ca = collections.Counter(a for a, _ in pairs)
+        cb = collections.Counter(b for _, b in pairs)
+        N = len(pairs)
+        for (a, b), c in pc.items():
+            if c >= 2:
+                want = round(math.log(N * c / (ca[a] * cb[b])), 6)
+                assert got[(a, b)].pmi == want, (a, b)
+                assert got[(a, b)].n_pair == c
+                d = math.log(N / c)
+                assert got[(a, b)].npmi == round(want / d, 6)
+        assert ("new", "york") in got
+        # ranked by pmi desc
+        vals = [r.pmi for r in sorted(got.values(), key=lambda r: -r.pmi)]
+        assert vals == sorted(vals, reverse=True)
+
+    def test_min_count_prunes_and_validation(self, spark):
+        from spark_bestfit_spark.operators.textstats import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id bigint, text string"
+        )
+        assert pmi_collocations(df, min_count=2).collect() == []
+        assert len(pmi_collocations(df, min_count=1, top_k=2).collect()) == 2
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_collocations(df, min_count=0)
