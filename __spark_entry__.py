@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_funnel_timing(spark, sf_dir):
+    """Step-level funnel report (reach, conversion rate, p50/p90
+    latency from the previous step) for view -> click -> purchase
+    within 7 days — one aggregation over the per-user funnel
+    relation."""
+    from spark_bestfit_spark.operators.events import funnel_timing
+
+    events = _read(spark, sf_dir, "events")
+    return funnel_timing(
+        events, ["view", "click", "purchase"],
+        window=7 * 24 * 3600 * 10**9,
+    )
+
+
 def _q_pmi_collocations(spark, sf_dir):
     """Top-100 collocations by PMI (min support 5) over the documents
     corpus — left/right pair marginals on the same sample space,
@@ -3562,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "funnel_timing": _q_funnel_timing,
         "pmi_collocations": _q_pmi_collocations,
         "quality_checks": _q_quality_checks,
         "calibration": _q_calibration,
@@ -3726,6 +3741,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "funnel_timing": """
+            WITH t1 AS (
+              SELECT user_id, min(epoch_ns(ts)) AS step1_ts
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT e.user_id, min(epoch_ns(e.ts)) AS step2_ts
+              FROM events e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'click'
+                AND epoch_ns(e.ts) > t1.step1_ts
+                AND epoch_ns(e.ts) - t1.step1_ts <= 604800000000000
+              GROUP BY e.user_id
+            ),
+            t3 AS (
+              SELECT e.user_id, min(epoch_ns(e.ts)) AS step3_ts
+              FROM events e
+                JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_ns(e.ts) > t2.step2_ts
+                AND epoch_ns(e.ts) - t1.step1_ts <= 604800000000000
+              GROUP BY e.user_id
+            ),
+            u AS (SELECT DISTINCT user_id FROM events),
+            f AS (
+              SELECT u.user_id, t1.step1_ts, t2.step2_ts, t3.step3_ts
+              FROM u
+                LEFT JOIN t1 USING (user_id)
+                LEFT JOIN t2 USING (user_id)
+                LEFT JOIN t3 USING (user_id)
+            )
+            SELECT 1 AS step_index, 'view' AS step,
+                   count(step1_ts)::BIGINT AS n_reached,
+                   NULL::DOUBLE AS rate_from_prev,
+                   NULL::DOUBLE AS p50_latency,
+                   NULL::DOUBLE AS p90_latency
+            FROM f
+            UNION ALL
+            SELECT 2, 'click', count(step2_ts)::BIGINT,
+                   round(count(step2_ts)
+                         / nullif(count(step1_ts), 0)::DOUBLE, 6),
+                   quantile_cont(step2_ts - step1_ts, 0.5)::DOUBLE,
+                   quantile_cont(step2_ts - step1_ts, 0.9)::DOUBLE
+            FROM f
+            UNION ALL
+            SELECT 3, 'purchase', count(step3_ts)::BIGINT,
+                   round(count(step3_ts)
+                         / nullif(count(step2_ts), 0)::DOUBLE, 6),
+                   quantile_cont(step3_ts - step2_ts, 0.5)::DOUBLE,
+                   quantile_cont(step3_ts - step2_ts, 0.9)::DOUBLE
+            FROM f
+        """,
         "pmi_collocations": """
             WITH tk AS (
               SELECT doc_id,

@@ -33,6 +33,7 @@ __all__ = [
     "session_paths",
     "pivot_counts",
     "attribute_conversions",
+    "funnel_timing",
 ]
 
 
@@ -534,3 +535,85 @@ def attribute_conversions(
             F.col("_win._ts").alias("touch_ts"),
         )
     )
+
+
+def funnel_timing(
+    df: DataFrame,
+    steps: list[str],
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: int | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Step-level funnel report on top of :func:`funnel`: per step, how
+    many users reached it, the conversion rate from the previous step,
+    and the median / p90 latency from the previous step — the numbers
+    a growth dashboard actually shows.
+
+    One extra aggregation over the PER-USER funnel relation (already
+    one row per user): every step's count and latency percentiles fold
+    into a single conditional-aggregate pass, and the per-step rows
+    come from one literal struct-array explode — the funnel subtree is
+    never re-executed per step. ``approx=True`` swaps exact
+    percentiles for Greenwald-Khanna (the 100 TB default when user
+    cardinality is extreme).
+
+    Returns one row per step: (step_index, step, n_reached,
+    rate_from_prev, p50_latency, p90_latency) — latencies null for
+    step 1 and for steps nobody reached; rates rounded to 6.
+    """
+    fu = funnel(df, steps, event_col, ts_col, user_col, window)
+    pctl = "approx_percentile" if approx else "percentile"
+    aggs = [
+        F.count(F.lit(1)).alias("_n_users"),
+    ]
+    for i in range(len(steps)):
+        aggs.append(
+            F.count(F.col(f"step{i + 1}_ts")).alias(f"_r{i}")
+        )
+        if i > 0:
+            lat = F.col(f"step{i + 1}_ts") - F.col(f"step{i}_ts")
+            aggs.append(
+                F.expr(
+                    f"{pctl}(step{i + 1}_ts - step{i}_ts, 0.5)"
+                ).alias(f"_p50_{i}")
+            )
+            aggs.append(
+                F.expr(
+                    f"{pctl}(step{i + 1}_ts - step{i}_ts, 0.9)"
+                ).alias(f"_p90_{i}")
+            )
+    one = fu.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(steps[i]).alias("step"),
+                F.col(f"_r{i}").cast("long").alias("n_reached"),
+                (
+                    F.round(
+                        F.col(f"_r{i}")
+                        / F.when(
+                            F.col(f"_r{i - 1}") > 0, F.col(f"_r{i - 1}")
+                        ),
+                        6,
+                    )
+                    if i > 0
+                    else F.lit(None).cast("double")
+                ).alias("rate_from_prev"),
+                (
+                    F.col(f"_p50_{i}").cast("double")
+                    if i > 0
+                    else F.lit(None).cast("double")
+                ).alias("p50_latency"),
+                (
+                    F.col(f"_p90_{i}").cast("double")
+                    if i > 0
+                    else F.lit(None).cast("double")
+                ).alias("p90_latency"),
+            )
+            for i in range(len(steps))
+        ]
+    )
+    return one.select(F.explode(entries).alias("_e")).select("_e.*")

@@ -668,3 +668,49 @@ class TestAttributeConversions:
             )
         with pytest.raises(ValueError, match="touch_types"):
             attribute_conversions(df, "e", "ts", "t", "v", "purchase", [])
+
+
+class TestFunnelTiming:
+    def test_hand_computed_report(self, spark):
+        from spark_bestfit_spark.operators.events import funnel_timing
+
+        rows = [
+            # u1 completes: view@0 -> click@10 -> purchase@30
+            ("u1", 0, "view"), ("u1", 10, "click"), ("u1", 30, "purchase"),
+            # u2 stops at click: view@5 -> click@25
+            ("u2", 5, "view"), ("u2", 25, "click"),
+            # u3 only views
+            ("u3", 1, "view"),
+            # u4 never enters
+            ("u4", 2, "error"),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+        got = {
+            r.step_index: r
+            for r in funnel_timing(
+                df, ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert got[1].n_reached == 3 and got[1].rate_from_prev is None
+        assert got[2].n_reached == 2
+        assert got[2].rate_from_prev == round(2 / 3, 6)
+        # latencies: u1 10, u2 20 -> exact p50 = 15
+        assert got[2].p50_latency == 15.0
+        assert got[3].n_reached == 1
+        assert got[3].rate_from_prev == 0.5
+        assert got[3].p50_latency == 20.0  # u1: 30 - 10
+        assert got[1].p50_latency is None
+
+    def test_empty_step_yields_nulls(self, spark):
+        from spark_bestfit_spark.operators.events import funnel_timing
+
+        df = spark.createDataFrame(
+            [("u", 0, "view")], "user_id string, ts long, event_type string"
+        )
+        got = {
+            r.step_index: r
+            for r in funnel_timing(df, ["view", "click"]).collect()
+        }
+        assert got[2].n_reached == 0
+        assert got[2].rate_from_prev == 0.0
+        assert got[2].p50_latency is None
