@@ -430,6 +430,15 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch ease / FK grade per document — map-only JVM regex + HOF
+    syllable counting, no shuffle."""
+    from spark_bestfit_spark.operators.textstats import readability_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability_scores(docs)
+
+
 def _q_funnel_timing(spark, sf_dir):
     """Step-level funnel report (reach, conversion rate, p50/p90
     latency from the previous step) for view -> click -> purchase
@@ -3576,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "readability": _q_readability,
         "funnel_timing": _q_funnel_timing,
         "pmi_collocations": _q_pmi_collocations,
         "quality_checks": _q_quality_checks,
@@ -3741,6 +3751,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "readability": """
+            WITH t AS (
+              SELECT doc_id, lower(trim(text)) AS txt FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(txt, '\\s+'),
+                                 x -> x <> '') AS toks,
+                     greatest(len(list_filter(
+                       string_split_regex(txt, '[.!?]+'),
+                       x -> trim(x) <> '')), 1) AS n_sentences
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, n_sentences,
+                     len(toks)::BIGINT AS n_words,
+                     list_sum(list_transform(toks,
+                       x -> greatest(len(string_split_regex(
+                              regexp_replace(x, '[aeiouy]+', chr(1),
+                                             'g'),
+                              chr(1))) - 1, 1)))::BIGINT AS syl
+              FROM w
+            )
+            SELECT doc_id, n_sentences::BIGINT AS n_sentences, n_words,
+                   CASE WHEN n_words > 0 THEN syl END AS n_syllables,
+                   round(CASE WHEN n_words > 0 THEN
+                     206.835 - 1.015 * (n_words / n_sentences::DOUBLE)
+                             - 84.6 * (syl / n_words::DOUBLE)
+                   END, 6) AS flesch_ease,
+                   round(CASE WHEN n_words > 0 THEN
+                     0.39 * (n_words / n_sentences::DOUBLE)
+                     + 11.8 * (syl / n_words::DOUBLE) - 15.59
+                   END, 6) AS fk_grade
+            FROM s
+        """,
         "funnel_timing": """
             WITH t1 AS (
               SELECT user_id, min(epoch_ns(ts)) AS step1_ts

@@ -816,3 +816,71 @@ def pmi_collocations(
     return out.orderBy(
         F.col("pmi").desc(), "tok_a", "tok_b"
     ).limit(int(top_k))
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic heuristic quality gates (very low ease flags boilerplate /
+    code / gibberish; very high flags trivial fragments):
+
+        ease  = 206.835 - 1.015 * words/sentences
+                        - 84.6 * syllables/words
+        grade = 0.39 * words/sentences + 11.8 * syllables/words - 15.59
+
+    Heuristics, SQL-portable by construction: sentences = runs split on
+    ``[.!?]+`` with non-empty remainder (min 1); words = whitespace
+    tokens; syllables = vowel GROUPS per token (``[aeiouy]+`` matches),
+    min 1 per word. All map-side JVM regex/HOF work — one projection,
+    no shuffle, no UDF.
+
+    Returns (id_col, n_sentences, n_words, n_syllables, flesch_ease,
+    fk_grade) rounded to 6; docs with zero words yield nulls.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    words = F.size(F.filter(toks, lambda x: x != F.lit("")))
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(t, r"[.!?]+"),
+                lambda x: F.trim(x) != F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+    syl_of = lambda w: F.greatest(  # noqa: E731
+        F.size(F.split(F.regexp_replace(w, "[aeiouy]+", "\x01"), "\x01"))
+        - 1,
+        F.lit(1),
+    )
+    syls = F.aggregate(
+        F.filter(toks, lambda x: x != F.lit("")),
+        F.lit(0),
+        lambda acc, w: acc + syl_of(w),
+    )
+    wps = words / sents
+    spw = syls / words
+    return df.select(
+        id_col,
+        sents.cast("long").alias("n_sentences"),
+        words.cast("long").alias("n_words"),
+        F.when(words > 0, syls).cast("long").alias("n_syllables"),
+        F.round(
+            F.when(
+                words > 0,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            6,
+        ).alias("flesch_ease"),
+        F.round(
+            F.when(
+                words > 0,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            6,
+        ).alias("fk_grade"),
+    )

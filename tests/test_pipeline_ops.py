@@ -2113,3 +2113,50 @@ class TestPmiCollocations:
         assert len(pmi_collocations(df, min_count=1, top_k=2).collect()) == 2
         with pytest.raises(ValueError, match="min_count"):
             pmi_collocations(df, min_count=0)
+
+
+class TestReadabilityScores:
+    @staticmethod
+    def _ref(text):
+        import re
+
+        txt = text.lower().strip()
+        toks = [w for w in re.split(r"\s+", txt) if w != ""]
+        sents = max(
+            len([s for s in re.split(r"[.!?]+", txt) if s.strip() != ""]), 1
+        )
+        if not toks:
+            return sents, 0, None, None, None
+        syl = sum(
+            max(len(re.findall(r"[aeiouy]+", w)), 1) for w in toks
+        )
+        wps, spw = len(toks) / sents, syl / len(toks)
+        ease = round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+        grade = round(0.39 * wps + 11.8 * spw - 15.59, 6)
+        return sents, len(toks), syl, ease, grade
+
+    def test_matches_reference(self, spark):
+        texts = [
+            (1, "The cat sat on the mat. It was happy!"),
+            (2, "Reading comprehension requires sustained attention "
+                "and considerable vocabulary. Sophisticated sentences "
+                "challenge inexperienced readers?"),
+            (3, "word"),
+            (4, ""),
+            (5, "a b c d e. f g! h?? i."),
+        ]
+        df = spark.createDataFrame(texts, "doc_id bigint, text string")
+        got = {
+            r.doc_id: r
+            for r in textstats.readability_scores(df).collect()
+        }
+        for i, t in texts:
+            sents, words, syl, ease, grade = self._ref(t)
+            r = got[i]
+            assert r.n_sentences == sents, (i, r)
+            assert r.n_words == words, i
+            assert r.n_syllables == syl, i
+            assert r.flesch_ease == ease, i
+            assert r.fk_grade == grade, i
+        # the complex text reads harder than the simple one
+        assert got[2].flesch_ease < got[1].flesch_ease
