@@ -430,6 +430,15 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids: posexplode -> (label, dim)
+    map-combinable means -> in-array reassembly; no driver vectors."""
+    from spark_bestfit_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb)
+
+
 def _q_readability(spark, sf_dir):
     """Flesch ease / FK grade per document — map-only JVM regex + HOF
     syllable counting, no shuffle."""
@@ -3585,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "label_centroids": _q_label_centroids,
         "readability": _q_readability,
         "funnel_timing": _q_funnel_timing,
         "pmi_collocations": _q_pmi_collocations,
@@ -3751,6 +3761,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "label_centroids": """
+            WITH x AS (
+              SELECT label,
+                     unnest(range(1, len(embedding) + 1)) AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings
+              WHERE label IS NOT NULL
+            ),
+            a AS (
+              SELECT label, i, avg(v) AS m, count(*) AS c
+              FROM x GROUP BY 1, 2
+            )
+            SELECT label,
+                   max(c)::BIGINT AS n,
+                   list(round(m, 6) ORDER BY i) AS centroid,
+                   round(sqrt(sum(round(m, 6) * round(m, 6))), 6)
+                     AS norm
+            FROM a GROUP BY label
+        """,
         "readability": """
             WITH t AS (
               SELECT doc_id, lower(trim(text)) AS txt FROM documents

@@ -933,3 +933,51 @@ def ranking_metrics(
             6,
         ).alias("ndcg"),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroids (class prototypes): elementwise
+    mean vector, member count, and centroid L2 norm — the seeds for
+    nearest-class-mean classification, semantic-dedup quantizers, and
+    drift checks between labeled embedding snapshots.
+
+    Relational shape at 100 TB: ``posexplode`` to (label, dim, value)
+    — rows x dim, the standard dense-vector aggregation layout — one
+    map-combinable groupBy on (label, dim), then one (label) collapse
+    reassembling the vector with an in-array sort. No driver-side
+    vectors, no UDFs, dimensions never hardcoded.
+
+    Returns (label_col, n, centroid array<double> rounded to 6, norm).
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    ).filter(F.col(label_col).isNotNull())
+    per_dim = ex.groupBy(label_col, "_dim").agg(
+        F.avg(F.col("_v").cast("double")).alias("_m"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    out = per_dim.groupBy(label_col).agg(
+        F.max("_c").cast("long").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_dim", F.round("_m", 6).alias("_m")))
+            ),
+            lambda s: s["_m"],
+        ).alias("centroid"),
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("centroid", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return out.withColumn("norm", norm)

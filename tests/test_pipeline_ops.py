@@ -2160,3 +2160,37 @@ class TestReadabilityScores:
             assert r.fk_grade == grade, i
         # the complex text reads harder than the simple one
         assert got[2].flesch_ease < got[1].flesch_ease
+
+
+class TestLabelCentroids:
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(43)
+        labels = rng.integers(0, 3, 200)
+        vecs = rng.normal(size=(200, 8)).astype("float32")
+        rows = [
+            (int(l), v.tolist()) for l, v in zip(labels, vecs)
+        ]
+        df = spark.createDataFrame(
+            rows, "label int, embedding array<float>"
+        ).repartition(5)
+        got = {
+            r.label: r for r in similarity.label_centroids(df).collect()
+        }
+        for lab in range(3):
+            m = vecs[labels == lab].astype("float64").mean(axis=0)
+            want = [round(float(x), 6) for x in m]
+            assert got[lab].centroid == pytest.approx(want, abs=2e-6)
+            assert got[lab].n == int((labels == lab).sum())
+            assert got[lab].norm == pytest.approx(
+                round(float(np.sqrt((np.round(m, 6) ** 2).sum())), 6),
+                abs=1e-6,
+            )
+
+    def test_null_labels_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(None, [1.0, 2.0]), (1, [3.0, 4.0])],
+            "label int, embedding array<float>",
+        )
+        rows = similarity.label_centroids(df).collect()
+        assert len(rows) == 1 and rows[0].label == 1
+        assert rows[0].centroid == [3.0, 4.0]
