@@ -430,6 +430,18 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_association_rules(spark, sf_dir):
+    """Top-50 part co-purchase rules by lift over orders-as-baskets
+    (min support 3): in-basket HOF pair explode, guarded basket sizes,
+    broadcast basket count, TakeOrdered top-k."""
+    from spark_bestfit_spark.operators.frequency import association_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=3, top_k=50
+    )
+
+
 def _q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids: posexplode -> (label, dim)
     map-combinable means -> in-array reassembly; no driver vectors."""
@@ -3594,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "association_rules": _q_association_rules,
         "label_centroids": _q_label_centroids,
         "readability": _q_readability,
         "funnel_timing": _q_funnel_timing,
@@ -3761,6 +3774,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "association_rules": """
+            WITH b AS (
+              SELECT l_orderkey, list_sort(list_distinct(
+                       list(l_partkey))) AS items
+              FROM lineitem GROUP BY l_orderkey
+              HAVING len(list_distinct(list(l_partkey))) <= 1000
+            ),
+            pairs AS (
+              SELECT p.a AS item_a, p.b AS item_b
+              FROM (
+                SELECT unnest(flatten(list_transform(items,
+                         (x, i) -> list_transform(items[i + 1:],
+                                     y -> {'a': x, 'b': y})))) AS p
+                FROM b
+              )
+            ),
+            pc AS (
+              SELECT item_a, item_b, count(*)::BIGINT AS n_pair
+              FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            ic AS (
+              SELECT it, count(*)::BIGINT AS ni
+              FROM (SELECT unnest(items) AS it FROM b) GROUP BY 1
+            ),
+            nb AS (SELECT count(*)::BIGINT AS n FROM b)
+            SELECT item_a, item_b, n_pair,
+                   ia.ni AS n_a, ib.ni AS n_b,
+                   round(n_pair / nb.n::DOUBLE, 6) AS support,
+                   round(n_pair / ia.ni::DOUBLE, 6) AS conf_a_to_b,
+                   round(n_pair / ib.ni::DOUBLE, 6) AS conf_b_to_a,
+                   round(n_pair * nb.n / (ia.ni * ib.ni)::DOUBLE, 6)
+                     AS lift
+            FROM pc
+              JOIN ic ia ON pc.item_a = ia.it
+              JOIN ic ib ON pc.item_b = ib.it
+              CROSS JOIN nb
+            ORDER BY lift DESC, item_a, item_b
+            LIMIT 50
+        """,
         "label_centroids": """
             WITH x AS (
               SELECT label,

@@ -289,3 +289,95 @@ def heavy_hitters_by_group(
             F.round(F.col("n") / F.col("_n"), 6).alias("frac"),
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    max_basket_size: int | None = 1000,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pairwise market-basket association rules: for item pairs
+    co-occurring in at least ``min_support`` baskets, the support,
+    directional confidence P(b | a), and lift
+    ``P(a, b) / (P(a) * P(b))`` — the classic co-purchase /
+    co-occurrence miner (items = products, tags, tokens, hosts...).
+
+    Scale shape (the MinHash bucket convention): baskets collapse to
+    DISTINCT item arrays in one groupBy, i < j pairs explode INSIDE
+    each basket with array higher-order functions (never a self-join
+    of the item stream), and ``max_basket_size`` drops degenerate
+    baskets whose quadratic pair count would dominate (a basket with
+    10k items contributes 50M pairs — and no usable rule). Item
+    marginals ride a second map-combinable groupBy; the basket count
+    is a broadcast 1-row relation; final top-k by lift is a
+    TakeOrdered heap.
+
+    Emits each qualifying pair ONCE (item_a < item_b) with both
+    directional confidences. Returns (item_a, item_b, n_pair, n_a,
+    n_b, support, conf_a_to_b, conf_b_to_a, lift), rounded to 6.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    baskets = df.groupBy(basket_col).agg(
+        F.array_sort(F.array_distinct(F.collect_list(item_col))).alias(
+            "_items"
+        )
+    )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("_items") <= int(max_basket_size))
+    n = F.size("_items")
+    pair_structs = F.flatten(
+        F.transform(
+            "_items",
+            lambda x, i: F.transform(
+                F.slice("_items", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("_p")).select(
+        F.col("_p.item_a"), F.col("_p.item_b")
+    )
+    pair_counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    ).filter(F.col("n_pair") >= int(min_support))
+    item_counts = baskets.select(
+        F.explode("_items").alias("_it")
+    ).groupBy("_it").agg(F.count(F.lit(1)).alias("_ni"))
+    total = baskets.agg(F.count(F.lit(1)).alias("_nb"))
+    joined = (
+        pair_counts.join(
+            item_counts.select(
+                F.col("_it").alias("item_a"), F.col("_ni").alias("n_a")
+            ),
+            on="item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("_it").alias("item_b"), F.col("_ni").alias("n_b")
+            ),
+            on="item_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    out = joined.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("n_pair") / F.col("_nb"), 6).alias("support"),
+        F.round(F.col("n_pair") / F.col("n_a"), 6).alias("conf_a_to_b"),
+        F.round(F.col("n_pair") / F.col("n_b"), 6).alias("conf_b_to_a"),
+        F.round(
+            F.col("n_pair") * F.col("_nb")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(int(top_k))

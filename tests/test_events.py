@@ -714,3 +714,54 @@ class TestFunnelTiming:
         assert got[2].n_reached == 0
         assert got[2].rate_from_prev == 0.0
         assert got[2].p50_latency is None
+
+
+class TestAssociationRules:
+    def test_matches_brute_force(self, spark):
+        import collections
+        import itertools
+
+        rng = __import__("numpy").random.default_rng(47)
+        baskets = {
+            b: sorted(set(rng.choice(20, rng.integers(2, 7)).tolist()))
+            for b in range(120)
+        }
+        rows = [(b, int(i)) for b, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "basket bigint, item int")
+        from spark_bestfit_spark.operators.frequency import association_rules
+
+        got = {
+            (r.item_a, r.item_b): r
+            for r in association_rules(
+                df, "basket", "item", min_support=3, top_k=1000
+            ).collect()
+        }
+        pc = collections.Counter()
+        ic = collections.Counter()
+        for items in baskets.values():
+            ic.update(items)
+            pc.update(itertools.combinations(items, 2))
+        nb = len(baskets)
+        want = {p: c for p, c in pc.items() if c >= 3}
+        assert set(got) == set(want)
+        for (a, b), c in want.items():
+            r = got[(a, b)]
+            assert r.n_pair == c and r.n_a == ic[a] and r.n_b == ic[b]
+            assert r.support == round(c / nb, 6)
+            assert r.conf_a_to_b == round(c / ic[a], 6)
+            assert r.lift == round(c * nb / (ic[a] * ic[b]), 6)
+
+    def test_guards(self, spark):
+        from spark_bestfit_spark.operators.frequency import association_rules
+
+        rows = [(1, i) for i in range(50)] + [(2, 1), (2, 2), (3, 1), (3, 2)]
+        df = spark.createDataFrame(rows, "basket bigint, item int")
+        out = association_rules(
+            df, "basket", "item", min_support=2, max_basket_size=10
+        ).collect()
+        # the 50-item basket is dropped; (1, 2) co-occurs in baskets 2, 3
+        assert [(r.item_a, r.item_b, r.n_pair) for r in out] == [(1, 2, 2)]
+        import pytest
+
+        with pytest.raises(ValueError, match="min_support"):
+            association_rules(df, "basket", "item", min_support=0)
