@@ -430,6 +430,25 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_target_encode(spark, sf_dir):
+    """Smoothed target encoding of order priority against totalprice
+    (prior weight 25) — G-row category stats + 1-row prior, both
+    broadcast, map-side arithmetic. Output aggregated per category for
+    a compact deterministic relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.normalize import target_encode
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    enc = target_encode(
+        orders, "o_orderpriority", "o_totalprice", "smooth", 25
+    )
+    return enc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_orderpriority_enc").alias("enc"),
+    )
+
+
 def _q_association_rules(spark, sf_dir):
     """Top-50 part co-purchase rules by lift over orders-as-baskets
     (min support 3): in-basket HOF pair explode, guarded basket sizes,
@@ -3606,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "target_encode": _q_target_encode,
         "association_rules": _q_association_rules,
         "label_centroids": _q_label_centroids,
         "readability": _q_readability,
@@ -3774,6 +3794,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "target_encode": """
+            WITH base AS (
+              SELECT o_orderpriority AS c, o_totalprice AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ),
+            prior AS (SELECT avg(y) AS p FROM base),
+            stats AS (
+              SELECT c, sum(y) AS sy, count(*)::BIGINT AS n
+              FROM base GROUP BY c
+            )
+            SELECT c AS o_orderpriority, n,
+                   round((sy + p * 25) / (n + 25), 6) AS enc
+            FROM stats CROSS JOIN prior
+        """,
         "association_rules": """
             WITH b AS (
               SELECT l_orderkey, list_sort(list_distinct(

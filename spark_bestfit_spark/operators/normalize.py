@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 
 from .stats import valid_column
 
-__all__ = ["normalize_column", "winsorize", "quantile_rank", "quantile_normalize"]
+__all__ = ["normalize_column", "winsorize", "quantile_rank", "quantile_normalize", "target_encode"]
 
 _METHODS = ("zscore", "minmax", "robust")
 
@@ -305,4 +305,56 @@ def quantile_normalize(
         .withColumn(out, F.round(qlo + (qhi - qlo) * frac, 6))
         .withColumn("p_rank", F.round("p_rank", 6))
         .drop("_q")
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    method: str = "smooth",
+    prior_weight: float = 10.0,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Target (mean) encoding of a categorical column — the standard
+    high-cardinality categorical featurizer, with the two leakage
+    controls:
+
+    * ``smooth``: ``(sum_y + prior * m) / (n + m)`` — the category
+      mean shrunk toward the GLOBAL mean by ``prior_weight`` pseudo-
+      observations (rare categories get the prior, hot ones their own
+      mean);
+    * ``loo``: leave-one-out — ``(sum_y - y_i) / (n - 1)`` per row, so
+      a row never sees its own target (null for singleton categories —
+      the honest answer).
+
+    Execution: one map-combinable groupBy to the G-row category stats,
+    one 1-row global prior, both BROADCAST back — map-side arithmetic,
+    no window, no sort, one lazy plan. Null categories/targets are
+    excluded.
+
+    Appends ``output_col`` (default ``{cat_col}_enc``, rounded to 6).
+    """
+    if method not in ("smooth", "loo"):
+        raise ValueError("method must be 'smooth' or 'loo'")
+    out = output_col or f"{cat_col}_enc"
+    y = F.col(target_col)
+    clean = valid_column(df, target_col).filter(F.col(cat_col).isNotNull())
+    stats = clean.groupBy(F.col(cat_col).alias("_cat")).agg(
+        F.sum(y).alias("_sy"), F.count(F.lit(1)).alias("_ny")
+    )
+    prior = clean.agg(F.avg(y).alias("_prior"))
+    joined = clean.join(
+        F.broadcast(stats), F.col(cat_col) == F.col("_cat")
+    ).crossJoin(F.broadcast(prior))
+    if method == "smooth":
+        m = F.lit(float(prior_weight))
+        enc = (F.col("_sy") + F.col("_prior") * m) / (F.col("_ny") + m)
+    else:
+        enc = F.when(
+            F.col("_ny") > 1,
+            (F.col("_sy") - y) / (F.col("_ny") - 1),
+        )
+    return joined.withColumn(out, F.round(enc, 6)).drop(
+        "_cat", "_sy", "_ny", "_prior"
     )

@@ -318,3 +318,46 @@ class TestQuantileNormalize:
         df = spark.createDataFrame([("g", 1.0)], "g string, v double")
         with pytest.raises(ValueError, match="grid"):
             quantile_normalize(df, "v", "g", grid=1)
+
+
+class TestTargetEncode:
+    def test_smooth_and_loo_match_reference(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.normalize import target_encode
+
+        rng = np.random.default_rng(53)
+        cats = rng.choice(["a", "b", "c", "solo"], 300,
+                          p=[0.45, 0.35, 0.19, 0.01]).tolist()
+        ys = rng.normal(0, 1, 300).round(3).tolist()
+        df = spark.createDataFrame(
+            list(zip(cats, ys)), "c string, y double"
+        )
+        prior = float(np.mean(ys))
+        sums, ns = {}, {}
+        for c, y in zip(cats, ys):
+            sums[c] = sums.get(c, 0.0) + y
+            ns[c] = ns.get(c, 0) + 1
+        sm = {
+            r.c: r.c_enc
+            for r in target_encode(df, "c", "y", "smooth", 10).collect()
+        }
+        for c in set(cats):
+            want = round((sums[c] + prior * 10) / (ns[c] + 10), 6)
+            assert sm[c] == pytest.approx(want, abs=1e-6), c
+        loo = target_encode(df, "c", "y", "loo").collect()
+        for r in loo:
+            if ns[r.c] == 1:
+                assert r.c_enc is None
+            else:
+                want = round((sums[r.c] - r.y) / (ns[r.c] - 1), 6)
+                assert r.c_enc == pytest.approx(want, abs=1e-6)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.normalize import target_encode
+
+        df = spark.createDataFrame([("a", 1.0)], "c string, y double")
+        with _pt.raises(ValueError, match="method"):
+            target_encode(df, "c", "y", method="kfold")
