@@ -430,6 +430,30 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_seasonal_backtest(spark, sf_dir):
+    """Seasonal-naive vs lag-1 naive backtest per user: hourly value
+    buckets, period 24 (daily seasonality) — resample groupBy + both
+    lags + the collapse on one entity exchange."""
+    from spark_bestfit_spark.operators.events import (
+        seasonal_naive_backtest,
+    )
+
+    import pyspark.sql.functions as F
+
+    # integer cents + sum-resampling keep every bucket value EXACT, so
+    # the 6-decimal rounding of the error means is engine-portable
+    # (double bucket means can land on .5e-6 boundaries with 2-decimal
+    # source data)
+    events = _read(spark, sf_dir, "events").withColumn(
+        "value_cents",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    hour_ns = 3_600_000_000_000
+    return seasonal_naive_backtest(
+        events, "user_id", "ts", "value_cents", hour_ns, 24, agg="sum"
+    )
+
+
 def _q_target_encode(spark, sf_dir):
     """Smoothed target encoding of order priority against totalprice
     (prior weight 25) — G-row category stats + 1-row prior, both
@@ -3625,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "seasonal_backtest": _q_seasonal_backtest,
         "target_encode": _q_target_encode,
         "association_rules": _q_association_rules,
         "label_centroids": _q_label_centroids,
@@ -3794,6 +3819,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "seasonal_backtest": """
+            WITH series AS (
+              SELECT user_id, epoch_ns(ts) // 3600000000000 AS b,
+                     sum(round(value * 100)::BIGINT) AS v
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT user_id, v,
+                     lag(v, 24) OVER w AS f,
+                     lag(v, 1) OVER w AS f1
+              FROM series
+              WINDOW w AS (PARTITION BY user_id ORDER BY b)
+            ),
+            evals AS (SELECT * FROM lagged WHERE f IS NOT NULL),
+            agg AS (
+              SELECT user_id,
+                     count(*)::BIGINT AS n_evals,
+                     round(avg(abs(v - f)), 6) AS mae,
+                     round(avg(CASE WHEN v <> 0
+                               THEN abs(v - f) / abs(v) END), 6) AS mape,
+                     round(avg(v - f), 6) AS bias,
+                     round(avg(CASE WHEN f1 IS NOT NULL
+                               THEN abs(v - f1) END), 6) AS mae_naive1
+              FROM evals GROUP BY user_id
+            )
+            SELECT *,
+                   round(CASE WHEN mae_naive1 > 0
+                              THEN 1.0 - mae / mae_naive1 END, 6)
+                     AS skill
+            FROM agg
+        """,
         "target_encode": """
             WITH base AS (
               SELECT o_orderpriority AS c, o_totalprice AS y

@@ -34,6 +34,7 @@ __all__ = [
     "pivot_counts",
     "attribute_conversions",
     "funnel_timing",
+    "seasonal_naive_backtest",
 ]
 
 
@@ -617,3 +618,81 @@ def funnel_timing(
         ]
     )
     return one.select(F.explode(entries).alias("_e")).select("_e.*")
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_width: int,
+    period: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict this bucket
+    = the value one season ago) against the lag-1 naive baseline — the
+    sanity floor every real forecasting pipeline reports before
+    anything learned:
+
+    per entity: resample to ``bucket_width`` buckets (``agg`` = avg or
+    sum of ``value_col``), forecast ``v[t] := v[t - period]``, score
+    MAE / MAPE / bias over buckets where both exist, and the same MAE
+    for the lag-1 naive; ``skill = 1 - mae / mae_naive1`` (> 0 means
+    the seasonality is real).
+
+    One (entity, bucket) map-combinable groupBy, then both lags and
+    the per-entity collapse ride ONE entity-hash exchange. Gaps in the
+    bucket grid are NOT filled — the lag is by grid position after
+    resampling, the standard discrete-season convention; resample
+    first with gap filling if the series is sparse.
+
+    Returns (entity_col, n_evals, mae, mape, bias, mae_naive1, skill)
+    rounded to 6; entities with no evaluable bucket drop out.
+    """
+    if agg not in ("avg", "sum"):
+        raise ValueError("agg must be 'avg' or 'sum'")
+    if period < 1 or bucket_width < 1:
+        raise ValueError("period and bucket_width must be >= 1")
+    from pyspark.sql import Window as _W
+
+    fn = F.avg if agg == "avg" else F.sum
+    b = (F.col(ts_col) / F.lit(int(bucket_width))).cast("long")
+    series = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(entity_col), b.alias("_b"))
+        .agg(fn(value_col).alias("_v"))
+    )
+    w = _W.partitionBy(entity_col).orderBy("_b")
+    scored = (
+        series.withColumn("_f", F.lag("_v", int(period)).over(w))
+        .withColumn("_f1", F.lag("_v", 1).over(w))
+        .withColumn("_err", F.col("_v") - F.col("_f"))
+        .withColumn("_err1", F.col("_v") - F.col("_f1"))
+    )
+    evals = scored.filter(F.col("_f").isNotNull())
+    out = evals.groupBy(entity_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.round(F.avg(F.abs("_err")), 6).alias("mae"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("_v") != 0, F.abs("_err") / F.abs("_v")
+                )
+            ),
+            6,
+        ).alias("mape"),
+        F.round(F.avg("_err"), 6).alias("bias"),
+        F.round(
+            F.avg(F.when(F.col("_f1").isNotNull(), F.abs("_err1"))), 6
+        ).alias("mae_naive1"),
+    )
+    return out.withColumn(
+        "skill",
+        F.round(
+            F.when(
+                F.col("mae_naive1") > 0,
+                F.lit(1.0) - F.col("mae") / F.col("mae_naive1"),
+            ),
+            6,
+        ),
+    )

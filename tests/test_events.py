@@ -765,3 +765,72 @@ class TestAssociationRules:
 
         with pytest.raises(ValueError, match="min_support"):
             association_rules(df, "basket", "item", min_support=0)
+
+
+class TestSeasonalNaiveBacktest:
+    def test_perfectly_seasonal_series_scores_zero_mae(self, spark):
+        from spark_bestfit_spark.operators.events import (
+            seasonal_naive_backtest,
+        )
+
+        # period-3 exact repetition: seasonal MAE 0, naive-1 MAE > 0
+        vals = [10.0, 20.0, 30.0] * 4
+        rows = [("e", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "e string, ts long, v double")
+        r = seasonal_naive_backtest(df, "e", "ts", "v", 1, 3).first()
+        assert r.mae == 0.0 and r.n_evals == 9
+        # naive-1 errors repeat (|10-30|, |20-10|, |30-20|) = (20,10,10)
+        assert r.mae_naive1 == round(40 / 3, 6)
+        assert r.skill == 1.0
+
+    def test_matches_pandas_reference(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.events import (
+            seasonal_naive_backtest,
+        )
+
+        rng = np.random.default_rng(61)
+        rows = []
+        ref = {}
+        for e in ("a", "b"):
+            v = rng.normal(10, 3, 40).round(2)
+            # two raw points per bucket -> exercises the resample
+            for i, x in enumerate(v):
+                rows.append((e, i * 5, float(x)))
+                rows.append((e, i * 5 + 2, float(x) + 1.0))
+            s = pd.Series(v) + 0.5  # bucket mean
+            err = (s - s.shift(7)).dropna()
+            err1 = (s - s.shift(1)).dropna()
+            ref[e] = (
+                len(err),
+                round(float(err.abs().mean()), 6),
+                round(float(err.mean()), 6),
+                round(float(err1.abs()[err.index].mean()), 6),
+            )
+        df = spark.createDataFrame(rows, "e string, ts long, v double")
+        got = {
+            r.e: r
+            for r in seasonal_naive_backtest(
+                df, "e", "ts", "v", 5, 7
+            ).collect()
+        }
+        for e, (n, mae, bias, mae1) in ref.items():
+            assert got[e].n_evals == n
+            assert got[e].mae == pytest.approx(mae, abs=1e-6)
+            assert got[e].bias == pytest.approx(bias, abs=1e-6)
+            assert got[e].mae_naive1 == pytest.approx(mae1, abs=1e-6)
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.events import (
+            seasonal_naive_backtest,
+        )
+
+        df = spark.createDataFrame([("e", 0, 1.0)], "e string, ts long, v double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="agg"):
+            seasonal_naive_backtest(df, "e", "ts", "v", 1, 1, agg="max")
+        with _pt.raises(ValueError, match="period"):
+            seasonal_naive_backtest(df, "e", "ts", "v", 0, 1)
