@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_hash_features(spark, sf_dir):
+    """Hashing-trick featurization of documents into signed 32-bucket
+    vectors (portable md5 bucket + sign) — vocabulary-free, constant
+    dimensionality at any corpus size."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import hash_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return hash_features(docs, dim=32)
+
+
 def _q_seasonal_backtest(spark, sf_dir):
     """Seasonal-naive vs lag-1 naive backtest per user: hourly value
     buckets, period 24 (daily seasonality) — resample groupBy + both
@@ -3649,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "hash_features": _q_hash_features,
         "seasonal_backtest": _q_seasonal_backtest,
         "target_encode": _q_target_encode,
         "association_rules": _q_association_rules,
@@ -3819,6 +3834,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hash_features": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)),
+                                               '\\s+')) AS tok
+              FROM documents WHERE doc_id < 500
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(tok), 1, 14))::BIGINT % 32
+                      + 32) % 32 AS b,
+                     CASE WHEN ('0x' || substr(md5(tok), 15, 1))
+                               ::BIGINT % 2 = 1
+                          THEN 1.0 ELSE -1.0 END AS v
+              FROM toks
+            ),
+            per_bucket AS (
+              SELECT doc_id, b, sum(v)::DOUBLE AS s
+              FROM hashed GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT doc_id, map(list(b), list(s)) AS mp
+              FROM per_bucket GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   list_transform(range(0, 32),
+                     i -> coalesce(mp[i][1], 0.0::DOUBLE)) AS features
+            FROM m
+        """,
         "seasonal_backtest": """
             WITH series AS (
               SELECT user_id, epoch_ns(ts) // 3600000000000 AS b,

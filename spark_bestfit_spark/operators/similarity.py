@@ -981,3 +981,62 @@ def label_centroids(
         6,
     )
     return out.withColumn("norm", norm)
+
+
+def hash_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens hash into a fixed
+    ``dim``-bucket vector — the vocabulary-free featurizer that keeps
+    dimensionality constant at any corpus size (no fitted vocabulary
+    to broadcast, no OOV handling). ``signed=True`` adds the standard
+    +-1 sign hash so collisions cancel in expectation instead of
+    biasing counts upward (Weinberger et al., ICML'09).
+
+    Hashing is the engine's portable md5 scheme (SQL-replicable):
+    bucket from the first 56 md5 bits, sign from the next hex digit's
+    parity. Shape: explode -> (id, bucket) map-combinable groupBy ->
+    one id-keyed collapse reassembling the dense array; missing
+    buckets fill 0.0 via a dim-length map lookup, never a per-bucket
+    union.
+
+    Returns (id_col, features array<double>). Pick ``dim`` by
+    collision budget (~n_distinct_tokens / dim collisions per doc).
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("_tok"),
+    )
+    h = portable_hash64(F.col("_tok"))
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign_bit = F.conv(
+        F.substring(F.md5(F.col("_tok")), 15, 1), 16, 10
+    ).cast("int") % 2
+    val = (
+        (sign_bit * 2 - 1).cast("double") if signed else F.lit(1.0)
+    )
+    per_bucket = toks.select(
+        id_col, bucket.alias("_b"), val.alias("_v")
+    ).groupBy(id_col, "_b").agg(F.sum("_v").alias("_s"))
+    assembled = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_b", "_s"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at("_m", i.cast("int")), F.lit(0.0)
+        ),
+    )
+    return assembled.select(id_col, dense.alias("features"))

@@ -2194,3 +2194,46 @@ class TestLabelCentroids:
         rows = similarity.label_centroids(df).collect()
         assert len(rows) == 1 and rows[0].label == 1
         assert rows[0].centroid == [3.0, 4.0]
+
+
+class TestHashFeatures:
+    def test_matches_reference_hashing(self, spark):
+        import hashlib
+
+        def bucket_sign(tok, dim):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            b = int(h[:14], 16) % dim
+            s = 1 if int(h[14], 16) % 2 else -1
+            return b, s
+
+        docs = [
+            (1, "alpha beta alpha gamma"),
+            (2, "beta beta delta"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            r.doc_id: r.features
+            for r in similarity.hash_features(df, dim=16).collect()
+        }
+        for i, t in docs:
+            want = [0.0] * 16
+            for tok in t.lower().strip().split():
+                b, s = bucket_sign(tok, 16)
+                want[b] += s
+            # empty text tokenizes to [''], which still hashes
+            if t == "":
+                b, s = bucket_sign("", 16)
+                want[b] += s
+            assert got[i] == want, i
+
+    def test_unsigned_counts_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x x y")], "doc_id bigint, text string"
+        )
+        feats = similarity.hash_features(
+            df, dim=8, signed=False
+        ).first().features
+        assert sum(feats) == 3.0 and max(feats) >= 2.0
+        with pytest.raises(ValueError, match="dim"):
+            similarity.hash_features(df, dim=1)
