@@ -430,6 +430,22 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_ncm_confusion(spark, sf_dir):
+    """Nearest-class-mean confusion matrix over the embeddings table
+    (resubstitution): broadcast centroid argmax per vector, then one
+    (label, predicted) rollup with mean cosine."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import ncm_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ncm_classify(emb)
+    return out.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+    )
+
+
 def _q_hash_features(spark, sf_dir):
     """Hashing-trick featurization of documents into signed 32-bucket
     vectors (portable md5 bucket + sign) — vocabulary-free, constant
@@ -3663,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "ncm_confusion": _q_ncm_confusion,
         "hash_features": _q_hash_features,
         "seasonal_backtest": _q_seasonal_backtest,
         "target_encode": _q_target_encode,
@@ -3834,6 +3851,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ncm_confusion": """
+            WITH x AS (
+              SELECT label,
+                     unnest(range(1, len(embedding) + 1)) AS i,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings WHERE label IS NOT NULL
+            ),
+            a AS (
+              SELECT label, i, avg(v) AS m FROM x GROUP BY 1, 2
+            ),
+            cents AS (
+              SELECT label AS clabel,
+                     list(round(m, 6) ORDER BY i) AS cvec
+              FROM a GROUP BY label
+            ),
+            scored AS (
+              SELECT e.vec_id, e.label, c.clabel,
+                     round(list_cosine_similarity(
+                       list_transform(e.embedding, y -> y::DOUBLE),
+                       c.cvec), 6) AS cos
+              FROM embeddings e CROSS JOIN cents c
+              WHERE e.label IS NOT NULL
+            ),
+            best AS (
+              SELECT vec_id, label, clabel AS predicted, cos,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos DESC, clabel ASC) AS rn
+              FROM scored
+            )
+            SELECT label, predicted, count(*)::BIGINT AS n,
+                   round(avg(cos), 6) AS mean_cosine
+            FROM best WHERE rn = 1
+            GROUP BY label, predicted
+        """,
         "hash_features": """
             WITH toks AS (
               SELECT doc_id,

@@ -1040,3 +1040,57 @@ def hash_features(
         ),
     )
     return assembled.select(id_col, dense.alias("features"))
+
+
+def ncm_classify(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Nearest-class-mean classification over an embedding column: each
+    vector is assigned to the label whose centroid has the highest
+    cosine similarity — the strongest no-training baseline for labeled
+    embeddings and the standard probe for "are these embeddings any
+    good for this label set".
+
+    ``centroids`` defaults to :func:`label_centroids` of ``df`` itself
+    (resubstitution eval); pass held-out centroids for a proper split.
+    The centroid relation (k rows) is BROADCAST and every vector
+    scores all k prototypes map-side via JVM ``zip_with``/``aggregate``
+    dot products — one pass over the vectors, no shuffle beyond the
+    centroid build. Cosine is rounded to 6 BEFORE the argmax and ties
+    take the smallest label, so assignments are engine-portable.
+
+    Returns (id_col, label_col, predicted, cosine).
+    """
+    cents = centroids if centroids is not None else label_centroids(
+        df, vec_col, label_col
+    )
+    cent = F.broadcast(
+        cents.select(
+            F.col(label_col).alias("_clabel"),
+            F.col("centroid").alias("_cvec"),
+        )
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = F.round(
+        _dot(v, F.col("_cvec")) / (_norm(v) * _norm(F.col("_cvec"))),
+        6,
+    )
+    scored = (
+        df.select(id_col, label_col, vec_col)
+        .crossJoin(cent)
+        .withColumn("_cos", cos)
+    )
+    pick = F.max_by(
+        F.struct(
+            F.col("_clabel").alias("predicted"),
+            F.col("_cos").alias("cosine"),
+        ),
+        F.struct(F.col("_cos"), (-F.col("_clabel")).alias("_nl")),
+    )
+    return scored.groupBy(id_col, label_col).agg(pick.alias("_p")).select(
+        id_col, label_col, F.col("_p.predicted"), F.col("_p.cosine")
+    )

@@ -2237,3 +2237,56 @@ class TestHashFeatures:
         assert sum(feats) == 3.0 and max(feats) >= 2.0
         with pytest.raises(ValueError, match="dim"):
             similarity.hash_features(df, dim=1)
+
+
+class TestNcmClassify:
+    def test_matches_numpy_assignment(self, spark):
+        rng = np.random.default_rng(67)
+        # three well-separated clusters
+        centers = np.array([[5, 0, 0], [0, 5, 0], [0, 0, 5]], dtype=float)
+        labels = rng.integers(0, 3, 150)
+        vecs = centers[labels] + rng.normal(0, 0.5, (150, 3))
+        rows = [
+            (i, int(l), v.astype("float32").tolist())
+            for i, (l, v) in enumerate(zip(labels, vecs))
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<float>"
+        ).repartition(4)
+        out = similarity.ncm_classify(df).collect()
+        # resubstitution on separated clusters: near-perfect
+        acc = sum(r.predicted == r.label for r in out) / len(out)
+        assert acc > 0.98
+        # verify a handful against numpy centroids (rounded like the op)
+        cents = {}
+        f32 = vecs.astype("float32").astype("float64")
+        for lab in range(3):
+            cents[lab] = np.round(f32[labels == lab].mean(axis=0), 6)
+        byid = {r.vec_id: r for r in out}
+        for i in range(0, 150, 17):
+            v = f32[i]
+            sims = {
+                lab: round(
+                    float(
+                        v @ c / (np.linalg.norm(v) * np.linalg.norm(c))
+                    ),
+                    6,
+                )
+                for lab, c in cents.items()
+            }
+            best = max(sims.items(), key=lambda kv: (kv[1], -kv[0]))
+            assert byid[i].predicted == best[0], i
+            assert byid[i].cosine == pytest.approx(best[1], abs=2e-6)
+
+    def test_heldout_centroids_path(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, [1.0, 0.0]), (2, 1, [0.0, 1.0])],
+            "vec_id bigint, label int, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [0.9, 0.1]), (1, [0.1, 0.9])],
+            "label int, centroid array<double>",
+        )
+        out = {r.vec_id: r.predicted
+               for r in similarity.ncm_classify(df, centroids=cents).collect()}
+        assert out == {1: 0, 2: 1}
