@@ -430,6 +430,28 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: two deterministic order-table variants
+    (modulo-keyed removals/additions + mutated statuses) diffed in one
+    full outer join + one conditional-aggregate pass, null-safe."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 def _q_ncm_confusion(spark, sf_dir):
     """Nearest-class-mean confusion matrix over the embeddings table
     (resubstitution): broadcast centroid argmax per vector, then one
@@ -3679,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "snapshot_diff": _q_snapshot_diff,
         "ncm_confusion": _q_ncm_confusion,
         "hash_features": _q_hash_features,
         "seasonal_backtest": _q_seasonal_backtest,
@@ -3851,6 +3874,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey AS k, o_orderstatus AS s,
+                     o_totalprice AS v
+              FROM orders WHERE o_orderkey % 7 <> 0
+            ),
+            new AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS s,
+                     o_totalprice AS v
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ),
+            j AS (
+              SELECT old.k AS ko, new.k AS kn,
+                     old.s AS so, new.s AS sn,
+                     old.v AS vo, new.v AS vn
+              FROM old FULL OUTER JOIN new ON old.k = new.k
+            ),
+            agg AS (
+              SELECT
+                sum(CASE WHEN ko IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS added,
+                sum(CASE WHEN kn IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS removed,
+                sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                         AND (so IS DISTINCT FROM sn
+                              OR vo IS DISTINCT FROM vn)
+                         THEN 1 ELSE 0 END)::BIGINT AS changed,
+                sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                         AND so IS NOT DISTINCT FROM sn
+                         AND vo IS NOT DISTINCT FROM vn
+                         THEN 1 ELSE 0 END)::BIGINT AS unchanged,
+                sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                         AND so IS DISTINCT FROM sn
+                         THEN 1 ELSE 0 END)::BIGINT AS c_s,
+                sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                         AND vo IS DISTINCT FROM vn
+                         THEN 1 ELSE 0 END)::BIGINT AS c_v
+              FROM j
+            )
+            SELECT 'added' AS metric, added AS n FROM agg
+            UNION ALL SELECT 'removed', removed FROM agg
+            UNION ALL SELECT 'changed', changed FROM agg
+            UNION ALL SELECT 'unchanged', unchanged FROM agg
+            UNION ALL SELECT 'changed:o_orderstatus', c_s FROM agg
+            UNION ALL SELECT 'changed:o_totalprice', c_v FROM agg
+        """,
         "ncm_confusion": """
             WITH x AS (
               SELECT label,

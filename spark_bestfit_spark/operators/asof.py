@@ -28,6 +28,7 @@ __all__ = [
     "rolling_stats",
     "latest_by_key",
     "scd2_history",
+    "snapshot_diff",
 ]
 
 
@@ -531,3 +532,91 @@ def rolling_stats(
             ),
         )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: str | list[str],
+    compare_cols: list | None = None,
+) -> DataFrame:
+    """Reconciliation report between two snapshots of the same table:
+    how many keys were added, removed, changed, and unchanged — plus a
+    per-column changed-count breakdown — the audit a warehouse runs
+    after every load before swapping a snapshot live.
+
+    ONE full outer join on the key (each side pre-deduplicated is the
+    caller's contract — compose :func:`latest_by_key` upstream for
+    changelogs), then ONE conditional-aggregate pass; the per-column
+    breakdown rides the same pass and unpivots through a literal
+    struct explode, so the join subtree never re-executes. Null-safe
+    comparison (``<=>``): null -> value and value -> null both count
+    as changes, null -> null does not.
+
+    Returns one row per metric: (metric, n) with metrics
+    ``added | removed | changed | unchanged`` and
+    ``changed:<column>`` per compare column.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = compare_cols
+    if cols is None:
+        cols = [c for c in new.columns if c not in keys and c in old.columns]
+    o = old.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.lit(1).alias("_in_old"),
+    )
+    nw = new.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(nw, on=[f"_k{i}" for i in range(len(keys))], how="full")
+    col_changed = [
+        (
+            c,
+            F.col("_in_old").isNotNull()
+            & F.col("_in_new").isNotNull()
+            & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+        )
+        for c in cols
+    ]
+    any_changed = None
+    for _, cc in col_changed:
+        any_changed = cc if any_changed is None else (any_changed | cc)
+    if any_changed is None:
+        any_changed = F.lit(False)
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    agg = j.agg(
+        F.sum(
+            (F.col("_in_old").isNull()).cast("long")
+        ).alias("_added"),
+        F.sum(
+            (F.col("_in_new").isNull()).cast("long")
+        ).alias("_removed"),
+        F.sum(any_changed.cast("long")).alias("_changed"),
+        F.sum((both & ~any_changed).cast("long")).alias("_unchanged"),
+        *[
+            F.sum(cc.cast("long")).alias(f"_c_{c}")
+            for c, cc in col_changed
+        ],
+    )
+    entries = F.array(
+        F.struct(F.lit("added").alias("metric"), F.col("_added").alias("n")),
+        F.struct(F.lit("removed").alias("metric"), F.col("_removed").alias("n")),
+        F.struct(F.lit("changed").alias("metric"), F.col("_changed").alias("n")),
+        F.struct(
+            F.lit("unchanged").alias("metric"), F.col("_unchanged").alias("n")
+        ),
+        *[
+            F.struct(
+                F.lit(f"changed:{c}").alias("metric"),
+                F.col(f"_c_{c}").alias("n"),
+            )
+            for c in cols
+        ],
+    )
+    return agg.select(F.explode(entries).alias("_e")).select(
+        F.col("_e.metric").alias("metric"),
+        F.coalesce(F.col("_e.n"), F.lit(0)).cast("long").alias("n"),
+    )

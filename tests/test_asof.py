@@ -600,3 +600,44 @@ class TestRollingStats:
         # entity-hash window, never SinglePartition
         assert "SinglePartition" not in plan
         assert "hashpartitioning(u" in plan
+
+
+class TestSnapshotDiff:
+    def test_hand_computed_diff(self, spark):
+        from spark_bestfit_spark.operators.asof import snapshot_diff
+
+        old = spark.createDataFrame(
+            [
+                (1, "a", 10.0), (2, "b", 20.0), (3, "c", None),
+                (4, "d", 40.0),
+            ],
+            "k int, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "a", 10.0),        # unchanged
+                (2, "B", 20.0),        # s changed
+                (3, "c", 30.0),        # v null -> value = changed
+                (5, "e", 50.0),        # added
+            ],
+            "k int, s string, v double",
+        )
+        got = {
+            r.metric: r.n
+            for r in snapshot_diff(old, new, "k").collect()
+        }
+        assert got == {
+            "added": 1, "removed": 1, "changed": 2, "unchanged": 1,
+            "changed:s": 1, "changed:v": 1,
+        }
+
+    def test_single_join_plan(self, spark):
+        from spark_bestfit_spark.operators.asof import snapshot_diff
+
+        df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+        plan = (
+            snapshot_diff(df, df, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Join") <= 2, plan  # one join (+ AQE shells)
+        assert plan.count("Scan") == 2, plan  # each snapshot once
