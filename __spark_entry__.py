@@ -430,6 +430,16 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_benford(spark, sf_dir):
+    """Benford first-digit audit of extendedprice per returnflag —
+    9-row digit groupBy per group, chi2 + digit-MAD + leading-1 share
+    in one tiny second aggregation."""
+    from spark_bestfit_spark.operators.stats import benford_test
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_test(li, "l_extendedprice", "l_returnflag")
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """Snapshot reconciliation: two deterministic order-table variants
     (modulo-keyed removals/additions + mutated statuses) diffed in one
@@ -3701,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "benford": _q_benford,
         "snapshot_diff": _q_snapshot_diff,
         "ncm_confusion": _q_ncm_confusion,
         "hash_features": _q_hash_features,
@@ -3874,6 +3885,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "benford": """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     printf('%.6e', abs(l_extendedprice))[1]::INT AS d
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND abs(l_extendedprice) > 0
+            ),
+            counts AS (
+              SELECT g, d, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT g, d, c,
+                     sum(c) OVER (PARTITION BY g) AS n,
+                     log10(1 + 1.0 / d) AS pf
+              FROM counts
+            )
+            SELECT g AS l_returnflag,
+                   max(n)::BIGINT AS n,
+                   round(sum(pow(c - pf * n, 2) / (pf * n)), 6) AS chi2,
+                   round(max(abs(c / n::DOUBLE - pf)), 6) AS max_dev,
+                   round(coalesce(sum(CASE WHEN d = 1 THEN c END), 0)
+                         / max(n)::DOUBLE, 6) AS p1
+            FROM scored GROUP BY g
+        """,
         "snapshot_diff": """
             WITH old AS (
               SELECT o_orderkey AS k, o_orderstatus AS s,

@@ -2069,3 +2069,67 @@ def quality_checks(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def benford_test(
+    df: DataFrame,
+    column: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic audit screen for fabricated, synthetic, or truncated
+    numeric data (real multiplicative-process data follows
+    ``P(d) = log10(1 + 1/d)``; invented numbers rarely do).
+
+    The first significant digit is taken portably as the first
+    character of the scientific-notation mantissa of |x| (zero and
+    non-finite values excluded). One digit-keyed map-combinable
+    groupBy (9-row result per group), then the chi-squared statistic
+    and max absolute deviation (the "digit MAD" screen) fold in a
+    second tiny aggregation.
+
+    Returns one row per group: (group?, n, chi2, max_dev, p1) where
+    ``p1`` is the observed share of leading 1s (Benford: 0.30103);
+    chi2 ~ chi-squared with 8 dof under conformity.
+    """
+    import math as _m
+
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    x = F.abs(F.col(column))
+    base = valid_column(df.select(*keys, column), column).filter(x > 0)
+    digit = F.substring(F.format_string("%.6e", x), 1, 1).cast("int")
+    counts = base.groupBy(*keys, digit.alias("_d")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    probs = {d: _m.log10(1 + 1 / d) for d in range(1, 10)}
+    exp_frac = F.element_at(
+        F.array(*[F.lit(probs[d]) for d in range(1, 10)]), F.col("_d")
+    )
+    w_all = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    )
+    scored = counts.withColumn("_n", F.sum("_c").over(w_all)).withColumn(
+        "_exp", exp_frac * F.col("_n")
+    )
+    out = scored.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.round(
+            F.sum(
+                F.pow(F.col("_c") - F.col("_exp"), 2) / F.col("_exp")
+            ),
+            6,
+        ).alias("chi2"),
+        F.round(
+            F.max(F.abs(F.col("_c") / F.col("_n") - exp_frac)), 6
+        ).alias("max_dev"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("_d") == 1, F.col("_c"))), F.lit(0)
+            )
+            / F.max("_n"),
+            6,
+        ).alias("p1"),
+    )
+    return out

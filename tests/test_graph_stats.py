@@ -788,3 +788,35 @@ class TestQualityChecks:
             quality_checks(df, [])
         with pytest.raises(ValueError, match="unknown"):
             quality_checks(df, [{"type": "nope", "column": "v"}])
+
+
+class TestBenford:
+    def test_benford_data_conforms_and_uniform_fails(self, spark):
+        from spark_bestfit_spark.operators.stats import benford_test
+
+        rng = np.random.default_rng(71)
+        # log-uniform over several decades: exactly Benford
+        benford = np.exp(rng.uniform(np.log(1e-2), np.log(1e5), 20000))
+        # uniform [1, 2): every leading digit is 1
+        uniform = rng.uniform(1.0, 2.0, 5000)
+        rows = [("b", float(v)) for v in benford] + [
+            ("u", float(v)) for v in uniform
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r.g: r for r in benford_test(df, "v", "g").collect()}
+        assert got["b"].chi2 < 30  # conforming (8 dof, 5% crit ~15.5)
+        assert got["u"].p1 == 1.0 and got["u"].chi2 > 1000
+        assert got["b"].p1 == pytest.approx(0.30103, abs=0.02)
+
+    def test_digit_extraction_and_exclusions(self, spark):
+        from spark_bestfit_spark.operators.stats import benford_test
+
+        rows = [
+            (123.0,), (-0.00456,), (9.99,), (0.0,), (None,),
+            (float("inf"),),
+        ]
+        df = spark.createDataFrame(rows, "v double")
+        r = benford_test(df, "v").first()
+        # digits: 1 (123), 4 (0.00456), 9 (9.99); zero/null/inf excluded
+        assert r.n == 3
+        assert r.p1 == pytest.approx(round(1 / 3, 6))
