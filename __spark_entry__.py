@@ -430,6 +430,43 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_streaming_golden_record(spark, sf_dir):
+    """Survivorship as a STREAMING aggregation: the same per-attribute
+    conditional max_by runs in complete mode across 4 micro-batches —
+    keyed state carries each attribute's best (ts, tiebreak) so the
+    final emission equals the batch golden record exactly
+    (batching-invariant by the aggregate's algebra)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    stream = _read_stream(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    aggs = [
+        F.max_by(
+            F.col("value"),
+            F.when(
+                (F.col("event_type") == F.lit(a))
+                & F.col("value").isNotNull(),
+                order,
+            ),
+        ).alias(a)
+        for a in ("click", "view", "purchase", "error", "signup")
+    ]
+    agg = stream.groupBy("user_id").agg(
+        *aggs,
+        F.max("ts").alias("last_updated"),
+        F.count(F.lit(1)).alias("n_versions"),
+    ).select(
+        "user_id",
+        *[F.round(c, 6).alias(c)
+          for c in ("click", "view", "purchase", "error", "signup")],
+        "last_updated",
+        "n_versions",
+    )
+    return run_stream_once(agg, output_mode="complete", state_partitions=8)
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-digit audit of extendedprice per returnflag —
     9-row digit groupBy per group, chi2 + digit-MAD + leading-1 share
@@ -3711,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "streaming_golden_record": _q_streaming_golden_record,
         "benford": _q_benford,
         "snapshot_diff": _q_snapshot_diff,
         "ncm_confusion": _q_ncm_confusion,
@@ -3885,6 +3923,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_golden_record": """
+            SELECT user_id,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'click' AND value IS NOT NULL
+                   ), 6) AS click,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'view' AND value IS NOT NULL
+                   ), 6) AS view,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'purchase' AND value IS NOT NULL
+                   ), 6) AS purchase,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'error' AND value IS NOT NULL
+                   ), 6) AS error,
+                   round(arg_max(value, ts) FILTER (
+                     WHERE event_type = 'signup' AND value IS NOT NULL
+                   ), 6) AS signup,
+                   epoch_ns(max(ts)) AS last_updated,
+                   count(*) AS n_versions
+            FROM events
+            GROUP BY user_id
+        """,
         "benford": """
             WITH base AS (
               SELECT l_returnflag AS g,
