@@ -509,9 +509,13 @@ def _q_ncm_confusion(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = ncm_classify(emb)
+    # SUM of the 6-decimal cosines, not their mean: a mean of k
+    # quantized values lands exactly on rounding boundaries (1e-6/k
+    # grid), where cross-engine summation-order jitter flips the 6th
+    # decimal; the sum stays on the 1e-6 grid with 5e-7 of slack
     return out.groupBy("label", "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+        F.round(F.sum("cosine"), 6).alias("sum_cosine"),
     )
 
 
@@ -4050,7 +4054,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT label, predicted, count(*)::BIGINT AS n,
-                   round(avg(cos), 6) AS mean_cosine
+                   round(sum(cos), 6) AS sum_cosine
             FROM best WHERE rn = 1
             GROUP BY label, predicted
         """,
