@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_conformal(spark, sf_dir):
+    """Split-conformal interval for a linear price predictor
+    (yhat = 1000 * quantity): exact k-th order statistic of the
+    absolute residuals on the prefix-sum spine, alpha = 0.1."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import conformal_interval
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "yhat", F.col("l_quantity") * 1000.0
+    )
+    return conformal_interval(li, "l_extendedprice", "yhat", alpha=0.1)
+
+
 def _q_streaming_golden_record(spark, sf_dir):
     """Survivorship as a STREAMING aggregation: the same per-attribute
     conditional max_by runs in complete mode across 4 micro-batches —
@@ -3752,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "conformal": _q_conformal,
         "streaming_golden_record": _q_streaming_golden_record,
         "benford": _q_benford,
         "snapshot_diff": _q_snapshot_diff,
@@ -3927,6 +3942,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conformal": """
+            WITH res AS (
+              SELECT abs(l_extendedprice - l_quantity * 1000.0) AS r
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ),
+            nn AS (SELECT count(*)::BIGINT AS c FROM res),
+            kk AS (
+              SELECT least(ceil((c + 1) * 0.9)::BIGINT, c) AS k, c
+              FROM nn
+            ),
+            q AS (
+              SELECT r AS qhat FROM res ORDER BY r
+              LIMIT 1 OFFSET (SELECT k - 1 FROM kk)
+            )
+            SELECT kk.c AS n, kk.k AS k,
+                   round(q.qhat, 6) AS qhat,
+                   round((SELECT count(*) FROM res
+                          WHERE r <= q.qhat) / kk.c::DOUBLE, 6)
+                     AS coverage
+            FROM kk CROSS JOIN q
+        """,
         "streaming_golden_record": """
             SELECT user_id,
                    round(arg_max(value, ts) FILTER (

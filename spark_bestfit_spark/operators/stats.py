@@ -2133,3 +2133,90 @@ def benford_test(
         ).alias("p1"),
     )
     return out
+
+
+def conformal_interval(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval from a calibration set of
+    (actual, predicted) pairs: the half-width is the k-th smallest
+    absolute residual with ``k = ceil((n + 1) * (1 - alpha))`` —
+    the EXACT order statistic (conformal validity requires it; an
+    interpolated percentile under-covers), giving marginal coverage
+    >= 1 - alpha on exchangeable data. ``yhat +- qhat`` downstream.
+
+    The order statistic is computed on the engine's partitioned
+    prefix-sum spine — per-residual counts, equi-width bucket totals
+    folded into driver-side offsets, and the winning value picked
+    inside ONE bucket-hash window: no global sort, no TakeOrdered of
+    0.9n rows to the driver.
+
+    Returns one row: (n, k, qhat, coverage) — ``coverage`` is the
+    resubstitution fraction |residual| <= qhat (>= 1 - alpha by
+    construction; a sanity pin, not the guarantee itself).
+    """
+    import math as _m
+
+    from pyspark.sql import Window as _W
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    res = F.abs(F.col(y_col) - F.col(yhat_col))
+    base = (
+        df.select(res.alias("_r"))
+        .filter(F.col("_r").isNotNull() & ~F.isnan("_r"))
+    )
+    spark = df.sparkSession
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_r").alias("lo"),
+        F.max("_r").alias("hi"),
+    ).first()
+    n = int(stats["n"] or 0)
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n long, k long, qhat double, coverage double",
+        )
+    k = min(int(_m.ceil((n + 1) * (1 - alpha))), n)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        return spark.createDataFrame(
+            [(n, k, round(lo, 6), 1.0)],
+            "n long, k long, qhat double, coverage double",
+        )
+    num_buckets = 1024
+    bk = F.width_bucket(F.col("_r"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+    btot = base.groupBy(bk.alias("bk")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    acc = 0
+    offs = []
+    for r in sorted(btot, key=lambda r: r["bk"]):
+        offs.append((int(r["bk"]), acc))
+        acc += int(r["c"])
+    off = spark.createDataFrame(offs, "bk long, off long")
+    g = base.groupBy("_r").agg(F.count(F.lit(1)).alias("dc")).withColumn(
+        "bk", bk
+    )
+    w = (
+        _W.partitionBy("bk").orderBy("_r")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    picked = (
+        g.join(F.broadcast(off), "bk")
+        .withColumn("_cum", F.col("off") + F.sum("dc").over(w))
+        .filter(F.col("_cum") >= k)
+        .agg(F.min("_r").alias("qhat"))
+    ).first()
+    qhat = float(picked["qhat"])
+    cov = base.agg(
+        (F.sum((F.col("_r") <= qhat).cast("long")) / F.lit(float(n))).alias("c")
+    ).first()["c"]
+    return spark.createDataFrame(
+        [(n, k, round(qhat, 6), round(float(cov), 6))],
+        "n long, k long, qhat double, coverage double",
+    )

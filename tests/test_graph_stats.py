@@ -820,3 +820,40 @@ class TestBenford:
         # digits: 1 (123), 4 (0.00456), 9 (9.99); zero/null/inf excluded
         assert r.n == 3
         assert r.p1 == pytest.approx(round(1 / 3, 6))
+
+
+class TestConformalInterval:
+    def test_exact_order_statistic(self, spark):
+        from spark_bestfit_spark.operators.stats import conformal_interval
+
+        rng = np.random.default_rng(73)
+        y = rng.normal(0, 1, 997)
+        yhat = y + rng.normal(0, 0.5, 997)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(y, yhat)],
+            "y double, yhat double",
+        ).repartition(8)
+        r = conformal_interval(df, "y", "yhat", alpha=0.1).first()
+        res = np.sort(np.abs(y - yhat))
+        k = int(np.ceil((997 + 1) * 0.9))
+        assert r.n == 997 and r.k == k
+        assert r.qhat == round(float(res[k - 1]), 6)
+        assert r.coverage >= 0.9
+        assert r.coverage == round(float((res <= res[k - 1]).mean()), 6)
+
+    def test_ties_and_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import conformal_interval
+
+        # heavy ties: residuals all in {0, 1}
+        rows = [(0.0, 0.0)] * 7 + [(1.0, 0.0)] * 3
+        df = spark.createDataFrame(rows, "y double, yhat double")
+        r = conformal_interval(df, "y", "yhat", alpha=0.2).first()
+        # k = ceil(11 * 0.8) = 9 -> 9th smallest residual = 1.0
+        assert r.k == 9 and r.qhat == 1.0 and r.coverage == 1.0
+        flat = spark.createDataFrame([(1.0, 1.0)] * 5, "y double, yhat double")
+        r2 = conformal_interval(flat, "y", "yhat").first()
+        assert r2.qhat == 0.0 and r2.coverage == 1.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="alpha"):
+            conformal_interval(df, "y", "yhat", alpha=0.0)
