@@ -430,6 +430,39 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_apply_cdc(spark, sf_dir):
+    """CDC MERGE: a synthesized two-version changelog (updates at ts 1,
+    deletes at ts 2 for every 6th key) applied to the orders snapshot —
+    changelog compacted BEFORE touching the big side, snapshot
+    anti-joined on the compacted keys."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import apply_cdc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = orders.filter(F.col("o_orderkey") % 4 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U2").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 1, 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("ts"),
+        F.col("o_orderkey").alias("id"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("ts"),
+        F.col("o_orderkey").alias("id"),
+    )
+    changes = upd.unionByName(dels)
+    return apply_cdc(snap, changes, "o_orderkey", tiebreak_col="id")
+
+
 def _q_conformal(spark, sf_dir):
     """Split-conformal interval for a linear price predictor
     (yhat = 1000 * quantity): exact k-th order statistic of the
@@ -3766,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "apply_cdc": _q_apply_cdc,
         "conformal": _q_conformal,
         "streaming_golden_record": _q_streaming_golden_record,
         "benford": _q_benford,
@@ -3942,6 +3976,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "apply_cdc": """
+            WITH snap AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 0
+            ),
+            changed AS (
+              SELECT DISTINCT o_orderkey FROM orders
+              WHERE o_orderkey % 3 = 0
+            ),
+            untouched AS (
+              SELECT s.* FROM snap s
+              LEFT JOIN changed c USING (o_orderkey)
+              WHERE c.o_orderkey IS NULL
+            ),
+            upserts AS (
+              -- latest change per key: deletes (ts 2) beat updates
+              -- (ts 1) for %6 keys; the rest keep the update
+              SELECT o_orderkey, 'U2' AS o_orderstatus,
+                     round(o_totalprice + 1, 2) AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+            )
+            SELECT * FROM untouched
+            UNION ALL SELECT * FROM upserts
+        """,
         "conformal": """
             WITH res AS (
               SELECT abs(l_extendedprice - l_quantity * 1000.0) AS r

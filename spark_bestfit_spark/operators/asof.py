@@ -29,6 +29,7 @@ __all__ = [
     "latest_by_key",
     "scd2_history",
     "snapshot_diff",
+    "apply_cdc",
 ]
 
 
@@ -620,3 +621,40 @@ def snapshot_diff(
         F.col("_e.metric").alias("metric"),
         F.coalesce(F.col("_e.n"), F.lit(0)).cast("long").alias("n"),
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    op_col: str = "op",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the MERGE every warehouse
+    load runs: for each key, the LATEST change wins (``ts``, then
+    tiebreak); a latest ``delete_op`` drops the key, any other op
+    upserts the change row's columns; untouched snapshot keys pass
+    through.
+
+    Plan: the changelog compacts to one row per key via
+    :func:`latest_by_key` (map-side pre-reduce, no window sort), the
+    snapshot anti-joins the COMPACTED key set (broadcast when small —
+    AQE decides), and surviving upserts union in. The snapshot is
+    never shuffled on anything but the join key, and the changelog is
+    reduced BEFORE it touches the big side — the right shape when the
+    snapshot is 1000x the day's changes.
+
+    Returns the new snapshot with the snapshot's columns (the
+    changelog must carry the same data columns plus ``op_col``).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    data_cols = [c for c in snapshot.columns if c not in keys]
+    latest = latest_by_key(changes, keys, ts_col, tiebreak_col)
+    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
+        *keys, *data_cols
+    )
+    changed_keys = latest.select(*keys)
+    untouched = snapshot.join(changed_keys, on=keys, how="left_anti")
+    return untouched.select(*keys, *data_cols).unionByName(upserts)

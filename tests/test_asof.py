@@ -641,3 +641,47 @@ class TestSnapshotDiff:
         )
         assert plan.count("Join") <= 2, plan  # one join (+ AQE shells)
         assert plan.count("Scan") == 2, plan  # each snapshot once
+
+
+class TestApplyCdc:
+    def test_upserts_deletes_and_latest_wins(self, spark):
+        from spark_bestfit_spark.operators.asof import apply_cdc
+
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        )
+        changes = spark.createDataFrame(
+            [
+                # k=2: update then DELETE (delete is latest -> dropped)
+                (2, "b2", 21.0, "U", 5, 1),
+                (2, "b2", 21.0, "D", 9, 2),
+                # k=3: delete then re-insert (insert latest -> kept new)
+                (3, "c", 30.0, "D", 4, 3),
+                (3, "c3", 33.0, "I", 8, 4),
+                # k=4: brand-new insert
+                (4, "d", 40.0, "I", 2, 5),
+                # k=1 untouched
+            ],
+            "k int, s string, v double, op string, ts long, id long",
+        )
+        got = {
+            r.k: (r.s, r.v)
+            for r in apply_cdc(
+                snap, changes, "k", tiebreak_col="id"
+            ).collect()
+        }
+        assert got == {
+            1: ("a", 10.0), 3: ("c3", 33.0), 4: ("d", 40.0)
+        }
+
+    def test_same_ts_tiebreak(self, spark):
+        from spark_bestfit_spark.operators.asof import apply_cdc
+
+        snap = spark.createDataFrame([(1, 0.0)], "k int, v double")
+        changes = spark.createDataFrame(
+            [(1, 1.0, "U", 5, 1), (1, 2.0, "U", 5, 2)],
+            "k int, v double, op string, ts long, id long",
+        )
+        got = apply_cdc(snap, changes, "k", tiebreak_col="id").collect()
+        assert [(r.k, r.v) for r in got] == [(1, 2.0)]
