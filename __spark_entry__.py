@@ -430,6 +430,37 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_lead_lag(spark, sf_dir):
+    """Lead-lag cross-correlation between hourly click and purchase
+    value totals (+-6 hours) — which metric moves first; computed over
+    the bounded resampled series."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import lagged_crosscorr
+
+    events = _read(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    series = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy((F.col("ts") / hour_ns).cast("long").alias("h"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    return lagged_crosscorr(series, "h", "x", "y", max_lag=6)
+
+
 def _q_apply_cdc(spark, sf_dir):
     """CDC MERGE: a synthesized two-version changelog (updates at ts 1,
     deletes at ts 2 for every 6th key) applied to the orders snapshot —
@@ -3799,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "lead_lag": _q_lead_lag,
         "apply_cdc": _q_apply_cdc,
         "conformal": _q_conformal,
         "streaming_golden_record": _q_streaming_golden_record,
@@ -3976,6 +4008,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lead_lag": """
+            WITH series AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS h,
+                     sum(CASE WHEN event_type = 'click'
+                              THEN round(value * 100)::BIGINT
+                              ELSE 0 END) AS x,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN round(value * 100)::BIGINT
+                              ELSE 0 END) AS y
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1
+            ),
+            shifted AS (
+              SELECT h, x, y,
+                     lead(y, 1) OVER w AS yl1, lead(y, 2) OVER w AS yl2,
+                     lead(y, 3) OVER w AS yl3, lead(y, 4) OVER w AS yl4,
+                     lead(y, 5) OVER w AS yl5, lead(y, 6) OVER w AS yl6,
+                     lead(x, 1) OVER w AS xl1, lead(x, 2) OVER w AS xl2,
+                     lead(x, 3) OVER w AS xl3, lead(x, 4) OVER w AS xl4,
+                     lead(x, 5) OVER w AS xl5, lead(x, 6) OVER w AS xl6
+              FROM series WINDOW w AS (ORDER BY h)
+            ),
+            pairs AS (
+              SELECT 0 AS lag, x::DOUBLE AS a, y::DOUBLE AS b
+              FROM shifted
+              UNION ALL SELECT 1, x, yl1 FROM shifted
+              UNION ALL SELECT 2, x, yl2 FROM shifted
+              UNION ALL SELECT 3, x, yl3 FROM shifted
+              UNION ALL SELECT 4, x, yl4 FROM shifted
+              UNION ALL SELECT 5, x, yl5 FROM shifted
+              UNION ALL SELECT 6, x, yl6 FROM shifted
+              UNION ALL SELECT -1, xl1, y FROM shifted
+              UNION ALL SELECT -2, xl2, y FROM shifted
+              UNION ALL SELECT -3, xl3, y FROM shifted
+              UNION ALL SELECT -4, xl4, y FROM shifted
+              UNION ALL SELECT -5, xl5, y FROM shifted
+              UNION ALL SELECT -6, xl6, y FROM shifted
+            )
+            SELECT lag, count(*)::BIGINT AS n_pairs,
+                   round(corr(a, b), 6) AS xcorr
+            FROM pairs WHERE a IS NOT NULL AND b IS NOT NULL
+            GROUP BY lag
+        """,
         "apply_cdc": """
             WITH snap AS (
               SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -2220,3 +2220,74 @@ def conformal_interval(
         [(n, k, round(qhat, 6), round(float(cov), 6))],
         "n long, k long, qhat double, coverage double",
     )
+
+
+def lagged_crosscorr(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 6,
+    entity_col: str | None = None,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two aligned series: Pearson
+    ``corr(x_t, y_{t+k})`` for ``k = -max_lag .. +max_lag`` over the
+    overlapping pairs — positive peak lag means x LEADS y by k steps
+    (the "which metric moves first" detector).
+
+    Input is a resampled series (one row per ``order_col`` step — use
+    ``resample_events`` upstream), so the window relation is bounded
+    by the time range, not the raw event count; with ``entity_col``
+    every window partitions per entity, without it the series is a
+    single bounded partition by construction. One window pass builds
+    all 2K+1 shifted columns, one explode, one (entity, lag) groupBy.
+
+    Returns (entity?, lag, n_pairs, xcorr) rounded to 6 (null when
+    fewer than 2 pairs or zero variance).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    from pyspark.sql import Window as _W
+
+    keys = [entity_col] if entity_col else []
+    w = (
+        _W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1))
+    ).orderBy(F.col(order_col))
+    cur = df.select(*keys, order_col, x_col, y_col)
+    for k in range(1, max_lag + 1):
+        cur = cur.withColumn(f"_yl{k}", F.lead(y_col, k).over(w))
+        cur = cur.withColumn(f"_xl{k}", F.lead(x_col, k).over(w))
+    entries = [
+        F.struct(
+            F.lit(0).alias("lag"),
+            F.col(x_col).cast("double").alias("a"),
+            F.col(y_col).cast("double").alias("b"),
+        )
+    ]
+    for k in range(1, max_lag + 1):
+        entries.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(x_col).cast("double").alias("a"),
+                F.col(f"_yl{k}").cast("double").alias("b"),
+            )
+        )
+        entries.append(
+            F.struct(
+                F.lit(-k).alias("lag"),
+                F.col(f"_xl{k}").cast("double").alias("a"),
+                F.col(y_col).cast("double").alias("b"),
+            )
+        )
+    pairs = cur.select(
+        *keys, F.explode(F.array(*entries)).alias("_p")
+    ).select(
+        *keys,
+        F.col("_p.lag").alias("lag"),
+        F.col("_p.a").alias("a"),
+        F.col("_p.b").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    return pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("a", "b"), 6).alias("xcorr"),
+    )

@@ -857,3 +857,45 @@ class TestConformalInterval:
 
         with _pt.raises(ValueError, match="alpha"):
             conformal_interval(df, "y", "yhat", alpha=0.0)
+
+
+class TestLaggedCrosscorr:
+    def test_detects_known_lead(self, spark):
+        from spark_bestfit_spark.operators.stats import lagged_crosscorr
+
+        rng = np.random.default_rng(79)
+        x = rng.normal(0, 1, 300)
+        y = np.roll(x, 3) + rng.normal(0, 0.1, 300)  # y lags x by 3
+        rows = [
+            (i, float(a), float(b))
+            for i, (a, b) in enumerate(zip(x, y))
+        ]
+        df = spark.createDataFrame(rows, "t long, x double, y double")
+        got = {
+            r.lag: r.xcorr
+            for r in lagged_crosscorr(df, "t", "x", "y", 5).collect()
+        }
+        assert max(got, key=lambda k: got[k]) == 3
+        assert got[3] > 0.95 and abs(got[0]) < 0.3
+        # reference check vs numpy at the peak (ignoring roll wrap)
+        want = np.corrcoef(x[: 300 - 3], y[3:])[0, 1]
+        assert got[3] == pytest.approx(round(float(want), 6), abs=1e-6)
+
+    def test_pair_counts_and_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import lagged_crosscorr
+
+        rows = [("e", i, float(i), float(i * 2)) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, t long, x double, y double")
+        got = {
+            r.lag: r
+            for r in lagged_crosscorr(
+                df, "t", "x", "y", 2, entity_col="g"
+            ).collect()
+        }
+        assert got[0].n_pairs == 10 and got[2].n_pairs == 8
+        assert got[-2].n_pairs == 8
+        assert got[0].xcorr == 1.0  # perfectly linear
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="max_lag"):
+            lagged_crosscorr(df, "t", "x", "y", 0)
