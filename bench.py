@@ -382,6 +382,26 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # lossless PPJoin set-similarity join: the second wave's
+    # quadratic-risk operator — prefix-filter candidates over two
+    # corpus slices, exact verify
+    from spark_bestfit_spark.operators.linkage import (
+        set_similarity_join,
+    )
+
+    bench(
+        "q_set_similarity",
+        lambda: set_similarity_join(
+            docs.filter("doc_id % 10 != 0").selectExpr(
+                "doc_id AS id_l", "text AS ta"
+            ),
+            docs.filter("doc_id % 10 = 0").selectExpr(
+                "doc_id AS id_r", "text AS tb"
+            ),
+            "ta", "tb", "id_l", "id_r", 0.95,
+        ).count(),
+        rounds=2,
+    )
     bench(
         "q_text_quality",
         lambda: with_quality_score(docs)
@@ -687,6 +707,12 @@ def main() -> None:
             ).count(),
             rounds=1,
         )
+        # NOTE: no q_set_similarity_sf1 — unigram token-set Jaccard on
+        # this shared-vocabulary corpus is OUTPUT-quadratic (true pairs
+        # scale ~n^2 by construction), so a 10x line measures result
+        # size, not plan drift; the selective shingle-set dedup tier
+        # carries the sf1 scale evidence (q_minhash_sf1,
+        # q_tfidf_neardup_sf1, q_fuzzy_decontam_sf1)
         emb1 = spark.read.parquet(emb1_path)
         bench(
             "q_semantic_dedup_sf1",

@@ -1048,3 +1048,40 @@ class TestFuzzyDecontamination:
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAnsiModeSafetyRound7Wave2:
+    def test_hash_features_and_fuzzy_decontam_survive_ansi(self, spark):
+        """The md5-derived bucket/sign arithmetic (conv of 14 hex
+        digits fits in 56 bits; pmod; small multiplies) must be
+        identical under ANSI — no ARITHMETIC_OVERFLOW."""
+        from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+        from spark_bestfit_spark.operators.similarity import hash_features
+
+        df = spark.createDataFrame(
+            [(2**62, "alpha beta gamma delta"), (-(2**62), "alpha beta")],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [(2**63 - 1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+
+        def run():
+            f = sorted(
+                (r.doc_id, tuple(r.features))
+                for r in hash_features(df, dim=8).collect()
+            )
+            d = sorted(
+                (r.doc_id, r.probe_doc_id, r.jaccard)
+                for r in decontaminate_fuzzy(
+                    df, probes, threshold=0.3
+                ).collect()
+            )
+            return f, d
+
+        base = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            assert run() == base
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
