@@ -4634,7 +4634,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linestatus, t, n_risk, n_events, n_censored,
                    round(CASE WHEN max(deadf) OVER win = 1 THEN 0.0
                               ELSE exp(sum(term) OVER win) END,
-                         6) AS survival
+                         6) AS survival,
+                   round(CASE WHEN max(deadf) OVER win = 0
+                              THEN exp(sum(term) OVER win)
+                                   * sqrt(sum(
+                                       CASE WHEN n_events < n_risk
+                                            THEN n_events
+                                                 / (n_risk::DOUBLE
+                                                    * (n_risk - n_events))
+                                            ELSE 0.0 END) OVER win)
+                         END, 6) AS greenwood_se
             FROM s
             WINDOW win AS (PARTITION BY l_linestatus ORDER BY t
                            ROWS UNBOUNDED PRECEDING)

@@ -1686,7 +1686,10 @@ def kaplan_meier(
     handled exactly by construction.
 
     Returns ``(group_col?, t, n_risk, n_events, n_censored,
-    survival)`` for every distinct duration, survival rounded to 6.
+    survival, greenwood_se)`` for every distinct duration, rounded to
+    6 — ``greenwood_se`` is Greenwood's standard error
+    ``S(t) * sqrt(sum d / (n (n - d)))`` (null once S hits 0), the
+    basis for the usual plain confidence band.
     """
     from pyspark.sql import Window as _W
 
@@ -1734,17 +1737,38 @@ def kaplan_meier(
             ).over(w_cum),
         )
         .withColumn(
-            "survival",
-            F.round(
-                F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
-                    F.exp(F.sum("_term").over(w_cum))
-                ),
-                6,
+            "_s",
+            F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("_term").over(w_cum))
             ),
+        )
+        .withColumn(
+            "_gw",
+            F.sum(
+                F.when(
+                    F.col("n_events") < F.col("n_risk"),
+                    F.col("n_events")
+                    / (
+                        F.col("n_risk")
+                        * (F.col("n_risk") - F.col("n_events"))
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_cum),
         )
     )
     return scored.select(
-        *keys, "t", "n_risk", "n_events", "n_censored", "survival"
+        *keys,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round("_s", 6).alias("survival"),
+        F.round(
+            F.when(
+                F.col("_dead") == 0, F.col("_s") * F.sqrt(F.col("_gw"))
+            ),
+            6,
+        ).alias("greenwood_se"),
     )
 
 

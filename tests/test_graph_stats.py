@@ -899,3 +899,34 @@ class TestLaggedCrosscorr:
 
         with _pt.raises(ValueError, match="max_lag"):
             lagged_crosscorr(df, "t", "x", "y", 0)
+
+
+class TestGreenwoodSe:
+    def test_matches_reference(self, spark):
+        from spark_bestfit_spark.operators.stats import kaplan_meier
+
+        import collections
+        import math
+
+        rng = np.random.default_rng(83)
+        durs = rng.integers(1, 15, 200).tolist()
+        events = rng.integers(0, 2, 200).tolist()
+        df = spark.createDataFrame(list(zip(durs, events)), "t int, e int")
+        got = {r.t: r.greenwood_se for r in kaplan_meier(df, "t", "e").collect()}
+        per = collections.defaultdict(lambda: [0, 0])
+        for d, e in zip(durs, events):
+            per[d][0] += e
+            per[d][1] += 1
+        total, cum, s, gw = len(durs), 0, 1.0, 0.0
+        for t in sorted(per):
+            d, c = per[t]
+            n = total - cum
+            if d >= n:
+                s = 0.0
+                want = None
+            else:
+                s *= 1 - d / n
+                gw += d / (n * (n - d))
+                want = round(s * math.sqrt(gw), 6)
+            assert got[t] == want, t
+            cum += c
