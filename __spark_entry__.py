@@ -430,6 +430,33 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_simpsons_check(spark, sf_dir):
+    """Simpson's-paradox screen on lineitem: quantity vs extendedprice
+    per returnflag — grouped + pooled correlations with sign-flip
+    flags."""
+    from spark_bestfit_spark.operators.stats import simpsons_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return simpsons_check(li, "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+def _q_mix_shift(spark, sf_dir):
+    """Mix-shift (Oaxaca) decomposition of the order-value change
+    between the F and O order-status snapshots, by priority: each
+    group's mix vs rate effect, exactly additive to the overall
+    delta."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import mix_shift_decomposition
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderstatus") == "F")
+    new = orders.filter(F.col("o_orderstatus") == "O")
+    return mix_shift_decomposition(
+        old, new, "o_orderpriority", "o_totalprice"
+    )
+
+
 def _q_lead_lag(spark, sf_dir):
     """Lead-lag cross-correlation between hourly click and purchase
     value totals (+-6 hours) — which metric moves first; computed over
@@ -3830,6 +3857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "simpsons_check": _q_simpsons_check,
+        "mix_shift": _q_mix_shift,
         "lead_lag": _q_lead_lag,
         "apply_cdc": _q_apply_cdc,
         "conformal": _q_conformal,
@@ -4008,6 +4037,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "simpsons_check": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ),
+            per AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     round(corr(x, y), 6) AS corr_group
+              FROM base GROUP BY g
+            ),
+            pooled AS (SELECT round(corr(x, y), 6) AS corr_pooled FROM base)
+            SELECT g AS l_returnflag, n, corr_group, corr_pooled,
+                   coalesce(corr_group * corr_pooled < 0, FALSE)
+                     AS sign_flip
+            FROM per CROSS JOIN pooled
+        """,
+        "mix_shift": """
+            WITH o AS (
+              SELECT o_orderpriority AS g, o_totalprice AS v
+              FROM orders
+              WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ),
+            n AS (
+              SELECT o_orderpriority AS g, o_totalprice AS v
+              FROM orders
+              WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ),
+            po AS (
+              SELECT g, count(*) AS c, avg(v) AS m FROM o GROUP BY g
+            ),
+            pn AS (
+              SELECT g, count(*) AS c, avg(v) AS m FROM n GROUP BY g
+            ),
+            t AS (
+              SELECT (SELECT count(*) FROM o) AS to_,
+                     (SELECT count(*) FROM n) AS tn_
+            ),
+            j AS (
+              SELECT coalesce(po.g, pn.g) AS g,
+                     coalesce(po.c / t.to_::DOUBLE, 0.0) AS s_old,
+                     coalesce(pn.c / t.tn_::DOUBLE, 0.0) AS s_new,
+                     po.m AS m_old, pn.m AS m_new
+              FROM po FULL OUTER JOIN pn ON po.g = pn.g
+              CROSS JOIN t
+            )
+            SELECT g AS o_orderpriority,
+                   round(s_old, 6) AS share_old,
+                   round(s_new, 6) AS share_new,
+                   round(m_old, 6) AS mean_old,
+                   round(m_new, 6) AS mean_new,
+                   round((s_new - s_old)
+                         * coalesce(m_old, m_new, 0.0), 6) AS mix_effect,
+                   round(s_new * CASE WHEN m_old IS NOT NULL
+                                       AND m_new IS NOT NULL
+                                      THEN m_new - m_old
+                                      ELSE 0.0 END, 6) AS rate_effect,
+                   round((s_new - s_old) * coalesce(m_old, m_new, 0.0)
+                         + s_new * CASE WHEN m_old IS NOT NULL
+                                         AND m_new IS NOT NULL
+                                        THEN m_new - m_old
+                                        ELSE 0.0 END, 6) AS total_effect
+            FROM j
+        """,
         "lead_lag": """
             WITH series AS (
               SELECT epoch_ns(ts) // 3600000000000 AS h,

@@ -2315,3 +2315,99 @@ def lagged_crosscorr(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.corr("a", "b"), 6).alias("xcorr"),
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Simpson's-paradox screen: the pooled Pearson correlation of
+    (x, y) next to each group's within-group correlation, flagging
+    groups whose association REVERSES sign vs the pooled one — the
+    classic confounding alarm before anyone acts on a pooled trend.
+
+    One grouped aggregation + one 1-row pooled aggregation broadcast
+    back; correlations are null for degenerate groups (n < 2 or zero
+    variance) and those never flag. Returns one row per group:
+    (group_col, n, corr_group, corr_pooled, sign_flip).
+    """
+    base = valid_column(
+        valid_column(df.select(group_col, x_col, y_col), x_col), y_col
+    ).filter(F.col(group_col).isNotNull())
+    per = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr(x_col, y_col), 6).alias("corr_group"),
+    )
+    pooled = base.agg(
+        F.round(F.corr(x_col, y_col), 6).alias("corr_pooled")
+    )
+    out = per.crossJoin(F.broadcast(pooled))
+    flip = (
+        F.col("corr_group").isNotNull()
+        & F.col("corr_pooled").isNotNull()
+        & (F.col("corr_group") * F.col("corr_pooled") < 0)
+    )
+    return out.withColumn("sign_flip", flip)
+
+
+def mix_shift_decomposition(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Why did the overall mean move? Oaxaca-style decomposition of
+    the change between two snapshots into each group's MIX effect
+    (share change at the old mean) and RATE effect (mean change at
+    the new share):
+
+        delta = sum_g [ (s_new - s_old) * m_old  +  s_new * (m_new - m_old) ]
+
+    — additive and exact (groups absent from a side contribute with
+    share 0 and, for the rate term, a 0 mean-change convention; their
+    arrival/departure shows up as mix effect).
+
+    One grouped aggregation per side, a full outer join on the group
+    (G-row relations), totals as broadcast 1-row relations. Returns
+    one row per group: (group_col, share_old, share_new, mean_old,
+    mean_new, mix_effect, rate_effect, total_effect) rounded to 6 —
+    the effects sum to the overall mean change exactly.
+    """
+    def _agg(d, tag):
+        b = valid_column(d.select(group_col, value_col), value_col).filter(
+            F.col(group_col).isNotNull()
+        )
+        per = b.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias(f"_n_{tag}"),
+            F.avg(value_col).alias(f"_m_{tag}"),
+        )
+        tot = b.agg(F.count(F.lit(1)).alias(f"_t_{tag}"))
+        return per.crossJoin(F.broadcast(tot)).withColumn(
+            f"_s_{tag}", F.col(f"_n_{tag}") / F.col(f"_t_{tag}")
+        )
+
+    o = _agg(df_old, "o")
+    n = _agg(df_new, "n")
+    j = o.join(n, on=group_col, how="full")
+    s_old = F.coalesce("_s_o", F.lit(0.0))
+    s_new = F.coalesce("_s_n", F.lit(0.0))
+    m_old = F.col("_m_o")
+    m_new = F.col("_m_n")
+    # absent-side conventions: mix uses the existing side's mean;
+    # rate needs both means (0 otherwise)
+    mix = (s_new - s_old) * F.coalesce(m_old, m_new, F.lit(0.0))
+    rate = s_new * F.when(
+        m_old.isNotNull() & m_new.isNotNull(), m_new - m_old
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        group_col,
+        F.round(s_old, 6).alias("share_old"),
+        F.round(s_new, 6).alias("share_new"),
+        F.round(m_old, 6).alias("mean_old"),
+        F.round(m_new, 6).alias("mean_new"),
+        F.round(mix, 6).alias("mix_effect"),
+        F.round(rate, 6).alias("rate_effect"),
+        F.round(mix + rate, 6).alias("total_effect"),
+    )

@@ -930,3 +930,70 @@ class TestGreenwoodSe:
                 want = round(s * math.sqrt(gw), 6)
             assert got[t] == want, t
             cum += c
+
+
+class TestSimpsonsCheck:
+    def test_detects_reversal(self, spark):
+        from spark_bestfit_spark.operators.stats import simpsons_check
+
+        rng = np.random.default_rng(89)
+        rows = []
+        # within each group y DECREASES in x, but group means line up
+        # so the pooled trend INCREASES
+        for g, (x0, y0) in enumerate([(0, 0), (5, 10), (10, 20)]):
+            x = x0 + rng.uniform(0, 2, 200)
+            y = y0 - 1.5 * (x - x0) + rng.normal(0, 0.2, 200)
+            rows += [(str(g), float(a), float(b)) for a, b in zip(x, y)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r.g: r for r in simpsons_check(df, "x", "y", "g").collect()}
+        for g in ("0", "1", "2"):
+            assert got[g].corr_group < -0.9
+            assert got[g].corr_pooled > 0.9
+            assert got[g].sign_flip is True
+
+    def test_degenerate_group_never_flags(self, spark):
+        from spark_bestfit_spark.operators.stats import simpsons_check
+
+        rows = [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("b", 5.0, 5.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r.g: r for r in simpsons_check(df, "x", "y", "g").collect()}
+        assert got["b"].corr_group is None and got["b"].sign_flip is False
+
+
+class TestMixShiftDecomposition:
+    def test_effects_sum_to_overall_change(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            mix_shift_decomposition,
+        )
+
+        rng = np.random.default_rng(91)
+        old_rows, new_rows = [], []
+        for g, (n_o, n_n, m_o, m_n) in {
+            "a": (300, 100, 10.0, 11.0),
+            "b": (100, 300, 20.0, 19.0),
+            "gone": (50, 0, 5.0, None),
+            "born": (0, 50, None, 30.0),
+        }.items():
+            old_rows += [
+                (g, float(m_o + rng.normal(0, 1))) for _ in range(n_o)
+            ] if n_o else []
+            new_rows += [
+                (g, float(m_n + rng.normal(0, 1))) for _ in range(n_n)
+            ] if n_n else []
+        old = spark.createDataFrame(old_rows, "g string, v double")
+        new = spark.createDataFrame(new_rows, "g string, v double")
+        out = mix_shift_decomposition(old, new, "g", "v").collect()
+        import pandas as pd
+
+        po = pd.DataFrame(old_rows, columns=["g", "v"])
+        pn = pd.DataFrame(new_rows, columns=["g", "v"])
+        delta = pn.v.mean() - po.v.mean()
+        total = sum(r.total_effect for r in out)
+        assert total == pytest.approx(delta, abs=2e-5)
+        byg = {r.g: r for r in out}
+        assert byg["gone"].share_new == 0.0
+        assert byg["gone"].rate_effect == 0.0
+        assert byg["gone"].mix_effect < 0  # departure drags the mean
+        assert byg["born"].mix_effect > 0
+        # rate effect sign matches the group's mean move
+        assert byg["a"].rate_effect > 0 and byg["b"].rate_effect < 0
