@@ -430,6 +430,16 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_response_curve(spark, sf_dir):
+    """Binned response curve of extendedprice vs quantity over 10
+    equal-mass quantity buckets — the model-free partial-dependence
+    diagnostic on the equi-depth binning scheme."""
+    from spark_bestfit_spark.operators.histogram import response_curve
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return response_curve(li, "l_quantity", "l_extendedprice", bins=10)
+
+
 def _q_simpsons_check(spark, sf_dir):
     """Simpson's-paradox screen on lineitem: quantity vs extendedprice
     per returnflag — grouped + pooled correlations with sign-flip
@@ -3857,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "response_curve": _q_response_curve,
         "simpsons_check": _q_simpsons_check,
         "mix_shift": _q_mix_shift,
         "lead_lag": _q_lead_lag,
@@ -4037,6 +4048,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "response_curve": """
+            WITH e AS (
+              SELECT list_transform(
+                quantile_cont(l_quantity,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                x -> round(x, 6)) AS arr
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ),
+            binned AS (
+              SELECT l.l_quantity AS x, l.l_extendedprice AS y,
+                     CAST(len(list_filter((SELECT arr FROM e),
+                       t -> l.l_quantity > t)) AS INTEGER) AS bin_id
+              FROM lineitem l
+              WHERE l.l_quantity IS NOT NULL
+                AND l.l_extendedprice IS NOT NULL
+            )
+            SELECT bin_id, count(*)::BIGINT AS n,
+                   min(x) AS x_lo, max(x) AS x_hi,
+                   round(avg(x), 6) AS mean_x,
+                   round(avg(y), 6) AS mean_y,
+                   round(stddev_samp(y) / sqrt(count(*)), 6) AS se_y
+            FROM binned GROUP BY bin_id
+        """,
         "simpsons_check": """
             WITH base AS (
               SELECT l_returnflag AS g, l_quantity AS x,

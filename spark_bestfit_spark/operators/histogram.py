@@ -239,3 +239,54 @@ def equidepth_histogram(
         F.max(column).alias("hi"),
         F.round(F.avg(column), 6).alias("mean"),
     )
+
+
+def response_curve(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Binned response curve: the target's mean (with a standard
+    error) across equal-mass buckets of a feature — the model-free
+    partial-dependence diagnostic ("how does y move with x") and the
+    monotonicity check before anyone fits anything.
+
+    Binning is :func:`equidepth_histogram`'s scheme verbatim: exact
+    (or Greenwald-Khanna, the 100 TB path) quantile edges rounded to 6
+    BEFORE assignment, broadcast 1-row edges relation, JVM HOF bin id,
+    one combiner-friendly groupBy on <= ``bins`` keys.
+
+    Returns (bin_id, n, x_lo, x_hi, mean_x, mean_y, se_y) rounded to
+    6 — ``se_y = stddev_samp / sqrt(n)``, null for single-row bins.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
+    fracs = ", ".join(str(i / bins) for i in range(1, bins))
+    clean = valid_column(
+        valid_column(df.select(x_col, y_col), x_col), y_col
+    )
+    edges = clean.agg(
+        F.expr(
+            f"transform({pctl}({x_col}, array({fracs}){acc}), "
+            "e -> round(e, 6))"
+        ).alias("_edges")
+    )
+    binned = clean.crossJoin(F.broadcast(edges)).withColumn(
+        "bin_id",
+        F.size(F.filter(F.col("_edges"), lambda e: F.col(x_col) > e)),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(x_col).alias("x_lo"),
+        F.max(x_col).alias("x_hi"),
+        F.round(F.avg(x_col), 6).alias("mean_x"),
+        F.round(F.avg(y_col), 6).alias("mean_y"),
+        F.round(
+            F.stddev_samp(y_col) / F.sqrt(F.count(F.lit(1))), 6
+        ).alias("se_y"),
+    )

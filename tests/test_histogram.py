@@ -110,3 +110,41 @@ class TestStats:
         assert m["mean"] == pytest.approx(normal_data.mean(), rel=1e-9)
         assert m["stddev"] == pytest.approx(normal_data.std(), rel=1e-9)
         assert abs(m["skewness"]) < 0.1  # normal data
+
+
+class TestResponseCurve:
+    def test_recovers_known_relationship(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.histogram import response_curve
+
+        rng = np.random.default_rng(93)
+        x = rng.uniform(0, 10, 5000)
+        y = 2.0 * x + rng.normal(0, 0.5, 5000)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double",
+        )
+        rows = sorted(
+            response_curve(df, "x", "y", bins=10).collect(),
+            key=lambda r: r.bin_id,
+        )
+        assert len(rows) == 10
+        # equal-mass bins, monotone response, mean_y tracks 2 * mean_x
+        assert all(400 < r.n < 600 for r in rows)
+        means = [r.mean_y for r in rows]
+        assert means == sorted(means)
+        for r in rows:
+            assert r.mean_y == __import__("pytest").approx(
+                2 * r.mean_x, abs=0.15
+            )
+            assert r.se_y is not None and r.se_y < 0.05
+
+    def test_validation(self, spark):
+        import pytest
+
+        from spark_bestfit_spark.operators.histogram import response_curve
+
+        df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+        with pytest.raises(ValueError, match="bins"):
+            response_curve(df, "x", "y", bins=1)
