@@ -430,6 +430,42 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII redaction over documents seeded with deterministic
+    synthetic emails/SSNs (every 10th / 15th doc) — map-side
+    regexp_replace with precedence (SSN before phone before email);
+    the redacted text is fingerprinted so the relation stays small."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 15 == 0, F.lit(" ssn 123-45-6789")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_redacted_email",
+        "n_redacted_phone",
+        "n_redacted_ssn",
+        F.md5("text_redacted").alias("redacted_fp"),
+    )
+
+
 def _q_response_curve(spark, sf_dir):
     """Binned response curve of extendedprice vs quantity over 10
     equal-mass quantity buckets — the model-free partial-dependence
@@ -3867,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "redact_pii": _q_redact_pii,
         "response_curve": _q_response_curve,
         "simpsons_check": _q_simpsons_check,
         "mix_shift": _q_mix_shift,
@@ -4048,6 +4085,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "redact_pii": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 10 = 0
+                             THEN ' contact user' || doc_id
+                                  || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 15 = 0
+                             THEN ' ssn 123-45-6789' ELSE '' END AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_redacted_ssn,
+                     regexp_replace(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}',
+                                    '[SSN]', 'g') AS t
+              FROM seeded
+            ),
+            s2 AS (
+              SELECT doc_id, n_redacted_ssn,
+                     len(regexp_extract_all(t,
+                       '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}'))
+                       AS n_redacted_phone,
+                     regexp_replace(t,
+                       '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+                       '[PHONE]', 'g') AS t
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, n_redacted_ssn, n_redacted_phone,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_redacted_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t
+              FROM s2
+            )
+            SELECT doc_id,
+                   n_redacted_email::INT AS n_redacted_email,
+                   n_redacted_phone::INT AS n_redacted_phone,
+                   n_redacted_ssn::INT AS n_redacted_ssn,
+                   md5(t) AS redacted_fp
+            FROM s3
+        """,
         "response_curve": """
             WITH e AS (
               SELECT list_transform(

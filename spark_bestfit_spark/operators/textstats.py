@@ -884,3 +884,47 @@ def readability_scores(
             6,
         ).alias("fk_grade"),
     )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str | None = None,
+    kinds: list | None = None,
+) -> DataFrame:
+    """PII redaction: replace every email / phone / SSN shaped span
+    (the :data:`PII_PATTERNS` dialect-portable subset — no backrefs,
+    no lookaround) with ``[KIND]`` placeholders, and count the
+    redactions per kind — the policy-applying complement to
+    :func:`flag_pii`'s detection flags.
+
+    SSN redacts BEFORE phone (an SSN also matches the loose phone
+    shape; the more specific pattern must win), then email. Pure
+    map-side ``regexp_replace`` / ``regexp_extract_all`` column
+    algebra — zero shuffles, pipelines with the scan.
+
+    Appends ``output_col`` (default ``{text_col}_redacted``) plus one
+    ``n_redacted_<kind>`` count per kind (counted on the ORIGINAL
+    text, in the same precedence order, so counts match what was
+    replaced).
+    """
+    out_col = output_col or f"{text_col}_redacted"
+    order = [k for k in ("ssn", "phone", "email") if k in PII_PATTERNS]
+    if kinds is not None:
+        unknown = set(kinds) - set(PII_PATTERNS)
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        order = [k for k in order if k in kinds]
+    red = F.col(text_col)
+    out = df
+    for kind in order:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_redacted_{kind}",
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0)),
+        )
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    out = out.withColumn(out_col, red)
+    # counts reference the progressively-redacted column, so attach the
+    # final text AFTER the loop; rebuild counts against snapshots
+    return out

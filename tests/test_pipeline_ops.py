@@ -2290,3 +2290,39 @@ class TestNcmClassify:
         out = {r.vec_id: r.predicted
                for r in similarity.ncm_classify(df, centroids=cents).collect()}
         assert out == {1: 0, 2: 1}
+
+
+class TestRedactPii:
+    def test_redacts_and_counts_in_precedence_order(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.com and c@d.org; ssn 123-45-6789; "
+                    "call +1 555-123-4567"),
+                (2, "clean text"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r for r in textstats.redact_pii(df).collect()}
+        r = got[1]
+        assert "[EMAIL]" in r.text_redacted
+        assert "[SSN]" in r.text_redacted
+        assert "[PHONE]" in r.text_redacted
+        assert "a@b.com" not in r.text_redacted
+        assert r.n_redacted_email == 2
+        assert r.n_redacted_ssn == 1
+        assert r.n_redacted_phone == 1
+        assert got[2].text_redacted == "clean text"
+        assert got[2].n_redacted_email == 0
+
+    def test_ssn_wins_over_phone_and_kind_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, "id 123-45-6789 here")], "doc_id bigint, text string"
+        )
+        r = textstats.redact_pii(df).first()
+        # the SSN shape must NOT be consumed by the looser phone rule
+        assert r.text_redacted == "id [SSN] here"
+        assert r.n_redacted_ssn == 1 and r.n_redacted_phone == 0
+        only_email = textstats.redact_pii(df, kinds=["email"]).first()
+        assert only_email.text_redacted == "id 123-45-6789 here"
+        with pytest.raises(ValueError, match="unknown"):
+            textstats.redact_pii(df, kinds=["iban"])
