@@ -430,6 +430,24 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_canonical_keys(spark, sf_dir):
+    """Token-sorted canonical blocking keys over customer names:
+    exact-match tier sizes per key prefix — the zero-cost first tier
+    of record linkage (reordered/punctuated variants collapse)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.linkage import canonical_key
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keyed = canonical_key(cust, "c_name")
+    return keyed.groupBy(
+        F.substring("c_name_key", 1, 10).alias("key_prefix")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("c_name_key").cast("long").alias("n_keys"),
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII redaction over documents seeded with deterministic
     synthetic emails/SSNs (every 10th / 15th doc) — map-side
@@ -3903,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "canonical_keys": _q_canonical_keys,
         "redact_pii": _q_redact_pii,
         "response_curve": _q_response_curve,
         "simpsons_check": _q_simpsons_check,
@@ -4085,6 +4104,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "canonical_keys": """
+            WITH keyed AS (
+              SELECT array_to_string(list_sort(list_filter(
+                       string_split_regex(regexp_replace(
+                         regexp_replace(lower(trim(c_name)),
+                                        '[^a-z0-9\\s]', ' ', 'g'),
+                         '\\s+', ' ', 'g'), ' '),
+                       t -> t <> '')), ' ') AS k
+              FROM customer WHERE c_name IS NOT NULL
+            )
+            SELECT substr(k, 1, 10) AS key_prefix,
+                   count(*)::BIGINT AS n,
+                   count(DISTINCT k)::BIGINT AS n_keys
+            FROM keyed GROUP BY 1
+        """,
         "redact_pii": """
             WITH seeded AS (
               SELECT doc_id,

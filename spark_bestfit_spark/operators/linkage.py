@@ -366,3 +366,38 @@ def resolve_entities(
     return out.withColumn(
         "entity_size", F.count(F.lit(1)).over(w).cast("long")
     )
+
+
+def canonical_key(
+    df: DataFrame,
+    on: str,
+    output_col: str | None = None,
+    drop_tokens: list | None = None,
+) -> DataFrame:
+    """Token-sorted canonical blocking key for record linkage:
+    lowercase, strip punctuation, collapse whitespace, drop optional
+    noise tokens (legal suffixes: "inc", "llc", ...), SORT the tokens,
+    and rejoin — "Smith, John" and "john SMITH" collapse to the same
+    key, so an exact groupBy on the key is the zero-cost first tier
+    before :func:`fuzzy_join` spends edit-distance work on what
+    remains.
+
+    Pure map-side column algebra (regexp + split + array ops), no
+    shuffle. Appends ``output_col`` (default ``{on}_key``).
+    """
+    out = output_col or f"{on}_key"
+    cleaned = F.regexp_replace(
+        F.lower(F.trim(F.col(on))), r"[^a-z0-9\s]", " "
+    )
+    toks = F.filter(
+        F.split(F.regexp_replace(cleaned, r"\s+", " "), " "),
+        lambda t: t != F.lit(""),
+    )
+    if drop_tokens:
+        noise = F.array(*[F.lit(str(t).lower()) for t in drop_tokens])
+        toks = F.filter(toks, lambda t: ~F.array_contains(noise, t))
+    key = F.concat_ws(" ", F.array_sort(toks))
+    # concat_ws swallows null inputs into "" — keep null names null
+    return df.withColumn(
+        out, F.when(F.col(on).isNotNull(), key)
+    )

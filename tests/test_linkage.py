@@ -319,3 +319,36 @@ class TestResolveEntities:
             ).collect()
         }
         assert got == {0: 0, 3: 0, 4: 0, 1: 1, 2: 2}
+
+
+class TestCanonicalKey:
+    def test_reordered_and_punctuated_names_collapse(self, spark):
+        from spark_bestfit_spark.operators.linkage import canonical_key
+
+        rows = [
+            (1, "Smith, John"),
+            (2, "john  SMITH!"),
+            (3, "Acme Corp, Inc."),
+            (4, "ACME CORP"),
+            (5, "totally different"),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, name string")
+        got = {
+            r.id: r.name_key
+            for r in canonical_key(
+                df, "name", drop_tokens=["inc", "llc"]
+            ).collect()
+        }
+        assert got[1] == got[2] == "john smith"
+        assert got[3] == got[4] == "acme corp"
+        assert got[5] == "different totally"
+
+    def test_empty_and_symbol_only(self, spark):
+        from spark_bestfit_spark.operators.linkage import canonical_key
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "?!#"), (3, None)], "id bigint, name string"
+        )
+        got = {r.id: r.name_key for r in canonical_key(df, "name").collect()}
+        assert got[1] == "" and got[2] == ""
+        assert got[3] is None
