@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negatives: 3 per anchor from a
+    modulo-sampled pool, chosen by portable md5 hash order —
+    reproducible across runs/engines/partitionings."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import negative_samples
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 200)
+    pool = emb.filter(F.col("vec_id") % 5 == 0)
+    return negative_samples(anchors, pool, "vec_id", "vec_id", k=3)
+
+
 def _q_canonical_keys(spark, sf_dir):
     """Token-sorted canonical blocking keys over customer names:
     exact-match tier sizes per key prefix — the zero-cost first tier
@@ -3921,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "negative_samples": _q_negative_samples,
         "canonical_keys": _q_canonical_keys,
         "redact_pii": _q_redact_pii,
         "response_curve": _q_response_curve,
@@ -4104,6 +4119,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "negative_samples": """
+            WITH a AS (
+              SELECT DISTINCT vec_id AS aid FROM embeddings
+              WHERE vec_id < 200
+            ),
+            p AS (
+              SELECT DISTINCT vec_id AS pid FROM embeddings
+              WHERE vec_id % 5 = 0
+            ),
+            scored AS (
+              SELECT aid, pid,
+                     ('0x' || substr(md5(aid || ':' || pid || ':0'),
+                                     1, 14))::BIGINT AS h
+              FROM a CROSS JOIN p WHERE aid <> pid
+            ),
+            ranked AS (
+              SELECT aid, pid,
+                     row_number() OVER (
+                       PARTITION BY aid ORDER BY h, pid) AS r
+              FROM scored
+            )
+            SELECT aid AS vec_id, pid AS neg_id, r::INT AS rank
+            FROM ranked WHERE r <= 3
+        """,
         "canonical_keys": """
             WITH keyed AS (
               SELECT array_to_string(list_sort(list_filter(

@@ -1094,3 +1094,64 @@ def ncm_classify(
     return scored.groupBy(id_col, label_col).agg(pick.alias("_p")).select(
         id_col, label_col, F.col("_p.predicted"), F.col("_p.cosine")
     )
+
+
+def negative_samples(
+    anchors: DataFrame,
+    pool: DataFrame,
+    anchor_id: str,
+    pool_id: str,
+    k: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, ``k`` pool items chosen by a portable md5 hash of
+    (anchor, pool item, seed) — reproducible across runs, engines, and
+    partitionings (no rand()), uniform-ish per anchor, and different
+    anchors draw different negatives.
+
+    The pool is BROADCAST (pass a pre-sampled candidate pool — the
+    standard practice; negatives need coverage, not the full corpus),
+    each anchor scores it map-side, and one anchor-keyed groupBy
+    assembles the k smallest hashes via an in-array sort over the
+    pool-sized list. Anchor ids colliding with a pool id are excluded
+    (an item is never its own negative).
+
+    Returns (anchor_id, neg_id, rank) with rank 1..k by hash order.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    a = anchors.select(F.col(anchor_id).alias("_aid")).distinct()
+    p = F.broadcast(pool.select(F.col(pool_id).alias("_pid")).distinct())
+    scored = (
+        a.crossJoin(p)
+        .filter(F.col("_aid") != F.col("_pid"))
+        .withColumn(
+            "_h",
+            portable_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("_aid").cast("string"),
+                    F.col("_pid").cast("string"),
+                    F.lit(int(seed)).cast("string"),
+                )
+            ),
+        )
+    )
+    picked = scored.groupBy("_aid").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_h", "_pid"))),
+            1,
+            int(k),
+        ).alias("_top")
+    )
+    return picked.select(
+        F.col("_aid").alias(anchor_id),
+        F.posexplode("_top").alias("_r", "_e"),
+    ).select(
+        anchor_id,
+        F.col("_e._pid").alias("neg_id"),
+        (F.col("_r") + 1).cast("int").alias("rank"),
+    )

@@ -2326,3 +2326,56 @@ class TestRedactPii:
         assert only_email.text_redacted == "id 123-45-6789 here"
         with pytest.raises(ValueError, match="unknown"):
             textstats.redact_pii(df, kinds=["iban"])
+
+
+class TestNegativeSamples:
+    def test_deterministic_and_matches_reference(self, spark):
+        import hashlib
+
+        def h(a, p, seed):
+            return int(
+                hashlib.md5(f"{a}:{p}:{seed}".encode()).hexdigest()[:14],
+                16,
+            )
+
+        anchors = spark.createDataFrame(
+            [(i,) for i in range(20)], "vec_id bigint"
+        )
+        pool = spark.createDataFrame(
+            [(i,) for i in range(15)], "vec_id bigint"
+        )
+        out1 = sorted(
+            (r.vec_id, r.neg_id, r.rank)
+            for r in similarity.negative_samples(
+                anchors, pool, "vec_id", "vec_id", k=3, seed=7
+            ).collect()
+        )
+        out2 = sorted(
+            (r.vec_id, r.neg_id, r.rank)
+            for r in similarity.negative_samples(
+                anchors.repartition(6), pool, "vec_id", "vec_id", k=3,
+                seed=7,
+            ).collect()
+        )
+        assert out1 == out2  # partitioning-invariant
+        # reference: k smallest md5 hashes per anchor, self excluded
+        for a in range(20):
+            cands = sorted(
+                (h(a, p, 7), p) for p in range(15) if p != a
+            )[:3]
+            want = [(a, p, i + 1) for i, (_, p) in enumerate(cands)]
+            got = sorted(
+                (t for t in out1 if t[0] == a), key=lambda t: t[2]
+            )
+            assert got == want, a
+
+    def test_self_never_sampled_and_validation(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "vec_id bigint")
+        out = similarity.negative_samples(
+            df, df, "vec_id", "vec_id", k=5
+        ).collect()
+        assert all(r.vec_id != r.neg_id for r in out)
+        assert {r.vec_id: len([x for x in out if x.vec_id == r.vec_id])
+                for r in out} == {1: 1, 2: 1}  # only one candidate each
+        with pytest.raises(ValueError, match="k must"):
+            similarity.negative_samples(df, df, "vec_id", "vec_id", k=0)
