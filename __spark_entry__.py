@@ -430,6 +430,45 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_survival_to_purchase(spark, sf_dir):
+    """Time-to-first-purchase survival: per user, hours from first
+    signup to first purchase (right-censored at the corpus's last
+    timestamp when no purchase follows), then the Kaplan-Meier curve —
+    the composition the censored-fitting tier exists for."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import kaplan_meier
+
+    events = _read(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    signups = events.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t0"))
+    purchases = events.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("tp"))
+    horizon = events.agg(F.max("ts").alias("tmax"))
+    cohort = (
+        signups.join(purchases, on="user_id", how="left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp") >= F.col("t0"),
+                ((F.col("tp") - F.col("t0")) / hour_ns).cast("long"),
+            )
+            .otherwise(
+                ((F.col("tmax") - F.col("t0")) / hour_ns).cast("long")
+            )
+            .alias("dur_h"),
+            (
+                F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+            ).cast("int").alias("e"),
+        )
+    )
+    return kaplan_meier(cohort, "dur_h", "e")
+
+
 def _q_negative_samples(spark, sf_dir):
     """Deterministic contrastive negatives: 3 per anchor from a
     modulo-sampled pool, chosen by portable md5 hash order —
@@ -3935,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "survival_to_purchase": _q_survival_to_purchase,
         "negative_samples": _q_negative_samples,
         "canonical_keys": _q_canonical_keys,
         "redact_pii": _q_redact_pii,
@@ -4119,6 +4159,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "survival_to_purchase": """
+            WITH s AS (
+              SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            p AS (
+              SELECT user_id, min(epoch_ns(ts)) AS tp FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id
+            ),
+            h AS (SELECT max(epoch_ns(ts)) AS tmax FROM events),
+            cohort AS (
+              SELECT s.user_id,
+                     CASE WHEN p.tp >= s.t0
+                          THEN (p.tp - s.t0) // 3600000000000
+                          ELSE (h.tmax - s.t0) // 3600000000000
+                     END AS t,
+                     CASE WHEN p.tp IS NOT NULL AND p.tp >= s.t0
+                          THEN 1 ELSE 0 END AS e
+              FROM s LEFT JOIN p USING (user_id) CROSS JOIN h
+            ),
+            per_t AS (
+              SELECT t, sum(e)::BIGINT AS n_events,
+                     count(*)::BIGINT AS c
+              FROM cohort GROUP BY t
+            ),
+            w AS (
+              SELECT t, n_events, c - n_events AS n_censored,
+                     (sum(c) OVER () - sum(c) OVER win + c)::BIGINT
+                       AS n_risk
+              FROM per_t
+              WINDOW win AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            ),
+            sc AS (
+              SELECT *,
+                     CASE WHEN n_events < n_risk
+                          THEN ln(1 - n_events / n_risk::DOUBLE)
+                          ELSE 0.0 END AS term,
+                     CASE WHEN n_events >= n_risk
+                          THEN 1 ELSE 0 END AS deadf
+              FROM w
+            )
+            SELECT t, n_risk, n_events, n_censored,
+                   round(CASE WHEN max(deadf) OVER win = 1 THEN 0.0
+                              ELSE exp(sum(term) OVER win) END, 6)
+                     AS survival,
+                   round(CASE WHEN max(deadf) OVER win = 0
+                              THEN exp(sum(term) OVER win)
+                                   * sqrt(sum(
+                                       CASE WHEN n_events < n_risk
+                                            THEN n_events
+                                                 / (n_risk::DOUBLE
+                                                    * (n_risk - n_events))
+                                            ELSE 0.0 END) OVER win)
+                         END, 6) AS greenwood_se
+            FROM sc
+            WINDOW win AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        """,
         "negative_samples": """
             WITH a AS (
               SELECT DISTINCT vec_id AS aid FROM embeddings
