@@ -430,6 +430,21 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_vocab_divergence(spark, sf_dir):
+    """Corpus-shift test between the English and German document
+    slices: smoothed unigram KL both directions + mass-weighted OOV
+    rates — the text-drift gate between snapshots."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import vocab_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "de"),
+    )
+
+
 def _q_survival_to_purchase(spark, sf_dir):
     """Time-to-first-purchase survival: per user, hours from first
     signup to first purchase (right-censored at the corpus's last
@@ -3974,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "vocab_divergence": _q_vocab_divergence,
         "survival_to_purchase": _q_survival_to_purchase,
         "negative_samples": _q_negative_samples,
         "canonical_keys": _q_canonical_keys,
@@ -4159,6 +4175,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vocab_divergence": """
+            WITH ta AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                                               '\\s+')) AS tok
+              FROM documents WHERE lang = 'en'
+            ),
+            tb AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                                               '\\s+')) AS tok
+              FROM documents WHERE lang = 'de'
+            ),
+            ca AS (SELECT tok, count(*)::DOUBLE AS c FROM ta GROUP BY 1),
+            cb AS (SELECT tok, count(*)::DOUBLE AS c FROM tb GROUP BY 1),
+            j AS (
+              SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b,
+                     ca.c IS NOT NULL AS ina, cb.c IS NOT NULL AS inb
+              FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+            ),
+            t AS (
+              SELECT sum(a) AS na, sum(b) AS nb, count(*) AS v,
+                     sum(CASE WHEN ina THEN 1 ELSE 0 END) AS va,
+                     sum(CASE WHEN inb THEN 1 ELSE 0 END) AS vb,
+                     sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS vs,
+                     sum(CASE WHEN NOT inb THEN a ELSE 0 END) AS oova,
+                     sum(CASE WHEN NOT ina THEN b ELSE 0 END) AS oovb
+              FROM j
+            )
+            SELECT t.na::BIGINT AS n_tokens_a,
+                   t.nb::BIGINT AS n_tokens_b,
+                   t.va::BIGINT AS vocab_a,
+                   t.vb::BIGINT AS vocab_b,
+                   t.vs::BIGINT AS vocab_shared,
+                   round(sum(((a + 1) / (t.na + t.v))
+                         * ln(((a + 1) / (t.na + t.v))
+                              / ((b + 1) / (t.nb + t.v)))), 6) AS kl_ab,
+                   round(sum(((b + 1) / (t.nb + t.v))
+                         * ln(((b + 1) / (t.nb + t.v))
+                              / ((a + 1) / (t.na + t.v)))), 6) AS kl_ba,
+                   round(t.oova / t.na, 6) AS oov_a_in_b,
+                   round(t.oovb / t.nb, 6) AS oov_b_in_a
+            FROM j CROSS JOIN t
+            GROUP BY t.na, t.nb, t.va, t.vb, t.vs, t.oova, t.oovb
+        """,
         "survival_to_purchase": """
             WITH s AS (
               SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events

@@ -928,3 +928,88 @@ def redact_pii(
     # counts reference the progressively-redacted column, so attach the
     # final text AFTER the loop; rebuild counts against snapshots
     return out
+
+
+def vocab_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-shift detection for TEXT: smoothed unigram KL divergences
+    and out-of-vocabulary rates between two corpora — the drift test
+    you run between a training snapshot and this week's crawl before
+    any model sees either.
+
+    Token distributions with add-one smoothing over the UNION
+    vocabulary (so both directions are finite even with disjoint
+    tails):
+
+        p(t) = (c_a(t) + 1) / (N_a + V),  q(t) likewise
+        kl_ab = sum_t p ln(p / q)   (and kl_ba, jsd-free by design —
+        both directions reported; symmetrize downstream if wanted)
+
+    One token groupBy per side, a full outer join on the token
+    (vocabulary-keyed — the only wide shuffle), a 1-row collapse.
+    OOV rates are mass-weighted: the fraction of corpus-a TOKENS whose
+    type is absent from b, and vice versa.
+
+    Returns one row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    vocab_shared, kl_ab, kl_ba, oov_a_in_b, oov_b_in_a) rounded to 6.
+    """
+    def _counts(d, tag):
+        return (
+            d.select(
+                F.explode(_tokens(F.col(text_col))).alias("_tok")
+            )
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias(f"_c{tag}"))
+        )
+
+    ca = _counts(df_a, "a")
+    cb = _counts(df_b, "b")
+    j = ca.join(cb, on="_tok", how="full")
+    a = F.coalesce("_ca", F.lit(0)).cast("double")
+    b = F.coalesce("_cb", F.lit(0)).cast("double")
+    tot = j.agg(
+        F.sum(a).alias("_na"),
+        F.sum(b).alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+        F.sum(F.when(F.col("_ca").isNotNull(), 1)).alias("_va"),
+        F.sum(F.when(F.col("_cb").isNotNull(), 1)).alias("_vb"),
+        F.sum(
+            F.when(
+                F.col("_ca").isNotNull() & F.col("_cb").isNotNull(), 1
+            )
+        ).alias("_vs"),
+        F.sum(F.when(F.col("_cb").isNull(), a)).alias("_oov_a"),
+        F.sum(F.when(F.col("_ca").isNull(), b)).alias("_oov_b"),
+    )
+    scored = j.crossJoin(F.broadcast(tot))
+    p = (a + 1) / (F.col("_na") + F.col("_v"))
+    q = (b + 1) / (F.col("_nb") + F.col("_v"))
+    agg = scored.agg(
+        F.first("_na").alias("_na"),
+        F.first("_nb").alias("_nb"),
+        F.first("_va").alias("_va"),
+        F.first("_vb").alias("_vb"),
+        F.first("_vs").alias("_vs"),
+        F.first("_oov_a").alias("_oov_a"),
+        F.first("_oov_b").alias("_oov_b"),
+        F.sum(p * F.log(p / q)).alias("_kl_ab"),
+        F.sum(q * F.log(q / p)).alias("_kl_ba"),
+    )
+    return agg.select(
+        F.col("_na").cast("long").alias("n_tokens_a"),
+        F.col("_nb").cast("long").alias("n_tokens_b"),
+        F.col("_va").cast("long").alias("vocab_a"),
+        F.col("_vb").cast("long").alias("vocab_b"),
+        F.col("_vs").cast("long").alias("vocab_shared"),
+        F.round("_kl_ab", 6).alias("kl_ab"),
+        F.round("_kl_ba", 6).alias("kl_ba"),
+        F.round(
+            F.coalesce("_oov_a", F.lit(0.0)) / F.col("_na"), 6
+        ).alias("oov_a_in_b"),
+        F.round(
+            F.coalesce("_oov_b", F.lit(0.0)) / F.col("_nb"), 6
+        ).alias("oov_b_in_a"),
+    )

@@ -2379,3 +2379,44 @@ class TestNegativeSamples:
                 for r in out} == {1: 1, 2: 1}  # only one candidate each
         with pytest.raises(ValueError, match="k must"):
             similarity.negative_samples(df, df, "vec_id", "vec_id", k=0)
+
+
+class TestVocabDivergence:
+    @staticmethod
+    def _ref(ta, tb):
+        import collections
+        import math
+
+        ca = collections.Counter(w for t in ta for w in t.lower().split())
+        cb = collections.Counter(w for t in tb for w in t.lower().split())
+        vocab = set(ca) | set(cb)
+        na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+        kl_ab = kl_ba = 0.0
+        for t in vocab:
+            p = (ca.get(t, 0) + 1) / (na + v)
+            q = (cb.get(t, 0) + 1) / (nb + v)
+            kl_ab += p * math.log(p / q)
+            kl_ba += q * math.log(q / p)
+        oov_a = sum(c for t, c in ca.items() if t not in cb) / na
+        oov_b = sum(c for t, c in cb.items() if t not in ca) / nb
+        return (round(kl_ab, 6), round(kl_ba, 6),
+                round(oov_a, 6), round(oov_b, 6))
+
+    def test_matches_reference(self, spark):
+        ta = ["the cat sat on the mat", "dogs chase cats", "the end"]
+        tb = ["the dog ran far", "cats nap often", "quantum flux models"]
+        da = spark.createDataFrame([(t,) for t in ta], "text string")
+        db = spark.createDataFrame([(t,) for t in tb], "text string")
+        r = textstats.vocab_divergence(da, db).first()
+        kl_ab, kl_ba, oov_a, oov_b = self._ref(ta, tb)
+        assert r.kl_ab == kl_ab and r.kl_ba == kl_ba
+        assert r.oov_a_in_b == oov_a and r.oov_b_in_a == oov_b
+        assert r.n_tokens_a == 11 and r.vocab_shared >= 1
+
+    def test_identical_corpora_zero(self, spark):
+        t = ["same words here", "and here too"]
+        d = spark.createDataFrame([(x,) for x in t], "text string")
+        r = textstats.vocab_divergence(d, d).first()
+        assert r.kl_ab == 0.0 and r.kl_ba == 0.0
+        assert r.oov_a_in_b == 0.0 and r.oov_b_in_a == 0.0
+        assert r.vocab_a == r.vocab_shared
