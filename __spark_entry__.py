@@ -430,6 +430,24 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_grouped_conformal(spark, sf_dir):
+    """Mondrian conformal half-widths per returnflag for the linear
+    price predictor — per-group exact order statistics, fully in-plan
+    (no driver fold)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import (
+        grouped_conformal_interval,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "yhat", F.col("l_quantity") * 1000.0
+    )
+    return grouped_conformal_interval(
+        li, "l_extendedprice", "yhat", "l_returnflag", alpha=0.1
+    )
+
+
 def _q_vocab_divergence(spark, sf_dir):
     """Corpus-shift test between the English and German document
     slices: smoothed unigram KL both directions + mass-weighted OOV
@@ -3989,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "grouped_conformal": _q_grouped_conformal,
         "vocab_divergence": _q_vocab_divergence,
         "survival_to_purchase": _q_survival_to_purchase,
         "negative_samples": _q_negative_samples,
@@ -4175,6 +4194,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "grouped_conformal": """
+            WITH res AS (
+              SELECT l_returnflag AS g,
+                     abs(l_extendedprice - l_quantity * 1000.0) AS r
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ),
+            n AS (SELECT g, count(*)::BIGINT AS n FROM res GROUP BY g),
+            k AS (
+              SELECT g, n, ceil((n + 1) * 0.9)::BIGINT AS k FROM n
+            ),
+            ranked AS (
+              SELECT g, r,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY r) AS rn
+              FROM res
+            )
+            SELECT k.g AS l_returnflag, k.n, k.k,
+                   round(min(CASE WHEN ranked.rn = k.k
+                                  THEN ranked.r END), 6) AS qhat
+            FROM k LEFT JOIN ranked ON k.g = ranked.g
+            GROUP BY k.g, k.n, k.k
+        """,
         "vocab_divergence": """
             WITH ta AS (
               SELECT unnest(string_split_regex(lower(trim(text)),

@@ -2411,3 +2411,68 @@ def mix_shift_decomposition(
         F.round(rate, 6).alias("rate_effect"),
         F.round(mix + rate, 6).alias("total_effect"),
     )
+
+
+def grouped_conformal_interval(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    group_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-group split-conformal half-widths (Mondrian / group-
+    conditional conformal): each group's ``qhat`` is the exact k-th
+    order statistic of ITS calibration residuals with
+    ``k_g = ceil((n_g + 1) * (1 - alpha))`` — group-conditional
+    coverage >= 1 - alpha where the global interval only guarantees
+    the marginal (per-domain error scales differ; one width fits
+    none).
+
+    Unlike the global tier (driver-folded bucket spine), this is ONE
+    lazy plan: per-(group, residual) counts, the per-group running
+    count on a group-hash window, k_g as an in-plan per-group column,
+    and the winning value by conditional ``min`` — no driver action
+    anywhere. Groups where k_g > n_g (tiny groups cannot certify
+    1 - alpha) return a null qhat honestly.
+
+    Returns (group_col, n, k, qhat) — rounded to 6.
+    """
+    import math as _m  # noqa: F401  (documented parity with global tier)
+
+    from pyspark.sql import Window as _W
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    res = F.abs(F.col(y_col) - F.col(yhat_col))
+    base = (
+        df.select(group_col, res.alias("_r"))
+        .filter(
+            F.col("_r").isNotNull()
+            & ~F.isnan("_r")
+            & F.col(group_col).isNotNull()
+        )
+    )
+    per_val = base.groupBy(group_col, "_r").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_ent = _W.partitionBy(group_col)
+    w_cum = (
+        _W.partitionBy(group_col)
+        .orderBy("_r")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    scored = (
+        per_val.withColumn("_n", F.sum("_c").over(w_ent))
+        .withColumn(
+            "_k",
+            F.ceil((F.col("_n") + 1) * F.lit(1.0 - alpha)).cast("long"),
+        )
+        .withColumn("_cum", F.sum("_c").over(w_cum))
+    )
+    return scored.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_k").alias("k"),
+        F.round(
+            F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_r"))), 6
+        ).alias("qhat"),
+    )

@@ -997,3 +997,43 @@ class TestMixShiftDecomposition:
         assert byg["born"].mix_effect > 0
         # rate effect sign matches the group's mean move
         assert byg["a"].rate_effect > 0 and byg["b"].rate_effect < 0
+
+
+class TestGroupedConformal:
+    def test_matches_per_group_order_stat(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            grouped_conformal_interval,
+        )
+
+        rng = np.random.default_rng(101)
+        rows = []
+        ref = {}
+        for g, (n, scale) in {"a": (500, 1.0), "b": (200, 5.0)}.items():
+            r = np.abs(rng.normal(0, scale, n))
+            k = int(np.ceil((n + 1) * 0.9))
+            ref[g] = (n, k, round(float(np.sort(r)[k - 1]), 6))
+            rows += [(g, float(v), 0.0) for v in r]
+        df = spark.createDataFrame(rows, "g string, y double, yhat double")
+        got = {
+            r.g: (r.n, r.k, r.qhat)
+            for r in grouped_conformal_interval(
+                df, "y", "yhat", "g", alpha=0.1
+            ).collect()
+        }
+        assert got == ref
+        # per-group widths reflect per-group scales
+        assert got["b"][2] > 3 * got["a"][2]
+
+    def test_tiny_group_returns_null(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            grouped_conformal_interval,
+        )
+
+        # n=3, alpha=0.1 -> k = ceil(4*0.9) = 4 > 3: the group cannot
+        # certify 90% coverage, so qhat is null (no silent clamp)
+        df = spark.createDataFrame(
+            [("t", float(i), 0.0) for i in range(3)],
+            "g string, y double, yhat double",
+        )
+        r = grouped_conformal_interval(df, "y", "yhat", "g").first()
+        assert r.qhat is None and r.k == 4 and r.n == 3
