@@ -430,6 +430,18 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_spearman(spark, sf_dir):
+    """Spearman rank correlation (average-rank tie convention) of
+    quantity vs extendedprice per returnflag — in-plan ranks, no
+    global sort."""
+    from spark_bestfit_spark.operators.stats import spearman_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
 def _q_grouped_conformal(spark, sf_dir):
     """Mondrian conformal half-widths per returnflag for the linear
     price predictor — per-group exact order statistics, fully in-plan
@@ -4007,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "spearman": _q_spearman,
         "grouped_conformal": _q_grouped_conformal,
         "vocab_divergence": _q_vocab_divergence,
         "survival_to_purchase": _q_survival_to_purchase,
@@ -4194,6 +4207,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spearman": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ),
+            ranked AS (
+              SELECT g, x, y,
+                     avg(rx) OVER (PARTITION BY g, x) AS rkx,
+                     avg(ry) OVER (PARTITION BY g, y) AS rky
+              FROM (
+                SELECT g, x, y,
+                       row_number() OVER (
+                         PARTITION BY g ORDER BY x) AS rx,
+                       row_number() OVER (
+                         PARTITION BY g ORDER BY y) AS ry
+                FROM base
+              )
+            )
+            SELECT g AS l_returnflag, count(*)::BIGINT AS n,
+                   round(corr(rkx, rky), 6) AS rho
+            FROM ranked GROUP BY g
+        """,
         "grouped_conformal": """
             WITH res AS (
               SELECT l_returnflag AS g,

@@ -2476,3 +2476,67 @@ def grouped_conformal_interval(
             F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_r"))), 6
         ).alias("qhat"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Spearman rank correlation (Pearson on AVERAGE ranks, the exact
+    tie convention) — the monotone-association complement to the
+    engine's Pearson surfaces: robust to outliers and nonlinearity,
+    the right default for heavy-tailed quality scores.
+
+    Average ranks come in-plan, never via a global sort: per-(group,
+    value) counts, a group-hash running-count window, and
+    ``avg_rank = cum - (c - 1) / 2`` per distinct value rejoining the
+    row stream by (group, value). One pass per column, one final
+    correlation aggregate. With ``group_col`` everything partitions
+    per group; without it the per-VALUE relation (bounded by distinct
+    values) carries the windows.
+
+    Returns (group?, n, rho) rounded to 6 (null when n < 2 or either
+    column is constant).
+    """
+    from pyspark.sql import Window as _W
+
+    keys = [group_col] if group_col else []
+    base = valid_column(
+        valid_column(df.select(*keys, x_col, y_col), x_col), y_col
+    )
+    if group_col:
+        base = base.filter(F.col(group_col).isNotNull())
+
+    def _ranked(col, tag):
+        per = base.groupBy(*keys, F.col(col).alias(f"_v{tag}")).agg(
+            F.count(F.lit(1)).alias(f"_c{tag}")
+        )
+        w = (
+            (_W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1)))
+            .orderBy(f"_v{tag}")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
+        return per.withColumn(
+            f"_rk{tag}",
+            F.sum(f"_c{tag}").over(w)
+            - (F.col(f"_c{tag}") - 1) / 2.0,
+        )
+    def _keyed(rel, tag):
+        cols = [F.col(k).alias(f"_g{tag}{i}") for i, k in enumerate(keys)]
+        return rel.select(*cols, f"_v{tag}", f"_rk{tag}")
+
+    rx = _keyed(_ranked(x_col, "x"), "x")
+    ry = _keyed(_ranked(y_col, "y"), "y")
+    cond_x = [F.col(x_col) == F.col("_vx")] + [
+        F.col(k) == F.col(f"_gx{i}") for i, k in enumerate(keys)
+    ]
+    cond_y = [F.col(y_col) == F.col("_vy")] + [
+        F.col(k) == F.col(f"_gy{i}") for i, k in enumerate(keys)
+    ]
+    joined = base.join(rx, on=cond_x).join(ry, on=cond_y)
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("_rkx", "_rky"), 6).alias("rho"),
+    )

@@ -1037,3 +1037,49 @@ class TestGroupedConformal:
         )
         r = grouped_conformal_interval(df, "y", "yhat", "g").first()
         assert r.qhat is None and r.k == 4 and r.n == 3
+
+
+class TestSpearmanCorr:
+    @staticmethod
+    def _avg_ranks(v):
+        import collections
+
+        order = sorted(v)
+        first = {}
+        cnt = collections.Counter(v)
+        pos = 1
+        for x in order:
+            if x not in first:
+                first[x] = pos
+            pos += 1
+        return [first[x] + (cnt[x] - 1) / 2 for x in v]
+
+    def test_matches_reference_with_ties(self, spark):
+        from spark_bestfit_spark.operators.stats import spearman_corr
+
+        rng = np.random.default_rng(103)
+        # heavy ties: integer-quantized values
+        x = rng.integers(0, 20, 800).astype(float)
+        y = (x + rng.integers(0, 10, 800)).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double",
+        ).repartition(6)
+        r = spearman_corr(df, "x", "y").first()
+        rx = np.array(self._avg_ranks(list(x)))
+        ry = np.array(self._avg_ranks(list(y)))
+        want = round(float(np.corrcoef(rx, ry)[0, 1]), 6)
+        assert r.rho == pytest.approx(want, abs=1e-6)
+        assert r.n == 800
+
+    def test_monotone_nonlinear_is_one_and_groups(self, spark):
+        from spark_bestfit_spark.operators.stats import spearman_corr
+
+        rows = [("g1", float(i), float(2 ** i)) for i in range(20)]
+        rows += [("g2", float(i), float(-i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {
+            r.g: r.rho
+            for r in spearman_corr(df, "x", "y", "g").collect()
+        }
+        assert got == {"g1": 1.0, "g2": -1.0}
