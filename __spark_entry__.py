@@ -430,6 +430,27 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: daily first-activity cohorts, cumulative
+    revenue per cohort member by age (integer cents for cross-engine
+    exactness)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.events import cohort_values
+
+    day_ns = 86_400_000_000_000
+    events = _read(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = cohort_values(events, "user_id", "ts", "cents", day_ns)
+    return out.select(
+        "cohort", "age", "n_active",
+        F.col("revenue").cast("long").alias("revenue"),
+        F.col("cum_revenue").cast("long").alias("cum_revenue"),
+        "ltv",
+    )
+
+
 def _q_spearman(spark, sf_dir):
     """Spearman rank correlation (average-rank tie convention) of
     quantity vs extendedprice per returnflag — in-plan ranks, no
@@ -4019,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "cohort_ltv": _q_cohort_ltv,
         "spearman": _q_spearman,
         "grouped_conformal": _q_grouped_conformal,
         "vocab_divergence": _q_vocab_divergence,
@@ -4207,6 +4229,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cohort_ltv": """
+            WITH base AS (
+              SELECT user_id,
+                     epoch_ns(ts) // 86400000000000 AS b,
+                     round(value * 100)::BIGINT AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            firsts AS (
+              SELECT user_id, min(b) AS cohort FROM base GROUP BY user_id
+            ),
+            sizes AS (
+              SELECT cohort, count(*)::BIGINT AS sz
+              FROM firsts GROUP BY cohort
+            ),
+            per AS (
+              SELECT f.cohort, b.b - f.cohort AS age,
+                     count(DISTINCT b.user_id)::BIGINT AS n_active,
+                     sum(b.v)::BIGINT AS revenue
+              FROM base b JOIN firsts f USING (user_id)
+              GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT cohort, age, n_active, revenue,
+                     sum(revenue) OVER (
+                       PARTITION BY cohort ORDER BY age
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_revenue
+              FROM per
+            )
+            SELECT c.cohort, c.age, c.n_active, c.revenue,
+                   c.cum_revenue,
+                   round(c.cum_revenue / s.sz::DOUBLE, 6) AS ltv
+            FROM cum c JOIN sizes s USING (cohort)
+        """,
         "spearman": """
             WITH base AS (
               SELECT l_returnflag AS g, l_quantity AS x,

@@ -35,6 +35,7 @@ __all__ = [
     "attribute_conversions",
     "funnel_timing",
     "seasonal_naive_backtest",
+    "cohort_values",
 ]
 
 
@@ -695,4 +696,68 @@ def seasonal_naive_backtest(
             ),
             6,
         ),
+    )
+
+
+def cohort_values(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Cohort LTV curves: entities grouped by their FIRST-activity
+    bucket (the cohort), revenue accumulated by cohort age — the
+    "how much is a January user worth after k periods" relation
+    retention dashboards draw next to :func:`cohort_retention`'s
+    counts.
+
+    One per-entity first-activity aggregate rejoins the event stream
+    on the entity key (the standard cohort shuffle), one
+    (cohort, age) rollup, and the running LTV rides a cohort-hash
+    window over the tiny per-(cohort, age) relation. Pass an
+    integer-exact value column (cents) when cross-engine 6-decimal
+    determinism matters — sums of doubles are order-sensitive.
+
+    Returns (cohort, age, n_active, revenue, cum_revenue,
+    ltv = cumulative revenue per cohort member, rounded to 6).
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    from pyspark.sql import Window as _W
+
+    b = (F.col(ts_col) / F.lit(int(bucket_width))).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        entity_col, b.alias("_b"), F.col(value_col).alias("_v")
+    )
+    firsts = base.groupBy(entity_col).agg(F.min("_b").alias("_cohort"))
+    sizes = firsts.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("_size")
+    )
+    joined = base.join(firsts, on=entity_col)
+    per = joined.groupBy(
+        F.col("_cohort").alias("cohort"),
+        (F.col("_b") - F.col("_cohort")).alias("age"),
+    ).agg(
+        F.countDistinct(entity_col).cast("long").alias("n_active"),
+        F.sum("_v").alias("_rev"),
+    )
+    w = (
+        _W.partitionBy("cohort").orderBy("age")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    out = (
+        per.withColumn("_cum", F.sum("_rev").over(w))
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_cohort", "cohort")),
+            on="cohort",
+        )
+    )
+    return out.select(
+        "cohort",
+        "age",
+        "n_active",
+        F.col("_rev").alias("revenue"),
+        F.col("_cum").alias("cum_revenue"),
+        F.round(F.col("_cum") / F.col("_size"), 6).alias("ltv"),
     )

@@ -834,3 +834,40 @@ class TestSeasonalNaiveBacktest:
             seasonal_naive_backtest(df, "e", "ts", "v", 1, 1, agg="max")
         with _pt.raises(ValueError, match="period"):
             seasonal_naive_backtest(df, "e", "ts", "v", 0, 1)
+
+
+class TestCohortValues:
+    def test_hand_computed_ltv(self, spark):
+        from spark_bestfit_spark.operators.events import cohort_values
+
+        rows = [
+            # cohort 0: u1, u2 (first activity in bucket 0)
+            ("u1", 0, 10), ("u2", 1, 20),     # u2 first at bucket 0? no:
+        ]
+        rows = [
+            ("u1", 0, 10), ("u1", 5, 30),     # ages 0, 1 (width 5)
+            ("u2", 1, 20),                     # cohort 0, age 0
+            ("u3", 6, 40), ("u3", 11, 50),    # cohort 1, ages 0, 1
+        ]
+        df = spark.createDataFrame(rows, "e string, ts long, v long")
+        got = {
+            (r.cohort, r.age): r
+            for r in cohort_values(df, "e", "ts", "v", 5).collect()
+        }
+        # cohort 0 (buckets 0): u1, u2 -> size 2
+        assert got[(0, 0)].n_active == 2
+        assert got[(0, 0)].revenue == 30
+        assert got[(0, 0)].ltv == 15.0
+        assert got[(0, 1)].revenue == 30 and got[(0, 1)].cum_revenue == 60
+        assert got[(0, 1)].ltv == 30.0
+        # cohort 1: u3 alone
+        assert got[(1, 0)].ltv == 40.0 and got[(1, 1)].ltv == 90.0
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.events import cohort_values
+
+        df = spark.createDataFrame([("e", 0, 1)], "e string, ts long, v long")
+        with _pt.raises(ValueError, match="bucket_width"):
+            cohort_values(df, "e", "ts", "v", 0)
