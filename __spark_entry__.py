@@ -430,6 +430,23 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_overlap_drift(spark, sf_dir):
+    """Histogram overlap coefficient (and binned TV distance) between
+    the F and O order-status quantity distributions — the
+    interpretable member of the drift family."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import overlap_coefficient
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return overlap_coefficient(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+        bins=64,
+    )
+
+
 def _q_cohort_ltv(spark, sf_dir):
     """Cohort LTV curves: daily first-activity cohorts, cumulative
     revenue per cohort member by age (integer cents for cross-engine
@@ -4040,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "overlap_drift": _q_overlap_drift,
         "cohort_ltv": _q_cohort_ltv,
         "spearman": _q_spearman,
         "grouped_conformal": _q_grouped_conformal,
@@ -4229,6 +4247,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "overlap_drift": """
+            WITH bounds AS (
+              SELECT min(l_extendedprice) AS lo,
+                     max(l_extendedprice) AS hi
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            binned AS (
+              SELECT l_returnflag AS side,
+                     CASE
+                       WHEN l_extendedprice < b.lo THEN 0
+                       WHEN l_extendedprice >= b.hi THEN
+                         CASE WHEN l_extendedprice = b.hi THEN 65
+                              ELSE 65 END
+                       ELSE floor((l_extendedprice - b.lo)
+                                  / ((b.hi - b.lo) / 64))::INT + 1
+                     END AS bk
+              FROM lineitem CROSS JOIN bounds b
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            ca AS (
+              SELECT bk, count(*) AS c FROM binned
+              WHERE side = 'A' GROUP BY bk
+            ),
+            cb AS (
+              SELECT bk, count(*) AS c FROM binned
+              WHERE side = 'N' GROUP BY bk
+            ),
+            j AS (
+              SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+              FROM ca FULL OUTER JOIN cb ON ca.bk = cb.bk
+            ),
+            t AS (SELECT sum(a) AS na, sum(b) AS nb FROM j)
+            SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+                   64 AS bins,
+                   round(sum(least(a / t.na::DOUBLE,
+                                   b / t.nb::DOUBLE)), 6) AS ovl,
+                   round(1.0 - sum(least(a / t.na::DOUBLE,
+                                         b / t.nb::DOUBLE)), 6) AS tv
+            FROM j CROSS JOIN t GROUP BY t.na, t.nb
+        """,
         "cohort_ltv": """
             WITH base AS (
               SELECT user_id,

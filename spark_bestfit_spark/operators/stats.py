@@ -2540,3 +2540,71 @@ def spearman_corr(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.corr("_rkx", "_rky"), 6).alias("rho"),
     )
+
+
+def overlap_coefficient(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    bins: int = 64,
+) -> DataFrame:
+    """Histogram overlap coefficient between two samples:
+    ``OVL = sum_i min(p_i, q_i)`` over shared equi-width bins — the
+    most interpretable member of the drift family (1 = identical
+    binned distributions, 0 = disjoint support), reported alongside
+    its complement, the binned total variation distance
+    ``TV = 1 - OVL``.
+
+    Shared bin edges span the UNION range (a 1-row min/max driver
+    action, the drift-family convention), each side pays one
+    map-combinable bin groupBy, the <= bins+2-row bucket relations
+    full-outer-join, and the totals ride a broadcast 1-row relation —
+    one lazy aggregation after the range probe. Bin-sensitivity is
+    inherent to OVL; the bin count is reported with the number.
+
+    Returns one row: (n_a, n_b, bins, ovl, tv) rounded to 6.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    cb = column_b or column
+    a = valid_column(df_a, column).select(F.col(column).alias("v"))
+    b = valid_column(df_b, cb).select(F.col(cb).alias("v"))
+    u = a.unionAll(b)
+    spark = df_a.sparkSession
+    stats = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if stats["lo"] is None:
+        return spark.createDataFrame(
+            [(0, 0, bins, None, None)],
+            "n_a long, n_b long, bins int, ovl double, tv double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        na, nb = a.count(), b.count()
+        ovl = 1.0 if na > 0 and nb > 0 else None
+        return spark.createDataFrame(
+            [(na, nb, bins, ovl, 0.0 if ovl else None)],
+            "n_a long, n_b long, bins int, ovl double, tv double",
+        )
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(bins))
+    ca = a.groupBy(bk.alias("bk")).agg(F.count(F.lit(1)).alias("ca"))
+    cbn = b.groupBy(bk.alias("bk")).agg(F.count(F.lit(1)).alias("cb"))
+    j = ca.join(cbn, on="bk", how="full")
+    tot = j.agg(
+        F.sum(F.coalesce("ca", F.lit(0))).alias("_na"),
+        F.sum(F.coalesce("cb", F.lit(0))).alias("_nb"),
+    )
+    scored = j.crossJoin(F.broadcast(tot))
+    ovl = F.sum(
+        F.least(
+            F.coalesce("ca", F.lit(0)) / F.col("_na"),
+            F.coalesce("cb", F.lit(0)) / F.col("_nb"),
+        )
+    )
+    return scored.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.lit(bins).cast("int").alias("bins"),
+        F.round(ovl, 6).alias("ovl"),
+        F.round(F.lit(1.0) - ovl, 6).alias("tv"),
+    )

@@ -1083,3 +1083,42 @@ class TestSpearmanCorr:
             for r in spearman_corr(df, "x", "y", "g").collect()
         }
         assert got == {"g1": 1.0, "g2": -1.0}
+
+
+class TestOverlapCoefficient:
+    def test_matches_numpy_binned_overlap(self, spark):
+        from spark_bestfit_spark.operators.stats import overlap_coefficient
+
+        rng = np.random.default_rng(107)
+        a = rng.normal(0, 1, 2000)
+        b = rng.normal(1.5, 1.2, 1500)
+        da = spark.createDataFrame([(float(v),) for v in a], "v double")
+        db = spark.createDataFrame([(float(v),) for v in b], "v double")
+        r = overlap_coefficient(da, db, "v", bins=32).first()
+        lo, hi = min(a.min(), b.min()), max(a.max(), b.max())
+        # width_bucket semantics: bucket i for [lo + i*w, lo + (i+1)*w)
+        w = (hi - lo) / 32
+        ba = np.clip(((a - lo) / w).astype(int) + 1, 1, 33)
+        bb = np.clip(((b - lo) / w).astype(int) + 1, 1, 33)
+        pa = np.bincount(ba, minlength=34) / len(a)
+        pb = np.bincount(bb, minlength=34) / len(b)
+        want = round(float(np.minimum(pa, pb).sum()), 6)
+        assert r.ovl == pytest.approx(want, abs=2e-6)
+        assert r.tv == pytest.approx(round(1 - want, 6), abs=2e-6)
+        assert r.n_a == 2000 and r.n_b == 1500
+
+    def test_disjoint_and_identical(self, spark):
+        from spark_bestfit_spark.operators.stats import overlap_coefficient
+
+        a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        b = spark.createDataFrame(
+            [(float(i + 1000),) for i in range(100)], "v double"
+        )
+        r = overlap_coefficient(a, b, "v").first()
+        assert r.ovl == 0.0 and r.tv == 1.0
+        same = overlap_coefficient(a, a, "v").first()
+        assert same.ovl == 1.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="bins"):
+            overlap_coefficient(a, b, "v", bins=1)
