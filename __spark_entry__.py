@@ -430,6 +430,16 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (tie-corrected normal approximation) between the
+    A and N returnflag price distributions — the nonparametric
+    two-sample test on the sort-free AUC spine."""
+    from spark_bestfit_spark.operators.stats import mann_whitney_u
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mann_whitney_u(li, "l_extendedprice", "l_returnflag", "A", "N")
+
+
 def _q_overlap_drift(spark, sf_dir):
     """Histogram overlap coefficient (and binned TV distance) between
     the F and O order-status quantity distributions — the
@@ -4057,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "mann_whitney": _q_mann_whitney,
         "overlap_drift": _q_overlap_drift,
         "cohort_ltv": _q_cohort_ltv,
         "spearman": _q_spearman,
@@ -4247,6 +4258,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mann_whitney": """
+            WITH t AS (
+              SELECT l_extendedprice AS v,
+                     CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END
+                       AS ia,
+                     CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+                       AS ib
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            s AS (
+              SELECT v, sum(ia)::BIGINT AS da, sum(ib)::BIGINT AS db
+              FROM t GROUP BY v
+            ),
+            c AS (
+              SELECT da, db,
+                     coalesce(sum(db) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM s
+            ),
+            tot AS (
+              SELECT sum(ia)::BIGINT AS na, sum(ib)::BIGINT AS nb
+              FROM t
+            ),
+            agg AS (
+              SELECT sum(da * (below + 0.5 * db)) AS u,
+                     sum((da + db)
+                         * (pow(da + db, 2) - 1)) AS tt
+              FROM c
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(u, 6) AS u,
+                   round(u / (na::DOUBLE * nb), 6) AS auc,
+                   round((u - na * nb / 2.0)
+                         / sqrt(na * nb / 12.0
+                                * ((na + nb + 1)
+                                   - tt / ((na + nb)::DOUBLE
+                                           * (na + nb - 1)))),
+                         6) AS z
+            FROM agg CROSS JOIN tot
+        """,
         "overlap_drift": """
             WITH bounds AS (
               SELECT min(l_extendedprice) AS lo,

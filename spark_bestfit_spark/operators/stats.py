@@ -2608,3 +2608,104 @@ def overlap_coefficient(
         F.round(ovl, 6).alias("ovl"),
         F.round(F.lit(1.0) - ovl, 6).alias("tv"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups —
+    the nonparametric two-sample location test (the inferential twin
+    of :func:`roc_auc`: ``U = AUC * n_a * n_b``), with the tie-
+    corrected normal approximation z statistic
+    (valid for n >= ~20 per arm).
+
+    Same sort-free construction as the AUC spine: per-value (a, b)
+    jump counts, bucketed exclusive offsets folded driver-side, one
+    bucket-hash window; the tie-correction term
+    ``sum t (t^2 - 1)`` rides the same per-value relation. The U
+    numerator is integer/half-integer exact.
+
+    Returns one row: (n_a, n_b, u, auc, z) rounded to 6 — z null
+    when either arm is empty or all values tie.
+    """
+    from pyspark.sql import Window as _W
+
+    va = F.col(group_col) == F.lit(group_a)
+    vb = F.col(group_col) == F.lit(group_b)
+    base = valid_column(
+        df.filter(va | vb).select(group_col, value_col), value_col
+    )
+    u = base.select(
+        F.col(value_col).alias("v"),
+        va.cast("int").alias("ia"),
+        vb.cast("int").alias("ib"),
+    )
+    spark = df.sparkSession
+    stats = u.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("ia").alias("na"), F.sum("ib").alias("nb"),
+    ).first()
+    na, nb = int(stats["na"] or 0), int(stats["nb"] or 0)
+    if na == 0 or nb == 0:
+        return spark.createDataFrame(
+            [(na, nb, None, None, None)],
+            "n_a long, n_b long, u double, auc double, z double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    n = na + nb
+    if hi <= lo:
+        return spark.createDataFrame(
+            [(na, nb, round(0.5 * na * nb, 6), 0.5, None)],
+            "n_a long, n_b long, u double, auc double, z double",
+        )
+    num_buckets = 1024
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+    btot = u.groupBy(bk.alias("bk")).agg(F.sum("ib").alias("tb")).collect()
+    acc, offs = 0, []
+    for r in sorted(btot, key=lambda r: r["bk"]):
+        offs.append((int(r["bk"]), acc))
+        acc += int(r["tb"])
+    off = spark.createDataFrame(offs, "bk long, ob long")
+    g = (
+        u.groupBy("v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .withColumn("bk", bk)
+    )
+    w = (
+        _W.partitionBy("bk").orderBy("v")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    contrib = g.join(F.broadcast(off), "bk").select(
+        (
+            F.col("da")
+            * (
+                F.col("ob") + F.sum("db").over(w) - F.col("db")
+                + F.lit(0.5) * F.col("db")
+            )
+        ).alias("c"),
+        (
+            (F.col("da") + F.col("db"))
+            * (F.pow(F.col("da") + F.col("db"), 2) - 1)
+        ).alias("tt"),
+    )
+    agg = contrib.agg(
+        F.sum("c").alias("_u"), F.sum("tt").alias("_tt")
+    ).first()
+    uval = float(agg["_u"])
+    tt = float(agg["_tt"])
+    mu = na * nb / 2.0
+    var = (
+        na * nb / 12.0 * ((n + 1) - tt / (n * (n - 1)))
+    )
+    z = (uval - mu) / (var ** 0.5) if var > 0 else None
+    return spark.createDataFrame(
+        [(
+            na, nb, round(uval, 6), round(uval / (na * nb), 6),
+            round(z, 6) if z is not None else None,
+        )],
+        "n_a long, n_b long, u double, auc double, z double",
+    )

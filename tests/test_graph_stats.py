@@ -1122,3 +1122,51 @@ class TestOverlapCoefficient:
 
         with _pt.raises(ValueError, match="bins"):
             overlap_coefficient(a, b, "v", bins=1)
+
+
+class TestMannWhitney:
+    def test_matches_reference_with_ties(self, spark):
+        from spark_bestfit_spark.operators.stats import mann_whitney_u
+
+        rng = np.random.default_rng(109)
+        a = np.round(rng.normal(0, 1, 300), 1)   # quantized -> ties
+        b = np.round(rng.normal(0.4, 1, 250), 1)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney_u(df, "v", "g", "a", "b").first()
+        # reference U via midranks
+        import collections
+
+        per = collections.defaultdict(lambda: [0, 0])
+        for v in a:
+            per[v][0] += 1
+        for v in b:
+            per[v][1] += 1
+        below_b = 0.0
+        uval = 0.0
+        tt = 0.0
+        for v in sorted(per):
+            ca, cb = per[v]
+            uval += ca * (below_b + 0.5 * cb)
+            t = ca + cb
+            tt += t * (t * t - 1)
+            below_b += cb
+        n = len(a) + len(b)
+        mu = len(a) * len(b) / 2
+        var = len(a) * len(b) / 12 * ((n + 1) - tt / (n * (n - 1)))
+        z = (uval - mu) / var ** 0.5
+        assert r.u == round(uval, 6)
+        assert r.z == pytest.approx(round(z, 6), abs=1e-6)
+        assert abs(r.z) > 2  # the 0.4 shift is detectable
+
+    def test_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import mann_whitney_u
+
+        tied = spark.createDataFrame(
+            [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "g string, v double"
+        )
+        r = mann_whitney_u(tied, "v", "g", "a", "b").first()
+        assert r.auc == 0.5 and r.z is None
+        one = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        r2 = mann_whitney_u(one, "v", "g", "a", "b").first()
+        assert r2.u is None and r2.n_b == 0
