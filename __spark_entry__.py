@@ -430,6 +430,20 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_gains_curve(spark, sf_dir):
+    """Cumulative gains / lift deciles of extendedprice as a predictor
+    of the return flag — equal-mass score bins best-first, capture
+    rates and lifts on the tiny bin relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.histogram import gains_curve
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return gains_curve(li, "l_extendedprice", "y", bins=10)
+
+
 def _q_mann_whitney(spark, sf_dir):
     """Mann-Whitney U (tie-corrected normal approximation) between the
     A and N returnflag price distributions — the nonparametric
@@ -4067,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "gains_curve": _q_gains_curve,
         "mann_whitney": _q_mann_whitney,
         "overlap_drift": _q_overlap_drift,
         "cohort_ltv": _q_cohort_ltv,
@@ -4258,6 +4273,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gains_curve": """
+            WITH e AS (
+              SELECT list_transform(
+                quantile_cont(l_extendedprice,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                x -> round(x, 6)) AS arr
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            binned AS (
+              SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                       AS y,
+                     10 - CAST(len(list_filter((SELECT arr FROM e),
+                       t -> l.l_extendedprice > t)) AS INTEGER)
+                       AS decile
+              FROM lineitem l WHERE l_extendedprice IS NOT NULL
+            ),
+            per AS (
+              SELECT decile, count(*)::BIGINT AS n,
+                     sum(y)::BIGINT AS n_pos
+              FROM binned GROUP BY decile
+            ),
+            cum AS (
+              SELECT *,
+                     sum(n_pos) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS cp,
+                     sum(n) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS cn,
+                     sum(n_pos) OVER () AS tp,
+                     sum(n) OVER () AS tn
+              FROM per
+            )
+            SELECT decile, n, n_pos,
+                   round(n_pos / n::DOUBLE, 6) AS frac_pos,
+                   round(CASE WHEN tp > 0
+                              THEN cp / tp::DOUBLE END, 6)
+                     AS cum_capture,
+                   round(CASE WHEN tp > 0
+                              THEN (cp / cn::DOUBLE)
+                                   / (tp / tn::DOUBLE) END, 6)
+                     AS cum_lift
+            FROM cum
+        """,
         "mann_whitney": """
             WITH t AS (
               SELECT l_extendedprice AS v,

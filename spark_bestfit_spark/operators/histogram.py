@@ -290,3 +290,88 @@ def response_curve(
             F.stddev_samp(y_col) / F.sqrt(F.count(F.lit(1))), 6
         ).alias("se_y"),
     )
+
+
+def gains_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Cumulative gains / lift table: equal-mass score bins ranked
+    best-first, each with its positive count, the cumulative capture
+    rate ("targeting the top k deciles catches X% of positives") and
+    the lift over the base rate — the campaign-targeting companion to
+    :func:`~spark_bestfit_spark.operators.stats.roc_auc`.
+
+    Binning is the equi-depth scheme (quantile edges rounded BEFORE
+    assignment, broadcast edges, HOF bin id, ``approx=True`` for the
+    100 TB path); the cumulative legs ride a window over the <= bins
+    result rows — nothing sorts data, only the tiny bin relation.
+
+    Returns (decile 1 = best scores, n, n_pos, frac_pos,
+    cum_capture, cum_lift) rounded to 6.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    from pyspark.sql import Window as _W
+
+    pctl = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
+    fracs = ", ".join(str(i / bins) for i in range(1, bins))
+    clean = valid_column(df.select(score_col, label_col), score_col).filter(
+        F.col(label_col).isNotNull()
+    )
+    edges = clean.agg(
+        F.expr(
+            f"transform({pctl}({score_col}, array({fracs}){acc}), "
+            "e -> round(e, 6))"
+        ).alias("_edges")
+    )
+    y = (F.col(label_col) > 0).cast("long")
+    binned = clean.crossJoin(F.broadcast(edges)).withColumn(
+        "_b",
+        F.size(
+            F.filter(F.col("_edges"), lambda e: F.col(score_col) > e)
+        ),
+    )
+    per = binned.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+    )
+    # decile 1 = highest scores = largest bin id
+    per = per.withColumn("decile", (F.lit(bins) - F.col("_b")).cast("int"))
+    w = (
+        _W.partitionBy(F.lit(1)).orderBy("decile")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    w_all = _W.partitionBy(F.lit(1))
+    out = (
+        per.withColumn("_cum_pos", F.sum("n_pos").over(w))
+        .withColumn("_cum_n", F.sum("n").over(w))
+        .withColumn("_tot_pos", F.sum("n_pos").over(w_all))
+        .withColumn("_tot_n", F.sum("n").over(w_all))
+    )
+    return out.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos"),
+        F.round(
+            F.when(
+                F.col("_tot_pos") > 0,
+                F.col("_cum_pos") / F.col("_tot_pos"),
+            ),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            F.when(
+                F.col("_tot_pos") > 0,
+                (F.col("_cum_pos") / F.col("_cum_n"))
+                / (F.col("_tot_pos") / F.col("_tot_n")),
+            ),
+            6,
+        ).alias("cum_lift"),
+    )

@@ -148,3 +148,44 @@ class TestResponseCurve:
         df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
         with pytest.raises(ValueError, match="bins"):
             response_curve(df, "x", "y", bins=1)
+
+
+class TestGainsCurve:
+    def test_informative_score_concentrates_gains(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.histogram import gains_curve
+
+        rng = np.random.default_rng(113)
+        score = rng.uniform(0, 1, 5000)
+        label = (rng.uniform(0, 1, 5000) < score**2).astype(int)
+        df = spark.createDataFrame(
+            [(float(s), int(y)) for s, y in zip(score, label)],
+            "s double, y int",
+        )
+        rows = {r.decile: r for r in gains_curve(df, "s", "y", 10).collect()}
+        assert len(rows) == 10
+        # top decile beats the base rate strongly; curve is monotone
+        assert rows[1].cum_lift > 2.0
+        captures = [rows[d].cum_capture for d in range(1, 11)]
+        assert captures == sorted(captures)
+        assert captures[-1] == 1.0
+        # frac_pos decays from best to worst decile (noisy but ordered
+        # at the ends)
+        assert rows[1].frac_pos > rows[10].frac_pos
+
+    def test_reference_counts(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.histogram import gains_curve
+
+        rng = np.random.default_rng(7)
+        s = rng.permutation(1000).astype(float)
+        y = (s >= 900).astype(int)  # top 100 scores are positive
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)], "s double, y int"
+        )
+        rows = {r.decile: r for r in gains_curve(df, "s", "y", 10).collect()}
+        assert rows[1].n_pos in (99, 100, 101)  # edge rounding
+        assert rows[1].cum_capture >= 0.99
+        assert rows[2].cum_capture == 1.0
