@@ -430,6 +430,23 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_hellinger(spark, sf_dir):
+    """Binned Hellinger distance (and Bhattacharyya coefficient)
+    between the A and N returnflag price distributions — the bounded
+    metric member of the drift family."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import hellinger_distance
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hellinger_distance(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+        bins=64,
+    )
+
+
 def _q_gains_curve(spark, sf_dir):
     """Cumulative gains / lift deciles of extendedprice as a predictor
     of the return flag — equal-mass score bins best-first, capture
@@ -4081,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "hellinger": _q_hellinger,
         "gains_curve": _q_gains_curve,
         "mann_whitney": _q_mann_whitney,
         "overlap_drift": _q_overlap_drift,
@@ -4273,6 +4291,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hellinger": """
+            WITH bounds AS (
+              SELECT min(l_extendedprice) AS lo,
+                     max(l_extendedprice) AS hi
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            binned AS (
+              SELECT l_returnflag AS side,
+                     CASE
+                       WHEN l_extendedprice >= b.hi THEN 65
+                       ELSE floor((l_extendedprice - b.lo)
+                                  / ((b.hi - b.lo) / 64))::INT + 1
+                     END AS bk
+              FROM lineitem CROSS JOIN bounds b
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            ca AS (
+              SELECT bk, count(*) AS c FROM binned
+              WHERE side = 'A' GROUP BY bk
+            ),
+            cb AS (
+              SELECT bk, count(*) AS c FROM binned
+              WHERE side = 'N' GROUP BY bk
+            ),
+            j AS (
+              SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+              FROM ca FULL OUTER JOIN cb ON ca.bk = cb.bk
+            ),
+            t AS (SELECT sum(a) AS na, sum(b) AS nb FROM j)
+            SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+                   64 AS bins,
+                   round(sum(sqrt((a / t.na::DOUBLE)
+                                  * (b / t.nb::DOUBLE))), 6) AS bc,
+                   round(sqrt(greatest(
+                     1.0 - sum(sqrt((a / t.na::DOUBLE)
+                                    * (b / t.nb::DOUBLE))), 0.0)), 6)
+                     AS hellinger
+            FROM j CROSS JOIN t GROUP BY t.na, t.nb
+        """,
         "gains_curve": """
             WITH e AS (
               SELECT list_transform(

@@ -2709,3 +2709,70 @@ def mann_whitney_u(
         )],
         "n_a long, n_b long, u double, auc double, z double",
     )
+
+
+def hellinger_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    bins: int = 64,
+) -> DataFrame:
+    """Binned Hellinger distance between two samples —
+    ``H = sqrt(1 - BC)`` with the Bhattacharyya coefficient
+    ``BC = sum_i sqrt(p_i * q_i)`` — the bounded, symmetric,
+    triangle-inequality member of the drift family (PSI diverges on
+    empty bins; KL is asymmetric; H lives in [0, 1] and is a true
+    metric).
+
+    Same construction as :func:`overlap_coefficient`: shared
+    equi-width bins over the union range (1-row min/max probe), one
+    map-combinable bin groupBy per side, a <= bins+2-row full join,
+    broadcast totals. Returns one row: (n_a, n_b, bins, bc,
+    hellinger) rounded to 6.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    cb = column_b or column
+    a = valid_column(df_a, column).select(F.col(column).alias("v"))
+    b = valid_column(df_b, cb).select(F.col(cb).alias("v"))
+    u = a.unionAll(b)
+    spark = df_a.sparkSession
+    stats = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if stats["lo"] is None:
+        return spark.createDataFrame(
+            [(0, 0, bins, None, None)],
+            "n_a long, n_b long, bins int, bc double, hellinger double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        na, nb = a.count(), b.count()
+        ok = na > 0 and nb > 0
+        return spark.createDataFrame(
+            [(na, nb, bins, 1.0 if ok else None, 0.0 if ok else None)],
+            "n_a long, n_b long, bins int, bc double, hellinger double",
+        )
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(bins))
+    ca = a.groupBy(bk.alias("bk")).agg(F.count(F.lit(1)).alias("ca"))
+    cbn = b.groupBy(bk.alias("bk")).agg(F.count(F.lit(1)).alias("cb"))
+    j = ca.join(cbn, on="bk", how="full")
+    tot = j.agg(
+        F.sum(F.coalesce("ca", F.lit(0))).alias("_na"),
+        F.sum(F.coalesce("cb", F.lit(0))).alias("_nb"),
+    )
+    scored = j.crossJoin(F.broadcast(tot))
+    bc = F.sum(
+        F.sqrt(
+            (F.coalesce("ca", F.lit(0)) / F.col("_na"))
+            * (F.coalesce("cb", F.lit(0)) / F.col("_nb"))
+        )
+    )
+    return scored.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.lit(bins).cast("int").alias("bins"),
+        F.round(bc, 6).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6).alias(
+            "hellinger"
+        ),
+    )

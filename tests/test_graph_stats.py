@@ -1170,3 +1170,31 @@ class TestMannWhitney:
         one = spark.createDataFrame([("a", 1.0)], "g string, v double")
         r2 = mann_whitney_u(one, "v", "g", "a", "b").first()
         assert r2.u is None and r2.n_b == 0
+
+
+class TestHellinger:
+    def test_matches_numpy_and_bounds(self, spark):
+        from spark_bestfit_spark.operators.stats import hellinger_distance
+
+        rng = np.random.default_rng(127)
+        a = rng.normal(0, 1, 3000)
+        b = rng.normal(2, 1, 2500)
+        da = spark.createDataFrame([(float(v),) for v in a], "v double")
+        db = spark.createDataFrame([(float(v),) for v in b], "v double")
+        r = hellinger_distance(da, db, "v", bins=32).first()
+        lo, hi = min(a.min(), b.min()), max(a.max(), b.max())
+        w = (hi - lo) / 32
+        pa = np.bincount(
+            np.clip(((a - lo) / w).astype(int) + 1, 1, 33), minlength=34
+        ) / len(a)
+        pb = np.bincount(
+            np.clip(((b - lo) / w).astype(int) + 1, 1, 33), minlength=34
+        ) / len(b)
+        bc = float(np.sqrt(pa * pb).sum())
+        assert r.bc == pytest.approx(round(bc, 6), abs=2e-6)
+        assert r.hellinger == pytest.approx(
+            round(float(np.sqrt(1 - bc)), 6), abs=2e-6
+        )
+        assert 0 < r.hellinger < 1
+        same = hellinger_distance(da, da, "v").first()
+        assert same.hellinger == 0.0 and same.bc == 1.0
