@@ -430,6 +430,23 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_cramer_von_mises(spark, sf_dir):
+    """Exact two-sample Cramér-von Mises between the A and N
+    returnflag quantity distributions — every ECDF gap accumulated on
+    the prefix-sum spine (the K-S construction with a weighted-sum
+    final aggregation)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import cramer_von_mises
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cramer_von_mises(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "N"),
+        "l_quantity",
+    )
+
+
 def _q_hellinger(spark, sf_dir):
     """Binned Hellinger distance (and Bhattacharyya coefficient)
     between the A and N returnflag price distributions — the bounded
@@ -4098,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) still executes and compares ALL
         # entries every round and fails on duplicates or
         # never-executed oracles. ----
+        "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
         "gains_curve": _q_gains_curve,
         "mann_whitney": _q_mann_whitney,
@@ -4291,6 +4309,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cramer_von_mises": """
+            WITH t AS (
+              SELECT l_quantity AS v,
+                     CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END
+                       AS ia,
+                     CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+                       AS ib
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_quantity IS NOT NULL
+            ),
+            s AS (
+              SELECT v, sum(ia)::BIGINT AS da, sum(ib)::BIGINT AS db
+              FROM t GROUP BY v
+            ),
+            tot AS (
+              SELECT sum(ia)::BIGINT AS na, sum(ib)::BIGINT AS nb
+              FROM t
+            ),
+            c AS (
+              SELECT da, db,
+                     sum(da) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cda,
+                     sum(db) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cdb
+              FROM s
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(sum((da + db)
+                             * pow(cda / na::DOUBLE
+                                   - cdb / nb::DOUBLE, 2))
+                         * (na * nb / pow(na + nb, 2)::DOUBLE), 6)
+                     AS cvm
+            FROM c CROSS JOIN tot GROUP BY na, nb
+        """,
         "hellinger": """
             WITH bounds AS (
               SELECT min(l_extendedprice) AS lo,

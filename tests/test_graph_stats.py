@@ -1198,3 +1198,32 @@ class TestHellinger:
         assert 0 < r.hellinger < 1
         same = hellinger_distance(da, da, "v").first()
         assert same.hellinger == 0.0 and same.bc == 1.0
+
+
+class TestCramerVonMises:
+    @staticmethod
+    def _ref(a, b):
+        import numpy as np
+
+        pooled = np.concatenate([a, b])
+        na, nb = len(a), len(b)
+        sa, sb = np.sort(a), np.sort(b)
+        fa = np.searchsorted(sa, pooled, side="right") / na
+        fb = np.searchsorted(sb, pooled, side="right") / nb
+        return round(
+            float(na * nb / (na + nb) ** 2 * ((fa - fb) ** 2).sum()), 6
+        )
+
+    def test_matches_reference(self, spark):
+        from spark_bestfit_spark.operators.stats import cramer_von_mises
+
+        rng = np.random.default_rng(131)
+        a = np.round(rng.normal(0, 1, 800), 2)
+        b = np.round(rng.normal(0.3, 1.3, 700), 2)
+        da = spark.createDataFrame([(float(v),) for v in a], "v double")
+        db = spark.createDataFrame([(float(v),) for v in b], "v double")
+        r = cramer_von_mises(da, db, "v").first()
+        assert r.cvm == pytest.approx(self._ref(a, b), abs=1e-6)
+        assert r.n_a == 800 and r.n_b == 700
+        same = cramer_von_mises(da, da, "v").first()
+        assert same.cvm == 0.0
