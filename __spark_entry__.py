@@ -885,7 +885,8 @@ def _q_ncm_confusion(spark, sf_dir):
 def _q_hash_features(spark, sf_dir):
     """Hashing-trick featurization of documents into signed 32-bucket
     vectors (portable md5 bucket + sign) — vocabulary-free, constant
-    dimensionality at any corpus size."""
+    dimensionality at any corpus size. Flattened to (doc_id, dim,
+    value) rows: the driver canonicalizer hashes flat scalars only."""
     import pyspark.sql.functions as F
 
     from spark_bestfit_spark.operators.similarity import hash_features
@@ -893,7 +894,11 @@ def _q_hash_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 500
     )
-    return hash_features(docs, dim=32)
+    feats = hash_features(docs, dim=32)
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("dim", "value"),
+    )
 
 
 def _q_seasonal_backtest(spark, sf_dir):
@@ -953,11 +958,21 @@ def _q_association_rules(spark, sf_dir):
 
 def _q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids: posexplode -> (label, dim)
-    map-combinable means -> in-array reassembly; no driver vectors."""
+    map-combinable means -> in-array reassembly; no driver vectors.
+    Flattened back to (label, n, norm, dim, value) rows so the driver
+    canonicalizer (flat scalars only) can hash the relation."""
+    import pyspark.sql.functions as F
+
     from spark_bestfit_spark.operators.similarity import label_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return label_centroids(emb)
+    cent = label_centroids(emb)
+    return cent.select(
+        "label",
+        "n",
+        "norm",
+        F.posexplode("centroid").alias("dim", "value"),
+    )
 
 
 def _q_readability(spark, sf_dir):
@@ -1191,11 +1206,16 @@ def _q_skew_report(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rep = skew_report(li, ["l_returnflag", "l_linestatus"], top_n=3)
+    # array_join -> one pipe-delimited string: the driver canonicalizer
+    # hashes flat scalar columns only (no array cells).
     return rep.withColumn(
         "top_keys",
-        F.transform(
-            "top_keys",
-            lambda t: F.concat(t["key"], F.lit("="), t["cnt"]),
+        F.array_join(
+            F.transform(
+                "top_keys",
+                lambda t: F.concat(t["key"], F.lit("="), t["cnt"]),
+            ),
+            "|",
         ),
     )
 
@@ -4101,70 +4121,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-7 rotation. The round-7 NEW queries lead
-        # (multimodal decodes, Wasserstein pair, events_rolling, the
-        # curation trio, the event-analytics wave, the normalization
-        # wave, the warehouse wave, duplicate_spans,
-        # streaming_anomaly, and the categorical/graph wave), then the
-        # six queries whose OPERATOR CODE changed this round (in-plan
-        # idf corpus count, prefix posting guard, IVF local-quantizer
-        # sample fix, chunk/multimodal edits), then round-6-unhashed
-        # queries — so every entry is re-hashed on the shortest
-        # possible cycle (the overflow moves r1-r5-hashed entries to
-        # the tail head). The strict local harness
-        # (tools/check_oracle.py) still executes and compares ALL
-        # entries every round and fails on duplicates or
-        # never-executed oracles. ----
-        "cramer_von_mises": _q_cramer_von_mises,
-        "hellinger": _q_hellinger,
-        "gains_curve": _q_gains_curve,
-        "mann_whitney": _q_mann_whitney,
-        "overlap_drift": _q_overlap_drift,
-        "cohort_ltv": _q_cohort_ltv,
-        "spearman": _q_spearman,
-        "grouped_conformal": _q_grouped_conformal,
-        "vocab_divergence": _q_vocab_divergence,
-        "survival_to_purchase": _q_survival_to_purchase,
-        "negative_samples": _q_negative_samples,
-        "canonical_keys": _q_canonical_keys,
-        "redact_pii": _q_redact_pii,
-        "response_curve": _q_response_curve,
-        "simpsons_check": _q_simpsons_check,
-        "mix_shift": _q_mix_shift,
-        "lead_lag": _q_lead_lag,
-        "apply_cdc": _q_apply_cdc,
-        "conformal": _q_conformal,
-        "streaming_golden_record": _q_streaming_golden_record,
-        "benford": _q_benford,
-        "snapshot_diff": _q_snapshot_diff,
-        "ncm_confusion": _q_ncm_confusion,
+        # ---- head 50: round-8 rotation closes the driver-hash ledger.
+        # The 46 queries that have NEVER carried a driver hash across
+        # rounds 1-7 (union of hash-green rows in CORRECTNESS_r01..r07)
+        # lead: the 3 formerly array-typed outputs (now flattened to
+        # scalar rows/strings for the driver canonicalizer) plus the 43
+        # first-wave round-7 queries the r7 head-50 could not fit.
+        # 46 <= 50, so CORRECTNESS_r08 completes the ledger: every
+        # query driver-hashed at least once. The 4 spare head slots and
+        # the tail keep their prior relative order. The strict local
+        # harness (tools/check_oracle.py) still executes and compares
+        # ALL entries every round and fails on duplicates, complex
+        # output types, or never-executed oracles. ----
         "hash_features": _q_hash_features,
-        "seasonal_backtest": _q_seasonal_backtest,
-        "target_encode": _q_target_encode,
-        "association_rules": _q_association_rules,
         "label_centroids": _q_label_centroids,
-        "readability": _q_readability,
-        "funnel_timing": _q_funnel_timing,
-        "pmi_collocations": _q_pmi_collocations,
-        "quality_checks": _q_quality_checks,
-        "calibration": _q_calibration,
-        "roc_auc": _q_roc_auc,
-        "ab_test": _q_ab_test,
-        "kaplan_meier": _q_kaplan_meier,
-        "resolve_entities": _q_resolve_entities,
-        "streaming_join": _q_streaming_join,
-        "set_similarity_join": _q_set_similarity_join,
-        "quantile_normalize": _q_quantile_normalize,
         "skew_report": _q_skew_report,
-        "ranking_metrics": _q_ranking_metrics,
-        "attribution": _q_attribution,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "streaming_enrich": _q_streaming_enrich,
-        "rrf_search": _q_rrf_search,
-        "cusum_changepoint": _q_cusum_changepoint,
-        "golden_record": _q_golden_record,
-        "interval_overlap": _q_interval_overlap,
-        "fuzzy_join_customers": _q_fuzzy_join_customers,
         "fuzzy_join_parts": _q_fuzzy_join_parts,
         "price_trend_ols": _q_price_trend_ols,
         "lang_source_mi": _q_lang_source_mi,
@@ -4208,6 +4179,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_cube": _q_lineitem_cube,
+        # ---- previously driver-hashed (r1-r7), prior order ----
+        "cramer_von_mises": _q_cramer_von_mises,
+        "hellinger": _q_hellinger,
+        "gains_curve": _q_gains_curve,
+        "mann_whitney": _q_mann_whitney,
+        "overlap_drift": _q_overlap_drift,
+        "cohort_ltv": _q_cohort_ltv,
+        "spearman": _q_spearman,
+        "grouped_conformal": _q_grouped_conformal,
+        "vocab_divergence": _q_vocab_divergence,
+        "survival_to_purchase": _q_survival_to_purchase,
+        "negative_samples": _q_negative_samples,
+        "canonical_keys": _q_canonical_keys,
+        "redact_pii": _q_redact_pii,
+        "response_curve": _q_response_curve,
+        "simpsons_check": _q_simpsons_check,
+        "mix_shift": _q_mix_shift,
+        "lead_lag": _q_lead_lag,
+        "apply_cdc": _q_apply_cdc,
+        "conformal": _q_conformal,
+        "streaming_golden_record": _q_streaming_golden_record,
+        "benford": _q_benford,
+        "snapshot_diff": _q_snapshot_diff,
+        "ncm_confusion": _q_ncm_confusion,
+        "seasonal_backtest": _q_seasonal_backtest,
+        "target_encode": _q_target_encode,
+        "association_rules": _q_association_rules,
+        "readability": _q_readability,
+        "funnel_timing": _q_funnel_timing,
+        "pmi_collocations": _q_pmi_collocations,
+        "quality_checks": _q_quality_checks,
+        "calibration": _q_calibration,
+        "roc_auc": _q_roc_auc,
+        "ab_test": _q_ab_test,
+        "kaplan_meier": _q_kaplan_meier,
+        "resolve_entities": _q_resolve_entities,
+        "streaming_join": _q_streaming_join,
+        "set_similarity_join": _q_set_similarity_join,
+        "quantile_normalize": _q_quantile_normalize,
+        "ranking_metrics": _q_ranking_metrics,
+        "attribution": _q_attribution,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "streaming_enrich": _q_streaming_enrich,
+        "rrf_search": _q_rrf_search,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "golden_record": _q_golden_record,
+        "interval_overlap": _q_interval_overlap,
+        "fuzzy_join_customers": _q_fuzzy_join_customers,
         "tfidf_neardup": _q_tfidf_neardup,
         "doc_top_terms": _q_doc_top_terms,
         "semantic_dedup": _q_semantic_dedup,
@@ -4216,10 +4235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_dedup": _q_streaming_dedup,
-        # ---- tail: overflow from the head-50 as round-7 operators
-        # landed (all r1-r5 driver-hashed, strict-harness-covered
-        # every round), then everything driver-hashed in round 6
-        # (CORRECTNESS_r06). ----
         "mvn_fit": _q_mvn_fit,
         "gmm_fit": _q_gmm_fit,
         "streaming_moments": _q_streaming_moments,
@@ -4229,7 +4244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_logpdf": _q_score_logpdf,
         "two_sample_ks": _q_two_sample_ks,
         "discrete_pmf_psize": _q_discrete_pmf,
-
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
         "stratum_counts": _q_stratum_counts,
@@ -4455,7 +4469,10 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             ),
             agg AS (
-              SELECT sum(da * (below + 0.5 * db)) AS u,
+              -- 0.5e0 keeps u DOUBLE end-to-end: a DECIMAL 0.5
+              -- literal propagates DECIMAL into the sum and DuckDB
+              -- then surfaces Decimal objects to pandas/pytest.
+              SELECT sum(da * (below + 0.5e0 * db))::DOUBLE AS u,
                      sum((da + db)
                          * (pow(da + db, 2) - 1)) AS tt
               FROM c
@@ -4483,9 +4500,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_returnflag AS side,
                      CASE
                        WHEN l_extendedprice < b.lo THEN 0
-                       WHEN l_extendedprice >= b.hi THEN
-                         CASE WHEN l_extendedprice = b.hi THEN 65
-                              ELSE 65 END
+                       WHEN l_extendedprice >= b.hi THEN 65
                        ELSE floor((l_extendedprice - b.lo)
                                   / ((b.hi - b.lo) / 64))::INT + 1
                      END AS bk
@@ -5124,10 +5139,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, map(list(b), list(s)) AS mp
               FROM per_bucket GROUP BY doc_id
             )
-            SELECT doc_id,
-                   list_transform(range(0, 32),
-                     i -> coalesce(mp[i][1], 0.0::DOUBLE)) AS features
-            FROM m
+            SELECT doc_id, r.i AS dim,
+                   coalesce(mp[r.i][1], 0.0::DOUBLE) AS value
+            FROM m CROSS JOIN (SELECT unnest(range(0, 32)) AS i) r
         """,
         "seasonal_backtest": """
             WITH series AS (
@@ -5227,13 +5241,18 @@ def oracle_sql() -> dict[str, str]:
             a AS (
               SELECT label, i, avg(v) AS m, count(*) AS c
               FROM x GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT label,
+                     max(c)::BIGINT AS n,
+                     round(sqrt(sum(round(m, 6) * round(m, 6))), 6)
+                       AS norm
+              FROM a GROUP BY label
             )
-            SELECT label,
-                   max(c)::BIGINT AS n,
-                   list(round(m, 6) ORDER BY i) AS centroid,
-                   round(sqrt(sum(round(m, 6) * round(m, 6))), 6)
-                     AS norm
-            FROM a GROUP BY label
+            SELECT a.label, g.n, g.norm,
+                   (a.i - 1) AS dim,
+                   round(a.m, 6) AS value
+            FROM a JOIN g ON a.label = g.label
         """,
         "readability": """
             WITH t AS (
@@ -5592,8 +5611,10 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             ),
             t AS (
-              SELECT (list(concat(key, '=', cnt)
-                           ORDER BY cnt DESC, key))[1:3] AS top_keys
+              SELECT array_to_string(
+                       (list(concat(key, '=', cnt)
+                             ORDER BY cnt DESC, key))[1:3],
+                       '|') AS top_keys
               FROM c
             )
             SELECT * FROM s CROSS JOIN t

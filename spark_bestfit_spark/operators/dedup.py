@@ -362,16 +362,60 @@ def neardup_clusters(
     cluster); grouping by component is the principled keep-one-per-
     cluster semantics.
 
-    Algorithm: min-label propagation with path halving — each round
-    every node takes the min of (its label, its neighbors' labels, its
-    label's label), so convergence is O(log diameter) rounds, each one
-    join+groupBy. Lineage is truncated per round with localCheckpoint;
-    at 100 TB scale the edge relation stays hash-partitioned on the join
-    key across rounds and nothing is ever collected to the driver."""
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    Algorithm: one min-neighbor vertex contraction, then min-label
+    propagation with path halving — each round every node takes the min
+    of (its label, its neighbors' labels, its label's label), so
+    convergence is O(log diameter) rounds, each one join+groupBy.
+    Lineage is truncated per round with localCheckpoint; at 100 TB
+    scale the edge relation stays hash-partitioned on the join key
+    across rounds and nothing is ever collected to the driver.
+
+    The contraction is correctness-preserving for ANY pair graph:
+    rep(v) = min(v, direct neighbors) always lies inside v's component
+    (one hop away), so rewriting edges to (rep(src), rep(dst)) neither
+    merges nor splits components; and the component-minimum vertex m
+    has rep(m) = m, so the propagated cluster_id (= component min) is
+    unchanged. On dup-heavy corpora exact-duplicate cliques collapse
+    to self-loops in this single map-combinable pass — typically
+    removing most edges before the first propagation round (the
+    "small-star" step of Kiveris et al., MR connected components)."""
+    # One evaluation of the (possibly expensive) upstream pair
+    # pipeline: everything downstream — the contraction and every
+    # propagation round — reads the checkpointed edge relation, never
+    # the candidate-generation lineage.
+    raw_edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    # rep(v) = min(v, neighbors): one map-combinable groupBy (edges are
+    # already bidirectional, so every vertex appears as src).
+    rep = (
+        raw_edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("_rv"),
+            F.least(F.col("src"), F.col("_mn")).alias("_rep"),
+        )
+        .localCheckpoint()
+    )
+    edges = (
+        raw_edges.join(rep, raw_edges["src"] == rep["_rv"])
+        .select(F.col("_rep").alias("src"), "dst")
+        .join(
+            rep.select(
+                F.col("_rv").alias("_dv"), F.col("_rep").alias("_dr")
+            ),
+            F.col("dst") == F.col("_dv"),
+        )
+        .select("src", F.col("_dr").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("v"))
@@ -418,8 +462,16 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("v").alias(id_col), F.col("label").alias("cluster_id")
+    # Expand the contraction: every original vertex takes its rep's
+    # propagated label; reps whose component fully collapsed (no
+    # surviving contracted edges, so absent from `labels`) keep the
+    # rep id itself — which IS the component min for collapsed cliques.
+    return (
+        rep.join(labels, rep["_rep"] == labels["v"], "left")
+        .select(
+            F.col("_rv").alias(id_col),
+            F.coalesce(F.col("label"), F.col("_rep")).alias("cluster_id"),
+        )
     )
 
 

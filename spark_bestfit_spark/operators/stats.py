@@ -2761,20 +2761,31 @@ def hellinger_distance(
         F.sum(F.coalesce("cb", F.lit(0))).alias("_nb"),
     )
     scored = j.crossJoin(F.broadcast(tot))
-    bc = F.sum(
-        F.sqrt(
-            (F.coalesce("ca", F.lit(0)) / F.col("_na"))
-            * (F.coalesce("cb", F.lit(0)) / F.col("_nb"))
-        )
-    )
+    # Zero-guarded densities: with one side empty (_na or _nb == 0)
+    # the raw division is null (or an ANSI-mode error) — guard the
+    # division, then null the outputs explicitly below, matching the
+    # documented both-sides-empty null row.
+    p_i = F.when(
+        F.col("_na") > 0, F.coalesce("ca", F.lit(0)) / F.col("_na")
+    ).otherwise(F.lit(0.0))
+    q_i = F.when(
+        F.col("_nb") > 0, F.coalesce("cb", F.lit(0)) / F.col("_nb")
+    ).otherwise(F.lit(0.0))
+    bc = F.sum(F.sqrt(p_i * q_i))
+    both = (F.max("_na") > 0) & (F.max("_nb") > 0)
     return scored.agg(
         F.max("_na").cast("long").alias("n_a"),
         F.max("_nb").cast("long").alias("n_b"),
         F.lit(bins).cast("int").alias("bins"),
-        F.round(bc, 6).alias("bc"),
-        F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6).alias(
-            "hellinger"
-        ),
+        F.when(both, F.round(bc, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bc"),
+        F.when(
+            both,
+            F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("hellinger"),
     )
 
 

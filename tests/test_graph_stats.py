@@ -1199,6 +1199,22 @@ class TestHellinger:
         same = hellinger_distance(da, da, "v").first()
         assert same.hellinger == 0.0 and same.bc == 1.0
 
+    def test_one_side_empty_null_row(self, spark):
+        from spark_bestfit_spark.operators.stats import hellinger_distance
+
+        da = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,)], "v double"
+        )
+        empty = spark.createDataFrame([], "v double")
+        r = hellinger_distance(da, empty, "v", bins=8).first()
+        assert r.n_a == 3 and r.n_b == 0
+        assert r.bc is None and r.hellinger is None
+        r2 = hellinger_distance(empty, da, "v", bins=8).first()
+        assert r2.n_a == 0 and r2.n_b == 3
+        assert r2.bc is None and r2.hellinger is None
+        r3 = hellinger_distance(empty, empty, "v", bins=8).first()
+        assert r3.bc is None and r3.hellinger is None
+
 
 class TestCramerVonMises:
     @staticmethod

@@ -30,7 +30,12 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return str(v)
+        # Coerce numerically: DuckDB surfaces DECIMAL-typed expressions
+        # (e.g. a 0.5 literal propagating into a sum) as Decimal while
+        # Spark's double stays float — mapping Decimal -> str made this
+        # twin WEAKER than check_oracle.py (the r7 mann_whitney escape).
+        f = round(float(v), 6)
+        return 0.0 if f == 0 else f
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -61,6 +66,16 @@ ORACLE_QUERIES = sorted(entry_mod.oracle_sql())
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
+    # Driver convention: flat scalar outputs only — the driver's
+    # canonicalizer cannot sort array/map/struct cells (r7 gate ERRs).
+    complex_cols = [
+        f.name for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"complex-typed output columns {complex_cols}: flatten with "
+        "posexplode/array_join before returning from queries()"
+    )
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -150,8 +150,38 @@ def main() -> int:
             continue
         executed.add(name)
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
-            odf = con.execute(oracles[name]).df()
+            sdf_spark = fn(spark, SF_DIR)
+            # Flat-scalar output lint: the driver's canonicalizer
+            # (pandas sort_values) cannot sort array/map/struct cells
+            # — it died with "unhashable type: 'list'" on exactly this
+            # in round 7. Fail locally before the driver ever sees it.
+            complex_cols = [
+                f.name for f in sdf_spark.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(f"FAIL {name}: complex-typed output columns "
+                      f"{complex_cols} — driver convention is flat "
+                      "scalars only (posexplode / array_join them)")
+                n_fail += 1
+                continue
+            sdf = sdf_spark.toPandas()
+            orel = con.sql(oracles[name])
+            # DECIMAL-typed oracle columns reach pandas as float64 via
+            # .df(), hiding Decimal-vs-float surface mismatches from
+            # all three normalizations (the r7 mann_whitney escape) —
+            # hard-fail so the oracle SQL casts ::DOUBLE instead.
+            dec_cols = [
+                c for c, t in zip(orel.columns, orel.types)
+                if "DECIMAL" in str(t).upper()
+            ]
+            if dec_cols:
+                print(f"FAIL {name}: DECIMAL-typed oracle output "
+                      f"columns {dec_cols} — cast ::DOUBLE (or use "
+                      "float literals like 0.5e0) in the oracle SQL")
+                n_fail += 1
+                continue
+            odf = orel.df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: exception {type(ex).__name__}: {ex}")
             n_fail += 1
