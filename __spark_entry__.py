@@ -4113,6 +4113,83 @@ def _q_lang_source_mi(spark, sf_dir):
     return mutual_information(docs, "lang", "source")
 
 
+def _q_theils_u(spark, sf_dir):
+    """Theil's U (uncertainty coefficient) between lineitem's return
+    flag and line status — the asymmetric direction-of-dependence
+    companion to Cramér's V; same single contingency-groupBy pass as
+    mutual_information."""
+    from spark_bestfit_spark.operators.stats import theils_u
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return theils_u(li, "l_returnflag", "l_linestatus")
+
+
+def _q_binned_mi(spark, sf_dir):
+    """Binned mutual information between extendedprice and discount
+    (8x8 equi-width grid): the nonlinear-dependence detector — one
+    1-row min/max probe, then the categorical MI spine on bucket ids
+    (exchange carries <= 100 keys)."""
+    from spark_bestfit_spark.operators.stats import binned_mi
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return binned_mi(li, "l_extendedprice", "l_discount", 8, 8)
+
+
+def _q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between A-flag and N-flag price
+    distributions (64 shared equi-width bins) — the symmetric,
+    always-finite KL-family drift metric; same binned spine as
+    hellinger/overlap."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import js_divergence
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return js_divergence(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+        bins=64,
+    )
+
+
+def _q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence + information-value terms per order priority
+    against the binary outcome 'order fully shipped' (o_orderstatus =
+    'F') — one combiner-friendly category groupBy plus a broadcast
+    1-row totals recombination."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.normalize import woe_iv
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return woe_iv(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty of every 10th document against the
+    rest of the corpus — 'how much of this text is unseen ANYWHERE in
+    what we already have'; corpus vocabulary by map-combinable
+    distinct, matched with a hash join co-partitioned on the n-gram.
+    Aggregated to per-bucket means for a compact relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    nv = ngram_novelty(probe, corpus, n=3)
+    return nv.groupBy((F.col("doc_id") % 50).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ngrams").cast("long").alias("sum_ngrams"),
+        F.sum("n_novel").cast("long").alias("sum_novel"),
+        F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4179,6 +4256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "lineitem_rollup": _q_lineitem_rollup,
         "lineitem_cube": _q_lineitem_cube,
+        # ---- round-8 additions fill the 4 spare head slots (never
+        # hashed; the strict local harness has verified them) ----
+        "theils_u": _q_theils_u,
+        "binned_mi": _q_binned_mi,
+        "js_divergence": _q_js_divergence,
+        "woe_iv": _q_woe_iv,
+        # ---- below the head-50 line: r9 rotation candidates ----
+        "ngram_novelty": _q_ngram_novelty,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -8562,5 +8647,222 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, "rank"
             FROM ranked WHERE "rank" <= 5
+        """,
+        "theils_u": """
+            WITH c AS (
+              SELECT l_returnflag AS a, l_linestatus AS b,
+                     CAST(count(*) AS DOUBLE) AS o
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            t AS (SELECT sum(o) AS n FROM c),
+            hab AS (
+              SELECT -sum((o / n) * ln(o / n)) AS h_ab FROM c, t
+            ),
+            ha AS (
+              SELECT -sum((ra / n) * ln(ra / n)) AS h_a
+              FROM (SELECT a, sum(o) AS ra FROM c GROUP BY a), t
+            ),
+            hb AS (
+              SELECT -sum((cb / n) * ln(cb / n)) AS h_b
+              FROM (SELECT b, sum(o) AS cb FROM c GROUP BY b), t
+            )
+            -- u is computed from the ROUNDED mi and marginal entropies
+            -- (the Spark operator derives it from the rounded base
+            -- relation), so the oracle rounds before dividing too
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(h_a, 6) AS h_a,
+                   round(h_b, 6) AS h_b,
+                   round(greatest(h_a + h_b - h_ab, 0), 6) AS mi,
+                   CASE WHEN round(h_a, 6) > 0 THEN
+                     round(round(greatest(h_a + h_b - h_ab, 0), 6)
+                           / round(h_a, 6), 6)
+                   END AS u_a_given_b,
+                   CASE WHEN round(h_b, 6) > 0 THEN
+                     round(round(greatest(h_a + h_b - h_ab, 0), 6)
+                           / round(h_b, 6), 6)
+                   END AS u_b_given_a
+            FROM t, hab, ha, hb
+        """,
+        "binned_mi": """
+            WITH clean AS (
+              SELECT l_extendedprice AS x, l_discount AS y
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL
+            ),
+            r AS (
+              SELECT min(x) AS xlo, max(x) AS xhi,
+                     min(y) AS ylo, max(y) AS yhi
+              FROM clean
+            ),
+            bk AS (
+              SELECT CASE WHEN x >= r.xhi THEN 9
+                          ELSE floor((x - r.xlo)
+                                     / ((r.xhi - r.xlo) / 8))::INT + 1
+                     END AS a,
+                     CASE WHEN y >= r.yhi THEN 9
+                          ELSE floor((y - r.ylo)
+                                     / ((r.yhi - r.ylo) / 8))::INT + 1
+                     END AS b
+              FROM clean CROSS JOIN r
+            ),
+            c AS (
+              SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+              FROM bk GROUP BY a, b
+            ),
+            t AS (SELECT sum(o) AS n FROM c),
+            hab AS (
+              SELECT -sum((o / n) * ln(o / n)) AS h_ab FROM c, t
+            ),
+            ha AS (
+              SELECT -sum((ra / n) * ln(ra / n)) AS h_a
+              FROM (SELECT a, sum(o) AS ra FROM c GROUP BY a), t
+            ),
+            hb AS (
+              SELECT -sum((cb / n) * ln(cb / n)) AS h_b
+              FROM (SELECT b, sum(o) AS cb FROM c GROUP BY b), t
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(h_a, 6) AS h_a,
+                   round(h_b, 6) AS h_b,
+                   round(h_ab, 6) AS h_ab,
+                   round(greatest(h_a + h_b - h_ab, 0), 6) AS mi,
+                   CASE WHEN h_a > 0 AND h_b > 0 THEN
+                     round(greatest(h_a + h_b - h_ab, 0)
+                           / sqrt(h_a * h_b), 6)
+                   END AS nmi
+            FROM t, hab, ha, hb
+        """,
+        "js_divergence": """
+            WITH bounds AS (
+              SELECT min(l_extendedprice) AS lo,
+                     max(l_extendedprice) AS hi
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            binned AS (
+              SELECT l_returnflag AS side,
+                     CASE
+                       WHEN l_extendedprice >= b.hi THEN 65
+                       ELSE floor((l_extendedprice - b.lo)
+                                  / ((b.hi - b.lo) / 64))::INT + 1
+                     END AS bk
+              FROM lineitem CROSS JOIN bounds b
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            ca AS (
+              SELECT bk, count(*) AS c FROM binned
+              WHERE side = 'A' GROUP BY bk
+            ),
+            cb AS (
+              SELECT bk, count(*) AS c FROM binned
+              WHERE side = 'N' GROUP BY bk
+            ),
+            j AS (
+              SELECT coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+              FROM ca FULL OUTER JOIN cb ON ca.bk = cb.bk
+            ),
+            t AS (SELECT sum(a) AS na, sum(b) AS nb FROM j),
+            terms AS (
+              SELECT a / t.na::DOUBLE AS p, b / t.nb::DOUBLE AS q,
+                     t.na AS na, t.nb AS nb
+              FROM j CROSS JOIN t
+            )
+            -- 0 ln 0 = 0 convention on each KL term; 0.5e0 keeps the
+            -- sum DOUBLE end-to-end (a DECIMAL 0.5 would surface
+            -- Decimal and fail the parity gate's type check)
+            SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                   64 AS bins,
+                   round(greatest(
+                     0.5e0 * sum(CASE WHEN p > 0
+                       THEN p * ln(p / ((p + q) / 2e0)) ELSE 0e0 END)
+                     + 0.5e0 * sum(CASE WHEN q > 0
+                       THEN q * ln(q / ((p + q) / 2e0)) ELSE 0e0 END),
+                     0e0), 6) AS jsd,
+                   round(greatest(
+                     0.5e0 * sum(CASE WHEN p > 0
+                       THEN p * ln(p / ((p + q) / 2e0)) ELSE 0e0 END)
+                     + 0.5e0 * sum(CASE WHEN q > 0
+                       THEN q * ln(q / ((p + q) / 2e0)) ELSE 0e0 END),
+                     0e0) / 0.6931471805599453e0, 6) AS jsd_norm
+            FROM terms
+        """,
+        "woe_iv": """
+            WITH clean AS (
+              SELECT o_orderpriority AS cat,
+                     (o_orderstatus = 'F') AS lab
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+            ),
+            per AS (
+              SELECT cat,
+                     count(*) AS n,
+                     sum(CASE WHEN lab THEN 1 ELSE 0 END) AS n_pos,
+                     sum(CASE WHEN lab THEN 0 ELSE 1 END) AS n_neg
+              FROM clean GROUP BY cat
+            ),
+            t AS (
+              SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                     count(*) AS g
+              FROM per
+            )
+            SELECT cat AS o_orderpriority,
+                   n::BIGINT AS n,
+                   n_pos::BIGINT AS n_pos,
+                   n_neg::BIGINT AS n_neg,
+                   round(ln(((n_pos + 0.5e0) / (tp + g * 0.5e0))
+                            / ((n_neg + 0.5e0) / (tn + g * 0.5e0))),
+                         6) AS woe,
+                   round((((n_pos + 0.5e0) / (tp + g * 0.5e0))
+                          - ((n_neg + 0.5e0) / (tn + g * 0.5e0)))
+                         * ln(((n_pos + 0.5e0) / (tp + g * 0.5e0))
+                              / ((n_neg + 0.5e0) / (tn + g * 0.5e0))),
+                         6) AS iv_term
+            FROM per, t
+        """,
+        "ngram_novelty": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+              FROM t
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(toks[i:i+2], ' ') AS ngram
+              FROM idx
+            ),
+            vocab AS (
+              SELECT DISTINCT ngram FROM g WHERE doc_id % 10 != 0
+            ),
+            agg AS (
+              SELECT g.doc_id,
+                     count(*) AS n_ngrams,
+                     sum(CASE WHEN v.ngram IS NULL THEN 1 ELSE 0 END)
+                       AS n_novel
+              FROM g LEFT JOIN vocab v USING (ngram)
+              WHERE g.doc_id % 10 = 0
+              GROUP BY g.doc_id
+            ),
+            per AS (
+              SELECT doc_id, n_ngrams, n_novel,
+                     round(n_novel / n_ngrams::DOUBLE, 6) AS novelty
+              FROM agg
+            )
+            SELECT (doc_id % 50)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_ngrams)::BIGINT AS sum_ngrams,
+                   sum(n_novel)::BIGINT AS sum_novel,
+                   round(avg(novelty), 6) AS avg_novelty
+            FROM per GROUP BY bucket
         """,
     }

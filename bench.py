@@ -38,14 +38,17 @@ query in a fresh process IS the fresh-session measurement.
 
 Scale-curve lines (SPARK_GRAFT_SF1=0 to skip): lineitem, documents and
 embeddings are replicated 10x into .scale_cache/sf1 (built once, reused
-across runs; documents get per-replica word suffixes and embeddings
-per-replica sign-flip patterns, so the duplicate rate — and therefore
-the dedup workload shape — matches the base corpus) and twelve
+across runs; documents get per-replica word suffixes, name keys a
+4-char per-replica suffix, and embeddings per-replica sign-flip
+patterns, so the duplicate/match rate — and therefore the dedup and
+linkage workload shapes — matches the base corpus) and sixteen
 headliners rerun at ~6M lineitem rows / 50k docs / 20k vectors:
 q_fit_full_sf1, q_hist_sf1, q_minhash_sf1, q_two_sample_ks_sf1,
 q_neardup_clusters_sf1, q_pack_sequences_sf1, q_tfidf_neardup_sf1,
 q_semantic_dedup_sf1, q_ks_by_group_sf1, q_heavy_hitters_sf1,
-q_quantile_rank_sf1, q_duplicate_spans_sf1, q_fuzzy_decontam_sf1. The histogram-based fit design predicts near-flat
+q_quantile_rank_sf1, q_duplicate_spans_sf1, q_fuzzy_decontam_sf1,
+q_set_similarity_sf1, q_fuzzy_join_sf1,
+q_resolve_entities_sf1. The histogram-based fit design predicts near-flat
 fit time (O(N) scan + O(C·D·B) driver/fan-out work) and linear
 histogram/dedup/K-S/drift scans.
 """
@@ -402,6 +405,31 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # lossless PassJoin edit-distance join + the end-to-end entity
+    # resolution built on it: the sf0.1 anchors for the sf1 scale
+    # lines below (segment blocking is the other quadratic-risk shape)
+    from spark_bestfit_spark.operators.linkage import (
+        fuzzy_join,
+        resolve_entities,
+    )
+
+    cust01 = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bench(
+        "q_fuzzy_join",
+        lambda: fuzzy_join(
+            cust01, cust01, "c_name", "c_name", "c_custkey",
+            "c_custkey", 1,
+        ).filter("id_l < id_r").count(),
+        rounds=2,
+    )
+    part01 = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bench(
+        "q_resolve_entities",
+        lambda: resolve_entities(
+            part01, "p_name", "p_partkey", max_dist=1
+        ).count(),
+        rounds=2,
+    )
     bench(
         "q_text_quality",
         lambda: with_quality_score(docs)
@@ -569,7 +597,9 @@ def main() -> None:
             "q_pack_sequences_sf1", "q_tfidf_neardup_sf1",
             "q_semantic_dedup_sf1", "q_ks_by_group_sf1",
             "q_heavy_hitters_sf1", "q_quantile_rank_sf1",
-            "q_duplicate_spans_sf1", "q_fuzzy_decontam_sf1"} & only
+            "q_duplicate_spans_sf1", "q_fuzzy_decontam_sf1",
+            "q_set_similarity_sf1", "q_fuzzy_join_sf1",
+            "q_resolve_entities_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
@@ -707,12 +737,85 @@ def main() -> None:
             ).count(),
             rounds=1,
         )
-        # NOTE: no q_set_similarity_sf1 — unigram token-set Jaccard on
-        # this shared-vocabulary corpus is OUTPUT-quadratic (true pairs
-        # scale ~n^2 by construction), so a 10x line measures result
-        # size, not plan drift; the selective shingle-set dedup tier
-        # carries the sf1 scale evidence (q_minhash_sf1,
-        # q_tfidf_neardup_sf1, q_fuzzy_decontam_sf1)
+        # PPJoin on docs1 is output-LINEAR (unlike the base corpus,
+        # whose shared unigram vocabulary makes true pairs ~n^2): the
+        # per-replica word suffixes keep replicas textually disjoint,
+        # so matches are in-replica only — 10x input, ~10x output, and
+        # the line measures plan drift, not result size
+        bench(
+            "q_set_similarity_sf1",
+            lambda: set_similarity_join(
+                docs1.filter("doc_id % 10 != 0").selectExpr(
+                    "doc_id AS id_l", "text AS ta"
+                ),
+                docs1.filter("doc_id % 10 = 0").selectExpr(
+                    "doc_id AS id_r", "text AS tb"
+                ),
+                "ta", "tb", "id_l", "id_r", 0.95,
+            ).count(),
+            rounds=1,
+        )
+        # PassJoin + entity resolution at 10x: replicated name keys
+        # with a 4-char per-replica suffix — appending the SAME suffix
+        # to both sides of a pair preserves in-replica edit distances,
+        # while cross-replica suffixes differ in >= 4 positions, far
+        # beyond max_dist — so the match rate tracks the base table
+        # at 10x the rows (the docs1 recipe, applied to names)
+        cust1_path = os.path.join(scale_dir, "customer.parquet")
+        part1_path = os.path.join(scale_dir, "part.parquet")
+        if not os.path.isdir(cust1_path):
+            suff = FB.when(F.col("_rep") == 0, F.lit("")).otherwise(
+                F.repeat(F.col("_rep").cast("string"), 4)
+            )
+            (
+                cust01.select("c_custkey", "c_name")
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (
+                        F.col("c_custkey")
+                        + F.col("_rep") * F.lit(10_000_000)
+                    ).alias("c_custkey"),
+                    F.concat(F.col("c_name"), suff).alias("c_name"),
+                )
+                .repartition(int(cpus))
+                .write.mode("overwrite")
+                .parquet(cust1_path)
+            )
+        if not os.path.isdir(part1_path):
+            suff = FB.when(F.col("_rep") == 0, F.lit("")).otherwise(
+                F.repeat(F.col("_rep").cast("string"), 4)
+            )
+            (
+                part01.select("p_partkey", "p_name")
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (
+                        F.col("p_partkey")
+                        + F.col("_rep") * F.lit(10_000_000)
+                    ).alias("p_partkey"),
+                    F.concat(F.col("p_name"), suff).alias("p_name"),
+                )
+                .repartition(int(cpus))
+                .write.mode("overwrite")
+                .parquet(part1_path)
+            )
+        cust1 = spark.read.parquet(cust1_path)
+        part1 = spark.read.parquet(part1_path)
+        bench(
+            "q_fuzzy_join_sf1",
+            lambda: fuzzy_join(
+                cust1, cust1, "c_name", "c_name", "c_custkey",
+                "c_custkey", 1,
+            ).filter("id_l < id_r").count(),
+            rounds=1,
+        )
+        bench(
+            "q_resolve_entities_sf1",
+            lambda: resolve_entities(
+                part1, "p_name", "p_partkey", max_dist=1
+            ).count(),
+            rounds=1,
+        )
         emb1 = spark.read.parquet(emb1_path)
         bench(
             "q_semantic_dedup_sf1",

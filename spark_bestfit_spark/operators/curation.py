@@ -1044,3 +1044,55 @@ def chunk_documents(
             ).alias("chunk_text")
         )
     return exploded.select(*out_cols)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus —
+    ``novelty = |distinct doc n-grams not in corpus| / |distinct doc
+    n-grams|`` — the data-curation selector for "how much NEW text
+    does this document add" (dedup asks "is this a copy of one other
+    document"; novelty asks "is any of this unseen ANYWHERE in what we
+    already have"), used to prioritize acquisition and to score
+    synthetic-data regurgitation.
+
+    Direction and scale shape are the REVERSE of
+    :func:`contamination_overlap`: there the probe side is small and
+    broadcast; here the reference side is a full corpus, so its
+    distinct n-gram vocabulary is built with one map-combinable
+    distinct and the match is a shuffle hash join co-partitioned on
+    the n-gram key — at 100 TB both sides stay hash-partitioned and
+    nothing is broadcast or collected. Documents also present in
+    ``corpus_df`` should be excluded by the caller (novelty vs a
+    corpus containing yourself is 0).
+
+    Output: ``(id_col, n_ngrams, n_novel, novelty)`` for every input
+    document, novelty rounded to 6.
+    """
+    from spark_bestfit_spark.operators.dedup import word_shingles
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    vocab = (
+        corpus_df.select(
+            F.explode(word_shingles(text_col, n)).alias("_g")
+        )
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    joined = grams.join(vocab, on="_g", how="left")
+    novel = F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        novel.cast("long").alias("n_novel"),
+        F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+    )

@@ -1524,6 +1524,102 @@ def mutual_information(
     )
 
 
+def theils_u(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient between two categorical columns
+    as a 1-row relation ``(n, h_a, h_b, mi, u_a_given_b, u_b_given_a)``
+    — the ASYMMETRIC companion to :func:`cramers_v` /
+    :func:`mutual_information`: ``U(A|B) = MI / H(A)`` is the fraction
+    of A's entropy explained by knowing B (1 = B determines A, 0 =
+    independent), and ``U(B|A) = MI / H(B)`` need not equal it — the
+    direction-of-dependence diagnostic Cramér's V cannot express
+    (e.g. a column that is a pure function of another scores 1 one
+    way but much less the other).
+
+    Same single data-sized pass as :func:`mutual_information`: one
+    combiner-friendly contingency groupBy; everything else derives
+    from that |A| x |B|-row relation via broadcast recombination.
+    Nulls excluded; ``u`` is null when the corresponding marginal is
+    constant (zero entropy). Rounded to 6.
+    """
+    base = mutual_information(df, col_a, col_b)
+    return base.select(
+        "n",
+        "h_a",
+        "h_b",
+        "mi",
+        F.round(
+            F.when(F.col("h_a") > 0, F.col("mi") / F.col("h_a")), 6
+        ).alias("u_a_given_b"),
+        F.round(
+            F.when(F.col("h_b") > 0, F.col("mi") / F.col("h_b")), 6
+        ).alias("u_b_given_a"),
+    )
+
+
+def binned_mi(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bins_x: int = 16,
+    bins_y: int = 16,
+) -> DataFrame:
+    """Mutual information between two NUMERIC columns via equi-width
+    binning — the nonlinear-dependence detector that Pearson/Spearman
+    miss (a parabola has correlation ~0 but high MI). Extends
+    :func:`mutual_information` (categorical) to continuous pairs: each
+    column is width-bucketed over its own min/max range (one 1-row
+    probe for both), then the categorical MI spine runs on the bucket
+    ids — one contingency groupBy carrying at most
+    ``(bins_x + 2) * (bins_y + 2)`` keys, so at 100 TB the exchange
+    cost equals a grouped count.
+
+    Returns ``(n, h_a, h_b, h_ab, mi, nmi)`` in nats rounded to 6
+    (``h_a``/``h_b`` are the BINNED marginal entropies; MI is the
+    binned estimate, which lower-bounds the true MI as bins shrink).
+    Rows with a null/NaN in either column are excluded; constant
+    columns yield mi = 0 with null nmi.
+    """
+    if bins_x < 2 or bins_y < 2:
+        raise ValueError("bins must be >= 2")
+    clean = df.select(
+        F.col(col_x).cast("double").alias("_x"),
+        F.col(col_y).cast("double").alias("_y"),
+    ).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & ~F.isnan("_x")
+        & ~F.isnan("_y")
+    )
+    rng = clean.agg(
+        F.min("_x").alias("xlo"),
+        F.max("_x").alias("xhi"),
+        F.min("_y").alias("ylo"),
+        F.max("_y").alias("yhi"),
+    ).first()
+    if rng["xlo"] is None:
+        return df.sparkSession.createDataFrame(
+            [(0, None, None, None, None, None)],
+            "n long, h_a double, h_b double, h_ab double, "
+            "mi double, nmi double",
+        )
+    xlo, xhi = float(rng["xlo"]), float(rng["xhi"])
+    ylo, yhi = float(rng["ylo"]), float(rng["yhi"])
+    bx = (
+        F.width_bucket(F.col("_x"), F.lit(xlo), F.lit(xhi), F.lit(bins_x))
+        if xhi > xlo
+        else F.lit(1)
+    )
+    by = (
+        F.width_bucket(F.col("_y"), F.lit(ylo), F.lit(yhi), F.lit(bins_y))
+        if yhi > ylo
+        else F.lit(1)
+    )
+    binned = clean.select(bx.alias("_bx"), by.alias("_by"))
+    return mutual_information(binned, "_bx", "_by")
+
+
 def grouped_ols(
     df: DataFrame,
     y_col,
@@ -2786,6 +2882,89 @@ def hellinger_distance(
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("hellinger"),
+    )
+
+
+def js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    bins: int = 64,
+) -> DataFrame:
+    """Binned Jensen-Shannon divergence between two samples —
+    ``JSD = 0.5 * KL(p || m) + 0.5 * KL(q || m)`` with
+    ``m = (p + q) / 2`` — the symmetric, always-finite member of the
+    KL family (raw KL diverges when q has an empty bin where p does
+    not; JSD is bounded by ln 2 in nats and its square root is a
+    metric). Completes the drift suite alongside PSI (which also
+    diverges on empty bins), Hellinger, overlap/TV, W1, K-S and CvM.
+
+    Same construction as :func:`hellinger_distance`: shared equi-width
+    bins over the union range (1-row min/max probe), one
+    map-combinable bin groupBy per side, a <= bins+2-row full join,
+    broadcast totals. Terms with ``p_i = 0`` (or ``q_i = 0``)
+    contribute 0 by the ``0 ln 0 = 0`` convention. Returns one row:
+    ``(n_a, n_b, bins, jsd, jsd_norm)`` — ``jsd`` in nats rounded to
+    6, ``jsd_norm = jsd / ln 2`` in [0, 1]; both null when either
+    side is empty.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    cb = column_b or column
+    a = valid_column(df_a, column).select(F.col(column).alias("v"))
+    b = valid_column(df_b, cb).select(F.col(cb).alias("v"))
+    u = a.unionAll(b)
+    spark = df_a.sparkSession
+    stats = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if stats["lo"] is None:
+        return spark.createDataFrame(
+            [(0, 0, bins, None, None)],
+            "n_a long, n_b long, bins int, jsd double, jsd_norm double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        na, nb = a.count(), b.count()
+        ok = na > 0 and nb > 0
+        # identical single-point distributions: JSD = 0
+        return spark.createDataFrame(
+            [(na, nb, bins, 0.0 if ok else None, 0.0 if ok else None)],
+            "n_a long, n_b long, bins int, jsd double, jsd_norm double",
+        )
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(bins))
+    ca = a.groupBy(bk.alias("bk")).agg(F.count(F.lit(1)).alias("ca"))
+    cbn = b.groupBy(bk.alias("bk")).agg(F.count(F.lit(1)).alias("cb"))
+    j = ca.join(cbn, on="bk", how="full")
+    tot = j.agg(
+        F.sum(F.coalesce("ca", F.lit(0))).alias("_na"),
+        F.sum(F.coalesce("cb", F.lit(0))).alias("_nb"),
+    )
+    scored = j.crossJoin(F.broadcast(tot))
+    p_i = F.when(
+        F.col("_na") > 0, F.coalesce("ca", F.lit(0)) / F.col("_na")
+    ).otherwise(F.lit(0.0))
+    q_i = F.when(
+        F.col("_nb") > 0, F.coalesce("cb", F.lit(0)) / F.col("_nb")
+    ).otherwise(F.lit(0.0))
+    m_i = (p_i + q_i) / F.lit(2.0)
+    # 0 ln 0 = 0: gate each KL term on its numerator being positive
+    # (m_i > 0 whenever p_i > 0 or q_i > 0, so the log is safe).
+    term_p = F.when(p_i > 0, p_i * F.log(p_i / m_i)).otherwise(F.lit(0.0))
+    term_q = F.when(q_i > 0, q_i * F.log(q_i / m_i)).otherwise(F.lit(0.0))
+    jsd = F.lit(0.5) * F.sum(term_p) + F.lit(0.5) * F.sum(term_q)
+    jsd = F.greatest(jsd, F.lit(0.0))
+    both = (F.max("_na") > 0) & (F.max("_nb") > 0)
+    ln2 = 0.6931471805599453
+    return scored.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.lit(bins).cast("int").alias("bins"),
+        F.when(both, F.round(jsd, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("jsd"),
+        F.when(both, F.round(jsd / F.lit(ln2), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("jsd_norm"),
     )
 
 

@@ -169,9 +169,35 @@ class DistributionFitResult:
 
     @classmethod
     def from_dict(cls, d: dict) -> "DistributionFitResult":
-        d = {k: v for k, v in d.items() if k != "schema_version"}
-        d["parameters"] = tuple(d.get("parameters", ()))
-        return cls(**d)
+        """Schema-versioned load (reference serialization.py:21-23,
+        85-140): accepts v1.0 payloads (no ``lower_bound`` /
+        ``upper_bound`` — added in 1.1), the reference's NESTED
+        ``{"metrics": {...}}`` layout as well as the flat layout, and
+        ignores unknown fields so newer-schema artifacts still load
+        (forward compatibility). ``distribution`` and ``parameters``
+        are required."""
+        if "distribution" not in d or "parameters" not in d:
+            raise ValueError(
+                "model payload missing required fields "
+                "'distribution'/'parameters'"
+            )
+        merged = dict(d)
+        # nested-metrics layout: lift into the flat namespace
+        metrics = merged.pop("metrics", None)
+        if isinstance(metrics, dict):
+            for k, v in metrics.items():
+                merged.setdefault(k, v)
+        known = {
+            "column_name", "distribution", "parameters", "sse", "aic",
+            "bic", "ks_statistic", "pvalue", "ad_statistic", "ad_pvalue",
+            "data_min", "data_max", "data_mean", "data_stddev",
+            "data_count", "data_kurtosis", "data_skewness",
+            "lower_bound", "upper_bound",
+        }
+        kept = {k: v for k, v in merged.items() if k in known}
+        kept["parameters"] = tuple(kept.get("parameters", ()))
+        kept.setdefault("column_name", None)
+        return cls(**kept)
 
     def save(self, path: str, format: str = "json") -> None:
         if format == "json":

@@ -180,6 +180,85 @@ class TestSerialization:
         with pytest.raises(ValueError, match="unknown format"):
             best.save(str(tmp_path / "x"), format="yaml")
 
+    def test_load_v10_fixture(self, tmp_path):
+        """Schema v1.0 artifact (pre-1.1: no lower/upper_bound keys —
+        reference serialization.py:21-22) must load and be usable."""
+        import json
+
+        v10 = {
+            "schema_version": "1.0",
+            "column_name": "v",
+            "distribution": "norm",
+            "parameters": [2.0, 3.0],
+            "sse": 0.0125,
+            "aic": 110.5,
+            "bic": 115.25,
+            "ks_statistic": 0.04,
+            "pvalue": 0.61,
+        }
+        p = str(tmp_path / "v10.json")
+        with open(p, "w") as f:
+            json.dump(v10, f)
+        m = DistributionFitResult.load(p)
+        assert m.distribution == "norm"
+        assert m.lower_bound is None and m.upper_bound is None
+        assert m.sse == pytest.approx(0.0125)
+        # the model must be executable, not just parseable
+        assert m.cdf(2.0) == pytest.approx(0.5)
+        assert m.ppf(0.5) == pytest.approx(2.0)
+
+    def test_load_nested_metrics_layout(self, tmp_path):
+        """The reference's nested {"metrics": {...}} JSON layout
+        (serialization.py:85-140 supports both) must load too."""
+        import json
+
+        nested = {
+            "schema_version": "1.1",
+            "distribution": "expon",
+            "parameters": [0.0, 2.0],
+            "metrics": {"sse": 0.002, "aic": 90.0, "ks_statistic": 0.03},
+            "data_min": 0.001,
+            "data_max": 14.2,
+        }
+        p = str(tmp_path / "nested.json")
+        with open(p, "w") as f:
+            json.dump(nested, f)
+        m = DistributionFitResult.load(p)
+        assert m.aic == pytest.approx(90.0)
+        assert m.ks_statistic == pytest.approx(0.03)
+        assert m.column_name is None
+        assert m.cdf(0.0) == pytest.approx(0.0)
+
+    def test_load_future_schema_ignores_unknown_fields(self, tmp_path):
+        """Forward compatibility: a newer-schema payload with unknown
+        fields loads, keeping every known field."""
+        import json
+
+        future = {
+            "schema_version": "9.9",
+            "column_name": "x",
+            "distribution": "uniform",
+            "parameters": [0.0, 1.0],
+            "sse": 0.1,
+            "brand_new_field": {"anything": [1, 2, 3]},
+            "another_unknown": "zzz",
+        }
+        p = str(tmp_path / "future.json")
+        with open(p, "w") as f:
+            json.dump(future, f)
+        m = DistributionFitResult.load(p)
+        assert m.distribution == "uniform"
+        assert m.sse == pytest.approx(0.1)
+
+    def test_load_missing_required_raises(self, tmp_path):
+        import json
+
+        p = str(tmp_path / "bad.json")
+        with open(p, "w") as f:
+            json.dump({"schema_version": "1.1", "distribution": "norm"}, f)
+        with pytest.raises(ValueError, match="required"):
+            DistributionFitResult.load(p)
+
 
 class TestPandasInput:
     """Duck-typed input contract (reference base_fitter.py:560-611):

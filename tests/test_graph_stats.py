@@ -1243,3 +1243,159 @@ class TestCramerVonMises:
         assert r.n_a == 800 and r.n_b == 700
         same = cramer_von_mises(da, da, "v").first()
         assert same.cvm == 0.0
+
+
+class TestTheilsU:
+    def test_deterministic_function_is_asymmetric(self, spark):
+        from spark_bestfit_spark.operators.stats import theils_u
+
+        # b = f(a) (a determines b) but a is NOT a function of b:
+        # U(B|A) = 1, U(A|B) = MI/H(A) < 1.
+        rows = [
+            ("a1", "x"), ("a1", "x"), ("a2", "y"), ("a2", "y"),
+            ("a3", "x"), ("a3", "x"), ("a4", "y"),
+        ]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = theils_u(df, "a", "b").first()
+        assert r.u_b_given_a == pytest.approx(1.0, abs=1e-6)
+        assert r.u_a_given_b < 1.0
+        # U(A|B) = MI / H(A) by definition
+        assert r.u_a_given_b == pytest.approx(
+            round(r.mi / r.h_a, 6), abs=2e-6
+        )
+
+    def test_independent_and_constant(self, spark):
+        from spark_bestfit_spark.operators.stats import theils_u
+
+        # perfectly balanced independent pair: MI = 0, U = 0 both ways
+        rows = [(a, b) for a in "pq" for b in "uv" for _ in range(5)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = theils_u(df, "a", "b").first()
+        assert r.u_a_given_b == pytest.approx(0.0, abs=1e-6)
+        assert r.u_b_given_a == pytest.approx(0.0, abs=1e-6)
+        # constant marginal: the corresponding U is null, not a 0/0
+        const = spark.createDataFrame(
+            [("k", "x"), ("k", "y"), ("k", "x")], "a string, b string"
+        )
+        rc = theils_u(const, "a", "b").first()
+        assert rc.u_a_given_b is None
+        assert rc.u_b_given_a == pytest.approx(0.0, abs=1e-6)
+
+
+class TestBinnedMI:
+    def test_parabola_beats_pearson(self, spark):
+        from spark_bestfit_spark.operators.stats import binned_mi
+
+        rng = np.random.default_rng(211)
+        x = rng.uniform(-1, 1, 4000)
+        y = x * x + rng.normal(0, 0.01, 4000)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double",
+        )
+        r = binned_mi(df, "x", "y", 16, 16).first()
+        # Pearson corr of a symmetric parabola ~ 0; binned MI is large
+        assert abs(float(np.corrcoef(x, y)[0, 1])) < 0.05
+        assert r.mi > 0.5
+        assert 0 < r.nmi <= 1
+
+    def test_matches_numpy_histogram2d(self, spark):
+        from spark_bestfit_spark.operators.stats import binned_mi
+
+        rng = np.random.default_rng(212)
+        x = rng.normal(0, 1, 2000)
+        y = 0.7 * x + rng.normal(0, 0.5, 2000)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double",
+        )
+        bx, by = 8, 8
+        r = binned_mi(df, "x", "y", bx, by).first()
+        # replicate width_bucket semantics: bucket i covers
+        # [lo + (i-1)w, lo + iw), max value lands in bucket bins+1
+        def buckets(v, bins):
+            lo, hi = v.min(), v.max()
+            w = (hi - lo) / bins
+            b = np.floor((v - lo) / w).astype(int) + 1
+            return np.minimum(b, bins + 1)
+
+        ix, iy = buckets(x, bx), buckets(y, by)
+        joint = np.zeros((bx + 2, by + 2))
+        for a, b in zip(ix, iy):
+            joint[a, b] += 1
+        p = joint / joint.sum()
+        px, py = p.sum(axis=1), p.sum(axis=0)
+        nz = p > 0
+        mi = float(
+            (p[nz] * np.log(p[nz] / np.outer(px, py)[nz])).sum()
+        )
+        assert r.mi == pytest.approx(round(mi, 6), abs=2e-6)
+        assert r.n == 2000
+
+    def test_empty_and_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import binned_mi
+
+        empty = spark.createDataFrame([], "x double, y double")
+        r = binned_mi(empty, "x", "y").first()
+        assert r.n == 0 and r.mi is None
+        df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+        with pytest.raises(ValueError, match="bins"):
+            binned_mi(df, "x", "y", 1, 8)
+
+
+class TestJSDivergence:
+    def test_matches_numpy_and_bounds(self, spark):
+        from spark_bestfit_spark.operators.stats import js_divergence
+
+        rng = np.random.default_rng(311)
+        a = rng.normal(0, 1, 3000)
+        b = rng.normal(1.5, 1.2, 2500)
+        da = spark.createDataFrame([(float(v),) for v in a], "v double")
+        db = spark.createDataFrame([(float(v),) for v in b], "v double")
+        bins = 32
+        r = js_divergence(da, db, "v", bins=bins).first()
+        lo, hi = min(a.min(), b.min()), max(a.max(), b.max())
+        w = (hi - lo) / bins
+
+        def hist(v):
+            bk = np.minimum(
+                np.floor((v - lo) / w).astype(int) + 1, bins + 1
+            )
+            return np.bincount(bk, minlength=bins + 2) / len(v)
+
+        p, q = hist(a), hist(b)
+        m = (p + q) / 2
+        kl = lambda u: float(
+            (u[u > 0] * np.log(u[u > 0] / m[u > 0])).sum()
+        )
+        jsd = 0.5 * kl(p) + 0.5 * kl(q)
+        assert r.jsd == pytest.approx(round(jsd, 6), abs=2e-6)
+        assert 0 <= r.jsd <= np.log(2) + 1e-9
+        assert r.jsd_norm == pytest.approx(
+            round(jsd / np.log(2), 6), abs=2e-6
+        )
+        same = js_divergence(da, da, "v", bins=bins).first()
+        assert same.jsd == 0.0 and same.jsd_norm == 0.0
+
+    def test_disjoint_supports_hit_ln2(self, spark):
+        from spark_bestfit_spark.operators.stats import js_divergence
+
+        da = spark.createDataFrame(
+            [(float(v),) for v in np.linspace(0, 1, 50)], "v double"
+        )
+        db = spark.createDataFrame(
+            [(float(v),) for v in np.linspace(100, 101, 50)], "v double"
+        )
+        r = js_divergence(da, db, "v", bins=64).first()
+        assert r.jsd == pytest.approx(round(float(np.log(2)), 6), abs=1e-6)
+        assert r.jsd_norm == pytest.approx(1.0, abs=1e-6)
+
+    def test_empty_sides_null(self, spark):
+        from spark_bestfit_spark.operators.stats import js_divergence
+
+        da = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        empty = spark.createDataFrame([], "v double")
+        assert js_divergence(da, empty, "v").first().jsd is None
+        assert js_divergence(empty, da, "v").first().jsd is None
+        with pytest.raises(ValueError, match="bins"):
+            js_divergence(da, da, "v", bins=1)

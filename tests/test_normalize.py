@@ -361,3 +361,59 @@ class TestTargetEncode:
         df = spark.createDataFrame([("a", 1.0)], "c string, y double")
         with _pt.raises(ValueError, match="method"):
             target_encode(df, "c", "y", method="kfold")
+
+
+class TestWoeIV:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.normalize import woe_iv
+
+        rows = (
+            [("a", 1)] * 8 + [("a", 0)] * 2
+            + [("b", 1)] * 3 + [("b", 0)] * 7
+            + [("c", 1)] * 5 + [("c", 0)] * 5
+        )
+        df = spark.createDataFrame(rows, "cat string, y int")
+        out = {
+            r.cat: r
+            for r in woe_iv(df, "cat", F.col("y") == 1, laplace=0.5)
+            .collect()
+        }
+        tp, tn, g, s = 16, 14, 3, 0.5
+        for cat, (np_, nn_) in {
+            "a": (8, 2), "b": (3, 7), "c": (5, 5)
+        }.items():
+            pp = (np_ + s) / (tp + g * s)
+            pn = (nn_ + s) / (tn + g * s)
+            woe = math.log(pp / pn)
+            r = out[cat]
+            assert r.n == np_ + nn_
+            assert r.n_pos == np_ and r.n_neg == nn_
+            assert r.woe == pytest.approx(round(woe, 6), abs=1e-6)
+            assert r.iv_term == pytest.approx(
+                round((pp - pn) * woe, 6), abs=1e-6
+            )
+
+    def test_single_class_category_stays_finite(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.normalize import woe_iv
+
+        rows = [("only_pos", 1)] * 5 + [("only_neg", 0)] * 5
+        df = spark.createDataFrame(rows, "cat string, y int")
+        out = woe_iv(df, "cat", F.col("y") == 1).collect()
+        for r in out:
+            assert r.woe is not None and abs(r.woe) < 100
+            assert r.iv_term is not None and r.iv_term >= 0
+
+    def test_string_label_col_and_null_exclusion(self, spark):
+        from spark_bestfit_spark.operators.normalize import woe_iv
+
+        rows = [("a", True), ("a", False), ("a", None), (None, True)]
+        df = spark.createDataFrame(rows, "cat string, y boolean")
+        out = woe_iv(df, "cat", "y").collect()
+        assert len(out) == 1
+        assert out[0].n == 2  # null label and null category excluded

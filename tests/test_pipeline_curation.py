@@ -1085,3 +1085,51 @@ class TestAnsiModeSafetyRound7Wave2:
             assert run() == base
         finally:
             spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+class TestNgramNovelty:
+    def test_hand_computed_novelty(self, spark):
+        from spark_bestfit_spark.operators.curation import ngram_novelty
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [
+                # 3-grams: "the quick brown", "quick brown fox" both
+                # in corpus; "brown fox sleeps" novel -> 1/3
+                (10, "the quick brown fox sleeps"),
+                # fully novel text -> 1.0
+                (11, "completely different words entirely here"),
+                # exact copy -> 0.0
+                (12, "the quick brown fox jumps"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in ngram_novelty(probe, corpus, n=3).collect()
+        }
+        assert out[10].n_ngrams == 3 and out[10].n_novel == 1
+        assert out[10].novelty == pytest.approx(round(1 / 3, 6))
+        assert out[11].novelty == 1.0
+        assert out[12].novelty == 0.0
+
+    def test_distinct_grams_counted_once_and_validation(self, spark):
+        from spark_bestfit_spark.operators.curation import ngram_novelty
+
+        corpus = spark.createDataFrame(
+            [(1, "x y")], "doc_id long, text string"
+        )
+        # "a b a b a" has 3-grams: "a b a", "b a b", "a b a" — the
+        # word_shingles spine is DISTINCT shingles, so n_ngrams = 2
+        probe = spark.createDataFrame(
+            [(10, "a b a b a")], "doc_id long, text string"
+        )
+        r = ngram_novelty(probe, corpus, n=3).first()
+        assert r.n_ngrams == 2 and r.n_novel == 2
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="n must"):
+            ngram_novelty(probe, corpus, n=0)
