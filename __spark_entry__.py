@@ -4190,6 +4190,82 @@ def _q_ngram_novelty(spark, sf_dir):
     )
 
 
+def _q_energy_distance(spark, sf_dir):
+    """Exact two-sample energy distance between A-flag and N-flag
+    price distributions — all three pairwise-mean terms from ONE
+    distinct-value prefix-sum spine (the CvM construction extended
+    with prefix value-sums); no O(n^2) pair join, no global sort."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import energy_distance
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return energy_distance(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+    )
+
+
+def _q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the three return-flag groups on price
+    — tie-corrected, average ranks from the distinct-value relation
+    (bucketed offsets + one bucket-hash window; rank sums exact)."""
+    from spark_bestfit_spark.operators.stats import kruskal_wallis
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return kruskal_wallis(li, "l_extendedprice", "l_returnflag")
+
+
+def _q_levene_price(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity W across return-flag
+    groups on price: one exact per-group median pass (broadcast
+    back), one grouped moment pass, k-row recombination."""
+    from spark_bestfit_spark.operators.stats import levene_test
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return levene_test(li, "l_extendedprice", "l_returnflag")
+
+
+def _q_fdr_by_linenumber(spark, sf_dir):
+    """Benjamini-Hochberg FDR over the per-linenumber A-vs-N exact
+    K-S sweep: the multiple-testing guard for segmented drift (7
+    segments here; 100k at scale). p is the standard first-term
+    asymptotic bound 2 exp(-2 D^2 n_a n_b / (n_a + n_b)), rounded to
+    6 BEFORE the BH pass so both engines rank identical inputs."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import (
+        fdr_correct,
+        two_sample_ks_by_group,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ks = two_sample_ks_by_group(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "N"),
+        "l_extendedprice",
+        "l_linenumber",
+    )
+    withp = ks.withColumn(
+        "p_approx",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-2.0)
+                    * F.col("d_stat") * F.col("d_stat")
+                    * F.col("n_a") * F.col("n_b")
+                    / (F.col("n_a") + F.col("n_b"))
+                ),
+            ),
+            6,
+        ),
+    )
+    return fdr_correct(withp, "p_approx", alpha=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4264,6 +4340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": _q_woe_iv,
         # ---- below the head-50 line: r9 rotation candidates ----
         "ngram_novelty": _q_ngram_novelty,
+        "energy_distance": _q_energy_distance,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "levene_price": _q_levene_price,
+        "fdr_by_linenumber": _q_fdr_by_linenumber,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -8824,6 +8904,184 @@ def oracle_sql() -> dict[str, str]:
                               / ((n_neg + 0.5e0) / (tn + g * 0.5e0))),
                          6) AS iv_term
             FROM per, t
+        """,
+        "energy_distance": """
+            WITH base AS (
+              SELECT l_extendedprice AS v,
+                     CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia,
+                     CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS ib
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            t AS (
+              SELECT sum(ia) AS na, sum(ib) AS nb,
+                     sum(v * ia) AS ta
+              FROM base
+            ),
+            g AS (
+              SELECT v, sum(ia) AS da, sum(ib) AS db
+              FROM base GROUP BY v
+            ),
+            p AS (
+              SELECT v, da, db,
+                     sum(da) OVER w AS cain,
+                     sum(v * da) OVER w AS sain,
+                     sum(db) OVER w AS cbin,
+                     sum(v * db) OVER w AS sbin
+              FROM g
+              WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            ),
+            c AS (
+              SELECT
+                sum(da * ((cain - da) * v - (sain - v * da))) AS wa,
+                sum(db * ((cbin - db) * v - (sbin - v * db))) AS wb,
+                sum(db * ((cain * v - sain)
+                          + ((t.ta - sain) - (t.na - cain) * v))) AS xy,
+                max(t.na) AS na, max(t.nb) AS nb
+              FROM p, t
+            )
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   round(xy / (na::DOUBLE * nb), 6) AS e_xy,
+                   round(wa * (2e0 / (na::DOUBLE * na)), 6) AS e_xx,
+                   round(wb * (2e0 / (nb::DOUBLE * nb)), 6) AS e_yy,
+                   round(2e0 * (xy / (na::DOUBLE * nb))
+                         - wa * (2e0 / (na::DOUBLE * na))
+                         - wb * (2e0 / (nb::DOUBLE * nb)), 6) AS dsq,
+                   round(sqrt(greatest(
+                     2e0 * (xy / (na::DOUBLE * nb))
+                     - wa * (2e0 / (na::DOUBLE * na))
+                     - wb * (2e0 / (nb::DOUBLE * nb)), 0e0)), 6) AS d
+            FROM c
+        """,
+        "kruskal_wallis": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ),
+            tv AS (SELECT v, count(*) AS t FROM base GROUP BY v),
+            rk AS (
+              SELECT v, t,
+                     sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       - t + (t + 1) / 2e0 AS avg_rank
+              FROM tv
+            ),
+            gv AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+            rs AS (
+              SELECT g, sum(c * avg_rank) AS r, sum(c) AS n_g
+              FROM gv JOIN rk USING (v) GROUP BY g
+            ),
+            tot AS (
+              SELECT count(*) AS k, sum(n_g) AS n,
+                     sum(r * r / n_g) AS rr
+              FROM rs
+            ),
+            tie AS (SELECT sum(t * t * t - t) AS tt FROM tv)
+            SELECT k::INT AS k, n::BIGINT AS n,
+                   round(CASE WHEN k >= 2 THEN
+                     12e0 / (n * (n + 1e0)) * rr - 3e0 * (n + 1e0)
+                   END, 6) AS h,
+                   round(CASE WHEN k >= 2
+                          AND (1e0 - tt / (n*n*n - n)) > 0 THEN
+                     (12e0 / (n * (n + 1e0)) * rr - 3e0 * (n + 1e0))
+                       / (1e0 - tt / (n*n*n - n))
+                   END, 6) AS h_adj
+            FROM tot, tie
+        """,
+        "levene_price": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ),
+            med AS (
+              SELECT g, quantile_cont(v, 0.5e0) AS m
+              FROM base GROUP BY g
+            ),
+            z AS (
+              SELECT base.g, abs(v - m) AS z
+              FROM base JOIN med USING (g)
+            ),
+            per AS (
+              SELECT g, count(*) AS n_g, sum(z) AS s,
+                     sum(z * z) AS ss
+              FROM z GROUP BY g
+            ),
+            agg AS (
+              SELECT count(*) AS k, sum(n_g) AS n, sum(s) AS grand,
+                     sum(s * s / n_g) AS sq, sum(ss) AS ssq,
+                     min(n_g) AS min_ng
+              FROM per
+            )
+            SELECT k::INT AS k, n::BIGINT AS n,
+                   round(CASE WHEN k >= 2 AND min_ng >= 2
+                          AND (ssq - sq) > 0 THEN
+                     (n - k) / (k - 1)
+                       * (sq - grand * grand / n) / (ssq - sq)
+                   END, 6) AS w
+            FROM agg
+        """,
+        "fdr_by_linenumber": """
+            WITH base AS (
+              SELECT l_linenumber AS g, l_returnflag AS f,
+                     l_extendedprice AS v
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+                AND l_linenumber IS NOT NULL
+            ),
+            j AS (
+              SELECT g, v,
+                     sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS da,
+                     sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS db
+              FROM base GROUP BY g, v
+            ),
+            t AS (SELECT g, sum(da) AS na, sum(db) AS nb FROM j GROUP BY g),
+            e AS (
+              SELECT j.g,
+                     abs(sum(da) OVER (PARTITION BY j.g ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING)
+                           / na::DOUBLE
+                         - sum(db) OVER (PARTITION BY j.g ORDER BY v
+                                         ROWS UNBOUNDED PRECEDING)
+                           / nb::DOUBLE) AS gap,
+                     na, nb
+              FROM j JOIN t USING (g)
+            ),
+            d AS (
+              SELECT g, round(max(gap), 6) AS d_stat,
+                     max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b
+              FROM e GROUP BY g
+            ),
+            p AS (
+              SELECT g, d_stat, n_a, n_b,
+                     round(least(1e0,
+                       2e0 * exp(-2e0 * d_stat * d_stat
+                                 * n_a * n_b / (n_a + n_b))), 6)
+                       AS p_approx
+              FROM d
+            ),
+            m AS (SELECT count(*) AS m FROM p),
+            rk AS (
+              SELECT p.*, row_number() OVER (
+                ORDER BY p_approx, g, d_stat, n_a, n_b) AS p_rank
+              FROM p
+            ),
+            q AS (
+              SELECT rk.*,
+                     round(min(least(p_approx * m.m / p_rank, 1e0))
+                       OVER (ORDER BY p_approx DESC, g DESC,
+                             d_stat DESC, n_a DESC, n_b DESC
+                             ROWS UNBOUNDED PRECEDING), 6) AS q_value
+              FROM rk, m
+            )
+            SELECT g AS l_linenumber, d_stat, n_a, n_b, p_approx,
+                   p_rank::BIGINT AS p_rank, q_value,
+                   q_value <= 0.05e0 AS reject
+            FROM q
         """,
         "ngram_novelty": """
             WITH t AS (

@@ -3054,3 +3054,367 @@ def cramer_von_mises(
         F.lit(nb).cast("long").alias("n_b"),
         F.round(t, 6).alias("cvm"),
     )
+
+
+def energy_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    column_b: str | None = None,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Exact two-sample energy distance —
+
+        D^2 = 2 E|X - Y| - E|X - X'| - E|Y - Y'|
+
+    — the drift statistic that is zero IFF the two distributions are
+    identical and stays sensitive to differences anywhere in the
+    distribution (K-S sees the worst pointwise ECDF gap, CvM the
+    integrated gap, W1 the mean gap; energy distance is the
+    rotation/scale-robust member used for e-statistics tests and as
+    the 1-D special case of MMD with the |x - y| kernel).
+
+    In 1-D every pairwise-mean term collapses onto order statistics,
+    so all three expectations come out of ONE distinct-value relation
+    with per-side prefix counts AND prefix sums — the same
+    partitioned prefix-sum spine as :func:`cramer_von_mises`
+    (per-value jumps, bucketed exclusive offsets folded driver-side,
+    one bucket-hash window), never a global single-partition sort and
+    never an O(n^2) pair join. Exchange cost: one distinct-value
+    groupBy. With the 2-decimal test data every prefix sum is exact
+    in doubles at sf <= 1.
+
+    Returns one row: ``(n_a, n_b, e_xy, e_xx, e_yy, dsq, d)`` rounded
+    to 6; null statistics when either side is empty.
+    """
+    from pyspark.sql import Window as _W
+
+    cb = column_b or column
+    a = valid_column(df_a, column).select(
+        F.col(column).alias("v"), F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    b = valid_column(df_b, cb).select(
+        F.col(cb).alias("v"), F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    u = a.unionAll(b)
+    spark = df_a.sparkSession
+    stats = u.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("ia").alias("na"), F.sum("ib").alias("nb"),
+        F.sum(F.col("v") * F.col("ia")).alias("sa"),
+    ).first()
+    na, nb = int(stats["na"] or 0), int(stats["nb"] or 0)
+    if na == 0 or nb == 0 or stats["lo"] is None:
+        return spark.createDataFrame(
+            [(na, nb, None, None, None, None, None)],
+            "n_a long, n_b long, e_xy double, e_xx double, "
+            "e_yy double, dsq double, d double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        return spark.createDataFrame(
+            [(na, nb, 0.0, 0.0, 0.0, 0.0, 0.0)],
+            "n_a long, n_b long, e_xy double, e_xx double, "
+            "e_yy double, dsq double, d double",
+        )
+    ta_sum = float(stats["sa"])
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+    btot = (
+        u.groupBy(bk.alias("bk"))
+        .agg(
+            F.sum("ia").alias("ta"), F.sum("ib").alias("tb"),
+            F.sum(F.col("v") * F.col("ia")).alias("sva"),
+            F.sum(F.col("v") * F.col("ib")).alias("svb"),
+        )
+        .collect()
+    )
+    oa = ob = 0
+    osa = osb = 0.0
+    offs = []
+    for r in sorted(btot, key=lambda r: r["bk"]):
+        offs.append((int(r["bk"]), oa, ob, osa, osb))
+        oa += int(r["ta"])
+        ob += int(r["tb"])
+        osa += float(r["sva"])
+        osb += float(r["svb"])
+    off = spark.createDataFrame(
+        offs, "bk long, oa long, ob long, osa double, osb double"
+    )
+    g = (
+        u.groupBy("v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .withColumn("bk", bk)
+    )
+    w = (
+        _W.partitionBy("bk").orderBy("v")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    v = F.col("v")
+    # inclusive prefix count/sum of side A at v (ties included —
+    # tied pairs contribute |x - y| = 0 either way)
+    c_ain = F.col("oa") + F.sum("da").over(w)
+    s_ain = F.col("osa") + F.sum(v * F.col("da")).over(w)
+    c_bin = F.col("ob") + F.sum("db").over(w)
+    s_bin = F.col("osb") + F.sum(v * F.col("db")).over(w)
+    # exclusive (strictly below v) for the within-side pair sums
+    c_aex = c_ain - F.col("da")
+    s_aex = s_ain - v * F.col("da")
+    c_bex = c_bin - F.col("db")
+    s_bex = s_bin - v * F.col("db")
+    contrib = g.join(F.broadcast(off), "bk").select(
+        (F.col("da") * (c_aex * v - s_aex)).alias("wa"),
+        (F.col("db") * (c_bex * v - s_bex)).alias("wb"),
+        (
+            F.col("db")
+            * (
+                (c_ain * v - s_ain)
+                + (
+                    (F.lit(ta_sum) - s_ain)
+                    - (F.lit(float(na)) - c_ain) * v
+                )
+            )
+        ).alias("xy"),
+    )
+    e_xx = F.sum("wa") * F.lit(2.0 / (float(na) * float(na)))
+    e_yy = F.sum("wb") * F.lit(2.0 / (float(nb) * float(nb)))
+    e_xy = F.sum("xy") / F.lit(float(na) * float(nb))
+    dsq = F.lit(2.0) * e_xy - e_xx - e_yy
+    d = F.sqrt(F.greatest(dsq, F.lit(0.0)))
+    return contrib.agg(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(e_xy, 6).alias("e_xy"),
+        F.round(e_xx, 6).alias("e_xx"),
+        F.round(e_yy, 6).alias("e_yy"),
+        F.round(dsq, 6).alias("dsq"),
+        F.round(d, 6).alias("d"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (one-way ANOVA on average ranks): are the
+    k groups drawn from the same location? With the standard tie
+    correction ``H_adj = H / (1 - sum(t^3 - t) / (N^3 - N))``.
+
+    Average ranks come from the distinct-value relation, never a
+    data-sized sort: per-value total counts -> exclusive prefix
+    counts (bucketed offsets folded driver-side + one bucket-hash
+    window, the :func:`mann_whitney_u` spine) -> average rank
+    ``below + (t + 1) / 2``; per-(value, group) counts then weight
+    those ranks into per-group rank sums with one hash join on the
+    value key. Rank sums are half-integer EXACT, so H is
+    engine-portable to the last rounded digit.
+
+    Returns one row: ``(k, n, h, h_adj)`` rounded to 6 — ``h_adj``
+    null when every value ties (zero rank variance); ``h`` null when
+    fewer than 2 groups survive cleaning.
+    """
+    from pyspark.sql import Window as _W
+
+    base = valid_column(
+        df.filter(F.col(group_col).isNotNull()).select(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        ),
+        "v",
+    )
+    spark = df.sparkSession
+    stats = base.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n = int(stats["n"] or 0)
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, 0, None, None)],
+            "k int, n long, h double, h_adj double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        k = base.select("g").distinct().count()
+        return spark.createDataFrame(
+            [(k, n, 0.0 if k >= 2 else None, None)],
+            "k int, n long, h double, h_adj double",
+        )
+    bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+    btot = (
+        base.groupBy(bk.alias("bk"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .collect()
+    )
+    acc, offs = 0, []
+    for r in sorted(btot, key=lambda r: r["bk"]):
+        offs.append((int(r["bk"]), acc))
+        acc += int(r["t"])
+    off = spark.createDataFrame(offs, "bk long, ob long")
+    tv = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("bk", bk)
+    )
+    w = (
+        _W.partitionBy("bk").orderBy("v")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    ranked = tv.join(F.broadcast(off), "bk").select(
+        "v",
+        "t",
+        (
+            F.col("ob") + F.sum("t").over(w) - F.col("t")
+            + (F.col("t") + F.lit(1)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    rs = gv.join(ranked, "v").groupBy("g").agg(
+        F.sum(F.col("c") * F.col("avg_rank")).alias("r"),
+        F.sum("c").alias("n_g"),
+    )
+    tie = ranked.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tt")
+    )
+    agg = rs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r") * F.col("r") / F.col("n_g")).alias("rr"),
+    ).crossJoin(F.broadcast(tie))
+    nf = float(n)
+    h = (
+        F.lit(12.0 / (nf * (nf + 1.0))) * F.col("rr")
+        - F.lit(3.0 * (nf + 1.0))
+    )
+    corr = F.lit(1.0) - F.col("tt") / F.lit(nf * nf * nf - nf)
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.lit(n).cast("long").alias("n"),
+        F.round(F.when(F.col("k") >= 2, h), 6).alias("h"),
+        F.round(
+            F.when((F.col("k") >= 2) & (corr > 0), h / corr), 6
+        ).alias("h_adj"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across k groups —
+    one-way ANOVA on the absolute deviations from each group's MEDIAN
+    (the robust variant of Levene's test; the mean-centered original
+    is fragile under skew, and these price columns are skewed):
+
+        W = ((N - k) / (k - 1))
+            * sum n_g (zbar_g - zbar)^2 / sum (z - zbar_g)^2,
+        z = |x - median_g|.
+
+    Two data passes, both combiner-friendly: one exact per-group
+    median aggregation (Spark's sort-based `percentile`; k rows out),
+    broadcast back, then one grouped sum/sum-of-squares pass; the
+    F-statistic recombines from the k-row relation with sums only
+    (between = sum s_g^2/n_g - S^2/N, within = sum z^2 - sum
+    s_g^2/n_g), so nothing data-sized moves twice.
+
+    Returns one row: ``(k, n, w)`` rounded to 6 — null W when k < 2,
+    any group has n < 2, or the within-group deviation is zero.
+    """
+    base = valid_column(
+        df.filter(F.col(group_col).isNotNull()).select(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        ),
+        "v",
+    )
+    meds = base.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("_med")
+    )
+    z = base.join(F.broadcast(meds), "g").select(
+        "g", F.abs(F.col("v") - F.col("_med")).alias("z")
+    )
+    per = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s").alias("grand"),
+        F.sum(F.col("s") * F.col("s") / F.col("n_g")).alias("sq"),
+        F.sum("ss").alias("ssq"),
+        F.min("n_g").alias("min_ng"),
+    )
+    between = F.col("sq") - F.col("grand") * F.col("grand") / F.col("n")
+    within = F.col("ssq") - F.col("sq")
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("min_ng") >= 2)
+        & (within > 0)
+    )
+    wstat = (
+        (F.col("n") - F.col("k")) / (F.col("k") - 1)
+        * between / within
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, wstat), 6).alias("w"),
+    )
+
+
+def fdr_correct(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a relation of
+    p-values — the multiple-testing guard for segmented drift sweeps
+    (run :func:`two_sample_ks_by_group` over 100k segments and ~5k
+    will have p < 0.05 by chance; BH keeps the FALSE-DISCOVERY RATE
+    at alpha instead):
+
+        q_(i) = min_{j >= i} ( p_(j) * m / j ), capped at 1;
+        reject (i) <=> q_(i) <= alpha.
+
+    Input is one row per TEST (a per-group statistics relation, never
+    raw data), so the two global ordered windows here run over
+    thousands of rows, not the 100 TB that produced them — the
+    data-sized work already happened inside the upstream per-group
+    test. Null p-values are excluded (they carry no test).
+
+    Returns the input columns plus ``p_rank`` (1-based ascending,
+    ties broken by the remaining sort columns for determinism),
+    ``q_value`` and ``reject``; q rounded to 6.
+    """
+    from pyspark.sql import Window as _W
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    clean = df.filter(F.col(p_col).isNotNull())
+    m = clean.agg(F.count(F.lit(1)).alias("_m"))
+    others = [c for c in clean.columns if c != p_col]
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in others]
+    wr = _W.orderBy(*order)
+    ranked = clean.crossJoin(F.broadcast(m)).withColumn(
+        "p_rank", F.row_number().over(wr)
+    )
+    raw = F.least(
+        F.col(p_col) * F.col("_m") / F.col("p_rank"), F.lit(1.0)
+    )
+    # step-up: running min from the largest p downward
+    wq = (
+        _W.orderBy(*[o.desc() for o in [F.col(p_col)]],
+                   *[F.col(c).desc() for c in others])
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    out = ranked.withColumn("q_value", F.round(F.min(raw).over(wq), 6))
+    return out.select(
+        *df.columns,
+        "p_rank",
+        "q_value",
+        (F.col("q_value") <= F.lit(alpha)).alias("reject"),
+    )

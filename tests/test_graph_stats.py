@@ -1399,3 +1399,179 @@ class TestJSDivergence:
         assert js_divergence(empty, da, "v").first().jsd is None
         with pytest.raises(ValueError, match="bins"):
             js_divergence(da, da, "v", bins=1)
+
+
+class TestEnergyDistance:
+    def test_matches_bruteforce(self, spark):
+        from spark_bestfit_spark.operators.stats import energy_distance
+
+        rng = np.random.default_rng(501)
+        a = np.round(rng.normal(0, 1, 600), 2)
+        b = np.round(rng.normal(0.5, 1.4, 500), 2)
+        da = spark.createDataFrame([(float(v),) for v in a], "v double")
+        db = spark.createDataFrame([(float(v),) for v in b], "v double")
+        r = energy_distance(da, db, "v").first()
+        exy = float(np.abs(a[:, None] - b[None, :]).mean())
+        exx = float(np.abs(a[:, None] - a[None, :]).mean())
+        eyy = float(np.abs(b[:, None] - b[None, :]).mean())
+        assert r.e_xy == pytest.approx(round(exy, 6), abs=2e-6)
+        assert r.e_xx == pytest.approx(round(exx, 6), abs=2e-6)
+        assert r.e_yy == pytest.approx(round(eyy, 6), abs=2e-6)
+        dsq = 2 * exy - exx - eyy
+        assert r.dsq == pytest.approx(round(dsq, 6), abs=5e-6)
+        assert r.d == pytest.approx(round(np.sqrt(dsq), 6), abs=5e-6)
+
+    def test_identical_and_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import energy_distance
+
+        da = spark.createDataFrame(
+            [(float(v),) for v in range(50)], "v double"
+        )
+        same = energy_distance(da, da, "v").first()
+        assert same.dsq == pytest.approx(0.0, abs=1e-9)
+        assert same.d == pytest.approx(0.0, abs=1e-6)
+        const = spark.createDataFrame([(3.0,)] * 10, "v double")
+        r = energy_distance(const, const, "v").first()
+        assert r.d == 0.0 and r.e_xy == 0.0
+        empty = spark.createDataFrame([], "v double")
+        r2 = energy_distance(da, empty, "v").first()
+        assert r2.d is None and r2.n_b == 0
+
+
+class TestKruskalWallis:
+    @staticmethod
+    def _ref_h(groups):
+        allv = np.concatenate(groups)
+        order = np.argsort(allv, kind="stable")
+        ranks = np.empty(len(allv))
+        sv = allv[order]
+        i, pos = 0, 1
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (pos + pos + (j - i) - 1) / 2.0
+            pos += j - i
+            i = j
+        N = len(allv)
+        bounds = np.cumsum([0] + [len(g) for g in groups])
+        H = 12.0 / (N * (N + 1)) * sum(
+            ranks[bounds[i]:bounds[i + 1]].sum() ** 2 / len(g)
+            for i, g in enumerate(groups)
+        ) - 3 * (N + 1)
+        _, t = np.unique(allv, return_counts=True)
+        C = 1 - float((t.astype(float) ** 3 - t).sum()) / (N ** 3 - N)
+        return H, H / C
+
+    def test_matches_reference_with_ties(self, spark):
+        from spark_bestfit_spark.operators.stats import kruskal_wallis
+
+        rng = np.random.default_rng(502)
+        gs = [
+            np.round(rng.normal(m, 1, n), 1)
+            for m, n in [(0, 300), (0.3, 250), (-0.2, 200)]
+        ]
+        rows = [
+            (chr(97 + i), float(v))
+            for i, g in enumerate(gs)
+            for v in g
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = kruskal_wallis(df, "v", "g").first()
+        H, Hadj = self._ref_h(gs)
+        assert r.h == pytest.approx(round(H, 6), abs=2e-6)
+        assert r.h_adj == pytest.approx(round(Hadj, 6), abs=2e-6)
+        assert r.k == 3 and r.n == 750
+
+    def test_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import kruskal_wallis
+
+        # all values tie -> h = 0, adj null
+        const = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 1.0)], "g string, v double"
+        )
+        r = kruskal_wallis(const, "v", "g").first()
+        assert r.h == 0.0 and r.h_adj is None
+        # single group -> h null
+        one = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, v double"
+        )
+        r2 = kruskal_wallis(one, "v", "g").first()
+        assert r2.h is None and r2.k == 1
+        empty = spark.createDataFrame([], "g string, v double")
+        r3 = kruskal_wallis(empty, "v", "g").first()
+        assert r3.n == 0 and r3.h is None
+
+
+class TestLeveneTest:
+    def test_matches_reference(self, spark):
+        from spark_bestfit_spark.operators.stats import levene_test
+
+        rng = np.random.default_rng(503)
+        gs = [
+            rng.normal(0, s, n)
+            for s, n in [(1.0, 300), (1.5, 250), (0.7, 200)]
+        ]
+        rows = [
+            (chr(97 + i), float(v))
+            for i, g in enumerate(gs)
+            for v in g
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = levene_test(df, "v", "g").first()
+        zs = [np.abs(g - np.median(g)) for g in gs]
+        N, k = 750, 3
+        zbar = np.concatenate(zs).mean()
+        between = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+        within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+        W = (N - k) / (k - 1) * between / within
+        assert r.w == pytest.approx(round(float(W), 6), abs=2e-6)
+        assert r.k == 3 and r.n == 750
+        # strongly unequal variances must score much higher than equal
+        assert r.w > 10
+
+    def test_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import levene_test
+
+        const = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+            "g string, v double",
+        )
+        assert levene_test(const, "v", "g").first().w is None
+        tiny = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("b", 5.0)], "g string, v double"
+        )
+        assert levene_test(tiny, "v", "g").first().w is None
+
+
+class TestFdrCorrect:
+    def test_matches_manual_bh(self, spark):
+        from spark_bestfit_spark.operators.stats import fdr_correct
+
+        ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074,
+              0.205, 0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34]
+        df = spark.createDataFrame(
+            [(f"t{i:02d}", p) for i, p in enumerate(ps)],
+            "test string, p double",
+        )
+        out = fdr_correct(df, "p", alpha=0.05).orderBy("p_rank").collect()
+        m = len(ps)
+        raw = [p * m / (i + 1) for i, p in enumerate(sorted(ps))]
+        want_q = [round(min(min(raw[i:]), 1.0), 6) for i in range(m)]
+        assert [r.q_value for r in out] == want_q
+        assert [r.test for r in out if r.reject] == ["t00"]
+        # monotone non-decreasing q along the rank order
+        qs = [r.q_value for r in out]
+        assert qs == sorted(qs)
+
+    def test_caps_at_one_and_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import fdr_correct
+
+        df = spark.createDataFrame(
+            [("a", 0.9), ("b", 0.95), ("c", None)], "t string, p double"
+        )
+        out = fdr_correct(df, "p").collect()
+        assert len(out) == 2  # null p excluded
+        assert all(r.q_value <= 1.0 for r in out)
+        with pytest.raises(ValueError, match="alpha"):
+            fdr_correct(df, "p", alpha=1.5)
