@@ -4266,6 +4266,78 @@ def _q_fdr_by_linenumber(spark, sf_dir):
     return fdr_correct(withp, "p_approx", alpha=0.05)
 
 
+def _q_embedding_cov(spark, sf_dir):
+    """Covariance matrix of the embedding corpus as a flat (i, j, n,
+    cov) relation — mapInPandas partial Gram blocks (count/sums/
+    cross-products per partition), combined by a (i, j) groupBy over
+    partials only; data-sized rows never shuffle."""
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(emb)
+
+
+def _q_pca_variance(spark, sf_dir):
+    """PCA spectrum of the embedding corpus: distributed covariance
+    (one data pass), driver-side eigh on the tiny d x d matrix. No
+    SQL oracle — eigendecomposition is not SQL-expressible; the
+    covariance input itself is oracle-checked by embedding_cov."""
+    from spark_bestfit_spark.operators.similarity import pca_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vdf, _ = pca_embeddings(emb, k=8)
+    return vdf
+
+
+def _q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outlier report: cosine distance to the own
+    label's centroid, z-scored within the label (mislabeled-example
+    detector), aggregated to one row per label. Distances round to 6
+    before the moment pass so z is engine-portable."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_outliers(emb, z_threshold=3.0)
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("is_outlier").cast("long"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("z").alias("max_z"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+    )
+
+
+def _q_leakage_prefix(spark, sf_dir):
+    """Train/val/test leakage audit over the deterministic Knuth-hash
+    split, keyed on a 5-word leading-prefix fingerprint (catches the
+    near-duplicate leakage this corpus actually has — exact-text
+    leakage is zero by construction). One (key, split) groupBy; the
+    rollups run on the grouped relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        hash_split,
+        leakage_check,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = hash_split(docs)
+    key = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
+        ),
+    )
+    return leakage_check(split, "split", key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4344,6 +4416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": _q_kruskal_wallis,
         "levene_price": _q_levene_price,
         "fdr_by_linenumber": _q_fdr_by_linenumber,
+        "embedding_cov": _q_embedding_cov,
+        "pca_variance": _q_pca_variance,
+        "embedding_outliers": _q_embedding_outliers,
+        "leakage_prefix": _q_leakage_prefix,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9082,6 +9158,109 @@ def oracle_sql() -> dict[str, str]:
                    p_rank::BIGINT AS p_rank, q_value,
                    q_value <= 0.05e0 AS reject
             FROM q
+        """,
+        "embedding_cov": """
+            WITH v AS (
+              SELECT embedding AS e FROM embeddings
+              WHERE embedding IS NOT NULL
+            ),
+            d AS (
+              SELECT unnest(range(1, len(e) + 1)) AS i
+              FROM (SELECT e FROM v LIMIT 1)
+            )
+            -- + 0e0 folds IEEE negative zero to +0.0: DuckDB's round
+            -- keeps -0.0 for tiny negative covariances while Spark's
+            -- ROUND (BigDecimal) surfaces +0.0 — same value, different
+            -- verbatim string
+            SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+                   count(*)::BIGINT AS n,
+                   round(covar_pop(v.e[a.i], v.e[b.i]), 6) + 0e0 AS cov
+            FROM v, d a, d b
+            WHERE a.i <= b.i
+            GROUP BY a.i, b.i
+        """,
+        "embedding_outliers": """
+            WITH v AS (
+              SELECT vec_id, label, embedding AS e FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ),
+            ex AS (
+              SELECT vec_id, label, e,
+                     unnest(range(1, len(e) + 1)) AS dim
+              FROM v
+            ),
+            expl AS (
+              SELECT vec_id, label, dim, e[dim]::DOUBLE AS val
+              FROM ex
+            ),
+            cent AS (
+              SELECT label, dim, round(avg(val), 6) AS m
+              FROM expl GROUP BY label, dim
+            ),
+            cnorm AS (
+              SELECT label, round(sqrt(sum(m * m)), 6) AS cn
+              FROM cent GROUP BY label
+            ),
+            dots AS (
+              SELECT vec_id, expl.label,
+                     sum(val * m) AS dp,
+                     sqrt(sum(val * val)) AS en
+              FROM expl JOIN cent USING (label, dim)
+              GROUP BY vec_id, expl.label
+            ),
+            dist AS (
+              SELECT vec_id, dots.label,
+                     round(1e0 - dp / (en * cn), 6) AS dist
+              FROM dots JOIN cnorm USING (label)
+            ),
+            mom AS (
+              SELECT label, avg(dist) AS mu,
+                     stddev_pop(dist) AS sd, count(*) AS cnt
+              FROM dist GROUP BY label
+            ),
+            z AS (
+              SELECT dist.label, dist,
+                     CASE WHEN sd > 0 AND cnt > 1 THEN
+                       round((dist - mu) / sd, 6)
+                     END AS z
+              FROM dist JOIN mom USING (label)
+            )
+            SELECT label, count(*)::BIGINT AS n,
+                   sum(CASE WHEN z > 3e0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_outliers,
+                   max(z) AS max_z,
+                   round(avg(dist), 6) AS avg_dist
+            FROM z GROUP BY label
+        """,
+        "leakage_prefix": """
+            WITH u AS (
+              SELECT array_to_string(
+                       (string_split_regex(lower(trim(text)),
+                                           '\\s+'))[1:5], ' ') AS key,
+                     CASE WHEN (((doc_id + 1) * 2654435761)
+                                % 4294967296) / 4294967296.0 < 0.98
+                            THEN 'train'
+                          WHEN (((doc_id + 1) * 2654435761)
+                                % 4294967296) / 4294967296.0
+                               < (0.98 + 0.01)
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            per AS (
+              SELECT key, split, count(*) AS c
+              FROM u GROUP BY key, split
+            ),
+            sp AS (SELECT key, count(*) AS ns FROM per GROUP BY key)
+            SELECT split,
+                   sum(c)::BIGINT AS n_docs,
+                   sum(CASE WHEN ns > 1 THEN c ELSE 0 END)::BIGINT
+                     AS n_leaked,
+                   round(sum(CASE WHEN ns > 1 THEN c ELSE 0 END)
+                         / sum(c)::DOUBLE, 6) AS leak_frac
+            FROM per JOIN sp USING (key)
+            GROUP BY split
         """,
         "ngram_novelty": """
             WITH t AS (

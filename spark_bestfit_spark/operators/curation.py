@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from spark_bestfit_spark.operators.dedup import _normalized, word_shingles
 
@@ -1095,4 +1095,75 @@ def ngram_novelty(
         F.count(F.lit(1)).cast("long").alias("n_ngrams"),
         novel.cast("long").alias("n_novel"),
         F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+    )
+
+
+def leakage_check(
+    df: DataFrame,
+    split_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+) -> DataFrame:
+    """Train/eval leakage report: per split, how many documents share
+    their EXACT normalized text with a document in a DIFFERENT split
+    — the contamination audit every train/val/test cut needs before
+    an eval number can be trusted (a val doc whose text also sits in
+    train measures memorization, not generalization).
+
+    One data-sized exchange: a (normalized-text, split) groupBy; the
+    spanning test and both per-split rollups run on that grouped
+    relation (distinct texts x splits rows), co-partitioned on the
+    text key so the self-join never reshuffles. Normalization matches
+    :func:`spark_bestfit_spark.operators.dedup.exact_dedup`
+    (lower/trim/whitespace-collapse); a production pipeline would
+    group on the 128-bit content hash instead of the string — the
+    group structure is identical, the key just smaller.
+
+    ``key`` overrides the content key (a Column expression over the
+    input row) for coarser leakage notions — e.g. a leading-k-word
+    prefix fingerprint catches near-duplicate leakage that exact text
+    equality misses, a URL-domain key catches source-level leakage.
+
+    Returns one row per split: ``(split_col, n_docs, n_leaked,
+    leak_frac)`` with leak_frac rounded to 6.
+    """
+    from spark_bestfit_spark.operators.dedup import (
+        _normalized,
+        ensure_parallelism,
+    )
+
+    base = ensure_parallelism(
+        df.filter(
+            F.col(split_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+    ).select(
+        F.col(split_col).alias("_split"),
+        (key if key is not None else _normalized(text_col)).alias(
+            "_key"
+        ),
+    )
+    per = base.groupBy("_key", "_split").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    spans = per.groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_nsplits")
+    )
+    joined = per.join(spans, "_key")
+    return (
+        joined.groupBy("_split")
+        .agg(
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_nsplits") > 1, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_leaked"),
+        )
+        .select(
+            F.col("_split").alias(split_col),
+            "n_docs",
+            "n_leaked",
+            F.round(F.col("n_leaked") / F.col("n_docs"), 6).alias(
+                "leak_frac"
+            ),
+        )
     )

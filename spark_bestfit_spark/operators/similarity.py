@@ -1155,3 +1155,235 @@ def negative_samples(
         F.col("_e._pid").alias("neg_id"),
         (F.col("_r") + 1).cast("int").alias("rank"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as a flat
+    ``(i, j, n, cov)`` relation — the d x d Gram reduction that seeds
+    PCA (:func:`pca_embeddings`), whitening, and Mahalanobis scoring.
+
+    Scale shape: ``mapInPandas`` folds each input batch into ONE
+    partial-sufficient-statistics block (count, per-dim sums and the
+    d^2 cross-product sums as numpy matmuls — Arrow-batched, never a
+    per-row Python loop), emitted as d^2 tiny rows per PARTITION; the
+    final combine is a groupBy over (i, j) keys on those
+    partials-only rows. At 100 TB the exchange carries
+    ``partitions x d^2`` floats — data-sized work never shuffles, and
+    there is no (row x dim x dim) explode-join. ``cov = E[xy] -
+    E[x]E[y]`` (population; embeddings are near zero-mean so the
+    one-pass form is numerically safe). Rows with null vectors are
+    skipped; ragged dimensions raise inside the task.
+
+    Returns ``(i, j, n, cov)`` with 0-based dims, ``i <= j`` when
+    ``upper_only`` (the matrix is symmetric), cov rounded to 6.
+    """
+    import pandas as _pd
+
+    def fold(batches):
+        n = 0
+        s = None
+        g = None
+        d = 0
+        for pdf in batches:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in col]
+            )
+            if s is None:
+                d = m.shape[1]
+                s = np.zeros(d)
+                g = np.zeros((d, d))
+            elif m.shape[1] != d:
+                raise ValueError(
+                    f"ragged embedding dims: {m.shape[1]} != {d}"
+                )
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(
+            np.arange(d), np.arange(d), indexing="ij"
+        )
+        yield _pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "n": np.full(d * d, n, dtype="int64"),
+                "sx": np.repeat(s, d),
+                "sy": np.tile(s, d),
+                "sxy": g.ravel(),
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(
+        fold, "i int, j int, n long, sx double, sy double, sxy double"
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("_n"),
+        F.sum("sx").alias("_sx"),
+        F.sum("sy").alias("_sy"),
+        F.sum("sxy").alias("_sxy"),
+    )
+    if upper_only:
+        agg = agg.filter(F.col("i") <= F.col("j"))
+    cov = (
+        F.col("_sxy") / F.col("_n")
+        - (F.col("_sx") / F.col("_n")) * (F.col("_sy") / F.col("_n"))
+    )
+    return agg.select(
+        "i",
+        "j",
+        F.col("_n").cast("long").alias("n"),
+        F.round(cov, 6).alias("cov"),
+    )
+
+
+def pca_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+):
+    """PCA over an embedding column: distributed covariance
+    (:func:`embedding_covariance` — one data pass, d^2-sized
+    exchange), then an eigendecomposition of the TINY d x d matrix on
+    the driver (numpy ``eigh``; d is 64-1024 for real embedding
+    models, never data-sized) — the standard split for PCA at
+    cluster scale (compute sufficient statistics distributed, solve
+    the small dense problem locally).
+
+    Returns ``(variance_df, components)``: a DataFrame
+    ``(component, eigenvalue, explained_var, cum_var)`` for the top-k
+    components (eigenvalue-descending, rounded to 6) and the
+    ``(k, d)`` numpy array of principal axes (sign-normalized so each
+    axis's largest-|coordinate| entry is positive — eigenvector sign
+    is otherwise arbitrary and would break determinism).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rows = embedding_covariance(df, vec_col, upper_only=False).collect()
+    if not rows:
+        raise ValueError("no embeddings to decompose")
+    d = max(r["i"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    # exact symmetry for eigh (the two triangles round independently)
+    cov = (cov + cov.T) / 2.0
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals = vals[order]
+    vecs = vecs[:, order]
+    k = min(k, d)
+    comps = vecs[:, :k].T.copy()
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    total = float(vals.sum())
+    spark = df.sparkSession
+    out = []
+    cum = 0.0
+    for c in range(k):
+        ev = float(vals[c])
+        share = ev / total if total > 0 else None
+        cum += share or 0.0
+        out.append(
+            (
+                c,
+                round(ev, 6),
+                round(share, 6) if share is not None else None,
+                round(cum, 6) if share is not None else None,
+            )
+        )
+    vdf = spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_var double, "
+        "cum_var double",
+    )
+    return vdf, comps
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column onto PCA axes (k x d numpy array
+    from :func:`pca_embeddings`): the components ride into the plan
+    as ONE broadcast array literal and the projection is a JVM-side
+    higher-order ``aggregate`` per axis — map-only, no shuffle, no
+    Python in the row loop."""
+    comps = [
+        F.array(*[F.lit(float(x)) for x in row]) for row in components
+    ]
+    proj = F.array(
+        *[_dot(F.col(vec_col), axis) for axis in comps]
+    )
+    return df.withColumn(out_col, proj)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-label embedding outlier scores — cosine distance to the
+    OWN label's centroid, z-scored within the label — the standard
+    mislabeled-example / contamination detector for labeled embedding
+    corpora (an example far from its class prototype relative to its
+    class's spread is a labeling-error candidate).
+
+    Three label-sized exchanges, all combiner-friendly: centroids
+    (:func:`label_centroids`), per-label distance moments, and the
+    final broadcast joins back onto the data — the row-sized work is
+    two map-only passes (distance, then z). Distances are rounded to
+    6 BEFORE the moment pass so the z-scores are engine-portable.
+
+    Returns ``(id_col, label_col, dist, z, is_outlier)`` with dist/z
+    rounded to 6; z null when the label's distance spread is zero or
+    the label has a single member.
+    """
+    cents = label_centroids(df, vec_col, label_col)
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(id_col, label_col, vec_col)
+    dist = F.round(
+        F.lit(1.0)
+        - _dot(F.col(vec_col), F.col("centroid"))
+        / (_norm(F.col(vec_col)) * F.col("norm")),
+        6,
+    )
+    with_d = base.join(
+        F.broadcast(cents.select(label_col, "centroid", "norm")),
+        label_col,
+    ).select(id_col, label_col, dist.alias("dist"))
+    mom = with_d.groupBy(label_col).agg(
+        F.avg("dist").alias("_mu"),
+        F.stddev_pop("dist").alias("_sd"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    z = F.when(
+        (F.col("_sd") > 0) & (F.col("_cnt") > 1),
+        F.round((F.col("dist") - F.col("_mu")) / F.col("_sd"), 6),
+    )
+    return (
+        with_d.join(F.broadcast(mom), label_col)
+        .select(
+            id_col,
+            label_col,
+            "dist",
+            z.alias("z"),
+            F.coalesce(
+                z > F.lit(float(z_threshold)), F.lit(False)
+            ).alias("is_outlier"),
+        )
+    )

@@ -2420,3 +2420,180 @@ class TestVocabDivergence:
         assert r.kl_ab == 0.0 and r.kl_ba == 0.0
         assert r.oov_a_in_b == 0.0 and r.oov_b_in_a == 0.0
         assert r.vocab_a == r.vocab_shared
+
+
+class TestEmbeddingCovariance:
+    @staticmethod
+    def _df(spark, M, labels=None):
+        rows = [
+            (
+                i,
+                [float(x) for x in M[i]],
+                int(labels[i]) if labels is not None else 0,
+            )
+            for i in range(len(M))
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_matches_numpy_cov(self, spark):
+        rng = np.random.default_rng(61)
+        M = rng.normal(0, 0.2, (300, 8)).astype(np.float32)
+        df = self._df(spark, M)
+        out = similarity.embedding_covariance(df).collect()
+        ref = np.cov(M.astype(np.float64).T, bias=True)
+        assert len(out) == 8 * 9 // 2
+        for r in out:
+            assert r.i <= r.j and r.n == 300
+            assert r.cov == pytest.approx(
+                round(float(ref[r.i, r.j]), 6), abs=2e-6
+            )
+        full = similarity.embedding_covariance(
+            df, upper_only=False
+        ).count()
+        assert full == 64
+
+    def test_partitioning_invariant(self, spark):
+        rng = np.random.default_rng(62)
+        M = rng.normal(0, 0.2, (200, 4)).astype(np.float32)
+        df = self._df(spark, M)
+        a = {
+            (r.i, r.j): r.cov
+            for r in similarity.embedding_covariance(
+                df.repartition(1)
+            ).collect()
+        }
+        b = {
+            (r.i, r.j): r.cov
+            for r in similarity.embedding_covariance(
+                df.repartition(16)
+            ).collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=2e-6)
+
+
+class TestPcaEmbeddings:
+    def test_recovers_planted_spectrum(self, spark):
+        rng = np.random.default_rng(63)
+        # plant variance along two known axes
+        n = 2000
+        base = rng.normal(0, 0.05, (n, 6))
+        base[:, 0] += rng.normal(0, 1.0, n)
+        base[:, 1] += rng.normal(0, 0.5, n)
+        df = TestEmbeddingCovariance._df(
+            spark, base.astype(np.float32)
+        )
+        vdf, comps = similarity.pca_embeddings(df, k=3)
+        rows = vdf.orderBy("component").collect()
+        ref = np.linalg.eigh(
+            np.cov(base.astype(np.float64).T, bias=True)
+        )[0][::-1]
+        for r, ev in zip(rows, ref):
+            assert r.eigenvalue == pytest.approx(
+                round(float(ev), 6), abs=1e-4
+            )
+        # top axis ~ e0, second ~ e1 (sign-normalized)
+        assert abs(comps[0][0]) > 0.99
+        assert abs(comps[1][1]) > 0.99
+        assert comps[0][np.argmax(np.abs(comps[0]))] > 0
+        # explained_var sums to <= 1 and cum_var is monotone
+        assert rows[-1].cum_var <= 1.0 + 1e-9
+        assert rows[0].cum_var <= rows[-1].cum_var
+        # projection matches numpy
+        proj = {
+            r.vec_id: np.array(r.pca)
+            for r in similarity.project_embeddings(df, comps)
+            .select("vec_id", "pca")
+            .collect()
+        }
+        ref_p = base @ comps.T
+        for i in range(0, n, 500):
+            assert np.allclose(proj[i], ref_p[i], atol=1e-4)
+
+    def test_validation(self, spark):
+        df = TestEmbeddingCovariance._df(
+            spark, np.zeros((3, 2), dtype=np.float32)
+        )
+        with pytest.raises(ValueError, match="k must"):
+            similarity.pca_embeddings(df, k=0)
+
+
+class TestEmbeddingOutliers:
+    def test_flags_planted_outlier(self, spark):
+        rng = np.random.default_rng(64)
+        # tight cluster + one far-away vector, same label
+        M = rng.normal(0, 0.01, (60, 4)) + np.array([1, 0, 0, 0])
+        M[0] = [-1.0, 5.0, -3.0, 2.0]
+        df = TestEmbeddingCovariance._df(
+            spark, M.astype(np.float32), labels=[7] * 60
+        )
+        out = similarity.embedding_outliers(
+            df, z_threshold=3.0
+        ).collect()
+        flagged = [r.vec_id for r in out if r.is_outlier]
+        assert flagged == [0]
+        by_id = {r.vec_id: r for r in out}
+        assert by_id[0].z > 3
+        assert all(
+            r.is_outlier is False for r in out if r.vec_id != 0
+        )
+
+    def test_degenerate_label_null_z(self, spark):
+        M = np.ones((3, 2), dtype=np.float32)
+        df = TestEmbeddingCovariance._df(
+            spark, M, labels=[1, 1, 2]
+        )
+        out = {r.vec_id: r for r in
+               similarity.embedding_outliers(df).collect()}
+        # label 1: zero spread -> null z; label 2: single member
+        assert out[2].z is None and out[2].is_outlier is False
+        assert out[0].z is None
+
+
+class TestLeakageCheck:
+    def test_hand_computed_leakage(self, spark):
+        from spark_bestfit_spark.operators.curation import leakage_check
+
+        rows = [
+            (0, "alpha beta", "train"),
+            (1, "  ALPHA   beta ", "val"),    # normalizes equal -> leak
+            (2, "gamma delta", "train"),
+            (3, "gamma delta", "train"),      # same-split dup: no leak
+            (4, "epsilon zeta", "test"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, split string"
+        )
+        out = {r.split: r for r in leakage_check(df, "split").collect()}
+        assert out["train"].n_docs == 3 and out["train"].n_leaked == 1
+        assert out["val"].n_docs == 1 and out["val"].n_leaked == 1
+        assert out["test"].n_leaked == 0
+        assert out["val"].leak_frac == 1.0
+
+    def test_custom_key(self, spark):
+        from spark_bestfit_spark.operators.curation import leakage_check
+
+        rows = [
+            (0, "shared prefix words one", "train"),
+            (1, "shared prefix words two", "val"),
+            (2, "unrelated text entirely", "train"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, split string"
+        )
+        key = F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 3)
+        )
+        out = {
+            r.split: r
+            for r in leakage_check(df, "split", key=key).collect()
+        }
+        assert out["train"].n_leaked == 1 and out["val"].n_leaked == 1
+        # exact-text default finds nothing
+        exact = {
+            r.split: r for r in leakage_check(df, "split").collect()
+        }
+        assert exact["train"].n_leaked == 0
