@@ -4338,6 +4338,50 @@ def _q_leakage_prefix(spark, sf_dir):
     return leakage_check(split, "split", key=key)
 
 
+def _q_group_split_leakage(spark, sf_dir):
+    """Group-aware split + leakage audit: split documents by the
+    md5-Knuth hash of their 5-word prefix FAMILY (not the row id), so
+    near-dup families can never straddle splits — the leakage_check
+    on the same key reports zero by construction while the split
+    sizes still track the weights. The constructive fix for what
+    leakage_prefix measures."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        group_split,
+        leakage_check,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
+        ),
+    )
+    split = group_split(docs, key)
+    return leakage_check(split, "split", key=key)
+
+
+def _q_isotonic_calibration(spark, sf_dir):
+    """Isotonic recalibration of order totalprice as a score for
+    'order fully shipped': one binned groupBy (16 equi-width bins),
+    weighted PAV on the bins-sized relation driver-side; oracle is
+    the minimax characterization fit_i = max_{j<=i} min_{k>=i}
+    wavg(j..k) on the identical binned relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import isotonic_calibration
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return isotonic_calibration(
+        orders,
+        "o_totalprice",
+        F.col("o_orderstatus") == "F",
+        bins=16,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4420,6 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_variance": _q_pca_variance,
         "embedding_outliers": _q_embedding_outliers,
         "leakage_prefix": _q_leakage_prefix,
+        "group_split_leakage": _q_group_split_leakage,
+        "isotonic_calibration": _q_isotonic_calibration,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9261,6 +9307,111 @@ def oracle_sql() -> dict[str, str]:
                          / sum(c)::DOUBLE, 6) AS leak_frac
             FROM per JOIN sp USING (key)
             GROUP BY split
+        """,
+        "group_split_leakage": """
+            WITH u AS (
+              SELECT array_to_string(
+                       (string_split_regex(lower(trim(text)),
+                                           '\\s+'))[1:5], ' ') AS key
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            hashed AS (
+              SELECT key,
+                     ('0x' || substr(md5(key), 1, 14))::BIGINT AS gid
+              FROM u
+            ),
+            assigned AS (
+              -- reduce mod 2^32 BEFORE the Knuth multiply (the Spark
+              -- side is limb-safe the same way) and widen to HUGEINT:
+              -- a 56-bit md5-prefix id times 2654435761 overflows
+              -- INT64
+              SELECT key,
+                     CASE WHEN ((((gid + 1) % 4294967296)::HUGEINT
+                                 * 2654435761)
+                                % 4294967296) / 4294967296.0 < 0.98
+                            THEN 'train'
+                          WHEN ((((gid + 1) % 4294967296)::HUGEINT
+                                 * 2654435761)
+                                % 4294967296) / 4294967296.0
+                               < (0.98 + 0.01)
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM hashed
+            ),
+            per AS (
+              SELECT key, split, count(*) AS c
+              FROM assigned GROUP BY key, split
+            ),
+            sp AS (SELECT key, count(*) AS ns FROM per GROUP BY key)
+            SELECT split,
+                   sum(c)::BIGINT AS n_docs,
+                   sum(CASE WHEN ns > 1 THEN c ELSE 0 END)::BIGINT
+                     AS n_leaked,
+                   round(sum(CASE WHEN ns > 1 THEN c ELSE 0 END)
+                         / sum(c)::DOUBLE, 6) AS leak_frac
+            FROM per JOIN sp USING (key)
+            GROUP BY split
+        """,
+        "isotonic_calibration": """
+            WITH base AS (
+              SELECT o_totalprice AS s,
+                     (o_orderstatus = 'F') AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+            ),
+            r AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+            binned AS (
+              SELECT CASE WHEN s >= r.hi THEN 17
+                          ELSE floor((s - r.lo)
+                                     / ((r.hi - r.lo) / 16))::INT + 1
+                     END AS bin,
+                     s, y
+              FROM base CROSS JOIN r
+            ),
+            g AS (
+              SELECT bin, count(*)::BIGINT AS n,
+                     round(avg(s), 6) AS mean_score,
+                     round(sum(CASE WHEN y THEN 1 ELSE 0 END)
+                           / count(*)::DOUBLE, 6) AS frac_pos
+              FROM binned GROUP BY bin
+            ),
+            o AS (
+              SELECT g.*, row_number() OVER (ORDER BY bin) AS i
+              FROM g
+            ),
+            pre AS (
+              SELECT i,
+                     sum(n::DOUBLE) OVER (ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(n * frac_pos) OVER (ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS cp
+              FROM o
+            ),
+            -- weighted average of bins j..k as a single ratio of
+            -- prefix-sum differences (the PAV block-value arithmetic)
+            pairs AS (
+              SELECT a.i AS j, b.i AS k,
+                     (b.cp - coalesce(a0.cp, 0))
+                       / (b.cw - coalesce(a0.cw, 0)) AS wavg
+              FROM pre a
+              JOIN pre b ON b.i >= a.i
+              LEFT JOIN pre a0 ON a0.i = a.i - 1
+            ),
+            -- fit_i = max_{j<=i} min_{k>=i} wavg(j..k)
+            inner_min AS (
+              SELECT p.j, o.i, min(p.wavg) AS mn
+              FROM pairs p JOIN o ON o.i >= p.j AND o.i <= p.k
+              GROUP BY p.j, o.i
+            ),
+            fit AS (
+              SELECT i, max(mn) AS calibrated
+              FROM inner_min GROUP BY i
+            )
+            SELECT o.bin, o.n, o.mean_score, o.frac_pos,
+                   round(fit.calibrated, 6) AS calibrated
+            FROM o JOIN fit USING (i)
         """,
         "ngram_novelty": """
             WITH t AS (

@@ -1167,3 +1167,35 @@ def leakage_check(
             ),
         )
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_key,
+    weights: dict | None = None,
+    seed: int = 1,
+) -> DataFrame:
+    """Group-aware train/val/test assignment: :func:`hash_split`
+    keyed on a GROUP identity instead of the row id, so every member
+    of a group (near-dup cluster, content-prefix family, source
+    domain, user) lands in the SAME split — the construction that
+    makes :func:`leakage_check` on that key zero by definition.
+    Splitting rows independently and then deduping across splits
+    throws data away; splitting by group never creates the leak.
+
+    ``group_key`` is a column name or Column expression; its string
+    form hashes through the portable md5-prefix path
+    (:func:`spark_bestfit_spark.operators.dedup.portable_hash64`),
+    then the Knuth multiplicative stage of :func:`hash_split` maps it
+    to the weight intervals. Map-only: no shuffle, engine- and
+    partitioning-independent, ANSI-safe.
+    """
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    key = (
+        F.col(group_key) if isinstance(group_key, str) else group_key
+    )
+    tmp = df.withColumn("_gid", portable_hash64(key.cast("string")))
+    return hash_split(tmp, weights, id_col="_gid", seed=seed).drop(
+        "_gid"
+    )

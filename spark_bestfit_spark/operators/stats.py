@@ -3418,3 +3418,101 @@ def fdr_correct(
         "q_value",
         (F.col("q_value") <= F.lit(alpha)).alias("reject"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone) probability calibration of a scorer
+    against a binary outcome — the non-parametric recalibrator that
+    :func:`calibration_curve` diagnoses the need for: equi-width bin
+    the scores, take each bin's empirical positive rate, then fit the
+    best monotone non-decreasing step function by weighted
+    pool-adjacent-violators.
+
+    Scale split: the data-sized work is ONE binned groupBy (<= bins+1
+    keys, map-side combined); PAV runs on that tiny relation
+    driver-side (it is inherently sequential, and the input is
+    bins-sized, never data-sized). Bin positive rates are rounded to
+    6 BEFORE the PAV pass, and PAV block values are emitted as single
+    ratios of weighted sums, so the fit matches the minimax
+    characterization ``fit_i = max_{j<=i} min_{k>=i} wavg(j..k)``
+    (the SQL-expressible oracle form) to rounding.
+
+    ``label_col`` may be a column name or boolean Column expression.
+    Returns one row per occupied bin: ``(bin, n, mean_score,
+    frac_pos, calibrated)`` rounded to 6, monotone non-decreasing in
+    ``calibrated``.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = valid_column(
+        df.select(
+            F.col(score_col).cast("double").alias("_s"),
+            lab.alias("_y"),
+        ).filter(lab.isNotNull()),
+        "_s",
+    )
+    spark = df.sparkSession
+    rng = base.agg(F.min("_s").alias("lo"), F.max("_s").alias("hi")).first()
+    schema = (
+        "bin int, n long, mean_score double, frac_pos double, "
+        "calibrated double"
+    )
+    if rng["lo"] is None:
+        return spark.createDataFrame([], schema)
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    bk = (
+        F.width_bucket(F.col("_s"), F.lit(lo), F.lit(hi), F.lit(bins))
+        if hi > lo
+        else F.lit(1)
+    )
+    per = (
+        base.groupBy(bk.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(
+                F.sum(F.col("_y").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    # weighted PAV over the <= bins+1 occupied bins: blocks carry
+    # (sum_w, sum_wy) and emit sum_wy / sum_w — one division of sums,
+    # the same arithmetic shape as the minimax oracle form
+    blocks = []  # [start_idx, sum_w, sum_wy]
+    for idx, r in enumerate(per):
+        blocks.append([idx, float(r["n"]), float(r["n"]) * r["frac_pos"]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][2] * blocks[-1][1]
+            >= blocks[-1][2] * blocks[-2][1]
+        ):
+            s, w, wy = blocks.pop()
+            blocks[-1][1] += w
+            blocks[-1][2] += wy
+    fit = [0.0] * len(per)
+    bounds = [b[0] for b in blocks] + [len(per)]
+    for bi, b in enumerate(blocks):
+        val = b[2] / b[1]
+        for idx in range(bounds[bi], bounds[bi + 1]):
+            fit[idx] = val
+    rows = [
+        (
+            int(r["bin"]),
+            int(r["n"]),
+            r["mean_score"],
+            r["frac_pos"],
+            round(fit[idx], 6),
+        )
+        for idx, r in enumerate(per)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -1575,3 +1575,77 @@ class TestFdrCorrect:
         assert all(r.q_value <= 1.0 for r in out)
         with pytest.raises(ValueError, match="alpha"):
             fdr_correct(df, "p", alpha=1.5)
+
+
+class TestIsotonicCalibration:
+    @staticmethod
+    def _minimax(ns, fp):
+        W = np.concatenate([[0.0], np.cumsum(ns.astype(float))])
+        P = np.concatenate([[0.0], np.cumsum(ns * fp)])
+        m = len(ns)
+        out = []
+        for i in range(m):
+            best = -np.inf
+            for j in range(i + 1):
+                mn = min(
+                    (P[k + 1] - P[j]) / (W[k + 1] - W[j])
+                    for k in range(i, m)
+                )
+                best = max(best, mn)
+            out.append(round(float(best), 6))
+        return out
+
+    def test_matches_minimax_and_monotone(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            isotonic_calibration,
+        )
+
+        rng = np.random.default_rng(71)
+        s = rng.uniform(0, 1, 4000)
+        p = 1 / (1 + np.exp(-(4 * s - 2)))
+        y = rng.random(4000) < p
+        df = spark.createDataFrame(
+            [(float(a), bool(b)) for a, b in zip(s, y)],
+            "score double, y boolean",
+        )
+        out = isotonic_calibration(df, "score", "y", bins=16).collect()
+        cal = [r.calibrated for r in out]
+        assert cal == sorted(cal)
+        ns = np.array([r.n for r in out])
+        fp = np.array([r.frac_pos for r in out])
+        ref = self._minimax(ns, fp)
+        assert all(abs(a - b) < 2e-6 for a, b in zip(cal, ref))
+        # pooled positive rate preserved by the fit
+        assert (ns * np.array(cal)).sum() / ns.sum() == pytest.approx(
+            (ns * fp).sum() / ns.sum(), abs=1e-5
+        )
+
+    def test_already_monotone_is_identity(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            isotonic_calibration,
+        )
+
+        rows = []
+        for b, frac in [(0.1, 0.2), (0.5, 0.5), (0.9, 0.8)]:
+            rows += [(b, True)] * int(frac * 10) + [(b, False)] * (
+                10 - int(frac * 10)
+            )
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        out = isotonic_calibration(df, "score", "y", bins=4).collect()
+        for r in out:
+            assert r.calibrated == pytest.approx(r.frac_pos, abs=1e-6)
+
+    def test_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            isotonic_calibration,
+        )
+
+        const = spark.createDataFrame(
+            [(1.0, True), (1.0, False)], "score double, y boolean"
+        )
+        r = isotonic_calibration(const, "score", "y").collect()
+        assert len(r) == 1 and r[0].calibrated == 0.5
+        empty = spark.createDataFrame([], "score double, y boolean")
+        assert isotonic_calibration(empty, "score", "y").count() == 0
+        with pytest.raises(ValueError, match="bins"):
+            isotonic_calibration(const, "score", "y", bins=1)

@@ -1133,3 +1133,69 @@ class TestNgramNovelty:
 
         with _pt.raises(ValueError, match="n must"):
             ngram_novelty(probe, corpus, n=0)
+
+
+class TestGroupSplit:
+    def test_groups_never_straddle_and_weights_hold(self, spark):
+        from spark_bestfit_spark.operators.curation import group_split
+
+        rows = [
+            (i, f"family{i % 40} member {i}") for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        import pyspark.sql.functions as F
+
+        key = F.split(F.col("text"), " ")[0]
+        out = group_split(
+            df, key, weights={"train": 0.6, "val": 0.4}
+        )
+        # every family maps to exactly one split
+        fam = (
+            out.select(
+                F.split(F.col("text"), " ")[0].alias("fam"), "split"
+            )
+            .groupBy("fam")
+            .agg(F.countDistinct("split").alias("k"))
+            .collect()
+        )
+        assert all(r.k == 1 for r in fam)
+        # split sizes roughly track weights (40 families, coarse)
+        counts = {
+            r["split"]: r["cnt"]
+            for r in out.groupBy("split")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert set(counts) <= {"train", "val"}
+        assert counts["train"] > counts["val"]
+
+    def test_deterministic_and_leak_free(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            group_split,
+            leakage_check,
+        )
+
+        rows = [
+            (0, "shared prefix one"), (1, "shared prefix two"),
+            (2, "other text a"), (3, "other text b"),
+            (4, "third thing c"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        key = F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 2)
+        )
+        a = sorted(
+            (r.doc_id, r.split)
+            for r in group_split(df, key).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.split)
+            for r in group_split(df.repartition(4), key).collect()
+        )
+        assert a == b  # partitioning-independent
+        leak = leakage_check(
+            group_split(df, key), "split", key=key
+        ).collect()
+        assert all(r.n_leaked == 0 for r in leak)
