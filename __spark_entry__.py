@@ -4382,6 +4382,27 @@ def _q_isotonic_calibration(spark, sf_dir):
     )
 
 
+def _q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the global hourly event
+    value series (period 24): trend = centered 25-point MA, seasonal
+    = zero-centered phase means of the detrended series, resid the
+    remainder. Integer cents + sum-resampling keep bucket values
+    exact; every post-groupBy step runs on the series-length
+    relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.events import seasonal_decompose
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "value_cents",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    hour_ns = 3_600_000_000_000
+    return seasonal_decompose(
+        events, "ts", "value_cents", hour_ns, 24, agg="sum"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4466,6 +4487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_prefix": _q_leakage_prefix,
         "group_split_leakage": _q_group_split_leakage,
         "isotonic_calibration": _q_isotonic_calibration,
+        "seasonal_decompose": _q_seasonal_decompose,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9412,6 +9434,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.bin, o.n, o.mean_score, o.frac_pos,
                    round(fit.calibrated, 6) AS calibrated
             FROM o JOIN fit USING (i)
+        """,
+        "seasonal_decompose": """
+            WITH e AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS bucket_id,
+                     round(value * 100) AS vc
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            s AS (
+              SELECT bucket_id, count(*)::BIGINT AS n_events,
+                     sum(vc)::DOUBLE AS y
+              FROM e GROUP BY bucket_id
+            ),
+            t AS (
+              -- 2 x MA for the even period: half-weight endpoints so
+              -- the window averages exactly one full cycle; the
+              -- max-min check rejects gapped windows
+              SELECT s.*,
+                     CASE WHEN count(*) OVER w = 25
+                           AND max(bucket_id) OVER w
+                               - min(bucket_id) OVER w = 24
+                       THEN (sum(y) OVER w
+                             - (lag(y, 12) OVER wo
+                                + lead(y, 12) OVER wo) / 2e0) / 24e0
+                     END AS trend,
+                     bucket_id % 24 AS phase
+              FROM s
+              WINDOW w AS (ORDER BY bucket_id
+                           ROWS BETWEEN 12 PRECEDING
+                           AND 12 FOLLOWING),
+                     wo AS (ORDER BY bucket_id)
+            ),
+            pm AS (
+              SELECT phase, avg(y - trend) AS p
+              FROM t WHERE trend IS NOT NULL GROUP BY phase
+            ),
+            c AS (SELECT avg(p) AS c FROM pm)
+            SELECT bucket_id, n_events,
+                   round(y, 6) AS y,
+                   round(trend, 6) AS trend,
+                   phase,
+                   round(p - c.c, 6) AS seasonal,
+                   round(y - trend - (p - c.c), 6) AS resid
+            FROM t LEFT JOIN pm USING (phase) CROSS JOIN c
         """,
         "ngram_novelty": """
             WITH t AS (

@@ -761,3 +761,103 @@ def cohort_values(
         F.col("_cum").alias("cum_revenue"),
         F.round(F.col("_cum") / F.col("_size"), 6).alias("ltv"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: int = 3600 * 10**9,
+    period: int = 24,
+    agg: str = "sum",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of an event stream:
+    bucket to a regular grid, then ``y = trend + seasonal + resid``
+    with trend a centered (period+1)-point moving average, seasonal
+    the phase-wise mean of the detrended series (normalized to sum to
+    zero over a cycle), and resid the remainder — the first look any
+    time-series drift investigation takes ("is this change trend,
+    seasonality, or an anomaly?").
+
+    Execution shape: one combiner-friendly (bucket) groupBy collapses
+    the data-sized input to a SERIES-LENGTH relation; every later
+    step (centered window, phase groupBy, broadcast joins back) runs
+    on that small relation — at 100 TB the series is still only
+    `span / bucket` rows, so the single-partition ordered window is
+    bounded by calendar length, never data size. With an integer
+    value column and agg='sum' the bucket values are exact, so the
+    decomposition is engine-portable under 6-decimal rounding.
+
+    Trend (and hence resid) is null for the first/last ``period //
+    2`` buckets (incomplete centered window — the classic convention)
+    and anywhere the bucket grid has a gap inside the window (a
+    rows-frame over a gapped grid would average the wrong calendar
+    span). ``agg`` is 'sum', 'mean', or 'count'.
+
+    Returns ``(bucket_id, n_events, y, trend, phase, seasonal,
+    resid)`` ordered by bucket, numerics rounded to 6.
+    """
+    from pyspark.sql import Window as _W
+
+    if bucket <= 0 or period < 2:
+        raise ValueError("bucket must be > 0 and period >= 2")
+    if agg not in ("sum", "mean", "count"):
+        raise ValueError("agg must be 'sum', 'mean', or 'count'")
+    bid = _floor_div(ts_col, bucket)
+    v = F.col(value_col)
+    agg_expr = {
+        "sum": F.sum(v),
+        "mean": F.avg(v),
+        "count": F.count(v),
+    }[agg].cast("double")
+    series = (
+        df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(bid.alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            agg_expr.alias("y"),
+        )
+    )
+    half = period // 2
+    wo = _W.orderBy("bucket_id")
+    w = wo.rowsBetween(-half, half)
+    # full AND contiguous centered window: count alone would accept a
+    # gapped grid and average the wrong calendar span
+    complete = (F.count(F.lit(1)).over(w) == 2 * half + 1) & (
+        F.max("bucket_id").over(w) - F.min("bucket_id").over(w)
+        == 2 * half
+    )
+    if period % 2 == 0:
+        # 2 x MA: half-weight endpoints average exactly one cycle
+        ma = (
+            F.sum("y").over(w)
+            - (F.lag("y", half).over(wo) + F.lead("y", half).over(wo))
+            / F.lit(2.0)
+        ) / F.lit(float(period))
+    else:
+        ma = F.avg("y").over(w)
+    trended = series.withColumn(
+        "trend", F.when(complete, ma)
+    ).withColumn("phase", F.pmod(F.col("bucket_id"), F.lit(period)))
+    phase_mean = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("phase")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("_pm"))
+    )
+    center = phase_mean.agg(F.avg("_pm").alias("_c"))
+    seasonal = (
+        trended.join(F.broadcast(phase_mean), "phase", "left")
+        .crossJoin(F.broadcast(center))
+        .withColumn("seasonal", F.col("_pm") - F.col("_c"))
+    )
+    return seasonal.select(
+        "bucket_id",
+        "n_events",
+        F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        "phase",
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("y") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("resid"),
+    ).orderBy("bucket_id")

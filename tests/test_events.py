@@ -871,3 +871,82 @@ class TestCohortValues:
         df = spark.createDataFrame([("e", 0, 1)], "e string, ts long, v long")
         with _pt.raises(ValueError, match="bucket_width"):
             cohort_values(df, "e", "ts", "v", 0)
+
+
+class TestSeasonalDecompose:
+    def test_recovers_planted_components(self, spark):
+        from spark_bestfit_spark.operators.events import (
+            seasonal_decompose,
+        )
+
+        # planted series: linear trend + period-4 seasonality, one
+        # event per bucket so sum == the value itself
+        period = 4
+        n = 80
+        seas = [5.0, -2.0, -4.0, 1.0]  # sums to 0
+        rows = []
+        for t in range(n):
+            y = 10.0 + 0.5 * t + seas[t % period]
+            rows.append((t * 100, y))
+        df = spark.createDataFrame(rows, "ts long, value double")
+        out = seasonal_decompose(
+            df, "ts", "value", bucket=100, period=period, agg="sum"
+        ).collect()
+        by_b = {r.bucket_id: r for r in out}
+        assert len(out) == n
+        half = period // 2
+        # edges have null trend/resid
+        assert by_b[0].trend is None and by_b[n - 1].trend is None
+        assert by_b[half].trend is not None
+        # reference decomposition (same construction in numpy)
+        ys = np.array([10.0 + 0.5 * t + seas[t % period]
+                       for t in range(n)])
+        trend = np.full(n, np.nan)
+        for i in range(half, n - half):
+            w = ys[i - half:i + half + 1]
+            # even period: classical 2 x MA with half-weight endpoints
+            trend[i] = (w.sum() - (w[0] + w[-1]) / 2.0) / period
+        det = ys - trend
+        pm = np.array([
+            np.nanmean(det[p::period]) for p in range(period)
+        ])
+        pm_c = pm - pm.mean()
+        for t in range(n):
+            r = by_b[t]
+            assert r.phase == t % period
+            assert r.seasonal == pytest.approx(
+                round(float(pm_c[t % period]), 6), abs=2e-6
+            )
+            if not np.isnan(trend[t]):
+                assert r.trend == pytest.approx(
+                    round(float(trend[t]), 6), abs=2e-6
+                )
+                assert r.resid == pytest.approx(
+                    round(float(ys[t] - trend[t] - pm_c[t % period]), 6),
+                    abs=5e-6,
+                )
+        # planted seasonality recovered (up to centering)
+        want = np.array(seas) - np.mean(seas)
+        assert np.allclose(pm_c, want, atol=1e-9)
+
+    def test_multiple_events_per_bucket_and_validation(self, spark):
+        from spark_bestfit_spark.operators.events import (
+            seasonal_decompose,
+        )
+
+        rows = [(0, 1.0), (50, 2.0), (100, 10.0), (250, 4.0)]
+        df = spark.createDataFrame(rows, "ts long, value double")
+        out = {
+            r.bucket_id: r
+            for r in seasonal_decompose(
+                df, "ts", "value", bucket=100, period=2
+            ).collect()
+        }
+        assert out[0].y == 3.0 and out[0].n_events == 2
+        assert out[1].y == 10.0 and out[2].y == 4.0
+        with pytest.raises(ValueError, match="period"):
+            seasonal_decompose(df, "ts", "value", bucket=100, period=1)
+        with pytest.raises(ValueError, match="agg"):
+            seasonal_decompose(
+                df, "ts", "value", bucket=100, period=2, agg="max"
+            )
