@@ -69,6 +69,32 @@ def _seg_bounds(l: Column, j: int, d: int) -> tuple[Column, Column]:
     return start.cast("int"), sl.cast("int")
 
 
+def _deletion1_keys(s: Column) -> Column:
+    """The string plus every single-character deletion of it — the
+    FastSS/SymSpell depth-1 deletion neighborhood. Two strings within
+    edit distance 1 ALWAYS share a key (substitution: delete the
+    differing position from both; indel: delete the inserted char
+    from the longer), so the key join is a lossless candidate
+    generator whose posting lists stay match-sized even on
+    adversarial shared-prefix corpora."""
+    length = F.length(s)
+    dels = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(
+            s.substr(F.lit(1), (i - F.lit(1)).cast("int")),
+            s.substr((i + F.lit(1)).cast("int"), length),
+        ),
+    )
+    return F.array_distinct(
+        F.concat(
+            F.array(s),
+            F.when(length >= 1, dels).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -77,16 +103,33 @@ def fuzzy_join(
     left_id: str,
     right_id: str,
     max_dist: int = 2,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact edit-distance join: every (left, right) pair whose key
-    strings are within ``max_dist`` Levenshtein operations, found via
-    lossless PassJoin segment blocking (see module docstring).
+    strings are within ``max_dist`` Levenshtein operations.
+
+    Two lossless blocking schemes, both verified by a thresholded JVM
+    ``levenshtein`` so the result set is identical either way:
+
+    - ``"passjoin"`` — segment blocking (module docstring). Candidate
+      volume tracks SEGMENT selectivity: near-linear on natural text
+      keys, but a corpus of near-constant-prefix keys (``Customer#
+      000000001``...) makes one segment's posting list the whole
+      table and the candidate join quadratic.
+    - ``"deletion1"`` (``max_dist == 1`` only) — FastSS deletion
+      neighborhoods: each side emits its string and every
+      single-character deletion (``len + 1`` keys); true pairs always
+      share a key, and posting lists stay match-sized no matter how
+      much structure the keys share. The robust choice for id-like
+      keys; costs O(len) keys of O(len) bytes per record.
+    - ``"auto"`` — ``deletion1`` when ``max_dist == 1``, else
+      ``passjoin``.
 
     Returns ``(id_l, id_r, dist)`` — one row per qualifying pair,
-    ``dist`` the exact edit distance. Null keys never match. The
-    operator is a single lazy plan: segment/substring generation is
-    map-side, then one content-keyed equi-join, one pair distinct,
-    and a thresholded JVM levenshtein verify.
+    ``dist`` the exact edit distance. Null keys never match. Either
+    path is a single lazy plan: key generation is map-side
+    (sequence/transform/substr, no UDF), then one content-keyed
+    equi-join, one pair distinct, and the levenshtein verify.
 
     For a self-join pass the same DataFrame twice and filter
     ``id_l < id_r`` on the result (each unordered pair appears with
@@ -95,7 +138,53 @@ def fuzzy_join(
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
+    if strategy not in ("auto", "passjoin", "deletion1"):
+        raise ValueError(
+            "strategy must be 'auto', 'passjoin', or 'deletion1'"
+        )
     d = int(max_dist)
+    if strategy == "auto":
+        strategy = "deletion1" if d == 1 else "passjoin"
+    if strategy == "deletion1":
+        if d != 1:
+            raise ValueError("deletion1 blocking requires max_dist=1")
+        index = (
+            right.select(
+                F.col(right_id).alias("id_r"),
+                F.col(right_on).alias("_sr"),
+            )
+            .filter(F.col("_sr").isNotNull())
+            .select(
+                "id_r",
+                "_sr",
+                F.explode(_deletion1_keys(F.col("_sr"))).alias("_k"),
+            )
+        )
+        probe = (
+            left.select(
+                F.col(left_id).alias("id_l"),
+                F.col(left_on).alias("_sl"),
+            )
+            .filter(F.col("_sl").isNotNull())
+            .select(
+                "id_l",
+                "_sl",
+                F.explode(_deletion1_keys(F.col("_sl"))).alias("_k"),
+            )
+        )
+        cand = (
+            probe.join(index, "_k")
+            .select("id_l", "id_r", "_sl", "_sr")
+            .distinct()
+        )
+        dist = F.levenshtein(F.col("_sl"), F.col("_sr"), d)
+        return (
+            cand.withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select(
+                "id_l", "id_r", F.col("dist").cast("int").alias("dist")
+            )
+        )
 
     idx_base = right.select(
         F.col(right_id).alias("id_r"),
@@ -347,19 +436,46 @@ def resolve_entities(
     from spark_bestfit_spark.operators.dedup import neardup_clusters
 
     if pairs is None:
+        # exact-key vertex contraction BEFORE the edit-distance join:
+        # distance-0 records (identical keys) are trivially the same
+        # entity, and edit distance between records equals the
+        # distance between their distinct key strings — so the
+        # expensive blocking join runs over DISTINCT keys (often
+        # orders of magnitude fewer rows), clique edges inside an
+        # equal-key group never materialize, and membership joins
+        # back by key. The same contraction that makes
+        # neardup_clusters scale.
+        reps = (
+            df.filter(F.col(on).isNotNull())
+            .groupBy(F.col(on).alias("_key"))
+            .agg(F.min(id_col).alias("_rep"))
+        )
+        rep_rel = reps.select(
+            F.col("_rep").alias("_rid_key"), "_key"
+        )
         pairs = fuzzy_join(
-            df, df, on, on, id_col, id_col, max_dist
+            rep_rel, rep_rel, "_key", "_key", "_rid_key", "_rid_key",
+            max_dist,
         ).filter(F.col("id_l") < F.col("id_r"))
+        member = df.select(F.col(id_col), F.col(on).alias("_key")).join(
+            reps, "_key", "left"
+        )
+    else:
+        member = df.select(
+            F.col(id_col), F.col(id_col).alias("_rep")
+        )
+        pairs = pairs.filter(F.col("id_l") < F.col("id_r"))
     edges = pairs.select(
         F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
     )
     comp = neardup_clusters(edges, id_col="_rid")
     out = (
-        df.select(F.col(id_col))
-        .join(comp, F.col(id_col) == F.col("_rid"), "left")
+        member.join(comp, F.col("_rep") == F.col("_rid"), "left")
         .select(
             id_col,
-            F.coalesce("cluster_id", F.col(id_col)).alias("entity_id"),
+            F.coalesce(
+                "cluster_id", F.col("_rep"), F.col(id_col)
+            ).alias("entity_id"),
         )
     )
     w = _W.partitionBy("entity_id")
