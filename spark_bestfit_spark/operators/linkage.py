@@ -395,16 +395,20 @@ def set_similarity_join(
         .select(left_id, right_id)
         .distinct()
     )
-    lv = lsets.join(F.broadcast(cand.select(left_id).distinct()),
-                    on=left_id, how="left_semi").select(
-        left_id, F.col("_set").alias("_sa")
-    )
-    pairs = lv.join(F.broadcast(cand), on=left_id, how="inner")
+    # verification: attach both token sets to the candidate pairs by
+    # id-keyed joins and compute exact Jaccard. Deliberately NOT a
+    # forced broadcast — the candidate relation carries token arrays
+    # once joined, and at 10x scale broadcasting it OOMs the driver
+    # (observed at sf1); plain hash joins let AQE pick broadcast at
+    # RUNTIME from actual sizes, which is the only safe call when the
+    # candidate volume is data-dependent.
+    lv = lsets.select(left_id, F.col("_set").alias("_sa"))
     rv = rsets.select(right_id, F.col("_set").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size(F.array_union("_sa", "_sb")).cast("double")
     return (
-        rv.join(F.broadcast(pairs), on=right_id, how="inner")
+        cand.join(lv, on=left_id, how="inner")
+        .join(rv, on=right_id, how="inner")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select(left_id, right_id, "jaccard")

@@ -256,7 +256,13 @@ class TestSetSimilarityJoin:
                 max_posting=0,
             )
 
-    def test_verify_joins_are_broadcast(self, spark):
+    def test_verify_never_cartesian_or_forced_broadcast(self, spark):
+        """The verify stage must never degenerate to a cartesian
+        product, and must NOT force-broadcast the candidate relation:
+        candidates carry token arrays once joined, and a forced
+        broadcast OOMs the driver when the candidate volume grows
+        with the data (observed at sf1). Strategy is left to AQE's
+        runtime sizing, so the static plan shows plain joins."""
         from spark_bestfit_spark.operators.linkage import (
             set_similarity_join,
         )
@@ -267,18 +273,15 @@ class TestSetSimilarityJoin:
         right = spark.createDataFrame(
             [(2, "a b c")], "id_r bigint, tb string"
         )
-        plan = (
-            set_similarity_join(
-                left, right, "ta", "tb", "id_l", "id_r", 0.8
-            )._jdf.queryExecution().executedPlan().toString()
+        df = set_similarity_join(
+            left, right, "ta", "tb", "id_l", "id_r", 0.8
         )
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        # verification must never re-shuffle the set relations: every
-        # join on an id column is broadcast
-        import re
-
-        for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[(\w+)", plan):
-            assert m.group(2).startswith("_tok"), plan
+        logical = df._jdf.queryExecution().logical().toString()
+        # no UnresolvedHint/ResolvedHint forcing broadcast on the
+        # candidate verify joins
+        assert "hint" not in logical.lower(), logical
 
 
 class TestResolveEntities:
