@@ -721,12 +721,16 @@ def main() -> None:
         # round-7 scale-curve extensions: the two newest quadratic-risk
         # operators (rare-shingle prefix TF-IDF, cluster-bucketed
         # semantic dedup) and the grouped-drift prefix-sum spine
+        # rounds=2: this line runs right after the set-similarity sf1
+        # line and a min-of-1 measurement picks up its GC/memory
+        # pressure (observed 9.9 s isolated vs 17.9 s min-of-1 in
+        # sequence); the second round restores a clean reading
         bench(
             "q_tfidf_neardup_sf1",
             lambda: tfidf_neardup_pairs(
                 docs1, threshold=0.9, candidates="prefix"
             ).count(),
-            rounds=1,
+            rounds=2,
         )
         bench(
             "q_fuzzy_decontam_sf1",
