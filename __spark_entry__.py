@@ -4403,6 +4403,38 @@ def _q_seasonal_decompose(spark, sf_dir):
     )
 
 
+def _q_events_rolling_median(spark, sf_dir):
+    """Per-entity exact trailing-window MEDIAN (the robust companion
+    to events_rolling's mean/stddev): row-bounded frames on one
+    entity-hash window, values assembled + interpolated JVM-side with
+    array arithmetic (percentile_cont convention)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import rolling_quantile
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = rolling_quantile(
+        ev, "value", "ts", "user_id", window=5, q=0.5,
+        min_periods=2, tiebreak_col="event_id",
+        output_col="rolling_median",
+    )
+    return out.select(
+        "event_id", "user_id", "rolling_q_count", "rolling_median"
+    )
+
+
+def _q_new_entities_daily(spark, sf_dir):
+    """Daily entity growth: active / new / returning users and the
+    cumulative distinct-user count per day — two combiner-friendly
+    exchanges over the data, everything after on the series-length
+    relation."""
+    from spark_bestfit_spark.operators.events import new_entities_curve
+
+    ev = _read(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    return new_entities_curve(ev, "user_id", "ts", day_ns)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4488,6 +4520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split_leakage": _q_group_split_leakage,
         "isotonic_calibration": _q_isotonic_calibration,
         "seasonal_decompose": _q_seasonal_decompose,
+        "events_rolling_median": _q_events_rolling_median,
+        "new_entities_daily": _q_new_entities_daily,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9478,6 +9512,65 @@ def oracle_sql() -> dict[str, str]:
                    round(p - c.c, 6) AS seasonal,
                    round(y - trend - (p - c.c), 6) AS resid
             FROM t LEFT JOIN pm USING (phase) CROSS JOIN c
+        """,
+        "events_rolling_median": """
+            WITH base AS (
+              SELECT event_id, user_id, epoch_ns(ts) AS tsn, value
+              FROM events WHERE user_id < 50
+            ),
+            framed AS (
+              SELECT event_id, user_id,
+                     list_sort(list(value) OVER w) AS vals
+              FROM base
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY tsn, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ),
+            scored AS (
+              SELECT event_id, user_id,
+                     len(vals) AS n,
+                     (len(vals) - 1) * 0.5e0 AS pos
+              FROM framed
+            )
+            SELECT s.event_id, s.user_id,
+                   s.n::BIGINT AS rolling_q_count,
+                   CASE WHEN s.n >= 2 THEN
+                     round(f.vals[floor(s.pos)::INT + 1]
+                           + (s.pos - floor(s.pos))
+                             * (f.vals[least(floor(s.pos)::INT + 2,
+                                             s.n)]
+                                - f.vals[floor(s.pos)::INT + 1]), 6)
+                   END AS rolling_median
+            FROM scored s JOIN framed f
+              ON s.event_id = f.event_id AND s.user_id = f.user_id
+        """,
+        "new_entities_daily": """
+            WITH base AS (
+              SELECT user_id AS e,
+                     epoch_ns(ts) // 86400000000000 AS bucket_id
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            first AS (
+              SELECT e, min(bucket_id) AS fb FROM base GROUP BY e
+            ),
+            news AS (
+              SELECT fb AS bucket_id, count(*)::BIGINT AS new_entities
+              FROM first GROUP BY fb
+            ),
+            act AS (
+              SELECT bucket_id, count(DISTINCT e)::BIGINT AS active
+              FROM base GROUP BY bucket_id
+            )
+            SELECT bucket_id,
+                   coalesce(active, 0)::BIGINT AS active,
+                   coalesce(new_entities, 0)::BIGINT AS new_entities,
+                   (coalesce(active, 0)
+                    - coalesce(new_entities, 0))::BIGINT AS returning,
+                   sum(coalesce(new_entities, 0)) OVER (
+                     ORDER BY bucket_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
+            FROM act FULL OUTER JOIN news USING (bucket_id)
         """,
         "ngram_novelty": """
             WITH t AS (

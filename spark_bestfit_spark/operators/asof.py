@@ -658,3 +658,64 @@ def apply_cdc(
     changed_keys = latest.select(*keys)
     untouched = snapshot.join(changed_keys, on=keys, how="left_anti")
     return untouched.select(*keys, *data_cols).unionByName(upserts)
+
+
+def rolling_quantile(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_col: str,
+    window: int = 10,
+    q: float = 0.5,
+    min_periods: int = 1,
+    tiebreak_col: str | None = None,
+    output_col: str = "rolling_q",
+) -> DataFrame:
+    """EXACT rolling quantile (default: median) over the last
+    ``window`` rows per entity — the robust companion to
+    :func:`rolling_stats`' mean/stddev (one outlier wrecks a trailing
+    mean; the trailing median shrugs): per row, the linearly
+    interpolated ``q``-quantile (the ``percentile_cont`` convention)
+    of the row-bounded frame.
+
+    Same exchange shape as :func:`rolling_stats` — ONE entity-hash
+    exchange, one window sort. The frame's values are assembled with
+    ``collect_list`` + ``array_sort`` and interpolated with pure
+    array arithmetic, all JVM-side: O(window log window) per row and
+    O(window) state, so this is for BOUNDED windows (10s-1000s);
+    unbounded quantiles belong to approx_quantiles. Ties in
+    ``order_col`` break by ``tiebreak_col`` when given (pass a unique
+    id for an engine-independent frame).
+
+    Appends ``output_col`` (rounded to 6; null below ``min_periods``
+    rows) and ``rolling_q_count``.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    order = [F.col(order_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    vals = F.array_sort(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    n = F.size(vals)
+    # percentile_cont: pos = (n - 1) * q, linear interpolation
+    pos = (n - F.lit(1)).cast("double") * F.lit(float(q))
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    v_lo = F.element_at(vals, lo + 1)
+    v_hi = F.element_at(vals, F.least(lo + 2, n))
+    quant = v_lo + frac * (v_hi - v_lo)
+    return df.withColumn("rolling_q_count", n.cast("long")).withColumn(
+        output_col,
+        F.round(
+            F.when(n >= int(min_periods), quant), 6
+        ),
+    )

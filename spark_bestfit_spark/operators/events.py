@@ -36,6 +36,8 @@ __all__ = [
     "funnel_timing",
     "seasonal_naive_backtest",
     "cohort_values",
+    "seasonal_decompose",
+    "new_entities_curve",
 ]
 
 
@@ -860,4 +862,61 @@ def seasonal_decompose(
         F.round(
             F.col("y") - F.col("trend") - F.col("seasonal"), 6
         ).alias("resid"),
+    ).orderBy("bucket_id")
+
+
+def new_entities_curve(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: int = 24 * 3600 * 10**9,
+) -> DataFrame:
+    """Entity growth curve: per time bucket, how many ACTIVE entities
+    were seen, how many were NEW (first activity ever in this
+    bucket), how many RETURNING, and the cumulative distinct-entity
+    count — the acquisition-vs-retention decomposition every
+    DAU/WAU-style dashboard starts from.
+
+    Two combiner-friendly exchanges over data-sized input: one
+    (entity) groupBy for first-seen buckets and one (bucket, entity)
+    distinct collapsed to per-bucket actives; everything after runs
+    on the series-length relation (a full join of the two per-bucket
+    rollups plus one cumulative window). Buckets with activity but no
+    new entities report 0; the cumulative counts every entity once,
+    at its first bucket.
+
+    Returns ``(bucket_id, active, new_entities, returning,
+    cum_entities)`` ordered by bucket.
+    """
+    from pyspark.sql import Window as _W
+
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    base = df.filter(
+        F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("_e"),
+        _floor_div(ts_col, bucket).alias("bucket_id"),
+    )
+    first = base.groupBy("_e").agg(F.min("bucket_id").alias("_fb"))
+    news = first.groupBy(F.col("_fb").alias("bucket_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_entities")
+    )
+    active = base.distinct().groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    joined = active.join(news, "bucket_id", "full").select(
+        "bucket_id",
+        F.coalesce("active", F.lit(0)).alias("active"),
+        F.coalesce("new_entities", F.lit(0)).alias("new_entities"),
+    )
+    w = _W.orderBy("bucket_id").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    return joined.select(
+        "bucket_id",
+        "active",
+        "new_entities",
+        (F.col("active") - F.col("new_entities")).alias("returning"),
+        F.sum("new_entities").over(w).cast("long").alias("cum_entities"),
     ).orderBy("bucket_id")

@@ -685,3 +685,69 @@ class TestApplyCdc:
         )
         got = apply_cdc(snap, changes, "k", tiebreak_col="id").collect()
         assert [(r.k, r.v) for r in got] == [(1, 2.0)]
+
+
+class TestRollingQuantile:
+    def test_matches_pandas_rolling_median(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.asof import rolling_quantile
+
+        vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 0.0]
+        df = spark.createDataFrame(
+            [("u", i, v) for i, v in enumerate(vals)],
+            "e string, t long, v double",
+        )
+        out = (
+            rolling_quantile(
+                df, "v", "t", "e", window=4, q=0.5,
+                min_periods=1, tiebreak_col="t",
+            )
+            .orderBy("t")
+            .collect()
+        )
+        ref = pd.Series(vals).rolling(4, min_periods=1).median()
+        for r, want in zip(out, ref):
+            assert r.rolling_q == pytest.approx(
+                round(float(want), 6), abs=1e-9
+            )
+        # quartile with linear interpolation
+        out2 = (
+            rolling_quantile(
+                df, "v", "t", "e", window=4, q=0.25, tiebreak_col="t"
+            )
+            .orderBy("t")
+            .collect()
+        )
+        ref2 = (
+            pd.Series(vals)
+            .rolling(4, min_periods=1)
+            .quantile(0.25, interpolation="linear")
+        )
+        for r, want in zip(out2, ref2):
+            assert r.rolling_q == pytest.approx(
+                round(float(want), 6), abs=1e-9
+            )
+
+    def test_min_periods_partitioning_and_validation(self, spark):
+        from spark_bestfit_spark.operators.asof import rolling_quantile
+
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, 3.0), ("b", 0, 9.0)],
+            "e string, t long, v double",
+        )
+        out = {
+            (r.e, r.t): r
+            for r in rolling_quantile(
+                df, "v", "t", "e", window=3, min_periods=2,
+                tiebreak_col="t",
+            ).collect()
+        }
+        assert out[("a", 0)].rolling_q is None  # below min_periods
+        assert out[("a", 1)].rolling_q == 2.0
+        assert out[("b", 0)].rolling_q is None  # separate entity
+        assert out[("b", 0)].rolling_q_count == 1
+        with pytest.raises(ValueError, match="window"):
+            rolling_quantile(df, "v", "t", "e", window=0)
+        with pytest.raises(ValueError, match="q must"):
+            rolling_quantile(df, "v", "t", "e", q=1.5)

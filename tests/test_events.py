@@ -950,3 +950,50 @@ class TestSeasonalDecompose:
             seasonal_decompose(
                 df, "ts", "value", bucket=100, period=2, agg="max"
             )
+
+
+class TestNewEntitiesCurve:
+    def test_hand_computed_growth(self, spark):
+        from spark_bestfit_spark.operators.events import (
+            new_entities_curve,
+        )
+
+        ev = [
+            ("a", 0), ("a", 5), ("b", 5),          # bucket 0: a,b new
+            ("c", 12), ("a", 12), ("d", 12),        # bucket 1: c,d new, a returns
+            ("b", 22),                              # bucket 2: b returns
+        ]
+        df = spark.createDataFrame(ev, "u string, ts long")
+        out = {
+            r.bucket_id: r
+            for r in new_entities_curve(df, "u", "ts", bucket=10)
+            .collect()
+        }
+        assert out[0].active == 2 and out[0].new_entities == 2
+        assert out[0].returning == 0 and out[0].cum_entities == 2
+        assert out[1].active == 3 and out[1].new_entities == 2
+        assert out[1].returning == 1 and out[1].cum_entities == 4
+        assert out[2].active == 1 and out[2].new_entities == 0
+        assert out[2].returning == 1 and out[2].cum_entities == 4
+
+    def test_cumulative_counts_each_entity_once(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.events import (
+            new_entities_curve,
+        )
+
+        rng = np.random.default_rng(81)
+        rows = [
+            (f"u{int(rng.integers(0, 40))}", int(t))
+            for t in rng.integers(0, 100, 400)
+        ]
+        df = spark.createDataFrame(rows, "u string, ts long")
+        out = new_entities_curve(df, "u", "ts", bucket=10).collect()
+        total_entities = len({u for u, _ in rows})
+        assert out[-1].cum_entities == total_entities
+        assert sum(r.new_entities for r in out) == total_entities
+        for r in out:
+            assert r.returning == r.active - r.new_entities
+        with pytest.raises(ValueError, match="bucket"):
+            new_entities_curve(df, "u", "ts", bucket=0)
