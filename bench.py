@@ -489,6 +489,31 @@ def main() -> None:
         rounds=3,
     )
 
+    # exact energy distance rides the same distinct-value prefix-sum
+    # spine extended with value-sum offsets — tracked so the extra
+    # sum columns never silently regress the spine's exchange shape
+    from spark_bestfit_spark.operators.stats import energy_distance
+
+    bench(
+        "q_energy_distance",
+        lambda: energy_distance(li_a, li_n, "l_extendedprice").first(),
+        rounds=2,
+    )
+
+    # embedding covariance: the mapInPandas partial-Gram reduction —
+    # the d^2-keyed combine must stay partials-only (no data-sized
+    # exchange) as the corpus grows
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb01 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench(
+        "q_embedding_cov",
+        lambda: embedding_covariance(emb01).count(),
+        rounds=2,
+    )
+
     # segmented drift: per-group exact K-S (windowed prefix-sum spine,
     # fully in-plan) — tracked so plan drift in the grouped-drift trio's
     # exchange shapes shows up as a wall regression. The a/b split is a
