@@ -4435,6 +4435,43 @@ def _q_new_entities_daily(spark, sf_dir):
     return new_entities_curve(ev, "user_id", "ts", day_ns)
 
 
+def _q_kfold_counts(spark, sf_dir):
+    """Deterministic 5-fold assignment (seeded Knuth hash, map-only)
+    rolled up per (fold, source): replayable CV folds — identical on
+    any engine/partitioning, unlike randomSplit."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import kfold_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kfold_assign(docs, k=5).groupBy("fold", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def _q_rebalance_classes(spark, sf_dir):
+    """Deterministic per-class down-sampling (keep iff seeded Knuth
+    u(id) < class rate; broadcast one-row-per-class rates): the
+    class-imbalance corrector, replayable row-for-row where sampleBy
+    is partitioning-dependent."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        rebalance_classes,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    kept = rebalance_classes(
+        orders, "o_orderstatus", {"O": 0.3, "P": 0.5},
+        id_col="o_orderkey",
+    )
+    return kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4522,6 +4559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "events_rolling_median": _q_events_rolling_median,
         "new_entities_daily": _q_new_entities_daily,
+        "kfold_counts": _q_kfold_counts,
+        "rebalance_classes": _q_rebalance_classes,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9571,6 +9610,35 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "kfold_counts": """
+            WITH u AS (
+              SELECT source, n_chars,
+                     floor(((((doc_id + 11) % 4294967296)::HUGEINT
+                             * 2654435761) % 4294967296)
+                           / 4294967296.0 * 5)::INT AS fold
+              FROM documents
+            )
+            SELECT fold, source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM u GROUP BY fold, source
+        """,
+        "rebalance_classes": """
+            WITH rates(status, r) AS (VALUES ('O', 0.3), ('P', 0.5)),
+            kept AS (
+              SELECT o.o_orderstatus, o.o_totalprice
+              FROM orders o LEFT JOIN rates
+                ON o.o_orderstatus = rates.status
+              WHERE rates.r IS NULL
+                 OR ((((o.o_orderkey + 23) % 4294967296)::HUGEINT
+                      * 2654435761) % 4294967296)
+                    / 4294967296.0 < rates.r
+            )
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM kept GROUP BY o_orderstatus
         """,
         "ngram_novelty": """
             WITH t AS (

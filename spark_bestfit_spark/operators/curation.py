@@ -1199,3 +1199,77 @@ def group_split(
     return hash_split(tmp, weights, id_col="_gid", seed=seed).drop(
         "_gid"
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 11,
+    group_key: Column | None = None,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold
+    ``floor(u * k)`` with ``u`` the seeded Knuth hash of the row id
+    (or, with ``group_key``, of the GROUP identity via the portable
+    md5 path — every member of a group lands in the SAME fold, the
+    k-fold analogue of :func:`group_split`'s leakage guarantee).
+
+    Map-only, no shuffle; identical on any engine / partitioning /
+    rerun (``randomSplit`` is none of those), so every fold's
+    train/test complement is replayable. ``seed`` decorrelates folds
+    from other hash-derived decisions (splits, sampling).
+
+    Appends ``fold_col`` (int in [0, k)).
+    """
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if group_key is not None:
+        hid = portable_hash64(group_key.cast("string"))
+    else:
+        hid = F.col(id_col)
+    u = _knuth_u(hid, seed)
+    # u in [0, 1) exactly, so floor(u * k) lands in [0, k)
+    return df.withColumn(
+        fold_col, F.floor(u * F.lit(int(k))).cast("int")
+    )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    label_col: str,
+    target_fractions: dict,
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministic per-class down-sampling: keep each row of class
+    ``c`` with probability ``target_fractions[c]`` (classes absent
+    from the dict keep everything) — the class-imbalance corrector
+    for training corpora, as replayable pure-integer arithmetic
+    instead of ``sampleBy``'s partitioning-dependent RNG.
+
+    Keep decision: ``u(id, seed) < fraction(class)`` with ``u`` the
+    seeded Knuth hash — identical on any engine/partitioning/rerun,
+    oracle-replayable row-for-row. The fraction relation is one row
+    per class, broadcast into a map-side join; no data-sized shuffle.
+    """
+    if not target_fractions:
+        raise ValueError("target_fractions must be non-empty")
+    for c, f in target_fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for {c!r} must be in [0, 1]")
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(c, float(f)) for c, f in target_fractions.items()],
+        [label_col, "_keep_rate"],
+    )
+    u = _knuth_u(F.col(id_col), seed)
+    joined = df.join(F.broadcast(rates), on=label_col, how="left")
+    return (
+        joined.filter(
+            F.col("_keep_rate").isNull() | (u < F.col("_keep_rate"))
+        )
+        .drop("_keep_rate")
+    )

@@ -1199,3 +1199,80 @@ class TestGroupSplit:
             group_split(df, key), "split", key=key
         ).collect()
         assert all(r.n_leaked == 0 for r in leak)
+
+
+class TestKfoldAssign:
+    def test_folds_deterministic_balanced_and_in_range(self, spark):
+        from spark_bestfit_spark.operators.curation import kfold_assign
+
+        df = spark.range(5000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.fold for r in kfold_assign(df, k=5).collect()}
+        b = {
+            r.doc_id: r.fold
+            for r in kfold_assign(df.repartition(16), k=5).collect()
+        }
+        assert a == b  # partitioning-independent
+        assert set(a.values()) == {0, 1, 2, 3, 4}
+        import collections
+
+        counts = collections.Counter(a.values())
+        for c in counts.values():
+            assert abs(c - 1000) < 150  # roughly balanced
+
+    def test_group_key_never_straddles(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import kfold_assign
+
+        rows = [(i, f"fam{i % 30}") for i in range(900)]
+        df = spark.createDataFrame(rows, "doc_id long, fam string")
+        out = kfold_assign(df, k=4, group_key=F.col("fam"))
+        straddle = (
+            out.groupBy("fam")
+            .agg(F.countDistinct("fold").alias("nf"))
+            .filter("nf > 1")
+            .count()
+        )
+        assert straddle == 0
+        with pytest.raises(ValueError, match="k must"):
+            kfold_assign(df, k=1)
+
+
+class TestRebalanceClasses:
+    def test_downsamples_to_target_and_deterministic(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            rebalance_classes,
+        )
+
+        rows = [(i, "maj" if i % 10 else "min") for i in range(10000)]
+        df = spark.createDataFrame(rows, "doc_id long, label string")
+        import pyspark.sql.functions as F
+
+        out = rebalance_classes(df, "label", {"maj": 0.1})
+        counts = {
+            r.label: r.cnt
+            for r in out.groupBy("label")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert counts["min"] == 1000  # untouched class kept fully
+        assert abs(counts["maj"] - 900) < 120  # ~10% of 9000
+        ids1 = sorted(r.doc_id for r in out.collect())
+        ids2 = sorted(
+            r.doc_id
+            for r in rebalance_classes(
+                df.repartition(8), "label", {"maj": 0.1}
+            ).collect()
+        )
+        assert ids1 == ids2
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            rebalance_classes,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, label string")
+        with pytest.raises(ValueError, match="non-empty"):
+            rebalance_classes(df, "label", {})
+        with pytest.raises(ValueError, match="fraction"):
+            rebalance_classes(df, "label", {"a": 1.5})
