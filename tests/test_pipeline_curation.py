@@ -1276,3 +1276,73 @@ class TestRebalanceClasses:
             rebalance_classes(df, "label", {})
         with pytest.raises(ValueError, match="fraction"):
             rebalance_classes(df, "label", {"a": 1.5})
+
+
+class TestAnsiModeSafetyRound8:
+    def test_round8_hash_and_window_ops_survive_ansi(self, spark):
+        """Round-8 hash arithmetic (group_split's md5-Knuth on
+        extreme ids, kfold's seeded hash, deletion-neighborhood
+        substr windows) and the decomposition/rolling windows must be
+        bit-identical under ANSI — no ARITHMETIC_OVERFLOW, no
+        substring edge throw."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.asof import rolling_quantile
+        from spark_bestfit_spark.operators.curation import (
+            group_split,
+            kfold_assign,
+            rebalance_classes,
+        )
+        from spark_bestfit_spark.operators.linkage import fuzzy_join
+
+        df = spark.createDataFrame(
+            [
+                (2**62, "alpha beta gamma", "x"),
+                (-(2**62), "alpha beta gamm", "y"),
+                (2**63 - 1, "", "x"),
+                (7, "zeta", "y"),
+            ],
+            "doc_id long, text string, label string",
+        )
+
+        def run():
+            gs = sorted(
+                (r.doc_id, r.split)
+                for r in group_split(df, F.col("text")).collect()
+            )
+            kf = sorted(
+                (r.doc_id, r.fold)
+                for r in kfold_assign(df, k=7).collect()
+            )
+            rb = sorted(
+                r.doc_id
+                for r in rebalance_classes(
+                    df, "label", {"x": 0.5}
+                ).collect()
+            )
+            fj = sorted(
+                (r.id_l, r.id_r, r.dist)
+                for r in fuzzy_join(
+                    df, df, "text", "text", "doc_id", "doc_id", 1
+                ).collect()
+            )
+            ts = spark.createDataFrame(
+                [("u", i, float(i % 3)) for i in range(8)],
+                "e string, t long, v double",
+            )
+            rq = [
+                r.rolling_q
+                for r in rolling_quantile(
+                    ts, "v", "t", "e", window=3, tiebreak_col="t"
+                )
+                .orderBy("t")
+                .collect()
+            ]
+            return gs, kf, rb, fj, rq
+
+        base = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            assert run() == base
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
