@@ -124,6 +124,19 @@ def main() -> None:
         # queries keeps total bench wall-time bounded)
         if only and name not in only:
             return None
+        # free DEAD lineage-truncation blocks before measuring: the
+        # connected-components operators localCheckpoint their edge /
+        # label relations, and those blocks stay pinned until both
+        # Python and JVM GC run — left alone they shrink execution
+        # memory for every LATER query (observed: the tfidf sf1 line
+        # 9.9 s isolated vs 14-18 s after the graph lines).
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            sc._jvm.System.gc()
+        except Exception:
+            pass
         fn()
         best = float("inf")
         best_counts = (0, 0)
