@@ -4472,6 +4472,32 @@ def _q_rebalance_classes(spark, sf_dir):
     )
 
 
+def _q_linear_fit_price(spark, sf_dir):
+    """Distributed multiple regression of price on quantity +
+    discount: ONE moment aggregation (X'X, X'y), explicit Cramer
+    solve (the SQL-replicable path for p <= 2), R^2/RMSE from the
+    same moments — no second scan."""
+    from spark_bestfit_spark.operators.stats import linear_fit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return linear_fit(
+        li, "l_extendedprice", ["l_quantity", "l_discount"]
+    )
+
+
+def _q_partial_corr_price(spark, sf_dir):
+    """First-order partial correlation of price and discount
+    controlling for quantity — one map-side-combinable aggregation
+    computes all three Pearson correlations; scalar algebra on the
+    1-row relation."""
+    from spark_bestfit_spark.operators.stats import partial_correlation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return partial_correlation(
+        li, "l_extendedprice", "l_discount", "l_quantity"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4561,6 +4587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_entities_daily": _q_new_entities_daily,
         "kfold_counts": _q_kfold_counts,
         "rebalance_classes": _q_rebalance_classes,
+        "linear_fit_price": _q_linear_fit_price,
+        "partial_corr_price": _q_partial_corr_price,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9610,6 +9638,102 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "linear_fit_price": """
+            WITH clean AS (
+              SELECT l_extendedprice AS y,
+                     l_quantity AS x0, l_discount AS x1
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_discount IS NOT NULL
+            ),
+            m AS (
+              SELECT count(*) AS n,
+                     count(*)::DOUBLE AS m00,
+                     sum(x0) AS m01, sum(x1) AS m02,
+                     sum(x0 * x0) AS m11, sum(x0 * x1) AS m12,
+                     sum(x1 * x1) AS m22,
+                     sum(y) AS v0, sum(x0 * y) AS v1,
+                     sum(x1 * y) AS v2,
+                     sum(y * y) AS yy
+              FROM clean
+            ),
+            -- Cramer's rule on the 3x3 normal matrix, the same
+            -- algebraic path the operator takes for p <= 2
+            solved AS (
+              SELECT n, v0, v1, v2, yy,
+                     (m00 * (m11 * m22 - m12 * m12)
+                      - m01 * (m01 * m22 - m12 * m02)
+                      + m02 * (m01 * m12 - m11 * m02)) AS det,
+                     (v0 * (m11 * m22 - m12 * m12)
+                      - m01 * (v1 * m22 - m12 * v2)
+                      + m02 * (v1 * m12 - m11 * v2)) AS d0,
+                     (m00 * (v1 * m22 - v2 * m12)
+                      - v0 * (m01 * m22 - m12 * m02)
+                      + m02 * (m01 * v2 - v1 * m02)) AS d1,
+                     (m00 * (m11 * v2 - m12 * v1)
+                      - m01 * (m01 * v2 - v1 * m02)
+                      + v0 * (m01 * m12 - m11 * m02)) AS d2
+              FROM m
+            ),
+            stats AS (
+              SELECT n, det, d0 / det AS b0, d1 / det AS b1,
+                     d2 / det AS b2,
+                     yy - (d0 / det * v0 + d1 / det * v1
+                           + d2 / det * v2) AS sse,
+                     yy - n * (v0 / n) * (v0 / n) AS sst
+              FROM solved
+            ),
+            summary AS (
+              SELECT n::BIGINT AS n,
+                     round(b0, 6) AS c_int,
+                     round(b1, 6) AS c_x0,
+                     round(b2, 6) AS c_x1,
+                     CASE WHEN sst > 0 THEN
+                       round(1e0 - sse / sst, 6) END AS r2,
+                     round(sqrt(greatest(sse, 0e0) / n), 6) AS rmse
+              FROM stats
+            )
+            SELECT t.term, t.coef, s.n, s.r2, s.rmse
+            FROM summary s
+            CROSS JOIN (
+              SELECT 'intercept' AS term,
+                     (SELECT c_int FROM summary) AS coef
+              UNION ALL
+              SELECT 'l_quantity', (SELECT c_x0 FROM summary)
+              UNION ALL
+              SELECT 'l_discount', (SELECT c_x1 FROM summary)
+            ) t
+        """,
+        "partial_corr_price": """
+            WITH clean AS (
+              SELECT l_extendedprice AS x, l_discount AS y,
+                     l_quantity AS z
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ),
+            c AS (
+              SELECT count(*)::BIGINT AS n,
+                     corr(x, y) AS rxy, corr(x, z) AS rxz,
+                     corr(y, z) AS ryz
+              FROM clean
+            )
+            SELECT n,
+                   round(rxy, 6) AS r_xy,
+                   round(rxz, 6) AS r_xz,
+                   round(ryz, 6) AS r_yz,
+                   CASE WHEN n >= 3 AND rxy IS NOT NULL
+                         AND rxz IS NOT NULL AND ryz IS NOT NULL
+                         AND sqrt((1e0 - rxz * rxz)
+                                  * (1e0 - ryz * ryz)) > 0 THEN
+                     round((rxy - rxz * ryz)
+                           / sqrt((1e0 - rxz * rxz)
+                                  * (1e0 - ryz * ryz)), 6)
+                   END AS r_xy_z
+            FROM c
         """,
         "kfold_counts": """
             WITH u AS (

@@ -7,6 +7,7 @@ scan with partial aggregation (map-side combine) and a ~bytes-sized shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -3516,3 +3517,185 @@ def isotonic_calibration(
         for idx, r in enumerate(per)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def linear_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Distributed multiple linear regression by normal equations —
+    the classic big-data OLS split: ONE map-side-combinable
+    aggregation reduces the data to the (p+1) x (p+1) moment matrix
+    ``X'X`` and vector ``X'y`` (intercept included), and the tiny
+    dense solve happens on the driver. Extends :func:`grouped_ols`
+    (single predictor, in-plan closed form) to many predictors.
+
+    ``ridge`` adds L2 regularization ``lambda * I`` to the
+    non-intercept diagonal (the standard conditioning guard for
+    collinear predictors). For p <= 2 predictors the solve uses
+    explicit Cramer's rule (the same algebraic path a SQL oracle can
+    replicate term-for-term); larger systems use ``numpy.linalg``.
+
+    R^2 and RMSE come from the same moments (``SSE = y'y - b'X'y``,
+    ``SST = y'y - n ybar^2``) — nothing rescans the data. Rows with a
+    null/NaN in any column are excluded. Returns one row per term
+    (``intercept`` first, then ``x_cols`` order): ``(term, coef, n,
+    r2, rmse)`` with coef/r2/rmse rounded to 6; null coefs when the
+    system is singular (constant predictor without ridge).
+    """
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    if ridge < 0:
+        raise ValueError("ridge must be >= 0")
+    p = len(x_cols)
+    cols = [F.col(c).cast("double") for c in x_cols]
+    yc = F.col(y_col).cast("double")
+    cond = yc.isNotNull() & ~F.isnan(yc)
+    for c in cols:
+        cond = cond & c.isNotNull() & ~F.isnan(c)
+    clean = df.filter(cond).select(
+        yc.alias("_y"),
+        *[cols[i].alias(f"_x{i}") for i in range(p)],
+    )
+    terms = [F.lit(1.0)] + [F.col(f"_x{i}") for i in range(p)]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"_m{i}{j}"))
+        aggs.append(F.sum(terms[i] * F.col("_y")).alias(f"_v{i}"))
+    aggs.append(F.sum(F.col("_y") * F.col("_y")).alias("_yy"))
+    row = clean.agg(*aggs).first()
+    n = int(row["_n"] or 0)
+    spark = df.sparkSession
+    schema = "term string, coef double, n long, r2 double, rmse double"
+    names = ["intercept"] + [str(c) for c in x_cols]
+    if n == 0:
+        return spark.createDataFrame(
+            [(t, None, 0, None, None) for t in names], schema
+        )
+    d = p + 1
+    A = [[0.0] * d for _ in range(d)]
+    b = [0.0] * d
+    for i in range(d):
+        for j in range(i, d):
+            A[i][j] = A[j][i] = float(row[f"_m{i}{j}"])
+        b[i] = float(row[f"_v{i}"])
+    for i in range(1, d):
+        A[i][i] += float(ridge)
+
+    def _det2(m):
+        return m[0][0] * m[1][1] - m[0][1] * m[1][0]
+
+    def _det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    coefs = None
+    if d <= 3:
+        det = _det2(A) if d == 2 else (_det3(A) if d == 3 else A[0][0])
+        if det != 0.0:
+            coefs = []
+            for k in range(d):
+                Ak = [rowi[:] for rowi in A]
+                for i in range(d):
+                    Ak[i][k] = b[i]
+                dk = (
+                    _det2(Ak) if d == 2
+                    else (_det3(Ak) if d == 3 else Ak[0][0])
+                )
+                coefs.append(dk / det)
+    else:
+        try:
+            coefs = list(
+                np.linalg.solve(np.array(A), np.array(b)).tolist()
+            )
+        except np.linalg.LinAlgError:
+            coefs = None
+    if coefs is None:
+        return spark.createDataFrame(
+            [(t, None, n, None, None) for t in names], schema
+        )
+    yy = float(row["_yy"])
+    sse = yy - sum(c * v for c, v in zip(coefs, b))
+    ybar = b[0] / n
+    sst = yy - n * ybar * ybar
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    rmse = (max(sse, 0.0) / n) ** 0.5
+    out = [
+        (
+            t,
+            round(c, 6),
+            n,
+            round(r2, 6) if r2 is not None else None,
+            round(rmse, 6),
+        )
+        for t, c in zip(names, coefs)
+    ]
+    return spark.createDataFrame(out, schema)
+
+
+def partial_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    col_z: str,
+) -> DataFrame:
+    """First-order partial correlation ``r_xy.z`` — the association
+    between x and y with the third variable z held constant,
+
+        r_xy.z = (r_xy - r_xz r_yz)
+                 / sqrt((1 - r_xz^2) (1 - r_yz^2))
+
+    — the confounder-controlled companion to :func:`simpsons_check`
+    (that flags a confound across GROUPS; this nets out a continuous
+    one). ONE map-side-combinable aggregation computes all three
+    Pearson correlations; everything else is scalar algebra on the
+    1-row relation. Rows with a null/NaN in any column are excluded;
+    null when either conditioning correlation is degenerate
+    (|r| = 1, constant column, or n < 3). Rounded to 6.
+
+    Returns one row: ``(n, r_xy, r_xz, r_yz, r_xy_z)``.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    z = F.col(col_z).cast("double")
+    cond = (
+        x.isNotNull() & ~F.isnan(x)
+        & y.isNotNull() & ~F.isnan(y)
+        & z.isNotNull() & ~F.isnan(z)
+    )
+    clean = df.filter(cond).select(
+        x.alias("_x"), y.alias("_y"), z.alias("_z")
+    )
+    agg = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("_x", "_y").alias("_rxy"),
+        F.corr("_x", "_z").alias("_rxz"),
+        F.corr("_y", "_z").alias("_ryz"),
+    )
+    denom = F.sqrt(
+        (F.lit(1.0) - F.col("_rxz") * F.col("_rxz"))
+        * (F.lit(1.0) - F.col("_ryz") * F.col("_ryz"))
+    )
+    ok = (
+        (F.col("n") >= 3)
+        & F.col("_rxy").isNotNull()
+        & F.col("_rxz").isNotNull()
+        & F.col("_ryz").isNotNull()
+        & (denom > 0)
+    )
+    part = (
+        F.col("_rxy") - F.col("_rxz") * F.col("_ryz")
+    ) / denom
+    return agg.select(
+        "n",
+        F.round("_rxy", 6).alias("r_xy"),
+        F.round("_rxz", 6).alias("r_xz"),
+        F.round("_ryz", 6).alias("r_yz"),
+        F.round(F.when(ok, part), 6).alias("r_xy_z"),
+    )

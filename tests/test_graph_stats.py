@@ -1649,3 +1649,120 @@ class TestIsotonicCalibration:
         assert isotonic_calibration(empty, "score", "y").count() == 0
         with pytest.raises(ValueError, match="bins"):
             isotonic_calibration(const, "score", "y", bins=1)
+
+
+class TestLinearFit:
+    def test_matches_numpy_lstsq(self, spark):
+        from spark_bestfit_spark.operators.stats import linear_fit
+
+        rng = np.random.default_rng(91)
+        n = 3000
+        x1 = rng.uniform(0, 10, n)
+        x2 = rng.normal(5, 2, n)
+        y = 3.0 + 2.5 * x1 - 1.2 * x2 + rng.normal(0, 0.5, n)
+        df = spark.createDataFrame(
+            [tuple(map(float, t)) for t in zip(y, x1, x2)],
+            "y double, x1 double, x2 double",
+        )
+        out = {r.term: r for r in linear_fit(df, "y", ["x1", "x2"]).collect()}
+        X = np.column_stack([np.ones(n), x1, x2])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        for term, want in zip(["intercept", "x1", "x2"], beta):
+            assert out[term].coef == pytest.approx(
+                round(float(want), 6), abs=1e-5
+            )
+        resid = y - X @ beta
+        r2 = 1 - (resid ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert out["x1"].r2 == pytest.approx(round(float(r2), 6), abs=1e-5)
+        assert out["x1"].rmse == pytest.approx(
+            round(float(np.sqrt((resid ** 2).mean())), 6), abs=1e-5
+        )
+        assert out["x1"].n == n
+
+    def test_many_predictors_numpy_path(self, spark):
+        from spark_bestfit_spark.operators.stats import linear_fit
+
+        rng = np.random.default_rng(92)
+        n = 2000
+        X = rng.normal(0, 1, (n, 4))
+        beta_true = [1.0, -2.0, 0.5, 3.0]
+        y = 0.7 + X @ beta_true + rng.normal(0, 0.2, n)
+        df = spark.createDataFrame(
+            [tuple(map(float, [y[i], *X[i]])) for i in range(n)],
+            "y double, a double, b double, c double, d double",
+        )
+        out = {
+            r.term: r.coef
+            for r in linear_fit(df, "y", ["a", "b", "c", "d"]).collect()
+        }
+        Xd = np.column_stack([np.ones(n), X])
+        beta = np.linalg.lstsq(Xd, y, rcond=None)[0]
+        for term, want in zip(["intercept", "a", "b", "c", "d"], beta):
+            assert out[term] == pytest.approx(
+                round(float(want), 6), abs=1e-5
+            )
+
+    def test_singular_ridge_and_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import linear_fit
+
+        df = spark.createDataFrame(
+            [(float(i), float(i % 7), float(i % 7)) for i in range(50)],
+            "y double, x double, x2 double",
+        )
+        # duplicate predictor: singular -> nulls; ridge -> finite
+        s0 = linear_fit(df, "y", ["x", "x2"]).collect()
+        assert all(r.coef is None for r in s0)
+        s1 = linear_fit(df, "y", ["x", "x2"], ridge=1.0).collect()
+        assert all(r.coef is not None for r in s1)
+        empty = spark.createDataFrame([], "y double, x double")
+        e = linear_fit(empty, "y", ["x"]).collect()
+        assert len(e) == 2 and all(r.coef is None for r in e)
+        with pytest.raises(ValueError, match="x_cols"):
+            linear_fit(df, "y", [])
+        with pytest.raises(ValueError, match="ridge"):
+            linear_fit(df, "y", ["x"], ridge=-1)
+
+
+class TestPartialCorrelation:
+    def test_confounder_netted_out(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            partial_correlation,
+        )
+
+        rng = np.random.default_rng(93)
+        n = 4000
+        z = rng.normal(0, 1, n)
+        a = 2 * z + rng.normal(0, 1, n)
+        b = 3 * z + rng.normal(0, 1, n)
+        df = spark.createDataFrame(
+            [tuple(map(float, t)) for t in zip(a, b, z)],
+            "a double, b double, z double",
+        )
+        r = partial_correlation(df, "a", "b", "z").first()
+        rxy = float(np.corrcoef(a, b)[0, 1])
+        rxz = float(np.corrcoef(a, z)[0, 1])
+        ryz = float(np.corrcoef(b, z)[0, 1])
+        want = (rxy - rxz * ryz) / np.sqrt(
+            (1 - rxz ** 2) * (1 - ryz ** 2)
+        )
+        assert r.r_xy == pytest.approx(round(rxy, 6), abs=2e-6)
+        assert r.r_xy_z == pytest.approx(round(float(want), 6), abs=2e-6)
+        # the marginal correlation is strong, the partial ~0
+        assert abs(r.r_xy) > 0.7 and abs(r.r_xy_z) < 0.05
+
+    def test_degenerate_null(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            partial_correlation,
+        )
+
+        # y == z: conditioning correlation is exactly 1 -> null
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 2.0), (2.0, 5.0, 5.0), (3.0, 1.0, 1.0)],
+            "x double, y double, z double",
+        )
+        r = partial_correlation(df, "x", "y", "z").first()
+        assert r.r_xy_z is None
+        tiny = spark.createDataFrame(
+            [(1.0, 2.0, 3.0), (2.0, 1.0, 0.0)], "x double, y double, z double"
+        )
+        assert partial_correlation(tiny, "x", "y", "z").first().r_xy_z is None
