@@ -4498,6 +4498,51 @@ def _q_partial_corr_price(spark, sf_dir):
     )
 
 
+def _q_cohen_kappa_lang(spark, sf_dir):
+    """Chance-corrected agreement between the heuristic language-ID
+    and the recorded lang label (the label-quality audit raw
+    agreement flatters): one contingency groupBy, marginals and the
+    diagonal recombined by broadcast."""
+    from spark_bestfit_spark.operators.stats import cohen_kappa
+    from spark_bestfit_spark.operators.textstats import (
+        with_language_id,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    guessed = with_language_id(docs)
+    return cohen_kappa(guessed, "lang_guess", "lang")
+
+
+def _q_zipf_law(spark, sf_dir):
+    """Zipf's-law check on the corpus vocabulary, composed from the
+    engine's own parts: token frequencies (one explode + groupBy),
+    deterministic frequency ranks (count desc, token asc), then the
+    log10 rank-frequency slope via linear_fit's single-aggregation
+    OLS — a Zipfian corpus shows slope near -1."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from spark_bestfit_spark.operators.stats import linear_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            W.orderBy(F.col("f").desc(), F.col("tok"))
+        ),
+    ).filter(F.col("r") <= 300)
+    loglog = ranked.select(
+        F.log10("f").alias("log_f"), F.log10("r").alias("log_r")
+    )
+    return linear_fit(loglog, "log_f", ["log_r"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4589,6 +4634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_classes": _q_rebalance_classes,
         "linear_fit_price": _q_linear_fit_price,
         "partial_corr_price": _q_partial_corr_price,
+        "cohen_kappa_lang": _q_cohen_kappa_lang,
+        "zipf_law": _q_zipf_law,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9638,6 +9685,109 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "cohen_kappa_lang": """
+            WITH hits AS (
+              SELECT doc_id,
+                     len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','zu'])) AS h_de,
+                     len(list_intersect(tk, ['the','a','of','and','to','in','is','it','that','was'])) AS h_en,
+                     len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
+                     len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
+              FROM (SELECT doc_id,
+                           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+                    FROM documents)
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                          WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                          WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                          WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                          ELSE 'fr' END AS a
+              FROM hits
+            ),
+            pairs AS (
+              SELECT g.a, d.lang AS b
+              FROM g JOIN documents d USING (doc_id)
+              WHERE d.lang IS NOT NULL
+            ),
+            obs AS (
+              SELECT a, b, count(*)::DOUBLE AS o
+              FROM pairs GROUP BY a, b
+            ),
+            tot AS (SELECT sum(o) AS n FROM obs),
+            diag AS (
+              SELECT coalesce(sum(o), 0) AS dg FROM obs WHERE a = b
+            ),
+            ma AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+            mb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+            pe AS (
+              SELECT coalesce(sum((ra / n) * (cb / n)), 0) AS pe
+              FROM ma JOIN mb ON ma.a = mb.b, tot
+            )
+            SELECT n::BIGINT AS n,
+                   round(dg / n, 6) AS p_observed,
+                   round(pe, 6) AS p_expected,
+                   CASE WHEN n > 0 AND pe < 1 THEN
+                     round((dg / n - pe) / (1e0 - pe), 6)
+                   END AS kappa
+            FROM tot, diag, pe
+        """,
+        "zipf_law": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                                               '\s+')) AS tok
+              FROM documents
+            ),
+            freq AS (
+              SELECT tok, count(*) AS f
+              FROM toks WHERE tok != '' GROUP BY tok
+            ),
+            ranked AS (
+              SELECT f,
+                     row_number() OVER (ORDER BY f DESC, tok) AS r
+              FROM freq QUALIFY r <= 300
+            ),
+            ll AS (
+              SELECT log10(f::DOUBLE) AS y, log10(r::DOUBLE) AS x
+              FROM ranked
+            ),
+            m AS (
+              SELECT count(*) AS n, count(*)::DOUBLE AS m00,
+                     sum(x) AS m01, sum(x * x) AS m11,
+                     sum(y) AS v0, sum(x * y) AS v1,
+                     sum(y * y) AS yy
+              FROM ll
+            ),
+            solved AS (
+              SELECT n, v0, v1, yy,
+                     (m00 * m11 - m01 * m01) AS det,
+                     (v0 * m11 - m01 * v1) AS d0,
+                     (m00 * v1 - v0 * m01) AS d1
+              FROM m
+            ),
+            stats AS (
+              SELECT n, d0 / det AS b0, d1 / det AS b1,
+                     yy - (d0 / det * v0 + d1 / det * v1) AS sse,
+                     yy - n * (v0 / n) * (v0 / n) AS sst
+              FROM solved
+            ),
+            summary AS (
+              SELECT n::BIGINT AS n,
+                     round(b0, 6) AS c_int, round(b1, 6) AS c_x,
+                     CASE WHEN sst > 0 THEN
+                       round(1e0 - sse / sst, 6) END AS r2,
+                     round(sqrt(greatest(sse, 0e0) / n), 6) AS rmse
+              FROM stats
+            )
+            SELECT t.term, t.coef, s.n, s.r2, s.rmse
+            FROM summary s
+            CROSS JOIN (
+              SELECT 'intercept' AS term,
+                     (SELECT c_int FROM summary) AS coef
+              UNION ALL
+              SELECT 'log_r', (SELECT c_x FROM summary)
+            ) t
         """,
         "linear_fit_price": """
             WITH clean AS (

@@ -3699,3 +3699,70 @@ def partial_correlation(
         F.round("_ryz", 6).alias("r_yz"),
         F.round(F.when(ok, part), 6).alias("r_xy_z"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelers,
+
+        kappa = (p_o - p_e) / (1 - p_e),
+
+    ``p_o`` the observed agreement rate and ``p_e`` the agreement
+    expected from the raters' marginal label distributions — the
+    label-quality audit for any doubly-annotated corpus slice (raw
+    agreement flatters raters who both spam the majority label;
+    kappa does not).
+
+    ONE combiner-friendly contingency groupBy on (a, b); both
+    marginals and the diagonal derive from that |A| x |B|-row
+    relation via broadcast recombination — the
+    :func:`mutual_information` execution shape. Null labels on
+    either side are excluded; kappa is null when ``p_e = 1`` (both
+    raters constant — chance explains everything). Rounded to 6.
+
+    Returns one row: ``(n, p_observed, p_expected, kappa)``.
+    """
+    clean = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    )
+    obs = clean.groupBy(
+        F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    tot = obs.agg(F.sum("_o").alias("_n"))
+    diag = obs.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("_o"), F.lit(0)).alias("_d")
+    )
+    ma = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    mb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("_ra") / F.col("_n"))
+                    * (F.col("_cb") / F.col("_n"))
+                ),
+                F.lit(0.0),
+            ).alias("_pe")
+        )
+    )
+    agg = (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(pe))
+    )
+    po = F.col("_d") / F.col("_n")
+    ok = (F.col("_n") > 0) & (F.col("_pe") < 1.0)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round("_pe", 6).alias("p_expected"),
+        F.round(
+            F.when(ok, (po - F.col("_pe")) / (F.lit(1.0) - F.col("_pe"))),
+            6,
+        ).alias("kappa"),
+    )

@@ -1766,3 +1766,46 @@ class TestPartialCorrelation:
             [(1.0, 2.0, 3.0), (2.0, 1.0, 0.0)], "x double, y double, z double"
         )
         assert partial_correlation(tiny, "x", "y", "z").first().r_xy_z is None
+
+
+class TestCohenKappa:
+    def test_matches_hand_computation(self, spark):
+        from spark_bestfit_spark.operators.stats import cohen_kappa
+
+        # classic 2x2 example: a=20 agree-yes, d=15 agree-no,
+        # b=5 (A yes, B no), c=10 (A no, B yes)
+        rows = (
+            [("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 5 + [("n", "y")] * 10
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = cohen_kappa(df, "a", "b").first()
+        n = 50
+        po = 35 / n
+        pe = (25 / n) * (30 / n) + (25 / n) * (20 / n)
+        want = (po - pe) / (1 - pe)
+        assert r.n == n
+        assert r.p_observed == pytest.approx(round(po, 6))
+        assert r.p_expected == pytest.approx(round(pe, 6), abs=1e-6)
+        assert r.kappa == pytest.approx(round(want, 6), abs=2e-6)
+
+    def test_perfect_and_constant(self, spark):
+        from spark_bestfit_spark.operators.stats import cohen_kappa
+
+        same = spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")],
+            "a string, b string",
+        )
+        r = cohen_kappa(same, "a", "b").first()
+        assert r.kappa == 1.0 and r.p_observed == 1.0
+        # both raters constant: p_e = 1 -> null kappa
+        const = spark.createDataFrame(
+            [("k", "k")] * 5, "a string, b string"
+        )
+        assert cohen_kappa(const, "a", "b").first().kappa is None
+        # nulls excluded
+        mixed = spark.createDataFrame(
+            [("x", "x"), ("y", None), (None, "y"), ("x", "y")],
+            "a string, b string",
+        )
+        assert cohen_kappa(mixed, "a", "b").first().n == 2
