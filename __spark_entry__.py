@@ -4543,6 +4543,65 @@ def _q_zipf_law(spark, sf_dir):
     return linear_fit(loglog, "log_f", ["log_r"])
 
 
+def _q_mahalanobis_price_qty(spark, sf_dir):
+    """Bivariate Mahalanobis outlier scan over (price, quantity) —
+    the joint-ridge check two univariate z-scores miss; closed-form
+    2x2 inverse keeps the whole statistic in one plan (1-row moment
+    agg broadcast + map-only quadratic form). Rolled up per return
+    flag for a compact relation."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import mahalanobis_outliers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = mahalanobis_outliers(
+        li, "l_extendedprice", "l_quantity", threshold=3.0
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("is_outlier").cast("long"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("maha_d").alias("max_d"),
+        F.round(F.avg("maha_d"), 6).alias("avg_d"),
+    )
+
+
+def _q_seasonal_anomalies(spark, sf_dir):
+    """Seasonality-adjusted anomaly summary, composed from the
+    engine's own parts: seasonal_decompose residuals -> robust MAD
+    scale -> |resid| > 3 * 1.4826 * MAD flags. One summary row:
+    the anomaly count a raw z-score would mis-estimate wherever the
+    series has real daily structure."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.events import seasonal_decompose
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "value_cents",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    hour_ns = 3_600_000_000_000
+    dec = seasonal_decompose(
+        events, "ts", "value_cents", hour_ns, 24, agg="sum"
+    ).filter(F.col("resid").isNotNull())
+    med = dec.agg(F.expr("percentile(resid, 0.5)").alias("_med"))
+    scored = dec.crossJoin(F.broadcast(med)).withColumn(
+        "_ad", F.abs(F.col("resid") - F.col("_med"))
+    )
+    mad = scored.agg(F.expr("percentile(_ad, 0.5)").alias("_mad"))
+    final = scored.crossJoin(F.broadcast(mad))
+    thresh = F.lit(3.0 * 1.4826) * F.col("_mad")
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(F.max("_mad"), 6).alias("mad"),
+        F.sum(
+            (F.abs(F.col("resid")) > thresh).cast("long")
+        ).cast("long").alias("n_anomalies"),
+        F.round(F.max(F.abs(F.col("resid"))), 6).alias("max_abs_resid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4636,6 +4695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_corr_price": _q_partial_corr_price,
         "cohen_kappa_lang": _q_cohen_kappa_lang,
         "zipf_law": _q_zipf_law,
+        "mahalanobis_price_qty": _q_mahalanobis_price_qty,
+        "seasonal_anomalies": _q_seasonal_anomalies,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9685,6 +9746,89 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "mahalanobis_price_qty": """
+            WITH clean AS (
+              SELECT l_returnflag AS g, l_extendedprice AS x,
+                     l_quantity AS y
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ),
+            m AS (
+              SELECT avg(x) AS mx, avg(y) AS my,
+                     var_pop(x) AS vx, var_pop(y) AS vy,
+                     covar_pop(x, y) AS cxy
+              FROM clean
+            ),
+            scored AS (
+              SELECT g,
+                     CASE WHEN (vx * vy - cxy * cxy) > 0 THEN
+                       round(sqrt(greatest(
+                         (vy * (x - mx) * (x - mx)
+                          - 2e0 * cxy * (x - mx) * (y - my)
+                          + vx * (y - my) * (y - my))
+                         / (vx * vy - cxy * cxy), 0e0)), 6)
+                     END AS d
+              FROM clean CROSS JOIN m
+            )
+            SELECT g AS l_returnflag,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN d > 3e0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_outliers,
+                   max(d) AS max_d,
+                   round(avg(d), 6) AS avg_d
+            FROM scored GROUP BY g
+        """,
+        "seasonal_anomalies": """
+            WITH e AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS bucket_id,
+                     round(value * 100) AS vc
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            s AS (
+              SELECT bucket_id, sum(vc)::DOUBLE AS y
+              FROM e GROUP BY bucket_id
+            ),
+            t AS (
+              SELECT s.*,
+                     CASE WHEN count(*) OVER w = 25
+                           AND max(bucket_id) OVER w
+                               - min(bucket_id) OVER w = 24
+                       THEN (sum(y) OVER w
+                             - (lag(y, 12) OVER wo
+                                + lead(y, 12) OVER wo) / 2e0) / 24e0
+                     END AS trend,
+                     bucket_id % 24 AS phase
+              FROM s
+              WINDOW w AS (ORDER BY bucket_id
+                           ROWS BETWEEN 12 PRECEDING
+                           AND 12 FOLLOWING),
+                     wo AS (ORDER BY bucket_id)
+            ),
+            pm AS (
+              SELECT phase, avg(y - trend) AS p
+              FROM t WHERE trend IS NOT NULL GROUP BY phase
+            ),
+            c AS (SELECT avg(p) AS c FROM pm),
+            dec AS (
+              SELECT round(y - trend - (p - c.c), 6) AS resid
+              FROM t LEFT JOIN pm USING (phase) CROSS JOIN c
+              WHERE trend IS NOT NULL
+            ),
+            med AS (SELECT quantile_cont(resid, 0.5e0) AS m FROM dec),
+            ad AS (
+              SELECT resid, abs(resid - med.m) AS a
+              FROM dec, med
+            ),
+            mad AS (SELECT quantile_cont(a, 0.5e0) AS v FROM ad)
+            SELECT count(*)::BIGINT AS n_scored,
+                   round(max(mad.v), 6) AS mad,
+                   sum(CASE WHEN abs(resid) > 3e0 * 1.4826e0 * mad.v
+                       THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+                   round(max(abs(resid)), 6) AS max_abs_resid
+            FROM ad, mad
         """,
         "cohen_kappa_lang": """
             WITH hits AS (

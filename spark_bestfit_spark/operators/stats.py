@@ -3766,3 +3766,61 @@ def cohen_kappa(
             6,
         ).alias("kappa"),
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier scoring — the multivariate QC
+    check a pair of univariate z-scores misses (a point can sit
+    inside both marginal ranges yet far off the joint correlation
+    ridge):
+
+        d^2 = (v - mu)' Sigma^{-1} (v - mu)
+
+    with the 2 x 2 covariance inverted in closed form, so the WHOLE
+    statistic stays inside one plan: a 1-row moment aggregation
+    (means, variances, covariance — population), broadcast back, and
+    a map-only quadratic form per row. ``is_outlier`` flags
+    ``d > threshold`` (d is chi-distributed with 2 dof under
+    normality; 3.0 ≈ the 98.9th percentile). Rows with nulls/NaNs in
+    either column are excluded; a singular covariance (constant or
+    perfectly collinear columns) yields null distances honestly.
+
+    Returns the input rows plus ``(maha_d, is_outlier)``; d rounded
+    to 6.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    cond = (
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    )
+    clean = df.filter(cond)
+    mom = clean.agg(
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.var_pop(x).alias("_vx"),
+        F.var_pop(y).alias("_vy"),
+        F.covar_pop(x, y).alias("_cxy"),
+    )
+    joined = clean.crossJoin(F.broadcast(mom))
+    det = F.col("_vx") * F.col("_vy") - F.col("_cxy") * F.col("_cxy")
+    dx = x - F.col("_mx")
+    dy = y - F.col("_my")
+    d2 = (
+        F.col("_vy") * dx * dx
+        - F.lit(2.0) * F.col("_cxy") * dx * dy
+        + F.col("_vx") * dy * dy
+    ) / det
+    d = F.round(
+        F.when(det > 0, F.sqrt(F.greatest(d2, F.lit(0.0)))), 6
+    )
+    return joined.withColumn("maha_d", d).withColumn(
+        "is_outlier",
+        F.coalesce(
+            F.col("maha_d") > F.lit(float(threshold)), F.lit(False)
+        ),
+    ).drop("_mx", "_my", "_vx", "_vy", "_cxy")

@@ -1809,3 +1809,54 @@ class TestCohenKappa:
             "a string, b string",
         )
         assert cohen_kappa(mixed, "a", "b").first().n == 2
+
+
+class TestMahalanobisOutliers:
+    def test_matches_numpy_and_flags_ridge_outlier(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            mahalanobis_outliers,
+        )
+
+        rng = np.random.default_rng(131)
+        n = 1500
+        cov = np.array([[2.0, 1.5], [1.5, 2.0]])
+        pts = rng.multivariate_normal([5, -3], cov, n)
+        # inside both marginal ranges, far off the joint ridge
+        pts[0] = [5 + 4, -3 - 4]
+        df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+            "id long, x double, y double",
+        )
+        out = {r.id: r for r in mahalanobis_outliers(df, "x", "y").collect()}
+        mu = pts.mean(axis=0)
+        Si = np.linalg.inv(np.cov(pts.T, bias=True))
+        dref = np.sqrt(
+            np.einsum("ij,jk,ik->i", pts - mu, Si, pts - mu)
+        )
+        for i in range(0, n, 100):
+            assert out[i].maha_d == pytest.approx(
+                round(float(dref[i]), 6), abs=2e-6
+            )
+        assert out[0].is_outlier
+        # marginal z-scores of the planted point are unremarkable
+        zx = abs(pts[0, 0] - mu[0]) / pts[:, 0].std()
+        assert zx < 3
+
+    def test_singular_and_nulls(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            mahalanobis_outliers,
+        )
+
+        # perfectly collinear -> singular -> null d, never a crash
+        df = spark.createDataFrame(
+            [(float(i), float(2 * i)) for i in range(20)],
+            "x double, y double",
+        )
+        out = mahalanobis_outliers(df, "x", "y").collect()
+        assert all(r.maha_d is None for r in out)
+        assert all(r.is_outlier is False for r in out)
+        withnull = spark.createDataFrame(
+            [(1.0, 2.0), (None, 3.0), (2.0, 1.0), (3.0, 4.0)],
+            "x double, y double",
+        )
+        assert mahalanobis_outliers(withnull, "x", "y").count() == 3
