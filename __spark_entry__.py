@@ -4602,6 +4602,20 @@ def _q_seasonal_anomalies(spark, sf_dir):
     )
 
 
+def _q_grouped_linear_fit(spark, sf_dir):
+    """Per-segment multiple regression: price on quantity + discount
+    PER RETURN FLAG — one grouped moment aggregation computes every
+    segment's X'X/X'y in the same pass; the tiny solves run on the
+    G-row relation."""
+    from spark_bestfit_spark.operators.stats import grouped_linear_fit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return grouped_linear_fit(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        "l_returnflag",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4697,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_law": _q_zipf_law,
         "mahalanobis_price_qty": _q_mahalanobis_price_qty,
         "seasonal_anomalies": _q_seasonal_anomalies,
+        "grouped_linear_fit": _q_grouped_linear_fit,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9746,6 +9761,69 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "grouped_linear_fit": """
+            WITH clean AS (
+              SELECT l_returnflag AS g, l_extendedprice AS y,
+                     l_quantity AS x0, l_discount AS x1
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_discount IS NOT NULL
+            ),
+            m AS (
+              SELECT g, count(*) AS n, count(*)::DOUBLE AS m00,
+                     sum(x0) AS m01, sum(x1) AS m02,
+                     sum(x0 * x0) AS m11, sum(x0 * x1) AS m12,
+                     sum(x1 * x1) AS m22,
+                     sum(y) AS v0, sum(x0 * y) AS v1,
+                     sum(x1 * y) AS v2, sum(y * y) AS yy
+              FROM clean GROUP BY g
+            ),
+            solved AS (
+              SELECT g, n, v0, v1, v2, yy,
+                     (m00 * (m11 * m22 - m12 * m12)
+                      - m01 * (m01 * m22 - m12 * m02)
+                      + m02 * (m01 * m12 - m11 * m02)) AS det,
+                     (v0 * (m11 * m22 - m12 * m12)
+                      - m01 * (v1 * m22 - m12 * v2)
+                      + m02 * (v1 * m12 - m11 * v2)) AS d0,
+                     (m00 * (v1 * m22 - v2 * m12)
+                      - v0 * (m01 * m22 - m12 * m02)
+                      + m02 * (m01 * v2 - v1 * m02)) AS d1,
+                     (m00 * (m11 * v2 - m12 * v1)
+                      - m01 * (m01 * v2 - v1 * m02)
+                      + v0 * (m01 * m12 - m11 * m02)) AS d2
+              FROM m
+            ),
+            stats AS (
+              SELECT g, n, d0 / det AS b0, d1 / det AS b1,
+                     d2 / det AS b2,
+                     yy - (d0 / det * v0 + d1 / det * v1
+                           + d2 / det * v2) AS sse,
+                     yy - n * (v0 / n) * (v0 / n) AS sst
+              FROM solved
+            ),
+            summary AS (
+              SELECT g, n::BIGINT AS n,
+                     round(b0, 6) AS c_int, round(b1, 6) AS c_x0,
+                     round(b2, 6) AS c_x1,
+                     CASE WHEN sst > 0 THEN
+                       round(1e0 - sse / sst, 6) END AS r2,
+                     round(sqrt(greatest(sse, 0e0) / n), 6) AS rmse
+              FROM stats
+            )
+            SELECT s.g AS l_returnflag, t.term,
+                   CASE t.term WHEN 'intercept' THEN s.c_int
+                               WHEN 'l_quantity' THEN s.c_x0
+                               ELSE s.c_x1 END AS coef,
+                   s.n, s.r2, s.rmse
+            FROM summary s
+            CROSS JOIN (
+              SELECT unnest(['intercept', 'l_quantity',
+                             'l_discount']) AS term
+            ) t
         """,
         "mahalanobis_price_qty": """
             WITH clean AS (

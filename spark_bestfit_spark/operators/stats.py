@@ -3824,3 +3824,123 @@ def mahalanobis_outliers(
             F.col("maha_d") > F.lit(float(threshold)), F.lit(False)
         ),
     ).drop("_mx", "_my", "_vx", "_vy", "_cxy")
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list,
+    group_col: str,
+    ridge: float = 0.0,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Per-group multiple regression — :func:`linear_fit`'s moment
+    reduction keyed by ``group_col``: ONE combiner-friendly groupBy
+    computes every group's X'X / X'y moments in the same pass (the
+    per-segment-regression ask — price elasticity per region, trend
+    per cohort), then the tiny dense solves run driver-side over the
+    G-row moment relation (guarded by ``max_groups``; the data never
+    moves twice). Same Cramer-for-p<=2 / numpy-above split and the
+    same honest null handling for singular groups.
+
+    Returns one row per (group, term): ``(group_col, term, coef, n,
+    r2, rmse)`` — term order intercept-first, coef/r2/rmse rounded to
+    6.
+    """
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    if ridge < 0:
+        raise ValueError("ridge must be >= 0")
+    p = len(x_cols)
+    cols = [F.col(c).cast("double") for c in x_cols]
+    yc = F.col(y_col).cast("double")
+    cond = (
+        F.col(group_col).isNotNull() & yc.isNotNull() & ~F.isnan(yc)
+    )
+    for c in cols:
+        cond = cond & c.isNotNull() & ~F.isnan(c)
+    clean = df.filter(cond).select(
+        F.col(group_col).alias("_g"),
+        yc.alias("_y"),
+        *[cols[i].alias(f"_x{i}") for i in range(p)],
+    )
+    terms = [F.lit(1.0)] + [F.col(f"_x{i}") for i in range(p)]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"_m{i}{j}"))
+        aggs.append(F.sum(terms[i] * F.col("_y")).alias(f"_v{i}"))
+    aggs.append(F.sum(F.col("_y") * F.col("_y")).alias("_yy"))
+    rows = clean.groupBy("_g").agg(*aggs).limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"more than {max_groups} groups; raise max_groups or "
+            "pre-aggregate"
+        )
+    spark = df.sparkSession
+    schema = (
+        f"`{group_col}` string, term string, coef double, n long, "
+        "r2 double, rmse double"
+    )
+    names = ["intercept"] + [str(c) for c in x_cols]
+    d = p + 1
+
+    def _det(m, dd):
+        if dd == 2:
+            return m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    out = []
+    for row in rows:
+        g = str(row["_g"])
+        n = int(row["_n"] or 0)
+        A = [[0.0] * d for _ in range(d)]
+        b = [0.0] * d
+        for i in range(d):
+            for j in range(i, d):
+                A[i][j] = A[j][i] = float(row[f"_m{i}{j}"])
+            b[i] = float(row[f"_v{i}"])
+        for i in range(1, d):
+            A[i][i] += float(ridge)
+        coefs = None
+        if d <= 3:
+            det = _det(A, d)
+            if det != 0.0:
+                coefs = []
+                for k in range(d):
+                    Ak = [r[:] for r in A]
+                    for i in range(d):
+                        Ak[i][k] = b[i]
+                    coefs.append(_det(Ak, d) / det)
+        else:
+            try:
+                coefs = list(
+                    np.linalg.solve(np.array(A), np.array(b)).tolist()
+                )
+            except np.linalg.LinAlgError:
+                coefs = None
+        if coefs is None:
+            out.extend((g, t, None, n, None, None) for t in names)
+            continue
+        yy = float(row["_yy"])
+        sse = yy - sum(c * v for c, v in zip(coefs, b))
+        ybar = b[0] / n
+        sst = yy - n * ybar * ybar
+        r2 = 1.0 - sse / sst if sst > 0 else None
+        rmse = (max(sse, 0.0) / n) ** 0.5
+        out.extend(
+            (
+                g,
+                t,
+                round(c, 6),
+                n,
+                round(r2, 6) if r2 is not None else None,
+                round(rmse, 6),
+            )
+            for t, c in zip(names, coefs)
+        )
+    return spark.createDataFrame(out, schema)

@@ -1860,3 +1860,53 @@ class TestMahalanobisOutliers:
             "x double, y double",
         )
         assert mahalanobis_outliers(withnull, "x", "y").count() == 3
+
+
+class TestGroupedLinearFit:
+    def test_matches_per_group_lstsq(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            grouped_linear_fit,
+        )
+
+        rng = np.random.default_rng(151)
+        rows = []
+        betas = {"a": (1.0, 2.0, -1.0), "b": (-3.0, 0.5, 4.0)}
+        data = {}
+        for g, (b0, b1, b2) in betas.items():
+            x1 = rng.uniform(0, 5, 800)
+            x2 = rng.normal(0, 1, 800)
+            y = b0 + b1 * x1 + b2 * x2 + rng.normal(0, 0.3, 800)
+            data[g] = (x1, x2, y)
+            rows += [
+                (g, float(yy), float(a), float(b))
+                for yy, a, b in zip(y, x1, x2)
+            ]
+        df = spark.createDataFrame(
+            rows, "g string, y double, x1 double, x2 double"
+        )
+        out = grouped_linear_fit(df, "y", ["x1", "x2"], "g")
+        got = {
+            (r["g"], r.term): r.coef for r in out.collect()
+        }
+        for g, (x1, x2, y) in data.items():
+            X = np.column_stack([np.ones(len(y)), x1, x2])
+            beta = np.linalg.lstsq(X, y, rcond=None)[0]
+            for t, want in zip(["intercept", "x1", "x2"], beta):
+                assert got[(g, t)] == pytest.approx(
+                    round(float(want), 6), abs=1e-5
+                )
+
+    def test_singular_group_and_guard(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            grouped_linear_fit,
+        )
+
+        rows = [("ok", float(i), float(i % 5)) for i in range(40)]
+        rows += [("flat", float(i), 2.0) for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        out = {(r["g"], r.term): r.coef
+               for r in grouped_linear_fit(df, "y", ["x"], "g").collect()}
+        assert out[("ok", "x")] is not None
+        assert out[("flat", "x")] is None  # constant predictor
+        with pytest.raises(ValueError, match="groups"):
+            grouped_linear_fit(df, "y", ["x"], "g", max_groups=1)
