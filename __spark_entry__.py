@@ -4616,6 +4616,31 @@ def _q_grouped_linear_fit(spark, sf_dir):
     )
 
 
+def _q_mcnemar_langid(spark, sf_dir):
+    """McNemar's paired comparison of two English detectors on the
+    SAME documents (the stopword language-ID vs a crude 'contains
+    the') against the gold lang label — only discordant pairs carry
+    evidence; one conditional-aggregate scan."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import mcnemar_test
+    from spark_bestfit_spark.operators.textstats import (
+        with_language_id,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("lang").isNotNull()
+    )
+    scored = with_language_id(docs)
+    gold = F.col("lang") == "en"
+    pred_a = F.col("lang_guess") == "en"
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pred_b = F.array_contains(toks, "the")
+    return mcnemar_test(
+        scored, pred_a == gold, pred_b == gold
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4712,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_price_qty": _q_mahalanobis_price_qty,
         "seasonal_anomalies": _q_seasonal_anomalies,
         "grouped_linear_fit": _q_grouped_linear_fit,
+        "mcnemar_langid": _q_mcnemar_langid,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9761,6 +9787,42 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "mcnemar_langid": """
+            WITH hits AS (
+              SELECT doc_id, lang, tk,
+                     len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','zu'])) AS h_de,
+                     len(list_intersect(tk, ['the','a','of','and','to','in','is','it','that','was'])) AS h_en,
+                     len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
+                     len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
+              FROM (SELECT doc_id, lang,
+                           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+                    FROM documents WHERE lang IS NOT NULL)
+            ),
+            scored AS (
+              SELECT (CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                           WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                           WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                           WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                           ELSE 'fr' END = 'en') = (lang = 'en') AS a,
+                     list_contains(tk, 'the') = (lang = 'en') AS b
+              FROM hits
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS both_right,
+                     sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS both_wrong,
+                     sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS a_only,
+                     sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS b_only
+              FROM scored
+            )
+            SELECT n, both_right, both_wrong, a_only, b_only,
+                   CASE WHEN (a_only + b_only) > 0 THEN
+                     round(greatest(abs(a_only - b_only) - 1, 0)
+                           * greatest(abs(a_only - b_only) - 1, 0)
+                           / (a_only + b_only)::DOUBLE, 6)
+                   END AS chi2
+            FROM agg
         """,
         "grouped_linear_fit": """
             WITH clean AS (

@@ -3944,3 +3944,62 @@ def grouped_linear_fit(
             for t, c in zip(names, coefs)
         )
     return spark.createDataFrame(out, schema)
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a,
+    correct_b,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — "is classifier A
+    better than classifier B on the same examples?" asked correctly:
+    only the discordant pairs carry evidence (examples both got right
+    or both got wrong say nothing about the difference), so
+
+        chi2 = (|b - c| - 1)^2 / (b + c)
+
+    with ``b`` = A right / B wrong, ``c`` = A wrong / B right (the
+    continuity-corrected form; 1 dof). The two-model eval-harness
+    staple — comparing marginal accuracies ignores the pairing and
+    overstates significance.
+
+    ``correct_a`` / ``correct_b`` are column names or boolean Column
+    expressions evaluated per row. ONE conditional-aggregate scan;
+    rows where either side is null are excluded. chi2 is null when
+    there are no discordant pairs. Rounded to 6.
+
+    Returns one row: ``(n, both_right, both_wrong, a_only, b_only,
+    chi2)``.
+    """
+    a = (
+        F.col(correct_a) if isinstance(correct_a, str) else correct_a
+    ).cast("boolean")
+    b = (
+        F.col(correct_b) if isinstance(correct_b, str) else correct_b
+    ).cast("boolean")
+    clean = df.filter(a.isNotNull() & b.isNotNull())
+    agg = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & b).cast("long")).cast("long").alias("both_right"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("both_wrong"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("a_only"),
+        F.sum((~a & b).cast("long")).cast("long").alias("b_only"),
+    )
+    disc = F.col("a_only") + F.col("b_only")
+    dev = F.abs(F.col("a_only") - F.col("b_only")) - F.lit(1)
+    chi2 = F.when(
+        disc > 0,
+        F.round(
+            F.greatest(dev, F.lit(0)) * F.greatest(dev, F.lit(0))
+            / disc,
+            6,
+        ),
+    )
+    return agg.select(
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("both_right", F.lit(0)).alias("both_right"),
+        F.coalesce("both_wrong", F.lit(0)).alias("both_wrong"),
+        F.coalesce("a_only", F.lit(0)).alias("a_only"),
+        F.coalesce("b_only", F.lit(0)).alias("b_only"),
+        chi2.alias("chi2"),
+    )

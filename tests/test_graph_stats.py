@@ -1910,3 +1910,39 @@ class TestGroupedLinearFit:
         assert out[("flat", "x")] is None  # constant predictor
         with pytest.raises(ValueError, match="groups"):
             grouped_linear_fit(df, "y", ["x"], "g", max_groups=1)
+
+
+class TestMcNemar:
+    def test_matches_hand_computation(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.stats import mcnemar_test
+
+        rows = (
+            [(True, True)] * 40 + [(False, False)] * 20
+            + [(True, False)] * 15 + [(False, True)] * 5
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        r = mcnemar_test(df, "a", "b").first()
+        assert (r.n, r.both_right, r.both_wrong) == (80, 40, 20)
+        assert (r.a_only, r.b_only) == (15, 5)
+        want = (abs(15 - 5) - 1) ** 2 / (15 + 5)
+        assert r.chi2 == pytest.approx(round(want, 6))
+        # column-expression form
+        df2 = df.withColumn("ai", F.col("a").cast("int"))
+        r2 = mcnemar_test(df2, F.col("ai") == 1, "b").first()
+        assert r2.chi2 == r.chi2
+
+    def test_no_discordant_and_nulls(self, spark):
+        from spark_bestfit_spark.operators.stats import mcnemar_test
+
+        same = spark.createDataFrame(
+            [(True, True), (False, False)], "a boolean, b boolean"
+        )
+        r = mcnemar_test(same, "a", "b").first()
+        assert r.chi2 is None and r.a_only == 0
+        withnull = spark.createDataFrame(
+            [(True, None), (True, False), (None, True)],
+            "a boolean, b boolean",
+        )
+        assert mcnemar_test(withnull, "a", "b").first().n == 1
