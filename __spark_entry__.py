@@ -4641,6 +4641,21 @@ def _q_mcnemar_langid(spark, sf_dir):
     )
 
 
+def _q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard per linestatus (duration =
+    l_quantity, event = returned) — the additive companion to the
+    KM curve: running d/n sums, Poisson-type variance and the
+    Fleming-Harrington survival, all on one group window."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import nelson_aalen
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "e", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return nelson_aalen(li, "l_quantity", "e", "l_linestatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4738,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": _q_seasonal_anomalies,
         "grouped_linear_fit": _q_grouped_linear_fit,
         "mcnemar_langid": _q_mcnemar_langid,
+        "nelson_aalen": _q_nelson_aalen,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9787,6 +9803,35 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "nelson_aalen": """
+            WITH per_t AS (
+              SELECT l_linestatus, l_quantity AS t,
+                     sum(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END)::BIGINT AS n_events,
+                     count(*)::BIGINT AS c
+              FROM lineitem GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT l_linestatus, t, n_events,
+                     c - n_events AS n_censored,
+                     (sum(c) OVER (PARTITION BY l_linestatus)
+                      - sum(c) OVER win + c)::BIGINT AS n_risk
+              FROM per_t
+              WINDOW win AS (PARTITION BY l_linestatus ORDER BY t
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT l_linestatus, t, n_risk, n_events, n_censored,
+                   round(sum(n_events / n_risk::DOUBLE) OVER win, 6)
+                     AS cum_hazard,
+                   round(sqrt(sum(n_events
+                              / (n_risk::DOUBLE * n_risk)) OVER win),
+                         6) AS hazard_se,
+                   round(exp(-sum(n_events / n_risk::DOUBLE)
+                             OVER win), 6) AS survival_fh
+            FROM w
+            WINDOW win AS (PARTITION BY l_linestatus ORDER BY t
+                           ROWS UNBOUNDED PRECEDING)
         """,
         "mcnemar_langid": """
             WITH hits AS (

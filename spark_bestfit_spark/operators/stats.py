@@ -4003,3 +4003,80 @@ def mcnemar_test(
         F.coalesce("b_only", F.lit(0)).alias("b_only"),
         chi2.alias("chi2"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the additive
+    companion to :func:`kaplan_meier` (KM multiplies survival
+    fractions; NA sums hazard increments ``d/n``, is defined even
+    after the risk set empties, and its slope reads directly as the
+    hazard RATE, which is what queue/failure models consume):
+
+        H(t) = sum_{t' <= t} d_{t'} / n_{t'},
+        var H(t) = sum d / n^2            (the Poisson-type form),
+        S_FH(t) = exp(-H(t))              (Fleming-Harrington).
+
+    Identical execution shape to the KM spine: one groupBy to the
+    per-time relation, then the risk-set window, the running hazard
+    sum and the variance all ride ONE group-hash exchange.
+
+    Returns ``(group_col?, t, n_risk, n_events, n_censored,
+    cum_hazard, hazard_se, survival_fh)`` per distinct duration,
+    rounded to 6.
+    """
+    from pyspark.sql import Window as _W
+
+    g = group_col
+    base = valid_column(
+        df.select(*([g] if g else []), duration_col, event_col),
+        duration_col,
+    ).filter(F.col(event_col).isNotNull())
+    keys = [g] if g else []
+    per_t = (
+        base.groupBy(*keys, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("_c"),
+        )
+        .withColumn("n_censored", F.col("_c") - F.col("n_events"))
+    )
+    w_all = _W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1))
+    w_cum = (
+        (_W.partitionBy(*keys) if keys else _W.partitionBy(F.lit(1)))
+        .orderBy(F.col("t"))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    scored = (
+        per_t.withColumn("_total", F.sum("_c").over(w_all))
+        .withColumn(
+            "n_risk",
+            (F.col("_total") - F.sum("_c").over(w_cum) + F.col("_c"))
+            .cast("long"),
+        )
+        .withColumn(
+            "_h",
+            F.sum(F.col("n_events") / F.col("n_risk")).over(w_cum),
+        )
+        .withColumn(
+            "_v",
+            F.sum(
+                F.col("n_events")
+                / (F.col("n_risk") * F.col("n_risk"))
+            ).over(w_cum),
+        )
+    )
+    return scored.select(
+        *keys,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round("_h", 6).alias("cum_hazard"),
+        F.round(F.sqrt("_v"), 6).alias("hazard_se"),
+        F.round(F.exp(-F.col("_h")), 6).alias("survival_fh"),
+    )

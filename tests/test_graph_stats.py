@@ -1946,3 +1946,54 @@ class TestMcNemar:
             "a boolean, b boolean",
         )
         assert mcnemar_test(withnull, "a", "b").first().n == 1
+
+
+class TestNelsonAalen:
+    def test_matches_reference_implementation(self, spark):
+        from spark_bestfit_spark.operators.stats import nelson_aalen
+
+        rng = np.random.default_rng(171)
+        dur = np.round(rng.exponential(10, 400), 0) + 1
+        ev = (rng.random(400) < 0.7).astype(int)
+        df = spark.createDataFrame(
+            [(float(d), int(e)) for d, e in zip(dur, ev)],
+            "d double, e int",
+        )
+        out = nelson_aalen(df, "d", "e").orderBy("t").collect()
+        # hand NA estimator
+        order = np.argsort(dur, kind="stable")
+        ts = sorted(set(dur))
+        H, V = 0.0, 0.0
+        by_t = {r.t: r for r in out}
+        for t in ts:
+            n_risk = int((dur >= t).sum())
+            d = int(ev[dur == t].sum())
+            H += d / n_risk
+            V += d / n_risk ** 2
+            r = by_t[t]
+            assert r.n_risk == n_risk and r.n_events == d
+            assert r.cum_hazard == pytest.approx(round(H, 6), abs=2e-6)
+            assert r.hazard_se == pytest.approx(
+                round(float(np.sqrt(V)), 6), abs=2e-6
+            )
+            assert r.survival_fh == pytest.approx(
+                round(float(np.exp(-H)), 6), abs=2e-6
+            )
+        # FH survival upper-bounds KM everywhere (standard relation)
+        from spark_bestfit_spark.operators.stats import kaplan_meier
+
+        km = {r.t: r.survival for r in kaplan_meier(df, "d", "e").collect()}
+        for t in ts:
+            if km[t] is not None and km[t] > 0:
+                assert by_t[t].survival_fh >= km[t] - 1e-9
+
+    def test_grouped_and_all_censored(self, spark):
+        from spark_bestfit_spark.operators.stats import nelson_aalen
+
+        rows = [("a", 1.0, 1), ("a", 2.0, 0), ("b", 1.0, 0)]
+        df = spark.createDataFrame(rows, "g string, d double, e int")
+        out = {(r.g, r.t): r for r in nelson_aalen(df, "d", "e", "g").collect()}
+        assert out[("a", 1.0)].cum_hazard == 0.5
+        assert out[("a", 2.0)].cum_hazard == 0.5  # censored adds 0
+        assert out[("b", 1.0)].cum_hazard == 0.0
+        assert out[("b", 1.0)].survival_fh == 1.0
