@@ -4656,6 +4656,78 @@ def _q_nelson_aalen(spark, sf_dir):
     return nelson_aalen(li, "l_quantity", "e", "l_linestatus")
 
 
+def _q_streaming_quantiles(spark, sf_dir):
+    """Streaming per-key approximate quantiles via fixed-bin
+    histogram state (the mergeable-sketch pattern): events replay in
+    FOUR mtime-ordered micro-batches; because the state is pure
+    bin-count addition, the FINAL per-key emission must equal the
+    batch histogram read-off the oracle computes — independent of
+    how the stream was batched."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from spark_bestfit_spark.streaming.run import run_stream_once
+    from spark_bestfit_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    cache_key = ("squant_staged", sf_dir)
+    staged = _STAGED_DIRS.get(cache_key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="sbf_stage_squant_")
+        pdf = (
+            _read(spark, sf_dir, "events")
+            .select(
+                F.pmod(F.col("user_id"), F.lit(8))
+                .cast("string")
+                .alias("k"),
+                F.col("ts"),
+                F.col("value").alias("v"),
+            )
+            .toPandas()
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        base = _time.time() - 1000
+        nb = 4
+        step = (len(pdf) + nb - 1) // nb
+        for i in range(nb):
+            p = os.path.join(staged, f"batch_{i}.parquet")
+            pdf.iloc[i * step:(i + 1) * step][["k", "v"]].to_parquet(
+                p, index=False
+            )
+            os.utime(p, (base + i, base + i))
+        _STAGED_DIRS[cache_key] = staged
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+    out = streaming_binned_quantiles(
+        stream, "k", "v", lo=0.0, hi=500.0, bins=50
+    )
+    drained = run_stream_once(
+        out, output_mode="update", state_partitions=8
+    )
+    # final emission per key = the row with that key's max n
+    w = W.partitionBy("key").orderBy(
+        F.col("n").desc(), F.col("q_50").asc()
+    )
+    return (
+        drained.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("key").cast("long").alias("user_bucket"),
+            "n", "q_25", "q_50", "q_75", "q_95",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4754,6 +4826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_linear_fit": _q_grouped_linear_fit,
         "mcnemar_langid": _q_mcnemar_langid,
         "nelson_aalen": _q_nelson_aalen,
+        "streaming_quantiles": _q_streaming_quantiles,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9803,6 +9876,59 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "streaming_quantiles": """
+            WITH base AS (
+              SELECT (user_id % 8) AS kb, value AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            binned AS (
+              SELECT kb,
+                     least(greatest(floor(v / 10.0)::INT + 1, 0), 51)
+                       AS b
+              FROM base
+            ),
+            counts AS (
+              SELECT kb, b, count(*) AS c
+              FROM binned GROUP BY kb, b
+            ),
+            cum AS (
+              SELECT kb, b, c,
+                     sum(c) OVER (PARTITION BY kb ORDER BY b
+                                  ROWS UNBOUNDED PRECEDING) AS cm,
+                     sum(c) OVER (PARTITION BY kb) AS n
+              FROM counts
+            ),
+            qs AS (
+              SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS qf
+            ),
+            hits AS (
+              SELECT kb, qf, min(b) AS b
+              FROM cum, qs WHERE cm >= qf * n GROUP BY kb, qf
+            ),
+            est AS (
+              SELECT h.kb, h.qf,
+                     CASE WHEN h.b = 0 THEN 0e0
+                          WHEN h.b = 51 THEN 500e0
+                          ELSE (h.b - 1
+                                + (h.qf * c2.n - (c2.cm - c2.c))
+                                  / c2.c) * 10e0
+                     END AS v,
+                     c2.n AS n
+              FROM hits h
+              JOIN cum c2 ON c2.kb = h.kb AND c2.b = h.b
+            )
+            SELECT kb::BIGINT AS user_bucket,
+                   max(n)::BIGINT AS n,
+                   round(max(CASE WHEN qf = 0.25e0 THEN v END), 6)
+                     AS q_25,
+                   round(max(CASE WHEN qf = 0.5e0 THEN v END), 6)
+                     AS q_50,
+                   round(max(CASE WHEN qf = 0.75e0 THEN v END), 6)
+                     AS q_75,
+                   round(max(CASE WHEN qf = 0.95e0 THEN v END), 6)
+                     AS q_95
+            FROM est GROUP BY kb
         """,
         "nelson_aalen": """
             WITH per_t AS (

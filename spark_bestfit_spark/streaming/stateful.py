@@ -140,3 +140,96 @@ def streaming_moments(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_binned_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Cumulative per-key approximate quantiles over a stream via a
+    FIXED-bin histogram state — the mergeable-sketch pattern: the
+    state is ``bins + 2`` counts over a pre-declared [lo, hi] range
+    (bounds from yesterday's profile, the production convention), so
+    merging micro-batches is pure addition and the FINAL emission is
+    byte-identical to the batch histogram no matter how the stream
+    was batched. Quantiles interpolate linearly inside the owning bin
+    (the equi-width inverse-CDF read-off); out-of-range values land
+    in the edge bins and estimates clamp to [lo, hi].
+
+    State per key is O(bins) — bounded regardless of stream length —
+    and the emission schema carries ``q_{pct}`` columns for each
+    requested quantile plus the cumulative ``n``.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if not qs or any(not 0 < q < 1 for q in qs):
+        raise ValueError("qs must be fractions in (0, 1)")
+    qs = tuple(float(q) for q in qs)
+    width = (hi - lo) / bins
+    qcols = [f"q_{int(round(q * 100)):02d}" for q in qs]
+    out_schema = "key string, n long, " + ", ".join(
+        f"{c} double" for c in qcols
+    )
+    state_schema = "counts array<long>"
+
+    def _quantile(counts: "np.ndarray", n: int, q: float) -> float:
+        target = q * n
+        cum = 0.0
+        for idx in range(len(counts)):
+            c = int(counts[idx])
+            if c == 0:
+                continue
+            if cum + c >= target:
+                # bin 0 = below lo, bin i (1..bins) covers
+                # [lo + (i-1) w, lo + i w), bin bins+1 = above hi
+                if idx == 0:
+                    return float(lo)
+                if idx == len(counts) - 1:
+                    return float(hi)
+                frac = (target - cum) / c
+                return float(lo + (idx - 1 + frac) * width)
+            cum += c
+        return float(hi)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            counts = np.array(tuple(state.get)[0], dtype=np.int64)
+        else:
+            counts = np.zeros(bins + 2, dtype=np.int64)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            vals = vals[np.isfinite(vals)]
+            if not vals.size:
+                continue
+            idx = np.floor((vals - lo) / width).astype(np.int64) + 1
+            idx = np.clip(idx, 0, bins + 1)
+            idx[vals >= hi] = np.minimum(
+                idx[vals >= hi], np.int64(bins + 1)
+            )
+            idx[vals < lo] = 0
+            counts += np.bincount(idx, minlength=bins + 2).astype(
+                np.int64
+            )
+        state.update((counts.tolist(),))
+        n = int(counts.sum())
+        if n > 0:
+            row = {"key": str(key[0]), "n": n}
+            for q, cname in zip(qs, qcols):
+                row[cname] = round(_quantile(counts, n, q), 6)
+            yield pd.DataFrame([row])
+
+    grouped = df.select(key_col, value_col).groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -113,3 +113,84 @@ class TestStreamingMoments:
             assert row["kurtosis"] == pytest.approx(
                 float(np.mean(zc**4) - 3.0), rel=1e-6, abs=1e-9
             )
+
+
+class TestStreamingBinnedQuantiles:
+    def test_final_emission_equals_batch_histogram(self, spark, tmp_path):
+        import os
+        import uuid
+
+        from spark_bestfit_spark.streaming.stateful import (
+            streaming_binned_quantiles,
+        )
+
+        rng = np.random.default_rng(201)
+        vals = rng.gamma(3, 20, 2400)
+        keys = rng.choice(["a", "b"], 2400)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        pdf = pd.DataFrame({"k": keys, "v": vals})
+        for i in range(4):
+            pdf.iloc[i * 600:(i + 1) * 600].to_parquet(
+                os.path.join(src, f"b{i}.parquet"), index=False
+            )
+        static = spark.read.parquet(src)
+        lo, hi, bins = 0.0, 300.0, 60
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_binned_quantiles(
+            sdf, "k", "v", lo=lo, hi=hi, bins=bins
+        )
+        name = "sq" + uuid.uuid4().hex[:6]
+        out = (
+            q.writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        out.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").toPandas()
+        out.stop()
+        final = rows.sort_values("n").groupby("key").last()
+        width = (hi - lo) / bins
+        for k in ("a", "b"):
+            v = vals[keys == k]
+            counts = np.zeros(bins + 2, dtype=int)
+            idx = np.clip(
+                np.floor((v - lo) / width).astype(int) + 1, 0, bins + 1
+            )
+            np.add.at(counts, idx, 1)
+            n = int(counts.sum())
+            assert int(final.loc[k, "n"]) == n
+
+            def ref(qf):
+                t, c = qf * n, 0
+                for i, cnt in enumerate(counts):
+                    if cnt and c + cnt >= t:
+                        if i == 0:
+                            return lo
+                        if i == bins + 1:
+                            return hi
+                        return lo + (i - 1 + (t - c) / cnt) * width
+                    c += cnt
+                return hi
+
+            for qf, col in [(0.25, "q_25"), (0.5, "q_50"),
+                            (0.75, "q_75"), (0.95, "q_95")]:
+                assert final.loc[k, col] == pytest.approx(
+                    round(ref(qf), 6), abs=1e-6
+                )
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.streaming.stateful import (
+            streaming_binned_quantiles,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with pytest.raises(ValueError, match="bins"):
+            streaming_binned_quantiles(df, "k", "v", 0, 1, bins=1)
+        with pytest.raises(ValueError, match="hi"):
+            streaming_binned_quantiles(df, "k", "v", 1, 1)
+        with pytest.raises(ValueError, match="qs"):
+            streaming_binned_quantiles(df, "k", "v", 0, 1, qs=(1.5,))
