@@ -3371,6 +3371,7 @@ def fdr_correct(
     df: DataFrame,
     p_col: str,
     alpha: float = 0.05,
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini-Hochberg step-up FDR correction over a relation of
     p-values — the multiple-testing guard for segmented drift sweeps
@@ -3380,6 +3381,11 @@ def fdr_correct(
 
         q_(i) = min_{j >= i} ( p_(j) * m / j ), capped at 1;
         reject (i) <=> q_(i) <= alpha.
+
+    ``method="by"`` applies the Benjamini-Yekutieli correction
+    (multiply by the harmonic number ``c(m) = sum 1/i``) — valid
+    under ARBITRARY dependence between the tests, the conservative
+    choice when the segments share data or the statistics correlate.
 
     Input is one row per TEST (a per-group statistics relation, never
     raw data), so the two global ordered windows here run over
@@ -3395,6 +3401,8 @@ def fdr_correct(
 
     if not 0 < alpha < 1:
         raise ValueError("alpha must be in (0, 1)")
+    if method not in ("bh", "by"):
+        raise ValueError("method must be 'bh' or 'by'")
     clean = df.filter(F.col(p_col).isNotNull())
     m = clean.agg(F.count(F.lit(1)).alias("_m"))
     others = [c for c in clean.columns if c != p_col]
@@ -3403,8 +3411,19 @@ def fdr_correct(
     ranked = clean.crossJoin(F.broadcast(m)).withColumn(
         "p_rank", F.row_number().over(wr)
     )
+    factor = F.col("_m").cast("double")
+    if method == "by":
+        # harmonic number c(m) = sum 1/i: the ranks ARE 1..m, so one
+        # whole-relation window sum of 1/rank computes it in-plan
+        w_all = _W.orderBy(F.lit(1)).rowsBetween(
+            _W.unboundedPreceding, _W.unboundedFollowing
+        )
+        ranked = ranked.withColumn(
+            "_cm", F.sum(F.lit(1.0) / F.col("p_rank")).over(w_all)
+        )
+        factor = factor * F.col("_cm")
     raw = F.least(
-        F.col(p_col) * F.col("_m") / F.col("p_rank"), F.lit(1.0)
+        F.col(p_col) * factor / F.col("p_rank"), F.lit(1.0)
     )
     # step-up: running min from the largest p downward
     wq = (

@@ -1997,3 +1997,33 @@ class TestNelsonAalen:
         assert out[("a", 2.0)].cum_hazard == 0.5  # censored adds 0
         assert out[("b", 1.0)].cum_hazard == 0.0
         assert out[("b", 1.0)].survival_fh == 1.0
+
+
+class TestFdrBY:
+    def test_by_matches_manual_and_is_more_conservative(self, spark):
+        from spark_bestfit_spark.operators.stats import fdr_correct
+
+        ps = [0.001, 0.008, 0.02, 0.04, 0.06, 0.2, 0.5, 0.9]
+        df = spark.createDataFrame(
+            [(f"t{i}", p) for i, p in enumerate(ps)],
+            "test string, p double",
+        )
+        m = len(ps)
+        cm = sum(1.0 / i for i in range(1, m + 1))
+        raw = [p * m * cm / (i + 1) for i, p in enumerate(sorted(ps))]
+        want = [round(min(min(raw[i:]), 1.0), 6) for i in range(m)]
+        out = (
+            fdr_correct(df, "p", method="by")
+            .orderBy("p_rank")
+            .collect()
+        )
+        assert [r.q_value for r in out] == want
+        bh = (
+            fdr_correct(df, "p", method="bh")
+            .orderBy("p_rank")
+            .collect()
+        )
+        for b, y in zip(bh, out):
+            assert y.q_value >= b.q_value - 1e-12
+        with pytest.raises(ValueError, match="method"):
+            fdr_correct(df, "p", method="holm")
