@@ -4728,6 +4728,26 @@ def _q_streaming_quantiles(spark, sf_dir):
     )
 
 
+def _q_ewma_backtest(spark, sf_dir):
+    """Truncated-EWMA forecast backtest vs lag-1 naive per user
+    (hourly integer-cent sums, alpha=0.5 so every weight is an exact
+    binary fraction): the smoothing rung above the seasonal-naive
+    floor; all lags + the collapse on one entity exchange."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.events import ewma_backtest
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "value_cents",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    hour_ns = 3_600_000_000_000
+    return ewma_backtest(
+        events, "user_id", "ts", "value_cents", hour_ns,
+        alpha=0.5, max_lags=8, agg="sum",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4827,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_langid": _q_mcnemar_langid,
         "nelson_aalen": _q_nelson_aalen,
         "streaming_quantiles": _q_streaming_quantiles,
+        "ewma_backtest": _q_ewma_backtest,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9876,6 +9897,41 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "ewma_backtest": """
+            WITH series AS (
+              SELECT user_id, epoch_ns(ts) // 3600000000000 AS b,
+                     sum(round(value * 100)::BIGINT) AS v
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT user_id, v,
+                     (CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN lag(v, 1) OVER w * 1.0 ELSE 0e0 END + CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN lag(v, 2) OVER w * 0.5 ELSE 0e0 END + CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN lag(v, 3) OVER w * 0.25 ELSE 0e0 END + CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN lag(v, 4) OVER w * 0.125 ELSE 0e0 END + CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN lag(v, 5) OVER w * 0.0625 ELSE 0e0 END + CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN lag(v, 6) OVER w * 0.03125 ELSE 0e0 END + CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN lag(v, 7) OVER w * 0.015625 ELSE 0e0 END + CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN lag(v, 8) OVER w * 0.0078125 ELSE 0e0 END) AS num,
+                     (CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 1.0 ELSE 0e0 END + CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 0.5 ELSE 0e0 END + CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 0.25 ELSE 0e0 END + CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 0.125 ELSE 0e0 END + CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 0.0625 ELSE 0e0 END + CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 0.03125 ELSE 0e0 END + CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 0.015625 ELSE 0e0 END + CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 0.0078125 ELSE 0e0 END) AS den,
+                     lag(v, 1) OVER w AS f1
+              FROM series
+              WINDOW w AS (PARTITION BY user_id ORDER BY b)
+            ),
+            scored AS (
+              SELECT user_id, v, f1,
+                     CASE WHEN den > 0 THEN num / den END AS f
+              FROM lagged
+            ),
+            evals AS (SELECT * FROM scored WHERE f IS NOT NULL),
+            agg AS (
+              SELECT user_id,
+                     count(*)::BIGINT AS n_evals,
+                     round(avg(abs(v - f)), 6) AS mae,
+                     round(avg(CASE WHEN f1 IS NOT NULL
+                               THEN abs(v - f1) END), 6) AS mae_naive1
+              FROM evals GROUP BY user_id
+            )
+            SELECT *,
+                   round(CASE WHEN mae_naive1 > 0
+                              THEN 1.0 - mae / mae_naive1 END, 6)
+                     AS skill
+            FROM agg
         """,
         "streaming_quantiles": """
             WITH base AS (

@@ -38,6 +38,7 @@ __all__ = [
     "cohort_values",
     "seasonal_decompose",
     "new_entities_curve",
+    "ewma_backtest",
 ]
 
 
@@ -920,3 +921,90 @@ def new_entities_curve(
         (F.col("active") - F.col("new_entities")).alias("returning"),
         F.sum("new_entities").over(w).cast("long").alias("cum_entities"),
     ).orderBy("bucket_id")
+
+
+def ewma_backtest(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_width: int,
+    alpha: float = 0.5,
+    max_lags: int = 8,
+    agg: str = "avg",
+) -> DataFrame:
+    """Backtest of the truncated-EWMA forecaster (predict this bucket
+    from an exponentially weighted average of the last ``max_lags``
+    buckets, weights ``(1 - alpha)^(k-1)`` renormalized over the lags
+    that exist) against the lag-1 naive baseline — the smoothing rung
+    above :func:`seasonal_naive_backtest` on the forecasting-sanity
+    ladder; ``skill > 0`` means smoothing beats "yesterday again",
+    i.e. the series is noisy rather than a random walk.
+
+    The truncation is what keeps the statistic RELATIONAL: the exact
+    recursive EWMA needs unbounded weights ((1-a)^t underflows and
+    its reciprocal overflows on long series), while ``max_lags``
+    bounded lag terms are one window pass, engine-portable, and
+    within (1-alpha)^K of the recursion. With ``alpha = 0.5`` the
+    weights are exact binary fractions, so integer-valued series
+    score identically on any engine.
+
+    Same execution shape as the seasonal backtest: one (entity,
+    bucket) map-combinable groupBy, all lags + the collapse on ONE
+    entity-hash exchange; grid gaps are lag-by-position (resample
+    with fill first for sparse series).
+
+    Returns ``(entity_col, n_evals, mae, mae_naive1, skill)``
+    rounded to 6.
+    """
+    if agg not in ("avg", "sum"):
+        raise ValueError("agg must be 'avg' or 'sum'")
+    if bucket_width < 1 or max_lags < 1:
+        raise ValueError("bucket_width and max_lags must be >= 1")
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    fn = F.avg if agg == "avg" else F.sum
+    b = (F.col(ts_col) / F.lit(int(bucket_width))).cast("long")
+    series = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(entity_col), b.alias("_b"))
+        .agg(fn(value_col).alias("_v"))
+    )
+    w = Window.partitionBy(entity_col).orderBy("_b")
+    lags = [F.lag("_v", k).over(w) for k in range(1, max_lags + 1)]
+    weights = [(1.0 - alpha) ** (k - 1) for k in range(1, max_lags + 1)]
+    num = None
+    den = None
+    for lg, wt in zip(lags, weights):
+        term = F.when(lg.isNotNull(), lg * F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+        mass = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    scored = (
+        series.withColumn(
+            "_f", F.when(den > 0, num / den)
+        )
+        .withColumn("_f1", F.lag("_v", 1).over(w))
+        .withColumn("_err", F.col("_v") - F.col("_f"))
+        .withColumn("_err1", F.col("_v") - F.col("_f1"))
+    )
+    evals = scored.filter(F.col("_f").isNotNull())
+    out = evals.groupBy(entity_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.round(F.avg(F.abs("_err")), 6).alias("mae"),
+        F.round(
+            F.avg(F.when(F.col("_f1").isNotNull(), F.abs("_err1"))), 6
+        ).alias("mae_naive1"),
+    )
+    return out.withColumn(
+        "skill",
+        F.round(
+            F.when(
+                F.col("mae_naive1") > 0,
+                F.lit(1.0) - F.col("mae") / F.col("mae_naive1"),
+            ),
+            6,
+        ),
+    )

@@ -997,3 +997,60 @@ class TestNewEntitiesCurve:
             assert r.returning == r.active - r.new_entities
         with pytest.raises(ValueError, match="bucket"):
             new_entities_curve(df, "u", "ts", bucket=0)
+
+
+class TestEwmaBacktest:
+    def test_matches_hand_computation(self, spark):
+        from spark_bestfit_spark.operators.events import ewma_backtest
+
+        vals = [1, 2, 3, 4, 5, 6]
+        rows = [("u", i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "e string, t long, v double")
+        out = ewma_backtest(
+            df, "e", "t", "v", 1, alpha=0.5, max_lags=3
+        ).first()
+        ws = [1.0, 0.5, 0.25]
+        errs, errs1 = [], []
+        for t in range(1, len(vals)):
+            lags = [vals[t - k] for k in range(1, min(3, t) + 1)]
+            w = ws[: len(lags)]
+            f = sum(a * b for a, b in zip(lags, w)) / sum(w)
+            errs.append(abs(vals[t] - f))
+            errs1.append(abs(vals[t] - vals[t - 1]))
+        assert out.n_evals == 5
+        assert out.mae == pytest.approx(
+            round(sum(errs) / len(errs), 6), abs=1e-6
+        )
+        assert out.mae_naive1 == pytest.approx(
+            round(sum(errs1) / len(errs1), 6), abs=1e-6
+        )
+        assert out.skill == pytest.approx(
+            round(1 - (sum(errs) / len(errs)) / (sum(errs1) / len(errs1)), 6),
+            abs=1e-6,
+        )
+
+    def test_smoothing_beats_naive_on_noise(self, spark):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.events import ewma_backtest
+
+        rng = np.random.default_rng(191)
+        # white noise around a level: EWMA beats "yesterday again"
+        vals = 100 + rng.normal(0, 10, 400)
+        rows = [("u", i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "e string, t long, v double")
+        out = ewma_backtest(
+            df, "e", "t", "v", 1, alpha=0.3, max_lags=8
+        ).first()
+        assert out.skill > 0.1
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.events import ewma_backtest
+
+        df = spark.createDataFrame([("u", 0, 1.0)], "e string, t long, v double")
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_backtest(df, "e", "t", "v", 1, alpha=0.0)
+        with pytest.raises(ValueError, match="max_lags"):
+            ewma_backtest(df, "e", "t", "v", 1, max_lags=0)
+        with pytest.raises(ValueError, match="agg"):
+            ewma_backtest(df, "e", "t", "v", 1, agg="max")
