@@ -4748,6 +4748,58 @@ def _q_ewma_backtest(spark, sf_dir):
     )
 
 
+def _q_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap matrix between document sources:
+    one distinct (group, token) pass, a vocab-sized token self-join
+    for intersections, inclusion-exclusion unions — the
+    source-similarity report that decides mixture weights."""
+    from spark_bestfit_spark.operators.textstats import (
+        vocab_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_overlap_matrix(docs, "source", "text")
+
+
+def _q_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine similarity between LABEL centroids of the
+    embedding corpus — which classes sit close in representation
+    space (merge candidates / confusion risks); composed from
+    label_centroids with a tiny centroid cross join."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        _dot,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = label_centroids(emb)
+    a = cents.select(
+        F.col("label").alias("label_a"),
+        F.col("centroid").alias("_ca"),
+        F.col("norm").alias("_na"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("centroid").alias("_cb"),
+        F.col("norm").alias("_nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                _dot(F.col("_ca"), F.col("_cb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4848,6 +4900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": _q_nelson_aalen,
         "streaming_quantiles": _q_streaming_quantiles,
         "ewma_backtest": _q_ewma_backtest,
+        "vocab_overlap": _q_vocab_overlap,
+        "centroid_similarity": _q_centroid_similarity,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -9897,6 +9951,72 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
+        """,
+        "vocab_overlap": """
+            WITH toks AS (
+              SELECT DISTINCT source AS g,
+                     unnest(list_distinct(
+                       string_split_regex(lower(trim(text)),
+                                          '\s+'))) AS tok
+              FROM documents
+              WHERE source IS NOT NULL AND text IS NOT NULL
+            ),
+            clean AS (SELECT g, tok FROM toks WHERE tok != ''),
+            sizes AS (
+              SELECT g, count(*)::BIGINT AS vsz
+              FROM clean GROUP BY g
+            ),
+            inter AS (
+              SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS n_shared
+              FROM clean a JOIN clean b USING (tok)
+              WHERE a.g < b.g
+              GROUP BY a.g, b.g
+            )
+            SELECT sa.g AS group_a, sb.g AS group_b,
+                   sa.vsz AS vocab_a, sb.vsz AS vocab_b,
+                   coalesce(i.n_shared, 0)::BIGINT AS n_shared,
+                   round(coalesce(i.n_shared, 0)
+                         / (sa.vsz + sb.vsz
+                            - coalesce(i.n_shared, 0))::DOUBLE,
+                         6) AS jaccard,
+                   round(coalesce(i.n_shared, 0) / sa.vsz::DOUBLE, 6)
+                     AS containment_a,
+                   round(coalesce(i.n_shared, 0) / sb.vsz::DOUBLE, 6)
+                     AS containment_b
+            FROM sizes sa
+            JOIN sizes sb ON sa.g < sb.g
+            LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g
+        """,
+        "centroid_similarity": """
+            WITH v AS (
+              SELECT label, embedding AS e FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ),
+            ex AS (
+              SELECT label, unnest(range(1, len(e) + 1)) AS dim, e
+              FROM v
+            ),
+            cent AS (
+              SELECT label, dim,
+                     round(avg(e[dim]::DOUBLE), 6) AS m
+              FROM ex GROUP BY label, dim
+            ),
+            norms AS (
+              SELECT label, round(sqrt(sum(m * m)), 6) AS nrm
+              FROM cent GROUP BY label
+            ),
+            dots AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     sum(a.m * b.m) AS dp
+              FROM cent a JOIN cent b USING (dim)
+              WHERE a.label < b.label
+              GROUP BY a.label, b.label
+            )
+            SELECT d.label_a, d.label_b,
+                   round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.label = d.label_a
+            JOIN norms nb ON nb.label = d.label_b
         """,
         "ewma_backtest": """
             WITH series AS (

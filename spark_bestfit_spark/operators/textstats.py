@@ -1013,3 +1013,81 @@ def vocab_divergence(
             F.coalesce("_oov_b", F.lit(0.0)) / F.col("_nb"), 6
         ).alias("oov_b_in_a"),
     )
+
+
+def vocab_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus groups — the
+    source-similarity matrix that decides mixture weights and dedup
+    priorities ("are these two crawls the same text wearing different
+    URLs?"): for every unordered group pair, the shared distinct-token
+    count, Jaccard, and both containments.
+
+    Scale shape: tokenization collapses to the DISTINCT (group,
+    token) relation in one map-combinable pass; the pair
+    intersections come from a token-keyed self-join of that
+    vocabulary relation (vocab-sized, never document-sized) and the
+    unions from per-group vocabulary sizes by inclusion-exclusion —
+    no document ever meets another document; fully disjoint pairs
+    are restored by a G x G cross of the (tiny) per-group sizes, so
+    the output is ALWAYS all G*(G-1)/2 unordered pairs.
+    Jaccard/containments rounded to 6.
+
+    Returns ``(group_a, group_b, vocab_a, vocab_b, n_shared,
+    jaccard, containment_a, containment_b)`` with group_a < group_b.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    toks = base.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("_tok"),
+    ).filter(F.col("_tok") != "").distinct()
+    sizes = toks.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_vsz")
+    )
+    a = toks.select(F.col("_g").alias("_ga"), "_tok")
+    b = toks.select(F.col("_g").alias("_gb"), "_tok")
+    inter = (
+        a.join(b, "_tok")
+        .filter(F.col("_ga") < F.col("_gb"))
+        .groupBy("_ga", "_gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    all_pairs = (
+        sizes.select(
+            F.col("_g").alias("_ga"), F.col("_vsz").alias("vocab_a")
+        )
+        .crossJoin(
+            sizes.select(
+                F.col("_g").alias("_gb"),
+                F.col("_vsz").alias("vocab_b"),
+            )
+        )
+        .filter(F.col("_ga") < F.col("_gb"))
+    )
+    out = all_pairs.join(
+        inter, ["_ga", "_gb"], "left"
+    ).withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+    return out.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        "vocab_a",
+        "vocab_b",
+        "n_shared",
+        F.round(F.col("n_shared") / union, 6).alias("jaccard"),
+        F.round(F.col("n_shared") / F.col("vocab_a"), 6).alias(
+            "containment_a"
+        ),
+        F.round(F.col("n_shared") / F.col("vocab_b"), 6).alias(
+            "containment_b"
+        ),
+    )

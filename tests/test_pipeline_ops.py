@@ -2597,3 +2597,40 @@ class TestLeakageCheck:
             r.split: r for r in leakage_check(df, "split").collect()
         }
         assert exact["train"].n_leaked == 0
+
+
+class TestVocabOverlapMatrix:
+    def test_hand_computed_overlap(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("s1", "alpha beta gamma"),
+                ("s1", "beta delta"),
+                ("s2", "beta gamma epsilon"),
+                ("s3", "zeta eta"),
+            ],
+            "source string, text string",
+        )
+        out = {
+            (r.group_a, r.group_b): r
+            for r in textstats.vocab_overlap_matrix(df).collect()
+        }
+        # s1 vocab {alpha,beta,gamma,delta}, s2 {beta,gamma,epsilon}
+        r = out[("s1", "s2")]
+        assert r.vocab_a == 4 and r.vocab_b == 3 and r.n_shared == 2
+        assert r.jaccard == pytest.approx(round(2 / 5, 6))
+        assert r.containment_a == pytest.approx(0.5)
+        assert r.containment_b == pytest.approx(round(2 / 3, 6))
+        # disjoint pair
+        assert out[("s1", "s3")].n_shared == 0
+        assert out[("s1", "s3")].jaccard == 0.0
+        # every unordered pair appears exactly once
+        assert len(out) == 3
+        assert all(a < b for a, b in out)
+
+    def test_case_and_whitespace_normalized(self, spark):
+        df = spark.createDataFrame(
+            [("a", "  Foo   BAR "), ("b", "foo bar baz")],
+            "source string, text string",
+        )
+        r = textstats.vocab_overlap_matrix(df).first()
+        assert r.n_shared == 2 and r.vocab_a == 2 and r.vocab_b == 3
