@@ -4800,6 +4800,59 @@ def _q_centroid_similarity(spark, sf_dir):
     )
 
 
+def _q_jw_linkage_docs(spark, sf_dir):
+    """Jaro-Winkler similarity self-join on document text heads (the
+    name-matching metric record linkage standardizes on): lossless
+    char-multiset prefix blocking + exact pandas-UDF verify; the
+    oracle is the FULL cross product under DuckDB's own
+    jaro_winkler_similarity, so a green hash proves losslessness."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.linkage import jaro_winkler_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = docs.select("doc_id", F.substring("text", 1, 40).alias("k"))
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("k").alias("ka")
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("k").alias("kb")
+    )
+    return jaro_winkler_join(
+        a, b, "ka", "kb", "doc_a", "doc_b", threshold=0.9
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """Top adjacent character pairs over the word-type histogram —
+    the first iteration of BPE tokenizer training; vocab-sized work
+    after one corpus groupBy."""
+    from spark_bestfit_spark.operators.textstats import bpe_pair_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_stats(docs, "text", k=20)
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (types needed for 50/90/95/99% of
+    token occurrences) — exact via the count-class relation; no
+    type-level ordering, bucketed prefix sums only."""
+    from spark_bestfit_spark.operators.textstats import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, "text")
+
+
+def _q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend + Sen's slope per event type on daily value
+    means — the nonparametric is-this-metric-drifting test; pairwise
+    pass confined to the calendar-bounded daily series."""
+    from spark_bestfit_spark.operators.events import mann_kendall
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_kendall(ev, "ts", "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4902,6 +4955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_backtest": _q_ewma_backtest,
         "vocab_overlap": _q_vocab_overlap,
         "centroid_similarity": _q_centroid_similarity,
+        "jw_linkage_docs": _q_jw_linkage_docs,
+        "bpe_pairs": _q_bpe_pairs,
+        "vocab_coverage": _q_vocab_coverage,
+        "mann_kendall": _q_mann_kendall,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -10584,5 +10641,136 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_novel)::BIGINT AS sum_novel,
                    round(avg(novelty), 6) AS avg_novelty
             FROM per GROUP BY bucket
+        """,
+        # full cross product: a green hash proves the prefix-filter
+        # blocking is LOSSLESS, not merely high-recall
+        "jw_linkage_docs": """
+            WITH d AS (
+              SELECT doc_id, lower(trim(substr(text, 1, 40))) AS k
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE jaro_winkler_similarity(a.k, b.k) >= 0.9
+        """,
+        "bpe_pairs": r"""
+            WITH words AS (
+              SELECT w, count(*)::BIGINT AS wc FROM (
+                SELECT unnest(
+                  regexp_split_to_array(lower(trim(text)), '\s+')
+                ) AS w
+                FROM documents
+              ) WHERE w != '' GROUP BY w
+            ),
+            pairs AS (
+              SELECT unnest(
+                       [substr(w, i, 2) for i in range(1, length(w))]
+                     ) AS pair,
+                     wc
+              FROM words WHERE length(w) >= 2
+            ),
+            agg AS (
+              SELECT pair, sum(wc)::BIGINT AS weight
+              FROM pairs GROUP BY pair
+            )
+            SELECT row_number() OVER (ORDER BY weight DESC, pair)
+                     ::BIGINT AS rank,
+                   pair, weight
+            FROM agg ORDER BY weight DESC, pair LIMIT 20
+        """,
+        "vocab_coverage": r"""
+            WITH counts AS (
+              SELECT w, count(*)::BIGINT AS c FROM (
+                SELECT unnest(
+                  regexp_split_to_array(lower(trim(text)), '\s+')
+                ) AS w
+                FROM documents
+              ) WHERE w != '' GROUP BY w
+            ),
+            classes AS (
+              SELECT c, count(*)::BIGINT AS nt,
+                     (c * count(*))::BIGINT AS tok
+              FROM counts GROUP BY c
+            ),
+            run AS (
+              SELECT c, nt, tok,
+                     sum(nt) OVER (ORDER BY c DESC) AS rt,
+                     sum(tok) OVER (ORDER BY c DESC) AS rtok
+              FROM classes
+            ),
+            tot AS (
+              SELECT sum(nt)::BIGINT AS tt, sum(tok)::BIGINT AS ttok
+              FROM classes
+            ),
+            tgt AS (
+              SELECT unnest([0.5, 0.9, 0.95, 0.99]::DOUBLE[])
+                AS coverage_target
+            )
+            SELECT coverage_target,
+                   (rt - nt
+                    + ceil((coverage_target * ttok - (rtok - tok)) / c)
+                   )::BIGINT AS types_needed,
+                   ((rtok - tok)
+                    + ceil((coverage_target * ttok - (rtok - tok)) / c)
+                      * c)::BIGINT AS tokens_covered,
+                   round(
+                     ((rtok - tok)
+                      + ceil((coverage_target * ttok - (rtok - tok))
+                             / c) * c) / ttok::DOUBLE, 6
+                   ) AS share_covered,
+                   tt AS total_types,
+                   ttok AS total_tokens
+            FROM run, tot, tgt
+            WHERE rtok >= coverage_target * ttok
+              AND (rtok - tok) < coverage_target * ttok
+        """,
+        "mann_kendall": """
+            WITH daily AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS d,
+                     round(avg(value), 6) AS v
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            n AS (SELECT g, count(*)::BIGINT AS n FROM daily GROUP BY g),
+            pairs AS (
+              SELECT a.g,
+                     sign(b.v - a.v) AS sg,
+                     (b.v - a.v)
+                       / date_diff('day', a.d, b.d)::DOUBLE AS slope
+              FROM daily a JOIN daily b
+                ON a.g = b.g AND a.d < b.d
+            ),
+            ps AS (
+              SELECT g, sum(sg)::BIGINT AS s,
+                     median(slope) AS sen
+              FROM pairs GROUP BY g
+            ),
+            ties AS (
+              SELECT g,
+                     sum(t * (t - 1) * (2 * t + 5))::DOUBLE AS tt
+              FROM (
+                SELECT g, v, count(*)::BIGINT AS t
+                FROM daily GROUP BY g, v
+              ) GROUP BY g
+            ),
+            fin AS (
+              SELECT n.g, n.n, ps.s, ps.sen,
+                     (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt)
+                       / 18.0 AS vs
+              FROM n JOIN ps ON n.g = ps.g
+                     JOIN ties ON n.g = ties.g
+            )
+            SELECT g AS "group", n AS n_buckets, s,
+                   round(vs, 6) AS var_s,
+                   CASE
+                     WHEN vs <= 0 THEN NULL
+                     WHEN s > 0 THEN round((s - 1) / sqrt(vs), 6)
+                     WHEN s < 0 THEN round((s + 1) / sqrt(vs), 6)
+                     ELSE 0.0
+                   END AS z,
+                   round(sen, 6) AS sen_slope
+            FROM fin
         """,
     }

@@ -1008,3 +1008,93 @@ def ewma_backtest(
             6,
         ),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per group —
+    the nonparametric "is this metric drifting?" answer (no linearity
+    or normality assumed, robust to outliers; Sen's slope is the
+    median pairwise rate of change, the robust twin of the OLS
+    slope in ``linear_fit``).
+
+        S     = sum over bucket pairs i<j of sign(v_j - v_i)
+        VarS  = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18   (tie term)
+        Z     = (S -/+ 1) / sqrt(VarS)  (continuity-corrected, 0 at S=0)
+        slope = median over pairs of (v_j - v_i) / (t_j - t_i)
+
+    Data-sized work is ONE (group, bucket) groupBy; the O(n^2)
+    pairwise pass runs INSIDE an Arrow batch per group on the
+    calendar-bounded bucket series (n = #buckets, fixed by time span,
+    independent of row count — the same boundedness argument as
+    ``seasonal_decompose``). Bucket means are rounded to 6 decimals
+    BEFORE the kernel so sign/median decisions are engine-portable.
+
+    Returns per group: (group, n_buckets, s, var_s, z, sen_slope);
+    z is null for degenerate series (n < 2 or all-tied).
+    """
+    import numpy as np
+    import pandas as pd
+
+    gcol = group_col or F.lit("all").alias("_g")
+    gname = group_col or "_g"
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            (F.col(group_col) if group_col else gcol).alias("_g"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_d"),
+        )
+        .agg(F.round(F.avg(value_col), 6).alias("_v"))
+    )
+    schema = (
+        "group string, n_buckets long, s long, var_s double, "
+        "z double, sen_slope double"
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_d")
+        v = pdf["_v"].to_numpy(dtype=np.float64)
+        t = (
+            pdf["_d"].astype("datetime64[ns]").astype("int64").to_numpy()
+            / 86400e9
+        )
+        g = str(pdf["_g"].iloc[0])
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame(
+                [[g, n, 0, None, None, None]],
+                columns=[
+                    "group", "n_buckets", "s", "var_s", "z", "sen_slope"
+                ],
+            )
+        dv = v[None, :] - v[:, None]
+        dt = t[None, :] - t[:, None]
+        iu = np.triu_indices(n, k=1)
+        s = int(np.sign(dv[iu]).sum())
+        _, tie_counts = np.unique(v, return_counts=True)
+        tt = float(
+            (tie_counts * (tie_counts - 1) * (2 * tie_counts + 5)).sum()
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+        if var_s > 0:
+            if s > 0:
+                z = (s - 1) / np.sqrt(var_s)
+            elif s < 0:
+                z = (s + 1) / np.sqrt(var_s)
+            else:
+                z = 0.0
+            z = round(float(z), 6)
+        else:
+            z = None
+        slope = round(float(np.median(dv[iu] / dt[iu])), 6)
+        return pd.DataFrame(
+            [[g, n, s, round(var_s, 6), z, slope]],
+            columns=["group", "n_buckets", "s", "var_s", "z", "sen_slope"],
+        )
+
+    return daily.groupBy("_g").applyInPandas(_kernel, schema)

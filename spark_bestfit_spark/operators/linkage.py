@@ -521,3 +521,230 @@ def canonical_key(
     return df.withColumn(
         out, F.when(F.col(on).isNotNull(), key)
     )
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, DuckDB-compatible variant: standard
+    Jaro with match window ``floor(max(l1,l2)/2) - 1``, Winkler prefix
+    boost (p=0.1, prefix capped at 4) applied only when Jaro > 0.7,
+    and EITHER side empty (including both) scoring 0.0 — pinned by
+    fuzz against DuckDB's ``jaro_winkler_similarity`` so the oracle
+    comparison is exact to the rounded digit."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        c = s1[i]
+        for j in range(lo, hi):
+            if not m2[j] and c == s2[j]:
+                m1[i] = True
+                m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j <= 0.7:
+        return j
+    ell = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        ell += 1
+    return j + ell * 0.1 * (1.0 - j)
+
+
+def jaro_winkler_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.9,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """LOSSLESS Jaro-Winkler similarity join — the fourth member of
+    the linkage family (edit distance :func:`fuzzy_join`, token
+    Jaccard :func:`set_similarity_join`, probabilistic MinHash
+    decontamination; this one covers the name-matching metric record
+    linkage actually standardizes on, Winkler 1990).
+
+    Blocking is a CHARACTER-MULTISET prefix filter, sound by this
+    chain of necessary conditions: a qualifying pair has Jaro
+    ``j >= j_min`` where ``j_min = t`` for ``t <= 0.7`` (no boost
+    below the 0.7 gate) else ``max(0.7, (t - 0.4) / 0.6)`` (the boost
+    adds at most ``0.4 * (1 - j)``); Jaro's matched-character count m
+    then satisfies ``j <= (m/l1 + m/l2 + 1) / 3``, i.e.
+    ``m >= (3*j_min - 1) * l1 * l2 / (l1 + l2)``; and every matched
+    character consumes one occurrence on each side, so the CHARACTER
+    MULTISETS intersect in at least m elements — window and order
+    drop out entirely. With records tokenized as ``(char, occ#)`` and
+    globally ordered by ascending document frequency, the standard
+    prefix-filter theorem applies verbatim: each side indexes only its
+    ``l - ceil(m_lb) + 1`` rarest character-occurrences, candidates
+    come from one token equi-join, and the same m bound yields the
+    length band ``l_other in [l * (3*j_min - 2), l / (3*j_min - 2)]``
+    applied map-side. Every ceil/floor is epsilon-padded in the SAFE
+    direction (longer prefix, wider band), so float error can only add
+    candidates, never drop a true pair. Exact verification runs an
+    Arrow-batched pandas UDF of the pinned DuckDB-variant kernel over
+    candidates only.
+
+    Shuffle shape at 100 TB: one map-combinable char-df aggregation
+    over both relations, one (char,occ)-keyed candidate equi-join
+    (content-hashed, near-uniform — occurrence numbering splits the
+    heavy letters across keys), one pair distinct, two id-keyed joins
+    to attach keys for the verify. The per-record occurrence-numbering
+    transform is O(len^2) MAP-SIDE column algebra on linkage keys
+    (names, codes — short by nature); nothing shuffles data-sized
+    rows more than once. ``max_posting`` bounds degenerate prefix
+    postings exactly like :func:`set_similarity_join` (None =
+    lossless, the default).
+
+    Returns ``(left_id, right_id, jw)`` (rounded to 6) for every pair
+    at-or-above ``threshold``. Column names must differ across the two
+    inputs (alias upstream); empty/null keys never match (DuckDB
+    semantics: either side empty scores 0).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    if max_posting is not None and max_posting < 1:
+        raise ValueError("max_posting must be >= 1 (or None)")
+    t = float(threshold)
+    j_min = t if t <= 0.7 else max(0.7, (t - 0.4) / 0.6)
+    r = 3.0 * j_min - 2.0  # length-band ratio (vacuous when <= 0)
+    EPS = 1e-9
+
+    def _keyed(df, on, idc):
+        keyed = df.select(
+            F.col(idc),
+            F.lower(F.trim(F.col(on))).alias("_k"),
+        ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
+        # (char, occ#) multiset tokens: occurrence numbering is an
+        # indexed-lambda scan over the char array — map-side, O(l^2)
+        # on short linkage keys, no UDF.
+        return keyed.select(
+            idc,
+            "_k",
+            F.length("_k").cast("int").alias("_len"),
+            F.expr(
+                "transform(sequence(1, length(_k)),"
+                " i -> substring(_k, i, 1))"
+            ).alias("_chars"),
+        ).select(
+            idc,
+            "_k",
+            "_len",
+            F.expr(
+                "transform(_chars, (c, i) -> concat(c, '#', cast("
+                "size(filter(_chars, (d, j) -> j < i AND d = c)) + 1"
+                " AS string)))"
+            ).alias("_toks"),
+        )
+
+    lk = _keyed(left, left_on, left_id)
+    rk = _keyed(right, right_on, right_id)
+    ltok = lk.select(left_id, F.explode("_toks").alias("_tok"))
+    rtok = rk.select(right_id, F.explode("_toks").alias("_tok"))
+    dfreq = (
+        ltok.select("_tok").unionByName(rtok.select("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    # per-record required-overlap lower bound, minimized over the
+    # length band (partner length unknown until the join): alpha(l) =
+    # ceil((3*j_min - 1) * l * lb_min / (l + lb_min)) with lb_min the
+    # band floor; prefix = the l - alpha + 1 RAREST (char, occ#)s.
+    def _prefix(keyed, toks, idc):
+        l = F.col("_len").cast("double")
+        if r > 0:
+            lb_min = F.greatest(
+                F.lit(1.0), F.ceil(l * F.lit(r) - F.lit(EPS)).cast("double")
+            )
+        else:
+            lb_min = F.lit(1.0)
+        need = (F.lit(3.0 * j_min - 1.0) * l * lb_min) / (l + lb_min)
+        alpha = F.greatest(
+            F.lit(1), F.ceil(need - F.lit(EPS)).cast("int")
+        )
+        plen = F.greatest(
+            F.lit(1), F.col("_len") - alpha + F.lit(1)
+        )
+        ranked = toks.join(dfreq, on="_tok", how="inner")
+        ordered = ranked.groupBy(idc).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_ord")
+        )
+        out = (
+            keyed.select(idc, "_len")
+            .join(ordered, on=idc, how="inner")
+            .select(
+                idc,
+                "_len",
+                F.explode(F.slice("_ord", 1, plen)).alias("_tok"),
+            )
+        )
+        if max_posting is not None:
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy("_tok")
+            out = (
+                out.withColumn("_pc", F.count(F.lit(1)).over(w))
+                .filter(F.col("_pc") <= int(max_posting))
+                .drop("_pc")
+            )
+        return out
+
+    lpre = _prefix(lk, ltok, left_id).withColumnRenamed("_len", "_ll")
+    rpre = _prefix(rk, rtok, right_id).withColumnRenamed("_len", "_lr")
+    cand = lpre.join(rpre, on="_tok", how="inner")
+    if r > 0:
+        band = (
+            (F.col("_lr") >= F.ceil(F.col("_ll") * F.lit(r) - F.lit(EPS)))
+            & (F.col("_ll") >= F.ceil(F.col("_lr") * F.lit(r) - F.lit(EPS)))
+        )
+        cand = cand.filter(band)
+    cand = cand.select(left_id, right_id).distinct()
+
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw_udf(a, b):
+        return pd.Series(
+            [_jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    lv = lk.select(left_id, F.col("_k").alias("_ka"))
+    rv = rk.select(right_id, F.col("_k").alias("_kb"))
+    return (
+        cand.join(lv, on=left_id, how="inner")
+        .join(rv, on=right_id, how="inner")
+        .withColumn("jw", F.round(_jw_udf("_ka", "_kb"), 6))
+        .filter(F.col("jw") >= F.lit(t))
+        .select(left_id, right_id, "jw")
+    )

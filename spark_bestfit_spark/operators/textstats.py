@@ -1091,3 +1091,246 @@ def vocab_overlap_matrix(
             "containment_b"
         ),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Adjacent character-pair statistics over the word-type
+    histogram — the inner loop of BPE tokenizer training (Sennrich,
+    Haddow & Birch, ACL 2016): the first merge a BPE trainer would
+    pick is ``rank = 1``. Corpus-sized work is ONE map-combinable
+    word groupBy; pair explosion and the pair groupBy run on the
+    VOCAB-sized word-type relation (types, not tokens — each word
+    contributes its pairs once, weighted by frequency), so 100x the
+    corpus grows only the first exchange.
+
+    Returns the top ``k`` pairs as ``(rank, pair, weight)``, ordered
+    and tie-broken by ``(weight desc, pair asc)``; ``weight`` is the
+    total corpus frequency of the pair's host words.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window as _W
+
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+    )
+    pairs = (
+        words.filter(F.length("_w") >= 2)
+        .select(
+            "_wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(_w) - 1),"
+                    " i -> substring(_w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("_wc").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(int(k))
+    )
+    # rank window runs on the k-row relation the limit already
+    # collapsed — never a data-sized single partition
+    w = _W.orderBy(F.desc("weight"), F.asc("pair"))
+    return pairs.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "pair",
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> "list[tuple[str, str, int]]":
+    """Learn ``n_merges`` BPE merges over the corpus — the full
+    greedy training loop: each round recounts adjacent SYMBOL pairs
+    over the word-type relation, picks the globally most frequent
+    pair (ties by pair text, matching :func:`bpe_pair_stats`), and
+    rewrites every word's symbol sequence left-to-right. Returns the
+    merge table ``[(left_symbol, right_symbol, weight), ...]`` in
+    merge order — the artifact a tokenizer ships.
+
+    Scale shape: the corpus is touched ONCE (the word-type groupBy);
+    every merge round runs on the vocab-sized relation — one pair
+    groupBy + a 1-row TakeOrdered to the driver + one Arrow-batched
+    rewrite — with ``localCheckpoint`` truncating the per-round
+    lineage. The driver holds only the merge table (``n_merges``
+    rows), never the vocabulary.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    SEP = "\x1f"
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(_w)),"
+                " i -> substring(_w, i, 1))"
+            ).alias("_syms"),
+            "_wc",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        top = (
+            words.filter(F.size("_syms") >= 2)
+            .select(
+                "_wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_syms) - 1), i ->"
+                        f" concat(_syms[i - 1], '{SEP}', _syms[i]))"
+                    )
+                ).alias("_pair"),
+            )
+            .groupBy("_pair")
+            .agg(F.sum("_wc").alias("_weight"))
+            .orderBy(F.desc("_weight"), F.asc("_pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["_pair"].split(SEP, 1)
+        merges.append((a, b, int(top[0]["_weight"])))
+
+        # no type annotations: postponed-evaluation strings (PEP 563
+        # is active module-wide) are unresolvable for pyspark's
+        # typehint inspector — annotation-free defaults to SCALAR
+        @pandas_udf("array<string>")
+        def _merge(syms):
+            out = []
+            for s in syms:
+                s = list(s)
+                res = []
+                i = 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == a
+                        and s[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        prev = words
+        words = words.select(
+            _merge("_syms").alias("_syms"), "_wc"
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    return merges
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    targets: tuple = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Vocabulary coverage curve — how many of the most frequent word
+    types cover each target share of all token occurrences (the
+    tokenizer/vocab-sizing question: "how big must the vocab be to
+    cover 99% of the corpus?").
+
+    Exact, with NO type-level ordering anywhere: types with equal
+    frequency are interchangeable, so the curve depends only on the
+    COUNT-CLASS relation (distinct frequency c -> number of types,
+    tokens = c * n_types) — vocab-sized work is one groupBy; the
+    running sums ride log2(c)-bucketed exclusive offsets (<= 64
+    buckets folded driver-side) + one bucket-hash window over the
+    class relation, the same partitioned prefix-sum spine as the
+    drift family, never a single-partition sort. Inside the boundary
+    class the needed type count is ``ceil(remaining / c)`` — exact
+    regardless of which equal-frequency types you pick.
+
+    Returns one row per target: (coverage_target, types_needed,
+    tokens_covered, share_covered, total_types, total_tokens).
+    """
+    from pyspark.sql import Window as _W
+
+    for p in targets:
+        if not 0 < p <= 1:
+            raise ValueError("targets must be in (0, 1]")
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    classes = counts.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("_nt"),
+        (F.count(F.lit(1)) * F.col("_c")).alias("_tok"),
+    ).withColumn("_bk", F.floor(F.log2("_c")).cast("long"))
+    btot = (
+        classes.groupBy("_bk")
+        .agg(F.sum("_nt").alias("_bnt"), F.sum("_tok").alias("_btok"))
+        .collect()
+    )
+    if not btot:
+        return spark.createDataFrame(
+            [],
+            "coverage_target double, types_needed long, "
+            "tokens_covered long, share_covered double, "
+            "total_types long, total_tokens long",
+        )
+    # exclusive offsets folded driver-side in DESCENDING bucket order
+    # (most frequent classes first — the curve's direction)
+    ot = otok = 0
+    offs = []
+    for r in sorted(btot, key=lambda r: -int(r["_bk"])):
+        offs.append((int(r["_bk"]), ot, otok))
+        ot += int(r["_bnt"])
+        otok += int(r["_btok"])
+    total_types, total_tokens = ot, otok
+    off = spark.createDataFrame(offs, "_bk long, _ot long, _otok long")
+    w = (
+        _W.partitionBy("_bk").orderBy(F.desc("_c"))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    run = (
+        classes.join(F.broadcast(off), "_bk")
+        .withColumn("_rt", F.col("_ot") + F.sum("_nt").over(w))
+        .withColumn("_rtok", F.col("_otok") + F.sum("_tok").over(w))
+    )
+    tgt = spark.createDataFrame(
+        [(float(p),) for p in targets], "coverage_target double"
+    )
+    need = F.col("coverage_target") * F.lit(float(total_tokens))
+    prev = F.col("_rtok") - F.col("_tok")
+    k = F.ceil((need - prev) / F.col("_c")).cast("long")
+    return (
+        run.crossJoin(F.broadcast(tgt))
+        .filter((F.col("_rtok") >= need) & (prev < need))
+        .select(
+            "coverage_target",
+            (F.col("_rt") - F.col("_nt") + k).alias("types_needed"),
+            (prev + k * F.col("_c")).cast("long").alias("tokens_covered"),
+            F.round(
+                (prev + k * F.col("_c")) / F.lit(float(total_tokens)), 6
+            ).alias("share_covered"),
+            F.lit(total_types).cast("long").alias("total_types"),
+            F.lit(total_tokens).cast("long").alias("total_tokens"),
+        )
+    )
