@@ -4853,6 +4853,101 @@ def _q_mann_kendall(spark, sf_dir):
     return mann_kendall(ev, "ts", "value", "event_type")
 
 
+def _q_log_rank(spark, sf_dir):
+    """Two-sample log-rank test (open vs finished lineitems, duration
+    = quantity, event = returned) — the censoring-exact survival-curve
+    comparison on the KM spine."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import log_rank_test
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "e", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return log_rank_test(li, "l_quantity", "e", "l_linestatus", "O", "F")
+
+
+def _q_hampel_events(spark, sf_dir):
+    """Hampel spike filter on the event value stream per event type:
+    trailing-15 median/MAD robust z, flags spikes a rolling-mean
+    z-score would mask."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import hampel_filter
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+    )
+    out = hampel_filter(
+        ev, "value", "ts", "event_type", window=15, n_sigmas=3.0,
+        min_periods=3, tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id", "hampel_median", "hampel_mad",
+        "hampel_score", "hampel_outlier",
+    )
+
+
+def _q_kneser_ney(spark, sf_dir):
+    """Top-20 interpolated Kneser-Ney smoothed bigram probabilities
+    over the corpus — continuation-probability backoff, all
+    bigram-vocab-sized after one map-side explode."""
+    from spark_bestfit_spark.operators.textstats import kneser_ney_bigrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kneser_ney_bigrams(docs, "text", discount=0.75, k=20)
+
+
+def _q_pettitt(spark, sf_dir):
+    """Pettitt changepoint per event type on daily value means — rank
+    test locating a level shift, O(n^2) confined to the bounded daily
+    series."""
+    from spark_bestfit_spark.operators.events import pettitt_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pettitt_test(ev, "ts", "value", "event_type")
+
+
+def _q_pr_metrics(spark, sf_dir):
+    """Average precision + best-F1 threshold sweep for extendedprice
+    ranking the return flag — tie-robust stepwise AP on the descending
+    prefix-sum spine, integer-exact F1 argmax."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import pr_metrics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return pr_metrics(li, "l_extendedprice", "y")
+
+
+def _q_scd2_snapshot(spark, sf_dir):
+    """Point-in-time dimension reconstruction: the per-user event
+    state exactly as it stood on Jan 15 — SCD2 history + a map-side
+    validity filter."""
+    import datetime as _dt
+
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.asof import (
+        scd2_history,
+        scd2_snapshot,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 100)
+    )
+    hist = scd2_history(ev, "user_id", "ts", tiebreak_col="event_id")
+    snap = scd2_snapshot(hist, _dt.datetime(2024, 1, 15))
+    return snap.select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -4959,6 +5054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "vocab_coverage": _q_vocab_coverage,
         "mann_kendall": _q_mann_kendall,
+        "log_rank": _q_log_rank,
+        "hampel_events": _q_hampel_events,
+        "kneser_ney": _q_kneser_ney,
+        "pettitt": _q_pettitt,
+        "pr_metrics_price": _q_pr_metrics,
+        "scd2_snapshot": _q_scd2_snapshot,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -10772,5 +10873,259 @@ def oracle_sql() -> dict[str, str]:
                    END AS z,
                    round(sen, 6) AS sen_slope
             FROM fin
+        """,
+        "log_rank": """
+            WITH base AS (
+              SELECT l_linestatus AS g, l_quantity AS t,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                       AS e
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_linestatus IN ('O', 'F')
+            ),
+            per_t AS (
+              SELECT t,
+                     sum(CASE WHEN g = 'O' THEN e ELSE 0 END)
+                       ::BIGINT AS d1,
+                     sum(CASE WHEN g = 'F' THEN e ELSE 0 END)
+                       ::BIGINT AS d2,
+                     sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END)
+                       ::BIGINT AS c1,
+                     sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END)
+                       ::BIGINT AS c2
+              FROM base GROUP BY t
+            ),
+            risk AS (
+              SELECT *,
+                     sum(c1) OVER () - sum(c1) OVER (ORDER BY t)
+                       + c1 AS n1,
+                     sum(c2) OVER () - sum(c2) OVER (ORDER BY t)
+                       + c2 AS n2
+              FROM per_t
+            ),
+            terms AS (
+              SELECT d1,
+                     (d1 + d2) * n1 / (n1 + n2)::DOUBLE AS e1,
+                     (d1 + d2)
+                       * (n1 / (n1 + n2)::DOUBLE)
+                       * (n2 / (n1 + n2)::DOUBLE)
+                       * ((n1 + n2) - (d1 + d2))
+                       / ((n1 + n2) - 1)::DOUBLE AS v
+              FROM risk
+              WHERE d1 + d2 > 0 AND n1 + n2 > 1
+            ),
+            tot AS (
+              SELECT sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_a,
+                     sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_b,
+                     sum(CASE WHEN g = 'O' THEN e ELSE 0 END)
+                       ::BIGINT AS events_a,
+                     sum(CASE WHEN g = 'F' THEN e ELSE 0 END)
+                       ::BIGINT AS events_b
+              FROM base
+            ),
+            agg AS (
+              SELECT sum(d1 - e1) AS ome, sum(v) AS vs FROM terms
+            )
+            SELECT n_a, n_b, events_a, events_b,
+                   round(ome, 6) AS o_minus_e,
+                   round(vs, 6) AS var_sum,
+                   CASE WHEN vs > 0
+                     THEN round(ome / sqrt(vs), 6) END AS z,
+                   CASE WHEN vs > 0
+                     THEN round(ome * ome / vs, 6) END AS chi2
+            FROM tot, agg
+        """,
+        "hampel_events": """
+            WITH seq AS (
+              SELECT event_id, value::DOUBLE AS x,
+                     list_sort(list(value::DOUBLE) OVER w) AS vals
+              FROM events
+              WHERE value IS NOT NULL
+              WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
+              )
+            ),
+            med AS (
+              SELECT event_id, x, vals, len(vals) AS n,
+                     vals[floor((len(vals) - 1) * 0.5)::INT + 1]
+                     + ((len(vals) - 1) * 0.5
+                        - floor((len(vals) - 1) * 0.5))
+                       * (vals[least(
+                            floor((len(vals) - 1) * 0.5)::INT + 2,
+                            len(vals))]
+                          - vals[floor((len(vals) - 1) * 0.5)::INT
+                                 + 1]) AS m
+              FROM seq
+            ),
+            dev AS (
+              SELECT event_id, x, n, m,
+                     list_sort([abs(v - m) for v in vals]) AS devs
+              FROM med
+            ),
+            mad AS (
+              SELECT event_id, x, n, m,
+                     devs[floor((n - 1) * 0.5)::INT + 1]
+                     + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+                       * (devs[least(floor((n - 1) * 0.5)::INT + 2,
+                                     n)]
+                          - devs[floor((n - 1) * 0.5)::INT + 1])
+                       AS d
+              FROM dev
+            )
+            SELECT event_id,
+                   CASE WHEN n >= 3 THEN round(m, 6) END
+                     AS hampel_median,
+                   CASE WHEN n >= 3 THEN round(d, 6) END
+                     AS hampel_mad,
+                   CASE WHEN n >= 3 AND d > 0
+                     THEN round(abs(x - m) / (1.4826 * d), 6) END
+                     AS hampel_score,
+                   CASE WHEN n < 3 THEN NULL
+                        WHEN d > 0
+                          THEN abs(x - m) / (1.4826 * d) > 3.0
+                        ELSE x != m
+                   END AS hampel_outlier
+            FROM mad
+        """,
+        "kneser_ney": r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\s+')
+                AS a
+              FROM documents
+            ),
+            bg AS (
+              SELECT unnest([struct_pack(w1 := a[i], w2 := a[i + 1])
+                             for i in range(1, len(a))]) AS b
+              FROM toks WHERE len(a) >= 2
+            ),
+            big AS (
+              SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS c12
+              FROM bg WHERE b.w1 != '' AND b.w2 != ''
+              GROUP BY 1, 2
+            ),
+            ctx AS (
+              SELECT w1, sum(c12)::BIGINT AS c1,
+                     count(*)::BIGINT AS fw
+              FROM big GROUP BY w1
+            ),
+            cont AS (
+              SELECT w2, count(*)::BIGINT AS bw FROM big GROUP BY w2
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n_types FROM big)
+            SELECT big.w1, big.w2, c12,
+                   round(greatest(c12 - 0.75, 0) / c1
+                         + (0.75 * fw / c1::DOUBLE)
+                           * (bw / n_types::DOUBLE), 6) AS p_kn
+            FROM big JOIN ctx USING (w1) JOIN cont USING (w2), tot
+            ORDER BY c12 DESC, w1, w2 LIMIT 20
+        """,
+        "pettitt": """
+            WITH daily AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS d,
+                     round(avg(value), 6) AS v
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            vi AS (
+              SELECT a.g, a.d, sum(sign(b.v - a.v)) AS vi
+              FROM daily a JOIN daily b ON a.g = b.g
+              GROUP BY a.g, a.d
+            ),
+            u AS (
+              SELECT g, d,
+                     sum(vi) OVER (
+                       PARTITION BY g ORDER BY d
+                     )::BIGINT AS ut,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY d
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM vi
+            ),
+            cand AS (SELECT * FROM u WHERE rn < n),
+            k AS (
+              SELECT g, max(abs(ut))::BIGINT AS k,
+                     any_value(n)::BIGINT AS n
+              FROM cand GROUP BY g
+            ),
+            hit AS (
+              SELECT c.g, k.k, k.n,
+                     arg_min(c.ut, c.d)::BIGINT AS u_at_k,
+                     strftime(min(c.d), '%Y-%m-%d') AS change_bucket
+              FROM cand c JOIN k ON c.g = k.g AND abs(c.ut) = k.k
+              GROUP BY c.g, k.k, k.n
+            )
+            SELECT g AS "group", n AS n_buckets, k AS k_stat,
+                   u_at_k, change_bucket,
+                   round(least(
+                     1.0,
+                     2.0 * exp(-6.0 * k * k
+                               / (n*n*n + n*n)::DOUBLE)
+                   ), 6) AS p_approx
+            FROM hit
+        """,
+        "pr_metrics_price": """
+            WITH base AS (
+              SELECT l_extendedprice AS s,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                       AS y
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS np
+              FROM base
+            ),
+            g AS (
+              SELECT s, sum(y)::BIGINT AS dp,
+                     count(*)::BIGINT AS dc
+              FROM base GROUP BY s
+            ),
+            run AS (
+              SELECT s, dp, dc,
+                     sum(dp) OVER (ORDER BY s DESC) AS tp,
+                     sum(dc) OVER (ORDER BY s DESC) AS nc
+              FROM g
+            ),
+            per AS (
+              SELECT s, tp, nc,
+                     dp / np::DOUBLE * tp / nc AS apt,
+                     2.0 * tp / (nc + np::DOUBLE) AS f1
+              FROM run, tot
+            ),
+            ap AS (SELECT sum(apt) AS ap FROM per),
+            best AS (
+              SELECT s::DOUBLE AS best_threshold,
+                     tp / nc::DOUBLE AS bp,
+                     tp / (SELECT np::DOUBLE FROM tot) AS br,
+                     f1 AS bf
+              FROM per ORDER BY f1 DESC, s ASC LIMIT 1
+            )
+            SELECT n, np AS n_pos,
+                   round(ap, 6) AS average_precision,
+                   round(best_threshold, 6) AS best_threshold,
+                   round(bp, 6) AS best_precision,
+                   round(br, 6) AS best_recall,
+                   round(bf, 6) AS best_f1
+            FROM tot, ap, best
+        """,
+        "scd2_snapshot": """
+            WITH h AS (
+              SELECT user_id, event_id, event_type, value,
+                     ts AS valid_from,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS valid_to
+              FROM events WHERE user_id < 100
+            )
+            SELECT user_id, event_id, event_type,
+                   round(value, 6) AS value
+            FROM h
+            WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
         """,
     }

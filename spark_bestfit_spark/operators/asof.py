@@ -719,3 +719,134 @@ def rolling_quantile(
             F.when(n >= int(min_periods), quant), 6
         ),
     )
+
+
+def hampel_filter(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_col: str,
+    window: int = 10,
+    n_sigmas: float = 3.0,
+    min_periods: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Hampel outlier filter — the robust spike detector for metric /
+    sensor streams: flag a point when it sits more than ``n_sigmas``
+    robust standard deviations (1.4826 x MAD) from the TRAILING
+    median of its own entity's last ``window`` rows. The rolling-mean
+    z-score misses spikes because the spike inflates its own baseline;
+    median + MAD are 50%-breakdown estimators, so one bad point can
+    never mask itself.
+
+    Same exchange shape as :func:`rolling_quantile` — ONE entity-hash
+    exchange, one window sort; the frame's values ride
+    ``collect_list`` + ``array_sort`` and both medians (of the frame,
+    then of the absolute deviations) are pure JVM array arithmetic.
+    Bounded windows only, by design.
+
+    Appends ``hampel_median``, ``hampel_mad``, ``hampel_score``
+    (|x - med| / (1.4826 * MAD), null when MAD = 0 or below
+    ``min_periods``) and ``hampel_outlier`` (score > n_sigmas; when
+    MAD = 0 a point is an outlier iff it differs from the median —
+    the degenerate-window convention). All rounded to 6.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if n_sigmas <= 0:
+        raise ValueError("n_sigmas must be > 0")
+    order = [F.col(order_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    # materialize the sorted frame FIRST: lambda bodies cannot embed
+    # window expressions, so every derived quantity reads the plain
+    # array column
+    staged = df.withColumn(
+        "_hvals",
+        F.array_sort(
+            F.collect_list(F.col(value_col).cast("double")).over(w)
+        ),
+    )
+
+    def _median(arr):
+        m = F.size(arr)
+        pos = (m - F.lit(1)).cast("double") * F.lit(0.5)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        v_lo = F.element_at(arr, lo + 1)
+        v_hi = F.element_at(arr, F.least(lo + 2, m))
+        return v_lo + frac * (v_hi - v_lo)
+
+    staged = staged.withColumn("_hmed", _median(F.col("_hvals")))
+    staged = staged.withColumn(
+        "_hmad",
+        _median(
+            F.array_sort(
+                F.transform(
+                    F.col("_hvals"),
+                    lambda v: F.abs(v - F.col("_hmed")),
+                )
+            )
+        ),
+    )
+    n = F.size("_hvals")
+    med, mad = F.col("_hmed"), F.col("_hmad")
+    x = F.col(value_col).cast("double")
+    score = F.when(
+        (n >= int(min_periods)) & (mad > 0),
+        F.abs(x - med) / (F.lit(1.4826) * mad),
+    )
+    outlier = F.when(
+        n < int(min_periods), F.lit(None).cast("boolean")
+    ).otherwise(
+        F.when(
+            mad > 0,
+            F.abs(x - med) / (F.lit(1.4826) * mad)
+            > F.lit(float(n_sigmas)),
+        ).otherwise(x != med)
+    )
+    return (
+        staged.withColumn(
+            "hampel_median",
+            F.round(F.when(n >= int(min_periods), med), 6),
+        )
+        .withColumn(
+            "hampel_mad", F.round(F.when(n >= int(min_periods), mad), 6)
+        )
+        .withColumn("hampel_score", F.round(score, 6))
+        .withColumn("hampel_outlier", outlier)
+        .drop("_hvals", "_hmed", "_hmad")
+    )
+
+
+def scd2_snapshot(
+    history: DataFrame,
+    as_of,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time reconstruction from an SCD2 history table — "show
+    me the dimension exactly as it stood at time T", the read-side
+    complement of :func:`scd2_history` (and the batch analogue of an
+    :func:`asof_join` against the history): keep each version whose
+    validity interval covers ``as_of`` (``valid_from <= T <
+    valid_to``, open-ended current versions via null ``valid_to``).
+
+    Pure map-side filter — at 100 TB this pipelines with the parquet
+    scan, and when the history is partitioned/sorted on the validity
+    columns the predicate prunes files before reading (the reason to
+    reconstruct from SCD2 + filter instead of replaying the changelog
+    with a window). Drops the bookkeeping flag ``is_current`` if
+    present (it describes NOW, not ``as_of``).
+    """
+    t = F.lit(as_of)
+    out = history.filter(
+        (F.col(valid_from_col) <= t)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > t))
+    )
+    return out.drop("is_current")

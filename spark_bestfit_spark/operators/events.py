@@ -1098,3 +1098,78 @@ def mann_kendall(
         )
 
     return daily.groupBy("_g").applyInPandas(_kernel, schema)
+
+
+def pettitt_test(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Pettitt changepoint test per group — the nonparametric "WHEN
+    did this metric shift?" companion to :func:`mann_kendall` (MK asks
+    whether a monotone drift exists; Pettitt locates a single abrupt
+    level change, no distribution assumed — the rank-based alternative
+    to the CUSUM detector's known-baseline requirement):
+
+        U_t = sum_{i<=t} sum_{j>t} sign(x_j - x_i),
+        K = max_t |U_t|,  p ~= 2 exp(-6 K^2 / (n^3 + n^2))
+
+    computed via the antisymmetry identity ``U_t = sum_{i<=t} V_i``
+    with ``V_i = sum_j sign(x_j - x_i)`` (the i,j <= t double sum
+    cancels), so the kernel is one O(n^2) pass + a cumsum, confined to
+    an Arrow batch over the calendar-bounded bucket series — identical
+    execution shape to :func:`mann_kendall`, ONE (group, bucket)
+    groupBy of the data. Bucket means rounded to 6 before the kernel
+    for engine portability.
+
+    Returns per group: ``(group, n_buckets, k_stat, u_at_k,
+    change_bucket, p_approx)`` — ``change_bucket`` is the LAST bucket
+    of the pre-change segment (first argmax on ties, as a yyyy-MM-dd
+    string); null stats for series shorter than 2 buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gcol = F.col(group_col) if group_col else F.lit("all")
+    daily = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(
+            gcol.alias("_g"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_d"),
+        )
+        .agg(F.round(F.avg(value_col), 6).alias("_v"))
+    )
+    schema = (
+        "group string, n_buckets long, k_stat long, u_at_k long, "
+        "change_bucket string, p_approx double"
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_d")
+        v = pdf["_v"].to_numpy(dtype=np.float64)
+        g = str(pdf["_g"].iloc[0])
+        n = len(v)
+        cols = [
+            "group", "n_buckets", "k_stat", "u_at_k",
+            "change_bucket", "p_approx",
+        ]
+        if n < 2:
+            return pd.DataFrame(
+                [[g, n, None, None, None, None]], columns=cols
+            )
+        vi = np.sign(v[None, :] - v[:, None]).sum(axis=1)
+        u = np.cumsum(vi)[:-1]  # splits after positions 1..n-1
+        k = int(np.abs(u).max())
+        idx = int(np.abs(u).argmax())  # first argmax
+        p = min(1.0, 2.0 * np.exp(-6.0 * k * k / (n**3 + n**2)))
+        change = pd.Timestamp(pdf["_d"].iloc[idx]).strftime("%Y-%m-%d")
+        return pd.DataFrame(
+            [[g, n, k, int(u[idx]), change, round(float(p), 6)]],
+            columns=cols,
+        )
+
+    return daily.groupBy("_g").applyInPandas(_kernel, schema)

@@ -4099,3 +4099,223 @@ def nelson_aalen(
         F.round(F.sqrt("_v"), 6).alias("hazard_se"),
         F.round(F.exp(-F.col("_h")), 6).alias("survival_fh"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) — "do these two cohorts
+    have the same survival curve?", the inferential closer of the
+    survival family (:func:`kaplan_meier` and :func:`nelson_aalen`
+    draw the curves; this one tests them, censoring handled exactly):
+
+        at each distinct event time t (pooled):
+          E_a(t) = d(t) * n_a(t) / n(t)
+          V(t)   = d(t) * (n_a/n) * (n_b/n) * (n - d) / (n - 1)
+        chi2 = (sum d_a - sum E_a)^2 / sum V,   z = (O - E)/sqrt(V)
+
+    Same execution shape as the KM/NA spine: ONE groupBy collapses the
+    data to the per-distinct-duration relation; risk sets are running
+    suffix counts on that bounded relation (window cost is
+    #distinct-durations, never row count). Returns one row:
+    ``(n_a, n_b, events_a, events_b, o_minus_e, var_sum, z, chi2)``
+    rounded to 6; z/chi2 null when the variance sum is 0 (no
+    comparable event times).
+    """
+    from pyspark.sql import Window as _W
+
+    base = valid_column(
+        df.select(group_col, duration_col, event_col), duration_col
+    ).filter(
+        F.col(event_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    ia = (F.col(group_col) == F.lit(group_a)).cast("long")
+    ib = (F.col(group_col) == F.lit(group_b)).cast("long")
+    ev = F.col(event_col).cast("long")
+    per_t = base.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(ia * ev).alias("d1"),
+        F.sum(ib * ev).alias("d2"),
+        F.sum(ia).alias("c1"),
+        F.sum(ib).alias("c2"),
+    )
+    w_all = _W.partitionBy(F.lit(1))
+    w_cum = (
+        _W.partitionBy(F.lit(1))
+        .orderBy("t")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    scored = (
+        per_t.withColumn("_na", F.sum("c1").over(w_all))
+        .withColumn("_nb", F.sum("c2").over(w_all))
+        .withColumn(
+            "n1",
+            F.col("_na") - F.sum("c1").over(w_cum) + F.col("c1"),
+        )
+        .withColumn(
+            "n2",
+            F.col("_nb") - F.sum("c2").over(w_cum) + F.col("c2"),
+        )
+        .withColumn("dt", F.col("d1") + F.col("d2"))
+        .withColumn("nt", F.col("n1") + F.col("n2"))
+    )
+    terms = scored.filter((F.col("dt") > 0) & (F.col("nt") > 1)).select(
+        "d1",
+        (
+            F.col("dt") * F.col("n1") / F.col("nt")
+        ).alias("e1"),
+        (
+            F.col("dt")
+            * (F.col("n1") / F.col("nt"))
+            * (F.col("n2") / F.col("nt"))
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1)
+        ).alias("v"),
+    )
+    tot = base.agg(
+        F.sum(ia).alias("n_a"),
+        F.sum(ib).alias("n_b"),
+        F.sum(ia * ev).alias("events_a"),
+        F.sum(ib * ev).alias("events_b"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("d1") - F.col("e1")).alias("_ome"),
+        F.sum("v").alias("_vs"),
+    )
+    z = F.when(
+        F.col("_vs") > 0, F.col("_ome") / F.sqrt(F.col("_vs"))
+    )
+    chi2 = F.when(
+        F.col("_vs") > 0,
+        F.col("_ome") * F.col("_ome") / F.col("_vs"),
+    )
+    return tot.crossJoin(agg).select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("events_a").cast("long"),
+        F.col("events_b").cast("long"),
+        F.round("_ome", 6).alias("o_minus_e"),
+        F.round("_vs", 6).alias("var_sum"),
+        F.round(z, 6).alias("z"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def pr_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Precision-recall summary for a binary ranking — average
+    precision (the area under the stepwise PR curve, the metric that
+    stays honest under class imbalance where ROC AUC saturates) plus
+    the best-F1 operating point from a full threshold sweep:
+
+        AP = sum over distinct thresholds s (desc) of
+             [d_pos(s) / P_total] * [TP(s) / N(s)]
+        F1(s) = 2 TP(s) / (N(s) + P_total)   (integer-count form)
+
+    The threshold set is every distinct score — tie-robust by
+    construction (no arbitrary within-tie ordering; this is the
+    step-interpolated AP definition). Execution: ONE distinct-score
+    groupBy, then the same partitioned prefix-sum spine as
+    :func:`roc_auc` run DESCENDING (bucketed exclusive offsets folded
+    driver-side, one bucket-hash window) — no global sort. The F1
+    argmax is a ratio of integer counts, so the sweep's winner is
+    engine-exact; ties break to the LOWEST threshold.
+
+    Returns one row: ``(n, n_pos, average_precision, best_threshold,
+    best_precision, best_recall, best_f1)`` rounded to 6; null
+    metrics when either class is absent.
+    """
+    from pyspark.sql import Window as _W
+
+    base = valid_column(df, score_col).filter(
+        F.col(label_col).isNotNull()
+    )
+    y = F.col(label_col).cast("long")
+    spark = df.sparkSession
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("np"),
+        F.min(score_col).alias("lo"),
+        F.max(score_col).alias("hi"),
+    ).first()
+    n = int(stats["n"] or 0)
+    npos = int(stats["np"] or 0)
+    out_schema = (
+        "n long, n_pos long, average_precision double, "
+        "best_threshold double, best_precision double, "
+        "best_recall double, best_f1 double"
+    )
+    if n == 0 or npos == 0 or npos == n:
+        return spark.createDataFrame(
+            [(n, npos, None, None, None, None, None)], out_schema
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    g = base.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(y).alias("dp"), F.count(F.lit(1)).alias("dc")
+    )
+    if hi > lo:
+        bk = F.width_bucket(
+            F.col("s"), F.lit(lo), F.lit(hi), F.lit(num_buckets)
+        )
+    else:
+        bk = F.lit(1)
+    btot = (
+        g.groupBy(bk.alias("bk"))
+        .agg(F.sum("dp").alias("tp"), F.sum("dc").alias("tc"))
+        .collect()
+    )
+    op = oc = 0
+    offs = []
+    # DESCENDING fold: highest scores first (threshold sweep direction)
+    for r in sorted(btot, key=lambda r: -int(r["bk"])):
+        offs.append((int(r["bk"]), op, oc))
+        op += int(r["tp"])
+        oc += int(r["tc"])
+    off = spark.createDataFrame(offs, "bk long, op long, oc long")
+    w = (
+        _W.partitionBy("bk")
+        .orderBy(F.desc("s"))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    run = (
+        g.withColumn("bk", bk)
+        .join(F.broadcast(off), "bk")
+        .withColumn("tp", F.col("op") + F.sum("dp").over(w))
+        .withColumn("nc", F.col("oc") + F.sum("dc").over(w))
+    )
+    ap_term = (
+        F.col("dp") / F.lit(float(npos)) * F.col("tp") / F.col("nc")
+    )
+    f1 = F.lit(2.0) * F.col("tp") / (F.col("nc") + F.lit(float(npos)))
+    per = run.select(
+        "s", "tp", "nc", ap_term.alias("apt"), f1.alias("f1")
+    )
+    ap = per.agg(F.sum("apt").alias("_ap"))
+    best = (
+        per.orderBy(F.desc("f1"), F.asc("s"))
+        .limit(1)
+        .select(
+            F.col("s").cast("double").alias("best_threshold"),
+            (F.col("tp") / F.col("nc")).alias("bp"),
+            (F.col("tp") / F.lit(float(npos))).alias("br"),
+            F.col("f1").alias("bf"),
+        )
+    )
+    return ap.crossJoin(best).select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(npos).cast("long").alias("n_pos"),
+        F.round("_ap", 6).alias("average_precision"),
+        F.round("best_threshold", 6).alias("best_threshold"),
+        F.round("bp", 6).alias("best_precision"),
+        F.round("br", 6).alias("best_recall"),
+        F.round("bf", 6).alias("best_f1"),
+    )

@@ -1334,3 +1334,75 @@ def vocab_coverage(
             F.lit(total_tokens).cast("long").alias("total_tokens"),
         )
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    k: int | None = 20,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram language model (Kneser
+    & Ney 1995; Chen & Goodman 1999 empirical study) — the LM
+    :func:`bigram_logprob`'s add-k smoothing approximates. KN's
+    insight: the unigram backoff should be the CONTINUATION
+    probability (in how many distinct contexts does w2 appear?) so
+    frequent-but-context-locked words ("francisco") stop leaking mass:
+
+        P_KN(w2|w1) = max(c(w1 w2) - d, 0) / c(w1)
+                      + [d * N1+(w1,.) / c(w1)]       (lambda(w1))
+                        * N1+(., w2) / N1+(., .)      (P_cont(w2))
+
+    Corpus-sized work is ONE map-side bigram explode into the bigram
+    groupBy (adjacent pairs come from the token array by transform —
+    no position self-join); everything after (context totals,
+    fan-out/fan-in type counts, the 1-row type total) is
+    bigram-vocab-sized and map-combinable.
+
+    Returns ``(w1, w2, c12, p_kn)`` — the top ``k`` bigrams by
+    ``(c12 desc, w1, w2)``, or the full smoothed table with
+    ``k=None``.
+    """
+    if not 0 < discount < 1:
+        raise ValueError("discount must be in (0, 1)")
+    big = (
+        df.select(_tokens(F.col(text_col)).alias("_a"))
+        .filter(F.size("_a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_a) - 1), i ->"
+                    " struct(_a[i - 1] AS w1, _a[i] AS w2))"
+                )
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("_c1"),
+        F.count(F.lit(1)).alias("_fw"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("_bw"))
+    tot = big.agg(F.count(F.lit(1)).alias("_types"))
+    d = float(discount)
+    p = (
+        F.greatest(F.col("c12") - F.lit(d), F.lit(0.0)) / F.col("_c1")
+        + (F.lit(d) * F.col("_fw") / F.col("_c1"))
+        * (F.col("_bw") / F.col("_types"))
+    )
+    out = (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(p, 6).alias("p_kn"),
+        )
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("c12"), "w1", "w2").limit(int(k))
+    return out
