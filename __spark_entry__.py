@@ -4948,6 +4948,56 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """White-box HyperLogLog over lineitem order keys — md5-hashed
+    registers in pure column algebra, integer-exact register fold;
+    the oracle recomputes the IDENTICAL estimate plus the exact count."""
+    from spark_bestfit_spark.operators.stats import hll_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_distinct(li, "l_orderkey", p=12)
+
+
+def _q_brier(spark, sf_dir):
+    """Murphy decomposition of the Brier score for the scaled
+    discount as a return-probability forecast — reliability /
+    resolution / uncertainty / within-bin residual."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import brier_decomposition
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("p", F.least(F.col("l_discount") * 10.0, F.lit(1.0)))
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    return brier_decomposition(li, "p", "y", bins=10)
+
+
+def _q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend of the return rate across ordered line
+    numbers — dose-response for proportions from one contingency
+    groupBy."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import cochran_armitage
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return cochran_armitage(li, "l_linenumber", "y")
+
+
+def _q_silhouette(spark, sf_dir):
+    """Simplified (centroid) silhouette per embedding label — the
+    class-separability audit; one broadcast cross of points x G
+    centroids."""
+    from spark_bestfit_spark.operators.similarity import silhouette_score
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return silhouette_score(emb, "embedding", "label", "vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5060,6 +5110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": _q_pettitt,
         "pr_metrics_price": _q_pr_metrics,
         "scd2_snapshot": _q_scd2_snapshot,
+        "hll_distinct": _q_hll_distinct,
+        "brier_decomposition": _q_brier,
+        "cochran_armitage": _q_cochran_armitage,
+        "silhouette": _q_silhouette,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11127,5 +11181,184 @@ def oracle_sql() -> dict[str, str]:
             WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
               AND (valid_to IS NULL
                    OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        """,
+        # identical md5-register pipeline: the twin reproduces the
+        # ESTIMATE bit-for-bit, not just the exact count
+        "hll_distinct": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15)
+                     )::BIGINT AS h
+              FROM lineitem WHERE l_orderkey IS NOT NULL
+            ),
+            st AS (SELECT h % 4096 AS bk, h // 4096 AS w FROM h),
+            rho AS (
+              SELECT bk,
+                     CASE WHEN w > 0
+                       THEN 48 - floor(log2(w))::INT
+                       ELSE 49 END AS r
+              FROM st
+            ),
+            regs AS (SELECT bk, max(r) AS m FROM rho GROUP BY bk),
+            fold AS (
+              SELECT sum((1::BIGINT << (50 - m)))::BIGINT AS isum,
+                     count(*)::BIGINT AS present
+              FROM regs
+            ),
+            ex AS (
+              SELECT count(*)::BIGINT AS n,
+                     count(DISTINCT l_orderkey)::BIGINT AS exact
+              FROM lineitem WHERE l_orderkey IS NOT NULL
+            ),
+            est AS (
+              SELECT n, exact, present,
+                     (isum + (4096 - present)
+                       * (1::BIGINT << 50))::DOUBLE
+                       / 1125899906842624.0 AS divisor
+              FROM fold, ex
+            ),
+            raw AS (
+              SELECT n, exact, present,
+                     0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                       / divisor AS e_raw
+              FROM est
+            ),
+            fin AS (
+              SELECT n, exact,
+                     CASE WHEN e_raw <= 2.5 * 4096
+                               AND (4096 - present) > 0
+                       THEN 4096.0 * ln(4096.0 / (4096 - present))
+                       ELSE e_raw END AS e
+              FROM raw
+            )
+            SELECT n AS n_rows, exact AS exact_distinct,
+                   round(e, 6) AS hll_estimate,
+                   round(abs(e - exact) / exact, 6) AS rel_error
+            FROM fin
+        """,
+        "brier_decomposition": """
+            WITH base AS (
+              SELECT least(l_discount * 10.0, 1.0) AS p,
+                     CASE WHEN l_returnflag = 'R'
+                       THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem
+              WHERE l_discount IS NOT NULL
+            ),
+            pb AS (
+              SELECT least(floor(p * 10)::INT, 9) AS bk,
+                     count(*)::BIGINT AS nk,
+                     avg(p) AS pk, avg(y) AS yk
+              FROM base GROUP BY 1
+            ),
+            o AS (
+              SELECT count(*)::BIGINT AS n, avg(y) AS ybar,
+                     avg((p - y) * (p - y)) AS brier
+              FROM base
+            ),
+            agg AS (
+              SELECT max(n) AS n, max(ybar) AS ybar,
+                     max(brier) AS brier,
+                     sum(nk * (pk - yk) * (pk - yk)) AS rel_s,
+                     sum(nk * (yk - ybar) * (yk - ybar)) AS res_s
+              FROM pb, o
+            )
+            SELECT n,
+                   round(brier, 6) AS brier,
+                   round(rel_s / n, 6) AS reliability,
+                   round(res_s / n, 6) AS resolution,
+                   round(ybar * (1 - ybar), 6) AS uncertainty,
+                   round(brier - (rel_s / n - res_s / n
+                                  + ybar * (1 - ybar)), 6)
+                     AS within_bin
+            FROM agg
+        """,
+        "cochran_armitage": """
+            WITH per AS (
+              SELECT l_linenumber AS g,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN l_returnflag = 'R'
+                         THEN 1 ELSE 0 END)::BIGINT AS d,
+                     max(l_linenumber::DOUBLE) AS s
+              FROM lineitem
+              WHERE l_linenumber IS NOT NULL
+              GROUP BY 1
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS k_groups,
+                     sum(n)::BIGINT AS n,
+                     sum(d)::BIGINT AS np,
+                     sum(s * d) AS sd,
+                     sum(s * n) AS sn,
+                     sum(s * s * n) AS ssn
+              FROM per
+            )
+            SELECT k_groups, n, np AS n_pos,
+                   CASE WHEN (np / n::DOUBLE) * (1 - np / n::DOUBLE)
+                             * (ssn - sn * sn / n) > 0
+                     THEN round(
+                       (sd - (np / n::DOUBLE) * sn)
+                       / sqrt((np / n::DOUBLE)
+                              * (1 - np / n::DOUBLE)
+                              * (ssn - sn * sn / n)), 6) END AS z,
+                   CASE WHEN (np / n::DOUBLE) * (1 - np / n::DOUBLE)
+                             * (ssn - sn * sn / n) > 0
+                     THEN round(
+                       (sd - (np / n::DOUBLE) * sn)
+                       * (sd - (np / n::DOUBLE) * sn)
+                       / ((np / n::DOUBLE) * (1 - np / n::DOUBLE)
+                          * (ssn - sn * sn / n)), 6) END AS chi2
+            FROM agg
+        """,
+        "silhouette": """
+            WITH v AS (
+              SELECT vec_id, label, embedding AS e FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL
+            ),
+            ex AS (
+              SELECT vec_id, label, e,
+                     unnest(range(1, len(e) + 1)) AS dim
+              FROM v
+            ),
+            expl AS (
+              SELECT vec_id, label, dim, e[dim]::DOUBLE AS val
+              FROM ex
+            ),
+            cent AS (
+              SELECT label AS cl, dim, round(avg(val), 6) AS m
+              FROM expl GROUP BY label, dim
+            ),
+            cnorm AS (
+              SELECT cl, round(sqrt(sum(m * m)), 6) AS cn
+              FROM cent GROUP BY cl
+            ),
+            dots AS (
+              SELECT vec_id, expl.label, cent.cl,
+                     sum(val * m) AS dp,
+                     sqrt(sum(val * val)) AS en
+              FROM expl JOIN cent ON expl.dim = cent.dim
+              GROUP BY vec_id, expl.label, cent.cl
+            ),
+            dist AS (
+              SELECT vec_id, dots.label, dots.cl,
+                     round(1e0 - dp / (en * cn), 6) AS d
+              FROM dots JOIN cnorm USING (cl)
+            ),
+            pp AS (
+              SELECT vec_id, label,
+                     min(CASE WHEN cl = label THEN d END) AS a,
+                     min(CASE WHEN cl != label THEN d END) AS b
+              FROM dist GROUP BY vec_id, label
+            ),
+            s AS (
+              SELECT label,
+                     round(CASE
+                       WHEN greatest(a, b) > 0
+                         THEN (b - a) / greatest(a, b)
+                       WHEN b IS NOT NULL THEN 0.0
+                     END, 6) AS s
+              FROM pp
+            )
+            SELECT label, count(*)::BIGINT AS n_points,
+                   round(avg(s), 6) AS avg_silhouette
+            FROM s GROUP BY label
         """,
     }

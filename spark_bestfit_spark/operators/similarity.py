@@ -1387,3 +1387,70 @@ def embedding_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def silhouette_score(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the
+    clustering-quality audit for a labeled embedding corpus: how
+    separable are the classes in embedding space?
+
+        a(i) = cosine distance to the OWN label's centroid
+        b(i) = min cosine distance to any OTHER label's centroid
+        s(i) = (b - a) / max(a, b)        (0 when both are 0)
+
+    The full silhouette needs all pairwise point distances (O(n^2) —
+    a non-starter); the centroid form (Hruschka et al.'s simplified
+    silhouette) replaces cluster means of distances with distances to
+    cluster means, and is the standard at-scale variant. Execution:
+    centroids from :func:`label_centroids`, then ONE broadcast cross
+    of points x G centroids (G = #labels, tiny) folded back by a
+    conditional min groupBy on the point id, one label groupBy for the
+    averages. Distances rounded to 6 before s (engine portability,
+    same convention as :func:`embedding_outliers`).
+
+    Returns ``(label_col, n_points, avg_silhouette)`` rounded to 6;
+    null average when there is a single label (b undefined).
+    """
+    cents = label_centroids(df, vec_col, label_col)
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(id_col, label_col, vec_col)
+    cl = cents.select(
+        F.col(label_col).alias("_cl"),
+        F.col("centroid"),
+        F.col("norm").alias("_cn"),
+    )
+    d = F.round(
+        F.lit(1.0)
+        - _dot(F.col(vec_col), F.col("centroid"))
+        / (_norm(F.col(vec_col)) * F.col("_cn")),
+        6,
+    )
+    dists = base.crossJoin(F.broadcast(cl)).select(
+        id_col, label_col, "_cl", d.alias("_d")
+    )
+    per_point = dists.groupBy(id_col, label_col).agg(
+        F.min(F.when(F.col("_cl") == F.col(label_col), F.col("_d")))
+        .alias("_a"),
+        F.min(F.when(F.col("_cl") != F.col(label_col), F.col("_d")))
+        .alias("_b"),
+    )
+    s = F.when(
+        F.greatest("_a", "_b") > 0,
+        (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"),
+    ).otherwise(
+        F.when(F.col("_b").isNotNull(), F.lit(0.0))
+    )
+    return (
+        per_point.withColumn("_s", F.round(s, 6))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("_s"), 6).alias("avg_silhouette"),
+        )
+    )

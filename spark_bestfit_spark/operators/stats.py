@@ -4319,3 +4319,220 @@ def pr_metrics(
         F.round("br", 6).alias("best_recall"),
         F.round("bf", 6).alias("best_f1"),
     )
+
+
+def hll_distinct(df: DataFrame, column: str, p: int = 12) -> DataFrame:
+    """HyperLogLog distinct-count sketch built from scratch in pure
+    column algebra (Flajolet et al. 2007) — the mergeable sketch
+    behind every engine's approx_count_distinct, reimplemented
+    white-box so the estimate is REPRODUCIBLE across engines (both
+    sides hash with md5, so the oracle twin computes the identical
+    estimate — something no engine-native HLL offers):
+
+        h = 60-bit md5 prefix; bucket = h mod 2^p;
+        rho = 1 + leading zeros of the remaining 60-p bits;
+        E = alpha_m m^2 / sum_j 2^(-M_j);  E <= 2.5m and V empty
+        buckets -> linear counting m ln(m/V).
+
+    The register sum is computed in INTEGER arithmetic (terms
+    2^(50 - M_j) summed as longs, one float division at the end), so
+    it is exact and partitioning/order-invariant — a float
+    power-of-two sum would round differently per addition order.
+    Execution: one map pass (hash/bucket/rho), one <= 2^p-key groupBy
+    (map-combinable maxes — this is WHY HLL scales: registers merge
+    by max), a 1-row fold. The exact count-distinct rides the same
+    scan for the error report.
+
+    Returns one row: ``(n_rows, exact_distinct, hll_estimate,
+    rel_error)`` rounded to 6.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    base = df.filter(F.col(column).isNotNull()).select(
+        F.conv(
+            F.substring(F.md5(F.col(column).cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h")
+    )
+    wbits = 60 - p
+    staged = base.select(
+        F.pmod("_h", F.lit(m)).alias("_bk"),
+        F.shiftright("_h", p).alias("_w"),
+    ).select(
+        "_bk",
+        F.when(
+            F.col("_w") > 0,
+            F.lit(wbits) - F.floor(F.log2("_w")).cast("int"),
+        )
+        .otherwise(F.lit(wbits + 1))
+        .alias("_rho"),
+    )
+    regs = staged.groupBy("_bk").agg(F.max("_rho").alias("_M"))
+    folded = regs.agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 50 - _M)")
+        ).alias("_isum"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    exact = df.filter(F.col(column).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(column).alias("_exact"),
+    )
+    total = (
+        F.col("_isum")
+        + (F.lit(m) - F.col("_present"))
+        * F.lit(1 << 50).cast("long")
+    )
+    divisor = total.cast("double") / F.lit(float(1 << 50))
+    e_raw = F.lit(alpha * m * m) / divisor
+    v = F.lit(m) - F.col("_present")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return exact.crossJoin(folded).select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_exact").cast("long").alias("exact_distinct"),
+        F.round(e, 6).alias("hll_estimate"),
+        F.round(
+            F.abs(e - F.col("_exact")) / F.col("_exact"), 6
+        ).alias("rel_error"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — splits a
+    probabilistic forecast's mean squared error into the three terms
+    calibration work actually cares about (the inferential companion
+    to the `calibration` reliability curve):
+
+        brier       = mean (p - y)^2               (exact, unbinned)
+        reliability = sum_k n_k (pbar_k - ybar_k)^2 / N   (miscalib.)
+        resolution  = sum_k n_k (ybar_k - ybar)^2 / N     (sharpness)
+        uncertainty = ybar (1 - ybar)
+        within_bin  = brier - (rel - res + unc)    (binning residual)
+
+    Bins are FIXED equal-width on [0, 1] (``floor(p * bins)`` capped
+    into the last bin) — not data-quantile — so the decomposition is
+    comparable across datasets. One conditional-aggregate pass to the
+    <= bins-row relation + a broadcast 1-row overall rate; everything
+    map-combinable.
+
+    Returns one row: ``(n, brier, reliability, resolution,
+    uncertainty, within_bin)`` rounded to 6.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    base = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(prob_col).cast("double").alias("_p"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    bk = F.least(
+        F.floor(F.col("_p") * F.lit(bins)).cast("int"),
+        F.lit(bins - 1),
+    )
+    per_bin = base.groupBy(bk.alias("_bk")).agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.avg("_p").alias("_pk"),
+        F.avg("_y").alias("_yk"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_y").alias("_ybar"),
+        F.avg((F.col("_p") - F.col("_y")) ** 2).alias("_brier"),
+    )
+    j = per_bin.crossJoin(F.broadcast(overall))
+    agg = j.agg(
+        F.max("_n").alias("n"),
+        F.max("_ybar").alias("ybar"),
+        F.max("_brier").alias("brier"),
+        F.sum(
+            F.col("_nk") * (F.col("_pk") - F.col("_yk")) ** 2
+        ).alias("_rel"),
+        F.sum(
+            F.col("_nk") * (F.col("_yk") - F.col("_ybar")) ** 2
+        ).alias("_res"),
+    )
+    rel = F.col("_rel") / F.col("n")
+    res = F.col("_res") / F.col("n")
+    unc = F.col("ybar") * (F.lit(1.0) - F.col("ybar"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("brier", 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(
+            F.col("brier") - (rel - res + unc), 6
+        ).alias("within_bin"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Cochran-Armitage trend test — "does the positive RATE move
+    monotonically across ordered categories?" (dose-response for
+    proportions; the chi-square independence test ignores the
+    ordering and wastes its power across orderings nobody asked
+    about):
+
+        T = sum_i s_i d_i - pbar sum_i s_i n_i
+        Var = pbar (1 - pbar) [sum n_i s_i^2 - (sum n_i s_i)^2 / N]
+        z = T / sqrt(Var),  chi2 = z^2
+
+    ``score_col`` supplies the category scores (defaults to the
+    group value itself — natural for integer-ordered categories).
+    ONE map-combinable contingency groupBy to the k-row relation,
+    then a 1-row fold. Returns ``(k_groups, n, n_pos, z, chi2)``
+    rounded to 6; null z when the variance is 0 (degenerate rate or
+    single group).
+    """
+    s = F.col(score_col if score_col else group_col).cast("double")
+    y = F.col(label_col).cast("long")
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    per = base.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(y).alias("_d"),
+        F.max(s).alias("_s"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("_n").alias("n"),
+        F.sum("_d").alias("np"),
+        F.sum(F.col("_s") * F.col("_d")).alias("_sd"),
+        F.sum(F.col("_s") * F.col("_n")).alias("_sn"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_n")).alias("_ssn"),
+    )
+    pbar = F.col("np") / F.col("n")
+    t = F.col("_sd") - pbar * F.col("_sn")
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (F.col("_ssn") - F.col("_sn") * F.col("_sn") / F.col("n"))
+    )
+    z = F.when(var > 0, t / F.sqrt(var))
+    return agg.select(
+        F.col("k_groups").cast("long"),
+        F.col("n").cast("long"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.round(z, 6).alias("z"),
+        F.round(F.when(var > 0, t * t / var), 6).alias("chi2"),
+    )

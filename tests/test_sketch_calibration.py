@@ -1,0 +1,185 @@
+"""HLL sketch / Brier decomposition / Cochran-Armitage / silhouette —
+round-8 third wave.
+
+Load-bearing properties: the white-box HLL estimate must be accurate
+(~1.04/sqrt(m) relative error) and partitioning-invariant (registers
+merge by max); the Murphy decomposition must satisfy its identity
+brier = rel - res + unc + within_bin and match a numpy replica;
+Cochran-Armitage must detect a planted monotone rate trend and stay
+centered under no trend; silhouette must rank separable labels above
+shuffled ones.
+"""
+
+import math
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from spark_bestfit_spark.operators.similarity import silhouette_score
+from spark_bestfit_spark.operators.stats import (
+    brier_decomposition,
+    cochran_armitage,
+    hll_distinct,
+)
+
+
+class TestHllDistinct:
+    def test_accuracy_within_sketch_error(self, spark):
+        n = 20_000
+        df = spark.range(n).select(
+            (F.col("id") * 7 + 13).alias("v")
+        )
+        (r,) = hll_distinct(df, "v", p=12).collect()
+        assert r.exact_distinct == n
+        # standard error 1.04/sqrt(4096) ~ 1.6%; allow 5%
+        assert r.rel_error < 0.05
+        assert r.hll_estimate == pytest.approx(n, rel=0.05)
+
+    def test_partitioning_invariance(self, spark):
+        df = spark.range(5000).select(F.col("id").alias("v"))
+        a = hll_distinct(df, "v").collect()
+        b = hll_distinct(df.repartition(17), "v").collect()
+        assert a == b
+
+    def test_duplicates_do_not_inflate(self, spark):
+        df = spark.range(50_000).select(
+            (F.col("id") % 100).alias("v")
+        )
+        (r,) = hll_distinct(df, "v", p=12).collect()
+        assert r.exact_distinct == 100
+        # linear-counting regime: tiny cardinality is near-exact
+        assert abs(r.hll_estimate - 100) < 3
+
+    def test_validation(self, spark):
+        df = spark.range(5).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError):
+            hll_distinct(df, "v", p=2)
+
+
+class TestBrierDecomposition:
+    def test_identity_and_numpy_replica(self, spark):
+        rng = np.random.default_rng(4)
+        p = np.round(rng.uniform(0, 1, 2000), 3)
+        y = (rng.uniform(0, 1, 2000) < p).astype(float)  # calibrated
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(p, y)],
+            "p double, y double",
+        )
+        (r,) = brier_decomposition(df, "p", "y", bins=10).collect()
+        # identity
+        assert r.brier == pytest.approx(
+            r.reliability - r.resolution + r.uncertainty + r.within_bin,
+            abs=5e-6,
+        )
+        # numpy replica
+        bk = np.minimum((p * 10).astype(int), 9)
+        n = len(p)
+        brier = ((p - y) ** 2).mean()
+        ybar = y.mean()
+        rel = sum(
+            (bk == k).sum()
+            * (p[bk == k].mean() - y[bk == k].mean()) ** 2
+            for k in range(10)
+            if (bk == k).any()
+        ) / n
+        res = sum(
+            (bk == k).sum() * (y[bk == k].mean() - ybar) ** 2
+            for k in range(10)
+            if (bk == k).any()
+        ) / n
+        assert r.brier == pytest.approx(brier, abs=2e-6)
+        assert r.reliability == pytest.approx(rel, abs=2e-6)
+        assert r.resolution == pytest.approx(res, abs=2e-6)
+        assert r.uncertainty == pytest.approx(ybar * (1 - ybar), abs=2e-6)
+        # calibrated forecasts: tiny reliability
+        assert r.reliability < 0.01
+
+    def test_miscalibrated_forecast_flagged(self, spark):
+        # constant 0.9 forecast on a 10% rate: huge reliability
+        rows = [(0.9, 1.0 if i % 10 == 0 else 0.0) for i in range(1000)]
+        df = spark.createDataFrame(rows, "p double, y double")
+        (r,) = brier_decomposition(df, "p", "y").collect()
+        assert r.reliability > 0.5
+        assert r.resolution == 0.0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0.5, 1.0)], "p double, y double")
+        with pytest.raises(ValueError):
+            brier_decomposition(df, "p", "y", bins=1)
+
+
+class TestCochranArmitage:
+    def _df(self, spark, rates, n_per=500):
+        rng = random.Random(11)
+        rows = []
+        for g, rate in enumerate(rates, start=1):
+            for _ in range(n_per):
+                rows.append((g, 1 if rng.random() < rate else 0))
+        return spark.createDataFrame(rows, "g int, y int")
+
+    def test_planted_trend_detected(self, spark):
+        df = self._df(spark, [0.1, 0.2, 0.3, 0.4, 0.5])
+        (r,) = cochran_armitage(df, "g", "y").collect()
+        assert r.z > 5
+        assert r.chi2 == pytest.approx(r.z * r.z, abs=1e-4)
+        assert r.k_groups == 5
+
+    def test_no_trend_centered(self, spark):
+        df = self._df(spark, [0.3, 0.3, 0.3, 0.3])
+        (r,) = cochran_armitage(df, "g", "y").collect()
+        assert abs(r.z) < 3
+
+    def test_hand_computed(self, spark):
+        # groups 1,2 with n=(4,4), d=(1,3)
+        rows = [(1, 1), (1, 0), (1, 0), (1, 0),
+                (2, 1), (2, 1), (2, 1), (2, 0)]
+        df = spark.createDataFrame(rows, "g int, y int")
+        (r,) = cochran_armitage(df, "g", "y").collect()
+        n, d = 8, 4
+        pbar = 0.5
+        t = (1 * 1 + 2 * 3) - pbar * (1 * 4 + 2 * 4)
+        var = pbar * 0.5 * ((1 * 4 + 4 * 4) - (1 * 4 + 2 * 4) ** 2 / 8)
+        assert r.z == round(t / math.sqrt(var), 6)
+
+    def test_degenerate_null(self, spark):
+        df = spark.createDataFrame([(1, 1), (1, 0)], "g int, y int")
+        (r,) = cochran_armitage(df, "g", "y").collect()
+        assert r.z is None  # single group -> zero score variance
+
+
+class TestSilhouette:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_separated_labels_score_high(self, spark):
+        rng = np.random.default_rng(8)
+        rows = []
+        centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0]}
+        i = 0
+        for lbl, c in centers.items():
+            for _ in range(30):
+                v = (np.array(c) + rng.normal(0, 0.1, 3)).tolist()
+                rows.append((i, v, lbl))
+                i += 1
+        out = {r.label: r for r in silhouette_score(self._emb(spark, rows)).collect()}
+        assert out[0].avg_silhouette > 0.9
+        assert out[1].avg_silhouette > 0.9
+        assert out[0].n_points == 30
+
+    def test_shuffled_labels_score_low(self, spark):
+        rng = np.random.default_rng(15)
+        rows = [
+            (i, rng.normal(0, 1, 4).tolist(), int(i % 3))
+            for i in range(90)
+        ]
+        out = silhouette_score(self._emb(spark, rows)).collect()
+        assert all(abs(r.avg_silhouette) < 0.3 for r in out)
+
+    def test_single_label_null(self, spark):
+        rows = [(i, [1.0, float(i)], 0) for i in range(5)]
+        out = silhouette_score(self._emb(spark, rows)).collect()
+        assert out[0].avg_silhouette is None
