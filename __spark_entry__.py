@@ -4998,6 +4998,46 @@ def _q_silhouette(spark, sf_dir):
     return silhouette_score(emb, "embedding", "label", "vec_id")
 
 
+def _q_cms_tokens(spark, sf_dir):
+    """White-box Count-Min sketch over document tokens (width 512 to
+    exercise collisions), self-audited against exact top-20 counts —
+    the oracle reproduces the sketch bit-for-bit; overcount >= 0 is
+    the CMS guarantee."""
+    from spark_bestfit_spark.operators.frequency import cms_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cms_token_counts(docs, "text", width=512, depth=4, k=20)
+
+
+def _q_weighted_sample_exact(spark, sf_dir):
+    """Efraimidis-Spirakis exact-k weighted sample of documents by
+    length — deterministic seeded-hash keys, one TakeOrdered top-k."""
+    from spark_bestfit_spark.operators.curation import (
+        weighted_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample_exact(docs, "n_chars", k=50, id_col="doc_id")
+    return out.select("doc_id", "n_chars", "sample_key")
+
+
+def _q_cuped(spark, sf_dir):
+    """CUPED-adjusted A/B test: discount as the pre-experiment
+    covariate for the price metric between return-flag arms — theta,
+    adjusted Welch t and the variance-reduction fraction from ONE
+    conditional-aggregate scan."""
+    from spark_bestfit_spark.operators.stats import cuped_ab_test
+
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "price_k", F.col("l_extendedprice") / 10000.0
+    )
+    return cuped_ab_test(
+        li, "l_returnflag", "price_k", "l_quantity", "A", "N"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5114,6 +5154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomposition": _q_brier,
         "cochran_armitage": _q_cochran_armitage,
         "silhouette": _q_silhouette,
+        "cms_tokens": _q_cms_tokens,
+        "weighted_sample_exact": _q_weighted_sample_exact,
+        "cuped": _q_cuped,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11360,5 +11403,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*)::BIGINT AS n_points,
                    round(avg(s), 6) AS avg_silhouette
             FROM s GROUP BY label
+        """,
+        # the twin rebuilds the identical md5 sketch, so the
+        # ESTIMATES (not just exact counts) must hash-match
+        "cms_tokens": r"""
+            WITH t AS (
+              SELECT w FROM (
+                SELECT unnest(regexp_split_to_array(
+                  lower(trim(text)), '\s+')) AS w
+                FROM documents
+              ) WHERE w != ''
+            ),
+            depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            cells AS (
+              SELECT w, d,
+                     (('0x' || substr(
+                        md5(d::VARCHAR || '|' || w), 1, 15)
+                      )::BIGINT) % 512 AS c
+              FROM t, depths
+            ),
+            sketch AS (
+              SELECT d, c, count(*)::BIGINT AS cnt
+              FROM cells GROUP BY d, c
+            ),
+            exact AS (
+              SELECT w, count(*)::BIGINT AS exact_count
+              FROM t GROUP BY w
+              ORDER BY exact_count DESC, w LIMIT 20
+            ),
+            probe AS (
+              SELECT e.w, e.exact_count, depths.d,
+                     (('0x' || substr(
+                        md5(depths.d::VARCHAR || '|' || e.w), 1, 15)
+                      )::BIGINT) % 512 AS c
+              FROM exact e, depths
+            ),
+            est AS (
+              SELECT w, exact_count, min(cnt)::BIGINT AS cms
+              FROM probe JOIN sketch USING (d, c)
+              GROUP BY w, exact_count
+            )
+            SELECT w AS token, exact_count,
+                   cms AS cms_estimate,
+                   (cms - exact_count)::BIGINT AS overcount
+            FROM est
+        """,
+        "weighted_sample_exact": """
+            SELECT doc_id, n_chars,
+                   round(
+                     ln((((doc_id + 2) * 2654435761) % 4294967296)
+                        / 4294967296.0)
+                     / n_chars::DOUBLE, 6) AS sample_key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+              AND (((doc_id + 2) * 2654435761) % 4294967296) > 0
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT 50
+        """,
+        "cuped": """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     l_extendedprice / 10000.0 AS y,
+                     l_quantity::DOUBLE AS x
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ),
+            agg AS (
+              SELECT
+                count(CASE WHEN g = 'A' THEN 1 END)::BIGINT AS n_c,
+                count(CASE WHEN g = 'N' THEN 1 END)::BIGINT AS n_t,
+                covar_pop(x, y) AS cxy,
+                var_pop(x) AS vx,
+                avg(x) AS xbar,
+                avg(CASE WHEN g = 'A' THEN y END) AS myc,
+                avg(CASE WHEN g = 'N' THEN y END) AS myt,
+                avg(CASE WHEN g = 'A' THEN x END) AS mxc,
+                avg(CASE WHEN g = 'N' THEN x END) AS mxt,
+                var_samp(CASE WHEN g = 'A' THEN y END) AS vyc,
+                var_samp(CASE WHEN g = 'N' THEN y END) AS vyt,
+                var_samp(CASE WHEN g = 'A' THEN x END) AS vxc,
+                var_samp(CASE WHEN g = 'N' THEN x END) AS vxt,
+                covar_samp(CASE WHEN g = 'A' THEN x END,
+                           CASE WHEN g = 'A' THEN y END) AS cc,
+                covar_samp(CASE WHEN g = 'N' THEN x END,
+                           CASE WHEN g = 'N' THEN y END) AS ct
+              FROM base
+            ),
+            th AS (
+              SELECT *,
+                     CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END
+                       AS theta
+              FROM agg
+            ),
+            adj AS (
+              SELECT *,
+                     myc - theta * (mxc - xbar) AS mc,
+                     myt - theta * (mxt - xbar) AS mt,
+                     vyc - 2.0 * theta * cc + theta * theta * vxc
+                       AS vc,
+                     vyt - 2.0 * theta * ct + theta * theta * vxt
+                       AS vt
+              FROM th
+            ),
+            fin AS (
+              SELECT *,
+                     vc / n_c AS ra, vt / n_t AS rb,
+                     (n_c >= 2 AND n_t >= 2
+                      AND (vc > 0 OR vt > 0)) AS ok
+              FROM adj
+            )
+            SELECT n_c, n_t,
+                   round(theta, 6) AS theta,
+                   round(mc, 6) AS mean_c_adj,
+                   round(mt, 6) AS mean_t_adj,
+                   round(mt - mc, 6) AS diff,
+                   CASE WHEN ok
+                     THEN round(sqrt(ra + rb), 6) END AS se,
+                   CASE WHEN ok
+                     THEN round((mt - mc) / sqrt(ra + rb), 6)
+                   END AS t_stat,
+                   CASE WHEN ok
+                     THEN round(
+                       pow(ra + rb, 2)
+                       / (pow(ra, 2) / (n_c - 1)
+                          + pow(rb, 2) / (n_t - 1)), 6)
+                   END AS dof,
+                   CASE WHEN vyc + vyt > 0
+                     THEN round(1.0 - (vc + vt) / (vyc + vyt), 6)
+                   END AS var_reduction
+            FROM fin
         """,
     }

@@ -1273,3 +1273,42 @@ def rebalance_classes(
         )
         .drop("_keep_rate")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 2,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement with an EXACT sample
+    size — Efraimidis-Spirakis A-Res (Inf. Proc. Letters 2006): give
+    each row the key ``ln(u) / w`` (u seeded-hash uniform, w the
+    weight) and keep the k LARGEST keys; the result is distributed
+    exactly as sequential weighted draws without replacement. The
+    companion to :func:`weighted_sample` (Bernoulli thinning, exact
+    only in expectation): quota pipelines ("exactly 1M docs,
+    quality-weighted") need the guaranteed count.
+
+    Deterministic on any engine/partitioning: u comes from the seeded
+    Knuth hash of the id (the :func:`temperature_sample` convention),
+    so reruns and the SQL oracle reproduce the same sample.
+    Execution: map-side key computation + ONE TakeOrdered top-k (no
+    global sort); rows with null/non-positive weight never sample.
+    Appends ``sample_key`` (rounded to 6).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # u = 0 (one id in 2^32) would need ln(0): Spark nulls it, DuckDB
+    # raises — exclude the measure-zero row explicitly on both sides
+    base = df.filter(
+        w.isNotNull() & (w > 0) & (_knuth_u(F.col(id_col), seed) > 0)
+    )
+    key = F.log(_knuth_u(F.col(id_col), seed)) / w
+    return (
+        base.withColumn("sample_key", F.round(key, 6))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(int(k))
+    )

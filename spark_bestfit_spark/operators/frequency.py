@@ -381,3 +381,107 @@ def association_rules(
     return out.orderBy(
         F.col("lift").desc(), "item_a", "item_b"
     ).limit(int(top_k))
+
+
+def cms_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 2048,
+    depth: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built white-box
+    in pure column algebra, self-audited against exact counts — the
+    bounded-memory frequency-estimate companion to the Misra-Gries
+    :func:`heavy_hitters` (MG answers "which items are frequent?",
+    CMS answers "how frequent is THIS item?" for any item, with a
+    one-sided error guarantee: estimates never undercount, and
+    overshoot is bounded by (e/width) * total with probability
+    1 - e^-depth):
+
+        cell(d, token) = hash_d(token) mod width (md5, salted by d);
+        sketch = count per (d, cell)  —  at most depth * width cells;
+        estimate(token) = min over d of sketch[d, hash_d(token)]
+
+    Execution: one map-side explode of tokens x depth rows into a
+    <= depth*width-key groupBy (map-combinable — this is WHY CMS
+    scales: cells merge by +). The exact top-k token counts ride
+    their own vocab-sized groupBy; probing joins each top token to
+    its depth cells and folds min. Like :func:`hll_distinct`, the
+    md5 hashing makes the ESTIMATE engine-reproducible, so the
+    oracle twin checks the sketch bit-for-bit.
+
+    Returns the top ``k`` exact tokens as ``(token, exact_count,
+    cms_estimate, overcount)`` ordered by (exact desc, token);
+    ``overcount = estimate - exact >= 0`` always (the CMS guarantee).
+    """
+    if width < 8 or depth < 1:
+        raise ValueError("width must be >= 8 and depth >= 1")
+    from spark_bestfit_spark.operators.textstats import _tokens
+
+    toks = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+    )
+
+    def _cell(d):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(d)), F.lit("|"), F.col("_w"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+
+    rows = toks.select(
+        "_w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("_d"), _cell(d).alias("_c")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_dc"),
+    ).select("_w", "_dc._d", "_dc._c")
+    sketch = rows.groupBy("_d", "_c").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    exact = (
+        toks.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("_w"))
+        .limit(int(k))
+    )
+    probes = exact.select(
+        "_w",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("_d"), _cell(d).alias("_c")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_dc"),
+    ).select("_w", "exact_count", "_dc._d", "_dc._c")
+    est = (
+        probes.join(sketch, ["_d", "_c"], "inner")
+        .groupBy("_w", "exact_count")
+        .agg(F.min("_cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("_w").alias("token"),
+        F.col("exact_count").cast("long"),
+        F.col("cms_estimate").cast("long"),
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overcount"),
+    )

@@ -4536,3 +4536,111 @@ def cochran_armitage(
         F.round(z, 6).alias("z"),
         F.round(F.when(var > 0, t * t / var), 6).alias("chi2"),
     )
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control,
+    treatment,
+) -> DataFrame:
+    """CUPED-adjusted A/B comparison (Deng, Xu, Kohavi & Walker,
+    WSDM 2013) — variance reduction with a pre-experiment covariate:
+    replace the metric with ``y* = y - theta (x - xbar)`` where
+    ``theta = cov(x, y) / var(x)`` (pooled across both arms; the
+    covariate predates assignment, so the adjustment cannot bias the
+    diff), then run the Welch comparison of :func:`ab_test` on y*.
+    Experiments whose metric is noisy but sticky per user routinely
+    need 2-5x less traffic after CUPED — this is the standard trick
+    of every large experimentation platform.
+
+    ONE scan, ONE map-side-combinable conditional aggregation: theta,
+    both arms' adjusted means AND adjusted variances all come out of
+    per-arm raw moments (sum y, y^2, x, x^2, xy) — the adjusted
+    variance is ``var(y) - 2 theta cov(x,y) + theta^2 var(x)``, no
+    second pass over the adjusted column. Degenerate covariance
+    (var(x) = 0) falls back to theta = 0, reproducing plain
+    :func:`ab_test` numbers.
+
+    Returns one row: ``(n_c, n_t, theta, mean_c_adj, mean_t_adj,
+    diff, se, t_stat, dof, var_reduction)`` rounded to 6 —
+    ``var_reduction`` is 1 - (adjusted / raw pooled variance), the
+    fraction of noise the covariate removed.
+    """
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    is_c = F.col(variant_col) == F.lit(control)
+    is_t = F.col(variant_col) == F.lit(treatment)
+    base = df.filter(
+        (is_c | is_t) & y.isNotNull() & x.isNotNull()
+    )
+    agg = base.agg(
+        F.count(F.when(is_c, 1)).cast("long").alias("n_c"),
+        F.count(F.when(is_t, 1)).cast("long").alias("n_t"),
+        # pooled moments for theta
+        F.covar_pop(x, y).alias("_cxy"),
+        F.var_pop(x).alias("_vx"),
+        F.avg(x).alias("_xbar"),
+        # per-arm moments
+        F.avg(F.when(is_c, y)).alias("_myc"),
+        F.avg(F.when(is_t, y)).alias("_myt"),
+        F.avg(F.when(is_c, x)).alias("_mxc"),
+        F.avg(F.when(is_t, x)).alias("_mxt"),
+        F.var_samp(F.when(is_c, y)).alias("_vyc"),
+        F.var_samp(F.when(is_t, y)).alias("_vyt"),
+        F.var_samp(F.when(is_c, x)).alias("_vxc"),
+        F.var_samp(F.when(is_t, x)).alias("_vxt"),
+        F.covar_samp(
+            F.when(is_c, x), F.when(is_c, y)
+        ).alias("_cc"),
+        F.covar_samp(
+            F.when(is_t, x), F.when(is_t, y)
+        ).alias("_ct"),
+    )
+    theta = F.when(
+        F.col("_vx") > 0, F.col("_cxy") / F.col("_vx")
+    ).otherwise(F.lit(0.0))
+    staged = agg.withColumn("_theta", theta)
+    th = F.col("_theta")
+    mc = F.col("_myc") - th * (F.col("_mxc") - F.col("_xbar"))
+    mt = F.col("_myt") - th * (F.col("_mxt") - F.col("_xbar"))
+    vc = (
+        F.col("_vyc")
+        - F.lit(2.0) * th * F.col("_cc")
+        + th * th * F.col("_vxc")
+    )
+    vt = (
+        F.col("_vyt")
+        - F.lit(2.0) * th * F.col("_ct")
+        + th * th * F.col("_vxt")
+    )
+    ra = vc / F.col("n_c")
+    rb = vt / F.col("n_t")
+    se = F.sqrt(ra + rb)
+    dof = F.pow(ra + rb, 2) / (
+        F.pow(ra, 2) / (F.col("n_c") - 1)
+        + F.pow(rb, 2) / (F.col("n_t") - 1)
+    )
+    diff = mt - mc
+    raw = F.col("_vyc") + F.col("_vyt")
+    ok = (
+        (F.col("n_c") >= 2)
+        & (F.col("n_t") >= 2)
+        & ((vc > 0) | (vt > 0))
+    )
+    return staged.select(
+        "n_c",
+        "n_t",
+        F.round(th, 6).alias("theta"),
+        F.round(mc, 6).alias("mean_c_adj"),
+        F.round(mt, 6).alias("mean_t_adj"),
+        F.round(diff, 6).alias("diff"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, diff / se), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 6).alias("dof"),
+        F.round(
+            F.when(raw > 0, F.lit(1.0) - (vc + vt) / raw), 6
+        ).alias("var_reduction"),
+    )
