@@ -5038,6 +5038,38 @@ def _q_cuped(spark, sf_dir):
     )
 
 
+def _q_jw_linkage_blocked(spark, sf_dir):
+    """Blocked Jaro-Winkler join (first-token blocks) — the
+    production linkage shape: exact within blocks; the oracle is the
+    within-block cross product, so the hash proves block-exactness."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.linkage import jaro_winkler_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keys = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("k"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        .getItem(0)
+        .alias("blk"),
+    )
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("k").alias("ka"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("k").alias("kb"),
+        F.col("blk").alias("blk_b"),
+    )
+    return jaro_winkler_join(
+        a, b, "ka", "kb", "doc_a", "doc_b", 0.85,
+        left_block="blk_a", right_block="blk_b",
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5157,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": _q_cms_tokens,
         "weighted_sample_exact": _q_weighted_sample_exact,
         "cuped": _q_cuped,
+        "jw_linkage_blocked": _q_jw_linkage_blocked,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11534,5 +11567,19 @@ def oracle_sql() -> dict[str, str]:
                      THEN round(1.0 - (vc + vt) / (vyc + vyt), 6)
                    END AS var_reduction
             FROM fin
+        """,
+        "jw_linkage_blocked": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     lower(trim(substr(text, 1, 40))) AS k,
+                     (regexp_split_to_array(
+                        lower(trim(text)), '\s+'))[1] AS blk
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+            FROM d a JOIN d b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE jaro_winkler_similarity(a.k, b.k) >= 0.85
         """,
     }

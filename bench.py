@@ -48,7 +48,7 @@ q_neardup_clusters_sf1, q_pack_sequences_sf1, q_tfidf_neardup_sf1,
 q_semantic_dedup_sf1, q_ks_by_group_sf1, q_heavy_hitters_sf1,
 q_quantile_rank_sf1, q_duplicate_spans_sf1, q_fuzzy_decontam_sf1,
 q_set_similarity_sf1, q_fuzzy_join_sf1,
-q_resolve_entities_sf1. The histogram-based fit design predicts near-flat
+q_resolve_entities_sf1, q_jw_linkage_sf1. The histogram-based fit design predicts near-flat
 fit time (O(N) scan + O(C·D·B) driver/fan-out work) and linear
 histogram/dedup/K-S/drift scans.
 """
@@ -554,6 +554,76 @@ def main() -> None:
         rounds=3,
     )
 
+    # ---- round-8 additions: white-box sketches, tokenizer stats,
+    # Jaro-Winkler linkage, PR threshold sweep. One line per NEW plan
+    # shape (sketch register/cell folds, the bigram-LM join tree, the
+    # char-prefix candidate join + Arrow verify, the descending
+    # prefix-sum spine) so drift in any of them shows as wall time.
+    from spark_bestfit_spark.operators.frequency import cms_token_counts
+    from spark_bestfit_spark.operators.linkage import jaro_winkler_join
+    from spark_bestfit_spark.operators.stats import (
+        hll_distinct,
+        pr_metrics,
+    )
+    from spark_bestfit_spark.operators.textstats import kneser_ney_bigrams
+
+    bench(
+        "q_hll_distinct",
+        lambda: hll_distinct(lineitem, "l_orderkey").first(),
+        rounds=2,
+    )
+    bench(
+        "q_cms_tokens",
+        lambda: cms_token_counts(docs, "text", width=2048).count(),
+        rounds=2,
+    )
+    bench(
+        "q_kneser_ney",
+        lambda: kneser_ney_bigrams(docs, "text", k=20).count(),
+        rounds=2,
+    )
+    li_y = lineitem.withColumn(
+        "_y", (F.col("l_returnflag") == "R").cast("int")
+    )
+    bench(
+        "q_pr_metrics",
+        lambda: pr_metrics(li_y, "l_extendedprice", "_y").first(),
+        rounds=2,
+    )
+    # blocked mode (two-token blocks): the production shape — the
+    # lossless path is for block-sized inputs by design (the operator
+    # docstring has the density measurement: ~16% of ALL 40-char-head
+    # pairs genuinely satisfy the multiset bound, so candidates are
+    # dense and only explicit blocking bounds the join)
+    jw_keys = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("_k"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 2
+            ),
+        ).alias("_blk"),
+    )
+    jwa = jw_keys.select(
+        F.col("doc_id").alias("jw_a"),
+        F.col("_k").alias("ka"),
+        F.col("_blk").alias("blk_a"),
+    )
+    jwb = jw_keys.select(
+        F.col("doc_id").alias("jw_b"),
+        F.col("_k").alias("kb"),
+        F.col("_blk").alias("blk_b"),
+    )
+    bench(
+        "q_jw_linkage",
+        lambda: jaro_winkler_join(
+            jwa, jwb, "ka", "kb", "jw_a", "jw_b", 0.9,
+            left_block="blk_a", right_block="blk_b",
+        ).filter("jw_a < jw_b").count(),
+        rounds=1,
+    )
+
     # round-7 families: event analytics (one entity-hash exchange),
     # Misra-Gries-bounded exact heavy hitters (map-only sketch), and
     # the sort-free exact global percent_rank (prefix-sum spine) —
@@ -637,7 +707,7 @@ def main() -> None:
             "q_heavy_hitters_sf1", "q_quantile_rank_sf1",
             "q_duplicate_spans_sf1", "q_fuzzy_decontam_sf1",
             "q_set_similarity_sf1", "q_fuzzy_join_sf1",
-            "q_resolve_entities_sf1"} & only
+            "q_resolve_entities_sf1", "q_jw_linkage_sf1"} & only
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
@@ -864,6 +934,40 @@ def main() -> None:
             lambda: semantic_dedup(
                 emb1, threshold=0.99, n_clusters=64, method="local"
             ).filter("is_kept").count(),
+            rounds=1,
+        )
+        # blocked JW linkage at 10x: replica word-suffixes multiply the
+        # block vocabulary ~10x while block sizes stay flat, so the
+        # within-block quadratic term is constant and the line should
+        # scale ~linearly vs the sf0.1 anchor
+        jw1 = docs1.select(
+            "doc_id",
+            F.substring("text", 1, 40).alias("_k"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    1,
+                    2,
+                ),
+            ).alias("_blk"),
+        )
+        jw1a = jw1.select(
+            F.col("doc_id").alias("jw_a"),
+            F.col("_k").alias("ka"),
+            F.col("_blk").alias("blk_a"),
+        )
+        jw1b = jw1.select(
+            F.col("doc_id").alias("jw_b"),
+            F.col("_k").alias("kb"),
+            F.col("_blk").alias("blk_b"),
+        )
+        bench(
+            "q_jw_linkage_sf1",
+            lambda: jaro_winkler_join(
+                jw1a, jw1b, "ka", "kb", "jw_a", "jw_b", 0.9,
+                left_block="blk_a", right_block="blk_b",
+            ).filter("jw_a < jw_b").count(),
             rounds=1,
         )
         k1a = li1.filter(f"{_split} = 0")

@@ -490,3 +490,51 @@ class TestJaroWinklerJoin:
             .collect()
         }
         assert got == {(3, 4)}
+
+    def test_blocked_mode_exact_within_blocks(self, spark):
+        rng = random.Random(41)
+        rows = [
+            (
+                i,
+                "".join(rng.choice("abcd") for _ in range(rng.randint(4, 10))),
+                rng.choice(["x", "y", "z"]),
+            )
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        a = df.select(
+            F.col("id").alias("id_l"),
+            F.col("name").alias("na"),
+            F.col("blk").alias("ba"),
+        )
+        b = df.select(
+            F.col("id").alias("id_r"),
+            F.col("name").alias("nb"),
+            F.col("blk").alias("bb"),
+        )
+        got = {
+            (r.id_l, r.id_r): r.jw
+            for r in jaro_winkler_join(
+                a, b, "na", "nb", "id_l", "id_r", 0.85,
+                left_block="ba", right_block="bb",
+            )
+            .filter(F.col("id_l") < F.col("id_r"))
+            .collect()
+        }
+        want = {}
+        for i, na, ba in rows:
+            for j, nb, bb in rows:
+                if i < j and ba == bb:
+                    s = round(_jaro_winkler(na, nb), 6)
+                    if s >= 0.85:
+                        want[(i, j)] = s
+        assert got == want
+
+    def test_blocked_mode_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", "b")], "id long, name string, blk string"
+        )
+        with pytest.raises(ValueError):
+            jaro_winkler_join(
+                df, df, "name", "name", "id", "id", 0.9, left_block="blk"
+            )
