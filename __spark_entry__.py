@@ -5070,6 +5070,52 @@ def _q_jw_linkage_blocked(spark, sf_dir):
     ).filter(F.col("doc_a") < F.col("doc_b"))
 
 
+def _q_validate_lineitem(spark, sf_dir):
+    """Declarative expectation suite over lineitem — six rules folded
+    into ONE conditional-aggregate scan; null rule results count as
+    violations (quarantine-side convention)."""
+    from spark_bestfit_spark.operators.quality import validate_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return validate_rules(
+        li,
+        {
+            "qty_range": "l_quantity BETWEEN 1 AND 50",
+            "price_positive": "l_extendedprice > 0",
+            "discount_range": "l_discount BETWEEN 0 AND 0.1",
+            "tax_nonneg": "l_tax >= 0",
+            "flag_domain": "l_returnflag IN ('A', 'N', 'R')",
+            "linenumber_low": "l_linenumber <= 4",
+        },
+    )
+
+
+def _q_referential_integrity(spark, sf_dir):
+    """Foreign-key audit lineitem.l_orderkey -> orders.o_orderkey:
+    orphan count + rate from one aggregate over a distinct-parent
+    join."""
+    from spark_bestfit_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return referential_integrity(li, o, "l_orderkey", "o_orderkey")
+
+
+def _q_calendar_gaps(spark, sf_dir):
+    """Per-event-type daily completeness audit — calendar buckets with
+    ZERO events between each type's first and last activity."""
+    from spark_bestfit_spark.operators.quality import calendar_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # entity granularity chosen so real holes exist at sf0.01
+    # (user_id % 97: 146 gap days) — a 0-row audit would be a
+    # trivially-green hash
+    ev = ev.withColumn("bucket_key", (ev.user_id % 97).cast("int"))
+    return calendar_gaps(ev, "ts", "bucket_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5190,6 +5236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_exact": _q_weighted_sample_exact,
         "cuped": _q_cuped,
         "jw_linkage_blocked": _q_jw_linkage_blocked,
+        "validate_lineitem": _q_validate_lineitem,
+        "referential_integrity": _q_referential_integrity,
+        "calendar_gaps": _q_calendar_gaps,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11581,5 +11630,87 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE jaro_winkler_similarity(a.k, b.k) >= 0.85
+        """,
+        "validate_lineitem": """
+            WITH agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN coalesce(
+                  l_quantity BETWEEN 1 AND 50, FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_qty,
+                sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_price,
+                sum(CASE WHEN coalesce(
+                  l_discount BETWEEN 0 AND 0.1, FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_disc,
+                sum(CASE WHEN coalesce(l_tax >= 0, FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_tax,
+                sum(CASE WHEN coalesce(
+                  l_returnflag IN ('A', 'N', 'R'), FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_flag,
+                sum(CASE WHEN coalesce(l_linenumber <= 4, FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_ln
+              FROM lineitem
+            ),
+            rules AS (
+              SELECT 'qty_range' AS rule, v_qty AS v, n FROM agg
+              UNION ALL
+              SELECT 'price_positive', v_price, n FROM agg
+              UNION ALL
+              SELECT 'discount_range', v_disc, n FROM agg
+              UNION ALL
+              SELECT 'tax_nonneg', v_tax, n FROM agg
+              UNION ALL
+              SELECT 'flag_domain', v_flag, n FROM agg
+              UNION ALL
+              SELECT 'linenumber_low', v_ln, n FROM agg
+            )
+            SELECT rule, n AS n_rows, v AS n_violations,
+                   round(CASE WHEN n > 0
+                     THEN v / n::DOUBLE ELSE 0.0 END, 6)
+                     AS violation_rate,
+                   v = 0 AS passed
+            FROM rules ORDER BY rule
+        """,
+        "referential_integrity": """
+            WITH pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            j AS (
+              SELECT l_orderkey AS ck, pk.k AS hit
+              FROM lineitem LEFT JOIN pk ON l_orderkey = pk.k
+            )
+            SELECT 'l_orderkey->o_orderkey' AS relationship,
+                   count(*)::BIGINT AS n_child,
+                   sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_null_keys,
+                   sum(CASE WHEN ck IS NOT NULL AND hit IS NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+                   round(sum(CASE WHEN ck IS NOT NULL AND hit IS NULL
+                             THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS orphan_rate,
+                   sum(CASE WHEN ck IS NOT NULL AND hit IS NULL
+                       THEN 1 ELSE 0 END) = 0 AS passed
+            FROM j
+        """,
+        "calendar_gaps": """
+            WITH seen AS (
+              SELECT (user_id % 97)::INT AS bucket_key,
+                     date_trunc('day', ts) AS b
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            spans AS (
+              SELECT bucket_key, min(b) AS lo, max(b) AS hi
+              FROM seen GROUP BY bucket_key
+            ),
+            expected AS (
+              SELECT bucket_key,
+                     unnest(generate_series(
+                       lo, hi, INTERVAL 1 DAY)) AS b
+              FROM spans
+            )
+            SELECT e.bucket_key,
+                   strftime(e.b, '%Y-%m-%d') AS gap_bucket
+            FROM expected e LEFT JOIN seen s
+              ON e.bucket_key = s.bucket_key AND e.b = s.b
+            WHERE s.b IS NULL
         """,
     }
