@@ -457,6 +457,10 @@ def cms_token_counts(
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("_w"))
         .limit(int(k))
+        # two consumers (probe fan-out + the output join) would each
+        # re-run the exact top-k over the corpus; the k-row checkpoint
+        # caps the final plan at two corpus scans (sketch + exact)
+        .localCheckpoint(eager=False)
     )
     probes = exact.select(
         "_w",

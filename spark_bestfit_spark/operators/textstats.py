@@ -1380,6 +1380,11 @@ def kneser_ney_bigrams(
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        # four consumers (context totals, continuation counts, the
+        # type total, the final join) would each re-scan the corpus
+        # and re-run the bigram explode; checkpointing the vocab-sized
+        # relation makes the corpus a ONE-scan input (plan-asserted)
+        .localCheckpoint(eager=False)
     )
     ctx = big.groupBy("w1").agg(
         F.sum("c12").alias("_c1"),

@@ -483,3 +483,117 @@ class TestRound7PlanShapes:
         # broadcast the small side at this SF, but the join keys must
         # include the piece column (content-keyed, not length-only)
         assert "_piece" in plan
+
+
+class TestRound8Plans:
+    def test_hll_register_fold_is_map_combinable(self, spark):
+        from spark_bestfit_spark.operators.stats import hll_distinct
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        plan = _physical(hll_distinct(li, "l_orderkey"))
+        # sketch path: partial aggregate below the exchange (registers
+        # merge by max map-side), never a sort or window
+        assert "SortMergeJoin" not in plan
+        assert "Window" not in plan
+        assert plan.count("Exchange") <= 6  # register fold + exact agg + 1-row joins
+
+    def test_cms_cells_merge_map_side(self, spark):
+        from spark_bestfit_spark.operators.frequency import (
+            cms_token_counts,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _physical(cms_token_counts(docs, "text", width=64))
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_kneser_ney_has_no_position_self_join(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kneser_ney_bigrams,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _physical(kneser_ney_bigrams(docs, "text", k=5))
+        # bigrams come from one map-side transform/explode into a
+        # checkpointed vocab-sized relation: the four consumers read
+        # the checkpoint (Scan ExistingRDD), so the corpus parquet is
+        # scanned AT MOST once in the final plan — never once per
+        # consumer (the pre-checkpoint plan scanned it 4x)
+        assert plan.count("Scan parquet") <= 1
+        assert "Scan ExistingRDD" in plan
+
+    def test_pr_metrics_never_single_partition_sorts_data(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.stats import pr_metrics
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+            "y", (F.col("l_returnflag") == "R").cast("int")
+        )
+        plan = _physical(pr_metrics(li, "l_extendedprice", "y"))
+        # the sweep rides bucket-hash windows + TakeOrdered(1);
+        # a global ORDER BY of the score relation would show as a
+        # rangepartitioning Sort
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_jw_blocked_is_hash_join_never_cartesian(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.linkage import (
+            jaro_winkler_join,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        keys = docs.select(
+            "doc_id",
+            F.substring("text", 1, 20).alias("k"),
+            F.substring("text", 1, 2).alias("blk"),
+        )
+        a = keys.select(
+            F.col("doc_id").alias("ia"),
+            F.col("k").alias("ka"),
+            F.col("blk").alias("ba"),
+        )
+        b = keys.select(
+            F.col("doc_id").alias("ib"),
+            F.col("k").alias("kb"),
+            F.col("blk").alias("bb"),
+        )
+        plan = _physical(
+            jaro_winkler_join(
+                a, b, "ka", "kb", "ia", "ib", 0.9,
+                left_block="ba", right_block="bb",
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_cuped_is_single_aggregate_scan(self, spark):
+        from spark_bestfit_spark.operators.stats import cuped_ab_test
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        plan = _physical(
+            cuped_ab_test(
+                li, "l_returnflag", "l_extendedprice", "l_quantity",
+                "A", "N",
+            )
+        )
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan
+
+    def test_scd2_snapshot_filter_is_map_side(self, spark):
+        import datetime
+
+        from spark_bestfit_spark.operators.asof import (
+            scd2_history,
+            scd2_snapshot,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        hist = scd2_history(ev, "user_id", "ts", tiebreak_col="event_id")
+        plan = _physical(
+            scd2_snapshot(hist, datetime.datetime(2024, 1, 15))
+        )
+        # exactly the history's one window exchange — the snapshot
+        # itself adds no shuffle
+        assert plan.count("Exchange") == 1
