@@ -5116,6 +5116,17 @@ def _q_calendar_gaps(spark, sf_dir):
     return calendar_gaps(ev, "ts", "bucket_key")
 
 
+def _q_holt_backtest(spark, sf_dir):
+    """Holt linear-trend one-step backtest vs lag-1 naive per event
+    type — the sequential recursion confined to an Arrow batch over
+    the bounded daily series; the oracle replays it as a recursive
+    CTE, so the trajectories must be engine-identical."""
+    from spark_bestfit_spark.operators.events import holt_backtest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return holt_backtest(ev, "ts", "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5239,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem": _q_validate_lineitem,
         "referential_integrity": _q_referential_integrity,
         "calendar_gaps": _q_calendar_gaps,
+        "holt_backtest": _q_holt_backtest,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11712,5 +11724,44 @@ def oracle_sql() -> dict[str, str]:
             FROM expected e LEFT JOIN seen s
               ON e.bucket_key = s.bucket_key AND e.b = s.b
             WHERE s.b IS NULL
+        """,
+        "holt_backtest": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS d,
+                     round(avg(value), 6) AS v
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            seq AS (
+              SELECT g, v,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY d
+                     ) AS rn
+              FROM daily
+            ),
+            state AS (
+              SELECT g, rn, v, v AS l, 0.0::DOUBLE AS b,
+                     NULL::DOUBLE AS fc, NULL::DOUBLE AS prev
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT d.g, d.rn, d.v,
+                     0.5 * d.v + (1 - 0.5) * (s.l + s.b) AS l,
+                     0.3 * ((0.5 * d.v + (1 - 0.5) * (s.l + s.b))
+                            - s.l)
+                       + (1 - 0.3) * s.b AS b,
+                     s.l + s.b AS fc,
+                     s.v AS prev
+              FROM state s JOIN seq d
+                ON d.g = s.g AND d.rn = s.rn + 1
+            )
+            SELECT g AS "group", count(fc)::BIGINT AS n_evals,
+                   round(avg(abs(v - fc)), 6) AS mae,
+                   round(avg(abs(v - prev)), 6) AS mae_naive1,
+                   CASE WHEN avg(abs(v - prev)) > 0
+                     THEN round(1.0 - avg(abs(v - fc))
+                                / avg(abs(v - prev)), 6)
+                   END AS skill
+            FROM state WHERE fc IS NOT NULL GROUP BY g
         """,
     }

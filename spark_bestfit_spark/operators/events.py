@@ -1173,3 +1173,86 @@ def pettitt_test(
         )
 
     return daily.groupBy("_g").applyInPandas(_kernel, schema)
+
+
+def holt_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str | None = None,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    bucket: str = "day",
+) -> DataFrame:
+    """One-step-ahead backtest of Holt's linear-trend smoother (double
+    exponential smoothing) against the lag-1 naive — the trend rung of
+    the forecasting-sanity ladder above :func:`ewma_backtest` (EWMA
+    assumes a level; Holt tracks level + slope, so drifting metrics
+    stop lagging):
+
+        l_t = alpha v_t + (1 - alpha)(l_{t-1} + b_{t-1})
+        b_t = beta (l_t - l_{t-1}) + (1 - beta) b_{t-1}
+        forecast_t = l_{t-1} + b_{t-1}     (init l_1 = v_1, b_1 = 0)
+
+    The genuinely-sequential recursion runs in an Arrow batch per
+    group over the calendar-bounded bucket series (the
+    :func:`mann_kendall` boundedness argument); data-sized work is
+    ONE (group, bucket) groupBy. Bucket means round to 6 first and
+    the recursion is written with the exact operation order of the
+    oracle's recursive CTE, so the trajectories are engine-identical.
+
+    Returns per group: ``(group, n_evals, mae, mae_naive1, skill)``
+    rounded to 6 — ``skill = 1 - mae / mae_naive1`` (> 0: modeling
+    the trend beats "yesterday again"); null for series shorter than
+    2 buckets or a zero-error naive.
+    """
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1:
+        raise ValueError("alpha in (0, 1], beta in [0, 1] required")
+    import numpy as np
+    import pandas as pd
+
+    gcol = F.col(group_col) if group_col else F.lit("all")
+    daily = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(
+            gcol.alias("_g"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_d"),
+        )
+        .agg(F.round(F.avg(value_col), 6).alias("_v"))
+    )
+    a, bt = float(alpha), float(beta)
+    schema = (
+        "group string, n_evals long, mae double, "
+        "mae_naive1 double, skill double"
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_d")
+        v = pdf["_v"].to_numpy(dtype=np.float64)
+        g = str(pdf["_g"].iloc[0])
+        cols = ["group", "n_evals", "mae", "mae_naive1", "skill"]
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame([[g, 0, None, None, None]], columns=cols)
+        l, b = v[0], 0.0
+        err = 0.0
+        err_naive = 0.0
+        for t in range(1, n):
+            fc = l + b
+            err += abs(v[t] - fc)
+            err_naive += abs(v[t] - v[t - 1])
+            l_new = a * v[t] + (1 - a) * (l + b)
+            b = bt * (l_new - l) + (1 - bt) * b
+            l = l_new
+        n_ev = n - 1
+        mae = err / n_ev
+        mae_n = err_naive / n_ev
+        skill = round(1.0 - mae / mae_n, 6) if mae_n > 0 else None
+        return pd.DataFrame(
+            [[g, n_ev, round(mae, 6), round(mae_n, 6), skill]],
+            columns=cols,
+        )
+
+    return daily.groupBy("_g").applyInPandas(_kernel, schema)

@@ -252,3 +252,62 @@ class TestMannKendall:
         (row,) = mann_kendall(df, "ts", "value", "event_type").collect()
         assert row.n_buckets == 6
         assert row.sen_slope == 1.0
+
+
+from spark_bestfit_spark.operators.events import holt_backtest  # noqa: E402
+
+
+def _holt_brute(values, a=0.5, bt=0.3):
+    v = [float(x) for x in values]
+    l, b = v[0], 0.0
+    err = err_n = 0.0
+    for t in range(1, len(v)):
+        err += abs(v[t] - (l + b))
+        err_n += abs(v[t] - v[t - 1])
+        l_new = a * v[t] + (1 - a) * (l + b)
+        b = bt * (l_new - l) + (1 - bt) * b
+        l = l_new
+    n = len(v) - 1
+    mae, mae_n = err / n, err_n / n
+    skill = round(1.0 - mae / mae_n, 6) if mae_n > 0 else None
+    return n, round(mae, 6), round(mae_n, 6), skill
+
+
+class TestHoltBacktest:
+    def _daily(self, spark, values, g="t"):
+        base = datetime.datetime(2024, 2, 1)
+        rows = [
+            (base + datetime.timedelta(days=i), float(v), g)
+            for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(
+            rows, "ts timestamp, value double, event_type string"
+        )
+
+    def test_trend_beats_naive(self, spark):
+        df = self._daily(spark, [2.0 * i for i in range(30)])
+        (r,) = holt_backtest(df, "ts", "value", "event_type").collect()
+        assert r.skill > 0.3  # trend model crushes "yesterday again"
+        assert r.n_evals == 29
+
+    def test_matches_reference_recursion(self, spark):
+        rng = random.Random(19)
+        values = [round(rng.uniform(0, 20), 3) for _ in range(40)]
+        df = self._daily(spark, values)
+        (r,) = holt_backtest(df, "ts", "value", "event_type").collect()
+        n, mae, mae_n, skill = _holt_brute(values)
+        assert (r.n_evals, r.mae, r.mae_naive1, r.skill) == (
+            n, mae, mae_n, skill,
+        )
+
+    def test_constant_series_null_skill(self, spark):
+        df = self._daily(spark, [7.0] * 10)
+        (r,) = holt_backtest(df, "ts", "value", "event_type").collect()
+        assert r.mae == 0.0 and r.skill is None
+
+    def test_short_series_and_validation(self, spark):
+        df = self._daily(spark, [1.0])
+        (r,) = holt_backtest(df, "ts", "value", "event_type").collect()
+        assert r.n_evals == 0 and r.mae is None
+        with pytest.raises(ValueError):
+            holt_backtest(df, "ts", "value", alpha=0.0)
