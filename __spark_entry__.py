@@ -5127,6 +5127,45 @@ def _q_holt_backtest(spark, sf_dir):
     return holt_backtest(ev, "ts", "value", "event_type")
 
 
+def _q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size for price between A and N return
+    flags — the magnitude companion to mann_whitney on the same
+    sort-free rank-sum spine."""
+    from spark_bestfit_spark.operators.stats import cliffs_delta
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cliffs_delta(li, "l_extendedprice", "l_returnflag", "A", "N")
+
+
+def _q_proportions_ztest(spark, sf_dir):
+    """Two-proportion z-test + Wilson CIs for the return rate between
+    open and finished lineitems — one conditional-aggregate scan."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import proportions_ztest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "r", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return proportions_ztest(li, "l_linestatus", "r", "O", "F")
+
+
+def _q_qini(spark, sf_dir):
+    """Qini/uplift curve: price-ranked deciles, discount>0.05 as the
+    treatment, returns as the outcome — per-decile uplift + cumulative
+    Qini on the sort-free rank spine."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import qini_curve
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("treated", (F.col("l_discount") > 0.05).cast("int"))
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    return qini_curve(li, "l_extendedprice", "treated", "y", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5251,6 +5290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": _q_referential_integrity,
         "calendar_gaps": _q_calendar_gaps,
         "holt_backtest": _q_holt_backtest,
+        "cliffs_delta": _q_cliffs_delta,
+        "proportions_ztest": _q_proportions_ztest,
+        "qini": _q_qini,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11763,5 +11805,142 @@ def oracle_sql() -> dict[str, str]:
                                 / avg(abs(v - prev)), 6)
                    END AS skill
             FROM state WHERE fc IS NOT NULL GROUP BY g
+        """,
+        "cliffs_delta": """
+            WITH t AS (
+              SELECT l_extendedprice AS v,
+                     CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END
+                       AS ia,
+                     CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+                       AS ib
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            s AS (
+              SELECT v, sum(ia)::BIGINT AS da, sum(ib)::BIGINT AS db
+              FROM t GROUP BY v
+            ),
+            c AS (
+              SELECT da, db,
+                     coalesce(sum(db) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM s
+            ),
+            tot AS (
+              SELECT sum(ia)::BIGINT AS na, sum(ib)::BIGINT AS nb
+              FROM t
+            ),
+            agg AS (
+              SELECT sum(da * (below + 0.5e0 * db))::DOUBLE AS u
+              FROM c
+            ),
+            fin AS (
+              SELECT na, nb,
+                     round(2 * round(u / (na::DOUBLE * nb), 6) - 1,
+                           6) AS delta
+              FROM tot, agg
+            )
+            SELECT na AS n_a, nb AS n_b, delta,
+                   CASE WHEN delta IS NULL THEN NULL
+                        WHEN abs(delta) < 0.147 THEN 'negligible'
+                        WHEN abs(delta) < 0.33 THEN 'small'
+                        WHEN abs(delta) < 0.474 THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM fin
+        """,
+        "proportions_ztest": """
+            WITH agg AS (
+              SELECT
+                count(CASE WHEN l_linestatus = 'O' THEN 1 END)
+                  ::BIGINT AS n_a,
+                count(CASE WHEN l_linestatus = 'F' THEN 1 END)
+                  ::BIGINT AS n_b,
+                coalesce(sum(CASE WHEN l_linestatus = 'O'
+                  AND l_returnflag = 'R' THEN 1 ELSE 0 END), 0)
+                  ::BIGINT AS ka,
+                coalesce(sum(CASE WHEN l_linestatus = 'F'
+                  AND l_returnflag = 'R' THEN 1 ELSE 0 END), 0)
+                  ::BIGINT AS kb
+              FROM lineitem
+              WHERE l_linestatus IN ('O', 'F')
+            ),
+            d AS (
+              SELECT n_a, n_b,
+                     ka / n_a::DOUBLE AS pa, kb / n_b::DOUBLE AS pb,
+                     (ka + kb) / (n_a + n_b)::DOUBLE AS pool
+              FROM agg
+            ),
+            w AS (
+              SELECT *,
+                     pool * (1.0 - pool)
+                       * (1.0 / n_a + 1.0 / n_b) AS var,
+                     1.0 + (1.96 * 1.96) / n_a AS dena,
+                     1.0 + (1.96 * 1.96) / n_b AS denb,
+                     pa + (1.96 * 1.96) / (2.0 * n_a) AS ca,
+                     pb + (1.96 * 1.96) / (2.0 * n_b) AS cb,
+                     1.96 * sqrt(pa * (1.0 - pa) / n_a
+                       + (1.96 * 1.96) / (4.0 * n_a * n_a)) AS ha,
+                     1.96 * sqrt(pb * (1.0 - pb) / n_b
+                       + (1.96 * 1.96) / (4.0 * n_b * n_b)) AS hb
+              FROM d
+            )
+            SELECT n_a, n_b,
+                   round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+                   round(pa - pb, 6) AS diff,
+                   CASE WHEN var > 0
+                     THEN round((pa - pb) / sqrt(var), 6) END AS z,
+                   round((ca - ha) / dena, 6) AS a_lo,
+                   round((ca + ha) / dena, 6) AS a_hi,
+                   round((cb - hb) / denb, 6) AS b_lo,
+                   round((cb + hb) / denb, 6) AS b_hi
+            FROM w
+        """,
+        "qini": """
+            WITH base AS (
+              SELECT l_extendedprice AS s,
+                     CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+                       AS t,
+                     CASE WHEN l_returnflag = 'R'
+                       THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            ranked AS (
+              SELECT t, y,
+                     least(floor((1.0 - percent_rank()
+                       OVER (ORDER BY s)) * 10)::INT, 9) AS bin
+              FROM base
+            ),
+            per AS (
+              SELECT bin,
+                     sum(t)::BIGINT AS nt,
+                     (count(*) - sum(t))::BIGINT AS nc,
+                     coalesce(sum(CASE WHEN t = 1 THEN y END), 0.0)
+                       AS yt,
+                     coalesce(sum(CASE WHEN t = 0 THEN y END), 0.0)
+                       AS yc
+              FROM ranked GROUP BY bin
+            ),
+            cum AS (
+              SELECT *,
+                     sum(yt) OVER (ORDER BY bin) AS cyt,
+                     sum(yc) OVER (ORDER BY bin) AS cyc,
+                     sum(nt) OVER (ORDER BY bin) AS cnt,
+                     sum(nc) OVER (ORDER BY bin) AS cnc
+              FROM per
+            )
+            SELECT bin::BIGINT AS bin, nt AS n_treated,
+                   nc AS n_control,
+                   CASE WHEN nt > 0
+                     THEN round(yt / nt, 6) END AS rate_treated,
+                   CASE WHEN nc > 0
+                     THEN round(yc / nc, 6) END AS rate_control,
+                   CASE WHEN nt > 0 AND nc > 0
+                     THEN round(yt / nt - yc / nc, 6) END AS uplift,
+                   CASE WHEN cnc > 0
+                     THEN round(cyt - cyc * cnt / cnc::DOUBLE, 6)
+                   END AS qini_cum
+            FROM cum
         """,
     }

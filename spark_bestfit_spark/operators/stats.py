@@ -4644,3 +4644,180 @@ def cuped_ab_test(
             F.when(raw > 0, F.lit(1.0) - (vc + vt) / raw), 6
         ).alias("var_reduction"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta — the nonparametric EFFECT SIZE companion to
+    :func:`mann_whitney_u` (the U test says whether groups differ;
+    delta says by how much, scale-free and outlier-immune):
+
+        delta = P(a > b) - P(a < b) = 2 AUC - 1   (ties half-credit)
+
+    with Romano et al.'s conventional magnitude labels
+    (|d| < 0.147 negligible, < 0.33 small, < 0.474 medium, else
+    large). Rides the SAME sort-free rank-sum spine (one distinct-
+    value groupBy, bucketed offsets, bucket-hash window) — this is a
+    derivation from the U relation, not a second pass.
+
+    Returns one row: ``(n_a, n_b, delta, magnitude)`` with delta
+    rounded to 6; null delta when either arm is empty.
+    """
+    mw = mann_whitney_u(df, value_col, group_col, group_a, group_b)
+    d = F.round(F.lit(2.0) * F.col("auc") - F.lit(1.0), 6)
+    mag = (
+        F.when(d.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(d) < 0.147, F.lit("negligible"))
+        .when(F.abs(d) < 0.33, F.lit("small"))
+        .when(F.abs(d) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return mw.select(
+        "n_a", "n_b", d.alias("delta"), mag.alias("magnitude")
+    )
+
+
+def proportions_ztest(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    group_a,
+    group_b,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test with Wilson score intervals — the
+    conversion-rate comparison in its standard reporting shape
+    (:func:`ab_test` covers the generic Welch metric; rates deserve
+    the pooled-variance z and CIs that behave at p near 0/1, which
+    the Wald interval does not):
+
+        z = (p_a - p_b) / sqrt(p (1-p) (1/n_a + 1/n_b)),  p pooled
+        Wilson: (p + z_c^2/2n +- z_c sqrt(p(1-p)/n + z_c^2/4n^2))
+                / (1 + z_c^2/n)
+
+    ONE conditional-aggregate scan. Returns one row: ``(n_a, n_b,
+    p_a, p_b, diff, z, a_lo, a_hi, b_lo, b_hi)`` rounded to 6; null
+    z when a pooled-degenerate rate (0 or 1) kills the variance.
+    """
+    ia = F.col(group_col) == F.lit(group_a)
+    ib = F.col(group_col) == F.lit(group_b)
+    y = F.col(flag_col).cast("long")
+    base = df.filter((ia | ib) & y.isNotNull())
+    agg = base.agg(
+        F.count(F.when(ia, 1)).cast("long").alias("n_a"),
+        F.count(F.when(ib, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(ia, y)), F.lit(0)).alias("_ka"),
+        F.coalesce(F.sum(F.when(ib, y)), F.lit(0)).alias("_kb"),
+    )
+    zc = float(z_crit)
+    pa = F.col("_ka") / F.col("n_a")
+    pb = F.col("_kb") / F.col("n_b")
+    pool = (F.col("_ka") + F.col("_kb")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (F.lit(1.0) - pool) * (
+        F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
+    )
+    z = F.when(var > 0, (pa - pb) / F.sqrt(var))
+
+    def _wilson(p, n):
+        denom = F.lit(1.0) + F.lit(zc * zc) / n
+        center = p + F.lit(zc * zc) / (F.lit(2.0) * n)
+        half = F.lit(zc) * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + F.lit(zc * zc) / (F.lit(4.0) * n * n)
+        )
+        return (center - half) / denom, (center + half) / denom
+
+    a_lo, a_hi = _wilson(pa, F.col("n_a"))
+    b_lo, b_hi = _wilson(pb, F.col("n_b"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, pa), 6).alias("p_a"),
+        F.round(F.when(ok, pb), 6).alias("p_b"),
+        F.round(F.when(ok, pa - pb), 6).alias("diff"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, a_lo), 6).alias("a_lo"),
+        F.round(F.when(ok, a_hi), 6).alias("a_hi"),
+        F.round(F.when(ok, b_lo), 6).alias("b_lo"),
+        F.round(F.when(ok, b_hi), 6).alias("b_hi"),
+    )
+
+
+def qini_curve(
+    df: DataFrame,
+    score_col: str,
+    treated_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini / uplift curve — evaluation for UPLIFT models (does
+    targeting by this score capture incremental response, not just
+    response?): rank by score descending into ``n_bins`` equal-rank
+    bins, then per bin the treated/control response rates, their
+    uplift, and the cumulative Qini value
+
+        Qini(k) = Y_t(k) - Y_c(k) * N_t(k) / N_c(k)
+
+    (cumulative treated responders minus control responders scaled to
+    the treated exposure — the uplift literature's standard curve;
+    the random-targeting baseline is the straight line to Qini(K)).
+
+    Binning rides :func:`spark_bestfit_spark.operators.normalize.
+    quantile_rank`'s partitioned prefix-sum spine (sort-free, exact,
+    ties share a bin); everything after is a bins-sized relation with
+    one ordered window. Returns per bin (best-scores-first):
+    ``(bin, n_treated, n_control, rate_treated, rate_control,
+    uplift, qini_cum)`` rounded to 6; rates/uplift null for bins
+    missing an arm.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    from pyspark.sql import Window as _W
+
+    from spark_bestfit_spark.operators.normalize import quantile_rank
+
+    base = df.filter(
+        F.col(treated_col).isNotNull() & F.col(outcome_col).isNotNull()
+    )
+    ranked = quantile_rank(base, score_col, output_col="_qr")
+    bin_ = F.least(
+        F.floor((F.lit(1.0) - F.col("_qr")) * F.lit(n_bins)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    t = F.col(treated_col).cast("long")
+    y = F.col(outcome_col).cast("double")
+    per = ranked.groupBy(bin_.alias("bin")).agg(
+        F.sum(t).alias("_nt"),
+        (F.count(F.lit(1)) - F.sum(t)).alias("_nc"),
+        F.coalesce(F.sum(F.when(t == 1, y)), F.lit(0.0)).alias("_yt"),
+        F.coalesce(F.sum(F.when(t == 0, y)), F.lit(0.0)).alias("_yc"),
+    )
+    w = (
+        _W.partitionBy(F.lit(1))
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum_yt = F.sum("_yt").over(w)
+    cum_yc = F.sum("_yc").over(w)
+    cum_nt = F.sum("_nt").over(w)
+    cum_nc = F.sum("_nc").over(w)
+    qini = F.when(
+        cum_nc > 0, cum_yt - cum_yc * cum_nt / cum_nc
+    )
+    rt = F.when(F.col("_nt") > 0, F.col("_yt") / F.col("_nt"))
+    rc = F.when(F.col("_nc") > 0, F.col("_yc") / F.col("_nc"))
+    return per.select(
+        F.col("bin").cast("long"),
+        F.col("_nt").cast("long").alias("n_treated"),
+        F.col("_nc").cast("long").alias("n_control"),
+        F.round(rt, 6).alias("rate_treated"),
+        F.round(rc, 6).alias("rate_control"),
+        F.round(rt - rc, 6).alias("uplift"),
+        F.round(qini, 6).alias("qini_cum"),
+    )

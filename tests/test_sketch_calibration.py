@@ -183,3 +183,133 @@ class TestSilhouette:
         rows = [(i, [1.0, float(i)], 0) for i in range(5)]
         out = silhouette_score(self._emb(spark, rows)).collect()
         assert out[0].avg_silhouette is None
+
+
+from spark_bestfit_spark.operators.stats import (  # noqa: E402
+    cliffs_delta,
+    mann_whitney_u,
+    proportions_ztest,
+    qini_curve,
+)
+
+
+class TestCliffsDelta:
+    def test_perfect_separation(self, spark):
+        rows = [("a", float(100 + i)) for i in range(30)] + [
+            ("b", float(i)) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = cliffs_delta(df, "v", "g", "a", "b").collect()
+        assert r.delta == 1.0 and r.magnitude == "large"
+
+    def test_identical_groups_negligible(self, spark):
+        rows = [(g, float(i % 10)) for g in ("a", "b") for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = cliffs_delta(df, "v", "g", "a", "b").collect()
+        assert r.delta == 0.0 and r.magnitude == "negligible"
+
+    def test_consistent_with_mann_whitney(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (rng.choice("ab"), round(rng.uniform(0, 10), 2))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (d,) = cliffs_delta(df, "v", "g", "a", "b").collect()
+        (m,) = mann_whitney_u(df, "v", "g", "a", "b").collect()
+        assert d.delta == round(2 * m.auc - 1, 6)
+
+
+class TestProportionsZtest:
+    def test_hand_computed(self, spark):
+        # a: 30/100, b: 20/100
+        rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [
+            ("b", 0)
+        ] * 80
+        df = spark.createDataFrame(rows, "g string, y int")
+        (r,) = proportions_ztest(df, "g", "y", "a", "b").collect()
+        assert (r.p_a, r.p_b, r.diff) == (0.3, 0.2, 0.1)
+        import math
+
+        pool = 0.25
+        z = 0.1 / math.sqrt(pool * 0.75 * (0.01 + 0.01))
+        assert r.z == round(z, 6)
+        # Wilson interval contains the point estimate
+        assert r.a_lo < 0.3 < r.a_hi
+        assert r.b_lo < 0.2 < r.b_hi
+        # Wilson stays inside [0, 1] even near the edge
+        assert 0 <= r.b_lo and r.a_hi <= 1
+
+    def test_degenerate_rate_null_z(self, spark):
+        rows = [("a", 0)] * 10 + [("b", 0)] * 10
+        df = spark.createDataFrame(rows, "g string, y int")
+        (r,) = proportions_ztest(df, "g", "y", "a", "b").collect()
+        assert r.z is None
+        assert r.p_a == 0.0
+
+
+class TestQiniCurve:
+    def test_informative_score_targets_uplift(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(4000):
+            score = rng.uniform(0, 1)
+            treated = rng.randint(0, 1)
+            # uplift exists ONLY where the score is high
+            base_rate = 0.1
+            rate = base_rate + (0.4 if (treated and score > 0.7) else 0)
+            rows.append(
+                (score, treated, 1 if rng.random() < rate else 0)
+            )
+        df = spark.createDataFrame(rows, "s double, t int, y int")
+        out = {r.bin: r for r in qini_curve(df, "s", "t", "y", 10).collect()}
+        assert len(out) == 10
+        # top deciles (high score) carry the uplift
+        assert out[0].uplift > 0.2
+        assert abs(out[9].uplift) < 0.15
+        # qini accumulates: final value positive and >= early values
+        assert out[9].qini_cum > out[0].qini_cum > 0
+
+    def test_matches_pandas_replica(self, spark):
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(9)
+        rows = [
+            (
+                round(rng.uniform(0, 1), 3),
+                rng.randint(0, 1),
+                rng.randint(0, 1),
+            )
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "s double, t int, y int")
+        got = {
+            r.bin: (r.n_treated, r.n_control, r.qini_cum)
+            for r in qini_curve(df, "s", "t", "y", 5).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["s", "t", "y"])
+        pr = pdf.s.rank(method="min").sub(1).div(len(pdf) - 1)
+        pdf["bin"] = ((1.0 - pr) * 5).astype(int).clip(upper=4)
+        want = {}
+        cyt = cyc = cnt = cnc = 0
+        for b in sorted(pdf.bin.unique()):
+            sub = pdf[pdf.bin == b]
+            nt = int(sub.t.sum())
+            nc = len(sub) - nt
+            cyt += float(sub[sub.t == 1].y.sum())
+            cyc += float(sub[sub.t == 0].y.sum())
+            cnt += nt
+            cnc += nc
+            want[b] = (nt, nc, round(cyt - cyc * cnt / cnc, 6))
+        assert got == want
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0.5, 1, 1)], "s double, t int, y int")
+        with pytest.raises(ValueError):
+            qini_curve(df, "s", "t", "y", n_bins=1)
