@@ -5166,6 +5166,58 @@ def _q_qini(spark, sf_dir):
     return qini_curve(li, "l_extendedprice", "treated", "y", n_bins=10)
 
 
+def _q_ips_policy(spark, sf_dir):
+    """Off-policy IPS/SNIPS evaluation of a value-threshold policy on
+    the logged event stream — empirical type shares as propensities,
+    one conditional-aggregate scan; ESS is the honesty meter."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import ips_policy_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    shares = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("_n"))
+    logged = (
+        ev.join(F.broadcast(shares), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("propensity", F.col("_c") / F.col("_n"))
+        .withColumn(
+            "policy_action",
+            F.when(F.col("value") > 50, F.lit("click")).otherwise(
+                F.lit("view")
+            ),
+        )
+        .withColumn("reward", (F.col("value") > 60).cast("double"))
+    )
+    return ips_policy_value(
+        logged, "event_type", "propensity", "reward", "policy_action"
+    )
+
+
+def _q_cross_gram(spark, sf_dir):
+    """Cross-Gram of each embedding against its own reversal — the
+    Procrustes sufficient statistic as a flat (i, j, n, gram)
+    relation; partials-only exchange, pairs never shuffle."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        embedding_cross_gram,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    pairs = emb.select(
+        F.col("embedding").alias("emb_a"),
+        F.reverse(F.col("embedding")).alias("emb_b"),
+    )
+    return embedding_cross_gram(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5293,6 +5345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cliffs_delta": _q_cliffs_delta,
         "proportions_ztest": _q_proportions_ztest,
         "qini": _q_qini,
+        "ips_policy": _q_ips_policy,
+        "cross_gram": _q_cross_gram,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -11942,5 +11996,73 @@ def oracle_sql() -> dict[str, str]:
                      THEN round(cyt - cyc * cnt / cnc::DOUBLE, 6)
                    END AS qini_cum
             FROM cum
+        """,
+        "ips_policy": """
+            WITH ev AS (
+              SELECT event_type, value FROM events
+              WHERE value IS NOT NULL
+            ),
+            shares AS (
+              SELECT event_type, count(*)::BIGINT AS c
+              FROM ev GROUP BY event_type
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM ev),
+            logged AS (
+              SELECT ev.event_type,
+                     c / n::DOUBLE AS p,
+                     CASE WHEN value > 50
+                       THEN 'click' ELSE 'view' END AS pol,
+                     CASE WHEN value > 60
+                       THEN 1.0 ELSE 0.0 END AS r
+              FROM ev JOIN shares USING (event_type), tot
+            ),
+            wts AS (
+              SELECT r, p,
+                     (CASE WHEN pol = event_type
+                        THEN 1.0 ELSE 0.0 END) AS m,
+                     (CASE WHEN pol = event_type
+                        THEN 1.0 ELSE 0.0 END) / p AS w
+              FROM logged WHERE p > 0
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                     coalesce(sum(m::BIGINT), 0)::BIGINT AS n_matched,
+                     coalesce(sum(w * r), 0.0) AS wr,
+                     coalesce(sum(w), 0.0) AS sw,
+                     coalesce(sum(w * w), 0.0) AS sw2,
+                     avg(r) AS mr
+              FROM wts
+            )
+            SELECT n, n_matched,
+                   CASE WHEN n > 0
+                     THEN round(wr / n, 6) END AS ips,
+                   CASE WHEN sw > 0
+                     THEN round(wr / sw, 6) END AS snips,
+                   CASE WHEN sw2 > 0
+                     THEN round(sw * sw / sw2, 6) END AS ess,
+                   round(mr, 6) AS mean_logged_reward
+            FROM agg
+        """,
+        "cross_gram": """
+            WITH v AS (
+              SELECT vec_id, embedding AS a,
+                     list_reverse(embedding) AS b
+              FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            ea AS (
+              SELECT vec_id, unnest(range(1, len(a) + 1)) AS i,
+                     unnest(a) AS av
+              FROM v
+            ),
+            eb AS (
+              SELECT vec_id, unnest(range(1, len(b) + 1)) AS j,
+                     unnest(b) AS bv
+              FROM v
+            )
+            SELECT (i - 1)::INT AS i, (j - 1)::INT AS j,
+                   (SELECT count(*) FROM v)::BIGINT AS n,
+                   round(sum(av::DOUBLE * bv::DOUBLE), 6) AS gram
+            FROM ea JOIN eb USING (vec_id)
+            GROUP BY i, j
         """,
     }

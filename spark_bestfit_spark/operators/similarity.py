@@ -1454,3 +1454,158 @@ def silhouette_score(
             F.round(F.avg("_s"), 6).alias("avg_silhouette"),
         )
     )
+
+
+def embedding_cross_gram(
+    pairs: DataFrame,
+    vec_a: str = "emb_a",
+    vec_b: str = "emb_b",
+) -> DataFrame:
+    """Cross-Gram matrix ``M = sum_i a_i b_i^T`` of matched embedding
+    pairs as a flat ``(i, j, n, gram)`` relation — the sufficient
+    statistic for orthogonal Procrustes alignment
+    (:func:`procrustes_align`), canonical-correlation seeds and
+    embedding-drift rotation tests. Same execution shape as
+    :func:`embedding_covariance`: ``mapInPandas`` folds each partition
+    into ONE d_a x d_b partial block (numpy matmul, Arrow-batched),
+    and the only exchange is the (i, j)-keyed combine over
+    partials-only rows — matched pairs never shuffle.
+
+    ``pairs`` carries both vectors per row (join upstream by the id).
+    Rows with either vector null are skipped; ragged dims raise.
+    Returns 0-based ``(i, j, n, gram)`` rounded to 6 (row index i
+    into a's dims, j into b's).
+    """
+    import pandas as _pd
+
+    def fold(batches):
+        n = 0
+        g = None
+        da = db = 0
+        for pdf in batches:
+            sub = pdf[[vec_a, vec_b]].dropna()
+            if not len(sub):
+                continue
+            ma = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in sub[vec_a]]
+            )
+            mb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in sub[vec_b]]
+            )
+            if g is None:
+                da, db = ma.shape[1], mb.shape[1]
+                g = np.zeros((da, db))
+            elif ma.shape[1] != da or mb.shape[1] != db:
+                raise ValueError("ragged embedding dims")
+            n += ma.shape[0]
+            g += ma.T @ mb
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(
+            np.arange(da), np.arange(db), indexing="ij"
+        )
+        yield _pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "n": np.full(da * db, n, dtype="int64"),
+                "g": g.ravel(),
+            }
+        )
+
+    partials = pairs.select(vec_a, vec_b).mapInPandas(
+        fold, "i int, j int, n long, g double"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("n").alias("_n"), F.sum("g").alias("_g"))
+        .select(
+            "i",
+            "j",
+            F.col("_n").cast("long").alias("n"),
+            F.round("_g", 6).alias("gram"),
+        )
+    )
+
+
+def procrustes_align(
+    pairs: DataFrame,
+    vec_a: str = "emb_a",
+    vec_b: str = "emb_b",
+):
+    """Orthogonal Procrustes alignment of matched embedding snapshots
+    (Schonemann 1966) — find the rotation R minimizing
+    ``||A R - B||_F`` (the embedding-drift question: did the space
+    ROTATE between model versions, and how much residual drift
+    remains after the best rotation?):
+
+        M = A^T B = U S V^T  ->  R = U V^T
+        ||A R - B||^2 = ||A||^2 + ||B||^2 - 2 tr(S)
+        disparity = that residual / ||B||^2
+
+    Distributed work is the :func:`embedding_cross_gram` partial fold
+    plus one map-side norm aggregation; the SVD runs driver-side on
+    the tiny d x d matrix (the same split as the fit engine: cluster
+    for sufficient statistics, local for the dense solve).
+
+    Returns ``(rotation, summary)``: ``rotation`` a d x d numpy
+    array, ``summary`` a one-row DataFrame ``(n_pairs, dim,
+    norm_a_sq, norm_b_sq, trace_sigma, disparity)`` rounded to 6.
+    """
+    spark = pairs.sparkSession
+    gram = embedding_cross_gram(pairs, vec_a, vec_b).collect()
+    if not gram:
+        return None, spark.createDataFrame(
+            [(0, 0, None, None, None, None)],
+            "n_pairs long, dim long, norm_a_sq double, "
+            "norm_b_sq double, trace_sigma double, disparity double",
+        )
+    da = max(r["i"] for r in gram) + 1
+    db = max(r["j"] for r in gram) + 1
+    m = np.zeros((da, db))
+    for r in gram:
+        m[r["i"], r["j"]] = r["gram"]
+    n_pairs = int(gram[0]["n"])
+    u, s, vt = np.linalg.svd(m)
+    rot = u @ vt
+    sq = F.aggregate(
+        F.transform(F.col("_v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = (
+        pairs.filter(
+            F.col(vec_a).isNotNull() & F.col(vec_b).isNotNull()
+        )
+        .select(
+            F.col(vec_a).alias("_v")
+        )
+        .agg(F.sum(sq).alias("na"))
+        .crossJoin(
+            pairs.filter(
+                F.col(vec_a).isNotNull() & F.col(vec_b).isNotNull()
+            )
+            .select(F.col(vec_b).alias("_v"))
+            .agg(F.sum(sq).alias("nb"))
+        )
+        .first()
+    )
+    na, nb = float(norms["na"]), float(norms["nb"])
+    tr = float(s.sum())
+    resid = na + nb - 2.0 * tr
+    disp = resid / nb if nb > 0 else None
+    summary = spark.createDataFrame(
+        [
+            (
+                n_pairs,
+                int(min(da, db)),
+                round(na, 6),
+                round(nb, 6),
+                round(tr, 6),
+                round(disp, 6) if disp is not None else None,
+            )
+        ],
+        "n_pairs long, dim long, norm_a_sq double, norm_b_sq double, "
+        "trace_sigma double, disparity double",
+    )
+    return rot, summary

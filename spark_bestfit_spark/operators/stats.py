@@ -4821,3 +4821,72 @@ def qini_curve(
         F.round(rt - rc, 6).alias("uplift"),
         F.round(qini, 6).alias("qini_cum"),
     )
+
+
+def ips_policy_value(
+    df: DataFrame,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    policy_action_col: str,
+    clip: float | None = None,
+) -> DataFrame:
+    """Off-policy evaluation from logged bandit feedback — "what would
+    THIS policy have earned on traffic another policy logged?" — the
+    inverse-propensity-scoring estimator family (Horvitz-Thompson /
+    Li et al.'s replay), the standard offline gate before an online
+    A/B:
+
+        w_i   = 1[policy(x_i) = a_i] / p_i      (optionally clipped)
+        IPS   = mean(w_i r_i)                    (unbiased, high var)
+        SNIPS = sum(w_i r_i) / sum(w_i)          (self-normalized,
+                                                  biased low-var)
+
+    plus the effective sample size ``(sum w)^2 / sum w^2`` — the
+    honesty meter: an ESS of 40 on a million logged rows means the
+    estimate rests on ~40 matches and should not be trusted.
+
+    ONE conditional-aggregate scan, map-side combinable. Rows with
+    null/non-positive propensity are excluded (logged-policy support
+    violations). Returns one row: ``(n, n_matched, ips, snips,
+    ess, mean_logged_reward)`` rounded to 6; null estimators when no
+    action matches.
+    """
+    if clip is not None and clip <= 0:
+        raise ValueError("clip must be > 0 (or None)")
+    p = F.col(propensity_col).cast("double")
+    r = F.col(reward_col).cast("double")
+    base = df.filter(
+        p.isNotNull() & (p > 0) & r.isNotNull()
+        & F.col(action_col).isNotNull()
+        & F.col(policy_action_col).isNotNull()
+    )
+    match = (F.col(policy_action_col) == F.col(action_col)).cast(
+        "double"
+    )
+    w = match / p
+    if clip is not None:
+        w = F.least(w, F.lit(float(clip)))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(match.cast("long")), F.lit(0)).alias(
+            "n_matched"
+        ),
+        F.coalesce(F.sum(w * r), F.lit(0.0)).alias("_wr"),
+        F.coalesce(F.sum(w), F.lit(0.0)).alias("_w"),
+        F.coalesce(F.sum(w * w), F.lit(0.0)).alias("_w2"),
+        F.avg(r).alias("_mr"),
+    )
+    ips = F.when(F.col("n") > 0, F.col("_wr") / F.col("n"))
+    snips = F.when(F.col("_w") > 0, F.col("_wr") / F.col("_w"))
+    ess = F.when(
+        F.col("_w2") > 0, F.col("_w") * F.col("_w") / F.col("_w2")
+    )
+    return agg.select(
+        F.col("n").cast("long"),
+        F.col("n_matched").cast("long"),
+        F.round(ips, 6).alias("ips"),
+        F.round(snips, 6).alias("snips"),
+        F.round(ess, 6).alias("ess"),
+        F.round("_mr", 6).alias("mean_logged_reward"),
+    )

@@ -313,3 +313,120 @@ class TestQiniCurve:
         df = spark.createDataFrame([(0.5, 1, 1)], "s double, t int, y int")
         with pytest.raises(ValueError):
             qini_curve(df, "s", "t", "y", n_bins=1)
+
+
+from spark_bestfit_spark.operators.similarity import (  # noqa: E402
+    embedding_cross_gram,
+    procrustes_align,
+)
+from spark_bestfit_spark.operators.stats import (  # noqa: E402
+    ips_policy_value,
+)
+
+
+class TestIpsPolicyValue:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "a string, p double, r double, pol string"
+        )
+
+    def test_hand_computed(self, spark):
+        rows = [
+            ("x", 0.5, 1.0, "x"),   # match, w = 2
+            ("x", 0.5, 0.0, "y"),   # no match
+            ("y", 0.25, 1.0, "y"),  # match, w = 4
+            ("y", 0.25, 0.0, "x"),  # no match
+        ]
+        (o,) = ips_policy_value(
+            self._df(spark, rows), "a", "p", "r", "pol"
+        ).collect()
+        assert o.n == 4 and o.n_matched == 2
+        assert o.ips == round((2 * 1 + 4 * 1) / 4, 6)  # 1.5
+        assert o.snips == 1.0  # (2+4)/(2+4)
+        assert o.ess == round(36 / 20, 6)  # (2+4)^2/(4+16)
+        assert o.mean_logged_reward == 0.5
+
+    def test_fixed_policy_recovers_counterfactual_value(self, spark):
+        import random
+
+        rng = random.Random(8)
+        acts = ["a", "b", "c"]
+        shares = {"a": 0.5, "b": 0.3, "c": 0.2}
+        rates = {"a": 0.2, "b": 0.5, "c": 0.8}
+        rows = []
+        for _ in range(8000):
+            a = rng.choices(acts, weights=[shares[x] for x in acts])[0]
+            r = 1.0 if rng.random() < rates[a] else 0.0
+            rows.append((a, shares[a], r, "c"))  # policy: always 'c'
+        (o,) = ips_policy_value(
+            self._df(spark, rows), "a", "p", "r", "pol"
+        ).collect()
+        # the "always c" policy's true value is E[r | c] = 0.8 —
+        # far from the logged mean (~0.35); both estimators must
+        # recover it from the reweighted matches alone
+        assert abs(o.ips - 0.8) < 0.08
+        assert abs(o.snips - 0.8) < 0.08
+        assert o.n_matched < o.n  # only the 'c' rows match
+        assert o.ess < o.n  # reweighting costs effective sample
+
+    def test_clip_and_support_filtering(self, spark):
+        rows = [("x", 0.001, 1.0, "x"), ("y", None, 1.0, "y"),
+                ("z", 0.0, 1.0, "z"), ("w", 0.5, 1.0, "w")]
+        (o,) = ips_policy_value(
+            self._df(spark, rows), "a", "p", "r", "pol", clip=10.0
+        ).collect()
+        assert o.n == 2  # null/zero propensities excluded
+        assert o.ips == round((10.0 + 2.0) / 2, 6)  # 1000 clipped to 10
+        with pytest.raises(ValueError):
+            ips_policy_value(self._df(spark, rows), "a", "p", "r", "pol", clip=0)
+
+
+class TestProcrustes:
+    def _pairs(self, spark, A, B):
+        rows = [(a.tolist(), b.tolist()) for a, b in zip(A, B)]
+        return spark.createDataFrame(
+            rows, "emb_a array<double>, emb_b array<double>"
+        )
+
+    def test_cross_gram_matches_numpy(self, spark):
+        rng = np.random.default_rng(3)
+        A = rng.normal(0, 1, (50, 5))
+        B = rng.normal(0, 1, (50, 5))
+        got = {
+            (r.i, r.j): r.gram
+            for r in embedding_cross_gram(self._pairs(spark, A, B)).collect()
+        }
+        M = A.T @ B
+        for i in range(5):
+            for j in range(5):
+                assert got[(i, j)] == pytest.approx(M[i, j], abs=2e-6)
+
+    def test_recovers_planted_rotation(self, spark):
+        rng = np.random.default_rng(11)
+        A = rng.normal(0, 1, (200, 4))
+        q, _ = np.linalg.qr(rng.normal(0, 1, (4, 4)))
+        B = A @ q
+        rot, summary = procrustes_align(self._pairs(spark, A, B))
+        assert np.allclose(rot, q, atol=1e-4)
+        (s,) = summary.collect()
+        assert s.disparity == pytest.approx(0.0, abs=1e-4)
+        assert s.n_pairs == 200
+
+    def test_noise_raises_disparity(self, spark):
+        rng = np.random.default_rng(13)
+        A = rng.normal(0, 1, (200, 4))
+        B = rng.normal(0, 1, (200, 4))  # unrelated
+        rot, summary = procrustes_align(self._pairs(spark, A, B))
+        (s,) = summary.collect()
+        assert s.disparity > 0.5
+        # rotation is still orthogonal
+        assert np.allclose(rot @ rot.T, np.eye(4), atol=1e-8)
+
+    def test_empty_pairs(self, spark):
+        df = spark.createDataFrame(
+            [], "emb_a array<double>, emb_b array<double>"
+        )
+        rot, summary = procrustes_align(df)
+        assert rot is None
+        (s,) = summary.collect()
+        assert s.n_pairs == 0 and s.disparity is None
