@@ -5218,6 +5218,51 @@ def _q_cross_gram(spark, sf_dir):
     return embedding_cross_gram(pairs)
 
 
+def _q_dr_policy(spark, sf_dir):
+    """Doubly-robust off-policy value of the value-threshold policy —
+    IPS corrected by a per-type mean-reward model (both legs computed
+    in-plan), with the IPS and model-only estimates riding along."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import dr_policy_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    ev = ev.withColumn(
+        "reward", (F.col("value") > 60).cast("double")
+    ).withColumn(
+        "policy_action",
+        F.when(F.col("value") > 50, F.lit("click")).otherwise(
+            F.lit("view")
+        ),
+    )
+    shares = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.avg("reward").alias("_q"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("_n"))
+    qmap = shares.select(
+        F.col("event_type").alias("_pt"), F.col("_q").alias("q_pol")
+    )
+    logged = (
+        ev.join(F.broadcast(shares), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("propensity", F.col("_c") / F.col("_n"))
+        .withColumnRenamed("_q", "q_log")
+        .join(
+            F.broadcast(qmap),
+            F.col("policy_action") == F.col("_pt"),
+            "left",
+        )
+        .withColumn("q_pol", F.coalesce("q_pol", F.lit(0.0)))
+    )
+    return dr_policy_value(
+        logged, "event_type", "propensity", "reward",
+        "policy_action", "q_pol", "q_log",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5347,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qini": _q_qini,
         "ips_policy": _q_ips_policy,
         "cross_gram": _q_cross_gram,
+        "dr_policy": _q_dr_policy,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12064,5 +12110,59 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(av::DOUBLE * bv::DOUBLE), 6) AS gram
             FROM ea JOIN eb USING (vec_id)
             GROUP BY i, j
+        """,
+        "dr_policy": """
+            WITH ev AS (
+              SELECT event_type, value,
+                     CASE WHEN value > 60 THEN 1.0 ELSE 0.0 END AS r,
+                     CASE WHEN value > 50
+                       THEN 'click' ELSE 'view' END AS pol
+              FROM events WHERE value IS NOT NULL
+            ),
+            shares AS (
+              SELECT event_type, count(*)::BIGINT AS c,
+                     avg(r) AS q
+              FROM ev GROUP BY event_type
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM ev),
+            logged AS (
+              SELECT ev.event_type, ev.r, ev.pol,
+                     s.c / t.n::DOUBLE AS p,
+                     s.q AS q_log,
+                     coalesce(sp.q, 0.0) AS q_pol
+              FROM ev
+              JOIN shares s USING (event_type)
+              LEFT JOIN shares sp ON ev.pol = sp.event_type
+              CROSS JOIN tot t
+            ),
+            wts AS (
+              SELECT r, q_pol, q_log,
+                     (CASE WHEN pol = event_type
+                        THEN 1.0 ELSE 0.0 END) AS m,
+                     (CASE WHEN pol = event_type
+                        THEN 1.0 ELSE 0.0 END) / p AS w
+              FROM logged WHERE p > 0
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                     coalesce(sum(m::BIGINT), 0)::BIGINT AS n_matched,
+                     coalesce(sum(q_pol + w * (r - q_log)), 0.0)
+                       AS sdr,
+                     coalesce(sum(w * r), 0.0) AS wr,
+                     coalesce(sum(q_pol), 0.0) AS sq,
+                     coalesce(sum(w), 0.0) AS sw,
+                     coalesce(sum(w * w), 0.0) AS sw2
+              FROM wts
+            )
+            SELECT n, n_matched,
+                   CASE WHEN n > 0
+                     THEN round(sdr / n, 6) END AS dr,
+                   CASE WHEN n > 0
+                     THEN round(wr / n, 6) END AS ips,
+                   CASE WHEN n > 0
+                     THEN round(sq / n, 6) END AS model_value,
+                   CASE WHEN sw2 > 0
+                     THEN round(sw * sw / sw2, 6) END AS ess
+            FROM agg
         """,
     }

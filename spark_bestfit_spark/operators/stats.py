@@ -4890,3 +4890,80 @@ def ips_policy_value(
         F.round(ess, 6).alias("ess"),
         F.round("_mr", 6).alias("mean_logged_reward"),
     )
+
+
+def dr_policy_value(
+    df: DataFrame,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    policy_action_col: str,
+    q_policy_col: str,
+    q_logged_col: str,
+    clip: float | None = None,
+) -> DataFrame:
+    """Doubly-robust off-policy evaluation (Dudik, Langford & Li,
+    ICML 2011) — the estimator production OPE actually ships:
+    :func:`ips_policy_value` is unbiased but high-variance; a pure
+    reward model is low-variance but biased; DR combines them and
+    stays consistent if EITHER the propensities or the model are
+    right:
+
+        DR = mean( q(x, pi(x))
+                   + 1[pi(x) = a] / p * (r - q(x, a)) )
+
+    ``q_policy_col`` / ``q_logged_col`` carry the reward model's
+    predictions at the policy's and the logged action (computed
+    upstream — the model is the caller's). ONE conditional-aggregate
+    scan; the IPS and model-only estimates ride along for the
+    triangulation report. Returns one row: ``(n, n_matched, dr, ips,
+    model_value, ess)`` rounded to 6.
+    """
+    if clip is not None and clip <= 0:
+        raise ValueError("clip must be > 0 (or None)")
+    p = F.col(propensity_col).cast("double")
+    r = F.col(reward_col).cast("double")
+    qp = F.col(q_policy_col).cast("double")
+    ql = F.col(q_logged_col).cast("double")
+    base = df.filter(
+        p.isNotNull() & (p > 0) & r.isNotNull()
+        & qp.isNotNull() & ql.isNotNull()
+        & F.col(action_col).isNotNull()
+        & F.col(policy_action_col).isNotNull()
+    )
+    match = (F.col(policy_action_col) == F.col(action_col)).cast(
+        "double"
+    )
+    w = match / p
+    if clip is not None:
+        w = F.least(w, F.lit(float(clip)))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(match.cast("long")), F.lit(0)).alias(
+            "n_matched"
+        ),
+        F.coalesce(
+            F.sum(qp + w * (r - ql)), F.lit(0.0)
+        ).alias("_dr"),
+        F.coalesce(F.sum(w * r), F.lit(0.0)).alias("_wr"),
+        F.coalesce(F.sum(qp), F.lit(0.0)).alias("_q"),
+        F.coalesce(F.sum(w), F.lit(0.0)).alias("_w"),
+        F.coalesce(F.sum(w * w), F.lit(0.0)).alias("_w2"),
+    )
+    ok = F.col("n") > 0
+    return agg.select(
+        F.col("n").cast("long"),
+        F.col("n_matched").cast("long"),
+        F.round(F.when(ok, F.col("_dr") / F.col("n")), 6).alias("dr"),
+        F.round(F.when(ok, F.col("_wr") / F.col("n")), 6).alias("ips"),
+        F.round(F.when(ok, F.col("_q") / F.col("n")), 6).alias(
+            "model_value"
+        ),
+        F.round(
+            F.when(
+                F.col("_w2") > 0,
+                F.col("_w") * F.col("_w") / F.col("_w2"),
+            ),
+            6,
+        ).alias("ess"),
+    )

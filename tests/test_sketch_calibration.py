@@ -430,3 +430,60 @@ class TestProcrustes:
         assert rot is None
         (s,) = summary.collect()
         assert s.n_pairs == 0 and s.disparity is None
+
+
+from spark_bestfit_spark.operators.stats import (  # noqa: E402
+    dr_policy_value,
+)
+
+
+class TestDrPolicyValue:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "a string, p double, r double, pol string, "
+            "qp double, ql double",
+        )
+
+    def test_perfect_model_gives_model_value(self, spark):
+        # if q is exactly E[r | a], the correction term has mean ~0
+        rows = [
+            ("x", 0.5, 1.0, "x", 1.0, 1.0),
+            ("x", 0.5, 1.0, "y", 0.0, 1.0),
+            ("y", 0.5, 0.0, "y", 0.0, 0.0),
+            ("y", 0.5, 0.0, "x", 1.0, 0.0),
+        ]
+        (o,) = dr_policy_value(
+            self._df(spark, rows), "a", "p", "r", "pol", "qp", "ql"
+        ).collect()
+        # q matches rewards exactly -> r - q(a) = 0 -> DR = model
+        assert o.dr == o.model_value == 0.5
+
+    def test_dr_beats_both_when_one_leg_works(self, spark):
+        import random
+
+        rng = random.Random(21)
+        rows = []
+        rates = {"a": 0.2, "b": 0.8}
+        for _ in range(8000):
+            a = "a" if rng.random() < 0.7 else "b"
+            r = 1.0 if rng.random() < rates[a] else 0.0
+            # correct propensities, BIASED model (+0.3 everywhere)
+            q = {"a": 0.5, "b": 1.1}
+            rows.append(
+                (a, 0.7 if a == "a" else 0.3, r, "b", q["b"], q[a])
+            )
+        (o,) = dr_policy_value(
+            self._df(spark, rows), "a", "p", "r", "pol", "qp", "ql"
+        ).collect()
+        # true value of "always b" = 0.8; the biased model says 1.1,
+        # but correct propensities repair it
+        assert abs(o.dr - 0.8) < 0.08
+        assert abs(o.model_value - 1.1) < 0.01
+
+    def test_validation(self, spark):
+        df = self._df(spark, [("x", 0.5, 1.0, "x", 1.0, 1.0)])
+        with pytest.raises(ValueError):
+            dr_policy_value(
+                df, "a", "p", "r", "pol", "qp", "ql", clip=-1
+            )
