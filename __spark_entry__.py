@@ -5263,6 +5263,48 @@ def _q_dr_policy(spark, sf_dir):
     )
 
 
+def _q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio of discount exposure vs
+    returns across line-number strata — the Simpson's-proof 2x2
+    association from one contingency groupBy."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import mantel_haenszel
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("exp", (F.col("l_discount") > 0.05).cast("int"))
+        .withColumn("out", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    return mantel_haenszel(li, "l_linenumber", "exp", "out")
+
+
+def _q_regression_metrics(spark, sf_dir):
+    """One-scan regression eval suite (MAE/RMSE/bias/R2/MAPE/sMAPE/
+    RMSLE with explicit per-metric domains) for a crude
+    quantity-based price predictor."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import regression_metrics
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("y", F.col("l_extendedprice") / 10000.0)
+        .withColumn("p", F.col("l_quantity") / 35.0)
+    )
+    return regression_metrics(li, "y", "p")
+
+
+def _q_neyman(spark, sf_dir):
+    """Neyman-optimal stratified allocation of a 1000-row budget
+    across return-flag strata by N_h * sigma_h — exact
+    largest-remainder rounding on the strata-sized relation."""
+    from spark_bestfit_spark.operators.sampling import neyman_allocation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return neyman_allocation(li, "l_returnflag", "l_extendedprice", 1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5393,6 +5435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ips_policy": _q_ips_policy,
         "cross_gram": _q_cross_gram,
         "dr_policy": _q_dr_policy,
+        "mantel_haenszel": _q_mantel_haenszel,
+        "regression_metrics": _q_regression_metrics,
+        "neyman_allocation": _q_neyman,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12164,5 +12209,135 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sw2 > 0
                      THEN round(sw * sw / sw2, 6) END AS ess
             FROM agg
+        """,
+        "mantel_haenszel": """
+            WITH per AS (
+              SELECT l_linenumber AS s,
+                sum(CASE WHEN l_discount > 0.05
+                    AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  ::BIGINT AS a,
+                sum(CASE WHEN l_discount > 0.05
+                    AND l_returnflag != 'R' THEN 1 ELSE 0 END)
+                  ::BIGINT AS b,
+                sum(CASE WHEN l_discount <= 0.05
+                    AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  ::BIGINT AS c,
+                sum(CASE WHEN l_discount <= 0.05
+                    AND l_returnflag != 'R' THEN 1 ELSE 0 END)
+                  ::BIGINT AS d
+              FROM lineitem
+              WHERE l_linenumber IS NOT NULL
+                AND l_discount IS NOT NULL
+                AND l_returnflag IS NOT NULL
+              GROUP BY 1
+            ),
+            scored AS (
+              SELECT *, (a + b + c + d)::DOUBLE AS n FROM per
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS k_strata,
+                     sum(n)::BIGINT AS n,
+                     sum(a * d / n) AS num,
+                     sum(b * c / n) AS den,
+                     sum(a)::DOUBLE AS sa,
+                     sum((a + b) * (a + c) / n) AS sea,
+                     sum((a + b) * (c + d) * (a + c) * (b + d)
+                         / (n * n * (n - 1))) AS sva
+              FROM scored WHERE n > 1
+            )
+            SELECT k_strata, n,
+                   CASE WHEN num > 0 AND den > 0
+                     THEN round(num / den, 6) END AS or_mh,
+                   CASE WHEN num > 0 AND den > 0
+                     THEN round(ln(num / den), 6) END AS log_or_mh,
+                   CASE WHEN sva > 0
+                     THEN round(pow(abs(sa - sea) - 0.5, 2) / sva, 6)
+                   END AS chi2
+            FROM agg
+        """,
+        "regression_metrics": """
+            WITH base AS (
+              SELECT l_extendedprice / 10000.0 AS y,
+                     l_quantity / 35.0 AS p
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                     avg(abs(p - y)) AS mae,
+                     avg((p - y) * (p - y)) AS mse,
+                     avg(p - y) AS bias,
+                     avg(y) AS my, avg(y * y) AS myy,
+                     count(CASE WHEN y != 0 THEN 1 END)
+                       ::BIGINT AS n_mape,
+                     avg(CASE WHEN y != 0
+                         THEN abs(p - y) / abs(y) END) AS mape,
+                     count(CASE WHEN (abs(y) + abs(p)) / 2 > 0
+                           THEN 1 END)::BIGINT AS n_smape,
+                     avg(CASE WHEN (abs(y) + abs(p)) / 2 > 0
+                         THEN abs(p - y)
+                              / ((abs(y) + abs(p)) / 2) END)
+                       AS smape,
+                     count(CASE WHEN y > -1 AND p > -1 THEN 1 END)
+                       ::BIGINT AS n_rmsle,
+                     avg(CASE WHEN y > -1 AND p > -1
+                         THEN pow(ln(1 + p) - ln(1 + y), 2) END)
+                       AS msle
+              FROM base
+            )
+            SELECT n, round(mae, 6) AS mae,
+                   round(sqrt(mse), 6) AS rmse,
+                   round(bias, 6) AS bias,
+                   CASE WHEN myy - my * my > 0
+                     THEN round(1.0 - mse / (myy - my * my), 6)
+                   END AS r2,
+                   n_mape, round(mape, 6) AS mape,
+                   n_smape, round(smape, 6) AS smape,
+                   n_rmsle, round(sqrt(msle), 6) AS rmsle
+            FROM agg
+        """,
+        "neyman_allocation": """
+            WITH per AS (
+              SELECT l_returnflag AS stratum,
+                     count(*)::BIGINT AS n_rows,
+                     coalesce(stddev_pop(l_extendedprice), 0.0)
+                       AS sigma
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+              GROUP BY 1
+            ),
+            wtd AS (
+              SELECT *, n_rows * sigma AS wt,
+                     sum(n_rows * sigma) OVER () AS tot
+              FROM per
+            ),
+            staged AS (
+              SELECT *,
+                     CASE WHEN tot > 0
+                       THEN 1000.0 * wt / tot ELSE 0.0 END AS share
+              FROM wtd
+            ),
+            flo AS (
+              SELECT *, floor(share)::BIGINT AS fl,
+                     share - floor(share) AS frac,
+                     sum(floor(share)::BIGINT) OVER () AS used
+              FROM staged
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                ORDER BY frac DESC, stratum
+              ) AS r
+              FROM flo
+            )
+            SELECT stratum, n_rows,
+                   round(sigma, 6) AS sigma,
+                   least(
+                     fl + (CASE WHEN r <= 1000 - used
+                           THEN 1 ELSE 0 END),
+                     n_rows
+                   )::BIGINT AS allocated
+            FROM rk
         """,
     }

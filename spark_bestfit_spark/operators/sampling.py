@@ -200,3 +200,114 @@ def build_fitting_sample(
         rng = np.random.default_rng(config.random_seed)
         arr = rng.choice(arr, size=target, replace=False)
     return arr
+
+
+def neyman_allocation(
+    df,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+):
+    """Neyman-optimal stratified sample allocation — size each
+    stratum's sample proportional to ``N_h * sigma_h`` (population
+    size x spread), the allocation that minimizes the variance of the
+    stratified mean at a fixed budget (proportional allocation
+    over-samples big HOMOGENEOUS strata; Neyman spends the budget
+    where the uncertainty lives):
+
+        n_h = total_n * N_h sigma_h / sum(N_h sigma_h),
+        floored, remainder distributed by largest fractional part
+        (ties by stratum), each capped at N_h.
+
+    ONE grouped moment pass to the strata-sized relation; the
+    rounding windows run on that relation, never the data. Returns
+    ``(stratum, n_rows, sigma, allocated)``; strata with zero/null
+    spread draw only from remainder distribution. The realized total
+    can undershoot ``total_n`` only when strata saturate (allocated =
+    population).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as _W
+
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    base = df.filter(
+        F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    per = base.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.stddev_pop(value_col), F.lit(0.0)).alias("sigma"),
+    )
+    w_all = _W.partitionBy(F.lit(1))
+    weighted = per.withColumn(
+        "_wt", F.col("n_rows") * F.col("sigma")
+    ).withColumn("_tot", F.sum("_wt").over(w_all))
+    share = F.when(
+        F.col("_tot") > 0,
+        F.lit(float(total_n)) * F.col("_wt") / F.col("_tot"),
+    ).otherwise(F.lit(0.0))
+    staged = (
+        weighted.withColumn("_share", share)
+        .withColumn("_floor", F.floor("_share").cast("long"))
+        .withColumn("_frac", F.col("_share") - F.col("_floor"))
+        .withColumn("_used", F.sum("_floor").over(w_all))
+    )
+    w_rank = _W.partitionBy(F.lit(1)).orderBy(
+        F.desc("_frac"), F.asc("stratum")
+    )
+    ranked = staged.withColumn("_rk", F.row_number().over(w_rank))
+    alloc = F.least(
+        F.col("_floor")
+        + (
+            F.col("_rk") <= (F.lit(total_n) - F.col("_used"))
+        ).cast("long"),
+        F.col("n_rows"),
+    )
+    return ranked.select(
+        "stratum",
+        F.col("n_rows").cast("long"),
+        F.round("sigma", 6).alias("sigma"),
+        alloc.cast("long").alias("allocated"),
+    )
+
+
+def neyman_sample(
+    df,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    id_col: str,
+    seed: int = 2,
+):
+    """Draw the :func:`neyman_allocation` sample deterministically:
+    within each stratum keep the ``allocated`` rows with the smallest
+    seeded Knuth-hash keys (ties by id) — rerun/partitioning/engine
+    identical, fully in-plan (the allocation relation broadcasts onto
+    one per-stratum window; no driver loop). Returns the sampled rows
+    with all input columns.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as _W
+
+    from spark_bestfit_spark.operators.curation import _knuth_u
+
+    alloc = neyman_allocation(df, stratum_col, value_col, total_n)
+    base = df.filter(
+        F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    w = _W.partitionBy(stratum_col).orderBy(
+        _knuth_u(F.col(id_col), seed), F.col(id_col)
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(
+                alloc.select(
+                    F.col("stratum").alias(stratum_col), "allocated"
+                )
+            ),
+            stratum_col,
+        )
+        .filter(F.col("_rn") <= F.col("allocated"))
+        .drop("_rn", "allocated")
+    )

@@ -4967,3 +4967,147 @@ def dr_policy_value(
             6,
         ).alias("ess"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the
+    confounder-adjusted 2x2 association test (Simpson's-paradox-proof
+    where the crude pooled table is not; the inferential companion to
+    :func:`simpsons_check`'s alarm):
+
+        per stratum k (a=exp+out+, b=exp+out-, c=exp-out+, d=exp-out-):
+        OR_MH = sum(a d / n) / sum(b c / n)
+        chi2_MH = (|sum a - sum E[a]| - 0.5)^2 / sum Var(a)
+        with E[a] = (a+b)(a+c)/n and the hypergeometric variance —
+        continuity-corrected, 1 df.
+
+    ONE contingency groupBy to the strata-sized relation, then a
+    1-row fold. Returns ``(k_strata, n, or_mh, log_or_mh, chi2)``
+    rounded to 6; null OR when either MH sum is 0, null chi2 when
+    the variance sum is 0.
+    """
+    e = F.col(exposure_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    base = df.filter(
+        F.col(stratum_col).isNotNull()
+        & e.isNotNull()
+        & y.isNotNull()
+    )
+    per = base.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.sum((e * y).cast("long")).alias("_a"),
+        F.sum((e * (1 - y)).cast("long")).alias("_b"),
+        F.sum(((1 - e) * y).cast("long")).alias("_c"),
+        F.sum(((1 - e) * (1 - y)).cast("long")).alias("_d"),
+    ).withColumn(
+        "_n",
+        (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
+        .cast("double"),
+    )
+    num = F.col("_a") * F.col("_d") / F.col("_n")
+    den = F.col("_b") * F.col("_c") / F.col("_n")
+    ea = (
+        (F.col("_a") + F.col("_b"))
+        * (F.col("_a") + F.col("_c"))
+        / F.col("_n")
+    )
+    va = (
+        (F.col("_a") + F.col("_b"))
+        * (F.col("_c") + F.col("_d"))
+        * (F.col("_a") + F.col("_c"))
+        * (F.col("_b") + F.col("_d"))
+        / (F.col("_n") * F.col("_n") * (F.col("_n") - 1))
+    )
+    agg = per.filter(F.col("_n") > 1).agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum("_n").alias("n"),
+        F.sum(num).alias("_num"),
+        F.sum(den).alias("_den"),
+        F.sum("_a").alias("_sa"),
+        F.sum(ea).alias("_sea"),
+        F.sum(va).alias("_sva"),
+    )
+    or_mh = F.when(
+        (F.col("_num") > 0) & (F.col("_den") > 0),
+        F.col("_num") / F.col("_den"),
+    )
+    chi2 = F.when(
+        F.col("_sva") > 0,
+        F.pow(
+            F.abs(F.col("_sa") - F.col("_sea")) - F.lit(0.5), 2
+        )
+        / F.col("_sva"),
+    )
+    return agg.select(
+        F.col("k_strata").cast("long"),
+        F.col("n").cast("long"),
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(F.log(or_mh), 6).alias("log_or_mh"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def regression_metrics(
+    df: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """Regression evaluation suite in ONE scan — MAE, RMSE, bias,
+    R^2, MAPE, sMAPE and RMSLE from a single conditional-aggregate
+    pass (every term is a moment of (y, yhat); no metric costs a
+    second scan):
+
+        mape  over rows with y != 0;  smape denominator
+        (|y| + |yhat|)/2 over rows where it is > 0;
+        rmsle over rows with y > -1 AND yhat > -1.
+
+    The per-metric domains are tracked explicitly (``n_mape`` etc.) —
+    silently dropping rows is how MAPE lies. Returns one row rounded
+    to 6; R^2 null for zero-variance actuals.
+    """
+    y = F.col(actual_col).cast("double")
+    p = F.col(predicted_col).cast("double")
+    base = df.filter(y.isNotNull() & p.isNotNull())
+    err = p - y
+    sden = (F.abs(y) + F.abs(p)) / 2
+    log_ok = (y > -1) & (p > -1)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(err)).alias("_mae"),
+        F.avg(err * err).alias("_mse"),
+        F.avg(err).alias("_bias"),
+        F.avg(y).alias("_my"),
+        F.avg(y * y).alias("_myy"),
+        F.count(F.when(y != 0, 1)).alias("n_mape"),
+        F.avg(F.when(y != 0, F.abs(err) / F.abs(y))).alias("_mape"),
+        F.count(F.when(sden > 0, 1)).alias("n_smape"),
+        F.avg(F.when(sden > 0, F.abs(err) / sden)).alias("_smape"),
+        F.count(F.when(log_ok, 1)).alias("n_rmsle"),
+        F.avg(
+            F.when(
+                log_ok,
+                F.pow(
+                    F.log1p(p) - F.log1p(y), 2
+                ),
+            )
+        ).alias("_msle"),
+    )
+    var_y = F.col("_myy") - F.col("_my") * F.col("_my")
+    r2 = F.when(var_y > 0, F.lit(1.0) - F.col("_mse") / var_y)
+    return agg.select(
+        F.col("n").cast("long"),
+        F.round("_mae", 6).alias("mae"),
+        F.round(F.sqrt("_mse"), 6).alias("rmse"),
+        F.round("_bias", 6).alias("bias"),
+        F.round(r2, 6).alias("r2"),
+        F.col("n_mape").cast("long"),
+        F.round("_mape", 6).alias("mape"),
+        F.col("n_smape").cast("long"),
+        F.round("_smape", 6).alias("smape"),
+        F.col("n_rmsle").cast("long"),
+        F.round(F.sqrt("_msle"), 6).alias("rmsle"),
+    )
