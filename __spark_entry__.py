@@ -5305,6 +5305,16 @@ def _q_neyman(spark, sf_dir):
     return neyman_allocation(li, "l_returnflag", "l_extendedprice", 1000)
 
 
+def _q_hll_by_group(spark, sf_dir):
+    """Per-return-flag HLL distinct order keys — keyed register merge
+    (a group's state never exceeds 2^p rows); estimates reproduced
+    bit-for-bit by the oracle."""
+    from spark_bestfit_spark.operators.stats import hll_distinct_by_group
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_distinct_by_group(li, "l_orderkey", "l_returnflag", p=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5438,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel": _q_mantel_haenszel,
         "regression_metrics": _q_regression_metrics,
         "neyman_allocation": _q_neyman,
+        "hll_by_group": _q_hll_by_group,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12339,5 +12350,66 @@ def oracle_sql() -> dict[str, str]:
                      n_rows
                    )::BIGINT AS allocated
             FROM rk
+        """,
+        "hll_by_group": """
+            WITH h AS (
+              SELECT l_returnflag AS g,
+                     ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15)
+                     )::BIGINT AS h
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ),
+            st AS (SELECT g, h % 4096 AS bk, h // 4096 AS w FROM h),
+            rho AS (
+              SELECT g, bk,
+                     CASE WHEN w > 0
+                       THEN 48 - floor(log2(w))::INT
+                       ELSE 49 END AS r
+              FROM st
+            ),
+            regs AS (
+              SELECT g, bk, max(r) AS m FROM rho GROUP BY g, bk
+            ),
+            fold AS (
+              SELECT g,
+                     sum((1::BIGINT << (50 - m)))::BIGINT AS isum,
+                     count(*)::BIGINT AS present
+              FROM regs GROUP BY g
+            ),
+            ex AS (
+              SELECT l_returnflag AS g, count(*)::BIGINT AS n,
+                     count(DISTINCT l_orderkey)::BIGINT AS exact
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_returnflag IS NOT NULL
+              GROUP BY 1
+            ),
+            est AS (
+              SELECT ex.g, n, exact, present,
+                     (isum + (4096 - present)
+                       * (1::BIGINT << 50))::DOUBLE
+                       / 1125899906842624.0 AS divisor
+              FROM fold JOIN ex ON fold.g = ex.g
+            ),
+            raw AS (
+              SELECT g, n, exact, present,
+                     0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                       / divisor AS e_raw
+              FROM est
+            ),
+            fin AS (
+              SELECT g, n, exact,
+                     CASE WHEN e_raw <= 2.5 * 4096
+                               AND (4096 - present) > 0
+                       THEN 4096.0 * ln(4096.0 / (4096 - present))
+                       ELSE e_raw END AS e
+              FROM raw
+            )
+            SELECT g AS l_returnflag, n AS n_rows,
+                   exact AS exact_distinct,
+                   round(e, 6) AS hll_estimate,
+                   round(abs(e - exact) / exact, 6) AS rel_error
+            FROM fin
         """,
     }

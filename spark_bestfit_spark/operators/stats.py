@@ -5111,3 +5111,89 @@ def regression_metrics(
         F.col("n_rmsle").cast("long"),
         F.round(F.sqrt("_msle"), 6).alias("rmsle"),
     )
+
+
+def hll_distinct_by_group(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct counts — the grouped form of
+    :func:`hll_distinct` (distinct users per segment, distinct
+    queries per day) where the sketch property that matters is KEYED
+    MERGEABILITY: registers live on (group, bucket) keys and merge by
+    max map-side, so a group's registers never exceed 2^p rows no
+    matter how many raw rows it has. The exact count rides the same
+    scan for the error report — at true scale you would drop it and
+    keep only the sketch; here it IS the audit.
+
+    Same integer-exact register fold as the global form
+    (order/partitioning-invariant). Returns per group: ``(group,
+    n_rows, exact_distinct, hll_estimate, rel_error)`` rounded to 6.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    wbits = 60 - p
+    base = df.filter(
+        F.col(column).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.conv(
+            F.substring(F.md5(F.col(column).cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    staged = base.select(
+        "_g",
+        F.pmod("_h", F.lit(m)).alias("_bk"),
+        F.shiftright("_h", p).alias("_w"),
+    ).select(
+        "_g",
+        "_bk",
+        F.when(
+            F.col("_w") > 0,
+            F.lit(wbits) - F.floor(F.log2("_w")).cast("int"),
+        )
+        .otherwise(F.lit(wbits + 1))
+        .alias("_rho"),
+    )
+    regs = staged.groupBy("_g", "_bk").agg(F.max("_rho").alias("_M"))
+    folded = regs.groupBy("_g").agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 50 - _M)")
+        ).alias("_isum"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    exact = df.filter(
+        F.col(column).isNotNull() & F.col(group_col).isNotNull()
+    ).groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(column).alias("_exact"),
+    )
+    total = (
+        F.col("_isum")
+        + (F.lit(m) - F.col("_present"))
+        * F.lit(1 << 50).cast("long")
+    )
+    divisor = total.cast("double") / F.lit(float(1 << 50))
+    e_raw = F.lit(alpha * m * m) / divisor
+    v = F.lit(m) - F.col("_present")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return exact.join(folded, "_g").select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_exact").cast("long").alias("exact_distinct"),
+        F.round(e, 6).alias("hll_estimate"),
+        F.round(
+            F.abs(e - F.col("_exact")) / F.col("_exact"), 6
+        ).alias("rel_error"),
+    )

@@ -487,3 +487,49 @@ class TestDrPolicyValue:
             dr_policy_value(
                 df, "a", "p", "r", "pol", "qp", "ql", clip=-1
             )
+
+
+from spark_bestfit_spark.operators.stats import (  # noqa: E402
+    hll_distinct_by_group,
+)
+
+
+class TestHllByGroup:
+    def test_per_group_accuracy_and_independence(self, spark):
+        df = spark.range(30_000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").alias("v"),
+        )
+        out = {
+            r.g: r for r in hll_distinct_by_group(df, "v", "g").collect()
+        }
+        assert len(out) == 3
+        for g, r in out.items():
+            assert r.exact_distinct == 10_000
+            assert r.rel_error < 0.05
+
+    def test_matches_global_on_single_group(self, spark):
+        from spark_bestfit_spark.operators.stats import hll_distinct
+
+        df = spark.range(7000).select(
+            F.lit("only").alias("g"), F.col("id").alias("v")
+        )
+        (grouped,) = hll_distinct_by_group(df, "v", "g").collect()
+        (g,) = hll_distinct(df, "v").collect()
+        assert grouped.hll_estimate == g.hll_estimate
+
+    def test_partitioning_invariance(self, spark):
+        df = spark.range(5000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").alias("v"),
+        )
+        a = sorted(map(tuple, hll_distinct_by_group(df, "v", "g").collect()))
+        b = sorted(
+            map(
+                tuple,
+                hll_distinct_by_group(
+                    df.repartition(19), "v", "g"
+                ).collect(),
+            )
+        )
+        assert a == b
