@@ -5315,6 +5315,25 @@ def _q_hll_by_group(spark, sf_dir):
     return hll_distinct_by_group(li, "l_orderkey", "l_returnflag", p=12)
 
 
+def _q_vocab_richness(spark, sf_dir):
+    """Chao1 + Good-Turing coverage from the frequency-of-frequencies
+    relation — estimates the UNSEEN vocabulary; two tiny groupBys."""
+    from spark_bestfit_spark.operators.textstats import vocab_richness
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_richness(docs, "text")
+
+
+def _q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V = k N^beta over the exact
+    first-occurrence growth curve (doc-order prefix sums on the
+    bucketed spine), log-log OLS on 20 checkpoints."""
+    from spark_bestfit_spark.operators.textstats import heaps_law
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_law(docs, "text", "doc_id", checkpoints=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5449,6 +5468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_metrics": _q_regression_metrics,
         "neyman_allocation": _q_neyman,
         "hll_by_group": _q_hll_by_group,
+        "vocab_richness": _q_vocab_richness,
+        "heaps_law": _q_heaps_law,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12411,5 +12432,103 @@ def oracle_sql() -> dict[str, str]:
                    round(e, 6) AS hll_estimate,
                    round(abs(e - exact) / exact, 6) AS rel_error
             FROM fin
+        """,
+        "vocab_richness": r"""
+            WITH counts AS (
+              SELECT w, count(*)::BIGINT AS c FROM (
+                SELECT unnest(regexp_split_to_array(
+                  lower(trim(text)), '\s+')) AS w
+                FROM documents
+              ) WHERE w != '' GROUP BY w
+            ),
+            fof AS (
+              SELECT c, count(*)::BIGINT AS ft
+              FROM counts GROUP BY c
+            ),
+            agg AS (
+              SELECT sum(ft)::BIGINT AS d,
+                     sum(c * ft)::BIGINT AS n,
+                     coalesce(sum(CASE WHEN c = 1 THEN ft END), 0)
+                       ::BIGINT AS f1,
+                     coalesce(sum(CASE WHEN c = 2 THEN ft END), 0)
+                       ::BIGINT AS f2
+              FROM fof
+            )
+            SELECT d AS observed_types, n AS n_tokens, f1, f2,
+                   round(d + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6)
+                     AS chao1,
+                   round(f1 / n::DOUBLE, 6) AS unseen_mass,
+                   round(1.0 - f1 / n::DOUBLE, 6) AS coverage
+            FROM agg
+        """,
+        "heaps_law": r"""
+            WITH toks AS (
+              SELECT doc_id AS d, w FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                  lower(trim(text)), '\s+')) AS w
+                FROM documents
+              ) WHERE w != ''
+            ),
+            per_doc AS (
+              SELECT d, count(*)::BIGINT AS nt FROM toks GROUP BY d
+            ),
+            first_seen AS (
+              SELECT w, min(d) AS d FROM toks GROUP BY w
+            ),
+            new_types AS (
+              SELECT d, count(*)::BIGINT AS nv
+              FROM first_seen GROUP BY d
+            ),
+            curve AS (
+              SELECT per_doc.d, nt, coalesce(nv, 0) AS nv
+              FROM per_doc LEFT JOIN new_types USING (d)
+            ),
+            run AS (
+              SELECT d,
+                     sum(nt) OVER (ORDER BY d) AS N,
+                     sum(nv) OVER (ORDER BY d) AS V,
+                     row_number() OVER (ORDER BY d) AS rk,
+                     count(*) OVER () AS total
+              FROM curve
+            ),
+            pts AS (
+              SELECT ln(N::DOUBLE) AS x, ln(V::DOUBLE) AS y, N, V,
+                     total
+              FROM run
+              WHERE ((rk * 20) % total < 20 OR rk = total)
+                AND N > 0 AND V > 0
+            ),
+            fit AS (
+              SELECT count(*)::BIGINT AS m,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy,
+                     sum(y * y) AS syy,
+                     max(N)::BIGINT AS n_tokens,
+                     max(V)::BIGINT AS n_types,
+                     max(total)::BIGINT AS n_docs
+              FROM pts
+            ),
+            sol AS (
+              SELECT *,
+                     CASE WHEN m >= 3
+                          AND m::DOUBLE * sxx - sx * sx > 0
+                       THEN (m::DOUBLE * sxy - sx * sy)
+                            / (m::DOUBLE * sxx - sx * sx)
+                     END AS beta
+              FROM fit
+            ),
+            ic AS (
+              SELECT *, (sy - beta * sx) / m::DOUBLE AS icpt
+              FROM sol
+            )
+            SELECT n_docs, n_tokens, n_types,
+                   round(exp(icpt), 6) + 0.0 AS k,
+                   round(beta, 6) + 0.0 AS beta,
+                   CASE WHEN syy - sy * sy / m::DOUBLE > 0
+                     THEN round(1.0 - (syy - icpt * sy - beta * sxy)
+                                / (syy - sy * sy / m::DOUBLE), 6)
+                          + 0.0
+                   END AS r2
+            FROM ic
         """,
     }

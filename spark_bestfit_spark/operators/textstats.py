@@ -1411,3 +1411,206 @@ def kneser_ney_bigrams(
     if k is not None:
         out = out.orderBy(F.desc("c12"), "w1", "w2").limit(int(k))
     return out
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary richness and coverage estimation from the
+    frequency-of-frequencies relation — the "how much vocabulary have
+    we NOT seen yet?" answer that drives corpus-acquisition decisions
+    (complements :func:`vocab_coverage`, which describes the seen
+    corpus; this estimates the unseen):
+
+        Chao1   = D + f1 (f1 - 1) / (2 (f2 + 1))   (bias-corrected
+                  lower bound on the TRUE vocabulary size)
+        P0      = f1 / N                           (Good-Turing unseen
+                  probability mass: the chance the next token is new)
+        coverage = 1 - P0                          (Good's estimator)
+
+    where D = observed types, N = tokens, f1/f2 = singleton/doubleton
+    type counts. Execution: one corpus token groupBy (vocab-sized),
+    one frequency-of-frequencies groupBy (tiny), a 1-row fold — all
+    map-combinable. Returns one row rounded to 6.
+    """
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    fof = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_ft"))
+    agg = fof.agg(
+        F.sum("_ft").alias("_d"),
+        F.sum(F.col("_c") * F.col("_ft")).alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") == 1, F.col("_ft"))), F.lit(0)
+        ).alias("_f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") == 2, F.col("_ft"))), F.lit(0)
+        ).alias("_f2"),
+    )
+    chao1 = F.col("_d") + (
+        F.col("_f1") * (F.col("_f1") - 1)
+    ) / (F.lit(2.0) * (F.col("_f2") + 1))
+    p0 = F.col("_f1") / F.col("_n")
+    return agg.select(
+        F.col("_d").cast("long").alias("observed_types"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_f1").cast("long").alias("f1"),
+        F.col("_f2").cast("long").alias("f2"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(p0, 6).alias("unseen_mass"),
+        F.round(F.lit(1.0) - p0, 6).alias("coverage"),
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 20,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth ``V(N) = k N^beta`` — how
+    fast the vocabulary grows as the corpus grows, the planning curve
+    for tokenizer budgets and dedup index sizing (natural text: beta
+    ~ 0.4-0.6; beta near 1 flags id-like/noisy token streams).
+
+    Exact growth curve WITHOUT re-scanning per checkpoint: each type
+    contributes at its FIRST occurrence, so one (token -> min doc
+    order, token count) pass + a doc-order prefix-sum spine give the
+    exact (tokens-so-far, types-so-far) curve at every document;
+    ``checkpoints`` evenly spaced curve points (by doc rank) feed the
+    log-log OLS (the :func:`~spark_bestfit_spark.operators.stats.
+    linear_fit` moment algebra inline). Doc order is ``id_col``
+    ascending — deterministic on any engine.
+
+    Returns one row: ``(n_docs, n_tokens, n_types, k, beta, r2)``
+    rounded to 6; null fit for corpora with < 3 checkpoints.
+    """
+    if checkpoints < 3:
+        raise ValueError("checkpoints must be >= 3")
+    from pyspark.sql import Window as _W
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(_tokens(F.col(text_col))).alias("_w"),
+    ).filter(F.col("_w") != "")
+    # per doc: token count; per type: first doc
+    per_doc = toks.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_nt")
+    )
+    first_seen = toks.groupBy("_w").agg(F.min("_doc").alias("_doc"))
+    new_types = first_seen.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_nv")
+    )
+    curve = (
+        per_doc.join(new_types, "_doc", "left")
+        .fillna({"_nv": 0})
+    )
+    # doc-order prefix sums on the partitioned two-phase spine (the
+    # quantile_rank construction): the curve relation is DOC-sized —
+    # a single-partition window over it would be the exact
+    # anti-pattern this engine avoids. Equi-width doc-id buckets,
+    # <= 1024 bucket totals folded driver-side into exclusive
+    # offsets, one bucket-hash window.
+    spark = df.sparkSession
+    stats = curve.agg(
+        F.min("_doc").alias("lo"),
+        F.max("_doc").alias("hi"),
+        F.count(F.lit(1)).alias("total"),
+    ).first()
+    total = int(stats["total"] or 0)
+    if total == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, None, None, None)],
+            "n_docs long, n_tokens long, n_types long, "
+            "k double, beta double, r2 double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi > lo:
+        bk = F.width_bucket(
+            F.col("_doc"), F.lit(lo), F.lit(hi), F.lit(1024)
+        )
+    else:
+        bk = F.lit(1)
+    btot = (
+        curve.groupBy(bk.alias("_bk"))
+        .agg(
+            F.sum("_nt").alias("tn"),
+            F.sum("_nv").alias("tv"),
+            F.count(F.lit(1)).alias("tc"),
+        )
+        .collect()
+    )
+    on = ov = oc = 0
+    offs = []
+    for r in sorted(btot, key=lambda r: int(r["_bk"])):
+        offs.append((int(r["_bk"]), on, ov, oc))
+        on += int(r["tn"])
+        ov += int(r["tv"])
+        oc += int(r["tc"])
+    off = spark.createDataFrame(
+        offs, "_bk long, on long, ov long, oc long"
+    )
+    w = (
+        _W.partitionBy("_bk")
+        .orderBy("_doc")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    wr = _W.partitionBy("_bk").orderBy("_doc")
+    run = (
+        curve.withColumn("_bk", bk)
+        .join(F.broadcast(off), "_bk")
+        .withColumn("_N", F.col("on") + F.sum("_nt").over(w))
+        .withColumn("_V", F.col("ov") + F.sum("_nv").over(w))
+        .withColumn(
+            "_rk", F.col("oc") + F.row_number().over(wr)
+        )
+        .withColumn("_total", F.lit(total))
+    )
+    # evenly spaced checkpoints by doc rank (always includes the last)
+    pick = (
+        F.pmod(F.col("_rk") * F.lit(int(checkpoints)), F.col("_total"))
+        < F.lit(int(checkpoints))
+    ) | (F.col("_rk") == F.col("_total"))
+    pts = run.filter(pick & (F.col("_N") > 0) & (F.col("_V") > 0))
+    x = F.log(F.col("_N").cast("double"))
+    y = F.log(F.col("_V").cast("double"))
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.max("_N").alias("n_tokens"),
+        F.max("_V").alias("n_types"),
+        F.max("_total").alias("n_docs"),
+    )
+    mm = F.col("m").cast("double")
+    det = mm * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        (F.col("m") >= 3) & (det > 0),
+        (mm * F.col("sxy") - F.col("sx") * F.col("sy")) / det,
+    )
+    intercept = (F.col("sy") - beta * F.col("sx")) / mm
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / mm
+    ss_res = (
+        F.col("syy")
+        - intercept * F.col("sy")
+        - beta * F.col("sxy")
+    )
+    r2 = F.when(ss_tot > 0, F.lit(1.0) - ss_res / ss_tot)
+    # + 0.0 folds IEEE negative zero (a saturated-vocab corpus fits
+    # beta ~ -1e-9, which rounds to -0.0 on one engine and 0.0 on the
+    # other)
+    return fit.select(
+        F.col("n_docs").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_types").cast("long"),
+        (F.round(F.exp(intercept), 6) + F.lit(0.0)).alias("k"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )

@@ -311,3 +311,69 @@ class TestHoltBacktest:
         assert r.n_evals == 0 and r.mae is None
         with pytest.raises(ValueError):
             holt_backtest(df, "ts", "value", alpha=0.0)
+
+
+from spark_bestfit_spark.operators.textstats import (  # noqa: E402
+    heaps_law,
+    vocab_richness,
+)
+
+
+class TestVocabRichness:
+    def test_hand_computed(self, spark):
+        # counts: a:3, b:2, c:1, d:1 -> D=4, N=7, f1=2, f2=1
+        df = _docs(spark, ["a a a b", "b c d"])
+        (r,) = vocab_richness(df, "text").collect()
+        assert (r.observed_types, r.n_tokens, r.f1, r.f2) == (4, 7, 2, 1)
+        assert r.chao1 == round(4 + 2 * 1 / (2 * 2), 6)  # 4.5
+        assert r.unseen_mass == round(2 / 7, 6)
+        assert r.coverage == round(1 - 2 / 7, 6)
+
+    def test_no_singletons_full_coverage(self, spark):
+        df = _docs(spark, ["x x y y"])
+        (r,) = vocab_richness(df, "text").collect()
+        assert r.f1 == 0
+        assert r.chao1 == float(r.observed_types)
+        assert r.coverage == 1.0
+
+    def test_chao1_lower_bounds_true_vocab(self, spark):
+        rng = random.Random(4)
+        # zipf-ish draws from a 400-type vocabulary
+        vocab = [f"w{i}" for i in range(400)]
+        weights = [1.0 / (i + 1) for i in range(400)]
+        texts = [
+            " ".join(rng.choices(vocab, weights=weights, k=80))
+            for _ in range(40)
+        ]
+        (r,) = vocab_richness(_docs(spark, texts), "text").collect()
+        assert r.observed_types < 400
+        assert r.chao1 > r.observed_types  # predicts unseen types
+
+
+class TestHeapsLaw:
+    def test_power_law_corpus_recovers_beta(self, spark):
+        rng = random.Random(9)
+        vocab = [f"w{i}" for i in range(5000)]
+        weights = [1.0 / (i + 1) for i in range(5000)]
+        texts = [
+            " ".join(rng.choices(vocab, weights=weights, k=60))
+            for _ in range(300)
+        ]
+        (r,) = heaps_law(_docs(spark, texts), "text").collect()
+        assert 0.3 < r.beta < 0.95
+        assert r.r2 > 0.95  # Heaps is a good fit for zipfian text
+        assert r.n_docs == 300
+        assert r.n_types <= 5000
+
+    def test_saturated_vocab_flat_beta(self, spark):
+        df = _docs(spark, ["a b c"] * 50)
+        (r,) = heaps_law(df, "text", checkpoints=10).collect()
+        assert r.n_types == 3
+        assert r.beta is not None and abs(r.beta) < 0.2
+
+    def test_validation_and_empty(self, spark):
+        df = _docs(spark, [])
+        (r,) = heaps_law(df, "text").collect()
+        assert r.n_docs == 0 and r.beta is None
+        with pytest.raises(ValueError):
+            heaps_law(_docs(spark, ["a"]), "text", checkpoints=2)
