@@ -623,6 +623,48 @@ def main() -> None:
         ).filter("jw_a < jw_b").count(),
         rounds=1,
     )
+    # one-scan audit tier: N expectations = N conditional sums; the
+    # line pins that adding rules never adds scans
+    from spark_bestfit_spark.operators.quality import validate_rules
+
+    bench(
+        "q_validate_rules",
+        lambda: validate_rules(
+            lineitem,
+            {
+                "qty": "l_quantity BETWEEN 1 AND 50",
+                "price": "l_extendedprice > 0",
+                "disc": "l_discount BETWEEN 0 AND 0.1",
+                "tax": "l_tax >= 0",
+                "flag": "l_returnflag IN ('A','N','R')",
+                "ln": "l_linenumber <= 7",
+            },
+        ).count(),
+        rounds=2,
+    )
+    # uplift evaluation on the sort-free rank spine
+    from spark_bestfit_spark.operators.stats import qini_curve
+
+    li_uplift = lineitem.withColumn(
+        "_t", (F.col("l_discount") > 0.05).cast("int")
+    ).withColumn("_yy", (F.col("l_returnflag") == "R").cast("int"))
+    bench(
+        "q_qini",
+        lambda: qini_curve(
+            li_uplift, "l_extendedprice", "_t", "_yy", 10
+        ).count(),
+        rounds=2,
+    )
+    # simplified silhouette: broadcast points x centroids cross
+    from spark_bestfit_spark.operators.similarity import (
+        silhouette_score,
+    )
+
+    bench(
+        "q_silhouette",
+        lambda: silhouette_score(emb01).count(),
+        rounds=2,
+    )
 
     # round-7 families: event analytics (one entity-hash exchange),
     # Misra-Gries-bounded exact heavy hitters (map-only sketch), and
