@@ -5334,6 +5334,64 @@ def _q_heaps_law(spark, sf_dir):
     return heaps_law(docs, "text", "doc_id", checkpoints=20)
 
 
+def _q_streaming_hampel(spark, sf_dir):
+    """Streaming Hampel spike filter: events replay through
+    applyInPandasWithState in FOUR ts-ordered micro-batches; the
+    emitted median/MAD scores must equal the batch trailing-window
+    SQL — robust keyed state provably survives trigger boundaries."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming.anomaly import streaming_hampel
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    cache_key = ("anomaly_staged", sf_dir)
+    staged = _STAGED_DIRS.get(cache_key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="sbf_stage_anomaly_")
+        pdf = (
+            _read(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 40)
+            .select("user_id", "ts", "value")
+            .toPandas()
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        base = _time.time() - 1000
+        nb = 4
+        step = (len(pdf) + nb - 1) // nb
+        for i in range(nb):
+            p = os.path.join(staged, f"batch_{i}.parquet")
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(p, index=False)
+            os.utime(p, (base + i, base + i))
+        _STAGED_DIRS[cache_key] = staged
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+    out = streaming_hampel(
+        stream, "value", "ts", "user_id",
+        window=7, n_sigmas=3.0, min_periods=3,
+    )
+    drained = run_stream_once(
+        out, output_mode="append", state_partitions=8
+    )
+    return drained.select(
+        F.col("key").cast("long").alias("user_id"),
+        "ts",
+        "hampel_count",
+        "hampel_median",
+        "hampel_mad",
+        "hampel_score",
+        "hampel_outlier",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5470,6 +5528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_group": _q_hll_by_group,
         "vocab_richness": _q_vocab_richness,
         "heaps_law": _q_heaps_law,
+        "streaming_hampel": _q_streaming_hampel,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12530,5 +12589,59 @@ def oracle_sql() -> dict[str, str]:
                           + 0.0
                    END AS r2
             FROM ic
+        """,
+        "streaming_hampel": """
+            WITH seq AS (
+              SELECT user_id, epoch_ns(ts) AS ts,
+                     value::DOUBLE AS x,
+                     list_sort(list(value::DOUBLE) OVER w) AS vals
+              FROM events
+              WHERE user_id < 40 AND value IS NOT NULL
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+              )
+            ),
+            med AS (
+              SELECT user_id, ts, x, vals, len(vals) AS n,
+                     vals[floor((len(vals) - 1) * 0.5)::INT + 1]
+                     + ((len(vals) - 1) * 0.5
+                        - floor((len(vals) - 1) * 0.5))
+                       * (vals[least(
+                            floor((len(vals) - 1) * 0.5)::INT + 2,
+                            len(vals))]
+                          - vals[floor((len(vals) - 1) * 0.5)::INT
+                                 + 1]) AS m
+              FROM seq
+            ),
+            dev AS (
+              SELECT user_id, ts, x, n, m,
+                     list_sort([abs(v - m) for v in vals]) AS devs
+              FROM med
+            ),
+            mad AS (
+              SELECT user_id, ts, x, n, m,
+                     devs[floor((n - 1) * 0.5)::INT + 1]
+                     + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+                       * (devs[least(floor((n - 1) * 0.5)::INT + 2,
+                                     n)]
+                          - devs[floor((n - 1) * 0.5)::INT + 1])
+                       AS d
+              FROM dev
+            )
+            SELECT user_id, ts, n::BIGINT AS hampel_count,
+                   CASE WHEN n >= 3 THEN round(m, 6) END
+                     AS hampel_median,
+                   CASE WHEN n >= 3 THEN round(d, 6) END
+                     AS hampel_mad,
+                   CASE WHEN n >= 3 AND d > 0
+                     THEN round(abs(x - m) / (1.4826 * d), 6) END
+                     AS hampel_score,
+                   CASE WHEN n < 3 THEN NULL
+                        WHEN d > 0
+                          THEN abs(x - m) / (1.4826 * d) > 3.0
+                        ELSE x != m
+                   END AS hampel_outlier
+            FROM mad
         """,
     }

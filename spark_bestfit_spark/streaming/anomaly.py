@@ -34,7 +34,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["streaming_rolling_anomaly", "ANOMALY_SCHEMA"]
+__all__ = [
+    "streaming_rolling_anomaly",
+    "streaming_hampel",
+    "ANOMALY_SCHEMA",
+    "HAMPEL_SCHEMA",
+]
 
 ANOMALY_SCHEMA = StructType(
     [
@@ -137,4 +142,124 @@ def streaming_rolling_anomaly(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HAMPEL_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("hampel_count", LongType()),
+        StructField("hampel_median", DoubleType()),
+        StructField("hampel_mad", DoubleType()),
+        StructField("hampel_score", DoubleType()),
+        StructField("hampel_outlier", BooleanType()),
+    ]
+)
+
+
+def _interp_median(arr: np.ndarray) -> float:
+    """Interpolated median with the EXACT expression of the batch
+    operator and its SQL oracle — ``v_lo + frac * (v_hi - v_lo)``,
+    NOT numpy's ``(a + b) / 2`` (same value in exact math, different
+    last-ulp float path)."""
+    n = len(arr)
+    pos = (n - 1) * 0.5
+    lo = int(pos)
+    frac = pos - lo
+    hi = min(lo + 1, n - 1)
+    return float(arr[lo] + frac * (arr[hi] - arr[lo]))
+
+
+def streaming_hampel(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: int = 10,
+    n_sigmas: float = 3.0,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`~spark_bestfit_spark.operators.asof.hampel_filter`: score
+    each arriving row against the trailing-``window`` median and MAD
+    of its own entity (current row INCLUDED, the batch convention —
+    in-order streams reproduce the batch rows exactly, pinned by the
+    equivalence test). Median/MAD are 50%-breakdown estimators, so a
+    spike cannot inflate its own baseline the way the rolling-z
+    detector's mean/stddev let it.
+
+    Same O(window) keyed double-array state as
+    :func:`streaming_rolling_anomaly`; both medians use the exact
+    interpolation expression of the batch operator and its SQL
+    oracle. Emits ``hampel_median/mad/score`` rounded to 6 (null
+    below ``min_periods``; score null at zero MAD where
+    ``hampel_outlier`` falls back to value != median).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if n_sigmas <= 0:
+        raise ValueError("n_sigmas must be positive")
+    if not 1 <= min_periods <= window:
+        raise ValueError("min_periods must be in [1, window]")
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (vals,) = state.get if state.exists else ([],)
+        buf = list(vals)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            out = {c.name: [] for c in HAMPEL_SCHEMA.fields}
+            for ts, v in zip(
+                pdf[ts_col].to_numpy(), pdf[value_col].to_numpy()
+            ):
+                fv = float(v)
+                if not np.isfinite(fv):
+                    continue
+                buf.append(fv)
+                if len(buf) > window:
+                    buf = buf[-window:]
+                n = len(buf)
+                out["key"].append(str(key[0]))
+                out["ts"].append(int(ts))
+                out["value"].append(fv)
+                out["hampel_count"].append(n)
+                if n >= min_periods:
+                    arr = np.sort(np.asarray(buf))
+                    med = _interp_median(arr)
+                    mad = _interp_median(
+                        np.sort(np.abs(arr - med))
+                    )
+                    out["hampel_median"].append(round(med, 6))
+                    out["hampel_mad"].append(round(mad, 6))
+                    if mad > 0:
+                        score = abs(fv - med) / (1.4826 * mad)
+                        out["hampel_score"].append(round(score, 6))
+                        out["hampel_outlier"].append(
+                            score > n_sigmas
+                        )
+                    else:
+                        out["hampel_score"].append(None)
+                        out["hampel_outlier"].append(fv != med)
+                else:
+                    out["hampel_median"].append(None)
+                    out["hampel_mad"].append(None)
+                    out["hampel_score"].append(None)
+                    out["hampel_outlier"].append(None)
+            yield pd.DataFrame(out)
+        state.update((buf,))
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            HAMPEL_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
