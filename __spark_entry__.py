@@ -5392,6 +5392,61 @@ def _q_streaming_hampel(spark, sf_dir):
     )
 
 
+def _q_streaming_cusum(spark, sf_dir):
+    """Streaming CUSUM control chart per user (target 50, k=2, h=60):
+    two doubles of keyed state; the oracle replays the reset-on-alarm
+    recursion as a recursive CTE — full trajectories must match."""
+    import pyspark.sql.functions as F
+
+    import os
+    import tempfile
+    import time as _time
+
+    from spark_bestfit_spark.streaming.anomaly import streaming_cusum
+    from spark_bestfit_spark.streaming.run import run_stream_once
+
+    cache_key = ("anomaly_staged", sf_dir)
+    staged = _STAGED_DIRS.get(cache_key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="sbf_stage_anomaly_")
+        pdf = (
+            _read(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 40)
+            .select("user_id", "ts", "value")
+            .toPandas()
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        base = _time.time() - 1000
+        nb = 4
+        step = (len(pdf) + nb - 1) // nb
+        for i in range(nb):
+            p = os.path.join(staged, f"batch_{i}.parquet")
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(p, index=False)
+            os.utime(p, (base + i, base + i))
+        _STAGED_DIRS[cache_key] = staged
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(staged)
+    )
+    out = streaming_cusum(
+        stream, target=50.0, value_col="value", ts_col="ts",
+        key_col="user_id", k=2.0, h=60.0,
+    )
+    drained = run_stream_once(
+        out, output_mode="append", state_partitions=8
+    )
+    return drained.select(
+        F.col("key").cast("long").alias("user_id"),
+        "ts",
+        "s_hi",
+        "s_lo",
+        "alarm",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5529,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": _q_vocab_richness,
         "heaps_law": _q_heaps_law,
         "streaming_hampel": _q_streaming_hampel,
+        "streaming_cusum": _q_streaming_cusum,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12643,5 +12699,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE x != m
                    END AS hampel_outlier
             FROM mad
+        """,
+        "streaming_cusum": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, epoch_ns(ts) AS ts,
+                     value::DOUBLE AS x,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts
+                     ) AS rn
+              FROM events
+              WHERE user_id < 40 AND value IS NOT NULL
+            ),
+            state AS (
+              SELECT user_id, rn, ts, x,
+                     greatest(0.0, (0.0 + (x - 50.0)) - 2.0) AS s_hi,
+                     greatest(0.0, (0.0 - (x - 50.0)) - 2.0) AS s_lo,
+                     (greatest(0.0, (0.0 + (x - 50.0)) - 2.0) > 60.0
+                      OR greatest(0.0, (0.0 - (x - 50.0)) - 2.0)
+                         > 60.0) AS alarm
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT d.user_id, d.rn, d.ts, d.x,
+                     greatest(0.0,
+                       ((CASE WHEN s.alarm THEN 0.0 ELSE s.s_hi END)
+                        + (d.x - 50.0)) - 2.0) AS s_hi,
+                     greatest(0.0,
+                       ((CASE WHEN s.alarm THEN 0.0 ELSE s.s_lo END)
+                        - (d.x - 50.0)) - 2.0) AS s_lo,
+                     (greatest(0.0,
+                        ((CASE WHEN s.alarm THEN 0.0
+                               ELSE s.s_hi END)
+                         + (d.x - 50.0)) - 2.0) > 60.0
+                      OR greatest(0.0,
+                        ((CASE WHEN s.alarm THEN 0.0
+                               ELSE s.s_lo END)
+                         - (d.x - 50.0)) - 2.0) > 60.0) AS alarm
+              FROM state s JOIN seq d
+                ON d.user_id = s.user_id AND d.rn = s.rn + 1
+            )
+            SELECT user_id, ts,
+                   round(s_hi, 6) AS s_hi,
+                   round(s_lo, 6) AS s_lo,
+                   alarm
+            FROM state
         """,
     }

@@ -37,8 +37,10 @@ from pyspark.sql.types import (
 __all__ = [
     "streaming_rolling_anomaly",
     "streaming_hampel",
+    "streaming_cusum",
     "ANOMALY_SCHEMA",
     "HAMPEL_SCHEMA",
+    "CUSUM_SCHEMA",
 ]
 
 ANOMALY_SCHEMA = StructType(
@@ -259,6 +261,95 @@ def streaming_hampel(
             update,
             HAMPEL_SCHEMA,
             _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("s_hi", DoubleType()),
+        StructField("s_lo", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = "s_hi double, s_lo double"
+
+
+def streaming_cusum(
+    df: DataFrame,
+    target: float,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    k: float = 0.5,
+    h: float = 5.0,
+    reset_on_alarm: bool = True,
+) -> DataFrame:
+    """Streaming tabular CUSUM control chart (Page 1954) — the
+    real-time mean-shift detector beside the offline retrospective
+    :func:`~spark_bestfit_spark.operators.events.cusum_changepoint`
+    (that one LOCATES a past shift; this one fires DURING one, with
+    O(1) keyed state):
+
+        s_hi_t = max(0, s_hi_{t-1} + (x_t - target) - k)
+        s_lo_t = max(0, s_lo_{t-1} - (x_t - target) - k)
+        alarm when either side exceeds h (both reset to 0 on alarm
+        when ``reset_on_alarm`` — the restart convention of control
+        charts).
+
+    ``target``/``k``/``h`` are in the metric's own units (classic
+    choices: target = in-control mean, k = half the shift worth
+    detecting, h ~ 4-5 sigma). State per key is TWO doubles — the
+    cheapest stateful detector in the module. Statistics are rounded
+    to 6; the recursion uses the exact operation order of the
+    oracle's recursive CTE.
+    """
+    if k < 0 or h <= 0:
+        raise ValueError("k must be >= 0 and h > 0")
+    t0 = float(target)
+    kk, hh = float(k), float(h)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s_hi, s_lo = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            out = {c.name: [] for c in CUSUM_SCHEMA.fields}
+            for ts, v in zip(
+                pdf[ts_col].to_numpy(), pdf[value_col].to_numpy()
+            ):
+                fv = float(v)
+                if not np.isfinite(fv):
+                    continue
+                s_hi = max(0.0, s_hi + (fv - t0) - kk)
+                s_lo = max(0.0, s_lo - (fv - t0) - kk)
+                alarm = s_hi > hh or s_lo > hh
+                out["key"].append(str(key[0]))
+                out["ts"].append(int(ts))
+                out["value"].append(fv)
+                out["s_hi"].append(round(s_hi, 6))
+                out["s_lo"].append(round(s_lo, 6))
+                out["alarm"].append(alarm)
+                if alarm and reset_on_alarm:
+                    s_hi = s_lo = 0.0
+            yield pd.DataFrame(out)
+        state.update((s_hi, s_lo))
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            CUSUM_SCHEMA,
+            _CUSUM_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )
