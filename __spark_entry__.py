@@ -5447,6 +5447,20 @@ def _q_streaming_cusum(spark, sf_dir):
     )
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Per-dimension Welch-z drift between the even- and odd-id
+    embedding halves — localizes coordinate shifts the Procrustes
+    rotation view abstracts away."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5585,6 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": _q_heaps_law,
         "streaming_hampel": _q_streaming_hampel,
         "streaming_cusum": _q_streaming_cusum,
+        "embedding_drift": _q_embedding_drift,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12742,5 +12757,41 @@ def oracle_sql() -> dict[str, str]:
                    round(s_lo, 6) AS s_lo,
                    alarm
             FROM state
+        """,
+        "embedding_drift": """
+            WITH ex AS (
+              SELECT vec_id % 2 AS side, vec_id, embedding AS e
+              FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            expl AS (
+              SELECT side,
+                     unnest(range(1, len(e) + 1)) - 1 AS dim,
+                     unnest(e)::DOUBLE AS v
+              FROM ex
+            ),
+            mom AS (
+              SELECT side, dim, count(*)::BIGINT AS n,
+                     avg(v) AS m, var_samp(v) AS s2
+              FROM expl GROUP BY side, dim
+            ),
+            j AS (
+              SELECT a.dim,
+                     a.n AS n_a, b.n AS n_b,
+                     a.m AS mean_a, b.m AS mean_b,
+                     sqrt(a.s2 / a.n + b.s2 / b.n) AS se
+              FROM mom a JOIN mom b
+                ON a.dim = b.dim AND a.side = 0 AND b.side = 1
+            )
+            SELECT dim::INT AS dim, n_a, n_b,
+                   round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   CASE WHEN se > 0
+                     THEN round((mean_b - mean_a) / se, 6)
+                   END AS z,
+                   coalesce(
+                     CASE WHEN se > 0
+                       THEN abs((mean_b - mean_a) / se) > 3.0 END,
+                     FALSE) AS drifted
+            FROM j
         """,
     }

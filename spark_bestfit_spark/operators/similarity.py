@@ -1609,3 +1609,63 @@ def procrustes_align(
         "trace_sigma double, disparity double",
     )
     return rot, summary
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-dimension embedding drift between two snapshots — the
+    two-sample mean comparison run on every dimension at once (did
+    the space MOVE between model versions / data windows, and along
+    which axes?). Complements :func:`procrustes_align` (which asks
+    whether a rotation explains the change; this localizes raw
+    coordinate shifts):
+
+        z_d = (mean_b[d] - mean_a[d])
+              / sqrt(var_a[d]/n_a + var_b[d]/n_b)
+
+    (the per-dimension Welch z). Execution: ``posexplode`` both sides
+    to (dim, value), ONE map-combinable (side, dim) moment groupBy —
+    rows x dims rows but combiner-reduced to 2 x d before the
+    exchange — and a d-row join. Returns per dimension: ``(dim, n_a,
+    n_b, mean_a, mean_b, z, drifted)`` rounded to 6; z null where
+    the pooled standard error is 0.
+    """
+    def _mom(df, side):
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("dim", "_v"))
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{side}"),
+                F.avg(F.col("_v").cast("double")).alias(
+                    f"mean_{side}"
+                ),
+                F.var_samp(F.col("_v").cast("double")).alias(
+                    f"_var_{side}"
+                ),
+            )
+        )
+
+    j = _mom(df_a, "a").join(_mom(df_b, "b"), "dim", "inner")
+    se = F.sqrt(
+        F.col("_var_a") / F.col("n_a")
+        + F.col("_var_b") / F.col("n_b")
+    )
+    z = F.when(
+        se > 0, (F.col("mean_b") - F.col("mean_a")) / se
+    )
+    return j.select(
+        F.col("dim").cast("int"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("drifted"),
+    )

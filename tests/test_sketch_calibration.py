@@ -533,3 +533,38 @@ class TestHllByGroup:
             )
         )
         assert a == b
+
+
+from spark_bestfit_spark.operators.similarity import (  # noqa: E402
+    embedding_drift,
+)
+
+
+class TestEmbeddingDrift:
+    def _emb(self, spark, mat):
+        return spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_planted_axis_shift_localized(self, spark):
+        rng = np.random.default_rng(5)
+        a = rng.normal(0, 1, (400, 6))
+        b = rng.normal(0, 1, (400, 6))
+        b[:, 2] += 1.5  # shift ONLY dimension 2
+        out = {
+            r.dim: r
+            for r in embedding_drift(
+                self._emb(spark, a), self._emb(spark, b)
+            ).collect()
+        }
+        assert out[2].drifted is True and out[2].z > 10
+        assert sum(1 for r in out.values() if r.drifted) == 1
+
+    def test_identical_snapshots_quiet(self, spark):
+        rng = np.random.default_rng(6)
+        a = rng.normal(0, 1, (300, 4))
+        out = embedding_drift(
+            self._emb(spark, a), self._emb(spark, a)
+        ).collect()
+        assert all(r.z == 0.0 and r.drifted is False for r in out)
