@@ -597,3 +597,22 @@ class TestRound8Plans:
         # exactly the history's one window exchange — the snapshot
         # itself adds no shuffle
         assert plan.count("Exchange") == 1
+
+    def test_heaps_law_avoids_doc_sized_global_window(self, spark):
+        from spark_bestfit_spark.operators.textstats import heaps_law
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _physical(heaps_law(docs, "text", "doc_id"))
+        # the growth-curve prefix sums ride bucket-hash windows over
+        # the (doc-id) spine — a doc-sized single-partition sort would
+        # show as rangepartitioning
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_validate_rules_single_scan_many_rules(self, spark):
+        from spark_bestfit_spark.operators.quality import validate_rules
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        rules = {f"r{i}": f"l_quantity > {i}" for i in range(25)}
+        plan = _physical(validate_rules(li, rules))
+        # 25 expectations, ONE scan
+        assert plan.count("Scan parquet") == 1
