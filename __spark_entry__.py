@@ -5461,6 +5461,31 @@ def _q_embedding_drift(spark, sf_dir):
     return embedding_drift(a, b)
 
 
+def _q_hedges_g(spark, sf_dir):
+    """Hedges' g standardized effect size (A vs N return flags, price
+    scaled) — the meta-analysis number beside Cliff's delta; one
+    conditional-aggregate scan."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import hedges_g
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "price_k", F.col("l_extendedprice") / 10000.0
+    )
+    return hedges_g(li, "price_k", "l_returnflag", "A", "N")
+
+
+def _q_weighted_quantiles(spark, sf_dir):
+    """Exact quantity-weighted price quantiles — weighted-ECDF
+    inverse on the bucketed prefix-sum spine, never a global sort."""
+    from spark_bestfit_spark.operators.stats import weighted_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", qs=(0.25, 0.5, 0.9)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the 50 highest-signal queries come first: every
     SURVEY §2 operator family and every LLM-pipeline component keeps at
@@ -5600,6 +5625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hampel": _q_streaming_hampel,
         "streaming_cusum": _q_streaming_cusum,
         "embedding_drift": _q_embedding_drift,
+        "hedges_g": _q_hedges_g,
+        "weighted_quantiles": _q_weighted_quantiles,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -12793,5 +12820,76 @@ def oracle_sql() -> dict[str, str]:
                        THEN abs((mean_b - mean_a) / se) > 3.0 END,
                      FALSE) AS drifted
             FROM j
+        """,
+        "hedges_g": """
+            WITH base AS (
+              SELECT l_returnflag AS g,
+                     l_extendedprice / 10000.0 AS v
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')
+                AND l_extendedprice IS NOT NULL
+            ),
+            agg AS (
+              SELECT
+                count(CASE WHEN g = 'A' THEN 1 END)::BIGINT AS n_a,
+                count(CASE WHEN g = 'N' THEN 1 END)::BIGINT AS n_b,
+                avg(CASE WHEN g = 'A' THEN v END) AS ma,
+                avg(CASE WHEN g = 'N' THEN v END) AS mb,
+                var_samp(CASE WHEN g = 'A' THEN v END) AS va,
+                var_samp(CASE WHEN g = 'N' THEN v END) AS vb
+              FROM base
+            ),
+            d AS (
+              SELECT n_a, n_b,
+                     ((n_a - 1) * va + (n_b - 1) * vb)
+                       / (n_a + n_b - 2) AS sp2,
+                     mb - ma AS diff
+              FROM agg
+            ),
+            fin AS (
+              SELECT n_a, n_b,
+                     diff / sqrt(sp2) AS cd,
+                     diff / sqrt(sp2)
+                       * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0))
+                       AS hg,
+                     (n_a >= 2 AND n_b >= 2 AND sp2 > 0) AS ok
+              FROM d
+            )
+            SELECT n_a, n_b,
+                   CASE WHEN ok THEN round(cd, 6) END AS cohens_d,
+                   CASE WHEN ok THEN round(hg, 6) END AS hedges_g,
+                   CASE WHEN NOT ok THEN NULL
+                        WHEN abs(round(hg, 6)) < 0.2
+                          THEN 'negligible'
+                        WHEN abs(round(hg, 6)) < 0.5 THEN 'small'
+                        WHEN abs(round(hg, 6)) < 0.8 THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM fin
+        """,
+        "weighted_quantiles": """
+            WITH base AS (
+              SELECT l_extendedprice AS v,
+                     l_quantity::DOUBLE AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_quantity > 0
+            ),
+            g AS (
+              SELECT v, sum(w) AS dw FROM base GROUP BY v
+            ),
+            run AS (
+              SELECT v, dw,
+                     sum(dw) OVER (ORDER BY v) AS cw,
+                     sum(dw) OVER () AS tw
+              FROM g
+            ),
+            tgt AS (
+              SELECT unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS q
+            )
+            SELECT q, v::DOUBLE AS value,
+                   round(cw, 6) AS weight_at_or_below,
+                   round(tw, 6) AS total_weight
+            FROM run, tgt
+            WHERE cw >= q * tw AND cw - dw < q * tw
         """,
     }

@@ -5197,3 +5197,151 @@ def hll_distinct_by_group(
             F.abs(e - F.col("_exact")) / F.col("_exact"), 6
         ).alias("rel_error"),
     )
+
+
+def hedges_g(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Hedges' g standardized effect size — the parametric companion
+    to :func:`cliffs_delta` (delta is rank-based and scale-free;
+    g answers "how many pooled standard deviations apart are the
+    means?", the number meta-analyses and power calculations consume),
+    with the small-sample bias correction:
+
+        d = (mean_b - mean_a) / s_pooled
+        g = d * J,  J = 1 - 3 / (4 (n_a + n_b) - 9)
+
+    plus Cohen's conventional magnitude labels (0.2/0.5/0.8). ONE
+    conditional-aggregate scan. Returns ``(n_a, n_b, cohens_d,
+    hedges_g, magnitude)`` rounded to 6; null at degenerate pooled
+    variance or arms smaller than 2.
+    """
+    v = F.col(metric_col).cast("double")
+    ia = F.col(group_col) == F.lit(group_a)
+    ib = F.col(group_col) == F.lit(group_b)
+    base = valid_column(df.filter(ia | ib), metric_col)
+    agg = base.agg(
+        F.count(F.when(ia, 1)).cast("long").alias("n_a"),
+        F.count(F.when(ib, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(ia, v)).alias("_ma"),
+        F.avg(F.when(ib, v)).alias("_mb"),
+        F.var_samp(F.when(ia, v)).alias("_va"),
+        F.var_samp(F.when(ib, v)).alias("_vb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    sp2 = (
+        (na - 1) * F.col("_va") + (nb - 1) * F.col("_vb")
+    ) / (na + nb - 2)
+    d = (F.col("_mb") - F.col("_ma")) / F.sqrt(sp2)
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nb) - F.lit(9.0)
+    )
+    g = d * j
+    ok = (na >= 2) & (nb >= 2) & (sp2 > 0)
+    mag = (
+        F.when(~ok, F.lit(None).cast("string"))
+        .when(F.abs(F.round(g, 6)) < 0.2, F.lit("negligible"))
+        .when(F.abs(F.round(g, 6)) < 0.5, F.lit("small"))
+        .when(F.abs(F.round(g, 6)) < 0.8, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, d), 6).alias("cohens_d"),
+        F.round(F.when(ok, g), 6).alias("hedges_g"),
+        mag.alias("magnitude"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT weighted quantiles — order statistics where each row
+    counts with its weight (survey weights, token counts, importance
+    weights; the unweighted quantile of a weighted sample is simply
+    the wrong number). Weighted-ECDF inverse with the lower-edge
+    convention:
+
+        Q(q) = min { v : F_w(v) >= q * W },  F_w = running weight sum
+
+    Exact on the engine's partitioned prefix-sum spine: one
+    distinct-value groupBy (summing weights per value), bucketed
+    exclusive weight offsets folded driver-side, one bucket-hash
+    window — never a global sort. Rows with null/non-positive weights
+    are excluded. Returns one row per q: ``(q, value, weight_at_or
+    _below, total_weight)``; empty input yields no rows.
+    """
+    from pyspark.sql import Window as _W
+
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError("quantiles must be in (0, 1]")
+    w = F.col(weight_col).cast("double")
+    base = valid_column(df, value_col).filter(
+        w.isNotNull() & (w > 0)
+    )
+    spark = df.sparkSession
+    stats = base.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.sum(w).alias("tw"),
+    ).first()
+    if stats["tw"] is None:
+        return spark.createDataFrame(
+            [],
+            "q double, value double, weight_at_or_below double, "
+            "total_weight double",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    tw = float(stats["tw"])
+    g = base.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(w).alias("dw")
+    )
+    if hi > lo:
+        bk = F.width_bucket(
+            F.col("v"), F.lit(lo), F.lit(hi), F.lit(int(num_buckets))
+        )
+    else:
+        bk = F.lit(1)
+    btot = (
+        g.groupBy(bk.alias("bk")).agg(F.sum("dw").alias("tb"))
+    ).collect()
+    acc, offs = 0.0, []
+    for r in sorted(btot, key=lambda r: int(r["bk"])):
+        offs.append((int(r["bk"]), acc))
+        acc += float(r["tb"])
+    off = spark.createDataFrame(offs, "bk long, ow double")
+    wd = (
+        _W.partitionBy("bk")
+        .orderBy("v")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    run = (
+        g.withColumn("bk", bk)
+        .join(F.broadcast(off), "bk")
+        .withColumn("cw", F.col("ow") + F.sum("dw").over(wd))
+    )
+    tgt = spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = run.crossJoin(F.broadcast(tgt)).filter(
+        (F.col("cw") >= F.col("q") * F.lit(tw))
+        & (
+            F.col("cw") - F.col("dw") < F.col("q") * F.lit(tw)
+        )
+    )
+    return hit.select(
+        "q",
+        F.col("v").cast("double").alias("value"),
+        F.round("cw", 6).alias("weight_at_or_below"),
+        F.round(F.lit(tw), 6).alias("total_weight"),
+    )

@@ -568,3 +568,89 @@ class TestEmbeddingDrift:
             self._emb(spark, a), self._emb(spark, a)
         ).collect()
         assert all(r.z == 0.0 and r.drifted is False for r in out)
+
+
+from spark_bestfit_spark.operators.stats import (  # noqa: E402
+    hedges_g,
+    weighted_quantiles,
+)
+
+
+class TestHedgesG:
+    def test_hand_computed(self, spark):
+        import math
+
+        a = [1.0, 2.0, 3.0, 4.0]
+        b = [3.0, 4.0, 5.0, 6.0]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = hedges_g(df, "v", "g", "a", "b").collect()
+        import statistics
+
+        sp2 = (3 * statistics.variance(a) + 3 * statistics.variance(b)) / 6
+        d = (statistics.mean(b) - statistics.mean(a)) / math.sqrt(sp2)
+        g = d * (1 - 3 / (4 * 8 - 9))
+        assert r.cohens_d == round(d, 6)
+        assert r.hedges_g == round(g, 6)
+        assert r.magnitude == "large"
+
+    def test_identical_groups_negligible(self, spark):
+        rows = [(g, float(i % 7)) for g in "ab" for i in range(60)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = hedges_g(df, "v", "g", "a", "b").collect()
+        assert r.hedges_g == 0.0 and r.magnitude == "negligible"
+
+    def test_degenerate_null(self, spark):
+        rows = [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = hedges_g(df, "v", "g", "a", "b").collect()
+        assert r.cohens_d is None and r.magnitude is None
+
+
+class TestWeightedQuantiles:
+    def test_hand_computed(self, spark):
+        # values 1..4 with weights 1,1,1,7 -> W=10
+        rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        out = {
+            r.q: r.value
+            for r in weighted_quantiles(
+                df, "v", "w", qs=(0.1, 0.3, 0.5, 0.95)
+            ).collect()
+        }
+        assert out == {0.1: 1.0, 0.3: 3.0, 0.5: 4.0, 0.95: 4.0}
+
+    def test_matches_numpy_on_unit_weights(self, spark):
+        # with all weights 1 the weighted quantile is the lower-edge
+        # order statistic: value at index ceil(q n) - 1
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vals = np.round(rng.uniform(0, 100, 501), 3)
+        df = spark.createDataFrame(
+            [(float(v), 1.0) for v in vals], "v double, w double"
+        )
+        out = {
+            r.q: r.value
+            for r in weighted_quantiles(
+                df, "v", "w", qs=(0.25, 0.5, 0.75)
+            ).collect()
+        }
+        s = np.sort(vals)
+        for q, got in out.items():
+            assert got == float(s[int(np.ceil(q * len(s))) - 1])
+
+    def test_heavy_weight_dominates(self, spark):
+        rows = [(float(i), 1.0) for i in range(100)] + [(42.0, 1e6)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        out = {
+            r.q: r.value
+            for r in weighted_quantiles(df, "v", "w", qs=(0.5,)).collect()
+        }
+        assert out[0.5] == 42.0
+
+    def test_validation_and_empty(self, spark):
+        df = spark.createDataFrame([(1.0, 0.0)], "v double, w double")
+        assert weighted_quantiles(df, "v", "w").count() == 0
+        with pytest.raises(ValueError):
+            weighted_quantiles(df, "v", "w", qs=(0.0,))
