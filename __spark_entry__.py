@@ -5494,71 +5494,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-8 rotation closes the driver-hash ledger.
-        # The 46 queries that have NEVER carried a driver hash across
-        # rounds 1-7 (union of hash-green rows in CORRECTNESS_r01..r07)
-        # lead: the 3 formerly array-typed outputs (now flattened to
-        # scalar rows/strings for the driver canonicalizer) plus the 43
-        # first-wave round-7 queries the r7 head-50 could not fit.
-        # 46 <= 50, so CORRECTNESS_r08 completes the ledger: every
-        # query driver-hashed at least once. The 4 spare head slots and
-        # the tail keep their prior relative order. The strict local
-        # harness (tools/check_oracle.py) still executes and compares
-        # ALL entries every round and fails on duplicates, complex
-        # output types, or never-executed oracles. ----
-        "hash_features": _q_hash_features,
-        "label_centroids": _q_label_centroids,
-        "skew_report": _q_skew_report,
-        "fuzzy_join_parts": _q_fuzzy_join_parts,
-        "price_trend_ols": _q_price_trend_ols,
-        "lang_source_mi": _q_lang_source_mi,
-        "audio_features": _q_audio_features,
-        "video_frames": _q_video_frames,
-        "wasserstein_drift": _q_wasserstein_drift,
-        "wasserstein_by_group": _q_wasserstein_by_group,
-        "events_rolling": _q_events_rolling,
-        "contamination_overlap": _q_contamination_overlap,
-        "boilerplate_strip": _q_boilerplate_strip,
-        "token_budget_selection": _q_token_budget,
-        "event_funnel": _q_event_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "event_transitions": _q_event_transitions,
-        "events_resampled": _q_events_resampled,
-        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
-        "grouped_zscore": _q_grouped_zscore,
-        "winsorized_price": _q_winsorized_price,
-        "quantile_rank_price": _q_quantile_rank_price,
-        "equidepth_hist_price": _q_equidepth_hist_price,
-        "doc_bigram_logprob": _q_doc_bigram_logprob,
-        "streaming_anomaly": _q_streaming_anomaly,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "weighted_price_stats": _q_weighted_price_stats,
-        "price_gini": _q_price_gini,
-        "events_autocorr": _q_events_autocorr,
-        "streaming_topk": _q_streaming_topk,
-        "events_rolling_time": _q_events_rolling_time,
-        "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
-        "events_asof_forward": _q_events_asof_forward,
-        "events_asof_nearest": _q_events_asof_nearest,
-        "events_scd2": _q_events_scd2,
-        "neardup_pagerank": _q_neardup_pagerank,
-        "neardup_triangles": _q_neardup_triangles,
-        "qq_drift_price": _q_qq_drift_price,
-        "cramers_lineitem": _q_cramers_lineitem,
-        "source_entropy": _q_source_entropy,
-        "duplicate_spans": _q_duplicate_spans,
-        "latest_events": _q_latest_events,
-        "session_paths": _q_session_paths,
-        "events_pivot": _q_events_pivot,
-        "lineitem_rollup": _q_lineitem_rollup,
-        "lineitem_cube": _q_lineitem_cube,
-        # ---- round-8 additions fill the 4 spare head slots (never
-        # hashed; the strict local harness has verified them) ----
-        "theils_u": _q_theils_u,
-        "binned_mi": _q_binned_mi,
-        "js_divergence": _q_js_divergence,
-        "woe_iv": _q_woe_iv,
-        # ---- below the head-50 line: r9 rotation candidates ----
+        # ---- head 50: round-9 rotation, computed by tools/ledger.py
+        # (NOT by hand -- the r8 closing note miscounted 37 vs the true
+        # 68). The 68 round-8 additions that have never carried the
+        # driver hash (union of hash_match-green rows across
+        # CORRECTNESS_r01..r08 vs queries() keys) lead in registry
+        # order; the first 50 fill the head, the remaining 18 sit
+        # immediately below as the r10 rotation set. No new queries are
+        # added this round (r8 verdict task 3: additions capped at
+        # 50 - carried_debt = 0) so the ledger closes at end of r10.
+        # The strict local harness (tools/check_oracle.py) still
+        # executes and compares ALL entries every round. ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -5609,6 +5555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem": _q_validate_lineitem,
         "referential_integrity": _q_referential_integrity,
         "calendar_gaps": _q_calendar_gaps,
+        # ---- below the head-50 line: the 18 residual never-hashed
+        # queries, the r10 rotation head (tools/ledger.py tracks) ----
         "holt_backtest": _q_holt_backtest,
         "cliffs_delta": _q_cliffs_delta,
         "proportions_ztest": _q_proportions_ztest,
@@ -5627,6 +5575,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "hedges_g": _q_hedges_g,
         "weighted_quantiles": _q_weighted_quantiles,
+        # ---- driver-hashed in r08 (former head-50) ----
+        "hash_features": _q_hash_features,
+        "label_centroids": _q_label_centroids,
+        "skew_report": _q_skew_report,
+        "fuzzy_join_parts": _q_fuzzy_join_parts,
+        "price_trend_ols": _q_price_trend_ols,
+        "lang_source_mi": _q_lang_source_mi,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
+        "wasserstein_drift": _q_wasserstein_drift,
+        "wasserstein_by_group": _q_wasserstein_by_group,
+        "events_rolling": _q_events_rolling,
+        "contamination_overlap": _q_contamination_overlap,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "token_budget_selection": _q_token_budget,
+        "event_funnel": _q_event_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "events_resampled": _q_events_resampled,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "grouped_zscore": _q_grouped_zscore,
+        "winsorized_price": _q_winsorized_price,
+        "quantile_rank_price": _q_quantile_rank_price,
+        "equidepth_hist_price": _q_equidepth_hist_price,
+        "doc_bigram_logprob": _q_doc_bigram_logprob,
+        "streaming_anomaly": _q_streaming_anomaly,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "weighted_price_stats": _q_weighted_price_stats,
+        "price_gini": _q_price_gini,
+        "events_autocorr": _q_events_autocorr,
+        "streaming_topk": _q_streaming_topk,
+        "events_rolling_time": _q_events_rolling_time,
+        "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
+        "events_asof_forward": _q_events_asof_forward,
+        "events_asof_nearest": _q_events_asof_nearest,
+        "events_scd2": _q_events_scd2,
+        "neardup_pagerank": _q_neardup_pagerank,
+        "neardup_triangles": _q_neardup_triangles,
+        "qq_drift_price": _q_qq_drift_price,
+        "cramers_lineitem": _q_cramers_lineitem,
+        "source_entropy": _q_source_entropy,
+        "duplicate_spans": _q_duplicate_spans,
+        "latest_events": _q_latest_events,
+        "session_paths": _q_session_paths,
+        "events_pivot": _q_events_pivot,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "lineitem_cube": _q_lineitem_cube,
+        "theils_u": _q_theils_u,
+        "binned_mi": _q_binned_mi,
+        "js_divergence": _q_js_divergence,
+        "woe_iv": _q_woe_iv,
         # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
@@ -10677,7 +10676,7 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_entities
             FROM act FULL OUTER JOIN news USING (bucket_id)
         """,
-        "vocab_overlap": """
+        "vocab_overlap": r"""
             WITH toks AS (
               SELECT DISTINCT source AS g,
                      unnest(list_distinct(
@@ -10860,7 +10859,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW win AS (PARTITION BY l_linestatus ORDER BY t
                            ROWS UNBOUNDED PRECEDING)
         """,
-        "mcnemar_langid": """
+        "mcnemar_langid": r"""
             WITH hits AS (
               SELECT doc_id, lang, tk,
                      len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','zu'])) AS h_de,
@@ -11042,7 +11041,7 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(resid)), 6) AS max_abs_resid
             FROM ad, mad
         """,
-        "cohen_kappa_lang": """
+        "cohen_kappa_lang": r"""
             WITH hits AS (
               SELECT doc_id,
                      len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','zu'])) AS h_de,
@@ -11089,7 +11088,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS kappa
             FROM tot, diag, pe
         """,
-        "zipf_law": """
+        "zipf_law": r"""
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(trim(text)),
                                                '\s+')) AS tok

@@ -1,0 +1,121 @@
+"""Pins tools/ledger.py — the mechanical driver-hash ledger.
+
+The round-8 closing note hand-counted the never-hashed set (claimed 37,
+actual 68) and asserted a head rotation that never happened. These tests
+make both failure modes impossible to repeat silently:
+
+* a synthetic fixture pins the counting semantics (hash_match==true is
+  the only thing that counts; rows-only and errored rows do not), and
+* live-repo assertions require the head-50 of ``queries()`` to retire
+  outstanding debt whenever any exists.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import ledger  # noqa: E402
+
+
+def _write_fixture(tmp_path):
+    entry_src = '''
+def queries():
+    return {
+        "alpha": 1,
+        "beta": 2,
+        "gamma": 3,
+        "delta": 4,
+    }
+'''
+    (tmp_path / "__spark_entry__.py").write_text(entry_src)
+    r1 = {
+        "alpha": {"hash_match": True, "rows_match": True, "err": None},
+        "beta": {"hash_match": False, "rows_match": True, "err": None},  # rows-only: NOT hashed
+    }
+    r2 = {
+        "beta": {"hash_match": True, "rows_match": True, "err": None},
+        "ghost": {"hash_match": True, "rows_match": True, "err": None},  # renamed since
+        "gamma": {"hash_match": None, "rows_match": False, "err": "boom"},  # errored: NOT hashed
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+
+
+class TestSyntheticFixture:
+    def test_counts(self, tmp_path):
+        _write_fixture(tmp_path)
+        rep = ledger.compute(str(tmp_path), head_n=2)
+        assert rep["registered"] == 4
+        assert rep["ever_hashed"] == 2  # alpha (r1), beta (r2)
+        assert rep["never_hashed"] == 2
+        assert rep["never_hashed_keys"] == ["gamma", "delta"]
+
+    def test_head_overlap_and_debt(self, tmp_path):
+        _write_fixture(tmp_path)
+        rep = ledger.compute(str(tmp_path), head_n=2)
+        # head = [alpha, beta], both already hashed -> zero debt retires
+        assert rep["head_never_hashed"] == 0
+        assert rep["debt_after_next_round"] == 2
+
+    def test_stale_keys_flagged(self, tmp_path):
+        _write_fixture(tmp_path)
+        rep = ledger.compute(str(tmp_path), head_n=2)
+        assert rep["stale_hashed_keys_not_registered"] == ["ghost"]
+
+    def test_rows_only_does_not_count_as_hashed(self, tmp_path):
+        _write_fixture(tmp_path)
+        rep = ledger.compute(str(tmp_path), head_n=4)
+        assert "gamma" in rep["never_hashed_keys"]  # errored in r2
+        assert "delta" in rep["never_hashed_keys"]  # never appeared
+
+
+class TestLiveRepo:
+    """The actual repo ledger: these assertions ARE the rotation gate."""
+
+    @pytest.fixture(scope="class")
+    def report(self):
+        return ledger.compute(REPO, head_n=50)
+
+    def test_static_parse_matches_import(self, report):
+        # static regex parse of queries() must agree with the real module
+        sys.path.insert(0, REPO)
+        import __spark_entry__ as entry
+
+        keys = list(entry.queries().keys())
+        assert ledger.registered_keys(REPO) == keys
+        assert report["registered"] == len(keys) == len(set(keys))
+
+    def test_head_retires_outstanding_debt(self, report):
+        # Whenever never-hashed queries exist, the head-50 must be
+        # saturated with them: overlap == min(50, never_hashed).
+        expected = min(50, report["never_hashed"])
+        assert report["head_never_hashed"] == expected, (
+            f"head-50 retires {report['head_never_hashed']} of "
+            f"{report['never_hashed']} never-hashed queries; rotate "
+            f"queries() so the head is saturated (see tools/ledger.py)"
+        )
+
+    def test_no_stale_hash_keys(self, report):
+        assert report["stale_hashed_keys_not_registered"] == []
+
+
+def test_entry_module_compiles_without_deprecation_warnings():
+    """Invalid escape sequences in oracle-SQL literals (e.g. '\\s' in a
+    non-raw string) surface as compile-time DeprecationWarnings and will
+    become SyntaxErrors in a future CPython — keep the entry module
+    clean (r8 verdict task 7)."""
+    import warnings
+
+    path = os.path.join(REPO, "__spark_entry__.py")
+    with open(path) as f:
+        src = f.read()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        warnings.simplefilter("error", SyntaxWarning)
+        compile(src, path, "exec")
