@@ -4819,7 +4819,8 @@ def _q_jw_linkage_docs(spark, sf_dir):
         F.col("doc_id").alias("doc_b"), F.col("k").alias("kb")
     )
     return jaro_winkler_join(
-        a, b, "ka", "kb", "doc_a", "doc_b", threshold=0.9
+        a, b, "ka", "kb", "doc_a", "doc_b", threshold=0.9,
+        max_candidates=10_000_000,
     ).filter(F.col("doc_a") < F.col("doc_b"))
 
 

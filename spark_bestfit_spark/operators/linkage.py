@@ -585,6 +585,8 @@ def jaro_winkler_join(
     max_posting: int | None = None,
     left_block: str | None = None,
     right_block: str | None = None,
+    max_candidates: int | None = None,
+    allow_dense: bool = False,
 ) -> DataFrame:
     """LOSSLESS Jaro-Winkler similarity join — the fourth member of
     the linkage family (edit distance :func:`fuzzy_join`, token
@@ -642,6 +644,18 @@ def jaro_winkler_join(
     banding). The lossless default remains correct at any size and
     fast for classic linkage inputs (up to ~10^4 keys per block).
 
+    SAFE BY DEFAULT: because the unblocked candidate set is provably
+    dense on natural text, the unblocked mode REFUSES to run unless
+    the caller either sets ``max_candidates`` (a hard cap on verified
+    candidate pairs — the join materializes the candidate relation,
+    counts it, and raises ``RuntimeError`` past the cap, mirroring
+    ``max_bucket_size`` in the MinHash family) or passes
+    ``allow_dense=True`` (an explicit I-accept-quadratic-risk opt-in
+    for classic short-key linkage inputs). ``max_candidates`` also
+    applies in blocked mode when set (guards degenerate giant blocks);
+    note it makes this call EAGER — one Spark job runs at call time to
+    materialize and count candidates before verification.
+
     Returns ``(left_id, right_id, jw)`` (rounded to 6) for every pair
     at-or-above ``threshold``. Column names must differ across the two
     inputs (alias upstream); empty/null keys never match (DuckDB
@@ -653,6 +667,17 @@ def jaro_winkler_join(
         raise ValueError("max_posting must be >= 1 (or None)")
     if (left_block is None) != (right_block is None):
         raise ValueError("pass both block columns or neither")
+    if max_candidates is not None and max_candidates < 1:
+        raise ValueError("max_candidates must be >= 1 (or None)")
+    if left_block is None and max_candidates is None and not allow_dense:
+        raise ValueError(
+            "unblocked jaro_winkler_join is quadratic-dense on natural "
+            "text (the lossless char-multiset bound admits ~16% of all "
+            "pairs at t=0.9): pass left_block/right_block for the "
+            "production blocked mode, set max_candidates=N for a hard "
+            "loud-failure cap, or opt in with allow_dense=True for "
+            "classic short-key linkage inputs"
+        )
     t = float(threshold)
     j_min = t if t <= 0.7 else max(0.7, (t - 0.4) / 0.6)
     r = 3.0 * j_min - 2.0  # length-band ratio (vacuous when <= 0)
@@ -748,6 +773,27 @@ def jaro_winkler_join(
             [_jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
         )
 
+    def _enforce_cap(df, what):
+        # loud-failure candidate cap: materialize once (the verify
+        # reuses the persisted relation), count, refuse past the cap
+        if max_candidates is None:
+            return df
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        n = df.count()
+        if n > max_candidates:
+            df.unpersist()
+            raise RuntimeError(
+                f"jaro_winkler_join {what} candidate set has {n:,} "
+                f"pairs > max_candidates={max_candidates:,}; the key "
+                "column is too dense for this bound — block the join "
+                "(left_block/right_block), raise the threshold, or "
+                "raise max_candidates if the verify volume is truly "
+                "acceptable"
+            )
+        return df
+
     if left_block is not None:
         # blocked mode: candidates = equal-block pairs, verified
         # DIRECTLY — each pair meets exactly once (one block value per
@@ -780,6 +826,7 @@ def jaro_winkler_join(
                 )
             )
             pairs = pairs.filter(band)
+        pairs = _enforce_cap(pairs, "blocked")
         return (
             pairs.withColumn("jw", F.round(_jw_udf("_ka", "_kb"), 6))
             .filter(F.col("jw") >= F.lit(t))
@@ -827,6 +874,7 @@ def jaro_winkler_join(
         F.size(F.array_intersect("_orda", "_ordb")) >= need_pair
     )
     cand = cand.select(left_id, right_id).distinct()
+    cand = _enforce_cap(cand, "unblocked")
 
     lv = lk.select(left_id, F.col("_k").alias("_ka"))
     rv = rk.select(right_id, F.col("_k").alias("_kb"))

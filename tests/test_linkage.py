@@ -457,7 +457,8 @@ class TestJaroWinklerJoin:
         got = {
             (r.id_l, r.id_r): r.jw
             for r in jaro_winkler_join(
-                a, b, "na", "nb", "id_l", "id_r", threshold
+                a, b, "na", "nb", "id_l", "id_r", threshold,
+                allow_dense=True,
             )
             .filter(F.col("id_l") < F.col("id_r"))
             .collect()
@@ -468,11 +469,69 @@ class TestJaroWinklerJoin:
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, "x")], "id long, name string")
         with pytest.raises(ValueError):
-            jaro_winkler_join(df, df, "name", "name", "id", "id", 0.0)
+            jaro_winkler_join(
+                df, df, "name", "name", "id", "id", 0.0, allow_dense=True
+            )
         with pytest.raises(ValueError):
             jaro_winkler_join(
-                df, df, "name", "name", "id", "id", 0.9, max_posting=0
+                df, df, "name", "name", "id", "id", 0.9, max_posting=0,
+                allow_dense=True,
             )
+
+    def test_unblocked_requires_optin(self, spark):
+        # SAFE BY DEFAULT: the unblocked mode is quadratic-dense on
+        # natural text (measured ~16% of all pairs pass the lossless
+        # multiset bound at t=0.9), so it must refuse to run without
+        # an explicit cap or opt-in.
+        df = spark.createDataFrame([(1, "x")], "id long, name string")
+        with pytest.raises(ValueError, match="allow_dense"):
+            jaro_winkler_join(df, df, "name", "name", "id", "id", 0.9)
+        with pytest.raises(ValueError):
+            jaro_winkler_join(
+                df, df, "name", "name", "id", "id", 0.9, max_candidates=0
+            )
+
+    def test_max_candidates_trips_loudly(self, spark):
+        # 30 identical keys -> C(30,2)*2 + 30 ordered candidate pairs,
+        # far above a cap of 10: the guard must raise, not truncate.
+        rows = [(i, "samekey") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        a = df.select(F.col("id").alias("id_l"), F.col("name").alias("na"))
+        b = df.select(F.col("id").alias("id_r"), F.col("name").alias("nb"))
+        with pytest.raises(RuntimeError, match="max_candidates"):
+            jaro_winkler_join(
+                a, b, "na", "nb", "id_l", "id_r", 0.9, max_candidates=10
+            ).collect()
+        # under the cap the same call answers exactly
+        got = {
+            (r.id_l, r.id_r)
+            for r in jaro_winkler_join(
+                a, b, "na", "nb", "id_l", "id_r", 0.9,
+                max_candidates=10_000,
+            )
+            .filter(F.col("id_l") < F.col("id_r"))
+            .collect()
+        }
+        assert got == {(i, j) for i in range(30) for j in range(30) if i < j}
+
+    def test_blocked_max_candidates_guards_giant_blocks(self, spark):
+        rows = [(i, "samekey", "b0") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        a = df.select(
+            F.col("id").alias("id_l"),
+            F.col("name").alias("na"),
+            F.col("blk").alias("ba"),
+        )
+        b = df.select(
+            F.col("id").alias("id_r"),
+            F.col("name").alias("nb"),
+            F.col("blk").alias("bb"),
+        )
+        with pytest.raises(RuntimeError, match="max_candidates"):
+            jaro_winkler_join(
+                a, b, "na", "nb", "id_l", "id_r", 0.9,
+                left_block="ba", right_block="bb", max_candidates=10,
+            ).collect()
 
     def test_empty_and_null_keys_never_match(self, spark):
         df = spark.createDataFrame(
@@ -484,7 +543,7 @@ class TestJaroWinklerJoin:
         got = {
             (r.id_l, r.id_r)
             for r in jaro_winkler_join(
-                a, b, "na", "nb", "id_l", "id_r", 0.9
+                a, b, "na", "nb", "id_l", "id_r", 0.9, allow_dense=True
             )
             .filter(F.col("id_l") < F.col("id_r"))
             .collect()
