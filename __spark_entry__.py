@@ -4280,15 +4280,43 @@ def _q_embedding_cov(spark, sf_dir):
 
 
 def _q_pca_variance(spark, sf_dir):
-    """PCA spectrum of the embedding corpus: distributed covariance
-    (one data pass), driver-side eigh on the tiny d x d matrix. No
-    SQL oracle — eigendecomposition is not SQL-expressible; the
-    covariance input itself is oracle-checked by embedding_cov."""
+    """PCA spectrum conservation invariants: distributed covariance
+    (one data pass), driver-side eigh on the tiny d x d matrix, then
+    the FULL spectrum is folded to one row of checkable invariants.
+    Eigendecomposition itself is not SQL-expressible, but its
+    conservation laws are: sum(eigenvalues) = trace(cov), which the
+    oracle computes directly from the same parquet via covar_pop
+    diagonals (the full matrix is hash-checked by embedding_cov);
+    the spectrum must be nonnegative and eigenvalue-descending; and
+    the explained-variance ratios must sum to 1. eig_sum rounds to 4
+    decimals on both sides: the two sides sum independently-rounded
+    6-decimal terms (64 eigenvalues vs 64 diagonal covariances), so
+    per-term rounding noise bounds the difference by d*5e-7 = 3.2e-5,
+    inside the 4-decimal half-ulp."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
     from spark_bestfit_spark.operators.similarity import pca_embeddings
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    vdf, _ = pca_embeddings(emb, k=8)
-    return vdf
+    vdf, _ = pca_embeddings(emb, k=4096)  # k capped at d: full spectrum
+    w = Window.orderBy("component")  # d rows total — tiny relation
+    spec = vdf.withColumn("_prev", F.lag("eigenvalue").over(w))
+    return spec.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.round(F.sum("eigenvalue"), 4).alias("eig_sum"),
+        F.min(
+            F.when(F.col("eigenvalue") >= -1e-5, 1).otherwise(0)
+        ).cast("int").alias("nonneg_ok"),
+        F.min(
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("eigenvalue") <= F.col("_prev") + 1e-9),
+                1,
+            ).otherwise(0)
+        ).cast("int").alias("descending_ok"),
+        F.round(F.sum("explained_var"), 4).alias("ratio_sum"),
+    )
 
 
 def _q_embedding_outliers(spark, sf_dir):
@@ -10385,6 +10413,33 @@ def oracle_sql() -> dict[str, str]:
             FROM v, d a, d b
             WHERE a.i <= b.i
             GROUP BY a.i, b.i
+        """,
+        "pca_variance": """
+            -- eigendecomposition is not SQL-expressible, but its
+            -- conservation laws are: the Spark side folds the full
+            -- spectrum to (d, sum(eigenvalues), nonneg, descending,
+            -- sum(explained ratios)); trace(cov) computed here from
+            -- the same parquet must equal the eigenvalue sum, and the
+            -- structural invariants must hold identically (1/1/1.0)
+            WITH v AS (
+              SELECT embedding AS e FROM embeddings
+              WHERE embedding IS NOT NULL
+            ),
+            dims AS (
+              SELECT unnest(range(1, len(e) + 1)) AS i
+              FROM (SELECT e FROM v LIMIT 1)
+            ),
+            diag AS (
+              SELECT round(covar_pop(v.e[dims.i], v.e[dims.i]), 6) AS c
+              FROM v, dims
+              GROUP BY dims.i
+            )
+            SELECT (SELECT count(*) FROM dims)::BIGINT AS d,
+                   round(sum(c), 4) + 0e0 AS eig_sum,
+                   1::INT AS nonneg_ok,
+                   1::INT AS descending_ok,
+                   1.0::DOUBLE AS ratio_sum
+            FROM diag
         """,
         "embedding_outliers": """
             WITH v AS (
