@@ -741,24 +741,30 @@ def main() -> None:
 
     # ---- sf1.0 scale curve (10x replication, built once, reused) ----
     if run_sf1 and (
-        not only
-        or {"q_fit_full_sf1", "q_hist_sf1", "q_minhash_sf1",
-            "q_two_sample_ks_sf1", "q_neardup_clusters_sf1",
-            "q_pack_sequences_sf1", "q_tfidf_neardup_sf1",
-            "q_semantic_dedup_sf1", "q_ks_by_group_sf1",
-            "q_heavy_hitters_sf1", "q_quantile_rank_sf1",
-            "q_duplicate_spans_sf1", "q_fuzzy_decontam_sf1",
-            "q_set_similarity_sf1", "q_fuzzy_join_sf1",
-            "q_resolve_entities_sf1", "q_jw_linkage_sf1"} & only
+        not only or any(q.endswith("_sf1") for q in only)
     ):
         li1_path = os.path.join(scale_dir, "lineitem.parquet")
         docs1_path = os.path.join(scale_dir, "documents.parquet")
         emb1_path = os.path.join(scale_dir, "embeddings.parquet")
         reps = spark.range(10).select(F.col("id").alias("_rep"))
-        if not os.path.isdir(li1_path):
+        def _li1_stale():
+            # schema-versioned cache: rebuild when the replica predates
+            # a column the lines below need (l_discount arrived with
+            # the round-9 q_qini_sf1 scale-curve line)
+            if not os.path.isdir(li1_path):
+                return True
+            try:
+                have = set(spark.read.parquet(li1_path).columns)
+            except Exception:
+                return True
+            return not {"l_extendedprice", "l_quantity",
+                        "l_returnflag", "l_discount"} <= have
+
+        if _li1_stale():
             (
                 lineitem.select(
-                    "l_extendedprice", "l_quantity", "l_returnflag"
+                    "l_extendedprice", "l_quantity", "l_returnflag",
+                    "l_discount",
                 )
                 .crossJoin(F.broadcast(reps))
                 .drop("_rep")
@@ -1042,6 +1048,34 @@ def main() -> None:
             lambda: duplicate_spans(
                 docs1, k=5, min_len=10, max_posting=50
             ).count(),
+            rounds=1,
+        )
+        # round-8 stats heavyweights at 10x: the three job-fan-out
+        # prefix-sum spines (PR threshold sweep, Qini rank spine,
+        # energy distance's value-sum-extended spine) — stage count is
+        # row-independent, so these should track ~linear with their
+        # sf0.1 anchors (r8 verdict task 8)
+        li1_y = li1.withColumn(
+            "_y", (F.col("l_returnflag") == "R").cast("int")
+        )
+        bench(
+            "q_pr_metrics_sf1",
+            lambda: pr_metrics(li1_y, "l_extendedprice", "_y").first(),
+            rounds=1,
+        )
+        li1_uplift = li1.withColumn(
+            "_t", (F.col("l_discount") > 0.05).cast("int")
+        ).withColumn("_yy", (F.col("l_returnflag") == "R").cast("int"))
+        bench(
+            "q_qini_sf1",
+            lambda: qini_curve(
+                li1_uplift, "l_extendedprice", "_t", "_yy", 10
+            ).count(),
+            rounds=1,
+        )
+        bench(
+            "q_energy_distance_sf1",
+            lambda: energy_distance(l1a, l1n, "l_extendedprice").first(),
             rounds=1,
         )
 
