@@ -298,13 +298,58 @@ def synthetic_avi(
     return b"RIFF" + struct.pack("<I", len(b"AVI ") + len(body)) + b"AVI " + body
 
 
+def _decode_video_av(payload: bytes, cause: Exception | None = None):
+    """pyav/ffmpeg plug-in for compressed video containers (mp4/webm/
+    mkv and compressed AVI streams) — the gated sibling of the pillow
+    image gate (:func:`_decode_image`): live wherever the optional
+    ``av`` extra is installed, the documented NotImplementedError seam
+    otherwise. Returns the same ``(fps, [HxWx3 uint8 RGB frames])``
+    contract as the stdlib AVI path, so downstream mapInPandas stages
+    never see which decoder ran."""
+    try:
+        import av
+    except ImportError:
+        detail = str(cause) if cause is not None else "compressed video payload"
+        raise NotImplementedError(
+            f"{detail}; needs a pyav/ffmpeg-backed decoder (install "
+            "the optional 'av' extra to enable it)"
+        ) from cause
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = next(
+            (s for s in container.streams if s.type == "video"), None
+        )
+        if stream is None:
+            raise ValueError("payload has no video stream")
+        rate = stream.average_rate
+        fps = int(rate) if rate else 0
+        frames = [
+            f.to_ndarray(format="rgb24") for f in container.decode(stream)
+        ]
+    if not frames:
+        raise ValueError("video stream decoded to zero frames")
+    return fps, frames
+
+
 def _decode_avi(payload: bytes):
-    """Decode an uncompressed (DIB/BI_RGB) AVI payload to
-    ``(fps, [HxWx3 uint8 RGB frames])`` with a real RIFF chunk walker
-    — stdlib only, so like the WAV path this decode is live in every
-    container. Compressed streams ('00dc' chunks / non-zero
-    biCompression) and non-AVI containers remain the documented
-    NotImplementedError seam where pyav/ffmpeg would plug in."""
+    """Decode a video payload to ``(fps, [HxWx3 uint8 RGB frames])``:
+    uncompressed (DIB/BI_RGB) AVI decodes with the stdlib RIFF walker
+    in every container; anything the walker rejects (compressed '00dc'
+    streams, non-zero biCompression, mp4/webm/mkv containers) falls
+    through to the pyav gate — real decode when the optional ``av``
+    extra is installed, the documented NotImplementedError otherwise."""
+    try:
+        return _decode_avi_stdlib(payload)
+    except NotImplementedError as exc:
+        return _decode_video_av(payload, cause=exc)
+
+
+def _decode_avi_stdlib(payload: bytes):
+    """Stdlib-only decode of uncompressed (DIB/BI_RGB) AVI payloads —
+    a real RIFF chunk walker, live in every container. Compressed
+    streams and non-AVI containers raise NotImplementedError; the
+    public :func:`_decode_avi` catches that and tries the pyav gate."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -405,13 +450,71 @@ def synthetic_wav(
     return buf.getvalue()
 
 
+def _decode_audio_av(payload: bytes, cause: Exception | None = None):
+    """pyav/ffmpeg plug-in for compressed audio (mp3/ogg/flac) and
+    non-16-bit PCM — the gated sibling of the pillow image gate: live
+    wherever the optional ``av`` extra is installed, the documented
+    NotImplementedError seam otherwise. Returns the same
+    ``(sample_rate, int16 (n_samples, n_channels))`` contract as the
+    stdlib WAV path (resampled to packed s16), so downstream stages
+    never see which decoder ran."""
+    try:
+        import av
+    except ImportError:
+        detail = str(cause) if cause is not None else "compressed audio payload"
+        raise NotImplementedError(
+            f"{detail}; needs a pyav/ffmpeg-backed decoder (install "
+            "the optional 'av' extra to enable it)"
+        ) from cause
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = next(
+            (s for s in container.streams if s.type == "audio"), None
+        )
+        if stream is None:
+            raise ValueError("payload has no audio stream")
+        rate = int(stream.rate or 0)
+        resampler = av.AudioResampler(
+            format="s16", layout=stream.layout, rate=rate or None
+        )
+        chunks = []
+        nch = 0
+        for frame in container.decode(stream):
+            out = resampler.resample(frame)
+            for rf in out if isinstance(out, list) else [out]:
+                if rf is None:
+                    continue
+                a = rf.to_ndarray()  # packed s16: (1, samples*channels)
+                ch = len(rf.layout.channels)
+                nch = nch or ch
+                chunks.append(a.reshape(-1, ch).astype(np.int16))
+            if not rate:
+                rate = int(frame.sample_rate or 0)
+    if not chunks:
+        raise ValueError("audio stream decoded to zero samples")
+    return rate, np.concatenate(chunks)
+
+
 def _decode_audio(payload: bytes):
-    """Decode a PCM WAV payload to ``(sample_rate, int16 array of
-    shape (n_samples, n_channels))`` using ONLY the stdlib ``wave``
-    module — unlike the pillow-gated image seam, this decode is real
-    in every container. Non-WAV containers (mp3/ogg/flac) and non-16-
-    bit PCM remain a documented NotImplementedError seam where an
-    ffmpeg-backed decoder would plug in."""
+    """Decode an audio payload to ``(sample_rate, int16 array of shape
+    (n_samples, n_channels))``: 16-bit PCM WAV decodes with ONLY the
+    stdlib ``wave`` module (real in every container); anything the
+    stdlib path rejects (mp3/ogg/flac containers, non-16-bit PCM)
+    falls through to the pyav gate — real decode when the optional
+    ``av`` extra is installed, the documented NotImplementedError
+    otherwise."""
+    try:
+        return _decode_audio_stdlib(payload)
+    except NotImplementedError as exc:
+        return _decode_audio_av(payload, cause=exc)
+
+
+def _decode_audio_stdlib(payload: bytes):
+    """Stdlib-only decode of 16-bit PCM WAV payloads. Non-WAV
+    containers and other sample widths raise NotImplementedError; the
+    public :func:`_decode_audio` catches that and tries the pyav
+    gate."""
     import io
     import wave
 
