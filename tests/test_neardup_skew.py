@@ -290,6 +290,139 @@ class TestSemanticDedup:
         idx.unpersist()
 
 
+class TestHierarchicalQuantizer:
+    """Two-level local quantizer (auto at n_clusters >= 128): the flat
+    Lloyd fit and the flat argmin assignment are both O(k) per sample
+    point / per vector — the measured sf10 wall. The two-level path
+    must keep every user-visible contract: dense valid cell ids,
+    determinism, planted near-identical dups co-clustering, and the
+    flat path staying bit-identical for small k."""
+
+    @pytest.fixture(scope="class")
+    def big_corpus(self, spark):
+        rng = np.random.default_rng(17)
+        base = rng.normal(0.0, 1.0, (2000, 16))
+        dups = base[:200] + 1e-4 * rng.normal(0.0, 1.0, (200, 16))
+        pts = np.vstack([base, dups])
+        rows = [(int(i), [float(x) for x in pts[i]]) for i in range(2200)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(8)
+
+    def test_kernel_structure(self):
+        from spark_bestfit_spark.operators.similarity import (
+            _hierarchical_kmeans,
+        )
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(0.0, 1.0, (5000, 8))
+        coarse, subs, flat, offsets = _hierarchical_kmeans(x, 200, seed=7)
+        k1 = int(np.ceil(np.sqrt(200)))
+        assert coarse.shape == (k1, 8)
+        assert len(subs) == k1
+        np.testing.assert_array_equal(flat, np.vstack(subs))
+        # offsets are the prefix sums of the sub-center counts
+        sizes = [s.shape[0] for s in subs]
+        np.testing.assert_array_equal(
+            offsets, np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        )
+        assert flat.shape[0] <= k1 * int(np.ceil(200 / k1))
+        # deterministic
+        _, _, flat2, _ = _hierarchical_kmeans(x, 200, seed=7)
+        np.testing.assert_allclose(flat, flat2)
+
+    def test_assignment_is_two_stage_argmin(self, big_corpus):
+        from spark_bestfit_spark.operators.similarity import IvfIndex
+
+        idx = IvfIndex.build(
+            big_corpus, n_clusters=150, seed=11, method="local"
+        )
+        assert hasattr(idx, "_coarse")  # auto threshold engaged
+        centers = np.asarray(idx.centers)
+        coarse = idx._coarse
+        offsets = idx._offsets
+        bounds = list(offsets) + [centers.shape[0]]
+        rows = idx.assigned.select("embedding", "cell").collect()
+        assert all(0 <= r["cell"] < centers.shape[0] for r in rows)
+        for r in rows[:200]:
+            v = np.asarray(r["embedding"])
+            j = int(
+                np.argmin(np.sum((coarse - v) ** 2, axis=1))
+            )
+            lo, hi = bounds[j], bounds[j + 1]
+            local = int(
+                np.argmin(np.sum((centers[lo:hi] - v) ** 2, axis=1))
+            )
+            assert r["cell"] == lo + local
+        idx.unpersist()
+
+    def test_flat_path_unchanged_below_threshold(self, big_corpus):
+        from spark_bestfit_spark.operators.similarity import IvfIndex
+
+        idx = IvfIndex.build(
+            big_corpus, n_clusters=16, seed=11, method="local"
+        )
+        assert not hasattr(idx, "_coarse")
+        centers = np.asarray(idx.centers)
+        for r in idx.assigned.select("embedding", "cell").collect()[:100]:
+            v = np.asarray(r["embedding"])
+            assert r["cell"] == int(
+                np.argmin(np.sum((centers - v) ** 2, axis=1))
+            )
+        idx.unpersist()
+
+    def test_forced_modes_and_determinism(self, big_corpus):
+        from spark_bestfit_spark.operators.similarity import IvfIndex
+
+        hier_small = IvfIndex.build(
+            big_corpus, n_clusters=16, seed=11, method="local",
+            hierarchical=True,
+        )
+        assert hasattr(hier_small, "_coarse")
+        flat_big = IvfIndex.build(
+            big_corpus, n_clusters=150, seed=11, method="local",
+            hierarchical=False,
+        )
+        assert not hasattr(flat_big, "_coarse")
+        a = IvfIndex.build(
+            big_corpus, n_clusters=150, seed=11, method="local"
+        )
+        b = IvfIndex.build(
+            big_corpus, n_clusters=150, seed=11, method="local"
+        )
+        assert sorted(
+            (r["vec_id"], r["cell"]) for r in a.assigned.collect()
+        ) == sorted((r["vec_id"], r["cell"]) for r in b.assigned.collect())
+        for i in (hier_small, flat_big, a, b):
+            i.unpersist()
+
+    def test_semantic_dedup_recovers_planted_dups(self, big_corpus):
+        """At n_clusters=150 (hierarchical auto-engaged) the planted
+        near-identical duplicates still co-cluster — cell geometry may
+        differ from flat Lloyd, but near-zero-distance pairs land in
+        one cell under any quantizer — and the keeper invariants
+        hold."""
+        from spark_bestfit_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            big_corpus, threshold=0.9999, n_clusters=150, seed=11,
+            method="local",
+        ).cache()
+        rows = {r["vec_id"]: (r["rep_id"], r["is_kept"])
+                for r in out.collect()}
+        assert len(rows) == 2200
+        recovered = sum(
+            1 for i in range(200) if rows[2000 + i] == (i, False)
+        )
+        assert recovered >= 190  # >= 95% of planted dups merged
+        kept = {i for i, (_, k) in rows.items() if k}
+        for vid, (rep, is_kept) in rows.items():
+            assert rep <= vid
+            assert rep in kept
+            assert (rep == vid) == bool(is_kept)
+        out.unpersist()
+
+
 class TestSkewReport:
     def test_hand_computed_report(self, spark):
         import pyspark.sql.functions as F

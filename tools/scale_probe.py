@@ -1,0 +1,293 @@
+"""One-off deep scale probe: the flagship bench lines at sf10 (100x
+the sf0.1 base tables) beside their sf1 (10x) twins, measured in ONE
+session with ONE methodology, so the printed ratio is a clean
+decade-over-decade scale exponent.
+
+Why this exists: bench.py's per-round scale curve stops at sf1
+(6M lineitem rows / 50k docs / 20k vectors) to keep the driver's
+per-round wall bounded. This probe extends the curve one more decade
+(60M rows / 500k docs / 200k vectors) for the operators whose 100 TB
+credibility rests on a measured exponent, not a plan argument:
+the histogram-fit engine (predicted near-FLAT — fit cost is
+O(scan) + O(D/executors)), the prefix-sum spines (predicted ~linear),
+and the candidate-generation dedup/linkage family (predicted
+~linear-in-output on replica-disjoint corpora).
+
+Replication conventions are bench.py's exactly (same duplicate-rate
+preservation arguments): per-replica word suffixes keep document
+replicas textually disjoint; per-replica sign-flip patterns preserve
+in-replica cosines exactly while scrambling cross-replica ones;
+name keys get a 4-char-repeated replica suffix (>= 4 edits across
+replicas, 0 within). semantic_dedup's n_clusters scales with the
+corpus (64 @ sf1 -> 640 @ sf10) so the in-cluster quadratic term —
+the thing the operator bounds by design — stays constant-sized.
+
+Methodology: each line runs ONCE at sf1 then ONCE at sf10, cold, in
+a fixed order (cheap lines first). Single cold runs are noisier than
+bench.py's min-of-N, but both decades share the noise model, so the
+RATIO is honest; absolute walls should be read against bench.py's
+fresh-session pins, not as replacements.
+
+Usage: python tools/scale_probe.py [line ...]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_PROBE_LINES (comma list, same as argv)
+Prints one JSON line: {"metric": "scale_probe", "lines": {name:
+{"sf1": s, "sf10": s, "ratio": r}}, "reps": 100}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import pyspark.sql.functions as F
+    from pyspark.sql import functions as FB
+
+    from spark_bestfit_spark.fitter import DistributionFitter
+    from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+    from spark_bestfit_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+    from spark_bestfit_spark.operators.frequency import heavy_hitters
+    from spark_bestfit_spark.operators.histogram import compute_histogram
+    from spark_bestfit_spark.operators.linkage import (
+        fuzzy_join,
+        set_similarity_join,
+    )
+    from spark_bestfit_spark.operators.normalize import quantile_rank
+    from spark_bestfit_spark.operators.similarity import semantic_dedup
+    from spark_bestfit_spark.operators.stats import two_sample_ks_df
+    from spark_bestfit_spark.operators.textstats import (
+        _tokens,
+        tfidf_neardup_pairs,
+    )
+    from spark_bestfit_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_dir = os.path.join(repo, ".scale_cache", "sf1")
+    sf10_dir = os.path.join(repo, ".scale_cache", "sf10")
+    only = {q.strip() for q in sys.argv[1:] if q.strip()}
+    only |= {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_PROBE_LINES", "").split(",")
+        if q.strip()
+    }
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+
+    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base_cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def replicate(n_reps: int, out_dir: str) -> None:
+        """bench.py's sf1 replication recipe at an arbitrary factor."""
+        reps = spark.range(n_reps).select(F.col("id").alias("_rep"))
+        li_path = os.path.join(out_dir, "lineitem.parquet")
+        if not os.path.isdir(li_path):
+            (
+                base_li.select(
+                    "l_extendedprice", "l_quantity", "l_returnflag",
+                    "l_discount",
+                )
+                .crossJoin(F.broadcast(reps))
+                .drop("_rep")
+                .repartition(cpus)
+                .write.mode("overwrite").parquet(li_path)
+            )
+        docs_path = os.path.join(out_dir, "documents.parquet")
+        if not os.path.isdir(docs_path):
+            text_r = FB.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.col("_rep").cast("string")),
+                    ),
+                    " ",
+                )
+            )
+            (
+                base_docs.select("doc_id", "text")
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (F.col("doc_id") + F.col("_rep") * F.lit(10_000_000))
+                    .alias("doc_id"),
+                    text_r.alias("text"),
+                )
+                .repartition(cpus)
+                .write.mode("overwrite").parquet(docs_path)
+            )
+        emb_path = os.path.join(out_dir, "embeddings.parquet")
+        if not os.path.isdir(emb_path):
+            signed = F.transform(
+                F.col("embedding"),
+                lambda x, i: FB.when(F.col("_rep") == 0, x).otherwise(
+                    FB.when(
+                        (
+                            (
+                                i.cast("bigint") * FB.lit(1103515245)
+                                + F.col("_rep") * FB.lit(12345)
+                            )
+                            % 97
+                        ) % 2
+                        == 0,
+                        x,
+                    ).otherwise(-x)
+                ),
+            )
+            (
+                base_emb.crossJoin(F.broadcast(reps))
+                .select(
+                    (F.col("vec_id") + F.col("_rep") * F.lit(10_000_000))
+                    .alias("vec_id"),
+                    signed.alias("embedding"),
+                )
+                .repartition(cpus)
+                .write.mode("overwrite").parquet(emb_path)
+            )
+        cust_path = os.path.join(out_dir, "customer.parquet")
+        if not os.path.isdir(cust_path):
+            suff = FB.when(F.col("_rep") == 0, F.lit("")).otherwise(
+                F.repeat(F.col("_rep").cast("string"), 4)
+            )
+            (
+                base_cust.select("c_custkey", "c_name")
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (F.col("c_custkey") + F.col("_rep") * F.lit(10_000_000))
+                    .alias("c_custkey"),
+                    F.concat(F.col("c_name"), suff).alias("c_name"),
+                )
+                .repartition(cpus)
+                .write.mode("overwrite").parquet(cust_path)
+            )
+
+    print("building replicas (reused if present) ...", flush=True)
+    replicate(10, sf1_dir)
+    replicate(100, sf10_dir)
+
+    def tables(d):
+        return (
+            spark.read.parquet(os.path.join(d, "lineitem.parquet")),
+            spark.read.parquet(os.path.join(d, "documents.parquet")),
+            spark.read.parquet(os.path.join(d, "embeddings.parquet")),
+            spark.read.parquet(os.path.join(d, "customer.parquet")),
+        )
+
+    li1, docs1, emb1, cust1 = tables(sf1_dir)
+    li10, docs10, emb10, cust10 = tables(sf10_dir)
+    fitter = DistributionFitter(spark)
+
+    # (name, sf1 thunk, sf10 thunk) — cheap lines first so a late OOM
+    # (none expected) still leaves a mostly-complete report
+    lines = [
+        ("hist", lambda: compute_histogram(li1, "l_extendedprice", bins=50),
+         lambda: compute_histogram(li10, "l_extendedprice", bins=50)),
+        ("fit_full",
+         lambda: fitter.fit(li1, column="l_extendedprice").count(),
+         lambda: fitter.fit(li10, column="l_extendedprice").count()),
+        ("two_sample_ks",
+         lambda: two_sample_ks_df(
+             li1.filter("l_returnflag = 'A'"),
+             li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
+         lambda: two_sample_ks_df(
+             li10.filter("l_returnflag = 'A'"),
+             li10.filter("l_returnflag = 'N'"), "l_quantity").first()),
+        ("quantile_rank",
+         lambda: quantile_rank(li1, "l_extendedprice").count(),
+         lambda: quantile_rank(li10, "l_extendedprice").count()),
+        ("heavy_hitters",
+         lambda: heavy_hitters(
+             docs1.select(F.explode(_tokens(F.col("text"))).alias("tok")),
+             "tok", phi=0.002).count(),
+         lambda: heavy_hitters(
+             docs10.select(F.explode(_tokens(F.col("text"))).alias("tok")),
+             "tok", phi=0.002).count()),
+        ("fuzzy_join",
+         lambda: fuzzy_join(cust1, cust1, "c_name", "c_name", "c_custkey",
+                            "c_custkey", 1).filter("id_l < id_r").count(),
+         lambda: fuzzy_join(cust10, cust10, "c_name", "c_name", "c_custkey",
+                            "c_custkey", 1).filter("id_l < id_r").count()),
+        ("minhash",
+         lambda: minhash_dedup_pairs(docs1, threshold=0.7).count(),
+         lambda: minhash_dedup_pairs(docs10, threshold=0.7).count()),
+        ("neardup_clusters",
+         lambda: neardup_clusters(
+             minhash_dedup_pairs(docs1, threshold=0.7)).count(),
+         lambda: neardup_clusters(
+             minhash_dedup_pairs(docs10, threshold=0.7)).count()),
+        ("semantic_dedup",
+         lambda: semantic_dedup(emb1, threshold=0.99, n_clusters=64,
+                                method="local").filter("is_kept").count(),
+         lambda: semantic_dedup(emb10, threshold=0.99, n_clusters=640,
+                                method="local").filter("is_kept").count()),
+        ("fuzzy_decontam",
+         lambda: decontaminate_fuzzy(
+             docs1.filter("doc_id % 10 != 0"),
+             docs1.filter("doc_id % 10 = 0"), threshold=0.7).count(),
+         lambda: decontaminate_fuzzy(
+             docs10.filter("doc_id % 10 != 0"),
+             docs10.filter("doc_id % 10 = 0"), threshold=0.7).count()),
+        ("set_similarity",
+         lambda: set_similarity_join(
+             docs1.filter("doc_id % 10 != 0").selectExpr(
+                 "doc_id AS id_l", "text AS ta"),
+             docs1.filter("doc_id % 10 = 0").selectExpr(
+                 "doc_id AS id_r", "text AS tb"),
+             "ta", "tb", "id_l", "id_r", 0.95).count(),
+         lambda: set_similarity_join(
+             docs10.filter("doc_id % 10 != 0").selectExpr(
+                 "doc_id AS id_l", "text AS ta"),
+             docs10.filter("doc_id % 10 = 0").selectExpr(
+                 "doc_id AS id_r", "text AS tb"),
+             "ta", "tb", "id_l", "id_r", 0.95).count()),
+        ("tfidf_neardup",
+         lambda: tfidf_neardup_pairs(
+             docs1, threshold=0.9, candidates="prefix").count(),
+         lambda: tfidf_neardup_pairs(
+             docs10, threshold=0.9, candidates="prefix").count()),
+    ]
+
+    out: dict = {}
+    for name, f1, f10 in lines:
+        if only and name not in only:
+            continue
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        f1()
+        w1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        f10()
+        w10 = time.perf_counter() - t0
+        out[name] = {
+            "sf1": round(w1, 3),
+            "sf10": round(w10, 3),
+            "ratio": round(w10 / w1, 2) if w1 > 0 else None,
+        }
+        print(f"{name:>18}: sf1 {w1:7.2f} s   sf10 {w10:8.2f} s   "
+              f"x{out[name]['ratio']}", flush=True)
+
+    print(json.dumps(
+        {"metric": "scale_probe", "unit": "sec", "reps": 100,
+         "lines": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
