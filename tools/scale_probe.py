@@ -50,8 +50,12 @@ def main() -> int:
     from pyspark.sql import functions as FB
 
     from spark_bestfit_spark.fitter import DistributionFitter
-    from spark_bestfit_spark.operators.curation import decontaminate_fuzzy
+    from spark_bestfit_spark.operators.curation import (
+        decontaminate_fuzzy,
+        pack_training_sequences,
+    )
     from spark_bestfit_spark.operators.dedup import (
+        duplicate_spans,
         minhash_dedup_pairs,
         neardup_clusters,
     )
@@ -59,6 +63,8 @@ def main() -> int:
     from spark_bestfit_spark.operators.histogram import compute_histogram
     from spark_bestfit_spark.operators.linkage import (
         fuzzy_join,
+        jaro_winkler_join,
+        resolve_entities,
         set_similarity_join,
     )
     from spark_bestfit_spark.operators.normalize import quantile_rank
@@ -66,6 +72,7 @@ def main() -> int:
     from spark_bestfit_spark.operators.stats import two_sample_ks_df
     from spark_bestfit_spark.operators.textstats import (
         _tokens,
+        kneser_ney_bigrams,
         tfidf_neardup_pairs,
     )
     from spark_bestfit_spark.session import get_spark
@@ -89,6 +96,7 @@ def main() -> int:
     base_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base_cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base_part = spark.read.parquet(f"{sf_dir}/part.parquet")
 
     def replicate(n_reps: int, out_dir: str) -> None:
         """bench.py's sf1 replication recipe at an arbitrary factor."""
@@ -171,6 +179,22 @@ def main() -> int:
                 .repartition(cpus)
                 .write.mode("overwrite").parquet(cust_path)
             )
+        part_path = os.path.join(out_dir, "part.parquet")
+        if not os.path.isdir(part_path):
+            suff = FB.when(F.col("_rep") == 0, F.lit("")).otherwise(
+                F.repeat(F.col("_rep").cast("string"), 4)
+            )
+            (
+                base_part.select("p_partkey", "p_name")
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (F.col("p_partkey") + F.col("_rep") * F.lit(10_000_000))
+                    .alias("p_partkey"),
+                    F.concat(F.col("p_name"), suff).alias("p_name"),
+                )
+                .repartition(cpus)
+                .write.mode("overwrite").parquet(part_path)
+            )
 
     print("building replicas (reused if present) ...", flush=True)
     replicate(10, sf1_dir)
@@ -182,11 +206,35 @@ def main() -> int:
             spark.read.parquet(os.path.join(d, "documents.parquet")),
             spark.read.parquet(os.path.join(d, "embeddings.parquet")),
             spark.read.parquet(os.path.join(d, "customer.parquet")),
+            spark.read.parquet(os.path.join(d, "part.parquet")),
         )
 
-    li1, docs1, emb1, cust1 = tables(sf1_dir)
-    li10, docs10, emb10, cust10 = tables(sf10_dir)
+    li1, docs1, emb1, cust1, part1 = tables(sf1_dir)
+    li10, docs10, emb10, cust10, part10 = tables(sf10_dir)
     fitter = DistributionFitter(spark)
+
+    def jw_sides(docs):
+        """bench.py's q_jw_linkage blocked-mode inputs: 40-char key,
+        first-2-words block."""
+        keys = docs.select(
+            "doc_id",
+            F.substring("text", 1, 40).alias("_k"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 2
+                ),
+            ).alias("_blk"),
+        )
+        a = keys.select(
+            F.col("doc_id").alias("jw_a"), F.col("_k").alias("ka"),
+            F.col("_blk").alias("blk_a"),
+        )
+        b = keys.select(
+            F.col("doc_id").alias("jw_b"), F.col("_k").alias("kb"),
+            F.col("_blk").alias("blk_b"),
+        )
+        return a, b
 
     # (name, sf1 thunk, sf10 thunk) — cheap lines first so a late OOM
     # (none expected) still leaves a mostly-complete report
@@ -256,6 +304,31 @@ def main() -> int:
              docs1, threshold=0.9, candidates="prefix").count(),
          lambda: tfidf_neardup_pairs(
              docs10, threshold=0.9, candidates="prefix").count()),
+        ("pack_sequences",
+         lambda: pack_training_sequences(docs1, seq_len=2048).count(),
+         lambda: pack_training_sequences(docs10, seq_len=2048).count()),
+        ("kneser_ney",
+         lambda: kneser_ney_bigrams(docs1, "text", k=20).count(),
+         lambda: kneser_ney_bigrams(docs10, "text", k=20).count()),
+        ("resolve_entities",
+         lambda: resolve_entities(
+             part1, "p_name", "p_partkey", max_dist=1).count(),
+         lambda: resolve_entities(
+             part10, "p_name", "p_partkey", max_dist=1).count()),
+        ("jw_linkage",
+         lambda: (lambda a, b: jaro_winkler_join(
+             a, b, "ka", "kb", "jw_a", "jw_b", 0.9,
+             left_block="blk_a", right_block="blk_b",
+         ).filter("jw_a < jw_b").count())(*jw_sides(docs1)),
+         lambda: (lambda a, b: jaro_winkler_join(
+             a, b, "ka", "kb", "jw_a", "jw_b", 0.9,
+             left_block="blk_a", right_block="blk_b",
+         ).filter("jw_a < jw_b").count())(*jw_sides(docs10))),
+        ("duplicate_spans",
+         lambda: duplicate_spans(
+             docs1, k=5, min_len=10, max_posting=50).count(),
+         lambda: duplicate_spans(
+             docs10, k=5, min_len=10, max_posting=50).count()),
     ]
 
     out: dict = {}
