@@ -329,6 +329,18 @@ def main() -> int:
              docs1, k=5, min_len=10, max_posting=50).count(),
          lambda: duplicate_spans(
              docs10, k=5, min_len=10, max_posting=50).count()),
+        # the PRODUCTION decontamination shape: the benchmark set is
+        # FIXED (an eval set doesn't grow with the corpus) — only the
+        # corpus side scales, so this line isolates the corpus-linear
+        # term that the paired-growth "fuzzy_decontam" line above mixes
+        # with probe-side growth
+        ("fuzzy_decontam_fixed_probe",
+         lambda: decontaminate_fuzzy(
+             docs1, base_docs.select("doc_id", "text"),
+             threshold=0.7).count(),
+         lambda: decontaminate_fuzzy(
+             docs10, base_docs.select("doc_id", "text"),
+             threshold=0.7).count()),
     ]
 
     out: dict = {}
