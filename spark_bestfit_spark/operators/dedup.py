@@ -323,12 +323,26 @@ def minhash_dedup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     num_bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact
-    Jaccard verification on candidates only."""
+    Jaccard verification on candidates only.
+
+    ``max_bucket_size`` passes through to
+    :func:`minhash_lsh_candidates`: a corpus with a VIRAL document
+    family (one text exactly repeated k times — boilerplate, chain
+    mail, licensing stubs) puts all k copies in one band bucket and
+    the candidate stage emits k(k-1)/2 pairs from that bucket alone.
+    Run :func:`exact_dedup` first (identical documents belong to the
+    exact tier — a hash groupBy, no pair explosion) and/or cap the
+    bucket: copies beyond the cap are dropped from CANDIDATE
+    generation only, exactly like the guard's behavior everywhere
+    else in this module."""
     df = ensure_parallelism(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, num_bands, max_bucket_size=max_bucket_size
+    )
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
     )

@@ -149,6 +149,29 @@ class TestMinHash:
         for r in rows:
             assert 0.8 <= r.jaccard <= 1.0
 
+    def test_max_bucket_size_guards_viral_family(self, spark):
+        """A viral document family (one text repeated k times) puts
+        all k copies in one band bucket -> k(k-1)/2 candidate pairs.
+        The pass-through guard must drop that bucket from candidate
+        generation while genuinely-near pairs elsewhere survive."""
+        viral = [(i, "the same viral chain letter text body")
+                 for i in range(30)]
+        near = [
+            (100, "an unrelated document about distributed joins"),
+            (101, "an unrelated document about distributed joins!"),
+        ]
+        df = spark.createDataFrame(
+            viral + near, "doc_id long, text string"
+        ).repartition(4)
+        unguarded = dedup.minhash_dedup_pairs(df, threshold=0.5)
+        assert unguarded.count() >= 30 * 29 / 2
+        guarded = dedup.minhash_dedup_pairs(
+            df, threshold=0.5, max_bucket_size=10
+        )
+        found = {(r.id_a, r.id_b) for r in guarded.collect()}
+        assert (100, 101) in found  # small buckets unaffected
+        assert not any(a < 30 and b < 30 for a, b in found)
+
 
 class TestSimHash:
     def test_identical_docs_hamming_zero(self, toy_docs):
