@@ -44,3 +44,19 @@ def test_loads_real_round_files():
     got = compare_bench.load_queries(os.path.join(REPO, "BENCH_r08.json"))
     assert got.get("q_two_sample_ks_sf1") == 2.075
     assert len(got) >= 60
+
+
+def test_check_oracle_rejects_unknown_query_names():
+    """A mistyped query name must hard-fail BEFORE any Spark session
+    starts — never report a vacuous ALL GREEN over zero executed
+    queries (the guard fires pre-get_spark, so this test is
+    instant)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
+         "definitely_not_a_query"],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert proc.returncode == 1
+    assert "unknown query name" in proc.stdout

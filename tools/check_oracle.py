@@ -114,6 +114,12 @@ def main() -> int:
     from spark_bestfit_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    # a mistyped query name must be a hard error, not a vacuous
+    # ALL GREEN over zero executed queries
+    unknown = sorted(only - set(e.queries()))
+    if unknown:
+        print(f"FAIL harness: unknown query name(s): {unknown}")
+        return 1
     spark = get_spark(app_name="check_oracle")
     spark.sparkContext.setLogLevel("ERROR")
 
