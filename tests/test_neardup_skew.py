@@ -115,6 +115,31 @@ class TestSaltedAggregation:
         with pytest.raises(ValueError):
             salted_count(skewed, ["k"], salt=1)
 
+    def test_skew_safe_count_distinct_matches_plain(self, spark):
+        from spark_bestfit_spark.operators.skew import (
+            skew_safe_count_distinct,
+        )
+
+        rows = (
+            [("hot", f"v{i % 7}") for i in range(200)]
+            + [("cold", "a"), ("cold", "b"), ("cold", "a")]
+            + [("nulls", None), ("nulls", None), ("mixed", None),
+               ("mixed", "x")]
+        )
+        df = spark.createDataFrame(rows, "k string, v string").repartition(8)
+        ours = {
+            r.k: r.n_distinct
+            for r in skew_safe_count_distinct(df, ["k"], "v").collect()
+        }
+        plain = {
+            r.k: r.nd
+            for r in df.groupBy("k")
+            .agg(F.countDistinct("v").alias("nd"))
+            .collect()
+        }
+        assert ours == plain  # incl. nulls-excluded semantics
+        assert ours["hot"] == 7 and ours["nulls"] == 0 and ours["mixed"] == 1
+
 
 class TestIvfIndex:
     @pytest.fixture(scope="class")
