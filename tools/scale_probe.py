@@ -98,7 +98,7 @@ def main() -> int:
     base_cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     base_part = spark.read.parquet(f"{sf_dir}/part.parquet")
 
-    def replicate(n_reps: int, out_dir: str) -> None:
+    def replicate(n_reps: int, out_dir: str, lineitem_only=False) -> None:
         """bench.py's sf1 replication recipe at an arbitrary factor."""
         reps = spark.range(n_reps).select(F.col("id").alias("_rep"))
         li_path = os.path.join(out_dir, "lineitem.parquet")
@@ -113,6 +113,8 @@ def main() -> int:
                 .repartition(cpus)
                 .write.mode("overwrite").parquet(li_path)
             )
+        if lineitem_only:
+            return
         docs_path = os.path.join(out_dir, "documents.parquet")
         if not os.path.isdir(docs_path):
             text_r = FB.when(F.col("_rep") == 0, F.col("text")).otherwise(
@@ -196,8 +198,60 @@ def main() -> int:
                 .write.mode("overwrite").parquet(part_path)
             )
 
+    sf100 = "--sf100" in only
+    only.discard("--sf100")
     print("building replicas (reused if present) ...", flush=True)
     replicate(10, sf1_dir)
+    if sf100:
+        # third decade, lineitem spines only (600M rows): the fit
+        # engine and the bucketed prefix-sum spines are the operators
+        # whose flat/linear claims matter most, and lineitem is the
+        # only table whose 1000x replica stays disk- and time-cheap
+        sf100_dir = os.path.join(repo, ".scale_cache", "sf100")
+        replicate(1000, sf100_dir, lineitem_only=True)
+        li1 = spark.read.parquet(os.path.join(sf1_dir, "lineitem.parquet"))
+        li100 = spark.read.parquet(
+            os.path.join(sf100_dir, "lineitem.parquet")
+        )
+        fitter = DistributionFitter(spark)
+        lines100 = [
+            ("hist",
+             lambda: compute_histogram(li1, "l_extendedprice", bins=50),
+             lambda: compute_histogram(li100, "l_extendedprice", bins=50)),
+            ("fit_full",
+             lambda: fitter.fit(li1, column="l_extendedprice").count(),
+             lambda: fitter.fit(li100, column="l_extendedprice").count()),
+            ("two_sample_ks",
+             lambda: two_sample_ks_df(
+                 li1.filter("l_returnflag = 'A'"),
+                 li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
+             lambda: two_sample_ks_df(
+                 li100.filter("l_returnflag = 'A'"),
+                 li100.filter("l_returnflag = 'N'"), "l_quantity").first()),
+            ("quantile_rank",
+             lambda: quantile_rank(li1, "l_extendedprice").count(),
+             lambda: quantile_rank(li100, "l_extendedprice").count()),
+        ]
+        out: dict = {}
+        for name, f1, f100 in lines100:
+            if only and name not in only:
+                continue
+            t0 = time.perf_counter()
+            f1()
+            w1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            f100()
+            w100 = time.perf_counter() - t0
+            out[name] = {
+                "sf1": round(w1, 3), "sf100": round(w100, 3),
+                "ratio": round(w100 / w1, 2) if w1 > 0 else None,
+            }
+            print(f"{name:>18}: sf1 {w1:7.2f} s   sf100 {w100:8.2f} s"
+                  f"   x{out[name]['ratio']} (100x the rows)", flush=True)
+        print(json.dumps(
+            {"metric": "scale_probe_sf100", "unit": "sec", "reps": 1000,
+             "lines": out}))
+        return 0
     replicate(100, sf10_dir)
 
     def tables(d):
