@@ -66,12 +66,21 @@ def _normalized(text_col: str) -> Column:
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id representative of each exact-content group."""
-    with_fp = df.withColumn("_fp", F.md5(_normalized(text_col)))
-    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    """Keep the lowest-id representative of each exact-content group.
+
+    Single exchange on the fingerprint, no join: the keeper set has one
+    row per DISTINCT document, which at corpus scale is itself
+    billions of rows — joining against it (let alone force-broadcasting
+    it, as earlier versions did) is the scale hazard. ``row_number``
+    over the fingerprint partition keeps the winner inside the one
+    shuffle the semantics require.
+    """
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
     return (
-        with_fp.join(F.broadcast(keep.select(id_col)), on=id_col, how="inner")
-        .drop("_fp")
+        df.withColumn("_fp", F.md5(_normalized(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
     )
 
 
@@ -217,6 +226,50 @@ def minhash_signature_col(
     )[0]
 
 
+def _bounded_banded(
+    banded: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Truncate each (band, band_sig) bucket to cap+1 rows BEFORE any
+    aggregation: a million-copy viral bucket contributes at most cap+1
+    rows downstream (the window sorter spills row-at-a-time; nothing
+    ever holds the full bucket in memory). cap+1 — not cap — so the
+    over-cap condition remains detectable after truncation."""
+    wb = Window.partitionBy("band", "band_sig").orderBy(id_col)
+    return (
+        banded.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_bucket_size + 1)
+        .drop("_bn")
+    )
+
+
+def _lsh_buckets(
+    banded: DataFrame, id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """(band, band_sig, _ids) buckets with BOUNDED aggregation state.
+
+    When ``max_bucket_size`` is set, a ``row_number`` over the same
+    (band, band_sig) key truncates each bucket to cap+1 rows BEFORE
+    ``collect_list`` runs, so a million-copy viral bucket never
+    materializes a million-element array anywhere — the window sorter
+    spills row-at-a-time, and the collected state is <= cap+1. The
+    window partitions on the exact groupBy key, so Catalyst reuses the
+    one hash exchange (plan-asserted in tests). An array that arrives
+    at cap+1 means the true bucket exceeded the cap, and the drop
+    filter removes it — identical drop-over-cap semantics to filtering
+    on the full size.
+    """
+    if max_bucket_size is not None:
+        banded = _bounded_banded(banded, id_col, max_bucket_size)
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    return buckets
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -257,13 +310,7 @@ def minhash_lsh_candidates(
             ).alias("band", "band_sig"),
         )
     )
-    buckets = (
-        banded.groupBy("band", "band_sig")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    buckets = _lsh_buckets(banded, id_col, max_bucket_size)
     n = F.size("_ids")
     pair_structs = F.flatten(
         F.transform(

@@ -172,6 +172,51 @@ class TestMinHash:
         assert (100, 101) in found  # small buckets unaffected
         assert not any(a < 30 and b < 30 for a, b in found)
 
+    def test_bucket_state_is_bounded_to_cap_plus_one(self, spark):
+        """The in-agg guard truncates each bucket to cap+1 rows BEFORE
+        collect_list, so a viral bucket's aggregation state is bounded
+        — the full member array never materializes anywhere."""
+        banded = spark.createDataFrame(
+            [(0, "viral", i) for i in range(30)]
+            + [(0, "small", i) for i in range(3)],
+            "band int, band_sig string, doc_id long",
+        ).repartition(4)
+        bounded = dedup._bounded_banded(banded, "doc_id", 5)
+        counts = {
+            r.band_sig: r.n
+            for r in bounded.groupBy("band_sig")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert counts["viral"] == 6  # cap+1: over-cap still detectable
+        assert counts["small"] == 3  # under-cap untouched
+        # truncation keeps the LOWEST ids (deterministic orderBy)
+        kept = sorted(
+            r.doc_id
+            for r in bounded.filter(F.col("band_sig") == "viral").collect()
+        )
+        assert kept == [0, 1, 2, 3, 4, 5]
+
+    def test_bounded_banded_reuses_the_bucket_exchange(self, spark):
+        """The truncation window partitions on the exact groupBy key,
+        so turning the guard on adds NO exchange to the candidate
+        plan (the window slots inside the existing bucket shuffle)."""
+        sigs = dedup.minhash_signatures(
+            spark.createDataFrame(
+                [(i, f"text number {i} body words") for i in range(20)],
+                "doc_id long, text string",
+            )
+        )
+
+        def n_exchanges(df):
+            return (
+                df._jdf.queryExecution().executedPlan().toString()
+            ).count("Exchange")
+
+        unguarded = dedup.minhash_lsh_candidates(sigs)
+        guarded = dedup.minhash_lsh_candidates(sigs, max_bucket_size=10)
+        assert n_exchanges(guarded) == n_exchanges(unguarded)
+
 
 class TestSimHash:
     def test_identical_docs_hamming_zero(self, toy_docs):

@@ -57,12 +57,17 @@ class TestScanPruning:
 
 
 class TestJoinStrategies:
-    def test_exact_dedup_broadcasts_keeper_side(self, spark):
+    def test_exact_dedup_has_no_join_and_one_exchange(self, spark):
+        """The keeper set is corpus-sized (one row per distinct doc);
+        any join against it — and especially a forced broadcast — is a
+        100 TB scale hazard. The window form keeps the winner inside
+        the single fingerprint exchange."""
         from spark_bestfit_spark.operators.dedup import exact_dedup
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         plan = _physical(exact_dedup(docs))
-        assert "BroadcastHashJoin" in plan
+        assert "Join" not in plan  # no BroadcastHashJoin / SortMergeJoin
+        assert plan.count("Exchange") == 1
 
     def test_decontaminate_broadcasts_probes(self, spark):
         from spark_bestfit_spark.operators.curation import (
