@@ -152,47 +152,61 @@ def _lloyd_kmeans(
 def _hierarchical_kmeans(
     x: np.ndarray, k: int, seed: int
 ) -> tuple[np.ndarray, list, np.ndarray, np.ndarray]:
-    """Two-level quantizer (the inverted-multi-index idea, Babenko &
+    """Two-level center FIT (the inverted-multi-index idea, Babenko &
     Lempitsky 2012, simplified to one coarse split): ``k1 = ceil(√k)``
-    coarse Lloyd centers over the whole sample, then up to
-    ``ceil(k/k1)`` sub-centers fitted WITHIN each coarse cell.
+    coarse Lloyd centers over the whole sample, then sub-centers fitted
+    WITHIN each coarse cell, quota-allocated proportionally to cell
+    population (largest-remainder, min 1) so the realized total NEVER
+    exceeds ``k`` (it can be smaller when thin cells hold fewer points
+    than their quota — documented contract).
 
     Why it exists: flat Lloyd is O(sample · k · d) per iteration (and
-    its k-means++ seeding loops k times over the sample), and flat
-    assignment is O(n · k · d) — at the 100 TB operating point
-    (k ~ thousands so in-cluster quadratic work stays bounded) both
-    walls are the quantizer, not the data. Measured here at the sf10
-    probe scale (100k sample, k=640, d=64): flat fit 67 s
-    driver-side; this two-level fit ~3 s, and assignment probes
-    k1 + k/k1 ≈ 2√k centers per vector instead of k. Cell geometry is
-    slightly coarser than flat Lloyd (a vector is quantized within
-    its coarse cell only), which IVF bucketing tolerates by design —
-    near-identical vectors land in the same cell under ANY quantizer.
+    its k-means++ seeding loops k times over the sample) — at the
+    100 TB operating point (k ~ thousands) the driver-side FIT is the
+    wall, not the data pass. Measured at the sf10 probe scale (100k
+    sample, k=640, d=64): flat fit 67 s driver-side; this two-level
+    fit ~3 s. The fitted centers are then used EXACTLY like flat
+    Lloyd's — every vector is assigned by global argmin over the flat
+    center list (see ``IvfIndex._build_local``), so cell semantics,
+    ``query()`` probing, and ``save()``/``load()`` are identical in
+    both modes. (Earlier versions assigned two-stage — nearest
+    sub-center within the nearest coarse cell — which could disagree
+    with query()'s global-argmin probe near coarse boundaries and
+    cost recall at low nprobe; assignment is now always global.)
 
     Returns ``(coarse, subs, flat, offsets)``: coarse (k1, d); subs —
-    list of per-cell (k_j, d) sub-center arrays (k_j can be < k/k1 in
-    thin cells, so the total can be < k); flat — vstack of subs;
-    offsets — global cell id of each coarse cell's first sub-center
-    (cell id = offsets[j] + local argmin within cell j)."""
+    list of per-cell (k_j, d) sub-center arrays; flat — vstack of
+    subs, ``flat.shape[0] <= k``; offsets — index into flat of each
+    coarse cell's first sub-center (fit introspection only)."""
     k1 = int(np.ceil(np.sqrt(k)))
     coarse = _lloyd_kmeans(x, k1, seed)
     scores = x @ coarse.T - 0.5 * np.sum(coarse * coarse, axis=1)
     lab = np.argmax(scores, axis=1)
-    k2 = int(np.ceil(k / k1))
+    counts = np.bincount(lab, minlength=k1).astype(np.float64)
+    # population-proportional quotas summing to exactly k, min 1 each
+    # (largest-remainder): dense cells get more sub-centers, and the
+    # realized total can never overshoot k the way a uniform
+    # ceil(k/k1)-per-cell split could (k1 * ceil(k/k1) > k).
+    shares = counts / max(counts.sum(), 1.0) * (k - k1)
+    quota = np.ones(k1, dtype=np.int64) + np.floor(shares).astype(np.int64)
+    remainder = k - int(quota.sum())
+    if remainder > 0:
+        frac = shares - np.floor(shares)
+        for j in np.argsort(-frac, kind="stable")[:remainder]:
+            quota[j] += 1
     subs: list = []
     offsets = np.zeros(k1, dtype=np.int64)
     off = 0
     for j in range(k1):
         pts = x[lab == j]
+        kj = int(min(quota[j], max(pts.shape[0], 1)))
         if pts.shape[0] == 0:
             # empty coarse cell: keep its center so ids stay dense
             subs.append(coarse[j : j + 1].copy())
-        elif min(k2, pts.shape[0]) == 1:
+        elif kj == 1:
             subs.append(pts.mean(axis=0, keepdims=True))
         else:
-            subs.append(
-                _lloyd_kmeans(pts, min(k2, pts.shape[0]), seed + j + 1)
-            )
+            subs.append(_lloyd_kmeans(pts, kj, seed + j + 1))
         offsets[j] = off
         off += subs[-1].shape[0]
     return coarse, subs, np.vstack(subs), offsets
@@ -427,16 +441,31 @@ class IvfIndex:
         quality needs only a sample, so the cluster never runs KMeans
         jobs over the corpus — the full-data pass is map-only.
 
-        ``hierarchical`` (local method only): ``True`` forces the
-        two-level quantizer (:func:`_hierarchical_kmeans` — √k coarse
-        cells then √k sub-centers each; fit and assignment cost
-        ~2√k center-distances instead of k), ``False`` forces flat
-        Lloyd, ``None`` (default) picks two-level when
-        ``n_clusters >= 128`` — the point where the flat quantizer's
-        O(k) terms start dominating the whole build (measured sf10
-        probe: 67 s of a 155 s semantic_dedup was the flat fit at
-        k=640). Cell ids stay dense either way; ``query()``/nprobe
-        and every downstream consumer see the same contract."""
+        ``hierarchical`` (local method only): ``True`` fits the
+        centers with the two-level quantizer
+        (:func:`_hierarchical_kmeans` — √k coarse cells, then
+        population-proportional sub-centers within each; fit cost
+        ~2√k center-distances per point instead of k), ``False``
+        forces flat Lloyd, ``None`` (default) picks two-level when
+        ``n_clusters >= 128`` — the point where the flat fit's O(k)
+        terms start dominating the whole build (measured sf10 probe:
+        67 s of a 155 s semantic_dedup was the flat fit at k=640).
+        The choice affects ONLY how the centers are fitted: every
+        vector is assigned by global argmin over the flat center
+        list in both modes, so query()/nprobe, save()/load(), and
+        every downstream consumer see one contract, and an
+        exact-match query always probes its own vector's cell first.
+        ``len(centers)`` never exceeds ``n_clusters`` (it can be
+        smaller when thin coarse cells hold fewer sample points than
+        their quota).
+
+        .. note:: behavior change (round 9/10): at ``n_clusters >=
+           128`` with ``hierarchical=None`` the centers are now
+           two-level-fitted, so cell assignments (and anything seeded
+           off them, e.g. ``semantic_dedup`` keeper choices) differ
+           from the flat-Lloyd cells older versions produced at the
+           same seed. Pass ``hierarchical=False`` to reproduce the
+           old geometry exactly."""
         if method == "local":
             return cls._build_local(
                 vectors, n_clusters, seed, id_col, vec_col, cache,
@@ -505,46 +534,33 @@ class IvfIndex:
         if hierarchical is None:
             hierarchical = n_clusters >= 128
         if hierarchical:
-            coarse, subs, flat, offsets = _hierarchical_kmeans(
-                sample, n_clusters, seed
-            )
+            _, _, flat, _ = _hierarchical_kmeans(sample, n_clusters, seed)
             c_arr = flat.astype(np.float64)
-            co_arr = coarse.astype(np.float64)
-            co_sq = 0.5 * np.sum(co_arr * co_arr, axis=1)
-            sub_arrs = [s.astype(np.float64) for s in subs]
-            sub_sqs = [0.5 * np.sum(s * s, axis=1) for s in sub_arrs]
-
-            @pandas_udf("int")
-            def _assign(col: pd.Series) -> pd.Series:
-                mat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in col]
-                )
-                if mat.size == 0:
-                    return pd.Series([], dtype="int32")
-                lab1 = np.argmax(mat @ co_arr.T - co_sq, axis=1)
-                out = np.empty(mat.shape[0], dtype=np.int32)
-                for j in np.unique(lab1):
-                    rows = lab1 == j
-                    s2 = mat[rows] @ sub_arrs[j].T - sub_sqs[j]
-                    out[rows] = offsets[j] + np.argmax(s2, axis=1)
-                return pd.Series(out)
-
         else:
-            centers = _lloyd_kmeans(sample, n_clusters, seed)
-            c_arr = centers.astype(np.float64)
-            c_sq = 0.5 * np.sum(c_arr * c_arr, axis=1)  # argmin ||v-c||^2
+            c_arr = _lloyd_kmeans(sample, n_clusters, seed).astype(
+                np.float64
+            )
+        # Assignment is ALWAYS global argmin over the flat center list,
+        # however the centers were fitted. query() picks its nprobe
+        # cells by the same global argmin, so a vector's assigned cell
+        # is by construction the FIRST cell any matching query probes
+        # — the two-stage assignment this replaces (nearest sub-center
+        # within the nearest coarse cell) could disagree with the
+        # probe near coarse boundaries and miss even an exact-match
+        # query at nprobe=1.
+        c_sq = 0.5 * np.sum(c_arr * c_arr, axis=1)  # argmin ||v-c||^2
 
-            @pandas_udf("int")
-            def _assign(col: pd.Series) -> pd.Series:
-                mat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in col]
-                )
-                if mat.size == 0:
-                    return pd.Series([], dtype="int32")
-                scores = mat @ c_arr.T - c_sq  # argmax <=> nearest center
-                return pd.Series(
-                    np.argmax(scores, axis=1).astype(np.int32)
-                )
+        @pandas_udf("int")
+        def _assign(col: pd.Series) -> pd.Series:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in col]
+            )
+            if mat.size == 0:
+                return pd.Series([], dtype="int32")
+            scores = mat @ c_arr.T - c_sq  # argmax <=> nearest center
+            return pd.Series(
+                np.argmax(scores, axis=1).astype(np.int32)
+            )
 
         assigned = vectors.select(
             F.col(id_col), F.col(vec_col),
@@ -553,11 +569,9 @@ class IvfIndex:
         if cache:
             assigned = assigned.cache()
         idx = cls(assigned, c_arr.tolist(), id_col, vec_col)
-        if hierarchical:
-            # introspection hooks (not persisted by save(): queries only
-            # need the flat centers; a load()ed index is a flat view)
-            idx._coarse = co_arr
-            idx._offsets = offsets
+        # introspection hook: how the centers were fitted (assignment
+        # and query semantics are identical either way)
+        idx._fit_mode = "hierarchical" if hierarchical else "flat"
         return idx
 
     # ------------------------------------------------------------- query

@@ -89,10 +89,17 @@ def skew_safe_count_distinct(
     semantics exactly: null values are excluded (a key whose values
     are all null still appears, with n_distinct = 0, just as
     COUNT(DISTINCT) returns 0 — the key row itself comes from the
-    first groupBy, which keeps the null-value group)."""
+    first stage, which keeps the null-value group)."""
+    if value_col in keys:
+        raise ValueError(
+            f"value_col {value_col!r} cannot also be a grouping key"
+        )
+    # first stage is a projected DISTINCT (groupBy with no aggregate):
+    # no synthesized column, so a grouping key named 'count' can never
+    # collide with a stage-one output
     return (
-        df.groupBy(*keys, value_col)
-        .count()
+        df.select(*keys, value_col)
+        .distinct()
         .groupBy(*keys)
         .agg(
             F.count(F.when(F.col(value_col).isNotNull(), 1))

@@ -140,6 +140,26 @@ class TestSaltedAggregation:
         assert ours == plain  # incl. nulls-excluded semantics
         assert ours["hot"] == 7 and ours["nulls"] == 0 and ours["mixed"] == 1
 
+    def test_skew_safe_count_distinct_count_named_key(self, spark):
+        """A grouping key literally named 'count' must work (the old
+        first-stage .count() synthesized a colliding column), and
+        value_col duplicating a key is a loud error."""
+        from spark_bestfit_spark.operators.skew import (
+            skew_safe_count_distinct,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 2), ("b", 3)],
+            "count string, v int",
+        )
+        out = {
+            r["count"]: r.n_distinct
+            for r in skew_safe_count_distinct(df, ["count"], "v").collect()
+        }
+        assert out == {"a": 2, "b": 1}
+        with pytest.raises(ValueError, match="grouping key"):
+            skew_safe_count_distinct(df, ["count"], "count")
+
 
 class TestIvfIndex:
     @pytest.fixture(scope="class")
@@ -351,34 +371,73 @@ class TestHierarchicalQuantizer:
         np.testing.assert_array_equal(
             offsets, np.concatenate([[0], np.cumsum(sizes)[:-1]])
         )
-        assert flat.shape[0] <= k1 * int(np.ceil(200 / k1))
+        # the realized total NEVER exceeds k (the old uniform
+        # ceil(k/k1) quota could overshoot: k1*ceil(k/k1) > k)
+        assert flat.shape[0] <= 200
         # deterministic
         _, _, flat2, _ = _hierarchical_kmeans(x, 200, seed=7)
         np.testing.assert_allclose(flat, flat2)
 
-    def test_assignment_is_two_stage_argmin(self, big_corpus):
+    @pytest.mark.parametrize("k", [150, 640])
+    def test_center_count_never_exceeds_k(self, k):
+        """k values where k1*ceil(k/k1) > k (150 -> 156, 640 -> 650
+        under the old uniform quota) must realize <= k centers."""
+        from spark_bestfit_spark.operators.similarity import (
+            _hierarchical_kmeans,
+        )
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(0.0, 1.0, (4000, 8))
+        _, _, flat, _ = _hierarchical_kmeans(x, k, seed=7)
+        assert flat.shape[0] <= k
+        # dense data, generous sample: quota allocation should land
+        # close to k, not collapse
+        assert flat.shape[0] >= int(0.9 * k)
+
+    def test_assignment_is_global_argmin(self, big_corpus):
+        """Hierarchical fit, but assignment must be global argmin over
+        the flat centers — the same rule query() probes with, so the
+        two can never disagree (the old two-stage assignment could,
+        near coarse-cell boundaries)."""
         from spark_bestfit_spark.operators.similarity import IvfIndex
 
         idx = IvfIndex.build(
             big_corpus, n_clusters=150, seed=11, method="local"
         )
-        assert hasattr(idx, "_coarse")  # auto threshold engaged
+        assert idx._fit_mode == "hierarchical"  # auto threshold engaged
         centers = np.asarray(idx.centers)
-        coarse = idx._coarse
-        offsets = idx._offsets
-        bounds = list(offsets) + [centers.shape[0]]
         rows = idx.assigned.select("embedding", "cell").collect()
         assert all(0 <= r["cell"] < centers.shape[0] for r in rows)
         for r in rows[:200]:
             v = np.asarray(r["embedding"])
-            j = int(
-                np.argmin(np.sum((coarse - v) ** 2, axis=1))
+            assert r["cell"] == int(
+                np.argmin(np.sum((centers - v) ** 2, axis=1))
             )
-            lo, hi = bounds[j], bounds[j + 1]
-            local = int(
-                np.argmin(np.sum((centers[lo:hi] - v) ** 2, axis=1))
-            )
-            assert r["cell"] == lo + local
+        idx.unpersist()
+
+    def test_hierarchical_query_finds_exact_match_at_nprobe_1(
+        self, big_corpus
+    ):
+        """The ADVICE recall regression: with two-stage assignment a
+        vector's cell could differ from the cell query() probes first,
+        so an exact-match query could MISS its own vector at nprobe=1.
+        Global-argmin assignment makes that impossible — pin it."""
+        from spark_bestfit_spark.operators.similarity import IvfIndex
+
+        idx = IvfIndex.build(
+            big_corpus, n_clusters=150, seed=11, method="local"
+        )
+        assert idx._fit_mode == "hierarchical"
+        queries = big_corpus.filter("vec_id < 40").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        hits = {
+            r["query_id"]
+            for r in idx.query(queries, k=3, nprobe=1).collect()
+            if r["neighbor_id"] == r["query_id"]
+        }
+        assert hits == set(range(40))  # every query finds itself
         idx.unpersist()
 
     def test_flat_path_unchanged_below_threshold(self, big_corpus):
@@ -387,7 +446,7 @@ class TestHierarchicalQuantizer:
         idx = IvfIndex.build(
             big_corpus, n_clusters=16, seed=11, method="local"
         )
-        assert not hasattr(idx, "_coarse")
+        assert idx._fit_mode == "flat"
         centers = np.asarray(idx.centers)
         for r in idx.assigned.select("embedding", "cell").collect()[:100]:
             v = np.asarray(r["embedding"])
@@ -403,12 +462,12 @@ class TestHierarchicalQuantizer:
             big_corpus, n_clusters=16, seed=11, method="local",
             hierarchical=True,
         )
-        assert hasattr(hier_small, "_coarse")
+        assert hier_small._fit_mode == "hierarchical"
         flat_big = IvfIndex.build(
             big_corpus, n_clusters=150, seed=11, method="local",
             hierarchical=False,
         )
-        assert not hasattr(flat_big, "_coarse")
+        assert flat_big._fit_mode == "flat"
         a = IvfIndex.build(
             big_corpus, n_clusters=150, seed=11, method="local"
         )
