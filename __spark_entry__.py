@@ -4033,6 +4033,89 @@ def _q_ivf_recall_clustered(spark, sf_dir):
     )
 
 
+def _q_ivf_hier_recall(spark, sf_dir):
+    """Recall oracle for the TWO-LEVEL-fitted IVF path (hierarchical
+    auto-engages at n_clusters >= 128; `ivf_ann_topk` and
+    `ivf_recall_clustered` only ever exercise flat quantizers). 60
+    planted families of six near-identical vectors (1e-6 noise against
+    O(1) center spacing) — a family always shares one global-argmin
+    cell under ANY center geometry, and assignment uses the same
+    global-argmin rule query() probes with, so at nprobe=1 each family
+    head must find all five of its copies AND itself. Both compared
+    against the exact cosine top-k computed in-query, not assumed —
+    a regression to two-stage assignment (which could disagree with
+    the probe near coarse boundaries) breaks n_self_hits."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import IvfIndex, self_topk
+
+    rng = np.random.default_rng(29)
+    kc, dim, n_base, n_fam = 10, 16, 1840, 60
+    centers = 3.0 * rng.normal(0.0, 1.0, (kc, dim))
+    labels = rng.integers(0, kc, n_base)
+    base = centers[labels] + 0.2 * rng.normal(0.0, 1.0, (n_base, dim))
+    copies = np.repeat(base[:n_fam], 5, axis=0) + 1e-6 * rng.normal(
+        0.0, 1.0, (n_fam * 5, dim)
+    )
+    pts = np.vstack([base, copies])
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    qids = list(range(n_fam))
+    idx = IvfIndex.build(df, n_clusters=150, seed=42, method="local")
+    approx = idx.query_ids(qids, k=5, nprobe=1).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(df, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    n_overlap = approx.intersect(exact).count()
+    n_exact = exact.count()
+    q = df.filter(F.col("vec_id") < n_fam).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    n_self = (
+        idx.query(q, k=1, nprobe=1)
+        .filter(F.col("neighbor_id") == F.col("query_id"))
+        .count()
+    )
+    hier = idx._fit_mode == "hierarchical"
+    within_k = len(idx.centers) <= 150
+    idx.unpersist()
+    return spark.createDataFrame(
+        [(n_fam, int(n_exact), int(n_overlap), int(n_self),
+          bool(hier), bool(within_k))],
+        "n_queries long, n_exact long, n_overlap long, n_self_hits long,"
+        " hierarchical_fit boolean, centers_within_k boolean",
+    )
+
+
+def _q_skew_count_distinct(spark, sf_dir):
+    """Skew-safe COUNT(DISTINCT): a synthetic 90%-hot key over
+    lineitem (plain countDistinct routes a hot key's whole
+    distinct-value set to one reducer; the two-stage form shuffles on
+    (key, value) first — measured 16.4 -> 9.3 s at 60M rows/90%-hot).
+    A null stripe in the value column pins COUNT(DISTINCT)'s
+    nulls-excluded semantics against the DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.skew import skew_safe_count_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit("hot"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("k"),
+        F.when(F.col("l_partkey") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("l_partkey"))
+        .alias("v"),
+    )
+    return skew_safe_count_distinct(keyed, ["k"], "v")
+
+
 def _q_fit_lazy(spark, sf_dir):
     """Lazy fit: KS/AD must be skipped in-kernel (NULL on every row)
     while AIC/BIC are still exact."""
@@ -5550,6 +5633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hedges_g": _q_hedges_g,
         "weighted_quantiles": _q_weighted_quantiles,
         # ---- round-10 registrations (operator + oracle same round) --
+        "ivf_hier_recall": _q_ivf_hier_recall,
+        "skew_count_distinct": _q_skew_count_distinct,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -9881,6 +9966,22 @@ def oracle_sql() -> dict[str, str]:
               (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
               (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT))
             ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "ivf_hier_recall": """
+            SELECT CAST(60 AS BIGINT) AS n_queries,
+                   CAST(300 AS BIGINT) AS n_exact,
+                   CAST(300 AS BIGINT) AS n_overlap,
+                   CAST(60 AS BIGINT) AS n_self_hits,
+                   TRUE AS hierarchical_fit,
+                   TRUE AS centers_within_k
+        """,
+        "skew_count_distinct": """
+            SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'hot'
+                        ELSE l_returnflag END AS k,
+                   COUNT(DISTINCT CASE WHEN l_partkey % 97 = 0 THEN NULL
+                                       ELSE l_partkey END) AS n_distinct
+            FROM lineitem
+            GROUP BY 1
         """,
         "ivf_ann_topk": """
             SELECT query_id, n_exact, n_overlap
