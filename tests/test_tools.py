@@ -60,3 +60,29 @@ def test_check_oracle_rejects_unknown_query_names():
     )
     assert proc.returncode == 1
     assert "unknown query name" in proc.stdout
+
+
+def test_invariance_sweep_always_includes_generation_queries():
+    """The partition-layout sweep must re-prove per-partition-seed
+    generator determinism on EVERY targeted run: the resolved query
+    list appends the pinned-seed generation queries to any explicit
+    selection (r9 verdict task 7 — structural, not by convention)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "invariance_sweep.py"),
+         "--list", "histogram_price"],
+        capture_output=True, text=True, timeout=60, cwd=REPO,
+    )
+    assert proc.returncode == 0
+    got = proc.stdout.split()
+    assert got[0] == "histogram_price"
+    for q in ("generate_univariate", "copula_sample", "gmm_fit"):
+        assert q in got
+    # full-registry mode (no selection) stays full-registry
+    proc2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "invariance_sweep.py"),
+         "--list"],
+        capture_output=True, text=True, timeout=60, cwd=REPO,
+    )
+    assert "<full registry>" in proc2.stdout
