@@ -4093,6 +4093,69 @@ def _q_ivf_hier_recall(spark, sf_dir):
     )
 
 
+def _q_embedding_quant_report(spark, sf_dir):
+    """Per-dimension int8 quantization audit of the embeddings table:
+    exact (lo, hi) range per dim (one agg pass, no explode), the
+    affine scale, the measured max |x - x_hat| of the round-trip, and
+    the scale/2 bound flag — full value-level DuckDB replica (UNNEST
+    per dim + the same clamp/round formula)."""
+    from spark_bestfit_spark.operators.similarity import (
+        quantization_error_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantization_error_report(emb, dim=64)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining over the embeddings table:
+    3 anchors, cosine band [0.1, 0.9), top-3 per anchor — broadcast
+    anchors, map-only corpus scan, band filter before the one
+    exchange. Full value-level DuckDB replica (same cosine formula,
+    band, ranking, and tie-break)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import mine_hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    return mine_hard_negatives(emb, anchors, k=3, lo=0.1, hi=0.9)
+
+
+def _q_stratified_split_counts(spark, sf_dir):
+    """EXACT stratified split over documents by (lang, source):
+    per-stratum per-split counts — every stratum must hit its
+    cumulative-floor quota exactly (hash_split's binomial noise
+    cannot). Full DuckDB replica: same Knuth hash ranking, same count
+    window, same thresholds."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import stratified_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_split(
+        docs, ["lang", "source"],
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3,
+    )
+    return out.groupBy("lang", "source", "split").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def _q_dataset_card(spark, sf_dir):
+    """One-row dataset card over documents: corpus volume, token/char
+    totals, length stats, empty share, exact-dup rate — two
+    aggregation passes, nothing driver-side. Full DuckDB replica
+    (same whitespace tokenizer, same normalized-md5 fingerprint)."""
+    from spark_bestfit_spark.operators.pipeline import dataset_card
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dataset_card(docs)
+
+
 def _q_skew_count_distinct(spark, sf_dir):
     """Skew-safe COUNT(DISTINCT): a synthetic 90%-hot key over
     lineitem (plain countDistinct routes a hot key's whole
@@ -5635,6 +5698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-10 registrations (operator + oracle same round) --
         "ivf_hier_recall": _q_ivf_hier_recall,
         "skew_count_distinct": _q_skew_count_distinct,
+        "embedding_quant_report": _q_embedding_quant_report,
+        "hard_negatives": _q_hard_negatives,
+        "stratified_split_counts": _q_stratified_split_counts,
+        "dataset_card": _q_dataset_card,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -9974,6 +10041,128 @@ def oracle_sql() -> dict[str, str]:
                    CAST(60 AS BIGINT) AS n_self_hits,
                    TRUE AS hierarchical_fit,
                    TRUE AS centers_within_k
+        """,
+        "hard_negatives": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            a AS (
+              SELECT vec_id AS anchor_id, e AS ae FROM v WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT a.anchor_id, v.vec_id AS negative_id,
+                     round(list_dot_product(a.ae, v.e)
+                           / (sqrt(list_dot_product(a.ae, a.ae))
+                              * sqrt(list_dot_product(v.e, v.e))), 6)
+                       AS cosine
+              FROM a JOIN v ON v.vec_id != a.anchor_id
+            ),
+            banded AS (
+              SELECT * FROM scored WHERE cosine >= 0.1 AND cosine < 0.9
+            ),
+            ranked AS (
+              SELECT anchor_id, negative_id, cosine,
+                     row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cosine DESC, negative_id
+                     ) AS "rank"
+              FROM banded
+            )
+            SELECT anchor_id, negative_id, cosine, "rank"
+            FROM ranked WHERE "rank" <= 3
+        """,
+        "embedding_quant_report": """
+            WITH elems AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+              WHERE embedding IS NOT NULL
+            ),
+            rng AS (
+              SELECT dim_idx, MIN(x) AS lo, MAX(x) AS hi,
+                     CASE WHEN MAX(x) > MIN(x)
+                          THEN (MAX(x) - MIN(x)) / 255.0
+                          ELSE 1.0 END AS scale
+              FROM elems GROUP BY dim_idx
+            ),
+            err AS (
+              SELECT e.dim_idx,
+                     MAX(ABS(e.x - (r.lo
+                       + LEAST(255, GREATEST(0,
+                           CAST(round((e.x - r.lo) / r.scale) AS INT)))
+                         * r.scale))) AS max_abs_err
+              FROM elems e JOIN rng r USING (dim_idx)
+              GROUP BY e.dim_idx
+            )
+            SELECT CAST(r.dim_idx AS INT) AS dim_idx,
+                   ROUND(r.lo, 6) AS lo,
+                   ROUND(r.hi, 6) AS hi,
+                   ROUND(r.scale, 9) AS scale,
+                   ROUND(x.max_abs_err, 9) AS max_abs_err,
+                   x.max_abs_err <= r.scale * 0.5000001 AS within_bound
+            FROM rng r JOIN err x USING (dim_idx)
+        """,
+        "dataset_card": """
+            WITH base AS (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                     END AS tok,
+                     length(text) AS chr,
+                     CASE WHEN length(trim(text)) = 0 THEN 1
+                          ELSE 0 END AS empty,
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fp
+              FROM documents
+            ),
+            row_stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(empty) AS BIGINT) AS n_empty,
+                     CAST(sum(tok) AS BIGINT) AS total_tokens,
+                     CAST(sum(chr) AS BIGINT) AS total_chars,
+                     CAST(min(tok) AS BIGINT) AS min_tokens,
+                     CAST(max(tok) AS BIGINT) AS max_tokens
+              FROM base
+            ),
+            d AS (
+              SELECT CAST(count(DISTINCT fp) AS BIGINT)
+                       AS n_distinct_docs
+              FROM base
+            )
+            SELECT n_docs, n_empty, total_tokens, total_chars,
+                   min_tokens, max_tokens,
+                   round(total_tokens / n_docs, 6) AS mean_tokens,
+                   n_distinct_docs,
+                   round(1.0 - n_distinct_docs / n_docs, 6) AS dup_rate
+            FROM row_stats, d
+        """,
+        "stratified_split_counts": """
+            WITH u AS (
+              SELECT lang, source,
+                     (((doc_id + 3) * 2654435761) % 4294967296)
+                       / 4294967296.0 AS uh,
+                     doc_id
+              FROM documents
+            ),
+            ranked AS (
+              SELECT lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source ORDER BY uh, doc_id
+                     ) AS rn,
+                     count(*) OVER (
+                       PARTITION BY lang, source
+                     ) AS n
+              FROM u
+            ),
+            assigned AS (
+              SELECT lang, source,
+                     CASE WHEN rn <= floor(0.8 * n) THEN 'train'
+                          WHEN rn <= floor(0.9 * n) THEN 'val'
+                          ELSE 'test' END AS split
+              FROM ranked
+            )
+            SELECT lang, source, split, CAST(count(*) AS BIGINT) AS n_docs
+            FROM assigned GROUP BY lang, source, split
         """,
         "skew_count_distinct": """
             SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'hot'

@@ -1312,3 +1312,57 @@ def weighted_sample_exact(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list,
+    weights: dict | None = None,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """EXACT stratified train/val/test split: every stratum hits its
+    target count exactly.
+
+    :func:`hash_split` assigns by hash interval, so split sizes are
+    only correct in expectation — binomial noise ~sqrt(n) per stratum,
+    fatal when a rare class must contribute an exact eval quota.
+    Here rows are ranked WITHIN each stratum by the same deterministic
+    Knuth hash (ties broken by id, so the assignment is a pure
+    function of the data), the stratum size arrives via a count
+    window over the identical partition key, and the cumulative-floor
+    thresholds cut exact quotas: split i gets rows with
+    ``floor(cum_{i-1} * n) < rank <= floor(cum_i * n)``; the last
+    split absorbs the remainder rows.
+
+    Scale shape: ONE exchange on the strata key — the rank window, the
+    count window, and the threshold projection all share it (no join
+    back, no second shuffle, plan-asserted in tests). Skewed strata
+    sort within their partition and spill; there is no driver-side
+    collection of stratum sizes.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    u = _knuth_u(F.col(id_col), seed)
+    wp = Window.partitionBy(*strata_cols)
+    rn = F.row_number().over(wp.orderBy(u, F.col(id_col)))
+    n = F.count(F.lit(1)).over(wp)
+    names = list(weights)
+    acc = 0.0
+    expr = F.lit(names[-1])  # the last split absorbs the remainder
+    conds = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        conds.append((acc, name))
+    for cum, name in reversed(conds):
+        expr = F.when(
+            rn <= F.floor(F.lit(cum) * n), F.lit(name)
+        ).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -27,7 +27,7 @@ from spark_bestfit_spark.operators.textstats import (
     with_quality_score,
 )
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "dataset_card"]
 
 
 def curate_corpus(
@@ -78,3 +78,66 @@ def curate_corpus(
     audit["after_near_dedup"] = curated.count()
     audit["near_dup_pairs"] = pairs.count()
     return curated, audit
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row dataset card: the summary a data release ships with
+    (corpus size, token/char volume, length stats, empty share, exact
+    duplicate rate), computed in TWO aggregation passes and nothing
+    driver-side.
+
+    Pass 1 fuses every row-level aggregate into one map-combinable
+    agg (count/sum/min/max over token and char counts). Pass 2 is the
+    distinct normalized-fingerprint count — the one genuinely
+    distinct aggregation, shuffled on the fingerprint with map-side
+    partial aggregation, reusing :func:`~spark_bestfit_spark.operators
+    .dedup._normalized`'s definition so the card's dup_rate matches
+    what :func:`exact_dedup` would remove. Mean token length is
+    derived from the exact integer sums (bigint / bigint), so every
+    column is bit-stable under any partition layout.
+
+    Returns (n_docs, n_empty, total_tokens, total_chars, min_tokens,
+    max_tokens, mean_tokens, n_distinct_docs, dup_rate).
+    """
+    from spark_bestfit_spark.operators.dedup import _normalized
+
+    trimmed = F.trim(F.col(text_col))
+    tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    base = df.select(
+        tok.cast("long").alias("_tok"),
+        F.length(F.col(text_col)).cast("long").alias("_chr"),
+        F.when(F.length(trimmed) == 0, 1).otherwise(0).alias("_empty"),
+        F.md5(_normalized(text_col)).alias("_fp"),
+    )
+    row_stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_empty").cast("long").alias("n_empty"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.sum("_chr").cast("long").alias("total_chars"),
+        F.min("_tok").cast("long").alias("min_tokens"),
+        F.max("_tok").cast("long").alias("max_tokens"),
+    )
+    distinct = base.select("_fp").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_docs")
+    )
+    return row_stats.crossJoin(distinct).select(
+        "n_docs",
+        "n_empty",
+        "total_tokens",
+        "total_chars",
+        "min_tokens",
+        "max_tokens",
+        F.round(
+            F.col("total_tokens") / F.col("n_docs"), 6
+        ).alias("mean_tokens"),
+        "n_distinct_docs",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_docs") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

@@ -549,3 +549,167 @@ class TestSkewReport:
         # the heavy-keys leg must be a TakeOrdered, not a global sort
         # or a full-relation collect_list
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestEmbeddingQuantization:
+    """int8 affine quantization: the 4x storage/IO cut for vector
+    corpora. Contracts: params in one agg pass (no explode), map-only
+    encode/decode, |x - x_hat| <= scale/2 everywhere (lo/hi are the
+    exact range so nothing clamps), and merge-order-invariant report."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+
+    def test_roundtrip_error_within_half_scale(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            dequantize_embeddings,
+            embedding_quant_params,
+            quantize_embeddings,
+        )
+
+        params = embedding_quant_params(emb, 64)
+        assert len(params) == 64
+        assert all(lo <= hi for lo, hi in params)
+        q = quantize_embeddings(emb, params)
+        xh = dequantize_embeddings(q, params)
+        rows = xh.select("embedding", "q_embedding", "embedding_hat") \
+                 .collect()
+        for r in rows[:50]:
+            for i, (x, qi, h) in enumerate(
+                zip(r.embedding, r.q_embedding, r.embedding_hat)
+            ):
+                lo, hi = params[i]
+                scale = (hi - lo) / 255 if hi > lo else 1.0
+                assert 0 <= qi <= 255
+                assert abs(x - h) <= scale * 0.5000001
+
+    def test_report_bounds_and_shape(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            quantization_error_report,
+        )
+
+        rep = quantization_error_report(emb, 64)
+        rows = rep.collect()
+        assert len(rows) == 64
+        assert all(r.within_bound for r in rows)
+        assert all(r.max_abs_err <= r.scale * 0.5000001 for r in rows)
+
+    def test_quantize_is_map_only(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            embedding_quant_params,
+            quantize_embeddings,
+        )
+
+        params = embedding_quant_params(emb, 64)
+        plan = (
+            quantize_embeddings(emb, params)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_degenerate_constant_dim(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            dequantize_embeddings,
+            embedding_quant_params,
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.5, 2.0]), (1, [1.5, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        params = embedding_quant_params(df, 2)
+        assert params[0] == (1.5, 1.5)  # constant dim: scale guard
+        xh = dequantize_embeddings(
+            quantize_embeddings(df, params), params
+        ).collect()
+        for r in xh:
+            assert abs(r.embedding_hat[0] - 1.5) < 1e-12
+
+
+class TestHardNegativeMining:
+    def test_band_and_ranking(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        anchors = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_vec"),
+        )
+        out = mine_hard_negatives(
+            emb, anchors, k=3, lo=0.1, hi=0.9
+        ).collect()
+        by_anchor = {}
+        for r in out:
+            assert 0.1 <= r.cosine < 0.9
+            assert r.negative_id != r.anchor_id
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+        for rows in by_anchor.values():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            cosines = [r.cosine for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
+            assert len(rows) <= 3
+
+    def test_near_dup_excluded_above_hi(self, spark):
+        """A planted exact duplicate (cosine 1.0) must NEVER appear as
+        a hard negative -- the hi bound is the false-negative guard."""
+        from spark_bestfit_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(0.0, 1.0, (30, 8))
+        base[1] = base[0]  # exact dup of anchor 0
+        rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        anchors = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_vec"),
+        )
+        negs = {
+            r.negative_id
+            for r in mine_hard_negatives(
+                df, anchors, k=10, lo=0.0, hi=0.95
+            ).collect()
+        }
+        assert 1 not in negs  # the dup sits above hi
+        assert 0 not in negs  # self-exclusion
+
+    def test_corpus_is_never_shuffled_before_band_filter(self, spark):
+        """Plan shape: broadcast anchors (BroadcastNestedLoopJoin),
+        exactly one exchange (the per-anchor top-k window) fed by
+        band-filtered candidates."""
+        from spark_bestfit_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        anchors = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_vec"),
+        )
+        plan = (
+            mine_hard_negatives(emb, anchors, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # one hash exchange (the top-k window); BroadcastExchange of
+        # the tiny anchor side is not a shuffle
+        assert plan.count("Exchange hashpartitioning") == 1
+        # the top-k is pushed below the exchange as a partial group
+        # limit, so the shuffle carries at most k rows per anchor per
+        # map partition
+        assert "WindowGroupLimit" in plan

@@ -316,6 +316,85 @@ class TestHashSplit:
             hash_split(df, {})
 
 
+class TestStratifiedSplit:
+    def test_exact_quotas_per_stratum(self, spark):
+        """Every stratum hits floor(w*n) EXACTLY — the property
+        hash_split (binomial noise) cannot give."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import stratified_split
+
+        df = spark.range(0, 10_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).alias("label"),
+        )
+        out = stratified_split(
+            df, ["label"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        counts = {
+            (r.label, r.split): r.n
+            for r in out.groupBy("label", "split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for lab in range(7):
+            n = 10_000 // 7 + (1 if lab < 10_000 % 7 else 0)
+            t1 = int(0.8 * n)
+            t2 = int(0.9 * n)
+            assert counts[(lab, "train")] == t1
+            assert counts[(lab, "val")] == t2 - t1
+            assert counts[(lab, "test")] == n - t2  # remainder absorber
+
+    def test_partitioning_invariant_and_deterministic(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import stratified_split
+
+        df = spark.range(0, 3_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).alias("label"),
+        )
+        a = sorted(
+            (r.doc_id, r.split)
+            for r in stratified_split(df, ["label"]).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.split)
+            for r in stratified_split(df.repartition(17), ["label"]).collect()
+        )
+        assert a == b
+
+    def test_one_exchange(self, spark):
+        """Rank window, count window, and thresholds all share one
+        hash exchange on the strata key."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import stratified_split
+
+        df = spark.range(0, 1_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).alias("label"),
+        )
+        plan = (
+            stratified_split(df, ["label"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_validation(self, spark):
+        import pyspark.sql.functions as F
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.curation import stratified_split
+
+        df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+        with _pt.raises(ValueError):
+            stratified_split(df, [])
+        with _pt.raises(ValueError):
+            stratified_split(df, ["doc_id"], {"a": -1.0})
+
+
 class TestWeightedSample:
     def test_targets_fraction_and_favors_heavy_rows(self, spark):
         import pyspark.sql.functions as F
@@ -1346,3 +1425,51 @@ class TestAnsiModeSafetyRound8:
             assert run() == base
         finally:
             spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+class TestDatasetCard:
+    def test_values_on_known_corpus(self, spark):
+        from spark_bestfit_spark.operators.pipeline import dataset_card
+
+        rows = [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma"),       # exact dup of 0
+            (2, "  ALPHA   beta GAMMA "),  # normalized dup of 0
+            (3, ""),                       # empty
+            (4, "one"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        card = dataset_card(df).collect()[0]
+        assert card.n_docs == 5
+        assert card.n_empty == 1
+        assert card.total_tokens == 3 + 3 + 3 + 0 + 1
+        assert card.min_tokens == 0
+        assert card.max_tokens == 3
+        # 0,1,2 share one normalized fingerprint; "" and "one" differ
+        assert card.n_distinct_docs == 3
+        assert card.dup_rate == round(1.0 - 3 / 5, 6)
+        assert card.mean_tokens == round(10 / 5, 6)
+
+    def test_two_aggregation_passes_no_window(self, spark):
+        from spark_bestfit_spark.operators.pipeline import dataset_card
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            dataset_card(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_dup_rate_matches_exact_dedup(self, spark):
+        """The card's dup_rate must agree with what exact_dedup would
+        actually remove (same normalization, same fingerprint)."""
+        from spark_bestfit_spark.operators.dedup import exact_dedup
+        from spark_bestfit_spark.operators.pipeline import dataset_card
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        card = dataset_card(docs).collect()[0]
+        kept = exact_dedup(docs).count()
+        assert card.n_distinct_docs == kept

@@ -113,6 +113,45 @@ def main() -> int:
                 .repartition(cpus)
                 .write.mode("overwrite").parquet(li_path)
             )
+        # SALTED twin for the lineitem spines: the plain n_reps-fold
+        # replica dictionary/RLE-compresses absurdly (600M rows ->
+        # 399 MB), so its scan cost is not representative — the r9
+        # probe's own honesty caveat. Row-unique mantissa jitter
+        # (~1M distinct offsets per column chunk) defeats dictionary
+        # encoding, so the salted file carries a realistic
+        # bytes-per-row scan term while perturbing values by <= 0.1%
+        # relative — the distribution-level lines see the same shape.
+        li_salt_path = os.path.join(out_dir, "lineitem_salted.parquet")
+        if not os.path.isdir(li_salt_path):
+            rid = F.pmod(
+                F.xxhash64(F.monotonically_increasing_id(), F.col("_rep")),
+                F.lit(1_000_003),
+            ).cast("double")
+            (
+                base_li.select(
+                    "l_extendedprice", "l_quantity", "l_returnflag",
+                    "l_discount",
+                )
+                # pre-partition BEFORE the 1000x expand: the base is
+                # tiny (1-2 scan partitions), so expanding first would
+                # funnel the whole salted relation through 1-2 tasks
+                # and then shuffle ~20 GB to spread it; expanding from
+                # cpus partitions parallelizes the generation AND makes
+                # the post-expand repartition unnecessary
+                .repartition(cpus)
+                .crossJoin(F.broadcast(reps))
+                .select(
+                    (F.col("l_extendedprice")
+                     * (F.lit(1.0) + rid * F.lit(1e-9)))
+                    .alias("l_extendedprice"),
+                    (F.col("l_quantity") + rid * F.lit(1e-9))
+                    .alias("l_quantity"),
+                    F.col("l_returnflag"),
+                    (F.col("l_discount") + rid * F.lit(1e-12))
+                    .alias("l_discount"),
+                )
+                .write.mode("overwrite").parquet(li_salt_path)
+            )
         if lineitem_only:
             return
         docs_path = os.path.join(out_dir, "documents.parquet")
@@ -209,9 +248,13 @@ def main() -> int:
         # only table whose 1000x replica stays disk- and time-cheap
         sf100_dir = os.path.join(repo, ".scale_cache", "sf100")
         replicate(1000, sf100_dir, lineitem_only=True)
-        li1 = spark.read.parquet(os.path.join(sf1_dir, "lineitem.parquet"))
+        # lineitem spines read the SALTED twins at both decade ends, so
+        # the scan I/O term is realistic (see replicate())
+        li1 = spark.read.parquet(
+            os.path.join(sf1_dir, "lineitem_salted.parquet")
+        )
         li100 = spark.read.parquet(
-            os.path.join(sf100_dir, "lineitem.parquet")
+            os.path.join(sf100_dir, "lineitem_salted.parquet")
         )
         fitter = DistributionFitter(spark)
         lines100 = [
@@ -256,7 +299,8 @@ def main() -> int:
 
     def tables(d):
         return (
-            spark.read.parquet(os.path.join(d, "lineitem.parquet")),
+            # salted lineitem: realistic scan bytes (see replicate())
+            spark.read.parquet(os.path.join(d, "lineitem_salted.parquet")),
             spark.read.parquet(os.path.join(d, "documents.parquet")),
             spark.read.parquet(os.path.join(d, "embeddings.parquet")),
             spark.read.parquet(os.path.join(d, "customer.parquet")),
