@@ -4145,6 +4145,38 @@ def _q_stratified_split_counts(spark, sf_dir):
     )
 
 
+def _q_salted_join_agg(spark, sf_dir):
+    """Skew-safe salted equi-join: a 90%-hot synthetic key over
+    lineitem joined to a 50-row dim (too small to matter, replicated
+    x8 by the salt; the big side fans its hot key over 8 reducers).
+    The salted result must be EXACTLY the plain join's multiset —
+    oracle is the plain DuckDB JOIN, aggregated to integer counts
+    per label (no float sums, so the comparison is order-free)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.pmod(F.col("l_partkey"), F.lit(50)))
+        .cast("bigint")
+        .alias("jk"),
+        F.col("l_linenumber"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("jk"),
+        F.concat(F.lit("d"), F.pmod(F.col("id"), F.lit(5)))
+        .alias("label"),
+    )
+    joined = salted_join(keyed, dim, ["jk"], salt=8)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("jk").cast("long").alias("n_keys"),
+        F.sum("l_linenumber").cast("long").alias("sum_linenumber"),
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5702,6 +5734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "stratified_split_counts": _q_stratified_split_counts,
         "dataset_card": _q_dataset_card,
+        "salted_join_agg": _q_salted_join_agg,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10101,6 +10134,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x.max_abs_err, 9) AS max_abs_err,
                    x.max_abs_err <= r.scale * 0.5000001 AS within_bound
             FROM rng r JOIN err x USING (dim_idx)
+        """,
+        "salted_join_agg": """
+            WITH keyed AS (
+              SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                          ELSE l_partkey % 50 END AS jk,
+                     l_linenumber
+              FROM lineitem
+            ),
+            dim AS (
+              SELECT i AS jk, 'd' || CAST(i % 5 AS VARCHAR) AS label
+              FROM range(0, 50) t(i)
+            )
+            SELECT d.label AS label,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT k.jk) AS BIGINT) AS n_keys,
+                   CAST(sum(k.l_linenumber) AS BIGINT) AS sum_linenumber
+            FROM keyed k JOIN dim d ON k.jk = d.jk
+            GROUP BY d.label
         """,
         "dataset_card": """
             WITH base AS (

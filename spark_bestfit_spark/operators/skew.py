@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "salted_aggregate",
+    "salted_join",
     "salted_count",
     "salted_sum",
     "skew_report",
@@ -158,3 +159,68 @@ def skew_report(
         ).alias("top_keys")
     )
     return summary.crossJoin(F.broadcast(top_arr))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for the case AQE's skew handling misses:
+    ``small`` is too big to broadcast but a few keys in ``big`` are
+    hot, so a sort-merge join routes each hot key's entire partition
+    to one reducer. The classic fix, declaratively: ``big`` rows get a
+    per-row salt in ``[0, salt)``, ``small`` is replicated ``salt``
+    times, and the join key becomes ``keys + _salt`` — each hot key
+    spreads over ``salt`` reducers, at the cost of shuffling
+    ``salt * |small|`` (cheap by assumption: small is the smaller
+    side, just not broadcast-small).
+
+    Result is EXACTLY the plain join's multiset for ``inner`` and
+    ``left`` (each big row meets the complete set of its key's small
+    rows inside its own salt slice — duplicates on the small side
+    included; null keys never match, as in any equi-join). ``right``/
+    ``full``/semi joins are rejected: the replicated small side would
+    multiply unmatched rows. The salt value itself never affects the
+    result, so any per-row assignment works; a hash of a physical row
+    id is used (no rand(), no partition-layout sensitivity in the
+    salt distribution's balance).
+
+    ``big``/``small`` must not already contain a ``_salt`` column.
+    """
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner' or 'left' only: "
+            "replicating the small side breaks right/full/semi "
+            "semantics"
+        )
+    for side, name in ((big, "big"), (small, "small")):
+        if "_salt" in side.columns:
+            raise ValueError(f"{name} side already has a _salt column")
+        missing = [k for k in keys if k not in side.columns]
+        if missing:
+            raise ValueError(f"{name} side is missing keys {missing}")
+    dup = [c for c in small.columns if c in big.columns and c not in keys]
+    if dup:
+        raise ValueError(
+            f"non-key columns {dup} exist on both sides; rename before "
+            "joining"
+        )
+    b = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+        ).cast("int"),
+    )
+    s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    return b.join(s, on=[*keys, "_salt"], how=how).drop("_salt")

@@ -713,3 +713,81 @@ class TestHardNegativeMining:
         # limit, so the shuffle carries at most k rows per anchor per
         # map partition
         assert "WindowGroupLimit" in plan
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark):
+        from spark_bestfit_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(i, "hot" if i % 10 else f"k{i}") for i in range(2000)],
+            "row_id long, k string",
+        ).repartition(8)
+        # duplicate small keys + a key with no big match + null key
+        small = spark.createDataFrame(
+            [("hot", 1), ("hot", 2), ("k10", 3), ("orphan", 4),
+             (None, 5)],
+            "k string, payload int",
+        )
+        ours = sorted(
+            (r.row_id, r.k, r.payload)
+            for r in salted_join(big, small, ["k"], salt=4).collect()
+        )
+        plain = sorted(
+            (r.row_id, r.k, r.payload)
+            for r in big.join(small, "k").collect()
+        )
+        assert ours == plain
+        assert len(ours) == 1800 * 2 + 1  # hot dups + k10
+
+    def test_left_matches_plain_join(self, spark):
+        from spark_bestfit_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "row_id long, k string"
+        )
+        small = spark.createDataFrame(
+            [("a", 10)], "k string, payload int"
+        )
+        ours = sorted(
+            (r.row_id, r.payload)
+            for r in salted_join(big, small, ["k"], salt=3,
+                                 how="left").collect()
+        )
+        plain = sorted(
+            (r.row_id, r.payload)
+            for r in big.join(small, "k", "left").collect()
+        )
+        assert ours == plain  # unmatched + null-key rows kept once
+
+    def test_join_is_keyed_on_salt(self, spark):
+        from spark_bestfit_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(i, "x") for i in range(100)], "row_id long, k string"
+        )
+        small = spark.createDataFrame(
+            [("x", 1)], "k string, payload int"
+        )
+        plan = (
+            salted_join(big, small, ["k"], salt=4)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "_salt" in plan  # the hot key fans over salt reducers
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "a")], "row_id long, k string")
+        small = spark.createDataFrame([("a", 1)], "k string, payload int")
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(big, small, ["k"], how="full")
+        with pytest.raises(ValueError, match="salt"):
+            salted_join(big, small, ["k"], salt=1)
+        with pytest.raises(ValueError, match="missing keys"):
+            salted_join(big, small, ["nope"])
+        clash = spark.createDataFrame(
+            [("a", 9)], "k string, row_id long"
+        )
+        with pytest.raises(ValueError, match="both sides"):
+            salted_join(big, clash, ["k"])
