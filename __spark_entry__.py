@@ -4177,6 +4177,55 @@ def _q_salted_join_agg(spark, sf_dir):
     )
 
 
+def _q_gopher_flags(spark, sf_dir):
+    """Gopher rule-set quality filter (Rae et al. 2021 App. A1.1) over
+    documents, reduced to corpus-level per-rule failure counts — every
+    ratio replicated value-exactly in the DuckDB oracle (same word/
+    line splits, same rounding)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_quality_flags(docs, min_words=10)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0))
+        .cast("long").alias("n_pass"),
+        F.sum(F.when((F.col("n_words") < 10)
+                     | (F.col("n_words") > 100_000), 1).otherwise(0))
+        .cast("long").alias("n_fail_words"),
+        F.sum(F.when((F.col("mean_word_len") < 3.0)
+                     | (F.col("mean_word_len") > 10.0), 1).otherwise(0))
+        .cast("long").alias("n_fail_mean_wl"),
+        F.sum(F.when(F.col("symbol_ratio") > 0.1, 1).otherwise(0))
+        .cast("long").alias("n_fail_symbol"),
+        F.sum(F.when(F.col("bullet_line_ratio") > 0.9, 1).otherwise(0))
+        .cast("long").alias("n_fail_bullet"),
+        F.sum(F.when(F.col("ellipsis_line_ratio") > 0.3, 1).otherwise(0))
+        .cast("long").alias("n_fail_ellipsis"),
+        F.sum(F.when(F.col("alpha_word_ratio") < 0.8, 1).otherwise(0))
+        .cast("long").alias("n_fail_alpha"),
+        F.sum(F.when(F.col("stopword_hits") < 2, 1).otherwise(0))
+        .cast("long").alias("n_fail_stopwords"),
+    )
+
+
+def _q_char_entropy(spark, sf_dir):
+    """Per-document character-entropy filter signal (the CCNet-family
+    gibberish gauge) for the first 200 documents — exact per-doc
+    values vs a DuckDB replica with the same codepoint split and log
+    base."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return char_entropy(docs)
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5735,6 +5784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split_counts": _q_stratified_split_counts,
         "dataset_card": _q_dataset_card,
         "salted_join_agg": _q_salted_join_agg,
+        "gopher_flags": _q_gopher_flags,
+        "char_entropy_docs": _q_char_entropy,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10134,6 +10185,100 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x.max_abs_err, 9) AS max_abs_err,
                    x.max_abs_err <= r.scale * 0.5000001 AS within_bound
             FROM rng r JOIN err x USING (dim_idx)
+        """,
+        "gopher_flags": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) > 0 THEN round(
+                       CAST(list_sum(list_transform(words,
+                            x -> length(x))) AS DOUBLE) / len(words), 6)
+                          ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN len(words) > 0 THEN round(
+                       CAST(len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\.\.\.'))
+                         AS DOUBLE) / len(words), 6)
+                          ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN len(lines) > 0 THEN round(
+                       CAST(len(list_filter(lines, l ->
+                         regexp_matches(trim(l), '^[-*•]')))
+                         AS DOUBLE) / len(lines), 6)
+                          ELSE 0.0 END AS bullet_line_ratio,
+                     CASE WHEN len(lines) > 0 THEN round(
+                       CAST(len(list_filter(lines, l ->
+                         regexp_matches(trim(l), '\.\.\.$')))
+                         AS DOUBLE) / len(lines), 6)
+                          ELSE 0.0 END AS ellipsis_line_ratio,
+                     CASE WHEN len(words) > 0 THEN round(
+                       CAST(len(list_filter(words, x ->
+                         regexp_matches(x, '[a-zA-Z]')))
+                         AS DOUBLE) / len(words), 6)
+                          ELSE 0.0 END AS alpha_word_ratio,
+                     len(list_intersect(
+                       list_distinct(list_transform(words,
+                            x -> lower(x))),
+                       ['the','a','of','and','to','in','is','it',
+                        'that','was'])) AS stopword_hits
+              FROM w
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_words >= 10
+                         AND n_words <= 100000
+                         AND mean_word_len >= 3.0
+                         AND mean_word_len <= 10.0
+                         AND symbol_ratio <= 0.1
+                         AND bullet_line_ratio <= 0.9
+                         AND ellipsis_line_ratio <= 0.3
+                         AND alpha_word_ratio >= 0.8
+                         AND stopword_hits >= 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN n_words < 10 OR n_words > 100000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+                   CAST(sum(CASE WHEN mean_word_len < 3.0
+                         OR mean_word_len > 10.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_wl,
+                   CAST(sum(CASE WHEN symbol_ratio > 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+                   CAST(sum(CASE WHEN bullet_line_ratio > 0.9
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet,
+                   CAST(sum(CASE WHEN ellipsis_line_ratio > 0.3
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_fail_ellipsis,
+                   CAST(sum(CASE WHEN alpha_word_ratio < 0.8
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+                   CAST(sum(CASE WHEN stopword_hits < 2
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_fail_stopwords
+            FROM m
+        """,
+        "char_entropy_docs": """
+            WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents WHERE doc_id < 200
+            ),
+            counts AS (
+              SELECT doc_id, ch, count(*) AS n
+              FROM chars WHERE length(ch) > 0
+              GROUP BY doc_id, ch
+            ),
+            tot AS (
+              SELECT doc_id, ch, n,
+                     sum(n) OVER (PARTITION BY doc_id) AS t
+              FROM counts
+            )
+            SELECT doc_id,
+                   CAST(max(t) AS BIGINT) AS n_chars,
+                   round(-sum((n / t) * ln(n / t)), 6) AS char_entropy
+            FROM tot GROUP BY doc_id
         """,
         "salted_join_agg": """
             WITH keyed AS (

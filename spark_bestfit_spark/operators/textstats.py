@@ -1614,3 +1614,130 @@ def heaps_law(
         (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
         (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher-style quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A1.1 — the rule set
+    most pretraining filters descend from), each as its own column so
+    a pipeline can threshold, audit, or re-weight rules independently
+    (:func:`with_quality_score` is the composite-score sibling).
+
+    All pure column algebra over one projection — map-only, no
+    shuffle, whole-stage codegen:
+
+    - ``n_words``             whitespace words
+    - ``mean_word_len``       rounded 6 (0 for empty docs)
+    - ``symbol_ratio``        ('#' + '...' occurrences) / words
+    - ``bullet_line_ratio``   lines starting with a bullet
+    - ``ellipsis_line_ratio`` lines ending with '...'
+    - ``alpha_word_ratio``    words containing >= 1 [a-zA-Z]
+    - ``stopword_hits``       distinct hits in a tiny English list
+    - ``passes_gopher``       the conjunction:
+        min_words <= n_words <= max_words, 3 <= mean_word_len <= 10,
+        symbol_ratio <= 0.1, bullet_line_ratio <= 0.9,
+        ellipsis_line_ratio <= 0.3, alpha_word_ratio >= 0.8,
+        stopword_hits >= 2.
+    """
+    trimmed = F.trim(F.col(text_col))
+    words = F.when(F.length(trimmed) == 0, F.array().cast(
+        "array<string>"
+    )).otherwise(F.split(trimmed, r"\s+"))
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, F.round(
+        sum_len.cast("double") / n_words, 6
+    )).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1)) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    )
+    symbol_ratio = F.when(n_words > 0, F.round(
+        n_symbols.cast("double") / n_words, 6
+    )).otherwise(F.lit(0.0))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    )
+    bullet_ratio = F.when(n_lines > 0, F.round(
+        bullet.cast("double") / n_lines, 6
+    )).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, F.round(
+        ellipsis.cast("double") / n_lines, 6
+    )).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.when(n_words > 0, F.round(
+        alpha.cast("double") / n_words, 6
+    )).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_ratio <= 0.3)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — the gibberish/compressibility filter (near-zero:
+    repeated characters; high: encrypted/binary junk; natural text
+    sits in a narrow band). CCNet-family pipelines threshold both
+    tails.
+
+    Shape: explode to (doc, char) — linear, the same cost class as
+    tokenization — then two map-combinable groupBys (char counts, then
+    the entropy fold per doc). Empty documents return entropy 0.
+    Returns (id_col, n_chars, char_entropy<rounded 6>).
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.length("_ch") > 0)
+    counts = chars.groupBy(id_col, "_ch").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # per-doc totals via a window on the SAME key the final groupBy
+    # uses, so both share one exchange
+    totals = counts.withColumn(
+        "_tot", F.sum("_n").over(Window.partitionBy(id_col))
+    )
+    p = F.col("_n") / F.col("_tot")
+    return totals.groupBy(id_col).agg(
+        F.max("_tot").cast("long").alias("n_chars"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+    )

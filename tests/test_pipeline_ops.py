@@ -2702,3 +2702,74 @@ class TestVocabOverlapMatrix:
         )
         r = textstats.vocab_overlap_matrix(df).first()
         assert r.n_shared == 2 and r.vocab_a == 2 and r.vocab_b == 3
+
+
+class TestGopherQualityFlags:
+    def test_rules_on_crafted_docs(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            gopher_quality_flags,
+        )
+
+        good = " ".join(
+            ["the quick brown fox jumps over a lazy dog again and"] * 6
+        )  # 60 words, all alpha, stopword-rich
+        symbols = " ".join(["word#"] * 60)  # symbol_ratio 1.0
+        bullets = "\n".join(["- item one two"] * 10)
+        numbers = " ".join(["12345"] * 60)  # alpha_word_ratio 0
+        rows = [
+            (0, good), (1, symbols), (2, bullets), (3, numbers),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+        assert out[0].passes_gopher
+        assert out[0].n_words == 66  # 11 words x 6 repeats
+        assert out[0].alpha_word_ratio == 1.0
+        assert out[0].stopword_hits >= 2
+        assert not out[1].passes_gopher and out[1].symbol_ratio >= 0.9
+        assert out[2].bullet_line_ratio == 1.0
+        assert not out[3].passes_gopher and out[3].alpha_word_ratio == 0.0
+        assert out[4].n_words == 0 and not out[4].passes_gopher
+
+    def test_map_only(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            gopher_quality_flags,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            gopher_quality_flags(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        import math
+
+        from spark_bestfit_spark.operators.textstats import char_entropy
+
+        rows = [
+            (0, "aaaa"),          # entropy 0
+            (1, "abab"),          # 2 symbols, uniform -> ln 2
+            (2, "abcd"),          # 4 symbols, uniform -> ln 4
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_chars, r.char_entropy)
+               for r in char_entropy(df).collect()}
+        assert got[0] == (4, 0.0)
+        assert got[1][1] == pytest.approx(math.log(2), abs=1e-6)
+        assert got[2][1] == pytest.approx(math.log(4), abs=1e-6)
+
+    def test_partitioning_invariance(self, spark):
+        from spark_bestfit_spark.operators.textstats import char_entropy
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        a = sorted(map(tuple, char_entropy(docs).collect()))
+        b = sorted(map(tuple, char_entropy(docs.repartition(13)).collect()))
+        assert a == b
