@@ -4226,6 +4226,18 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(docs)
 
 
+def _q_clip_spans(spark, sf_dir):
+    """Span-level dedup REMOVAL (Lee et al. 2022) over documents:
+    every word position covered by a 6-gram shared by >= 2 distinct
+    docs is clipped. Full value-level DuckDB replica — same
+    tokenization, positional grams, distinct-doc counting, coverage
+    union, and text rebuild (clipped_text hashed exactly)."""
+    from spark_bestfit_spark.operators.dedup import clip_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clip_duplicate_spans(docs, n=6, min_docs=2)
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5785,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _q_dataset_card,
         "salted_join_agg": _q_salted_join_agg,
         "gopher_flags": _q_gopher_flags,
+        "clip_spans": _q_clip_spans,
         "char_entropy_docs": _q_char_entropy,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
@@ -10185,6 +10198,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x.max_abs_err, 9) AS max_abs_err,
                    x.max_abs_err <= r.scale * 0.5000001 AS within_bound
             FROM rng r JOIN err x USING (dim_idx)
+        """,
+        "clip_spans": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT b.doc_id, u.i - 1 AS pos,
+                     lower(array_to_string(b.w[u.i : u.i + 5], ' '))
+                       AS gram
+              FROM base b,
+                   UNNEST(range(1, len(b.w) - 4)) AS u(i)
+            ),
+            dup AS (
+              SELECT gram
+              FROM (SELECT DISTINCT doc_id, gram FROM grams)
+              GROUP BY gram HAVING count(*) >= 2
+            ),
+            covered AS (
+              SELECT DISTINCT g.doc_id, g.pos + o.j AS cpos
+              FROM grams g JOIN dup d USING (gram),
+                   UNNEST(range(0, 6)) AS o(j)
+            ),
+            agg AS (
+              SELECT doc_id, list(cpos) AS cov
+              FROM covered GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(b.w) AS BIGINT) AS n_words,
+                   CAST(coalesce(len(a.cov), 0) AS BIGINT) AS n_removed,
+                   coalesce(array_to_string(
+                     list_filter(b.w, (x, i) ->
+                       NOT list_contains(coalesce(a.cov, []::BIGINT[]),
+                                         i - 1)),
+                     ' '), '') AS clipped_text
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "gopher_flags": """
             WITH w AS (

@@ -820,3 +820,96 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def clip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level dedup, the REMOVAL step of Lee et al. 2022
+    (:func:`duplicated_ngram_stats` is the matching detector): every
+    word position covered by an ``n``-gram that occurs in
+    ``>= min_docs`` DISTINCT documents is clipped; the remaining words
+    are re-joined with single spaces. Gram matching is lowercase (the
+    detector's definition); the emitted words keep their original
+    form.
+
+    Shuffle profile at 100 TB — linear passes only, no all-pairs:
+    (1) positional grams explode -> distinct (doc, gram) projection ->
+    gram-keyed count (map-combinable; the distinct projection makes
+    ``count(*)`` the distinct-doc count, the skew-safe two-stage
+    shape); (2) the surviving duplicated-gram set — far smaller than
+    the gram relation — semi-joins back on the SAME gram key (hash
+    partitioning reused); (3) covered positions explode (bounded by
+    n per match) and the doc-keyed rebuild. Known Lee-et-al caveat,
+    inherited deliberately: clipping can create NEW adjacencies, so a
+    second pass may find fresh (rarer) duplicated grams; pipelines run
+    it to a fixpoint or accept one pass.
+
+    Returns (id_col, n_words, n_removed, clipped_text); documents with
+    fewer than ``n`` words pass through unclipped.
+    """
+    trimmed = F.trim(F.col(text_col))
+    words = F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    base = df.select(F.col(id_col), words.alias("_w"))
+    n_words = F.size("_w")
+    gram_idx = F.sequence(F.lit(0), n_words - n)
+    grams = (
+        base.filter(n_words >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    gram_idx,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.lower(
+                            F.concat_ws(" ", F.slice("_w", i + 1, n))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, F.col("_g.pos"), F.col("_g.gram"))
+    )
+    dup = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, on="gram", how="left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_cov"))
+    )
+    joined = base.join(covered, on=id_col, how="left")
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            "_w", lambda w, i: F.struct(i.alias("i"), w.alias("w"))
+        ),
+        lambda s: ~F.array_contains(cov, s["i"]),
+    )
+    return joined.select(
+        id_col,
+        F.size("_w").cast("long").alias("n_words"),
+        F.size(cov).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["w"])
+        ).alias("clipped_text"),
+    )

@@ -189,3 +189,91 @@ class TestEditDistancePairs:
         )
         with pytest.raises(ValueError, match="max_dist"):
             edit_distance_pairs(df, max_dist=0)
+
+
+class TestClipDuplicateSpans:
+    def test_shared_span_removed_unique_kept(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        shared = "one two three four"  # the 4-gram both docs carry
+        rows = [
+            (0, f"alpha {shared} omega"),
+            (1, f"beta gamma {shared} delta"),
+            (2, "entirely unique words in this document"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in clip_duplicate_spans(df, n=4, min_docs=2).collect()
+        }
+        assert out[0].clipped_text == "alpha omega"
+        assert out[0].n_words == 6 and out[0].n_removed == 4
+        assert out[1].clipped_text == "beta gamma delta"
+        assert out[2].clipped_text == rows[2][1]  # untouched
+        assert out[2].n_removed == 0
+
+    def test_overlapping_spans_union_coverage(self, spark):
+        """Two duplicated grams overlapping by n-1 words must clip the
+        UNION of their positions, not double-count."""
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        run = "a b c d e"  # both 4-grams (a..d) and (b..e) duplicated
+        rows = [(0, f"x {run} y"), (1, f"p {run} q")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in clip_duplicate_spans(df, n=4, min_docs=2).collect()
+        }
+        assert out[0].clipped_text == "x y"
+        assert out[0].n_removed == 5
+
+    def test_case_insensitive_matching_preserves_case(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        rows = [
+            (0, "KEEP One Two Three Four TAIL"),
+            (1, "one two three four"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in clip_duplicate_spans(df, n=4, min_docs=2).collect()
+        }
+        assert out[0].clipped_text == "KEEP TAIL"  # original case kept
+        assert out[1].clipped_text == ""
+
+    def test_short_docs_pass_through(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        rows = [(0, "too short"), (1, "too short"), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in clip_duplicate_spans(df, n=4, min_docs=2).collect()
+        }
+        for i in range(3):
+            assert out[i].n_removed == 0
+        assert out[0].clipped_text == "too short"
+
+    def test_partitioning_invariance(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        a = sorted(map(tuple,
+                       clip_duplicate_spans(docs, n=6).collect()))
+        b = sorted(map(tuple,
+                       clip_duplicate_spans(docs.repartition(13),
+                                            n=6).collect()))
+        assert a == b
