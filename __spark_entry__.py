@@ -4238,6 +4238,35 @@ def _q_clip_spans(spark, sf_dir):
     return clip_duplicate_spans(docs, n=6, min_docs=2)
 
 
+def _q_poisson_bootstrap(spark, sf_dir):
+    """One-pass distributed (Poisson) bootstrap of the mean over
+    lineitem prices: 50 replicate means, weights drawn by inverting
+    the Poisson(1) CDF from the portable md5 hash — deterministic and
+    fully replicated in the DuckDB oracle. Means re-rounded to 4
+    decimals for the cross-engine hash (the two engines sum in
+    different orders; the statistic agrees far past 4 digits)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.bootstrap import (
+        poisson_bootstrap_means,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws(
+            "~",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.col("l_extendedprice"),
+    )
+    out = poisson_bootstrap_means(
+        li, "l_extendedprice", "rid", n_replicates=50, seed=42
+    )
+    return out.select(
+        "replicate", "n_eff", F.round("mean_v", 4).alias("mean_v")
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5798,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": _q_salted_join_agg,
         "gopher_flags": _q_gopher_flags,
         "clip_spans": _q_clip_spans,
+        "poisson_bootstrap": _q_poisson_bootstrap,
         "char_entropy_docs": _q_char_entropy,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
@@ -10198,6 +10228,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x.max_abs_err, 9) AS max_abs_err,
                    x.max_abs_err <= r.scale * 0.5000001 AS within_bound
             FROM rng r JOIN err x USING (dim_idx)
+        """,
+        "poisson_bootstrap": """
+            WITH rows_v AS (
+              SELECT CAST(l_orderkey AS VARCHAR) || '~'
+                       || CAST(l_linenumber AS VARCHAR) AS rid,
+                     CAST(l_extendedprice AS DOUBLE) AS v
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND NOT isnan(l_extendedprice)
+            ),
+            exploded AS (
+              SELECT rid, v, t.b
+              FROM rows_v, UNNEST(range(0, 50)) AS t(b)
+            ),
+            hashed AS (
+              SELECT b, v,
+                     (('0x' || substr(md5(rid || ':'
+                         || CAST(b AS VARCHAR) || ':42'), 1, 14))
+                       ::BIGINT) / 72057594037927936.0 AS u
+              FROM exploded
+            ),
+            weighted AS (
+              SELECT b, v,
+                CASE WHEN u < 0.36787944117144233 THEN 0
+                     WHEN u < 0.7357588823428847 THEN 1
+                     WHEN u < 0.9196986029286058 THEN 2
+                     WHEN u < 0.9810118431238462 THEN 3
+                     WHEN u < 0.9963401531726563 THEN 4
+                     WHEN u < 0.9994058151824183 THEN 5
+                     WHEN u < 0.9999167588507119 THEN 6
+                     WHEN u < 0.9999897508033253 THEN 7
+                     ELSE 8 END AS wt
+              FROM hashed
+            )
+            SELECT b AS replicate,
+                   CAST(sum(wt) AS BIGINT) AS n_eff,
+                   round(round(sum(wt * v) / sum(wt), 6), 4) AS mean_v
+            FROM weighted GROUP BY b
         """,
         "clip_spans": """
             WITH base AS (

@@ -24,7 +24,8 @@ from spark_bestfit_spark.functions.distributions.registry import (
     DistributionRegistry,
 )
 
-__all__ = ["bootstrap_ci", "bootstrap_ci_local"]
+__all__ = ["bootstrap_ci", "bootstrap_ci_local",
+           "poisson_bootstrap_means", "poisson_bootstrap_ci"]
 
 MIN_SUCCESSES = 10
 _IQR_MULT = 3.0
@@ -182,3 +183,105 @@ def bootstrap_ci_local(
         np.asarray(out, dtype=np.float64).reshape(-1, k),
         param_names, confidence,
     )
+
+
+# Poisson(1) CDF thresholds for the Poisson bootstrap weight draw
+# (P(X <= k) for k = 0..7; weights cap at 8 — P(X > 8) ~ 1e-6).
+_POIS1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def poisson_bootstrap_means(
+    df,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    seed: int = 42,
+) -> "pyspark.sql.DataFrame":  # noqa: F821
+    """Distributed bootstrap of the mean in ONE linear pass — the
+    Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams", the standard cluster-scale form):
+    classical resampling-with-replacement needs n coordinated draws
+    over a distributed index (impossible at 100 TB), but each row's
+    resample multiplicity is asymptotically Poisson(1), so every row
+    can draw its own weight per replicate independently, map-side.
+
+    Weights come from the SQL-portable md5 hash of
+    ``id:replicate:seed`` inverted through the Poisson(1) CDF —
+    deterministic, partition-layout invariant, and replicable in any
+    engine (no ``rand()``). The explode is n x B rows of CPU (the
+    honest cost of B replicates) but the shuffle carries only
+    ``partitions x B`` partial sums: map-side combine collapses each
+    replicate inside every task.
+
+    Returns the B-row relation ``(replicate, n_eff, mean_v)`` —
+    ``n_eff`` the total resample weight, ``mean_v`` the weighted
+    replicate mean rounded to 6 (null for an all-zero-weight
+    replicate, only possible at tiny n). Feed it to
+    :func:`poisson_bootstrap_ci` for the percentile interval.
+    """
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    valid = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    exploded = valid.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("replicate"),
+    )
+    u = portable_hash64(
+        F.concat_ws(
+            ":",
+            F.col("_id"),
+            F.col("replicate").cast("string"),
+            F.lit(str(int(seed))),
+        )
+    ) / F.lit(float(1 << 56))
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    per_rep = exploded.groupBy("replicate").agg(
+        F.sum(w).cast("long").alias("n_eff"),
+        F.round(
+            F.sum(w.cast("double") * F.col("_v")) / F.sum(w), 6
+        ).alias("mean_v"),
+    )
+    return per_rep
+
+
+def poisson_bootstrap_ci(
+    df,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    seed: int = 42,
+    alpha: float = 0.05,
+) -> dict:
+    """Percentile CI for the mean from :func:`poisson_bootstrap_means`
+    (collects exactly B floats — never data-sized)."""
+    means = sorted(
+        r["mean_v"]
+        for r in poisson_bootstrap_means(
+            df, value_col, id_col, n_replicates, seed
+        ).collect()
+        if r["mean_v"] is not None
+    )
+    if len(means) < 2:
+        raise ValueError("not enough successful replicates")
+    lo_i = int(np.floor(alpha / 2 * (len(means) - 1)))
+    hi_i = int(np.ceil((1 - alpha / 2) * (len(means) - 1)))
+    return {
+        "mean": float(np.mean(means)),
+        "lower": means[lo_i],
+        "upper": means[hi_i],
+        "n_replicates": len(means),
+    }

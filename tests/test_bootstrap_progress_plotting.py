@@ -462,3 +462,84 @@ class TestPlottingRendered:
         assert len(fig.get_axes()) == 4
         assert len(self._png_bytes(fig)) > 1000
         plt.close("all")
+
+
+class TestPoissonBootstrap:
+    """One-pass distributed bootstrap (Poisson weights from the
+    portable hash): deterministic, partition-invariant, CI covers the
+    truth, weights genuinely Poisson(1)-shaped."""
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.bootstrap import (
+            poisson_bootstrap_means,
+        )
+
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        a = sorted(map(tuple, poisson_bootstrap_means(
+            df, "v", "row_id", n_replicates=20).collect()))
+        b = sorted(map(tuple, poisson_bootstrap_means(
+            df.repartition(13), "v", "row_id", n_replicates=20
+        ).collect()))
+        assert a == b
+        assert len(a) == 20
+        # resample sizes concentrate near n (Poisson(1) sum ~ n)
+        for _, n_eff, _ in a:
+            assert 1800 <= n_eff <= 2200
+
+    def test_ci_covers_true_mean(self, spark):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.bootstrap import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 100).cast("double").alias("v"),
+        )
+        ci = poisson_bootstrap_ci(
+            df, "v", "row_id", n_replicates=100
+        )
+        assert ci["lower"] <= 49.5 <= ci["upper"]
+        assert ci["upper"] - ci["lower"] < 5.0  # sane width at n=5000
+        assert ci["n_replicates"] == 100
+
+    def test_shuffle_carries_only_replicates(self, spark):
+        """Map-side combine: the exchange is keyed on replicate, so
+        the shuffled relation is partitions x B, never n x B."""
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.bootstrap import (
+            poisson_bootstrap_means,
+        )
+
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("row_id"),
+            F.col("id").cast("double").alias("v"),
+        )
+        plan = (
+            poisson_bootstrap_means(df, "v", "row_id", 10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial" in plan.lower()  # map-side partial aggregate
+
+    def test_validation(self, spark):
+        import pyspark.sql.functions as F
+        import pytest as _pt
+
+        from spark_bestfit_spark.operators.bootstrap import (
+            poisson_bootstrap_means,
+        )
+
+        df = spark.range(3).select(
+            F.col("id").alias("row_id"),
+            F.col("id").cast("double").alias("v"),
+        )
+        with _pt.raises(ValueError, match="n_replicates"):
+            poisson_bootstrap_means(df, "v", "row_id", 1)

@@ -55,10 +55,16 @@ def main() -> int:
         pack_training_sequences,
     )
     from spark_bestfit_spark.operators.dedup import (
+        clip_duplicate_spans,
         duplicate_spans,
         minhash_dedup_pairs,
         neardup_clusters,
     )
+    from spark_bestfit_spark.operators.skew import salted_join
+    from spark_bestfit_spark.operators.similarity import (
+        quantization_error_report,
+    )
+    from spark_bestfit_spark.operators.textstats import char_entropy
     from spark_bestfit_spark.operators.frequency import heavy_hitters
     from spark_bestfit_spark.operators.histogram import compute_histogram
     from spark_bestfit_spark.operators.linkage import (
@@ -334,6 +340,30 @@ def main() -> int:
         )
         return a, b
 
+    # salted_join's regime: the dim side must be too big to broadcast
+    # (a broadcast join has no skew problem to fix) — 2M rows x ~40B
+    # clears the 10 MB autoBroadcastJoinThreshold, forcing the
+    # sort-merge path where a hot key funnels to one reducer
+    DIM_KEYS = 2_000_000
+
+    def hot_keyed(li):
+        """90%-hot join key over a lineitem replica."""
+        return li.select(
+            FB.when(
+                F.xxhash64("l_extendedprice", "l_quantity") % 10 < 9,
+                F.lit(0),
+            ).otherwise(
+                F.pmod(F.xxhash64("l_extendedprice"), F.lit(DIM_KEYS))
+            ).alias("jk"),
+            "l_quantity",
+        )
+
+    def join_dim():
+        return spark.range(0, DIM_KEYS).select(
+            F.col("id").alias("jk"),
+            F.concat(F.lit("dim-payload-"), F.col("id")).alias("label"),
+        )
+
     # (name, sf1 thunk, sf10 thunk) — cheap lines first so a late OOM
     # (none expected) still leaves a mostly-complete report
     lines = [
@@ -439,6 +469,31 @@ def main() -> int:
          lambda: decontaminate_fuzzy(
              docs10, base_docs.select("doc_id", "text"),
              threshold=0.7).count()),
+        # ---- round-10 additions (probe-before-bench rule) ----
+        ("clip_spans",
+         lambda: clip_duplicate_spans(docs1, n=8).agg(
+             FB.sum("n_removed")).first(),
+         lambda: clip_duplicate_spans(docs10, n=8).agg(
+             FB.sum("n_removed")).first()),
+        ("char_entropy",
+         lambda: char_entropy(docs1).agg(
+             FB.sum("n_chars")).first(),
+         lambda: char_entropy(docs10).agg(
+             FB.sum("n_chars")).first()),
+        ("quant_report",
+         lambda: quantization_error_report(emb1, dim=64).count(),
+         lambda: quantization_error_report(emb10, dim=64).count()),
+        # salted_join vs the plain join it replaces, on a 90%-hot key
+        # (the interesting number is the salted/plain ratio at sf10,
+        # where the hot key owns ~54M rows)
+        ("salted_join",
+         lambda: salted_join(
+             hot_keyed(li1), join_dim(), ["jk"], salt=16).count(),
+         lambda: salted_join(
+             hot_keyed(li10), join_dim(), ["jk"], salt=16).count()),
+        ("plain_join_hotkey",
+         lambda: hot_keyed(li1).join(join_dim(), "jk").count(),
+         lambda: hot_keyed(li10).join(join_dim(), "jk").count()),
     ]
 
     out: dict = {}
