@@ -4267,6 +4267,60 @@ def _q_poisson_bootstrap(spark, sf_dir):
     )
 
 
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Tokens-per-100-chars fertility by language over documents —
+    the multilingual balance gauge. Full DuckDB replica."""
+    from spark_bestfit_spark.operators.textstats import tokenizer_fertility
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tokenizer_fertility(docs, group_col="lang")
+
+
+def _q_quantized_ann_recall(spark, sf_dir):
+    """End-to-end usefulness check of the int8 quantization: exact
+    cosine top-5 computed on round-tripped (quantize -> dequantize)
+    vectors vs the full-precision exact top-5, for 5 queries. Recall
+    is deterministic (ranges are exact min/max, no sampling); values
+    pinned at sf0.01 like the other ANN-recall oracles."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        dequantize_embeddings,
+        embedding_quant_params,
+        quantize_embeddings,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    params = embedding_quant_params(emb, 64)
+    rt = dequantize_embeddings(
+        quantize_embeddings(emb, params), params
+    ).select(
+        "vec_id", F.col("embedding_hat").alias("embedding")
+    )
+    qids = [0, 1, 2, 3, 4]
+    approx = self_topk(rt, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+        )
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5828,6 +5882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": _q_gopher_flags,
         "clip_spans": _q_clip_spans,
         "poisson_bootstrap": _q_poisson_bootstrap,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "quantized_ann_recall": _q_quantized_ann_recall,
         "char_entropy_docs": _q_char_entropy,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
@@ -10228,6 +10284,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(x.max_abs_err, 9) AS max_abs_err,
                    x.max_abs_err <= r.scale * 0.5000001 AS within_bound
             FROM rng r JOIN err x USING (dim_idx)
+        """,
+        "tokenizer_fertility": """
+            WITH base AS (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                     END AS tok,
+                     length(text) AS chr
+              FROM documents
+            ),
+            g AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(tok) AS BIGINT) AS total_tokens,
+                     CAST(sum(chr) AS BIGINT) AS total_chars
+              FROM base GROUP BY lang
+            )
+            SELECT lang, n_docs, total_tokens, total_chars,
+                   CASE WHEN total_chars > 0
+                        THEN round(total_tokens * 100.0 / total_chars, 6)
+                        ELSE 0.0 END AS tokens_per_100_chars,
+                   CASE WHEN total_tokens > 0
+                        THEN round(CAST(total_chars AS DOUBLE)
+                                   / total_tokens, 6)
+                        ELSE NULL END AS chars_per_token
+            FROM g
+        """,
+        "quantized_ann_recall": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
         """,
         "poisson_bootstrap": """
             WITH rows_v AS (

@@ -1741,3 +1741,60 @@ def char_entropy(
         F.max("_tot").cast("long").alias("n_chars"),
         F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility by group — tokens per 100 characters and
+    its inverse, the multilingual-balance gauge: a tokenizer "spends"
+    more tokens per character on scripts it represents poorly, so a
+    corpus budgeted in tokens and the same corpus budgeted in
+    characters weight languages differently. ONE aggregation pass
+    (map-combinable sums), whitespace tokens (the library-wide
+    convention).
+
+    Returns (group_col, n_docs, total_tokens, total_chars,
+    tokens_per_100_chars, chars_per_token), ratios rounded to 6;
+    groups whose documents are all empty report 0 fertility and null
+    chars_per_token.
+    """
+    trimmed = F.trim(F.col(text_col))
+    tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            tok.cast("long").alias("_tok"),
+            F.length(F.col(text_col)).cast("long").alias("_chr"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            F.sum("_chr").cast("long").alias("total_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.when(
+                F.col("total_chars") > 0,
+                F.round(
+                    F.col("total_tokens") * 100.0
+                    / F.col("total_chars"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("tokens_per_100_chars"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(
+                    F.col("total_chars")
+                    / F.col("total_tokens").cast("double"), 6
+                ),
+            ).alias("chars_per_token"),
+        )
+    )

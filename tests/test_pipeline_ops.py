@@ -2773,3 +2773,42 @@ class TestCharEntropy:
         a = sorted(map(tuple, char_entropy(docs).collect()))
         b = sorted(map(tuple, char_entropy(docs.repartition(13)).collect()))
         assert a == b
+
+
+class TestTokenizerFertility:
+    def test_known_values_and_edges(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            tokenizer_fertility,
+        )
+
+        rows = [
+            (0, "ab cd", "en"),     # 2 tokens / 5 chars
+            (1, "efg", "en"),       # 1 token / 3 chars
+            (2, "", "xx"),          # empty group
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        got = {r.lang: r for r in tokenizer_fertility(df).collect()}
+        en = got["en"]
+        assert (en.n_docs, en.total_tokens, en.total_chars) == (2, 3, 8)
+        assert en.tokens_per_100_chars == round(300 / 8, 6)
+        assert en.chars_per_token == round(8 / 3, 6)
+        xx = got["xx"]
+        assert xx.total_tokens == 0
+        assert xx.tokens_per_100_chars == 0.0
+        assert xx.chars_per_token is None
+
+    def test_one_aggregation_pass(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            tokenizer_fertility,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            tokenizer_fertility(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
