@@ -10285,7 +10285,7 @@ def oracle_sql() -> dict[str, str]:
                    x.max_abs_err <= r.scale * 0.5000001 AS within_bound
             FROM rng r JOIN err x USING (dim_idx)
         """,
-        "tokenizer_fertility": """
+        "tokenizer_fertility": r"""
             WITH base AS (
               SELECT lang,
                      CASE WHEN length(trim(text)) = 0 THEN 0
@@ -10360,7 +10360,7 @@ def oracle_sql() -> dict[str, str]:
                    round(round(sum(wt * v) / sum(wt), 6), 4) AS mean_v
             FROM weighted GROUP BY b
         """,
-        "clip_spans": """
+        "clip_spans": r"""
             WITH base AS (
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0
@@ -10400,7 +10400,7 @@ def oracle_sql() -> dict[str, str]:
                      ' '), '') AS clipped_text
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,
-        "gopher_flags": """
+        "gopher_flags": r"""
             WITH w AS (
               SELECT doc_id, text,
                      CASE WHEN length(trim(text)) = 0
@@ -10512,7 +10512,7 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k JOIN dim d ON k.jk = d.jk
             GROUP BY d.label
         """,
-        "dataset_card": """
+        "dataset_card": r"""
             WITH base AS (
               SELECT CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text),
@@ -10546,7 +10546,7 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - n_distinct_docs / n_docs, 6) AS dup_rate
             FROM row_stats, d
         """,
-        "stratified_split_counts": """
+        "stratified_split_counts": r"""
             WITH u AS (
               SELECT lang, source,
                      (((doc_id + 3) * 2654435761) % 4294967296)
