@@ -1078,6 +1078,39 @@ def main() -> None:
             lambda: energy_distance(l1a, l1n, "l_extendedprice").first(),
             rounds=1,
         )
+        # round-10 additions (both probe-lined first: clip_spans 5.1x,
+        # salted_join 1.6x per decade at sf10)
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+        from spark_bestfit_spark.operators.skew import salted_join
+
+        bench(
+            "q_clip_spans_sf1",
+            lambda: clip_duplicate_spans(docs1, n=8).agg(
+                F.sum("n_removed")
+            ).first(),
+            rounds=1,
+        )
+        dim_keys = 2_000_000
+        hot = li1.select(
+            FB.when(
+                F.xxhash64("l_extendedprice", "l_quantity") % 10 < 9,
+                F.lit(0),
+            ).otherwise(
+                F.pmod(F.xxhash64("l_extendedprice"), F.lit(dim_keys))
+            ).alias("jk"),
+            "l_quantity",
+        )
+        dim = spark.range(0, dim_keys).select(
+            F.col("id").alias("jk"),
+            F.concat(F.lit("dim-payload-"), F.col("id")).alias("label"),
+        )
+        bench(
+            "q_salted_join_sf1",
+            lambda: salted_join(hot, dim, ["jk"], salt=16).count(),
+            rounds=1,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
