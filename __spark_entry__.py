@@ -4321,6 +4321,52 @@ def _q_quantized_ann_recall(spark, sf_dir):
     )
 
 
+def _q_pq_ann_recall(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): m=8 subspace
+    codebooks, asymmetric-distance top-5 vs the exact cosine top-5 —
+    the m-bytes-per-vector scan path for 100 TB retrieval. Recall
+    pinned at sf0.01 like the other ANN oracles (deterministic:
+    seeded codebooks on a stable sample; uniform random embeddings
+    are PQ's worst case, so this is a floor)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    books = pq_train(emb, dim=64, m=8, n_codes=64)
+    enc = pq_encode(emb, books).select("vec_id", "pq_code")
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    approx = pq_topk(enc, books, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+        )
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5884,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": _q_poisson_bootstrap,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "quantized_ann_recall": _q_quantized_ann_recall,
+        "pq_ann_recall": _q_pq_ann_recall,
         "char_entropy_docs": _q_char_entropy,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
@@ -10311,6 +10358,14 @@ def oracle_sql() -> dict[str, str]:
                                    / total_tokens, 6)
                         ELSE NULL END AS chars_per_token
             FROM g
+        """,
+        "pq_ann_recall": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
         """,
         "quantized_ann_recall": """
             SELECT query_id, n_exact, n_overlap

@@ -1976,3 +1976,150 @@ def mine_hard_negatives(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — the FAISS workhorse): split each vector
+# into m subvectors, k-means each subspace to k centroids, store m
+# small codes per vector. At 100 TB this is the difference between
+# scanning 256 B/vector (float32 d=64) and scanning m bytes/vector,
+# with query-time distances from per-query lookup tables (ADC).
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list:
+    """Train m per-subspace codebooks driver-side on a seeded sample
+    (codebook quality needs only a sample — the IVF coarse-quantizer
+    reasoning; the cluster never runs KMeans jobs over the corpus).
+    Returns a list of m (n_codes, dim/m) numpy arrays."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    sub = dim // m
+    n_total = df.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+    pdf = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+    )
+    if sample.shape[0] > sample_size:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(
+            sample.shape[0], size=sample_size, replace=False
+        )
+        sample = sample[np.sort(keep)]
+    k = int(min(n_codes, sample.shape[0]))
+    return [
+        _lloyd_kmeans(
+            sample[:, j * sub:(j + 1) * sub], k, seed + j
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Map-only encoding: per subspace, argmin distance to the
+    broadcast codebook (one (batch, k) matmul per subspace inside an
+    Arrow-batched pandas UDF — never per-row Python). Output:
+    ``array<int>`` of length m."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [b.astype(np.float64) for b in codebooks]
+    sqs = [0.5 * np.sum(b * b, axis=1) for b in books]
+    sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in col]
+        )
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((mat.shape[0], len(books)), dtype=np.int32)
+        for j, (b, sq) in enumerate(zip(books, sqs)):
+            x = mat[:, j * sub:(j + 1) * sub]
+            codes[:, j] = np.argmax(x @ b.T - sq, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list,
+    queries: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query keeps full
+    precision; per query an (m, n_codes) lookup table of squared
+    subspace distances is built driver-side and shipped in the
+    closure (tiny — m*256 floats/query), and the corpus scan sums m
+    table lookups per vector: map-only until the per-query top-k
+    window, never a distance matmul against raw vectors.
+
+    ``queries``: list of (query_id, vector) tuples. Returns
+    (query_id, neighbor_id, adc_dist<rounded 6>, rank).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = [b.astype(np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    luts = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        luts[int(qid)] = np.stack([
+            np.sum(
+                (books[j] - q[j * sub:(j + 1) * sub]) ** 2, axis=1
+            )
+            for j in range(len(books))
+        ])
+    spark = encoded.sparkSession
+    out = []
+    for qid in sorted(luts):
+        lut = luts[qid]
+
+        def make(lut_arr):
+            @pandas_udf("double")
+            def _adc(codes: pd.Series) -> pd.Series:
+                c = np.asarray(
+                    [np.asarray(v, dtype=np.int64) for v in codes]
+                )
+                if c.size == 0:
+                    return pd.Series([], dtype="float64")
+                d = np.zeros(c.shape[0])
+                for j in range(lut_arr.shape[0]):
+                    d += lut_arr[j][c[:, j]]
+                return pd.Series(d)
+
+            return _adc
+
+        scored = encoded.select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(make(lut)(F.col(code_col)), 6).alias("adc_dist"),
+        ).filter(F.col("neighbor_id") != qid)
+        out.append(scored)
+    all_scored = out[0]
+    for s in out[1:]:
+        all_scored = all_scored.unionByName(s)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return all_scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)

@@ -791,3 +791,76 @@ class TestSaltedJoin:
         )
         with pytest.raises(ValueError, match="both sides"):
             salted_join(big, clash, ["k"])
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+
+    def test_train_encode_shapes(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        books = pq_train(emb, dim=64, m=8, n_codes=16)
+        assert len(books) == 8
+        assert all(b.shape == (16, 8) for b in books)
+        rows = pq_encode(emb, books).select("pq_code").collect()
+        for r in rows:
+            assert len(r.pq_code) == 8
+            assert all(0 <= c < 16 for c in r.pq_code)
+
+    def test_encode_is_map_only(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        books = pq_train(emb, dim=64, m=8, n_codes=16)
+        plan = (
+            pq_encode(emb, books)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_adc_recall_on_clustered_corpus(self, spark):
+        """On a clustered corpus with planted near-identical dups, the
+        ADC top-1 must recover each query's planted twin (PQ preserves
+        large distance gaps; the twin's code equals the query's)."""
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(11)
+        centers = 5.0 * rng.normal(0.0, 1.0, (6, 32))
+        labels = rng.integers(0, 6, 400)
+        base = centers[labels] + 0.3 * rng.normal(0.0, 1.0, (400, 32))
+        twins = base[:10] + 1e-6 * rng.normal(0.0, 1.0, (10, 32))
+        pts = np.vstack([base, twins])  # twins get ids 400..409
+        rows = [(int(i), [float(x) for x in pts[i]])
+                for i in range(410)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(4)
+        books = pq_train(df, dim=32, m=4, n_codes=64)
+        enc = pq_encode(df, books).select("vec_id", "pq_code").cache()
+        queries = [(i, [float(x) for x in pts[i]]) for i in range(10)]
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in pq_topk(enc, books, queries, k=1).collect()
+        }
+        hits = sum(1 for i in range(10) if top1[i] == 400 + i)
+        assert hits == 10
+        enc.unpersist()
+
+    def test_validation(self, emb):
+        from spark_bestfit_spark.operators.similarity import pq_train
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(emb, dim=64, m=7)
