@@ -1993,16 +1993,23 @@ def pq_train(
     dim: int,
     m: int = 8,
     n_codes: int = 256,
-    sample_size: int = 100_000,
+    sample_size: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> list:
     """Train m per-subspace codebooks driver-side on a seeded sample
     (codebook quality needs only a sample — the IVF coarse-quantizer
     reasoning; the cluster never runs KMeans jobs over the corpus).
+    ``sample_size`` defaults to ``128 * n_codes`` (the FAISS
+    points-per-centroid convention: beyond ~100-256 training points
+    per centroid the codebook stops improving, while the driver-side
+    Lloyd cost keeps growing linearly — measured: the 100k default
+    made pq_train 6x the cost of encoding 2M vectors).
     Returns a list of m (n_codes, dim/m) numpy arrays."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if sample_size is None:
+        sample_size = 128 * int(n_codes)
     sub = dim // m
     n_total = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))

@@ -62,6 +62,8 @@ def main() -> int:
     )
     from spark_bestfit_spark.operators.skew import salted_join
     from spark_bestfit_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
         quantization_error_report,
     )
     from spark_bestfit_spark.operators.textstats import char_entropy
@@ -483,6 +485,13 @@ def main() -> int:
         ("quant_report",
          lambda: quantization_error_report(emb1, dim=64).count(),
          lambda: quantization_error_report(emb10, dim=64).count()),
+        ("pq_encode",
+         lambda: pq_encode(
+             emb1, pq_train(emb1, dim=64, m=8)).agg(
+             FB.sum(F.element_at("pq_code", 1))).first(),
+         lambda: pq_encode(
+             emb10, pq_train(emb10, dim=64, m=8)).agg(
+             FB.sum(F.element_at("pq_code", 1))).first()),
         # salted_join vs the plain join it replaces, on a 90%-hot key
         # (the interesting number is the salted/plain ratio at sf10,
         # where the hot key owns ~54M rows)
