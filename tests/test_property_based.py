@@ -455,3 +455,159 @@ class TestTokenBudgetProperties:
             cum += n
             exp.append((i, n, cum))
         assert got == sorted(exp), (docs, budget)
+
+
+class TestStratifiedSplitProperties:
+    """Whatever the weights and strata: every row assigned, every
+    stratum hits its cumulative-floor quota EXACTLY, and the
+    assignment is a pure function of the data (partition-invariant)."""
+
+    @given(
+        ws=st.lists(st.floats(0.05, 5.0), min_size=2, max_size=4),
+        n_strata=st.integers(1, 5),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_exact_quotas_any_weights(self, spark, ws, n_strata, seed):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            stratified_split,
+        )
+
+        names = [f"s{i}" for i in range(len(ws))]
+        weights = dict(zip(names, ws))
+        total = sum(ws)
+        df = spark.range(0, 331).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % n_strata).alias("lab"),
+        )
+        out = stratified_split(df, ["lab"], weights, seed=seed)
+        rows = out.collect()
+        assert len(rows) == 331
+        counts = {}
+        strata_n = {}
+        for r in rows:
+            counts[(r.lab, r.split)] = counts.get((r.lab, r.split), 0) + 1
+            strata_n[r.lab] = strata_n.get(r.lab, 0) + 1
+        import math
+
+        for lab, n in strata_n.items():
+            acc = 0.0
+            prev_t = 0
+            for name in names[:-1]:
+                acc += weights[name] / total
+                t = math.floor(acc * n)
+                assert counts.get((lab, name), 0) == t - prev_t
+                prev_t = t
+            assert counts.get((lab, names[-1]), 0) == n - prev_t
+
+    @given(seed=st.integers(0, 10_000))
+    @settings(max_examples=5, deadline=None)
+    def test_partition_invariance(self, spark, seed):
+        import pyspark.sql.functions as F
+
+        from spark_bestfit_spark.operators.curation import (
+            stratified_split,
+        )
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("lab")
+        )
+        a = sorted(
+            (r.doc_id, r.split)
+            for r in stratified_split(df, ["lab"], seed=seed).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.split)
+            for r in stratified_split(
+                df.repartition(11), ["lab"], seed=seed
+            ).collect()
+        )
+        assert a == b
+
+
+class TestSaltedJoinProperties:
+    """For any random relations and salt factor, salted_join's output
+    multiset equals the plain join's — inner and left."""
+
+    @given(
+        n_big=st.integers(10, 200),
+        n_keys=st.integers(1, 8),
+        dup=st.integers(1, 3),
+        salt=st.integers(2, 9),
+        how=st.sampled_from(["inner", "left"]),
+        seed=st.integers(0, 1000),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_matches_plain_join(
+        self, spark, n_big, n_keys, dup, salt, how, seed
+    ):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.skew import salted_join
+
+        rng = np.random.default_rng(seed)
+        big_rows = [
+            (int(i), f"k{rng.integers(0, n_keys + 2)}")
+            for i in range(n_big)
+        ]  # +2: some keys miss the dim
+        small_rows = [
+            (f"k{k}", int(k * 10 + d))
+            for k in range(n_keys)
+            for d in range(dup)
+        ] + [(None, -1)]
+        big = spark.createDataFrame(big_rows, "row_id long, k string")
+        small = spark.createDataFrame(
+            small_rows, "k string, payload int"
+        )
+        ours = sorted(
+            (r.row_id, r.k, r.payload)
+            for r in salted_join(big, small, ["k"], salt=salt,
+                                 how=how).collect()
+        )
+        plain = sorted(
+            (r.row_id, r.k, r.payload)
+            for r in big.join(small, "k", how).collect()
+        )
+        assert ours == plain
+
+
+class TestQuantizationProperties:
+    """For any random vectors: every reconstruction error within
+    scale/2, codes in range, round-trip deterministic."""
+
+    @given(
+        n=st.integers(3, 60),
+        dim=st.integers(1, 12),
+        spread=st.floats(0.1, 1000.0),
+        seed=st.integers(0, 1000),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_error_bound_holds(self, spark, n, dim, spread, seed):
+        import numpy as np
+
+        from spark_bestfit_spark.operators.similarity import (
+            dequantize_embeddings,
+            embedding_quant_params,
+            quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(seed)
+        pts = spread * rng.normal(0.0, 1.0, (n, dim))
+        rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        params = embedding_quant_params(df, dim)
+        out = dequantize_embeddings(
+            quantize_embeddings(df, params), params
+        ).collect()
+        for r in out:
+            for i, (x, q, h) in enumerate(
+                zip(r.embedding, r.q_embedding, r.embedding_hat)
+            ):
+                lo, hi = params[i]
+                scale = (hi - lo) / 255 if hi > lo else 1.0
+                assert 0 <= q <= 255
+                assert abs(x - h) <= scale * 0.5000001
