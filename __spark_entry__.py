@@ -10543,11 +10543,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, ch, n,
                      sum(n) OVER (PARTITION BY doc_id) AS t
               FROM counts
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(max(t) AS BIGINT) AS n_chars,
+                     round(-sum((n / t) * ln(n / t)), 6) AS char_entropy
+              FROM tot GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(max(t) AS BIGINT) AS n_chars,
-                   round(-sum((n / t) * ln(n / t)), 6) AS char_entropy
-            FROM tot GROUP BY doc_id
+            SELECT d.doc_id,
+                   COALESCE(a.n_chars, 0) AS n_chars,
+                   COALESCE(a.char_entropy, 0.0) AS char_entropy
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "salted_join_agg": """
             WITH keyed AS (

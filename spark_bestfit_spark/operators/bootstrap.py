@@ -212,7 +212,17 @@ def poisson_bootstrap_means(
     Weights come from the SQL-portable md5 hash of
     ``id:replicate:seed`` inverted through the Poisson(1) CDF —
     deterministic, partition-layout invariant, and replicable in any
-    engine (no ``rand()``). The explode is n x B rows of CPU (the
+    engine (no ``rand()``).
+
+    .. warning:: ``id_col`` MUST be unique per row (after the string
+       cast). Rows sharing an id hash to the SAME weight in every
+       replicate — perfectly correlated draws that understate
+       replicate variance and silently narrow the CI. Pass a true row
+       id (or a composite like ``concat(orderkey, '~', linenumber)``);
+       the hash input deliberately contains nothing else, so
+       determinism cannot rescue a non-unique id.
+
+    The explode is n x B rows of CPU (the
     honest cost of B replicates) but the shuffle carries only
     ``partitions x B`` partial sums: map-side combine collapses each
     replicate inside every task.

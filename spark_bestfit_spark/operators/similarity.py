@@ -1800,6 +1800,9 @@ def embedding_quant_params(
     partial aggregate, map-side combined). Null vectors are skipped by
     min/max semantics. Returns ``[(lo_0, hi_0), ...]`` driver-side —
     the params are index metadata, sized like the IVF centers.
+
+    Raises ``ValueError`` when the input is empty or a dimension is
+    all-null (min/max would be null — an unusable range).
     """
     aggs = []
     for i in range(dim):
@@ -1807,6 +1810,14 @@ def embedding_quant_params(
         aggs.append(F.min(x).alias(f"_lo{i}"))
         aggs.append(F.max(x).alias(f"_hi{i}"))
     row = df.agg(*aggs).first()
+    bad = [i for i in range(dim)
+           if row[f"_lo{i}"] is None or row[f"_hi{i}"] is None]
+    if bad:
+        raise ValueError(
+            "embedding_quant_params: no non-null values for "
+            f"dimension(s) {bad[:8]}{'...' if len(bad) > 8 else ''} — "
+            "input is empty or those vector positions are all null"
+        )
     return [(float(row[f"_lo{i}"]), float(row[f"_hi{i}"]))
             for i in range(dim)]
 
@@ -1934,6 +1945,8 @@ def mine_hard_negatives(
     hi: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
 ) -> DataFrame:
     """Hard negatives for contrastive training (the ANCE/RocketQA
     shape): for each anchor, the ``k`` most-similar corpus vectors
@@ -1941,7 +1954,9 @@ def mine_hard_negatives(
     informative, strictly below the near-dup band where a "negative"
     is really an unlabeled positive.
 
-    ``anchors`` is a (anchor_id, anchor_vec) relation and is
+    ``anchors`` is a (``anchor_id_col``, ``anchor_vec_col``) relation
+    (defaults anchor_id/anchor_vec; a clear error names the missing
+    column otherwise) and is
     BROADCAST — anchors are a training batch or probe set, bounded by
     nature (same reasoning as the decontamination benchmark side).
     The corpus side is ONE map-only scan: cosine against the broadcast
@@ -1954,6 +1969,18 @@ def mine_hard_negatives(
     Returns (anchor_id, negative_id, cosine, rank) with cosine rounded
     to 6 and rank 1..k by cosine desc, ties broken by negative_id.
     """
+    missing = [c for c in (anchor_id_col, anchor_vec_col)
+               if c not in anchors.columns]
+    if missing:
+        raise ValueError(
+            f"anchors relation is missing column(s) {missing}; pass "
+            "anchor_id_col/anchor_vec_col to name your columns "
+            f"(anchors has: {anchors.columns})"
+        )
+    anchors = anchors.select(
+        F.col(anchor_id_col).alias("anchor_id"),
+        F.col(anchor_vec_col).alias("anchor_vec"),
+    )
     cos = F.round(
         cosine_similarity_col(F.col("anchor_vec"), F.col(vec_col)), 6
     )
@@ -2071,62 +2098,87 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k: each query keeps full
-    precision; per query an (m, n_codes) lookup table of squared
-    subspace distances is built driver-side and shipped in the
-    closure (tiny — m*256 floats/query), and the corpus scan sums m
-    table lookups per vector: map-only until the per-query top-k
-    window, never a distance matmul against raw vectors.
+    """Asymmetric-distance (ADC) top-k, ONE corpus scan for the whole
+    query batch: each query keeps full precision; per query an
+    (m, n_codes) lookup table of squared subspace distances is built
+    driver-side, ALL tables are stacked into one (Q, m, n_codes)
+    ndarray shipped in a single closure (tiny — Q*m*256 floats), and
+    one Arrow-batched pass emits every query's ADC sum per corpus
+    vector as an array<double> that ``posexplode`` fans out to
+    (query_id, neighbor_id, adc_dist) rows. The scan count is
+    independent of Q — a batch of hundreds of probe queries still
+    reads the encoded corpus exactly once (the previous per-query
+    loop launched Q scans and unioned them).
 
-    ``queries``: list of (query_id, vector) tuples. Returns
-    (query_id, neighbor_id, adc_dist<rounded 6>, rank).
+    ``queries``: list of (query_id, vector) tuples; must be
+    non-empty. ``exclude_self=True`` (default) drops rows where
+    ``neighbor_id == query_id`` — the self-match convention for
+    corpus-id queries; queries from an EXTERNAL id space that may
+    collide with corpus ids should pass ``exclude_self=False`` (same
+    contract as :func:`mine_hard_negatives`'s self-exclusion).
+    Returns (query_id, neighbor_id, adc_dist<rounded 6>, rank).
     """
     from pyspark.sql.functions import pandas_udf
 
+    if not queries:
+        raise ValueError(
+            "pq_topk requires a non-empty queries list of "
+            "(query_id, vector) tuples"
+        )
     books = [b.astype(np.float64) for b in codebooks]
     sub = books[0].shape[1]
-    luts = {}
-    for qid, qv in queries:
-        q = np.asarray(qv, dtype=np.float64)
-        luts[int(qid)] = np.stack([
+    qids = sorted(int(qid) for qid, _ in queries)
+    by_id = {int(qid): np.asarray(qv, dtype=np.float64)
+             for qid, qv in queries}
+    # (Q, m, n_codes): stacked per-query subspace distance tables
+    lut = np.stack([
+        np.stack([
             np.sum(
-                (books[j] - q[j * sub:(j + 1) * sub]) ** 2, axis=1
+                (books[j] - by_id[qid][j * sub:(j + 1) * sub]) ** 2,
+                axis=1,
             )
             for j in range(len(books))
         ])
-    spark = encoded.sparkSession
-    out = []
-    for qid in sorted(luts):
-        lut = luts[qid]
+        for qid in qids
+    ])
 
-        def make(lut_arr):
-            @pandas_udf("double")
-            def _adc(codes: pd.Series) -> pd.Series:
-                c = np.asarray(
-                    [np.asarray(v, dtype=np.int64) for v in codes]
-                )
-                if c.size == 0:
-                    return pd.Series([], dtype="float64")
-                d = np.zeros(c.shape[0])
-                for j in range(lut_arr.shape[0]):
-                    d += lut_arr[j][c[:, j]]
-                return pd.Series(d)
+    @pandas_udf("array<double>")
+    def _adc_all(codes: pd.Series) -> pd.Series:
+        c = np.asarray([np.asarray(v, dtype=np.int64) for v in codes])
+        if c.size == 0:
+            return pd.Series([], dtype=object)
+        d = np.zeros((c.shape[0], lut.shape[0]))
+        for j in range(lut.shape[1]):
+            # lut[:, j, :] is (Q, n_codes); fancy-index by the batch's
+            # j-th code column -> (Q, B); transpose accumulates (B, Q)
+            d += lut[:, j, c[:, j]].T
+        return pd.Series(list(d))
 
-            return _adc
-
-        scored = encoded.select(
-            F.lit(qid).cast("long").alias("query_id"),
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    scored = (
+        encoded.select(
             F.col(id_col).alias("neighbor_id"),
-            F.round(make(lut)(F.col(code_col)), 6).alias("adc_dist"),
-        ).filter(F.col("neighbor_id") != qid)
-        out.append(scored)
-    all_scored = out[0]
-    for s in out[1:]:
-        all_scored = all_scored.unionByName(s)
+            _adc_all(F.col(code_col)).alias("_d"),
+        )
+        .select(
+            "neighbor_id",
+            F.posexplode("_d").alias("_pos", "adc_dist"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("_pos") + 1).alias("query_id"),
+            "neighbor_id",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
-    return all_scored.withColumn(
+    return scored.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)

@@ -1721,8 +1721,12 @@ def char_entropy(
 
     Shape: explode to (doc, char) — linear, the same cost class as
     tokenization — then two map-combinable groupBys (char counts, then
-    the entropy fold per doc). Empty documents return entropy 0.
-    Returns (id_col, n_chars, char_entropy<rounded 6>).
+    the entropy fold per doc), and a final left join back to the doc
+    ids so EMPTY (or null-text) documents appear with n_chars=0 and
+    entropy 0.0 instead of silently vanishing from the relation —
+    pipelines that "threshold both tails" must see them, and joins on
+    the result must not lose rows. Returns (id_col, n_chars,
+    char_entropy<rounded 6>).
     """
     chars = df.select(
         F.col(id_col),
@@ -1737,9 +1741,14 @@ def char_entropy(
         "_tot", F.sum("_n").over(Window.partitionBy(id_col))
     )
     p = F.col("_n") / F.col("_tot")
-    return totals.groupBy(id_col).agg(
-        F.max("_tot").cast("long").alias("n_chars"),
-        F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+    agg = totals.groupBy(id_col).agg(
+        F.max("_tot").cast("long").alias("_nc"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("_ent"),
+    )
+    return df.select(F.col(id_col)).join(agg, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("_nc", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("_ent", F.lit(0.0)).alias("char_entropy"),
     )
 
 

@@ -629,6 +629,23 @@ class TestEmbeddingQuantization:
         for r in xh:
             assert abs(r.embedding_hat[0] - 1.5) < 1e-12
 
+    def test_empty_or_all_null_raises(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            embedding_quant_params,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="empty|all null"):
+            embedding_quant_params(empty, 2)
+        nulldim = spark.createDataFrame(
+            [(0, [1.0, None]), (1, [2.0, None])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="dimension"):
+            embedding_quant_params(nulldim, 2)
+
 
 class TestHardNegativeMining:
     def test_band_and_ranking(self, spark):
@@ -684,6 +701,27 @@ class TestHardNegativeMining:
         }
         assert 1 not in negs  # the dup sits above hi
         assert 0 not in negs  # self-exclusion
+
+    def test_custom_anchor_columns_and_clear_error(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        anchors = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+        out = mine_hard_negatives(
+            emb, anchors, k=3, lo=0.1, hi=0.9,
+            anchor_id_col="qid", anchor_vec_col="qvec",
+        )
+        assert out.columns == ["anchor_id", "negative_id", "cosine", "rank"]
+        assert out.count() > 0
+        with pytest.raises(ValueError, match="missing column"):
+            mine_hard_negatives(emb, anchors, k=3)
 
     def test_corpus_is_never_shuffled_before_band_filter(self, spark):
         """Plan shape: broadcast anchors (BroadcastNestedLoopJoin),
@@ -864,3 +902,63 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="divisible"):
             pq_train(emb, dim=64, m=7)
+
+    def test_topk_empty_queries_raises(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        books = pq_train(emb, dim=64, m=8, n_codes=16)
+        enc = pq_encode(emb, books).select("vec_id", "pq_code")
+        with pytest.raises(ValueError, match="non-empty"):
+            pq_topk(enc, books, [])
+
+    def test_topk_single_scan_for_query_batch(self, emb):
+        """Scan count must be independent of Q: a 6-query batch runs
+        ONE Arrow-batched ADC pass over the encoded corpus (the old
+        per-query loop produced Q ArrowEvalPython stages unioned)."""
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        books = pq_train(emb, dim=64, m=8, n_codes=16)
+        enc = pq_encode(emb, books).select("vec_id", "pq_code")
+        queries = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 6).collect()
+        ]
+        out = pq_topk(enc, books, queries, k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 2  # encode + one ADC
+        rows = out.collect()
+        assert {r.query_id for r in rows} == set(range(6))
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            assert 1 <= r.rank <= 3
+
+    def test_topk_exclude_self_off_keeps_colliding_ids(self, spark):
+        """External-id queries that collide with corpus ids keep the
+        colliding neighbor when exclude_self=False."""
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(7)
+        pts = rng.normal(0.0, 1.0, (64, 16))
+        rows = [(int(i), [float(x) for x in pts[i]]) for i in range(64)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        books = pq_train(df, dim=16, m=4, n_codes=16)
+        enc = pq_encode(df, books).select("vec_id", "pq_code")
+        queries = [(0, [float(x) for x in pts[0]])]
+        with_self = pq_topk(enc, books, queries, k=1, exclude_self=False)
+        assert with_self.first().neighbor_id == 0  # own code: dist 0
+        without = pq_topk(enc, books, queries, k=1).first()
+        assert without.neighbor_id != 0

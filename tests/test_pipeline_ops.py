@@ -2774,6 +2774,20 @@ class TestCharEntropy:
         b = sorted(map(tuple, char_entropy(docs.repartition(13)).collect()))
         assert a == b
 
+    def test_empty_and_null_docs_are_kept_with_zero(self, spark):
+        """Empty/null-text docs must appear in the relation with
+        n_chars=0, entropy=0.0 — not silently vanish (a tail filter
+        or downstream join would otherwise lose them)."""
+        from spark_bestfit_spark.operators.textstats import char_entropy
+
+        rows = [(0, "abab"), (1, ""), (2, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_chars, r.char_entropy)
+               for r in char_entropy(df).collect()}
+        assert set(got) == {0, 1, 2}
+        assert got[1] == (0, 0.0)
+        assert got[2] == (0, 0.0)
+
 
 class TestTokenizerFertility:
     def test_known_values_and_edges(self, spark):
