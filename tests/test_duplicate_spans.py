@@ -277,3 +277,52 @@ class TestClipDuplicateSpans:
                        clip_duplicate_spans(docs.repartition(13),
                                             n=6).collect()))
         assert a == b
+
+    def test_long_fully_duplicated_doc_is_linear(self, spark):
+        """The quadratic-rebuild catcher: a pair of identical 20k-word
+        documents puts EVERY position in the covered set; the old
+        array_contains-per-word rebuild was O(n^2) = 4e8 comparisons
+        per doc here, the run/range rebuild is O(n). Wall-clock bound
+        is generous (CI noise) but the quadratic blew far past it."""
+        import time
+
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        words = " ".join(f"w{i % 977}x{i % 31}" for i in range(20_000))
+        df = spark.createDataFrame(
+            [(0, words), (1, words)], "doc_id long, text string"
+        )
+        t0 = time.time()
+        out = {
+            r.doc_id: r
+            for r in clip_duplicate_spans(df, n=6, min_docs=2).collect()
+        }
+        elapsed = time.time() - t0
+        for i in (0, 1):
+            assert out[i].n_words == 20_000
+            assert out[i].n_removed == 20_000
+            assert out[i].clipped_text == ""
+        assert elapsed < 60, f"rebuild took {elapsed:.1f}s — quadratic?"
+
+    def test_interleaved_coverage_runs(self, spark):
+        """Multiple disjoint covered runs inside one doc: the run/range
+        complement must rebuild exactly the uncovered words, in order."""
+        from spark_bestfit_spark.operators.dedup import (
+            clip_duplicate_spans,
+        )
+
+        dup1 = "alpha beta gamma delta"
+        dup2 = "eps zeta eta theta"
+        doc0 = f"HEAD {dup1} MID1 MID2 {dup2} TAIL"
+        rows = [(0, doc0), (1, dup1), (2, dup2)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in clip_duplicate_spans(df, n=4, min_docs=2).collect()
+        }
+        assert out[0].clipped_text == "HEAD MID1 MID2 TAIL"
+        assert out[0].n_removed == 8
+        assert out[1].clipped_text == ""
+        assert out[2].clipped_text == ""
