@@ -116,29 +116,48 @@ def two_sample_ks_df(
     exact: bool = True,
     grid_size: int = 2048,
     num_buckets: int = 1024,
+    one_scan: bool | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D as a one-row relation
     (d_stat, n_a, n_b) — the distributed drift test between two columns.
 
     exact=True: the EXACT statistic via a partitioned two-phase prefix
-    sum — no global sort anywhere, scale-safe at 100 TB:
+    sum — no global sort anywhere, with a COST-BASED scan strategy
+    (the round-10 probe pinned the old always-three-scan shape as the
+    weakest honest-I/O line — 8.27x at 100x rows, ~39 GB read three
+    times):
 
-      1. pre-aggregate ties:  groupBy(v) -> per-value (Δa, Δb) jumps
-         (map-side combine; the window relation shrinks to |distinct v|);
-      2. range-bucket v into ``num_buckets`` equi-width buckets
-         (width_bucket over the global [lo, hi] — a deterministic
-         function of the VALUE, so ties never straddle buckets and the
-         bucketing is independent of physical partitioning);
-      3. per-bucket totals (<= num_buckets + 1 tiny rows) are collected
-         and turned into exclusive prefix offsets, broadcast back;
-      4. one HASH-partitioned window (partitionBy bucket, orderBy v)
-         computes local cumsums; offset + local cumsum = the global
-         ECDFs, and D = max |Fa - Fb| over distinct values — exactly
-         where the sup of two step functions is attained.
+      1. one stats scan (min/max/count per side — no shuffle; needed
+         by every variant since the bucketing depends on [lo, hi]);
+      2. if the total row count is under ``one_scan`` territory
+         (default auto: < 100M rows), the remaining passes rescan the
+         input directly — per-bucket totals then the per-value window
+         — because two extra columnar scans of a small input are
+         cheaper than materializing the per-value relation (measured
+         at 6M rows: rescan 1.0 s vs persist 2.1 s);
+      3. at or above the threshold (or ``one_scan=True``), the
+         groupBy(v) per-value (Δa, Δb) jump relation is computed ONCE
+         and persisted DISK_ONLY; the bucket totals and the window
+         both read the cached relation, so the corpus is scanned
+         exactly twice total (stats + jumps) instead of three times.
+         DISK_ONLY, not MEMORY_AND_DISK: a near-unique value column
+         keeps |distinct v| ~ n, and an on-heap cache of that size
+         GC-thrashes a shared local JVM (measured at 600M rows: heap
+         cache 114 s with GCLocker stalls vs 78-95 s flat on disk;
+         cold three-decade probe: 8.27x -> 5.45x at 100x rows).
 
-    The only exchanges are hash exchanges on v / bucket and the one-row
-    final aggregate; the driver sees two bounded actions (a 1-row
-    min/max/count agg and the <= num_buckets+1 bucket totals).
+    Both variants share the exact algebra: range-bucket v into
+    ``num_buckets`` equi-width buckets (width_bucket over the global
+    [lo, hi] — a deterministic function of the VALUE, so ties never
+    straddle buckets and the bucketing is independent of physical
+    partitioning); per-bucket totals (<= num_buckets + 1 tiny rows)
+    are collected and turned into exclusive prefix offsets, broadcast
+    back; one HASH-partitioned window (partitionBy bucket, orderBy v)
+    computes local cumsums; offset + local cumsum = the global ECDFs,
+    and D = max |Fa - Fb| over distinct values — exactly where the
+    sup of two step functions is attained. The result is computed
+    eagerly and returned as a one-row local relation, so any cache is
+    released before return.
 
     exact=False: grid approximation. Both ECDFs are evaluated on a
     shared approx-quantile grid via width_bucket + groupBy (one pass per
@@ -156,6 +175,7 @@ def two_sample_ks_df(
     u = a.unionAll(b)
     spark = df_a.sparkSession
     if exact:
+        from pyspark import StorageLevel
         from pyspark.sql import Window
 
         stats = u.agg(
@@ -171,49 +191,64 @@ def two_sample_ks_df(
                 [(0.0, na, nb)], "d_stat double, n_a long, n_b long"
             )
         lo, hi = float(stats["lo"]), float(stats["hi"])
-        if hi <= lo:  # single distinct value: both ECDFs jump to 1 there
+        if hi <= lo:  # single distinct value: both ECDFs jump to 1
             return spark.createDataFrame(
                 [(0.0, na, nb)], "d_stat double, n_a long, n_b long"
             )
         bk = F.width_bucket(
             F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets)
         )
-        # phase 1: per-bucket totals -> exclusive prefix offsets (driver
-        # handles <= num_buckets + 1 rows, constant w.r.t. data size)
-        btot = (
-            u.groupBy(bk.alias("bk"))
-            .agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
-            .collect()
+        if one_scan is None:
+            one_scan = (na + nb) >= 100_000_000
+        g = u.groupBy("v").agg(
+            F.sum("ia").alias("da"), F.sum("ib").alias("db")
         )
-        oa = ob = 0
-        offsets = []
-        for r in sorted(btot, key=lambda r: r["bk"]):
-            offsets.append((int(r["bk"]), oa, ob))
-            oa += int(r["ta"])
-            ob += int(r["tb"])
-        off = spark.createDataFrame(offsets, "bk long, oa long, ob long")
-        # phase 2: per-value jumps, hash-partitioned per-bucket window
-        g = (
-            u.groupBy("v")
-            .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
-            .withColumn("bk", bk)
-        )
-        w = (
-            Window.partitionBy("bk")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = g.join(F.broadcast(off), "bk").select(
-            F.abs(
-                (F.col("oa") + F.sum("da").over(w)) / F.lit(float(na))
-                - (F.col("ob") + F.sum("db").over(w)) / F.lit(float(nb))
-            ).alias("gap")
-        )
-        return cum.agg(
-            F.round(F.max("gap"), 6).alias("d_stat"),
-            F.lit(na).cast("long").alias("n_a"),
-            F.lit(nb).cast("long").alias("n_b"),
-        )
+        if one_scan:
+            g = g.persist(StorageLevel.DISK_ONLY)
+            btot_src, ca, cb = g, "da", "db"
+        else:
+            btot_src, ca, cb = u, "ia", "ib"
+        try:
+            # per-bucket totals -> exclusive prefix offsets (driver
+            # handles <= num_buckets + 1 rows, constant w.r.t. data)
+            btot = (
+                btot_src.groupBy(bk.alias("bk"))
+                .agg(F.sum(ca).alias("ta"), F.sum(cb).alias("tb"))
+                .collect()
+            )
+            oa = ob = 0
+            offsets = []
+            for r in sorted(btot, key=lambda r: r["bk"]):
+                offsets.append((int(r["bk"]), oa, ob))
+                oa += int(r["ta"])
+                ob += int(r["tb"])
+            off = spark.createDataFrame(
+                offsets, "bk long, oa long, ob long"
+            )
+            # hash-partitioned per-bucket window over the value jumps
+            w = (
+                Window.partitionBy("bk")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            cum = g.withColumn("bk", bk).join(
+                F.broadcast(off), "bk"
+            ).select(
+                F.abs(
+                    (F.col("oa") + F.sum("da").over(w))
+                    / F.lit(float(na))
+                    - (F.col("ob") + F.sum("db").over(w))
+                    / F.lit(float(nb))
+                ).alias("gap")
+            )
+            d_row = cum.agg(F.round(F.max("gap"), 6).alias("d")).first()
+            return spark.createDataFrame(
+                [(float(d_row["d"]), na, nb)],
+                "d_stat double, n_a long, n_b long",
+            )
+        finally:
+            if one_scan:
+                g.unpersist()
     # grid path: shared quantile edges, one groupBy per side
     edges = u.approxQuantile(
         "v", [i / grid_size for i in range(1, grid_size)], 0.001
