@@ -4367,6 +4367,51 @@ def _q_pq_ann_recall(spark, sf_dir):
     )
 
 
+def _q_ivfpq_recall(spark, sf_dir):
+    """IVF+PQ composed index (FAISS IVFADC shape): coarse cells +
+    residual product quantization, batch ADC over the probed cells
+    only — the production ANN layout at 100 TB. Recall of the exact
+    cosine top-5 for 3 queries at nprobe=8 of 16 cells, pinned at
+    sf0.01 like the other ANN oracles (deterministic: seeded coarse
+    centers + seeded residual codebooks on a stable sample; uniform
+    random embeddings are PQ's worst case, so this is a floor —
+    compare pq_ann_recall's full-scan ADC at the same code budget)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        IvfPqIndex,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    idx = IvfPqIndex.build(emb, n_clusters=16, m=8, n_codes=64)
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    approx = idx.query(queries, k=5, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+        )
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -5932,6 +5977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann_recall": _q_quantized_ann_recall,
         "pq_ann_recall": _q_pq_ann_recall,
         "char_entropy_docs": _q_char_entropy,
+        # ---- round-11 registrations (operator + oracle same round) --
+        "ivfpq_recall": _q_ivfpq_recall,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10365,6 +10412,14 @@ def oracle_sql() -> dict[str, str]:
               (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
               (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT)),
               (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "ivfpq_recall": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT))
             ) AS t(query_id, n_exact, n_overlap)
         """,
         "quantized_ann_recall": """

@@ -2050,6 +2050,16 @@ def pq_train(
             sample.shape[0], size=sample_size, replace=False
         )
         sample = sample[np.sort(keep)]
+    return _fit_subspace_codebooks(sample, m, n_codes, seed)
+
+
+def _fit_subspace_codebooks(
+    sample: "np.ndarray", m: int, n_codes: int, seed: int
+) -> list:
+    """Per-subspace Lloyd fits over a driver-side sample matrix —
+    shared by :func:`pq_train` (raw vectors) and
+    :class:`IvfPqIndex` (cell residuals)."""
+    sub = sample.shape[1] // m
     k = int(min(n_codes, sample.shape[0]))
     return [
         _lloyd_kmeans(
@@ -2182,3 +2192,265 @@ def pq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+class IvfPqIndex:
+    """IVF + PQ composed index (the FAISS ``IVFADC`` shape — Jégou et
+    al. 2011 §IV, the production ANN layout at 100 TB): an IVF coarse
+    quantizer assigns every vector to a cell, PQ codebooks are trained
+    on the RESIDUALS (vector minus its cell center — residual energy
+    is far smaller than raw-vector energy, so the same code budget
+    quantizes much finer), and the stored relation is just
+    (id, cell, m-byte code). Queries probe only their ``nprobe``
+    nearest cells and score candidates by asymmetric distance against
+    per-(query, cell) residual lookup tables.
+
+    Scale shape: build is one coarse-quantizer fit (driver-side Lloyd
+    on a seeded sample, :meth:`IvfIndex.build` ``method="local"``), a
+    residual-sample collect sized like the PQ training budget, and ONE
+    Arrow-batched assign+encode pass over the corpus. A query batch is
+    ONE scan of the encoded relation filtered to the union of probed
+    cells (cell-partitioned storage via :meth:`save` turns that filter
+    into partition pruning on a loaded index), against lookup tables
+    shipped in a single closure — never a per-query scan, mirroring
+    :func:`pq_topk`'s batch contract.
+    """
+
+    def __init__(self, encoded: DataFrame, centers: list,
+                 codebooks: list, id_col: str = "vec_id"):
+        self.encoded = encoded
+        self.centers = [[float(v) for v in c] for c in centers]
+        self.codebooks = [np.asarray(b, dtype=np.float64)
+                          for b in codebooks]
+        self.id_col = id_col
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        vectors: DataFrame,
+        n_clusters: int = 16,
+        m: int = 8,
+        n_codes: int = 256,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int | None = None,
+        cache: bool = True,
+    ) -> "IvfPqIndex":
+        """Fit coarse centers, train residual codebooks on a seeded
+        sample (``sample_size`` defaults to ``128 * n_codes``, the
+        FAISS points-per-centroid convention — see :func:`pq_train`),
+        then assign + residual-encode the corpus in one map-only
+        Arrow pass. The raw vector column is DROPPED from the stored
+        relation — the index carries m bytes + a cell id per vector.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        first = vectors.select(vec_col).first()
+        if first is None:
+            raise ValueError("IvfPqIndex.build: input is empty")
+        dim = len(first[0])
+        if dim % m != 0:
+            raise ValueError(f"dim={dim} must be divisible by m={m}")
+        if sample_size is None:
+            sample_size = 128 * int(n_codes)
+        ivf = IvfIndex.build(
+            vectors, n_clusters, seed, id_col, vec_col,
+            cache=False, method="local",
+        )
+        c_arr = np.asarray(ivf.centers, dtype=np.float64)
+        # residual training sample: seeded sample of (vec, cell),
+        # residuals computed driver-side against the tiny center matrix
+        n_total = vectors.count()
+        frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+        pdf = (
+            ivf.assigned.select(vec_col, "cell")
+            .sample(fraction=frac, seed=seed)
+            .toPandas()
+        )
+        sample = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        if sample.shape[0] == 0:
+            raise ValueError(
+                "IvfPqIndex.build: empty training sample; raise "
+                "sample_size or check the input"
+            )
+        resid = sample - c_arr[pdf["cell"].to_numpy()]
+        if resid.shape[0] > sample_size:
+            rng = np.random.default_rng(seed)
+            keep = rng.choice(
+                resid.shape[0], size=sample_size, replace=False
+            )
+            resid = resid[np.sort(keep)]
+        books = _fit_subspace_codebooks(resid, m, n_codes, seed)
+        sqs = [0.5 * np.sum(b * b, axis=1) for b in books]
+        sub = dim // m
+
+        @pandas_udf("array<int>")
+        def _enc(vec: pd.Series, cell: pd.Series) -> pd.Series:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vec]
+            )
+            if mat.size == 0:
+                return pd.Series([], dtype=object)
+            r = mat - c_arr[cell.to_numpy()]
+            codes = np.empty((r.shape[0], len(books)), dtype=np.int32)
+            for j, (b, sq) in enumerate(zip(books, sqs)):
+                x = r[:, j * sub:(j + 1) * sub]
+                codes[:, j] = np.argmax(x @ b.T - sq, axis=1)
+            return pd.Series(list(codes))
+
+        encoded = ivf.assigned.select(
+            F.col(id_col),
+            F.col("cell"),
+            _enc(F.col(vec_col), F.col("cell")).alias("pq_code"),
+        )
+        if cache:
+            encoded = encoded.cache()
+        return cls(encoded, ivf.centers, books, id_col)
+
+    # ------------------------------------------------------------- query
+    def query(
+        self,
+        queries: list,
+        k: int = 5,
+        nprobe: int = 2,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Batch ADC top-k within the probed cells. ``queries`` is a
+        non-empty list of (query_id, vector) tuples; probe cells are
+        chosen driver-side against the tiny center matrix (global
+        argmin order, matching the assignment rule, so an exact-match
+        query always probes its own vector's cell first). Returns
+        (query_id, neighbor_id, adc_dist<rounded 6>, rank).
+
+        ``exclude_self`` drops neighbor_id == query_id rows (corpus-id
+        query convention); pass False for external query id spaces
+        that may collide with corpus ids."""
+        from pyspark.sql.functions import pandas_udf
+
+        if not queries:
+            raise ValueError(
+                "IvfPqIndex.query requires a non-empty queries list "
+                "of (query_id, vector) tuples"
+            )
+        books = self.codebooks
+        sub = books[0].shape[1]
+        mlen = len(books)
+        c_arr = np.asarray(self.centers, dtype=np.float64)
+        luts: dict = {}
+        probe_rows = []
+        for qid, qv in queries:
+            q = np.asarray(qv, dtype=np.float64)
+            d2 = np.sum((c_arr - q) ** 2, axis=1)
+            order = np.lexsort((np.arange(len(d2)), d2))
+            for cell in order[: int(nprobe)]:
+                r = q - c_arr[cell]
+                luts[(int(qid), int(cell))] = np.stack([
+                    np.sum(
+                        (books[j] - r[j * sub:(j + 1) * sub]) ** 2,
+                        axis=1,
+                    )
+                    for j in range(mlen)
+                ])
+                probe_rows.append((int(qid), int(cell)))
+        spark = self.encoded.sparkSession
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, cell int"
+        )
+        probed_cells = sorted({c for _, c in probe_rows})
+
+        @pandas_udf("double")
+        def _adc(qid: pd.Series, cell: pd.Series,
+                 codes: pd.Series) -> pd.Series:
+            c = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in codes]
+            )
+            if c.size == 0:
+                return pd.Series([], dtype="float64")
+            out = np.zeros(c.shape[0])
+            key = pd.DataFrame(
+                {"q": qid.to_numpy(), "c": cell.to_numpy()}
+            )
+            for (qv, cv), idx in key.groupby(
+                ["q", "c"], sort=False
+            ).indices.items():
+                lut = luts[(int(qv), int(cv))]
+                sel = c[idx]
+                d = np.zeros(len(idx))
+                for j in range(mlen):
+                    d += lut[j][sel[:, j]]
+                out[idx] = d
+            return pd.Series(out)
+
+        cand = (
+            self.encoded
+            # explicit cell filter BEFORE the join: partition pruning
+            # on a cell-partitioned saved index, plain predicate
+            # pushdown otherwise
+            .filter(F.col("cell").isin(probed_cells))
+            .join(F.broadcast(probes), on="cell")
+            .select(
+                "query_id",
+                F.col(self.id_col).alias("neighbor_id"),
+                F.round(
+                    _adc(
+                        F.col("query_id"), F.col("cell"),
+                        F.col("pq_code"),
+                    ),
+                    6,
+                ).alias("adc_dist"),
+            )
+        )
+        if exclude_self:
+            cand = cand.filter(
+                F.col("neighbor_id") != F.col("query_id")
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id")
+        )
+        return cand.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+
+    # ----------------------------------------------------------- persist
+    def save(self, path: str, mode: str = "error") -> None:
+        """Write the encoded relation parquet PARTITIONED BY cell (so
+        a loaded index turns the query-time cell filter into partition
+        pruning) plus a meta json with centers and codebooks."""
+        import json
+
+        self.encoded.write.mode(mode).partitionBy("cell").parquet(
+            f"{path}/encoded"
+        )
+        meta = {
+            "centers": self.centers,
+            "codebooks": [b.tolist() for b in self.codebooks],
+            "id_col": self.id_col,
+        }
+        spark = self.encoded.sparkSession
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str, cache: bool = False) -> "IvfPqIndex":
+        import json
+
+        meta = json.loads(
+            spark.read.json(f"{path}/meta").first()["meta"]
+        )
+        encoded = spark.read.parquet(f"{path}/encoded")
+        if cache:
+            encoded = encoded.cache()
+        return cls(
+            encoded, meta["centers"], meta["codebooks"], meta["id_col"]
+        )
+
+    def unpersist(self) -> None:
+        try:
+            self.encoded.unpersist()
+        except Exception:  # noqa: BLE001
+            pass

@@ -962,3 +962,109 @@ class TestProductQuantization:
         assert with_self.first().neighbor_id == 0  # own code: dist 0
         without = pq_topk(enc, books, queries, k=1).first()
         assert without.neighbor_id != 0
+
+
+class TestIvfPqIndex:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+
+    def test_build_and_query_shapes(self, emb):
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16)
+        rows = idx.encoded.collect()
+        assert {r.cell for r in rows} <= set(range(4))
+        for r in rows:
+            assert len(r.pq_code) == 8
+            assert all(0 <= c < 16 for c in r.pq_code)
+        queries = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        ]
+        out = idx.query(queries, k=3, nprobe=2).collect()
+        assert {r.query_id for r in out} <= {0, 1, 2}
+        for r in out:
+            assert r.neighbor_id != r.query_id
+            assert 1 <= r.rank <= 3
+        idx.unpersist()
+
+    def test_exact_match_found_at_nprobe_1(self, spark):
+        """A planted near-identical twin must be the ADC top-1 at
+        nprobe=1: assignment and probing share the global-argmin rule,
+        so the twin's cell is always the first probed (the same
+        contract the flat IvfIndex pins)."""
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        rng = np.random.default_rng(3)
+        centers = 8.0 * rng.normal(0.0, 1.0, (5, 32))
+        labels = rng.integers(0, 5, 300)
+        base = centers[labels] + 0.2 * rng.normal(0.0, 1.0, (300, 32))
+        twins = base[:8] + 1e-6 * rng.normal(0.0, 1.0, (8, 32))
+        pts = np.vstack([base, twins])  # twins: ids 300..307
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]])
+             for i in range(308)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = IvfPqIndex.build(df, n_clusters=5, m=4, n_codes=64)
+        queries = [(i, [float(x) for x in pts[i]]) for i in range(8)]
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in idx.query(queries, k=1, nprobe=1).collect()
+        }
+        assert sum(1 for i in range(8) if top1[i] == 300 + i) == 8
+        idx.unpersist()
+
+    def test_query_batch_is_single_scan(self, emb):
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16)
+        q2 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 2).collect()
+        ]
+        q6 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 6).collect()
+        ]
+        p2 = idx.query(q2, k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        p6 = idx.query(q6, k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # ADC stage count must not grow with the query batch
+        assert p2.count("ArrowEvalPython") == p6.count("ArrowEvalPython")
+        idx.unpersist()
+
+    def test_save_load_round_trip_and_pruning(self, emb, tmp_path):
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        spark = emb.sparkSession
+        idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16)
+        path = str(tmp_path / "ivfpq")
+        idx.save(path)
+        loaded = IvfPqIndex.load(spark, path)
+        queries = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        ]
+        a = sorted(map(tuple, idx.query(queries, k=3).collect()))
+        b = sorted(map(tuple, loaded.query(queries, k=3).collect()))
+        assert a == b
+        # cell-partitioned storage: the probe filter prunes partitions
+        plan = loaded.query(queries, k=3, nprobe=1) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        idx.unpersist()
+
+    def test_validation(self, emb):
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        with pytest.raises(ValueError, match="divisible"):
+            IvfPqIndex.build(emb, n_clusters=4, m=7)
+        idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16)
+        with pytest.raises(ValueError, match="non-empty"):
+            idx.query([])
+        idx.unpersist()
