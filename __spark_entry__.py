@@ -4367,6 +4367,57 @@ def _q_pq_ann_recall(spark, sf_dir):
     )
 
 
+def _q_incremental_exact(spark, sf_dir):
+    """Snapshot exact dedup: the 200-299 delta batch against the
+    fingerprint state of docs 0-199 — per new doc its status
+    (kept / dup_of_state / dup_in_batch) and keeper. Full value-level
+    DuckDB replica (same whitespace-normalized md5 fingerprint); the
+    pytest suite additionally pins equivalence to a full
+    exact_dedup recompute."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import (
+        duplicate_groups,
+        incremental_exact_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prev = docs.filter(F.col("doc_id") < 200)
+    new = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    )
+    state = duplicate_groups(prev).select("fingerprint", "keeper_id")
+    return incremental_exact_dedup(new, state)
+
+
+def _q_incremental_neardup(spark, sf_dir):
+    """Snapshot near-dup: MinHash+LSH pairs involving the 200-299
+    delta batch, banded against the persisted (id, band, band_sig)
+    index of docs 0-199 — never re-banding the previous corpus. The
+    incremental path verifies candidates with EXACT 3-shingle Jaccard
+    and LSH recall is 100% at this data/threshold (same argument as
+    minhash_pairs), so the oracle is the exact all-pairs relation
+    restricted to pairs with a delta-batch side."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prev = docs.filter(F.col("doc_id") < 200)
+    new = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    )
+    index = minhash_band_index(prev)
+    return incremental_minhash_pairs(new, index, prev, threshold=0.7)
+
+
 def _q_ivfpq_recall(spark, sf_dir):
     """IVF+PQ composed index (FAISS IVFADC shape): coarse cells +
     residual product quantization, batch ADC over the probed cells
@@ -5979,6 +6030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_docs": _q_char_entropy,
         # ---- round-11 registrations (operator + oracle same round) --
         "ivfpq_recall": _q_ivfpq_recall,
+        "incremental_exact": _q_incremental_exact,
+        "incremental_neardup": _q_incremental_neardup,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10413,6 +10466,59 @@ def oracle_sql() -> dict[str, str]:
               (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT)),
               (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT))
             ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "incremental_exact": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fingerprint
+              FROM documents WHERE doc_id < 300
+            ),
+            state AS (
+              SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keeper
+              FROM fp WHERE doc_id < 200 GROUP BY fingerprint
+            ),
+            batch AS (
+              SELECT doc_id, fingerprint,
+                     min(doc_id) OVER (PARTITION BY fingerprint) AS bk
+              FROM fp WHERE doc_id >= 200
+            )
+            SELECT b.doc_id, b.fingerprint,
+                   CASE WHEN s.keeper IS NOT NULL THEN 'dup_of_state'
+                        WHEN b.bk < b.doc_id THEN 'dup_in_batch'
+                        ELSE 'kept' END AS status,
+                   CAST(CASE WHEN s.keeper IS NOT NULL THEN s.keeper
+                             WHEN b.bk < b.doc_id THEN b.bk
+                             ELSE b.doc_id END AS BIGINT) AS keeper_id
+            FROM batch b LEFT JOIN state s USING (fingerprint)
+        """,
+        "incremental_neardup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents WHERE doc_id < 300
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1],
+                                                tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sg, b.sg))
+                         / len(list_distinct(
+                               list_concat(a.sg, b.sg)))::DOUBLE,
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE b.doc_id >= 200
+              AND round(len(list_intersect(a.sg, b.sg))
+                        / len(list_distinct(
+                              list_concat(a.sg, b.sg)))::DOUBLE,
+                        6) >= 0.7
         """,
         "ivfpq_recall": """
             SELECT query_id, n_exact, n_overlap

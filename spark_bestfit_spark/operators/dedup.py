@@ -270,6 +270,56 @@ def _lsh_buckets(
     return buckets
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band, band_sig) rows from a (id, minhash) relation — the
+    LSH band projection, map-only. This relation IS the persistable
+    incremental-dedup state: write it to parquet and new batches join
+    their own bands against it without re-banding the corpus (see
+    :func:`incremental_minhash_pairs`)."""
+    n_hashes_col = F.size("minhash")
+    rows_per_band = F.floor(n_hashes_col / num_bands)
+    return signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            "minhash",
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band.cast("int"),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One-call snapshot state for incremental near-dup: text ->
+    MinHash signatures -> (id, band, band_sig). Persist the result
+    (parquet) and feed it to :func:`incremental_minhash_pairs` as each
+    new batch arrives; append the new batch's index rows to roll the
+    snapshot forward."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return banded_signatures(sigs, id_col, num_bands)
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -287,29 +337,7 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` optionally drops degenerate buckets — identical
     documents belong to the exact-dedup tier anyway.
     """
-    n_hashes_col = F.size("minhash")
-    rows_per_band = F.floor(n_hashes_col / num_bands)
-    banded = (
-        signatures.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                    lambda b: F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "minhash",
-                                (b * rows_per_band + 1).cast("int"),
-                                rows_per_band.cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                )
-            ).alias("band", "band_sig"),
-        )
-    )
+    banded = banded_signatures(signatures, id_col, num_bands)
     buckets = _lsh_buckets(banded, id_col, max_bucket_size)
     n = F.size("_ids")
     pair_structs = F.flatten(
@@ -960,4 +988,182 @@ def clip_duplicate_spans(
         F.size("_w").cast("long").alias("n_words"),
         F.size(cov).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept_words).alias("clipped_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental / snapshot dedup: a production corpus GROWS; re-running
+# the batch operators rescans the world for every delivery. These
+# operators dedup a NEW batch against persisted snapshot state (exact
+# tier: the (fingerprint, keeper_id) relation; near-dup tier: the
+# (id, band, band_sig) LSH index) and emit the rows that roll the
+# snapshot forward — the corpus text is never re-fingerprinted, never
+# re-shingled, never re-banded.
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a new batch against a persisted fingerprint
+    snapshot. ``state`` is a (fingerprint, keeper_id) relation — build
+    the initial snapshot with :func:`duplicate_groups` (drop
+    n_copies) and append this function's kept rows' fingerprints to
+    roll it forward.
+
+    Returns one row per new document:
+    (id_col, fingerprint, status, keeper_id) where status is
+    ``'kept'`` (first copy anywhere — keeper_id = own id),
+    ``'dup_of_state'`` (fingerprint already snapshotted — keeper_id =
+    the state keeper) or ``'dup_in_batch'`` (first seen in this batch
+    under a lower id — keeper_id = that id).
+
+    Equivalence contract (pytest-pinned): with an append-only id
+    order (every state id < every new id — the snapshot convention),
+    the kept set equals ``exact_dedup(state_docs UNION new_docs)``
+    restricted to new ids.
+
+    Shuffle profile: the batch is fingerprinted map-side and joined
+    against the state ON THE FINGERPRINT KEY — one hash exchange of
+    the (32-byte fp, id) state relation, never of the corpus TEXT;
+    the in-batch window shares the fingerprint key. A full recompute
+    re-shuffles the raw text of the whole corpus; at a 100 TB corpus
+    with kilobyte documents the state relation is ~2 orders of
+    magnitude smaller.
+    """
+    fp = F.md5(_normalized(text_col))
+    batch = (
+        new_docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .withColumn("_batch_keeper", F.min(id_col).over(
+            Window.partitionBy("fingerprint")
+        ))
+    )
+    st = state.select(
+        F.col("fingerprint"),
+        F.col("keeper_id").alias("_state_keeper"),
+    )
+    joined = batch.join(st, on="fingerprint", how="left")
+    status = (
+        F.when(F.col("_state_keeper").isNotNull(), F.lit("dup_of_state"))
+        .when(F.col("_batch_keeper") < F.col(id_col),
+              F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    keeper = (
+        F.when(F.col("_state_keeper").isNotNull(), F.col("_state_keeper"))
+        .when(F.col("_batch_keeper") < F.col(id_col),
+              F.col("_batch_keeper"))
+        .otherwise(F.col(id_col))
+    )
+    return joined.select(
+        id_col,
+        "fingerprint",
+        status.alias("status"),
+        keeper.cast("long").alias("keeper_id"),
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    corpus_texts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch, against a persisted LSH
+    snapshot — the incremental form of :func:`minhash_dedup_pairs`.
+
+    ``band_index`` is the (id, band, band_sig) snapshot from
+    :func:`minhash_band_index` covering all PREVIOUS documents (the
+    new batch must not already be in it); ``corpus_texts`` is the
+    (id, text) relation for previous documents, read only to exactly
+    verify candidate pairs (candidates are joined by id, so the scan
+    feeds a key join, never a pair explosion). Returns
+    (id_a, id_b, jaccard) with id_a < id_b, exactly like the batch
+    operator.
+
+    Equivalence contract (pytest-pinned): the result equals
+    ``minhash_dedup_pairs(previous UNION new)`` filtered to pairs
+    with at least one new-batch id — banding the new batch and
+    joining against the snapshot's band rows reaches exactly the
+    buckets a full re-band would have co-located, because band keys
+    are deterministic functions of the text.
+
+    Shuffle profile: the new batch is signed and banded map-side
+    (batch-sized); the band join against the snapshot is one hash
+    exchange keyed on (band, band_sig); verification shuffles only
+    candidate ids against the two text relations. ``max_bucket_size``
+    bounds viral buckets the same way as the batch operator — the
+    state side of a bucket is capped with a deterministic
+    lowest-ids-first rule, so the cap is reproducible across runs.
+
+    Roll the snapshot forward by appending
+    ``minhash_band_index(new_docs)`` (already computed here — reuse
+    it via the helper if the batch is large) to the persisted index.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    )
+    new_bands = banded_signatures(new_sigs, id_col, num_bands)
+    # new-vs-state: band join against the snapshot. Cap the state
+    # side per bucket deterministically (lowest ids first) when a
+    # viral-bucket bound is requested.
+    state_bands = band_index.select(
+        F.col(id_col).alias("_sid"), "band", "band_sig"
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_sig").orderBy("_sid")
+        state_bands = (
+            state_bands.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    vs_state = (
+        new_bands.join(state_bands, on=["band", "band_sig"])
+        .filter(F.col(id_col) != F.col("_sid"))
+        .select(
+            F.least(F.col(id_col), F.col("_sid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_sid")).alias("id_b"),
+        )
+    )
+    # new-vs-new: the batch operator's bucket pair explosion
+    vs_new = minhash_lsh_candidates(
+        new_sigs, id_col, num_bands, max_bucket_size=max_bucket_size
+    )
+    cands = vs_state.unionByName(vs_new).distinct()
+    texts = corpus_texts.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
+    sh = texts.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+    )
+    return (
+        cands.join(
+            sh.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("_s", "_sa"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("_s", "_sb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -1473,3 +1473,114 @@ class TestDatasetCard:
         card = dataset_card(docs).collect()[0]
         kept = exact_dedup(docs).count()
         assert card.n_distinct_docs == kept
+
+
+class TestIncrementalDedup:
+    """Delta-batch vs full-recompute equivalence for the snapshot
+    dedup tier (round-11): the incremental operators must reproduce
+    exactly the batch operators' answers restricted to the new batch,
+    without re-fingerprinting / re-banding the previous corpus."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .filter("doc_id < 300")
+            .cache()
+        )
+
+    def test_exact_matches_full_recompute(self, spark, docs):
+        from spark_bestfit_spark.operators.dedup import (
+            duplicate_groups,
+            exact_dedup,
+            incremental_exact_dedup,
+        )
+
+        prev = docs.filter("doc_id < 200")
+        new = docs.filter("doc_id >= 200")
+        state = duplicate_groups(prev).select("fingerprint", "keeper_id")
+        out = incremental_exact_dedup(new, state)
+        kept_inc = {r.doc_id for r in out.collect() if r.status == "kept"}
+        kept_full = {
+            r.doc_id
+            for r in exact_dedup(docs).collect()
+            if r.doc_id >= 200
+        }
+        assert kept_inc == kept_full
+        # every new doc appears exactly once, keeper semantics hold
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {r.doc_id for r in new.collect()}
+        for r in rows.values():
+            if r.status == "kept":
+                assert r.keeper_id == r.doc_id
+            elif r.status == "dup_of_state":
+                assert r.keeper_id < 200
+            else:
+                assert 200 <= r.keeper_id < r.doc_id
+
+    def test_exact_synthetic_statuses(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            duplicate_groups,
+            incremental_exact_dedup,
+        )
+
+        prev = spark.createDataFrame(
+            [(0, "alpha  beta"), (1, "Alpha beta"), (2, "gamma")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, "ALPHA   BETA"),   # dup of state keeper 0
+             (11, "delta"), (12, "delta"),  # kept + in-batch dup
+             (13, "epsilon")],
+            "doc_id long, text string",
+        )
+        state = duplicate_groups(prev).select("fingerprint", "keeper_id")
+        out = {r.doc_id: (r.status, r.keeper_id)
+               for r in incremental_exact_dedup(new, state).collect()}
+        assert out[10] == ("dup_of_state", 0)
+        assert out[11] == ("kept", 11)
+        assert out[12] == ("dup_in_batch", 11)
+        assert out[13] == ("kept", 13)
+
+    def test_minhash_matches_full_recompute(self, spark, docs):
+        from spark_bestfit_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_band_index,
+            minhash_dedup_pairs,
+        )
+
+        prev = docs.filter("doc_id < 200")
+        new = docs.filter("doc_id >= 200")
+        index = minhash_band_index(prev)
+        inc = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in incremental_minhash_pairs(
+                new, index, prev, threshold=0.7
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_dedup_pairs(docs, threshold=0.7).collect()
+            if r.id_a >= 200 or r.id_b >= 200
+        }
+        assert inc == full
+        assert len(inc) > 0  # the slice must actually exercise pairs
+
+    def test_minhash_snapshot_rolls_forward(self, spark, docs):
+        """Appending the new batch's band rows to the snapshot must
+        reproduce a from-scratch index of the union — the roll-forward
+        contract."""
+        from spark_bestfit_spark.operators.dedup import (
+            minhash_band_index,
+        )
+
+        prev = docs.filter("doc_id < 200")
+        new = docs.filter("doc_id >= 200")
+        rolled = minhash_band_index(prev).unionByName(
+            minhash_band_index(new)
+        )
+        scratch = minhash_band_index(docs)
+        a = sorted(map(tuple, rolled.collect()))
+        b = sorted(map(tuple, scratch.collect()))
+        assert a == b
