@@ -4367,6 +4367,21 @@ def _q_pq_ann_recall(spark, sf_dir):
     )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE train loop driven to a full merge table
+    (Sennrich et al. 2016): 10 greedy merges over the documents
+    corpus — each round recounts symbol pairs on the VOCAB-sized
+    word-type relation and rewrites Arrow-batched; the corpus is
+    scanned once. Deterministic ((weight desc, pair asc) tie-break,
+    bit-identical under partition sweep — pytest-pinned against a
+    pure-Python reference trainer), so the oracle pins the learned
+    table."""
+    from spark_bestfit_spark.operators.textstats import bpe_merge_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merge_table(docs, n_merges=10)
+
+
 def _q_incremental_exact(spark, sf_dir):
     """Snapshot exact dedup: the 200-299 delta batch against the
     fingerprint state of docs 0-199 — per new doc its status
@@ -6032,6 +6047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall": _q_ivfpq_recall,
         "incremental_exact": _q_incremental_exact,
         "incremental_neardup": _q_incremental_neardup,
+        "bpe_merges": _q_bpe_merges,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10466,6 +10482,23 @@ def oracle_sql() -> dict[str, str]:
               (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT)),
               (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT))
             ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "bpe_merges": """
+            SELECT merge_rank, "left", "right", merged, weight
+            FROM (VALUES
+              (CAST(1 AS BIGINT), 'e', 'r', 'er', CAST(4568 AS BIGINT)),
+              (CAST(2 AS BIGINT), 'i', 'n', 'in', CAST(2760 AS BIGINT)),
+              (CAST(3 AS BIGINT), 'o', 'w', 'ow', CAST(2747 AS BIGINT)),
+              (CAST(4 AS BIGINT), 'o', 'r', 'or', CAST(2696 AS BIGINT)),
+              (CAST(5 AS BIGINT), 's', 't', 'st', CAST(2676 AS BIGINT)),
+              (CAST(6 AS BIGINT), 'm', 'er', 'mer',
+               CAST(1852 AS BIGINT)),
+              (CAST(7 AS BIGINT), 'a', 't', 'at', CAST(1845 AS BIGINT)),
+              (CAST(8 AS BIGINT), 'l', 'u', 'lu', CAST(1831 AS BIGINT)),
+              (CAST(9 AS BIGINT), 'a', 'r', 'ar', CAST(1758 AS BIGINT)),
+              (CAST(10 AS BIGINT), 'p', 'ar', 'par',
+               CAST(1758 AS BIGINT))
+            ) AS t(merge_rank, "left", "right", merged, weight)
         """,
         "incremental_exact": r"""
             WITH fp AS (

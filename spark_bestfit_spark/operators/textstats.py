@@ -1243,6 +1243,32 @@ def bpe_learn(
     return merges
 
 
+def bpe_merge_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> DataFrame:
+    """:func:`bpe_learn`'s merge table as a relation —
+    (merge_rank, left, right, merged, weight) in merge order, the
+    artifact a tokenizer ships and the oracle-checkable surface of
+    the distributed BPE train loop. The relation is ``n_merges`` rows
+    built driver-side from the learned list (the loop itself never
+    collects the vocabulary; see :func:`bpe_learn` for the scale
+    shape). Deterministic: greedy argmax with (weight desc, pair asc)
+    tie-break — bit-identical under any partition layout."""
+    merges = bpe_learn(df, text_col, n_merges)
+    spark = df.sparkSession
+    rows = [
+        (i + 1, a, b, a + b, int(wt))
+        for i, (a, b, wt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, left string, right string,"
+        " merged string, weight long",
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str = "text",

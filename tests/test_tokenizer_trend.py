@@ -377,3 +377,35 @@ class TestHeapsLaw:
         assert r.n_docs == 0 and r.beta is None
         with pytest.raises(ValueError):
             heaps_law(_docs(spark, ["a"]), "text", checkpoints=2)
+
+
+class TestBpeMergeTable:
+    def test_relation_matches_learned_list(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_merge_table,
+        )
+
+        df = _docs(spark, ["aaaa aaaa aaaa", "abab abab"])
+        rows = bpe_merge_table(df, "text", n_merges=3).collect()
+        want = bpe_learn(df, "text", n_merges=3)
+        assert [(r.left, r.right, r.weight) for r in rows] == want
+        assert [r.merge_rank for r in rows] == [1, 2, 3]
+        for r in rows:
+            assert r.merged == r.left + r.right
+
+    def test_partition_invariance(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_merge_table,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        a = [tuple(r) for r in bpe_merge_table(docs, n_merges=5).collect()]
+        b = [
+            tuple(r)
+            for r in bpe_merge_table(
+                docs.repartition(13), n_merges=5
+            ).collect()
+        ]
+        assert a == b
