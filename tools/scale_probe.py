@@ -62,7 +62,9 @@ def main() -> int:
     )
     from spark_bestfit_spark.operators.skew import salted_join
     from spark_bestfit_spark.operators.similarity import (
+        IvfPqIndex,
         pq_encode,
+        pq_topk,
         pq_train,
         quantization_error_report,
     )
@@ -492,6 +494,36 @@ def main() -> int:
          lambda: pq_encode(
              emb10, pq_train(emb10, dim=64, m=8)).agg(
              FB.sum(F.element_at("pq_code", 1))).first()),
+        # ---- round-11 additions (probe-before-bench rule) ----
+        # single-scan batch ADC: 64 queries, one pass per decade; the
+        # r10 shape would have run 64 corpus scans here
+        ("pq_topk_batch64",
+         (lambda: (lambda books: pq_topk(
+             pq_encode(emb1, books).select("vec_id", "pq_code"),
+             books,
+             [(r.vec_id, list(r.embedding))
+              for r in emb1.filter("vec_id < 64").collect()],
+             k=5).count())(pq_train(emb1, dim=64, m=8, n_codes=64))),
+         (lambda: (lambda books: pq_topk(
+             pq_encode(emb10, books).select("vec_id", "pq_code"),
+             books,
+             [(r.vec_id, list(r.embedding))
+              for r in emb10.filter("vec_id < 64").collect()],
+             k=5).count())(pq_train(emb10, dim=64, m=8, n_codes=64)))),
+        # IVF+PQ composed: build + 64-query batch at nprobe=4 of 64
+        # cells — the probed-cells scan should hold the decade ratio
+        # under the full-scan ADC line above
+        ("ivfpq_batch64",
+         (lambda: (lambda idx: idx.query(
+             [(r.vec_id, list(r.embedding))
+              for r in emb1.filter("vec_id < 64").collect()],
+             k=5, nprobe=4).count())(
+             IvfPqIndex.build(emb1, n_clusters=64, m=8, n_codes=64))),
+         (lambda: (lambda idx: idx.query(
+             [(r.vec_id, list(r.embedding))
+              for r in emb10.filter("vec_id < 64").collect()],
+             k=5, nprobe=4).count())(
+             IvfPqIndex.build(emb10, n_clusters=64, m=8, n_codes=64)))),
         # salted_join vs the plain join it replaces, on a 90%-hot key
         # (the interesting number is the salted/plain ratio at sf10,
         # where the hot key owns ~54M rows)
