@@ -4367,6 +4367,54 @@ def _q_pq_ann_recall(spark, sf_dir):
     )
 
 
+def _q_opq_recall(spark, sf_dir):
+    """Parametric OPQ (Ge et al. 2013 §4): PCA rotation with
+    eigenvalue allocation before PQ — one driver-side eigh on the
+    sample covariance, rotate+encode fused in one Arrow batch. Recall
+    of the exact cosine top-5 for 3 queries, pinned at sf0.01. The
+    test embeddings are isotropic (rotation can't help — recall sits
+    at the plain-PQ floor); the pytest suite pins the 1.26x
+    quantization-MSE win on correlated Gaussians, where the rotation
+    earns its keep."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        opq_encode,
+        opq_topk,
+        opq_train,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    rot, books = opq_train(emb, dim=64, m=8, n_codes=64)
+    enc = opq_encode(emb, rot, books).select("vec_id", "pq_code")
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    approx = opq_topk(enc, rot, books, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+        )
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE train loop driven to a full merge table
     (Sennrich et al. 2016): 10 greedy merges over the documents
@@ -6048,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_exact": _q_incremental_exact,
         "incremental_neardup": _q_incremental_neardup,
         "bpe_merges": _q_bpe_merges,
+        "opq_recall": _q_opq_recall,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10552,6 +10601,14 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(
                               list_concat(a.sg, b.sg)))::DOUBLE,
                         6) >= 0.7
+        """,
+        "opq_recall": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
         """,
         "ivfpq_recall": """
             SELECT query_id, n_exact, n_overlap

@@ -2454,3 +2454,139 @@ class IvfPqIndex:
             self.encoded.unpersist()
         except Exception:  # noqa: BLE001
             pass
+
+
+# --------------------------------------------------------------------------
+# Optimized Product Quantization, parametric solution (Ge et al. 2013,
+# "Optimized Product Quantization for Approximate Nearest Neighbor
+# Search" §4: for Gaussian-ish data the optimal rotation is the PCA
+# basis with principal directions PERMUTED so every PQ subspace gets a
+# balanced share of the variance — "eigenvalue allocation"). One
+# driver-side eigendecomposition of the d x d covariance; the corpus
+# pays a single extra matmul inside the same Arrow batch that encodes.
+# --------------------------------------------------------------------------
+
+
+def _eigenvalue_allocation(eigvals: "np.ndarray", m: int) -> "np.ndarray":
+    """Permutation assigning PCA directions to m subspaces so the
+    per-subspace variance PRODUCTS balance (greedy: largest eigenvalue
+    first, into the emptiest non-full bucket — Ge et al.'s log-sum
+    balancing)."""
+    d = len(eigvals)
+    cap = d // m
+    order = np.argsort(-eigvals)
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = np.zeros(m)
+    for idx in order:
+        open_b = [j for j in range(m) if len(buckets[j]) < cap]
+        j = min(open_b, key=lambda b: logs[b])
+        buckets[j].append(int(idx))
+        logs[j] += float(np.log(max(eigvals[idx], 1e-12)))
+    return np.asarray([i for b in buckets for i in b])
+
+
+def opq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple:
+    """Parametric OPQ: returns ``(rotation, codebooks)`` where
+    ``rotation`` is the (dim, dim) PCA-with-eigenvalue-allocation
+    matrix (rows = output dims) and ``codebooks`` are PQ codebooks
+    trained on the ROTATED sample. Covariance and rotation are fitted
+    on the same seeded driver-side sample the codebooks use — one
+    sample collect total; the cluster never runs an eigen job.
+
+    On anisotropic/correlated embeddings the rotation equalizes
+    subspace variances, which provably lowers quantization error vs
+    plain :func:`pq_train` (pytest pins the MSE win on correlated
+    Gaussians); on isotropic data it degrades to a no-op-quality
+    rotation and recall matches plain PQ.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if sample_size is None:
+        sample_size = 128 * int(n_codes)
+    n_total = df.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+    pdf = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+    )
+    if sample.shape[0] == 0:
+        raise ValueError("opq_train: empty training sample")
+    if sample.shape[0] > sample_size:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(
+            sample.shape[0], size=sample_size, replace=False
+        )
+        sample = sample[np.sort(keep)]
+    mu = sample.mean(axis=0)
+    cov = np.cov((sample - mu).T)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    perm = _eigenvalue_allocation(eigvals, m)
+    rotation = eigvecs[:, perm].T  # rows: allocated principal dirs
+    books = _fit_subspace_codebooks(sample @ rotation.T, m, n_codes, seed)
+    return rotation, books
+
+
+def opq_encode(
+    df: DataFrame,
+    rotation: "np.ndarray",
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Map-only rotate-then-encode: the rotation matmul and the
+    per-subspace argmin run in the SAME Arrow batch (one pass, no
+    intermediate rotated column materialized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rot = np.asarray(rotation, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sqs = [0.5 * np.sum(b * b, axis=1) for b in books]
+    sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in col]
+        )
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        r = mat @ rot.T
+        codes = np.empty((r.shape[0], len(books)), dtype=np.int32)
+        for j, (b, sq) in enumerate(zip(books, sqs)):
+            x = r[:, j * sub:(j + 1) * sub]
+            codes[:, j] = np.argmax(x @ b.T - sq, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def opq_topk(
+    encoded: DataFrame,
+    rotation: "np.ndarray",
+    codebooks: list,
+    queries: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ADC over OPQ codes: queries are rotated driver-side
+    (rotation is orthonormal, so rotated-space L2 == original L2) and
+    the single-scan :func:`pq_topk` does the rest."""
+    rot = np.asarray(rotation, dtype=np.float64)
+    rotated = [
+        (qid, (np.asarray(qv, dtype=np.float64) @ rot.T))
+        for qid, qv in queries
+    ]
+    return pq_topk(
+        encoded, codebooks, rotated, k=k,
+        id_col=id_col, code_col=code_col, exclude_self=exclude_self,
+    )

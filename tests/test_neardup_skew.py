@@ -1068,3 +1068,99 @@ class TestIvfPqIndex:
         with pytest.raises(ValueError, match="non-empty"):
             idx.query([])
         idx.unpersist()
+
+
+class TestOpq:
+    def test_mse_beats_plain_pq_on_correlated_data(self, spark):
+        """The whole point of the rotation: on anisotropic Gaussians
+        eigenvalue allocation balances subspace variances and lowers
+        quantization error vs plain PQ at the same code budget."""
+        from spark_bestfit_spark.operators.similarity import (
+            opq_encode,
+            opq_train,
+            pq_encode,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(0)
+        A = rng.normal(0, 1, (16, 16))
+        cov = A @ A.T + np.diag(np.linspace(0.01, 25, 16))
+        L = np.linalg.cholesky(cov)
+        pts = rng.normal(0, 1, (3000, 16)) @ L.T
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(3000)],
+            "vec_id long, embedding array<double>",
+        )
+        rot, books_o = opq_train(df, dim=16, m=4, n_codes=16)
+        books_p = pq_train(df, dim=16, m=4, n_codes=16)
+
+        def mse(enc_pdf, books, X, R=None):
+            Xr = X @ R.T if R is not None else X
+            codes = np.asarray([np.asarray(v) for v in enc_pdf.pq_code])
+            rec = np.hstack(
+                [books[j][codes[:, j]] for j in range(len(books))]
+            )
+            return float(np.mean((Xr - rec) ** 2))
+
+        eo = opq_encode(df, rot, books_o).orderBy("vec_id") \
+            .select("pq_code").toPandas()
+        ep = pq_encode(df, books_p).orderBy("vec_id") \
+            .select("pq_code").toPandas()
+        m_o = mse(eo, books_o, pts, rot)
+        m_p = mse(ep, books_p, pts)
+        assert m_o < m_p * 0.9  # >= 10% error reduction
+
+    def test_rotation_is_orthonormal_and_balanced(self, spark):
+        from spark_bestfit_spark.operators.similarity import opq_train
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        rot, books = opq_train(emb, dim=64, m=8, n_codes=16)
+        assert rot.shape == (64, 64)
+        assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-8)
+        assert len(books) == 8
+
+    def test_topk_exact_twin_recovered(self, spark):
+        """Rotated-space L2 == original L2 (orthonormal rotation), so
+        a planted near-identical twin is the ADC top-1."""
+        from spark_bestfit_spark.operators.similarity import (
+            opq_encode,
+            opq_topk,
+            opq_train,
+        )
+
+        rng = np.random.default_rng(11)
+        centers = 5.0 * rng.normal(0.0, 1.0, (6, 32))
+        labels = rng.integers(0, 6, 400)
+        base = centers[labels] + 0.3 * rng.normal(0.0, 1.0, (400, 32))
+        twins = base[:10] + 1e-6 * rng.normal(0.0, 1.0, (10, 32))
+        pts = np.vstack([base, twins])
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(410)],
+            "vec_id long, embedding array<double>",
+        )
+        rot, books = opq_train(df, dim=32, m=4, n_codes=64)
+        enc = opq_encode(df, rot, books).select("vec_id", "pq_code")
+        queries = [(i, [float(x) for x in pts[i]]) for i in range(10)]
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in opq_topk(enc, rot, books, queries, k=1).collect()
+        }
+        assert sum(1 for i in range(10) if top1[i] == 400 + i) == 10
+
+    def test_eigenvalue_allocation_balances(self):
+        from spark_bestfit_spark.operators.similarity import (
+            _eigenvalue_allocation,
+        )
+
+        vals = np.array([100.0, 50.0, 10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+        perm = _eigenvalue_allocation(vals, 2)
+        assert sorted(perm.tolist()) == list(range(8))
+        half = len(vals) // 2
+        p1 = float(np.sum(np.log(vals[perm[:half]])))
+        p2 = float(np.sum(np.log(vals[perm[half:]])))
+        # log-products balanced far better than the sorted split
+        naive = abs(float(np.sum(np.log(vals[:4])))
+                    - float(np.sum(np.log(vals[4:]))))
+        assert abs(p1 - p2) < naive / 2
