@@ -4367,6 +4367,80 @@ def _q_pq_ann_recall(spark, sf_dir):
     )
 
 
+def _q_incremental_semdedup(spark, sf_dir):
+    """Incremental SemDeDup on the pinned-seed planted corpus (the
+    semantic_dedup oracle's recipe, split 700 state / 350 delta with
+    150 planted dups of state rows in the delta): the delta batch is
+    deduped against the frozen-quantizer keeper snapshot only, and the
+    query VERIFIES IN-QUERY that the result equals the full
+    frozen-index recompute over keepers UNION delta restricted to
+    delta ids. One-row summary pinned by the oracle."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        IvfIndex,
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(13)
+    n, dim, kc = 900, 16, 8
+    centers = 3.0 * rng.normal(0.0, 1.0, (kc, dim))
+    labels = rng.integers(0, kc, n)
+    base = centers[labels] + 0.2 * rng.normal(0.0, 1.0, (n, dim))
+    dups = base[:150] + 1e-3 * rng.normal(0.0, 1.0, (150, dim))
+    pts = np.vstack([base, dups])
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]])
+             for i in range(lo, hi)],
+            "vec_id long, embedding array<double>",
+        ).repartition(8)
+
+    prev, new = mk(0, 700), mk(700, 1050)
+    th = 0.9999
+    idx0 = IvfIndex.build(prev, n_clusters=kc, seed=13, method="local")
+    prev_res = semantic_dedup(prev, threshold=th, index=idx0)
+    keep_ids = [
+        r.vec_id for r in prev_res.filter("is_kept").collect()
+    ]
+    keepers_assigned = idx0.assigned.filter(
+        F.col("vec_id").isin(keep_ids)
+    ).cache()
+    kidx = IvfIndex(keepers_assigned, idx0.centers)
+    inc = incremental_semantic_dedup(new, kidx, threshold=th).cache()
+    union = prev.filter(F.col("vec_id").isin(keep_ids)).unionByName(new)
+    uidx = IvfIndex(kidx.assign(union).cache(), idx0.centers)
+    full = semantic_dedup(union, threshold=th, index=uidx).filter(
+        F.col("vec_id") >= 700
+    )
+    mismatches = (
+        inc.withColumnRenamed("rep_id", "r1")
+        .withColumnRenamed("is_kept", "k1")
+        .join(full, "vec_id")
+        .filter(
+            (F.col("r1") != F.col("rep_id"))
+            | (F.col("k1") != F.col("is_kept"))
+        )
+        .count()
+    )
+    n_new = inc.count()
+    n_kept = inc.filter("is_kept").count()
+    n_dup_of_state = inc.filter(
+        "NOT is_kept AND rep_id < 700"
+    ).count()
+    return spark.createDataFrame(
+        [(
+            n_new, n_kept, n_new - n_kept, n_dup_of_state,
+            bool(mismatches == 0),
+        )],
+        "n_new long, n_kept long, n_dup long, n_dup_of_state long,"
+        " matches_full_recompute boolean",
+    )
+
+
 def _q_opq_recall(spark, sf_dir):
     """Parametric OPQ (Ge et al. 2013 §4): PCA rotation with
     eigenvalue allocation before PQ — one driver-side eigh on the
@@ -6097,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": _q_incremental_neardup,
         "bpe_merges": _q_bpe_merges,
         "opq_recall": _q_opq_recall,
+        "incremental_semdedup": _q_incremental_semdedup,
         # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
@@ -10601,6 +10676,13 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(
                               list_concat(a.sg, b.sg)))::DOUBLE,
                         6) >= 0.7
+        """,
+        "incremental_semdedup": """
+            SELECT CAST(350 AS BIGINT) AS n_new,
+                   CAST(200 AS BIGINT) AS n_kept,
+                   CAST(150 AS BIGINT) AS n_dup,
+                   CAST(150 AS BIGINT) AS n_dup_of_state,
+                   TRUE AS matches_full_recompute
         """,
         "opq_recall": """
             SELECT query_id, n_exact, n_overlap

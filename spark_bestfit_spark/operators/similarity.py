@@ -574,6 +574,37 @@ class IvfIndex:
         idx._fit_mode = "hierarchical" if hierarchical else "flat"
         return idx
 
+    # ------------------------------------------------------------- assign
+    def assign(self, vectors: DataFrame) -> DataFrame:
+        """Assign NEW vectors to this index's (frozen) cells — the
+        same global-argmin rule build/query use, as one Arrow-batched
+        map stage against the broadcast centers. Returns
+        (id_col, vec_col, cell); the snapshot contract for
+        incremental consumers (append the result to ``assigned`` to
+        roll the index forward)."""
+        from pyspark.sql.functions import pandas_udf
+
+        c_arr = np.asarray(self.centers, dtype=np.float64)
+        c_sq = 0.5 * np.sum(c_arr * c_arr, axis=1)
+
+        @pandas_udf("int")
+        def _assign(col: pd.Series) -> pd.Series:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in col]
+            )
+            if mat.size == 0:
+                return pd.Series([], dtype="int32")
+            scores = mat @ c_arr.T - c_sq
+            return pd.Series(
+                np.argmax(scores, axis=1).astype(np.int32)
+            )
+
+        return vectors.select(
+            F.col(self.id_col),
+            F.col(self.vec_col),
+            _assign(F.col(self.vec_col)).alias("cell"),
+        )
+
     # ------------------------------------------------------------- query
     def _centers_df(self, spark):
         rows = [(i, c) for i, c in enumerate(self.centers)]
@@ -851,6 +882,95 @@ def semantic_dedup(
     comp = neardup_clusters(pairs, id_col=id_col)
     return (
         vectors.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("rep_id"),
+            (
+                F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)
+            ).alias("is_kept"),
+        )
+    )
+
+
+def incremental_semantic_dedup(
+    new_vectors: DataFrame,
+    index: IvfIndex,
+    threshold: float = 0.95,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup for a GROWING corpus: dedup a new embedding batch
+    against a persisted :class:`IvfIndex` whose ``assigned`` relation
+    holds the current KEEPERS — the frozen-quantizer snapshot
+    convention (cells never move, so two keepers sharing a cell are
+    never >= threshold by induction, and the previous corpus is never
+    re-assigned or re-paired).
+
+    Returns (id_col, rep_id, is_kept) for every NEW vector, exactly
+    :func:`semantic_dedup`'s contract: ``rep_id`` is an existing
+    keeper's id when the new vector duplicates state (directly or
+    transitively through other new vectors), the component-minimum new
+    id for purely-in-batch duplicate groups, the vector's own id when
+    unique. Equivalence (pytest-pinned): with append-only ids the
+    result equals ``semantic_dedup(keepers UNION new, index=frozen)``
+    restricted to new ids. Roll the snapshot forward by appending the
+    kept new rows of ``index.assign(new_vectors)`` to the index.
+
+    Shuffle profile: one Arrow map stage assigns the batch against the
+    broadcast centers; ONE exchange on the cell id joins batch rows
+    against state keepers and batch rows against each other (quadratic
+    work confined to cells, ``max_cluster_size`` guards the COMBINED
+    cell population); label propagation runs on the duplicate-edge
+    graph only.
+    """
+    from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    id_col, vec_col = index.id_col, index.vec_col
+    new_assigned = index.assign(new_vectors)
+    state = index.assigned
+    combined_counts = (
+        state.select("cell").unionAll(new_assigned.select("cell"))
+        .groupBy("cell").count()
+        .filter(F.col("count") > max_cluster_size)
+        .first()
+    )
+    if combined_counts is not None:
+        raise ValueError(
+            f"incremental_semantic_dedup: cell {combined_counts['cell']}"
+            f" holds {combined_counts['count']} vectors (> "
+            f"max_cluster_size={max_cluster_size}); raise n_clusters on"
+            " the index (or max_cluster_size deliberately)"
+        )
+    nb = new_assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    st = state.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    cos = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
+    vs_state = (
+        st.join(nb, "cell")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    na = new_assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vs_new = (
+        na.join(nb, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = neardup_clusters(
+        vs_state.unionByName(vs_new), id_col=id_col
+    )
+    return (
+        new_vectors.select(id_col)
         .join(comp, id_col, "left")
         .select(
             F.col(id_col),

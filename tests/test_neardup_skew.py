@@ -1164,3 +1164,105 @@ class TestOpq:
         naive = abs(float(np.sum(np.log(vals[:4])))
                     - float(np.sum(np.log(vals[4:]))))
         assert abs(p1 - p2) < naive / 2
+
+
+class TestIncrementalSemanticDedup:
+    @staticmethod
+    def _planted(spark):
+        rng = np.random.default_rng(13)
+        n, dim, kc = 900, 16, 8
+        centers = 3.0 * rng.normal(0, 1, (kc, dim))
+        labels = rng.integers(0, kc, n)
+        base = centers[labels] + 0.2 * rng.normal(0, 1, (n, dim))
+        dups = base[:150] + 1e-3 * rng.normal(0, 1, (150, dim))
+        pts = np.vstack([base, dups])
+
+        def mk(lo, hi):
+            return spark.createDataFrame(
+                [(int(i), [float(x) for x in pts[i]])
+                 for i in range(lo, hi)],
+                "vec_id long, embedding array<double>",
+            )
+
+        return mk
+
+    def test_matches_frozen_index_full_recompute(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            IvfIndex,
+            incremental_semantic_dedup,
+            semantic_dedup,
+        )
+
+        mk = self._planted(spark)
+        prev, new = mk(0, 700), mk(700, 1050)
+        th = 0.9999
+        idx0 = IvfIndex.build(prev, n_clusters=8, seed=13, method="local")
+        prev_res = semantic_dedup(prev, threshold=th, index=idx0)
+        keep_ids = [r.vec_id for r in prev_res.filter("is_kept").collect()]
+        keepers_assigned = idx0.assigned.filter(
+            F.col("vec_id").isin(keep_ids)
+        ).cache()
+        kidx = IvfIndex(keepers_assigned, idx0.centers)
+        inc = sorted(map(tuple, incremental_semantic_dedup(
+            new, kidx, threshold=th
+        ).collect()))
+        union = prev.filter(F.col("vec_id").isin(keep_ids)) \
+            .unionByName(new)
+        uidx = IvfIndex(kidx.assign(union).cache(), idx0.centers)
+        full = sorted(
+            tuple(r)
+            for r in semantic_dedup(union, threshold=th,
+                                    index=uidx).collect()
+            if r.vec_id >= 700
+        )
+        assert inc == full
+        n_dup = sum(1 for r in inc if not r[2])
+        assert n_dup > 0  # the slice must exercise real duplicates
+        keepers_assigned.unpersist()
+
+    def test_transitive_dup_through_new_doc_reps_to_keeper(self, spark):
+        """A -> keeper edge plus B -> A edge must pull B into the
+        keeper's component even when B never matches the keeper
+        directly."""
+        from spark_bestfit_spark.operators.similarity import (
+            IvfIndex,
+            incremental_semantic_dedup,
+        )
+
+        base = np.array([1.0] + [0.0] * 7)
+        tilt1 = base + np.array([0.0, 0.02] + [0.0] * 6)
+        tilt2 = base + np.array([0.0, 0.04] + [0.0] * 6)
+        far = np.array([0.0] * 7 + [5.0])
+        state = spark.createDataFrame(
+            [(0, [float(x) for x in base]),
+             (1, [float(x) for x in far])],
+            "vec_id long, embedding array<double>",
+        )
+        idx = IvfIndex.build(state, n_clusters=2, seed=1, method="local",
+                             sample_size=10)
+        new = spark.createDataFrame(
+            [(10, [float(x) for x in tilt1]),
+             (11, [float(x) for x in tilt2])],
+            "vec_id long, embedding array<double>",
+        )
+        # cos(base, tilt1) ~ 0.9998, cos(tilt1, tilt2) ~ 0.9998,
+        # cos(base, tilt2) ~ 0.9992 < threshold
+        out = {r.vec_id: r for r in incremental_semantic_dedup(
+            new, idx, threshold=0.9995
+        ).collect()}
+        assert out[10].rep_id == 0 and not out[10].is_kept
+        assert out[11].rep_id == 0 and not out[11].is_kept
+
+    def test_guard_and_validation(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            IvfIndex,
+            incremental_semantic_dedup,
+        )
+
+        mk = self._planted(spark)
+        prev, new = mk(0, 100), mk(100, 200)
+        idx = IvfIndex.build(prev, n_clusters=2, seed=13, method="local")
+        with pytest.raises(ValueError, match="max_cluster_size"):
+            incremental_semantic_dedup(new, idx, max_cluster_size=10)
+        with pytest.raises(ValueError, match="threshold"):
+            incremental_semantic_dedup(new, idx, threshold=0.0)
