@@ -6124,14 +6124,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the range-join sibling of the as-of join, ungraded event-analytics
     extras) sit at the tail in case the driver truncates to 50."""
     return {
-        # ---- head 50: round-10 rotation, computed by tools/ledger.py.
-        # The 18 residual never-driver-hashed round-8 queries lead (the
-        # ledger closes when CORRECTNESS_r10 hashes them); the
-        # remaining 32 head slots carry queries REGISTERED THIS ROUND
-        # (operator + oracle in the same round, per the r9 verdict's
-        # task 8 -- no new debt class). The strict local harness
-        # (tools/check_oracle.py) still executes and compares ALL
-        # entries every round. ----
+        # ---- head 50: round-11 rotation, computed by tools/ledger.py
+        # (never-hashed = 0 after r10 — the invariant holds; this head
+        # = 6 same-round registrations + 7 queries whose operator code
+        # changed this round (re-hash the changed surface) + the 37
+        # stalest driver hashes, all last hashed r3-r5). The strict
+        # local harness still executes ALL entries every round. ----
+        # round-11 registrations (operator + oracle same round):
+        "ivfpq_recall": _q_ivfpq_recall,
+        "incremental_exact": _q_incremental_exact,
+        "incremental_neardup": _q_incremental_neardup,
+        "bpe_merges": _q_bpe_merges,
+        "opq_recall": _q_opq_recall,
+        "incremental_semdedup": _q_incremental_semdedup,
+        # operators rewritten this round (single-scan ADC, hashed-gram
+        # clip rebuild, cost-based K-S, empty-doc char entropy, banding
+        # refactor, anchor-column API):
+        "char_entropy_docs": _q_char_entropy,
+        "clip_spans": _q_clip_spans,
+        "pq_ann_recall": _q_pq_ann_recall,
+        "two_sample_ks": _q_two_sample_ks,
+        "minhash_pairs": _q_minhash_pairs,
+        "hard_negatives": _q_hard_negatives,
+        "quantized_ann_recall": _q_quantized_ann_recall,
+        # re-hash spill: stalest driver hashes (r3-r5):
+        "doc_lang_counts": _q_doc_lang_counts,
+        "doc_minhash": _q_doc_minhash,
+        "doc_quality": _q_doc_quality,
+        "doc_token_totals": _q_doc_token_totals,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "events_hourly": _q_events_hourly,
+        "events_props_json": _q_events_props_json,
+        "events_range_join": _q_events_range_join,
+        "events_sessionized": _q_events_sessionized,
+        "failed_fit_filter": _q_failed_fit_filter,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "moments_price": _q_moments,
+        "column_stats": _q_column_stats,
+        "distinct_flags": _q_distinct,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_text_stats": _q_doc_text_stats,
+        "multi_minmax": _q_multi_minmax,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "quantiles_price": _q_quantiles,
+        "summary_metrics": _q_summary,
+        "topk_customers": _q_topk,
+        "union_counts": _q_union,
+        "decontaminate": _q_decontaminate,
+        "discrete_pmf_psize": _q_discrete_pmf,
+        "doc_pii_flags": _q_doc_pii_flags,
+        "doc_repetition": _q_doc_repetition,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "domain_mixture": _q_domain_mixture,
+        "gmm_fit": _q_gmm_fit,
+        "mvn_fit": _q_mvn_fit,
+        "psi_drift": _q_psi_drift,
+        "score_logpdf": _q_score_logpdf,
+        "stratum_counts": _q_stratum_counts,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_hourly": _q_streaming_hourly,
+        "streaming_late_data": _q_streaming_late_data,
+        # ---- tail: hashed r8-r10, re-verified by the local harness ----
         "holt_backtest": _q_holt_backtest,
         "cliffs_delta": _q_cliffs_delta,
         "proportions_ztest": _q_proportions_ztest,
@@ -6150,29 +6204,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "hedges_g": _q_hedges_g,
         "weighted_quantiles": _q_weighted_quantiles,
-        # ---- round-10 registrations (operator + oracle same round) --
         "ivf_hier_recall": _q_ivf_hier_recall,
         "skew_count_distinct": _q_skew_count_distinct,
         "embedding_quant_report": _q_embedding_quant_report,
-        "hard_negatives": _q_hard_negatives,
         "stratified_split_counts": _q_stratified_split_counts,
         "dataset_card": _q_dataset_card,
         "salted_join_agg": _q_salted_join_agg,
         "gopher_flags": _q_gopher_flags,
-        "clip_spans": _q_clip_spans,
         "poisson_bootstrap": _q_poisson_bootstrap,
         "tokenizer_fertility": _q_tokenizer_fertility,
-        "quantized_ann_recall": _q_quantized_ann_recall,
-        "pq_ann_recall": _q_pq_ann_recall,
-        "char_entropy_docs": _q_char_entropy,
-        # ---- round-11 registrations (operator + oracle same round) --
-        "ivfpq_recall": _q_ivfpq_recall,
-        "incremental_exact": _q_incremental_exact,
-        "incremental_neardup": _q_incremental_neardup,
-        "bpe_merges": _q_bpe_merges,
-        "opq_recall": _q_opq_recall,
-        "incremental_semdedup": _q_incremental_semdedup,
-        # ---- driver-hashed in r09 (former head-50) ----
         "ngram_novelty": _q_ngram_novelty,
         "energy_distance": _q_energy_distance,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -6223,7 +6263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem": _q_validate_lineitem,
         "referential_integrity": _q_referential_integrity,
         "calendar_gaps": _q_calendar_gaps,
-        # ---- driver-hashed in r08 (former head-50) ----
         "hash_features": _q_hash_features,
         "label_centroids": _q_label_centroids,
         "skew_report": _q_skew_report,
@@ -6274,7 +6313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_mi": _q_binned_mi,
         "js_divergence": _q_js_divergence,
         "woe_iv": _q_woe_iv,
-        # ---- previously driver-hashed (r1-r7), prior order ----
         "cramer_von_mises": _q_cramer_von_mises,
         "hellinger": _q_hellinger,
         "gains_curve": _q_gains_curve,
@@ -6328,47 +6366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_clustered": _q_ivf_recall_clustered,
         "doc_chunks": _q_doc_chunks,
         "media_features": _q_media_features,
-        "streaming_hourly": _q_streaming_hourly,
-        "streaming_dedup": _q_streaming_dedup,
-        "mvn_fit": _q_mvn_fit,
-        "gmm_fit": _q_gmm_fit,
         "streaming_moments": _q_streaming_moments,
-        "streaming_late_data": _q_streaming_late_data,
-        "doc_unigram_logprob": _q_doc_unigram_logprob,
-        "decontaminate": _q_decontaminate,
-        "score_logpdf": _q_score_logpdf,
-        "two_sample_ks": _q_two_sample_ks,
-        "discrete_pmf_psize": _q_discrete_pmf,
         "topk_per_group": _q_topk_per_group,
         "threshold_filter": _q_threshold_filter,
-        "stratum_counts": _q_stratum_counts,
-        "domain_mixture": _q_domain_mixture,
-        "psi_drift": _q_psi_drift,
-        "doc_repetition": _q_doc_repetition,
-        "doc_pii_flags": _q_doc_pii_flags,
-        "summary_metrics": _q_summary,
-        "column_stats": _q_column_stats,
-        "multi_minmax": _q_multi_minmax,
-        "quantiles_price": _q_quantiles,
-        "topk_customers": _q_topk,
-        "distinct_flags": _q_distinct,
-        "union_counts": _q_union,
-        "doc_text_stats": _q_doc_text_stats,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "neardup_jaccard": _q_neardup_jaccard,
-        "moments_price": _q_moments,
-        "doc_minhash": _q_doc_minhash,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "failed_fit_filter": _q_failed_fit_filter,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "events_range_join": _q_events_range_join,
-        "doc_token_totals": _q_doc_token_totals,
-        "doc_lang_counts": _q_doc_lang_counts,
-        "doc_quality": _q_doc_quality,
-        "embedding_neardup": _q_embedding_neardup,
-        "events_hourly": _q_events_hourly,
-        "events_sessionized": _q_events_sessionized,
-        "events_props_json": _q_events_props_json,
         "fit_grouped": _q_fit_grouped,
         "fit_discrete_grouped": _q_fit_discrete_grouped,
         "robust_stats": _q_robust_stats,
@@ -6407,7 +6407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "quota_sample": _q_quota_sample,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "curate_corpus": _q_curate_corpus,
