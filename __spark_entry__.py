@@ -4215,7 +4215,10 @@ def _q_char_entropy(spark, sf_dir):
     """Per-document character-entropy filter signal (the CCNet-family
     gibberish gauge) for the first 200 documents — exact per-doc
     values vs a DuckDB replica with the same codepoint split and log
-    base."""
+    base. Round 11: empty/null-text docs are now KEPT in the relation
+    with n_chars=0 / entropy 0.0 (r10 ADVICE item — tail-threshold
+    pipelines must see them); both sides left-join back to the doc
+    ids."""
     import pyspark.sql.functions as F
 
     from spark_bestfit_spark.operators.textstats import char_entropy
