@@ -155,9 +155,10 @@ def two_sample_ks_df(
     back; one HASH-partitioned window (partitionBy bucket, orderBy v)
     computes local cumsums; offset + local cumsum = the global ECDFs,
     and D = max |Fa - Fb| over distinct values — exactly where the
-    sup of two step functions is attained. The result is computed
-    eagerly and returned as a one-row local relation, so any cache is
-    released before return.
+    sup of two step functions is attained. The rescan path returns
+    the usual lazy one-row plan; the one-scan path computes eagerly
+    and returns a one-row local relation so its cache is released
+    before return.
 
     exact=False: grid approximation. Both ECDFs are evaluated on a
     shared approx-quantile grid via width_bucket + groupBy (one pass per
@@ -241,9 +242,19 @@ def two_sample_ks_df(
                     / F.lit(float(nb))
                 ).alias("gap")
             )
-            d_row = cum.agg(F.round(F.max("gap"), 6).alias("d")).first()
+            result = cum.agg(
+                F.round(F.max("gap"), 6).alias("d_stat"),
+                F.lit(na).cast("long").alias("n_a"),
+                F.lit(nb).cast("long").alias("n_b"),
+            )
+            if not one_scan:
+                # rescan path: nothing is cached, return the lazy
+                # one-row plan (plan tests inspect its window shape)
+                return result
+            # one-scan path: materialize before releasing the cache
+            d_row = result.first()
             return spark.createDataFrame(
-                [(float(d_row["d"]), na, nb)],
+                [(float(d_row["d_stat"]), na, nb)],
                 "d_stat double, n_a long, n_b long",
             )
         finally:
