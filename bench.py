@@ -1146,7 +1146,8 @@ def main() -> None:
         bench(
             "q_salted_join_sf1",
             lambda: salted_join(hot, dim, ["jk"], salt=16).count(),
-            rounds=1,
+            rounds=2,  # see q_minhash_sf1 note: min-of-1 drifted
+            # 2.35 -> 5.31 s across rounds with zero code change
         )
 
     total = round(sum(timings.values()), 3)
