@@ -1097,13 +1097,19 @@ def incremental_minhash_pairs(
     buckets a full re-band would have co-located, because band keys
     are deterministic functions of the text.
 
-    Shuffle profile: the new batch is signed and banded map-side
-    (batch-sized); the band join against the snapshot is one hash
-    exchange keyed on (band, band_sig); verification shuffles only
-    candidate ids against the two text relations. ``max_bucket_size``
+    Shuffle profile: the new batch is signed and banded map-side and
+    BROADCAST against the snapshot's band rows (a delivery batch is
+    bounded by nature — the state side, the relation that grows with
+    the corpus, is scanned map-only and never shuffled for the join);
+    verification first semi-joins the text relations down to
+    candidate-involved ids (broadcast — candidate near-dup sets are
+    small), so shingle sets are computed and shuffled for candidates
+    only, never for the whole state corpus. ``max_bucket_size``
     bounds viral buckets the same way as the batch operator — the
     state side of a bucket is capped with a deterministic
-    lowest-ids-first rule, so the cap is reproducible across runs.
+    lowest-ids-first rule, so the cap is reproducible across runs
+    (the cap window is the one operation that does re-shuffle the
+    state index; leave it None unless viral buckets are real).
 
     Roll the snapshot forward by appending
     ``minhash_band_index(new_docs)`` (already computed here — reuse
@@ -1127,7 +1133,7 @@ def incremental_minhash_pairs(
             .drop("_bn")
         )
     vs_state = (
-        new_bands.join(state_bands, on=["band", "band_sig"])
+        F.broadcast(new_bands).join(state_bands, on=["band", "band_sig"])
         .filter(F.col(id_col) != F.col("_sid"))
         .select(
             F.least(F.col(id_col), F.col("_sid")).alias("id_a"),
@@ -1142,9 +1148,19 @@ def incremental_minhash_pairs(
     texts = corpus_texts.select(
         F.col(id_col), F.col(text_col)
     ).unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
-    sh = texts.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    # shingle CANDIDATE texts only: without this semi-join the
+    # verification stage computes and shuffles shingle arrays for the
+    # entire state corpus (the linear term that swamps the snapshot
+    # win) instead of for the handful of candidate-involved docs
+    sh = texts.join(F.broadcast(cand_ids), on=id_col, how="left_semi") \
+        .select(
+            F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+        )
     return (
         cands.join(
             sh.withColumnRenamed(id_col, "id_a")

@@ -57,6 +57,8 @@ def main() -> int:
     from spark_bestfit_spark.operators.dedup import (
         clip_duplicate_spans,
         duplicate_spans,
+        incremental_minhash_pairs,
+        minhash_band_index,
         minhash_dedup_pairs,
         neardup_clusters,
     )
@@ -321,6 +323,20 @@ def main() -> int:
     li10, docs10, emb10, cust10, part10 = tables(sf10_dir)
     fitter = DistributionFitter(spark)
 
+    def inc_minhash(state_docs, state_index):
+        # production incremental shape: FIXED delta (the 5k base
+        # docs, re-identified out of the state's id range), persisted
+        # band index of the GROWING state — the line isolates the
+        # state-growth term of the delta cost (the full recompute's
+        # growth term is the whole minhash_sf* line)
+        delta = base_docs.select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        )
+        return incremental_minhash_pairs(
+            delta, state_index, state_docs.select("doc_id", "text"),
+            threshold=0.7,
+        ).count()
+
     def jw_sides(docs):
         """bench.py's q_jw_linkage blocked-mode inputs: 40-char key,
         first-2-words block."""
@@ -495,6 +511,15 @@ def main() -> int:
              emb10, pq_train(emb10, dim=64, m=8)).agg(
              FB.sum(F.element_at("pq_code", 1))).first()),
         # ---- round-11 additions (probe-before-bench rule) ----
+        # snapshot dedup: fixed 5k-doc delta against a PRE-BUILT band
+        # index of the growing state (index build cost excluded — it
+        # is the persisted artifact; the lambda pays banding the
+        # delta, the band join, and exact candidate verification)
+        ("incremental_minhash_fixed_delta",
+         (lambda idx1: lambda: inc_minhash(docs1, idx1))(
+             minhash_band_index(docs1).localCheckpoint()),
+         (lambda idx10: lambda: inc_minhash(docs10, idx10))(
+             minhash_band_index(docs10).localCheckpoint())),
         # single-scan batch ADC: 64 queries, one pass per decade; the
         # r10 shape would have run 64 corpus scans here
         ("pq_topk_batch64",
