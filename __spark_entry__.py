@@ -4370,6 +4370,56 @@ def _q_pq_ann_recall(spark, sf_dir):
     )
 
 
+def _q_rq_recall(spark, sf_dir):
+    """Residual quantization (Chen et al. 2010 / FAISS
+    ResidualQuantizer): 4 stage-wise full-dimension codebooks, batch
+    EXACT-ADC top-5 in one corpus scan (per-query dot LUTs +
+    query-independent cross-level Gram tables shipped in one
+    closure). Recall vs exact cosine top-5 pinned at sf0.01 — at 500
+    corpus vectors a 4x256 additive quantizer reconstructs nearly
+    exactly, so the pin is full recall; the pytest suite separately
+    pins the ADC identity (ADC distance == exact distance to the
+    additive reconstruction) and the stage-wise MSE win over a
+    single-level quantizer."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        rq_encode,
+        rq_topk,
+        rq_train,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    books = rq_train(emb, dim=64, n_levels=4, n_codes=256)
+    enc = rq_encode(emb, books).select("vec_id", "rq_code")
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    approx = rq_topk(enc, books, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+        )
+    )
+
+
 def _q_incremental_semdedup(spark, sf_dir):
     """Incremental SemDeDup on the pinned-seed planted corpus (the
     semantic_dedup oracle's recipe, split 700 state / 350 delta with
@@ -6129,9 +6179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- head 50: round-11 rotation, computed by tools/ledger.py
         # (never-hashed = 0 after r10 — the invariant holds; this head
-        # = 6 same-round registrations + 7 queries whose operator code
-        # changed this round (re-hash the changed surface) + the 37
-        # stalest driver hashes, all last hashed r3-r5). The strict
+        # = 7 same-round registrations + 7 queries whose operator code
+        # changed this round (re-hash the changed surface) + the 36
+        # stalest driver hashes, all last hashed r3-r5;
+        # streaming_late_data, 37th-stalest, waits for r12). The strict
         # local harness still executes ALL entries every round. ----
         # round-11 registrations (operator + oracle same round):
         "ivfpq_recall": _q_ivfpq_recall,
@@ -6140,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "opq_recall": _q_opq_recall,
         "incremental_semdedup": _q_incremental_semdedup,
+        "rq_recall": _q_rq_recall,
         # operators rewritten this round (single-scan ADC, hashed-gram
         # clip rebuild, cost-based K-S, empty-doc char entropy, banding
         # refactor, anchor-column API):
@@ -6187,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_counts": _q_stratum_counts,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_hourly": _q_streaming_hourly,
+        # ---- tail (streaming_late_data: 51st — first spill for r12)
         "streaming_late_data": _q_streaming_late_data,
         # ---- tail: hashed r8-r10, re-verified by the local harness ----
         "holt_backtest": _q_holt_backtest,
@@ -10678,6 +10731,14 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(
                               list_concat(a.sg, b.sg)))::DOUBLE,
                         6) >= 0.7
+        """,
+        "rq_recall": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
         """,
         "incremental_semdedup": """
             SELECT CAST(350 AS BIGINT) AS n_new,

@@ -1266,3 +1266,96 @@ class TestIncrementalSemanticDedup:
             incremental_semantic_dedup(new, idx, max_cluster_size=10)
         with pytest.raises(ValueError, match="threshold"):
             incremental_semantic_dedup(new, idx, threshold=0.0)
+
+
+class TestResidualQuantization:
+    def test_adc_identity(self, spark):
+        """The exact-ADC claim: rq_topk's distance equals the true
+        squared L2 to the additive reconstruction, cross terms and
+        all (to the 1e-6 rounding of the relation)."""
+        from spark_bestfit_spark.operators.similarity import (
+            rq_encode,
+            rq_topk,
+            rq_train,
+        )
+
+        rng = np.random.default_rng(2)
+        pts = rng.normal(0, 1, (300, 16))
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(300)],
+            "vec_id long, embedding array<double>",
+        )
+        books = rq_train(df, dim=16, n_levels=2, n_codes=16)
+        enc = rq_encode(df, books).orderBy("vec_id").collect()
+        codes = np.asarray([r.rq_code for r in enc])
+        xhat = books[0][codes[:, 0]] + books[1][codes[:, 1]]
+        q = pts[0]
+        true_d = np.sum((q[None, :] - xhat) ** 2, axis=1)
+        enc_df = spark.createDataFrame(
+            [(int(i), [int(c) for c in codes[i]]) for i in range(300)],
+            "vec_id long, rq_code array<int>",
+        )
+        got = {
+            r.neighbor_id: r.adc_dist
+            for r in rq_topk(
+                enc_df, books, [(0, list(q))], k=300,
+                exclude_self=False,
+            ).collect()
+        }
+        for i in range(300):
+            assert abs(got[i] - true_d[i]) < 1e-5
+
+    def test_stagewise_mse_beats_single_level(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            rq_encode,
+            rq_train,
+        )
+
+        rng = np.random.default_rng(2)
+        pts = rng.normal(0, 1, (400, 16))
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(400)],
+            "vec_id long, embedding array<double>",
+        )
+
+        def mse(n_levels):
+            books = rq_train(df, dim=16, n_levels=n_levels, n_codes=16)
+            enc = rq_encode(df, books).orderBy("vec_id").collect()
+            codes = np.asarray([r.rq_code for r in enc])
+            xhat = np.zeros_like(pts)
+            for lv in range(n_levels):
+                xhat += books[lv][codes[:, lv]]
+            return float(np.mean((pts - xhat) ** 2))
+
+        m1, m2 = mse(1), mse(2)
+        assert m2 < m1 * 0.85  # the second level must earn its bytes
+
+    def test_batch_single_scan_and_validation(self, spark):
+        from spark_bestfit_spark.operators.similarity import (
+            rq_encode,
+            rq_topk,
+            rq_train,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        books = rq_train(emb, dim=64, n_levels=2, n_codes=16)
+        enc = rq_encode(emb, books).select("vec_id", "rq_code")
+        q2 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 2).collect()
+        ]
+        q6 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 6).collect()
+        ]
+        p2 = rq_topk(enc, books, q2, k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        p6 = rq_topk(enc, books, q6, k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert p2.count("ArrowEvalPython") == p6.count("ArrowEvalPython")
+        with pytest.raises(ValueError, match="non-empty"):
+            rq_topk(enc, books, [])
+        with pytest.raises(ValueError, match="n_levels"):
+            rq_train(emb, dim=64, n_levels=0)
