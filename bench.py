@@ -338,8 +338,9 @@ def main() -> None:
         rounds=5,
     )
     # round-11: the two PQ query tiers, probe-lined first
-    # (tools/scale_probe.py pq_topk_batch64 / ivfpq_batch64). Both run
-    # a 64-query batch in ONE corpus scan (single-scan ADC).
+    # (tools/scale_probe.py pq_topk_batch64 / ivfpq_batch64). The
+    # bench runs a 16-query batch (vec_id < 16) in ONE corpus scan
+    # (single-scan ADC); the probe runs the 64-query variant.
     from spark_bestfit_spark.operators.similarity import (
         IvfPqIndex,
         pq_encode,

@@ -338,6 +338,18 @@ def minhash_lsh_candidates(
     documents belong to the exact-dedup tier anyway.
     """
     banded = banded_signatures(signatures, id_col, num_bands)
+    return _lsh_pairs_from_bands(banded, id_col, max_bucket_size)
+
+
+def _lsh_pairs_from_bands(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Bucket + i<j pair explosion over an existing (id, band,
+    band_sig) relation — shared by :func:`minhash_lsh_candidates`
+    (which bands first) and :func:`incremental_minhash_pairs` (which
+    already banded the delta once and must not re-shingle it)."""
     buckets = _lsh_buckets(banded, id_col, max_bucket_size)
     n = F.size("_ids")
     pair_structs = F.flatten(
@@ -867,10 +879,18 @@ def clip_duplicate_spans(
 
     Shuffle profile at 100 TB — linear passes only, no all-pairs, and
     NO gram string ever crosses an exchange: each positional gram is
-    reduced AT EXPLODE TIME to a 128-bit key (two independent
-    ``xxhash64`` values — collision odds ~2^-128, far below any
-    hardware error rate; the standard production trade for span dedup
-    at corpus scale), so every downstream pass shuffles 16-byte keys
+    reduced AT EXPLODE TIME to a 128-bit key — two INDEPENDENT
+    ``xxhash64`` values, the second with the salt placed FIRST
+    (``xxhash64(lit(1), s)``): Spark chains multi-column hashes, so
+    ``xxhash64(s, lit(1))`` would equal ``XXH64(1, seed=xxhash64(s))``,
+    a pure function of the first hash, collapsing the pair back to 64
+    effective bits. Salt-first makes g2 = ``XXH64(s, seed=XXH64(1,42))``
+    — a genuinely different seed over the same bytes, so joint
+    collisions need both 64-bit hashes to collide (~2^-128 per pair;
+    at trillions of grams, expected birthday collisions ~0 vs the
+    certain ones a 64-bit key would give). The standard production
+    trade for span dedup at corpus scale: every downstream pass
+    shuffles 16-byte keys
     instead of ~n-word strings (measured: the sf10 duplicated-gram
     stage dropped ~4x when the string left the shuffle). Passes:
     (1) distinct (doc, key) projection -> key-keyed count
@@ -911,7 +931,9 @@ def clip_duplicate_spans(
         lambda t: F.struct(
             t["pos"].alias("pos"),
             F.xxhash64(t["s"]).alias("g1"),
-            F.xxhash64(t["s"], F.lit(1)).alias("g2"),
+            # salt FIRST: xxhash64(lit(1), s) = XXH64(s, seed=XXH64(1,42)),
+            # independent of g1; salt-last would chain off g1's value.
+            F.xxhash64(F.lit(1), t["s"]).alias("g2"),
         ),
     )
     grams = (
@@ -1058,11 +1080,15 @@ def incremental_exact_dedup(
               F.col("_batch_keeper"))
         .otherwise(F.col(id_col))
     )
+    # keeper keeps the id column's NATIVE type (matching exact_dedup /
+    # duplicate_groups); a forced long cast would silently null string
+    # ids. _state_keeper may arrive as a different-but-castable type
+    # from a reloaded snapshot — coalesce unifies on the id's type.
     return joined.select(
         id_col,
         "fingerprint",
         status.alias("status"),
-        keeper.cast("long").alias("keeper_id"),
+        keeper.alias("keeper_id"),
     )
 
 
@@ -1118,7 +1144,13 @@ def incremental_minhash_pairs(
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_k
     )
-    new_bands = banded_signatures(new_sigs, id_col, num_bands)
+    # Materialize the banded delta once: both the state join and the
+    # in-batch candidate explosion branch off this relation, and
+    # without the checkpoint each branch re-shingles and re-MinHashes
+    # the delta at action time. The delta is bounded (it is broadcast
+    # below), so the local materialization is cheap by construction.
+    new_bands = banded_signatures(new_sigs, id_col, num_bands) \
+        .localCheckpoint(eager=False)
     # new-vs-state: band join against the snapshot. Cap the state
     # side per bucket deterministically (lowest ids first) when a
     # viral-bucket bound is requested.
@@ -1140,9 +1172,11 @@ def incremental_minhash_pairs(
             F.greatest(F.col(id_col), F.col("_sid")).alias("id_b"),
         )
     )
-    # new-vs-new: the batch operator's bucket pair explosion
-    vs_new = minhash_lsh_candidates(
-        new_sigs, id_col, num_bands, max_bucket_size=max_bucket_size
+    # new-vs-new: the batch operator's bucket pair explosion, REUSING
+    # the bands already built above — the delta is shingled and
+    # MinHashed exactly once per action instead of once per lineage
+    vs_new = _lsh_pairs_from_bands(
+        new_bands, id_col, max_bucket_size=max_bucket_size
     )
     cands = vs_state.unionByName(vs_new).distinct()
     texts = corpus_texts.select(

@@ -23,6 +23,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+# Bound on the stacked ADC lookup tables a single query batch ships in
+# its task closure (IvfPqIndex.query: Q x nprobe x m x n_codes float64).
+# 256 MiB is far past any sane probe batch but far below the 1-2 GiB
+# task-serialization cliffs; callers who hit it split the batch.
+MAX_QUERY_LUT_BYTES = 256 * 2**20
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -2262,6 +2268,13 @@ def pq_topk(
     qids = sorted(int(qid) for qid, _ in queries)
     by_id = {int(qid): np.asarray(qv, dtype=np.float64)
              for qid, qv in queries}
+    if len(by_id) != len(qids):
+        raise ValueError(
+            "pq_topk: duplicate query ids in `queries` — each id's "
+            "LUT row would be duplicated and the per-query row_number "
+            "ranks would interleave, corrupting top-k; dedupe the "
+            "batch before calling"
+        )
     # (Q, m, n_codes): stacked per-query subspace distance tables
     lut = np.stack([
         np.stack([
@@ -2456,9 +2469,32 @@ class IvfPqIndex:
                 "IvfPqIndex.query requires a non-empty queries list "
                 "of (query_id, vector) tuples"
             )
+        if len({int(qid) for qid, _ in queries}) != len(queries):
+            raise ValueError(
+                "IvfPqIndex.query: duplicate query ids in `queries` — "
+                "duplicated LUT rows would interleave the per-query "
+                "row_number ranks and corrupt top-k; dedupe the batch "
+                "before calling"
+            )
         books = self.codebooks
         sub = books[0].shape[1]
         mlen = len(books)
+        n_codes = books[0].shape[0]
+        # Closure-size guard: each (query, probed cell) ships an
+        # (m, n_codes) float64 LUT. Bound the total at ~256 MiB (the
+        # max_bucket_size/max_posting convention: loud error, named
+        # knobs) — past that, split the query batch or lower nprobe.
+        lut_bytes = len(queries) * int(nprobe) * mlen * n_codes * 8
+        if lut_bytes > MAX_QUERY_LUT_BYTES:
+            raise ValueError(
+                f"IvfPqIndex.query: the batch LUT closure would be "
+                f"{lut_bytes / 2**20:.0f} MiB "
+                f"(Q={len(queries)} x nprobe={int(nprobe)} x m={mlen} "
+                f"x n_codes={n_codes} x 8B) — over the "
+                f"{MAX_QUERY_LUT_BYTES // 2**20} MiB bound shipped to "
+                f"every task. Split the query batch into smaller "
+                f"chunks or lower nprobe."
+            )
         c_arr = np.asarray(self.centers, dtype=np.float64)
         luts: dict = {}
         probe_rows = []
@@ -2839,6 +2875,13 @@ def rq_topk(
     qids = sorted(int(qid) for qid, _ in queries)
     by_id = {int(qid): np.asarray(qv, dtype=np.float64)
              for qid, qv in queries}
+    if len(by_id) != len(qids):
+        raise ValueError(
+            "rq_topk: duplicate query ids in `queries` — each id's "
+            "LUT row would be duplicated and the per-query row_number "
+            "ranks would interleave, corrupting top-k; dedupe the "
+            "batch before calling"
+        )
     qsq = {q: float(by_id[q] @ by_id[q]) for q in qids}
     # (Q, L, n_codes) stacked q . C_l tables
     lut = np.stack([

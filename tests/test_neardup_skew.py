@@ -915,6 +915,22 @@ class TestProductQuantization:
         with pytest.raises(ValueError, match="non-empty"):
             pq_topk(enc, books, [])
 
+    def test_topk_duplicate_query_ids_raise(self, emb):
+        from spark_bestfit_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        books = pq_train(emb, dim=64, m=8, n_codes=16)
+        enc = pq_encode(emb, books).select("vec_id", "pq_code")
+        q0 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 1).collect()
+        ]
+        with pytest.raises(ValueError, match="duplicate query ids"):
+            pq_topk(enc, books, q0 + q0)
+
     def test_topk_single_scan_for_query_batch(self, emb):
         """Scan count must be independent of Q: a 6-query batch runs
         ONE Arrow-batched ADC pass over the encoded corpus (the old
@@ -1067,6 +1083,30 @@ class TestIvfPqIndex:
         idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16)
         with pytest.raises(ValueError, match="non-empty"):
             idx.query([])
+        q0 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 1).collect()
+        ]
+        with pytest.raises(ValueError, match="duplicate query ids"):
+            idx.query(q0 + q0)
+        idx.unpersist()
+
+    def test_query_lut_closure_guard(self, emb, monkeypatch):
+        """A batch whose stacked LUTs exceed the documented closure
+        bound fails loudly with the knobs named — never silently ships
+        gigabytes to every task."""
+        import spark_bestfit_spark.operators.similarity as sim
+
+        idx = sim.IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16)
+        q3 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        ]
+        monkeypatch.setattr(sim, "MAX_QUERY_LUT_BYTES", 1024)
+        with pytest.raises(ValueError, match="Split the query batch"):
+            idx.query(q3, k=3, nprobe=2)
+        monkeypatch.undo()
+        assert idx.query(q3, k=3, nprobe=2).count() > 0
         idx.unpersist()
 
 
@@ -1357,5 +1397,7 @@ class TestResidualQuantization:
         assert p2.count("ArrowEvalPython") == p6.count("ArrowEvalPython")
         with pytest.raises(ValueError, match="non-empty"):
             rq_topk(enc, books, [])
+        with pytest.raises(ValueError, match="duplicate query ids"):
+            rq_topk(enc, books, q2 + q2)
         with pytest.raises(ValueError, match="n_levels"):
             rq_train(emb, dim=64, n_levels=0)
