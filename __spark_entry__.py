@@ -4653,6 +4653,210 @@ def _q_ivfpq_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_opq_recall(spark, sf_dir):
+    """IVF+OPQ+PQ fully composed (FAISS's production
+    ``OPQ..,IVF..,PQ..`` default): the OPQ rotation is fitted on the
+    CELL RESIDUALS inside IvfPqIndex.build, codebooks quantize rotated
+    residuals, queries rotate driver-side before LUT construction —
+    the single-scan batch contract is unchanged (plan-asserted in
+    pytest, which also pins the composed reconstruction MSE beating
+    plain IVFADC on correlated embeddings). Same config as
+    ivfpq_recall so the two pinned tables are directly comparable;
+    deterministic (seeded centers, seeded rotated codebooks)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        IvfPqIndex,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    idx = IvfPqIndex.build(emb, n_clusters=16, m=8, n_codes=64,
+                           opq=True)
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    approx = idx.query(queries, k=5, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.intersect(exact).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+        )
+    )
+
+
+def _q_opq_persisted_recall(spark, sf_dir):
+    """Persisted-quantizer workflow: opq_train -> save_opq ->
+    load_opq -> encode + batch-ADC query with the RELOADED rotation
+    and codebooks. The json artifact stores shortest-round-trip float
+    repr, so the reload is bit-exact — pinned IN-QUERY by comparing
+    the reloaded run against the in-memory run with exceptAll in both
+    directions (bit_exact column), alongside the recall-vs-exact
+    counts of the reloaded run."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        load_opq,
+        opq_encode,
+        opq_topk,
+        opq_train,
+        save_opq,
+        self_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    rot, books = opq_train(emb, dim=64, m=8, n_codes=64)
+    path = tempfile.mkdtemp(prefix="sbf_quant_opq_") + "/artifact"
+    save_opq(spark, path, rot, books)
+    rot2, books2 = load_opq(spark, path)
+    ref = opq_topk(
+        opq_encode(emb, rot, books).select("vec_id", "pq_code"),
+        rot, books, queries, k=5,
+    )
+    got = opq_topk(
+        opq_encode(emb, rot2, books2).select("vec_id", "pq_code"),
+        rot2, books2, queries, k=5,
+    )
+    bit_exact = (
+        got.exceptAll(ref).count() == 0
+        and ref.exceptAll(got).count() == 0
+    )
+    exact = self_topk(emb, k=5, query_ids=qids).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        got.select("query_id", "neighbor_id").intersect(exact)
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+            F.lit(bool(bit_exact)).alias("bit_exact"),
+        )
+    )
+
+
+def _q_ks_approx(spark, sf_dir):
+    """The approximate two-sample K-S tier — THE 100 TB
+    recommendation (the exact tier is provably scan-bound; this one
+    is two bounded scans at any corpus size): deterministic equi-width
+    grid ECDFs, D lower bound + certified error bound from the same
+    bucket counts. Fully value-replicable in DuckDB (floor-arithmetic
+    bucketing — identical IEEE double expression both engines), and
+    the sandwich d_stat <= D_exact <= d_stat + err_bound is pinned
+    IN-QUERY against the exact tier (both sides compute both
+    tiers)."""
+    from spark_bestfit_spark.operators.stats import (
+        two_sample_ks_approx_df,
+        two_sample_ks_df,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.filter("l_linestatus = 'F'")
+    b = li.filter("l_linestatus = 'O'")
+    ap = two_sample_ks_approx_df(
+        a, b, "l_extendedprice", grid_size=512
+    ).first()
+    ex = two_sample_ks_df(a, b, "l_extendedprice").first()
+    return spark.createDataFrame(
+        [(
+            float(ap["d_stat"]),
+            float(ap["err_bound"]),
+            int(ap["n_a"]),
+            int(ap["n_b"]),
+            bool(ap["d_stat"] <= ex["d_stat"] + 1e-9),
+            bool(ex["d_stat"] - ap["d_stat"] <= ap["err_bound"] + 1e-9),
+        )],
+        "d_stat double, err_bound double, n_a long, n_b long, "
+        "lower_ok boolean, within_bound boolean",
+    )
+
+
+def _q_compact_exact(spark, sf_dir):
+    """Exact-dedup snapshot COMPACTION (snapshot hygiene): a state
+    polluted by a sloppy delivery — batch 200-299 appended wholesale
+    as its own keepers instead of only kept rows — is compacted back
+    to one row per fingerprint with the min keeper (the
+    first-copy-anywhere rule). Full value-level DuckDB replica; the
+    pytest suite additionally pins the equivalence contract
+    (incremental results on compacted state == on the well-formed
+    state, and the compacted relation is duplicate-free)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import (
+        _normalized,
+        compact_exact_state,
+        duplicate_groups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prev = docs.filter(F.col("doc_id") < 200)
+    sloppy = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).select(
+        F.md5(_normalized("text")).alias("fingerprint"),
+        F.col("doc_id").alias("keeper_id"),
+    )
+    raw = duplicate_groups(prev).select(
+        "fingerprint", "keeper_id"
+    ).unionByName(sloppy)
+    return compact_exact_state(raw)
+
+
+def _q_compact_band_index(spark, sf_dir):
+    """LSH band-index COMPACTION: the (id, band, band_sig) snapshot of
+    docs 0-99, polluted by a replayed delivery (every row appended
+    twice), compacted with a deterministic lowest-ids-first re-cap at
+    max_bucket_size=2. Full value-level DuckDB replica of the whole
+    minhash -> banding -> distinct -> cap pipeline; pytest pins the
+    query-equivalence contract (compacted index queried uncapped ==
+    raw index queried with the cap)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import (
+        compact_band_index,
+        minhash_band_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    index = minhash_band_index(docs)
+    raw = index.unionByName(index)  # replayed delivery
+    return compact_band_index(raw, max_bucket_size=2)
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -6169,14 +6373,75 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
+# The r12 head-50 rotation (see queries() docstring): 5 same-round
+# registrations + 7 changed-operator re-hashes + the 4-query r5 stale
+# band (streaming_late_data was promised as r12's first spill) + 34
+# from the r6 band (ANN/dedup family first, then alphabetical).
+_HEAD_50 = [
+    "ivf_opq_recall",
+    "opq_persisted_recall",
+    "ks_approx",
+    "compact_exact",
+    "compact_band_index",
+    "clip_spans",
+    "incremental_exact",
+    "incremental_neardup",
+    "minhash_pairs",
+    "ivfpq_recall",
+    "pq_ann_recall",
+    "rq_recall",
+    "streaming_late_data",
+    "streaming_moments",
+    "threshold_filter",
+    "topk_per_group",
+    "semantic_dedup",
+    "neardup_clusters",
+    "tfidf_neardup",
+    "simhash_pairs",
+    "decontaminate_bloom",
+    "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_recall_clustered",
+    "best_per_column",
+    "bm25_search",
+    "bootstrap_gamma_ci",
+    "chi2_by_group",
+    "chi2_drift",
+    "copula_sample",
+    "corpus_splits",
+    "curate_corpus",
+    "doc_chunks",
+    "doc_dup_ngrams",
+    "doc_top_terms",
+    "events_asof",
+    "events_cohorts",
+    "events_funnel",
+    "fit_bounded",
+    "fit_censored",
+    "fit_discrete",
+    "fit_discrete_grouped",
+    "fit_grouped",
+    "fit_lazy",
+    "fit_mse",
+    "fit_multi",
+    "fit_price",
+    "fit_reincluded",
+    "generate_univariate",
+    "grouped_robust_stats",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the 50 highest-signal queries come first: every
-    SURVEY §2 operator family and every LLM-pipeline component keeps at
-    least one entry in the head of the dict; overlapping variants
-    (extra text-stat views, exact twins of LSH/IVF-checked operators,
-    the range-join sibling of the as-of join, ungraded event-analytics
-    extras) sit at the tail in case the driver truncates to 50."""
-    return {
+    """Ordered so the 50 highest-signal queries come first — the
+    driver hashes the head-50 each round, so the head is the ROTATION:
+    same-round registrations first (operator + oracle must land
+    together), then queries whose operator code changed this round
+    (re-hash the changed surface), then the stalest driver hashes
+    (tools/ledger.py computes the bands). _HEAD_50 below IS the
+    rotation; the base dict order is historical and only the tail
+    order falls back to it. The strict local harness still executes
+    ALL entries every round."""
+    base = {
         # ---- head 50: round-11 rotation, computed by tools/ledger.py
         # (never-hashed = 0 after r10 — the invariant holds; this head
         # = 7 same-round registrations + 7 queries whose operator code
@@ -6184,6 +6449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stalest driver hashes, all last hashed r3-r5;
         # streaming_late_data, 37th-stalest, waits for r12). The strict
         # local harness still executes ALL entries every round. ----
+        # round-12 registrations (operator + oracle same round):
+        "ivf_opq_recall": _q_ivf_opq_recall,
+        "opq_persisted_recall": _q_opq_persisted_recall,
+        "ks_approx": _q_ks_approx,
+        "compact_exact": _q_compact_exact,
+        "compact_band_index": _q_compact_band_index,
         # round-11 registrations (operator + oracle same round):
         "ivfpq_recall": _q_ivfpq_recall,
         "incremental_exact": _q_incremental_exact,
@@ -6469,6 +6740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_univariate": _q_generate_univariate,
         "copula_sample": _q_copula_sample,
     }
+    out = {name: base[name] for name in _HEAD_50}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10762,6 +11036,165 @@ def oracle_sql() -> dict[str, str]:
               (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
               (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT))
             ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "ivf_opq_recall": """
+            SELECT query_id, n_exact, n_overlap
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT))
+            ) AS t(query_id, n_exact, n_overlap)
+        """,
+        "opq_persisted_recall": """
+            SELECT query_id, n_exact, n_overlap, bit_exact
+            FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT),
+               TRUE),
+              (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT),
+               TRUE),
+              (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+               TRUE)
+            ) AS t(query_id, n_exact, n_overlap, bit_exact)
+        """,
+        "ks_approx": """
+            WITH u AS (
+              SELECT l_extendedprice AS v, 1 AS ia, 0 AS ib FROM lineitem
+              WHERE l_linestatus = 'F'
+                AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+              UNION ALL
+              SELECT l_extendedprice, 0, 1 FROM lineitem
+              WHERE l_linestatus = 'O'
+                AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+            ),
+            s AS (
+              SELECT min(v) AS lo, max(v) AS hi,
+                     SUM(ia) AS na, SUM(ib) AS nb
+              FROM u
+            ),
+            bkt AS (
+              SELECT least(CAST(floor((u.v - s.lo)
+                                      / ((s.hi - s.lo) / 512.0))
+                                AS BIGINT), 511) AS bk,
+                     u.ia, u.ib
+              FROM u, s
+            ),
+            c AS (
+              SELECT bk, SUM(ia) AS ca, SUM(ib) AS cb
+              FROM bkt GROUP BY bk
+            ),
+            p AS (
+              SELECT SUM(ca) OVER (ORDER BY bk) AS fa,
+                     SUM(cb) OVER (ORDER BY bk) AS fb,
+                     ca, cb
+              FROM c
+            ),
+            apx AS (
+              SELECT
+                round(MAX(abs(fa::DOUBLE / s.na - fb::DOUBLE / s.nb)), 6)
+                  AS d_stat,
+                round(MAX(ca::DOUBLE / s.na + cb::DOUBLE / s.nb), 6)
+                  AS err_bound,
+                MAX(s.na)::BIGINT AS n_a,
+                MAX(s.nb)::BIGINT AS n_b
+              FROM p, s
+            ),
+            ec AS (
+              SELECT
+                SUM(ia) OVER (ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                SUM(ib) OVER (ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+              FROM u
+            ),
+            exd AS (
+              SELECT round(MAX(abs(ca::DOUBLE / s.na
+                                   - cb::DOUBLE / s.nb)), 6) AS d
+              FROM ec, s
+            )
+            SELECT apx.d_stat, apx.err_bound, apx.n_a, apx.n_b,
+                   apx.d_stat <= exd.d + 1e-9 AS lower_ok,
+                   exd.d - apx.d_stat <= apx.err_bound + 1e-9
+                     AS within_bound
+            FROM apx, exd
+        """,
+        "compact_exact": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fingerprint
+              FROM documents WHERE doc_id < 300
+            ),
+            raw AS (
+              SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keeper
+              FROM fp WHERE doc_id < 200 GROUP BY fingerprint
+              UNION ALL
+              SELECT fingerprint, CAST(doc_id AS BIGINT)
+              FROM fp WHERE doc_id >= 200
+            )
+            SELECT fingerprint, min(keeper) AS keeper_id
+            FROM raw GROUP BY fingerprint
+        """,
+        "compact_band_index": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS tk
+              FROM documents WHERE doc_id < 100
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1],
+                                                tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(sg, x ->
+                       ('0x' || substr(md5(x), 1, 14))::BIGINT
+                         % 1000000007) AS hs
+              FROM sh
+            ),
+            mh AS (
+              SELECT doc_id,
+                     list_transform(
+                       [[3,101],[5,211],[7,307],[11,401],
+                        [13,503],[17,601],[19,701],[23,809],
+                        [29,907],[31,1009],[37,1103],[41,1201],
+                        [43,1301],[47,1409],[53,1511],[59,1601]],
+                       p -> list_min(list_transform(hs,
+                              x -> (p[1] * x + p[2]) % 1000000007))
+                     ) AS sig
+              FROM h
+            ),
+            bands AS (
+              SELECT doc_id, b.band,
+                     array_to_string(
+                       list_transform(
+                         sig[b.band * 4 + 1 : b.band * 4 + 4],
+                         x -> x::VARCHAR),
+                       ',') AS band_sig
+              FROM mh, UNNEST([0, 1, 2, 3]) AS b(band)
+            ),
+            raw AS (
+              SELECT * FROM bands UNION ALL SELECT * FROM bands
+            ),
+            dedup AS (
+              SELECT DISTINCT doc_id, band, band_sig FROM raw
+            )
+            SELECT doc_id, CAST(band AS INT) AS band, band_sig
+            FROM (
+              SELECT doc_id, band, band_sig,
+                     row_number() OVER (
+                       PARTITION BY band, band_sig ORDER BY doc_id
+                     ) AS rn
+              FROM dedup
+            )
+            WHERE rn <= 2
         """,
         "quantized_ann_recall": """
             SELECT query_id, n_exact, n_overlap

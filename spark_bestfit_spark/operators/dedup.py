@@ -1217,3 +1217,72 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def compact_exact_state(state: DataFrame) -> DataFrame:
+    """Compact the exact-dedup fingerprint snapshot (snapshot hygiene
+    for :func:`incremental_exact_dedup`): one row per fingerprint,
+    keeping the MINIMUM keeper_id — the first-copy-anywhere rule the
+    incremental operator itself applies under the append-only id
+    convention.
+
+    The raw snapshot grows monotonically with every delta append, and
+    a sloppy pipeline (a delivery replayed after a failure, two
+    deliveries appended with overlapping fingerprints) leaves the
+    SAME fingerprint under one or more keepers. That is not just
+    bloat: ``incremental_exact_dedup`` joins the delta on the
+    fingerprint key, so a doubled state row DOUBLES every matching
+    output row. Compaction restores the unique-fingerprint invariant
+    and shrinks the relation back to one 32-byte-keyed row per
+    distinct document ever kept.
+
+    Equivalence contract (oracle-pinned in ``compact_exact``):
+    ``incremental_exact_dedup(delta, compact_exact_state(s))`` equals
+    ``incremental_exact_dedup(delta, s)`` row-for-row whenever ``s``
+    respects append-only id order (every replay/overlap row carries a
+    keeper >= the first one, so min() picks the original) — and on a
+    corrupted state the compacted run is the CORRECT one.
+
+    Shuffle profile: one map-combinable groupBy on the fingerprint
+    key — the same single exchange of 32-byte keys the incremental
+    query itself pays; never touches document text.
+    """
+    return state.groupBy("fingerprint").agg(
+        F.min("keeper_id").alias("keeper_id")
+    )
+
+
+def compact_band_index(
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Compact the LSH band-index snapshot (snapshot hygiene for
+    :func:`incremental_minhash_pairs`): drop exact duplicate
+    (id, band, band_sig) rows left by replayed deliveries, and — when
+    ``max_bucket_size`` is given — re-cap viral buckets with the SAME
+    deterministic lowest-ids-first rule the incremental query applies
+    at probe time, so the cap is paid ONCE at compaction instead of
+    re-sorting the bucket on every delivery.
+
+    Equivalence contract (oracle-pinned in ``compact_band_index``):
+    querying the compacted index with ``max_bucket_size=None`` equals
+    querying the raw (distinct) index with ``max_bucket_size=cap`` —
+    the candidate set, and therefore the verified pair set, is
+    identical because both apply the same (band, band_sig,
+    lowest-ids) truncation.
+
+    Shuffle profile: one exchange on the (band, band_sig) key (the
+    distinct and the cap window share it); rows are band-sig-sized,
+    never text. Run it offline between deliveries — the hot path
+    never pays the window.
+    """
+    out = band_index.select(id_col, "band", "band_sig").distinct()
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_sig").orderBy(id_col)
+        out = (
+            out.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    return out

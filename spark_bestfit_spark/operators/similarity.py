@@ -2347,15 +2347,32 @@ class IvfPqIndex:
     into partition pruning on a loaded index), against lookup tables
     shipped in a single closure — never a per-query scan, mirroring
     :func:`pq_topk`'s batch contract.
+
+    ``opq=True`` composes the full FAISS production default
+    (``OPQ..,IVF..,PQ..``): an OPQ rotation (Ge et al. 2013 parametric
+    solution — PCA + eigenvalue allocation, see :func:`opq_train`) is
+    fitted ON THE CELL RESIDUALS (the space the PQ codebooks actually
+    quantize — rotating raw vectors would mis-balance the residual
+    variances), the codebooks are trained on rotated residuals, and
+    the corpus pays one extra matmul inside the SAME Arrow encode
+    batch. Queries rotate their per-cell residual driver-side before
+    LUT construction — the rotation is orthonormal, so rotated-space
+    L2 equals residual-space L2 and the single-scan batch contract is
+    unchanged (plan-asserted in pytest).
     """
 
     def __init__(self, encoded: DataFrame, centers: list,
-                 codebooks: list, id_col: str = "vec_id"):
+                 codebooks: list, id_col: str = "vec_id",
+                 rotation=None):
         self.encoded = encoded
         self.centers = [[float(v) for v in c] for c in centers]
         self.codebooks = [np.asarray(b, dtype=np.float64)
                           for b in codebooks]
         self.id_col = id_col
+        self.rotation = (
+            None if rotation is None
+            else np.asarray(rotation, dtype=np.float64)
+        )
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -2370,6 +2387,7 @@ class IvfPqIndex:
         vec_col: str = "embedding",
         sample_size: int | None = None,
         cache: bool = True,
+        opq: bool = False,
     ) -> "IvfPqIndex":
         """Fit coarse centers, train residual codebooks on a seeded
         sample (``sample_size`` defaults to ``128 * n_codes``, the
@@ -2377,6 +2395,11 @@ class IvfPqIndex:
         then assign + residual-encode the corpus in one map-only
         Arrow pass. The raw vector column is DROPPED from the stored
         relation — the index carries m bytes + a cell id per vector.
+
+        ``opq=True`` additionally fits an OPQ rotation on the residual
+        training sample (same collect — no extra scan) and trains the
+        codebooks in the rotated residual space; encode rotates inside
+        the same Arrow batch.
         """
         from pyspark.sql.functions import pandas_udf
 
@@ -2417,6 +2440,18 @@ class IvfPqIndex:
                 resid.shape[0], size=sample_size, replace=False
             )
             resid = resid[np.sort(keep)]
+        rot = None
+        if opq:
+            # OPQ rotation fitted where it matters: on the RESIDUALS
+            # the codebooks quantize. Same parametric solution as
+            # opq_train (PCA + eigenvalue allocation), same sample —
+            # no extra scan or collect.
+            mu = resid.mean(axis=0)
+            cov = np.cov((resid - mu).T)
+            eigvals, eigvecs = np.linalg.eigh(cov)
+            perm = _eigenvalue_allocation(eigvals, m)
+            rot = eigvecs[:, perm].T
+            resid = resid @ rot.T
         books = _fit_subspace_codebooks(resid, m, n_codes, seed)
         sqs = [0.5 * np.sum(b * b, axis=1) for b in books]
         sub = dim // m
@@ -2429,6 +2464,8 @@ class IvfPqIndex:
             if mat.size == 0:
                 return pd.Series([], dtype=object)
             r = mat - c_arr[cell.to_numpy()]
+            if rot is not None:
+                r = r @ rot.T
             codes = np.empty((r.shape[0], len(books)), dtype=np.int32)
             for j, (b, sq) in enumerate(zip(books, sqs)):
                 x = r[:, j * sub:(j + 1) * sub]
@@ -2442,7 +2479,7 @@ class IvfPqIndex:
         )
         if cache:
             encoded = encoded.cache()
-        return cls(encoded, ivf.centers, books, id_col)
+        return cls(encoded, ivf.centers, books, id_col, rotation=rot)
 
     # ------------------------------------------------------------- query
     def query(
@@ -2496,6 +2533,7 @@ class IvfPqIndex:
                 f"chunks or lower nprobe."
             )
         c_arr = np.asarray(self.centers, dtype=np.float64)
+        rot = self.rotation
         luts: dict = {}
         probe_rows = []
         for qid, qv in queries:
@@ -2504,6 +2542,12 @@ class IvfPqIndex:
             order = np.lexsort((np.arange(len(d2)), d2))
             for cell in order[: int(nprobe)]:
                 r = q - c_arr[cell]
+                if rot is not None:
+                    # rotate the residual into codebook space; the
+                    # rotation is orthonormal so ADC distances equal
+                    # residual-space L2 — probing order (raw-space
+                    # center distances) is unaffected
+                    r = rot @ r
                 luts[(int(qid), int(cell))] = np.stack([
                     np.sum(
                         (books[j] - r[j * sub:(j + 1) * sub]) ** 2,
@@ -2585,6 +2629,9 @@ class IvfPqIndex:
             "centers": self.centers,
             "codebooks": [b.tolist() for b in self.codebooks],
             "id_col": self.id_col,
+            "rotation": (
+                None if self.rotation is None else self.rotation.tolist()
+            ),
         }
         spark = self.encoded.sparkSession
         spark.createDataFrame(
@@ -2602,7 +2649,9 @@ class IvfPqIndex:
         if cache:
             encoded = encoded.cache()
         return cls(
-            encoded, meta["centers"], meta["codebooks"], meta["id_col"]
+            encoded, meta["centers"], meta["codebooks"], meta["id_col"],
+            # .get: reads pre-rotation saves (rotation absent -> None)
+            rotation=meta.get("rotation"),
         )
 
     def unpersist(self) -> None:
@@ -2934,3 +2983,98 @@ def rq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# Persisted quantizer artifacts: a frozen OPQ rotation or RQ codebook
+# set must be shippable the way IvfPqIndex.save ships a whole index —
+# train once on one delivery, reload for every later delivery (the
+# incremental-dedup snapshot convention applied to vector compression).
+# Storage is the same meta-json shape as IvfPqIndex.save, written and
+# read through Spark so the path can be any Hadoop-visible filesystem
+# (local, HDFS, s3a) — no driver-local file I/O.
+# --------------------------------------------------------------------------
+
+
+def _save_quantizer_meta(spark, path: str, meta: dict,
+                         mode: str = "error") -> None:
+    import json
+
+    spark.createDataFrame(
+        [(json.dumps(meta),)], "meta string"
+    ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def _load_quantizer_meta(spark, path: str, expected_kind: str) -> dict:
+    import json
+
+    meta = json.loads(spark.read.json(f"{path}/meta").first()["meta"])
+    kind = meta.get("kind")
+    if kind != expected_kind:
+        raise ValueError(
+            f"quantizer at {path!r} is kind={kind!r}, expected "
+            f"{expected_kind!r} — wrong loader for this artifact"
+        )
+    return meta
+
+
+def save_opq(spark, path: str, rotation, codebooks: list,
+             mode: str = "error") -> None:
+    """Persist a frozen OPQ quantizer (:func:`opq_train`'s
+    ``(rotation, codebooks)``) as a meta-json artifact. Reload with
+    :func:`load_opq`; the round trip is bit-exact (json floats are
+    repr'd shortest-round-trip), so encodes and ADC queries against
+    the reloaded quantizer reproduce the in-memory ones bit-for-bit
+    (pytest + the ``opq_persisted_recall`` oracle pin this)."""
+    _save_quantizer_meta(spark, path, {
+        "kind": "opq",
+        "rotation": np.asarray(rotation, dtype=np.float64).tolist(),
+        "codebooks": [
+            np.asarray(b, dtype=np.float64).tolist() for b in codebooks
+        ],
+    }, mode)
+
+
+def load_opq(spark, path: str) -> tuple:
+    """Load a persisted OPQ quantizer -> ``(rotation, codebooks)``
+    with the exact arrays :func:`save_opq` froze."""
+    meta = _load_quantizer_meta(spark, path, "opq")
+    return (
+        np.asarray(meta["rotation"], dtype=np.float64),
+        [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]],
+    )
+
+
+def save_rq(spark, path: str, codebooks: list,
+            mode: str = "error") -> None:
+    """Persist a frozen residual-quantizer codebook set
+    (:func:`rq_train`'s list of (n_codes, dim) arrays)."""
+    _save_quantizer_meta(spark, path, {
+        "kind": "rq",
+        "codebooks": [
+            np.asarray(b, dtype=np.float64).tolist() for b in codebooks
+        ],
+    }, mode)
+
+
+def load_rq(spark, path: str) -> list:
+    """Load a persisted RQ codebook set -> list of ndarray."""
+    meta = _load_quantizer_meta(spark, path, "rq")
+    return [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]]
+
+
+def save_pq(spark, path: str, codebooks: list,
+            mode: str = "error") -> None:
+    """Persist a frozen plain-PQ codebook set (:func:`pq_train`)."""
+    _save_quantizer_meta(spark, path, {
+        "kind": "pq",
+        "codebooks": [
+            np.asarray(b, dtype=np.float64).tolist() for b in codebooks
+        ],
+    }, mode)
+
+
+def load_pq(spark, path: str) -> list:
+    """Load a persisted PQ codebook set -> list of ndarray."""
+    meta = _load_quantizer_meta(spark, path, "pq")
+    return [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]]

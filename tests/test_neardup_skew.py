@@ -1401,3 +1401,194 @@ class TestResidualQuantization:
             rq_topk(enc, books, q2 + q2)
         with pytest.raises(ValueError, match="n_levels"):
             rq_train(emb, dim=64, n_levels=0)
+
+
+class TestIvfOpq:
+    """IVF+OPQ+PQ fully composed (FAISS's production
+    ``OPQ..,IVF..,PQ..`` default): the OPQ rotation lives in the
+    CELL-RESIDUAL space inside IvfPqIndex."""
+
+    def test_exact_twin_recovered_with_rotation(self, spark):
+        """Orthonormal rotation preserves residual-space L2, so the
+        planted-twin contract of the plain IVFADC holds unchanged."""
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        rng = np.random.default_rng(5)
+        centers = 8.0 * rng.normal(0.0, 1.0, (5, 32))
+        labels = rng.integers(0, 5, 300)
+        base = centers[labels] + 0.2 * rng.normal(0.0, 1.0, (300, 32))
+        twins = base[:8] + 1e-6 * rng.normal(0.0, 1.0, (8, 32))
+        pts = np.vstack([base, twins])
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(308)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = IvfPqIndex.build(df, n_clusters=5, m=4, n_codes=64,
+                               opq=True)
+        assert idx.rotation is not None
+        assert np.allclose(
+            idx.rotation @ idx.rotation.T, np.eye(32), atol=1e-8
+        )
+        queries = [(i, [float(x) for x in pts[i]]) for i in range(8)]
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in idx.query(queries, k=1, nprobe=1).collect()
+        }
+        assert sum(1 for i in range(8) if top1[i] == 300 + i) == 8
+        idx.unpersist()
+
+    def test_residual_mse_beats_plain_ivfpq_on_correlated_data(
+        self, spark
+    ):
+        """The composition must earn its matmul: on anisotropic
+        residuals the rotated codebooks reconstruct with lower error
+        than plain IVFADC at the same code budget."""
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        rng = np.random.default_rng(2)
+        A = rng.normal(0, 1, (16, 16))
+        cov = A @ A.T + np.diag(np.linspace(0.01, 25, 16))
+        L = np.linalg.cholesky(cov)
+        centers = 12.0 * rng.normal(0, 1, (4, 16))
+        labels = rng.integers(0, 4, 4000)
+        pts = centers[labels] + rng.normal(0, 1, (4000, 16)) @ L.T
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(4000)],
+            "vec_id long, embedding array<double>",
+        )
+
+        def recon_mse(idx):
+            pdf = idx.encoded.orderBy("vec_id").toPandas()
+            c = np.asarray(idx.centers)
+            codes = np.asarray([np.asarray(v) for v in pdf.pq_code])
+            rec_res = np.hstack([
+                idx.codebooks[j][codes[:, j]]
+                for j in range(len(idx.codebooks))
+            ])
+            if idx.rotation is not None:
+                rec_res = rec_res @ idx.rotation  # rot.T.T = rot
+            rec = c[pdf.cell.to_numpy()] + rec_res
+            return float(np.mean((pts - rec) ** 2))
+
+        plain = IvfPqIndex.build(df, n_clusters=4, m=4, n_codes=16)
+        opq = IvfPqIndex.build(df, n_clusters=4, m=4, n_codes=16,
+                               opq=True)
+        m_plain, m_opq = recon_mse(plain), recon_mse(opq)
+        assert m_opq < m_plain * 0.9
+        plain.unpersist()
+        opq.unpersist()
+
+    def test_composed_query_still_single_scan(self, spark):
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16,
+                               opq=True)
+        q2 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 2).collect()
+        ]
+        q6 = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 6).collect()
+        ]
+        p2 = idx.query(q2, k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        p6 = idx.query(q6, k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert p2.count("ArrowEvalPython") == p6.count("ArrowEvalPython")
+        idx.unpersist()
+
+    def test_save_load_round_trip_with_rotation(self, spark, tmp_path):
+        from spark_bestfit_spark.operators.similarity import IvfPqIndex
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        idx = IvfPqIndex.build(emb, n_clusters=4, m=8, n_codes=16,
+                               opq=True)
+        path = str(tmp_path / "ivfopq")
+        idx.save(path)
+        loaded = IvfPqIndex.load(spark, path)
+        assert loaded.rotation is not None
+        assert np.array_equal(loaded.rotation, idx.rotation)
+        queries = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        ]
+        a = sorted(map(tuple, idx.query(queries, k=3).collect()))
+        b = sorted(map(tuple, loaded.query(queries, k=3).collect()))
+        assert a == b
+        idx.unpersist()
+
+
+class TestPersistedQuantizers:
+    """save_/load_ for frozen PQ / OPQ / RQ quantizers: bit-exact
+    round trips (json shortest-repr floats), kind-checked loaders."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+
+    def test_opq_round_trip_bit_exact(self, spark, emb, tmp_path):
+        from spark_bestfit_spark.operators.similarity import (
+            load_opq,
+            opq_encode,
+            opq_topk,
+            opq_train,
+            save_opq,
+        )
+
+        rot, books = opq_train(emb, dim=64, m=8, n_codes=16)
+        save_opq(spark, str(tmp_path / "opq"), rot, books)
+        rot2, books2 = load_opq(spark, str(tmp_path / "opq"))
+        assert np.array_equal(rot, rot2)
+        assert all(np.array_equal(a, b) for a, b in zip(books, books2))
+        # and the reloaded quantizer reproduces queries bit-for-bit
+        enc = opq_encode(emb, rot, books).select("vec_id", "pq_code")
+        q = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(F.col("vec_id") < 3).collect()
+        ]
+        a = sorted(map(tuple, opq_topk(enc, rot, books, q, k=3)
+                       .collect()))
+        enc2 = opq_encode(emb, rot2, books2).select("vec_id", "pq_code")
+        b = sorted(map(tuple, opq_topk(enc2, rot2, books2, q, k=3)
+                       .collect()))
+        assert a == b
+
+    def test_rq_and_pq_round_trips(self, spark, emb, tmp_path):
+        from spark_bestfit_spark.operators.similarity import (
+            load_pq,
+            load_rq,
+            pq_train,
+            rq_train,
+            save_pq,
+            save_rq,
+        )
+
+        books_r = rq_train(emb, dim=64, n_levels=2, n_codes=16)
+        save_rq(spark, str(tmp_path / "rq"), books_r)
+        got_r = load_rq(spark, str(tmp_path / "rq"))
+        assert all(np.array_equal(a, b) for a, b in zip(books_r, got_r))
+
+        books_p = pq_train(emb, dim=64, m=8, n_codes=16)
+        save_pq(spark, str(tmp_path / "pq"), books_p)
+        got_p = load_pq(spark, str(tmp_path / "pq"))
+        assert all(np.array_equal(a, b) for a, b in zip(books_p, got_p))
+
+    def test_kind_mismatch_raises(self, spark, emb, tmp_path):
+        from spark_bestfit_spark.operators.similarity import (
+            load_rq,
+            pq_train,
+            save_pq,
+        )
+
+        books = pq_train(emb, dim=64, m=8, n_codes=16)
+        save_pq(spark, str(tmp_path / "pq2"), books)
+        with pytest.raises(ValueError, match="kind='pq', expected 'rq'"):
+            load_rq(spark, str(tmp_path / "pq2"))

@@ -1584,3 +1584,140 @@ class TestIncrementalDedup:
         a = sorted(map(tuple, rolled.collect()))
         b = sorted(map(tuple, scratch.collect()))
         assert a == b
+
+
+class TestStateCompaction:
+    """Snapshot hygiene (round-12): compacting the exact-dedup
+    fingerprint state and the LSH band index must be invisible to the
+    incremental queries — and must REPAIR the duplicate-state hazard a
+    replayed delivery creates."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .filter("doc_id < 300")
+            .cache()
+        )
+
+    def test_exact_state_compaction_equivalence(self, spark, docs):
+        from spark_bestfit_spark.operators.dedup import (
+            compact_exact_state,
+            duplicate_groups,
+            incremental_exact_dedup,
+        )
+
+        prev = docs.filter("doc_id < 200")
+        new = docs.filter("doc_id >= 200")
+        state = duplicate_groups(prev).select("fingerprint", "keeper_id")
+        # a replayed delivery doubles every state row
+        polluted = state.unionByName(state)
+        compacted = compact_exact_state(polluted)
+        # duplicate-free, one row per fingerprint, same content
+        assert compacted.count() == state.count()
+        assert sorted(map(tuple, compacted.collect())) == sorted(
+            map(tuple, state.collect())
+        )
+        # incremental on the compacted state == on the clean state
+        a = sorted(map(tuple,
+                       incremental_exact_dedup(new, compacted).collect()))
+        b = sorted(map(tuple,
+                       incremental_exact_dedup(new, state).collect()))
+        assert a == b
+
+    def test_exact_compaction_repairs_doubled_rows(self, spark):
+        """On a POLLUTED state the un-compacted incremental query
+        doubles matching output rows (the join multiplies); compaction
+        restores the correct cardinality. Planted: the delta re-sends
+        a state document."""
+        from spark_bestfit_spark.operators.dedup import (
+            compact_exact_state,
+            duplicate_groups,
+            incremental_exact_dedup,
+        )
+
+        prev = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, "alpha  beta"), (11, "delta")],
+            "doc_id long, text string",
+        )
+        state = duplicate_groups(prev).select("fingerprint", "keeper_id")
+        polluted = state.unionByName(state)
+        n_polluted = incremental_exact_dedup(new, polluted).count()
+        n_compacted = incremental_exact_dedup(
+            new, compact_exact_state(polluted)
+        ).count()
+        assert n_compacted == 2
+        assert n_polluted == 3  # doc 10's row doubled by the join
+
+    def test_exact_compaction_min_keeper_rule(self, spark):
+        """Sloppy append (same fingerprint under a later keeper):
+        compaction keeps the FIRST keeper, matching append-only id
+        order."""
+        from spark_bestfit_spark.operators.dedup import (
+            compact_exact_state,
+        )
+
+        raw = spark.createDataFrame(
+            [("fp1", 3), ("fp1", 207), ("fp2", 11)],
+            "fingerprint string, keeper_id long",
+        )
+        out = {r.fingerprint: r.keeper_id
+               for r in compact_exact_state(raw).collect()}
+        assert out == {"fp1": 3, "fp2": 11}
+
+    def test_exact_compaction_preserves_string_ids(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            compact_exact_state,
+        )
+
+        raw = spark.createDataFrame(
+            [("fp1", "doc-a"), ("fp1", "doc-b")],
+            "fingerprint string, keeper_id string",
+        )
+        out = compact_exact_state(raw).collect()
+        assert out[0].keeper_id == "doc-a"
+
+    def test_band_index_compaction_equivalence(self, spark, docs):
+        """Querying the compacted (capped) index uncapped equals
+        querying the raw index with the query-time cap — the cap is
+        paid once offline instead of per delivery."""
+        from spark_bestfit_spark.operators.dedup import (
+            compact_band_index,
+            incremental_minhash_pairs,
+            minhash_band_index,
+        )
+
+        prev = docs.filter("doc_id < 200")
+        new = docs.filter("doc_id >= 200")
+        index = minhash_band_index(prev)
+        replayed = index.unionByName(index)
+        compacted = compact_band_index(replayed, max_bucket_size=3)
+        a = sorted(map(tuple, incremental_minhash_pairs(
+            new, compacted, prev, threshold=0.7
+        ).collect()))
+        b = sorted(map(tuple, incremental_minhash_pairs(
+            new, index, prev, threshold=0.7, max_bucket_size=3
+        ).collect()))
+        assert a == b
+
+    def test_band_index_cap_is_deterministic_lowest_first(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            compact_band_index,
+        )
+
+        rows = [(i, 0, "sig-x") for i in (9, 3, 7, 1)] + [
+            (5, 1, "sig-y")
+        ]
+        raw = spark.createDataFrame(
+            rows + rows,  # replayed
+            "doc_id long, band int, band_sig string",
+        )
+        out = sorted(map(tuple, compact_band_index(
+            raw, max_bucket_size=2
+        ).collect()))
+        assert out == [(1, 0, "sig-x"), (3, 0, "sig-x"), (5, 1, "sig-y")]

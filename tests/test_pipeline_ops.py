@@ -910,6 +910,80 @@ class TestTwoSampleKS:
         assert row.d_stat == 0.0
 
 
+class TestTwoSampleKsApprox:
+    """The deterministic-grid approximate tier (the 100 TB
+    recommendation): certified sandwich d <= D_exact <= d + err, and
+    the bound shrinks as the grid refines."""
+
+    def test_sandwich_bound_holds(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_df,
+            two_sample_ks_df,
+        )
+
+        rng = np.random.default_rng(7)
+        a = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(0, 1, 6000)})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(0.4, 1.3, 5000)})
+        )
+        ex = two_sample_ks_df(a, b, "v").first()
+        for g in (64, 512, 2048):
+            ap = two_sample_ks_approx_df(a, b, "v", grid_size=g).first()
+            assert ap.d_stat <= ex.d_stat + 1e-9
+            assert ex.d_stat <= ap.d_stat + ap.err_bound + 2e-6
+            assert (ap.n_a, ap.n_b) == (6000, 5000)
+        # the refined grid must certify a tighter bound
+        e64 = two_sample_ks_approx_df(a, b, "v", grid_size=64).first()
+        e2048 = two_sample_ks_approx_df(a, b, "v", grid_size=2048).first()
+        assert e2048.err_bound < e64.err_bound
+
+    def test_degenerate_inputs(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_df,
+        )
+
+        a = spark.createDataFrame(pd.DataFrame({"v": [1.0, 1.0, 1.0]}))
+        b = spark.createDataFrame(pd.DataFrame({"v": [1.0, 1.0]}))
+        row = two_sample_ks_approx_df(a, b, "v").first()
+        assert (row.d_stat, row.err_bound) == (0.0, 0.0)
+        assert (row.n_a, row.n_b) == (3, 2)
+        empty = spark.createDataFrame([], "v double")
+        row = two_sample_ks_approx_df(a, empty, "v").first()
+        assert (row.d_stat, row.n_b) == (0.0, 0)
+
+    def test_partition_invariance(self, spark):
+        """Floor-arithmetic bucketing is a pure value function: the
+        result must not depend on physical layout."""
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_df,
+        )
+
+        rng = np.random.default_rng(9)
+        pa = pd.DataFrame({"v": rng.normal(0, 1, 3000)})
+        pb = pd.DataFrame({"v": rng.normal(0.2, 1, 3000)})
+        r1 = two_sample_ks_approx_df(
+            spark.createDataFrame(pa).repartition(1),
+            spark.createDataFrame(pb).repartition(1),
+            "v", grid_size=256,
+        ).first()
+        r2 = two_sample_ks_approx_df(
+            spark.createDataFrame(pa).repartition(17),
+            spark.createDataFrame(pb).repartition(13),
+            "v", grid_size=256,
+        ).first()
+        assert tuple(r1) == tuple(r2)
+
+
 class TestCurationSignals:
     """Repetition, unigram log-prob, and PII flags — the quality signals
     a pretraining pipeline filters on."""

@@ -81,7 +81,10 @@ def main() -> int:
     )
     from spark_bestfit_spark.operators.normalize import quantile_rank
     from spark_bestfit_spark.operators.similarity import semantic_dedup
-    from spark_bestfit_spark.operators.stats import two_sample_ks_df
+    from spark_bestfit_spark.operators.stats import (
+        two_sample_ks_approx_df,
+        two_sample_ks_df,
+    )
     from spark_bestfit_spark.operators.textstats import (
         _tokens,
         kneser_ney_bigrams,
@@ -283,6 +286,17 @@ def main() -> int:
              lambda: two_sample_ks_df(
                  li100.filter("l_returnflag = 'A'"),
                  li100.filter("l_returnflag = 'N'"), "l_quantity").first()),
+            # the 100 TB recommendation: deterministic-grid approx tier —
+            # two bounded scans at ANY size (no per-value relation, no
+            # window over data), so the 100x ratio should track raw
+            # scan growth, not the exact tier's jump-relation term
+            ("two_sample_ks_approx",
+             lambda: two_sample_ks_approx_df(
+                 li1.filter("l_returnflag = 'A'"),
+                 li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
+             lambda: two_sample_ks_approx_df(
+                 li100.filter("l_returnflag = 'A'"),
+                 li100.filter("l_returnflag = 'N'"), "l_quantity").first()),
             ("quantile_rank",
              lambda: quantile_rank(li1, "l_extendedprice").count(),
              lambda: quantile_rank(li100, "l_extendedprice").count()),
@@ -397,6 +411,13 @@ def main() -> int:
              li1.filter("l_returnflag = 'A'"),
              li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
          lambda: two_sample_ks_df(
+             li10.filter("l_returnflag = 'A'"),
+             li10.filter("l_returnflag = 'N'"), "l_quantity").first()),
+        ("two_sample_ks_approx",
+         lambda: two_sample_ks_approx_df(
+             li1.filter("l_returnflag = 'A'"),
+             li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
+         lambda: two_sample_ks_approx_df(
              li10.filter("l_returnflag = 'A'"),
              li10.filter("l_returnflag = 'N'"), "l_quantity").first()),
         ("quantile_rank",
@@ -562,6 +583,30 @@ def main() -> int:
          lambda: hot_keyed(li10).join(join_dim(), "jk").count()),
     ]
 
+    # Warm the code paths whose sf1 end otherwise carries one-time JVM
+    # warmup (Arrow/pandas-UDF stage init, codebook-fit imports): the
+    # round-11 table printed pq_topk_batch64 at "0.5x" and
+    # incremental_minhash_fixed_delta at "0.63x" per decade only
+    # because their sf1 measurement paid the first-ever Arrow stage.
+    # A 100-row call before measuring makes the printed ratios mean
+    # what they say; the measured lambdas are unchanged.
+    warmups = {
+        "pq_topk_batch64": lambda: (lambda sm: (lambda books: pq_topk(
+            pq_encode(sm, books).select("vec_id", "pq_code"), books,
+            [(r.vec_id, list(r.embedding))
+             for r in sm.limit(2).collect()],
+            k=2).count())(pq_train(sm, dim=64, m=8, n_codes=4,
+                                   sample_size=100)))(
+            emb1.limit(100).localCheckpoint()),
+        "incremental_minhash_fixed_delta": lambda: (
+            lambda sm: incremental_minhash_pairs(
+                sm.select((F.col("doc_id") + 200_000_000).alias("doc_id"),
+                          "text"),
+                minhash_band_index(sm), sm.select("doc_id", "text"),
+                threshold=0.7,
+            ).count())(docs1.limit(100).localCheckpoint()),
+    }
+
     out: dict = {}
     for name, f1, f10 in lines:
         if only and name not in only:
@@ -573,6 +618,8 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+        if name in warmups:
+            warmups[name]()
         t0 = time.perf_counter()
         f1()
         w1 = time.perf_counter() - t0
