@@ -1195,8 +1195,21 @@ def incremental_minhash_pairs(
         .select(
             F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
         )
+    # broadcast the PAIR relation (two ids per row — delta-bounded by
+    # construction, like cand_ids above): without the hint the planner
+    # flips with the state size — small states broadcast the SHINGLE
+    # relation (serial driver build of array-heavy rows), large states
+    # sort-merge-join it (sorting shingle arrays across an exchange).
+    # Pinning the fixed-width side keeps the first verification join
+    # map-only over sh at ANY state size, so shingle arrays never
+    # cross that exchange. Probe-scale walls are unchanged (~11/8 s at
+    # sf1/sf10 — the small-end inversion is AQE-coalescing overhead on
+    # a near-constant workload, measured: disabling coalescing makes
+    # sf1 3x WORSE, so the plan is already right); the hint is for the
+    # 100 TB shape, where an unhinted SMJ of unbounded-width arrays is
+    # the hazard.
     return (
-        cands.join(
+        F.broadcast(cands).join(
             sh.withColumnRenamed(id_col, "id_a")
             .withColumnRenamed("_s", "_sa"),
             "id_a",
