@@ -4801,6 +4801,38 @@ def _q_ks_approx(spark, sf_dir):
     )
 
 
+def _q_w1_approx(spark, sf_dir):
+    """Grid-approximate 1-Wasserstein with a certified error bound —
+    the W1 sibling of the ks_approx 100 TB recommendation: same
+    deterministic equi-width grid, two bounded scans at any corpus
+    size, |W1_exact - w1| <= 2(hi-lo)/grid_size pinned IN-QUERY
+    against the exact prefix-sum tier. Fully value-replicable in
+    DuckDB (identical floor-arithmetic double expression)."""
+    from spark_bestfit_spark.operators.stats import (
+        wasserstein_approx_df,
+        wasserstein_distance_df,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.filter("l_linestatus = 'F'")
+    b = li.filter("l_linestatus = 'O'")
+    ap = wasserstein_approx_df(
+        a, b, "l_extendedprice", grid_size=512
+    ).first()
+    ex = wasserstein_distance_df(a, b, "l_extendedprice").first()
+    return spark.createDataFrame(
+        [(
+            float(ap["w1"]),
+            float(ap["err_bound"]),
+            int(ap["n_a"]),
+            int(ap["n_b"]),
+            bool(abs(ex["w1"] - ap["w1"]) <= ap["err_bound"] + 1e-9),
+        )],
+        "w1 double, err_bound double, n_a long, n_b long, "
+        "within_bound boolean",
+    )
+
+
 def _q_compact_exact(spark, sf_dir):
     """Exact-dedup snapshot COMPACTION (snapshot hygiene): a state
     polluted by a sloppy delivery — batch 200-299 appended wholesale
@@ -6381,6 +6413,7 @@ _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
+    "w1_approx",
     "compact_exact",
     "compact_band_index",
     "clip_spans",
@@ -6427,7 +6460,6 @@ _HEAD_50 = [
     "fit_price",
     "fit_reincluded",
     "generate_univariate",
-    "grouped_robust_stats",
 ]
 
 
@@ -6453,6 +6485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
+        "w1_approx": _q_w1_approx,
         "compact_exact": _q_compact_exact,
         "compact_band_index": _q_compact_band_index,
         # round-11 registrations (operator + oracle same round):
@@ -11118,6 +11151,77 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx, exd
+        """,
+        "w1_approx": """
+            WITH u AS (
+              SELECT l_extendedprice AS v, 1 AS ia, 0 AS ib FROM lineitem
+              WHERE l_linestatus = 'F'
+                AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+              UNION ALL
+              SELECT l_extendedprice, 0, 1 FROM lineitem
+              WHERE l_linestatus = 'O'
+                AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+            ),
+            s AS (
+              SELECT min(v) AS lo, max(v) AS hi,
+                     SUM(ia) AS na, SUM(ib) AS nb
+              FROM u
+            ),
+            bkt AS (
+              SELECT least(CAST(floor((u.v - s.lo)
+                                      / ((s.hi - s.lo) / 512.0))
+                                AS BIGINT), 511) AS bk,
+                     u.ia, u.ib
+              FROM u, s
+            ),
+            c AS (
+              SELECT bk, SUM(ia) AS ca, SUM(ib) AS cb
+              FROM bkt GROUP BY bk
+            ),
+            p AS (
+              SELECT bk,
+                     SUM(ca) OVER (ORDER BY bk) AS fa,
+                     SUM(cb) OVER (ORDER BY bk) AS fb,
+                     lead(bk, 1, 512) OVER (ORDER BY bk) AS nbk
+              FROM c
+            ),
+            apx AS (
+              SELECT round(SUM(
+                       abs(fa::DOUBLE / s.na - fb::DOUBLE / s.nb)
+                       * ((s.hi - s.lo) / 512.0)
+                       * (nbk - bk)
+                     ), 6) AS w1,
+                     round(MAX(2.0 * (s.hi - s.lo) / 512.0), 6)
+                       AS err_bound,
+                     MAX(s.na)::BIGINT AS n_a,
+                     MAX(s.nb)::BIGINT AS n_b
+              FROM p, s
+            ),
+            gex AS (
+              SELECT v, SUM(ia) AS da, SUM(ib) AS db FROM u GROUP BY v
+            ),
+            cex AS (
+              SELECT v,
+                     SUM(da) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS ca,
+                     SUM(db) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cb,
+                     lead(v) OVER (ORDER BY v) AS nx
+              FROM gex
+            ),
+            exw AS (
+              SELECT round(SUM(
+                       abs(ca::DOUBLE / s.na - cb::DOUBLE / s.nb)
+                       * (coalesce(nx, v) - v)
+                     ), 6) AS w1
+              FROM cex, s
+            )
+            SELECT apx.w1, apx.err_bound, apx.n_a, apx.n_b,
+                   abs(exw.w1 - apx.w1) <= apx.err_bound + 1e-9
+                     AS within_bound
+            FROM apx, exw
         """,
         "compact_exact": r"""
             WITH fp AS (

@@ -534,6 +534,22 @@ def main() -> None:
         rounds=3,
     )
 
+    # round-12: the approximate tier (deterministic grid + certified
+    # error bound) — THE recommended K-S form at 100 TB; probe-lined
+    # first (two_sample_ks_approx at 10x and 100x in scale_probe.py:
+    # 1.98 -> 7.69 s across TWO decades vs the exact tier's 98.2 s)
+    from spark_bestfit_spark.operators.stats import (
+        two_sample_ks_approx_df,
+    )
+
+    bench(
+        "q_two_sample_ks_approx",
+        lambda: two_sample_ks_approx_df(
+            li_a, li_n, "l_quantity"
+        ).first(),
+        rounds=3,
+    )
+
     # exact energy distance rides the same distinct-value prefix-sum
     # spine extended with value-sum offsets — tracked so the extra
     # sum columns never silently regress the spine's exchange shape

@@ -2149,6 +2149,7 @@ def pq_train(
     sample_size: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_total: int | None = None,
 ) -> list:
     """Train m per-subspace codebooks driver-side on a seeded sample
     (codebook quality needs only a sample — the IVF coarse-quantizer
@@ -2158,13 +2159,16 @@ def pq_train(
     per centroid the codebook stops improving, while the driver-side
     Lloyd cost keeps growing linearly — measured: the 100k default
     made pq_train 6x the cost of encoding 2M vectors).
+    ``n_total``: pass a known corpus count to skip the sizing scan
+    (it is used only to size the sampling fraction).
     Returns a list of m (n_codes, dim/m) numpy arrays."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
     if sample_size is None:
         sample_size = 128 * int(n_codes)
     sub = dim // m
-    n_total = df.count()
+    if n_total is None:
+        n_total = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
     pdf = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
     sample = np.asarray(
@@ -2388,6 +2392,7 @@ class IvfPqIndex:
         sample_size: int | None = None,
         cache: bool = True,
         opq: bool = False,
+        n_total: int | None = None,
     ) -> "IvfPqIndex":
         """Fit coarse centers, train residual codebooks on a seeded
         sample (``sample_size`` defaults to ``128 * n_codes``, the
@@ -2399,7 +2404,8 @@ class IvfPqIndex:
         ``opq=True`` additionally fits an OPQ rotation on the residual
         training sample (same collect — no extra scan) and trains the
         codebooks in the rotated residual space; encode rotates inside
-        the same Arrow batch.
+        the same Arrow batch. ``n_total``: pass a known corpus count
+        to skip the fraction-sizing scan.
         """
         from pyspark.sql.functions import pandas_udf
 
@@ -2418,7 +2424,8 @@ class IvfPqIndex:
         c_arr = np.asarray(ivf.centers, dtype=np.float64)
         # residual training sample: seeded sample of (vec, cell),
         # residuals computed driver-side against the tiny center matrix
-        n_total = vectors.count()
+        if n_total is None:
+            n_total = vectors.count()
         frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
         pdf = (
             ivf.assigned.select(vec_col, "cell")
@@ -2698,6 +2705,7 @@ def opq_train(
     sample_size: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_total: int | None = None,
 ) -> tuple:
     """Parametric OPQ: returns ``(rotation, codebooks)`` where
     ``rotation`` is the (dim, dim) PCA-with-eigenvalue-allocation
@@ -2716,7 +2724,8 @@ def opq_train(
         raise ValueError(f"dim={dim} must be divisible by m={m}")
     if sample_size is None:
         sample_size = 128 * int(n_codes)
-    n_total = df.count()
+    if n_total is None:
+        n_total = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
     pdf = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
     sample = np.asarray(
@@ -2817,6 +2826,7 @@ def rq_train(
     sample_size: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_total: int | None = None,
 ) -> list:
     """Stage-wise residual codebooks on a seeded driver-side sample
     (same collect budget as :func:`pq_train`: ``128 * n_codes``).
@@ -2826,7 +2836,8 @@ def rq_train(
         raise ValueError("n_levels must be >= 1")
     if sample_size is None:
         sample_size = 128 * int(n_codes)
-    n_total = df.count()
+    if n_total is None:
+        n_total = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
     pdf = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
     sample = np.asarray(

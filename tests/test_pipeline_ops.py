@@ -984,6 +984,71 @@ class TestTwoSampleKsApprox:
         assert tuple(r1) == tuple(r2)
 
 
+class TestWassersteinApprox:
+    """Grid W1 with the certified |W1_exact - w1| <= 2(hi-lo)/G
+    bound — the W1 sibling of the approx K-S tier."""
+
+    def test_bound_holds_and_tracks_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_approx_df,
+            wasserstein_distance_df,
+        )
+
+        rng = np.random.default_rng(11)
+        a = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(0, 1, 5000)})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"v": rng.normal(0.7, 1.4, 4000)})
+        )
+        ex = wasserstein_distance_df(a, b, "v").first()
+        prev_err = None
+        for g in (64, 512, 2048):
+            ap = wasserstein_approx_df(a, b, "v", grid_size=g).first()
+            assert abs(ex.w1 - ap.w1) <= ap.err_bound + 1e-6
+            assert (ap.n_a, ap.n_b) == (5000, 4000)
+            if prev_err is not None:
+                assert ap.err_bound < prev_err
+            prev_err = ap.err_bound
+        # the fine grid must actually be close, not just bounded
+        fine = wasserstein_approx_df(a, b, "v", grid_size=2048).first()
+        assert abs(ex.w1 - fine.w1) < 0.02 * max(ex.w1, 1e-9)
+
+    def test_empty_buckets_contribute_exactly(self, spark):
+        """A gap of empty grid cells between two value clusters must
+        contribute gap x run-length x width — the lead(bk) term."""
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_approx_df,
+        )
+
+        # a at 0, b at 10: W1 == 10 exactly; every interior cell is
+        # empty on the counts relation
+        a = spark.createDataFrame(pd.DataFrame({"v": [0.0] * 50}))
+        b = spark.createDataFrame(pd.DataFrame({"v": [10.0] * 50}))
+        row = wasserstein_approx_df(a, b, "v", grid_size=100).first()
+        assert abs(row.w1 - 10.0) <= row.err_bound + 1e-9
+        assert row.w1 == pytest.approx(10.0, rel=0.02)
+
+    def test_degenerate_inputs(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_approx_df,
+        )
+
+        a = spark.createDataFrame(pd.DataFrame({"v": [2.0, 2.0]}))
+        row = wasserstein_approx_df(a, a, "v").first()
+        assert (row.w1, row.err_bound) == (0.0, 0.0)
+        empty = spark.createDataFrame([], "v double")
+        row = wasserstein_approx_df(a, empty, "v").first()
+        assert (row.w1, row.n_b) == (0.0, 0)
+
+
 class TestCurationSignals:
     """Repetition, unigram log-prob, and PII flags — the quality signals
     a pretraining pipeline filters on."""

@@ -84,6 +84,7 @@ def main() -> int:
     from spark_bestfit_spark.operators.stats import (
         two_sample_ks_approx_df,
         two_sample_ks_df,
+        wasserstein_approx_df,
     )
     from spark_bestfit_spark.operators.textstats import (
         _tokens,
@@ -297,6 +298,13 @@ def main() -> int:
              lambda: two_sample_ks_approx_df(
                  li100.filter("l_returnflag = 'A'"),
                  li100.filter("l_returnflag = 'N'"), "l_quantity").first()),
+            ("wasserstein_approx",
+             lambda: wasserstein_approx_df(
+                 li1.filter("l_returnflag = 'A'"),
+                 li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
+             lambda: wasserstein_approx_df(
+                 li100.filter("l_returnflag = 'A'"),
+                 li100.filter("l_returnflag = 'N'"), "l_quantity").first()),
             ("quantile_rank",
              lambda: quantile_rank(li1, "l_extendedprice").count(),
              lambda: quantile_rank(li100, "l_extendedprice").count()),
@@ -418,6 +426,13 @@ def main() -> int:
              li1.filter("l_returnflag = 'A'"),
              li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
          lambda: two_sample_ks_approx_df(
+             li10.filter("l_returnflag = 'A'"),
+             li10.filter("l_returnflag = 'N'"), "l_quantity").first()),
+        ("wasserstein_approx",
+         lambda: wasserstein_approx_df(
+             li1.filter("l_returnflag = 'A'"),
+             li1.filter("l_returnflag = 'N'"), "l_quantity").first(),
+         lambda: wasserstein_approx_df(
              li10.filter("l_returnflag = 'A'"),
              li10.filter("l_returnflag = 'N'"), "l_quantity").first()),
         ("quantile_rank",
