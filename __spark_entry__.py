@@ -4833,6 +4833,46 @@ def _q_w1_approx(spark, sf_dir):
     )
 
 
+def _q_ks_approx_by_group(spark, sf_dir):
+    """Per-group approximate K-S (the segmented form of the 100 TB
+    recommendation), fully in-plan: each returnflag group gets its own
+    deterministic grid over its own range and its own certified
+    sandwich — pinned IN-QUERY per group against the exact grouped
+    tier (lower_ok / within_bound columns). Grid 256 > the 50 distinct
+    l_quantity values, so here the lower bound is typically TIGHT; the
+    oracle replays both tiers in DuckDB value-for-value."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import (
+        two_sample_ks_approx_by_group,
+        two_sample_ks_by_group,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.filter("l_linestatus = 'F'")
+    b = li.filter("l_linestatus = 'O'")
+    ap = two_sample_ks_approx_by_group(
+        a, b, "l_quantity", "l_returnflag", grid_size=256
+    )
+    ex = two_sample_ks_by_group(
+        a, b, "l_quantity", "l_returnflag"
+    ).select(
+        "l_returnflag", F.col("d_stat").alias("_d_exact")
+    )
+    return ap.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "d_stat",
+        "err_bound",
+        "n_a",
+        "n_b",
+        (F.col("d_stat") <= F.col("_d_exact") + 1e-9).alias("lower_ok"),
+        (
+            F.col("_d_exact") - F.col("d_stat")
+            <= F.col("err_bound") + 1e-9
+        ).alias("within_bound"),
+    )
+
+
 def _q_compact_exact(spark, sf_dir):
     """Exact-dedup snapshot COMPACTION (snapshot hygiene): a state
     polluted by a sloppy delivery — batch 200-299 appended wholesale
@@ -6414,6 +6454,7 @@ _HEAD_50 = [
     "opq_persisted_recall",
     "ks_approx",
     "w1_approx",
+    "ks_approx_by_group",
     "compact_exact",
     "compact_band_index",
     "clip_spans",
@@ -6458,7 +6499,6 @@ _HEAD_50 = [
     "fit_mse",
     "fit_multi",
     "fit_price",
-    "fit_reincluded",
     "generate_univariate",
 ]
 
@@ -6486,6 +6526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
         "w1_approx": _q_w1_approx,
+        "ks_approx_by_group": _q_ks_approx_by_group,
         "compact_exact": _q_compact_exact,
         "compact_band_index": _q_compact_band_index,
         # round-11 registrations (operator + oracle same round):
@@ -11151,6 +11192,88 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx, exd
+        """,
+        "ks_approx_by_group": """
+            WITH u AS (
+              SELECT l_returnflag AS g, l_quantity AS v,
+                     1 AS ia, 0 AS ib
+              FROM lineitem
+              WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL
+                AND isfinite(l_quantity) AND l_returnflag IS NOT NULL
+              UNION ALL
+              SELECT l_returnflag, l_quantity, 0, 1
+              FROM lineitem
+              WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL
+                AND isfinite(l_quantity) AND l_returnflag IS NOT NULL
+            ),
+            s AS (
+              SELECT g, min(v) AS lo, max(v) AS hi,
+                     SUM(ia) AS na, SUM(ib) AS nb
+              FROM u GROUP BY g
+            ),
+            bkt AS (
+              SELECT u.g,
+                     CASE WHEN s.hi > s.lo
+                          THEN least(CAST(floor((u.v - s.lo)
+                                 / ((s.hi - s.lo) / 256.0)) AS BIGINT),
+                               255)
+                          ELSE 0 END AS bk,
+                     u.ia, u.ib, s.na, s.nb, s.lo, s.hi
+              FROM u JOIN s USING (g)
+            ),
+            c AS (
+              SELECT g, bk, na, nb, lo, hi,
+                     SUM(ia) AS ca, SUM(ib) AS cb
+              FROM bkt GROUP BY g, bk, na, nb, lo, hi
+            ),
+            p AS (
+              SELECT g, na, nb,
+                     CASE WHEN na > 0 AND nb > 0 AND hi > lo
+                          THEN abs(
+                            (SUM(ca) OVER (PARTITION BY g ORDER BY bk))
+                              ::DOUBLE / na
+                            - (SUM(cb) OVER (PARTITION BY g ORDER BY bk))
+                              ::DOUBLE / nb)
+                          ELSE 0.0 END AS gap,
+                     CASE WHEN na > 0 AND nb > 0 AND hi > lo
+                          THEN ca::DOUBLE / na + cb::DOUBLE / nb
+                          ELSE 0.0 END AS mass
+              FROM c
+            ),
+            apx AS (
+              SELECT g, round(max(gap), 6) AS d_stat,
+                     round(max(mass), 6) AS err_bound,
+                     CAST(max(na) AS BIGINT) AS n_a,
+                     CAST(max(nb) AS BIGINT) AS n_b
+              FROM p GROUP BY g
+            ),
+            jex AS (
+              SELECT g, v, sum(ia) AS da, sum(ib) AS db
+              FROM u GROUP BY g, v
+            ),
+            cex AS (
+              SELECT g,
+                     sum(da) OVER (PARTITION BY g ORDER BY v) AS ca,
+                     sum(db) OVER (PARTITION BY g ORDER BY v) AS cb,
+                     sum(da) OVER (PARTITION BY g) AS na,
+                     sum(db) OVER (PARTITION BY g) AS nb
+              FROM jex
+            ),
+            exd AS (
+              SELECT g,
+                     round(max(
+                       CASE WHEN na > 0 AND nb > 0
+                            THEN abs(ca::DOUBLE / na - cb::DOUBLE / nb)
+                            ELSE 0.0 END
+                     ), 6) AS d
+              FROM cex GROUP BY g
+            )
+            SELECT apx.g AS l_returnflag, apx.d_stat, apx.err_bound,
+                   apx.n_a, apx.n_b,
+                   apx.d_stat <= exd.d + 1e-9 AS lower_ok,
+                   exd.d - apx.d_stat <= apx.err_bound + 1e-9
+                     AS within_bound
+            FROM apx JOIN exd ON apx.g = exd.g
         """,
         "w1_approx": """
             WITH u AS (

@@ -1120,6 +1120,114 @@ def chi2_by_group(
     )
 
 
+def two_sample_ks_approx_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    group_col: str,
+    grid_size: int = 2048,
+) -> DataFrame:
+    """Per-group :func:`two_sample_ks_approx_df` — the segmented form
+    of the 100 TB K-S recommendation, FULLY IN-PLAN (no driver action):
+    each group gets its own deterministic equi-width grid over its own
+    [lo, hi] and its own certified sandwich
+    ``d_stat <= D_exact <= d_stat + err_bound``.
+
+    Shape: one bounds aggregation (groupBy group — map-combined,
+    broadcast back), one (group, bucket) aggregation whose shuffle
+    carries <= groups x grid_size rows after map-side combine, one
+    window per group over bucket totals. Nothing is proportional to
+    the data except the two scans — the exact per-group tier's
+    per-(group, value) jump relation never exists.
+
+    Groups missing from either side (or single-valued) report
+    d_stat 0.0 / err_bound 0.0 with their counts, matching
+    :func:`two_sample_ks_by_group`'s degenerate convention; null
+    groups are excluded. Returns one row per group:
+    (group_col, d_stat, err_bound, n_a, n_b).
+    """
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, ia: int, ib: int) -> DataFrame:
+        return (
+            valid_column(df, column)
+            .filter(F.col(group_col).isNotNull())
+            .select(
+                F.col(group_col).alias("g"),
+                F.col(column).alias("v"),
+                F.lit(ia).alias("ia"),
+                F.lit(ib).alias("ib"),
+            )
+        )
+
+    u = side(df_a, 1, 0).unionAll(side(df_b, 0, 1))
+    g = int(grid_size)
+    bounds = u.groupBy("g").agg(
+        F.min("v").alias("_lo"),
+        F.max("v").alias("_hi"),
+        F.sum("ia").alias("_na"),
+        F.sum("ib").alias("_nb"),
+    )
+    # per-group equi-width floor bucketing (identical double
+    # expression in the DuckDB oracle); degenerate ranges collapse
+    # into bucket 0
+    bucketed = u.join(F.broadcast(bounds), "g").withColumn(
+        "bk",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / F.lit(float(g)))
+                ).cast("long"),
+                F.lit(g - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    counts = bucketed.groupBy(
+        "g", "bk", "_na", "_nb", "_lo", "_hi"
+    ).agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    two_sided = (
+        (F.col("_na") > 0) & (F.col("_nb") > 0)
+        & (F.col("_hi") > F.col("_lo"))
+    )
+    cum = counts.select(
+        "g",
+        "_na",
+        "_nb",
+        F.when(
+            two_sided,
+            F.abs(
+                F.sum("ca").over(w) / F.col("_na").cast("double")
+                - F.sum("cb").over(w) / F.col("_nb").cast("double")
+            ),
+        ).otherwise(F.lit(0.0)).alias("gap"),
+        F.when(
+            two_sided,
+            F.col("ca") / F.col("_na").cast("double")
+            + F.col("cb") / F.col("_nb").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("mass"),
+    )
+    return (
+        cum.groupBy("g")
+        .agg(
+            F.round(F.max("gap"), 6).alias("d_stat"),
+            F.round(F.max("mass"), 6).alias("err_bound"),
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+        )
+        .select(
+            F.col("g").alias(group_col), "d_stat", "err_bound",
+            "n_a", "n_b",
+        )
+    )
+
+
 def two_sample_ks_by_group(
     df_a: DataFrame,
     df_b: DataFrame,

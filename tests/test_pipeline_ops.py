@@ -984,6 +984,70 @@ class TestTwoSampleKsApprox:
         assert tuple(r1) == tuple(r2)
 
 
+class TestKsApproxByGroup:
+    """Per-group grid K-S: every group's sandwich must hold against
+    the exact grouped tier; degenerate groups follow the exact tier's
+    convention."""
+
+    def test_per_group_sandwich(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_by_group,
+            two_sample_ks_by_group,
+        )
+
+        rng = np.random.default_rng(3)
+        rows_a = pd.DataFrame({
+            "g": ["x"] * 3000 + ["y"] * 2000,
+            "v": np.concatenate([
+                rng.normal(0, 1, 3000), rng.normal(5, 2, 2000)
+            ]),
+        })
+        rows_b = pd.DataFrame({
+            "g": ["x"] * 2500 + ["y"] * 1500,
+            "v": np.concatenate([
+                rng.normal(0.3, 1, 2500), rng.normal(5, 2.5, 1500)
+            ]),
+        })
+        a, b = spark.createDataFrame(rows_a), spark.createDataFrame(rows_b)
+        ex = {r.g: r for r in two_sample_ks_by_group(
+            a, b, "v", "g").collect()}
+        ap = {r.g: r for r in two_sample_ks_approx_by_group(
+            a, b, "v", "g", grid_size=512).collect()}
+        assert set(ex) == set(ap) == {"x", "y"}
+        for k in ex:
+            assert ap[k].d_stat <= ex[k].d_stat + 1e-9
+            assert ex[k].d_stat <= ap[k].d_stat + ap[k].err_bound + 2e-6
+            assert (ap[k].n_a, ap[k].n_b) == (ex[k].n_a, ex[k].n_b)
+
+    def test_degenerate_groups(self, spark):
+        import pandas as pd
+
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_by_group,
+        )
+
+        # group "solo" exists only on side a; group "const" is
+        # single-valued on both sides
+        a = spark.createDataFrame(pd.DataFrame({
+            "g": ["solo", "solo", "const", "const"],
+            "v": [1.0, 2.0, 7.0, 7.0],
+        }))
+        b = spark.createDataFrame(pd.DataFrame({
+            "g": ["const", "const"],
+            "v": [7.0, 7.0],
+        }))
+        out = {r.g: r for r in two_sample_ks_approx_by_group(
+            a, b, "v", "g").collect()}
+        assert out["solo"].d_stat == 0.0
+        assert out["solo"].err_bound == 0.0
+        assert (out["solo"].n_a, out["solo"].n_b) == (2, 0)
+        assert out["const"].d_stat == 0.0
+        assert out["const"].err_bound == 0.0
+
+
 class TestWassersteinApprox:
     """Grid W1 with the certified |W1_exact - w1| <= 2(hi-lo)/G
     bound — the W1 sibling of the approx K-S tier."""
