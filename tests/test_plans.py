@@ -621,3 +621,79 @@ class TestRound8Plans:
         plan = _physical(validate_rules(li, rules))
         # 25 expectations, ONE scan
         assert plan.count("Scan parquet") == 1
+
+
+class TestRound12Plans:
+    """The certified-approximation tiers must keep their two-bounded-
+    scan shape: one parquet scan in the returned (lazy) plan (the
+    stats scan already ran eagerly), bucket aggregation map-combined,
+    the only window over the <= grid_size bucket totals — never a
+    per-value relation."""
+
+    def test_ks_approx_plan_is_bucket_sized(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_df,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        out = two_sample_ks_approx_df(
+            li.filter("l_returnflag = 'A'"),
+            li.filter("l_returnflag = 'N'"),
+            "l_quantity", grid_size=256,
+        )
+        plan = _physical(out)
+        # one scan per union side in the lazy plan; no join anywhere
+        assert plan.count("Scan parquet") == 2
+        assert "Join" not in plan
+        # bucket agg is two-phase (partial below a hash exchange on the
+        # inlined bucket expression); Catalyst rewrites the bk alias to
+        # _groupingexpression
+        assert "partial_sum" in plan
+        assert (
+            "hashpartitioning(_groupingexpression" in plan
+            or "hashpartitioning(bk" in plan
+        )
+        # the only SinglePartition exchange feeds the window AFTER the
+        # bucket aggregate — it carries <= grid_size rows by
+        # construction, never data rows
+        assert plan.count("Exchange SinglePartition") == 1
+
+    def test_grouped_ks_approx_no_per_value_window(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_by_group,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        out = two_sample_ks_approx_by_group(
+            li.filter("l_linestatus = 'F'"),
+            li.filter("l_linestatus = 'O'"),
+            "l_quantity", "l_returnflag", grid_size=256,
+        )
+        plan = _physical(out)
+        # the window partitions by the GROUP over bucket totals; the
+        # exact tier's per-(group, value) jump relation must not exist
+        assert "Window" in plan
+        assert "hashpartitioning(g#" in plan
+        assert plan.count("Scan parquet") == 4  # 2 sides x (bounds+counts)
+        # bounds join is the broadcast of a tiny aggregate, never SMJ
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_w1_approx_empty_run_lead_rides_bucket_window(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_approx_df,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        out = wasserstein_approx_df(
+            li.filter("l_returnflag = 'A'"),
+            li.filter("l_returnflag = 'N'"),
+            "l_quantity", grid_size=256,
+        )
+        plan = _physical(out)
+        assert plan.count("Scan parquet") == 2
+        assert "Join" not in plan
+        assert (
+            "hashpartitioning(_groupingexpression" in plan
+            or "hashpartitioning(bk" in plan
+        )
