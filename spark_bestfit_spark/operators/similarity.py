@@ -2718,7 +2718,8 @@ def opq_train(
     subspace variances, which provably lowers quantization error vs
     plain :func:`pq_train` (pytest pins the MSE win on correlated
     Gaussians); on isotropic data it degrades to a no-op-quality
-    rotation and recall matches plain PQ.
+    rotation and recall matches plain PQ. ``n_total``: pass a known
+    corpus count to skip the fraction-sizing scan.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
@@ -2831,7 +2832,8 @@ def rq_train(
     """Stage-wise residual codebooks on a seeded driver-side sample
     (same collect budget as :func:`pq_train`: ``128 * n_codes``).
     Returns ``n_levels`` (n_codes, dim) arrays; level l is a KMeans
-    fit of the residuals after levels < l."""
+    fit of the residuals after levels < l. ``n_total``: pass a known
+    corpus count to skip the fraction-sizing scan."""
     if n_levels < 1:
         raise ValueError("n_levels must be >= 1")
     if sample_size is None:

@@ -49,20 +49,31 @@ def load_hash_green(repo: str) -> tuple[dict[str, list[int]], list[str]]:
 def registered_keys(repo: str) -> list[str]:
     """Ordered query keys from __spark_entry__.queries().
 
-    Parses the literal dict statically (regex over the source between the
-    ``def queries`` return and its closing brace) so this tool needs no
-    SparkSession and runs in <1s; falls back to importing the module if
-    the static parse looks wrong.
+    Parses the source statically so this tool needs no SparkSession and
+    runs in <1s.  queries() builds a ``base = {...}`` literal and then
+    reorders it by the module-level ``_HEAD_50`` list, so the effective
+    order is _HEAD_50 first, then base order minus the head — this
+    parser reproduces exactly that.  (The pre-r12 shape was a direct
+    ``return {...}``; a regex against that shape would now match
+    oracle_sql()'s dict instead, which is how the r12 ledger briefly
+    misreported the new registrations as tail entries.)  Falls back to
+    importing the module if the static parse looks wrong.
     """
     path = os.path.join(repo, "__spark_entry__.py")
     with open(path) as f:
         src = f.read()
-    m = re.search(r"def queries\(\).*?return \{(.*?)\n\}", src, re.S)
-    if not m:
-        m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
     keys: list[str] = []
+    m = re.search(r"def queries\(\).*?\n    base = \{(.*?)\n    \}", src, re.S)
     if m:
-        keys = re.findall(r'^\s*"([a-z0-9_]+)":', m.group(1), re.M)
+        base_keys = re.findall(r'^\s*"([a-z0-9_]+)":', m.group(1), re.M)
+        h = re.search(r"^_HEAD_50 = \[(.*?)\n\]", src, re.S | re.M)
+        head_keys = re.findall(r'"([a-z0-9_]+)"', h.group(1)) if h else []
+        if set(head_keys) <= set(base_keys):
+            keys = head_keys + [k for k in base_keys if k not in set(head_keys)]
+    if not keys:  # pre-r12 direct-return shape
+        m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+        if m:
+            keys = re.findall(r'^\s*"([a-z0-9_]+)":', m.group(1), re.M)
     if not keys:  # static parse failed; load by path (no sys.modules pollution)
         import importlib.util  # noqa: PLC0415
 
