@@ -4929,6 +4929,138 @@ def _q_compact_band_index(spark, sf_dir):
     return compact_band_index(raw, max_bucket_size=2)
 
 
+def _q_kn_doc_logprob(spark, sf_dir):
+    """Cross-corpus Kneser-Ney document scoring (the CCNet-style
+    quality filter, Wenzek et al. 2020): a KN bigram LM trained on the
+    even-id half of `documents` scores the odd-id half, with
+    continuation backoff for unseen bigrams and an add-one-smoothed
+    P1+ (proper over vocab + one OOV bucket) so every held-out bigram
+    gets a finite deterministic log-probability. Full value-level
+    DuckDB replica (same tokenizer, same IEEE-double expressions);
+    pytest pins the from-scratch python reference and the
+    distribution's properness."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import kn_doc_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    return kn_doc_logprob(tgt, ref)
+
+
+def _q_w1_approx_by_group(spark, sf_dir):
+    """Per-group certified-approximate 1-Wasserstein — the segmented
+    form of the w1_approx 100 TB tier, fully in-plan: each returnflag
+    group gets its own deterministic grid over its own range and its
+    own data-independent bound |W1_exact - w1| <= 2(hi-lo)/256,
+    pinned IN-QUERY per group against the exact grouped tier
+    (within_bound column). The oracle replays BOTH tiers per group in
+    DuckDB value-for-value."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import (
+        wasserstein_approx_by_group,
+        wasserstein_by_group,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.filter("l_linestatus = 'F'")
+    b = li.filter("l_linestatus = 'O'")
+    ap = wasserstein_approx_by_group(
+        a, b, "l_extendedprice", "l_returnflag", grid_size=256
+    )
+    ex = wasserstein_by_group(
+        a, b, "l_extendedprice", "l_returnflag"
+    ).select("l_returnflag", F.col("w1").alias("_w1_exact"))
+    return ap.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "w1",
+        "err_bound",
+        "n_a",
+        "n_b",
+        (
+            F.abs(F.col("_w1_exact") - F.col("w1"))
+            <= F.col("err_bound") + 1e-9
+        ).alias("within_bound"),
+    )
+
+
+def _q_compact_keeper_snapshot(spark, sf_dir):
+    """Semantic keeper-snapshot COMPACTION (the third compaction tier):
+    a frozen-quantizer keeper snapshot polluted by a replayed delivery
+    (every row appended twice) is compacted back to one row per
+    keeper, and the query VERIFIES IN-QUERY that (a) the compacted
+    relation equals the pristine snapshot exactly (exceptAll both
+    ways) and (b) incremental semantic dedup of a planted delta
+    against the compacted state matches the pristine-state run
+    row-for-row. One-row summary pinned by the oracle; pytest
+    additionally pins the guard-repair behavior."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.similarity import (
+        IvfIndex,
+        compact_keeper_snapshot,
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(29)
+    n, dim, kc = 600, 16, 8
+    centers = 3.0 * rng.normal(0.0, 1.0, (kc, dim))
+    labels = rng.integers(0, kc, n)
+    pts = centers[labels] + 0.2 * rng.normal(0.0, 1.0, (n, dim))
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    delta = spark.createDataFrame(
+        [(int(500 + i), [float(x) for x in pts[500 + i]])
+         for i in range(100)]
+        + [(int(1000 + i), [float(x) for x in pts[i]])
+           for i in range(50)],  # planted dups of state rows
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    idx = IvfIndex.build(base, n_clusters=kc, seed=29, method="local")
+    pristine = idx.assigned.cache()
+    replayed = pristine.unionAll(pristine)
+    compacted = compact_keeper_snapshot(replayed).cache()
+    bit_exact = (
+        compacted.exceptAll(pristine).count() == 0
+        and pristine.exceptAll(compacted).count() == 0
+    )
+    th = 0.9999
+    out_pristine = incremental_semantic_dedup(
+        delta, IvfIndex(pristine, idx.centers), threshold=th
+    ).cache()
+    out_compact = incremental_semantic_dedup(
+        delta, IvfIndex(compacted, idx.centers), threshold=th
+    )
+    mismatches = (
+        out_pristine.withColumnRenamed("rep_id", "r1")
+        .withColumnRenamed("is_kept", "k1")
+        .join(out_compact, "vec_id")
+        .filter(
+            (F.col("r1") != F.col("rep_id"))
+            | (F.col("k1") != F.col("is_kept"))
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            int(replayed.count()),
+            int(compacted.count()),
+            int(out_pristine.count()),
+            int(out_pristine.filter("NOT is_kept AND rep_id < 500").count()),
+            bool(bit_exact),
+            bool(mismatches == 0),
+        )],
+        "n_replayed long, n_compacted long, n_delta long,"
+        " n_dup_of_state long, bit_exact boolean,"
+        " matches_pristine boolean",
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -6445,10 +6577,12 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 5 same-round
+# The r12 head-50 rotation (see queries() docstring): 10 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 34
-# from the r6 band (ANN/dedup family first, then alphabetical).
+# band (streaming_late_data was promised as r12's first spill) + 29
+# from the r6 band (ANN/dedup family first, then alphabetical;
+# fit_multi/fit_price/generate_univariate pushed to the r13 band by
+# the three late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6457,6 +6591,9 @@ _HEAD_50 = [
     "ks_approx_by_group",
     "compact_exact",
     "compact_band_index",
+    "kn_doc_logprob",
+    "w1_approx_by_group",
+    "compact_keeper_snapshot",
     "clip_spans",
     "incremental_exact",
     "incremental_neardup",
@@ -6497,9 +6634,6 @@ _HEAD_50 = [
     "fit_grouped",
     "fit_lazy",
     "fit_mse",
-    "fit_multi",
-    "fit_price",
-    "generate_univariate",
 ]
 
 
@@ -6529,6 +6663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_approx_by_group": _q_ks_approx_by_group,
         "compact_exact": _q_compact_exact,
         "compact_band_index": _q_compact_band_index,
+        "kn_doc_logprob": _q_kn_doc_logprob,
+        "w1_approx_by_group": _q_w1_approx_by_group,
+        "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         # round-11 registrations (operator + oracle same round):
         "ivfpq_recall": _q_ivfpq_recall,
         "incremental_exact": _q_incremental_exact,
@@ -11274,6 +11411,168 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "kn_doc_logprob": """
+            WITH refd AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            rp AS (
+              SELECT arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM refd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS c12 FROM rp
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+            ),
+            ctx AS (
+              SELECT w1, sum(c12) AS c1, count(*) AS fw
+              FROM big GROUP BY 1
+            ),
+            cont AS (SELECT w2, count(*) AS bw FROM big GROUP BY 1),
+            tot AS (
+              SELECT count(*) AS types, count(DISTINCT w2) AS vref
+              FROM big
+            ),
+            tgtd AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tp AS (
+              SELECT doc_id,
+                     arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM tgtd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            sc AS (
+              SELECT t.doc_id, big.c12, ctx.c1, ctx.fw, cont.bw,
+                     tot.types, tot.vref
+              FROM (SELECT * FROM tp
+                    WHERE w1 <> '' AND w2 <> '') t
+                LEFT JOIN big
+                  ON t.w1 = big.w1 AND t.w2 = big.w2
+                LEFT JOIN ctx ON t.w1 = ctx.w1
+                LEFT JOIN cont ON t.w2 = cont.w2
+                CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unseen,
+                   round(avg(ln(
+                     CASE WHEN c1 IS NOT NULL
+                          THEN greatest(coalesce(c12, 0) - 0.75, 0.0)
+                                 / c1
+                               + (0.75 * fw / c1)
+                                 * ((coalesce(bw, 0) + 1.0)
+                                    / (types + vref + 1.0))
+                          ELSE (coalesce(bw, 0) + 1.0)
+                               / (types + vref + 1.0)
+                     END)), 6) AS mean_kn_logprob
+            FROM sc GROUP BY doc_id
+        """,
+        "w1_approx_by_group": """
+            WITH u AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v,
+                     1 AS ia, 0 AS ib
+              FROM lineitem
+              WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND l_returnflag IS NOT NULL
+              UNION ALL
+              SELECT l_returnflag, l_extendedprice, 0, 1
+              FROM lineitem
+              WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND l_returnflag IS NOT NULL
+            ),
+            s AS (
+              SELECT g, min(v) AS lo, max(v) AS hi,
+                     SUM(ia) AS na, SUM(ib) AS nb
+              FROM u GROUP BY g
+            ),
+            bkt AS (
+              SELECT u.g,
+                     CASE WHEN s.hi > s.lo
+                          THEN least(CAST(floor((u.v - s.lo)
+                                 / ((s.hi - s.lo) / 256.0)) AS BIGINT),
+                               255)
+                          ELSE 0 END AS bk,
+                     u.ia, u.ib, s.na, s.nb, s.lo, s.hi
+              FROM u JOIN s USING (g)
+            ),
+            c AS (
+              SELECT g, bk, na, nb, lo, hi,
+                     SUM(ia) AS ca, SUM(ib) AS cb
+              FROM bkt GROUP BY g, bk, na, nb, lo, hi
+            ),
+            p AS (
+              SELECT g, na, nb, lo, hi,
+                     SUM(ca) OVER (PARTITION BY g ORDER BY bk) AS fa,
+                     SUM(cb) OVER (PARTITION BY g ORDER BY bk) AS fb,
+                     lead(bk, 1, 256)
+                       OVER (PARTITION BY g ORDER BY bk) AS nbk,
+                     bk
+              FROM c
+            ),
+            apx AS (
+              SELECT g,
+                     round(SUM(
+                       CASE WHEN na > 0 AND nb > 0 AND hi > lo
+                            THEN abs(fa::DOUBLE / na - fb::DOUBLE / nb)
+                                 * ((hi - lo) / 256.0) * (nbk - bk)
+                            ELSE 0.0 END), 6) AS w1,
+                     round(MAX(
+                       CASE WHEN na > 0 AND nb > 0 AND hi > lo
+                            THEN 2.0 * (hi - lo) / 256.0
+                            ELSE 0.0 END), 6) AS err_bound,
+                     CAST(MAX(na) AS BIGINT) AS n_a,
+                     CAST(MAX(nb) AS BIGINT) AS n_b
+              FROM p GROUP BY g
+            ),
+            gex AS (
+              SELECT g, v, SUM(ia) AS da, SUM(ib) AS db
+              FROM u GROUP BY g, v
+            ),
+            cex AS (
+              SELECT g,
+                     SUM(da) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ca,
+                     SUM(db) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cb,
+                     SUM(da) OVER (PARTITION BY g) AS na,
+                     SUM(db) OVER (PARTITION BY g) AS nb,
+                     lead(v) OVER (PARTITION BY g ORDER BY v) AS nx,
+                     v
+              FROM gex
+            ),
+            exw AS (
+              SELECT g,
+                     SUM(CASE WHEN na > 0 AND nb > 0
+                          THEN abs(ca::DOUBLE / na - cb::DOUBLE / nb)
+                               * (coalesce(nx, v) - v)
+                          ELSE 0.0 END) AS w1x
+              FROM cex GROUP BY g
+            )
+            SELECT apx.g AS l_returnflag, apx.w1, apx.err_bound,
+                   apx.n_a, apx.n_b,
+                   abs(exw.w1x - apx.w1) <= apx.err_bound + 1e-9
+                     AS within_bound
+            FROM apx JOIN exw ON apx.g = exw.g
+        """,
+        "compact_keeper_snapshot": """
+            SELECT CAST(1000 AS BIGINT) AS n_replayed,
+                   CAST(500 AS BIGINT) AS n_compacted,
+                   CAST(150 AS BIGINT) AS n_delta,
+                   CAST(50 AS BIGINT) AS n_dup_of_state,
+                   TRUE AS bit_exact,
+                   TRUE AS matches_pristine
         """,
         "w1_approx": """
             WITH u AS (

@@ -630,6 +630,18 @@ def main() -> None:
         lambda: kneser_ney_bigrams(docs, "text", k=20).count(),
         rounds=2,
     )
+    # round-12: cross-corpus KN scoring (CCNet filter shape) — a new
+    # plan tree (checkpointed LM relations + 3 left joins + doc
+    # re-agg), so it gets its own line
+    from spark_bestfit_spark.operators.textstats import kn_doc_logprob
+
+    bench(
+        "q_kn_doc_logprob",
+        lambda: kn_doc_logprob(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+        ).count(),
+        rounds=2,
+    )
     li_y = lineitem.withColumn(
         "_y", (F.col("l_returnflag") == "R").cast("int")
     )

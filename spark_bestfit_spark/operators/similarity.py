@@ -988,6 +988,45 @@ def incremental_semantic_dedup(
     )
 
 
+def compact_keeper_snapshot(
+    state: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compact the semantic-dedup keeper snapshot (snapshot hygiene
+    for :func:`incremental_semantic_dedup` — the third compaction
+    tier beside :func:`~spark_bestfit_spark.operators.dedup.compact_exact_state`
+    and :func:`~spark_bestfit_spark.operators.dedup.compact_band_index`):
+    one ``(id, vector, cell)`` row per keeper id.
+
+    The snapshot rolls forward by appending the kept rows of
+    ``index.assign(new_vectors)`` after each delivery, so a replayed
+    delivery appends the SAME keeper rows twice. Under the frozen
+    quantizer that is worse than bloat: every duplicated keeper
+    doubles its in-cell pair work on the next delivery AND inflates
+    the combined-cell-population count that feeds the
+    ``max_cluster_size`` guard, so replays can push a healthy cell
+    over the guard and fail the pipeline. Compaction restores the
+    one-row-per-keeper invariant.
+
+    Determinism: replayed rows are bit-identical per id (append-only
+    ids + frozen quantizer assign the same vector to the same cell),
+    so min(cell) / min_by(vector, cell) reduce duplicates to exactly
+    the original row. Equivalence contract (oracle-pinned in
+    ``compact_keeper_snapshot``): incremental dedup of any delta
+    against the compacted snapshot equals the run against the
+    pristine never-replayed snapshot.
+
+    Shuffle profile: ONE map-combinable groupBy on the id — the
+    relation is keeper-sized (the post-dedup survivors), never the
+    corpus, and nothing here scans vectors beyond carrying them.
+    """
+    return state.groupBy(id_col).agg(
+        F.min_by(vec_col, "cell").alias(vec_col),
+        F.min("cell").alias("cell"),
+    )
+
+
 def rrf_fuse(
     rankings: list,
     id_col: str,

@@ -1228,6 +1228,116 @@ def two_sample_ks_approx_by_group(
     )
 
 
+def wasserstein_approx_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    group_col: str,
+    grid_size: int = 2048,
+) -> DataFrame:
+    """Per-group :func:`wasserstein_approx_df` — the segmented form of
+    the certified-approximate W1 tier, FULLY IN-PLAN like
+    :func:`two_sample_ks_approx_by_group`: each group gets its own
+    deterministic equi-width grid over its own [lo, hi], its W1
+    approximated as cell width x ECDF gap x empty-run length
+    (``lead(bk)`` within the group makes empty-cell runs exact), and
+    its own certified data-independent bound
+    ``|W1_exact - w1| <= 2 x (hi - lo) / grid_size``.
+
+    Shape is identical to the grouped K-S tier: one bounds groupBy
+    (broadcast back), one (group, bucket) aggregation (shuffle <=
+    groups x grid_size rows after map-side combine), one per-group
+    window over bucket totals — nothing proportional to the data
+    except the two scans. Groups missing from either side or
+    single-valued report w1 0.0 / err_bound 0.0 with their counts
+    (the grouped degenerate convention); null groups are excluded.
+
+    Returns one row per group:
+    ``(group_col, w1, err_bound, n_a, n_b)``.
+    """
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, ia: int, ib: int) -> DataFrame:
+        return (
+            valid_column(df, column)
+            .filter(F.col(group_col).isNotNull())
+            .select(
+                F.col(group_col).alias("g"),
+                F.col(column).alias("v"),
+                F.lit(ia).alias("ia"),
+                F.lit(ib).alias("ib"),
+            )
+        )
+
+    u = side(df_a, 1, 0).unionAll(side(df_b, 0, 1))
+    g = int(grid_size)
+    bounds = u.groupBy("g").agg(
+        F.min("v").alias("_lo"),
+        F.max("v").alias("_hi"),
+        F.sum("ia").alias("_na"),
+        F.sum("ib").alias("_nb"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(g))
+    bucketed = u.join(F.broadcast(bounds), "g").withColumn(
+        "bk",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor((F.col("v") - F.col("_lo")) / width).cast("long"),
+                F.lit(g - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    counts = bucketed.groupBy(
+        "g", "bk", "_na", "_nb", "_lo", "_hi"
+    ).agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("g").orderBy("bk")
+    two_sided = (
+        (F.col("_na") > 0) & (F.col("_nb") > 0)
+        & (F.col("_hi") > F.col("_lo"))
+    )
+    # the gap after bucket j holds for (next_present_bk - j) cells;
+    # after the LAST present bucket both ECDFs are exactly 1.0 (count
+    # sums divide themselves), so its run contributes 0 regardless of
+    # lead's default g
+    cum = counts.select(
+        "g",
+        "_na",
+        "_nb",
+        F.when(
+            two_sided,
+            F.abs(
+                F.sum("ca").over(w) / F.col("_na").cast("double")
+                - F.sum("cb").over(w) / F.col("_nb").cast("double")
+            )
+            * width
+            * (F.lead("bk", 1, g).over(wl) - F.col("bk")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("contrib"),
+        F.when(
+            two_sided,
+            F.lit(2.0) * (F.col("_hi") - F.col("_lo")) / F.lit(float(g)),
+        ).otherwise(F.lit(0.0)).alias("err"),
+    )
+    return (
+        cum.groupBy("g")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("w1"),
+            F.round(F.max("err"), 6).alias("err_bound"),
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+        )
+        .select(
+            F.col("g").alias(group_col), "w1", "err_bound",
+            "n_a", "n_b",
+        )
+    )
+
+
 def two_sample_ks_by_group(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -1833,3 +1833,114 @@ def tokenizer_fertility(
             ).alias("chars_per_token"),
         )
     )
+
+
+def kn_doc_logprob(
+    target: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score TARGET documents under a Kneser-Ney bigram LM trained on
+    a REFERENCE corpus — the CCNet-style quality filter (Wenzek et al.
+    2020 train a KenLM on Wikipedia and keep low-perplexity web text;
+    reference parity: spark-bestfit has no cross-corpus LM scorer —
+    this is pipeline-extension surface). Unlike
+    :func:`unigram_logprob` / :func:`bigram_logprob`, which score a
+    corpus against ITSELF, this scores held-out text, so unseen
+    events are the whole point and the model must back off:
+
+        P(w2|w1) = max(c(w1 w2) - d, 0)/c(w1)
+                   + lambda(w1) * P1+(w2)          if c(w1) > 0
+                 = P1+(w2)                          if w1 unseen
+        lambda(w1) = d * N1+(w1,.) / c(w1)
+        P1+(w2)    = (N1+(., w2) + 1) / (N1+(., .) + V_ref + 1)
+
+    ``P1+`` is the KN continuation distribution with add-one
+    smoothing over the reference's continuation vocabulary plus ONE
+    out-of-vocabulary bucket — a proper distribution, so every target
+    bigram (including fully-OOV ones) gets a finite, deterministic
+    log-probability with no tunable floor.
+
+    Dataflow (scale-safe at 100 TB): the reference is scanned ONCE
+    into the bigram-count relation (map-side combine; lazily
+    checkpointed so its four consumers — context totals, continuation
+    counts, the 1-row type/vocab total, the scoring join — reuse it);
+    everything derived is bigram-vocab-sized. The target is scanned
+    once into per-doc adjacent pairs (array ``transform``, no window),
+    which LEFT-join the LM relations (AQE picks broadcast when the LM
+    fits) and re-aggregate by doc id. No driver action, no
+    driver-side vocabulary.
+
+    Returns ``(id_col, n_bigrams, n_unseen, mean_kn_logprob)`` —
+    pairs per doc, pairs whose bigram the reference never saw (the
+    novelty diagnostic), and the mean ln P (rounded to 6; exp(-mean)
+    is the per-word perplexity). Target docs with fewer than 2
+    non-empty tokens drop out (nothing to score), matching
+    :func:`bigram_logprob`.
+    """
+    if not 0 < discount < 1:
+        raise ValueError("discount must be in (0, 1)")
+
+    def _pairs(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        out = (
+            df.select(*cols, _tokens(F.col(text_col)).alias("_a"))
+            .filter(F.size("_a") >= 2)
+            .select(
+                *([id_col] if with_id else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_a) - 1), i ->"
+                        " struct(_a[i - 1] AS w1, _a[i] AS w2))"
+                    )
+                ).alias("_b"),
+            )
+            .select(*([id_col] if with_id else []), "_b.w1", "_b.w2")
+        )
+        return out.filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+    big = (
+        _pairs(reference, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("_c12").alias("_c1"),
+        F.count(F.lit(1)).alias("_fw"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("_bw"))
+    tot = big.agg(
+        F.count(F.lit(1)).alias("_types"),
+        F.countDistinct("w2").alias("_vref"),
+    )
+
+    d = float(discount)
+    p_cont1 = (F.coalesce(F.col("_bw"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_types") + F.col("_vref") + F.lit(1.0)
+    )
+    p = F.when(
+        F.col("_c1").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("_c12"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("_c1")
+        + (F.lit(d) * F.col("_fw") / F.col("_c1")) * p_cont1,
+    ).otherwise(p_cont1)
+
+    scored = (
+        _pairs(target, with_id=True)
+        .join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("_c12").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_unseen"),
+        F.round(F.avg(F.log(p)), 6).alias("mean_kn_logprob"),
+    )

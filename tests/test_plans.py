@@ -697,3 +697,38 @@ class TestRound12Plans:
             "hashpartitioning(_groupingexpression" in plan
             or "hashpartitioning(bk" in plan
         )
+
+    def test_grouped_w1_approx_no_per_value_window(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            wasserstein_approx_by_group,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        out = wasserstein_approx_by_group(
+            li.filter("l_linestatus = 'F'"),
+            li.filter("l_linestatus = 'O'"),
+            "l_extendedprice", "l_returnflag", grid_size=256,
+        )
+        plan = _physical(out)
+        # same pinned shape as the grouped K-S tier: group-partitioned
+        # window over bucket totals, broadcast bounds, no per-value
+        # jump relation, 2 sides x (bounds + counts) scans
+        assert "Window" in plan
+        assert "hashpartitioning(g#" in plan
+        assert plan.count("Scan parquet") == 4
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_kn_doc_logprob_single_ref_and_target_scan(self, spark):
+        from spark_bestfit_spark.operators.textstats import kn_doc_logprob
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = kn_doc_logprob(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+        )
+        plan = _physical(out)
+        # the reference corpus is checkpoint-reused: ONE parquet scan
+        # for the target pairs is the only corpus read in the lazy
+        # plan (the LM relations read the checkpointed bigram counts)
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("Scan ExistingRDD") >= 1

@@ -1,0 +1,333 @@
+"""Round-12 extension operators: cross-corpus Kneser-Ney document
+scoring (the CCNet-style quality filter), per-group certified-
+approximate 1-Wasserstein, and semantic keeper-snapshot compaction.
+
+Load-bearing properties: KN doc scores must match a from-scratch
+python replica bigram-for-bigram (including OOV backoff paths, which
+the self-scoring operators never exercise); the smoothed continuation
+distribution must be proper (sums to 1 over vocab + OOV bucket); the
+grouped approx-W1 must sandwich each group's exact W1 within its own
+certified bound; keeper compaction must restore the one-row-per-keeper
+invariant and leave incremental semantic dedup's output unchanged.
+"""
+
+import math
+import random
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from spark_bestfit_spark.operators.similarity import (
+    IvfIndex,
+    compact_keeper_snapshot,
+    incremental_semantic_dedup,
+)
+from spark_bestfit_spark.operators.stats import (
+    wasserstein_approx_by_group,
+    wasserstein_by_group,
+)
+from spark_bestfit_spark.operators.textstats import kn_doc_logprob
+
+
+def _kn_score_reference(ref_texts, tgt_docs, d=0.75):
+    """From-scratch KN scorer: P(w2|w1) with continuation backoff and
+    the add-one-smoothed P1+ (proper over vocab + one OOV bucket)."""
+    refpairs = []
+    for t in ref_texts:
+        ws = [w for w in t.lower().strip().split() if w]
+        refpairs += list(zip(ws, ws[1:]))
+    c12 = Counter(refpairs)
+    c1 = Counter(w1 for w1, _ in refpairs)
+    fw, bw = Counter(), Counter()
+    for (w1, w2) in c12:
+        fw[w1] += 1
+        bw[w2] += 1
+    types, vref = len(c12), len(bw)
+
+    def pcont1(w2):
+        return (bw.get(w2, 0) + 1.0) / (types + vref + 1.0)
+
+    def p(w1, w2):
+        if w1 in c1:
+            return (
+                max(c12.get((w1, w2), 0) - d, 0.0) / c1[w1]
+                + (d * fw[w1] / c1[w1]) * pcont1(w2)
+            )
+        return pcont1(w2)
+
+    out = {}
+    for did, t in tgt_docs:
+        ws = [w for w in t.lower().strip().split() if w]
+        prs = list(zip(ws, ws[1:]))
+        if not prs:
+            continue
+        unseen = sum(1 for pr in prs if pr not in c12)
+        mean = sum(math.log(p(a, b)) for a, b in prs) / len(prs)
+        out[did] = (len(prs), unseen, round(mean, 6))
+    return out
+
+
+class TestKnDocLogprob:
+    def _corpora(self, spark, seed=23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        ref_texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40)))
+            for _ in range(60)
+        ]
+        # target mixes in-vocab phrasing with OOV words so every
+        # backoff branch fires: seen bigram / unseen bigram with seen
+        # context / unseen context / fully-OOV pair
+        tgt_docs = [
+            (i, " ".join(
+                rng.choice(vocab + ["zzq", "xxv", "qqj"])
+                for _ in range(rng.randint(2, 25))
+            ))
+            for i in range(40)
+        ] + [(100, ref_texts[0]), (101, "solo"), (102, "")]
+        ref = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ref_texts)],
+            "doc_id long, text string",
+        )
+        tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+        return ref_texts, tgt_docs, ref, tgt
+
+    def test_matches_reference(self, spark):
+        ref_texts, tgt_docs, ref, tgt = self._corpora(spark)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["mean_kn_logprob"])
+            for r in kn_doc_logprob(tgt, ref).collect()
+        }
+        exp = _kn_score_reference(ref_texts, tgt_docs)
+        assert got == exp
+        # the degenerate docs (1 token / empty) dropped out
+        assert 101 not in got and 102 not in got
+        # OOV branches actually fired somewhere
+        assert any(v[1] > 0 for v in got.values())
+        assert got[100][1] == 0  # verbatim ref doc: every bigram seen
+
+    def test_proper_distribution(self, spark):
+        """sum_w2 P(w2|w1) over vocab + OOV bucket == 1 for seen and
+        unseen contexts — no probability mass is leaked or invented."""
+        ref_texts, _, ref, _ = self._corpora(spark)
+        refpairs = []
+        for t in ref_texts:
+            ws = t.lower().split()
+            refpairs += list(zip(ws, ws[1:]))
+        c12 = Counter(refpairs)
+        vocab = sorted({w for pr in c12 for w in pr})
+        for ctx in [vocab[0], "neverseen"]:
+            probes = [(i, f"{ctx} {w}") for i, w in enumerate(vocab)]
+            probes.append((len(vocab), f"{ctx} __oov__"))
+            tgt = spark.createDataFrame(probes, "doc_id long, text string")
+            rows = kn_doc_logprob(tgt, ref).collect()
+            s = sum(math.exp(r["mean_kn_logprob"]) for r in rows)
+            assert s == pytest.approx(1.0, abs=1e-4)
+
+    def test_partition_invariance(self, spark):
+        _, _, ref, tgt = self._corpora(spark)
+        base = sorted(
+            kn_doc_logprob(tgt, ref).collect(), key=lambda r: r["doc_id"]
+        )
+        shuffled = sorted(
+            kn_doc_logprob(tgt.repartition(7), ref.repartition(5)).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert base == shuffled
+
+    def test_reference_phrasing_scores_higher(self, spark):
+        """The CCNet property: text phrased like the reference corpus
+        gets a higher mean logprob than shuffled-vocab noise."""
+        rng = random.Random(7)
+        template = "the cat sat on the mat and the dog sat on the rug"
+        ref = spark.createDataFrame(
+            [(i, template) for i in range(20)], "doc_id long, text string"
+        )
+        words = template.split()
+        noise = " ".join(rng.sample(words, len(words)))
+        tgt = spark.createDataFrame(
+            [(0, template), (1, noise)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["mean_kn_logprob"]
+            for r in kn_doc_logprob(tgt, ref).collect()
+        }
+        assert got[0] > got[1]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            kn_doc_logprob(df, df, discount=1.5)
+
+
+class TestWassersteinApproxByGroup:
+    def _sides(self, spark, rng):
+        rows_a, rows_b = [], []
+        for g, (mu_a, mu_b, sd) in {
+            "x": (0.0, 0.0, 1.0),
+            "y": (0.0, 2.5, 1.0),
+            "z": (5.0, 5.0, 3.0),
+        }.items():
+            rows_a += [(g, float(v)) for v in rng.normal(mu_a, sd, 800)]
+            rows_b += [(g, float(v)) for v in rng.normal(mu_b, sd, 600)]
+        # degenerate groups: one-sided and single-valued
+        rows_a += [("only_a", float(v)) for v in rng.normal(0, 1, 50)]
+        rows_a += [("const", 3.0)] * 40
+        rows_b += [("const", 3.0)] * 40
+        a = spark.createDataFrame(rows_a, "g string, v double")
+        b = spark.createDataFrame(rows_b, "g string, v double")
+        return a, b
+
+    def test_sandwich_per_group(self, spark, rng):
+        a, b = self._sides(spark, rng)
+        approx = {
+            r["g"]: r
+            for r in wasserstein_approx_by_group(a, b, "v", "g", 512).collect()
+        }
+        exact = {
+            r["g"]: r["w1"]
+            for r in wasserstein_by_group(a, b, "v", "g").collect()
+        }
+        for g in ["x", "y", "z"]:
+            got, ex = approx[g], exact[g]
+            assert abs(ex - got["w1"]) <= got["err_bound"] + 1e-9, g
+            assert got["err_bound"] > 0.0
+        # the shifted group dominates; approx must see the shift
+        assert approx["y"]["w1"] == pytest.approx(2.5, abs=0.2)
+        assert approx["x"]["w1"] < 0.3
+
+    def test_bound_shrinks_with_grid(self, spark, rng):
+        a, b = self._sides(spark, rng)
+        outs = {
+            gsz: {
+                r["g"]: r["err_bound"]
+                for r in wasserstein_approx_by_group(
+                    a, b, "v", "g", gsz
+                ).collect()
+            }
+            for gsz in (64, 256, 1024)
+        }
+        for g in ["x", "y", "z"]:
+            assert outs[64][g] > outs[256][g] > outs[1024][g]
+
+    def test_degenerate_groups(self, spark, rng):
+        a, b = self._sides(spark, rng)
+        got = {
+            r["g"]: r
+            for r in wasserstein_approx_by_group(a, b, "v", "g", 256).collect()
+        }
+        assert got["only_a"]["w1"] == 0.0
+        assert got["only_a"]["err_bound"] == 0.0
+        assert got["only_a"]["n_b"] == 0
+        assert got["const"]["w1"] == 0.0
+        assert got["const"]["err_bound"] == 0.0
+        assert got["const"]["n_a"] == 40
+
+    def test_matches_ungrouped_single_group(self, spark, rng):
+        from spark_bestfit_spark.operators.stats import wasserstein_approx_df
+
+        a, b = self._sides(spark, rng)
+        a1, b1 = a.filter("g = 'y'"), b.filter("g = 'y'")
+        grouped = wasserstein_approx_by_group(a1, b1, "v", "g", 512).first()
+        flat = wasserstein_approx_df(a1, b1, "v", grid_size=512).first()
+        # identical grid and expressions; only float-sum order differs
+        assert grouped["w1"] == pytest.approx(flat["w1"], abs=2e-6)
+        assert grouped["err_bound"] == flat["err_bound"]
+
+
+class TestCompactKeeperSnapshot:
+    def _index(self, spark, rng, n=300, dim=8):
+        vecs = rng.normal(0, 1, (n, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = IvfIndex.build(df, n_clusters=4, seed=1, method="local")
+        return df, idx
+
+    def test_restores_invariant(self, spark, rng):
+        _, idx = self._index(spark, rng)
+        replayed = idx.assigned.unionAll(idx.assigned.limit(120))
+        compacted = compact_keeper_snapshot(replayed)
+        assert compacted.count() == idx.assigned.count()
+        assert (
+            compacted.groupBy("vec_id").count().filter("count > 1").count()
+            == 0
+        )
+        # row content identical to the pristine snapshot
+        pristine = {
+            r["vec_id"]: (r["cell"], tuple(r["embedding"]))
+            for r in idx.assigned.collect()
+        }
+        got = {
+            r["vec_id"]: (r["cell"], tuple(r["embedding"]))
+            for r in compacted.collect()
+        }
+        assert got == pristine
+
+    def test_incremental_equivalence(self, spark, rng):
+        """Incremental semdedup against the compacted replayed state
+        == against the pristine state (and the replayed state would
+        have doubled pair work / guard counts)."""
+        base, idx = self._index(spark, rng)
+        # delta: clones of existing vectors (forced dups) + fresh rows
+        clones = base.filter("vec_id < 5").selectExpr(
+            "vec_id + 1000 AS vec_id", "embedding"
+        )
+        fresh = spark.createDataFrame(
+            [
+                (2000 + i, [float(x) for x in rng.normal(0, 1, 8)])
+                for i in range(10)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        delta = clones.unionAll(fresh)
+        pristine_out = sorted(
+            incremental_semantic_dedup(delta, idx, threshold=0.999).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        replayed = idx.assigned.unionAll(idx.assigned)
+        comp_idx = IvfIndex(
+            compact_keeper_snapshot(replayed), idx.centers
+        )
+        compact_out = sorted(
+            incremental_semantic_dedup(
+                delta, comp_idx, threshold=0.999
+            ).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        assert compact_out == pristine_out
+        assert any(not r["is_kept"] for r in pristine_out)
+
+    def test_guard_repair(self, spark, rng):
+        """A replayed snapshot inflates the combined-cell population
+        past max_cluster_size; compaction repairs the spurious trip."""
+        base, idx = self._index(spark, rng, n=300)
+        delta = spark.createDataFrame(
+            [(5000, [float(x) for x in rng.normal(0, 1, 8)])],
+            "vec_id long, embedding array<double>",
+        )
+        replayed = idx.assigned.unionAll(idx.assigned).unionAll(idx.assigned)
+        bad_idx = IvfIndex(replayed, idx.centers)
+        biggest = (
+            idx.assigned.groupBy("cell").count()
+            .agg({"count": "max"}).first()[0]
+        )
+        cap = biggest * 2  # > any true cell (+delta), < 3x the biggest
+        with pytest.raises(ValueError, match="max_cluster_size"):
+            incremental_semantic_dedup(
+                delta, bad_idx, max_cluster_size=cap
+            ).collect()
+        good_idx = IvfIndex(compact_keeper_snapshot(replayed), idx.centers)
+        out = incremental_semantic_dedup(
+            delta, good_idx, max_cluster_size=cap
+        ).collect()
+        assert len(out) == 1
+
+    def test_one_exchange(self, spark, rng):
+        _, idx = self._index(spark, rng)
+        plan = compact_keeper_snapshot(
+            idx.assigned.unionAll(idx.assigned)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1

@@ -88,6 +88,7 @@ def main() -> int:
     )
     from spark_bestfit_spark.operators.textstats import (
         _tokens,
+        kn_doc_logprob,
         kneser_ney_bigrams,
         tfidf_neardup_pairs,
     )
@@ -494,6 +495,13 @@ def main() -> int:
         ("kneser_ney",
          lambda: kneser_ney_bigrams(docs1, "text", k=20).count(),
          lambda: kneser_ney_bigrams(docs10, "text", k=20).count()),
+        ("kn_doc_logprob",
+         lambda: kn_doc_logprob(
+             docs1.filter("doc_id % 2 = 1"),
+             docs1.filter("doc_id % 2 = 0")).count(),
+         lambda: kn_doc_logprob(
+             docs10.filter("doc_id % 2 = 1"),
+             docs10.filter("doc_id % 2 = 0")).count()),
         ("resolve_entities",
          lambda: resolve_entities(
              part1, "p_name", "p_partkey", max_dist=1).count(),
