@@ -5061,6 +5061,56 @@ def _q_compact_keeper_snapshot(spark, sf_dir):
     )
 
 
+def _q_bpe_encode_words(spark, sf_dir):
+    """BPE tokenizer APPLY (the half bpe_merges trains): the learned
+    10-merge table encodes every word type; the query VERIFIES
+    IN-QUERY that the distributed priority-apply encode equals a
+    driver-side rank-order replay of the merge table over the
+    collected type histogram (the two application orders are provably
+    equivalent; this pins it on real data), then returns the top-20
+    types by (count desc, word asc). Oracle is the pinned literal
+    (the bpe_merges convention — the train loop itself is
+    deterministic with a partition-sweep pytest pin)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        bpe_encode,
+        bpe_learn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs, "text", n_merges=10)
+    enc = bpe_encode(docs, merges).cache()
+    # rank-order replay over the collected type histogram (vocab-sized
+    # verification surface, documented — the operator path never
+    # collects the vocabulary)
+    rows = enc.collect()
+    vocab = {r["word"]: list(r["word"]) for r in rows}
+    for a, b, _ in merges:
+        for w, syms in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            vocab[w] = res
+    matches = all(list(r["tokens"]) == vocab[r["word"]] for r in rows)
+    return (
+        enc.orderBy(F.desc("word_count"), "word")
+        .limit(20)
+        .select(
+            "word",
+            "word_count",
+            "n_tokens",
+            F.array_join("tokens", "|").alias("tokens_str"),
+            F.lit(bool(matches)).alias("matches_reference"),
+        )
+    )
+
+
 def _q_dataset_card(spark, sf_dir):
     """One-row dataset card over documents: corpus volume, token/char
     totals, length stats, empty share, exact-dup rate — two
@@ -6577,12 +6627,12 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 10 same-round
+# The r12 head-50 rotation (see queries() docstring): 11 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 29
+# band (streaming_late_data was promised as r12's first spill) + 28
 # from the r6 band (ANN/dedup family first, then alphabetical;
-# fit_multi/fit_price/generate_univariate pushed to the r13 band by
-# the three late-r12 registrations).
+# fit_multi/fit_price/generate_univariate/fit_mse pushed to the r13
+# band by the four late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6594,6 +6644,7 @@ _HEAD_50 = [
     "kn_doc_logprob",
     "w1_approx_by_group",
     "compact_keeper_snapshot",
+    "bpe_encode_words",
     "clip_spans",
     "incremental_exact",
     "incremental_neardup",
@@ -6633,7 +6684,6 @@ _HEAD_50 = [
     "fit_discrete_grouped",
     "fit_grouped",
     "fit_lazy",
-    "fit_mse",
 ]
 
 
@@ -6666,6 +6716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_logprob": _q_kn_doc_logprob,
         "w1_approx_by_group": _q_w1_approx_by_group,
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
+        "bpe_encode_words": _q_bpe_encode_words,
         # round-11 registrations (operator + oracle same round):
         "ivfpq_recall": _q_ivfpq_recall,
         "incremental_exact": _q_incremental_exact,
@@ -11565,6 +11616,34 @@ def oracle_sql() -> dict[str, str]:
                    abs(exw.w1x - apx.w1) <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exw ON apx.g = exw.g
+        """,
+        "bpe_encode_words": """
+            SELECT word, CAST(word_count AS BIGINT) AS word_count,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   tokens_str, matches_reference
+            FROM (VALUES
+              ('join', 964, 3, 'j|o|in', TRUE),
+              ('hash', 947, 4, 'h|a|s|h', TRUE),
+              ('row', 943, 2, 'r|ow', TRUE),
+              ('batch', 937, 4, 'b|at|c|h', TRUE),
+              ('scan', 936, 4, 's|c|a|n', TRUE),
+              ('column', 934, 5, 'c|o|lu|m|n', TRUE),
+              ('customer', 934, 5, 'c|u|st|o|mer', TRUE),
+              ('filter', 933, 5, 'f|i|l|t|er', TRUE),
+              ('small', 928, 5, 's|m|a|l|l', TRUE),
+              ('merge', 918, 3, 'mer|g|e', TRUE),
+              ('slow', 918, 3, 's|l|ow', TRUE),
+              ('order', 912, 3, 'or|d|er', TRUE),
+              ('vector', 912, 5, 'v|e|c|t|or', TRUE),
+              ('line', 910, 3, 'l|in|e', TRUE),
+              ('data', 908, 3, 'd|at|a', TRUE),
+              ('table', 908, 5, 't|a|b|l|e', TRUE),
+              ('agg', 901, 3, 'a|g|g', TRUE),
+              ('value', 897, 4, 'v|a|lu|e', TRUE),
+              ('key', 896, 3, 'k|e|y', TRUE),
+              ('stream', 888, 5, 'st|r|e|a|m', TRUE)
+            ) AS t(word, word_count, n_tokens, tokens_str,
+                   matches_reference)
         """,
         "compact_keeper_snapshot": """
             SELECT CAST(1000 AS BIGINT) AS n_replayed,

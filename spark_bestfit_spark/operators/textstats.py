@@ -1944,3 +1944,136 @@ def kn_doc_logprob(
         ).cast("long").alias("n_unseen"),
         F.round(F.avg(F.log(p)), 6).alias("mean_kn_logprob"),
     )
+
+
+def _merge_ranks(merges) -> "list[tuple[str, str]]":
+    """Normalize a merge table — :func:`bpe_learn`'s list or
+    :func:`bpe_merge_table`'s relation — to [(left, right), ...] in
+    merge order. Collecting the relation is bounded by construction:
+    the merge table IS the shipped tokenizer artifact (n_merges
+    rows), never corpus-sized."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        return [(r["left"], r["right"]) for r in rows]
+    return [(m[0], m[1]) for m in merges]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus's WORD TYPES —
+    the tokenizer-apply half that completes :func:`bpe_learn`'s
+    train half (Sennrich, Haddow & Birch 2016 §3: apply the learned
+    operations; HF/tiktoken's standard apply). Per word, the
+    lowest-ranked adjacent pair present is merged leftmost-first,
+    repeatedly — provably identical to replaying the merges in rank
+    order (a merge's constituents can only be produced by
+    earlier-ranked merges, so the pending-merge set is always applied
+    in rank order; pytest pins the equivalence on random corpora)
+    but without scanning the full table per word.
+
+    Scale shape: the corpus is touched ONCE (the map-combinable
+    word-type groupBy — types, not tokens); the encode itself is one
+    Arrow-batched stage over the VOCAB-sized type relation with the
+    merge-rank dict broadcast in the closure (the artifact is
+    n_merges rows by definition). 100x the corpus grows only the
+    first exchange.
+
+    Returns ``(word, word_count, tokens array<string>, n_tokens)``
+    — lossless (``concat_ws('', tokens) == word``, pytest-pinned).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = _merge_ranks(merges)
+    ranks = {pair: i for i, pair in enumerate(table)}
+
+    @pandas_udf("array<string>")
+    def _encode(words):
+        inf = float("inf")
+
+        def enc(word):
+            syms = list(word)
+            while len(syms) >= 2:
+                best_r, best_pair = inf, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), inf)
+                    if r < best_r:
+                        best_r, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return syms
+
+        return pd.Series([enc(w) for w in words])
+
+    types = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("word_count"))
+    )
+    return types.select(
+        "word",
+        "word_count",
+        _encode("word").alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def bpe_doc_token_counts(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under a LEARNED BPE tokenizer — the
+    budget/fertility gauge :func:`tokenizer_fertility` approximates
+    with whitespace tokens, now under the real artifact: how many
+    BPE tokens does each document cost?
+
+    One corpus scan explodes doc words; the vocab-sized encoded type
+    relation (:func:`bpe_encode`) joins back on the word key (AQE
+    broadcasts it when it fits) and one re-aggregation by doc closes
+    the plan. Documents with no non-empty tokens drop out (nothing
+    to count).
+
+    Returns ``(id_col, n_ws_tokens, n_bpe_tokens, fertility)`` —
+    fertility = BPE tokens per whitespace token, rounded to 6.
+    """
+    encoded = bpe_encode(df, merges, text_col=text_col).select(
+        "word", "n_tokens"
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ws_tokens"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_bpe_tokens")
+                / F.col("n_ws_tokens").cast("double"),
+                6,
+            ),
+        )
+    )

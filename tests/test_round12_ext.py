@@ -331,3 +331,144 @@ class TestCompactKeeperSnapshot:
             idx.assigned.unionAll(idx.assigned)
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+def _bpe_train_reference(texts, n_merges):
+    """From-scratch python BPE train (greedy, (weight desc, pair asc)
+    tie-break) returning the merge table — mirrors bpe_learn."""
+    words = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), _wt = best
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            vocab[w] = res
+    return merges, vocab, words
+
+
+class TestBpeEncode:
+    def _texts(self, seed=11, n=50):
+        rng = random.Random(seed)
+        stems = ["lower", "newest", "widest", "low", "er", "est",
+                 "running", "runner", "parquet", "partition"]
+        return [
+            " ".join(rng.choice(stems) for _ in range(rng.randint(3, 20)))
+            for _ in range(n)
+        ]
+
+    def test_matches_rank_order_train_state(self, spark):
+        """Priority-apply encode == the train loop's own final symbol
+        state (rank-order application), word type for word type."""
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_encode,
+            bpe_learn,
+        )
+
+        texts = self._texts()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        merges = bpe_learn(df, "text", n_merges=8)
+        ref_merges, ref_vocab, ref_counts = _bpe_train_reference(texts, 8)
+        assert [(a, b) for a, b, _ in merges] == ref_merges
+        got = {
+            r["word"]: (r["word_count"], list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode(df, merges).collect()
+        }
+        exp = {
+            w: (ref_counts[w], syms, len(syms))
+            for w, syms in ref_vocab.items()
+        }
+        assert got == exp
+
+    def test_lossless_and_monotone(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_encode,
+            bpe_learn,
+        )
+
+        texts = self._texts(seed=5)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        merges = bpe_learn(df, "text", n_merges=10)
+        rows = bpe_encode(df, merges).collect()
+        for r in rows:
+            assert "".join(r["tokens"]) == r["word"]
+        total10 = sum(r["n_tokens"] * r["word_count"] for r in rows)
+        rows0 = bpe_encode(df, []).collect()
+        for r in rows0:
+            assert r["n_tokens"] == len(r["word"])
+        total0 = sum(r["n_tokens"] * r["word_count"] for r in rows0)
+        rows5 = bpe_encode(df, merges[:5]).collect()
+        total5 = sum(r["n_tokens"] * r["word_count"] for r in rows5)
+        assert total0 > total5 > total10
+
+    def test_merge_table_relation_input(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_encode,
+            bpe_learn,
+            bpe_merge_table,
+        )
+
+        texts = self._texts(seed=3)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        merges = bpe_learn(df, "text", n_merges=6)
+        table = bpe_merge_table(df, "text", n_merges=6)
+        a = sorted(
+            bpe_encode(df, merges).collect(), key=lambda r: r["word"]
+        )
+        b = sorted(
+            bpe_encode(df, table).collect(), key=lambda r: r["word"]
+        )
+        assert a == b
+
+    def test_doc_token_counts(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_doc_token_counts,
+            bpe_learn,
+        )
+
+        texts = self._texts(seed=9, n=20)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)] + [(99, "  ")],
+            "doc_id long, text string",
+        )
+        merges = bpe_learn(df, "text", n_merges=8)
+        _, ref_vocab, _ = _bpe_train_reference(texts, 8)
+        got = {
+            r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"], r["fertility"])
+            for r in bpe_doc_token_counts(df, merges).collect()
+        }
+        assert 99 not in got  # empty doc drops out
+        for i, t in enumerate(texts):
+            ws = [w for w in t.lower().split() if w]
+            bpe = sum(len(ref_vocab[w]) for w in ws)
+            assert got[i] == (
+                len(ws), bpe, pytest.approx(round(bpe / len(ws), 6))
+            ), i
