@@ -88,6 +88,8 @@ def main() -> int:
     )
     from spark_bestfit_spark.operators.textstats import (
         _tokens,
+        bpe_doc_token_counts,
+        bpe_learn,
         kn_doc_logprob,
         kneser_ney_bigrams,
         tfidf_neardup_pairs,
@@ -502,6 +504,16 @@ def main() -> int:
          lambda: kn_doc_logprob(
              docs10.filter("doc_id % 2 = 1"),
              docs10.filter("doc_id % 2 = 0")).count()),
+        # fixed 10-merge table (sf-independent artifact) applied at
+        # both ends: the encode stage is vocab-sized — and the doc
+        # replicas suffix tokens per rep, so the sf10 vocab is ~10x
+        # the sf1 vocab, making this a real stress of the type-level
+        # encode + word-key join, not just the corpus scan
+        ("bpe_doc_token_counts",
+         lambda: bpe_doc_token_counts(
+             docs1, bpe_learn(docs1.limit(5000), "text", 10)).count(),
+         lambda: bpe_doc_token_counts(
+             docs10, bpe_learn(docs10.limit(5000), "text", 10)).count()),
         ("resolve_entities",
          lambda: resolve_entities(
              part1, "p_name", "p_partkey", max_dist=1).count(),
