@@ -2077,3 +2077,115 @@ def bpe_doc_token_counts(
             ),
         )
     )
+
+
+def kn_doc_logprob_by_group(
+    target: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-group :func:`kn_doc_logprob` — the form CCNet actually
+    runs (Wenzek et al. 2020 train ONE LM PER LANGUAGE): each group's
+    reference slice trains its own KN bigram LM, and every target
+    document is scored under ITS OWN group's LM, all in one plan.
+
+    Same model as the flat operator, with every LM relation keyed by
+    the group: bigram counts on (g, w1, w2), context totals on
+    (g, w1), continuation counts on (g, w2), and a groups-sized
+    (g, types, vocab) relation replacing the flat 1-row broadcast.
+    Target docs whose group has NO reference slice score
+    ``mean_kn_logprob = NULL`` (there is no model to score under —
+    the honest answer; their ``n_bigrams``/``n_unseen`` still count).
+    Null groups are excluded on both sides.
+
+    Scale shape matches the flat tier: reference scanned once into
+    checkpointed group-keyed vocab-sized relations, target scanned
+    once, LEFT joins on group-qualified token keys, one re-agg by
+    (group, doc). 100x the corpus grows the two scans and the
+    map-combined count exchanges only.
+
+    Returns ``(id_col, group_col, n_bigrams, n_unseen,
+    mean_kn_logprob)``; target docs with fewer than 2 non-empty
+    tokens drop out.
+    """
+    if not 0 < discount < 1:
+        raise ValueError("discount must be in (0, 1)")
+
+    def _pairs(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = ([F.col(id_col)] if with_id else []) + [
+            F.col(group_col).alias("g")
+        ]
+        keep = ([id_col] if with_id else []) + ["g"]
+        out = (
+            df.filter(F.col(group_col).isNotNull())
+            .select(*cols, _tokens(F.col(text_col)).alias("_a"))
+            .filter(F.size("_a") >= 2)
+            .select(
+                *keep,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_a) - 1), i ->"
+                        " struct(_a[i - 1] AS w1, _a[i] AS w2))"
+                    )
+                ).alias("_b"),
+            )
+            .select(*keep, "_b.w1", "_b.w2")
+        )
+        return out.filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+    big = (
+        _pairs(reference, with_id=False)
+        .groupBy("g", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = big.groupBy("g", "w1").agg(
+        F.sum("_c12").alias("_c1"),
+        F.count(F.lit(1)).alias("_fw"),
+    )
+    cont = big.groupBy("g", "w2").agg(F.count(F.lit(1)).alias("_bw"))
+    tot = big.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_types"),
+        F.countDistinct("w2").alias("_vref"),
+    )
+
+    d = float(discount)
+    p_cont1 = (F.coalesce(F.col("_bw"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_types") + F.col("_vref") + F.lit(1.0)
+    )
+    p = F.when(
+        F.col("_c1").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("_c12"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("_c1")
+        + (F.lit(d) * F.col("_fw") / F.col("_c1")) * p_cont1,
+    ).otherwise(p_cont1)
+
+    scored = (
+        _pairs(target, with_id=True)
+        .join(big, ["g", "w1", "w2"], "left")
+        .join(ctx, ["g", "w1"], "left")
+        .join(cont, ["g", "w2"], "left")
+        .join(F.broadcast(tot), "g", "left")
+    )
+    return (
+        scored.groupBy(id_col, "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_c12").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unseen"),
+            F.round(F.avg(F.log(p)), 6).alias("mean_kn_logprob"),
+        )
+        .select(
+            id_col,
+            F.col("g").alias(group_col),
+            "n_bigrams",
+            "n_unseen",
+            "mean_kn_logprob",
+        )
+    )

@@ -472,3 +472,99 @@ class TestBpeEncode:
             assert got[i] == (
                 len(ws), bpe, pytest.approx(round(bpe / len(ws), 6))
             ), i
+
+
+class TestKnDocLogprobByGroup:
+    def _corpora(self, spark, seed=31):
+        rng = random.Random(seed)
+        vocabs = {
+            "en": [f"e{i}" for i in range(20)],
+            "de": [f"d{i}" for i in range(20)],
+        }
+        ref_rows, tgt_rows = [], []
+        i = 0
+        for g, vocab in vocabs.items():
+            for _ in range(30):
+                ref_rows.append((i, g, " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(2, 30)))))
+                i += 1
+        for g, vocab in vocabs.items():
+            for _ in range(15):
+                tgt_rows.append((i, g, " ".join(
+                    rng.choice(vocab + ["zz"])
+                    for _ in range(rng.randint(2, 20)))))
+                i += 1
+        # a target group with NO reference slice
+        tgt_rows.append((900, "fr", "le chat dort"))
+        ref = spark.createDataFrame(
+            ref_rows, "doc_id long, lang string, text string"
+        )
+        tgt = spark.createDataFrame(
+            tgt_rows, "doc_id long, lang string, text string"
+        )
+        return ref_rows, tgt_rows, ref, tgt
+
+    def test_matches_per_group_flat_reference(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob_by_group,
+        )
+
+        ref_rows, tgt_rows, ref, tgt = self._corpora(spark)
+        got = {
+            r["doc_id"]: (
+                r["lang"], r["n_bigrams"], r["n_unseen"],
+                r["mean_kn_logprob"],
+            )
+            for r in kn_doc_logprob_by_group(tgt, ref).collect()
+        }
+        for g in ["en", "de"]:
+            ref_texts = [t for _, gg, t in ref_rows if gg == g]
+            tgt_docs = [(i, t) for i, gg, t in tgt_rows if gg == g]
+            exp = _kn_score_reference(ref_texts, tgt_docs)
+            for did, (n, unseen, mean) in exp.items():
+                assert got[did] == (g, n, unseen, mean), did
+
+    def test_missing_group_scores_null(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob_by_group,
+        )
+
+        _, _, ref, tgt = self._corpora(spark)
+        row = [
+            r for r in kn_doc_logprob_by_group(tgt, ref).collect()
+            if r["doc_id"] == 900
+        ]
+        assert len(row) == 1
+        assert row[0]["mean_kn_logprob"] is None
+        assert row[0]["n_bigrams"] == 2
+        assert row[0]["n_unseen"] == 2
+
+    def test_agrees_with_flat_on_single_group(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob,
+            kn_doc_logprob_by_group,
+        )
+
+        _, _, ref, tgt = self._corpora(spark)
+        ref_en, tgt_en = ref.filter("lang = 'en'"), tgt.filter("lang = 'en'")
+        flat = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["mean_kn_logprob"])
+            for r in kn_doc_logprob(tgt_en, ref_en).collect()
+        }
+        grouped = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["mean_kn_logprob"])
+            for r in kn_doc_logprob_by_group(tgt_en, ref_en).collect()
+        }
+        assert flat == grouped
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "en", "a b")], "doc_id long, lang string, text string"
+        )
+        with pytest.raises(ValueError):
+            kn_doc_logprob_by_group(df, df, discount=0.0)
