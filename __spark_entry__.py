@@ -4949,6 +4949,49 @@ def _q_kn_doc_logprob(spark, sf_dir):
     return kn_doc_logprob(tgt, ref)
 
 
+def _q_kn_lm_incremental(spark, sf_dir):
+    """Mergeable KN LM snapshots (the incremental-tier convention
+    applied to the quality filter): the even-id reference is split
+    into two deliveries, each collapsed to its bigram-count
+    SUFFICIENT STATISTIC (kn_bigram_counts), merged with one
+    union-sum (kn_merge_counts), and the odd-id docs are scored from
+    the merged state. The query VERIFIES IN-QUERY that the merged
+    state's scores equal the full-retrain scores (exceptAll both
+    ways). Oracle = the kn_doc_logprob replica + the pinned TRUE —
+    merged counts ARE the full counts, so the same SQL replays it."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        kn_bigram_counts,
+        kn_doc_logprob,
+        kn_doc_logprob_from_counts,
+        kn_merge_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d1 = docs.filter(F.col("doc_id") % 4 == 0)
+    d2 = docs.filter(F.col("doc_id") % 4 == 2)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = kn_merge_counts(
+        kn_bigram_counts(d1), kn_bigram_counts(d2)
+    )
+    inc = kn_doc_logprob_from_counts(tgt, merged).cache()
+    full = kn_doc_logprob(
+        tgt, docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    matches = (
+        inc.exceptAll(full).count() == 0
+        and full.exceptAll(inc).count() == 0
+    )
+    return inc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        "mean_kn_logprob",
+        F.lit(bool(matches)).alias("matches_full_retrain"),
+    )
+
+
 def _q_kn_doc_logprob_by_group(spark, sf_dir):
     """Per-language KN scoring — the form CCNet actually runs (one LM
     per language): each lang's even-id reference slice trains its own
@@ -6647,12 +6690,13 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 12 same-round
+# The r12 head-50 rotation (see queries() docstring): 13 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 27
+# band (streaming_late_data was promised as r12's first spill) + 26
 # from the r6 band (ANN/dedup family first, then alphabetical;
-# fit_multi/fit_price/generate_univariate/fit_mse/fit_lazy pushed to
-# the r13 band by the five late-r12 registrations).
+# fit_multi/fit_price/generate_univariate/fit_mse/fit_lazy/
+# fit_grouped pushed to the r13 band by the six late-r12
+# registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6663,6 +6707,7 @@ _HEAD_50 = [
     "compact_band_index",
     "kn_doc_logprob",
     "kn_doc_logprob_by_group",
+    "kn_lm_incremental",
     "w1_approx_by_group",
     "compact_keeper_snapshot",
     "bpe_encode_words",
@@ -6703,7 +6748,6 @@ _HEAD_50 = [
     "fit_censored",
     "fit_discrete",
     "fit_discrete_grouped",
-    "fit_grouped",
 ]
 
 
@@ -6735,6 +6779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_band_index": _q_compact_band_index,
         "kn_doc_logprob": _q_kn_doc_logprob,
         "kn_doc_logprob_by_group": _q_kn_doc_logprob_by_group,
+        "kn_lm_incremental": _q_kn_lm_incremental,
         "w1_approx_by_group": _q_w1_approx_by_group,
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         "bpe_encode_words": _q_bpe_encode_words,
@@ -11545,6 +11590,70 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (coalesce(bw, 0) + 1.0)
                                / (types + vref + 1.0)
                      END)), 6) AS mean_kn_logprob
+            FROM sc GROUP BY doc_id
+        """,
+        "kn_lm_incremental": """
+            WITH refd AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            rp AS (
+              SELECT arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM refd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS c12 FROM rp
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+            ),
+            ctx AS (
+              SELECT w1, sum(c12) AS c1, count(*) AS fw
+              FROM big GROUP BY 1
+            ),
+            cont AS (SELECT w2, count(*) AS bw FROM big GROUP BY 1),
+            tot AS (
+              SELECT count(*) AS types, count(DISTINCT w2) AS vref
+              FROM big
+            ),
+            tgtd AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tp AS (
+              SELECT doc_id,
+                     arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM tgtd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            sc AS (
+              SELECT t.doc_id, big.c12, ctx.c1, ctx.fw, cont.bw,
+                     tot.types, tot.vref
+              FROM (SELECT * FROM tp
+                    WHERE w1 <> '' AND w2 <> '') t
+                LEFT JOIN big
+                  ON t.w1 = big.w1 AND t.w2 = big.w2
+                LEFT JOIN ctx ON t.w1 = ctx.w1
+                LEFT JOIN cont ON t.w2 = cont.w2
+                CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unseen,
+                   round(avg(ln(
+                     CASE WHEN c1 IS NOT NULL
+                          THEN greatest(coalesce(c12, 0) - 0.75, 0.0)
+                                 / c1
+                               + (0.75 * fw / c1)
+                                 * ((coalesce(bw, 0) + 1.0)
+                                    / (types + vref + 1.0))
+                          ELSE (coalesce(bw, 0) + 1.0)
+                               / (types + vref + 1.0)
+                     END)), 6) AS mean_kn_logprob,
+                   TRUE AS matches_full_retrain
             FROM sc GROUP BY doc_id
         """,
         "kn_doc_logprob_by_group": """

@@ -1880,33 +1880,94 @@ def kn_doc_logprob(
     non-empty tokens drop out (nothing to score), matching
     :func:`bigram_logprob`.
     """
+    return kn_doc_logprob_from_counts(
+        target,
+        kn_bigram_counts(reference, text_col=text_col),
+        text_col=text_col,
+        id_col=id_col,
+        discount=discount,
+    )
+
+
+def _kn_pairs(df: DataFrame, text_col: str, id_col=None) -> DataFrame:
+    """Per-doc adjacent non-empty token pairs (array transform, no
+    window); shared by the flat KN train/score paths."""
+    keep = [id_col] if id_col else []
+    cols = [F.col(id_col)] if id_col else []
+    out = (
+        df.select(*cols, _tokens(F.col(text_col)).alias("_a"))
+        .filter(F.size("_a") >= 2)
+        .select(
+            *keep,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_a) - 1), i ->"
+                    " struct(_a[i - 1] AS w1, _a[i] AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(*keep, "_b.w1", "_b.w2")
+    )
+    return out.filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+
+def kn_bigram_counts(
+    reference: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The KN LM's SUFFICIENT STATISTIC as a persistable relation:
+    corpus bigram counts ``(w1, w2, c12)``. Everything the scorer
+    needs — context totals, continuation counts, type/vocab totals —
+    derives from this relation with vocab-sized work, so this is the
+    whole snapshot a growing-corpus pipeline persists.
+
+    Counts are ADDITIVE: a delta delivery's counts merge into the
+    state with :func:`kn_merge_counts` (one union-sum) — no retrain
+    over the old corpus, and scoring from the merged state is
+    IDENTICAL to a full retrain (same counts → same model;
+    oracle-pinned in ``kn_lm_incremental``). One corpus scan,
+    map-combinable groupBy."""
+    return (
+        _kn_pairs(reference, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+
+
+def kn_merge_counts(*states: DataFrame) -> DataFrame:
+    """Merge KN LM snapshots (:func:`kn_bigram_counts` relations) —
+    counts are additive, so absorbing a delivery is ONE map-combinable
+    union-sum on the (w1, w2) key. Scoring from the merged state
+    equals the full retrain exactly."""
+    if not states:
+        raise ValueError("kn_merge_counts needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("w1", "w2").agg(
+        F.sum("c12").cast("long").alias("c12")
+    )
+
+
+def kn_doc_logprob_from_counts(
+    target: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score target documents from a persisted/merged KN LM snapshot
+    (:func:`kn_bigram_counts`) — the state-backed path of
+    :func:`kn_doc_logprob` (same model, same output contract; see
+    that docstring for the backoff math). The counts relation is
+    lazily checkpointed here because four consumers derive from it
+    (context totals, continuation counts, the 1-row type total, the
+    scoring join) — vocab-sized either way."""
     if not 0 < discount < 1:
         raise ValueError("discount must be in (0, 1)")
-
-    def _pairs(df: DataFrame, with_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if with_id else []
-        out = (
-            df.select(*cols, _tokens(F.col(text_col)).alias("_a"))
-            .filter(F.size("_a") >= 2)
-            .select(
-                *([id_col] if with_id else []),
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(_a) - 1), i ->"
-                        " struct(_a[i - 1] AS w1, _a[i] AS w2))"
-                    )
-                ).alias("_b"),
-            )
-            .select(*([id_col] if with_id else []), "_b.w1", "_b.w2")
-        )
-        return out.filter((F.col("w1") != "") & (F.col("w2") != ""))
-
-    big = (
-        _pairs(reference, with_id=False)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c12"))
-        .localCheckpoint(eager=False)
-    )
+    big = counts.select(
+        "w1", "w2", F.col("c12").alias("_c12")
+    ).localCheckpoint(eager=False)
     ctx = big.groupBy("w1").agg(
         F.sum("_c12").alias("_c1"),
         F.count(F.lit(1)).alias("_fw"),
@@ -1931,7 +1992,7 @@ def kn_doc_logprob(
     ).otherwise(p_cont1)
 
     scored = (
-        _pairs(target, with_id=True)
+        _kn_pairs(target, text_col, id_col=id_col)
         .join(big, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
         .join(cont, "w2", "left")

@@ -16,6 +16,7 @@ import random
 from collections import Counter
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from spark_bestfit_spark.operators.similarity import (
@@ -568,3 +569,67 @@ class TestKnDocLogprobByGroup:
         )
         with pytest.raises(ValueError):
             kn_doc_logprob_by_group(df, df, discount=0.0)
+
+
+class TestKnLmState:
+    def test_merged_state_equals_full_retrain(self, spark, tmp_path):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_bigram_counts,
+            kn_doc_logprob,
+            kn_doc_logprob_from_counts,
+            kn_merge_counts,
+        )
+
+        rng = random.Random(41)
+        vocab = [f"w{i}" for i in range(25)]
+        texts = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 30))))
+            for i in range(90)
+        ]
+        ref = spark.createDataFrame(texts, "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [(100 + i, " ".join(rng.choice(vocab + ["qq"])
+                                for _ in range(rng.randint(2, 15))))
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        # three deliveries, persisted and reloaded through parquet
+        states = []
+        for k in range(3):
+            part = ref.filter(F.col("doc_id") % 3 == k)
+            path = str(tmp_path / f"state_{k}.parquet")
+            kn_bigram_counts(part).write.parquet(path)
+            states.append(spark.read.parquet(path))
+        merged = kn_merge_counts(*states)
+        got = sorted(
+            kn_doc_logprob_from_counts(tgt, merged).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        full = sorted(
+            kn_doc_logprob(tgt, ref).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert got == full
+
+    def test_counts_are_the_sufficient_statistic(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_bigram_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b a b c"), (1, "b c")], "doc_id long, text string"
+        )
+        got = {
+            (r["w1"], r["w2"]): r["c12"]
+            for r in kn_bigram_counts(df).collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 2}
+
+    def test_merge_validation(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_merge_counts,
+        )
+
+        with pytest.raises(ValueError):
+            kn_merge_counts()
