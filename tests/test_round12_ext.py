@@ -633,3 +633,39 @@ class TestKnLmState:
 
         with pytest.raises(ValueError):
             kn_merge_counts()
+
+
+class TestBpeArtifactRoundTrip:
+    def test_parquet_round_trip_encodes_identically(self, spark, tmp_path):
+        """The merge table IS the shipped artifact: persisted through
+        Spark parquet and reloaded, it must drive bpe_encode to the
+        bit-identical token stream (bpe_encode accepts the reloaded
+        relation directly)."""
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_encode,
+            bpe_merge_table,
+        )
+
+        rng = random.Random(19)
+        stems = ["lower", "newest", "widest", "low", "er", "est"]
+        df = spark.createDataFrame(
+            [(i, " ".join(rng.choice(stems)
+                          for _ in range(rng.randint(3, 15))))
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        table = bpe_merge_table(df, "text", n_merges=8)
+        path = str(tmp_path / "bpe_merges.parquet")
+        table.write.parquet(path)
+        reloaded = spark.read.parquet(path)
+        a = sorted(
+            bpe_encode(df, table).collect(), key=lambda r: r["word"]
+        )
+        b = sorted(
+            bpe_encode(df, reloaded).collect(), key=lambda r: r["word"]
+        )
+        assert a == b
+        # the reloaded relation carries the full artifact schema
+        assert {"merge_rank", "left", "right", "merged", "weight"} <= set(
+            reloaded.columns
+        )

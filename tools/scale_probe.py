@@ -91,6 +91,7 @@ def main() -> int:
         bpe_doc_token_counts,
         bpe_learn,
         kn_doc_logprob,
+        kn_doc_logprob_by_group,
         kneser_ney_bigrams,
         tfidf_neardup_pairs,
     )
@@ -504,6 +505,29 @@ def main() -> int:
          lambda: kn_doc_logprob(
              docs10.filter("doc_id % 2 = 1"),
              docs10.filter("doc_id % 2 = 0")).count()),
+        # grouped tier shares the flat plan spine with every LM
+        # relation group-keyed; replicas carry no lang column, so a
+        # 4-way synthetic group stands in (floor(id/2) % 4 so the
+        # even/odd train/score split leaves every group populated on
+        # BOTH sides — id % 4 would make ref and target groups
+        # disjoint and the joins degenerate to all-NULL)
+        ("kn_doc_logprob_by_group",
+         lambda: kn_doc_logprob_by_group(
+             docs1.filter("doc_id % 2 = 1").withColumn(
+                 "lang",
+                 (F.floor(F.col("doc_id") / 2) % 4).cast("string")),
+             docs1.filter("doc_id % 2 = 0").withColumn(
+                 "lang",
+                 (F.floor(F.col("doc_id") / 2) % 4).cast("string"))
+             ).count(),
+         lambda: kn_doc_logprob_by_group(
+             docs10.filter("doc_id % 2 = 1").withColumn(
+                 "lang",
+                 (F.floor(F.col("doc_id") / 2) % 4).cast("string")),
+             docs10.filter("doc_id % 2 = 0").withColumn(
+                 "lang",
+                 (F.floor(F.col("doc_id") / 2) % 4).cast("string"))
+             ).count()),
         # fixed 10-merge table (sf-independent artifact) applied at
         # both ends: the encode stage is vocab-sized — and the doc
         # replicas suffix tokens per rep, so the sf10 vocab is ~10x
