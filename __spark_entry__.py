@@ -5124,6 +5124,48 @@ def _q_compact_keeper_snapshot(spark, sf_dir):
     )
 
 
+def _q_streaming_certified_drift(spark, sf_dir):
+    """Streaming twin of the certified-approx drift tier: lineitem's
+    'O' rows stream in 4 micro-batches through a CertifiedDriftMonitor
+    whose grid was frozen from the 'F' reference; the checked surface
+    is the CUMULATIVE certified scores (a pure function of the
+    additive grid-count vector — batching-invariant by construction,
+    like every checked streaming result here). The oracle replays the
+    dense-grid arithmetic (clamped floor bucketing, cumsum gaps, max
+    combined mass, gap x width sum) in DuckDB value-for-value."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming import CertifiedDriftMonitor
+    from spark_bestfit_spark.streaming.run import drain_foreach_batch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = li.filter("l_linestatus = 'F'").select(
+        F.col("l_extendedprice").alias("value")
+    )
+    monitor = CertifiedDriftMonitor(
+        ref, column="value", grid_size=512, d_threshold=None
+    )
+    stream = _read_stream(spark, sf_dir, "lineitem").filter(
+        "l_linestatus = 'O'"
+    ).select(F.col("l_extendedprice").alias("value"))
+    drain_foreach_batch(stream, monitor)
+    c = monitor.cumulative()
+    return spark.createDataFrame(
+        [(
+            int(c["n_rows"]),
+            int(c["n_out_of_range"]),
+            round(float(c["d_stat"]), 6),
+            round(float(c["err_bound"]), 6),
+            round(float(c["w1"]), 6),
+            round(float(c["w1_err_bound"]), 6),
+            len(monitor.history),
+        )],
+        "n_rows long, n_out_of_range long, d_stat double,"
+        " err_bound double, w1 double, w1_err_bound double,"
+        " n_batches long",
+    )
+
+
 def _q_bpe_encode_words(spark, sf_dir):
     """BPE tokenizer APPLY (the half bpe_merges trains): the learned
     10-merge table encodes every word type; the query VERIFIES
@@ -6690,13 +6732,13 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 13 same-round
+# The r12 head-50 rotation (see queries() docstring): 14 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 26
+# band (streaming_late_data was promised as r12's first spill) + 25
 # from the r6 band (ANN/dedup family first, then alphabetical;
 # fit_multi/fit_price/generate_univariate/fit_mse/fit_lazy/
-# fit_grouped pushed to the r13 band by the six late-r12
-# registrations).
+# fit_grouped/fit_discrete_grouped pushed to the r13 band by the
+# seven late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6711,6 +6753,7 @@ _HEAD_50 = [
     "w1_approx_by_group",
     "compact_keeper_snapshot",
     "bpe_encode_words",
+    "streaming_certified_drift",
     "clip_spans",
     "incremental_exact",
     "incremental_neardup",
@@ -6747,7 +6790,6 @@ _HEAD_50 = [
     "fit_bounded",
     "fit_censored",
     "fit_discrete",
-    "fit_discrete_grouped",
 ]
 
 
@@ -6783,6 +6825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_approx_by_group": _q_w1_approx_by_group,
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         "bpe_encode_words": _q_bpe_encode_words,
+        "streaming_certified_drift": _q_streaming_certified_drift,
         # round-11 registrations (operator + oracle same round):
         "ivfpq_recall": _q_ivfpq_recall,
         "incremental_exact": _q_incremental_exact,
@@ -11816,6 +11859,73 @@ def oracle_sql() -> dict[str, str]:
                    abs(exw.w1x - apx.w1) <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exw ON apx.g = exw.g
+        """,
+        "streaming_certified_drift": """
+            WITH ref AS (
+              SELECT l_extendedprice AS v FROM lineitem
+              WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+            ),
+            strm AS (
+              SELECT l_extendedprice AS v FROM lineitem
+              WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+            ),
+            b AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+            rc AS (
+              SELECT greatest(least(CAST(floor((ref.v - b.lo)
+                       / ((b.hi - b.lo) / 512.0)) AS BIGINT), 511), 0)
+                       AS bk,
+                     count(*) AS c
+              FROM ref, b GROUP BY 1
+            ),
+            sc AS (
+              SELECT greatest(least(CAST(floor((strm.v - b.lo)
+                       / ((b.hi - b.lo) / 512.0)) AS BIGINT), 511), 0)
+                       AS bk,
+                     count(*) AS c
+              FROM strm, b GROUP BY 1
+            ),
+            grid AS (
+              SELECT CAST(i AS BIGINT) AS bk
+              FROM unnest(generate_series(0, 511)) AS t(i)
+            ),
+            dense AS (
+              SELECT g.bk,
+                     coalesce(rc.c, 0) AS ra,
+                     coalesce(sc.c, 0) AS sa
+              FROM grid g
+                LEFT JOIN rc ON g.bk = rc.bk
+                LEFT JOIN sc ON g.bk = sc.bk
+            ),
+            tot AS (
+              SELECT sum(ra) AS rn, sum(sa) AS sn FROM dense
+            ),
+            cum AS (
+              SELECT bk,
+                     (SUM(ra) OVER (ORDER BY bk))::DOUBLE / tot.rn
+                       AS fa,
+                     (SUM(sa) OVER (ORDER BY bk))::DOUBLE / tot.sn
+                       AS fb,
+                     ra::DOUBLE / tot.rn + sa::DOUBLE / tot.sn
+                       AS mass
+              FROM dense, tot
+            ),
+            oor AS (
+              SELECT count(*) AS n FROM strm, b
+              WHERE strm.v < b.lo OR strm.v > b.hi
+            )
+            SELECT (SELECT sn FROM tot)::BIGINT AS n_rows,
+                   (SELECT n FROM oor)::BIGINT AS n_out_of_range,
+                   round(max(abs(fa - fb)), 6) AS d_stat,
+                   round(max(mass), 6) AS err_bound,
+                   round(SUM(abs(fa - fb)
+                         * ((SELECT hi - lo FROM b) / 512.0)), 6)
+                     AS w1,
+                   round(2.0 * (SELECT hi - lo FROM b) / 512.0, 6)
+                     AS w1_err_bound,
+                   CAST(4 AS BIGINT) AS n_batches
+            FROM cum
         """,
         "bpe_encode_words": """
             SELECT word, CAST(word_count AS BIGINT) AS word_count,

@@ -8,6 +8,8 @@ model, plus windowed streaming statistics.
 """
 
 from spark_bestfit_spark.streaming.drift import (
+    CertifiedDriftMonitor,
+    CertifiedDriftRecord,
     DriftMonitor,
     ks_drift_score,
     w1_drift_score,
@@ -19,6 +21,7 @@ from spark_bestfit_spark.streaming.windows import (
 )
 
 __all__ = [
-    "DriftMonitor", "ks_drift_score", "w1_drift_score", "streaming_moments",
+    "CertifiedDriftMonitor", "CertifiedDriftRecord", "DriftMonitor",
+    "ks_drift_score", "w1_drift_score", "streaming_moments",
     "windowed_stats", "session_stats",
 ]

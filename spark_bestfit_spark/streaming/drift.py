@@ -23,6 +23,8 @@ import numpy as np
 from spark_bestfit_spark.functions import metrics as M
 
 __all__ = [
+    "CertifiedDriftRecord",
+    "CertifiedDriftMonitor",
     "ks_drift_score",
     "w1_drift_score",
     "DriftRecord",
@@ -192,3 +194,224 @@ class DriftMonitor:
             "w1_mean": float(np.mean(w1_vals)) if w1_vals else None,
             "w1_max": float(np.max(w1_vals)) if w1_vals else None,
         }
+
+
+@dataclass
+class CertifiedDriftRecord:
+    batch_id: int
+    n_rows: int
+    n_out_of_range: int
+    d_batch: float
+    d_cum: float
+    err_bound: float
+    w1_batch: float
+    w1_cum: float
+    w1_err_bound: float
+    drifted: bool
+    timestamp: float = field(default_factory=time.time)
+
+
+class CertifiedDriftMonitor:
+    """foreachBatch TWO-SAMPLE drift monitor with the batch engine's
+    certified-approximation guarantees — the streaming twin of
+    ``two_sample_ks_approx_df`` / ``wasserstein_approx_df``: instead
+    of scoring micro-batches against a fitted model on a driver-side
+    SAMPLE (:class:`DriftMonitor`), it scores the stream against a
+    REFERENCE CORPUS on the deterministic equi-width grid, fully
+    distributed per batch, with the same certificates.
+
+    Construction pays two bounded reference jobs ONCE: a stats scan
+    fixes the grid ([lo, hi] from the reference — a stream has no
+    global bounds to derive one from), and a map-combinable bucket
+    aggregation collapses the reference to a ``grid_size`` count
+    vector (the only driver state besides the stream's own count
+    vector — grid counts are ADDITIVE, so per-batch accumulation is
+    exact, order-independent, and restart-mergeable, the
+    ``kn_merge_counts`` convention).
+
+    Per micro-batch: one map-combinable aggregation over the batch
+    (never a driver-side sample), then O(grid) numpy on the driver.
+    Emitted per batch, for both the batch alone and the stream so
+    far: the K-S lower bound ``d`` with its certificate
+    ``d <= D_exact <= d + err_bound`` (err = max per-bucket combined
+    mass, computed from the same counts) and the grid W1 with its
+    data-independent ``2(hi-lo)/grid_size`` bound.
+
+    Out-of-range stream values clamp into the edge buckets (the grid
+    is frozen from the reference); the certificates then cover the
+    CLAMPED distributions, so the monitor also reports
+    ``n_out_of_range`` per batch — mass leaving the reference's range
+    is itself a loud drift signal (and ``oor_fraction_threshold``
+    can alert on it directly).
+    """
+
+    def __init__(
+        self,
+        reference,
+        column: str,
+        grid_size: int = 2048,
+        d_threshold: float | None = 0.1,
+        w1_threshold: float | None = None,
+        oor_fraction_threshold: float | None = None,
+        on_drift=None,
+        max_history: int = 1000,
+    ):
+        import pyspark.sql.functions as F
+
+        self.column = column
+        self.grid_size = int(grid_size)
+        self.d_threshold = d_threshold
+        self.w1_threshold = w1_threshold
+        self.oor_fraction_threshold = oor_fraction_threshold
+        self.on_drift = on_drift
+        self.max_history = max_history
+        self.history: list = []
+
+        clean = reference.select(F.col(column).alias("v")).filter(
+            F.col("v").isNotNull()
+            & ~F.isnan("v")
+            & (F.abs(F.col("v")) != float("inf"))
+        )
+        stats = clean.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count("v").alias("n"),
+        ).first()
+        if not stats["n"] or stats["hi"] <= stats["lo"]:
+            raise ValueError(
+                "CertifiedDriftMonitor needs a reference with at least"
+                " two distinct finite values to fix the grid"
+            )
+        self.lo, self.hi = float(stats["lo"]), float(stats["hi"])
+        self.width = (self.hi - self.lo) / self.grid_size
+        self.ref_counts = self._bucket_counts(clean)
+        self.ref_n = int(self.ref_counts.sum())
+        self.stream_counts = np.zeros(self.grid_size, dtype=np.int64)
+        self.total_out_of_range = 0
+
+    # ------------------------------------------------------- internals
+    def _bucket_counts(self, clean_df) -> np.ndarray:
+        """Map-combinable (bucket -> count) agg; <= grid_size rows
+        cross the driver boundary. Same floor arithmetic as the batch
+        tier, with out-of-range values clamped to the edge buckets."""
+        import pyspark.sql.functions as F
+
+        g = self.grid_size
+        bk = F.greatest(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.lit(self.lo)) / F.lit(self.width)
+                ).cast("long"),
+                F.lit(g - 1),
+            ),
+            F.lit(0),
+        )
+        rows = clean_df.groupBy(bk.alias("bk")).count().collect()
+        out = np.zeros(g, dtype=np.int64)
+        for r in rows:
+            out[int(r["bk"])] = int(r["count"])
+        return out
+
+    def _scores(self, counts: np.ndarray) -> tuple:
+        """(d, err, w1, w1_err) of a stream count vector vs the
+        reference, on the shared grid — exact O(grid) numpy replay of
+        the batch tier's window arithmetic (dense arrays make the
+        empty-run handling implicit)."""
+        n = counts.sum()
+        if n == 0:
+            return float("nan"), float("nan"), float("nan"), float("nan")
+        fa = np.cumsum(self.ref_counts) / float(self.ref_n)
+        fb = np.cumsum(counts) / float(n)
+        gaps = np.abs(fa - fb)
+        d = float(gaps.max())
+        err = float(
+            (
+                self.ref_counts / float(self.ref_n)
+                + counts / float(n)
+            ).max()
+        )
+        w1 = float((gaps * self.width).sum())
+        w1_err = 2.0 * (self.hi - self.lo) / self.grid_size
+        return d, err, w1, w1_err
+
+    # ------------------------------------------- foreachBatch entry
+    def __call__(self, batch_df, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        clean = batch_df.select(
+            F.col(self.column).alias("v")
+        ).filter(
+            F.col("v").isNotNull()
+            & ~F.isnan("v")
+            & (F.abs(F.col("v")) != float("inf"))
+        )
+        batch_counts = self._bucket_counts(clean)
+        n = int(batch_counts.sum())
+        if n == 0:
+            return
+        oor = clean.filter(
+            (F.col("v") < self.lo) | (F.col("v") > self.hi)
+        ).count()
+        self.stream_counts += batch_counts
+        self.total_out_of_range += int(oor)
+        d_b, err_b, w1_b, _ = self._scores(batch_counts)
+        d_c, err_c, w1_c, w1_err = self._scores(self.stream_counts)
+        err = max(err_b, err_c)
+        drifted = False
+        if self.d_threshold is not None and (
+            d_b > self.d_threshold or d_c > self.d_threshold
+        ):
+            drifted = True
+        if self.w1_threshold is not None and (
+            w1_b > self.w1_threshold or w1_c > self.w1_threshold
+        ):
+            drifted = True
+        if (
+            self.oor_fraction_threshold is not None
+            and oor / n > self.oor_fraction_threshold
+        ):
+            drifted = True
+        record = CertifiedDriftRecord(
+            batch_id=int(batch_id),
+            n_rows=n,
+            n_out_of_range=int(oor),
+            d_batch=d_b,
+            d_cum=d_c,
+            err_bound=err,
+            w1_batch=w1_b,
+            w1_cum=w1_c,
+            w1_err_bound=w1_err,
+            drifted=drifted,
+        )
+        self.history.append(record)
+        if len(self.history) > self.max_history:
+            del self.history[: len(self.history) - self.max_history]
+        if drifted and self.on_drift is not None:
+            try:
+                self.on_drift(record)
+            except Exception:  # noqa: BLE001 — user callback must not kill the query
+                pass
+
+    # ------------------------------------------------------- queries
+    def cumulative(self) -> dict:
+        """Certified scores of the WHOLE stream drained so far vs the
+        reference — a pure function of the additive count vector, so
+        (unlike the per-batch history) it is independent of how the
+        source happened to split into micro-batches: the right surface
+        to assert in tests and to checkpoint for restart-merging."""
+        d, err, w1, w1_err = self._scores(self.stream_counts)
+        return {
+            "n_rows": int(self.stream_counts.sum()),
+            "n_out_of_range": int(self.total_out_of_range),
+            "d_stat": d,
+            "err_bound": err,
+            "w1": w1,
+            "w1_err_bound": w1_err,
+        }
+
+    @property
+    def drift_count(self) -> int:
+        return sum(1 for r in self.history if r.drifted)
+
+    @property
+    def last(self):
+        return self.history[-1] if self.history else None

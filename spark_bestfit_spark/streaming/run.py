@@ -26,7 +26,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-__all__ = ["run_stream_once"]
+__all__ = ["run_stream_once", "drain_foreach_batch"]
 
 
 def run_stream_once(
@@ -92,3 +92,37 @@ def run_stream_once(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def drain_foreach_batch(
+    stream_df: DataFrame,
+    fn,
+    timeout: float = 300.0,
+) -> None:
+    """Drain ``stream_df`` through a ``foreachBatch`` callable with
+    ``trigger(availableNow=True)`` — the monitor-object counterpart of
+    :func:`run_stream_once` (same throwaway checkpoint, same bounded
+    wait). ``fn`` is any ``(batch_df, batch_id) -> None`` callable,
+    e.g. a :class:`~spark_bestfit_spark.streaming.DriftMonitor` or
+    :class:`~spark_bestfit_spark.streaming.CertifiedDriftMonitor`;
+    its accumulated state IS the result."""
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="sbf_stream_ckpt_")
+    try:
+        query = (
+            stream_df.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + timeout
+        query.awaitTermination(int(timeout))
+        while query.isActive and time.time() < deadline:
+            time.sleep(0.25)
+        if query.isActive:  # pragma: no cover - defensive
+            query.stop()
+            raise TimeoutError(
+                f"foreachBatch drain did not finish in {timeout}s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,0 +1,218 @@
+"""CertifiedDriftMonitor: the streaming twin of the certified-approx
+two-sample drift tier. Load-bearing properties: the cumulative stream
+scores must equal the batch operators' output on the union of the
+drained batches (grid counts are additive); accumulation must be
+order-independent (restart-mergeable); out-of-range mass must clamp
+into edge buckets and be reported; a real file-source run must flag
+the drifted batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_bestfit_spark.streaming import CertifiedDriftMonitor
+
+
+@pytest.fixture(scope="module")
+def reference_df(spark):
+    rng = np.random.default_rng(21)
+    return spark.createDataFrame(
+        pd.DataFrame({"value": rng.normal(50.0, 10.0, 6000)})
+    )
+
+
+class TestCertifiedScores:
+    def test_cumulative_equals_batch_tier(self, spark, reference_df):
+        """Drain three in-range batches; the cumulative (d, err, w1)
+        must equal two_sample_ks_approx_df / wasserstein_approx_df
+        over reference vs union-of-batches (the union's bounds equal
+        the reference's, so the grids coincide)."""
+        from spark_bestfit_spark.operators.stats import (
+            two_sample_ks_approx_df,
+            wasserstein_approx_df,
+        )
+
+        lo = reference_df.agg({"value": "min"}).first()[0]
+        hi = reference_df.agg({"value": "max"}).first()[0]
+        rng = np.random.default_rng(5)
+        batches = [
+            np.clip(rng.normal(52, 9, 1500), lo, hi) for _ in range(3)
+        ]
+        monitor = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=512,
+            d_threshold=None,
+        )
+        for i, b in enumerate(batches):
+            monitor(
+                spark.createDataFrame(pd.DataFrame({"value": b})), i
+            )
+        assert len(monitor.history) == 3
+        last = monitor.history[-1]
+        union = spark.createDataFrame(
+            pd.DataFrame({"value": np.concatenate(batches)})
+        )
+        ks = two_sample_ks_approx_df(
+            reference_df, union, "value", grid_size=512
+        ).first()
+        w1 = wasserstein_approx_df(
+            reference_df, union, "value", grid_size=512
+        ).first()
+        assert last.d_cum == pytest.approx(ks["d_stat"], abs=2e-6)
+        assert last.w1_cum == pytest.approx(w1["w1"], abs=2e-6)
+        # batch-tier err is the max combined bucket mass; the
+        # monitor's err_bound is the max of batch/cum — compare the
+        # cum component via a fresh single-batch monitor
+        single = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=512,
+            d_threshold=None,
+        )
+        single(union, 0)
+        assert single.history[0].err_bound == pytest.approx(
+            ks["err_bound"], abs=2e-6
+        )
+        assert single.history[0].w1_err_bound == pytest.approx(
+            w1["err_bound"], abs=2e-6
+        )
+
+    def test_order_independent_accumulation(self, spark, reference_df):
+        rng = np.random.default_rng(9)
+        batches = [rng.normal(50, 10, 800) for _ in range(3)]
+        scores = []
+        for order in ([0, 1, 2], [2, 0, 1]):
+            m = CertifiedDriftMonitor(
+                reference_df, column="value", grid_size=256,
+                d_threshold=None,
+            )
+            for i, k in enumerate(order):
+                m(
+                    spark.createDataFrame(
+                        pd.DataFrame({"value": batches[k]})
+                    ),
+                    i,
+                )
+            scores.append(
+                (m.history[-1].d_cum, m.history[-1].w1_cum)
+            )
+        assert scores[0] == scores[1]
+
+    def test_out_of_range_clamped_and_reported(self, spark, reference_df):
+        alerts = []
+        monitor = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=256,
+            d_threshold=None, oor_fraction_threshold=0.2,
+            on_drift=alerts.append,
+        )
+        vals = np.concatenate([
+            np.full(500, 500.0),  # far above the reference range
+            np.random.default_rng(2).normal(50, 10, 500),
+        ])
+        monitor(
+            spark.createDataFrame(pd.DataFrame({"value": vals})), 0
+        )
+        rec = monitor.history[0]
+        assert rec.n_rows == 1000
+        assert rec.n_out_of_range >= 500
+        assert rec.drifted
+        assert len(alerts) == 1
+        # the clamped mass piles into the top bucket: huge ECDF gap
+        assert rec.d_batch > 0.4
+
+    def test_shifted_batch_flags_ks(self, spark, reference_df):
+        monitor = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=512,
+            d_threshold=0.1,
+        )
+        rng = np.random.default_rng(4)
+        ok = spark.createDataFrame(
+            pd.DataFrame({"value": rng.normal(50, 10, 2000)})
+        )
+        shifted = spark.createDataFrame(
+            pd.DataFrame({"value": rng.normal(62, 10, 2000)})
+        )
+        monitor(ok, 0)
+        assert not monitor.history[0].drifted
+        monitor(shifted, 1)
+        assert monitor.history[1].drifted
+        assert monitor.history[1].d_batch > 0.3
+
+    def test_certificate_sandwiches_exact(self, spark, reference_df):
+        """d_cum <= D_exact(clamped) <= d_cum + err_bound against the
+        exact two-sample K-S on the same (in-range) data."""
+        from spark_bestfit_spark.operators.stats import two_sample_ks_df
+
+        lo = reference_df.agg({"value": "min"}).first()[0]
+        hi = reference_df.agg({"value": "max"}).first()[0]
+        rng = np.random.default_rng(13)
+        vals = np.clip(rng.normal(55, 11, 3000), lo, hi)
+        batch = spark.createDataFrame(pd.DataFrame({"value": vals}))
+        monitor = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=512,
+            d_threshold=None,
+        )
+        monitor(batch, 0)
+        rec = monitor.history[0]
+        exact = two_sample_ks_df(
+            reference_df, batch, "value"
+        ).first()["d_stat"]
+        assert rec.d_cum <= exact + 1e-9
+        assert exact - rec.d_cum <= rec.err_bound + 1e-9
+
+    def test_degenerate_reference_rejected(self, spark):
+        const = spark.createDataFrame(
+            pd.DataFrame({"value": [3.0] * 100})
+        )
+        with pytest.raises(ValueError, match="distinct finite"):
+            CertifiedDriftMonitor(const, column="value")
+
+    def test_empty_batch_skipped(self, spark, reference_df):
+        monitor = CertifiedDriftMonitor(reference_df, column="value")
+        monitor(spark.createDataFrame([], "value double"), 0)
+        assert monitor.history == []
+
+
+class TestCertifiedStreamRun:
+    def test_file_source_run(self, spark, reference_df, tmp_path):
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        rng = np.random.default_rng(3)
+        pd.DataFrame({"value": rng.normal(50, 10, 2000)}).to_parquet(
+            src / "a.parquet"
+        )
+        pd.DataFrame({"value": rng.normal(50, 10, 2000)}).to_parquet(
+            src / "b.parquet"
+        )
+        pd.DataFrame({"value": rng.normal(75, 10, 2000)}).to_parquet(
+            src / "c.parquet"
+        )
+        monitor = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=512,
+            d_threshold=0.15,
+        )
+        stream = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        query = (
+            stream.writeStream.foreachBatch(monitor)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        deadline = time.time() + 30
+        while query.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        assert not query.isActive
+        assert len(monitor.history) == 3
+        assert monitor.drift_count == 1
+        drifted = [r for r in monitor.history if r.drifted][0]
+        # the drifted file flags on its own batch score with a valid
+        # certificate attached
+        assert drifted.d_batch > 0.15
+        assert drifted.err_bound > 0.0
