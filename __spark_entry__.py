@@ -5012,6 +5012,48 @@ def _q_kn_doc_logprob_by_group(spark, sf_dir):
     return kn_doc_logprob_by_group(tgt, ref)
 
 
+def _q_kn_lm_incremental_by_group(spark, sf_dir):
+    """Per-language mergeable LM snapshots — the production shape
+    (per-lang LMs updated per delivery): the even-id reference splits
+    into two deliveries, each collapsed to its group-keyed bigram
+    counts, merged group-independently with one union-sum, and the
+    odd-id docs scored per-group from the merged state. IN-QUERY
+    equality with the full per-group retrain (exceptAll both ways);
+    oracle = the grouped replica + pinned TRUE."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        kn_bigram_counts_by_group,
+        kn_doc_logprob_by_group,
+        kn_doc_logprob_by_group_from_counts,
+        kn_merge_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merged = kn_merge_counts(
+        kn_bigram_counts_by_group(docs.filter(F.col("doc_id") % 4 == 0)),
+        kn_bigram_counts_by_group(docs.filter(F.col("doc_id") % 4 == 2)),
+        keys=("lang", "w1", "w2"),
+    )
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = kn_doc_logprob_by_group_from_counts(tgt, merged).cache()
+    full = kn_doc_logprob_by_group(
+        tgt, docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    matches = (
+        inc.exceptAll(full).count() == 0
+        and full.exceptAll(inc).count() == 0
+    )
+    return inc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "n_unseen",
+        "mean_kn_logprob",
+        F.lit(bool(matches)).alias("matches_full_retrain"),
+    )
+
+
 def _q_w1_approx_by_group(spark, sf_dir):
     """Per-group certified-approximate 1-Wasserstein — the segmented
     form of the w1_approx 100 TB tier, fully in-plan: each returnflag
@@ -6732,13 +6774,13 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 14 same-round
+# The r12 head-50 rotation (see queries() docstring): 15 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 25
+# band (streaming_late_data was promised as r12's first spill) + 24
 # from the r6 band (ANN/dedup family first, then alphabetical;
 # fit_multi/fit_price/generate_univariate/fit_mse/fit_lazy/
-# fit_grouped/fit_discrete_grouped pushed to the r13 band by the
-# seven late-r12 registrations).
+# fit_grouped/fit_discrete_grouped/fit_discrete pushed to the r13
+# band by the eight late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6750,6 +6792,7 @@ _HEAD_50 = [
     "kn_doc_logprob",
     "kn_doc_logprob_by_group",
     "kn_lm_incremental",
+    "kn_lm_incremental_by_group",
     "w1_approx_by_group",
     "compact_keeper_snapshot",
     "bpe_encode_words",
@@ -6789,7 +6832,6 @@ _HEAD_50 = [
     "events_funnel",
     "fit_bounded",
     "fit_censored",
-    "fit_discrete",
 ]
 
 
@@ -6822,6 +6864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_logprob": _q_kn_doc_logprob,
         "kn_doc_logprob_by_group": _q_kn_doc_logprob_by_group,
         "kn_lm_incremental": _q_kn_lm_incremental,
+        "kn_lm_incremental_by_group": _q_kn_lm_incremental_by_group,
         "w1_approx_by_group": _q_w1_approx_by_group,
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         "bpe_encode_words": _q_bpe_encode_words,
@@ -11767,6 +11810,77 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (coalesce(bw, 0) + 1.0)
                                / (types + vref + 1.0)
                      END)), 6) AS mean_kn_logprob
+            FROM sc GROUP BY doc_id, g
+        """,
+        "kn_lm_incremental_by_group": """
+            WITH refd AS (
+              SELECT lang AS g,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents
+              WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+            ),
+            rp AS (
+              SELECT g, arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM refd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            big AS (
+              SELECT g, w1, w2, count(*) AS c12 FROM rp
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2, 3
+            ),
+            ctx AS (
+              SELECT g, w1, sum(c12) AS c1, count(*) AS fw
+              FROM big GROUP BY 1, 2
+            ),
+            cont AS (
+              SELECT g, w2, count(*) AS bw FROM big GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT g, count(*) AS types, count(DISTINCT w2) AS vref
+              FROM big GROUP BY 1
+            ),
+            tgtd AS (
+              SELECT doc_id, lang AS g,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents
+              WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+            ),
+            tp AS (
+              SELECT doc_id, g,
+                     arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM tgtd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            sc AS (
+              SELECT t.doc_id, t.g, big.c12, ctx.c1, ctx.fw, cont.bw,
+                     tot.types, tot.vref
+              FROM (SELECT * FROM tp
+                    WHERE w1 <> '' AND w2 <> '') t
+                LEFT JOIN big
+                  ON t.g = big.g AND t.w1 = big.w1 AND t.w2 = big.w2
+                LEFT JOIN ctx
+                  ON t.g = ctx.g AND t.w1 = ctx.w1
+                LEFT JOIN cont
+                  ON t.g = cont.g AND t.w2 = cont.w2
+                LEFT JOIN tot ON t.g = tot.g
+            )
+            SELECT doc_id, g AS lang,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unseen,
+                   round(avg(ln(
+                     CASE WHEN c1 IS NOT NULL
+                          THEN greatest(coalesce(c12, 0) - 0.75, 0.0)
+                                 / c1
+                               + (0.75 * fw / c1)
+                                 * ((coalesce(bw, 0) + 1.0)
+                                    / (types + vref + 1.0))
+                          ELSE (coalesce(bw, 0) + 1.0)
+                               / (types + vref + 1.0)
+                     END)), 6) AS mean_kn_logprob,
+                   TRUE AS matches_full_retrain
             FROM sc GROUP BY doc_id, g
         """,
         "w1_approx_by_group": """

@@ -1934,17 +1934,22 @@ def kn_bigram_counts(
     )
 
 
-def kn_merge_counts(*states: DataFrame) -> DataFrame:
+def kn_merge_counts(
+    *states: DataFrame, keys: tuple = ("w1", "w2")
+) -> DataFrame:
     """Merge KN LM snapshots (:func:`kn_bigram_counts` relations) —
     counts are additive, so absorbing a delivery is ONE map-combinable
-    union-sum on the (w1, w2) key. Scoring from the merged state
-    equals the full retrain exactly."""
+    union-sum on the key. Scoring from the merged state equals the
+    full retrain exactly. For per-group snapshots
+    (:func:`kn_bigram_counts_by_group`) pass
+    ``keys=(group_col, "w1", "w2")`` so each group's counts merge
+    independently."""
     if not states:
         raise ValueError("kn_merge_counts needs at least one state")
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
-    return u.groupBy("w1", "w2").agg(
+    return u.groupBy(*keys).agg(
         F.sum("c12").cast("long").alias("c12")
     )
 
@@ -2172,37 +2177,84 @@ def kn_doc_logprob_by_group(
     mean_kn_logprob)``; target docs with fewer than 2 non-empty
     tokens drop out.
     """
+    return kn_doc_logprob_by_group_from_counts(
+        target,
+        kn_bigram_counts_by_group(
+            reference, text_col=text_col, group_col=group_col
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        group_col=group_col,
+        discount=discount,
+    )
+
+
+def _kn_pairs_grouped(
+    df: DataFrame, text_col: str, group_col: str, id_col=None
+) -> DataFrame:
+    """Group-qualified per-doc adjacent non-empty token pairs; shared
+    by the grouped KN train/score paths. Null groups are excluded."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.col(group_col).alias("g")
+    ]
+    keep = ([id_col] if id_col else []) + ["g"]
+    out = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(*cols, _tokens(F.col(text_col)).alias("_a"))
+        .filter(F.size("_a") >= 2)
+        .select(
+            *keep,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_a) - 1), i ->"
+                    " struct(_a[i - 1] AS w1, _a[i] AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(*keep, "_b.w1", "_b.w2")
+    )
+    return out.filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+
+def kn_bigram_counts_by_group(
+    reference: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group KN LM sufficient statistic — the grouped sibling of
+    :func:`kn_bigram_counts`: one ``(group_col, w1, w2, c12)``
+    relation holding EVERY group's LM (one snapshot file per corpus,
+    not one per language). Additive like the flat state: merge
+    deliveries with ``kn_merge_counts(a, b, keys=(group_col, "w1",
+    "w2"))`` and score with
+    :func:`kn_doc_logprob_by_group_from_counts` — identical to a
+    full per-group retrain."""
+    return (
+        _kn_pairs_grouped(reference, text_col, group_col)
+        .groupBy("g", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .select(F.col("g").alias(group_col), "w1", "w2", "c12")
+    )
+
+
+def kn_doc_logprob_by_group_from_counts(
+    target: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score target documents from a persisted/merged per-group KN LM
+    snapshot (:func:`kn_bigram_counts_by_group`) — the state-backed
+    path of :func:`kn_doc_logprob_by_group` (same model, same output
+    contract)."""
     if not 0 < discount < 1:
         raise ValueError("discount must be in (0, 1)")
-
-    def _pairs(df: DataFrame, with_id: bool) -> DataFrame:
-        cols = ([F.col(id_col)] if with_id else []) + [
-            F.col(group_col).alias("g")
-        ]
-        keep = ([id_col] if with_id else []) + ["g"]
-        out = (
-            df.filter(F.col(group_col).isNotNull())
-            .select(*cols, _tokens(F.col(text_col)).alias("_a"))
-            .filter(F.size("_a") >= 2)
-            .select(
-                *keep,
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(_a) - 1), i ->"
-                        " struct(_a[i - 1] AS w1, _a[i] AS w2))"
-                    )
-                ).alias("_b"),
-            )
-            .select(*keep, "_b.w1", "_b.w2")
-        )
-        return out.filter((F.col("w1") != "") & (F.col("w2") != ""))
-
-    big = (
-        _pairs(reference, with_id=False)
-        .groupBy("g", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c12"))
-        .localCheckpoint(eager=False)
-    )
+    big = counts.select(
+        F.col(group_col).alias("g"), "w1", "w2",
+        F.col("c12").alias("_c12"),
+    ).localCheckpoint(eager=False)
     ctx = big.groupBy("g", "w1").agg(
         F.sum("_c12").alias("_c1"),
         F.count(F.lit(1)).alias("_fw"),
@@ -2227,7 +2279,7 @@ def kn_doc_logprob_by_group(
     ).otherwise(p_cont1)
 
     scored = (
-        _pairs(target, with_id=True)
+        _kn_pairs_grouped(target, text_col, group_col, id_col=id_col)
         .join(big, ["g", "w1", "w2"], "left")
         .join(ctx, ["g", "w1"], "left")
         .join(cont, ["g", "w2"], "left")

@@ -669,3 +669,80 @@ class TestBpeArtifactRoundTrip:
         assert {"merge_rank", "left", "right", "merged", "weight"} <= set(
             reloaded.columns
         )
+
+
+class TestKnLmStateByGroup:
+    def test_merged_grouped_state_equals_full_retrain(
+        self, spark, tmp_path
+    ):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_bigram_counts_by_group,
+            kn_doc_logprob_by_group,
+            kn_doc_logprob_by_group_from_counts,
+            kn_merge_counts,
+        )
+
+        rng = random.Random(47)
+        rows = []
+        for g, vocab in [("en", [f"e{i}" for i in range(15)]),
+                         ("de", [f"d{i}" for i in range(15)])]:
+            for i in range(60):
+                rows.append((len(rows), g, " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(2, 25)))))
+        ref = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        tgt = spark.createDataFrame(
+            [(500 + i, g, " ".join(
+                rng.choice([f"{g[0]}{j}" for j in range(15)] + ["zz"])
+                for _ in range(rng.randint(2, 12))))
+             for i, g in enumerate(["en", "de"] * 10)],
+            "doc_id long, lang string, text string",
+        )
+        parts = []
+        for k in range(2):
+            path = str(tmp_path / f"gstate_{k}.parquet")
+            kn_bigram_counts_by_group(
+                ref.filter(F.col("doc_id") % 2 == k)
+            ).write.parquet(path)
+            parts.append(spark.read.parquet(path))
+        merged = kn_merge_counts(*parts, keys=("lang", "w1", "w2"))
+        got = sorted(
+            kn_doc_logprob_by_group_from_counts(tgt, merged).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        full = sorted(
+            kn_doc_logprob_by_group(tgt, ref).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert got == full
+        assert len(got) == 20
+
+    def test_groups_merge_independently(self, spark):
+        """A delivery carrying only one group must not disturb the
+        other group's LM."""
+        from spark_bestfit_spark.operators.textstats import (
+            kn_bigram_counts_by_group,
+            kn_merge_counts,
+        )
+
+        a = spark.createDataFrame(
+            [(0, "en", "x y x y"), (1, "de", "u v")],
+            "doc_id long, lang string, text string",
+        )
+        b = spark.createDataFrame(
+            [(2, "en", "x y")], "doc_id long, lang string, text string"
+        )
+        merged = kn_merge_counts(
+            kn_bigram_counts_by_group(a),
+            kn_bigram_counts_by_group(b),
+            keys=("lang", "w1", "w2"),
+        )
+        got = {
+            (r["lang"], r["w1"], r["w2"]): r["c12"]
+            for r in merged.collect()
+        }
+        assert got[("en", "x", "y")] == 3
+        assert got[("en", "y", "x")] == 1
+        assert got[("de", "u", "v")] == 1
