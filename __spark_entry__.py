@@ -5054,6 +5054,30 @@ def _q_kn_lm_incremental_by_group(spark, sf_dir):
     )
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split, end to end: per-lang KN
+    scores (the kn_doc_logprob_by_group pipeline) ranked WITHIN each
+    language into equal-population tertiles — every language keeps
+    its own head regardless of absolute perplexity. Deterministic
+    (ntile over (score desc, doc_id)); full DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        kn_doc_logprob_by_group,
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = kn_doc_logprob_by_group(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    return perplexity_buckets(scored).select(
+        "doc_id", "lang", "mean_kn_logprob",
+        F.col("bucket").cast("long").alias("bucket"), "label",
+    )
+
+
 def _q_w1_approx_by_group(spark, sf_dir):
     """Per-group certified-approximate 1-Wasserstein — the segmented
     form of the w1_approx 100 TB tier, fully in-plan: each returnflag
@@ -6774,13 +6798,13 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 15 same-round
+# The r12 head-50 rotation (see queries() docstring): 16 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 24
+# band (streaming_late_data was promised as r12's first spill) + 23
 # from the r6 band (ANN/dedup family first, then alphabetical;
 # fit_multi/fit_price/generate_univariate/fit_mse/fit_lazy/
-# fit_grouped/fit_discrete_grouped/fit_discrete pushed to the r13
-# band by the eight late-r12 registrations).
+# fit_grouped/fit_discrete_grouped/fit_discrete/fit_censored pushed
+# to the r13 band by the nine late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6793,6 +6817,7 @@ _HEAD_50 = [
     "kn_doc_logprob_by_group",
     "kn_lm_incremental",
     "kn_lm_incremental_by_group",
+    "perplexity_buckets",
     "w1_approx_by_group",
     "compact_keeper_snapshot",
     "bpe_encode_words",
@@ -6831,7 +6856,6 @@ _HEAD_50 = [
     "events_cohorts",
     "events_funnel",
     "fit_bounded",
-    "fit_censored",
 ]
 
 
@@ -6865,6 +6889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_logprob_by_group": _q_kn_doc_logprob_by_group,
         "kn_lm_incremental": _q_kn_lm_incremental,
         "kn_lm_incremental_by_group": _q_kn_lm_incremental_by_group,
+        "perplexity_buckets": _q_perplexity_buckets,
         "w1_approx_by_group": _q_w1_approx_by_group,
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         "bpe_encode_words": _q_bpe_encode_words,
@@ -11882,6 +11907,88 @@ def oracle_sql() -> dict[str, str]:
                      END)), 6) AS mean_kn_logprob,
                    TRUE AS matches_full_retrain
             FROM sc GROUP BY doc_id, g
+        """,
+        "perplexity_buckets": """
+            WITH refd AS (
+              SELECT lang AS g,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents
+              WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+            ),
+            rp AS (
+              SELECT g, arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM refd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            big AS (
+              SELECT g, w1, w2, count(*) AS c12 FROM rp
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2, 3
+            ),
+            ctx AS (
+              SELECT g, w1, sum(c12) AS c1, count(*) AS fw
+              FROM big GROUP BY 1, 2
+            ),
+            cont AS (
+              SELECT g, w2, count(*) AS bw FROM big GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT g, count(*) AS types, count(DISTINCT w2) AS vref
+              FROM big GROUP BY 1
+            ),
+            tgtd AS (
+              SELECT doc_id, lang AS g,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents
+              WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+            ),
+            tp AS (
+              SELECT doc_id, g,
+                     arr[CAST(i AS INTEGER)] AS w1,
+                     arr[CAST(i AS INTEGER) + 1] AS w2
+              FROM tgtd,
+                   unnest(generate_series(1, len(arr) - 1)) AS t(i)
+            ),
+            sc AS (
+              SELECT t.doc_id, t.g, big.c12, ctx.c1, ctx.fw, cont.bw,
+                     tot.types, tot.vref
+              FROM (SELECT * FROM tp
+                    WHERE w1 <> '' AND w2 <> '') t
+                LEFT JOIN big
+                  ON t.g = big.g AND t.w1 = big.w1 AND t.w2 = big.w2
+                LEFT JOIN ctx
+                  ON t.g = ctx.g AND t.w1 = ctx.w1
+                LEFT JOIN cont
+                  ON t.g = cont.g AND t.w2 = cont.w2
+                LEFT JOIN tot ON t.g = tot.g
+            ),
+            scored AS (
+              SELECT doc_id, g AS lang,
+                     round(avg(ln(
+                       CASE WHEN c1 IS NOT NULL
+                            THEN greatest(coalesce(c12, 0) - 0.75, 0.0)
+                                   / c1
+                                 + (0.75 * fw / c1)
+                                   * ((coalesce(bw, 0) + 1.0)
+                                      / (types + vref + 1.0))
+                            ELSE (coalesce(bw, 0) + 1.0)
+                                 / (types + vref + 1.0)
+                       END)), 6) AS mean_kn_logprob
+              FROM sc GROUP BY doc_id, g
+            ),
+            ranked AS (
+              SELECT doc_id, lang, mean_kn_logprob,
+                     CAST(ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY mean_kn_logprob DESC, doc_id
+                     ) AS BIGINT) AS bucket
+              FROM scored WHERE mean_kn_logprob IS NOT NULL
+            )
+            SELECT doc_id, lang, mean_kn_logprob, bucket,
+                   CASE bucket WHEN 1 THEN 'head'
+                               WHEN 2 THEN 'middle'
+                               ELSE 'tail' END AS label
+            FROM ranked
         """,
         "w1_approx_by_group": """
             WITH u AS (

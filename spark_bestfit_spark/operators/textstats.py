@@ -2302,3 +2302,55 @@ def kn_doc_logprob_by_group_from_counts(
             "mean_kn_logprob",
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "mean_kn_logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): rank
+    each group's documents by LM score and cut into equal-population
+    buckets — bucket 1 ("head") is the best-scored third of ITS OWN
+    language, so every language keeps its head even when absolute
+    perplexities differ wildly across languages.
+
+    Deterministic and value-replicable: ``ntile`` over
+    (score desc, id) — the id tie-break makes equal scores split
+    identically on every engine. Documents with NULL scores (no LM
+    for their group) are excluded — they cannot be ranked; filter
+    them upstream if they should survive.
+
+    Scale note: ranking needs one exchange on the group plus a
+    per-group sort — fine when groups fit a partition's sort budget
+    (languages at 100 TB are large; the sort is disk-backed and
+    linear-ish, but it IS the cost). When an approximate split is
+    acceptable, compose per-group ``percentile_approx`` thresholds
+    with a CASE label instead (two map-combinable scans, no sort) —
+    this exact operator is the oracle-checkable reference for that
+    shortcut.
+
+    Returns the scored relation plus ``bucket`` (1-based) and
+    ``label``.
+    """
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries,"
+            f" got {len(labels)}"
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    out = (
+        scored.filter(F.col(score_col).isNotNull())
+        .withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+    )
+    return out.withColumn(
+        "label",
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col("bucket")
+        ),
+    )

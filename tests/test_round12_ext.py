@@ -746,3 +746,77 @@ class TestKnLmStateByGroup:
         assert got[("en", "x", "y")] == 3
         assert got[("en", "y", "x")] == 1
         assert got[("de", "u", "v")] == 1
+
+
+class TestPerplexityBuckets:
+    def _scored(self, spark):
+        rows = []
+        for g, n in [("en", 9), ("de", 7)]:
+            for i in range(n):
+                rows.append((len(rows), g, -1.0 - i * 0.5))
+        rows.append((100, "fr", None))  # unscored (no LM)
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, mean_kn_logprob double"
+        )
+
+    def test_equal_population_per_group(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        out = perplexity_buckets(self._scored(spark)).collect()
+        assert all(r["lang"] != "fr" for r in out)  # nulls excluded
+        en = sorted(
+            (r for r in out if r["lang"] == "en"),
+            key=lambda r: r["doc_id"],
+        )
+        # 9 docs -> 3/3/3; best scores (least negative) are head
+        assert [r["label"] for r in en] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+        de = [r for r in out if r["lang"] == "de"]
+        # 7 docs -> 3/2/2 (SQL-standard remainder to first buckets)
+        from collections import Counter as C
+        assert C(r["bucket"] for r in de) == {1: 3, 2: 2, 3: 2}
+
+    def test_per_group_independence(self, spark):
+        """Each language keeps its own head even when its absolute
+        scores are globally worse than another language's tail."""
+        from spark_bestfit_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        rows = [(i, "en", -1.0 - i) for i in range(3)] + [
+            (10 + i, "de", -100.0 - i) for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, mean_kn_logprob double"
+        )
+        out = {
+            r["doc_id"]: r["label"]
+            for r in perplexity_buckets(df).collect()
+        }
+        assert out[0] == "head" and out[10] == "head"
+
+    def test_deterministic_tie_break(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "en", -2.0) for i in range(6)],
+            "doc_id long, lang string, mean_kn_logprob double",
+        )
+        a = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(df).collect()}
+        b = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(df.repartition(5)).collect()}
+        assert a == b == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        with pytest.raises(ValueError, match="labels"):
+            perplexity_buckets(self._scored(spark), n_buckets=4)
