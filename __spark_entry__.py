@@ -5078,6 +5078,29 @@ def _q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def _q_pack_by_length(spark, sf_dir):
+    """Budget-true sequence packing (the length_col path): documents
+    packed by a PRECOMPUTED per-doc length — here char counts, the
+    oracle-checkable stand-in for real tokenizer budgets
+    (bpe_doc_token_counts -> length_col='n_bpe_tokens' is the
+    production composition, pytest-pinned; a SQL oracle cannot
+    re-encode BPE). Same partitioned two-phase prefix sum, same
+    integer chunk arithmetic; full DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        pack_training_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        F.length("text").cast("long").alias("char_len"),
+    )
+    return pack_training_sequences(
+        docs, seq_len=4096, sep_tokens=0, length_col="char_len"
+    )
+
+
 def _q_w1_approx_by_group(spark, sf_dir):
     """Per-group certified-approximate 1-Wasserstein — the segmented
     form of the w1_approx 100 TB tier, fully in-plan: each returnflag
@@ -6798,13 +6821,14 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 16 same-round
+# The r12 head-50 rotation (see queries() docstring): 17 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 23
-# from the r6 band (ANN/dedup family first, then alphabetical;
-# fit_multi/fit_price/generate_univariate/fit_mse/fit_lazy/
-# fit_grouped/fit_discrete_grouped/fit_discrete/fit_censored pushed
-# to the r13 band by the nine late-r12 registrations).
+# band (streaming_late_data was promised as r12's first spill) + 22
+# from the r6 band (ANN/dedup family first, then alphabetical; the
+# fit_* family members fit_multi/fit_price/generate_univariate/
+# fit_mse/fit_lazy/fit_grouped/fit_discrete_grouped/fit_discrete/
+# fit_censored/fit_bounded pushed to the r13 band by the ten
+# late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6818,6 +6842,7 @@ _HEAD_50 = [
     "kn_lm_incremental",
     "kn_lm_incremental_by_group",
     "perplexity_buckets",
+    "pack_by_length",
     "w1_approx_by_group",
     "compact_keeper_snapshot",
     "bpe_encode_words",
@@ -6855,7 +6880,6 @@ _HEAD_50 = [
     "events_asof",
     "events_cohorts",
     "events_funnel",
-    "fit_bounded",
 ]
 
 
@@ -6890,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm_incremental": _q_kn_lm_incremental,
         "kn_lm_incremental_by_group": _q_kn_lm_incremental_by_group,
         "perplexity_buckets": _q_perplexity_buckets,
+        "pack_by_length": _q_pack_by_length,
         "w1_approx_by_group": _q_w1_approx_by_group,
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         "bpe_encode_words": _q_bpe_encode_words,
@@ -10050,6 +10075,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY sum(c) DESC, doc_id
             LIMIT 10
+        """,
+        "pack_by_length": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, n_tokens AS eff,
+                     sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum - eff AS BIGINT) AS start_offset,
+                   CAST((cum - eff) // 4096 AS BIGINT) AS first_seq,
+                   CAST((cum - 1) // 4096 AS BIGINT) AS last_seq,
+                   CAST((cum - 1) // 4096 - (cum - eff) // 4096 + 1
+                        AS BIGINT) AS n_seqs
+            FROM c
         """,
         "packed_sequences": """
             WITH t AS (

@@ -667,13 +667,17 @@ def _cumulative_tokens(
     num_buckets: int,
     caller: str,
     sep_tokens: int = 0,
+    length_col: str | None = None,
 ) -> DataFrame | None:
     """Global running token totals over a deterministic ordering — the
     partitioned two-phase prefix sum shared by training-shard
     assignment and sequence packing (see assign_training_shards for
     the scale argument). Returns (id_col, n_tokens, _eff, _cum) where
     ``_eff = n_tokens + sep_tokens`` is the summed value and ``_cum``
-    its inclusive running total; None when the input is empty."""
+    its inclusive running total; None when the input is empty.
+    ``length_col``: use a precomputed per-doc length column (real
+    tokenizer counts, char budgets, ...) instead of the whitespace
+    tokenization of ``text_col``."""
     from pyspark.sql import Window
     from pyspark.sql.types import DateType, NumericType, TimestampType
 
@@ -698,7 +702,12 @@ def _cumulative_tokens(
             "date order columns are supported — derive a numeric rank "
             "(e.g. a hash or an id) first"
         )
-    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    if length_col is not None:
+        toks = F.col(length_col)
+    else:
+        toks = F.size(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        )
     base = df.select(
         F.col(id_col),
         ord_expr.alias("_ord"),
@@ -755,6 +764,7 @@ def pack_training_sequences(
     order_col: str | None = None,
     sep_tokens: int = 1,
     num_buckets: int = 1024,
+    length_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the step that turns a
     document stream into fixed-length training sequences: documents are
@@ -772,7 +782,13 @@ def pack_training_sequences(
     last_seq, n_seqs) where start_offset is the document's global
     token offset, first_seq/last_seq the sequence ids covering its
     span (separator included), and n_seqs how many sequences it
-    touches (>1 means the doc crosses chunk boundaries)."""
+    touches (>1 means the doc crosses chunk boundaries).
+
+    ``length_col``: pack by a PRECOMPUTED per-doc length instead of
+    the whitespace token count — the budget-true path: feed
+    ``bpe_doc_token_counts``'s ``n_bpe_tokens`` to pack in REAL
+    tokenizer tokens (pytest pins the composition), or ``n_chars``
+    for character budgets (the oracle-checked path)."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     if sep_tokens < 0:
@@ -780,6 +796,7 @@ def pack_training_sequences(
     cum = _cumulative_tokens(
         df, text_col, id_col, order_col, num_buckets,
         caller="pack_training_sequences", sep_tokens=sep_tokens,
+        length_col=length_col,
     )
     if cum is None:
         return df.sparkSession.createDataFrame(

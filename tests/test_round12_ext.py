@@ -820,3 +820,76 @@ class TestPerplexityBuckets:
 
         with pytest.raises(ValueError, match="labels"):
             perplexity_buckets(self._scored(spark), n_buckets=4)
+
+
+class TestBudgetTruePacking:
+    def test_length_col_matches_manual_prefix_sum(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+
+        rows = [(i, "x " * (i + 1), (i + 1) * 7) for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, mylen long"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["start_offset"], r["first_seq"],
+                r["last_seq"], r["n_seqs"],
+            )
+            for r in pack_training_sequences(
+                df, seq_len=64, sep_tokens=1, length_col="mylen"
+            ).collect()
+        }
+        cum = 0
+        for i in range(20):
+            eff = (i + 1) * 7 + 1
+            start, cend = cum, cum + eff - 1
+            cum += eff
+            assert got[i] == (
+                (i + 1) * 7, start, start // 64, cend // 64,
+                cend // 64 - start // 64 + 1,
+            ), i
+
+    def test_bpe_composition(self, spark):
+        """Pack in REAL learned-tokenizer tokens: doc budgets from
+        bpe_doc_token_counts drive the packer."""
+        from spark_bestfit_spark.operators.curation import (
+            pack_training_sequences,
+        )
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_doc_token_counts,
+            bpe_learn,
+        )
+
+        rng = random.Random(3)
+        stems = ["lower", "newest", "widest", "low", "er", "est"]
+        df = spark.createDataFrame(
+            [(i, " ".join(rng.choice(stems)
+                          for _ in range(rng.randint(3, 15))))
+             for i in range(25)],
+            "doc_id long, text string",
+        )
+        merges = bpe_learn(df, "text", n_merges=8)
+        counts = bpe_doc_token_counts(df, merges)
+        packed = pack_training_sequences(
+            df.join(counts, "doc_id"), seq_len=128,
+            length_col="n_bpe_tokens",
+        )
+        got = {r["doc_id"]: r for r in packed.collect()}
+        exp_len = {
+            r["doc_id"]: r["n_bpe_tokens"] for r in counts.collect()
+        }
+        cum = 0
+        for i in sorted(exp_len):
+            eff = exp_len[i] + 1
+            assert got[i]["n_tokens"] == exp_len[i]
+            assert got[i]["start_offset"] == cum
+            cum += eff
+        # BPE budgets exceed whitespace budgets (fertility > 1), so
+        # the packing genuinely differs from the whitespace path
+        ws = pack_training_sequences(df, seq_len=128)
+        assert (
+            sum(r["n_tokens"] for r in packed.collect())
+            > sum(r["n_tokens"] for r in ws.collect())
+        )
