@@ -5255,6 +5255,52 @@ def _q_streaming_certified_drift(spark, sf_dir):
     )
 
 
+def _q_streaming_certified_drift_by_group(spark, sf_dir):
+    """Per-segment streaming certified drift: ONE (group, bucket)
+    aggregation per micro-batch feeds an independent certified
+    two-sample check per returnflag (each group's grid frozen from
+    its own reference slice). Checked surface = per-group CUMULATIVE
+    certified scores after a real 4-micro-batch drain
+    (batching-invariant: additive per-group count vectors). Oracle
+    replays the per-group dense-grid arithmetic in DuckDB."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.streaming import CertifiedDriftMonitorByGroup
+    from spark_bestfit_spark.streaming.run import drain_foreach_batch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = li.filter("l_linestatus = 'F'").select(
+        F.col("l_returnflag").alias("seg"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    monitor = CertifiedDriftMonitorByGroup(
+        ref, column="value", group_col="seg", grid_size=256,
+        d_threshold=None,
+    )
+    stream = _read_stream(spark, sf_dir, "lineitem").filter(
+        "l_linestatus = 'O'"
+    ).select(
+        F.col("l_returnflag").alias("seg"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    drain_foreach_batch(stream, monitor)
+    cum = monitor.cumulative()
+    return spark.createDataFrame(
+        [(
+            g,
+            int(c["n_rows"]),
+            int(c["n_out_of_range"]),
+            round(float(c["d_stat"]), 6),
+            round(float(c["err_bound"]), 6),
+            round(float(c["w1"]), 6),
+            round(float(c["w1_err_bound"]), 6),
+        ) for g, c in sorted(cum.items())],
+        "seg string, n_rows long, n_out_of_range long,"
+        " d_stat double, err_bound double, w1 double,"
+        " w1_err_bound double",
+    )
+
+
 def _q_bpe_encode_words(spark, sf_dir):
     """BPE tokenizer APPLY (the half bpe_merges trains): the learned
     10-merge table encodes every word type; the query VERIFIES
@@ -6821,14 +6867,14 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 17 same-round
+# The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 22
+# band (streaming_late_data was promised as r12's first spill) + 21
 # from the r6 band (ANN/dedup family first, then alphabetical; the
-# fit_* family members fit_multi/fit_price/generate_univariate/
-# fit_mse/fit_lazy/fit_grouped/fit_discrete_grouped/fit_discrete/
-# fit_censored/fit_bounded pushed to the r13 band by the ten
-# late-r12 registrations).
+# r6-band members fit_multi/fit_price/generate_univariate/fit_mse/
+# fit_lazy/fit_grouped/fit_discrete_grouped/fit_discrete/
+# fit_censored/fit_bounded/events_funnel pushed to the r13 band by
+# the eleven late-r12 registrations).
 _HEAD_50 = [
     "ivf_opq_recall",
     "opq_persisted_recall",
@@ -6847,6 +6893,7 @@ _HEAD_50 = [
     "compact_keeper_snapshot",
     "bpe_encode_words",
     "streaming_certified_drift",
+    "streaming_certified_drift_by_group",
     "clip_spans",
     "incremental_exact",
     "incremental_neardup",
@@ -6879,7 +6926,6 @@ _HEAD_50 = [
     "doc_top_terms",
     "events_asof",
     "events_cohorts",
-    "events_funnel",
 ]
 
 
@@ -6919,6 +6965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_keeper_snapshot": _q_compact_keeper_snapshot,
         "bpe_encode_words": _q_bpe_encode_words,
         "streaming_certified_drift": _q_streaming_certified_drift,
+        "streaming_certified_drift_by_group":
+            _q_streaming_certified_drift_by_group,
         # round-11 registrations (operator + oracle same round):
         "ivfpq_recall": _q_ivfpq_recall,
         "incremental_exact": _q_incremental_exact,
@@ -12194,6 +12242,95 @@ def oracle_sql() -> dict[str, str]:
                      AS w1_err_bound,
                    CAST(4 AS BIGINT) AS n_batches
             FROM cum
+        """,
+        "streaming_certified_drift_by_group": """
+            WITH ref AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem
+              WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND l_returnflag IS NOT NULL
+            ),
+            strm AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v
+              FROM lineitem
+              WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND l_returnflag IS NOT NULL
+            ),
+            b AS (
+              SELECT g, min(v) AS lo, max(v) AS hi FROM ref GROUP BY g
+              HAVING max(v) > min(v)
+            ),
+            rc AS (
+              SELECT ref.g,
+                     greatest(least(CAST(floor((ref.v - b.lo)
+                       / ((b.hi - b.lo) / 256.0)) AS BIGINT), 255), 0)
+                       AS bk,
+                     count(*) AS c
+              FROM ref JOIN b ON ref.g = b.g GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT strm.g,
+                     greatest(least(CAST(floor((strm.v - b.lo)
+                       / ((b.hi - b.lo) / 256.0)) AS BIGINT), 255), 0)
+                       AS bk,
+                     count(*) AS c
+              FROM strm JOIN b ON strm.g = b.g GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT b.g, CAST(i AS BIGINT) AS bk
+              FROM b, unnest(generate_series(0, 255)) AS t(i)
+            ),
+            dense AS (
+              SELECT grid.g, grid.bk,
+                     coalesce(rc.c, 0) AS ra,
+                     coalesce(sc.c, 0) AS sa
+              FROM grid
+                LEFT JOIN rc ON grid.g = rc.g AND grid.bk = rc.bk
+                LEFT JOIN sc ON grid.g = sc.g AND grid.bk = sc.bk
+            ),
+            tot AS (
+              SELECT g, sum(ra) AS rn, sum(sa) AS sn
+              FROM dense GROUP BY g
+            ),
+            cum AS (
+              SELECT d.g, d.bk,
+                     (SUM(d.ra) OVER (PARTITION BY d.g ORDER BY d.bk))
+                       ::DOUBLE / t.rn AS fa,
+                     (SUM(d.sa) OVER (PARTITION BY d.g ORDER BY d.bk))
+                       ::DOUBLE / t.sn AS fb,
+                     d.ra::DOUBLE / t.rn + d.sa::DOUBLE / t.sn
+                       AS mass
+              FROM dense d JOIN tot t ON d.g = t.g
+            ),
+            oor AS (
+              SELECT strm.g, count(*) AS n
+              FROM strm JOIN b ON strm.g = b.g
+              WHERE strm.v < b.lo OR strm.v > b.hi
+              GROUP BY 1
+            ),
+            agg AS (
+              SELECT g,
+                     max(abs(fa - fb)) AS dmax,
+                     max(mass) AS emax,
+                     sum(abs(fa - fb)) AS gapsum
+              FROM cum GROUP BY g
+            )
+            SELECT agg.g AS seg,
+                   CAST(tot.sn AS BIGINT) AS n_rows,
+                   CAST(coalesce(oor.n, 0) AS BIGINT)
+                     AS n_out_of_range,
+                   round(agg.dmax, 6) AS d_stat,
+                   round(agg.emax, 6) AS err_bound,
+                   round(agg.gapsum * ((b.hi - b.lo) / 256.0), 6)
+                     AS w1,
+                   round(2.0 * (b.hi - b.lo) / 256.0, 6)
+                     AS w1_err_bound
+            FROM agg
+              JOIN tot ON agg.g = tot.g
+              JOIN b ON agg.g = b.g
+              LEFT JOIN oor ON agg.g = oor.g
         """,
         "bpe_encode_words": """
             SELECT word, CAST(word_count AS BIGINT) AS word_count,

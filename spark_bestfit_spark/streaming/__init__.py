@@ -9,7 +9,9 @@ model, plus windowed streaming statistics.
 
 from spark_bestfit_spark.streaming.drift import (
     CertifiedDriftMonitor,
+    CertifiedDriftMonitorByGroup,
     CertifiedDriftRecord,
+    GroupedCertifiedDriftRecord,
     DriftMonitor,
     ks_drift_score,
     w1_drift_score,
@@ -21,7 +23,8 @@ from spark_bestfit_spark.streaming.windows import (
 )
 
 __all__ = [
-    "CertifiedDriftMonitor", "CertifiedDriftRecord", "DriftMonitor",
+    "CertifiedDriftMonitor", "CertifiedDriftMonitorByGroup",
+    "CertifiedDriftRecord", "GroupedCertifiedDriftRecord", "DriftMonitor",
     "ks_drift_score", "w1_drift_score", "streaming_moments",
     "windowed_stats", "session_stats",
 ]

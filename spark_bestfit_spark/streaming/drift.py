@@ -25,6 +25,8 @@ from spark_bestfit_spark.functions import metrics as M
 __all__ = [
     "CertifiedDriftRecord",
     "CertifiedDriftMonitor",
+    "GroupedCertifiedDriftRecord",
+    "CertifiedDriftMonitorByGroup",
     "ks_drift_score",
     "w1_drift_score",
     "DriftRecord",
@@ -415,3 +417,267 @@ class CertifiedDriftMonitor:
     @property
     def last(self):
         return self.history[-1] if self.history else None
+
+
+@dataclass
+class GroupedCertifiedDriftRecord:
+    batch_id: int
+    group: str
+    n_rows: int
+    n_out_of_range: int
+    d_batch: float
+    d_cum: float
+    err_bound: float
+    w1_batch: float
+    w1_cum: float
+    w1_err_bound: float
+    drifted: bool
+    timestamp: float = field(default_factory=time.time)
+
+
+class CertifiedDriftMonitorByGroup:
+    """Per-segment :class:`CertifiedDriftMonitor` — one certified
+    two-sample drift check PER GROUP (the per-language / per-domain
+    production shape), all fed by ONE map-combinable (group, bucket)
+    aggregation per micro-batch.
+
+    Each group gets its own grid frozen from its own reference slice
+    (per-group [lo, hi] and counts collected once at construction —
+    driver state is groups x grid_size ints, the bounded-sketch
+    convention: groups are languages/domains, not data). Per batch,
+    every monitored group present emits a
+    :class:`GroupedCertifiedDriftRecord` with its own batch and
+    cumulative certificates; out-of-range mass clamps into the
+    group's edge buckets and is reported per group.
+
+    Batch rows whose group has no (two-distinct-valued) reference
+    slice cannot be scored — they are counted in
+    ``unmonitored_rows`` per group (a loud signal: a NEW segment
+    appeared in the stream), never silently dropped.
+    """
+
+    def __init__(
+        self,
+        reference,
+        column: str,
+        group_col: str,
+        grid_size: int = 2048,
+        d_threshold: float | None = 0.1,
+        w1_threshold: float | None = None,
+        oor_fraction_threshold: float | None = None,
+        on_drift=None,
+        max_history: int = 10_000,
+    ):
+        import pyspark.sql.functions as F
+
+        self.column = column
+        self.group_col = group_col
+        self.grid_size = int(grid_size)
+        self.d_threshold = d_threshold
+        self.w1_threshold = w1_threshold
+        self.oor_fraction_threshold = oor_fraction_threshold
+        self.on_drift = on_drift
+        self.max_history = max_history
+        self.history: list = []
+        self.unmonitored_rows: dict = {}
+
+        clean = self._clean(reference)
+        bounds = {
+            r["g"]: (float(r["lo"]), float(r["hi"]))
+            for r in clean.groupBy("g")
+            .agg(
+                F.min("v").alias("lo"), F.max("v").alias("hi"),
+                F.count("v").alias("n"),
+            )
+            .collect()
+            if r["n"] and r["hi"] > r["lo"]
+        }
+        if not bounds:
+            raise ValueError(
+                "CertifiedDriftMonitorByGroup: no group in the"
+                " reference has two distinct finite values"
+            )
+        self.bounds = bounds
+        self.ref_counts = self._bucket_counts(clean)
+        self.ref_n = {g: int(c.sum()) for g, c in self.ref_counts.items()}
+        self.stream_counts = {
+            g: np.zeros(self.grid_size, dtype=np.int64) for g in bounds
+        }
+        self.total_out_of_range = {g: 0 for g in bounds}
+
+    def _clean(self, df):
+        import pyspark.sql.functions as F
+
+        return df.select(
+            F.col(self.group_col).cast("string").alias("g"),
+            F.col(self.column).alias("v"),
+        ).filter(
+            F.col("g").isNotNull()
+            & F.col("v").isNotNull()
+            & ~F.isnan("v")
+            & (F.abs(F.col("v")) != float("inf"))
+        )
+
+    def _bucket_counts(self, clean_df) -> dict:
+        """One (group, bucket) map-combinable agg; <= groups x grid
+        rows cross the driver boundary. Per-group clamped floor
+        bucketing on each group's own frozen grid."""
+        import pyspark.sql.functions as F
+
+        g = self.grid_size
+        lo = F.create_map(
+            *[x for gk, (l, h) in self.bounds.items()
+              for x in (F.lit(gk), F.lit(l))]
+        )[F.col("g")]
+        hi = F.create_map(
+            *[x for gk, (l, h) in self.bounds.items()
+              for x in (F.lit(gk), F.lit(h))]
+        )[F.col("g")]
+        bk = F.greatest(
+            F.least(
+                F.floor(
+                    (F.col("v") - lo) / ((hi - lo) / F.lit(float(g)))
+                ).cast("long"),
+                F.lit(g - 1),
+            ),
+            F.lit(0),
+        )
+        rows = (
+            clean_df.withColumn("_lo", lo)
+            .withColumn("bk", F.when(lo.isNotNull(), bk))
+            .groupBy("g", "bk")
+            .count()
+            .collect()
+        )
+        out: dict = {}
+        unmon: dict = {}
+        for r in rows:
+            if r["bk"] is None:
+                unmon[r["g"]] = unmon.get(r["g"], 0) + int(r["count"])
+                continue
+            arr = out.setdefault(
+                r["g"], np.zeros(g, dtype=np.int64)
+            )
+            arr[int(r["bk"])] = int(r["count"])
+        self._last_unmonitored = unmon
+        return out
+
+    def _scores(self, group: str, counts: np.ndarray) -> tuple:
+        n = counts.sum()
+        if n == 0:
+            return (float("nan"),) * 4
+        lo, hi = self.bounds[group]
+        ref = self.ref_counts[group]
+        rn = self.ref_n[group]
+        fa = np.cumsum(ref) / float(rn)
+        fb = np.cumsum(counts) / float(n)
+        gaps = np.abs(fa - fb)
+        width = (hi - lo) / self.grid_size
+        return (
+            float(gaps.max()),
+            float((ref / float(rn) + counts / float(n)).max()),
+            float((gaps * width).sum()),
+            2.0 * (hi - lo) / self.grid_size,
+        )
+
+    # ------------------------------------------- foreachBatch entry
+    def __call__(self, batch_df, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        clean = self._clean(batch_df)
+        per_group = self._bucket_counts(clean)
+        for gk, n in self._last_unmonitored.items():
+            self.unmonitored_rows[gk] = (
+                self.unmonitored_rows.get(gk, 0) + n
+            )
+        oor_rows = {
+            r["g"]: int(r["n"])
+            for r in clean.groupBy("g").agg(
+                F.sum(
+                    (
+                        (F.col("v") < F.create_map(
+                            *[x for gk, (l, h) in self.bounds.items()
+                              for x in (F.lit(gk), F.lit(l))]
+                        )[F.col("g")])
+                        | (F.col("v") > F.create_map(
+                            *[x for gk, (l, h) in self.bounds.items()
+                              for x in (F.lit(gk), F.lit(h))]
+                        )[F.col("g")])
+                    ).cast("long")
+                ).alias("n")
+            ).collect()
+            if r["n"] is not None
+        }
+        for gk in sorted(per_group):
+            if gk not in self.bounds:
+                continue
+            counts = per_group[gk]
+            n = int(counts.sum())
+            if n == 0:
+                continue
+            oor = int(oor_rows.get(gk, 0))
+            self.stream_counts[gk] += counts
+            self.total_out_of_range[gk] += oor
+            d_b, err_b, w1_b, _ = self._scores(gk, counts)
+            d_c, err_c, w1_c, w1_err = self._scores(
+                gk, self.stream_counts[gk]
+            )
+            drifted = False
+            if self.d_threshold is not None and (
+                d_b > self.d_threshold or d_c > self.d_threshold
+            ):
+                drifted = True
+            if self.w1_threshold is not None and (
+                w1_b > self.w1_threshold or w1_c > self.w1_threshold
+            ):
+                drifted = True
+            if (
+                self.oor_fraction_threshold is not None
+                and oor / n > self.oor_fraction_threshold
+            ):
+                drifted = True
+            record = GroupedCertifiedDriftRecord(
+                batch_id=int(batch_id),
+                group=gk,
+                n_rows=n,
+                n_out_of_range=oor,
+                d_batch=d_b,
+                d_cum=d_c,
+                err_bound=max(err_b, err_c),
+                w1_batch=w1_b,
+                w1_cum=w1_c,
+                w1_err_bound=w1_err,
+                drifted=drifted,
+            )
+            self.history.append(record)
+            if drifted and self.on_drift is not None:
+                try:
+                    self.on_drift(record)
+                except Exception:  # noqa: BLE001 — user callback must not kill the query
+                    pass
+        if len(self.history) > self.max_history:
+            del self.history[: len(self.history) - self.max_history]
+
+    # ------------------------------------------------------- queries
+    def cumulative(self) -> dict:
+        """{group: certified scores of the whole stream so far} — a
+        pure function of the additive per-group count vectors
+        (batching-invariant, restart-mergeable)."""
+        out = {}
+        for gk in sorted(self.bounds):
+            d, err, w1, w1_err = self._scores(
+                gk, self.stream_counts[gk]
+            )
+            out[gk] = {
+                "n_rows": int(self.stream_counts[gk].sum()),
+                "n_out_of_range": int(self.total_out_of_range[gk]),
+                "d_stat": d,
+                "err_bound": err,
+                "w1": w1,
+                "w1_err_bound": w1_err,
+            }
+        return out
+
+    @property
+    def drift_count(self) -> int:
+        return sum(1 for r in self.history if r.drifted)

@@ -15,7 +15,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from spark_bestfit_spark.streaming import CertifiedDriftMonitor
+from spark_bestfit_spark.streaming import (
+    CertifiedDriftMonitor,
+    CertifiedDriftMonitorByGroup,
+)
 
 
 @pytest.fixture(scope="module")
@@ -216,3 +219,95 @@ class TestCertifiedStreamRun:
         # certificate attached
         assert drifted.d_batch > 0.15
         assert drifted.err_bound > 0.0
+
+
+class TestCertifiedDriftByGroup:
+    @pytest.fixture(scope="class")
+    def grouped_ref(self, spark):
+        rng = np.random.default_rng(33)
+        frames = []
+        for g, (mu, sd) in [("a", (50, 10)), ("b", (0, 1))]:
+            frames.append(pd.DataFrame({
+                "seg": g, "value": rng.normal(mu, sd, 4000)
+            }))
+        return spark.createDataFrame(pd.concat(frames))
+
+    def test_cumulative_matches_flat_per_group(self, spark, grouped_ref):
+        from spark_bestfit_spark.streaming import CertifiedDriftMonitor
+
+        rng = np.random.default_rng(8)
+        batch = pd.concat([
+            pd.DataFrame({"seg": "a",
+                          "value": rng.normal(52, 10, 1200)}),
+            pd.DataFrame({"seg": "b",
+                          "value": rng.normal(0.2, 1, 900)}),
+        ])
+        grouped = CertifiedDriftMonitorByGroup(
+            grouped_ref, column="value", group_col="seg",
+            grid_size=256, d_threshold=None,
+        )
+        grouped(spark.createDataFrame(batch), 0)
+        cum = grouped.cumulative()
+        for g in ["a", "b"]:
+            flat = CertifiedDriftMonitor(
+                grouped_ref.filter(f"seg = '{g}'"), column="value",
+                grid_size=256, d_threshold=None,
+            )
+            flat(
+                spark.createDataFrame(batch[batch.seg == g]), 0
+            )
+            fc = flat.cumulative()
+            gc = cum[g]
+            assert gc["n_rows"] == fc["n_rows"], g
+            assert gc["d_stat"] == pytest.approx(
+                fc["d_stat"], abs=1e-12
+            ), g
+            assert gc["w1"] == pytest.approx(fc["w1"], abs=1e-9), g
+            assert gc["err_bound"] == pytest.approx(
+                fc["err_bound"], abs=1e-12
+            ), g
+
+    def test_only_shifted_group_flags(self, spark, grouped_ref):
+        rng = np.random.default_rng(12)
+        monitor = CertifiedDriftMonitorByGroup(
+            grouped_ref, column="value", group_col="seg",
+            grid_size=256, d_threshold=0.15,
+        )
+        batch = pd.concat([
+            pd.DataFrame({"seg": "a",
+                          "value": rng.normal(50, 10, 1500)}),
+            pd.DataFrame({"seg": "b",
+                          "value": rng.normal(1.5, 1, 1500)}),
+        ])
+        monitor(spark.createDataFrame(batch), 0)
+        flags = {r.group: r.drifted for r in monitor.history}
+        assert flags == {"a": False, "b": True}
+
+    def test_unmonitored_group_counted(self, spark, grouped_ref):
+        monitor = CertifiedDriftMonitorByGroup(
+            grouped_ref, column="value", group_col="seg",
+            grid_size=128, d_threshold=None,
+        )
+        batch = pd.DataFrame({
+            "seg": ["zz"] * 40 + ["a"] * 60,
+            "value": np.linspace(0, 100, 100),
+        })
+        monitor(spark.createDataFrame(batch), 0)
+        assert monitor.unmonitored_rows == {"zz": 40}
+        assert {r.group for r in monitor.history} == {"a"}
+
+    def test_per_group_oor(self, spark, grouped_ref):
+        monitor = CertifiedDriftMonitorByGroup(
+            grouped_ref, column="value", group_col="seg",
+            grid_size=128, d_threshold=None,
+            oor_fraction_threshold=0.3,
+        )
+        batch = pd.DataFrame({
+            "seg": ["b"] * 100,
+            "value": [500.0] * 50
+            + list(np.random.default_rng(1).normal(0, 1, 50)),
+        })
+        monitor(spark.createDataFrame(batch), 0)
+        rec = [r for r in monitor.history if r.group == "b"][0]
+        assert rec.n_out_of_range >= 50
+        assert rec.drifted
