@@ -135,6 +135,68 @@ def main() -> None:
         f"(fertility {budget['bpe'] / budget['ws']:.3f})"
     )
 
+    # ---- 3b. head/middle/tail + budget-true packing ---------------
+    from spark_bestfit_spark.operators.curation import (
+        pack_training_sequences,
+    )
+    from spark_bestfit_spark.operators.textstats import (
+        kn_doc_logprob_by_group,
+        perplexity_buckets,
+    )
+
+    lang_scored = kn_doc_logprob_by_group(delivery, reference)
+    buckets = perplexity_buckets(lang_scored)
+    dist = {
+        (r["lang"], r["label"]): r["n"]
+        for r in buckets.groupBy("lang", "label").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    langs = sorted({k[0] for k in dist})
+    print("\nCCNet head/middle/tail per language:")
+    for lg in langs:
+        print(
+            f"  {lg}: head {dist.get((lg, 'head'), 0)}, middle "
+            f"{dist.get((lg, 'middle'), 0)}, tail "
+            f"{dist.get((lg, 'tail'), 0)}"
+        )
+    counts = bpe_doc_token_counts(docs, merges)
+    packed = pack_training_sequences(
+        docs.join(counts, "doc_id"), seq_len=2048,
+        length_col="n_bpe_tokens",
+    )
+    n_seqs = packed.agg(F.max("last_seq")).first()[0] + 1
+    print(
+        f"budget-true packing: corpus -> {n_seqs} sequences of 2048"
+        f" REAL BPE tokens"
+    )
+
+    # ---- 3c. certified drift as a STREAM ---------------------------
+    from spark_bestfit_spark.streaming import CertifiedDriftMonitor
+    from spark_bestfit_spark.streaming.run import drain_foreach_batch
+
+    monitor = CertifiedDriftMonitor(
+        last_week.select(F.col("l_extendedprice").alias("value")),
+        column="value", grid_size=512, d_threshold=0.1,
+    )
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="drift_stream_")
+    this_week.select(
+        F.col("l_extendedprice").alias("value")
+    ).repartition(3).write.mode("overwrite").parquet(stage)
+    drain_foreach_batch(
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1).parquet(stage),
+        monitor,
+    )
+    c = monitor.cumulative()
+    print(
+        f"\nstreaming certified drift ({len(monitor.history)} "
+        f"micro-batches): cumulative K-S {c['d_stat']:.4f} "
+        f"+/- {c['err_bound']:.4f}, W1 {c['w1']:.2f}"
+    )
+
     # ---- 4. snapshot hygiene after a replayed delivery ------------
     exact_state = duplicate_groups(docs).select("fingerprint", "keeper_id")
     band_index = minhash_band_index(docs.limit(100))
