@@ -6867,6 +6867,26 @@ def _q_weighted_quantiles(spark, sf_dir):
     )
 
 
+def _q_kn_trigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM document scoring (Chen &
+    Goodman 1999) — the next LM-quality rung above the bigram tier:
+    two backoff levels, continuation counts at both lower orders, and
+    the same add-one-with-OOV-bucket closure so every level is a
+    proper distribution. Trained on the even-id half of `documents`,
+    scores the odd-id half. Full value-level DuckDB replica (same
+    tokenizer, same IEEE-double expression order); pytest pins the
+    from-scratch python reference, the properness of all three
+    levels, and the merged-snapshot equivalence."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import kn_doc_logprob3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    return kn_doc_logprob3(tgt, ref)
+
+
 # The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
 # band (streaming_late_data was promised as r12's first spill) + 21
@@ -6876,6 +6896,7 @@ def _q_weighted_quantiles(spark, sf_dir):
 # fit_censored/fit_bounded/events_funnel pushed to the r13 band by
 # the eleven late-r12 registrations).
 _HEAD_50 = [
+    "kn_trigram_logprob",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -6948,6 +6969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_late_data, 37th-stalest, waits for r12). The strict
         # local harness still executes ALL entries every round. ----
         # round-12 registrations (operator + oracle same round):
+        "kn_trigram_logprob": _q_kn_trigram_logprob,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11734,6 +11756,97 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "kn_trigram_logprob": """
+            WITH refd AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            rp AS (
+              SELECT arr[CAST(i AS INTEGER) - 1] AS w1,
+                     arr[CAST(i AS INTEGER)] AS w2,
+                     arr[CAST(i AS INTEGER) + 1] AS w3
+              FROM refd,
+                   unnest(generate_series(2, len(arr) - 1)) AS t(i)
+            ),
+            tri AS (
+              SELECT w1, w2, w3, count(*) AS c123 FROM rp
+              WHERE w1 <> '' AND w2 <> '' AND w3 <> '' GROUP BY 1, 2, 3
+            ),
+            ctx2 AS (
+              SELECT w1, w2, sum(c123) AS c12, count(*) AS fw12
+              FROM tri GROUP BY 1, 2
+            ),
+            mid AS (
+              SELECT w2, w3, count(*) AS n123 FROM tri GROUP BY 1, 2
+            ),
+            mid2 AS (
+              SELECT w2, sum(n123) AS n2tot, count(*) AS fw2c
+              FROM mid GROUP BY 1
+            ),
+            low AS (SELECT w3, count(*) AS bw3 FROM mid GROUP BY 1),
+            tot AS (
+              SELECT count(*) AS types, count(DISTINCT w3) AS vref
+              FROM mid
+            ),
+            tgtd AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tp AS (
+              SELECT doc_id,
+                     arr[CAST(i AS INTEGER) - 1] AS w1,
+                     arr[CAST(i AS INTEGER)] AS w2,
+                     arr[CAST(i AS INTEGER) + 1] AS w3
+              FROM tgtd,
+                   unnest(generate_series(2, len(arr) - 1)) AS t(i)
+            ),
+            sc AS (
+              SELECT t.doc_id, tri.c123, ctx2.c12, ctx2.fw12,
+                     mid.n123, mid2.n2tot, mid2.fw2c, low.bw3,
+                     tot.types, tot.vref
+              FROM (SELECT * FROM tp
+                    WHERE w1 <> '' AND w2 <> '' AND w3 <> '') t
+                LEFT JOIN tri
+                  ON t.w1 = tri.w1 AND t.w2 = tri.w2 AND t.w3 = tri.w3
+                LEFT JOIN ctx2
+                  ON t.w1 = ctx2.w1 AND t.w2 = ctx2.w2
+                LEFT JOIN mid ON t.w2 = mid.w2 AND t.w3 = mid.w3
+                LEFT JOIN mid2 ON t.w2 = mid2.w2
+                LEFT JOIN low ON t.w3 = low.w3
+                CROSS JOIN tot
+            ),
+            pr AS (
+              SELECT doc_id, c123,
+                     CASE WHEN c12 IS NOT NULL
+                          THEN greatest(coalesce(c123, 0) - 0.75, 0.0)
+                                 / c12
+                               + (0.75 * fw12 / c12) * p_mid
+                          ELSE p_mid
+                     END AS p_hi
+              FROM (
+                SELECT *,
+                       CASE WHEN n2tot IS NOT NULL
+                            THEN greatest(coalesce(n123, 0) - 0.75, 0.0)
+                                   / n2tot
+                                 + (0.75 * fw2c / n2tot) * p_low
+                            ELSE p_low
+                       END AS p_mid
+                FROM (
+                  SELECT *,
+                         (coalesce(bw3, 0) + 1.0)
+                           / (types + vref + 1.0) AS p_low
+                  FROM sc
+                )
+              )
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(sum(CASE WHEN c123 IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unseen,
+                   round(avg(ln(p_hi)), 6) AS mean_kn_logprob
+            FROM pr GROUP BY doc_id
         """,
         "kn_doc_logprob": """
             WITH refd AS (
