@@ -6887,6 +6887,41 @@ def _q_kn_trigram_logprob(spark, sf_dir):
     return kn_doc_logprob3(tgt, ref)
 
 
+def _q_bpe_vocab_ids(spark, sf_dir):
+    """The shipped BPE VOCABULARY as a stable (token_id, token, kind)
+    relation — base characters in sorted order, then the learned
+    merged tokens in merge-rank order (first rank keeps the id when
+    two merge paths collide on a string). The query VERIFIES IN-QUERY
+    that the vocabulary is CLOSED over its own training corpus:
+    bpe_encode_ids under this vocab maps every token of every word
+    type to a real id (total n_unk == 0). Oracle: base chars replayed
+    from `documents` in DuckDB + the pinned 10-merge table (the
+    bpe_merges convention — the train loop is deterministic,
+    partition-sweep pytest-pinned)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        bpe_encode_ids,
+        bpe_learn,
+        bpe_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs, "text", n_merges=10)
+    v = bpe_vocab(docs, merges).cache()
+    n_unk = (
+        bpe_encode_ids(docs, merges, vocab=v)
+        .agg(F.sum("n_unk"))
+        .collect()[0][0]
+    )
+    return v.select(
+        "token_id",
+        "token",
+        "kind",
+        F.lit(bool(n_unk == 0)).alias("vocab_closed"),
+    )
+
+
 # The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
 # band (streaming_late_data was promised as r12's first spill) + 21
@@ -6897,6 +6932,7 @@ def _q_kn_trigram_logprob(spark, sf_dir):
 # the eleven late-r12 registrations).
 _HEAD_50 = [
     "kn_trigram_logprob",
+    "bpe_vocab_ids",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -6970,6 +7006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local harness still executes ALL entries every round. ----
         # round-12 registrations (operator + oracle same round):
         "kn_trigram_logprob": _q_kn_trigram_logprob,
+        "bpe_vocab_ids": _q_bpe_vocab_ids,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11756,6 +11793,39 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "bpe_vocab_ids": """
+            WITH words AS (
+              SELECT DISTINCT w
+              FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            chars AS (
+              SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS token
+              FROM words,
+                   unnest(generate_series(1, len(w))) AS t(i)
+            ),
+            base AS (
+              SELECT CAST(row_number() OVER (ORDER BY token) - 1
+                          AS BIGINT) AS token_id,
+                     token, 'base' AS kind
+              FROM chars
+            ),
+            m AS (
+              SELECT * FROM (VALUES
+                (1, 'er'), (2, 'in'), (3, 'ow'), (4, 'or'), (5, 'st'),
+                (6, 'mer'), (7, 'at'), (8, 'lu'), (9, 'ar'), (10, 'par')
+              ) AS t(rk, token)
+            ),
+            bc AS (SELECT count(*) AS n FROM base)
+            SELECT token_id, token, kind, TRUE AS vocab_closed FROM base
+            UNION ALL
+            SELECT CAST(bc.n + m.rk - 1 AS BIGINT), m.token, 'merged',
+                   TRUE
+            FROM m, bc
         """,
         "kn_trigram_logprob": """
             WITH refd AS (

@@ -2533,3 +2533,143 @@ def kn_doc_logprob3_from_counts(
         ).cast("long").alias("n_unseen"),
         F.round(F.avg(F.log(p_hi)), 6).alias("mean_kn_logprob"),
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+) -> DataFrame:
+    """The stable ``(token_id, token, kind)`` VOCABULARY relation a
+    learned BPE tokenizer ships alongside its merge table (the
+    HF/tiktoken artifact shape: ids are what training pipelines
+    store, not strings): base characters first — the distinct single
+    characters of the corpus's word types, id'd in sorted order —
+    then merged tokens in merge-rank order. Two merge paths can
+    produce the same string (e.g. ``ab+c`` and ``a+bc``); the FIRST
+    (lowest) rank keeps the id, matching the id-per-string contract.
+
+    Scale shape: one corpus scan into the word-type groupBy; the
+    char explode, both distincts and the id windows run on
+    VOCAB-sized relations (distinct characters + ``n_merges`` rows),
+    so the single-partition windows are bounded by construction.
+
+    Returns ``(token_id long, token string, kind string)`` with ids
+    contiguous from 0.
+    """
+    from pyspark.sql import Window as _W
+
+    spark = df.sparkSession
+    table = _merge_ranks(merges)
+
+    base_chars = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .select(F.col("_w")).distinct()
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(_w)),"
+                    " i -> substring(_w, i, 1))"
+                )
+            ).alias("token")
+        )
+        .distinct()
+    )
+    # id windows run on chars-sized / n_merges-sized relations —
+    # never data-sized single partitions
+    base = base_chars.select(
+        (F.row_number().over(_W.orderBy("token")) - 1)
+        .cast("long")
+        .alias("token_id"),
+        "token",
+        F.lit("base").alias("kind"),
+    )
+    n_base = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    merged_rows = [
+        (i + 1, a + b) for i, (a, b) in enumerate(table)
+    ]
+    if merged_rows:
+        mrel = spark.createDataFrame(
+            merged_rows, "merge_rank long, token string"
+        )
+        first = mrel.groupBy("token").agg(
+            F.min("merge_rank").alias("_rk")
+        )
+        merged = (
+            first.crossJoin(F.broadcast(n_base))
+            .select(
+                (
+                    F.col("_nb")
+                    + F.row_number().over(_W.orderBy("_rk"))
+                    - 1
+                )
+                .cast("long")
+                .alias("token_id"),
+                "token",
+                F.lit("merged").alias("kind"),
+            )
+        )
+        return base.unionByName(merged)
+    return base
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Encode the corpus's word types to TOKEN-ID sequences under a
+    learned BPE tokenizer — the form a training pipeline actually
+    materializes (ids, not strings). Composition of
+    :func:`bpe_encode` (priority-apply, oracle-checked) with a
+    :func:`bpe_vocab` id join; pass ``vocab`` to encode a NEW corpus
+    under a tokenizer trained elsewhere — tokens outside the shipped
+    vocabulary map to id ``-1`` and are counted in ``n_unk`` (the
+    byte-fallback seam; on the training corpus itself the vocabulary
+    is closed and ``n_unk`` is 0, pinned in-query by the entry
+    query).
+
+    Scale shape: the corpus is touched once (inside
+    :func:`bpe_encode`'s word-type groupBy); the posexplode, the
+    broadcast vocab join and the re-collect all run on the
+    VOCAB-sized type relation. Token order is restored by sorting
+    the collected (pos, id) structs — deterministic because pos is
+    unique per word.
+
+    Returns ``(word, word_count, token_ids array<long>, n_tokens,
+    n_unk)``.
+    """
+    if vocab is None:
+        vocab = bpe_vocab(df, merges, text_col=text_col)
+    enc = bpe_encode(df, merges, text_col=text_col)
+    pos = enc.select(
+        "word",
+        "word_count",
+        "n_tokens",
+        F.posexplode("tokens").alias("pos", "token"),
+    )
+    j = pos.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    return j.groupBy("word", "word_count", "n_tokens").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("token_id"), F.lit(-1))
+                        .cast("long")
+                        .alias("tid"),
+                    )
+                )
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+    )
