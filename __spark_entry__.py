@@ -6922,6 +6922,25 @@ def _q_bpe_vocab_ids(spark, sf_dir):
     )
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS 2023): importance
+    log-weights of the odd-id documents under hashed unigram+bigram
+    bucket LMs (target = even-id docs, add-one smoothed, B=512),
+    then Gumbel top-40 resampling with the seeded Knuth-hash uniform
+    — sampling without replacement proportional to importance
+    weights, deterministic on any engine/partitioning. Full
+    value-level DuckDB replica (portable md5 bucket hash, identical
+    IEEE-double expression order, same Gumbel arithmetic)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from spark_bestfit_spark.operators.curation import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") % 2 == 1)
+    tgt = docs.filter(F.col("doc_id") % 2 == 0)
+    return dsir_select(raw, tgt, k=40, n_buckets=512, seed=0)
+
+
 # The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
 # band (streaming_late_data was promised as r12's first spill) + 21
@@ -6933,6 +6952,7 @@ def _q_bpe_vocab_ids(spark, sf_dir):
 _HEAD_50 = [
     "kn_trigram_logprob",
     "bpe_vocab_ids",
+    "dsir_select",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7007,6 +7027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-12 registrations (operator + oracle same round):
         "kn_trigram_logprob": _q_kn_trigram_logprob,
         "bpe_vocab_ids": _q_bpe_vocab_ids,
+        "dsir_select": _q_dsir_select,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11793,6 +11814,88 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "dsir_select": """
+            WITH rawd AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS a
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tgtd AS (
+              SELECT list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS a
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            rg AS (
+              SELECT doc_id,
+                     unnest(list_concat(a,
+                       CASE WHEN len(a) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(a) - 1),
+                                   i -> concat(a[i], ' ', a[i + 1]))
+                            ELSE [] END)) AS g
+              FROM rawd WHERE len(a) >= 1
+            ),
+            tg AS (
+              SELECT unnest(list_concat(a,
+                       CASE WHEN len(a) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(a) - 1),
+                                   i -> concat(a[i], ' ', a[i + 1]))
+                            ELSE [] END)) AS g
+              FROM tgtd WHERE len(a) >= 1
+            ),
+            rf AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 14))::BIGINT % 512 AS bk,
+                     count(*) AS n
+              FROM rg GROUP BY 1, 2
+            ),
+            rlm AS (SELECT bk, sum(n) AS cr FROM rf GROUP BY 1),
+            tlm AS (
+              SELECT ('0x' || substr(md5(g), 1, 14))::BIGINT % 512
+                       AS bk,
+                     count(*) AS ct
+              FROM tg GROUP BY 1
+            ),
+            tot AS (
+              SELECT (SELECT sum(cr) FROM rlm) AS nr,
+                     (SELECT sum(ct) FROM tlm) AS nt
+            ),
+            lw AS (
+              SELECT rf.doc_id,
+                     CAST(sum(rf.n) AS BIGINT) AS n_grams,
+                     round(sum(rf.n * (
+                       ln((coalesce(tlm.ct, 0) + 1.0)
+                          / (coalesce(tot.nt, 0) + 512.0))
+                       - ln((coalesce(rlm.cr, 0) + 1.0)
+                            / (coalesce(tot.nr, 0) + 512.0))
+                     )), 6) AS logweight
+              FROM rf
+                LEFT JOIN tlm ON rf.bk = tlm.bk
+                LEFT JOIN rlm ON rf.bk = rlm.bk
+                CROSS JOIN tot
+              GROUP BY rf.doc_id
+            ),
+            keyed AS (
+              SELECT doc_id, n_grams, logweight,
+                     round(logweight + (- ln(- ln(
+                       ((doc_id * 2654435761) % 4294967296 + 0.5)
+                         / 4294967296.0))), 6) AS gumbel_key
+              FROM lw
+            ),
+            top AS (
+              SELECT * FROM keyed
+              ORDER BY gumbel_key DESC, doc_id LIMIT 40
+            )
+            SELECT doc_id, n_grams, logweight, gumbel_key,
+                   CAST(row_number() OVER (
+                          ORDER BY gumbel_key DESC, doc_id)
+                        AS BIGINT) AS sel_rank
+            FROM top
         """,
         "bpe_vocab_ids": """
             WITH words AS (

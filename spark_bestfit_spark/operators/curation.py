@@ -31,6 +31,8 @@ from spark_bestfit_spark.operators.dedup import _normalized, word_shingles
 
 __all__ = [
     "assign_training_shards",
+    "dsir_logweights",
+    "dsir_select",
     "domain_mixture_weights",
     "flag_contamination",
     "contamination_overlap",
@@ -1383,3 +1385,165 @@ def stratified_split(
             rn <= F.floor(F.lit(cum) * n), F.lit(name)
         ).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def _dsir_doc_features(
+    df: DataFrame,
+    text_col: str,
+    id_col,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-doc hashed-ngram bag features ``(id, _bk, _n)``: unigrams
+    plus adjacent bigrams of the whitespace tokens, each hashed into
+    ``n_buckets`` with the portable md5 hash (DuckDB-replayable).
+    One scan, one map-combinable (id, bucket) groupBy."""
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    keep = [id_col] if id_col else []
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    toks = df.select(*keep, arr.alias("_a")).filter(
+        F.size("_a") >= 1
+    )
+    grams = toks.select(
+        *keep,
+        F.explode(
+            F.concat(
+                F.col("_a"),
+                F.when(
+                    F.size("_a") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(_a) - 1), i ->"
+                        " concat(_a[i - 1], ' ', _a[i]))"
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("_g"),
+    )
+    bk = portable_hash64(F.col("_g")) % F.lit(int(n_buckets))
+    if id_col:
+        return grams.select(*keep, bk.alias("_bk")).groupBy(
+            *keep, "_bk"
+        ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return grams.select(bk.alias("_bk")).groupBy("_bk").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al., NeurIPS
+    2023 — Data Selection via Importance Resampling): score every RAW
+    document by how much more likely its hashed-ngram bag is under
+    the TARGET distribution than under the raw distribution,
+
+        log w(x) = sum_b n_b(x) * (ln p_t[b] - ln p_r[b])
+        p[b]     = (c[b] + 1) / (N + B)        (add-one smoothing)
+
+    with unigram+bigram features hashed into ``B = n_buckets``
+    buckets (the paper's hashed n-gram generative model; smoothing
+    makes both bucket LMs proper so every weight is finite and
+    deterministic).
+
+    Dataflow (scale-safe at 100 TB): each corpus is scanned ONCE —
+    the raw scan produces the per-doc (id, bucket, count) features
+    and the raw bucket LM derives from them by a bucket re-agg
+    (lazily checkpointed, so the scan isn't repeated); the target
+    scan collapses straight to its ``<= B``-row bucket LM. Scoring
+    left-joins the two broadcast LM relations on the bucket key plus
+    a 1-row totals relation and re-aggregates by doc. Nothing
+    driver-side, no UDFs.
+
+    Returns ``(id_col, n_grams, logweight)`` — total grams per doc
+    and the importance log-weight (round 6; higher = more
+    target-like). Docs with no non-empty tokens drop out.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    feats = _dsir_doc_features(
+        raw, text_col, id_col, n_buckets
+    ).localCheckpoint(eager=False)
+    raw_lm = feats.groupBy("_bk").agg(F.sum("_n").alias("_cr"))
+    tgt_lm = _dsir_doc_features(
+        target, text_col, None, n_buckets
+    ).withColumnRenamed("_n", "_ct")
+    tots = (
+        raw_lm.agg(F.sum("_cr").alias("_nr"))
+        .crossJoin(tgt_lm.agg(F.sum("_ct").alias("_nt")))
+    )
+    b = float(n_buckets)
+    term = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("_nt"), F.lit(0)) + F.lit(b))
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("_nr"), F.lit(0)) + F.lit(b))
+    )
+    return (
+        feats.join(F.broadcast(tgt_lm), "_bk", "left")
+        .join(F.broadcast(raw_lm), "_bk", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("_n") * term), 6).alias("logweight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR's selection step: Gumbel top-k resampling over the
+    importance log-weights — sampling k documents WITHOUT replacement
+    with probability proportional to their importance weights is
+    exactly taking the top k by ``logweight + Gumbel noise`` (the
+    Gumbel-max trick; Xie et al. 2023 §2.2). The noise is the seeded
+    Knuth-hash uniform mapped through ``-ln(-ln u)`` — deterministic
+    on any engine and partitioning, so the selected SET is
+    oracle-replayable bit-for-bit (u is offset by half an ulp of the
+    2^32 grid so it is strictly inside (0, 1); no infinite keys).
+
+    One top-k (TakeOrdered — never a global sort) over the
+    :func:`dsir_logweights` relation. Returns
+    ``(id_col, n_grams, logweight, gumbel_key, sel_rank)`` ordered by
+    the perturbed key desc, ties broken by id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lw = dsir_logweights(
+        raw, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    u = _knuth_u(F.col(id_col), seed) + F.lit(0.5 / 4294967296.0)
+    key = F.round(
+        F.col("logweight") + (-F.log(-F.log(u))), 6
+    ).alias("gumbel_key")
+    top = (
+        lw.select(id_col, "n_grams", "logweight", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(int(k))
+    )
+    # rank window runs on the k-row relation the limit already
+    # collapsed — never a data-sized single partition
+    w = Window.orderBy(F.desc("gumbel_key"), F.col(id_col))
+    return top.select(
+        id_col,
+        "n_grams",
+        "logweight",
+        "gumbel_key",
+        F.row_number().over(w).cast("long").alias("sel_rank"),
+    )
