@@ -6941,6 +6941,39 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_select(raw, tgt, k=40, n_buckets=512, seed=0)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): rightmost-minimum k-gram hash
+    per sliding window, guaranteeing a shared fingerprint for any
+    common substring of length >= k + window - 1. Map-only array
+    algebra (no exchange at all); full value-level DuckDB replica
+    (portable md5 k-gram hash, same window argmin + tie rule)."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """Partial-overlap near-dup candidates via shared winnowing
+    fingerprints (the MOSS match step): pairs sharing >= 10 distinct
+    selected fingerprints, viral fingerprints capped. Surfaces
+    copied-paragraph overlap that whole-document MinHash resemblance
+    dilutes. Full value-level DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import winnow_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    return winnow_neardup_pairs(docs, k=8, window=4, min_shared=10)
+
+
 # The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
 # band (streaming_late_data was promised as r12's first spill) + 21
@@ -6953,6 +6986,8 @@ _HEAD_50 = [
     "kn_trigram_logprob",
     "bpe_vocab_ids",
     "dsir_select",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7028,6 +7063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_trigram_logprob": _q_kn_trigram_logprob,
         "bpe_vocab_ids": _q_bpe_vocab_ids,
         "dsir_select": _q_dsir_select,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11814,6 +11851,102 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "winnow_fingerprints": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                       AS nm
+              FROM documents WHERE doc_id < 120
+            ),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       CASE WHEN len(nm) >= 8
+                            THEN list_transform(
+                                   generate_series(1, len(nm) - 7),
+                                   i -> substr(nm, CAST(i AS INTEGER), 8))
+                            ELSE [nm] END,
+                       g -> ('0x' || substr(md5(g), 1, 14))::BIGINT)
+                       AS hl
+              FROM d
+            ),
+            kgr AS (
+              SELECT doc_id, CAST(t.i AS INTEGER) AS p,
+                     hl[CAST(t.i AS INTEGER)] AS h
+              FROM hs, unnest(generate_series(1, len(hl))) AS t(i)
+            ),
+            nn AS (SELECT doc_id, max(p) AS np FROM kgr GROUP BY 1),
+            wm AS (
+              SELECT a.doc_id, a.p AS ws, min(b.h) AS mh
+              FROM kgr a
+                JOIN nn ON nn.doc_id = a.doc_id
+                JOIN kgr b ON b.doc_id = a.doc_id
+                          AND b.p BETWEEN a.p
+                                      AND least(a.p + 3, nn.np)
+              WHERE a.p <= greatest(nn.np - 3, 1)
+              GROUP BY 1, 2
+            ),
+            sel AS (
+              SELECT w.doc_id, w.mh AS fp, max(b.p) AS pos
+              FROM wm w
+                JOIN nn ON nn.doc_id = w.doc_id
+                JOIN kgr b ON b.doc_id = w.doc_id
+                          AND b.p BETWEEN w.ws
+                                      AND least(w.ws + 3, nn.np)
+                          AND b.h = w.mh
+              GROUP BY w.doc_id, w.ws, w.mh
+            )
+            SELECT DISTINCT doc_id, fp, CAST(pos AS INTEGER) AS pos
+            FROM sel
+        """,
+        "winnow_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                       AS nm
+              FROM documents WHERE doc_id < 300
+            ),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       CASE WHEN len(nm) >= 8
+                            THEN list_transform(
+                                   generate_series(1, len(nm) - 7),
+                                   i -> substr(nm, CAST(i AS INTEGER), 8))
+                            ELSE [nm] END,
+                       g -> ('0x' || substr(md5(g), 1, 14))::BIGINT)
+                       AS hl
+              FROM d
+            ),
+            kgr AS (
+              SELECT doc_id, CAST(t.i AS INTEGER) AS p,
+                     hl[CAST(t.i AS INTEGER)] AS h
+              FROM hs, unnest(generate_series(1, len(hl))) AS t(i)
+            ),
+            nn AS (SELECT doc_id, max(p) AS np FROM kgr GROUP BY 1),
+            wm AS (
+              SELECT a.doc_id, a.p AS ws, min(b.h) AS mh
+              FROM kgr a
+                JOIN nn ON nn.doc_id = a.doc_id
+                JOIN kgr b ON b.doc_id = a.doc_id
+                          AND b.p BETWEEN a.p
+                                      AND least(a.p + 3, nn.np)
+              WHERE a.p <= greatest(nn.np - 3, 1)
+              GROUP BY 1, 2
+            ),
+            fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wm),
+            bc AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS shared_fps
+              FROM fps a
+                JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN bc ON bc.fp = a.fp AND bc.c <= 1000
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps
+            FROM pr WHERE shared_fps >= 10
         """,
         "dsir_select": """
             WITH rawd AS (

@@ -1299,3 +1299,145 @@ def compact_band_index(
             .drop("_bn")
         )
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): character ``k``-gram hashes of
+    the normalized text, winnowed by selecting the RIGHTMOST MINIMUM
+    hash of every ``window`` consecutive k-grams. The guarantee that
+    makes this the local-fingerprinting standard: any shared substring
+    of length >= ``k + window - 1`` contributes at least one COMMON
+    selected fingerprint to both documents, and no substring shorter
+    than ``k`` ever matches — robust partial-overlap detection with a
+    provable detection threshold, where MinHash sees only whole-set
+    resemblance.
+
+    Deterministic (the rightmost-min tie rule is the paper's robust
+    winnowing) and value-replicable: the portable md5 k-gram hash and
+    the window argmin replay bit-for-bit in ANSI SQL. Short-document
+    contract: fewer than ``window`` k-grams → ONE window spanning all
+    of them; text shorter than ``k`` → the whole normalized text is
+    the single k-gram.
+
+    Scale shape: map-only until the final distinct — normalization,
+    k-gram explosion, hashing and the window scan are all per-row
+    array algebra (JVM higher-order functions, no Python, no window
+    exchange); each doc emits ~``2/(window+1)`` of its k-gram count
+    as selected fingerprints. The only shuffle is the per-doc
+    ``array_distinct`` (in-array, free) — the relation itself needs
+    no exchange at all.
+
+    Returns ``(id_col, fp bigint, pos int)`` — one row per distinct
+    selected (fingerprint, position) pair per document.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    norm = _normalized(text_col)
+    n = F.length(norm)
+    kgs = F.when(
+        n >= k,
+        F.expr(
+            f"transform(sequence(1, length({_norm_sql(text_col)}) - {k} + 1),"
+            f" i -> substring({_norm_sql(text_col)}, i, {k}))"
+        ),
+    ).otherwise(F.array(norm))
+    hs = F.transform(kgs, lambda g: portable_hash64(g))
+    df2 = df.select(F.col(id_col), hs.alias("_hs"))
+    w = int(window)
+    sel = F.expr(
+        "transform(sequence(1, greatest(size(_hs) - {w} + 1, 1)), i ->"
+        " aggregate(sequence(i, least(i + {w} - 1, size(_hs))),"
+        "  struct(cast(9223372036854775807 as bigint) as h,"
+        "         cast(-1 as int) as p),"
+        "  (acc, j) -> if(_hs[j - 1] <= acc.h,"
+        "                 struct(_hs[j - 1] as h, cast(j as int) as p),"
+        "                 acc)))".format(w=w)
+    )
+    return (
+        df2.select(
+            id_col, F.explode(F.array_distinct(sel)).alias("_s")
+        )
+        .select(
+            id_col,
+            F.col("_s.h").alias("fp"),
+            F.col("_s.p").alias("pos"),
+        )
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    """SQL-expression twin of ``_normalized`` for use inside
+    ``F.expr`` strings."""
+    return (
+        f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Partial-overlap candidate pairs via shared winnowing
+    fingerprints: documents sharing >= ``min_shared`` distinct
+    selected fingerprints — the MOSS match step. Because winnowing
+    guarantees a common fingerprint for any shared run of
+    ``k + window - 1`` characters, this surfaces PARTIAL overlap
+    (a copied paragraph inside otherwise-different documents) that
+    whole-document MinHash resemblance dilutes away.
+
+    Scale shape: one exchange on the fingerprint key; viral
+    fingerprints (boilerplate every doc shares) are capped at
+    ``max_bucket_size`` docs and DROPPED (cap+1 detection, the
+    band-bucket convention — a fingerprint shared by everyone carries
+    no pair signal), so the pair fan-out per fingerprint is bounded.
+    The pair count aggregation is map-combinable.
+
+    Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    ).select(id_col, "fp").distinct()
+    wb = Window.partitionBy("fp").orderBy(id_col)
+    bounded = (
+        fps.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket_size + 1)
+    )
+    over = (
+        bounded.groupBy("fp")
+        .agg(
+            F.max("_rn").alias("_mx"),
+            F.collect_list(id_col).alias("_ids"),
+        )
+        .filter(F.col("_mx") <= max_bucket_size)
+    )
+    pairs = over.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (a, i) ->"
+                " transform(slice(_ids, i + 2, size(_ids)),"
+                " b -> struct(least(a, b) as id_a,"
+                " greatest(a, b) as id_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
