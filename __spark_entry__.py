@@ -6974,6 +6974,27 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnow_neardup_pairs(docs, k=8, window=4, min_shared=10)
 
 
+def _q_dsir_by_group(spark, sf_dir):
+    """Per-language DSIR selection (the multilingual form — one
+    target/raw bucket-LM pair per lang, the CCNet convention): each
+    odd-id doc scored against ITS OWN lang's LMs trained on the
+    even-id half, then per-group Gumbel top-8. pytest pins the
+    per-group flat-tier equivalence and the missing-LM NULL
+    convention; full value-level DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.curation import (
+        dsir_select_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter(F.col("doc_id") % 2 == 1)
+    tgt = docs.filter(F.col("doc_id") % 2 == 0)
+    return dsir_select_by_group(
+        raw, tgt, k_per_group=8, n_buckets=512, seed=0
+    )
+
+
 # The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
 # band (streaming_late_data was promised as r12's first spill) + 21
@@ -6988,6 +7009,7 @@ _HEAD_50 = [
     "dsir_select",
     "winnow_fingerprints",
     "winnow_pairs",
+    "dsir_by_group",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7065,6 +7087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "dsir_by_group": _q_dsir_by_group,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11851,6 +11874,94 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "dsir_by_group": """
+            WITH rawd AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS a
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tgtd AS (
+              SELECT lang,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS a
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            rg AS (
+              SELECT doc_id, lang,
+                     unnest(list_concat(a,
+                       CASE WHEN len(a) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(a) - 1),
+                                   i -> concat(a[i], ' ', a[i + 1]))
+                            ELSE [] END)) AS g
+              FROM rawd WHERE len(a) >= 1
+            ),
+            tg AS (
+              SELECT lang,
+                     unnest(list_concat(a,
+                       CASE WHEN len(a) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(a) - 1),
+                                   i -> concat(a[i], ' ', a[i + 1]))
+                            ELSE [] END)) AS g
+              FROM tgtd WHERE len(a) >= 1
+            ),
+            rf AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 14))::BIGINT % 512 AS bk,
+                     count(*) AS n
+              FROM rg GROUP BY 1, 2, 3
+            ),
+            rlm AS (
+              SELECT lang, bk, sum(n) AS cr FROM rf GROUP BY 1, 2
+            ),
+            tlm AS (
+              SELECT lang,
+                     ('0x' || substr(md5(g), 1, 14))::BIGINT % 512
+                       AS bk,
+                     count(*) AS ct
+              FROM tg GROUP BY 1, 2
+            ),
+            rtot AS (SELECT lang, sum(cr) AS nr FROM rlm GROUP BY 1),
+            ttot AS (SELECT lang, sum(ct) AS nt FROM tlm GROUP BY 1),
+            lw AS (
+              SELECT rf.lang, rf.doc_id,
+                     CAST(sum(rf.n) AS BIGINT) AS n_grams,
+                     round(sum(rf.n * (
+                       ln((coalesce(tlm.ct, 0) + 1.0)
+                          / (ttot.nt + 512.0))
+                       - ln((coalesce(rlm.cr, 0) + 1.0)
+                            / (rtot.nr + 512.0))
+                     )), 6) AS logweight
+              FROM rf
+                LEFT JOIN tlm
+                  ON rf.lang = tlm.lang AND rf.bk = tlm.bk
+                LEFT JOIN rlm
+                  ON rf.lang = rlm.lang AND rf.bk = rlm.bk
+                JOIN rtot ON rf.lang = rtot.lang
+                JOIN ttot ON rf.lang = ttot.lang
+              GROUP BY rf.lang, rf.doc_id
+            ),
+            keyed AS (
+              SELECT lang, doc_id, n_grams, logweight,
+                     round(logweight + (- ln(- ln(
+                       ((doc_id * 2654435761) % 4294967296 + 0.5)
+                         / 4294967296.0))), 6) AS gumbel_key
+              FROM lw
+            )
+            SELECT lang, doc_id, n_grams, logweight, gumbel_key,
+                   CAST(sel_rank AS BIGINT) AS sel_rank
+            FROM (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY gumbel_key DESC, doc_id) AS sel_rank
+              FROM keyed
+            ) WHERE sel_rank <= 8
         """,
         "winnow_fingerprints": """
             WITH d AS (

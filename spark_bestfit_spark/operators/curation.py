@@ -32,7 +32,9 @@ from spark_bestfit_spark.operators.dedup import _normalized, word_shingles
 __all__ = [
     "assign_training_shards",
     "dsir_logweights",
+    "dsir_logweights_by_group",
     "dsir_select",
+    "dsir_select_by_group",
     "domain_mixture_weights",
     "flag_contamination",
     "contamination_overlap",
@@ -1546,4 +1548,137 @@ def dsir_select(
         "logweight",
         "gumbel_key",
         F.row_number().over(w).cast("long").alias("sel_rank"),
+    )
+
+
+def dsir_logweights_by_group(
+    raw: DataFrame,
+    target: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-group DSIR importance log-weights — the form a
+    multilingual pipeline runs (one target/raw LM pair per language,
+    the CCNet convention): every raw document is scored against ITS
+    OWN group's bucket LMs. Same model as :func:`dsir_logweights`
+    with every LM relation keyed by (group, bucket); per-group totals
+    are a groups-sized relation joined on the group key (never a
+    1-row crossJoin). Groups with no target documents have no LM to
+    score against and surface as NULL logweights — no driver-side
+    group discovery, matching the grouped-KN convention.
+
+    Shuffle profile: the grouped keys partition the SAME key space as
+    the flat tier (group adds entropy to the bucket key, never
+    removes it), so the exchange distribution matches the flat tier's.
+
+    Returns ``(group_col, id_col, n_grams, logweight)``.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from spark_bestfit_spark.operators.dedup import portable_hash64
+
+    def feats(df, with_id):
+        keep = [group_col, id_col] if with_id else [group_col]
+        arr = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        )
+        toks = df.select(*keep, arr.alias("_a")).filter(
+            F.size("_a") >= 1
+        )
+        grams = toks.select(
+            *keep,
+            F.explode(
+                F.concat(
+                    F.col("_a"),
+                    F.when(
+                        F.size("_a") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(_a) - 1), i ->"
+                            " concat(_a[i - 1], ' ', _a[i]))"
+                        ),
+                    ).otherwise(F.array()),
+                )
+            ).alias("_g"),
+        )
+        bk = portable_hash64(F.col("_g")) % F.lit(int(n_buckets))
+        return grams.select(*keep, bk.alias("_bk")).groupBy(
+            *keep, "_bk"
+        ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    rf = feats(raw, True).localCheckpoint(eager=False)
+    raw_lm = rf.groupBy(group_col, "_bk").agg(
+        F.sum("_n").alias("_cr")
+    )
+    tgt_lm = feats(target, False).withColumnRenamed("_n", "_ct")
+    rtot = raw_lm.groupBy(group_col).agg(F.sum("_cr").alias("_nr"))
+    ttot = tgt_lm.groupBy(group_col).agg(F.sum("_ct").alias("_nt"))
+    b = float(n_buckets)
+    term = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1.0))
+        / (F.col("_nt") + F.lit(b))
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1.0))
+        / (F.col("_nr") + F.lit(b))
+    )
+    return (
+        rf.join(tgt_lm, [group_col, "_bk"], "left")
+        .join(raw_lm, [group_col, "_bk"], "left")
+        .join(F.broadcast(rtot), group_col, "left")
+        .join(F.broadcast(ttot), group_col, "left")
+        .groupBy(group_col, id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_grams"),
+            F.when(
+                F.count(F.when(F.col("_nt").isNull(), 1)) > 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.round(F.sum(F.col("_n") * term), 6))
+            .alias("logweight"),
+        )
+    )
+
+
+def dsir_select_by_group(
+    raw: DataFrame,
+    target: DataFrame,
+    k_per_group: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group Gumbel top-k DSIR selection: within each group, the
+    top ``k_per_group`` documents by Gumbel-perturbed importance
+    log-weight (see :func:`dsir_select` — same seeded Knuth-hash
+    noise, deterministic and oracle-replayable). Groups whose NULL
+    logweights mark a missing target LM are excluded — they cannot
+    be ranked; a one-exchange window over the group closes the plan
+    (no global sort anywhere).
+
+    Returns ``(group_col, id_col, n_grams, logweight, gumbel_key,
+    sel_rank)`` with ``sel_rank`` 1-based within its group.
+    """
+    if k_per_group < 1:
+        raise ValueError("k_per_group must be >= 1")
+    lw = dsir_logweights_by_group(
+        raw, target, group_col=group_col, text_col=text_col,
+        id_col=id_col, n_buckets=n_buckets,
+    ).filter(F.col("logweight").isNotNull())
+    u = _knuth_u(F.col(id_col), seed) + F.lit(0.5 / 4294967296.0)
+    keyed = lw.withColumn(
+        "gumbel_key",
+        F.round(F.col("logweight") + (-F.log(-F.log(u))), 6),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("gumbel_key"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn(
+            "sel_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("sel_rank") <= int(k_per_group))
     )

@@ -168,3 +168,71 @@ class TestDsirSelect:
         raw, tgt = corpora
         with pytest.raises(ValueError):
             dsir_select(raw, tgt, k=0)
+
+
+class TestDsirByGroup:
+    def _grouped(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            dsir_logweights_by_group,
+        )
+        import pyspark.sql.functions as F
+
+        raw = spark.createDataFrame(
+            [(0, "en", "the quantum experiment measured the state"),
+             (1, "en", "cheap pills discount online now"),
+             (2, "fr", "le chat est sur la table"),
+             (3, "fr", "acheter pas cher maintenant vite"),
+             (4, "de", "das ist ein test")],
+            "doc_id long, lang string, text string",
+        )
+        tgt = spark.createDataFrame(
+            [(10, "en", "the quantum state of the electron experiment"),
+             (11, "fr", "le chat mange sur la table")],
+            "doc_id long, lang string, text string",
+        )
+        return raw, tgt, dsir_logweights_by_group, F
+
+    def test_equals_flat_per_group(self, spark):
+        raw, tgt, grouped, F = self._grouped(spark)
+        lw = grouped(raw, tgt, n_buckets=256)
+        for g in ("en", "fr"):
+            flat = {
+                r["doc_id"]: (r["n_grams"], r["logweight"])
+                for r in dsir_logweights(
+                    raw.filter(F.col("lang") == g),
+                    tgt.filter(F.col("lang") == g),
+                    n_buckets=256,
+                ).collect()
+            }
+            grp = {
+                r["doc_id"]: (r["n_grams"], r["logweight"])
+                for r in lw.filter(F.col("lang") == g).collect()
+            }
+            assert flat == grp
+
+    def test_missing_target_group_is_null(self, spark):
+        raw, tgt, grouped, F = self._grouped(spark)
+        rows = grouped(raw, tgt, n_buckets=256).filter(
+            F.col("lang") == "de"
+        ).collect()
+        assert len(rows) == 1 and rows[0]["logweight"] is None
+
+    def test_select_excludes_null_groups_and_ranks_within(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            dsir_select_by_group,
+        )
+        raw, tgt, _, F = self._grouped(spark)
+        rows = dsir_select_by_group(
+            raw, tgt, k_per_group=1, n_buckets=256, seed=0
+        ).collect()
+        by_lang = {r["lang"]: r for r in rows}
+        assert set(by_lang) == {"en", "fr"}  # de has no LM
+        assert all(r["sel_rank"] == 1 for r in rows)
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            dsir_select_by_group,
+        )
+        raw, tgt, _, _ = self._grouped(spark)
+        with pytest.raises(ValueError):
+            dsir_select_by_group(raw, tgt, k_per_group=0)
