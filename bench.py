@@ -642,6 +642,37 @@ def main() -> None:
         ).count(),
         rounds=2,
     )
+    # round-12 late wave: trigram KN (one more join level than the
+    # bigram line), DSIR selection (two scans -> <=B-row bucket LMs +
+    # TakeOrdered), winnowing pairs (map-only selection + one fp
+    # exchange) — each a new plan tree
+    from spark_bestfit_spark.operators.curation import dsir_select
+    from spark_bestfit_spark.operators.dedup import winnow_neardup_pairs
+    from spark_bestfit_spark.operators.textstats import kn_doc_logprob3
+
+    bench(
+        "q_kn_trigram",
+        lambda: kn_doc_logprob3(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+        ).count(),
+        rounds=2,
+    )
+    bench(
+        "q_dsir_select",
+        lambda: dsir_select(
+            docs.filter("doc_id % 2 = 1"),
+            docs.filter("doc_id % 2 = 0"),
+            k=1000,
+        ).count(),
+        rounds=2,
+    )
+    bench(
+        "q_winnow_pairs",
+        lambda: winnow_neardup_pairs(
+            docs, min_shared=20, max_bucket_size=200
+        ).count(),
+        rounds=2,
+    )
     li_y = lineitem.withColumn(
         "_y", (F.col("l_returnflag") == "R").cast("int")
     )

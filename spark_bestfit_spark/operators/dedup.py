@@ -1341,6 +1341,7 @@ def winnow_fingerprints(
         raise ValueError("k must be >= 1")
     if window < 1:
         raise ValueError("window must be >= 1")
+    df = ensure_parallelism(df)
     norm = _normalized(text_col)
     n = F.length(norm)
     kgs = F.when(

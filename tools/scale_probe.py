@@ -91,10 +91,13 @@ def main() -> int:
         bpe_doc_token_counts,
         bpe_learn,
         kn_doc_logprob,
+        kn_doc_logprob3,
         kn_doc_logprob_by_group,
         kneser_ney_bigrams,
         tfidf_neardup_pairs,
     )
+    from spark_bestfit_spark.operators.curation import dsir_select
+    from spark_bestfit_spark.operators.dedup import winnow_neardup_pairs
     from spark_bestfit_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -498,6 +501,35 @@ def main() -> int:
         ("kneser_ney",
          lambda: kneser_ney_bigrams(docs1, "text", k=20).count(),
          lambda: kneser_ney_bigrams(docs10, "text", k=20).count()),
+        # trigram tier: same spine as the bigram line, one more join
+        # level; the corpus-proportional terms are the two scans plus
+        # the triple explodes feeding map-combined groupBys
+        ("kn_trigram_logprob",
+         lambda: kn_doc_logprob3(
+             docs1.filter("doc_id % 2 = 1"),
+             docs1.filter("doc_id % 2 = 0")).count(),
+         lambda: kn_doc_logprob3(
+             docs10.filter("doc_id % 2 = 1"),
+             docs10.filter("doc_id % 2 = 0")).count()),
+        # DSIR: two corpus scans into <=B-row bucket LMs + a TakeOrdered
+        # top-k — predicted scan-bound (near-linear, no data-sized
+        # shuffle beyond the (id, bucket) map-combined groupBy)
+        ("dsir_select",
+         lambda: dsir_select(
+             docs1.filter("doc_id % 2 = 1"),
+             docs1.filter("doc_id % 2 = 0"), k=1000).count(),
+         lambda: dsir_select(
+             docs10.filter("doc_id % 2 = 1"),
+             docs10.filter("doc_id % 2 = 0"), k=1000).count()),
+        # winnowing: map-only fingerprint selection + one exchange on
+        # the fp key for the pair step; replicas are textually
+        # disjoint so cross-replica pairs stay empty and the pair
+        # count is ~linear in the replica count
+        ("winnow_pairs",
+         lambda: winnow_neardup_pairs(
+             docs1, min_shared=20, max_bucket_size=200).count(),
+         lambda: winnow_neardup_pairs(
+             docs10, min_shared=20, max_bucket_size=200).count()),
         ("kn_doc_logprob",
          lambda: kn_doc_logprob(
              docs1.filter("doc_id % 2 = 1"),
