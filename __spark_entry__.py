@@ -6995,6 +6995,46 @@ def _q_dsir_by_group(spark, sf_dir):
     )
 
 
+def _q_quantiles_certified(spark, sf_dir):
+    """Certified-approximate quantiles (the quantile member of the
+    certified-approximation family beside ks_approx / w1_approx):
+    grid-ECDF inversion with the data-independent sandwich
+    lo_edge <= Q_exact <= hi_edge, err_bound = (hi-lo)/grid — two
+    bounded scans at any corpus size. The query VERIFIES the sandwich
+    IN-QUERY against the engine's EXACT weighted-ECDF tier
+    (weighted_quantiles with unit weights); the DuckDB oracle replays
+    both tiers and the containment check value-for-value."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.stats import (
+        quantiles_approx_certified,
+        weighted_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = quantiles_approx_certified(
+        li, "l_extendedprice", qs=(0.25, 0.5, 0.9), grid_size=2048
+    )
+    exact = weighted_quantiles(
+        li.withColumn("_one", F.lit(1.0)),
+        "l_extendedprice",
+        "_one",
+        qs=(0.25, 0.5, 0.9),
+    ).select("q", F.col("value").alias("_exact"))
+    return approx.join(exact, "q").select(
+        "q",
+        "value",
+        "lo_edge",
+        "hi_edge",
+        "err_bound",
+        "n",
+        (
+            (F.col("_exact") >= F.col("lo_edge"))
+            & (F.col("_exact") <= F.col("hi_edge"))
+        ).alias("within_bound"),
+    )
+
+
 # The r12 head-50 rotation (see queries() docstring): 18 same-round
 # registrations + 7 changed-operator re-hashes + the 4-query r5 stale
 # band (streaming_late_data was promised as r12's first spill) + 21
@@ -7010,6 +7050,7 @@ _HEAD_50 = [
     "winnow_fingerprints",
     "winnow_pairs",
     "dsir_by_group",
+    "quantiles_certified",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7088,6 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "dsir_by_group": _q_dsir_by_group,
+        "quantiles_certified": _q_quantiles_certified,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11874,6 +11916,56 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "quantiles_certified": """
+            WITH v AS (
+              SELECT l_extendedprice AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+            ),
+            s AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n
+                  FROM v),
+            b AS (
+              SELECT least(CAST(floor((v.v - s.lo)
+                                      / ((s.hi - s.lo) / 2048.0))
+                                AS BIGINT), 2047) AS bk
+              FROM v, s
+            ),
+            c AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+            cum AS (
+              SELECT bk, sum(c) OVER (ORDER BY bk) AS cum FROM c
+            ),
+            qs AS (SELECT * FROM (VALUES (0.25e0), (0.5e0),
+                                         (0.9e0)) AS t(q)),
+            hit AS (
+              SELECT q, min(bk) AS bk
+              FROM cum, qs, s WHERE cum >= q * s.n GROUP BY q
+            ),
+            r AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+            ),
+            ex AS (
+              SELECT q, min(v) AS exact
+              FROM r, qs, s WHERE rn >= q * s.n GROUP BY q
+            ),
+            edges AS (
+              SELECT hit.q,
+                     s.lo + hit.bk * ((s.hi - s.lo) / 2048.0)
+                       AS lo_e,
+                     s.lo + (hit.bk + 1) * ((s.hi - s.lo) / 2048.0)
+                       AS hi_e,
+                     s.n
+              FROM hit, s
+            )
+            SELECT e.q,
+                   round((e.lo_e + e.hi_e) / 2, 6) AS value,
+                   round(e.lo_e, 6) AS lo_edge,
+                   round(e.hi_e, 6) AS hi_edge,
+                   round(e.hi_e - e.lo_e, 6) AS err_bound,
+                   CAST(e.n AS BIGINT) AS n,
+                   (ex.exact >= round(e.lo_e, 6)
+                    AND ex.exact <= round(e.hi_e, 6)) AS within_bound
+            FROM edges e JOIN ex ON e.q = ex.q
         """,
         "dsir_by_group": """
             WITH rawd AS (

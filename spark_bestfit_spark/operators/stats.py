@@ -5818,3 +5818,101 @@ def weighted_quantiles(
         F.round("cw", 6).alias("weight_at_or_below"),
         F.round(F.lit(tw), 6).alias("total_weight"),
     )
+
+
+def quantiles_approx_certified(
+    df: DataFrame,
+    column: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    grid_size: int = 2048,
+) -> DataFrame:
+    """Certified-approximate quantiles on the deterministic equi-width
+    grid — the quantile member of the certified-approximation family
+    (:func:`two_sample_ks_approx_df`, :func:`wasserstein_approx_df`),
+    and the 100 TB shape for order statistics: the exact tier needs a
+    distinct-value prefix-sum spine (~n rows), ``approxQuantile``'s
+    GK sketch carries no replicable certificate, while this is TWO
+    bounded scans at any corpus size — a stats agg (min/max/count)
+    and one map-combinable groupBy whose shuffle carries
+    <= ``grid_size`` rows per map task, then a window over the
+    bucket totals only.
+
+    Certificate (data-independent, sizable BEFORE running — the W1
+    convention): the true lower-edge quantile
+    ``Q(q) = min {v : F(v) >= q}`` lands in the first bucket whose
+    cumulative count reaches ``q * n``, so
+
+        lo_edge <= Q_exact(q) <= hi_edge,
+        err_bound = hi_edge - lo_edge = (hi - lo) / grid_size
+
+    Halve the bound by doubling ``grid_size``; the shuffle stays
+    trivially bounded. Floor arithmetic (not width_bucket) so the
+    DuckDB oracle replays the identical IEEE-double expression;
+    partition-invariant and bit-replicable.
+
+    Returns one row per q: ``(q, value, lo_edge, hi_edge, err_bound,
+    n)`` with ``value`` the bucket midpoint. Empty/null-only input
+    yields no rows; a single-distinct-value column yields the exact
+    answer with err_bound 0.
+    """
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError("quantiles must be in (0, 1]")
+    if grid_size < 1:
+        raise ValueError("grid_size must be >= 1")
+    spark = df.sparkSession
+    base = valid_column(df, column).select(F.col(column).alias("v"))
+    stats = base.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("v").alias("n"),
+    ).first()
+    n = int(stats["n"] or 0)
+    schema = (
+        "q double, value double, lo_edge double, hi_edge double,"
+        " err_bound double, n long"
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        return spark.createDataFrame(
+            [(float(q), lo, lo, lo, 0.0, n) for q in qs], schema
+        )
+    g = int(grid_size)
+    width = (hi - lo) / g
+    bk = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(g - 1),
+    )
+    counts = base.groupBy(bk.alias("bk")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select("bk", F.sum("c").over(w).alias("cum"))
+    qrel = spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # first bucket whose cumulative count reaches q*n: a crossJoin of
+    # the <= grid_size bucket totals with the literal q relation —
+    # never data-sized
+    hit = (
+        cum.crossJoin(F.broadcast(qrel))
+        .filter(F.col("cum") >= F.col("q") * F.lit(float(n)))
+        .groupBy("q")
+        .agg(F.min("bk").alias("_bk"))
+    )
+    lo_e = F.lit(lo) + F.col("_bk") * F.lit(width)
+    hi_e = F.lit(lo) + (F.col("_bk") + 1) * F.lit(width)
+    return hit.select(
+        "q",
+        F.round((lo_e + hi_e) / 2, 6).alias("value"),
+        F.round(lo_e, 6).alias("lo_edge"),
+        F.round(hi_e, 6).alias("hi_edge"),
+        F.round(hi_e - lo_e, 6).alias("err_bound"),
+        F.lit(n).cast("long").alias("n"),
+    )

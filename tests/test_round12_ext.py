@@ -893,3 +893,105 @@ class TestBudgetTruePacking:
             sum(r["n_tokens"] for r in packed.collect())
             > sum(r["n_tokens"] for r in ws.collect())
         )
+
+
+class TestQuantilesApproxCertified:
+    def test_sandwich_against_exact(self, spark):
+        """The certificate: the exact lower-edge quantile lies inside
+        [lo_edge, hi_edge] for every q, and the bound is the
+        data-independent (hi-lo)/grid."""
+        import numpy as np
+        from spark_bestfit_spark.operators.stats import (
+            quantiles_approx_certified,
+        )
+
+        rng = np.random.default_rng(3)
+        vals = rng.gamma(2.0, 10.0, 20_000)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        )
+        qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        rows = {
+            r["q"]: r
+            for r in quantiles_approx_certified(
+                df, "v", qs=qs, grid_size=512
+            ).collect()
+        }
+        svals = np.sort(vals)
+        n = len(svals)
+        import math
+
+        width = (svals[-1] - svals[0]) / 512
+        for q in qs:
+            exact = svals[max(0, math.ceil(q * n) - 1)]
+            r = rows[q]
+            assert r["lo_edge"] <= exact <= r["hi_edge"]
+            # err_bound is rounded to 6 decimals on output
+            assert r["err_bound"] == pytest.approx(width, abs=1e-6)
+            assert r["n"] == n
+
+    def test_bound_shrinks_with_grid(self, spark):
+        import numpy as np
+        from spark_bestfit_spark.operators.stats import (
+            quantiles_approx_certified,
+        )
+
+        rng = np.random.default_rng(7)
+        df = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(0, 1, 5000)], "v double"
+        )
+        b64 = quantiles_approx_certified(
+            df, "v", qs=(0.5,), grid_size=64
+        ).first()["err_bound"]
+        b1024 = quantiles_approx_certified(
+            df, "v", qs=(0.5,), grid_size=1024
+        ).first()["err_bound"]
+        assert b1024 == pytest.approx(b64 / 16, abs=1e-5)
+
+    def test_degenerate(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            quantiles_approx_certified,
+        )
+
+        one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+        rows = quantiles_approx_certified(one, "v").collect()
+        assert all(
+            r["value"] == 5.0 and r["err_bound"] == 0.0 for r in rows
+        )
+        empty = spark.createDataFrame([], "v double")
+        assert quantiles_approx_certified(empty, "v").count() == 0
+
+    def test_partition_invariance(self, spark):
+        import numpy as np
+        from spark_bestfit_spark.operators.stats import (
+            quantiles_approx_certified,
+        )
+
+        rng = np.random.default_rng(11)
+        df = spark.createDataFrame(
+            [(float(v),) for v in rng.uniform(0, 100, 3000)],
+            "v double",
+        )
+        a = sorted(
+            map(tuple, quantiles_approx_certified(df, "v").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                quantiles_approx_certified(
+                    df.repartition(13), "v"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.stats import (
+            quantiles_approx_certified,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            quantiles_approx_certified(df, "v", qs=(0.0,))
+        with pytest.raises(ValueError):
+            quantiles_approx_certified(df, "v", grid_size=0)
