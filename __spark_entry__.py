@@ -7035,14 +7035,14 @@ def _q_quantiles_certified(spark, sf_dir):
     )
 
 
-# The r12 head-50 rotation (see queries() docstring): 18 same-round
-# registrations + 7 changed-operator re-hashes + the 4-query r5 stale
-# band (streaming_late_data was promised as r12's first spill) + 21
-# from the r6 band (ANN/dedup family first, then alphabetical; the
-# r6-band members fit_multi/fit_price/generate_univariate/fit_mse/
-# fit_lazy/fit_grouped/fit_discrete_grouped/fit_discrete/
-# fit_censored/fit_bounded/events_funnel pushed to the r13 band by
-# the eleven late-r12 registrations).
+# The r12 head-50 rotation (see queries() docstring): 25 same-round
+# registrations (18 early + 7 late-wave: kn_trigram_logprob,
+# bpe_vocab_ids, dsir_select, winnow_fingerprints, winnow_pairs,
+# dsir_by_group, quantiles_certified) + 7 changed-operator re-hashes
+# + the r5 stale band (streaming_late_data was promised as r12's
+# first spill) + the r6-band remainder; the late wave pushed
+# corpus_splits/curate_corpus/doc_chunks/doc_dup_ngrams/doc_top_terms/
+# events_asof/events_cohorts back to the r13 band.
 _HEAD_50 = [
     "kn_trigram_logprob",
     "bpe_vocab_ids",
@@ -7094,13 +7094,6 @@ _HEAD_50 = [
     "chi2_by_group",
     "chi2_drift",
     "copula_sample",
-    "corpus_splits",
-    "curate_corpus",
-    "doc_chunks",
-    "doc_dup_ngrams",
-    "doc_top_terms",
-    "events_asof",
-    "events_cohorts",
 ]
 
 
