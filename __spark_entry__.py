@@ -7035,6 +7035,46 @@ def _q_quantiles_certified(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup (Broder 1997's
+    containment beside resemblance): catches a short document quoted
+    inside a long one, which symmetric Jaccard dilutes toward zero as
+    the host grows. Exact, on 56-bit portable shingle hashes with
+    viral shingles capped. Full value-level DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    return containment_pairs(docs, shingle_k=3, threshold=0.4)
+
+
+def _q_corpus_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff: docs 0-249 as last week's
+    snapshot, 50-299 with every 7th doc's text perturbed as this
+    week's — per id added/removed/changed/unchanged with both
+    normalized-md5 fingerprints. One fingerprint scan per side + one
+    full-outer id join (32-byte keys only). Full DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.pipeline import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 300)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
 # The r12 head-50 rotation (see queries() docstring): 25 same-round
 # registrations (18 early + 7 late-wave: kn_trigram_logprob,
 # bpe_vocab_ids, dsir_select, winnow_fingerprints, winnow_pairs,
@@ -7051,6 +7091,8 @@ _HEAD_50 = [
     "winnow_pairs",
     "dsir_by_group",
     "quantiles_certified",
+    "containment_pairs",
+    "corpus_diff",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7123,6 +7165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "dsir_by_group": _q_dsir_by_group,
         "quantiles_certified": _q_quantiles_certified,
+        "containment_pairs": _q_containment_pairs,
+        "corpus_diff": _q_corpus_diff,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11909,6 +11953,78 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "corpus_diff": """
+            WITH o AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g')) AS old_fp
+              FROM documents WHERE doc_id < 250
+            ),
+            n AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' [edited]'
+                            ELSE text END)), '\\s+', ' ', 'g'))
+                       AS new_fp
+              FROM documents WHERE doc_id >= 50 AND doc_id < 300
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS tk
+              FROM documents WHERE doc_id < 300
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(tk) - 2),
+                                 i -> concat_ws(' ', tk[i], tk[i+1],
+                                                tk[i+2])))
+                          ELSE [array_to_string(tk, ' ')] END AS sg
+              FROM toks
+            ),
+            h AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(s), 1, 14))::BIGINT AS hh
+              FROM (SELECT doc_id, unnest(sg) AS s FROM sh)
+              WHERE s <> ''
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY 1),
+            bc AS (SELECT hh, count(*) AS c FROM h GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM h a
+                JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+                JOIN bc ON bc.hh = a.hh AND bc.c <= 1000
+              GROUP BY 1, 2
+            ),
+            o AS (
+              SELECT pr.id_a, pr.id_b,
+                     CAST(pr.n_common AS BIGINT) AS n_common,
+                     CAST(sa.sz AS BIGINT) AS size_a,
+                     CAST(sb.sz AS BIGINT) AS size_b,
+                     round(pr.n_common / CAST(sa.sz AS DOUBLE), 6)
+                       AS containment_a,
+                     round(pr.n_common / CAST(sb.sz AS DOUBLE), 6)
+                       AS containment_b
+              FROM pr
+                JOIN sz sa ON sa.doc_id = pr.id_a
+                JOIN sz sb ON sb.doc_id = pr.id_b
+            )
+            SELECT * FROM o
+            WHERE containment_a >= 0.4 OR containment_b >= 0.4
         """,
         "quantiles_certified": """
             WITH v AS (

@@ -1442,3 +1442,102 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT
+    ``C(A,B) = |S(A) ∩ S(B)| / |S(A)|`` (Broder 1997's containment,
+    the companion to resemblance) — the measure that catches a short
+    document quoted inside a long one, which symmetric Jaccard
+    dilutes toward zero as the host grows. A pair survives when
+    EITHER direction's containment reaches ``threshold``.
+
+    Exact (no sketch): distinct k-word shingles are reduced to
+    portable 56-bit hash keys at explode time (nothing longer than a
+    hash crosses the exchange; collision odds ~2^-56 per pair),
+    bucket-joined on the shingle key with viral shingles capped at
+    ``max_bucket_size`` docs and DROPPED (cap+1 detection — a shingle
+    every doc shares carries no pair signal), intersection counts
+    map-combined, and each side's shingle count joined back for the
+    two ratios.
+
+    Shuffle profile: one exchange on the shingle key + one
+    map-combinable pair groupBy + two broadcast-size joins (the
+    per-doc size relation is id-keyed, AQE broadcasts when it fits).
+
+    Returns ``(id_a, id_b, n_common, size_a, size_b,
+    containment_a, containment_b)`` with ``id_a < id_b``;
+    containment_x = shared fraction of x's shingles, rounded to 6.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    df = ensure_parallelism(df)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_k)).alias("_s"),
+    ).filter(F.col("_s") != "").select(
+        id_col, portable_hash64(F.col("_s")).alias("_h")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    wb = Window.partitionBy("_h").orderBy(id_col)
+    bounded = (
+        sh.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket_size + 1)
+    )
+    buckets = (
+        bounded.groupBy("_h")
+        .agg(
+            F.max("_rn").alias("_mx"),
+            F.collect_list(id_col).alias("_ids"),
+        )
+        .filter(F.col("_mx") <= max_bucket_size)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (a, i) ->"
+                " transform(slice(_ids, i + 2, size(_ids)),"
+                " b -> struct(least(a, b) as id_a,"
+                " greatest(a, b) as id_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("size_b")
+    )
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("n_common") / F.col("size_a").cast("double"), 6
+            ).alias("containment_a"),
+            F.round(
+                F.col("n_common") / F.col("size_b").cast("double"), 6
+            ).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_a") >= threshold)
+        | (F.col("containment_b") >= threshold)
+    )

@@ -27,7 +27,7 @@ from spark_bestfit_spark.operators.textstats import (
     with_quality_score,
 )
 
-__all__ = ["curate_corpus", "dataset_card"]
+__all__ = ["corpus_diff", "curate_corpus", "dataset_card"]
 
 
 def curate_corpus(
@@ -141,3 +141,43 @@ def dataset_card(
             F.lit(1.0) - F.col("n_distinct_docs") / F.col("n_docs"), 6
         ).alias("dup_rate"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus DIFF — the ops-side answer to
+    "what actually changed between last week's delivery and this
+    one?": per document id, whether it was ``added``, ``removed``,
+    ``changed`` (same id, different normalized content) or
+    ``unchanged``, with both content fingerprints. Content identity
+    is the whitespace-normalized md5 (the exact-dedup convention), so
+    the diff is insensitive to formatting-only churn and
+    value-replicable in any engine.
+
+    One fingerprint scan per snapshot and ONE full-outer join on the
+    id — no text ever crosses the exchange (32-byte fingerprints
+    only), so the diff costs the same as the exact-dedup tier at any
+    corpus size.
+
+    Returns ``(id_col, status, old_fp, new_fp)``.
+    """
+    from spark_bestfit_spark.operators.dedup import _normalized
+
+    o = old.select(
+        F.col(id_col), F.md5(_normalized(text_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(_normalized(text_col)).alias("new_fp")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"), "old_fp", "new_fp")

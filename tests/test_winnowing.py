@@ -178,3 +178,129 @@ class TestWinnowPairs:
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             winnow_neardup_pairs(df, min_shared=0)
+
+
+class TestContainmentPairs:
+    def test_quote_detected_where_jaccard_dilutes(self, spark):
+        """The asymmetric case: a short doc fully quoted inside a long
+        host has containment 1.0 while its Jaccard shrinks with host
+        size — the pair must survive a threshold Jaccard would miss."""
+        from spark_bestfit_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        quote = "to be or not to be that is the question of the ages"
+        host = (
+            "many words come before the quotation "
+            + quote
+            + " and then a long tail of completely unrelated filler"
+            " words extends the host document far beyond the quote"
+        )
+        df = spark.createDataFrame(
+            [(0, quote), (1, host), (2, "entirely different text here"
+                                        " about query optimizers")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["id_a"], r["id_b"]): r
+            for r in containment_pairs(df, threshold=0.9).collect()
+        }
+        assert (0, 1) in rows
+        r = rows[(0, 1)]
+        assert r["containment_a"] == 1.0
+        # Jaccard = inter/union is well below the threshold
+        assert r["n_common"] / (
+            r["size_a"] + r["size_b"] - r["n_common"]
+        ) < 0.9
+        assert len(rows) == 1
+
+    def test_matches_reference(self, spark):
+        import random
+
+        from spark_bestfit_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        rng = random.Random(13)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+            for i in range(20)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+
+        def sh(t, k=3):
+            ws = t.lower().strip().split()
+            if len(ws) >= k:
+                return {
+                    " ".join(ws[i:i + k])
+                    for i in range(len(ws) - k + 1)
+                }
+            return {" ".join(ws)}
+
+        exp = {}
+        ids = sorted(texts)
+        for i in ids:
+            for j in ids:
+                if i >= j:
+                    continue
+                a, b = sh(texts[i]), sh(texts[j])
+                inter = len(a & b)
+                ca = round(inter / len(a), 6)
+                cb = round(inter / len(b), 6)
+                if inter and (ca >= 0.2 or cb >= 0.2):
+                    exp[(i, j)] = (inter, len(a), len(b), ca, cb)
+        got = {
+            (r["id_a"], r["id_b"]): (
+                r["n_common"], r["size_a"], r["size_b"],
+                r["containment_a"], r["containment_b"],
+            )
+            for r in containment_pairs(df, threshold=0.2).collect()
+        }
+        assert got == exp
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            containment_pairs(df, threshold=0.0)
+
+
+class TestCorpusDiff:
+    def test_all_statuses(self, spark):
+        from spark_bestfit_spark.operators.pipeline import corpus_diff
+
+        old = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta"), (2, "stays put")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "gamma CHANGED"), (2, "Stays   PUT"), (3, "brand new")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new).collect()
+        }
+        # normalization: case/whitespace churn is NOT a change
+        assert got == {
+            0: "removed", 1: "changed", 2: "unchanged", 3: "added"
+        }
+
+    def test_fingerprints_present(self, spark):
+        from spark_bestfit_spark.operators.pipeline import corpus_diff
+
+        old = spark.createDataFrame(
+            [(0, "a")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "b")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+        assert rows[0]["old_fp"] and rows[0]["new_fp"] is None
+        assert rows[1]["new_fp"] and rows[1]["old_fp"] is None
