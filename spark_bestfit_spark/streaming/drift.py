@@ -410,6 +410,51 @@ class CertifiedDriftMonitor:
             "w1_err_bound": w1_err,
         }
 
+    def quantiles(self, qs=(0.25, 0.5, 0.75)) -> list:
+        """Certified-approximate quantiles of the WHOLE stream drained
+        so far, straight from the additive grid count vector — the
+        streaming twin of
+        :func:`~spark_bestfit_spark.operators.stats.quantiles_approx_certified`,
+        at ZERO extra cost (no Spark job: the state the drift scores
+        already maintain is exactly the grid ECDF). Same inversion,
+        same certificate: the true lower-edge quantile of the CLAMPED
+        stream lies in ``[lo_edge, hi_edge]``, ``err_bound`` = one
+        grid cell. With ``n_out_of_range > 0`` the clamp moves edge
+        mass into the boundary buckets, so quantiles landing in the
+        first/last bucket inherit the clamp — check
+        ``total_out_of_range`` before trusting extreme quantiles
+        (interior quantiles are unaffected: clamping never reorders
+        interior bucket boundaries).
+
+        Returns a list of dicts
+        ``{q, value, lo_edge, hi_edge, err_bound, n}`` (empty stream →
+        empty list); pytest pins agreement with the batch tier on the
+        union of drained batches.
+        """
+        for q in qs:
+            if not 0 < q <= 1:
+                raise ValueError("quantiles must be in (0, 1]")
+        n = int(self.stream_counts.sum())
+        if n == 0:
+            return []
+        cum = np.cumsum(self.stream_counts)
+        out = []
+        for q in qs:
+            b = int(np.searchsorted(cum, q * n, side="left"))
+            lo_e = self.lo + b * self.width
+            hi_e = self.lo + (b + 1) * self.width
+            out.append(
+                {
+                    "q": float(q),
+                    "value": round((lo_e + hi_e) / 2, 6),
+                    "lo_edge": round(lo_e, 6),
+                    "hi_edge": round(hi_e, 6),
+                    "err_bound": round(hi_e - lo_e, 6),
+                    "n": n,
+                }
+            )
+        return out
+
     @property
     def drift_count(self) -> int:
         return sum(1 for r in self.history if r.drifted)

@@ -311,3 +311,62 @@ class TestCertifiedDriftByGroup:
         rec = [r for r in monitor.history if r.group == "b"][0]
         assert rec.n_out_of_range >= 50
         assert rec.drifted
+
+
+class TestStreamingCertifiedQuantiles:
+    def test_matches_batch_tier_on_union(self, spark, reference_df):
+        """quantiles() from the monitor's additive grid state must
+        sandwich the exact quantiles of the union of drained batches
+        (all in-range, so the clamp is a no-op), and agree with the
+        batch tier's inversion when the grids coincide."""
+        lo = reference_df.agg({"value": "min"}).first()[0]
+        hi = reference_df.agg({"value": "max"}).first()[0]
+        rng = np.random.default_rng(17)
+        batches = [
+            np.clip(rng.normal(50, 10, 1200), lo, hi) for _ in range(3)
+        ]
+        monitor = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=512,
+            d_threshold=None,
+        )
+        for i, b in enumerate(batches):
+            monitor(
+                spark.createDataFrame(pd.DataFrame({"value": b})), i
+            )
+        qs = (0.1, 0.5, 0.9)
+        got = monitor.quantiles(qs)
+        union = np.sort(np.concatenate(batches))
+        n = len(union)
+        import math
+
+        for r, q in zip(got, qs):
+            exact = union[max(0, math.ceil(q * n) - 1)]
+            assert r["lo_edge"] <= exact <= r["hi_edge"]
+            assert r["n"] == n
+            assert r["err_bound"] == pytest.approx(
+                (hi - lo) / 512, abs=1e-6
+            )
+
+    def test_order_independent(self, spark, reference_df):
+        rng = np.random.default_rng(23)
+        batches = [rng.normal(50, 10, 800) for _ in range(3)]
+
+        def drained(order):
+            m = CertifiedDriftMonitor(
+                reference_df, column="value", grid_size=256,
+                d_threshold=None,
+            )
+            for i, b in enumerate(order):
+                m(spark.createDataFrame(pd.DataFrame({"value": b})), i)
+            return m.quantiles((0.25, 0.75))
+
+        assert drained(batches) == drained(batches[::-1])
+
+    def test_empty_and_validation(self, spark, reference_df):
+        m = CertifiedDriftMonitor(
+            reference_df, column="value", grid_size=64,
+            d_threshold=None,
+        )
+        assert m.quantiles() == []
+        with pytest.raises(ValueError):
+            m.quantiles((0.0,))
