@@ -7075,6 +7075,25 @@ def _q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def _q_kn_trigram_by_group(spark, sf_dir):
+    """Per-language trigram KN scoring — the trigram tier in the form
+    CCNet runs (one LM per language): each lang's even-id slice
+    trains its own interpolated-KN trigram LM, every odd-id doc is
+    scored under its own lang's LM in ONE plan. pytest pins per-group
+    flat-tier equivalence, the missing-LM NULL convention, and the
+    merged grouped snapshot; full value-level DuckDB replica."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.textstats import (
+        kn_doc_logprob3_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    return kn_doc_logprob3_by_group(tgt, ref)
+
+
 # The r12 head-50 rotation (see queries() docstring): 25 same-round
 # registrations (18 early + 7 late-wave: kn_trigram_logprob,
 # bpe_vocab_ids, dsir_select, winnow_fingerprints, winnow_pairs,
@@ -7093,6 +7112,7 @@ _HEAD_50 = [
     "quantiles_certified",
     "containment_pairs",
     "corpus_diff",
+    "kn_trigram_by_group",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7167,6 +7187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_certified": _q_quantiles_certified,
         "containment_pairs": _q_containment_pairs,
         "corpus_diff": _q_corpus_diff,
+        "kn_trigram_by_group": _q_kn_trigram_by_group,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11953,6 +11974,111 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "kn_trigram_by_group": """
+            WITH refd AS (
+              SELECT lang,
+                     string_split_regex(lower(trim(text)), '\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            rp AS (
+              SELECT lang,
+                     arr[CAST(i AS INTEGER) - 1] AS w1,
+                     arr[CAST(i AS INTEGER)] AS w2,
+                     arr[CAST(i AS INTEGER) + 1] AS w3
+              FROM refd,
+                   unnest(generate_series(2, len(arr) - 1)) AS t(i)
+            ),
+            tri AS (
+              SELECT lang, w1, w2, w3, count(*) AS c123 FROM rp
+              WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+              GROUP BY 1, 2, 3, 4
+            ),
+            ctx2 AS (
+              SELECT lang, w1, w2, sum(c123) AS c12,
+                     count(*) AS fw12
+              FROM tri GROUP BY 1, 2, 3
+            ),
+            mid AS (
+              SELECT lang, w2, w3, count(*) AS n123
+              FROM tri GROUP BY 1, 2, 3
+            ),
+            mid2 AS (
+              SELECT lang, w2, sum(n123) AS n2tot, count(*) AS fw2c
+              FROM mid GROUP BY 1, 2
+            ),
+            low AS (
+              SELECT lang, w3, count(*) AS bw3 FROM mid GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT lang, count(*) AS types,
+                     count(DISTINCT w3) AS vref
+              FROM mid GROUP BY 1
+            ),
+            tgtd AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(trim(text)), '\s+') AS arr
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tp AS (
+              SELECT doc_id, lang,
+                     arr[CAST(i AS INTEGER) - 1] AS w1,
+                     arr[CAST(i AS INTEGER)] AS w2,
+                     arr[CAST(i AS INTEGER) + 1] AS w3
+              FROM tgtd,
+                   unnest(generate_series(2, len(arr) - 1)) AS t(i)
+            ),
+            sc AS (
+              SELECT t.doc_id, t.lang, tri.c123, ctx2.c12, ctx2.fw12,
+                     mid.n123, mid2.n2tot, mid2.fw2c, low.bw3,
+                     tot.types, tot.vref
+              FROM (SELECT * FROM tp
+                    WHERE w1 <> '' AND w2 <> '' AND w3 <> '') t
+                LEFT JOIN tri
+                  ON t.lang = tri.lang AND t.w1 = tri.w1
+                 AND t.w2 = tri.w2 AND t.w3 = tri.w3
+                LEFT JOIN ctx2
+                  ON t.lang = ctx2.lang AND t.w1 = ctx2.w1
+                 AND t.w2 = ctx2.w2
+                LEFT JOIN mid
+                  ON t.lang = mid.lang AND t.w2 = mid.w2
+                 AND t.w3 = mid.w3
+                LEFT JOIN mid2
+                  ON t.lang = mid2.lang AND t.w2 = mid2.w2
+                LEFT JOIN low
+                  ON t.lang = low.lang AND t.w3 = low.w3
+                LEFT JOIN tot ON t.lang = tot.lang
+            ),
+            pr AS (
+              SELECT doc_id, lang, c123,
+                     CASE WHEN c12 IS NOT NULL
+                          THEN greatest(coalesce(c123, 0) - 0.75, 0.0)
+                                 / c12
+                               + (0.75 * fw12 / c12) * p_mid
+                          ELSE p_mid
+                     END AS p_hi
+              FROM (
+                SELECT *,
+                       CASE WHEN n2tot IS NOT NULL
+                            THEN greatest(coalesce(n123, 0) - 0.75, 0.0)
+                                   / n2tot
+                                 + (0.75 * fw2c / n2tot) * p_low
+                            ELSE p_low
+                       END AS p_mid
+                FROM (
+                  SELECT *,
+                         (coalesce(bw3, 0) + 1.0)
+                           / (types + vref + 1.0) AS p_low
+                  FROM sc
+                )
+              )
+            )
+            SELECT doc_id, lang,
+                   CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(sum(CASE WHEN c123 IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unseen,
+                   round(avg(ln(p_hi)), 6) AS mean_kn_logprob
+            FROM pr GROUP BY doc_id, lang
         """,
         "corpus_diff": """
             WITH o AS (

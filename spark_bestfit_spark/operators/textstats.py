@@ -2673,3 +2673,168 @@ def bpe_encode_ids(
         .cast("long")
         .alias("n_unk"),
     )
+
+
+def _kn_triples_grouped(
+    df: DataFrame, text_col: str, group_col: str, id_col=None
+) -> DataFrame:
+    """Group-qualified per-doc adjacent non-empty token triples;
+    shared by the grouped trigram train/score paths. Null groups are
+    excluded."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.col(group_col).alias("g")
+    ]
+    keep = ([id_col] if id_col else []) + ["g"]
+    out = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(*cols, _tokens(F.col(text_col)).alias("_a"))
+        .filter(F.size("_a") >= 3)
+        .select(
+            *keep,
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(_a) - 1), i ->"
+                    " struct(_a[i - 2] AS w1, _a[i - 1] AS w2,"
+                    " _a[i] AS w3))"
+                )
+            ).alias("_b"),
+        )
+        .select(*keep, "_b.w1", "_b.w2", "_b.w3")
+    )
+    return out.filter(
+        (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+    )
+
+
+def kn_trigram_counts_by_group(
+    reference: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group trigram sufficient statistic — one ``(group_col, w1,
+    w2, w3, c123)`` relation holding every group's trigram LM.
+    Additive: merge deliveries with ``kn_merge_counts(a, b,
+    keys=(group_col, "w1", "w2", "w3"), count_col="c123")`` — merged
+    state scores identically to a full per-group retrain."""
+    return (
+        _kn_triples_grouped(reference, text_col, group_col)
+        .groupBy("g", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        .select(F.col("g").alias(group_col), "w1", "w2", "w3", "c123")
+    )
+
+
+def kn_doc_logprob3_by_group(
+    target: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-group :func:`kn_doc_logprob3` — the trigram tier in the
+    form CCNet actually runs (one LM per language): each group's
+    reference slice trains its own interpolated-KN trigram LM and
+    every target document is scored under ITS OWN group's LM, all in
+    one plan. Same backoff math as the flat trigram tier with every
+    LM relation keyed by the group; target groups with no reference
+    slice score ``mean_kn_logprob = NULL`` (the grouped-bigram
+    convention). Null groups are excluded on both sides.
+
+    Returns ``(id_col, group_col, n_trigrams, n_unseen,
+    mean_kn_logprob)``; target docs with fewer than 3 non-empty
+    tokens drop out.
+    """
+    return kn_doc_logprob3_by_group_from_counts(
+        target,
+        kn_trigram_counts_by_group(
+            reference, text_col=text_col, group_col=group_col
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        group_col=group_col,
+        discount=discount,
+    )
+
+
+def kn_doc_logprob3_by_group_from_counts(
+    target: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score target documents from a persisted/merged per-group
+    trigram snapshot (:func:`kn_trigram_counts_by_group`) — the
+    state-backed path of :func:`kn_doc_logprob3_by_group`."""
+    if not 0 < discount < 1:
+        raise ValueError("discount must be in (0, 1)")
+    tri = counts.select(
+        F.col(group_col).alias("g"), "w1", "w2", "w3",
+        F.col("c123").alias("_c123"),
+    ).localCheckpoint(eager=False)
+    ctx2 = tri.groupBy("g", "w1", "w2").agg(
+        F.sum("_c123").alias("_c12"),
+        F.count(F.lit(1)).alias("_fw12"),
+    )
+    mid = tri.groupBy("g", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_n123")
+    )
+    mid2 = mid.groupBy("g", "w2").agg(
+        F.sum("_n123").alias("_n2tot"),
+        F.count(F.lit(1)).alias("_fw2c"),
+    )
+    low = mid.groupBy("g", "w3").agg(F.count(F.lit(1)).alias("_bw3"))
+    tot = mid.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_types"),
+        F.countDistinct("w3").alias("_vref"),
+    )
+
+    d = float(discount)
+    p_low = (F.coalesce(F.col("_bw3"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_types") + F.col("_vref") + F.lit(1.0)
+    )
+    p_mid = F.when(
+        F.col("_n2tot").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("_n123"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("_n2tot")
+        + (F.lit(d) * F.col("_fw2c") / F.col("_n2tot")) * p_low,
+    ).otherwise(p_low)
+    p_hi = F.when(
+        F.col("_c12").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("_c123"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("_c12")
+        + (F.lit(d) * F.col("_fw12") / F.col("_c12")) * p_mid,
+    ).otherwise(p_mid)
+
+    scored = (
+        _kn_triples_grouped(target, text_col, group_col, id_col=id_col)
+        .join(tri, ["g", "w1", "w2", "w3"], "left")
+        .join(ctx2, ["g", "w1", "w2"], "left")
+        .join(mid, ["g", "w2", "w3"], "left")
+        .join(mid2, ["g", "w2"], "left")
+        .join(low, ["g", "w3"], "left")
+        .join(F.broadcast(tot), "g", "left")
+    )
+    return (
+        scored.groupBy(id_col, "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(
+                F.when(F.col("_c123").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unseen"),
+            F.round(F.avg(F.log(p_hi)), 6).alias("mean_kn_logprob"),
+        )
+        .select(
+            id_col,
+            F.col("g").alias(group_col),
+            "n_trigrams",
+            "n_unseen",
+            "mean_kn_logprob",
+        )
+    )

@@ -212,3 +212,100 @@ class TestKnTrigram:
         )
         with pytest.raises(ValueError):
             kn_doc_logprob3(df, df, discount=1.5)
+
+
+class TestKnTrigramByGroup:
+    def _data(self, spark):
+        import pyspark.sql.functions as F
+        import random
+
+        rng = random.Random(41)
+        vocab = {
+            "en": [f"e{i}" for i in range(15)],
+            "fr": [f"f{i}" for i in range(15)],
+        }
+        rows_ref, rows_tgt = [], []
+        did = 0
+        for g, vs in vocab.items():
+            for _ in range(25):
+                rows_ref.append(
+                    (did, g, " ".join(
+                        rng.choice(vs) for _ in range(rng.randint(3, 25))
+                    ))
+                )
+                did += 1
+            for _ in range(15):
+                rows_tgt.append(
+                    (did, g, " ".join(
+                        rng.choice(vs + ["zzq"])
+                        for _ in range(rng.randint(3, 20))
+                    ))
+                )
+                did += 1
+        rows_tgt.append((9000, "de", "kein modell hier vorhanden"))
+        ref = spark.createDataFrame(
+            rows_ref, "doc_id long, lang string, text string"
+        )
+        tgt = spark.createDataFrame(
+            rows_tgt, "doc_id long, lang string, text string"
+        )
+        return ref, tgt, F
+
+    def test_equals_flat_per_group(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob3_by_group,
+        )
+
+        ref, tgt, F = self._data(spark)
+        grouped = {
+            (r["lang"], r["doc_id"]): (
+                r["n_trigrams"], r["n_unseen"], r["mean_kn_logprob"]
+            )
+            for r in kn_doc_logprob3_by_group(tgt, ref).collect()
+        }
+        for g in ("en", "fr"):
+            flat = {
+                (g, r["doc_id"]): (
+                    r["n_trigrams"], r["n_unseen"], r["mean_kn_logprob"]
+                )
+                for r in kn_doc_logprob3(
+                    tgt.filter(F.col("lang") == g),
+                    ref.filter(F.col("lang") == g),
+                ).collect()
+            }
+            sub = {k: v for k, v in grouped.items() if k[0] == g}
+            assert sub == flat
+
+    def test_missing_group_scores_null(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob3_by_group,
+        )
+
+        ref, tgt, F = self._data(spark)
+        rows = kn_doc_logprob3_by_group(tgt, ref).filter(
+            F.col("lang") == "de"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["mean_kn_logprob"] is None
+        assert rows[0]["n_trigrams"] == 2
+
+    def test_merged_grouped_snapshot(self, spark):
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob3_by_group,
+            kn_doc_logprob3_by_group_from_counts,
+            kn_trigram_counts_by_group,
+        )
+
+        ref, tgt, F = self._data(spark)
+        d1 = ref.filter("doc_id % 2 = 0")
+        d2 = ref.filter("doc_id % 2 = 1")
+        merged = kn_merge_counts(
+            kn_trigram_counts_by_group(d1),
+            kn_trigram_counts_by_group(d2),
+            keys=("lang", "w1", "w2", "w3"),
+            count_col="c123",
+        )
+        inc = kn_doc_logprob3_by_group_from_counts(tgt, merged)
+        full = kn_doc_logprob3_by_group(tgt, ref)
+        assert inc.exceptAll(full).count() == 0
+        assert full.exceptAll(inc).count() == 0
