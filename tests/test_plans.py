@@ -732,3 +732,113 @@ class TestRound12Plans:
         # plan (the LM relations read the checkpointed bigram counts)
         assert plan.count("Scan parquet") == 1
         assert plan.count("Scan ExistingRDD") >= 1
+
+
+class TestLateRound12Plans:
+    def test_winnow_fingerprints_needs_no_exchange(self, spark):
+        """The selection is pure per-row array algebra: normalization,
+        k-gram hashing and the window argmin never leave the row —
+        zero exchanges in the physical plan (ensure_parallelism's
+        repartition only fires on under-parallelized inputs)."""
+        from spark_bestfit_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        ).repartition(8)
+        plan = _physical(winnow_fingerprints(docs))
+        # the single Exchange is the test's own round-robin
+        # repartition(8) of the input — the operator adds NO hash
+        # exchange of its own
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_kn_trigram_single_target_scan(self, spark):
+        """Trigram tier inherits the bigram plan shape: the reference
+        collapses ONCE into the checkpointed trigram-count relation;
+        the lazy plan's only parquet scan is the target."""
+        from spark_bestfit_spark.operators.textstats import (
+            kn_doc_logprob3,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = kn_doc_logprob3(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+        )
+        plan = _physical(out)
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("Scan ExistingRDD") >= 1
+
+    def test_dsir_lms_are_broadcast(self, spark):
+        """Scoring joins the two <= B-row bucket LMs and the 1-row
+        totals by BROADCAST — the corpus-sized feature relation never
+        shuffles for the join (its only exchange is the map-combined
+        (id, bucket) groupBy + the final doc re-agg)."""
+        from spark_bestfit_spark.operators.curation import (
+            dsir_logweights,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = dsir_logweights(
+            docs.filter("doc_id % 2 = 1"),
+            docs.filter("doc_id % 2 = 0"),
+            n_buckets=256,
+        )
+        plan = _physical(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals
+
+    def test_quantiles_certified_window_sees_buckets_only(self, spark):
+        """The global-ordered window runs POST-aggregation over the
+        <= grid_size bucket totals — the first Exchange below the
+        Window is the single-partition gather of bucket counts, never
+        a data-sized sort."""
+        from spark_bestfit_spark.operators.stats import (
+            quantiles_approx_certified,
+        )
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        out = quantiles_approx_certified(
+            li, "l_extendedprice", qs=(0.5,), grid_size=128
+        )
+        plan = _physical(out)
+        assert "Window" in plan
+        below_window = plan.split("Window", 1)[1]
+        first_exchange = below_window.split("Exchange", 1)[1]
+        # the window's input partitioning gathers BUCKET totals
+        assert "HashAggregate" in below_window.split("Exchange", 1)[1]
+
+    def test_containment_pairs_one_shingle_exchange_reused(self, spark):
+        """The row_number bucket cap partitions on the same shingle
+        key as the pair groupBy — Catalyst reuses the hash exchange;
+        the per-doc size relation joins broadcast-side."""
+        from spark_bestfit_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _physical(containment_pairs(docs, threshold=0.5))
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_corpus_diff_ships_fingerprints_only(self, spark):
+        """No text column survives past the fingerprint projection —
+        the full-outer join's exchanges carry (id, 32-byte md5) rows
+        only."""
+        from spark_bestfit_spark.operators.pipeline import corpus_diff
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = corpus_diff(
+            docs.filter("doc_id < 100"),
+            docs.filter("doc_id >= 50").filter("doc_id < 150"),
+        )
+        opt = _optimized(out)
+        # the optimized plan projects md5(...) before the join: 'text'
+        # appears only inside the md5 projection, never as a join-side
+        # output attribute
+        plan = _physical(out)
+        assert "FullOuter" in plan or "full_outer" in plan.lower()
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
