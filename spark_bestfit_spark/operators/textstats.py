@@ -2838,3 +2838,55 @@ def kn_doc_logprob3_by_group_from_counts(
             "mean_kn_logprob",
         )
     )
+
+
+def bpe_decode_ids(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Decode token-id sequences back to text through the vocabulary —
+    the round-trip half of :func:`bpe_encode_ids` (the artifact story
+    is only complete when ids are provably invertible). Unknown ids
+    (``-1`` byte-fallback markers, or ids outside the shipped vocab)
+    decode to the empty string and are counted, so
+    ``decoded == word AND n_undecodable == 0`` is the exact
+    losslessness certificate; pytest pins it corpus-wide.
+
+    Scale shape: posexplode over the (vocab-sized, for word types)
+    encoded relation, one broadcast join on the id key, order restored
+    by sorting the collected (pos, token) structs — the
+    :func:`bpe_encode_ids` shape in reverse.
+
+    Returns the encoded relation's columns plus ``decoded`` and
+    ``n_undecodable``.
+    """
+    keep = [c for c in encoded.columns if c != ids_col]
+    pos = encoded.select(
+        *keep, F.posexplode(ids_col).alias("pos", "token_id")
+    )
+    j = pos.join(
+        F.broadcast(vocab.select("token_id", "token")),
+        "token_id",
+        "left",
+    )
+    return j.groupBy(*keep).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce(F.col("token"), F.lit(""))
+                            .alias("tok"),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("decoded"),
+        F.sum(F.when(F.col("token").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_undecodable"),
+    )

@@ -125,3 +125,35 @@ class TestBpeEncodeIds:
         assert [
             (r["word"], list(r["token_ids"]), r["n_unk"]) for r in a
         ] == [(r["word"], list(r["token_ids"]), r["n_unk"]) for r in b]
+
+
+class TestBpeDecodeIds:
+    def test_roundtrip_lossless(self, spark, corpus):
+        """decode(encode(word)) == word for every type, with zero
+        undecodable ids — the artifact's losslessness certificate."""
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_decode_ids,
+        )
+
+        merges = bpe_learn(corpus, n_merges=6)
+        v = bpe_vocab(corpus, merges)
+        ids = bpe_encode_ids(corpus, merges, vocab=v)
+        dec = bpe_decode_ids(ids, v).collect()
+        assert dec, "no rows decoded"
+        for r in dec:
+            assert r["decoded"] == r["word"]
+            assert r["n_undecodable"] == 0
+
+    def test_unknown_ids_counted(self, spark, corpus):
+        from spark_bestfit_spark.operators.textstats import (
+            bpe_decode_ids,
+        )
+
+        merges = bpe_learn(corpus, n_merges=5)
+        v = bpe_vocab(corpus, merges)
+        fake = spark.createDataFrame(
+            [("xq", [0, -1, 99999])],
+            "word string, token_ids array<long>",
+        )
+        r = bpe_decode_ids(fake, v).collect()[0]
+        assert r["n_undecodable"] == 2
