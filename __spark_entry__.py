@@ -1236,7 +1236,7 @@ def _q_ranking_metrics(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
         ).alias("tok"),
     ).filter(F.col("tok").isin(terms))
     qrels = toks.groupBy("tok", "doc_id").agg(
@@ -1356,7 +1356,7 @@ def _q_rrf_search(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
         ).alias("tok"),
     ).filter(F.col("tok").isin(terms))
     tf = (
@@ -2018,7 +2018,7 @@ def _q_domain_mixture(spark, sf_dir):
     weights = domain_mixture_weights(
         df, "source", "text", temperature=temp, target_tokens=target
     )
-    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\\s+"))
     kept = (
         temperature_sample(
             df, "source", "text", temperature=temp, target_tokens=target
@@ -5712,7 +5712,7 @@ def _q_leakage_prefix(spark, sf_dir):
     key = F.concat_ws(
         " ",
         F.slice(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
+            F.split(F.lower(F.trim(F.col("text"))), r"\\s+"), 1, 5
         ),
     )
     return leakage_check(split, "split", key=key)
@@ -5736,7 +5736,7 @@ def _q_group_split_leakage(spark, sf_dir):
     key = F.concat_ws(
         " ",
         F.slice(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
+            F.split(F.lower(F.trim(F.col("text"))), r"\\s+"), 1, 5
         ),
     )
     split = group_split(docs, key)
@@ -5907,7 +5907,7 @@ def _q_zipf_law(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
         ).alias("tok")
     ).filter(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
@@ -6014,7 +6014,7 @@ def _q_mcnemar_langid(spark, sf_dir):
     scored = with_language_id(docs)
     gold = F.col("lang") == "en"
     pred_a = F.col("lang_guess") == "en"
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
     pred_b = F.array_contains(toks, "the")
     return mcnemar_test(
         scored, pred_a == gold, pred_b == gold
@@ -6431,7 +6431,7 @@ def _q_jw_linkage_blocked(spark, sf_dir):
     keys = docs.select(
         "doc_id",
         F.substring("text", 1, 40).alias("k"),
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
         .getItem(0)
         .alias("blk"),
     )
@@ -11680,7 +11680,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang,
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text),
-                                                         '\s+'))
+                                                         '\\s+'))
                      END AS tok,
                      length(text) AS chr
               FROM documents
@@ -11731,7 +11731,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (
               SELECT doc_id,
                      md5(regexp_replace(lower(trim(text)),
-                                        '\s+', ' ', 'g')) AS fingerprint
+                                        '\\s+', ' ', 'g')) AS fingerprint
               FROM documents WHERE doc_id < 300
             ),
             state AS (
@@ -11978,7 +11978,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_trigram_by_group": """
             WITH refd AS (
               SELECT lang,
-                     string_split_regex(lower(trim(text)), '\s+') AS arr
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
               FROM documents WHERE doc_id % 2 = 0
             ),
             rp AS (
@@ -12017,7 +12017,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             tgtd AS (
               SELECT doc_id, lang,
-                     string_split_regex(lower(trim(text)), '\s+') AS arr
+                     string_split_regex(lower(trim(text)), '\\s+') AS arr
               FROM documents WHERE doc_id % 2 = 1
             ),
             tp AS (
@@ -12107,7 +12107,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": """
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS tk
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
               FROM documents WHERE doc_id < 300
             ),
             sh AS (
@@ -12206,14 +12206,14 @@ def oracle_sql() -> dict[str, str]:
             WITH rawd AS (
               SELECT doc_id, lang,
                      list_filter(
-                       string_split_regex(lower(trim(text)), '\s+'),
+                       string_split_regex(lower(trim(text)), '\\s+'),
                        w -> w <> '') AS a
               FROM documents WHERE doc_id % 2 = 1
             ),
             tgtd AS (
               SELECT lang,
                      list_filter(
-                       string_split_regex(lower(trim(text)), '\s+'),
+                       string_split_regex(lower(trim(text)), '\\s+'),
                        w -> w <> '') AS a
               FROM documents WHERE doc_id % 2 = 0
             ),
@@ -12293,7 +12293,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": """
             WITH d AS (
               SELECT doc_id,
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
                        AS nm
               FROM documents WHERE doc_id < 120
             ),
@@ -12341,7 +12341,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": """
             WITH d AS (
               SELECT doc_id,
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
                        AS nm
               FROM documents WHERE doc_id < 300
             ),
@@ -12390,13 +12390,13 @@ def oracle_sql() -> dict[str, str]:
             WITH rawd AS (
               SELECT doc_id,
                      list_filter(
-                       string_split_regex(lower(trim(text)), '\s+'),
+                       string_split_regex(lower(trim(text)), '\\s+'),
                        w -> w <> '') AS a
               FROM documents WHERE doc_id % 2 = 1
             ),
             tgtd AS (
               SELECT list_filter(
-                       string_split_regex(lower(trim(text)), '\s+'),
+                       string_split_regex(lower(trim(text)), '\\s+'),
                        w -> w <> '') AS a
               FROM documents WHERE doc_id % 2 = 0
             ),
@@ -13300,7 +13300,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (
               SELECT doc_id,
                      md5(regexp_replace(lower(trim(text)),
-                                        '\s+', ' ', 'g')) AS fingerprint
+                                        '\\s+', ' ', 'g')) AS fingerprint
               FROM documents WHERE doc_id < 300
             ),
             raw AS (
@@ -13316,7 +13316,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_band_index": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS tk
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
               FROM documents WHERE doc_id < 100
             ),
             sh AS (
@@ -13426,7 +13426,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0
                           THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+')
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
                      END AS w
               FROM documents
             ),
@@ -13466,7 +13466,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      CASE WHEN length(trim(text)) = 0
                           THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+')
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
                      END AS words,
                      string_split(text, chr(10)) AS lines
               FROM documents
@@ -13584,13 +13584,13 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text),
-                                                         '\s+'))
+                                                         '\\s+'))
                      END AS tok,
                      length(text) AS chr,
                      CASE WHEN length(trim(text)) = 0 THEN 1
                           ELSE 0 END AS empty,
                      md5(regexp_replace(lower(trim(text)),
-                                        '\s+', ' ', 'g')) AS fp
+                                        '\\s+', ' ', 'g')) AS fp
               FROM documents
             ),
             row_stats AS (
@@ -14502,7 +14502,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT source AS g,
                      unnest(list_distinct(
                        string_split_regex(lower(trim(text)),
-                                          '\s+'))) AS tok
+                                          '\\s+'))) AS tok
               FROM documents
               WHERE source IS NOT NULL AND text IS NOT NULL
             ),
@@ -14688,7 +14688,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
                      len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
               FROM (SELECT doc_id, lang,
-                           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+                           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
                     FROM documents WHERE lang IS NOT NULL)
             ),
             scored AS (
@@ -14870,7 +14870,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
                      len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
               FROM (SELECT doc_id,
-                           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+                           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
                     FROM documents)
             ),
             g AS (
@@ -14912,7 +14912,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_law": r"""
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(trim(text)),
-                                               '\s+')) AS tok
+                                               '\\s+')) AS tok
               FROM documents
             ),
             freq AS (
@@ -15146,7 +15146,7 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
               SELECT w, count(*)::BIGINT AS wc FROM (
                 SELECT unnest(
-                  regexp_split_to_array(lower(trim(text)), '\s+')
+                  regexp_split_to_array(lower(trim(text)), '\\s+')
                 ) AS w
                 FROM documents
               ) WHERE w != '' GROUP BY w
@@ -15171,7 +15171,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
               SELECT w, count(*)::BIGINT AS c FROM (
                 SELECT unnest(
-                  regexp_split_to_array(lower(trim(text)), '\s+')
+                  regexp_split_to_array(lower(trim(text)), '\\s+')
                 ) AS w
                 FROM documents
               ) WHERE w != '' GROUP BY w
@@ -15379,7 +15379,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kneser_ney": r"""
             WITH toks AS (
-              SELECT regexp_split_to_array(lower(trim(text)), '\s+')
+              SELECT regexp_split_to_array(lower(trim(text)), '\\s+')
                 AS a
               FROM documents
             ),
@@ -15700,7 +15700,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT w FROM (
                 SELECT unnest(regexp_split_to_array(
-                  lower(trim(text)), '\s+')) AS w
+                  lower(trim(text)), '\\s+')) AS w
                 FROM documents
               ) WHERE w != ''
             ),
@@ -15830,7 +15830,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      lower(trim(substr(text, 1, 40))) AS k,
                      (regexp_split_to_array(
-                        lower(trim(text)), '\s+'))[1] AS blk
+                        lower(trim(text)), '\\s+'))[1] AS blk
               FROM documents
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -16414,7 +16414,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
               SELECT w, count(*)::BIGINT AS c FROM (
                 SELECT unnest(regexp_split_to_array(
-                  lower(trim(text)), '\s+')) AS w
+                  lower(trim(text)), '\\s+')) AS w
                 FROM documents
               ) WHERE w != '' GROUP BY w
             ),
@@ -16442,7 +16442,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id AS d, w FROM (
                 SELECT doc_id, unnest(regexp_split_to_array(
-                  lower(trim(text)), '\s+')) AS w
+                  lower(trim(text)), '\\s+')) AS w
                 FROM documents
               ) WHERE w != ''
             ),
