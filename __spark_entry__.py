@@ -7153,9 +7153,6 @@ _HEAD_50 = [
     "best_per_column",
     "bm25_search",
     "bootstrap_gamma_ci",
-    "chi2_by_group",
-    "chi2_drift",
-    "copula_sample",
 ]
 
 
