@@ -7094,6 +7094,29 @@ def _q_kn_trigram_by_group(spark, sf_dir):
     return kn_doc_logprob3_by_group(tgt, ref)
 
 
+def _q_winnow_clusters(spark, sf_dir):
+    """Transitive closure over the winnowing pair graph: the
+    keep-one-per-cluster semantics for PARTIAL-overlap duplicates —
+    min-label connected components (the neardup_clusters engine, pair
+    source swapped) over pairs sharing >= 10 selected fingerprints.
+    Oracle: the winnow-pair replica feeding a recursive-CTE
+    reachability closure."""
+    import pyspark.sql.functions as F
+
+    from spark_bestfit_spark.operators.dedup import (
+        neardup_clusters,
+        winnow_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    pairs = winnow_neardup_pairs(
+        docs, k=8, window=4, min_shared=10
+    ).select("id_a", "id_b")
+    return neardup_clusters(pairs)
+
+
 # The r12 head-50 rotation (see queries() docstring): 25 same-round
 # registrations (18 early + 7 late-wave: kn_trigram_logprob,
 # bpe_vocab_ids, dsir_select, winnow_fingerprints, winnow_pairs,
@@ -7113,6 +7136,7 @@ _HEAD_50 = [
     "containment_pairs",
     "corpus_diff",
     "kn_trigram_by_group",
+    "winnow_clusters",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7151,7 +7175,6 @@ _HEAD_50 = [
     "lsh_ann_topk",
     "ivf_recall_clustered",
     "best_per_column",
-    "bm25_search",
     "bootstrap_gamma_ci",
 ]
 
@@ -7185,6 +7208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "corpus_diff": _q_corpus_diff,
         "kn_trigram_by_group": _q_kn_trigram_by_group,
+        "winnow_clusters": _q_winnow_clusters,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11971,6 +11995,65 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "winnow_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS nm
+              FROM documents WHERE doc_id < 300
+            ),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       CASE WHEN len(nm) >= 8
+                            THEN list_transform(
+                                   generate_series(1, len(nm) - 7),
+                                   i -> substr(nm, CAST(i AS INTEGER), 8))
+                            ELSE [nm] END,
+                       g -> ('0x' || substr(md5(g), 1, 14))::BIGINT)
+                       AS hl
+              FROM d
+            ),
+            kgr AS (
+              SELECT doc_id, CAST(t.i AS INTEGER) AS p,
+                     hl[CAST(t.i AS INTEGER)] AS h
+              FROM hs, unnest(generate_series(1, len(hl))) AS t(i)
+            ),
+            nn AS (SELECT doc_id, max(p) AS np FROM kgr GROUP BY 1),
+            wm AS (
+              SELECT a.doc_id, a.p AS ws, min(b.h) AS mh
+              FROM kgr a
+                JOIN nn ON nn.doc_id = a.doc_id
+                JOIN kgr b ON b.doc_id = a.doc_id
+                          AND b.p BETWEEN a.p
+                                      AND least(a.p + 3, nn.np)
+              WHERE a.p <= greatest(nn.np - 3, 1)
+              GROUP BY 1, 2
+            ),
+            fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wm),
+            bc AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS shared_fps
+              FROM fps a
+                JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN bc ON bc.fp = a.fp AND bc.c <= 1000
+              GROUP BY 1, 2
+            ),
+            p2 AS (SELECT id_a, id_b FROM pr WHERE shared_fps >= 10),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p2
+              UNION
+              SELECT id_b, id_a FROM p2
+            ),
+            r AS (
+              SELECT a AS v, a AS reach FROM e
+              UNION
+              SELECT e.a, r.reach FROM e JOIN r ON e.b = r.v
+            )
+            SELECT v AS doc_id, MIN(reach) AS cluster_id
+            FROM r GROUP BY v
         """,
         "kn_trigram_by_group": """
             WITH refd AS (
