@@ -7117,6 +7117,23 @@ def _q_winnow_clusters(spark, sf_dir):
     return neardup_clusters(pairs)
 
 
+def _q_unimax_allocation(spark, sf_dir):
+    """UniMax multilingual budget allocation (Chung et al., ICLR
+    2023): waterfill a 20k-token budget across languages under a
+    one-epoch repetition cap — uniform except where a language's
+    whole corpus binds. Closed-form on the groups-sized relation
+    (window over ascending caps + one totals join — never data-sized).
+    Full value-level DuckDB replica; pytest pins a python waterfill
+    replica, sum(alloc) == min(budget, sum(cap)), the epoch cap, and
+    tie determinism."""
+    from spark_bestfit_spark.operators.curation import (
+        unimax_allocation,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unimax_allocation(docs, budget=20_000, max_epochs=1.0)
+
+
 # The r12 head-50 rotation (see queries() docstring): 25 same-round
 # registrations (18 early + 7 late-wave: kn_trigram_logprob,
 # bpe_vocab_ids, dsir_select, winnow_fingerprints, winnow_pairs,
@@ -7137,6 +7154,7 @@ _HEAD_50 = [
     "corpus_diff",
     "kn_trigram_by_group",
     "winnow_clusters",
+    "unimax_allocation",
     "ivf_opq_recall",
     "opq_persisted_recall",
     "ks_approx",
@@ -7175,7 +7193,6 @@ _HEAD_50 = [
     "lsh_ann_topk",
     "ivf_recall_clustered",
     "best_per_column",
-    "bootstrap_gamma_ci",
 ]
 
 
@@ -7209,6 +7226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "kn_trigram_by_group": _q_kn_trigram_by_group,
         "winnow_clusters": _q_winnow_clusters,
+        "unimax_allocation": _q_unimax_allocation,
         "ivf_opq_recall": _q_ivf_opq_recall,
         "opq_persisted_recall": _q_opq_persisted_recall,
         "ks_approx": _q_ks_approx,
@@ -11995,6 +12013,49 @@ def oracle_sql() -> dict[str, str]:
                    exd.d - apx.d_stat <= apx.err_bound + 1e-9
                      AS within_bound
             FROM apx JOIN exd ON apx.g = exd.g
+        """,
+        "unimax_allocation": """
+            WITH c AS (
+              SELECT lang AS g,
+                     CAST(sum(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> w <> ''))) AS DOUBLE) AS n_tokens
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1
+            ),
+            caps AS (
+              SELECT g, n_tokens, n_tokens * 1.0 AS cap FROM c
+            ),
+            ranked AS (
+              SELECT g, n_tokens, cap,
+                     coalesce(sum(cap) OVER (
+                       ORDER BY cap, g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0.0) AS pfx,
+                     row_number() OVER (ORDER BY cap, g) AS rn,
+                     count(*) OVER () AS n
+              FROM caps
+            ),
+            b AS (
+              SELECT *,
+                     (pfx + cap * (n - rn + 1)) <= 20000.0 AS bound
+              FROM ranked
+            ),
+            tot AS (
+              SELECT coalesce(sum(CASE WHEN bound THEN cap END), 0.0)
+                       AS bsum,
+                     sum(CASE WHEN NOT bound THEN 1 ELSE 0 END) AS nu
+              FROM b
+            )
+            SELECT b.g AS lang, b.n_tokens,
+                   round(b.cap, 6) AS cap,
+                   round(CASE WHEN b.bound THEN b.cap
+                         ELSE least((20000.0 - tot.bsum) / tot.nu,
+                                    b.cap) END, 6) AS alloc,
+                   round(CASE WHEN b.bound THEN b.cap
+                         ELSE least((20000.0 - tot.bsum) / tot.nu,
+                                    b.cap) END / b.n_tokens, 6)
+                     AS epochs
+            FROM b, tot
         """,
         "winnow_clusters": """
             WITH RECURSIVE d AS (

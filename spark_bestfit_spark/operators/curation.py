@@ -46,6 +46,7 @@ __all__ = [
     "stratified_quota_sample",
     "strip_boilerplate_lines",
     "temperature_sample",
+    "unimax_allocation",
     "weighted_sample",
 ]
 
@@ -1681,4 +1682,112 @@ def dsir_select_by_group(
             "sel_rank", F.row_number().over(w).cast("long")
         )
         .filter(F.col("sel_rank") <= int(k_per_group))
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget: float,
+    group_col: str = "lang",
+    max_epochs: float = 1.0,
+    text_col: str = "text",
+    length_col: str | None = None,
+) -> DataFrame:
+    """UniMax multilingual budget allocation (Chung et al., ICLR
+    2023): split a total training-token ``budget`` across groups
+    (languages/domains) as UNIFORMLY as possible subject to the
+    repetition cap ``alloc_g <= max_epochs * n_tokens_g`` — the
+    published answer to "temperature sampling starves heads or
+    over-epochs tails": every group gets the common water level
+    except groups whose cap binds, which contribute their whole
+    corpus.
+
+    Closed-form waterfill, fully in-plan on the GROUPS-sized
+    relation: one corpus scan collapses to per-group token counts
+    (map-combined; pass ``length_col`` to use precomputed per-doc
+    lengths, e.g. real BPE counts from
+    :func:`~spark_bestfit_spark.operators.textstats.bpe_doc_token_counts`),
+    then a window over caps sorted ascending decides which caps bind
+    — group i binds iff ``prefix_i + cap_i * (n - i + 1) <= budget``
+    (monotone in i, constant across equal caps, so the flag is
+    deterministic under ties) — and the water level
+    ``L = (budget - sum of bound caps) / n_unbound`` fills everyone
+    else. The window and the 1-row totals join touch only the
+    groups-sized relation — never data.
+
+    Returns one row per group: ``(group_col, n_tokens, cap, alloc,
+    epochs)`` with ``sum(alloc) = min(budget, sum(cap))`` and
+    ``epochs = alloc / n_tokens <= max_epochs`` (both pytest-pinned).
+    Null groups are excluded.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    toks = (
+        F.col(length_col).cast("double")
+        if length_col is not None
+        else F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).cast("double")
+    )
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), toks.alias("_t"))
+        .groupBy("g")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    b = float(budget)
+    caps = counts.select(
+        "g",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(float(max_epochs))).alias("cap"),
+    )
+    w = Window.orderBy("cap", "g")
+    # exclusive prefix of caps + position — groups-sized window
+    ranked = caps.select(
+        "g",
+        "n_tokens",
+        "cap",
+        F.coalesce(
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("_prefix"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    bound = ranked.withColumn(
+        "_bound",
+        F.col("_prefix")
+        + F.col("cap") * (F.col("_n") - F.col("_rn") + 1)
+        <= F.lit(b),
+    )
+    tot = bound.agg(
+        F.sum(F.when(F.col("_bound"), F.col("cap"))).alias("_bsum"),
+        F.sum(F.when(~F.col("_bound"), 1).otherwise(0)).alias("_nu"),
+    )
+    level = (
+        F.lit(b) - F.coalesce(F.col("_bsum"), F.lit(0.0))
+    ) / F.col("_nu")
+    alloc = F.when(F.col("_bound"), F.col("cap")).otherwise(
+        F.least(level, F.col("cap"))
+    )
+    return (
+        bound.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_tokens").cast("double").alias("n_tokens"),
+            F.round("cap", 6).alias("cap"),
+            F.round(alloc, 6).alias("alloc"),
+            F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        )
     )

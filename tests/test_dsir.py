@@ -236,3 +236,101 @@ class TestDsirByGroup:
         raw, tgt, _, _ = self._grouped(spark)
         with pytest.raises(ValueError):
             dsir_select_by_group(raw, tgt, k_per_group=0)
+
+
+class TestUnimaxAllocation:
+    def _waterfill_ref(self, caps, budget):
+        """From-scratch waterfill: ascending caps, bind while the
+        uniform share exceeds the cap."""
+        items = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(items)
+        alloc, bsum, nb = {}, 0.0, 0
+        for i, (g, c) in enumerate(items):
+            if bsum + c * (n - i) <= budget:
+                alloc[g] = c
+                bsum += c
+                nb += 1
+            else:
+                level = (budget - bsum) / (n - nb)
+                for g2, c2 in items[i:]:
+                    alloc[g2] = min(level, c2)
+                break
+        return alloc
+
+    def test_matches_reference_and_invariants(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            unimax_allocation,
+        )
+
+        rows = []
+        did = 0
+        sizes = {"a": 40, "b": 12, "c": 90, "d": 11, "e": 25}
+        for g, n in sizes.items():
+            for _ in range(n):
+                rows.append((did, g, "tok one two"))  # 3 tokens each
+                did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        budget = 300.0
+        got = {
+            r["lang"]: (r["n_tokens"], r["cap"], r["alloc"], r["epochs"])
+            for r in unimax_allocation(
+                df, budget=budget, max_epochs=1.0
+            ).collect()
+        }
+        caps = {g: 3.0 * n for g, n in sizes.items()}
+        exp = self._waterfill_ref(caps, budget)
+        for g, a in exp.items():
+            assert got[g][2] == pytest.approx(a, abs=1e-6)
+            assert got[g][3] <= 1.0 + 1e-9  # epoch cap
+        assert sum(v[2] for v in got.values()) == pytest.approx(
+            min(budget, sum(caps.values())), abs=1e-4
+        )
+
+    def test_budget_exceeds_caps(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            unimax_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a", "x y"), (1, "b", "z")],
+            "doc_id long, lang string, text string",
+        )
+        rows = unimax_allocation(df, budget=1e9, max_epochs=2.0).collect()
+        assert all(r["alloc"] == r["cap"] for r in rows)
+        assert all(r["epochs"] == pytest.approx(2.0) for r in rows)
+
+    def test_tie_determinism(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            unimax_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 4}", "one two three") for i in range(40)],
+            "doc_id long, lang string, text string",
+        )
+        a = sorted(map(tuple, unimax_allocation(df, budget=50).collect()))
+        b = sorted(
+            map(
+                tuple,
+                unimax_allocation(df.repartition(7), budget=50).collect(),
+            )
+        )
+        assert a == b
+        # equal caps with a binding budget: equal allocations
+        allocs = {t[3] for t in a}
+        assert len(allocs) == 1
+
+    def test_validation(self, spark):
+        from spark_bestfit_spark.operators.curation import (
+            unimax_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a", "x")], "doc_id long, lang string, text string"
+        )
+        with pytest.raises(ValueError):
+            unimax_allocation(df, budget=0)
+        with pytest.raises(ValueError):
+            unimax_allocation(df, budget=10, max_epochs=0)
