@@ -1236,7 +1236,7 @@ def _q_ranking_metrics(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("tok"),
     ).filter(F.col("tok").isin(terms))
     qrels = toks.groupBy("tok", "doc_id").agg(
@@ -1356,7 +1356,7 @@ def _q_rrf_search(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("tok"),
     ).filter(F.col("tok").isin(terms))
     tf = (
@@ -2018,7 +2018,7 @@ def _q_domain_mixture(spark, sf_dir):
     weights = domain_mixture_weights(
         df, "source", "text", temperature=temp, target_tokens=target
     )
-    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\\s+"))
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     kept = (
         temperature_sample(
             df, "source", "text", temperature=temp, target_tokens=target
@@ -5712,7 +5712,7 @@ def _q_leakage_prefix(spark, sf_dir):
     key = F.concat_ws(
         " ",
         F.slice(
-            F.split(F.lower(F.trim(F.col("text"))), r"\\s+"), 1, 5
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
         ),
     )
     return leakage_check(split, "split", key=key)
@@ -5736,7 +5736,7 @@ def _q_group_split_leakage(spark, sf_dir):
     key = F.concat_ws(
         " ",
         F.slice(
-            F.split(F.lower(F.trim(F.col("text"))), r"\\s+"), 1, 5
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5
         ),
     )
     split = group_split(docs, key)
@@ -5907,7 +5907,7 @@ def _q_zipf_law(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("tok")
     ).filter(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
@@ -6014,7 +6014,7 @@ def _q_mcnemar_langid(spark, sf_dir):
     scored = with_language_id(docs)
     gold = F.col("lang") == "en"
     pred_a = F.col("lang_guess") == "en"
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     pred_b = F.array_contains(toks, "the")
     return mcnemar_test(
         scored, pred_a == gold, pred_b == gold
@@ -6431,7 +6431,7 @@ def _q_jw_linkage_blocked(spark, sf_dir):
     keys = docs.select(
         "doc_id",
         F.substring("text", 1, 40).alias("k"),
-        F.split(F.lower(F.trim(F.col("text"))), r"\\s+")
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         .getItem(0)
         .alias("blk"),
     )
@@ -11719,7 +11719,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang,
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text),
-                                                         '\\s+'))
+                                                         '\s+'))
                      END AS tok,
                      length(text) AS chr
               FROM documents
@@ -11770,7 +11770,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (
               SELECT doc_id,
                      md5(regexp_replace(lower(trim(text)),
-                                        '\\s+', ' ', 'g')) AS fingerprint
+                                        '\s+', ' ', 'g')) AS fingerprint
               FROM documents WHERE doc_id < 300
             ),
             state AS (
@@ -13441,7 +13441,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (
               SELECT doc_id,
                      md5(regexp_replace(lower(trim(text)),
-                                        '\\s+', ' ', 'g')) AS fingerprint
+                                        '\s+', ' ', 'g')) AS fingerprint
               FROM documents WHERE doc_id < 300
             ),
             raw AS (
@@ -13457,7 +13457,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_band_index": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+                     string_split_regex(lower(trim(text)), '\s+') AS tk
               FROM documents WHERE doc_id < 100
             ),
             sh AS (
@@ -13567,7 +13567,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0
                           THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                          ELSE regexp_split_to_array(trim(text), '\s+')
                      END AS w
               FROM documents
             ),
@@ -13607,7 +13607,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      CASE WHEN length(trim(text)) = 0
                           THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                          ELSE regexp_split_to_array(trim(text), '\s+')
                      END AS words,
                      string_split(text, chr(10)) AS lines
               FROM documents
@@ -13725,13 +13725,13 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text),
-                                                         '\\s+'))
+                                                         '\s+'))
                      END AS tok,
                      length(text) AS chr,
                      CASE WHEN length(trim(text)) = 0 THEN 1
                           ELSE 0 END AS empty,
                      md5(regexp_replace(lower(trim(text)),
-                                        '\\s+', ' ', 'g')) AS fp
+                                        '\s+', ' ', 'g')) AS fp
               FROM documents
             ),
             row_stats AS (
@@ -14643,7 +14643,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT source AS g,
                      unnest(list_distinct(
                        string_split_regex(lower(trim(text)),
-                                          '\\s+'))) AS tok
+                                          '\s+'))) AS tok
               FROM documents
               WHERE source IS NOT NULL AND text IS NOT NULL
             ),
@@ -14829,7 +14829,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
                      len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
               FROM (SELECT doc_id, lang,
-                           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+                           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
                     FROM documents WHERE lang IS NOT NULL)
             ),
             scored AS (
@@ -15011,7 +15011,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(tk, ['el','la','los','y','es','una','en','que','por'])) AS h_es,
                      len(list_intersect(tk, ['le','la','les','et','est','une','dans','que','pour'])) AS h_fr
               FROM (SELECT doc_id,
-                           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+                           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
                     FROM documents)
             ),
             g AS (
@@ -15053,7 +15053,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_law": r"""
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(trim(text)),
-                                               '\\s+')) AS tok
+                                               '\s+')) AS tok
               FROM documents
             ),
             freq AS (
@@ -15287,7 +15287,7 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
               SELECT w, count(*)::BIGINT AS wc FROM (
                 SELECT unnest(
-                  regexp_split_to_array(lower(trim(text)), '\\s+')
+                  regexp_split_to_array(lower(trim(text)), '\s+')
                 ) AS w
                 FROM documents
               ) WHERE w != '' GROUP BY w
@@ -15312,7 +15312,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
               SELECT w, count(*)::BIGINT AS c FROM (
                 SELECT unnest(
-                  regexp_split_to_array(lower(trim(text)), '\\s+')
+                  regexp_split_to_array(lower(trim(text)), '\s+')
                 ) AS w
                 FROM documents
               ) WHERE w != '' GROUP BY w
@@ -15520,7 +15520,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kneser_ney": r"""
             WITH toks AS (
-              SELECT regexp_split_to_array(lower(trim(text)), '\\s+')
+              SELECT regexp_split_to_array(lower(trim(text)), '\s+')
                 AS a
               FROM documents
             ),
@@ -15841,7 +15841,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT w FROM (
                 SELECT unnest(regexp_split_to_array(
-                  lower(trim(text)), '\\s+')) AS w
+                  lower(trim(text)), '\s+')) AS w
                 FROM documents
               ) WHERE w != ''
             ),
@@ -15971,7 +15971,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      lower(trim(substr(text, 1, 40))) AS k,
                      (regexp_split_to_array(
-                        lower(trim(text)), '\\s+'))[1] AS blk
+                        lower(trim(text)), '\s+'))[1] AS blk
               FROM documents
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -16555,7 +16555,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
               SELECT w, count(*)::BIGINT AS c FROM (
                 SELECT unnest(regexp_split_to_array(
-                  lower(trim(text)), '\\s+')) AS w
+                  lower(trim(text)), '\s+')) AS w
                 FROM documents
               ) WHERE w != '' GROUP BY w
             ),
@@ -16583,7 +16583,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id AS d, w FROM (
                 SELECT doc_id, unnest(regexp_split_to_array(
-                  lower(trim(text)), '\\s+')) AS w
+                  lower(trim(text)), '\s+')) AS w
                 FROM documents
               ) WHERE w != ''
             ),
