@@ -170,9 +170,9 @@ def decontaminate_fuzzy(
        (a second map-only text pass over the few flagged docs), the
        probe shingle sets join by broadcast.
 
-    Documents with no ``shingle_k``-shingles (shorter than k words)
-    never band — otherwise every short doc would share one degenerate
-    bucket. ``max_probe_bucket`` drops probe band buckets larger than
+    Documents shorter than ``shingle_k`` words band on their single
+    degenerate whole-text shingle (so two short docs only meet when
+    their full texts MinHash-collide). ``max_probe_bucket`` drops probe band buckets larger than
     the cap (boilerplate band signatures — the ``max_bucket_size``
     convention), bounding the candidate fan-out per corpus row.
 
@@ -214,12 +214,16 @@ def decontaminate_fuzzy(
                 ),
             ),
         )
-        return (
-            relation.filter(F.size(word_shingles(tcol, shingle_k)) > 0)
-            .select(
-                F.col(idc).alias(out_id),
-                F.posexplode(band_sigs).alias("band", "band_sig"),
-            )
+        # r12: the old `filter(size(word_shingles(...)) > 0)` here was
+        # semantically DEAD — word_shingles never returns an empty
+        # array (null/empty/short text all yield the 1-element
+        # degenerate shingle, verified row-by-row), so the filter kept
+        # every row while paying a full extra shingle-construction
+        # pass per scan (measured 3.0 s of the sf1 corpus pass —
+        # shingle building is this operator's dominant cost).
+        return relation.select(
+            F.col(idc).alias(out_id),
+            F.posexplode(band_sigs).alias("band", "band_sig"),
         )
 
     probe_bands = _bands(probe_df, pid, ptext, pid_out)

@@ -433,6 +433,12 @@ def minhash_dedup_pairs(
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
     )
+    # (r12 note: a melt-join-regroup rewrite that references the
+    # shingle relation once was A/B-tested here and LOST — the
+    # groupBy's collect_list ships the heavy shingle arrays through an
+    # extra pair-keyed exchange, which costs more than the duplicated
+    # text->shingle scan it saves: sf1 5.47 -> 5.71 s, clusters line
+    # 6.46 -> 8.70 s. The double join stays.)
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_s", "_sa"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_s", "_sb"), "id_b")
@@ -454,6 +460,7 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, cluster_id)
     with cluster_id = the smallest doc id in the component.
@@ -470,6 +477,21 @@ def neardup_clusters(
     Lineage is truncated per round with localCheckpoint; at 100 TB
     scale the edge relation stays hash-partitioned on the join key
     across rounds and nothing is ever collected to the driver.
+
+    Cost-based small-graph path (r12, guide §1.2 — fix the
+    distributed algorithm first): after the contraction the surviving
+    edge relation is usually tiny (exact-duplicate cliques collapse to
+    self-loops and near-dup components are shallow), yet every
+    propagation round still costs two join jobs plus a checkpoint job
+    of fixed scheduler latency. When the contracted edge count is at
+    most ``driver_threshold`` (default 1M edges ≈ 16 MB of id pairs —
+    the same bounded-collect convention as the K-S bucket-offset fold),
+    the component labels are computed with a driver-side union-find
+    over ONE Arrow collect instead of the O(log d)-round join loop:
+    identical labels (component minimum), ~3 jobs instead of ~4 + 2
+    per round. Corpora whose contracted graph exceeds the bound fall
+    through to the iterative path unchanged; pass
+    ``driver_threshold=0`` to force it.
 
     The contraction is correctness-preserving for ANY pair graph:
     rep(v) = min(v, direct neighbors) always lies inside v's component
@@ -518,6 +540,51 @@ def neardup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    if driver_threshold:
+        # edges is localCheckpointed: count() scans the materialized
+        # blocks (no recompute), and the Arrow collect is one job.
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            spark = pairs.sparkSession
+            epdf = edges.toPandas()
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            src_vals = epdf["src"].tolist()  # native py types for
+            dst_vals = epdf["dst"].tolist()  # createDataFrame below
+            for s, d in zip(src_vals, dst_vals):
+                rs, rd = _find(s), _find(d)
+                if rs != rd:
+                    # union by label order keeps the smaller id the
+                    # root, so the root IS the component minimum
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+            label_rows = [(v, _find(v)) for v in parent]
+            id_type = edges.schema["src"].dataType
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
+
+            labels = spark.createDataFrame(
+                label_rows,
+                _ST([_SF("v", id_type), _SF("label", id_type)]),
+            )
+            return (
+                rep.join(labels, rep["_rep"] == labels["v"], "left")
+                .select(
+                    F.col("_rv").alias(id_col),
+                    F.coalesce(F.col("label"), F.col("_rep")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
@@ -534,6 +601,7 @@ def neardup_clusters(
             labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
             .select(
                 "v",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
                 ).alias("label"),
@@ -547,20 +615,22 @@ def neardup_clusters(
             stepped.join(lab2, stepped["label"] == lab2["_v2"], "left")
             .select(
                 "v",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_l2"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
+        # convergence probe reads the _old column carried through the
+        # checkpointed relation — a filter scan of the tiny label
+        # relation instead of the old labels-vs-new_labels join job
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     # Expand the contraction: every original vertex takes its rep's

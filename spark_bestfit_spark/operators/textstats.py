@@ -621,20 +621,6 @@ def tfidf_neardup_pairs(
             ).alias("w"),
         )
     )
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
-    )
-    wn = (
-        w.join(norms, id_col)
-        .filter(F.col("_norm") > 0)
-        .select(
-            F.col(id_col),
-            "tok",
-            "df",
-            (F.col("w") / F.col("_norm")).alias("wn"),
-        )
-        .filter(F.col("df") >= min_df)
-    )
     if candidates == "prefix":
         from pyspark.sql import Window
 
@@ -646,12 +632,16 @@ def tfidf_neardup_pairs(
                 F.array_distinct(word_shingles(text_col, shingle_k))
             ).alias("_sh"),
         )
-        sh_df = sh.groupBy("_sh").agg(F.count("*").alias("_sdf"))
+        # shingle corpus-df via a count window over the SAME (_sh) key
+        # the old groupBy+join pair used twice: one exchange of the
+        # shingle relation instead of two (guide §2.4 — share the
+        # partitioning), identical _sdf values.
+        sh_w = Window.partitionBy("_sh")
         rank_w = Window.partitionBy(id_col).orderBy(
             F.col("_sdf").asc(), F.col("_sh")
         )
         idx = (
-            sh.join(sh_df, "_sh")
+            sh.withColumn("_sdf", F.count(F.lit(1)).over(sh_w))
             .withColumn("_r", F.row_number().over(rank_w))
             .filter(F.col("_r") <= prefix_size)
             .select("_sh", id_col)
@@ -670,28 +660,65 @@ def tfidf_neardup_pairs(
                 .filter(F.col("_psz") <= max_posting_size)
                 .drop("_psz")
             )
+        # candidate pairs by in-bucket explosion (the MinHash
+        # _lsh_buckets trick): ONE reference to the index relation —
+        # the old idx-vs-idx self-join planned the whole shingle-df +
+        # rank pipeline TWICE (no exchange reuse across the
+        # differently-aliased subtrees; the before-plan carried 92
+        # Exchanges / 32 parquet scans for this one query).
+        buckets = idx.groupBy("_sh").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+        ).filter(F.size("_ids") > 1)
+        n_ids = F.size("_ids")
+        pair_structs = F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice(
+                        "_ids", i + 2, F.greatest(n_ids - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
         cand = (
-            idx.select("_sh", F.col(id_col).alias("id_a"))
-            .join(idx.select("_sh", F.col(id_col).alias("id_b")), "_sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            buckets.select(F.explode(pair_structs).alias("_p"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b"))
             .distinct()
         )
         # verification: each doc's weights travel as ONE map column, so
         # a candidate pair is a single row and the dot product is a JVM
         # map_zip_with/aggregate — never an explode back to token rows.
-        # (Measured note: semi-joining wn to the candidate id set
-        # before the map build LOSES here — the candidate subtree is
-        # recomputed for the semi-join (no exchange reuse across the
-        # differing downstream plans) and near-dup corpora put a
-        # large fraction of docs in some candidate pair, so the
-        # "build fewer maps" saving never covers the second
-        # shingle-index pass: idle A/B sf0.1 9.6 -> 10.5 s,
-        # sf1 12.1 -> 13.5 s.)
-        vecs = wn.groupBy(id_col).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("tok", "wn"))
-            ).alias("_vec")
+        # The norm is fused INTO the map-building aggregation (one
+        # groupBy(id) instead of a groupBy + id-keyed join).
+        entries = w.groupBy(id_col).agg(
+            F.collect_list(F.struct("tok", "df", "w")).alias("_l")
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                "_l", F.lit(0.0), lambda a, e: a + e["w"] * e["w"]
+            )
+        )
+        kept = (
+            F.filter("_l", lambda e: e["df"] >= F.lit(int(min_df)))
+            if min_df > 1
+            else F.col("_l")
+        )
+        vecs = (
+            entries.withColumn("_norm", norm)
+            .filter(F.col("_norm") > 0)
+            .select(
+                id_col,
+                F.map_from_entries(
+                    F.transform(
+                        kept,
+                        lambda e: F.struct(
+                            e["tok"].alias("tok"),
+                            (e["w"] / F.col("_norm")).alias("wn"),
+                        ),
+                    )
+                ).alias("_vec"),
+            )
         )
         dot = F.aggregate(
             F.map_values(
@@ -706,24 +733,54 @@ def tfidf_neardup_pairs(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        # attach both maps with ONE vecs reference: melt each pair to
+        # two (pair, member) rows, join the vector relation once, and
+        # regroup — the old id_a/id_b double join planned the entire
+        # tf/df/norm pipeline twice (no exchange reuse across the two
+        # aliased copies). size(_vv) = 2 replicates the inner-join
+        # semantics (pairs whose member lacks a vector row drop out).
+        melted = cand.select(
+            "id_a",
+            "id_b",
+            F.explode(F.array("id_a", "id_b")).alias(id_col),
+        )
+        per_pair = (
+            melted.join(vecs, id_col)
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("_m"), F.col("_vec"))
+                ).alias("_vv")
+            )
+            .filter(F.size("_vv") == 2)
+        )
+        pick = lambda side: F.filter(  # noqa: E731
+            "_vv", lambda e: e["_m"] == F.col(side)
+        )[0]["_vec"]
         return (
-            cand.join(
-                vecs.select(
-                    F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")
-                ),
+            per_pair.select(
                 "id_a",
-            )
-            .join(
-                vecs.select(
-                    F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
-                ),
                 "id_b",
+                pick("id_a").alias("_va"),
+                pick("id_b").alias("_vb"),
             )
-            .select(
-                "id_a", "id_b", F.round(dot, 6).alias("cosine")
-            )
+            .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
+    )
+    wn = (
+        w.join(norms, id_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col),
+            "tok",
+            "df",
+            (F.col("w") / F.col("_norm")).alias("wn"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
     if max_df is not None:
         wn = wn.filter(F.col("df") <= max_df)
     pa = wn.select(

@@ -118,6 +118,58 @@ class TestNeardupClusters:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert neardup_clusters(pairs).count() == 0
 
+    def test_driver_unionfind_matches_iterative(self, spark):
+        """r12: the small-graph driver union-find path must produce
+        labels identical to the iterative propagation path on a graph
+        with chains, cliques, singleton-free components and string-id
+        ordering — on both long and string id types."""
+        import random
+
+        from spark_bestfit_spark.operators.dedup import neardup_clusters
+
+        rng = random.Random(7)
+        edges = set()
+        # 30 random components over 300 nodes + a long chain
+        nodes = list(range(300))
+        rng.shuffle(nodes)
+        for i in range(0, 280, 10):
+            comp = nodes[i:i + 10]
+            for a, b in zip(comp, comp[1:]):
+                edges.add((min(a, b), max(a, b)))
+            edges.add((min(comp[0], comp[-1]), max(comp[0], comp[-1])))
+        for i in range(400, 440):
+            edges.add((i, i + 1))
+        pairs = spark.createDataFrame(
+            sorted(edges), "id_a long, id_b long"
+        )
+        drv = {
+            r.doc_id: r.cluster_id
+            for r in neardup_clusters(pairs).collect()
+        }
+        it = {
+            r.doc_id: r.cluster_id
+            for r in neardup_clusters(
+                pairs, driver_threshold=0
+            ).collect()
+        }
+        assert drv == it and len(drv) > 300
+
+        spairs = spark.createDataFrame(
+            [(f"d{a:04d}", f"d{b:04d}") for a, b in sorted(edges)],
+            "id_a string, id_b string",
+        )
+        sdrv = {
+            r.doc_id: r.cluster_id
+            for r in neardup_clusters(spairs).collect()
+        }
+        sit = {
+            r.doc_id: r.cluster_id
+            for r in neardup_clusters(
+                spairs, driver_threshold=0
+            ).collect()
+        }
+        assert sdrv == sit
+
 
 class TestCuration:
     def test_flag_contamination(self, spark, messy_corpus):
