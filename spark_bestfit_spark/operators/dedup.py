@@ -800,32 +800,55 @@ def duplicate_spans(
             ).alias("_pos", "_sh"),
         )
     )
-    counts = sh.groupBy("_sh").agg(F.count("*").alias("_c"))
-    idx = sh.join(
-        counts.filter(
-            (F.col("_c") >= 2) & (F.col("_c") <= int(max_posting))
-        ).select("_sh"),
-        "_sh",
+    # r12 (guide §2.1): the old shape computed the posting counts with
+    # a groupBy + join back into the shingle stream, then SELF-JOINED
+    # the indexed stream — Catalyst planned the text->positioned-
+    # shingle pipeline four times (12 Exchanges / 8 scans for one
+    # call). Now the posting count rides a count window over the SAME
+    # _sh key the bucket groupBy uses (one exchange, reused — the
+    # _lsh_buckets convention) and the cross-doc position pairs
+    # explode INSIDE each bucket: the shingle pipeline is planned
+    # once, and there is no self-join to skew. Aggregation state stays
+    # bounded — the count filter runs BEFORE collect_list, so no
+    # bucket ever materializes more than max_posting entries (same
+    # guard semantics: count is the FULL posting size).
+    wsh = Window.partitionBy("_sh")
+    bucketed = (
+        sh.withColumn("_c", F.count(F.lit(1)).over(wsh))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= int(max_posting)))
+        .groupBy("_sh")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_id", "_pos"))).alias(
+                "_e"
+            )
+        )
     )
-    a = idx.select(
-        F.col("_sh"),
-        F.col("_id").alias("doc_a"),
-        F.col("_pos").alias("_pa"),
-    )
-    b = idx.select(
-        F.col("_sh"),
-        F.col("_id").alias("doc_b"),
-        F.col("_pos").alias("_pb"),
+    n_e = F.size("_e")
+    pair_structs = F.flatten(
+        F.transform(
+            "_e",
+            lambda x, i: F.transform(
+                F.slice("_e", i + 2, F.greatest(n_e - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["_id"].alias("doc_a"),
+                    y["_id"].alias("doc_b"),
+                    x["_pos"].alias("_pa"),
+                    y["_pos"].alias("_pb"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "_sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        bucketed.select(F.explode(pair_structs).alias("_p"))
+        # sorted by (_id, _pos): i<j pairs have _p.doc_a <= _p.doc_b,
+        # so != replicates the old doc_a < doc_b orientation exactly
+        .filter(F.col("_p.doc_a") != F.col("_p.doc_b"))
         .select(
-            "doc_a",
-            "doc_b",
-            "_pa",
-            "_pb",
-            (F.col("_pa") - F.col("_pb")).alias("_diag"),
+            F.col("_p.doc_a").alias("doc_a"),
+            F.col("_p.doc_b").alias("doc_b"),
+            F.col("_p._pa").alias("_pa"),
+            F.col("_p._pb").alias("_pb"),
+            (F.col("_p._pa") - F.col("_p._pb")).alias("_diag"),
         )
     )
     w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")

@@ -4714,11 +4714,25 @@ def pr_metrics(
     )
     y = F.col(label_col).cast("long")
     spark = df.sparkSession
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(y).alias("np"),
-        F.min(score_col).alias("lo"),
-        F.max(score_col).alias("hi"),
+    # r12 (guide §2.1): the distinct-score relation g is the spine of
+    # THREE separate actions (global stats, the bucket-offset fold,
+    # and the final AP/F1 plan — which references it twice more) and
+    # each used to re-scan and re-aggregate the full input. One eager
+    # localCheckpoint computes g once — the global stats now derive
+    # FROM g (n = sum dc, n_pos = sum dp, lo/hi = min/max s:
+    # identical values) — so the input is scanned once total instead
+    # of four times. g is distinct-score-sized, the already-bounded
+    # intermediate of this design.
+    g = (
+        base.groupBy(F.col(score_col).alias("s"))
+        .agg(F.sum(y).alias("dp"), F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint()
+    )
+    stats = g.agg(
+        F.sum("dc").alias("n"),
+        F.sum("dp").alias("np"),
+        F.min("s").alias("lo"),
+        F.max("s").alias("hi"),
     ).first()
     n = int(stats["n"] or 0)
     npos = int(stats["np"] or 0)
@@ -4732,9 +4746,6 @@ def pr_metrics(
             [(n, npos, None, None, None, None, None)], out_schema
         )
     lo, hi = float(stats["lo"]), float(stats["hi"])
-    g = base.groupBy(F.col(score_col).alias("s")).agg(
-        F.sum(y).alias("dp"), F.count(F.lit(1)).alias("dc")
-    )
     if hi > lo:
         bk = F.width_bucket(
             F.col("s"), F.lit(lo), F.lit(hi), F.lit(num_buckets)
