@@ -200,20 +200,31 @@ def decontaminate_fuzzy(
     def _bands(relation, idc, tcol, out_id):
         sig = minhash_signature_col(tcol, num_hashes, shingle_k)
         rows_per_band = num_hashes // num_bands
+        # r12 (guide §1/§2.2): bind the signature ONCE through a
+        # one-element transform (the minhash_signature_col convention).
+        # The old shape referenced `sig` inside the per-band lambda, so
+        # the ENTIRE MinHash kernel (md5 per shingle + num_hashes
+        # permutation minima) was re-evaluated once per band — 4x the
+        # dominant cost of this operator (stage-attributed: the corpus
+        # banding stage was 7.8 s of the 10 s sf1 line; the signature
+        # alone costs ~2 s warm).
         band_sigs = F.transform(
-            F.sequence(F.lit(0), F.lit(num_bands - 1)),
-            lambda b: F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(
-                        sig,
-                        (b * rows_per_band + 1).cast("int"),
-                        F.lit(rows_per_band).cast("int"),
+            F.array(sig),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            s,
+                            (b * rows_per_band + 1).cast("int"),
+                            F.lit(rows_per_band).cast("int"),
+                        ),
+                        lambda x: x.cast("string"),
                     ),
-                    lambda x: x.cast("string"),
                 ),
             ),
-        )
+        )[0]
         # r12: the old `filter(size(word_shingles(...)) > 0)` here was
         # semantically DEAD — word_shingles never returns an empty
         # array (null/empty/short text all yield the 1-element
