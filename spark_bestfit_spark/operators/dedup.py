@@ -427,18 +427,41 @@ def minhash_dedup_pairs(
     else in this module."""
     df = ensure_parallelism(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # Materialize the candidate pairs once: the relation is referenced
+    # three times below (id collection + both verification joins), and
+    # without the checkpoint each reference re-plans the whole
+    # text -> MinHash -> band -> bucket pipeline. Candidates are the
+    # SMALL relation by construction (LSH at the default band settings
+    # is selective; viral buckets belong to the exact tier /
+    # max_bucket_size), so the local materialization is bounded.
     cands = minhash_lsh_candidates(
         sigs, id_col, num_bands, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=False)
+    # Verification is candidate-bounded (same shape as
+    # incremental_minhash_pairs): semi-join the corpus down to
+    # candidate-involved ids BEFORE computing shingle sets, so the
+    # exact-Jaccard pass shingles only candidate documents instead of
+    # the whole corpus twice. The broadcast is bounded by the candidate
+    # set (distinct ids <= 2 * pairs).
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+    sh = (
+        df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
+        .select(
+            F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+        )
+        .localCheckpoint(eager=False)
     )
     # (r12 note: a melt-join-regroup rewrite that references the
     # shingle relation once was A/B-tested here and LOST — the
     # groupBy's collect_list ships the heavy shingle arrays through an
     # extra pair-keyed exchange, which costs more than the duplicated
     # text->shingle scan it saves: sf1 5.47 -> 5.71 s, clusters line
-    # 6.46 -> 8.70 s. The double join stays.)
+    # 6.46 -> 8.70 s. The double join over the candidate-bounded
+    # shingle relation stays.)
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_s", "_sa"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_s", "_sb"), "id_b")
