@@ -303,15 +303,32 @@ def set_similarity_join(
     ``|b| - ceil(t * |b|) + 1`` tokens of b must share at least one
     token. So each side indexes only its prefix, candidates come from
     a token equi-join of the two prefix streams, a map-side LENGTH
-    filter (``t*|a| <= |b| <= |a|/t``) prunes impossible pairs, and an
-    exact intersect/union verifies.
+    filter (``t*|a| <= |b| <= |a|/t``) plus PPJoin's POSITIONAL
+    filter (for a shared prefix token at 1-based positions ``i`` in a
+    and ``j`` in b, the overlap can be at most
+    ``1 + min(|a|-i, |b|-j)``; the first common token of a true pair
+    always passes, so the filter is lossless) prune impossible pairs,
+    and an exact intersect/union verifies.
+
+    Tokens are DICTIONARY-ENCODED before anything wide: the
+    vocabulary relation is sorted by ``(df, token)`` and assigned
+    order-consistent integer ids (``monotonically_increasing_id`` over
+    the range-partitioned sort — ids are not dense, but they are
+    injective and sort in canonical order, which is all ordering and
+    intersection need). The id relation is lazily localCheckpoint-ed:
+    that pins ONE materialization, so every reference sees the same
+    token -> id mapping (ids from a recomputed sort could differ —
+    checkpointing is a correctness fence here, not a cache), and the
+    doc-keyed exchanges, the candidate join and the verify all carry
+    8-byte ids instead of token strings.
 
     Shuffle shape at 100 TB: one token-df aggregation over both
-    relations (map-combinable), one token-keyed join per side to rank
-    tokens, one doc-keyed groupBy per side to assemble ordered sets,
-    the prefix-token candidate equi-join, one pair distinct, and a
-    broadcast-candidate verify (corpus relations are never re-shuffled
-    for verification). ``max_posting`` drops prefix tokens whose
+    relations (map-combinable), one vocabulary sort, one token-keyed
+    join per side to encode tokens, one doc-keyed groupBy per side to
+    assemble ordered int-id sets, the prefix-token candidate equi-join
+    (int keys), one pair distinct, and a broadcast-candidate verify
+    (corpus relations are never re-shuffled for verification).
+    ``max_posting`` drops prefix tokens whose
     posting list exceeds the cap on EITHER side — rare-by-rank can be
     common-by-count (boilerplate); the cap bounds the join's quadratic
     term exactly like MinHash's ``max_bucket_size``, at the cost of
@@ -339,22 +356,28 @@ def set_similarity_join(
 
     lt = _toks(left, left_on, left_id)
     rt = _toks(right, right_on, right_id)
-    # global canonical order: df over BOTH relations
-    dfreq = (
+    # global canonical order: df over BOTH relations, then an
+    # order-consistent injective int id per token (the sort is a
+    # range partition, so monotonically_increasing_id over it sorts
+    # exactly like (_df, _tok)). The checkpoint is a CORRECTNESS
+    # fence: range-partition boundaries are sampled, so a recomputed
+    # sort could assign different ids — pinning one materialization
+    # guarantees every downstream reference encodes with the SAME
+    # mapping. The relation is vocabulary-sized, bounded state.
+    tok_ids = (
         lt.select("_tok").unionByName(rt.select("_tok"))
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_df"))
+        .orderBy("_df", "_tok")
+        .withColumn("_tid", F.monotonically_increasing_id())
+        .select("_tok", "_tid")
+        .localCheckpoint(eager=False)
     )
 
     def _ordered_sets(toks, idc):
-        ranked = toks.join(dfreq, on="_tok", how="inner")
-        return ranked.groupBy(idc).agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("_df", "_tok"))
-                ),
-                lambda s: s["_tok"],
-            ).alias("_set"),
+        encoded = toks.join(tok_ids, on="_tok", how="inner")
+        return encoded.groupBy(idc).agg(
+            F.array_sort(F.collect_list("_tid")).alias("_set"),
             F.count(F.lit(1)).cast("int").alias("_n"),
         )
 
@@ -370,12 +393,12 @@ def set_similarity_join(
         out = sets.select(
             idc,
             F.col("_n"),
-            F.explode(F.slice("_set", 1, plen)).alias("_tok"),
+            F.posexplode(F.slice("_set", 1, plen)).alias("_p", "_tid"),
         )
         if max_posting is not None:
             from pyspark.sql import Window as _W
 
-            w = _W.partitionBy("_tok")
+            w = _W.partitionBy("_tid")
             out = (
                 out.withColumn("_pc", F.count(F.lit(1)).over(w))
                 .filter(F.col("_pc") <= int(max_posting))
@@ -383,14 +406,38 @@ def set_similarity_join(
             )
         return out
 
-    lpre = _prefix(lsets, left_id).withColumnRenamed("_n", "_nl")
-    rpre = _prefix(rsets, right_id).withColumnRenamed("_n", "_nr")
+    lpre = (
+        _prefix(lsets, left_id)
+        .withColumnRenamed("_n", "_nl")
+        .withColumnRenamed("_p", "_pl")
+    )
+    rpre = (
+        _prefix(rsets, right_id)
+        .withColumnRenamed("_n", "_nr")
+        .withColumnRenamed("_p", "_pr")
+    )
     t = float(threshold)
+    # positional filter: at 1-based positions (i, j) of the shared
+    # prefix token, overlap <= 1 + min(|a|-i, |b|-j); a true pair's
+    # FIRST common token always satisfies it (i <= |a|-overlap+1),
+    # so pruning occurrences that fail it is lossless. The required
+    # overlap is ceil(t/(1+t)*(|a|+|b|)), epsilon-padded DOWN so
+    # float error can only admit candidates, never drop one.
+    # posexplode is 0-based: i = _pl + 1.
+    alpha = F.ceil(
+        (F.lit(t) * (F.col("_nl") + F.col("_nr"))) / F.lit(1.0 + t)
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("_nl") - F.col("_pl") - F.lit(1),
+        F.col("_nr") - F.col("_pr") - F.lit(1),
+    )
     cand = (
-        lpre.join(rpre, on="_tok", how="inner")
+        lpre.join(rpre, on="_tid", how="inner")
         .filter(
             (F.col("_nr") >= F.ceil(F.lit(t) * F.col("_nl")))
             & (F.col("_nr") * F.lit(t) <= F.col("_nl"))
+            & (ubound >= alpha)
         )
         .select(left_id, right_id)
         .distinct()
