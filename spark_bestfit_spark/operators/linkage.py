@@ -30,10 +30,13 @@ of the true pair set; a thresholded ``levenshtein`` filters it to the
 exact answer.
 
 Shuffle shape at 100 TB: both key streams are generated map-side
-(sequence/transform/substr — no shuffle, no UDF); the only wide
-operations are the candidate equi-join on (l, seg#, piece) — content
-hashing spreads near-uniformly — and one distinct on the candidate
-pair ids. Per-record row counts are small constants: the index emits
+(sequence/transform/substr — no shuffle, no UDF) and reduced to
+8-byte xxhash64 keys before anything wide (a hash collision only adds
+a candidate; the exact verify removes it); the only wide operations
+are the candidate equi-join on that key — content hashing spreads
+near-uniformly — and one distinct on the VERIFIED pairs (output-sized
+rows, after the levenshtein filter, so no key string ever crosses a
+pair-keyed exchange). Per-record row counts are small constants: the index emits
 ``max_dist + 1`` rows; the probe at most
 ``(2 * max_dist + 1)^2 * (max_dist + 1)`` before per-row
 ``array_distinct`` (d=2: <= 75, typically far fewer). Verification is
@@ -128,8 +131,9 @@ def fuzzy_join(
     Returns ``(id_l, id_r, dist)`` — one row per qualifying pair,
     ``dist`` the exact edit distance. Null keys never match. Either
     path is a single lazy plan: key generation is map-side
-    (sequence/transform/substr, no UDF), then one content-keyed
-    equi-join, one pair distinct, and the levenshtein verify.
+    (sequence/transform/substr, no UDF) with keys hashed to 8 bytes,
+    then one hash-keyed equi-join, the levenshtein verify, and one
+    distinct over the verified output-sized pairs.
 
     For a self-join pass the same DataFrame twice and filter
     ``id_l < id_r`` on the result (each unordered pair appears with
@@ -148,6 +152,14 @@ def fuzzy_join(
     if strategy == "deletion1":
         if d != 1:
             raise ValueError("deletion1 blocking requires max_dist=1")
+        # deletion keys are hashed to 8 bytes before the equi-join
+        # (shuffle carries xxhash64(_k), never the key string); a hash
+        # collision only ADDS a candidate, which the exact levenshtein
+        # verify removes — lossless. The pair distinct runs AFTER
+        # verification: deduping ~output-sized (id, id, dist) rows is
+        # far cheaper than deduping candidate rows that still carry
+        # both key strings, and re-verifying the few duplicate
+        # candidates costs less than the wide distinct it replaces.
         index = (
             right.select(
                 F.col(right_id).alias("id_r"),
@@ -157,7 +169,12 @@ def fuzzy_join(
             .select(
                 "id_r",
                 "_sr",
-                F.explode(_deletion1_keys(F.col("_sr"))).alias("_k"),
+                F.explode(
+                    F.transform(
+                        _deletion1_keys(F.col("_sr")),
+                        lambda k: F.xxhash64(k),
+                    )
+                ).alias("_h"),
             )
         )
         probe = (
@@ -169,21 +186,23 @@ def fuzzy_join(
             .select(
                 "id_l",
                 "_sl",
-                F.explode(_deletion1_keys(F.col("_sl"))).alias("_k"),
+                F.explode(
+                    F.transform(
+                        _deletion1_keys(F.col("_sl")),
+                        lambda k: F.xxhash64(k),
+                    )
+                ).alias("_h"),
             )
-        )
-        cand = (
-            probe.join(index, "_k")
-            .select("id_l", "id_r", "_sl", "_sr")
-            .distinct()
         )
         dist = F.levenshtein(F.col("_sl"), F.col("_sr"), d)
         return (
-            cand.withColumn("dist", dist)
+            probe.join(index, "_h")
+            .withColumn("dist", dist)
             .filter(F.col("dist") >= 0)
             .select(
                 "id_l", "id_r", F.col("dist").cast("int").alias("dist")
             )
+            .distinct()
         )
 
     idx_base = right.select(
@@ -200,6 +219,9 @@ def fuzzy_join(
                 F.col("_sr").substr(p, sl).alias("piece"),
             )
         )
+    # the (length, segment#, piece) key is hashed to 8 bytes before
+    # the equi-join — collisions only add candidates, removed by the
+    # exact verify (same convention as the deletion1 branch)
     index = idx_base.select(
         "id_r",
         "_sr",
@@ -208,9 +230,7 @@ def fuzzy_join(
     ).select(
         "id_r",
         "_sr",
-        "_lr",
-        F.col("_k.j").alias("_j"),
-        F.col("_k.piece").alias("_piece"),
+        F.xxhash64("_lr", "_k.j", "_k.piece").alias("_h"),
     )
 
     probe_base = left.select(
@@ -250,7 +270,6 @@ def fuzzy_join(
     probe = probe_l.select(
         "id_l",
         "_sl",
-        "_ll",
         F.col("_cl").alias("_lr"),
         F.explode(
             F.array_distinct(F.flatten(F.array(*piece_arrays)))
@@ -258,22 +277,18 @@ def fuzzy_join(
     ).select(
         "id_l",
         "_sl",
-        "_ll",
-        "_lr",
-        F.col("_k.j").alias("_j"),
-        F.col("_k.piece").alias("_piece"),
+        F.xxhash64("_lr", "_k.j", "_k.piece").alias("_h"),
     )
 
-    cand = (
-        probe.join(index, ["_lr", "_j", "_piece"])
-        .select("id_l", "id_r", "_sl", "_sr")
-        .distinct()
-    )
+    # verify-then-distinct: dedupe output-sized (id, id, dist) rows
+    # instead of candidate rows still carrying both strings
     dist = F.levenshtein(F.col("_sl"), F.col("_sr"), d)
     return (
-        cand.withColumn("dist", dist)
+        probe.join(index, "_h")
+        .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
         .select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))
+        .distinct()
     )
 
 
