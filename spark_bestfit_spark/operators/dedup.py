@@ -1453,6 +1453,28 @@ def winnow_fingerprints(
     Returns ``(id_col, fp bigint, pos int)`` — one row per distinct
     selected (fingerprint, position) pair per document.
     """
+    sel = _winnow_selected(df, text_col, id_col, k, window)
+    return (
+        sel.select(
+            id_col, F.explode(F.array_distinct("_sel")).alias("_s")
+        )
+        .select(
+            id_col,
+            F.col("_s.h").alias("fp"),
+            F.col("_s.p").alias("pos"),
+        )
+    )
+
+
+def _winnow_selected(
+    df: DataFrame, text_col: str, id_col: str, k: int, window: int
+) -> DataFrame:
+    """Shared winnowing kernel: ``(id_col, _sel)`` where ``_sel`` is
+    the per-doc array of selected ``struct(h, p)`` fingerprints (one
+    per window, rightmost-minimum rule) — all map-side column
+    algebra, no shuffle. :func:`winnow_fingerprints` explodes the
+    structs; :func:`winnow_neardup_pairs` dedups the hash values
+    in-array first so no per-position row ever crosses an exchange."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if window < 1:
@@ -1479,16 +1501,7 @@ def winnow_fingerprints(
         "                 struct(_hs[j - 1] as h, cast(j as int) as p),"
         "                 acc)))".format(w=w)
     )
-    return (
-        df2.select(
-            id_col, F.explode(F.array_distinct(sel)).alias("_s")
-        )
-        .select(
-            id_col,
-            F.col("_s.h").alias("fp"),
-            F.col("_s.p").alias("pos"),
-        )
-    )
+    return df2.select(F.col(id_col), sel.alias("_sel"))
 
 
 def _norm_sql(text_col: str) -> str:
@@ -1527,9 +1540,19 @@ def winnow_neardup_pairs(
     """
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
-    fps = winnow_fingerprints(
-        df, text_col=text_col, id_col=id_col, k=k, window=window
-    ).select(id_col, "fp").distinct()
+    # (id, fp) duplicates only exist WITHIN a document (the same hash
+    # selected at several positions), so the per-doc dedup happens
+    # in-array before the explode — no distinct exchange; the window
+    # partitioning below is the operator's only fp-keyed shuffle and
+    # the groupBy rides it.
+    fps = _winnow_selected(df, text_col, id_col, k, window).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform("_sel", lambda s: s["h"])
+            )
+        ).alias("fp"),
+    )
     wb = Window.partitionBy("fp").orderBy(id_col)
     bounded = (
         fps.withColumn("_rn", F.row_number().over(wb))
