@@ -436,11 +436,23 @@ def wasserstein_distance_df(
     spark = df_a.sparkSession
     from pyspark.sql import Window
 
-    stats = u.agg(
+    # ONE scan of the two inputs (the pr_metrics single-scan-spine
+    # convention, mirrored in energy_distance): the distinct-value
+    # jump relation needs no range information, so it is built FIRST
+    # and checkpointed; the global stats and the bucket-offset fold
+    # both derive from it instead of re-scanning the raw inputs
+    # (3 input scans -> 1). All derived quantities here are integer
+    # counts and min/max — bit-identical to the row-level folds.
+    g0 = (
+        u.groupBy("v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .localCheckpoint()
+    )
+    stats = g0.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
-        F.sum("ia").alias("na"),
-        F.sum("ib").alias("nb"),
+        F.sum("da").alias("na"),
+        F.sum("db").alias("nb"),
     ).first()
     na = int(stats["na"] or 0)
     nb = int(stats["nb"] or 0)
@@ -457,10 +469,10 @@ def wasserstein_distance_df(
         F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets)
     )
     btot = (
-        u.groupBy(bk.alias("bk"))
+        g0.groupBy(bk.alias("bk"))
         .agg(
-            F.sum("ia").alias("ta"),
-            F.sum("ib").alias("tb"),
+            F.sum("da").alias("ta"),
+            F.sum("db").alias("tb"),
             F.min("v").alias("mn"),
         )
         .collect()
@@ -476,11 +488,7 @@ def wasserstein_distance_df(
     off = spark.createDataFrame(
         offsets, "bk long, oa long, ob long, nx double"
     )
-    g = (
-        u.groupBy("v")
-        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
-        .withColumn("bk", bk)
-    )
+    g = g0.withColumn("bk", bk)
     cumw = (
         Window.partitionBy("bk")
         .orderBy("v")
@@ -2443,9 +2451,18 @@ def roc_auc(
         (~(F.col(label_col) > 0)).cast("int").alias("iq"),
     ).filter(F.col(label_col).isNotNull())
     spark = df.sparkSession
-    stats = u.agg(
+    # single-scan spine (the pr_metrics/energy_distance convention):
+    # the per-value jump relation is built first and checkpointed;
+    # stats and the bucket fold derive from it — integer counts and
+    # min/max only, bit-identical to the row-level folds.
+    g0 = (
+        u.groupBy("v")
+        .agg(F.sum("ip").alias("dp"), F.sum("iq").alias("dq"))
+        .localCheckpoint()
+    )
+    stats = g0.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.sum("ip").alias("p"), F.sum("iq").alias("n"),
+        F.sum("dp").alias("p"), F.sum("dq").alias("n"),
     ).first()
     p = int(stats["p"] or 0)
     n = int(stats["n"] or 0)
@@ -2463,18 +2480,14 @@ def roc_auc(
         )
     bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
     btot = (
-        u.groupBy(bk.alias("bk")).agg(F.sum("iq").alias("tq")).collect()
+        g0.groupBy(bk.alias("bk")).agg(F.sum("dq").alias("tq")).collect()
     )
     off_rows, acc = [], 0
     for r in sorted(btot, key=lambda r: r["bk"]):
         off_rows.append((int(r["bk"]), acc))
         acc += int(r["tq"])
     off = spark.createDataFrame(off_rows, "bk long, oq long")
-    g = (
-        u.groupBy("v")
-        .agg(F.sum("ip").alias("dp"), F.sum("iq").alias("dq"))
-        .withColumn("bk", bk)
-    )
+    g = g0.withColumn("bk", bk)
     w = (
         _W.partitionBy("bk").orderBy("v")
         .rowsBetween(_W.unboundedPreceding, 0)
@@ -3215,9 +3228,18 @@ def mann_whitney_u(
         vb.cast("int").alias("ib"),
     )
     spark = df.sparkSession
-    stats = u.agg(
+    # single-scan spine (the pr_metrics/energy_distance convention):
+    # the per-value jump relation is built first and checkpointed;
+    # stats and the bucket fold derive from it — integer counts and
+    # min/max only, bit-identical to the row-level folds.
+    g0 = (
+        u.groupBy("v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .localCheckpoint()
+    )
+    stats = g0.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.sum("ia").alias("na"), F.sum("ib").alias("nb"),
+        F.sum("da").alias("na"), F.sum("db").alias("nb"),
     ).first()
     na, nb = int(stats["na"] or 0), int(stats["nb"] or 0)
     if na == 0 or nb == 0:
@@ -3234,17 +3256,13 @@ def mann_whitney_u(
         )
     num_buckets = 1024
     bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
-    btot = u.groupBy(bk.alias("bk")).agg(F.sum("ib").alias("tb")).collect()
+    btot = g0.groupBy(bk.alias("bk")).agg(F.sum("db").alias("tb")).collect()
     acc, offs = 0, []
     for r in sorted(btot, key=lambda r: r["bk"]):
         offs.append((int(r["bk"]), acc))
         acc += int(r["tb"])
     off = spark.createDataFrame(offs, "bk long, ob long")
-    g = (
-        u.groupBy("v")
-        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
-        .withColumn("bk", bk)
-    )
+    g = g0.withColumn("bk", bk)
     w = (
         _W.partitionBy("bk").orderBy("v")
         .rowsBetween(_W.unboundedPreceding, 0)
@@ -3476,9 +3494,18 @@ def cramer_von_mises(
     )
     u = a.unionAll(b)
     spark = df_a.sparkSession
-    stats = u.agg(
+    # single-scan spine (the pr_metrics/energy_distance convention):
+    # the per-value jump relation is built first and checkpointed;
+    # stats and the bucket fold derive from it — integer counts and
+    # min/max only, bit-identical to the row-level folds.
+    g0 = (
+        u.groupBy("v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .localCheckpoint()
+    )
+    stats = g0.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.sum("ia").alias("na"), F.sum("ib").alias("nb"),
+        F.sum("da").alias("na"), F.sum("db").alias("nb"),
     ).first()
     na, nb = int(stats["na"] or 0), int(stats["nb"] or 0)
     if na == 0 or nb == 0 or stats["lo"] is None:
@@ -3492,8 +3519,8 @@ def cramer_von_mises(
         )
     bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
     btot = (
-        u.groupBy(bk.alias("bk"))
-        .agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
+        g0.groupBy(bk.alias("bk"))
+        .agg(F.sum("da").alias("ta"), F.sum("db").alias("tb"))
         .collect()
     )
     oa = ob = 0
@@ -3503,11 +3530,7 @@ def cramer_von_mises(
         oa += int(r["ta"])
         ob += int(r["tb"])
     off = spark.createDataFrame(offs, "bk long, oa long, ob long")
-    g = (
-        u.groupBy("v")
-        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
-        .withColumn("bk", bk)
-    )
+    g = g0.withColumn("bk", bk)
     w = (
         _W.partitionBy("bk").orderBy("v")
         .rowsBetween(_W.unboundedPreceding, 0)
@@ -3572,10 +3595,21 @@ def energy_distance(
     )
     u = a.unionAll(b)
     spark = df_a.sparkSession
-    stats = u.agg(
+    # ONE scan of the two inputs (the pr_metrics single-scan-spine
+    # convention): the distinct-value jump relation needs no range
+    # information, so it is built FIRST and checkpointed; the global
+    # stats and the bucket-offset fold both derive from it instead of
+    # re-scanning the raw inputs (3 input scans -> 1). The relation is
+    # distinct-value-sized with map-combined partial aggregation.
+    g0 = (
+        u.groupBy("v")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        .localCheckpoint()
+    )
+    stats = g0.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.sum("ia").alias("na"), F.sum("ib").alias("nb"),
-        F.sum(F.col("v") * F.col("ia")).alias("sa"),
+        F.sum("da").alias("na"), F.sum("db").alias("nb"),
+        F.sum(F.col("v") * F.col("da")).alias("sa"),
     ).first()
     na, nb = int(stats["na"] or 0), int(stats["nb"] or 0)
     if na == 0 or nb == 0 or stats["lo"] is None:
@@ -3594,11 +3628,11 @@ def energy_distance(
     ta_sum = float(stats["sa"])
     bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
     btot = (
-        u.groupBy(bk.alias("bk"))
+        g0.groupBy(bk.alias("bk"))
         .agg(
-            F.sum("ia").alias("ta"), F.sum("ib").alias("tb"),
-            F.sum(F.col("v") * F.col("ia")).alias("sva"),
-            F.sum(F.col("v") * F.col("ib")).alias("svb"),
+            F.sum("da").alias("ta"), F.sum("db").alias("tb"),
+            F.sum(F.col("v") * F.col("da")).alias("sva"),
+            F.sum(F.col("v") * F.col("db")).alias("svb"),
         )
         .collect()
     )
@@ -3614,11 +3648,7 @@ def energy_distance(
     off = spark.createDataFrame(
         offs, "bk long, oa long, ob long, osa double, osb double"
     )
-    g = (
-        u.groupBy("v")
-        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
-        .withColumn("bk", bk)
-    )
+    g = g0.withColumn("bk", bk)
     w = (
         _W.partitionBy("bk").orderBy("v")
         .rowsBetween(_W.unboundedPreceding, 0)
@@ -3698,9 +3728,20 @@ def kruskal_wallis(
         "v",
     )
     spark = df.sparkSession
-    stats = base.agg(
+    # single-scan spine (the pr_metrics/energy_distance convention):
+    # the per-(group, value) relation is built first and
+    # checkpointed; the global stats, the bucket fold, the per-value
+    # tie relation and the per-group rank sums all derive from it —
+    # integer counts and min/max only, bit-identical to the
+    # row-level folds. ONE base scan instead of four.
+    gv = (
+        base.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    stats = gv.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("n"),
     ).first()
     n = int(stats["n"] or 0)
     if n == 0:
@@ -3710,15 +3751,15 @@ def kruskal_wallis(
         )
     lo, hi = float(stats["lo"]), float(stats["hi"])
     if hi <= lo:
-        k = base.select("g").distinct().count()
+        k = gv.select("g").distinct().count()
         return spark.createDataFrame(
             [(k, n, 0.0 if k >= 2 else None, None)],
             "k int, n long, h double, h_adj double",
         )
     bk = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(num_buckets))
     btot = (
-        base.groupBy(bk.alias("bk"))
-        .agg(F.count(F.lit(1)).alias("t"))
+        gv.groupBy(bk.alias("bk"))
+        .agg(F.sum("c").alias("t"))
         .collect()
     )
     acc, offs = 0, []
@@ -3727,8 +3768,8 @@ def kruskal_wallis(
         acc += int(r["t"])
     off = spark.createDataFrame(offs, "bk long, ob long")
     tv = (
-        base.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
+        gv.groupBy("v")
+        .agg(F.sum("c").alias("t"))
         .withColumn("bk", bk)
     )
     w = (
@@ -3743,7 +3784,6 @@ def kruskal_wallis(
             + (F.col("t") + F.lit(1)) / F.lit(2.0)
         ).alias("avg_rank"),
     )
-    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
     rs = gv.join(ranked, "v").groupBy("g").agg(
         F.sum(F.col("c") * F.col("avg_rank")).alias("r"),
         F.sum("c").alias("n_g"),
