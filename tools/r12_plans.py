@@ -65,6 +65,7 @@ def main() -> None:
         duplicate_spans,
         minhash_dedup_pairs,
         neardup_clusters,
+        winnow_neardup_pairs,
     )
     from spark_bestfit_spark.operators.linkage import (
         fuzzy_join,
@@ -141,6 +142,9 @@ def main() -> None:
         ),
         "q_duplicate_spans": lambda: duplicate_spans(
             docs, k=5, min_len=10, max_posting=50
+        ),
+        "q_winnow_pairs": lambda: winnow_neardup_pairs(
+            docs, min_shared=20, max_bucket_size=200
         ),
         "q_clip_spans": lambda: clip_duplicate_spans(docs1, n=8).agg(
             F.sum("n_removed")
