@@ -471,10 +471,11 @@ class TestRound7PlanShapes:
 
     def test_fuzzy_join_is_equi_join_never_cartesian(self, spark):
         """The PassJoin candidate join must compile to a key-hashed
-        equi-join on (length, segment#, piece): no CartesianProduct /
-        BroadcastNestedLoopJoin anywhere, and segment/substring
-        generation stays map-side (explodes, no extra exchanges
-        beyond the join's own and the pair distinct)."""
+        equi-join on the hashed (length, segment#, piece) key: no
+        CartesianProduct / BroadcastNestedLoopJoin anywhere, and
+        segment/substring generation stays map-side (explodes, no
+        extra exchanges beyond the join's own and the pair
+        distinct)."""
         from spark_bestfit_spark.operators.linkage import fuzzy_join
 
         cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
@@ -485,9 +486,11 @@ class TestRound7PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         # one candidate equi-join + one pair distinct; allow AQE to
-        # broadcast the small side at this SF, but the join keys must
-        # include the piece column (content-keyed, not length-only)
-        assert "_piece" in plan
+        # broadcast the small side at this SF, but the join key must
+        # be the CONTENT hash (r12: the (length, seg#, piece) key is
+        # reduced to xxhash64 before the exchange so no piece string
+        # crosses it — content-keyed, not length-only)
+        assert "xxhash64" in plan
 
 
 class TestRound8Plans:
