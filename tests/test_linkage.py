@@ -419,6 +419,55 @@ class TestJaroWinklerKernel:
             assert abs(_jaro_winkler(a, b) - want) < 1e-12, (a, b)
         con.close()
 
+    def test_batch_kernel_exactly_matches_scalar(self):
+        # the vectorized Arrow-batch kernel must be float-for-float
+        # IDENTICAL to the pinned scalar kernel (== on the raw
+        # float64, no tolerance): dense-collision alphabets, window
+        # edge lengths, unicode past Latin-1 (kills the uint8 fast
+        # path), repetitive strings, empties
+        import random
+
+        from spark_bestfit_spark.operators.linkage import (
+            _jaro_winkler_batch,
+        )
+
+        rng = random.Random(29)
+        regimes = [
+            ("ab", 12),
+            ("abc", 20),
+            ("abcdefgh", 40),
+            ("abcdefghijklmnopqrstuvwxyz ", 45),
+            ("abé中\U0001f600", 25),
+            ("aaab", 60),
+            ("ab\xff\x01", 30),
+        ]
+        a, b = [], []
+        for alphabet, maxlen in regimes:
+            for _ in range(3000):
+                a.append(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(0, maxlen))
+                    )
+                )
+                b.append(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(0, maxlen))
+                    )
+                )
+        for x, y in [
+            ("", ""), ("", "abc"), ("abc", ""), ("a", "a"), ("a", "b"),
+            ("martha", "marhta"), ("dwayne", "duane"),
+            ("dixon", "dicksonx"), ("aaaa", "aaaa"), ("ab", "ba"),
+            ("x" * 80, "x" * 80), ("\x00a", "a\x00"), ("Ā", "ÿ"),
+        ]:
+            a.append(x)
+            b.append(y)
+        got = _jaro_winkler_batch(a, b, chunk=1024)
+        for i in range(len(a)):
+            assert got[i] == _jaro_winkler(a[i], b[i]), (a[i], b[i])
+
 
 class TestJaroWinklerJoin:
     def _brute_pairs(self, rows, t):
