@@ -149,6 +149,14 @@ def fuzzy_join(
     d = int(max_dist)
     if strategy == "auto":
         strategy = "deletion1" if d == 1 else "passjoin"
+    # spread under-parallelized inputs (e.g. one small parquet file)
+    # BEFORE the map-side key enumeration: with a single input
+    # partition the whole enumerate->broadcast-join->verify pipeline
+    # otherwise runs as one task. No-op at real scale (guide §2.6).
+    from spark_bestfit_spark.operators.dedup import ensure_parallelism
+
+    left = ensure_parallelism(left)
+    right = ensure_parallelism(right) if right is not left else left
     if strategy == "deletion1":
         if d != 1:
             raise ValueError("deletion1 blocking requires max_dist=1")
@@ -359,6 +367,11 @@ def set_similarity_join(
     if max_posting is not None and max_posting < 1:
         raise ValueError("max_posting must be >= 1 (or None)")
 
+    # NOTE (r12 A/B): an ensure_parallelism input spread here LOST
+    # (sf0.1 warm 2.5-2.8 -> 2.9-3.8 s): unlike fuzzy_join, the first
+    # exchange (token-df aggregation) arrives before any expensive
+    # map work, and the added round-robin shuffle of both relations
+    # plus an extra planning round outweighed the spread tokenize.
     def _toks(df, on, idc):
         return df.select(
             idc,

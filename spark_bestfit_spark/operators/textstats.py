@@ -596,6 +596,13 @@ def tfidf_neardup_pairs(
             "verifies with the exact cosine; use max_posting_size to "
             "bound the candidate index instead)"
         )
+    # spread under-parallelized inputs before the tokenize/shingle
+    # map stages (no-op at real scale — guide §2.6); every downstream
+    # step is key-partitioned aggregation or a deterministic-tie
+    # window, so results are partitioning-invariant
+    from spark_bestfit_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")

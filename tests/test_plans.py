@@ -845,3 +845,47 @@ class TestLateRound12Plans:
         plan = _physical(out)
         assert "FullOuter" in plan or "full_outer" in plan.lower()
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+class TestInputSpreadPlans:
+    def test_fuzzy_join_spreads_single_partition_input(self, spark):
+        """A one-file input otherwise runs the whole deletion1
+        enumerate->broadcast-join->verify pipeline as ONE task (the
+        index side broadcasts, so no exchange ever widens the probe):
+        the operator must round-robin under-parallelized inputs before
+        key enumeration, and must NOT add that exchange when the input
+        is already wide."""
+        from spark_bestfit_spark.operators.linkage import fuzzy_join
+
+        cust = spark.read.parquet(
+            f"{SF_DIR}/customer.parquet"
+        ).coalesce(1)
+        out = fuzzy_join(
+            cust, cust, "c_name", "c_name", "c_custkey", "c_custkey", 1
+        )
+        assert "RoundRobinPartitioning" in _physical(out)
+        wide = spark.read.parquet(
+            f"{SF_DIR}/customer.parquet"
+        ).repartition(64)
+        out_wide = fuzzy_join(
+            wide, wide, "c_name", "c_name", "c_custkey", "c_custkey", 1
+        )
+        # only the test's own repartition(64) round-robin is present
+        assert (
+            _physical(out_wide).count("RoundRobinPartitioning(64") > 0
+        )
+
+    def test_tfidf_prefix_spreads_single_partition_input(self, spark):
+        """Same property for the tokenize/shingle map stages of
+        tfidf_neardup_pairs."""
+        from spark_bestfit_spark.operators.textstats import (
+            tfidf_neardup_pairs,
+        )
+
+        docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        ).coalesce(1)
+        out = tfidf_neardup_pairs(
+            docs, threshold=0.9, candidates="prefix"
+        )
+        assert "RoundRobinPartitioning" in _physical(out)
