@@ -1019,14 +1019,14 @@ def jaro_winkler_join(
             )
             pairs = pairs.filter(band)
         pairs = _enforce_cap(pairs, "blocked")
-        # spread the kernel: the Arrow JW kernel costs ~15us/pair —
-        # orders of magnitude more than moving an 80-byte pair row —
-        # and AQE coalesces the small block-join shuffle to a couple
-        # of partitions, serializing the kernel. A round-robin
-        # repartition to cluster parallelism before the kernel is
-        # negligible exchange cost at any scale relative to the
-        # kernel it parallelizes (measured: sf1 blocked join 5.3 s
-        # -> 1.6 s at local[32]).
+        # spread the kernel: the batched numpy JW kernel still costs
+        # ~2-3us/pair — orders of magnitude more than moving an
+        # 80-byte pair row — and AQE coalesces the small block-join
+        # shuffle to a couple of partitions, serializing the kernel.
+        # A round-robin repartition to cluster parallelism before the
+        # kernel is negligible exchange cost at any scale relative to
+        # the kernel it parallelizes (measured: sf1 blocked join
+        # 5.3 s -> 1.6 s at local[32], row-at-a-time era).
         pairs = pairs.repartition(
             pairs.sparkSession.sparkContext.defaultParallelism
         )
