@@ -706,7 +706,11 @@ def _jaro_winkler_chunk(A, B, l1, l2):
         j_sim = (mf / l1 + mf / l2 + (mf - t) / mf) / 3.0
     P = min(4, L1, L2)
     if P > 0:
-        eq = (A[:, :P] == B[:, :P]) & (A[:, :P] != 0)
+        # mask prefix positions by TRUE length, not by char value —
+        # a real '\x00' in the shared prefix is a legitimate match,
+        # only positions past min(l1, l2) are padding
+        in_len = np.arange(P) < np.minimum(l1, l2)[:, None]
+        eq = (A[:, :P] == B[:, :P]) & in_len
         ell = np.cumprod(eq, axis=1).sum(axis=1)
     else:
         ell = np.zeros(n, dtype=np.int64)
@@ -736,8 +740,11 @@ def _jaro_winkler_batch(a_seq, b_seq, chunk=8192):
         return np.empty(0, dtype=np.float64)
     A = np.asarray(a_seq, dtype="U")
     B = np.asarray(b_seq, dtype="U")
-    l1 = np.char.str_len(A)
-    l2 = np.char.str_len(B)
+    # true Python lengths — np.char.str_len treats a trailing '\x00'
+    # as a C terminator ('ab\x00' -> 2), which silently shrank the
+    # match window and the Jaro denominators for NUL-tailed strings
+    l1 = np.fromiter((len(x) for x in a_seq), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(x) for x in b_seq), dtype=np.int64, count=n)
     LA = max(A.dtype.itemsize // 4, 1)
     LB = max(B.dtype.itemsize // 4, 1)
     A32 = np.frombuffer(A.tobytes(), dtype=np.uint32).reshape(n, LA)

@@ -440,6 +440,7 @@ class TestJaroWinklerKernel:
             ("abé中\U0001f600", 25),
             ("aaab", 60),
             ("ab\xff\x01", 30),
+            ("ab\x00", 30),  # NUL must not read as padding
         ]
         a, b = [], []
         for alphabet, maxlen in regimes:
@@ -461,6 +462,10 @@ class TestJaroWinklerKernel:
             ("martha", "marhta"), ("dwayne", "duane"),
             ("dixon", "dicksonx"), ("aaaa", "aaaa"), ("ab", "ba"),
             ("x" * 80, "x" * 80), ("\x00a", "a\x00"), ("Ā", "ÿ"),
+            # NUL in a SHARED prefix with j > 0.7 — the padding-vs-NUL
+            # regression case (Winkler boost must count the NUL)
+            ("\x00ab", "\x00ax"), ("\x00\x00abc", "\x00\x00abd"),
+            ("a\x00bc", "a\x00bd"),
         ]:
             a.append(x)
             b.append(y)
