@@ -163,12 +163,26 @@ def duplicated_ngram_stats(
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
     """Distinct k-word shingles as an array column (JVM-side: split +
-    transform + slice + concat — no Python)."""
+    k-1 zip_with passes over shifted slices — no Python).
+
+    The shingle strings are built by zipping the token array with its
+    own 1..k-1 shifted slices and concatenating pairwise: k-1 O(n)
+    array passes with a cheap string concat per element, instead of a
+    per-shingle ``slice`` (which allocated an intermediate array per
+    position — measured 5.6x slower at sf1). Output strings are
+    byte-identical to the old construction (tokens are never null, so
+    ``concat`` == ``concat_ws`` here)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+    m = F.greatest(n - k + 1, F.lit(0))  # shingle count when n >= k
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
 
@@ -448,13 +462,14 @@ def minhash_dedup_pairs(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
-        .select(
-            F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
-        )
-        .localCheckpoint(eager=False)
-    )
+    # r13 A/B: removing this lazy checkpoint (betting the cheaper
+    # zip_with shingle kernel made recompute affordable) was a WASH on
+    # the pair line and LOST ~1 s on the clusters line, which
+    # re-references the verified pairs across label-propagation
+    # rounds — the materialization stays.
+    sh = df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi").select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_s")
+    ).localCheckpoint(eager=False)
     # (r12 note: a melt-join-regroup rewrite that references the
     # shingle relation once was A/B-tested here and LOST — the
     # groupBy's collect_list ships the heavy shingle arrays through an
@@ -808,19 +823,30 @@ def duplicate_spans(
         raise ValueError("max_posting must be >= 2")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
+
+    # positioned k-gram strings via k-1 zip_with passes over shifted
+    # slices (the word_shingles construction: no per-position slice /
+    # array alloc — measured several times faster); element order IS
+    # the position, so posexplode yields identical (_pos, _sh) rows
+    def _grams(t, nn):
+        m = F.greatest(nn - k + 1, F.lit(0))
+        acc = F.slice(t, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc,
+                F.slice(t, 1 + j, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return acc
+
     sh = (
         df.select(F.col(id_col).alias("_id"), toks.alias("_t"), n.alias("_n"))
         .filter(F.col("_n") >= k)
         .select(
             "_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - k),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_t"), i + 1, k)
-                    ),
-                )
-            ).alias("_pos", "_sh"),
+            F.posexplode(_grams(F.col("_t"), F.col("_n"))).alias(
+                "_pos", "_sh"
+            ),
         )
     )
     # r12 (guide §2.1): the old shape computed the posting counts with
@@ -1029,34 +1055,34 @@ def clip_duplicate_spans(
     ).otherwise(F.split(trimmed, r"\s+"))
     base = df.select(F.col(id_col), words.alias("_w"))
     n_words = F.size("_w")
-    gram_idx = F.sequence(F.lit(0), n_words - n)
 
-    # build each gram string ONCE (inner transform), hash it twice
-    # (outer transform references the bound struct field, not two
-    # copies of the concat subtree)
-    gram_structs = F.transform(
-        F.transform(
-            gram_idx,
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.lower(
-                    F.concat_ws(" ", F.slice("_w", i + 1, n))
-                ).alias("s"),
-            ),
-        ),
-        lambda t: F.struct(
-            t["pos"].alias("pos"),
-            F.xxhash64(t["s"]).alias("g1"),
-            # salt FIRST: xxhash64(lit(1), s) = XXH64(s, seed=XXH64(1,42)),
-            # independent of g1; salt-last would chain off g1's value.
-            F.xxhash64(F.lit(1), t["s"]).alias("g2"),
-        ),
-    )
+    # lowercased gram strings via n-1 zip_with passes over shifted
+    # slices of the PER-WORD-lowered token array (the word_shingles
+    # construction — no per-position slice/array alloc). Lowering per
+    # word before joining equals lowering the joined gram: Java/UTF8
+    # case mapping is context-free except the final-sigma rule, and a
+    # word-final sigma is followed by a space (non-letter) in the
+    # joined gram — final form either way. Array order IS the gram
+    # position, so posexplode replaces the carried pos field.
+    wl = F.transform("_w", lambda w: F.lower(w))
+    m_g = F.greatest(n_words - n + 1, F.lit(0))
+    gram_acc = F.slice(wl, 1, m_g)
+    for _j in range(1, n):
+        gram_acc = F.zip_with(
+            gram_acc,
+            F.slice(wl, 1 + _j, m_g),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     grams = (
         base.filter(n_words >= n)
-        .select(id_col, F.explode(gram_structs).alias("_g"))
+        .select(id_col, F.posexplode(gram_acc).alias("pos", "_s"))
         .select(
-            id_col, F.col("_g.pos"), F.col("_g.g1"), F.col("_g.g2")
+            id_col,
+            "pos",
+            F.xxhash64("_s").alias("g1"),
+            # salt FIRST: xxhash64(lit(1), s) = XXH64(s, seed=XXH64(1,42)),
+            # independent of g1; salt-last would chain off g1's value.
+            F.xxhash64(F.lit(1), "_s").alias("g2"),
         )
     )
     dup = (
@@ -1480,17 +1506,20 @@ def _winnow_selected(
     if window < 1:
         raise ValueError("window must be >= 1")
     df = ensure_parallelism(df)
-    norm = _normalized(text_col)
-    n = F.length(norm)
+    # bind the normalized text ONCE as a column: referencing
+    # _norm_sql(text_col) inside the transform lambda re-evaluated the
+    # regexp_replace+lower+trim PER K-GRAM (once per element, ~grams/doc
+    # times per row — measured 4.2x the whole hash stage)
+    dn = df.select(F.col(id_col), _normalized(text_col).alias("_nt"))
     kgs = F.when(
-        n >= k,
+        F.length("_nt") >= k,
         F.expr(
-            f"transform(sequence(1, length({_norm_sql(text_col)}) - {k} + 1),"
-            f" i -> substring({_norm_sql(text_col)}, i, {k}))"
+            f"transform(sequence(1, length(_nt) - {k} + 1),"
+            f" i -> substring(_nt, i, {k}))"
         ),
-    ).otherwise(F.array(norm))
+    ).otherwise(F.array(F.col("_nt")))
     hs = F.transform(kgs, lambda g: portable_hash64(g))
-    df2 = df.select(F.col(id_col), hs.alias("_hs"))
+    df2 = dn.select(F.col(id_col), hs.alias("_hs"))
     w = int(window)
     sel = F.expr(
         "transform(sequence(1, greatest(size(_hs) - {w} + 1, 1)), i ->"

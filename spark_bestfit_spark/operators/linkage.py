@@ -477,10 +477,18 @@ def set_similarity_join(
     # (observed at sf1); plain hash joins let AQE pick broadcast at
     # RUNTIME from actual sizes, which is the only safe call when the
     # candidate volume is data-dependent.
-    lv = lsets.select(left_id, F.col("_set").alias("_sa"))
-    rv = rsets.select(right_id, F.col("_set").alias("_sb"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the (distinct-element) sets, so
+    # the union scan is pure arithmetic on the carried set sizes — one
+    # per-pair hash-set pass instead of two (same integers, identical
+    # double division and rounding).
+    lv = lsets.select(
+        left_id, F.col("_n").alias("_na"), F.col("_set").alias("_sa")
+    )
+    rv = rsets.select(
+        right_id, F.col("_n").alias("_nb"), F.col("_set").alias("_sb")
+    )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     return (
         cand.join(lv, on=left_id, how="inner")
         .join(rv, on=right_id, how="inner")

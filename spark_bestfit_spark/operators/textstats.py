@@ -182,11 +182,16 @@ def with_repetition_ratio(
     n-gram fractions). Map-only column algebra, SQL-portable."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.slice(toks, i + 1, shingle_k)
-    )
-    all_shingles = F.transform(idx, shingle_at)
+    # k-1 zip_with passes over shifted slices (the word_shingles
+    # construction) — identical strings, no per-position slice
+    m = F.greatest(n - shingle_k + 1, F.lit(0))
+    all_shingles = F.slice(toks, 1, m)
+    for _j in range(1, shingle_k):
+        all_shingles = F.zip_with(
+            all_shingles,
+            F.slice(toks, 1 + _j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     n_sh = F.size(all_shingles)
     n_distinct = F.size(F.array_distinct(all_shingles))
     ratio = F.when(

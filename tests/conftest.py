@@ -7,8 +7,47 @@ copying it.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
+
+# ---------------------------------------------------------------------------
+# Slow-test split (r13): the full suite outgrew the external gate's
+# pytest window (45 min measured), so long-running tests are marked
+# `slow` and excluded from the default run (pytest.ini addopts).
+# Three sources of slowness, all still runnable with `pytest -m slow`
+# (or `-m ""` for everything):
+#   - tests/test_oracle_parity.py — duplicates the driver's own
+#     oracle gate (CORRECTNESS_*.json), per-query Spark+DuckDB runs
+#   - tests/test_examples.py — end-to-end example scripts
+#   - every nodeid in tests/slow_manifest.txt (>= 3 s in the r13
+#     --durations=0 profile)
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = ("test_oracle_parity.py", "test_examples.py")
+
+
+def _slow_manifest() -> set[str]:
+    path = os.path.join(os.path.dirname(__file__), "slow_manifest.txt")
+    try:
+        with open(path) as fh:
+            return {
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    manifest = _slow_manifest()
+    marker = pytest.mark.slow
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _SLOW_FILES or item.nodeid in manifest:
+            item.add_marker(marker)
 
 
 @pytest.fixture(scope="session")
